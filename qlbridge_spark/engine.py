@@ -1,0 +1,683 @@
+"""QLBridge-on-Spark engine: statements → DataFrame plans.
+
+Replaces the reference's plan/exec layers (/root/reference/plan/planner_select.go,
+exec/executor.go) entirely with Catalyst: we *declare* the logical plan via
+the DataFrame API and let Spark pick physical strategies (hash/sort-merge/
+broadcast joins, partial aggregation, spill, whole-stage codegen) — the
+things the reference hand-rolls as goroutine tasks (exec/join.go,
+exec/groupby.go, exec/order.go) or explicitly defers to its distributed
+caller.
+
+Scale notes (100 TB design):
+- every operator is a narrow/declarative DataFrame op → Catalyst keeps
+  predicate pushdown + column pruning into the parquet scan
+- joins: Spark AQE picks broadcast for small sides; we additionally
+  broadcast sources marked small via WITH {"broadcast": true} or detected
+  dimension tables
+- no collect()/driver loops anywhere in the query path
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column as SparkColumn
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import functions as funcs
+from .nodes import (
+    BinaryNode,
+    BooleanNode,
+    FuncNode,
+    IdentityNode,
+    Node,
+    NumberNode,
+    StringNode,
+    UnaryNode,
+)
+from .rel import (
+    Column,
+    FilterStatement,
+    FromSource,
+    SqlCommand,
+    SqlCreate,
+    SqlDelete,
+    SqlDescribe,
+    SqlDrop,
+    SqlInsert,
+    SqlSelect,
+    SqlShow,
+    SqlUpdate,
+    SubqueryNode,
+    parse_filterql,
+    parse_sql,
+)
+from .translate import Scope, TranslateError, to_column
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+
+class ExecError(ValueError):
+    pass
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet reader tolerant of TIMESTAMP(NANOS) columns, which Spark's
+    vectorized reader rejects. Nanos columns are read as longs
+    (spark.sql.legacy.parquet.nanosAsLong) and converted to timestamps
+    JVM-side — still fully vectorized + pushdown-friendly."""
+    try:
+        return spark.read.parquet(path)
+    except Exception as e:
+        if "TIMESTAMP(NANOS" not in str(e):
+            raise
+    import pyarrow.parquet as pq
+
+    nanos_cols = [f_.name for f_ in pq.read_schema(path) if str(f_.type).startswith("timestamp[ns")]
+    # left set for the session: the lazy scan re-reads it at execution time
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in nanos_cols:
+        df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+    return df
+
+
+class Engine:
+    """The user-facing engine — ≈ the reference's schema registry +
+    BuildSqlJob (exec/executor.go:46) + database/sql driver ergonomics
+    (exec/sqldriver.go)."""
+
+    def __init__(self, spark: SparkSession, name: str = "default"):
+        self.spark = spark
+        self.name = name
+        self.tables: dict[str, DataFrame] = {}
+        self.broadcast_hints: set[str] = set()
+        self.includes: dict[str, Node] = {}
+        self.session_vars: dict[str, object] = {}
+        self.views: dict[str, SqlSelect] = {}
+        self.streams: dict[str, object] = {}
+
+    # ------------------------------------------------------------------
+    # registry (≈ schema.RegisterSourceAsSchema, schema/registry.go:71)
+    # ------------------------------------------------------------------
+    def register_df(self, name: str, df: DataFrame, broadcast: bool = False) -> None:
+        self.tables[name.lower()] = df
+        if broadcast:
+            self.broadcast_hints.add(name.lower())
+
+    def register_rows(self, name: str, rows: list[dict], schema=None) -> None:
+        """In-memory source ≈ membtree/memdb static sources."""
+        df = self.spark.createDataFrame(rows, schema=schema) if schema else self.spark.createDataFrame(rows)
+        self.register_df(name, df)
+
+    def load_parquet_dir(self, sf_dir: str, tables=TABLES) -> None:
+        """Register the driver's synthetic star schema (TESTDATA.md).
+        Dimension tables get broadcast hints — at 100 TB the fact tables
+        (lineitem/orders/events) shuffle, dims broadcast."""
+        import os
+
+        for t in tables:
+            p = f"{sf_dir}/{t}.parquet"
+            if os.path.exists(p):
+                self.register_df(t, read_parquet(self.spark, p), broadcast=t in ("region", "nation", "supplier", "part"))
+
+    def register_include(self, name: str, filter_text: str) -> None:
+        """Named filter for INCLUDE resolution (expr/include.go:23-25)."""
+        stmt = parse_filterql(filter_text) if filter_text.upper().lstrip().startswith("FILTER") else None
+        self.includes[name.lower()] = stmt.filter if stmt else parse_sql(f"SELECT 1 WHERE {filter_text}").where
+
+    def table(self, name: str) -> DataFrame:
+        df = self.tables.get(name.lower())
+        if df is None:
+            if name.lower() in self.views:
+                return self._select(self.views[name.lower()])
+            raise ExecError(f"unknown table {name!r}; registered: {sorted(self.tables)}")
+        return df
+
+    # ------------------------------------------------------------------
+    # entry points
+    # ------------------------------------------------------------------
+    def execute(self, text: str):
+        """Run any statement. SELECT/SHOW/DESCRIBE/FILTER → DataFrame;
+        DML → affected row count; DDL/commands → None."""
+        stmt = parse_sql(text)
+        return self.execute_stmt(stmt)
+
+    def execute_stmt(self, stmt):
+        if isinstance(stmt, SqlSelect):
+            return self._select(stmt)
+        if isinstance(stmt, FilterStatement):
+            return self._filterql(stmt)
+        if isinstance(stmt, SqlShow):
+            return self._show(stmt)
+        if isinstance(stmt, SqlDescribe):
+            return self._describe(stmt)
+        if isinstance(stmt, SqlInsert):
+            return self._insert(stmt)
+        if isinstance(stmt, SqlUpdate):
+            return self._update(stmt)
+        if isinstance(stmt, SqlDelete):
+            return self._delete(stmt)
+        if isinstance(stmt, SqlCreate):
+            return self._create(stmt)
+        if isinstance(stmt, SqlDrop):
+            return self._drop(stmt)
+        if isinstance(stmt, SqlCommand):
+            return self._command(stmt)
+        raise ExecError(f"cannot execute {type(stmt).__name__}")
+
+    def sql(self, text: str) -> DataFrame:
+        out = self.execute(text)
+        if not isinstance(out, DataFrame):
+            raise ExecError(f"statement did not produce rows: {text[:50]}")
+        return out
+
+    def query(self, text: str):
+        """database/sql-driver ergonomics (exec/sqldriver.go:50): returns an
+        iterator of Row."""
+        return self.sql(text).toLocalIterator()
+
+    def filter(self, df: DataFrame, filterql_text: str) -> DataFrame:
+        """Apply a FilterQL statement to an arbitrary DataFrame
+        (vm.Matches ≈ vm/filterqlvm.go:81)."""
+        stmt = parse_filterql(filterql_text)
+        scope = Scope({"_": df}, includes=self.includes)
+        return df.filter(to_column(stmt.filter, scope))
+
+    # ------------------------------------------------------------------
+    # SELECT
+    # ------------------------------------------------------------------
+    def _select(self, sel: SqlSelect) -> DataFrame:
+        if not sel.from_:
+            return self._literal_select(sel)
+
+        df, scope = self._build_from(sel)
+
+        # WHERE — decompose AND-conjuncts; IN (SELECT) → semi/anti join
+        # (superset: reference parses but errors, plan/planner_select.go:94-98)
+        if sel.where is not None:
+            df, scope = self._apply_where(df, scope, sel)
+
+        is_agg = bool(sel.group_by) or any(funcs.is_agg_tree(c.expr) for c in sel.columns if not c.is_star)
+
+        if is_agg:
+            df = self._aggregate(df, scope, sel)
+            out_scope = Scope({"_": df}, includes=self.includes)
+            df = self._order_limit(df, out_scope, sel, post_agg=True)
+            return df
+
+        # projection with hidden sort columns so ORDER BY can reference
+        # non-selected expressions (standard SQL; Catalyst prunes the rest)
+        proj, names = self._projection(sel, scope)
+        sort_cols = []
+        for i, (e, direction) in enumerate(sel.order_by):
+            c = self._order_col(e, scope, names)
+            sort_cols.append((f"__sort_{i}", c, direction))
+        if sel.distinct:
+            df = df.select(*proj).distinct()
+            out_scope = Scope({"_": df}, includes=self.includes)
+            for i, (e, direction) in enumerate(sel.order_by):
+                df = df.orderBy(*self._directional(to_column(e, out_scope), direction))
+        elif sort_cols:
+            df = df.select(*(proj + [c.alias(n) for n, c, _ in sort_cols]))
+            df = df.orderBy(*[d for n, _, direction in sort_cols for d in self._directional(F.col(n), direction)])
+            df = df.select(*names)
+        else:
+            df = df.select(*proj)
+        if sel.offset:
+            df = df.offset(sel.offset)
+        if sel.limit is not None:
+            df = df.limit(sel.limit)
+        if sel.into:
+            self.register_df(sel.into, df)
+        return df
+
+    # -- FROM / joins ----------------------------------------------------
+    def _resolve_source(self, src: FromSource) -> DataFrame:
+        if src.subquery is not None:
+            df = self._select(src.subquery)
+        else:
+            df = self.table(src.name)
+            if src.name.lower() in self.broadcast_hints:
+                df = F.broadcast(df)
+        return df.alias(src.ref)
+
+    def _build_from(self, sel: SqlSelect) -> tuple[DataFrame, Scope]:
+        frames: dict[str, DataFrame] = {}
+        first = sel.from_[0]
+        df = self._resolve_source(first)
+        frames[first.ref] = df
+        joined = df
+        for src in sel.from_[1:]:
+            other = self._resolve_source(src)
+            frames[src.ref] = other
+            scope = Scope(dict(frames), includes=self.includes)
+            how = {
+                "": "inner",
+                "INNER": "inner",
+                "LEFT": "left",
+                "LEFT OUTER": "left",
+                "RIGHT": "right",
+                "RIGHT OUTER": "right",
+                "OUTER": "full",
+                "FULL": "full",
+                "FULL OUTER": "full",
+                "CROSS": "cross",
+            }.get(src.join_type, "inner")
+            if src.join_expr is not None:
+                cond = to_column(src.join_expr, scope)
+                joined = joined.join(other, on=cond, how=how)
+            else:
+                joined = joined.crossJoin(other)
+        scope = Scope(frames, includes=self.includes)
+        return joined, scope
+
+    # -- WHERE -------------------------------------------------------------
+    def _conjuncts(self, node: Node) -> list[Node]:
+        if isinstance(node, BinaryNode) and node.op == "AND":
+            return self._conjuncts(node.left) + self._conjuncts(node.right)
+        if isinstance(node, BooleanNode) and node.op == "AND" and not node.negated:
+            out = []
+            for a in node.args:
+                out.extend(self._conjuncts(a))
+            return out
+        return [node]
+
+    def _apply_where(self, df: DataFrame, scope: Scope, sel: SqlSelect):
+        plain: list[Node] = []
+        for conj in self._conjuncts(sel.where):
+            sub = self._as_subquery_in(conj)
+            if sub is not None:
+                lhs_node, sub_sel, anti = sub
+                sub_df = self._select(sub_sel)
+                key = sub_df.columns[0]
+                lhs = to_column(lhs_node, scope)
+                how = "left_anti" if anti else "left_semi"
+                # semi-join: distributed IN; Catalyst/AQE broadcasts when small
+                df = df.join(sub_df, on=lhs == sub_df[key], how=how)
+            else:
+                plain.append(conj)
+        if plain:
+            cond = None
+            for p in plain:
+                c = to_column(p, scope)
+                cond = c if cond is None else (cond & c)
+            df = df.filter(cond)
+        # rebuild scope frames to the post-join df for projection? frames
+        # stay valid: filter/semi-join preserve the aliased lineage.
+        return df, scope
+
+    @staticmethod
+    def _as_subquery_in(node: Node):
+        if isinstance(node, BinaryNode) and node.op == "IN" and isinstance(node.right, SubqueryNode):
+            return node.left, node.right.select, node.negated
+        if isinstance(node, UnaryNode) and node.op == "NOT":
+            inner = Engine._as_subquery_in(node.child)
+            if inner is not None:
+                return inner[0], inner[1], not inner[2]
+        return None
+
+    # -- aggregation -------------------------------------------------------
+    def _aggregate(self, df: DataFrame, scope: Scope, sel: SqlSelect) -> DataFrame:
+        group_cols: list[SparkColumn] = []
+        group_names: list[str] = []
+        group_sqls: dict[str, str] = {}
+        for i, g in enumerate(sel.group_by):
+            name = None
+            for c in sel.columns:
+                if not c.is_star and c.expr.sql() == g.sql():
+                    name = c.output_name
+                    break
+                if c.alias and isinstance(g, IdentityNode) and g.name == c.alias:
+                    name = c.alias
+                    g = c.expr
+                    break
+            name = name or (g.name if isinstance(g, IdentityNode) else f"_g{i}")
+            group_cols.append(to_column(g, scope).alias(name))
+            group_names.append(name)
+            group_sqls[g.sql()] = name
+
+        agg_cols: list[SparkColumn] = []
+        out_names: list[str] = []
+        for c in sel.columns:
+            if c.is_star:
+                raise ExecError("SELECT * with GROUP BY not supported")
+            name = c.output_name
+            if funcs.is_agg_tree(c.expr):
+                col = to_column(c.expr, scope)
+                if c.guard is not None:
+                    col = F.when(to_column(c.guard, scope), col)
+                agg_cols.append(col.alias(name))
+            elif c.expr.sql() in group_sqls:
+                name = group_sqls[c.expr.sql()]
+            elif isinstance(c.expr, IdentityNode) and c.expr.name in group_names:
+                name = c.expr.name
+            else:
+                # non-agg, non-grouped select col → first() (permissive,
+                # reference passes grouped value through exec/groupby.go:338)
+                agg_cols.append(F.first(to_column(c.expr, scope)).alias(name))
+            out_names.append(name)
+
+        # HAVING may reference aggregates not in the select list — compute
+        # them as hidden agg columns (exec/where.go HAVING = post-agg filter)
+        having_node = sel.having
+        hidden: list[SparkColumn] = []
+        if having_node is not None:
+            having_node, extra = self._rewrite_having(having_node, scope)
+            hidden.extend(extra)
+
+        if group_cols:
+            agged = df.groupBy(*group_cols).agg(*(agg_cols + hidden)) if (agg_cols + hidden) else df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("__cnt")).drop("__cnt")
+        else:
+            agged = df.agg(*(agg_cols + hidden))
+
+        if having_node is not None:
+            hscope = Scope({"_": agged}, includes=self.includes)
+            agged = agged.filter(to_column(having_node, hscope))
+        # drop hidden having columns by name
+        drop_hidden = [n for n in agged.columns if n.startswith("__hav_")]
+        if drop_hidden:
+            agged = agged.drop(*drop_hidden)
+
+        # order output columns as selected
+        return agged.select(*out_names)
+
+    _hav_counter = 0
+
+    def _rewrite_having(self, node: Node, scope: Scope):
+        """Replace maximal agg subtrees in HAVING with hidden column refs."""
+        hidden: list[SparkColumn] = []
+
+        def walk(n: Node) -> Node:
+            if isinstance(n, FuncNode) and funcs.is_agg_func(n.name):
+                Engine._hav_counter += 1
+                name = f"__hav_{Engine._hav_counter}"
+                hidden.append(to_column(n, scope).alias(name))
+                return IdentityNode((name,))
+            if isinstance(n, BinaryNode):
+                return BinaryNode(n.op, walk(n.left), walk(n.right), n.negated)
+            if isinstance(n, UnaryNode):
+                return UnaryNode(n.op, walk(n.child))
+            if isinstance(n, BooleanNode):
+                return BooleanNode(n.op, [walk(a) for a in n.args], n.negated)
+            return n
+
+        return walk(node), hidden
+
+    # -- projection ----------------------------------------------------------
+    def _projection(self, sel: SqlSelect, scope: Scope) -> tuple[list[SparkColumn], list[str]]:
+        proj: list[SparkColumn] = []
+        names: list[str] = []
+        for c in sel.columns:
+            if c.is_star:
+                if len(c.expr.parts) > 1:  # t.* — one source's columns
+                    tref = c.expr.parts[0]
+                    frame = scope.frames.get(tref)
+                    if frame is None:
+                        raise ExecError(f"unknown alias {tref}.*")
+                    for fc in frame.columns:
+                        proj.append(F.col(f"{tref}.{fc}" if scope.multi else fc))
+                        names.append(fc)
+                else:
+                    for fc in scope.columns():
+                        proj.append(scope.col(IdentityNode((fc,))))
+                        names.append(fc)
+                continue
+            col = to_column(c.expr, scope)
+            if c.guard is not None:
+                # `col IF guard` → NULL when guard fails (divergence noted in
+                # SURVEY §7.4: reference drops the field entirely)
+                col = F.when(to_column(c.guard, scope), col)
+            proj.append(col.alias(c.output_name))
+            names.append(c.output_name)
+        return proj, names
+
+    def _order_col(self, e: Node, scope: Scope, out_names: list[str]) -> SparkColumn:
+        if isinstance(e, IdentityNode) and e.name in out_names:
+            pass  # fall through — still translatable from base scope if column exists
+        if isinstance(e, NumberNode):  # ORDER BY 2 → positional
+            return F.col(out_names[int(e.text) - 1])
+        return to_column(e, scope)
+
+    @staticmethod
+    def _directional(col: SparkColumn, direction: str):
+        return [col.desc() if direction == "DESC" else col.asc()]
+
+    def _order_limit(self, df: DataFrame, scope: Scope, sel: SqlSelect, post_agg: bool) -> DataFrame:
+        if sel.distinct:
+            df = df.distinct()
+        if sel.order_by:
+            cols = []
+            for e, direction in sel.order_by:
+                if isinstance(e, NumberNode):
+                    c = F.col(df.columns[int(e.text) - 1])
+                else:
+                    c = to_column(e, Scope({"_": df}, includes=self.includes))
+                cols.extend(self._directional(c, direction))
+            df = df.orderBy(*cols)
+        if sel.offset:
+            df = df.offset(sel.offset)
+        if sel.limit is not None:
+            df = df.limit(sel.limit)
+        if sel.into:
+            self.register_df(sel.into, df)
+        return df
+
+    def _literal_select(self, sel: SqlSelect) -> DataFrame:
+        """``SELECT 1, "hello"`` — no FROM (plan/planner_select.go:267-286)."""
+        scope = Scope({}, includes=self.includes)
+        cols = []
+        for i, c in enumerate(sel.columns):
+            cols.append(to_column(c.expr, scope).alias(c.alias or c.expr.sql().strip("'")))
+        df = self.spark.range(1).select(*cols)
+        if sel.where is not None:
+            df = df.filter(to_column(sel.where, Scope({"_": df}, includes=self.includes)))
+        if sel.limit is not None:
+            df = df.limit(sel.limit)
+        return df
+
+    # ------------------------------------------------------------------
+    # FilterQL
+    # ------------------------------------------------------------------
+    def _filterql(self, stmt: FilterStatement) -> DataFrame:
+        if not stmt.from_:
+            raise ExecError("FILTER without FROM requires engine.filter(df, ...)")
+        df = self.table(stmt.from_)
+        scope = Scope({stmt.from_: df}, includes=self.includes)
+        out = df.filter(to_column(stmt.filter, scope))
+        if stmt.limit:
+            out = out.limit(stmt.limit)
+        if stmt.alias:
+            self.includes[stmt.alias.lower()] = stmt.filter
+        return out
+
+    def matches(self, context: dict, filterql_text: str) -> bool:
+        """Single-record FilterQL match ≈ vm.Matches (vm/filterqlvm.go:81)."""
+        stmt = parse_filterql(filterql_text)
+        df = self.spark.createDataFrame([context])
+        scope = Scope({"_": df}, includes=self.includes)
+        return df.filter(to_column(stmt.filter, scope)).count() > 0
+
+    # ------------------------------------------------------------------
+    # SHOW / DESCRIBE (plan/sql_rewrite.go:49-240 — we synthesize directly)
+    # ------------------------------------------------------------------
+    def _show(self, s: SqlShow) -> DataFrame:
+        if s.show in ("TABLES",):
+            rows = [{"Table": t} for t in sorted(self.tables)]
+            df = self.spark.createDataFrame(rows, schema="Table string") if rows else self.spark.createDataFrame([], "Table string")
+        elif s.show == "DATABASES":
+            df = self.spark.createDataFrame([{"Database": self.name}])
+        elif s.show in ("COLUMNS", "FIELDS"):
+            df = self._schema_df(s.ident)
+        elif s.show == "VARIABLES":
+            rows = [{"Variable_name": k, "Value": str(v)} for k, v in sorted(self.session_vars.items())]
+            schema = "Variable_name string, Value string"
+            df = self.spark.createDataFrame(rows, schema=schema) if rows else self.spark.createDataFrame([], schema)
+        elif s.show == "CREATE":
+            t = self.table(s.ident)
+            ddl = f"CREATE TABLE `{s.ident}` (" + ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in t.schema.fields) + ")"
+            df = self.spark.createDataFrame([{"Table": s.ident, "Create Table": ddl}])
+        else:
+            raise ExecError(f"SHOW {s.show} not supported")
+        if s.like:
+            first = df.columns[0]
+            from .translate import glob_to_regex
+
+            df = df.filter(F.col(first).rlike(glob_to_regex(s.like.replace("%", "*"))))
+        if s.where is not None:
+            df = df.filter(to_column(s.where, Scope({"_": df}, includes=self.includes)))
+        return df
+
+    def _schema_df(self, table: str) -> DataFrame:
+        t = self.table(table)
+        rows = [
+            {"Field": f.name, "Type": f.dataType.simpleString(), "Null": "YES" if f.nullable else "NO", "Key": "", "Default": None, "Extra": ""}
+            for f in t.schema.fields
+        ]
+        return self.spark.createDataFrame(rows, schema="Field string, Type string, Null string, Key string, Default string, Extra string")
+
+    def _describe(self, d: SqlDescribe) -> DataFrame:
+        if d.stmt is not None:  # EXPLAIN <select>
+            df = self.execute_stmt(d.stmt)
+            plan = df._jdf.queryExecution().explainString(self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+            return self.spark.createDataFrame([{"plan": line} for line in plan.split("\n")], schema="plan string")
+        return self._schema_df(d.ident)
+
+    # ------------------------------------------------------------------
+    # DML — in-memory/registered tables (≈ exec/mutations.go over membtree)
+    # at 100 TB scale the same statements route to Delta-style sinks; here
+    # the registry swap keeps DataFrame lineage (no collect of data rows)
+    # ------------------------------------------------------------------
+    def _insert(self, ins: SqlInsert) -> int:
+        base = self.table(ins.table)
+        if ins.select is not None:
+            new = self._select(ins.select).toDF(*ins.columns) if ins.columns else self._select(ins.select)
+        else:
+            scope = Scope({}, includes=self.includes)
+            rows = []
+            for r in ins.rows:
+                row = {}
+                for cname, node in zip(ins.columns, r):
+                    row[cname] = _literal_value(node)
+                rows.append(row)
+            new = self.spark.createDataFrame(rows, schema=T.StructType([f for f in base.schema.fields if f.name in ins.columns]))
+        n = new.count()
+        merged = base.unionByName(new, allowMissingColumns=True)
+        if ins.upsert:
+            # upsert semantics: new rows win on the first column as key
+            key = ins.columns[0] if ins.columns else base.columns[0]
+            old_only = base.join(new.select(key), on=key, how="left_anti")
+            merged = old_only.unionByName(new, allowMissingColumns=True)
+        self.register_df(ins.table, merged)
+        return n
+
+    def _update(self, upd: SqlUpdate) -> int:
+        df = self.table(upd.table)
+        scope = Scope({upd.table: df}, includes=self.includes)
+        mask = to_column(upd.where, scope) if upd.where is not None else F.lit(True)
+        n = df.filter(mask).count()
+        for cname, node in upd.values.items():
+            newv = to_column(node, scope)
+            fld = next((f for f in df.schema.fields if f.name.lower() == cname.lower()), None)
+            if fld is not None:
+                newv = newv.cast(fld.dataType)
+                cname = fld.name
+            df = df.withColumn(cname, F.when(mask, newv).otherwise(F.col(cname)))
+        self.register_df(upd.table, df)
+        return n
+
+    def _delete(self, d: SqlDelete) -> int:
+        df = self.table(d.table)
+        scope = Scope({d.table: df}, includes=self.includes)
+        if d.where is None:
+            n = df.count()
+            self.register_df(d.table, df.limit(0))
+            return n
+        mask = to_column(d.where, scope)
+        n = df.filter(mask).count()
+        self.register_df(d.table, df.filter(~mask | mask.isNull()))
+        return n
+
+    # ------------------------------------------------------------------
+    # DDL (exec/ddl.go:54-134)
+    # ------------------------------------------------------------------
+    def _create(self, c: SqlCreate):
+        tok = c.tok
+        if tok in ("SOURCE", "SCHEMA"):
+            from .sources import load_source
+
+            if not c.with_:
+                raise ExecError(f"CREATE {tok} requires WITH {{json}}")
+            dfs = load_source(self.spark, c.with_)
+            for tname, df in dfs.items():
+                self.register_df(tname if len(dfs) > 1 else c.ident, df)
+            return None
+        if tok == "VIEW":
+            if c.select is None:
+                raise ExecError("CREATE VIEW requires AS SELECT")
+            self.views[c.ident.lower()] = c.select
+            return None
+        if tok == "CONTINUOUSVIEW":
+            from .streaming import create_continuous_view
+
+            return create_continuous_view(self, c)
+        if tok == "TABLE":
+            if c.select is not None:  # CTAS
+                self.register_df(c.ident, self._select(c.select))
+                return None
+            fields = [T.StructField(n, _ddl_type(ty), True) for n, ty in c.cols]
+            self.register_df(c.ident, self.spark.createDataFrame([], T.StructType(fields)))
+            return None
+        raise ExecError(f"CREATE {tok} not supported")
+
+    def _drop(self, d: SqlDrop):
+        key = d.ident.lower()
+        if key in self.tables:
+            del self.tables[key]
+        elif key in self.views:
+            del self.views[key]
+        elif not d.if_exists:
+            raise ExecError(f"cannot drop unknown {d.ident}")
+        return None
+
+    def _command(self, cmd: SqlCommand):
+        if cmd.kw == "SET":
+            self.session_vars[cmd.ident] = _literal_value(cmd.value) if cmd.value is not None else None
+            return None
+        if cmd.kw == "USE":
+            self.name = cmd.ident
+            return None
+        return None  # ROLLBACK/COMMIT are parse-only no-ops (lex/dialect_sql.go:203-210)
+
+
+def _literal_value(node: Node):
+    if isinstance(node, NumberNode):
+        return node.value
+    if isinstance(node, StringNode):
+        return node.value
+    from .nodes import BoolNode, NullNode
+
+    if isinstance(node, BoolNode):
+        return node.value
+    if isinstance(node, NullNode):
+        return None
+    if isinstance(node, UnaryNode) and node.op == "-" and isinstance(node.child, NumberNode):
+        return -node.child.value
+    raise ExecError(f"expected literal, got {node.sql()}")
+
+
+_DDL_TYPES = {
+    "int": T.LongType(), "integer": T.LongType(), "bigint": T.LongType(),
+    "float": T.DoubleType(), "double": T.DoubleType(), "number": T.DoubleType(),
+    "varchar": T.StringType(), "char": T.StringType(), "string": T.StringType(), "text": T.StringType(),
+    "bool": T.BooleanType(), "boolean": T.BooleanType(),
+    "timestamp": T.TimestampType(), "datetime": T.TimestampType(), "date": T.DateType(),
+    "json": T.StringType(),
+}
+
+
+def _ddl_type(ty: str) -> T.DataType:
+    base = re.sub(r"\(.*\)", "", ty).lower()
+    return _DDL_TYPES.get(base, T.StringType())

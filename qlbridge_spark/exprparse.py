@@ -1,0 +1,312 @@
+"""Pratt parser: token stream → expression AST.
+
+Covers the reference expression grammar (expr/parse.go): arithmetic,
+comparisons, boolean logic, LIKE / IN / CONTAINS / INTERSECTS / BETWEEN /
+EXISTS, NOT-negation wrappers, array literals ``(a,b,c)`` / ``[a,b,c]``,
+dotted + backticked identities, function calls (dotted names), INCLUDE.
+"""
+
+from __future__ import annotations
+
+from .lexer import (
+    COMMA,
+    EOF,
+    IDENT,
+    LBRACKET,
+    LPAREN,
+    NUMBER,
+    OP,
+    QIDENT,
+    RBRACKET,
+    RPAREN,
+    STRING,
+    Token,
+    tokenize,
+)
+from .nodes import (
+    ArrayNode,
+    BinaryNode,
+    BoolNode,
+    FuncNode,
+    IdentityNode,
+    IncludeNode,
+    Node,
+    NullNode,
+    NumberNode,
+    StringNode,
+    TriNode,
+    UnaryNode,
+)
+
+
+class ParseError(ValueError):
+    pass
+
+
+_CMP_OPS = {"=", "==", "!=", "<>", "<", "<=", ">", ">="}
+_CANON = {"==": "=", "<>": "!="}
+
+# precedence table (higher binds tighter); mirrors expr/parse.go precedence
+_PREC_OR = 1
+_PREC_AND = 2
+_PREC_NOT = 3
+_PREC_CMP = 4
+_PREC_ADD = 5
+_PREC_MUL = 6
+_PREC_UNARY = 7
+
+_KEYWORD_CMP = {"LIKE", "IN", "CONTAINS", "INTERSECTS", "IS", "BETWEEN"}
+
+
+class ExprParser:
+    def __init__(self, toks: list[Token], pos: int = 0):
+        self.toks = toks
+        self.i = pos
+
+    # -- token helpers -------------------------------------------------
+    def cur(self) -> Token:
+        return self.toks[self.i]
+
+    def peek(self, n: int = 1) -> Token:
+        j = min(self.i + n, len(self.toks) - 1)
+        return self.toks[j]
+
+    def advance(self) -> Token:
+        t = self.toks[self.i]
+        if t.kind != EOF:
+            self.i += 1
+        return t
+
+    def expect(self, kind: str, val: str | None = None) -> Token:
+        t = self.cur()
+        if t.kind != kind or (val is not None and t.upper != val.upper()):
+            raise ParseError(f"expected {val or kind}, got {t!r} at {t.pos}")
+        return self.advance()
+
+    def at_kw(self, *kws: str) -> bool:
+        t = self.cur()
+        return t.kind == IDENT and t.upper in kws
+
+    def eat_kw(self, *kws: str) -> bool:
+        if self.at_kw(*kws):
+            self.advance()
+            return True
+        return False
+
+    # -- grammar -------------------------------------------------------
+    def parse(self) -> Node:
+        node = self.parse_expr()
+        return node
+
+    def parse_expr(self, prec: int = 0) -> Node:
+        left = self.parse_unary(prec)
+        return self.parse_infix(left, prec)
+
+    def parse_infix(self, left: Node, prec: int) -> Node:
+        while True:
+            t = self.cur()
+            if t.kind == OP and t.val in ("&&",):
+                if _PREC_AND <= prec:
+                    return left
+                self.advance()
+                right = self.parse_expr(_PREC_AND)
+                left = BinaryNode("AND", left, right)
+            elif t.kind == OP and t.val == "||":
+                if _PREC_OR <= prec:
+                    return left
+                self.advance()
+                right = self.parse_expr(_PREC_OR)
+                left = BinaryNode("OR", left, right)
+            elif t.kind == IDENT and t.upper == "AND":
+                if _PREC_AND <= prec:
+                    return left
+                self.advance()
+                right = self.parse_expr(_PREC_AND)
+                left = BinaryNode("AND", left, right)
+            elif t.kind == IDENT and t.upper == "OR":
+                if _PREC_OR <= prec:
+                    return left
+                self.advance()
+                right = self.parse_expr(_PREC_OR)
+                left = BinaryNode("OR", left, right)
+            elif t.kind == OP and t.val in _CMP_OPS:
+                if _PREC_CMP <= prec:
+                    return left
+                self.advance()
+                right = self.parse_expr(_PREC_CMP)
+                left = BinaryNode(_CANON.get(t.val, t.val), left, right)
+            elif t.kind == IDENT and (t.upper in _KEYWORD_CMP or t.upper == "NOT"):
+                if _PREC_CMP <= prec:
+                    return left
+                left = self.parse_keyword_cmp(left)
+            elif t.kind == OP and t.val in ("+", "-"):
+                if _PREC_ADD <= prec:
+                    return left
+                self.advance()
+                right = self.parse_expr(_PREC_ADD)
+                left = BinaryNode(t.val, left, right)
+            elif t.kind == OP and t.val in ("*", "/", "%"):
+                if _PREC_MUL <= prec:
+                    return left
+                self.advance()
+                right = self.parse_expr(_PREC_MUL)
+                left = BinaryNode(t.val, left, right)
+            else:
+                return left
+
+    def parse_keyword_cmp(self, left: Node) -> Node:
+        negated = False
+        if self.eat_kw("NOT"):
+            negated = True
+        t = self.cur()
+        if t.kind != IDENT or t.upper not in _KEYWORD_CMP:
+            raise ParseError(f"expected LIKE/IN/CONTAINS/INTERSECTS/BETWEEN after NOT, got {t!r}")
+        kw = t.upper
+        self.advance()
+        if kw == "BETWEEN":
+            low = self.parse_expr(_PREC_CMP)
+            self.expect(IDENT, "AND")
+            high = self.parse_expr(_PREC_CMP)
+            return TriNode("BETWEEN", [left, low, high], negated=negated)
+        if kw == "IS":
+            # IS [NOT] NULL
+            isnot = self.eat_kw("NOT")
+            self.expect(IDENT, "NULL")
+            return BinaryNode("IS", left, NullNode(), negated=isnot)
+        right = self.parse_expr(_PREC_CMP)
+        return BinaryNode(kw, left, right, negated=negated)
+
+    def parse_unary(self, prec: int) -> Node:
+        t = self.cur()
+        if t.kind == OP and t.val == "-":
+            self.advance()
+            return UnaryNode("-", self.parse_unary(prec))
+        if t.kind == OP and t.val == "!":
+            self.advance()
+            return UnaryNode("NOT", self.parse_unary(prec))
+        if t.kind == IDENT and t.upper == "NOT":
+            self.advance()
+            return UnaryNode("NOT", self.parse_expr(_PREC_NOT))
+        if t.kind == IDENT and t.upper == "EXISTS":
+            self.advance()
+            return UnaryNode("EXISTS", self.parse_unary(prec))
+        if t.kind == IDENT and t.upper == "INCLUDE":
+            self.advance()
+            name = self.advance()
+            return IncludeNode(name.val)
+        return self.parse_primary()
+
+    def parse_primary(self) -> Node:
+        t = self.cur()
+        if t.kind == NUMBER:
+            self.advance()
+            return NumberNode(t.val)
+        if t.kind == STRING:
+            self.advance()
+            return StringNode(t.val)
+        if t.kind == LBRACKET:
+            self.advance()
+            items = []
+            while self.cur().kind != RBRACKET:
+                items.append(self.parse_expr())
+                if self.cur().kind == COMMA:
+                    self.advance()
+            self.expect(RBRACKET)
+            return ArrayNode(items)
+        if t.kind == LPAREN:
+            self.advance()
+            first = self.parse_expr()
+            if self.cur().kind == COMMA:
+                items = [first]
+                while self.cur().kind == COMMA:
+                    self.advance()
+                    items.append(self.parse_expr())
+                self.expect(RPAREN)
+                return ArrayNode(items)
+            self.expect(RPAREN)
+            return first
+        if t.kind == QIDENT:
+            return self.parse_identity()
+        if t.kind == IDENT:
+            up = t.upper
+            if up == "NULL":
+                self.advance()
+                return NullNode()
+            if up == "TRUE":
+                self.advance()
+                return BoolNode(True)
+            if up == "FALSE":
+                self.advance()
+                return BoolNode(False)
+            # function call?
+            if self.peek().kind == LPAREN:
+                return self.parse_func()
+            return self.parse_identity()
+        raise ParseError(f"unexpected token {t!r}")
+
+    def parse_func(self) -> Node:
+        name = self.advance().val.lower()
+        self.expect(LPAREN)
+        args: list[Node] = []
+        # CAST(x AS type) special grammar (expr/builtins/cast.go:42)
+        if name == "cast":
+            args.append(self.parse_expr())
+            self.expect(IDENT, "AS")
+            ty = self.advance()
+            args.append(StringNode(ty.val))
+            self.expect(RPAREN)
+            return FuncNode("cast", args)
+        if name == "count" and self.cur().kind == OP and self.cur().val == "*":
+            self.advance()
+            self.expect(RPAREN)
+            return FuncNode("count", [IdentityNode(("*",))])
+        while self.cur().kind != RPAREN:
+            if self.at_kw("DISTINCT"):
+                # COUNT(DISTINCT x) → distinct-flagged func
+                self.advance()
+                inner = self.parse_expr()
+                args.append(FuncNode("distinct", [inner]))
+            else:
+                args.append(self.parse_expr())
+            if self.cur().kind == COMMA:
+                self.advance()
+            else:
+                break
+        self.expect(RPAREN)
+        return FuncNode(name, args)
+
+    def parse_identity(self) -> IdentityNode:
+        """Identity: bare dotted (one IDENT token), backticked parts joined
+        by ``.`` op tokens (``` `users`.`user_id` ```), or a mix."""
+        parts: list[str] = []
+        t = self.cur()
+        if t.kind == QIDENT:
+            self.advance()
+            parts.append(t.val)
+        elif t.kind == IDENT:
+            self.advance()
+            parts.extend(t.val.split("."))
+        else:
+            raise ParseError(f"expected identity, got {t!r}")
+        while self.cur().kind == OP and self.cur().val == ".":
+            self.advance()
+            nxt = self.advance()
+            if nxt.kind == QIDENT:
+                parts.append(nxt.val)
+            elif nxt.kind == IDENT:
+                parts.extend(nxt.val.split("."))
+            elif nxt.kind == OP and nxt.val == "*":
+                parts.append("*")
+            else:
+                raise ParseError(f"bad identity part {nxt!r}")
+        return IdentityNode(tuple(parts))
+
+
+def parse_expression(text: str) -> Node:
+    """Parse a standalone expression — API parity with
+    ``expr.ParseExpression`` (expr/parse.go:174)."""
+    p = ExprParser(tokenize(text))
+    node = p.parse()
+    if p.cur().kind != EOF:
+        raise ParseError(f"trailing tokens at {p.cur()!r}")
+    return node

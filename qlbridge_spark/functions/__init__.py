@@ -1,0 +1,889 @@
+"""Built-in scalar/aggregate function registry.
+
+Re-implements the reference's ~70 builtins (/root/reference/expr/builtins/,
+load list builtins.go:21-141) as *Column builders* over native
+pyspark.sql.functions — JVM-side, codegen-friendly; no Python UDFs on any
+hot path. Runtime-extensible like ``expr.FuncAdd`` (expr/funcs.go:84) via
+:func:`func_add`.
+
+Each builder takes ``(FuncNode, Scope)`` and returns a Column, so builders
+may inspect raw argument AST (e.g. literal formats, tz names) before
+translating.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..nodes import FuncNode, IdentityNode, Node, NumberNode, StringNode
+from ..translate import (
+    Scope,
+    TranslateError,
+    exists_column,
+    infer_dtype,
+    parse_permissive_date,
+    to_column,
+)
+
+
+@dataclass
+class FunctionDef:
+    name: str
+    builder: Callable[[FuncNode, Scope], Column]
+    is_agg: bool = False
+    return_type: T.DataType | None = None
+
+
+registry: dict[str, FunctionDef] = {}
+
+
+def func_add(name: str, builder, is_agg: bool = False, return_type=None) -> None:
+    """Register a function at runtime — parity with expr.FuncAdd
+    (expr/funcs.go:84, README.md:105-123)."""
+    registry[name.lower()] = FunctionDef(name.lower(), builder, is_agg, return_type)
+
+
+def _reg(name: str, is_agg: bool = False, return_type=None):
+    def deco(fn):
+        func_add(name, fn, is_agg, return_type)
+        return fn
+
+    return deco
+
+
+def build_function(node: FuncNode, scope: Scope) -> Column:
+    fd = registry.get(node.name)
+    if fd is None:
+        raise TranslateError(f"unknown function {node.name!r}")
+    return fd.builder(node, scope)
+
+
+def is_agg_func(name: str) -> bool:
+    fd = registry.get(name.lower())
+    return fd is not None and fd.is_agg
+
+
+def is_agg_tree(node: Node) -> bool:
+    """True if any function in the tree is an aggregate (rel/sql.go:102)."""
+    for n in node.walk():
+        if isinstance(n, FuncNode) and is_agg_func(n.name):
+            return True
+    return False
+
+
+# -- helpers ----------------------------------------------------------------
+def _cols(node: FuncNode, scope: Scope) -> list[Column]:
+    return [to_column(a, scope) for a in node.args]
+
+
+def _c(node: FuncNode, scope: Scope, i: int = 0) -> Column:
+    return to_column(node.args[i], scope)
+
+
+def _lit_str(node: FuncNode, i: int) -> str:
+    a = node.args[i]
+    if isinstance(a, StringNode):
+        return a.value
+    if isinstance(a, NumberNode):
+        return a.text
+    if isinstance(a, IdentityNode):
+        return a.name
+    raise TranslateError(f"{node.name}: arg {i} must be a literal")
+
+
+def _time_arg(node: FuncNode, scope: Scope, i: int = 0) -> Column:
+    """Arg as timestamp; no-arg time funcs default to now() (builtins/time.go)."""
+    if len(node.args) <= i:
+        return F.current_timestamp()
+    c = _c(node, scope, i)
+    dt = infer_dtype(node.args[i], scope)
+    if isinstance(dt, T.StringType) or dt is None:
+        return _permissive_to_timestamp(c, node.args[i])
+    if isinstance(dt, T.NumericType):
+        return F.timestamp_millis(c.cast("long"))
+    return c
+
+
+_DATE_FORMATS = [
+    None,  # Spark default parser (ISO-8601 etc.)
+    "MM/dd/yyyy",
+    "MM/dd/yyyy HH:mm:ss",
+    "MM/dd/yy",
+    "yyyy/MM/dd",
+    "dd MMM yyyy",
+    "MMM dd, yyyy",
+    "yyyyMMdd",
+]
+
+
+def _permissive_to_timestamp(c: Column, raw: Node | None = None) -> Column:
+    """Permissive string→timestamp ≈ araddon/dateparse. Literals are parsed
+    driver-side (incl. datemath); columns get a try_to_timestamp coalesce
+    chain over common formats — all JVM-side."""
+    if isinstance(raw, StringNode):
+        t = parse_permissive_date(raw.value)
+        if t is None:
+            raise TranslateError(f"unparseable date literal {raw.value!r}")
+        return F.lit(t)
+    attempts = [F.try_to_timestamp(c)] + [F.try_to_timestamp(c, F.lit(fmt)) for fmt in _DATE_FORMATS if fmt]
+    return F.coalesce(*attempts)
+
+
+# ===========================================================================
+# math (expr/builtins/math.go)
+# ===========================================================================
+@_reg("sqrt", return_type=T.DoubleType())
+def _sqrt(n, s):
+    return F.sqrt(_c(n, s).cast("double"))
+
+
+@_reg("pow", return_type=T.DoubleType())
+def _pow(n, s):
+    return F.pow(_c(n, s).cast("double"), _c(n, s, 1).cast("double"))
+
+
+# ===========================================================================
+# aggregates (expr/builtins/aggregations.go, exec/groupby.go:350-435)
+# ===========================================================================
+@_reg("count", is_agg=True, return_type=T.LongType())
+def _count(n, s):
+    a = n.args[0]
+    if isinstance(a, IdentityNode) and a.is_star:
+        return F.count(F.lit(1))
+    if isinstance(a, FuncNode) and a.name == "distinct":
+        return F.count_distinct(*[to_column(x, s) for x in a.args])
+    # reference count() counts non-null (exec/groupby.go:416-435)
+    return F.count(to_column(a, s))
+
+
+@_reg("avg", is_agg=True, return_type=T.DoubleType())
+def _avg(n, s):
+    return F.avg(_c(n, s).cast("double"))
+
+
+@_reg("sum", is_agg=True, return_type=T.DoubleType())
+def _sum(n, s):
+    return F.sum(_c(n, s))
+
+
+# supersets the reference (exec/groupby.go:461-469 errors on these)
+@_reg("min", is_agg=True)
+def _min(n, s):
+    return F.min(_c(n, s))
+
+
+@_reg("max", is_agg=True)
+def _max(n, s):
+    return F.max(_c(n, s))
+
+
+@_reg("stddev", is_agg=True, return_type=T.DoubleType())
+def _stddev(n, s):
+    return F.stddev(_c(n, s))
+
+
+@_reg("distinct", is_agg=True)
+def _distinct_agg(n, s):
+    # only meaningful inside count(distinct(x)) — standalone: collect_set
+    return F.count_distinct(_c(n, s))
+
+
+# ===========================================================================
+# logical (expr/builtins/logic.go) — args coerced to numbers like the VM
+# ===========================================================================
+def _cmp_builder(op):
+    def b(n, s):
+        l = _c(n, s).cast("double")
+        r = _c(n, s, 1).cast("double")
+        return op(l, r)
+
+    return b
+
+
+func_add("gt", _cmp_builder(lambda l, r: l > r), return_type=T.BooleanType())
+func_add("ge", _cmp_builder(lambda l, r: l >= r), return_type=T.BooleanType())
+func_add("lt", _cmp_builder(lambda l, r: l < r), return_type=T.BooleanType())
+func_add("le", _cmp_builder(lambda l, r: l <= r), return_type=T.BooleanType())
+func_add("eq", lambda n, s: _c(n, s) == _c(n, s, 1), return_type=T.BooleanType())
+func_add("ne", lambda n, s: _c(n, s) != _c(n, s, 1), return_type=T.BooleanType())
+
+
+@_reg("not", return_type=T.BooleanType())
+def _not(n, s):
+    return ~_c(n, s)
+
+
+@_reg("exists", return_type=T.BooleanType())
+def _exists(n, s):
+    return exists_column(n.args[0], s)
+
+
+@_reg("any", return_type=T.BooleanType())
+def _any(n, s):
+    out = exists_column(n.args[0], s)
+    for a in n.args[1:]:
+        out = out | exists_column(a, s)
+    return out
+
+
+@_reg("all", return_type=T.BooleanType())
+def _all(n, s):
+    """true if all args exist, non-nil, non-false (builtins/logic.go:288)."""
+    conds = []
+    for a in n.args:
+        c = to_column(a, s)
+        dt = infer_dtype(a, s)
+        cond = exists_column(a, s)
+        if isinstance(dt, T.BooleanType):
+            cond = cond & c
+        conds.append(cond)
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out
+
+
+# ===========================================================================
+# map/array constructors + accessors (expr/builtins/list_map.go)
+# ===========================================================================
+@_reg("map")
+def _map(n, s):
+    return F.create_map(_c(n, s), _c(n, s, 1))
+
+
+@_reg("len", return_type=T.LongType())
+def _len(n, s):
+    c = _c(n, s)
+    dt = infer_dtype(n.args[0], s)
+    if isinstance(dt, (T.ArrayType, T.MapType)):
+        return F.size(c).cast("long")
+    return F.char_length(c.cast("string")).cast("long")
+
+
+func_add("char_length", registry["len"].builder, return_type=T.LongType())
+func_add("length", registry["len"].builder, return_type=T.LongType())
+
+
+@_reg("array.index")
+def _array_index(n, s):
+    # reference is 0-based (list_map.go:73); element_at is 1-based
+    idx = _c(n, s, 1).cast("int")
+    return F.element_at(_c(n, s), idx + F.lit(1))
+
+
+@_reg("array.slice")
+def _array_slice(n, s):
+    arr = _c(n, s)
+    start = _c(n, s, 1).cast("int")
+    if len(n.args) > 2:
+        end = _c(n, s, 2).cast("int")
+        return F.slice(arr, start + 1, end - start)
+    return F.slice(arr, start + 1, F.size(arr) - start)
+
+
+@_reg("mapkeys")
+def _mapkeys(n, s):
+    return F.map_keys(_c(n, s))
+
+
+@_reg("mapvalues")
+def _mapvalues(n, s):
+    return F.map_values(_c(n, s))
+
+
+@_reg("mapinvert")
+def _mapinvert(n, s):
+    c = _c(n, s)
+    return F.map_from_arrays(F.map_values(c).cast("array<string>"), F.map_keys(c).cast("array<string>"))
+
+
+@_reg("maptime")
+def _maptime(n, s):
+    k = _c(n, s)
+    v = _time_arg(n, s, 1) if len(n.args) > 1 else F.current_timestamp()
+    return F.create_map(k, v)
+
+
+@_reg("match")
+def _match(n, s):
+    """Select fields by key prefix into a map with prefix stripped
+    (list_map.go:292). Translation-time: scan scope columns."""
+    prefixes = [_lit_str(n, i) for i in range(len(n.args))]
+    pairs = []
+    for colname in s.columns():
+        for p in prefixes:
+            if colname.startswith(p):
+                pairs.append((colname[len(p) :], colname))
+    if not pairs:
+        return F.lit(None).cast(T.MapType(T.StringType(), T.StringType()))
+    args = []
+    for stripped, full in pairs:
+        args.append(F.lit(stripped))
+        args.append(F.col(full).cast("string"))
+    return F.create_map(*args)
+
+
+@_reg("filter")
+def _filter(n, s):
+    """Remove fields matching name/pattern from a map (filter.go:78).
+    On a map column: map_filter; with identity list: rebuild map."""
+    c = _c(n, s)
+    dt = infer_dtype(n.args[0], s)
+    if isinstance(dt, T.MapType) and len(n.args) > 1:
+        pat = _lit_str(n, 1).replace("*", ".*")
+        return F.map_filter(c, lambda k, v: ~k.rlike(f"^{pat}$"))
+    return c
+
+
+@_reg("filtermatch")
+def _filtermatch(n, s):
+    c = _c(n, s)
+    dt = infer_dtype(n.args[0], s)
+    if isinstance(dt, T.MapType) and len(n.args) > 1:
+        pat = _lit_str(n, 1).replace("*", ".*")
+        return F.map_filter(c, lambda k, v: k.rlike(f"^{pat}$"))
+    return c
+
+
+@_reg("oneof")
+def _oneof(n, s):
+    """First non-nil arg; empty string counts as nil (filter.go:17)."""
+    cols = []
+    for a in n.args:
+        c = to_column(a, s)
+        dt = infer_dtype(a, s)
+        if isinstance(dt, T.StringType):
+            c = F.nullif(c, F.lit(""))
+        cols.append(c)
+    return F.coalesce(*cols)
+
+
+# ===========================================================================
+# date/time (expr/builtins/time.go)
+# ===========================================================================
+@_reg("now", return_type=T.TimestampType())
+def _now(n, s):
+    return F.current_timestamp()
+
+
+@_reg("yy", return_type=T.LongType())
+def _yy(n, s):
+    """2-digit year (time.go:46): yy(reg_date) on 2012 → 12."""
+    return (F.year(_time_arg(n, s)) % 100).cast("long")
+
+
+@_reg("mm", return_type=T.LongType())
+def _mm(n, s):
+    return F.month(_time_arg(n, s)).cast("long")
+
+
+func_add("monthofyear", registry["mm"].builder, return_type=T.LongType())
+
+
+@_reg("yymm", return_type=T.StringType())
+def _yymm(n, s):
+    return F.date_format(_time_arg(n, s), "yyMM")
+
+
+@_reg("dayofweek", return_type=T.LongType())
+def _dayofweek(n, s):
+    # Go time.Weekday(): 0=Sunday (time.go:165); Spark dayofweek: 1=Sunday
+    return (F.dayofweek(_time_arg(n, s)) - 1).cast("long")
+
+
+@_reg("hourofday", return_type=T.LongType())
+def _hourofday(n, s):
+    return F.hour(_time_arg(n, s)).cast("long")
+
+
+@_reg("hourofweek", return_type=T.LongType())
+def _hourofweek(n, s):
+    t = _time_arg(n, s)
+    return ((F.dayofweek(t) - 1) * 24 + F.hour(t)).cast("long")
+
+
+@_reg("todate", return_type=T.TimestampType())
+def _todate(n, s):
+    if len(n.args) == 2:
+        # todate("01/02/2006", col) — Go layout first (time.go:307)
+        fmt = _go_layout_to_spark(_lit_str(n, 0))
+        return F.try_to_timestamp(_c(n, s, 1), F.lit(fmt))
+    return _time_arg(n, s)
+
+
+func_add("totime", registry["todate"].builder, return_type=T.TimestampType())
+
+
+@_reg("todatein", return_type=T.TimestampType())
+def _todatein(n, s):
+    tz = _lit_str(n, 1)
+    c = _time_arg(n, s)
+    return F.to_utc_timestamp(c, tz)
+
+
+@_reg("totimestamp", return_type=T.LongType())
+def _totimestamp(n, s):
+    """Unix epoch seconds (time.go:275)."""
+    return F.unix_timestamp(_time_arg(n, s)).cast("long")
+
+
+@_reg("seconds", return_type=T.DoubleType())
+def _seconds(n, s):
+    """Parse duration-ish value to seconds (time.go:423): numbers pass
+    through; "mm:ss" / "hh:mm:ss" strings are split."""
+    a = n.args[0]
+    dt = infer_dtype(a, s)
+    c = to_column(a, s)
+    if isinstance(dt, T.NumericType):
+        return c.cast("double")
+    parts = F.split(c.cast("string"), ":")
+    n_parts = F.size(parts)
+    return (
+        F.when(n_parts == 1, F.try_cast(F.element_at(parts, 1), "double"))
+        .when(n_parts == 2, F.try_cast(F.element_at(parts, 1), "double") * 60 + F.try_cast(F.element_at(parts, 2), "double"))
+        .otherwise(
+            F.try_cast(F.element_at(parts, 1), "double") * 3600
+            + F.try_cast(F.element_at(parts, 2), "double") * 60
+            + F.try_cast(F.element_at(parts, 3), "double")
+        )
+    )
+
+
+_TRUNC_UNIT = {"s": "second", "m": "minute", "h": "hour", "d": "day", "w": "week", "M": "month", "y": "year", "second": "second", "minute": "minute", "hour": "hour", "day": "day", "week": "week", "month": "month", "year": "year"}
+
+
+@_reg("unixtrunc", return_type=T.LongType())
+def _unixtrunc(n, s):
+    t = _time_arg(n, s)
+    if len(n.args) > 1:
+        unit = _TRUNC_UNIT.get(_lit_str(n, 1), "second")
+        t = F.date_trunc(unit, t)
+    return F.unix_timestamp(t).cast("long")
+
+
+_STRFTIME_MAP = {
+    "%Y": "yyyy", "%y": "yy", "%m": "MM", "%d": "dd", "%H": "HH", "%I": "hh",
+    "%M": "mm", "%S": "ss", "%B": "MMMM", "%b": "MMM", "%A": "EEEE", "%a": "EEE",
+    "%j": "DDD", "%p": "a", "%z": "Z", "%f": "SSSSSS",
+}
+
+
+def _strftime_to_spark(fmt: str) -> str:
+    out = fmt
+    for k, v in _STRFTIME_MAP.items():
+        out = out.replace(k, v)
+    return out
+
+
+@_reg("extract", return_type=T.StringType())
+def _extract(n, s):
+    t = _time_arg(n, s)
+    fmt = _strftime_to_spark(_lit_str(n, 1))
+    return F.date_format(t, fmt)
+
+
+func_add("strftime", registry["extract"].builder, return_type=T.StringType())
+
+
+_GO_LAYOUT = {"2006": "yyyy", "06": "yy", "01": "MM", "02": "dd", "15": "HH", "03": "hh", "04": "mm", "05": "ss", "Jan": "MMM", "January": "MMMM", "Mon": "EEE", "Monday": "EEEE"}
+
+
+def _go_layout_to_spark(layout: str) -> str:
+    out = layout
+    for k in sorted(_GO_LAYOUT, key=len, reverse=True):
+        out = out.replace(k, _GO_LAYOUT[k])
+    return out
+
+
+# ===========================================================================
+# casting (expr/builtins/cast.go)
+# ===========================================================================
+@_reg("tostring", return_type=T.StringType())
+def _tostring(n, s):
+    return _c(n, s).cast("string")
+
+
+_CAST_TYPES = {
+    "char": "string", "varchar": "string", "string": "string", "text": "string",
+    "int": "long", "integer": "long", "bigint": "long", "smallint": "long",
+    "float": "double", "double": "double", "number": "double", "decimal": "double",
+    "bool": "boolean", "boolean": "boolean",
+    "timestamp": "timestamp", "datetime": "timestamp", "date": "date", "binary": "binary",
+}
+
+
+@_reg("cast")
+def _cast(n, s):
+    ty = _CAST_TYPES.get(_lit_str(n, 1).lower())
+    if ty is None:
+        raise TranslateError(f"cast: unknown type {_lit_str(n, 1)!r}")
+    return _c(n, s).cast(ty)
+
+
+@_reg("tobool", return_type=T.BooleanType())
+def _tobool(n, s):
+    return F.try_cast(_c(n, s).cast("string"), "boolean")
+
+
+@_reg("toint", return_type=T.LongType())
+def _toint(n, s):
+    c = _c(n, s)
+    dt = infer_dtype(n.args[0], s)
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        # time → epoch MILLIS (value/value.go:932-933)
+        return (F.unix_timestamp(c) * 1000).cast("long")
+    if isinstance(dt, T.NumericType):
+        return c.cast("long")
+    cleaned = F.regexp_replace(c.cast("string"), r"[^0-9eE.+-]", "")
+    return F.try_cast(F.try_cast(cleaned, "double"), "long")
+
+
+@_reg("tonumber", return_type=T.DoubleType())
+def _tonumber(n, s):
+    c = _c(n, s)
+    dt = infer_dtype(n.args[0], s)
+    if isinstance(dt, T.NumericType):
+        return c.cast("double")
+    cleaned = F.regexp_replace(c.cast("string"), r"[^0-9eE.+-]", "")
+    return F.try_cast(cleaned, "double")
+
+
+@_reg("unsign", return_type=T.LongType())
+def _unsign(n, s):
+    return F.abs(F.try_cast(_c(n, s).cast("string"), "long"))
+
+
+# ===========================================================================
+# strings (expr/builtins/string.go)
+# ===========================================================================
+@_reg("contains", return_type=T.BooleanType())
+def _contains_fn(n, s):
+    return _c(n, s).cast("string").contains(_c(n, s, 1).cast("string"))
+
+
+@_reg("tolower", return_type=T.StringType())
+def _tolower(n, s):
+    return F.lower(_c(n, s).cast("string"))
+
+
+func_add("string.lowercase", registry["tolower"].builder, return_type=T.StringType())
+
+
+@_reg("toupper", return_type=T.StringType())
+def _toupper(n, s):
+    return F.upper(_c(n, s).cast("string"))
+
+
+func_add("string.uppercase", registry["toupper"].builder, return_type=T.StringType())
+
+
+@_reg("string.titlecase", return_type=T.StringType())
+def _titlecase(n, s):
+    return F.initcap(_c(n, s).cast("string"))
+
+
+@_reg("split")
+def _split(n, s):
+    sep = re.escape(_lit_str(n, 1)) if len(n.args) > 1 else ","
+    # drop empties like the reference's SplitOnSpace-ish behavior
+    return F.filter(F.split(_c(n, s).cast("string"), sep), lambda x: x != F.lit(""))
+
+
+@_reg("string.index", return_type=T.LongType())
+def _string_index(n, s):
+    # 0-based; -1 when absent (string.go:149); instr is 1-based
+    return (F.instr(_c(n, s).cast("string"), _lit_str(n, 1)) - 1).cast("long")
+
+
+@_reg("string.substr", return_type=T.StringType())
+def _string_substr(n, s):
+    c = _c(n, s).cast("string")
+    start = _c(n, s, 1).cast("int")
+    if len(n.args) > 2:
+        end = _c(n, s, 2).cast("int")
+        return c.substr(start + 1, end - start)
+    return c.substr(start + 1, F.char_length(c) - start)
+
+
+@_reg("strip", return_type=T.StringType())
+def _strip(n, s):
+    return F.trim(_c(n, s).cast("string"))
+
+
+@_reg("replace", return_type=T.StringType())
+def _replace(n, s):
+    old = _c(n, s, 1).cast("string")
+    new = _c(n, s, 2).cast("string") if len(n.args) > 2 else F.lit("")
+    return F.replace(_c(n, s).cast("string"), old, new)
+
+
+@_reg("join", return_type=T.StringType())
+def _join(n, s):
+    # join(a, b, ..., sep) — last arg is separator (string.go:285)
+    sep = _lit_str(n, len(n.args) - 1)
+    cols = [to_column(a, s).cast("string") for a in n.args[:-1]]
+    if len(cols) == 1:
+        dt = infer_dtype(n.args[0], s)
+        if isinstance(dt, T.ArrayType):
+            return F.array_join(to_column(n.args[0], s), sep)
+    return F.concat_ws(sep, *cols)
+
+
+@_reg("hasprefix", return_type=T.BooleanType())
+def _hasprefix(n, s):
+    return _c(n, s).cast("string").startswith(_c(n, s, 1).cast("string"))
+
+
+@_reg("hassuffix", return_type=T.BooleanType())
+def _hassuffix(n, s):
+    return _c(n, s).cast("string").endswith(_c(n, s, 1).cast("string"))
+
+
+# ===========================================================================
+# email / url (expr/builtins/url_email.go)
+# ===========================================================================
+_EMAIL_RE = r"^[^@\s]+@[^@\s]+\.[^@\s]+$"
+
+
+@_reg("email", return_type=T.StringType())
+def _email(n, s):
+    c = F.lower(F.trim(_c(n, s).cast("string")))
+    return F.when(c.rlike(_EMAIL_RE), c)
+
+
+@_reg("emailname", return_type=T.StringType())
+def _emailname(n, s):
+    c = F.lower(F.trim(_c(n, s).cast("string")))
+    return F.when(c.rlike(_EMAIL_RE), F.substring_index(c, "@", 1))
+
+
+@_reg("emaildomain", return_type=T.StringType())
+def _emaildomain(n, s):
+    c = F.lower(F.trim(_c(n, s).cast("string")))
+    return F.when(c.rlike(_EMAIL_RE), F.substring_index(c, "@", -1))
+
+
+def _host_of(c: Column) -> Column:
+    """Host of a URL; tolerates scheme-less urls (url_email.go NewUrl)."""
+    with_scheme = F.when(c.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*://"), c).otherwise(F.concat(F.lit("http://"), c))
+    h = F.parse_url(with_scheme, F.lit("HOST"))
+    return F.lower(F.regexp_replace(h, r"^www\.", ""))
+
+
+@_reg("host", return_type=T.StringType())
+def _host(n, s):
+    return _host_of(_c(n, s).cast("string"))
+
+
+@_reg("hosts")
+def _hosts(n, s):
+    cols = [_host_of(to_column(a, s).cast("string")) for a in n.args]
+    if len(cols) == 1 and isinstance(infer_dtype(n.args[0], s), T.ArrayType):
+        return F.array_distinct(F.transform(to_column(n.args[0], s), _host_of))
+    return F.array_distinct(F.array(*cols))
+
+
+def _domain_of(c: Column) -> Column:
+    h = _host_of(c)
+    labels = F.split(h, r"\.")
+    return F.when(F.size(labels) >= 2, F.array_join(F.slice(labels, -2, 2), ".")).otherwise(h)
+
+
+@_reg("domain", return_type=T.StringType())
+def _domain(n, s):
+    a = n.args[0]
+    dt = infer_dtype(a, s)
+    c = to_column(a, s)
+    if isinstance(dt, T.ArrayType):
+        return F.element_at(F.array_distinct(F.transform(c, _domain_of)), 1)
+    return _domain_of(c.cast("string"))
+
+
+@_reg("domains")
+def _domains(n, s):
+    outs = []
+    for a in n.args:
+        dt = infer_dtype(a, s)
+        c = to_column(a, s)
+        if isinstance(dt, T.ArrayType):
+            outs.append(F.transform(c, _domain_of))
+        else:
+            outs.append(F.array(_domain_of(c.cast("string"))))
+    merged = outs[0]
+    for o in outs[1:]:
+        merged = F.concat(merged, o)
+    return F.array_distinct(merged)
+
+
+@_reg("urldecode", return_type=T.StringType())
+def _urldecode(n, s):
+    return F.try_url_decode(_c(n, s).cast("string"))
+
+
+@_reg("path", return_type=T.StringType())
+def _path(n, s):
+    c = _c(n, s).cast("string")
+    with_scheme = F.when(c.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*://"), c).otherwise(F.concat(F.lit("http://"), c))
+    return F.parse_url(with_scheme, F.lit("PATH"))
+
+
+def _qs_builder(n, s):
+    c = _c(n, s).cast("string")
+    key = _lit_str(n, 1)
+    with_scheme = F.when(c.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*://"), c).otherwise(F.concat(F.lit("http://"), c))
+    return F.parse_url(with_scheme, F.lit("QUERY"), F.lit(key))
+
+
+func_add("qs", _qs_builder, return_type=T.StringType())
+func_add("qs2", _qs_builder, return_type=T.StringType())
+
+
+@_reg("qsl")
+def _qsl(n, s):
+    v = _qs_builder(n, s)
+    return F.when(v.isNotNull(), F.array(v))
+
+
+@_reg("urlmain", return_type=T.StringType())
+def _urlmain(n, s):
+    """host+path, no query (url_email.go:513)."""
+    c = _c(n, s).cast("string")
+    with_scheme = F.when(c.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*://"), c).otherwise(F.concat(F.lit("http://"), c))
+    return F.concat(F.coalesce(F.parse_url(with_scheme, F.lit("HOST")), F.lit("")), F.coalesce(F.parse_url(with_scheme, F.lit("PATH")), F.lit("")))
+
+
+@_reg("urlminusqs", return_type=T.StringType())
+def _urlminusqs(n, s):
+    """url with one query param removed (url_email.go:550)."""
+    url = _c(n, s).cast("string")
+    key = _lit_str(n, 1)
+    stripped = F.regexp_replace(url, rf"([?&]){re.escape(key)}=[^&]*&?", r"$1")
+    return F.regexp_replace(stripped, r"[?&]$", "")
+
+
+@_reg("url.matchqs", return_type=T.BooleanType())
+def _url_matchqs(n, s):
+    v = _qs_builder(n, s)
+    return v.isNotNull()
+
+
+# useragent: reference uses a full UA-parsing lib (url_email.go:696). The
+# container has no such lib — deterministic regex heuristic, flagged
+# divergence.
+_UA_FAMS = [("Edge", "Edg[eA]?/"), ("Chrome", "Chrome/"), ("Firefox", "Firefox/"), ("Safari", "Safari/"), ("IE", "MSIE |Trident/"), ("Opera", "Opera|OPR/")]
+_UA_OS = [("Windows", "Windows"), ("Android", "Android"), ("iOS", "iPhone|iPad|iOS"), ("Mac OS X", "Mac OS X|Macintosh"), ("Linux", "Linux")]
+
+
+def _ua_pick(c: Column, table) -> Column:
+    out = F.lit("Other")
+    for name, pat in reversed(table):
+        out = F.when(c.rlike(pat), F.lit(name)).otherwise(out)
+    return out
+
+
+@_reg("useragent", return_type=T.StringType())
+def _useragent(n, s):
+    c = _c(n, s).cast("string")
+    part = _lit_str(n, 1) if len(n.args) > 1 else "ua_family"
+    if part in ("os", "os_family"):
+        return _ua_pick(c, _UA_OS)
+    return _ua_pick(c, _UA_FAMS)
+
+
+@_reg("useragent.map")
+def _useragent_map(n, s):
+    c = _c(n, s).cast("string")
+    return F.create_map(F.lit("ua_family"), _ua_pick(c, _UA_FAMS), F.lit("os_family"), _ua_pick(c, _UA_OS))
+
+
+# ===========================================================================
+# hashing / encoding (expr/builtins/hash_and_encode.go)
+# ===========================================================================
+@_reg("hash", return_type=T.LongType())
+def _hash(n, s):
+    # reference siphash (hash_and_encode.go:25); xxhash64 is our stable
+    # 64-bit JVM-side stand-in (documented divergence)
+    return F.xxhash64(_c(n, s))
+
+
+func_add("hash.sip", registry["hash"].builder, return_type=T.LongType())
+
+
+@_reg("hash.md5", return_type=T.StringType())
+def _md5(n, s):
+    return F.md5(_c(n, s).cast("string"))
+
+
+@_reg("hash.sha1", return_type=T.StringType())
+def _sha1(n, s):
+    return F.sha1(_c(n, s).cast("string"))
+
+
+@_reg("hash.sha256", return_type=T.StringType())
+def _sha256(n, s):
+    return F.sha2(_c(n, s).cast("string"), 256)
+
+
+@_reg("hash.sha512", return_type=T.StringType())
+def _sha512(n, s):
+    return F.sha2(_c(n, s).cast("string"), 512)
+
+
+@_reg("encoding.b64encode", return_type=T.StringType())
+def _b64encode(n, s):
+    return F.base64(_c(n, s).cast("binary"))
+
+
+@_reg("encoding.b64decode", return_type=T.StringType())
+def _b64decode(n, s):
+    return F.unbase64(_c(n, s).cast("string")).cast("string")
+
+
+# ===========================================================================
+# json (expr/builtins/json.go) — jmespath subset via get_json_object
+# ===========================================================================
+@_reg("json.jmespath", return_type=T.StringType())
+def _jmespath(n, s):
+    path = _lit_str(n, 1)
+    jsonpath = "$." + path if not path.startswith("$") else path
+    return F.get_json_object(_c(n, s).cast("string"), jsonpath)
+
+
+# ===========================================================================
+# misc
+# ===========================================================================
+@_reg("uuid", return_type=T.StringType())
+def _uuid(n, s):
+    return F.uuid()
+
+
+@_reg("coalesce")
+def _coalesce(n, s):
+    return F.coalesce(*_cols(n, s))
+
+
+@_reg("if")
+def _if(n, s):
+    return F.when(_c(n, s), _c(n, s, 1)).otherwise(_c(n, s, 2))
+
+
+@_reg("concat", return_type=T.StringType())
+def _concat(n, s):
+    return F.concat(*[to_column(a, s).cast("string") for a in n.args])
+
+
+@_reg("round")
+def _round(n, s):
+    digits = int(_lit_str(n, 1)) if len(n.args) > 1 else 0
+    return F.round(_c(n, s), digits)
+
+
+@_reg("abs")
+def _abs(n, s):
+    return F.abs(_c(n, s))

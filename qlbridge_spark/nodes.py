@@ -1,0 +1,198 @@
+"""Expression AST node types.
+
+Mirrors the *shape* of the reference AST (/root/reference/expr/node.go:202-311:
+FuncNode, IdentityNode, StringNode, NumberNode, ValueNode, BinaryNode,
+BooleanNode, TriNode, UnaryNode, IncludeNode, ArrayNode, NullNode) but is a
+brand-new Python implementation. Nodes are immutable-ish dataclasses; the
+translator (translate.py) lowers them to pyspark Columns.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+class Node:
+    def walk(self):
+        yield self
+        for c in self.children():
+            yield from c.walk()
+
+    def children(self) -> list["Node"]:
+        return []
+
+    def __str__(self) -> str:  # pragma: no cover
+        return self.sql()
+
+    def sql(self) -> str:
+        raise NotImplementedError
+
+
+@dataclass
+class NumberNode(Node):
+    """Numeric literal; reference keeps int64 vs float64 split (expr/node.go NumberNode)."""
+
+    text: str
+
+    @property
+    def is_int(self) -> bool:
+        return not any(c in self.text for c in ".eE")
+
+    @property
+    def value(self):
+        return int(self.text) if self.is_int else float(self.text)
+
+    def sql(self) -> str:
+        return self.text
+
+
+@dataclass
+class StringNode(Node):
+    value: str
+
+    def sql(self) -> str:
+        return "'" + self.value.replace("'", "''") + "'"
+
+
+@dataclass
+class BoolNode(Node):
+    value: bool
+
+    def sql(self) -> str:
+        return "true" if self.value else "false"
+
+
+@dataclass
+class NullNode(Node):
+    def sql(self) -> str:
+        return "NULL"
+
+
+@dataclass
+class IdentityNode(Node):
+    """Column reference. ``parts`` holds the dotted path: ``users.user_id``
+    → ("users", "user_id"). Star is IdentityNode(("*",)).
+
+    Reference: expr/node.go IdentityNode, left/right resolution at
+    vm/vm.go:777-789 (table.column vs map-field traversal).
+    """
+
+    parts: tuple[str, ...]
+
+    @property
+    def name(self) -> str:
+        return ".".join(self.parts)
+
+    @property
+    def is_star(self) -> bool:
+        return self.parts[-1] == "*"
+
+    def sql(self) -> str:
+        return ".".join(f"`{p}`" if not p.isidentifier() and p != "*" else p for p in self.parts)
+
+
+@dataclass
+class FuncNode(Node):
+    name: str  # lower-cased, may contain dots: "string.lowercase"
+    args: list[Node]
+
+    def children(self):
+        return self.args
+
+    def sql(self) -> str:
+        return f"{self.name}({', '.join(a.sql() for a in self.args)})"
+
+
+@dataclass
+class BinaryNode(Node):
+    """Binary op. op is canonical-upper: one of
+    + - * / % = != > >= < <= LIKE IN CONTAINS INTERSECTS AND OR IS ISNOT
+    """
+
+    op: str
+    left: Node
+    right: Node
+    negated: bool = False  # NOT IN / NOT LIKE / NOT CONTAINS (expr/node.go:103-128)
+
+    def children(self):
+        return [self.left, self.right]
+
+    def sql(self) -> str:
+        neg = "NOT " if self.negated else ""
+        return f"({self.left.sql()} {neg}{self.op} {self.right.sql()})"
+
+
+@dataclass
+class TriNode(Node):
+    """BETWEEN: args = (expr, low, high). Reference semantics are EXCLUSIVE
+    bounds (vm/vm.go:868,884,901) — translator honors that."""
+
+    op: str  # "BETWEEN"
+    args: list[Node]
+    negated: bool = False
+
+    def children(self):
+        return self.args
+
+    def sql(self) -> str:
+        neg = "NOT " if self.negated else ""
+        return f"({self.args[0].sql()} {neg}BETWEEN {self.args[1].sql()} AND {self.args[2].sql()})"
+
+
+@dataclass
+class UnaryNode(Node):
+    op: str  # "NOT", "-", "EXISTS"
+    child: Node
+
+    def children(self):
+        return [self.child]
+
+    def sql(self) -> str:
+        return f"{self.op} ({self.child.sql()})"
+
+
+@dataclass
+class BooleanNode(Node):
+    """N-ary AND/OR — FilterQL's ``AND (a, b, c)`` form (rel/filter.go)."""
+
+    op: str  # "AND" | "OR"
+    args: list[Node] = field(default_factory=list)
+    negated: bool = False
+
+    def children(self):
+        return self.args
+
+    def sql(self) -> str:
+        inner = f" {self.op} ".join(a.sql() for a in self.args)
+        return f"NOT ({inner})" if self.negated else f"({inner})"
+
+
+@dataclass
+class ArrayNode(Node):
+    items: list[Node]
+
+    def children(self):
+        return self.items
+
+    def sql(self) -> str:
+        return "(" + ", ".join(i.sql() for i in self.items) + ")"
+
+
+@dataclass
+class IncludeNode(Node):
+    """INCLUDE <name> — named filter reference resolved via an Includer
+    registry (expr/node.go:293-303, expr/include.go:23-25)."""
+
+    name: str
+    negated: bool = False
+
+    def sql(self) -> str:
+        return ("NOT INCLUDE " if self.negated else "INCLUDE ") + self.name
+
+
+@dataclass
+class MatchAllNode(Node):
+    """FilterQL ``*`` — match everything."""
+
+    def sql(self) -> str:
+        return "*"

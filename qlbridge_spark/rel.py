@@ -1,0 +1,617 @@
+"""Statement ASTs + SQL / FilterQL parsers.
+
+Covers the reference's statement surface (/root/reference/rel/parse_sql.go,
+rel/parse_filterql.go, lex/dialect_sql.go:30-50): SELECT (joins, group by,
+having, order by, limit/offset, distinct, star, column IF-guards, aliases,
+subquery FROM, IN (SELECT..)), INSERT/UPDATE/UPSERT/DELETE, CREATE
+SOURCE/SCHEMA/VIEW/CONTINUOUSVIEW/TABLE, DROP, SHOW, DESCRIBE, SET, USE,
+and FilterQL FILTER statements.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+from .exprparse import ExprParser, ParseError
+from .lexer import (
+    COMMA,
+    EOF,
+    IDENT,
+    LPAREN,
+    NUMBER,
+    OP,
+    QIDENT,
+    RPAREN,
+    SEMI,
+    STRING,
+    Token,
+    extract_json_blob,
+    tokenize,
+)
+from .nodes import (
+    BooleanNode,
+    IdentityNode,
+    IncludeNode,
+    MatchAllNode,
+    Node,
+    StringNode,
+    UnaryNode,
+)
+
+
+# --------------------------------------------------------------------------
+# statement ASTs (≈ rel/sql.go, rel/filter.go)
+# --------------------------------------------------------------------------
+@dataclass
+class Column:
+    """One select column (rel/sql.go Column): expr [IF guard] [AS alias]."""
+
+    expr: Node
+    alias: str | None = None
+    guard: Node | None = None  # non-standard `col IF expr` (exec/projection.go:158-175)
+
+    @property
+    def is_star(self) -> bool:
+        return isinstance(self.expr, IdentityNode) and self.expr.is_star
+
+    @property
+    def output_name(self) -> str:
+        if self.alias:
+            return self.alias
+        if isinstance(self.expr, IdentityNode):
+            return self.expr.parts[-1]
+        return self.expr.sql()
+
+
+@dataclass
+class FromSource:
+    """FROM clause element (rel/sql.go:126-133)."""
+
+    name: str | None = None
+    alias: str | None = None
+    subquery: "SqlSelect | None" = None
+    join_type: str = ""  # "", INNER, LEFT, RIGHT, OUTER, CROSS, FULL
+    join_expr: Node | None = None
+
+    @property
+    def ref(self) -> str:
+        return self.alias or self.name or "_sub"
+
+
+@dataclass
+class SqlSelect:
+    columns: list[Column] = field(default_factory=list)
+    from_: list[FromSource] = field(default_factory=list)
+    where: Node | None = None
+    group_by: list[Node] = field(default_factory=list)
+    having: Node | None = None
+    order_by: list[tuple[Node, str]] = field(default_factory=list)
+    limit: int | None = None
+    offset: int | None = None
+    distinct: bool = False
+    into: str | None = None
+    with_: dict = field(default_factory=dict)
+    alias: str | None = None
+
+
+@dataclass
+class SubqueryNode(Node):
+    """``WHERE x IN (SELECT ...)`` right-hand side (rel/sql.go:137-149).
+    The reference parses but never executes this (plan/planner_select.go:94-98);
+    we execute it as a semi-join — flagged superset."""
+
+    select: SqlSelect
+
+    def sql(self) -> str:
+        return "(SELECT ...)"
+
+
+@dataclass
+class SqlInsert:
+    table: str
+    columns: list[str]
+    rows: list[list[Node]] = field(default_factory=list)
+    select: SqlSelect | None = None
+    upsert: bool = False
+
+
+@dataclass
+class SqlUpdate:
+    table: str
+    values: dict[str, Node] = field(default_factory=dict)
+    where: Node | None = None
+
+
+@dataclass
+class SqlDelete:
+    table: str
+    where: Node | None = None
+
+
+@dataclass
+class SqlCreate:
+    tok: str  # SOURCE | SCHEMA | VIEW | CONTINUOUSVIEW | TABLE
+    ident: str
+    with_: dict = field(default_factory=dict)
+    select: SqlSelect | None = None
+    or_replace: bool = False
+    if_not_exists: bool = False
+    cols: list[tuple[str, str]] = field(default_factory=list)  # CREATE TABLE ddl
+
+
+@dataclass
+class SqlDrop:
+    tok: str  # SOURCE | TABLE | SCHEMA | VIEW
+    ident: str
+    if_exists: bool = False
+
+
+@dataclass
+class SqlShow:
+    show: str  # TABLES | DATABASES | COLUMNS | VARIABLES | CREATE
+    ident: str | None = None
+    full: bool = False
+    like: str | None = None
+    where: Node | None = None
+
+
+@dataclass
+class SqlDescribe:
+    ident: str | None = None
+    stmt: object | None = None  # DESCRIBE/EXPLAIN <statement>
+
+
+@dataclass
+class SqlCommand:
+    kw: str  # SET | USE | ROLLBACK | COMMIT
+    ident: str | None = None
+    value: Node | None = None
+
+
+@dataclass
+class FilterStatement:
+    """FilterQL (rel/filter.go:35-46): FILTER <expr> [FROM t] [LIMIT n]
+    [WITH {}] [ALIAS name]; FILTER SELECT cols FROM t WHERE ..."""
+
+    filter: Node
+    from_: str | None = None
+    limit: int | None = None
+    with_: dict = field(default_factory=dict)
+    alias: str | None = None
+    columns: list[Column] | None = None  # FilterSelect form
+
+
+# --------------------------------------------------------------------------
+# SQL parser
+# --------------------------------------------------------------------------
+_JOIN_WORDS = {"JOIN", "INNER", "OUTER", "LEFT", "RIGHT", "FULL", "CROSS"}
+_CLAUSE_END = {"FROM", "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "OFFSET", "INTO", "WITH", "ALIAS", "AS", "IF"}
+
+
+class SqlParser(ExprParser):
+    """Statement parser built on the expression Pratt parser."""
+
+    def __init__(self, text: str):
+        super().__init__(tokenize(text))
+        self.text = text
+
+    # -- expression hook: subquery in parens ---------------------------
+    def parse_primary(self) -> Node:
+        t = self.cur()
+        if t.kind == LPAREN and self.peek().kind == IDENT and self.peek().upper == "SELECT":
+            self.advance()
+            sel = self.parse_select()
+            self.expect(RPAREN)
+            return SubqueryNode(sel)
+        return super().parse_primary()
+
+    # -- statements -----------------------------------------------------
+    def parse_statement(self):
+        t = self.cur()
+        if t.kind != IDENT:
+            raise ParseError(f"expected statement keyword, got {t!r}")
+        kw = t.upper
+        if kw == "SELECT":
+            self.advance()
+            return self.parse_select()
+        if kw == "FILTER":
+            return self.parse_filterql()
+        if kw in ("INSERT", "UPSERT"):
+            return self.parse_insert(upsert=kw == "UPSERT")
+        if kw == "UPDATE":
+            return self.parse_update()
+        if kw == "DELETE":
+            return self.parse_delete()
+        if kw == "CREATE":
+            return self.parse_create()
+        if kw == "DROP":
+            return self.parse_drop()
+        if kw == "SHOW":
+            return self.parse_show()
+        if kw in ("DESCRIBE", "DESC", "EXPLAIN"):
+            return self.parse_describe()
+        if kw in ("SET", "USE", "ROLLBACK", "COMMIT"):
+            return self.parse_command()
+        if kw == "PREPARE":
+            raise ParseError("PREPARE not implemented")  # parity: exec/executor.go:144-146
+        raise ParseError(f"unsupported statement {kw}")
+
+    def parse_select(self) -> SqlSelect:
+        # 'SELECT' already consumed by caller (or consume if present)
+        if self.at_kw("SELECT"):
+            self.advance()
+        sel = SqlSelect()
+        if self.eat_kw("DISTINCT"):
+            sel.distinct = True
+        sel.columns = self.parse_columns()
+        if self.eat_kw("INTO"):
+            sel.into = self.advance().val
+        if self.eat_kw("FROM"):
+            sel.from_ = self.parse_from()
+        if self.eat_kw("WHERE"):
+            sel.where = self.parse_expr()
+        if self.at_kw("GROUP"):
+            self.advance()
+            self.expect(IDENT, "BY")
+            sel.group_by = self.parse_expr_list()
+        if self.eat_kw("HAVING"):
+            sel.having = self.parse_expr()
+        if self.at_kw("ORDER"):
+            self.advance()
+            self.expect(IDENT, "BY")
+            while True:
+                e = self.parse_expr()
+                direction = "ASC"
+                if self.at_kw("ASC", "DESC"):
+                    direction = self.advance().upper
+                sel.order_by.append((e, direction))
+                if self.cur().kind == COMMA:
+                    self.advance()
+                else:
+                    break
+        if self.eat_kw("LIMIT"):
+            sel.limit = int(self.expect(NUMBER).val)
+        if self.eat_kw("OFFSET"):
+            sel.offset = int(self.expect(NUMBER).val)
+        if self.at_kw("WITH"):
+            sel.with_ = self.parse_with()
+        if self.eat_kw("ALIAS"):
+            sel.alias = self.advance().val
+        if self.cur().kind == SEMI:
+            self.advance()
+        return sel
+
+    def parse_columns(self) -> list[Column]:
+        cols: list[Column] = []
+        while True:
+            t = self.cur()
+            if t.kind == OP and t.val == "*":
+                self.advance()
+                cols.append(Column(IdentityNode(("*",))))
+            else:
+                e = self.parse_expr()
+                col = Column(e)
+                # col IF guard (exec/projection.go:158-175)
+                if self.at_kw("IF"):
+                    self.advance()
+                    col.guard = self.parse_expr()
+                if self.eat_kw("AS"):
+                    a = self.advance()
+                    col.alias = a.val
+                elif self.cur().kind in (IDENT, QIDENT) and self.cur().upper not in _CLAUSE_END and not self.at_kw(*_JOIN_WORDS):
+                    # implicit alias `SELECT x y` — NOT in reference grammar; skip
+                    pass
+                cols.append(col)
+            if self.cur().kind == COMMA:
+                self.advance()
+            else:
+                break
+        return cols
+
+    def parse_expr_list(self) -> list[Node]:
+        out = [self.parse_expr()]
+        while self.cur().kind == COMMA:
+            self.advance()
+            out.append(self.parse_expr())
+        return out
+
+    def parse_from(self) -> list[FromSource]:
+        sources = [self.parse_one_source()]
+        while True:
+            t = self.cur()
+            if t.kind == COMMA:  # comma cross join
+                self.advance()
+                src = self.parse_one_source()
+                src.join_type = "CROSS"
+                sources.append(src)
+                continue
+            if t.kind == IDENT and t.upper in _JOIN_WORDS:
+                jt = []
+                while self.cur().kind == IDENT and self.cur().upper in _JOIN_WORDS:
+                    w = self.advance().upper
+                    if w != "JOIN":
+                        jt.append(w)
+                src = self.parse_one_source()
+                src.join_type = " ".join(jt) if jt else "INNER"
+                if self.eat_kw("ON"):
+                    src.join_expr = self.parse_expr()
+                sources.append(src)
+                continue
+            break
+        return sources
+
+    def parse_one_source(self) -> FromSource:
+        t = self.cur()
+        if t.kind == LPAREN:
+            self.advance()
+            sub = self.parse_select()
+            self.expect(RPAREN)
+            src = FromSource(subquery=sub)
+        else:
+            name = self.advance()
+            if name.kind not in (IDENT, QIDENT):
+                raise ParseError(f"expected table name, got {name!r}")
+            src = FromSource(name=name.val)
+        if self.eat_kw("AS"):
+            src.alias = self.advance().val
+        elif self.cur().kind in (IDENT, QIDENT) and self.cur().upper not in _CLAUSE_END and self.cur().upper not in _JOIN_WORDS and self.cur().upper != "ON":
+            src.alias = self.advance().val
+        return src
+
+    def parse_with(self) -> dict:
+        self.expect(IDENT, "WITH")
+        blob, end = extract_json_blob(self.text, self.cur().pos)
+        # re-lex the remainder after the blob
+        rest = tokenize(self.text[end:])
+        for tok in rest:
+            tok.pos += end
+        self.toks = self.toks[: self.i]  # drop stale tokens
+        self.toks.extend(rest)
+        try:
+            return json.loads(blob)
+        except json.JSONDecodeError as e:
+            raise ParseError(f"bad WITH json: {e}") from e
+
+    # -- DML ------------------------------------------------------------
+    def parse_insert(self, upsert: bool) -> SqlInsert:
+        self.advance()  # INSERT/UPSERT
+        self.eat_kw("INTO")
+        table = self.advance().val
+        cols: list[str] = []
+        if self.cur().kind == LPAREN:
+            self.advance()
+            while self.cur().kind != RPAREN:
+                cols.append(self.advance().val)
+                if self.cur().kind == COMMA:
+                    self.advance()
+            self.expect(RPAREN)
+        ins = SqlInsert(table=table, columns=cols, upsert=upsert)
+        if self.at_kw("SELECT"):
+            self.advance()
+            ins.select = self.parse_select()
+            return ins
+        self.expect(IDENT, "VALUES")
+        while self.cur().kind == LPAREN:
+            self.advance()
+            row: list[Node] = []
+            while self.cur().kind != RPAREN:
+                row.append(self.parse_expr())
+                if self.cur().kind == COMMA:
+                    self.advance()
+            self.expect(RPAREN)
+            ins.rows.append(row)
+            if self.cur().kind == COMMA:
+                self.advance()
+            else:
+                break
+        return ins
+
+    def parse_update(self) -> SqlUpdate:
+        self.advance()
+        table = self.advance().val
+        self.expect(IDENT, "SET")
+        upd = SqlUpdate(table=table)
+        while True:
+            name = self.advance().val
+            t = self.cur()
+            if t.kind == OP and t.val in ("=", "=="):
+                self.advance()
+            upd.values[name] = self.parse_expr()
+            if self.cur().kind == COMMA:
+                self.advance()
+            else:
+                break
+        if self.eat_kw("WHERE"):
+            upd.where = self.parse_expr()
+        return upd
+
+    def parse_delete(self) -> SqlDelete:
+        self.advance()
+        self.expect(IDENT, "FROM")
+        table = self.advance().val
+        d = SqlDelete(table=table)
+        if self.eat_kw("WHERE"):
+            d.where = self.parse_expr()
+        return d
+
+    # -- DDL / meta -------------------------------------------------------
+    def parse_create(self) -> SqlCreate:
+        self.advance()
+        or_replace = False
+        if self.at_kw("OR"):
+            self.advance()
+            self.expect(IDENT, "REPLACE")
+            or_replace = True
+        tok = self.advance().upper
+        if tok not in ("SOURCE", "SCHEMA", "VIEW", "CONTINUOUSVIEW", "TABLE", "DATABASE", "INDEX"):
+            raise ParseError(f"CREATE {tok} not supported")
+        if_not_exists = False
+        if self.at_kw("IF"):
+            self.advance()
+            self.expect(IDENT, "NOT")
+            self.expect(IDENT, "EXISTS")
+            if_not_exists = True
+        ident = self.advance().val
+        c = SqlCreate(tok=tok, ident=ident, or_replace=or_replace, if_not_exists=if_not_exists)
+        if tok == "TABLE" and self.cur().kind == LPAREN:
+            self.advance()
+            while self.cur().kind != RPAREN:
+                name = self.advance().val
+                ty = self.advance().val
+                c.cols.append((name, ty))
+                while self.cur().kind not in (COMMA, RPAREN, EOF):
+                    self.advance()  # skip column attributes
+                if self.cur().kind == COMMA:
+                    self.advance()
+            self.expect(RPAREN)
+        if self.eat_kw("AS"):
+            self.expect(IDENT, "SELECT")
+            c.select = self.parse_select()
+        if self.at_kw("WITH"):
+            c.with_ = self.parse_with()
+        return c
+
+    def parse_drop(self) -> SqlDrop:
+        self.advance()
+        tok = self.advance().upper
+        if_exists = False
+        if self.at_kw("IF"):
+            self.advance()
+            self.expect(IDENT, "EXISTS")
+            if_exists = True
+        ident = self.advance().val
+        return SqlDrop(tok=tok, ident=ident, if_exists=if_exists)
+
+    def parse_show(self) -> SqlShow:
+        self.advance()
+        full = self.eat_kw("FULL")
+        what = self.advance().upper
+        s = SqlShow(show=what, full=full)
+        if what == "CREATE":
+            self.expect(IDENT, "TABLE")
+            s.ident = self.advance().val
+            return s
+        if what in ("COLUMNS", "FIELDS"):
+            self.expect(IDENT, "FROM")
+            s.ident = self.advance().val
+        if self.eat_kw("FROM"):
+            s.ident = self.advance().val
+        if self.eat_kw("LIKE"):
+            s.like = self.advance().val
+        if self.eat_kw("WHERE"):
+            s.where = self.parse_expr()
+        return s
+
+    def parse_describe(self) -> SqlDescribe:
+        kw = self.advance().upper
+        t = self.cur()
+        if t.kind == IDENT and t.upper in ("SELECT", "FILTER") and kw == "EXPLAIN" or (kw in ("DESCRIBE", "DESC") and t.kind == IDENT and t.upper == "SELECT"):
+            return SqlDescribe(stmt=self.parse_statement())
+        return SqlDescribe(ident=self.advance().val)
+
+    def parse_command(self) -> SqlCommand:
+        kw = self.advance().upper
+        cmd = SqlCommand(kw=kw)
+        if kw == "USE":
+            cmd.ident = self.advance().val
+        elif kw == "SET":
+            if self.at_kw("GLOBAL", "SESSION"):
+                self.advance()
+            cmd.ident = self.advance().val
+            t = self.cur()
+            if t.kind == OP and t.val in ("=", "=="):
+                self.advance()
+            cmd.value = self.parse_expr()
+        return cmd
+
+    # -- FilterQL ---------------------------------------------------------
+    def parse_filterql(self) -> FilterStatement:
+        self.expect(IDENT, "FILTER")
+        cols = None
+        if self.at_kw("SELECT"):  # FILTER SELECT? No — FilterSelect is "SELECT .. FROM x FILTER .."
+            pass
+        node = self.parse_filter_expr()
+        stmt = FilterStatement(filter=node)
+        if self.eat_kw("FROM"):
+            stmt.from_ = self.advance().val
+        if self.eat_kw("LIMIT"):
+            stmt.limit = int(self.expect(NUMBER).val)
+        if self.at_kw("WITH"):
+            stmt.with_ = self.parse_with()
+        if self.eat_kw("ALIAS"):
+            stmt.alias = self.advance().val
+        stmt.columns = cols
+        if self.cur().kind == SEMI:
+            self.advance()
+        return stmt
+
+    def parse_filter_expr(self) -> Node:
+        """FilterQL expression: n-ary AND(...)/OR(...)/NOT(...), `*`,
+        INCLUDE name, or ordinary boolean expression
+        (rel/parse_filterql.go grammar)."""
+        t = self.cur()
+        if t.kind == OP and t.val == "*":
+            self.advance()
+            return MatchAllNode()
+        if t.kind == IDENT and t.upper in ("AND", "OR") and self.peek().kind == LPAREN:
+            op = self.advance().upper
+            self.expect(LPAREN)
+            args = []
+            while self.cur().kind != RPAREN:
+                args.append(self.parse_filter_expr())
+                if self.cur().kind == COMMA:
+                    self.advance()
+            self.expect(RPAREN)
+            return BooleanNode(op, args)
+        if t.kind == IDENT and t.upper == "NOT":
+            nxt = self.peek()
+            if nxt.kind == IDENT and nxt.upper in ("AND", "OR") and self.peek(2).kind == LPAREN:
+                self.advance()
+                inner = self.parse_filter_expr()
+                inner.negated = True  # BooleanNode
+                return inner
+            if nxt.kind == IDENT and nxt.upper == "INCLUDE":
+                self.advance()
+                self.advance()
+                name = self.advance().val
+                return IncludeNode(name, negated=True)
+            self.advance()
+            return UnaryNode("NOT", self.parse_filter_expr())
+        if t.kind == IDENT and t.upper == "INCLUDE":
+            self.advance()
+            name = self.advance().val
+            return IncludeNode(name)
+        return self.parse_expr()
+
+
+def parse_sql(text: str):
+    """Parse one SQL statement — parity with rel.ParseSql
+    (rel/parse_sql.go:29)."""
+    p = SqlParser(text)
+    stmt = p.parse_statement()
+    if p.cur().kind == SEMI:
+        p.advance()
+    if p.cur().kind != EOF:
+        raise ParseError(f"trailing tokens: {p.cur()!r}")
+    return stmt
+
+
+def parse_sql_statements(text: str) -> list:
+    """Parse `;`-separated statements (rel/parse_sql.go:69)."""
+    p = SqlParser(text)
+    out = []
+    while p.cur().kind != EOF:
+        out.append(p.parse_statement())
+        while p.cur().kind == SEMI:
+            p.advance()
+    return out
+
+
+def parse_filterql(text: str) -> FilterStatement:
+    """Parity with rel.ParseFilterQL (rel/parse_filterql.go:126)."""
+    p = SqlParser(text)
+    stmt = p.parse_filterql()
+    if p.cur().kind != EOF:
+        raise ParseError(f"trailing tokens: {p.cur()!r}")
+    return stmt

@@ -1,0 +1,92 @@
+"""Streaming extension: CREATE CONTINUOUSVIEW on Structured Streaming.
+
+The reference lexes/parses CONTINUOUSVIEW but never executes it
+(/root/reference/lex/dialect_sql.go:437-441, exec/ddl.go:54-97 →
+ErrNotImplemented) — this module is a strict superset (SURVEY §2.12).
+
+A continuous view is a SELECT whose FROM is a streaming source; we lower
+the same AST through the same translator, but against ``readStream``
+frames, add event-time watermarking from WITH config, and materialize via
+``writeStream`` to an in-memory sink (queryable as a table) or a path.
+
+WITH config keys:
+    {"stream": true, "watermark": {"column": "ts", "delay": "10 minutes"},
+     "window": {"column": "ts", "duration": "5 minutes", "slide": "..."},
+     "output_mode": "append"|"update"|"complete",
+     "checkpoint": "/tmp/ckpt", "format": "memory"|"parquet", "path": ...}
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def create_continuous_view(engine, create_stmt):
+    """Execute CREATE CONTINUOUSVIEW name AS SELECT ... WITH {...}."""
+    sel = create_stmt.select
+    cfg = create_stmt.with_ or {}
+    if sel is None:
+        raise ValueError("CONTINUOUSVIEW requires AS SELECT")
+
+    src = sel.from_[0]
+    base = engine.table(src.name)
+    # re-read the same source as a stream when it is file-backed; for
+    # registered DataFrames we re-use the batch frame wrapped as a
+    # rate-limited stream only in tests — here: readStream on the schema
+    stream_df = _as_stream(engine, src.name, base, cfg)
+
+    wm = cfg.get("watermark")
+    if wm:
+        stream_df = stream_df.withWatermark(wm["column"], wm.get("delay", "10 minutes"))
+
+    # run the same SELECT translation against the streaming frame
+    engine.register_df(f"__stream_{src.name}", stream_df)
+    try:
+        sel2 = _clone_with_from(sel, f"__stream_{src.name}", src)
+        out = engine._select(sel2)
+    finally:
+        engine.tables.pop(f"__stream_{src.name}", None)
+
+    query = _start(out, create_stmt.ident, cfg)
+    engine.streams[create_stmt.ident.lower()] = query
+    return query
+
+
+def windowed_agg(df: DataFrame, ts_col: str, duration: str, slide: str | None, group_cols: list[str], aggs: list) -> DataFrame:
+    """Tumbling/sliding window aggregation helper — the streaming GroupBy.
+    At scale: watermark bounds state; window+keys shuffle once."""
+    w = F.window(F.col(ts_col), duration, slide) if slide else F.window(F.col(ts_col), duration)
+    return df.groupBy(w, *[F.col(c) for c in group_cols]).agg(*aggs)
+
+
+def _as_stream(engine, name: str, base: DataFrame, cfg: dict) -> DataFrame:
+    path = cfg.get("path")
+    fmt = cfg.get("source_format", "parquet")
+    if path:
+        return engine.spark.readStream.schema(base.schema).format(fmt).load(path)
+    raise ValueError("CONTINUOUSVIEW requires WITH {'path': <stream source dir>}")
+
+
+def _clone_with_from(sel, new_table: str, old_src):
+    import copy
+
+    sel2 = copy.copy(sel)
+    sel2.from_ = list(sel.from_)
+    src2 = copy.copy(old_src)
+    src2.name = new_table
+    src2.alias = old_src.alias or old_src.name
+    sel2.from_[0] = src2
+    sel2.with_ = {}
+    return sel2
+
+
+def _start(out: DataFrame, name: str, cfg: dict):
+    mode = cfg.get("output_mode", "append")
+    fmt = cfg.get("format", "memory")
+    writer = out.writeStream.outputMode(mode).queryName(name)
+    if cfg.get("checkpoint"):
+        writer = writer.option("checkpointLocation", cfg["checkpoint"])
+    if fmt == "memory":
+        return writer.format("memory").start()
+    return writer.format(fmt).option("path", cfg["sink_path"]).start()

@@ -1,0 +1,457 @@
+"""Expression AST → pyspark.sql.Column translator.
+
+This module replaces the reference's per-row tree-walk VM
+(/root/reference/vm/vm.go:129-176) with a *translation* to Catalyst Column
+expressions, so execution stays JVM-side inside whole-stage codegen.
+
+Encoded semantic shims (divergences the reference VM implements, SURVEY §2.8):
+- exclusive BETWEEN bounds            (vm/vm.go:868,884,901)
+- glob-style LIKE (`%` and `*` both wildcards, vm/vm.go:1112-1126)
+- ``x != NULL`` / EXISTS treat empty string as missing (value/value.go:510)
+- datemath string literals ``"now-3d"``  (vm/datemath.go:56-108)
+- permissive date parsing of literals (lytics/dateparse usage)
+- IN over scalars/arrays/map-keys     (vm/vm.go:370-383,535-546,628-650)
+- CONTAINS over strings and arrays    (vm/vm.go:1050-1054,595-616)
+"""
+
+from __future__ import annotations
+
+import re
+from datetime import datetime, timedelta
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .nodes import (
+    ArrayNode,
+    BinaryNode,
+    BoolNode,
+    BooleanNode,
+    FuncNode,
+    IdentityNode,
+    IncludeNode,
+    MatchAllNode,
+    Node,
+    NullNode,
+    NumberNode,
+    StringNode,
+    TriNode,
+    UnaryNode,
+)
+
+
+class TranslateError(ValueError):
+    pass
+
+
+# --------------------------------------------------------------------------
+# datemath — ``now-3d``, ``now+2w``, ``now/d`` (vm/datemath.go:56-108)
+# --------------------------------------------------------------------------
+_DATEMATH_RE = re.compile(r"^now(?:(?P<sign>[+-])(?P<n>\d+)(?P<unit>[smhdwMy]))?(?:/(?P<trunc>[smhdwMy]))?$")
+
+_UNIT_SECONDS = {"s": 1, "m": 60, "h": 3600, "d": 86400, "w": 7 * 86400}
+
+
+def parse_datemath(s: str, now: datetime | None = None) -> datetime | None:
+    """Parse a datemath string; returns None if ``s`` is not datemath."""
+    m = _DATEMATH_RE.match(s.strip())
+    if not m:
+        return None
+    t = now or datetime.utcnow()
+    if m.group("sign"):
+        n = int(m.group("n"))
+        unit = m.group("unit")
+        if unit in _UNIT_SECONDS:
+            delta = timedelta(seconds=n * _UNIT_SECONDS[unit])
+        elif unit == "M":
+            delta = timedelta(days=30 * n)
+        else:  # y
+            delta = timedelta(days=365 * n)
+        t = t + delta if m.group("sign") == "+" else t - delta
+    trunc = m.group("trunc")
+    if trunc:
+        if trunc == "s":
+            t = t.replace(microsecond=0)
+        elif trunc == "m":
+            t = t.replace(second=0, microsecond=0)
+        elif trunc == "h":
+            t = t.replace(minute=0, second=0, microsecond=0)
+        elif trunc == "d":
+            t = t.replace(hour=0, minute=0, second=0, microsecond=0)
+        elif trunc == "w":
+            t = t.replace(hour=0, minute=0, second=0, microsecond=0)
+            t -= timedelta(days=t.weekday())
+        elif trunc == "M":
+            t = t.replace(day=1, hour=0, minute=0, second=0, microsecond=0)
+        elif trunc == "y":
+            t = t.replace(month=1, day=1, hour=0, minute=0, second=0, microsecond=0)
+    return t
+
+
+def parse_permissive_date(s: str) -> datetime | None:
+    """Permissive literal date parse ≈ araddon/dateparse used throughout the
+    reference (e.g. vm/vm.go:554-559). Pandas' parser is similarly lenient."""
+    dm = parse_datemath(s)
+    if dm is not None:
+        return dm
+    try:
+        import pandas as pd
+
+        ts = pd.to_datetime(s)
+        if ts is pd.NaT:
+            return None
+        return ts.to_pydatetime()
+    except Exception:
+        return None
+
+
+# --------------------------------------------------------------------------
+# glob LIKE (vm/vm.go:1112-1126): both `%` and `*` are multi-char wildcards
+# --------------------------------------------------------------------------
+def glob_to_regex(pattern: str) -> str:
+    out = []
+    for ch in pattern:
+        if ch in ("%", "*"):
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+    return "^" + "".join(out) + "$"
+
+
+# --------------------------------------------------------------------------
+# Scope — identity resolution against one or more aliased DataFrames
+# --------------------------------------------------------------------------
+class Scope:
+    """Resolves IdentityNodes to Columns + dtypes.
+
+    ``frames`` maps alias → DataFrame (every frame must already be
+    ``.alias(name)``-ed when multi-frame). ``includes`` maps name →
+    filter Node (expr/include.go:23-25). ``functions`` is the builtin
+    registry (functions.py).
+    """
+
+    def __init__(
+        self,
+        frames: dict[str, DataFrame] | None = None,
+        includes: dict[str, Node] | None = None,
+        params: dict[str, object] | None = None,
+    ):
+        self.frames = frames or {}
+        self.includes = includes or {}
+        self.params = params or {}
+        self._fields: dict[str, tuple[str, T.StructField]] = {}
+        multi = len(self.frames) > 1
+        for alias, df in self.frames.items():
+            for f in df.schema.fields:
+                key = f.name.lower()
+                if key not in self._fields:
+                    self._fields[key] = (alias, f)
+                self._fields[f"{alias.lower()}.{key}"] = (alias, f)
+        self.multi = multi
+
+    # -- lookup --------------------------------------------------------
+    def columns(self) -> list[str]:
+        seen, out = set(), []
+        for df in self.frames.values():
+            for c in df.columns:
+                if c.lower() not in seen:
+                    seen.add(c.lower())
+                    out.append(c)
+        return out
+
+    def _resolve(self, ident: IdentityNode) -> tuple[Column, T.DataType | None, tuple[str, ...]]:
+        """Return (column, dtype, remaining_path). Dotted tails beyond a
+        resolved column become map/struct traversal (vm/vm.go:777-789)."""
+        parts = ident.parts
+        if parts[0].startswith("@") or parts[0].startswith("?"):
+            name = parts[0]
+            if name in self.params:
+                return F.lit(self.params[name]), None, ()
+            raise TranslateError(f"unbound parameter {name}")
+        for take in (2, 1):
+            if len(parts) >= take:
+                key = ".".join(parts[:take]).lower()
+                hit = self._fields.get(key)
+                if hit is not None:
+                    alias, fld = hit
+                    colref = f"{alias}.{fld.name}" if self.multi else fld.name
+                    return F.col(colref), fld.dataType, parts[take:]
+        # unresolved → error like the reference (testutil/testsuite.go:138)
+        raise TranslateError(f"unknown column {ident.name!r}; known: {sorted(self._fields)[:20]}")
+
+    def col(self, ident: IdentityNode) -> Column:
+        c, dt, rest = self._resolve(ident)
+        for p in rest:
+            c = c[p]
+        return c
+
+    def dtype(self, ident: IdentityNode) -> T.DataType | None:
+        c, dt, rest = self._resolve(ident)
+        for p in rest:
+            if isinstance(dt, T.MapType):
+                dt = dt.valueType
+            elif isinstance(dt, T.StructType):
+                try:
+                    dt = dt[p].dataType
+                except KeyError:
+                    dt = None
+            else:
+                dt = None
+        return dt
+
+
+# --------------------------------------------------------------------------
+# dtype inference for arbitrary nodes (best-effort, drives coercion shims)
+# --------------------------------------------------------------------------
+def infer_dtype(node: Node, scope: Scope) -> T.DataType | None:
+    if isinstance(node, NumberNode):
+        return T.LongType() if node.is_int else T.DoubleType()
+    if isinstance(node, StringNode):
+        return T.StringType()
+    if isinstance(node, BoolNode):
+        return T.BooleanType()
+    if isinstance(node, IdentityNode):
+        try:
+            return scope.dtype(node)
+        except TranslateError:
+            return None
+    if isinstance(node, BinaryNode) and node.op in ("+", "-", "*", "/", "%"):
+        lt = infer_dtype(node.left, scope)
+        rt = infer_dtype(node.right, scope)
+        if isinstance(lt, T.DoubleType) or isinstance(rt, T.DoubleType):
+            return T.DoubleType()
+        if lt is not None and rt is not None:
+            return T.LongType()
+        return None
+    if isinstance(node, FuncNode):
+        from .functions import registry
+
+        fn = registry.get(node.name)
+        return fn.return_type if fn else None
+    return None
+
+
+def _is_stringy(dt: T.DataType | None) -> bool:
+    return isinstance(dt, T.StringType)
+
+
+def _is_timey(dt: T.DataType | None) -> bool:
+    return isinstance(dt, (T.TimestampType, T.DateType, T.TimestampNTZType))
+
+
+def _is_numbery(dt: T.DataType | None) -> bool:
+    return isinstance(dt, T.NumericType)
+
+
+# --------------------------------------------------------------------------
+# main translator
+# --------------------------------------------------------------------------
+_CMP = {
+    "=": lambda l, r: l == r,
+    "!=": lambda l, r: l != r,
+    ">": lambda l, r: l > r,
+    ">=": lambda l, r: l >= r,
+    "<": lambda l, r: l < r,
+    "<=": lambda l, r: l <= r,
+}
+
+_ARITH = {
+    "+": lambda l, r: l + r,
+    "-": lambda l, r: l - r,
+    "*": lambda l, r: l * r,
+    "/": lambda l, r: l / r,
+    "%": lambda l, r: l % r,
+}
+
+
+def to_column(node: Node, scope: Scope) -> Column:
+    """Lower an expression AST to a Column."""
+    if isinstance(node, NumberNode):
+        return F.lit(node.value)
+    if isinstance(node, StringNode):
+        return F.lit(node.value)
+    if isinstance(node, BoolNode):
+        return F.lit(node.value)
+    if isinstance(node, NullNode):
+        return F.lit(None)
+    if isinstance(node, IdentityNode):
+        return scope.col(node)
+    if isinstance(node, ArrayNode):
+        return F.array(*[to_column(i, scope) for i in node.items])
+    if isinstance(node, FuncNode):
+        from .functions import build_function
+
+        return build_function(node, scope)
+    if isinstance(node, UnaryNode):
+        if node.op == "-":
+            return -to_column(node.child, scope)
+        if node.op == "NOT":
+            return ~to_column(node.child, scope)
+        if node.op == "EXISTS":
+            return exists_column(node.child, scope)
+        raise TranslateError(f"unknown unary op {node.op}")
+    if isinstance(node, BooleanNode):
+        cols = [to_column(a, scope) for a in node.args]
+        out = cols[0]
+        for c in cols[1:]:
+            out = (out & c) if node.op == "AND" else (out | c)
+        return ~out if node.negated else out
+    if isinstance(node, TriNode):
+        return _between(node, scope)
+    if isinstance(node, IncludeNode):
+        inner = scope.includes.get(node.name)
+        if inner is None:
+            raise TranslateError(f"INCLUDE {node.name!r} not registered")
+        c = to_column(inner, scope)
+        return ~c if node.negated else c
+    if isinstance(node, MatchAllNode):
+        return F.lit(True)
+    if isinstance(node, BinaryNode):
+        return _binary(node, scope)
+    raise TranslateError(f"cannot translate {node!r}")
+
+
+def exists_column(node: Node, scope: Scope) -> Column:
+    """EXISTS field — present AND non-nil; empty string counts as nil
+    (vm/vm.go:820-828, value/value.go:510)."""
+    c = to_column(node, scope)
+    dt = infer_dtype(node, scope)
+    if _is_stringy(dt):
+        return c.isNotNull() & (c != F.lit(""))
+    return c.isNotNull()
+
+
+def _between(node: TriNode, scope: Scope) -> Column:
+    subject = to_column(node.args[0], scope)
+    low = _coerced_operand(node.args[1], node.args[0], scope)
+    high = _coerced_operand(node.args[2], node.args[0], scope)
+    out = (subject > low) & (subject < high)  # EXCLUSIVE (vm/vm.go:868)
+    return ~out if node.negated else out
+
+
+def _coerced_operand(node: Node, other: Node, scope: Scope) -> Column:
+    """Translate ``node``, coercing string literals toward ``other``'s dtype
+    — the VM's cross-type coercion (vm/vm.go:350-366,554-559)."""
+    other_dt = infer_dtype(other, scope)
+    if isinstance(node, StringNode):
+        if _is_timey(other_dt):
+            t = parse_permissive_date(node.value)
+            if t is not None:
+                return F.lit(t)
+        if _is_numbery(other_dt):
+            try:
+                v = node.value
+                return F.lit(int(v)) if re.fullmatch(r"-?\d+", v) else F.lit(float(v))
+            except ValueError:
+                pass
+    return to_column(node, scope)
+
+
+def _binary(node: BinaryNode, scope: Scope) -> Column:
+    op = node.op
+    if op in ("AND", "OR"):
+        l = to_column(node.left, scope)
+        r = to_column(node.right, scope)
+        return (l & r) if op == "AND" else (l | r)
+
+    if op in _ARITH:
+        l = to_column(node.left, scope)
+        r = to_column(node.right, scope)
+        return _ARITH[op](l, r)
+
+    if op == "IS":  # IS [NOT] NULL
+        c = to_column(node.left, scope)
+        return c.isNotNull() if node.negated else c.isNull()
+
+    if op in _CMP:
+        return _comparison(node, scope)
+
+    if op == "LIKE":
+        l = to_column(node.left, scope)
+        if isinstance(node.right, StringNode):
+            c = l.rlike(glob_to_regex(node.right.value))
+        else:
+            r = to_column(node.right, scope)
+            c = l.rlike(F.concat(F.lit("^"), F.regexp_replace(F.regexp_replace(r, r"([.\[\]^$\\(){}+?|])", r"\\$1"), r"[%*]", ".*"), F.lit("$")))
+        return ~c if node.negated else c
+
+    if op == "IN":
+        c = _in(node, scope)
+        return ~c if node.negated else c
+
+    if op == "INTERSECTS":
+        l = to_column(node.left, scope)
+        r = to_column(node.right, scope)
+        c = F.arrays_overlap(l, r)
+        return ~c if node.negated else c
+
+    if op == "CONTAINS":
+        c = _contains(node, scope)
+        return ~c if node.negated else c
+
+    raise TranslateError(f"unknown binary op {op}")
+
+
+def _comparison(node: BinaryNode, scope: Scope) -> Column:
+    ldt = infer_dtype(node.left, scope)
+    rdt = infer_dtype(node.right, scope)
+    left: Column
+    right: Column
+
+    # ``x != NULL`` / ``x == NULL`` — reference's existence test
+    # (FIXTURES.md §5; empty string counts as nil: value/value.go:510)
+    if isinstance(node.right, NullNode) or isinstance(node.left, NullNode):
+        subject_node = node.left if isinstance(node.right, NullNode) else node.right
+        present = exists_column(subject_node, scope)
+        return present if node.op == "!=" else ~present
+
+    left = _coerced_operand(node.left, node.right, scope)
+    right = _coerced_operand(node.right, node.left, scope)
+
+    # string column vs time → cast string side to timestamp (vm/vm.go:554-559)
+    if _is_stringy(ldt) and _is_timey(rdt):
+        left = F.to_timestamp(left)
+    elif _is_timey(ldt) and _is_stringy(rdt) and not isinstance(node.right, StringNode):
+        right = F.to_timestamp(right)
+
+    # time vs time compared at SECOND granularity (vm/vm.go:1070-1110)
+    if _is_timey(ldt) and _is_timey(rdt) and node.op in ("=", "!="):
+        left = F.unix_timestamp(left)
+        right = F.unix_timestamp(right)
+
+    return _CMP[node.op](left, right)
+
+
+def _in(node: BinaryNode, scope: Scope) -> Column:
+    """IN: scalar-in-array-literal, scalar-in-array-column,
+    string-in-map-keys, array-overlap (vm/vm.go:370-383,488-546,628-650)."""
+    l = to_column(node.left, scope)
+    ldt = infer_dtype(node.left, scope)
+    if isinstance(node.right, ArrayNode):
+        vals = [_coerced_operand(i, node.left, scope) for i in node.right.items]
+        return l.isin(*vals)
+    rdt = infer_dtype(node.right, scope)
+    r = to_column(node.right, scope)
+    if isinstance(rdt, T.MapType):
+        return F.map_contains_key(r, l)
+    if isinstance(ldt, T.ArrayType) and isinstance(rdt, T.ArrayType):
+        return F.arrays_overlap(l, r)
+    if isinstance(rdt, T.ArrayType):
+        return F.array_contains(r, l)
+    # unknown collection type — try array_contains
+    return F.array_contains(r, l)
+
+
+def _contains(node: BinaryNode, scope: Scope) -> Column:
+    l = to_column(node.left, scope)
+    r = to_column(node.right, scope)
+    ldt = infer_dtype(node.left, scope)
+    if isinstance(ldt, T.ArrayType):
+        # any element contains the substring (vm/vm.go:595-616)
+        return F.exists(l, lambda x: x.contains(r))
+    if isinstance(ldt, T.MapType):
+        return F.map_contains_key(l, r)
+    return l.contains(r)
