@@ -1,0 +1,46 @@
+"""Large-scale training-data pipeline operators (extension beyond the
+reference's surface — BASELINE.json north-star).
+
+Modules:
+- dedup:      exact, fingerprint, MinHash+LSH, SimHash, n-gram Jaccard,
+              embedding near-dup
+- similarity: brute-force + IVF approximate nearest neighbor
+- text:       language-ID, quality scoring, token counting, fingerprints
+- multimodal: binary payload columns + Arrow-batched decode plumbing
+
+Design rule: everything stays in native Column expressions (JVM, codegen)
+except multimodal decoders, which are Arrow-batched ``mapInPandas``.
+"""
+
+from .dedup import (
+    dedup_exact,
+    embedding_dup_pairs,
+    lsh_candidate_pairs,
+    minhash_dedup,
+    minhash_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+)
+from .similarity import cosine_topk, ivf_build, ivf_topk
+from .text import fingerprint, lang_id, quality_score, token_count
+
+__all__ = [
+    "dedup_exact",
+    "minhash_signature",
+    "lsh_candidate_pairs",
+    "minhash_pairs",
+    "minhash_dedup",
+    "simhash",
+    "simhash_pairs",
+    "ngram_jaccard_pairs",
+    "embedding_dup_pairs",
+    "cosine_topk",
+    "ivf_build",
+    "ivf_topk",
+    "lang_id",
+    "quality_score",
+    "token_count",
+    "fingerprint",
+]

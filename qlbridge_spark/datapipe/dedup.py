@@ -1,0 +1,347 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding near-dup.
+
+All signature computation is pure Column expressions (xxhash64 +
+higher-order array functions) — JVM-side, whole-stage-codegen'd, no Python
+in the row path. The only shuffles are the ones the algorithms require
+(band-bucket join, pair aggregation), and candidate generation uses
+frequency caps to bound skew at 100 TB (a band bucket with millions of
+members would otherwise produce a quadratic pair explosion on one task).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# a large prime < 2^61 for the (a*h + b) mod p permutation family
+_MERSENNE_61 = (1 << 61) - 1
+
+
+def _tokens(text_col):
+    return F.filter(F.split(F.lower(F.trim(text_col)), r"\s+"), lambda t: t != F.lit(""))
+
+
+def _word_shingles(text_col, n: int):
+    """Distinct word n-gram shingles of the text, as strings."""
+    toks = _tokens(text_col)
+    k = F.size(toks) - (n - 1)
+    return F.when(
+        k > 0,
+        F.array_distinct(
+            F.transform(F.sequence(F.lit(1), k), lambda i: F.array_join(F.slice(toks, i, n), " "))
+        ),
+    ).otherwise(F.array(F.array_join(toks, " ")))
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+def dedup_exact(df: DataFrame, cols: list[str], keep: str | None = None) -> DataFrame:
+    """Exact dedup on a column set. With ``keep`` (an orderable id column)
+    the kept row is the min-id one (deterministic); otherwise arbitrary
+    (dropDuplicates — cheaper: map-side partial aggregation).
+
+    Scale: one shuffle on the dedup key; aggregation is partial/final so
+    mappers pre-collapse duplicates before the exchange.
+    """
+    if keep is None:
+        return df.dropDuplicates(cols)
+    others = [c for c in df.columns if c not in cols and c != keep]
+    agg = [F.min(F.struct(keep, *others)).alias("__keep")]
+    out = df.groupBy(*cols).agg(*agg)
+    return out.select(*cols, *[F.col(f"__keep.{c}").alias(c) for c in [keep, *others]])
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+def _perm_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) permutation parameters (python stdlib RNG).
+
+    Ranges sized so a*h32 + b < 2^63 (ANSI mode: no silent wraparound):
+    a < 2^30, h folded to 32 bits, b < 2^61.
+    """
+    import random
+
+    rnd = random.Random(seed)
+    return [(rnd.randrange(1, 1 << 30), rnd.randrange(0, 1 << 61)) for _ in range(num_hashes)]
+
+
+def minhash_signature(
+    df: DataFrame,
+    text_col: str,
+    num_hashes: int = 64,
+    shingle_size: int = 3,
+    out: str = "minhash",
+    seed: int = 42,
+) -> DataFrame:
+    """Append a MinHash signature column (array<bigint>, length num_hashes).
+
+    shingle → xxhash64 once, then num_hashes universal-hash permutations
+    (a*h+b mod M61) reduced with array_min — one pass over the shingles,
+    entirely inside codegen.
+    """
+    params = _perm_params(num_hashes, seed)
+    # fold the 64-bit shingle hash to 32 bits so a*h32+b cannot overflow.
+    # The shingle pipeline is materialized as its own projection FIRST —
+    # inlining it under the 64-permutation transform would make Catalyst
+    # evaluate the tokenize+shingle+hash chain 64× per row (CollapseProject
+    # keeps multi-referenced non-cheap expressions un-inlined).
+    base = F.transform(
+        _word_shingles(F.col(text_col), shingle_size),
+        lambda s: F.xxhash64(s).bitwiseAND(F.lit((1 << 32) - 1)),
+    )
+    step = df.withColumn("__shingle_hashes", base)
+    perms = F.array(*[F.struct(F.lit(a).alias("a"), F.lit(b).alias("b")) for a, b in params])
+    sig = F.transform(
+        perms,
+        lambda p: F.array_min(F.transform(F.col("__shingle_hashes"), lambda h: F.pmod(p["a"] * h + p["b"], F.lit(_MERSENNE_61)))),
+    )
+    return step.withColumn(out, sig).drop("__shingle_hashes")
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    sig_col: str = "minhash",
+    bands: int = 16,
+    bucket_cap: int = 200,
+) -> DataFrame:
+    """LSH banding: split signatures into ``bands`` bands, hash each band,
+    join docs sharing a (band, hash) bucket → candidate pairs (id_a < id_b).
+
+    Scale notes:
+    - the band explode multiplies rows by ``bands`` but each row is tiny
+      (id + 2 longs)
+    - ``bucket_cap`` drops degenerate buckets (e.g. empty/boilerplate
+      docs all hashing together) that would create O(n²) pairs in one
+      task — the standard skew guard; dropped buckets are near-certain
+      duplicates of *many* docs and should be handled by exact dedup first
+    """
+    sig = F.col(sig_col)
+    rows_per_band = F.floor(F.size(sig) / bands).cast("int")
+    banded = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(F.concat_ws(",", F.transform(F.slice(sig, b * rows_per_band + 1, rows_per_band), lambda v: v.cast("string"))), b),
+            )
+        ).alias("__band", "__bucket"),
+    )
+    # skew guard: drop buckets larger than bucket_cap
+    counts = banded.groupBy("__band", "__bucket").agg(F.count(F.lit(1)).alias("__n"))
+    banded = banded.join(F.broadcast(counts.filter(F.col("__n") > bucket_cap)), ["__band", "__bucket"], "left_anti")
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(right, on=[F.col("l.__band") == F.col("r.__band"), F.col("l.__bucket") == F.col("r.__bucket"), F.col("l.__id") < F.col("r.__id")])
+        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def minhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    shingle_size: int = 3,
+    bands: int = 16,
+) -> DataFrame:
+    """Near-duplicate pairs by estimated Jaccard: MinHash signatures → LSH
+    candidates → verify (fraction of agreeing signature positions).
+
+    Returns (id_a, id_b, est_jaccard) with est_jaccard >= threshold.
+    """
+    # materialize signatures once — they feed the band join AND both sides
+    # of the verification join (at 100 TB you'd write this table out;
+    # locally persist() is the same cut point)
+    sigs = (
+        minhash_signature(df, text_col, num_hashes, shingle_size)
+        .select(F.col(id_col).alias("__id"), "minhash")
+        .persist()
+    )
+    cands = lsh_candidate_pairs(sigs, "__id", "minhash", bands)
+    a = sigs.select(F.col("__id").alias("id_a"), F.col("minhash").alias("__sig_a"))
+    b = sigs.select(F.col("__id").alias("id_b"), F.col("minhash").alias("__sig_b"))
+    est = (
+        F.size(F.filter(F.zip_with("__sig_a", "__sig_b", lambda x, y: x == y), lambda v: v))
+        / F.size(F.col("__sig_a"))
+    )
+    return (
+        cands.join(a, "id_a").join(b, "id_b")
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def minhash_dedup(df: DataFrame, id_col: str, text_col: str, threshold: float = 0.7, **kw) -> DataFrame:
+    """Drop near-duplicates: each connected near-dup pair keeps the min id.
+
+    Single-pass min-neighbor contraction (a doc is dropped if it has any
+    smaller-id near-duplicate). For chain-transitive clusters a few
+    iterations of this operator converge; one pass is the standard
+    large-scale approximation (full connected components needs iterative
+    joins).
+    """
+    pairs = minhash_pairs(df, id_col, text_col, threshold, **kw)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+def simhash(df: DataFrame, text_col: str, out: str = "simhash", chunks: int = 4) -> DataFrame:
+    """64-bit SimHash as ``chunks`` 16-bit integer chunks (array<int>).
+
+    Token hashes vote per bit (+1/-1); sign of each bit-sum is the
+    signature bit. Chunked representation makes Hamming banding trivial
+    (two docs within Hamming distance d share ≥1 identical chunk when
+    d < chunks) and avoids 64-bit sign headaches.
+    Pure aggregate/zip_with expression — no UDF.
+    """
+    bits_per_chunk = 64 // chunks
+    hashes = F.transform(_tokens(F.col(text_col)), lambda t: F.xxhash64(t))
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(F.sequence(F.lit(0), F.lit(63)), lambda j: F.when(F.bit_get(h, j) == 1, F.lit(1)).otherwise(F.lit(-1)).cast("long")),
+            lambda a, b: a + b,
+        ),
+    )
+    bits = F.transform(votes, lambda v: F.when(v > 0, F.lit(1)).otherwise(F.lit(0)))
+    # chunk value = bits folded MSB-first (acc*2 + bit) — no variable-shift
+    chunk_vals = F.transform(
+        F.sequence(F.lit(0), F.lit(chunks - 1)),
+        lambda c: F.aggregate(
+            F.slice(bits, c * bits_per_chunk + 1, bits_per_chunk),
+            F.lit(0),
+            lambda acc, bit: acc * 2 + bit,
+        ).cast("int"),
+    )
+    return df.withColumn(out, chunk_vals)
+
+
+def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, chunks: int = 4) -> DataFrame:
+    """Near-dup pairs by SimHash: band on identical chunks (pigeonhole:
+    hamming < chunks ⇒ some chunk equal), verify exact Hamming distance.
+
+    Returns (id_a, id_b, hamming).
+    """
+    sigs = simhash(df, text_col, "simhash", chunks).select(F.col(id_col).alias("__id"), "simhash").persist()
+    banded = sigs.select("__id", "simhash", F.posexplode("simhash").alias("__chunk_idx", "__chunk_val"))
+    l, r = banded.alias("l"), banded.alias("r")
+    cands = (
+        l.join(r, on=[F.col("l.__chunk_idx") == F.col("r.__chunk_idx"), F.col("l.__chunk_val") == F.col("r.__chunk_val"), F.col("l.__id") < F.col("r.__id")])
+        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"), F.col("l.simhash").alias("__sa"), F.col("r.simhash").alias("__sb"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # exact hamming via per-chunk XOR popcount
+    ham = F.aggregate(
+        F.zip_with("__sa", "__sb", lambda a, b: a.bitwiseXOR(b)),
+        F.lit(0),
+        lambda acc, x: acc + F.bit_count(x),
+    )
+    return cands.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard
+# ---------------------------------------------------------------------------
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    df_cap: int = 100,
+) -> DataFrame:
+    """Exact Jaccard similarity over word n-gram sets, candidate-generated
+    by inverted index (explode grams → join on shared gram).
+
+    ``df_cap`` drops grams that occur in more than df_cap documents
+    (stop-grams) — the classic skew guard: such grams contribute little
+    discriminative signal but dominate the pair count at scale.
+
+    Returns (id_a, id_b, jaccard >= threshold).
+    """
+    grams_df = df.select(F.col(id_col).alias("__id"), _word_shingles(F.col(text_col), n).alias("__grams")).withColumn(
+        "__n_grams", F.size("__grams")
+    )
+    inv = grams_df.select("__id", "__n_grams", F.explode("__grams").alias("__gram"))
+    rare = inv.groupBy("__gram").agg(F.count(F.lit(1)).alias("__df")).filter(F.col("__df") <= df_cap)
+    inv = inv.join(rare.select("__gram"), "__gram")
+    l, r = inv.alias("l"), inv.alias("r")
+    inter = (
+        l.join(r, on=[F.col("l.__gram") == F.col("r.__gram"), F.col("l.__id") < F.col("r.__id")])
+        .groupBy(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("__inter"), F.first("l.__n_grams").alias("__na"), F.first("r.__n_grams").alias("__nb"))
+    )
+    jac = F.col("__inter") / (F.col("__na") + F.col("__nb") - F.col("__inter"))
+    return inter.withColumn("jaccard", jac).filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup (cosine)
+# ---------------------------------------------------------------------------
+def embedding_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    planes: int = 16,
+    seed: int = 7,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine similarity.
+
+    Scale path: random-hyperplane LSH (sign-sketch) buckets candidates —
+    two vectors with cosine ≥ 0.95 agree on most hyperplane signs, so we
+    band the sign-sketch into 2 halves and require one identical half.
+    Verify with exact cosine. Hyperplanes are deterministic (seeded).
+    """
+    import random
+
+    dim = len(df.select(vec_col).first()[0])
+    rnd = random.Random(seed)
+    hyper = [[rnd.gauss(0, 1) for _ in range(dim)] for _ in range(planes)]
+    v = F.col(vec_col).cast("array<double>")
+
+    def sketch_bits(vcol):
+        return F.transform(
+            F.array(*[F.array(*[F.lit(x) for x in h]) for h in hyper]),
+            lambda h: F.when(F.aggregate(F.zip_with(vcol, h, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x) > 0, F.lit(1)).otherwise(F.lit(0)),
+        )
+
+    half = planes // 2
+    sk = df.select(F.col(id_col).alias("__id"), v.alias("__v"), sketch_bits(v).alias("__sk")).persist()
+    sk = sk.select(
+        "__id",
+        "__v",
+        F.concat_ws("", F.transform(F.slice("__sk", 1, half), lambda b: b.cast("string"))).alias("__b0"),
+        F.concat_ws("", F.transform(F.slice("__sk", half + 1, half), lambda b: b.cast("string"))).alias("__b1"),
+    )
+    banded = sk.select("__id", "__v", F.explode(F.array(F.concat(F.lit("0:"), "__b0"), F.concat(F.lit("1:"), "__b1"))).alias("__bucket"))
+    l, r = banded.alias("l"), banded.alias("r")
+    cos = _cosine(F.col("l.__v"), F.col("r.__v"))
+    return (
+        l.join(r, on=[F.col("l.__bucket") == F.col("r.__bucket"), F.col("l.__id") < F.col("r.__id")])
+        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"), cos.alias("cosine"))
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def _cosine(a, b):
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    return dot / (na * nb)

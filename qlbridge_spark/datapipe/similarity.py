@@ -1,0 +1,137 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+- :func:`cosine_topk` — exact brute force. Corpus is scanned once; the
+  (small) query set is broadcast; per-query top-k via window. Baseline and
+  oracle-comparable.
+- :func:`ivf_build` / :func:`ivf_topk` — IVF-style approximate search: the
+  corpus is partitioned into cells around centroids; queries probe only
+  the ``nprobe`` nearest cells. At 100 TB this turns a full scan per query
+  batch into a ~(nprobe/ncells) fraction scan, and the cell assignment is
+  a one-off build cost. Centroid selection is a deterministic hash-sample
+  (no kmeans iterations — "IVF-flat with random centroids", the standard
+  cheap variant).
+
+All vector math is Column expressions (zip_with/aggregate) — JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    query_id_col: str | None = None,
+    query_vec_col: str | None = None,
+) -> DataFrame:
+    """Exact top-k neighbors for every query vector (brute force).
+
+    Returns (query_id, neighbor_id, cosine, rank). Ties broken by
+    neighbor_id for determinism. The query side is broadcast — the corpus
+    never shuffles; the only exchange is the per-query top-k window over
+    |corpus|×|queries| scored rows, which AQE coalesces.
+    """
+    qid = query_id_col or id_col
+    qvec = query_vec_col or vec_col
+    q = queries.select(F.col(qid).alias("query_id"), F.col(qvec).cast("array<double>").alias("__qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("__cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine(F.col("__cv"), F.col("__qv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("cosine"), "rank")
+    )
+
+
+def ivf_build(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+) -> tuple[DataFrame, DataFrame]:
+    """Build the IVF index: pick ``n_cells`` deterministic centroid rows
+    (hash-sampled from the corpus), assign every vector to its nearest
+    centroid. Returns (assigned_corpus, centroids).
+
+    Scale: centroids are tiny → broadcast; assignment is one corpus scan;
+    the assigned table is the "index" (re-partition/bucket by __cell on
+    write so probes read only matching files).
+    """
+    c = corpus.select(F.col(id_col).alias("__cid"), F.col(vec_col).cast("array<double>").alias("__cv"))
+    # deterministic sample: smallest n_cells xxhash64(id) values
+    w = Window.orderBy(F.xxhash64(F.col("__cid").cast("string")))
+    cents = (
+        c.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_cells)
+        .select(F.col("__rn").alias("cell_id"), F.col("__cv").alias("centroid"))
+    )
+    assigned = (
+        c.crossJoin(F.broadcast(cents))
+        .withColumn("__sim", cosine(F.col("__cv"), F.col("centroid")))
+        .withColumn("__rk", F.row_number().over(Window.partitionBy("__cid").orderBy(F.col("__sim").desc(), F.col("cell_id"))))
+        .filter(F.col("__rk") == 1)
+        .select(F.col("__cid").alias(id_col), F.col("__cv").alias(vec_col), "cell_id")
+    )
+    return assigned, cents
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 4,
+    query_id_col: str | None = None,
+    query_vec_col: str | None = None,
+) -> DataFrame:
+    """Approximate top-k: each query probes its ``nprobe`` nearest cells
+    and scores only vectors assigned there.
+
+    Returns (query_id, neighbor_id, cosine, rank).
+    """
+    qid = query_id_col or id_col
+    qvec = query_vec_col or vec_col
+    q = queries.select(F.col(qid).alias("query_id"), F.col(qvec).cast("array<double>").alias("__qv"))
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("__sim", cosine(F.col("__qv"), F.col("centroid")))
+        .withColumn("__rk", F.row_number().over(Window.partitionBy("query_id").orderBy(F.col("__sim").desc(), F.col("cell_id"))))
+        .filter(F.col("__rk") <= nprobe)
+        .select("query_id", "__qv", "cell_id")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cell_id")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .withColumn("cosine", cosine(F.col(vec_col).cast("array<double>"), F.col("__qv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "cosine", "rank")
+    )

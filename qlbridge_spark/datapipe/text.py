@@ -1,0 +1,94 @@
+"""Text analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+Every operator is a pure Column expression (regexp_count / split /
+higher-order functions) so it runs inside whole-stage codegen. Each has an
+exactly-matching ANSI-SQL oracle form (see __spark_entry__.py) — the
+formulas are deliberately engine-portable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# deterministic mini stopword lists for n-gram/stopword language ID.
+# (A real pipeline ships full frequency tables; the *operator shape* —
+# per-language whole-word regexp counts + argmax — is the same.)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "with"],
+    "es": ["el", "la", "de", "que", "y", "los", "por", "con"],
+    "fr": ["le", "la", "les", "des", "est", "dans", "que", "pour"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein"],
+    "zh": ["的", "是", "了", "在", "我", "有", "和", "不"],
+}
+
+
+def _marker_pattern(words: list[str]) -> str:
+    return r"\b(" + "|".join(words) + r")\b"
+
+
+def lang_counts(text: Column) -> dict[str, Column]:
+    t = F.lower(text)
+    return {lang: F.regexp_count(t, F.lit(_marker_pattern(words))) for lang, words in LANG_MARKERS.items()}
+
+
+def lang_id(text: Column, min_hits: int = 1) -> Column:
+    """Stopword-marker language ID: per-language whole-word hit counts,
+    argmax with deterministic tiebreak (language name order); 'unknown'
+    when no language reaches ``min_hits``."""
+    counts = lang_counts(text)
+    best = F.lit("unknown")
+    best_n = F.lit(min_hits - 1)
+    for lang in sorted(counts):  # alphabetical order wins ties (strict >)
+        n = counts[lang]
+        new_best = F.when(n > best_n, F.lit(lang)).otherwise(best)
+        best_n = F.when(n > best_n, n).otherwise(best_n)
+        best = new_best
+    return best
+
+
+def token_count(text: Column, mode: str = "whitespace") -> Column:
+    """Token counting: 'whitespace' (split on runs of whitespace) or 'bpe'
+    (BPE-ish: letter runs, digit runs, single punctuation marks — the
+    pre-tokenization regex family used by GPT-style BPE tokenizers)."""
+    if mode == "whitespace":
+        return F.size(F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != F.lit("")))
+    if mode == "bpe":
+        return F.regexp_count(text, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
+    raise ValueError(f"unknown token_count mode {mode!r}")
+
+
+def quality_score(text: Column, n_chars: Column | None = None) -> Column:
+    """Composite document-quality score in [0, 1]:
+    0.4·length_score + 0.3·diversity + 0.3·(1 − punct_density).
+
+    - length_score: min(n_chars/500, 1) — favors non-trivial docs
+    - diversity: distinct_tokens / tokens — penalizes boilerplate repetition
+    - punct_density: punctuation chars / chars — penalizes markup/garbage
+    """
+    nc = (n_chars if n_chars is not None else F.char_length(text)).cast("double")
+    toks = F.filter(F.split(F.lower(F.trim(text)), r"\s+"), lambda t: t != F.lit(""))
+    n_toks = F.size(toks).cast("double")
+    n_distinct = F.size(F.array_distinct(toks)).cast("double")
+    punct = F.regexp_count(text, F.lit(r"[.,;:!?()\[\]{}<>/\\|@#$%^&*~`]")).cast("double")
+    length_score = F.least(nc / F.lit(500.0), F.lit(1.0))
+    diversity = F.when(n_toks > 0, n_distinct / n_toks).otherwise(F.lit(0.0))
+    punct_density = F.when(nc > 0, punct / nc).otherwise(F.lit(1.0))
+    return F.lit(0.4) * length_score + F.lit(0.3) * diversity + F.lit(0.3) * (F.lit(1.0) - punct_density)
+
+
+def fingerprint(text: Column, mode: str = "sorted_tokens") -> Column:
+    """Document fingerprint for clustering/dedup:
+    - 'sorted_tokens': md5 of the sorted distinct lowercase token set
+      (OpenRefine-style key collision fingerprint)
+    - 'rolling': xxhash64 of whitespace-normalized lowercase text
+      (cheap rolling-hash-equivalent content key)
+    """
+    if mode == "sorted_tokens":
+        toks = F.array_sort(F.array_distinct(F.filter(F.split(F.lower(F.trim(text)), r"\s+"), lambda t: t != F.lit(""))))
+        return F.md5(F.array_join(toks, " "))
+    if mode == "rolling":
+        norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+        return F.xxhash64(norm).cast("string")
+    raise ValueError(f"unknown fingerprint mode {mode!r}")
