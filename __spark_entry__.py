@@ -1,10 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every `queries()` entry exercises an operator from SURVEY.md §2 (or a
+datapipe extension) THROUGH the qlbridge_spark engine — the qlbridge SQL
+dialect goes lexer → AST → Column translation → Catalyst. `oracle_sql()`
+holds the ANSI-SQL equivalent for DuckDB.
+
+Conventions to keep the value-hash comparison deterministic:
+- every computed column is aliased identically on both sides
+- floating aggregates are round()-ed on both sides (fp summation order
+  differs between engines)
+- DuckDB's HUGEINT sums / DOUBLE epoch are cast to BIGINT to match Spark
+- ORDER-insensitive compare, but ties are still broken by id columns
+  wherever rank/limit matters
 """
 
 from __future__ import annotations
@@ -12,27 +19,520 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# engine cache (one Engine per sf_dir per session)
+# ---------------------------------------------------------------------------
+_ENGINES: dict[tuple[int, str], object] = {}
+
+
+def _engine(spark: SparkSession, sf_dir: str):
+    from qlbridge_spark import Engine
+
+    key = (id(spark), sf_dir)
+    if key not in _ENGINES:
+        eng = Engine(spark)
+        eng.load_parquet_dir(sf_dir)
+        _ENGINES[key] = eng
+    return _ENGINES[key]
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: multi-join star query with
+    group-by — exercises scan, broadcast joins, partial agg, order."""
+    eng = _engine(spark, "/root/testdata/sf0.001")
+    return eng.sql(_Q["q05_multi_join_revenue"])
 
 
+# ---------------------------------------------------------------------------
+# qlbridge-dialect SQL (run through OUR engine)
+# ---------------------------------------------------------------------------
+_Q = {
+    # §2.4 group-by + aggregates (sum/avg/count) — TPC-H Q1 shape
+    "q01_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_discount), 6) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""",
+    # §2.2 projection + WHERE + exclusive BETWEEN (vm/vm.go:868)
+    "q02_filter_projection": """
+        SELECT p_partkey, toupper(p_brand) AS brand_uc,
+               round(p_retailprice * 1.1, 2) AS bumped,
+               char_length(p_name) AS name_len
+        FROM part
+        WHERE p_size BETWEEN 10 AND 20
+        ORDER BY p_partkey""",
+    # §2.3 inner equi-join + agg + order/limit (top-k)
+    "q03_join_revenue": """
+        SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE o_orderstatus != "F"
+        GROUP BY o_orderkey
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 10""",
+    # §2.7 WHERE IN (SELECT ...) → left-semi join (superset)
+    "q04_semi_join": """
+        SELECT o_orderpriority, count(*) AS n
+        FROM orders
+        WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 45)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""",
+    # §2.3 multi-way join over the star schema (broadcast dims)
+    "q05_multi_join_revenue": """
+        SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer
+          JOIN orders ON c_custkey = o_custkey
+          JOIN lineitem ON l_orderkey = o_orderkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = "ASIA"
+        GROUP BY n_name
+        ORDER BY revenue DESC""",
+    # §2.2 range predicates + global agg (TPC-H Q6 shape)
+    "q06_range_agg": """
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+               count(*) AS n
+        FROM lineitem
+        WHERE l_discount > 0.04 AND l_discount < 0.07 AND l_quantity < 24
+              AND l_shipdate >= "1996-01-01" AND l_shipdate < "1998-01-01" """,
+    # §2.2 COUNT(DISTINCT) — implemented correctly (reference bug:
+    # testutil/testsuite.go:125-127 returns 0)
+    "q07_count_distinct": """
+        SELECT count(distinct(c_mktsegment)) AS segs,
+               count(distinct(c_nationkey)) AS nations
+        FROM customer""",
+    # §2.2 DISTINCT rows
+    "q08_distinct_rows": """
+        SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment""",
+    # §2.4 HAVING (post-agg filter, exec/where.go:24)
+    "q09_having": """
+        SELECT o_custkey, count(*) AS n
+        FROM orders
+        GROUP BY o_custkey
+        HAVING count(*) > 12
+        ORDER BY n DESC, o_custkey""",
+    # §2.5 ORDER BY + LIMIT/OFFSET (offset: parse-only in reference)
+    "q10_order_offset": """
+        SELECT p_partkey, p_retailprice
+        FROM part
+        ORDER BY p_retailprice DESC, p_partkey
+        LIMIT 10 OFFSET 5""",
+    # §2.3 LEFT JOIN (grammar-accepted superset; exec ignores it in ref)
+    "q11_left_join": """
+        SELECT r_name, count(n_nationkey) AS n_nations
+        FROM region LEFT JOIN nation ON r_regionkey = n_regionkey
+        GROUP BY r_name
+        ORDER BY r_name""",
+    # §2.9 string + hash builtins (expr/builtins/string.go, hash_and_encode.go)
+    "q12_string_funcs": """
+        SELECT c_custkey, tolower(c_name) AS lname,
+               hash.md5(c_name) AS md5h,
+               hasprefix(c_name, "Customer#0000001") AS pfx,
+               string.substr(c_name, 9, 17) AS numpart,
+               join(c_name, c_mktsegment, "|") AS joined
+        FROM customer
+        WHERE c_custkey < 100
+        ORDER BY c_custkey""",
+    # §2.9 date/time builtins (expr/builtins/time.go; Go weekday 0=Sunday)
+    "q13_time_funcs": """
+        SELECT o_orderkey, yy(o_orderdate) AS yy2, mm(o_orderdate) AS m,
+               dayofweek(o_orderdate) AS dow, hourofday(o_orderdate) AS hod,
+               yymm(o_orderdate) AS ym
+        FROM orders
+        WHERE o_orderkey < 200
+        ORDER BY o_orderkey""",
+    # §2.8 glob-LIKE + IN list
+    "q14_like_in": """
+        SELECT c_custkey, c_mktsegment
+        FROM customer
+        WHERE c_mktsegment LIKE "%BUILD%" OR c_mktsegment IN ("MACHINERY", "FURNITURE")
+        ORDER BY c_custkey""",
+    # §2.9 conditional (if) + oneof/coalesce
+    "q15_conditional": """
+        SELECT c_custkey,
+               if(c_acctbal > 5000, "high", "low") AS tier,
+               round(oneof(c_acctbal, 0), 2) AS bal
+        FROM customer
+        ORDER BY c_custkey""",
+    # §2.7 subquery in FROM
+    "q16_subquery_from": """
+        SELECT seg, round(avg(bal), 2) AS avg_bal, count(*) AS n
+        FROM (SELECT c_mktsegment AS seg, c_acctbal AS bal FROM customer WHERE c_acctbal > 0) AS t
+        GROUP BY seg
+        ORDER BY seg""",
+    # §2.9 json builtins over events.props + cast chain
+    "q17_events_json": """
+        SELECT event_type, count(*) AS n,
+               round(avg(toint(json.jmespath(props, "k"))), 4) AS avg_k
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type""",
+    # §2.9 unixtrunc (time bucketing — the batch shape of streaming windows)
+    "q18_hourly_buckets": """
+        SELECT unixtrunc(ts, "hour") AS hr, count(*) AS n,
+               round(sum(value), 2) AS total
+        FROM events
+        GROUP BY hr
+        ORDER BY hr
+        LIMIT 100""",
+    # math + casting builtins
+    "q19_math_cast": """
+        SELECT p_partkey, round(sqrt(p_retailprice), 4) AS rt,
+               round(pow(p_size, 2), 1) AS sz2,
+               toint(tostring(p_size)) AS roundtrip
+        FROM part
+        WHERE p_partkey < 200
+        ORDER BY p_partkey""",
+    # literal select (plan/planner_select.go:267-286)
+    "q20_literal": """SELECT 1 AS one, "hello" AS greeting, 2 * 3 AS six""",
+}
+
+# FilterQL statement (run through the engine's FilterQL path)
+_FILTERQL = 'FILTER AND(c_acctbal > 5000, c_mktsegment = "MACHINERY") FROM customer'
+
+
+def _sql_query(name: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _engine(spark, sf_dir).sql(_Q[name])
+
+    return run
+
+
+def _q_filterql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = _engine(spark, sf_dir)
+    df = eng.execute(_FILTERQL)
+    return df.select("c_custkey", "c_acctbal").orderBy("c_custkey")
+
+
+def _q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # set-op superset (reference has none, SURVEY §2.6)
+    eng = _engine(spark, sf_dir)
+    hi = eng.sql('SELECT c_custkey, "high" AS tier FROM customer WHERE c_acctbal >= 8000')
+    lo = eng.sql('SELECT c_custkey, "low" AS tier FROM customer WHERE c_acctbal < 1000')
+    return hi.unionAll(lo)
+
+
+def _q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # window-function superset: top-3 customers per segment by balance
+    from pyspark.sql import Window
+
+    eng = _engine(spark, sf_dir)
+    df = eng.table("customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        df.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("c_mktsegment", "c_custkey", F.round("c_acctbal", 2).alias("bal"), "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# datapipe operators (dedup / similarity / text) — extensions
+# ---------------------------------------------------------------------------
+def _docs(spark, sf_dir):
+    return _engine(spark, sf_dir).table("documents")
+
+
+def _emb(spark, sf_dir):
+    return _engine(spark, sf_dir).table("embeddings")
+
+
+def _dp_exact_dedup(spark, sf_dir):
+    from qlbridge_spark.datapipe import dedup_exact
+
+    return dedup_exact(_docs(spark, sf_dir), ["text"], keep="doc_id").select("doc_id", "lang", "n_chars")
+
+
+def _dp_fingerprint(spark, sf_dir):
+    from qlbridge_spark.datapipe import fingerprint
+
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+def _dp_token_count(spark, sf_dir):
+    from qlbridge_spark.datapipe import token_count
+
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("ws_tokens"),
+        token_count(F.col("text"), "bpe").cast("long").alias("bpe_tokens"),
+    )
+
+
+def _dp_quality(spark, sf_dir):
+    from qlbridge_spark.datapipe import quality_score
+
+    # floor-scaling instead of round(): Spark rounds the shortest decimal
+    # repr (BigDecimal.valueOf, HALF_UP) while DuckDB rounds the binary
+    # value — they disagree on values like 0.76155; floor is stable.
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.floor(quality_score(F.col("text"), F.col("n_chars")) * 10000).cast("long").alias("quality_x1e4"),
+    )
+
+
+def _dp_lang_id(spark, sf_dir):
+    from qlbridge_spark.datapipe import lang_id
+
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", lang_id(F.col("text")).alias("lang_detected"))
+
+
+def _dp_ann_topk(spark, sf_dir):
+    from qlbridge_spark.datapipe import cosine_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return cosine_topk(emb, queries, id_col="vec_id", vec_col="embedding", k=10).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
+def _dp_minhash_pairs(spark, sf_dir):
+    from qlbridge_spark.datapipe import minhash_pairs
+
+    d = _docs(spark, sf_dir)
+    return minhash_pairs(d, "doc_id", "text", threshold=0.5).select("id_a", "id_b", F.round("est_jaccard", 4).alias("est_j"))
+
+
+def _dp_simhash_pairs(spark, sf_dir):
+    from qlbridge_spark.datapipe import simhash_pairs
+
+    d = _docs(spark, sf_dir)
+    return simhash_pairs(d, "doc_id", "text", max_hamming=6)
+
+
+def _dp_ngram_jaccard(spark, sf_dir):
+    from qlbridge_spark.datapipe import ngram_jaccard_pairs
+
+    d = _docs(spark, sf_dir)
+    return ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.4, df_cap=250).select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("j")
+    )
+
+
+def _dp_ivf_topk(spark, sf_dir):
+    from qlbridge_spark.datapipe import ivf_build, ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    assigned, cents = ivf_build(emb, n_cells=8)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk(assigned, cents, queries, k=5, nprobe=3).select("query_id", "neighbor_id", "rank")
+
+
+def _dp_multimodal(spark, sf_dir):
+    from qlbridge_spark.datapipe.multimodal import attach_fake_payload, decode_features
+
+    d = _docs(spark, sf_dir).limit(50)
+    mm = attach_fake_payload(d, "doc_id", "text")
+    return decode_features(mm).select("doc_id", "n_bytes", "sha256")
+
+
+# ---------------------------------------------------------------------------
+# contract functions
+# ---------------------------------------------------------------------------
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name in _Q:
+        out[name] = _sql_query(name)
+    out["q21_filterql"] = _q_filterql
+    out["q22_union"] = _q_union
+    out["q23_window_rank"] = _q_window_rank
+    out["dp01_exact_dedup"] = _dp_exact_dedup
+    out["dp02_fingerprint"] = _dp_fingerprint
+    out["dp03_token_count"] = _dp_token_count
+    out["dp04_quality"] = _dp_quality
+    out["dp05_lang_id"] = _dp_lang_id
+    out["dp06_ann_topk"] = _dp_ann_topk
+    out["dp07_minhash_pairs"] = _dp_minhash_pairs
+    out["dp08_simhash_pairs"] = _dp_simhash_pairs
+    out["dp09_ngram_jaccard"] = _dp_ngram_jaccard
+    out["dp10_ivf_topk"] = _dp_ivf_topk
+    out["dp11_multimodal_decode"] = _dp_multimodal
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from qlbridge_spark.datapipe.text import LANG_MARKERS
+
+    # language-ID oracle: replicate the marker-count argmax in SQL
+    def marker_count(lang):
+        words = "|".join(LANG_MARKERS[lang])
+        return f"len(regexp_extract_all(lower(text), '\\b({words})\\b'))"
+
+    langs = sorted(LANG_MARKERS)
+    counts = ", ".join(f"{marker_count(lg)} AS c_{lg}" for lg in langs)
+    greatest = "greatest(" + ", ".join(f"c_{lg}" for lg in langs) + ")"
+    case = " ".join(f"WHEN c_{lg} = __g THEN '{lg}'" for lg in langs)
+
+    return {
+        "q01_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus""",
+        "q02_filter_projection": """
+            SELECT p_partkey, upper(p_brand) AS brand_uc,
+                   round(p_retailprice * 1.1, 2) AS bumped,
+                   length(p_name) AS name_len
+            FROM part WHERE p_size > 10 AND p_size < 20
+            ORDER BY p_partkey""",
+        "q03_join_revenue": """
+            SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE o_orderstatus <> 'F'
+            GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+        "q04_semi_join": """
+            SELECT o_orderpriority, count(*) AS n FROM orders
+            WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 45)
+            GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+        "q05_multi_join_revenue": """
+            SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM customer
+              JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+              JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+            GROUP BY n_name ORDER BY revenue DESC""",
+        "q06_range_agg": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+                   count(*) AS n
+            FROM lineitem
+            WHERE l_discount > 0.04 AND l_discount < 0.07 AND l_quantity < 24
+                  AND l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1998-01-01'""",
+        "q07_count_distinct": """
+            SELECT count(DISTINCT c_mktsegment) AS segs,
+                   count(DISTINCT c_nationkey) AS nations
+            FROM customer""",
+        "q08_distinct_rows": """
+            SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment""",
+        "q09_having": """
+            SELECT o_custkey, count(*) AS n FROM orders
+            GROUP BY o_custkey HAVING count(*) > 12
+            ORDER BY n DESC, o_custkey""",
+        "q10_order_offset": """
+            SELECT p_partkey, p_retailprice FROM part
+            ORDER BY p_retailprice DESC, p_partkey LIMIT 10 OFFSET 5""",
+        "q11_left_join": """
+            SELECT r_name, count(n_nationkey) AS n_nations
+            FROM region LEFT JOIN nation ON r_regionkey = n_regionkey
+            GROUP BY r_name ORDER BY r_name""",
+        "q12_string_funcs": """
+            SELECT c_custkey, lower(c_name) AS lname,
+                   md5(c_name) AS md5h,
+                   starts_with(c_name, 'Customer#0000001') AS pfx,
+                   substr(c_name, 10, 8) AS numpart,
+                   concat_ws('|', c_name, c_mktsegment) AS joined
+            FROM customer WHERE c_custkey < 100 ORDER BY c_custkey""",
+        "q13_time_funcs": """
+            SELECT o_orderkey,
+                   CAST(year(o_orderdate) % 100 AS BIGINT) AS yy2,
+                   CAST(month(o_orderdate) AS BIGINT) AS m,
+                   CAST(dayofweek(o_orderdate) AS BIGINT) AS dow,
+                   CAST(hour(o_orderdate) AS BIGINT) AS hod,
+                   strftime(o_orderdate, '%y%m') AS ym
+            FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey""",
+        "q14_like_in": """
+            SELECT c_custkey, c_mktsegment FROM customer
+            WHERE c_mktsegment LIKE '%BUILD%' OR c_mktsegment IN ('MACHINERY', 'FURNITURE')
+            ORDER BY c_custkey""",
+        "q15_conditional": """
+            SELECT c_custkey,
+                   CASE WHEN c_acctbal > 5000 THEN 'high' ELSE 'low' END AS tier,
+                   round(coalesce(c_acctbal, 0), 2) AS bal
+            FROM customer ORDER BY c_custkey""",
+        "q16_subquery_from": """
+            SELECT seg, round(avg(bal), 2) AS avg_bal, count(*) AS n
+            FROM (SELECT c_mktsegment AS seg, c_acctbal AS bal FROM customer WHERE c_acctbal > 0) AS t
+            GROUP BY seg ORDER BY seg""",
+        "q17_events_json": """
+            SELECT event_type, count(*) AS n,
+                   round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
+            FROM events GROUP BY event_type ORDER BY event_type""",
+        "q18_hourly_buckets": """
+            SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hr, count(*) AS n,
+                   round(sum(value), 2) AS total
+            FROM events GROUP BY hr ORDER BY hr LIMIT 100""",
+        "q19_math_cast": """
+            SELECT p_partkey, round(sqrt(p_retailprice), 4) AS rt,
+                   round(pow(p_size, 2), 1) AS sz2,
+                   CAST(p_size AS BIGINT) AS roundtrip
+            FROM part WHERE p_partkey < 200 ORDER BY p_partkey""",
+        "q20_literal": """SELECT 1 AS one, 'hello' AS greeting, 2 * 3 AS six""",
+        "q21_filterql": """
+            SELECT c_custkey, c_acctbal FROM customer
+            WHERE c_acctbal > 5000 AND c_mktsegment = 'MACHINERY'
+            ORDER BY c_custkey""",
+        "q22_union": """
+            SELECT c_custkey, 'high' AS tier FROM customer WHERE c_acctbal >= 8000
+            UNION ALL
+            SELECT c_custkey, 'low' AS tier FROM customer WHERE c_acctbal < 1000""",
+        "q23_window_rank": """
+            SELECT c_mktsegment, c_custkey, round(c_acctbal, 2) AS bal, rnk
+            FROM (SELECT c_mktsegment, c_custkey, c_acctbal,
+                         row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rnk
+                  FROM customer)
+            WHERE rnk <= 3""",
+        "dp01_exact_dedup": """
+            SELECT doc_id, lang, n_chars FROM (
+              SELECT doc_id, lang, n_chars,
+                     row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+              FROM documents)
+            WHERE rn = 1""",
+        "dp02_fingerprint": """
+            SELECT doc_id,
+                   md5(array_to_string(list_sort(list_distinct(
+                     list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> ''))), ' ')) AS fp
+            FROM documents""",
+        "dp03_token_count": """
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS BIGINT) AS ws_tokens,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens
+            FROM documents""",
+        "dp04_quality": """
+            SELECT doc_id, CAST(floor((
+              0.4 * least(n_chars / 500.0, 1.0)
+              + 0.3 * (CASE WHEN n_toks > 0 THEN n_distinct / n_toks ELSE 0.0 END)
+              + 0.3 * (1.0 - CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 1.0 END)) * 10000) AS BIGINT) AS quality_x1e4
+            FROM (
+              SELECT doc_id, CAST(n_chars AS DOUBLE) AS n_chars,
+                     CAST(len(toks) AS DOUBLE) AS n_toks,
+                     CAST(len(list_distinct(toks)) AS DOUBLE) AS n_distinct,
+                     CAST(len(regexp_extract_all(text, '[.,;:!?()\\[\\]{}<>/\\\\|@#$%^&*~`]')) AS DOUBLE) AS punct
+              FROM (SELECT doc_id, text, n_chars,
+                           list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS toks
+                    FROM documents))""",
+        "dp05_lang_id": f"""
+            SELECT doc_id,
+                   CASE WHEN __g < 1 THEN 'unknown' {case} ELSE 'unknown' END AS lang_detected
+            FROM (SELECT doc_id, {counts}, {greatest} AS __g FROM documents)""",
+        "dp06_ann_topk": """
+            SELECT query_id, neighbor_id, rank FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC,
+                                c.vec_id) AS rank
+              FROM embeddings c, embeddings q
+              WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
+            WHERE rank <= 10""",
+        # dp07_minhash_pairs / dp08_simhash_pairs / dp09_ngram_jaccard /
+        # dp10_ivf_topk / dp11_multimodal_decode: hash-family- or
+        # sampling-specific (xxhash64 / hyperplanes / Arrow decode) — not
+        # replicable in ANSI SQL; driver records the weaker rows-only check.
+    }

@@ -68,6 +68,40 @@ def _perm_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     return [(rnd.randrange(1, 1 << 30), rnd.randrange(0, 1 << 61)) for _ in range(num_hashes)]
 
 
+def _minhash_sigs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    shingle_size: int,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, minhash signature) via explode + hash-aggregate.
+
+    This is the Spark-native formulation: explode shingles to rows, then
+    ``num_hashes`` MIN aggregates over (a·h+b mod M61). Stays in
+    whole-stage codegen with map-side partial aggregation — unlike the
+    nested higher-order-function version, which is interpreted per array
+    element AND re-evaluates the tokenize/shingle chain once per
+    permutation after Catalyst's CollapseProject inlines it (measured
+    ~50× slower at sf0.1).
+    """
+    params = _perm_params(num_hashes, seed)
+    exploded = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(_word_shingles(F.col(text_col), shingle_size)).alias("__shingle"),
+    )
+    # fold the 64-bit shingle hash to 32 bits so a*h32+b cannot overflow ANSI
+    h = F.xxhash64("__shingle").bitwiseAND(F.lit((1 << 32) - 1))
+    exploded = exploded.select("__id", h.alias("__h"))
+    aggs = [F.min(F.pmod(F.lit(a) * F.col("__h") + F.lit(b), F.lit(_MERSENNE_61))).alias(f"__mh{i}") for i, (a, b) in enumerate(params)]
+    return (
+        exploded.groupBy("__id")
+        .agg(*aggs)
+        .select("__id", F.array(*[f"__mh{i}" for i in range(num_hashes)]).alias("minhash"))
+    )
+
+
 def minhash_signature(
     df: DataFrame,
     text_col: str,
@@ -75,30 +109,21 @@ def minhash_signature(
     shingle_size: int = 3,
     out: str = "minhash",
     seed: int = 42,
+    id_col: str | None = None,
 ) -> DataFrame:
     """Append a MinHash signature column (array<bigint>, length num_hashes).
 
-    shingle → xxhash64 once, then num_hashes universal-hash permutations
-    (a*h+b mod M61) reduced with array_min — one pass over the shingles,
-    entirely inside codegen.
+    With ``id_col`` (any unique key): explode+aggregate fast path, joined
+    back onto the input. Without: a synthetic id is derived from xxhash64
+    of the text itself (identical texts share signatures anyway).
     """
-    params = _perm_params(num_hashes, seed)
-    # fold the 64-bit shingle hash to 32 bits so a*h32+b cannot overflow.
-    # The shingle pipeline is materialized as its own projection FIRST —
-    # inlining it under the 64-permutation transform would make Catalyst
-    # evaluate the tokenize+shingle+hash chain 64× per row (CollapseProject
-    # keeps multi-referenced non-cheap expressions un-inlined).
-    base = F.transform(
-        _word_shingles(F.col(text_col), shingle_size),
-        lambda s: F.xxhash64(s).bitwiseAND(F.lit((1 << 32) - 1)),
-    )
-    step = df.withColumn("__shingle_hashes", base)
-    perms = F.array(*[F.struct(F.lit(a).alias("a"), F.lit(b).alias("b")) for a, b in params])
-    sig = F.transform(
-        perms,
-        lambda p: F.array_min(F.transform(F.col("__shingle_hashes"), lambda h: F.pmod(p["a"] * h + p["b"], F.lit(_MERSENNE_61)))),
-    )
-    return step.withColumn(out, sig).drop("__shingle_hashes")
+    key = id_col or "__mh_key"
+    base = df if id_col else df.withColumn(key, F.xxhash64(F.col(text_col)))
+    sigs = _minhash_sigs(base, key, text_col, num_hashes, shingle_size, seed)
+    if out != "minhash":
+        sigs = sigs.withColumnRenamed("minhash", out)
+    joined = base.join(sigs, on=base[key] == sigs["__id"]).drop("__id")
+    return joined.drop("__mh_key") if not id_col else joined
 
 
 def lsh_candidate_pairs(
@@ -161,11 +186,7 @@ def minhash_pairs(
     # materialize signatures once — they feed the band join AND both sides
     # of the verification join (at 100 TB you'd write this table out;
     # locally persist() is the same cut point)
-    sigs = (
-        minhash_signature(df, text_col, num_hashes, shingle_size)
-        .select(F.col(id_col).alias("__id"), "minhash")
-        .persist()
-    )
+    sigs = _minhash_sigs(df, id_col, text_col, num_hashes, shingle_size).persist()
     cands = lsh_candidate_pairs(sigs, "__id", "minhash", bands)
     a = sigs.select(F.col("__id").alias("id_a"), F.col("minhash").alias("__sig_a"))
     b = sigs.select(F.col("__id").alias("id_b"), F.col("minhash").alias("__sig_b"))

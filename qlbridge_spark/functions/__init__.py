@@ -445,12 +445,12 @@ def _seconds(n, s):
     parts = F.split(c.cast("string"), ":")
     n_parts = F.size(parts)
     return (
-        F.when(n_parts == 1, F.try_cast(F.element_at(parts, 1), "double"))
-        .when(n_parts == 2, F.try_cast(F.element_at(parts, 1), "double") * 60 + F.try_cast(F.element_at(parts, 2), "double"))
+        F.when(n_parts == 1, F.element_at(parts, 1).try_cast("double"))
+        .when(n_parts == 2, F.element_at(parts, 1).try_cast("double") * 60 + F.element_at(parts, 2).try_cast("double"))
         .otherwise(
-            F.try_cast(F.element_at(parts, 1), "double") * 3600
-            + F.try_cast(F.element_at(parts, 2), "double") * 60
-            + F.try_cast(F.element_at(parts, 3), "double")
+            F.element_at(parts, 1).try_cast("double") * 3600
+            + F.element_at(parts, 2).try_cast("double") * 60
+            + F.element_at(parts, 3).try_cast("double")
         )
     )
 
@@ -528,7 +528,7 @@ def _cast(n, s):
 
 @_reg("tobool", return_type=T.BooleanType())
 def _tobool(n, s):
-    return F.try_cast(_c(n, s).cast("string"), "boolean")
+    return _c(n, s).cast("string").try_cast("boolean")
 
 
 @_reg("toint", return_type=T.LongType())
@@ -541,7 +541,7 @@ def _toint(n, s):
     if isinstance(dt, T.NumericType):
         return c.cast("long")
     cleaned = F.regexp_replace(c.cast("string"), r"[^0-9eE.+-]", "")
-    return F.try_cast(F.try_cast(cleaned, "double"), "long")
+    return cleaned.try_cast("double").try_cast("long")
 
 
 @_reg("tonumber", return_type=T.DoubleType())
@@ -551,12 +551,12 @@ def _tonumber(n, s):
     if isinstance(dt, T.NumericType):
         return c.cast("double")
     cleaned = F.regexp_replace(c.cast("string"), r"[^0-9eE.+-]", "")
-    return F.try_cast(cleaned, "double")
+    return cleaned.try_cast("double")
 
 
 @_reg("unsign", return_type=T.LongType())
 def _unsign(n, s):
-    return F.abs(F.try_cast(_c(n, s).cast("string"), "long"))
+    return F.abs(_c(n, s).cast("string").try_cast("long"))
 
 
 # ===========================================================================

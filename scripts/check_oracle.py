@@ -1,0 +1,127 @@
+"""Local replica of the driver's correctness gate: run every queries()
+entry via Spark AND its oracle_sql() via DuckDB at sf0.01; compare row
+count, column names, and an order-insensitive value hash.
+
+Usage: python scripts/check_oracle.py [sf_dir] [name_filter]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+import time
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def norm_cell(v):
+    import datetime
+    import math
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return f"{v:.6g}"
+    if isinstance(v, datetime.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S")
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def value_hash(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    lines = sorted("|".join(norm_cell(r[i]) for i in order) for r in rows)
+    return hashlib.md5("\n".join(lines).encode()).hexdigest()
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    name_filter = sys.argv[2] if len(sys.argv) > 2 else ""
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.ui.enabled", "false")
+        .appName("check_oracle")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    n_pass = n_fail = n_weak = 0
+    for name, fn in qs.items():
+        if name_filter and name_filter not in name:
+            continue
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            spark_cols = df.columns
+            spark_rows = [tuple(r) for r in df.collect()]
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {type(e).__name__}: {str(e)[:160]}")
+            n_fail += 1
+            continue
+        el = time.time() - t0
+        if name not in oracles:
+            print(f"weak {name}: rows-only, {len(spark_rows)} rows  ({el:.1f}s)")
+            n_weak += 1
+            continue
+        try:
+            res = con.sql(oracles[name])
+            duck_cols = [c for c in res.columns]
+            duck_rows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {type(e).__name__}: {str(e)[:160]}")
+            n_fail += 1
+            continue
+        problems = []
+        if len(spark_rows) != len(duck_rows):
+            problems.append(f"rowcount {len(spark_rows)} vs {len(duck_rows)}")
+        if sorted(c.lower() for c in spark_cols) != sorted(c.lower() for c in duck_cols):
+            problems.append(f"cols {sorted(spark_cols)} vs {sorted(duck_cols)}")
+        if not problems:
+            h1 = value_hash(spark_rows, [c.lower() for c in spark_cols])
+            h2 = value_hash(duck_rows, [c.lower() for c in duck_cols])
+            if h1 != h2:
+                problems.append("value-hash mismatch")
+                # show first differing row for debugging
+                order1 = sorted(range(len(spark_cols)), key=lambda i: spark_cols[i].lower())
+                order2 = sorted(range(len(duck_cols)), key=lambda i: duck_cols[i].lower())
+                s1 = sorted("|".join(norm_cell(r[i]) for i in order1) for r in spark_rows)
+                s2 = sorted("|".join(norm_cell(r[i]) for i in order2) for r in duck_rows)
+                for a, b in zip(s1, s2):
+                    if a != b:
+                        problems.append(f"  spark: {a[:150]}")
+                        problems.append(f"  duck : {b[:150]}")
+                        break
+        if problems:
+            print(f"FAIL {name}: " + "; ".join(problems[:1]) + "".join("\n" + p for p in problems[1:]))
+            n_fail += 1
+        else:
+            print(f"PASS {name}  ({len(spark_rows)} rows, {el:.1f}s)")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_weak} weak (rows-only)")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
