@@ -68,14 +68,15 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     vectorized reader rejects. Nanos columns are read as longs
     (spark.sql.legacy.parquet.nanosAsLong) and converted to timestamps
     JVM-side — still fully vectorized + pushdown-friendly."""
+    nanos_cols: list[str] = []
     try:
-        return spark.read.parquet(path)
-    except Exception as e:
-        if "TIMESTAMP(NANOS" not in str(e):
-            raise
-    import pyarrow.parquet as pq
+        import pyarrow.parquet as pq
 
-    nanos_cols = [f_.name for f_ in pq.read_schema(path) if str(f_.type).startswith("timestamp[ns")]
+        nanos_cols = [f_.name for f_ in pq.read_schema(path) if str(f_.type).startswith("timestamp[ns")]
+    except Exception:
+        pass  # non-local path or no pyarrow footer access — let Spark try
+    if not nanos_cols:
+        return spark.read.parquet(path)
     # left set for the session: the lazy scan re-reads it at execution time
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
@@ -292,11 +293,13 @@ class Engine:
             if sub is not None:
                 lhs_node, sub_sel, anti = sub
                 sub_df = self._select(sub_sel)
-                key = sub_df.columns[0]
+                # unique key name — the subquery may project a column name
+                # that also exists on the outer side (ambiguous reference)
+                sub_df = sub_df.select(sub_df[sub_df.columns[0]].alias("__subq_key"))
                 lhs = to_column(lhs_node, scope)
                 how = "left_anti" if anti else "left_semi"
                 # semi-join: distributed IN; Catalyst/AQE broadcasts when small
-                df = df.join(sub_df, on=lhs == sub_df[key], how=how)
+                df = df.join(sub_df, on=lhs == F.col("__subq_key"), how=how)
             else:
                 plain.append(conj)
         if plain:

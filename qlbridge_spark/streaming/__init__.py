@@ -25,7 +25,8 @@ from pyspark.sql import functions as F
 def create_continuous_view(engine, create_stmt):
     """Execute CREATE CONTINUOUSVIEW name AS SELECT ... WITH {...}."""
     sel = create_stmt.select
-    cfg = create_stmt.with_ or {}
+    # the trailing WITH {...} lexically attaches to the inner SELECT
+    cfg = create_stmt.with_ or (sel.with_ if sel else None) or {}
     if sel is None:
         raise ValueError("CONTINUOUSVIEW requires AS SELECT")
 

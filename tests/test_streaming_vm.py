@@ -1,0 +1,87 @@
+"""Streaming extension (CREATE CONTINUOUSVIEW → Structured Streaming) and
+vm.Eval-parity API tests."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+
+class TestContinuousView:
+    def test_continuous_view_end_to_end(self, spark, tmp_path):
+        """CONTINUOUSVIEW is lex/parse-only in the reference
+        (exec/ddl.go:54-97 → ErrNotImplemented); here it runs on
+        Structured Streaming — strict superset (SURVEY §2.12)."""
+        from qlbridge_spark import Engine
+
+        eng = Engine(spark)
+        rows = [
+            (1, "click", 2.0, datetime.datetime(2024, 1, 1, 10, 0)),
+            (2, "click", 3.0, datetime.datetime(2024, 1, 1, 10, 1)),
+            (3, "view", 5.0, datetime.datetime(2024, 1, 1, 10, 2)),
+        ]
+        batch = spark.createDataFrame(rows, "event_id long, event_type string, value double, ts timestamp")
+        stream_dir = str(tmp_path / "events_stream")
+        batch.write.parquet(stream_dir)
+        eng.register_df("ev", batch)  # schema source
+
+        q = eng.execute(
+            'CREATE CONTINUOUSVIEW ev_counts AS SELECT event_type, count(*) AS n, sum(value) AS total '
+            f'FROM ev GROUP BY event_type WITH {{"path": "{stream_dir}", "output_mode": "complete"}}'
+        )
+        try:
+            q.processAllAvailable()
+            out = {r["event_type"]: (r["n"], r["total"]) for r in spark.sql("SELECT * FROM ev_counts").collect()}
+            assert out == {"click": (2, 5.0), "view": (1, 5.0)}
+
+            # stream is live: append a new file, re-process
+            more = spark.createDataFrame(
+                [(4, "view", 7.0, datetime.datetime(2024, 1, 1, 10, 3))],
+                "event_id long, event_type string, value double, ts timestamp",
+            )
+            more.write.mode("append").parquet(stream_dir)
+            q.processAllAvailable()
+            out2 = {r["event_type"]: (r["n"], r["total"]) for r in spark.sql("SELECT * FROM ev_counts").collect()}
+            assert out2["view"] == (2, 12.0)
+        finally:
+            q.stop()
+
+    def test_windowed_agg_helper(self, spark, tmp_path):
+        from qlbridge_spark.streaming import windowed_agg
+
+        rows = [
+            ("click", 1.0, datetime.datetime(2024, 1, 1, 10, 0, 30)),
+            ("click", 2.0, datetime.datetime(2024, 1, 1, 10, 4, 0)),
+            ("click", 4.0, datetime.datetime(2024, 1, 1, 10, 6, 0)),
+        ]
+        df = spark.createDataFrame(rows, "event_type string, value double, ts timestamp")
+        out = windowed_agg(df, "ts", "5 minutes", None, ["event_type"], [F.sum("value").alias("total")]).collect()
+        totals = sorted(r["total"] for r in out)
+        assert totals == [3.0, 4.0]
+
+
+class TestVmParity:
+    def test_eval_expression(self, spark):
+        from qlbridge_spark.vm import eval_expression
+
+        assert eval_expression(spark, "x * 2 + 1", {"x": 5}) == 11
+
+    def test_eval_many(self, spark):
+        from qlbridge_spark.vm import eval_many
+
+        got = eval_many(spark, ["a + b", 'tolower(name)', "a > b"], {"a": 2, "b": 3, "name": "Bob"})
+        assert got == [5, "bob", False]
+
+    def test_matches_with_includes(self, spark):
+        from qlbridge_spark.vm import matches
+
+        ctx = {"score": 80, "lang": "en"}
+        assert matches(spark, ctx, 'FILTER AND(INCLUDE good_score, lang = "en")', includes={"good_score": "score > 50"})
+        assert not matches(spark, ctx, "FILTER NOT INCLUDE good_score", includes={"good_score": "score > 50"})
+
+    def test_eval_sql(self, spark):
+        from qlbridge_spark.vm import eval_sql
+
+        out = eval_sql(spark, "SELECT a * 2 AS dbl, toupper(s) AS up FROM ctx WHERE a > 1", {"a": 3, "s": "x"})
+        assert out == {"dbl": 6, "up": "X"}
+        assert eval_sql(spark, "SELECT a FROM ctx WHERE a > 99", {"a": 3, "s": "x"}) is None
