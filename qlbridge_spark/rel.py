@@ -186,7 +186,7 @@ class FilterStatement:
 # SQL parser
 # --------------------------------------------------------------------------
 _JOIN_WORDS = {"JOIN", "INNER", "OUTER", "LEFT", "RIGHT", "FULL", "CROSS"}
-_CLAUSE_END = {"FROM", "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "OFFSET", "INTO", "WITH", "ALIAS", "AS", "IF"}
+_CLAUSE_END = {"FROM", "WHERE", "FILTER", "GROUP", "HAVING", "ORDER", "LIMIT", "OFFSET", "INTO", "WITH", "ALIAS", "AS", "IF", "ON"}
 
 
 class SqlParser(ExprParser):
@@ -251,6 +251,10 @@ class SqlParser(ExprParser):
             sel.from_ = self.parse_from()
         if self.eat_kw("WHERE"):
             sel.where = self.parse_expr()
+        elif self.eat_kw("FILTER"):
+            # FilterSelect form: SELECT cols FROM t FILTER <filterql-expr>
+            # (rel/parse_filterql.go:134-146)
+            sel.where = self.parse_filter_expr()
         if self.at_kw("GROUP"):
             self.advance()
             self.expect(IDENT, "BY")
@@ -360,18 +364,38 @@ class SqlParser(ExprParser):
         return src
 
     def parse_with(self) -> dict:
+        """WITH payload: either a JSON blob ``WITH {...}`` or key=value
+        pairs ``WITH backfill=true, track_deltas = true`` (both appear in
+        the reference grammar — rel/parse_filterql_test.go:237)."""
         self.expect(IDENT, "WITH")
-        blob, end = extract_json_blob(self.text, self.cur().pos)
-        # re-lex the remainder after the blob
-        rest = tokenize(self.text[end:])
-        for tok in rest:
-            tok.pos += end
-        self.toks = self.toks[: self.i]  # drop stale tokens
-        self.toks.extend(rest)
-        try:
-            return json.loads(blob)
-        except json.JSONDecodeError as e:
-            raise ParseError(f"bad WITH json: {e}") from e
+        from .lexer import LBRACE
+
+        if self.cur().kind == LBRACE:
+            blob, end = extract_json_blob(self.text, self.cur().pos)
+            # re-lex the remainder after the blob
+            rest = tokenize(self.text[end:])
+            for tok in rest:
+                tok.pos += end
+            self.toks = self.toks[: self.i]  # drop stale tokens
+            self.toks.extend(rest)
+            try:
+                return json.loads(blob)
+            except json.JSONDecodeError as e:
+                raise ParseError(f"bad WITH json: {e}") from e
+        out: dict = {}
+        while self.cur().kind in (IDENT, QIDENT):
+            name = self.advance().val
+            t = self.cur()
+            if t.kind == OP and t.val in ("=", "=="):
+                self.advance()
+                out[name] = _node_literal(self.parse_expr())
+            else:
+                out[name] = True
+            if self.cur().kind == COMMA:
+                self.advance()
+            else:
+                break
+        return out
 
     # -- DML ------------------------------------------------------------
     def parse_insert(self, upsert: bool) -> SqlInsert:
@@ -583,6 +607,34 @@ class SqlParser(ExprParser):
             name = self.advance().val
             return IncludeNode(name)
         return self.parse_expr()
+
+
+def _node_literal(node: Node):
+    from .nodes import BoolNode as _B
+    from .nodes import NullNode as _N
+    from .nodes import NumberNode as _Num
+    from .nodes import StringNode as _S
+
+    if isinstance(node, _Num):
+        return node.value
+    if isinstance(node, _S):
+        return node.value
+    if isinstance(node, _B):
+        return node.value
+    if isinstance(node, _N):
+        return None
+    if isinstance(node, IdentityNode):
+        return node.name
+    raise ParseError(f"WITH value must be a literal, got {node.sql()}")
+
+
+def parse_filter_select(text: str):
+    """Parity with rel.ParseFilterSelect (rel/parse_filterql.go:138):
+    ``SELECT cols FROM t (FILTER|WHERE) <expr> [WITH ...]``."""
+    stmt = parse_sql(text)
+    if not isinstance(stmt, SqlSelect):
+        raise ParseError("expected a SELECT ... FILTER statement")
+    return stmt
 
 
 def parse_sql(text: str):
