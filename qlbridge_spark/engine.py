@@ -41,6 +41,7 @@ from .rel import (
     Column,
     FilterStatement,
     FromSource,
+    SqlAlter,
     SqlCommand,
     SqlCreate,
     SqlDelete,
@@ -167,6 +168,10 @@ class Engine:
             return self._drop(stmt)
         if isinstance(stmt, SqlCommand):
             return self._command(stmt)
+        if isinstance(stmt, SqlAlter):
+            # parity: reference plans but never executes ALTER
+            # (exec/ddl.go:136-152 → ErrNotImplemented)
+            raise ExecError("ALTER is not implemented")
         raise ExecError(f"cannot execute {type(stmt).__name__}")
 
     def sql(self, text: str) -> DataFrame:

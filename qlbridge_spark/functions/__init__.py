@@ -49,6 +49,16 @@ def func_add(name: str, builder, is_agg: bool = False, return_type=None) -> None
     registry[name.lower()] = FunctionDef(name.lower(), builder, is_agg, return_type)
 
 
+def agg_add(name: str, pandas_fn, return_type="double") -> None:
+    """Register a custom AGGREGATE function (UDAF) usable from the SQL
+    dialect — superset of the reference, whose exec-side agg registry is
+    hardcoded to avg/count/sum (exec/groupby.go:457-470) so custom aggs
+    parse but fail. Backed by an Arrow-batched grouped-agg pandas UDF
+    (``pandas_fn``: pd.Series → scalar, type-hinted)."""
+    udf = F.pandas_udf(pandas_fn, return_type)
+    func_add(name, lambda n, s: udf(*[to_column(a, s) for a in n.args]), is_agg=True)
+
+
 def _reg(name: str, is_agg: bool = False, return_type=None):
     def deco(fn):
         func_add(name, fn, is_agg, return_type)

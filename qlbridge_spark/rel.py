@@ -141,6 +141,16 @@ class SqlCreate:
 
 
 @dataclass
+class SqlAlter:
+    """ALTER — parse+plan only in the reference too (exec/ddl.go:136-152
+    → ErrNotImplemented); we keep statement-level parity."""
+
+    tok: str  # TABLE | SCHEMA
+    ident: str
+    body: str = ""
+
+
+@dataclass
 class SqlDrop:
     tok: str  # SOURCE | TABLE | SCHEMA | VIEW
     ident: str
@@ -225,6 +235,14 @@ class SqlParser(ExprParser):
             return self.parse_delete()
         if kw == "CREATE":
             return self.parse_create()
+        if kw == "ALTER":
+            self.advance()
+            tok = self.advance().upper
+            ident = self.advance().val
+            rest = []
+            while self.cur().kind not in (SEMI, EOF):
+                rest.append(self.advance().val)
+            return SqlAlter(tok=tok, ident=ident, body=" ".join(rest))
         if kw == "DROP":
             return self.parse_drop()
         if kw == "SHOW":

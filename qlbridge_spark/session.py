@@ -1,0 +1,79 @@
+"""Session configuration + storage-layout helpers for scale.
+
+``configure(builder_or_spark)`` applies the engine's recommended Spark
+configuration: AQE (runtime re-planning, partition coalescing, skew-join
+splitting), sane shuffle sizing, and Arrow for the few Pandas-UDF paths.
+
+``write_table`` is the 100 TB write path: partition pruning comes from
+``partition_by`` (low-cardinality columns queries filter on), shuffle-free
+co-located joins from ``bucket_by`` on join keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+RECOMMENDED_CONF = {
+    # runtime re-planning: coalesce small shuffle partitions, split skewed
+    # ones — replaces hand-tuned shuffle partition counts at any scale
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # scan parallelism: one task per ~128MB of input
+    "spark.sql.files.maxPartitionBytes": str(128 << 20),
+    # broadcast threshold: dims up to 64MB broadcast instead of shuffling
+    "spark.sql.autoBroadcastJoinThreshold": str(64 << 20),
+    # Arrow transfer for mapInPandas (multimodal decode path)
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def configure(spark: SparkSession, shuffle_partitions: int | None = None) -> SparkSession:
+    """Apply recommended runtime confs to an existing session."""
+    for k, v in RECOMMENDED_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on a running session — leave as launched
+    if shuffle_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    return spark
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    bucket_by: tuple[int, list[str]] | None = None,
+    sort_by: list[str] | None = None,
+    table_name: str | None = None,
+) -> None:
+    """Write with a scale-aware layout:
+
+    - ``partition_by``: hive-style directory partitioning → partition
+      pruning for filters on those columns (e.g. date, region)
+    - ``bucket_by`` (n, cols): pre-shuffled clustered files on the join/agg
+      key → bucketed joins skip the shuffle entirely (requires
+      ``table_name``; Spark persists bucketing in the catalog)
+    - ``sort_by``: within-bucket ordering → better min/max skipping
+    """
+    w = df.write.format(fmt).mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if bucket_by:
+        n, cols = bucket_by
+        if not table_name:
+            raise ValueError("bucket_by requires table_name (bucketing lives in the catalog)")
+        w = w.bucketBy(n, *cols)
+        if sort_by:
+            w = w.sortBy(*sort_by)
+        w.option("path", path).saveAsTable(table_name)
+        return
+    if sort_by:
+        df = df.sortWithinPartitions(*sort_by)
+        w = df.write.format(fmt).mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+    w.save(path)
