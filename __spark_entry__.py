@@ -191,6 +191,47 @@ _Q = {
         ORDER BY p_partkey""",
     # literal select (plan/planner_select.go:267-286)
     "q20_literal": """SELECT 1 AS one, "hello" AS greeting, 2 * 3 AS six""",
+    # §2.8 BETWEEN over timestamps (exclusive, vm/vm.go:901)
+    "q24_time_between": """
+        SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM orders
+        WHERE o_orderdate BETWEEN "1997-01-01" AND "1998-01-01" """,
+    # §2.2 multi-column DISTINCT
+    "q25_distinct_multi": """
+        SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        ORDER BY l_returnflag, l_linestatus""",
+    # §2.4 min/max/stddev superset aggregates
+    "q26_minmax": """
+        SELECT c_mktsegment, round(min(c_acctbal), 2) AS lo,
+               round(max(c_acctbal), 2) AS hi,
+               round(stddev(c_acctbal), 2) AS sd
+        FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    # §2.3 RIGHT JOIN
+    "q27_right_join": """
+        SELECT n_name, count(c_custkey) AS n_cust
+        FROM customer RIGHT JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n_name""",
+    # §2.3 CROSS JOIN (comma form)
+    "q28_cross_join": """
+        SELECT count(*) AS pairs FROM region, nation""",
+    # §2.9 oneof/coalesce + boolean logic on filters
+    "q29_logic_filters": """
+        SELECT o_orderkey, o_orderstatus
+        FROM orders
+        WHERE (o_orderstatus = "F" OR o_orderstatus = "O") AND NOT (o_orderkey % 2 = 0)
+        ORDER BY o_orderkey LIMIT 200""",
+    # time-bucketed multi-key agg (events pipeline shape)
+    "q30_dow_profile": """
+        SELECT dayofweek(ts) AS dow, event_type, count(*) AS n
+        FROM events
+        GROUP BY dayofweek(ts), event_type
+        ORDER BY dow, event_type""",
+    # nested subquery + join + order (composite shape)
+    "q31_top_nation_customers": """
+        SELECT n_name, c_name, round(c_acctbal, 2) AS bal
+        FROM (SELECT c_name, c_acctbal, c_nationkey FROM customer WHERE c_acctbal > 9000) AS rich
+          JOIN nation ON rich.c_nationkey = n_nationkey
+        ORDER BY bal DESC, c_name LIMIT 25""",
 }
 
 # FilterQL statement (run through the engine's FilterQL path)
@@ -474,6 +515,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(p_size AS BIGINT) AS roundtrip
             FROM part WHERE p_partkey < 200 ORDER BY p_partkey""",
         "q20_literal": """SELECT 1 AS one, 'hello' AS greeting, 2 * 3 AS six""",
+        "q24_time_between": """
+            SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total
+            FROM orders
+            WHERE o_orderdate > TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'""",
+        "q25_distinct_multi": """
+            SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+            ORDER BY l_returnflag, l_linestatus""",
+        "q26_minmax": """
+            SELECT c_mktsegment, round(min(c_acctbal), 2) AS lo,
+                   round(max(c_acctbal), 2) AS hi,
+                   round(stddev_samp(c_acctbal), 2) AS sd
+            FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+        "q27_right_join": """
+            SELECT n_name, count(c_custkey) AS n_cust
+            FROM customer RIGHT JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name ORDER BY n_name""",
+        "q28_cross_join": """
+            SELECT count(*) AS pairs FROM region, nation""",
+        "q29_logic_filters": """
+            SELECT o_orderkey, o_orderstatus
+            FROM orders
+            WHERE (o_orderstatus = 'F' OR o_orderstatus = 'O') AND NOT (o_orderkey % 2 = 0)
+            ORDER BY o_orderkey LIMIT 200""",
+        "q30_dow_profile": """
+            SELECT CAST(dayofweek(ts) AS BIGINT) AS dow, event_type, count(*) AS n
+            FROM events
+            GROUP BY dayofweek(ts), event_type
+            ORDER BY dow, event_type""",
+        "q31_top_nation_customers": """
+            SELECT n_name, c_name, round(c_acctbal, 2) AS bal
+            FROM (SELECT c_name, c_acctbal, c_nationkey FROM customer WHERE c_acctbal > 9000) AS rich
+              JOIN nation ON rich.c_nationkey = n_nationkey
+            ORDER BY bal DESC, c_name LIMIT 25""",
         "q21_filterql": """
             SELECT c_custkey, c_acctbal FROM customer
             WHERE c_acctbal > 5000 AND c_mktsegment = 'MACHINERY'

@@ -215,19 +215,31 @@ class Engine:
             return df
 
         # projection with hidden sort columns so ORDER BY can reference
-        # non-selected expressions (standard SQL; Catalyst prunes the rest)
+        # non-selected expressions (standard SQL; Catalyst prunes the rest);
+        # ORDER BY keys naming a select alias sort on the projected column
         proj, names = self._projection(sel, scope)
-        sort_cols = []
+        sort_cols: list[tuple[str, SparkColumn | None, str]] = []
         for i, (e, direction) in enumerate(sel.order_by):
-            c = self._order_col(e, scope, names)
-            sort_cols.append((f"__sort_{i}", c, direction))
+            if isinstance(e, IdentityNode) and e.name in names:
+                sort_cols.append((e.name, None, direction))
+            elif isinstance(e, NumberNode):  # ORDER BY 2 → positional
+                sort_cols.append((names[int(e.text) - 1], None, direction))
+            else:
+                sort_cols.append((f"__sort_{i}", to_column(e, scope), direction))
         if sel.distinct:
+            # DISTINCT applies to the projected rows; sort keys must be
+            # output columns (or re-translatable against them)
             df = df.select(*proj).distinct()
             out_scope = Scope({"_": df}, includes=self.includes)
-            for i, (e, direction) in enumerate(sel.order_by):
-                df = df.orderBy(*self._directional(to_column(e, out_scope), direction))
+            order = []
+            for (name, c, direction), (e, _) in zip(sort_cols, sel.order_by):
+                col = F.col(name) if c is None else to_column(e, out_scope)
+                order.extend(self._directional(col, direction))
+            if order:
+                df = df.orderBy(*order)
         elif sort_cols:
-            df = df.select(*(proj + [c.alias(n) for n, c, _ in sort_cols]))
+            hidden = [c.alias(n) for n, c, _ in sort_cols if c is not None]
+            df = df.select(*(proj + hidden))
             df = df.orderBy(*[d for n, _, direction in sort_cols for d in self._directional(F.col(n), direction)])
             df = df.select(*names)
         else:
