@@ -29,9 +29,15 @@ _ENGINES: dict[tuple[int, str], object] = {}
 
 def _engine(spark: SparkSession, sf_dir: str):
     from qlbridge_spark import Engine
+    from qlbridge_spark.session import configure
 
     key = (id(spark), sf_dir)
     if key not in _ENGINES:
+        # UTC session tz: parquet timestamps are tz-naive; Spark renders
+        # TimestampType in session tz while DuckDB is calendar-naive — they
+        # agree only under UTC. Also apply AQE/skew/broadcast tuning.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        configure(spark)
         eng = Engine(spark)
         eng.load_parquet_dir(sf_dir)
         _ENGINES[key] = eng
