@@ -376,6 +376,36 @@ def _dp_ivf_topk(spark, sf_dir):
     return ivf_topk(assigned, cents, queries, k=5, nprobe=3).select("query_id", "neighbor_id", "rank")
 
 
+def _dp_sessionize(spark, sf_dir):
+    from qlbridge_spark.datapipe import session_stats
+
+    ev = _engine(spark, sf_dir).table("events").filter(F.col("user_id") < 50)
+    s = session_stats(ev, "user_id", "ts", gap_minutes=60.0)
+    return s.select(
+        "user_id",
+        F.col("session_seq").cast("long").alias("session_seq"),
+        "n_events",
+        F.unix_timestamp("t_start").alias("start_s"),
+        F.unix_timestamp("t_end").alias("end_s"),
+    )
+
+
+def _dp_cosine_pairs(spark, sf_dir):
+    # exact cosine near-dup pairs (no LSH) — oracle-comparable; int ids only
+    from qlbridge_spark.datapipe.similarity import cosine
+
+    emb = _emb(spark, sf_dir).filter(F.col("vec_id") < 200)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").cast("array<double>").alias("__va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").cast("array<double>").alias("__vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("c", cosine(F.col("__va"), F.col("__vb")))
+        .filter(F.col("c") > 0.25)
+        .select("id_a", "id_b")
+    )
+
+
 def _dp_multimodal(spark, sf_dir):
     from qlbridge_spark.datapipe.multimodal import attach_fake_payload, decode_features
 
@@ -405,6 +435,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["dp09_ngram_jaccard"] = _dp_ngram_jaccard
     out["dp10_ivf_topk"] = _dp_ivf_topk
     out["dp11_multimodal_decode"] = _dp_multimodal
+    out["dp12_sessionize"] = _dp_sessionize
+    out["dp13_cosine_pairs"] = _dp_cosine_pairs
     return out
 
 
@@ -611,6 +643,26 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings c, embeddings q
               WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
             WHERE rank <= 10""",
+        "dp12_sessionize": """
+            SELECT user_id, session_seq, count(*) AS n_events,
+                   CAST(floor(epoch(min(ts))) AS BIGINT) AS start_s,
+                   CAST(floor(epoch(max(ts))) AS BIGINT) AS end_s
+            FROM (
+              SELECT user_id, ts,
+                     CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+              FROM (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                                 OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 3600
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events WHERE user_id < 50))
+            GROUP BY user_id, session_seq""",
+        "dp13_cosine_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id AND a.vec_id < 200 AND b.vec_id < 200
+              AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) > 0.25""",
         # dp07_minhash_pairs / dp08_simhash_pairs / dp09_ngram_jaccard /
         # dp10_ivf_topk / dp11_multimodal_decode: hash-family- or
         # sampling-specific (xxhash64 / hyperplanes / Arrow decode) — not

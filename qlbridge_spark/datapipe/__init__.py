@@ -23,6 +23,7 @@ from .dedup import (
     simhash,
     simhash_pairs,
 )
+from .sessions import session_stats, sessionize, sessionize_stream
 from .similarity import cosine_topk, ivf_build, ivf_topk
 from .text import fingerprint, lang_id, quality_score, token_count
 
@@ -39,6 +40,9 @@ __all__ = [
     "cosine_topk",
     "ivf_build",
     "ivf_topk",
+    "sessionize",
+    "session_stats",
+    "sessionize_stream",
     "lang_id",
     "quality_score",
     "token_count",
