@@ -861,8 +861,53 @@ def _b64decode(n, s):
 @_reg("json.jmespath", return_type=T.StringType())
 def _jmespath(n, s):
     path = _lit_str(n, 1)
-    jsonpath = "$." + path if not path.startswith("$") else path
-    return F.get_json_object(_c(n, s).cast("string"), jsonpath)
+    # simple dotted paths stay JVM-side (get_json_object); genuinely
+    # jmespath-y expressions (filters, projections, pipes, functions) fall
+    # back to the real jmespath library via an Arrow-batched pandas UDF —
+    # the documented slow path for exact parity (builtins/json.go:22)
+    if not any(ch in path for ch in "[?*|@(“`") and not path.startswith("$"):
+        return F.get_json_object(_c(n, s).cast("string"), "$." + path)
+    if path.startswith("$"):
+        return F.get_json_object(_c(n, s).cast("string"), path)
+    return _jmespath_udf(path)(_c(n, s).cast("string"))
+
+
+_JMESPATH_UDFS: dict[str, object] = {}
+
+
+def _jmespath_udf(path: str):
+    """One compiled Arrow UDF per distinct jmespath expression."""
+    if path in _JMESPATH_UDFS:
+        return _JMESPATH_UDFS[path]
+    import json as _json
+
+    import pandas as pd
+
+    try:
+        import jmespath
+
+        compiled = jmespath.compile(path)
+    except Exception as e:  # pragma: no cover - lib missing or bad path
+        raise TranslateError(f"json.jmespath: cannot compile {path!r}: {e}")
+
+    def run(col):
+        def one(v):
+            if v is None:
+                return None
+            try:
+                out = compiled.search(_json.loads(v))
+            except Exception:
+                return None
+            if out is None:
+                return None
+            return out if isinstance(out, str) else _json.dumps(out)
+
+        return col.map(one)
+
+    run.__annotations__ = {"col": pd.Series, "return": pd.Series}
+    udf = F.pandas_udf(run, T.StringType())
+    _JMESPATH_UDFS[path] = udf
+    return udf
 
 
 # ===========================================================================

@@ -360,6 +360,16 @@ def _binary(node: BinaryNode, scope: Scope) -> Column:
     if op in _ARITH:
         l = to_column(node.left, scope)
         r = to_column(node.right, scope)
+        if op == "/":
+            # ANSI Spark errors the whole query on ANY divide-by-zero;
+            # the reference errors per-ROW (int, vm/vm.go:1144) or yields
+            # Inf (float). try_divide's NULL ≈ the per-row not-ok.
+            ldt, rdt = infer_dtype(node.left, scope), infer_dtype(node.right, scope)
+            out = F.try_divide(l, r)
+            if isinstance(ldt, T.IntegralType) and isinstance(rdt, T.IntegralType):
+                # int/int TRUNCATES (integer division)
+                out = out.cast("long")
+            return out
         return _ARITH[op](l, r)
 
     if op == "IS":  # IS [NOT] NULL
@@ -407,6 +417,15 @@ def _comparison(node: BinaryNode, scope: Scope) -> Column:
         subject_node = node.left if isinstance(node.right, NullNode) else node.right
         present = exists_column(subject_node, scope)
         return present if node.op == "!=" else ~present
+
+    # numeric vs UNCOERCIBLE string literal: the VM's coercion fails →
+    # not-ok → row excluded under = AND != alike (vm/vm.go:350-366).
+    # NULL boolean reproduces that in filters.
+    for lit_node, other_dt in ((node.right, ldt), (node.left, rdt)):
+        if isinstance(lit_node, StringNode) and _is_numbery(other_dt):
+            v = lit_node.value.strip()
+            if not re.fullmatch(r"[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?", v):
+                return F.lit(None).cast("boolean")
 
     left = _coerced_operand(node.left, node.right, scope)
     right = _coerced_operand(node.right, node.left, scope)
