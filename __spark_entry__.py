@@ -238,6 +238,13 @@ _Q = {
         FROM (SELECT c_name, c_acctbal, c_nationkey FROM customer WHERE c_acctbal > 9000) AS rich
           JOIN nation ON rich.c_nationkey = n_nationkey
         ORDER BY bal DESC, c_name LIMIT 25""",
+    # §2.4 grouping-sets superset (reference: "not present")
+    "q32_rollup": """
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               round(sum(l_quantity), 2) AS qty
+        FROM lineitem
+        GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ORDER BY l_returnflag, l_linestatus""",
 }
 
 # FilterQL statement (run through the engine's FilterQL path)
@@ -586,6 +593,12 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT c_name, c_acctbal, c_nationkey FROM customer WHERE c_acctbal > 9000) AS rich
               JOIN nation ON rich.c_nationkey = n_nationkey
             ORDER BY bal DESC, c_name LIMIT 25""",
+        "q32_rollup": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n,
+                   round(sum(l_quantity), 2) AS qty
+            FROM lineitem
+            GROUP BY ROLLUP(l_returnflag, l_linestatus)
+            ORDER BY l_returnflag, l_linestatus""",
         "q21_filterql": """
             SELECT c_custkey, c_acctbal FROM customer
             WHERE c_acctbal > 5000 AND c_mktsegment = 'MACHINERY'

@@ -345,6 +345,8 @@ class Engine:
         group_names: list[str] = []
         group_sqls: dict[str, str] = {}
         for i, g in enumerate(sel.group_by):
+            if isinstance(g, NumberNode):  # GROUP BY 1 → positional
+                g = sel.columns[int(g.text) - 1].expr
             name = None
             for c in sel.columns:
                 if not c.is_star and c.expr.sql() == g.sql():
@@ -389,7 +391,13 @@ class Engine:
             hidden.extend(extra)
 
         if group_cols:
-            agged = df.groupBy(*group_cols).agg(*(agg_cols + hidden)) if (agg_cols + hidden) else df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("__cnt")).drop("__cnt")
+            if sel.group_mode == "ROLLUP":
+                grouped = df.rollup(*group_cols)
+            elif sel.group_mode == "CUBE":
+                grouped = df.cube(*group_cols)
+            else:
+                grouped = df.groupBy(*group_cols)
+            agged = grouped.agg(*(agg_cols + hidden)) if (agg_cols + hidden) else grouped.agg(F.count(F.lit(1)).alias("__cnt")).drop("__cnt")
         else:
             agged = df.agg(*(agg_cols + hidden))
 

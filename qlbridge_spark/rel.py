@@ -85,6 +85,7 @@ class SqlSelect:
     from_: list[FromSource] = field(default_factory=list)
     where: Node | None = None
     group_by: list[Node] = field(default_factory=list)
+    group_mode: str = ""  # "" | ROLLUP | CUBE (superset: SURVEY §2.4 "not present")
     having: Node | None = None
     order_by: list[tuple[Node, str]] = field(default_factory=list)
     limit: int | None = None
@@ -276,7 +277,13 @@ class SqlParser(ExprParser):
         if self.at_kw("GROUP"):
             self.advance()
             self.expect(IDENT, "BY")
-            sel.group_by = self.parse_expr_list()
+            if self.at_kw("ROLLUP", "CUBE") and self.peek().kind == LPAREN:
+                sel.group_mode = self.advance().upper
+                self.expect(LPAREN)
+                sel.group_by = self.parse_expr_list()
+                self.expect(RPAREN)
+            else:
+                sel.group_by = self.parse_expr_list()
         if self.eat_kw("HAVING"):
             sel.having = self.parse_expr()
         if self.at_kw("ORDER"):

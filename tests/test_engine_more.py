@@ -74,3 +74,27 @@ class TestMoreEngine:
         df = engine.execute("SHOW CREATE TABLE users")
         r = rows(df)[0]
         assert "CREATE TABLE `users`" in r[1] or "CREATE TABLE `users`" in r[0]
+
+
+class TestGroupingExtensions:
+    def test_group_by_positional(self, engine):
+        df = engine.sql("SELECT yy(reg_date) AS y, count(*) AS n FROM users GROUP BY 1 ORDER BY y")
+        assert [tuple(r) for r in df.collect()] == [(9, 2), (12, 1)]
+
+    def test_rollup(self, engine):
+        df = engine.sql(
+            "SELECT user_id, count(*) AS n FROM orders GROUP BY ROLLUP(user_id) ORDER BY user_id"
+        )
+        r = [tuple(x) for x in df.collect()]
+        assert (None, 3) in r  # grand total row
+        assert ("9Ip1aKbeZe2njCDM", 2) in r
+
+    def test_cube(self, engine):
+        df = engine.sql("SELECT user_id, item_id, count(*) AS n FROM orders GROUP BY CUBE(user_id, item_id)")
+        # cube of 2 cols → groupings: (a,b),(a),(b),() — 4+3+2+1? rows:
+        # distinct combos: 3 pairs + 2 users + 2 items + 1 total = 8
+        assert df.count() == 8
+
+    def test_having_references_select_alias(self, engine):
+        df = engine.sql("SELECT user_id, count(*) AS n FROM orders GROUP BY user_id HAVING n > 1")
+        assert [tuple(r) for r in df.collect()] == [("9Ip1aKbeZe2njCDM", 2)]
