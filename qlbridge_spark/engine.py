@@ -185,6 +185,21 @@ class Engine:
         iterator of Row."""
         return self.sql(text).toLocalIterator()
 
+    def execute_script(self, text: str) -> list:
+        """Run `;`-separated statements in order (rel.ParseSqlStatements,
+        rel/parse_sql.go:69); returns the per-statement results."""
+        from .rel import parse_sql_statements
+
+        return [self.execute_stmt(stmt) for stmt in parse_sql_statements(text)]
+
+    def explain(self, text: str, mode: str = "formatted") -> str:
+        """Formatted physical plan for a statement — the plan-inspection
+        loop (`PushedFilters` / `ReadSchema` / join strategies)."""
+        df = self.sql(text)
+        return df._jdf.queryExecution().explainString(
+            self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+        )
+
     def filter(self, df: DataFrame, filterql_text: str) -> DataFrame:
         """Apply a FilterQL statement to an arbitrary DataFrame
         (vm.Matches ≈ vm/filterqlvm.go:81)."""
