@@ -22,6 +22,18 @@ def _tokens(text_col):
     return F.filter(F.split(F.lower(F.trim(text_col)), r"\s+"), lambda t: t != F.lit(""))
 
 
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Repartition compute-heavy per-document pipelines to full
+    parallelism. Small-file inputs (one parquet file → one partition)
+    would otherwise run tokenize/shingle/hash single-threaded — the
+    classic small-input/heavy-CPU mismatch; the shuffle of raw docs is
+    negligible next to the per-row compute it unlocks."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, F.col(key))
+
+
 def _word_shingles(text_col, n: int):
     """Distinct word n-gram shingles of the text, as strings."""
     toks = _tokens(text_col)
@@ -87,7 +99,7 @@ def _minhash_sigs(
     ~50× slower at sf0.1).
     """
     params = _perm_params(num_hashes, seed)
-    exploded = df.select(
+    exploded = _spread(df, id_col).select(
         F.col(id_col).alias("__id"),
         F.explode(_word_shingles(F.col(text_col), shingle_size)).alias("__shingle"),
     )
@@ -258,7 +270,7 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 
 
     Returns (id_a, id_b, hamming).
     """
-    sigs = simhash(df, text_col, "simhash", chunks).select(F.col(id_col).alias("__id"), "simhash").persist()
+    sigs = simhash(_spread(df, id_col), text_col, "simhash", chunks).select(F.col(id_col).alias("__id"), "simhash").persist()
     banded = sigs.select("__id", "simhash", F.posexplode("simhash").alias("__chunk_idx", "__chunk_val"))
     l, r = banded.alias("l"), banded.alias("r")
     cands = (
@@ -295,7 +307,7 @@ def ngram_jaccard_pairs(
 
     Returns (id_a, id_b, jaccard >= threshold).
     """
-    grams_df = df.select(F.col(id_col).alias("__id"), _word_shingles(F.col(text_col), n).alias("__grams")).withColumn(
+    grams_df = _spread(df, id_col).select(F.col(id_col).alias("__id"), _word_shingles(F.col(text_col), n).alias("__grams")).withColumn(
         "__n_grams", F.size("__grams")
     )
     inv = grams_df.select("__id", "__n_grams", F.explode("__grams").alias("__gram"))
@@ -343,7 +355,7 @@ def embedding_dup_pairs(
         )
 
     half = planes // 2
-    sk = df.select(F.col(id_col).alias("__id"), v.alias("__v"), sketch_bits(v).alias("__sk")).persist()
+    sk = _spread(df, id_col).select(F.col(id_col).alias("__id"), v.alias("__v"), sketch_bits(v).alias("__sk")).persist()
     sk = sk.select(
         "__id",
         "__v",
