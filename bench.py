@@ -30,6 +30,11 @@ def main() -> int:
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # local-bench scan sizing: the SF inputs are single small files; a
+        # lower split size gives #scan-tasks ≈ cores. (At real scale the
+        # 128MB default is right — files are many and large.)
+        .config("spark.sql.files.maxPartitionBytes", str(4 << 20))
+        .config("spark.sql.files.openCostInBytes", str(1 << 20))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .appName("qlbridge_spark_bench")

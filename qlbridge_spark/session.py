@@ -19,12 +19,17 @@ RECOMMENDED_CONF = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
-    # scan parallelism: one task per ~128MB of input
-    "spark.sql.files.maxPartitionBytes": str(128 << 20),
-    # broadcast threshold: dims up to 64MB broadcast instead of shuffling
-    "spark.sql.autoBroadcastJoinThreshold": str(64 << 20),
     # Arrow transfer for mapInPandas (multimodal decode path)
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+# sizing knobs that depend on the deployment — applied only when the
+# session is still on Spark's defaults (never clobber launch-time tuning):
+# scan parallelism (one task per ~128MB at scale; lower for tiny local
+# inputs) and the broadcast threshold for dimension tables.
+SIZING_CONF = {
+    "spark.sql.files.maxPartitionBytes": (str(128 << 20), "134217728b"),
+    "spark.sql.autoBroadcastJoinThreshold": (str(64 << 20), "10485760b"),
 }
 
 
@@ -35,6 +40,12 @@ def configure(spark: SparkSession, shuffle_partitions: int | None = None) -> Spa
             spark.conf.set(k, v)
         except Exception:
             pass  # static conf on a running session — leave as launched
+    for k, (v, default) in SIZING_CONF.items():
+        try:
+            if spark.conf.get(k, default) == default:
+                spark.conf.set(k, v)
+        except Exception:
+            pass
     if shuffle_partitions:
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     return spark
