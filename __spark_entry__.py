@@ -197,6 +197,15 @@ _Q = {
         ORDER BY p_partkey""",
     # literal select (plan/planner_select.go:267-286)
     "q20_literal": """SELECT 1 AS one, "hello" AS greeting, 2 * 3 AS six""",
+    # §2.8 negation wrappers (NOT IN / NOT LIKE / NOT BETWEEN,
+    # expr/node.go:103-128 NegateableNode)
+    "q34_negations": """
+        SELECT p_partkey, p_brand, p_size
+        FROM part
+        WHERE p_brand NOT LIKE "%#4%"
+          AND p_size NOT BETWEEN 10 AND 40
+          AND p_brand NOT IN ("Brand#55")
+        ORDER BY p_partkey""",
     # §2.8 BETWEEN over timestamps (exclusive, vm/vm.go:901)
     "q24_time_between": """
         SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total
@@ -270,6 +279,17 @@ def _q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     hi = eng.sql('SELECT c_custkey, "high" AS tier FROM customer WHERE c_acctbal >= 8000')
     lo = eng.sql('SELECT c_custkey, "low" AS tier FROM customer WHERE c_acctbal < 1000')
     return hi.unionAll(lo)
+
+
+def _q_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # INTERSECT/EXCEPT superset: nations having customers AND suppliers,
+    # minus any nation named like AMERICA-region ones... keep it simple:
+    eng = _engine(spark, sf_dir)
+    cust_nations = eng.sql("SELECT c_nationkey AS nk FROM customer")
+    supp_nations = eng.sql("SELECT s_nationkey AS nk FROM supplier")
+    both = cust_nations.intersect(supp_nations)
+    only_cust = cust_nations.distinct().exceptAll(supp_nations.distinct())
+    return both.withColumn("src", F.lit("both")).unionAll(only_cust.withColumn("src", F.lit("cust_only")))
 
 
 def _q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -431,6 +451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q21_filterql"] = _q_filterql
     out["q22_union"] = _q_union
     out["q23_window_rank"] = _q_window_rank
+    out["q33_intersect_except"] = _q_intersect_except
     out["dp01_exact_dedup"] = _dp_exact_dedup
     out["dp02_fingerprint"] = _dp_fingerprint
     out["dp03_token_count"] = _dp_token_count
@@ -599,6 +620,23 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             GROUP BY ROLLUP(l_returnflag, l_linestatus)
             ORDER BY l_returnflag, l_linestatus""",
+        "q33_intersect_except": """
+            SELECT nk, 'both' AS src FROM (
+              SELECT c_nationkey AS nk FROM customer
+              INTERSECT
+              SELECT s_nationkey AS nk FROM supplier)
+            UNION ALL
+            SELECT nk, 'cust_only' AS src FROM (
+              SELECT DISTINCT c_nationkey AS nk FROM customer
+              EXCEPT
+              SELECT DISTINCT s_nationkey AS nk FROM supplier)""",
+        "q34_negations": """
+            SELECT p_partkey, p_brand, p_size
+            FROM part
+            WHERE p_brand NOT LIKE '%#4%'
+              AND NOT (p_size > 10 AND p_size < 40)
+              AND p_brand NOT IN ('Brand#55')
+            ORDER BY p_partkey""",
         "q21_filterql": """
             SELECT c_custkey, c_acctbal FROM customer
             WHERE c_acctbal > 5000 AND c_mktsegment = 'MACHINERY'

@@ -452,6 +452,9 @@ def _in(node: BinaryNode, scope: Scope) -> Column:
     if isinstance(node.right, ArrayNode):
         vals = [_coerced_operand(i, node.left, scope) for i in node.right.items]
         return l.isin(*vals)
+    if isinstance(node.right, (StringNode, NumberNode, BoolNode)):
+        # single-element list: `x IN ("a")` parses as a parenthesized scalar
+        return l.isin(_coerced_operand(node.right, node.left, scope))
     rdt = infer_dtype(node.right, scope)
     r = to_column(node.right, scope)
     if isinstance(rdt, T.MapType):
