@@ -13,6 +13,7 @@ except multimodal decoders, which are Arrow-batched ``mapInPandas``.
 """
 
 from .dedup import (
+    connected_components,
     dedup_exact,
     embedding_dup_pairs,
     lsh_candidate_pairs,
@@ -29,6 +30,7 @@ from .text import fingerprint, lang_id, quality_score, token_count
 
 __all__ = [
     "dedup_exact",
+    "connected_components",
     "minhash_signature",
     "lsh_candidate_pairs",
     "minhash_pairs",

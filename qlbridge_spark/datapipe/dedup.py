@@ -214,17 +214,56 @@ def minhash_pairs(
     )
 
 
-def minhash_dedup(df: DataFrame, id_col: str, text_col: str, threshold: float = 0.7, **kw) -> DataFrame:
-    """Drop near-duplicates: each connected near-dup pair keeps the min id.
+def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 10) -> DataFrame:
+    """Connected components over a pair list via iterative min-label
+    propagation: every node repeatedly adopts the minimum label among
+    itself and its neighbors; converges in O(component diameter)
+    iterations (each = one shuffle join + one aggregation — the standard
+    large-scale CC loop; diameters of near-dup clusters are tiny).
 
-    Single-pass min-neighbor contraction (a doc is dropped if it has any
-    smaller-id near-duplicate). For chain-transitive clusters a few
-    iterations of this operator converge; one pass is the standard
-    large-scale approximation (full connected components needs iterative
-    joins).
+    Returns (node, component) where component = min node id reachable.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionAll(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn("comp", F.col("node"))
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("comp").alias("__nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
+            .select("node", F.least(F.col("comp"), F.coalesce(F.col("__nmin"), F.col("comp"))).alias("comp"))
+        )
+        changed = new_labels.alias("n").join(labels.alias("o"), "node").filter(F.col("n.comp") != F.col("o.comp")).limit(1).count()
+        labels = new_labels.persist()
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def minhash_dedup(df: DataFrame, id_col: str, text_col: str, threshold: float = 0.7, exact: bool = True, **kw) -> DataFrame:
+    """Drop near-duplicates, keeping one representative (the min id) per
+    connected near-dup cluster.
+
+    ``exact=True`` (default) resolves transitive chains with the
+    connected-components loop; ``exact=False`` is the cheaper single-pass
+    approximation (drop any doc with a smaller-id direct neighbor), which
+    can keep both endpoints of an a~b~c chain when (a,c) weren't direct
+    candidates.
     """
     pairs = minhash_pairs(df, id_col, text_col, threshold, **kw)
-    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    if not exact:
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        return df.join(losers, on=id_col, how="left_anti")
+    comps = connected_components(pairs)
+    losers = comps.filter(F.col("node") != F.col("comp")).select(F.col("node").alias(id_col))
     return df.join(losers, on=id_col, how="left_anti")
 
 

@@ -305,7 +305,17 @@ def to_column(node: Node, scope: Scope) -> Column:
         inner = scope.includes.get(node.name)
         if inner is None:
             raise TranslateError(f"INCLUDE {node.name!r} not registered")
-        c = to_column(inner, scope)
+        # cycle guard (reference's ResolveIncludes errors on cycles too)
+        stack = getattr(scope, "_include_stack", None)
+        if stack is None:
+            stack = scope._include_stack = []
+        if node.name in stack:
+            raise TranslateError(f"INCLUDE cycle: {' -> '.join([*stack, node.name])}")
+        stack.append(node.name)
+        try:
+            c = to_column(inner, scope)
+        finally:
+            stack.pop()
         return ~c if node.negated else c
     if isinstance(node, MatchAllNode):
         return F.lit(True)

@@ -173,3 +173,27 @@ class TestMultimodal:
         mm = attach_fake_payload(docs.limit(1), "doc_id", "text")
         with pytest.raises(Exception):
             decode_features(mm, strict=True).collect()
+
+
+class TestConnectedComponents:
+    def test_transitive_chain_resolved(self, spark):
+        from qlbridge_spark.datapipe import connected_components
+
+        pairs = spark.createDataFrame([(5, 2), (2, 9), (9, 7), (11, 12)], "id_a long, id_b long")
+        comps = {r["node"]: r["comp"] for r in connected_components(pairs).collect()}
+        assert comps[5] == comps[2] == comps[9] == comps[7] == 2
+        assert comps[11] == comps[12] == 11
+
+    def test_include_cycle_detection(self, spark):
+        import pytest
+
+        from qlbridge_spark import Engine, TranslateError
+
+        eng = Engine(spark)
+        eng.register_rows("cyc", [{"x": 1}])
+        eng.register_include("a", "x > 0")
+        eng.includes["a"] = __import__("qlbridge_spark").parse_expression("x > 0 AND INCLUDE b")
+        eng.includes["b"] = __import__("qlbridge_spark").parse_expression("INCLUDE a")
+        with pytest.raises(TranslateError, match="cycle"):
+            eng.execute("FILTER INCLUDE a FROM cyc").count()
+        eng.execute("DROP TABLE cyc")
