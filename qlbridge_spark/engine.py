@@ -204,7 +204,7 @@ class Engine:
         """Apply a FilterQL statement to an arbitrary DataFrame
         (vm.Matches ≈ vm/filterqlvm.go:81)."""
         stmt = parse_filterql(filterql_text)
-        scope = Scope({"_": df}, includes=self.includes)
+        scope = Scope({"_": df}, includes=self.includes, strict=False)
         return df.filter(to_column(stmt.filter, scope))
 
     # ------------------------------------------------------------------
@@ -528,7 +528,7 @@ class Engine:
         if not stmt.from_:
             raise ExecError("FILTER without FROM requires engine.filter(df, ...)")
         df = self.table(stmt.from_)
-        scope = Scope({stmt.from_: df}, includes=self.includes)
+        scope = Scope({stmt.from_: df}, includes=self.includes, strict=False)
         out = df.filter(to_column(stmt.filter, scope))
         if stmt.limit:
             out = out.limit(stmt.limit)
@@ -540,7 +540,7 @@ class Engine:
         """Single-record FilterQL match ≈ vm.Matches (vm/filterqlvm.go:81)."""
         stmt = parse_filterql(filterql_text)
         df = self.spark.createDataFrame([context])
-        scope = Scope({"_": df}, includes=self.includes)
+        scope = Scope({"_": df}, includes=self.includes, strict=False)
         return df.filter(to_column(stmt.filter, scope)).count() > 0
 
     # ------------------------------------------------------------------

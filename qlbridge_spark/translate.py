@@ -138,10 +138,18 @@ class Scope:
         frames: dict[str, DataFrame] | None = None,
         includes: dict[str, Node] | None = None,
         params: dict[str, object] | None = None,
+        strict: bool = True,
     ):
+        """``strict=False`` resolves unknown identities to NULL instead of
+        erroring — the reference's VM/FilterQL behavior over schemaless
+        records (missing field ⇒ predicate not-true, vm/vm.go:252-274),
+        vs its plan-time error for unknown SELECT columns
+        (testutil/testsuite.go:138). SQL projection uses strict scopes;
+        FilterQL/vm entry points use lenient ones."""
         self.frames = frames or {}
         self.includes = includes or {}
         self.params = params or {}
+        self.strict = strict
         self._fields: dict[str, tuple[str, T.StructField]] = {}
         multi = len(self.frames) > 1
         for alias, df in self.frames.items():
@@ -179,6 +187,8 @@ class Scope:
                     alias, fld = hit
                     colref = f"{alias}.{fld.name}" if self.multi else fld.name
                     return F.col(colref), fld.dataType, parts[take:]
+        if not self.strict:
+            return F.lit(None), T.NullType(), ()
         # unresolved → error like the reference (testutil/testsuite.go:138)
         raise TranslateError(f"unknown column {ident.name!r}; known: {sorted(self._fields)[:20]}")
 

@@ -44,7 +44,7 @@ def matches(spark: SparkSession, context: dict, filterql_text: str, includes: di
     inc = {}
     if includes:
         inc = {k.lower(): parse_expression(v) for k, v in includes.items()}
-    return df.filter(to_column(stmt.filter, Scope({"_": df}, includes=inc))).count() > 0
+    return df.filter(to_column(stmt.filter, Scope({"_": df}, includes=inc, strict=False))).count() > 0
 
 
 def eval_sql(spark: SparkSession, sql_text: str, context: dict):

@@ -57,3 +57,25 @@ class TestJmespathComplex:
 
     def test_simple_path_stays_native(self, evals):
         assert evals(['json.jmespath(json_data, "name")']) == ["aaron"]
+
+
+class TestLenientFilterScopes:
+    def test_missing_field_in_filterql_not_matched(self, engine):
+        # reference VM: missing field => predicate not-true, no error
+        # (vm/vm.go:252-274); SQL SELECT of unknown columns still errors
+        df = engine.execute("FILTER nonexistent_field > 5 FROM users")
+        assert df.count() == 0
+
+    def test_missing_field_exists_false(self, spark):
+        from qlbridge_spark.vm import matches
+
+        assert not matches(spark, {"x": 1}, "FILTER EXISTS some_missing_field")
+        assert matches(spark, {"x": 1}, "FILTER OR(EXISTS missing, x > 0)")
+
+    def test_sql_select_unknown_column_still_errors(self, engine):
+        import pytest
+
+        from qlbridge_spark import TranslateError
+
+        with pytest.raises((TranslateError, ValueError)):
+            engine.sql("SELECT nonexistent_field FROM users")
