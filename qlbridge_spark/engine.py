@@ -225,7 +225,7 @@ class Engine:
 
         if is_agg:
             df = self._aggregate(df, scope, sel)
-            out_scope = Scope({"_": df}, includes=self.includes)
+            out_scope = Scope({"_": df}, includes=self.includes, params=self.session_vars)
             df = self._order_limit(df, out_scope, sel, post_agg=True)
             return df
 
@@ -245,7 +245,7 @@ class Engine:
             # DISTINCT applies to the projected rows; sort keys must be
             # output columns (or re-translatable against them)
             df = df.select(*proj).distinct()
-            out_scope = Scope({"_": df}, includes=self.includes)
+            out_scope = Scope({"_": df}, includes=self.includes, params=self.session_vars)
             order = []
             for (name, c, direction), (e, _) in zip(sort_cols, sel.order_by):
                 col = F.col(name) if c is None else to_column(e, out_scope)
@@ -286,7 +286,7 @@ class Engine:
         for src in sel.from_[1:]:
             other = self._resolve_source(src)
             frames[src.ref] = other
-            scope = Scope(dict(frames), includes=self.includes)
+            scope = Scope(dict(frames), includes=self.includes, params=self.session_vars)
             how = {
                 "": "inner",
                 "INNER": "inner",
@@ -304,7 +304,7 @@ class Engine:
                 joined = joined.join(other, on=cond, how=how)
             else:
                 joined = joined.crossJoin(other)
-        scope = Scope(frames, includes=self.includes)
+        scope = Scope(frames, includes=self.includes, params=self.session_vars)
         return joined, scope
 
     # -- WHERE -------------------------------------------------------------
@@ -417,7 +417,7 @@ class Engine:
             agged = df.agg(*(agg_cols + hidden))
 
         if having_node is not None:
-            hscope = Scope({"_": agged}, includes=self.includes)
+            hscope = Scope({"_": agged}, includes=self.includes, params=self.session_vars)
             agged = agged.filter(to_column(having_node, hscope))
         # drop hidden having columns by name
         drop_hidden = [n for n in agged.columns if n.startswith("__hav_")]
@@ -497,7 +497,7 @@ class Engine:
                 if isinstance(e, NumberNode):
                     c = F.col(df.columns[int(e.text) - 1])
                 else:
-                    c = to_column(e, Scope({"_": df}, includes=self.includes))
+                    c = to_column(e, Scope({"_": df}, includes=self.includes, params=self.session_vars))
                 cols.extend(self._directional(c, direction))
             df = df.orderBy(*cols)
         if sel.offset:
@@ -510,7 +510,7 @@ class Engine:
 
     def _literal_select(self, sel: SqlSelect) -> DataFrame:
         """``SELECT 1, "hello"`` — no FROM (plan/planner_select.go:267-286)."""
-        scope = Scope({}, includes=self.includes)
+        scope = Scope({}, includes=self.includes, params=self.session_vars)
         cols = []
         for i, c in enumerate(sel.columns):
             cols.append(to_column(c.expr, scope).alias(c.alias or c.expr.sql().strip("'")))
@@ -598,7 +598,7 @@ class Engine:
         if ins.select is not None:
             new = self._select(ins.select).toDF(*ins.columns) if ins.columns else self._select(ins.select)
         else:
-            scope = Scope({}, includes=self.includes)
+            scope = Scope({}, includes=self.includes, params=self.session_vars)
             rows = []
             for r in ins.rows:
                 row = {}

@@ -98,3 +98,13 @@ class TestGroupingExtensions:
     def test_having_references_select_alias(self, engine):
         df = engine.sql("SELECT user_id, count(*) AS n FROM orders GROUP BY user_id HAVING n > 1")
         assert [tuple(r) for r in df.collect()] == [("9Ip1aKbeZe2njCDM", 2)]
+
+
+class TestSessionVarsInQueries:
+    def test_session_var_reference(self, engine):
+        engine.execute("SET @min_refs = 50")
+        df = engine.sql("SELECT user_id FROM users WHERE referral_count > @min_refs")
+        assert df.count() == 1
+        engine.execute('SET @min_refs = 5')
+        df2 = engine.sql("SELECT user_id FROM users WHERE referral_count > @min_refs")
+        assert df2.count() == 3
