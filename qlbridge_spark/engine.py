@@ -598,14 +598,20 @@ class Engine:
         if ins.select is not None:
             new = self._select(ins.select).toDF(*ins.columns) if ins.columns else self._select(ins.select)
         else:
+            # VALUES may contain expressions — uuid(), now(), todate(...)
+            # (exec/exec_test.go INSERT/UPSERT cases) — translate each row
+            # as a 1-row projection and union
             scope = Scope({}, includes=self.includes, params=self.session_vars)
-            rows = []
+            row_dfs = []
             for r in ins.rows:
-                row = {}
-                for cname, node in zip(ins.columns, r):
-                    row[cname] = _literal_value(node)
-                rows.append(row)
-            new = self.spark.createDataFrame(rows, schema=T.StructType([f for f in base.schema.fields if f.name in ins.columns]))
+                cols = [to_column(node, scope).alias(cname) for cname, node in zip(ins.columns, r)]
+                row_dfs.append(self.spark.range(1).select(*cols))
+            new = row_dfs[0]
+            for d in row_dfs[1:]:
+                new = new.unionByName(d)
+            for f in base.schema.fields:
+                if f.name in new.columns:
+                    new = new.withColumn(f.name, F.col(f.name).cast(f.dataType))
         n = new.count()
         merged = base.unionByName(new, allowMissingColumns=True)
         if ins.upsert:

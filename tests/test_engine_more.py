@@ -108,3 +108,72 @@ class TestSessionVarsInQueries:
         engine.execute('SET @min_refs = 5')
         df2 = engine.sql("SELECT user_id FROM users WHERE referral_count > @min_refs")
         assert df2.count() == 3
+
+
+class TestExecTestParity:
+    """Pinned behaviors from /root/reference/exec/exec_test.go."""
+
+    def test_mixed_expression_columns(self, engine):
+        # TestExecSelectWhere: expr, literal, and boolean-expr columns
+        df = engine.sql(
+            "select user_id, email, referral_count * 2, 5, yy(reg_date) > 10 FROM users WHERE yy(reg_date) > 10"
+        )
+        rows = [tuple(r) for r in df.collect()]
+        assert len(rows) == 1 and len(rows[0]) == 5
+        assert rows[0][0] == "9Ip1aKbeZe2njCDM"
+        assert rows[0][2] == 164
+        assert rows[0][3] == 5
+        assert rows[0][4] is True
+
+    def test_group_by_counts_and_avg(self, engine):
+        # TestExecGroupBy: count(user_id), avg(price) per user
+        df = engine.sql("select user_id, count(user_id) AS ct, avg(price) AS ap FROM orders GROUP BY user_id")
+        got = {r[0]: (r[1], r[2]) for r in df.collect()}
+        assert got["9Ip1aKbeZe2njCDM"] == (2, 30.0)
+        assert got["abcabcabc"] == (1, 22.5)
+
+    def test_having_on_alias_order_ct(self, engine):
+        # TestExecHaving
+        df = engine.sql(
+            "select user_id, count(user_id) AS order_ct FROM orders GROUP BY user_id HAVING order_ct > 1"
+        )
+        assert [tuple(r) for r in df.collect()] == [("9Ip1aKbeZe2njCDM", 2)]
+
+    def test_insert_with_function_values(self, engine, spark):
+        # TestExecDelete: INSERT VALUES with uuid()/now()
+        import pyspark.sql.types as T
+
+        schema = T.StructType([
+            T.StructField("id", T.StringType()),
+            T.StructField("user_id", T.StringType()),
+            T.StructField("event", T.StringType()),
+            T.StructField("date", T.TimestampType()),
+        ])
+        engine.register_df("user_event2", spark.createDataFrame([], schema))
+        n = engine.execute(
+            'INSERT into user_event2 (id, user_id, event, date) VALUES '
+            '(uuid(), "9Ip1aKbeZe2njCDM", "logon", now()), (uuid(), "abcd", "click", now())'
+        )
+        assert n == 2
+        rows = engine.table("user_event2").collect()
+        assert len(rows) == 2
+        assert len({r["id"] for r in rows}) == 2  # distinct uuids
+        assert all(r["date"] is not None for r in rows)
+        engine.execute("DROP TABLE user_event2")
+
+    def test_upsert_changes_date(self, engine, spark):
+        # TestExecUpsert: same key re-upserted with a new todate()
+        import pyspark.sql.types as T
+
+        schema = T.StructType([
+            T.StructField("id", T.StringType()),
+            T.StructField("event", T.StringType()),
+            T.StructField("date", T.TimestampType()),
+        ])
+        engine.register_df("user_event3", spark.createDataFrame([], schema))
+        engine.execute('UPSERT into user_event3 (id, event, date) VALUES ("1234abcd", "logon", todate("2012/07/07"))')
+        engine.execute('UPSERT into user_event3 (id, event, date) VALUES ("1234abcd", "logon", todate("2013/07/07"))')
+        rows = engine.table("user_event3").collect()
+        assert len(rows) == 1
+        assert rows[0]["date"].year == 2013
+        engine.execute("DROP TABLE user_event3")
