@@ -433,6 +433,30 @@ def _dp_cosine_pairs(spark, sf_dir):
     )
 
 
+def _dp_curation_report(spark, sf_dir):
+    # composite pipeline: per-language corpus stats (the shape of a
+    # training-data QA rollup: derive row features → group → aggregate)
+    from qlbridge_spark.datapipe import quality_score, token_count
+
+    d = _docs(spark, sf_dir)
+    derived = d.select(
+        "lang",
+        token_count(F.col("text")).cast("long").alias("toks"),
+        quality_score(F.col("text"), F.col("n_chars")).alias("q"),
+        F.col("n_chars"),
+    )
+    return (
+        derived.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("toks").alias("tokens"),
+            F.round(F.avg("q"), 3).alias("avg_quality"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
 def _dp_multimodal(spark, sf_dir):
     from qlbridge_spark.datapipe.multimodal import attach_fake_payload, decode_features
 
@@ -465,6 +489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["dp11_multimodal_decode"] = _dp_multimodal
     out["dp12_sessionize"] = _dp_sessionize
     out["dp13_cosine_pairs"] = _dp_cosine_pairs
+    out["dp14_curation_report"] = _dp_curation_report
     return out
 
 
@@ -714,6 +739,26 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a, embeddings b
             WHERE a.vec_id < b.vec_id AND a.vec_id < 200 AND b.vec_id < 200
               AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) > 0.25""",
+        "dp14_curation_report": """
+            SELECT lang, count(*) AS docs,
+                   CAST(sum(toks) AS BIGINT) AS tokens,
+                   round(avg(q), 3) AS avg_quality,
+                   max(n_chars) AS max_chars
+            FROM (
+              SELECT lang, n_chars,
+                     CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS BIGINT) AS toks,
+                     0.4 * least(n_chars / 500.0, 1.0)
+                     + 0.3 * (CASE WHEN n_toks > 0 THEN n_distinct / n_toks ELSE 0.0 END)
+                     + 0.3 * (1.0 - CASE WHEN n_chars > 0 THEN punct / CAST(n_chars AS DOUBLE) ELSE 1.0 END) AS q
+              FROM (
+                SELECT lang, text, n_chars,
+                       CAST(len(lt) AS DOUBLE) AS n_toks,
+                       CAST(len(list_distinct(lt)) AS DOUBLE) AS n_distinct,
+                       CAST(len(regexp_extract_all(text, '[.,;:!?()\\[\\]{}<>/\\\\|@#$%^&*~`]')) AS DOUBLE) AS punct
+                FROM (SELECT lang, text, n_chars,
+                             list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS lt
+                      FROM documents)))
+            GROUP BY lang ORDER BY lang""",
         # dp07_minhash_pairs / dp08_simhash_pairs / dp09_ngram_jaccard /
         # dp10_ivf_topk / dp11_multimodal_decode: hash-family- or
         # sampling-specific (xxhash64 / hyperplanes / Arrow decode) — not
