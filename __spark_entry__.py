@@ -16,7 +16,12 @@ Conventions to keep the value-hash comparison deterministic:
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# make qlbridge_spark importable regardless of the driver's CWD/sys.path
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
