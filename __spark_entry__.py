@@ -377,17 +377,29 @@ def _dp_ann_topk(spark, sf_dir):
 
 
 def _dp_minhash_pairs(spark, sf_dir):
-    from qlbridge_spark.datapipe import minhash_pairs
+    # production two-phase shape: MinHash LSH candidates (bands=num_hashes
+    # → recall 1-(1-j)^64, effectively exhaustive at j>=0.5) + EXACT
+    # n-gram Jaccard verify — output equals the exhaustive exact pair set,
+    # which the DuckDB oracle computes directly. floor(j*1e4) avoids
+    # cross-engine float-rounding divergence.
+    from qlbridge_spark.datapipe import lsh_jaccard_pairs
 
     d = _docs(spark, sf_dir)
-    return minhash_pairs(d, "doc_id", "text", threshold=0.5).select("id_a", "id_b", F.round("est_jaccard", 4).alias("est_j"))
+    return lsh_jaccard_pairs(d, "doc_id", "text", threshold=0.5, bands=64).select(
+        "id_a", "id_b", F.floor(F.col("jaccard") * 10000).cast("long").alias("j_x1e4")
+    )
 
 
 def _dp_simhash_pairs(spark, sf_dir):
+    # portable=True derives token-hash bits from md5 so the DuckDB oracle
+    # can replicate the signature bit-for-bit (xxhash64 is the scale-path
+    # default, exercised by pytest)
     from qlbridge_spark.datapipe import simhash_pairs
 
     d = _docs(spark, sf_dir)
-    return simhash_pairs(d, "doc_id", "text", max_hamming=6)
+    return simhash_pairs(d, "doc_id", "text", max_hamming=6, portable=True).select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
 
 
 def _dp_ngram_jaccard(spark, sf_dir):
@@ -395,15 +407,17 @@ def _dp_ngram_jaccard(spark, sf_dir):
 
     d = _docs(spark, sf_dir)
     return ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.4, df_cap=250).select(
-        "id_a", "id_b", F.round("jaccard", 4).alias("j")
+        "id_a", "id_b", F.floor(F.col("jaccard") * 10000).cast("long").alias("j_x1e4")
     )
 
 
 def _dp_ivf_topk(spark, sf_dir):
+    # method='min_id' picks the n_cells smallest ids as centroids — same
+    # orderBy+limit scale path as 'hash', but replicable in ANSI SQL
     from qlbridge_spark.datapipe import ivf_build, ivf_topk
 
     emb = _emb(spark, sf_dir)
-    assigned, cents = ivf_build(emb, n_cells=8)
+    assigned, cents = ivf_build(emb, n_cells=8, method="min_id")
     queries = emb.filter(F.col("vec_id") < 5)
     return ivf_topk(assigned, cents, queries, k=5, nprobe=3).select("query_id", "neighbor_id", "rank")
 
@@ -463,9 +477,11 @@ def _dp_curation_report(spark, sf_dir):
 
 
 def _dp_multimodal(spark, sf_dir):
+    # doc_id < 50 (not .limit) so the row set is deterministic for the
+    # oracle; the decode itself is the real Arrow mapInPandas path
     from qlbridge_spark.datapipe.multimodal import attach_fake_payload, decode_features
 
-    d = _docs(spark, sf_dir).limit(50)
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 50)
     mm = attach_fake_payload(d, "doc_id", "text")
     return decode_features(mm).select("doc_id", "n_bytes", "sha256")
 
@@ -764,8 +780,130 @@ def oracle_sql() -> dict[str, str]:
                              list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS lt
                       FROM documents)))
             GROUP BY lang ORDER BY lang""",
-        # dp07_minhash_pairs / dp08_simhash_pairs / dp09_ngram_jaccard /
-        # dp10_ivf_topk / dp11_multimodal_decode: hash-family- or
-        # sampling-specific (xxhash64 / hyperplanes / Arrow decode) — not
-        # replicable in ANSI SQL; driver records the weaker rows-only check.
+        # dp07: the Spark side is MinHash-LSH candidates + exact n-gram
+        # Jaccard verify with single-hash bands (miss prob < 2^-64 at the
+        # threshold), so its output equals the exhaustive exact pair set —
+        # which SQL computes directly via an inverted-index self-join.
+        "dp07_minhash_pairs": """
+            WITH g AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) - 2 < 1 THEN [array_to_string(toks, ' ')]
+                          ELSE list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                                 i -> array_to_string(list_slice(toks, i, i + 2), ' '))) END AS grams
+              FROM (SELECT doc_id,
+                           list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS toks
+                    FROM documents)),
+            inv AS (SELECT doc_id, len(grams) AS ng, unnest(grams) AS gram FROM g),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter,
+                     any_value(a.ng) AS na, any_value(b.ng) AS nb
+              FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id)
+            SELECT id_a, id_b,
+                   CAST(floor(10000 * (inter / CAST(na + nb - inter AS DOUBLE))) AS BIGINT) AS j_x1e4
+            FROM pairs
+            WHERE inter / CAST(na + nb - inter AS DOUBLE) >= 0.5""",
+        # dp08: full SimHash replica — md5-derived 64-bit token hashes
+        # (portable=True on the Spark side), per-bit +/-1 votes, 4×16-bit
+        # chunks (MSB-first fold), pigeonhole banding on equal chunks,
+        # exact Hamming via bit_count(xor).
+        "dp08_simhash_pairs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS tok
+              FROM documents),
+            th AS (
+              SELECT doc_id,
+                     CAST(concat('0x', substring(md5(tok), 1, 8)) AS BIGINT) AS hi,
+                     CAST(concat('0x', substring(md5(tok), 9, 8)) AS BIGINT) AS lo
+              FROM toks),
+            votes AS (
+              SELECT doc_id, j,
+                     sum(CASE WHEN (CASE WHEN j < 32 THEN (lo >> j) & 1
+                                         ELSE (hi >> (j - 32)) & 1 END) = 1
+                              THEN 1 ELSE -1 END) AS v
+              FROM th, (SELECT unnest(generate_series(0, 63)) AS j)
+              GROUP BY doc_id, j),
+            chunks AS (
+              SELECT doc_id, CAST(j // 16 AS INT) AS c,
+                     sum((CASE WHEN v > 0 THEN 1 ELSE 0 END) << (15 - (j % 16))) AS cv
+              FROM votes GROUP BY doc_id, j // 16),
+            sigs AS (
+              SELECT doc_id,
+                     max(CASE WHEN c = 0 THEN cv END) AS c0,
+                     max(CASE WHEN c = 1 THEN cv END) AS c1,
+                     max(CASE WHEN c = 2 THEN cv END) AS c2,
+                     max(CASE WHEN c = 3 THEN cv END) AS c3
+              FROM chunks GROUP BY doc_id)
+            SELECT id_a, id_b, hamming FROM (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CAST(bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1))
+                        + bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) AS BIGINT) AS hamming
+              FROM sigs a JOIN sigs b
+                ON a.doc_id < b.doc_id
+               AND (a.c0 = b.c0 OR a.c1 = b.c1 OR a.c2 = b.c2 OR a.c3 = b.c3))
+            WHERE hamming <= 6""",
+        # dp09: exact replica of the inverted-index n-gram Jaccard with the
+        # df_cap stop-gram guard (intersections count only rare grams;
+        # union sizes use the full gram sets — same as the Spark pipeline).
+        "dp09_ngram_jaccard": """
+            WITH g AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) - 2 < 1 THEN [array_to_string(toks, ' ')]
+                          ELSE list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                                 i -> array_to_string(list_slice(toks, i, i + 2), ' '))) END AS grams
+              FROM (SELECT doc_id,
+                           list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS toks
+                    FROM documents)),
+            inv0 AS (SELECT doc_id, len(grams) AS ng, unnest(grams) AS gram FROM g),
+            rare AS (SELECT gram FROM inv0 GROUP BY gram HAVING count(*) <= 250),
+            inv AS (SELECT inv0.* FROM inv0 JOIN rare USING (gram)),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter,
+                     any_value(a.ng) AS na, any_value(b.ng) AS nb
+              FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id)
+            SELECT id_a, id_b,
+                   CAST(floor(10000 * (inter / CAST(na + nb - inter AS DOUBLE))) AS BIGINT) AS j_x1e4
+            FROM pairs
+            WHERE inter / CAST(na + nb - inter AS DOUBLE) >= 0.4""",
+        # dp10: full IVF replica — centroids = 8 smallest vec_ids
+        # (method='min_id'), nearest-centroid assignment, nprobe=3 probes,
+        # top-5 within probed cells; all tie-breaks by id.
+        "dp10_ivf_topk": """
+            WITH cents AS (
+              SELECT vec_id AS cell_id, CAST(embedding AS DOUBLE[]) AS centroid
+              FROM embeddings ORDER BY vec_id LIMIT 8),
+            assigned AS (
+              SELECT vec_id, embedding, cell_id FROM (
+                SELECT c.vec_id, c.embedding, k.cell_id,
+                       row_number() OVER (PARTITION BY c.vec_id
+                         ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), k.centroid) DESC,
+                                  k.cell_id) AS rk
+                FROM embeddings c, cents k)
+              WHERE rk = 1),
+            probes AS (
+              SELECT query_id, qv, cell_id FROM (
+                SELECT q.vec_id AS query_id, CAST(q.embedding AS DOUBLE[]) AS qv, k.cell_id,
+                       row_number() OVER (PARTITION BY q.vec_id
+                         ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), k.centroid) DESC,
+                                  k.cell_id) AS rk
+                FROM embeddings q, cents k WHERE q.vec_id < 5)
+              WHERE rk <= 3)
+            SELECT query_id, neighbor_id, rank FROM (
+              SELECT p.query_id, a.vec_id AS neighbor_id,
+                     row_number() OVER (PARTITION BY p.query_id
+                       ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), p.qv) DESC,
+                                a.vec_id) AS rank
+              FROM assigned a JOIN probes p ON a.cell_id = p.cell_id
+              WHERE a.vec_id <> p.query_id)
+            WHERE rank <= 5""",
+        # dp11: the fake payload is the UTF-8 bytes of text, so sha256 and
+        # byte length are direct DuckDB builtins (the Spark side still runs
+        # the real Arrow mapInPandas decode path).
+        "dp11_multimodal_decode": """
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   sha256(text) AS sha256
+            FROM documents WHERE doc_id < 50""",
     }

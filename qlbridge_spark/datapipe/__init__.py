@@ -17,6 +17,7 @@ from .dedup import (
     dedup_exact,
     embedding_dup_pairs,
     lsh_candidate_pairs,
+    lsh_jaccard_pairs,
     minhash_dedup,
     minhash_pairs,
     minhash_signature,
@@ -33,6 +34,7 @@ __all__ = [
     "connected_components",
     "minhash_signature",
     "lsh_candidate_pairs",
+    "lsh_jaccard_pairs",
     "minhash_pairs",
     "minhash_dedup",
     "simhash",

@@ -158,12 +158,14 @@ def lsh_candidate_pairs(
     """
     sig = F.col(sig_col)
     rows_per_band = F.floor(F.size(sig) / bands).cast("int")
+    # band key = xxhash64 over the long slice directly (Catalyst's XxHash64
+    # hashes array values natively) — no per-band string materialization
     banded = df.select(
         F.col(id_col).alias("__id"),
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(F.concat_ws(",", F.transform(F.slice(sig, b * rows_per_band + 1, rows_per_band), lambda v: v.cast("string"))), b),
+                lambda b: F.xxhash64(F.slice(sig, b * rows_per_band + 1, rows_per_band), b),
             )
         ).alias("__band", "__bucket"),
     )
@@ -214,6 +216,46 @@ def minhash_pairs(
     )
 
 
+def lsh_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    shingle_size: int = 3,
+    bands: int = 64,
+    bucket_cap: int = 1_000_000,
+) -> DataFrame:
+    """Near-duplicate pairs, the production two-phase shape: cheap MinHash
+    LSH candidate generation, then EXACT n-gram Jaccard verification over
+    the full shingle sets (so the output is exact, the LSH only bounds the
+    candidate count).
+
+    With ``bands=num_hashes`` (one hash per band, the default) a pair with
+    true Jaccard j becomes a candidate with probability 1-(1-j)^64 — at
+    the 0.5 threshold the miss probability is < 2^-64, so the result set
+    equals the exhaustive exact-Jaccard pair set (this is the oracle-gated
+    configuration). Fewer/wider bands trade recall for fewer candidates.
+
+    Returns (id_a, id_b, jaccard) with jaccard >= threshold.
+    """
+    sigs = _minhash_sigs(df, id_col, text_col, num_hashes, shingle_size).persist()
+    cands = lsh_candidate_pairs(sigs, "__id", "minhash", bands, bucket_cap)
+    grams = _spread(df, id_col).select(
+        F.col(id_col).alias("__gid"), _word_shingles(F.col(text_col), shingle_size).alias("__grams")
+    )
+    a = grams.select(F.col("__gid").alias("id_a"), F.col("__grams").alias("__ga"))
+    b = grams.select(F.col("__gid").alias("id_b"), F.col("__grams").alias("__gb"))
+    inter = F.size(F.array_intersect("__ga", "__gb"))
+    jac = inter / (F.size("__ga") + F.size("__gb") - inter)
+    return (
+        cands.join(a, "id_a").join(b, "id_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 10) -> DataFrame:
     """Connected components over a pair list via iterative min-label
     propagation: every node repeatedly adopts the minimum label among
@@ -229,8 +271,8 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
         .distinct()
         .persist()
     )
-    labels = edges.select(F.col("src").alias("node")).distinct().withColumn("comp", F.col("node"))
-    for _ in range(max_iter):
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn("comp", F.col("node")).persist()
+    for it in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["node"])
             .groupBy("src")
@@ -240,8 +282,16 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
             labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
             .select("node", F.least(F.col("comp"), F.coalesce(F.col("__nmin"), F.col("comp"))).alias("comp"))
         )
+        # localCheckpoint every few iterations cuts the join-on-join lineage
+        # (otherwise plan size grows linearly and re-evaluation on executor
+        # loss replays every prior iteration); it also persists.
+        if (it + 1) % 3 == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = new_labels.persist()
         changed = new_labels.alias("n").join(labels.alias("o"), "node").filter(F.col("n.comp") != F.col("o.comp")).limit(1).count()
-        labels = new_labels.persist()
+        labels.unpersist()
+        labels = new_labels
         if changed == 0:
             break
     edges.unpersist()
@@ -270,7 +320,7 @@ def minhash_dedup(df: DataFrame, id_col: str, text_col: str, threshold: float = 
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
-def simhash(df: DataFrame, text_col: str, out: str = "simhash", chunks: int = 4) -> DataFrame:
+def simhash(df: DataFrame, text_col: str, out: str = "simhash", chunks: int = 4, portable: bool = False) -> DataFrame:
     """64-bit SimHash as ``chunks`` 16-bit integer chunks (array<int>).
 
     Token hashes vote per bit (+1/-1); sign of each bit-sum is the
@@ -278,15 +328,36 @@ def simhash(df: DataFrame, text_col: str, out: str = "simhash", chunks: int = 4)
     (two docs within Hamming distance d share ≥1 identical chunk when
     d < chunks) and avoids 64-bit sign headaches.
     Pure aggregate/zip_with expression — no UDF.
+
+    ``portable=True`` derives the 64 token-hash bits from md5 (two 32-bit
+    halves of the first 16 hex chars) instead of xxhash64 — slower, but
+    reproducible in any engine with md5 (the DuckDB oracle uses this).
     """
     bits_per_chunk = 64 // chunks
-    hashes = F.transform(_tokens(F.col(text_col)), lambda t: F.xxhash64(t))
+    if portable:
+        def _tok_hash(t):
+            m = F.md5(t)
+            return F.struct(
+                F.conv(F.substring(m, 1, 8), 16, 10).cast("long").alias("hi"),
+                F.conv(F.substring(m, 9, 8), 16, 10).cast("long").alias("lo"),
+            )
+
+        def _bit(h, j):
+            return F.when(j < 32, F.bit_get(h["lo"], j)).otherwise(F.bit_get(h["hi"], j - 32))
+    else:
+        def _tok_hash(t):
+            return F.xxhash64(t)
+
+        def _bit(h, j):
+            return F.bit_get(h, j)
+
+    hashes = F.transform(_tokens(F.col(text_col)), _tok_hash)
     votes = F.aggregate(
         hashes,
         F.array_repeat(F.lit(0).cast("long"), 64),
         lambda acc, h: F.zip_with(
             acc,
-            F.transform(F.sequence(F.lit(0), F.lit(63)), lambda j: F.when(F.bit_get(h, j) == 1, F.lit(1)).otherwise(F.lit(-1)).cast("long")),
+            F.transform(F.sequence(F.lit(0), F.lit(63)), lambda j: F.when(_bit(h, j) == 1, F.lit(1)).otherwise(F.lit(-1)).cast("long")),
             lambda a, b: a + b,
         ),
     )
@@ -303,13 +374,13 @@ def simhash(df: DataFrame, text_col: str, out: str = "simhash", chunks: int = 4)
     return df.withColumn(out, chunk_vals)
 
 
-def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, chunks: int = 4) -> DataFrame:
+def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, chunks: int = 4, portable: bool = False) -> DataFrame:
     """Near-dup pairs by SimHash: band on identical chunks (pigeonhole:
     hamming < chunks ⇒ some chunk equal), verify exact Hamming distance.
 
     Returns (id_a, id_b, hamming).
     """
-    sigs = simhash(_spread(df, id_col), text_col, "simhash", chunks).select(F.col(id_col).alias("__id"), "simhash").persist()
+    sigs = simhash(_spread(df, id_col), text_col, "simhash", chunks, portable).select(F.col(id_col).alias("__id"), "simhash").persist()
     banded = sigs.select("__id", "simhash", F.posexplode("simhash").alias("__chunk_idx", "__chunk_val"))
     l, r = banded.alias("l"), banded.alias("r")
     cands = (

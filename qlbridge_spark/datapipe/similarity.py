@@ -71,22 +71,28 @@ def ivf_build(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_cells: int = 16,
+    method: str = "hash",
 ) -> tuple[DataFrame, DataFrame]:
     """Build the IVF index: pick ``n_cells`` deterministic centroid rows
-    (hash-sampled from the corpus), assign every vector to its nearest
-    centroid. Returns (assigned_corpus, centroids).
+    (``method='hash'``: smallest xxhash64(id) — a uniform pseudo-random
+    sample; ``method='min_id'``: smallest ids — fully portable, used by the
+    DuckDB oracle), assign every vector to its nearest centroid. Returns
+    (assigned_corpus, centroids). The centroid's own id is its cell_id.
 
-    Scale: centroids are tiny → broadcast; assignment is one corpus scan;
-    the assigned table is the "index" (re-partition/bucket by __cell on
-    write so probes read only matching files).
+    Scale: centroid selection is orderBy+limit, which Spark lowers to
+    TakeOrderedAndProject — each partition keeps its local top-n_cells and
+    only those n_cells-per-partition rows reach the driver-side merge; no
+    global sort, no single-partition window. Centroids are tiny →
+    broadcast; assignment is one corpus scan; the assigned table is the
+    "index" (re-partition/bucket by cell_id on write so probes read only
+    matching files).
     """
     c = corpus.select(F.col(id_col).alias("__cid"), F.col(vec_col).cast("array<double>").alias("__cv"))
-    # deterministic sample: smallest n_cells xxhash64(id) values
-    w = Window.orderBy(F.xxhash64(F.col("__cid").cast("string")))
+    key = F.xxhash64(F.col("__cid").cast("string")) if method == "hash" else F.col("__cid")
     cents = (
-        c.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= n_cells)
-        .select(F.col("__rn").alias("cell_id"), F.col("__cv").alias("centroid"))
+        c.orderBy(key)
+        .limit(n_cells)
+        .select(F.col("__cid").alias("cell_id"), F.col("__cv").alias("centroid"))
     )
     assigned = (
         c.crossJoin(F.broadcast(cents))

@@ -197,3 +197,70 @@ class TestConnectedComponents:
         with pytest.raises(TranslateError, match="cycle"):
             eng.execute("FILTER INCLUDE a FROM cyc").count()
         eng.execute("DROP TABLE cyc")
+
+
+class TestRound2Additions:
+    def test_lsh_jaccard_pairs_exact_verify(self, docs):
+        """LSH candidates + exact Jaccard verify equals the exhaustive
+        exact pair set on the fixture."""
+        from qlbridge_spark.datapipe import lsh_jaccard_pairs
+
+        pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in lsh_jaccard_pairs(docs, "doc_id", "text", threshold=0.3).collect()}
+        assert (1, 2) in pairs and pairs[(1, 2)] == 1.0  # exact dup
+        assert (1, 3) in pairs and 0.3 <= pairs[(1, 3)] < 1.0  # near dup
+        assert not any({a, b} & {4, 5} and {a, b} != {4, 5} for a, b in pairs)
+
+    def test_simhash_portable_matches_semantics(self, spark):
+        """portable=True (md5 bits) finds the same near-dup structure as the
+        xxhash64 default: exact dups at hamming 0, unrelated docs far."""
+        import random
+
+        rnd = random.Random(5)
+        vocab = [f"w{i}" for i in range(400)]
+        base = [rnd.choice(vocab) for _ in range(400)]
+        edit = list(base)
+        edit[7] = "changed"
+        other = [rnd.choice(vocab) for _ in range(400)]
+        df = spark.createDataFrame(
+            [(1, " ".join(base)), (2, " ".join(base)), (3, " ".join(edit)), (4, " ".join(other))],
+            "doc_id long, text string",
+        )
+        from qlbridge_spark.datapipe import simhash_pairs
+
+        pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_pairs(df, "doc_id", "text", max_hamming=8, portable=True).collect()}
+        assert pairs[(1, 2)] == 0
+        assert (1, 3) in pairs and pairs[(1, 3)] <= 8
+        assert not any(4 in (a, b) for a, b in pairs)
+
+    def test_ivf_build_no_global_window(self, spark):
+        """Centroid selection must lower to TakeOrderedAndProject — never a
+        single-partition window over the whole corpus (the 100 TB killer)."""
+        import random
+
+        from qlbridge_spark.datapipe import ivf_build
+
+        rnd = random.Random(1)
+        df = spark.createDataFrame(
+            [(i, [rnd.gauss(0, 1) for _ in range(8)]) for i in range(100)],
+            "vec_id long, embedding array<double>",
+        )
+        for method in ("hash", "min_id"):
+            assigned, cents = ivf_build(df, n_cells=4, method=method)
+            plan = cents._jdf.queryExecution().executedPlan().toString()
+            assert "TakeOrderedAndProject" in plan, plan
+            assert "Window" not in plan, plan
+            assert cents.count() == 4
+        # cell ids are the centroids' own vec_ids under min_id
+        assert sorted(r["cell_id"] for r in cents.collect()) == [0, 1, 2, 3]
+
+    def test_lsh_band_hash_no_string_churn(self, spark):
+        """The band-key expression hashes the long slices directly — no
+        concat_ws/cast-to-string materialization in the plan."""
+        from qlbridge_spark.datapipe import lsh_candidate_pairs, minhash_signature
+
+        df = spark.createDataFrame([(1, "a b c d e f g"), (2, "a b c d e f g")], "doc_id long, text string")
+        sigs = minhash_signature(df, "text", num_hashes=8, shingle_size=2, id_col="doc_id")
+        pairs = lsh_candidate_pairs(sigs, "doc_id", "minhash", bands=4)
+        plan = pairs._jdf.queryExecution().analyzed().toString()
+        assert "concat_ws" not in plan
+        assert pairs.collect() == [(1, 2)] or [(r["id_a"], r["id_b"]) for r in pairs.collect()] == [(1, 2)]
