@@ -605,6 +605,10 @@ def _split(n, s):
     return F.filter(F.split(_c(n, s).cast("string"), sep), lambda x: x != F.lit(""))
 
 
+func_add("string.split", registry["split"].builder)
+func_add("string.strip", lambda n, s: F.trim(to_column(n.args[0], s).cast("string")), return_type=T.StringType())
+
+
 @_reg("string.index", return_type=T.LongType())
 def _string_index(n, s):
     # 0-based; -1 when absent (string.go:149); instr is 1-based
@@ -635,13 +639,15 @@ def _replace(n, s):
 
 @_reg("join", return_type=T.StringType())
 def _join(n, s):
-    # join(a, b, ..., sep) — last arg is separator (string.go:285)
+    # join(a, b, ..., sep) — last arg is separator; nil AND empty-string
+    # args are skipped (string.go:296-321), hence the nullif wrap
+    # (concat_ws only skips NULLs on its own)
     sep = _lit_str(n, len(n.args) - 1)
-    cols = [to_column(a, s).cast("string") for a in n.args[:-1]]
+    cols = [F.nullif(to_column(a, s).cast("string"), F.lit("")) for a in n.args[:-1]]
     if len(cols) == 1:
         dt = infer_dtype(n.args[0], s)
         if isinstance(dt, T.ArrayType):
-            return F.array_join(to_column(n.args[0], s), sep)
+            return F.array_join(F.filter(to_column(n.args[0], s), lambda x: x.isNotNull() & (x.cast("string") != F.lit(""))), sep)
     return F.concat_ws(sep, *cols)
 
 
