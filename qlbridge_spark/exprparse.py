@@ -135,6 +135,16 @@ class ExprParser:
                 self.advance()
                 right = self.parse_expr(_PREC_CMP)
                 left = BinaryNode(_CANON.get(t.val, t.val), left, right)
+            elif t.kind == OP and t.val in ("=~", "!~"):
+                # regex-match operator → rlike (the reference lexes regex
+                # literals, lex/lexer.go:1106 LexRegex, but parses neither;
+                # this is our parse+translate extension). ``/pat/i`` regex
+                # literals are written as strings: x =~ "/^stats\\./i"
+                if _PREC_CMP <= prec:
+                    return left
+                self.advance()
+                right = self.parse_expr(_PREC_CMP)
+                left = BinaryNode("=~", left, right, negated=(t.val == "!~"))
             elif t.kind == IDENT and (t.upper in _KEYWORD_CMP or t.upper == "NOT"):
                 if _PREC_CMP <= prec:
                     return left

@@ -51,7 +51,7 @@ _TOKEN_RE = re.compile(
 | (?P<bq>`(?:[^`]|``)*`)
 | (?P<dq>"(?:[^"\\]|\\.)*")
 | (?P<sq>'(?:[^'\\]|\\.)*')
-| (?P<op><=|>=|!=|<>|==|=~|=|<|>|\|\||&&|[-+*/%!.:])
+| (?P<op><=|>=|!=|<>|==|=~|!~|=|<|>|\|\||&&|[-+*/%!.:])
 | (?P<punct>[(),;\[\]{}])
 | (?P<ident>[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_*][A-Za-z0-9_*]*)*)
 | (?P<param>[@?][@A-Za-z0-9_.]*)

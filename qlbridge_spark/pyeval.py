@@ -339,6 +339,22 @@ def _binary(node: BinaryNode, sc: PyScope):
         c = re.search(pat, str(l)) is not None
         return (not c) if node.negated else c
 
+    if op == "=~":
+        from .translate import regex_literal
+
+        l = py_eval(node.left, sc)
+        if l is None:
+            return None
+        if isinstance(node.right, StringNode):
+            pat = regex_literal(node.right.value)
+        else:
+            r = py_eval(node.right, sc)
+            if r is None:
+                return None
+            pat = str(r)
+        c = re.search(pat, str(l)) is not None
+        return (not c) if node.negated else c
+
     if op == "IN":
         c = _in(node, sc)
         return k_not(c) if node.negated else c

@@ -109,6 +109,17 @@ def parse_permissive_date(s: str) -> datetime | None:
 # --------------------------------------------------------------------------
 # glob LIKE (vm/vm.go:1112-1126): both `%` and `*` are multi-char wildcards
 # --------------------------------------------------------------------------
+def regex_literal(pattern: str) -> str:
+    """Normalize a regex operand for ``=~``: plain strings pass through;
+    ``/pat/mods`` (the reference's TokenRegex shape, lex/lexer.go:1106)
+    is unwrapped, with the ``i`` modifier lowered to an inline ``(?i)``."""
+    if len(pattern) >= 2 and pattern.startswith("/") and "/" in pattern[1:]:
+        body, _, mods = pattern[1:].rpartition("/")
+        if re.fullmatch(r"[a-zA-Z]*", mods):
+            return ("(?i)" if "i" in mods else "") + body
+    return pattern
+
+
 def glob_to_regex(pattern: str) -> str:
     out = []
     for ch in pattern:
@@ -406,6 +417,15 @@ def _binary(node: BinaryNode, scope: Scope) -> Column:
         else:
             r = to_column(node.right, scope)
             c = l.rlike(F.concat(F.lit("^"), F.regexp_replace(F.regexp_replace(r, r"([.\[\]^$\\(){}+?|])", r"\\$1"), r"[%*]", ".*"), F.lit("$")))
+        return ~c if node.negated else c
+
+    if op == "=~":
+        # regex match → rlike (Java find(): unanchored, like Go MatchString)
+        l = to_column(node.left, scope)
+        if isinstance(node.right, StringNode):
+            c = l.rlike(regex_literal(node.right.value))
+        else:
+            c = l.rlike(to_column(node.right, scope))
         return ~c if node.negated else c
 
     if op == "IN":

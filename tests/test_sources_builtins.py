@@ -120,3 +120,87 @@ class TestBuiltinLongTail:
         # todate("01/02/2006", col) — Go layout (time.go:307)
         got = evals(['todate("01/02/2006", "12/18/2015")'])
         assert got[0].year == 2015 and got[0].month == 12 and got[0].day == 18
+
+
+class TestSqliteSource:
+    """Parity with the reference's sqlite golden suite
+    (/root/reference/datasource/sqlite/source.go:20-49,
+    testutil/suite_test.go:7): build a .db file, register it as a source,
+    run the standard query shapes against it."""
+
+    @pytest.fixture()
+    def db_file(self, tmp_path):
+        import sqlite3
+
+        p = str(tmp_path / "users.db")
+        con = sqlite3.connect(p)
+        con.execute("CREATE TABLE users (user_id TEXT, name TEXT, deleted INTEGER, reg_yy INTEGER, balance REAL)")
+        con.executemany(
+            "INSERT INTO users VALUES (?,?,?,?,?)",
+            [
+                ("u1", "Aaron", 0, 12, 100.5),
+                ("u2", "Bob", 1, 13, 50.0),
+                ("u3", "Carol", 0, 12, 75.25),
+            ],
+        )
+        con.commit()
+        con.close()
+        return p
+
+    def test_scan_filter_agg(self, engine, db_file):
+        engine.execute(f'CREATE SOURCE sq WITH {{"type": "sqlite", "file": "{db_file}", "dbtable": "users"}}')
+        rows = engine.sql('SELECT name FROM sq WHERE deleted = 0 ORDER BY name').collect()
+        assert [r["name"] for r in rows] == ["Aaron", "Carol"]
+        agg = engine.sql('SELECT reg_yy, count(*) AS n, round(sum(balance), 2) AS bal FROM sq GROUP BY reg_yy ORDER BY reg_yy').collect()
+        assert [(r["reg_yy"], r["n"], r["bal"]) for r in agg] == [(12, 2, 175.75), (13, 1, 50.0)]
+
+    def test_query_mode_and_empty_table(self, spark, tmp_path, db_file):
+        import sqlite3
+
+        from qlbridge_spark.sources import load_source
+
+        out = load_source(spark, {"type": "sqlite", "file": db_file, "query": "SELECT user_id FROM users WHERE balance > 60", "table": "rich"})
+        assert sorted(r["user_id"] for r in out["rich"].collect()) == ["u1", "u3"]
+
+        p = str(tmp_path / "empty.db")
+        con = sqlite3.connect(p)
+        con.execute("CREATE TABLE t (a INTEGER, b TEXT)")
+        con.commit()
+        con.close()
+        df = load_source(spark, {"type": "sqlite", "file": p, "dbtable": "t"})["t"]
+        assert df.count() == 0
+        assert [f.name for f in df.schema.fields] == ["a", "b"]
+
+
+class TestRegexOperator:
+    def test_expression_paths_agree(self, spark):
+        from qlbridge_spark.exprparse import parse_expression
+        from qlbridge_spark.pyeval import PyScope, py_eval
+        from qlbridge_spark.translate import Scope, to_column
+
+        ctx = {"name": "stats.cpu.load", "n": 5}
+        cases = [
+            ('name =~ "^stats\\\\."', True),
+            ('name =~ "/^STATS\\\\./i"', True),
+            ('name !~ "mem"', True),
+            ('name =~ "mem"', False),
+            ('missing =~ "x"', None),
+        ]
+        df = spark.createDataFrame([ctx])
+        for expr, want in cases:
+            node = parse_expression(expr)
+            assert py_eval(node, PyScope(ctx)) is want, expr
+            got = df.select(to_column(node, Scope({"_": df}, strict=False)).alias("v")).collect()[0][0]
+            assert got is want, f"spark path: {expr}"
+
+    def test_filterql_and_sql(self, engine):
+        matched = engine.execute('FILTER email =~ "/^[a-z]+@email\\\\.com$/" FROM users')
+        assert sorted(r["user_id"] for r in matched.collect()) == ["9Ip1aKbeZe2njCDM", "hT2impsOPUREcVPc"]
+        rows = engine.sql('SELECT user_id FROM users WHERE user_id =~ "^hT2" ORDER BY user_id').collect()
+        assert [r["user_id"] for r in rows] == ["hT2impsOPUREcVPc", "hT2impsabc345c"]
+
+    def test_vm_matches_regex(self):
+        from qlbridge_spark import vm
+
+        assert vm.matches(None, {"path": "stats.cpu"}, 'FILTER path =~ "^stats" FROM t') is True
+        assert vm.matches(None, {"path": "disk.io"}, 'FILTER path =~ "^stats" FROM t') is False
