@@ -20,20 +20,24 @@ from __future__ import annotations
 from datetime import datetime, timedelta
 
 from .exprparse import parse_expression
-from .nodes import BinaryNode, BooleanNode, IdentityNode, Node, StringNode, TriNode, UnaryNode
+from .nodes import ArrayNode, BinaryNode, BooleanNode, FuncNode, IdentityNode, IncludeNode, Node, StringNode, TriNode, UnaryNode
 from .translate import _DATEMATH_RE, parse_datemath, parse_permissive_date
 
 
 class DateConverter:
     """``DateConverter(ctx, node_or_text)`` — ctx maps field names to
-    datetime (or parseable string) values."""
+    datetime (or parseable string) values. ``includes`` maps INCLUDE names
+    to filter nodes/texts so referenced filters contribute boundaries too
+    (reference findDateMath recurses IncludeNode, vm/datemath.go:117+)."""
 
-    def __init__(self, ctx: dict, node: Node | str, now: datetime | None = None):
+    def __init__(self, ctx: dict, node: Node | str, now: datetime | None = None, includes: dict | None = None):
         if isinstance(node, str):
             node = parse_expression(node)
         self.node = node
         self.ctx = ctx
         self.at = now or datetime.utcnow()
+        self.includes = {k.lower(): (parse_expression(v) if isinstance(v, str) else v) for k, v in (includes or {}).items()}
+        self._seen_includes: set[str] = set()
         self.time_strings: list[str] = []
         self._bt: datetime | None = None
         self._walk(node)
@@ -101,6 +105,19 @@ class DateConverter:
         elif isinstance(n, BooleanNode):
             for a in n.args:
                 self._walk(a)
+        elif isinstance(n, (FuncNode, ArrayNode)):
+            # datemath may hide inside function wrappers / array literals
+            # (reference findDateMath walks FuncNode/ArrayNode args)
+            for a in n.children():
+                if isinstance(a, StringNode) and _DATEMATH_RE.match(a.value.strip()):
+                    self.time_strings.append(a.value)
+                else:
+                    self._walk(a)
+        elif isinstance(n, IncludeNode):
+            inner = self.includes.get(n.name.lower())
+            if inner is not None and n.name.lower() not in self._seen_includes:
+                self._seen_includes.add(n.name.lower())  # cycle guard
+                self._walk(inner)
 
 
 def boundary_time(ctx: dict, expression: str, now: datetime | None = None) -> datetime | None:

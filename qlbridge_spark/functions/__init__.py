@@ -114,7 +114,7 @@ def _time_arg(node: FuncNode, scope: Scope, i: int = 0) -> Column:
     c = _c(node, scope, i)
     dt = infer_dtype(node.args[i], scope)
     if isinstance(dt, T.StringType) or dt is None:
-        return _permissive_to_timestamp(c, node.args[i])
+        return _permissive_to_timestamp(c, node.args[i], scope)
     if isinstance(dt, T.NumericType):
         return F.timestamp_millis(c.cast("long"))
     return c
@@ -132,11 +132,19 @@ _DATE_FORMATS = [
 ]
 
 
-def _permissive_to_timestamp(c: Column, raw: Node | None = None) -> Column:
+def _permissive_to_timestamp(c: Column, raw: Node | None = None, scope: Scope | None = None) -> Column:
     """Permissive string→timestamp ≈ araddon/dateparse. Literals are parsed
     driver-side (incl. datemath); columns get a try_to_timestamp coalesce
-    chain over common formats — all JVM-side."""
+    chain over common formats — all JVM-side. Against a STREAMING scope,
+    datemath literals lower to runtime expressions (current_timestamp ±
+    INTERVAL) so 'now' is not frozen at plan time."""
     if isinstance(raw, StringNode):
+        if scope is not None and scope.has_streaming_frame:
+            from ..translate import datemath_runtime_column
+
+            rt = datemath_runtime_column(raw.value)
+            if rt is not None:
+                return rt
         t = parse_permissive_date(raw.value)
         if t is None:
             raise TranslateError(f"unparseable date literal {raw.value!r}")

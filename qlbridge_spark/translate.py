@@ -48,9 +48,23 @@ class TranslateError(ValueError):
 # --------------------------------------------------------------------------
 # datemath — ``now-3d``, ``now+2w``, ``now/d`` (vm/datemath.go:56-108)
 # --------------------------------------------------------------------------
-_DATEMATH_RE = re.compile(r"^now(?:(?P<sign>[+-])(?P<n>\d+)(?P<unit>[smhdwMy]))?(?:/(?P<trunc>[smhdwMy]))?$")
+# "now" is case-insensitive (reference findDateMath lowercases before
+# matching) but units stay case-sensitive: M=month vs m=minute
+_DATEMATH_RE = re.compile(r"^(?i:now)(?:(?P<sign>[+-])(?P<n>\d+)(?P<unit>[smhdwMy]))?(?:/(?P<trunc>[smhdwMy]))?$")
 
 _UNIT_SECONDS = {"s": 1, "m": 60, "h": 3600, "d": 86400, "w": 7 * 86400}
+
+
+def _add_date(t: datetime, years: int, months: int) -> datetime:
+    """Go ``time.AddDate`` semantics: month/year offsets normalize overflow
+    (Jan 31 + 1M → Mar 2/3) rather than clamping — the reference's
+    lytics/datemath EvalAnchor (vm/datemath.go:65) calls AddDate, so
+    ``now-1M`` must agree day-for-day."""
+    y = t.year + years
+    m = t.month - 1 + months
+    y += m // 12
+    m = m % 12 + 1
+    return t.replace(year=y, month=m, day=1) + timedelta(days=t.day - 1)
 
 
 def parse_datemath(s: str, now: datetime | None = None) -> datetime | None:
@@ -60,15 +74,14 @@ def parse_datemath(s: str, now: datetime | None = None) -> datetime | None:
         return None
     t = now or datetime.utcnow()
     if m.group("sign"):
-        n = int(m.group("n"))
+        n = int(m.group("n")) if m.group("sign") == "+" else -int(m.group("n"))
         unit = m.group("unit")
         if unit in _UNIT_SECONDS:
-            delta = timedelta(seconds=n * _UNIT_SECONDS[unit])
+            t = t + timedelta(seconds=n * _UNIT_SECONDS[unit])
         elif unit == "M":
-            delta = timedelta(days=30 * n)
+            t = _add_date(t, 0, n)
         else:  # y
-            delta = timedelta(days=365 * n)
-        t = t + delta if m.group("sign") == "+" else t - delta
+            t = _add_date(t, n, 0)
     trunc = m.group("trunc")
     if trunc:
         if trunc == "s":
@@ -87,6 +100,30 @@ def parse_datemath(s: str, now: datetime | None = None) -> datetime | None:
         elif trunc == "y":
             t = t.replace(month=1, day=1, hour=0, minute=0, second=0, microsecond=0)
     return t
+
+
+_INTERVAL_UNIT = {"s": "second", "m": "minute", "h": "hour", "d": "day", "w": "week", "M": "month", "y": "year"}
+
+
+def datemath_runtime_column(s: str):
+    """Datemath as a RUNTIME Column (current_timestamp() ± INTERVAL, plus
+    date_trunc) instead of a driver-side literal. Used when the scope holds
+    a STREAMING frame: a literal would freeze 'now' at plan-translation
+    time, while the reference VM re-evaluates datemath per evaluation.
+    Note: Spark INTERVAL month/year arithmetic clamps (add_months), while
+    the batch literal path follows Go AddDate normalization — a documented
+    sub-day divergence only for M/y offsets landing past month-end.
+    Returns None if ``s`` is not datemath."""
+    m = _DATEMATH_RE.match(s.strip())
+    if m is None:
+        return None
+    c = F.current_timestamp()
+    if m.group("sign"):
+        iv = F.expr(f"INTERVAL {int(m.group('n'))} {_INTERVAL_UNIT[m.group('unit')]}")
+        c = (c + iv) if m.group("sign") == "+" else (c - iv)
+    if m.group("trunc"):
+        c = F.date_trunc(_INTERVAL_UNIT[m.group("trunc")], c)
+    return c
 
 
 def parse_permissive_date(s: str) -> datetime | None:
@@ -162,14 +199,21 @@ class Scope:
         self.params = params or {}
         self.strict = strict
         self._fields: dict[str, tuple[str, T.StructField]] = {}
+        self._ambiguous: set[str] = set()
         multi = len(self.frames) > 1
         for alias, df in self.frames.items():
             for f in df.schema.fields:
                 key = f.name.lower()
                 if key not in self._fields:
                     self._fields[key] = (alias, f)
+                elif self._fields[key][0] != alias:
+                    # two frames define the same bare name — unqualified
+                    # lookups must error instead of silently binding to
+                    # whichever frame registered first
+                    self._ambiguous.add(key)
                 self._fields[f"{alias.lower()}.{key}"] = (alias, f)
         self.multi = multi
+        self.has_streaming_frame = any(df.isStreaming for df in self.frames.values())
 
     # -- lookup --------------------------------------------------------
     def columns(self) -> list[str]:
@@ -195,6 +239,8 @@ class Scope:
                 key = ".".join(parts[:take]).lower()
                 hit = self._fields.get(key)
                 if hit is not None:
+                    if take == 1 and key in self._ambiguous:
+                        raise TranslateError(f"ambiguous column {parts[0]!r} (defined by multiple tables); qualify with an alias")
                     alias, fld = hit
                     colref = f"{alias}.{fld.name}" if self.multi else fld.name
                     return F.col(colref), fld.dataType, parts[take:]
@@ -369,6 +415,10 @@ def _coerced_operand(node: Node, other: Node, scope: Scope) -> Column:
     other_dt = infer_dtype(other, scope)
     if isinstance(node, StringNode):
         if _is_timey(other_dt):
+            if scope.has_streaming_frame:
+                rt = datemath_runtime_column(node.value)
+                if rt is not None:
+                    return rt
             t = parse_permissive_date(node.value)
             if t is not None:
                 return F.lit(t)

@@ -79,3 +79,79 @@ class TestLenientFilterScopes:
 
         with pytest.raises((TranslateError, ValueError)):
             engine.sql("SELECT nonexistent_field FROM users")
+
+
+class TestAdviceFixes:
+    """Round-2 advisor items: calendar datemath, streaming runtime datemath,
+    ambiguous bare columns, join() empty-skip, DateConverter recursion."""
+
+    def test_datemath_calendar_months(self):
+        from datetime import datetime
+
+        from qlbridge_spark.translate import parse_datemath
+
+        # Go AddDate normalization: Mar 31 - 1M = Feb 31 → Mar 2/3
+        assert parse_datemath("now-1M", datetime(2024, 3, 31, 12, 0)) == datetime(2024, 3, 2, 12, 0)
+        assert parse_datemath("now-1M", datetime(2024, 3, 15)) == datetime(2024, 2, 15)
+        assert parse_datemath("now+1y", datetime(2024, 2, 29)) == datetime(2025, 3, 1)  # leap → normalized
+        assert parse_datemath("now-2y", datetime(2024, 6, 1)) == datetime(2022, 6, 1)
+        # case-insensitive "now", units stay case-sensitive (M=month, m=minute)
+        assert parse_datemath("NOW-3d", datetime(2024, 6, 10)) == datetime(2024, 6, 7)
+        assert parse_datemath("now-1m", datetime(2024, 6, 10, 0, 1)) == datetime(2024, 6, 10, 0, 0)
+
+    def test_streaming_datemath_is_runtime_expr(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+
+        from qlbridge_spark.exprparse import parse_expression
+        from qlbridge_spark.translate import Scope, to_column
+
+        batch = spark.createDataFrame([], "ts timestamp, v long")
+        batch.write.mode("overwrite").parquet(str(tmp_path / "s"))
+        stream = spark.readStream.schema(batch.schema).parquet(str(tmp_path / "s"))
+        col = to_column(parse_expression('ts > "now-1h"'), Scope({"_": stream}))
+        expr = str(col)
+        assert "current_timestamp" in expr and "INTERVAL" in expr.upper(), expr
+        # batch scope still resolves to a literal (no runtime re-eval cost)
+        col_b = str(to_column(parse_expression('ts > "now-1h"'), Scope({"_": batch})))
+        assert "current_timestamp" not in col_b
+
+    def test_ambiguous_bare_column_errors(self, spark):
+        import pytest as _pytest
+
+        from qlbridge_spark.exprparse import parse_expression
+        from qlbridge_spark.translate import Scope, TranslateError, to_column
+
+        a = spark.createDataFrame([(1, "x")], "id long, v string").alias("a")
+        b = spark.createDataFrame([(2, "y")], "id long, w string").alias("b")
+        scope = Scope({"a": a, "b": b})
+        with _pytest.raises(TranslateError, match="ambiguous"):
+            to_column(parse_expression("id > 1"), scope)
+        # qualified stays fine; unique bare names stay fine
+        to_column(parse_expression("a.id > 1"), scope)
+        to_column(parse_expression("v = 'x'"), scope)
+
+    def test_join_skips_empty_strings(self, spark):
+        from qlbridge_spark.exprparse import parse_expression
+        from qlbridge_spark.translate import Scope, to_column
+
+        df = spark.createDataFrame([("a", "", "b")], "x string, y string, z string")
+        out = df.select(to_column(parse_expression('join(x, y, z, "-")'), Scope({"_": df})).alias("j")).collect()[0][0]
+        assert out == "a-b"  # reference joinEval drops empties (string.go:296-321)
+
+    def test_dateconverter_recurses_funcs_and_includes(self):
+        from datetime import datetime, timedelta
+
+        from qlbridge_spark.datemath_boundary import DateConverter
+
+        now = datetime(2024, 6, 10, 12, 0)
+        ctx = {"last_event": now - timedelta(days=2)}
+        # datemath inside a function wrapper
+        dc = DateConverter(ctx, 'oneof(last_event, "now-3d") > "now-3d"', now=now)
+        assert dc.has_date_math
+        # datemath reached through INCLUDE
+        dc2 = DateConverter(ctx, "INCLUDE recent", now=now, includes={"recent": 'last_event > "now-3d"'})
+        assert dc2.has_date_math
+        assert dc2.boundary() == now + timedelta(days=1)
+        # uppercase NOW detected
+        dc3 = DateConverter(ctx, 'last_event > "NOW-3d"', now=now)
+        assert dc3.has_date_math
