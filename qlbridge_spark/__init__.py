@@ -12,13 +12,16 @@ the ~70-function builtin library is re-expressed over pyspark.sql.functions.
 from .engine import Engine, ExecError
 from .exprparse import ParseError, parse_expression
 from .functions import func_add, registry as function_registry
+from .planner import EsDataFrameSource, SourcePlanner, rewrite_source_select
 from .rel import parse_filterql, parse_sql, parse_sql_statements
 from .translate import Scope, TranslateError, to_column
 
 __all__ = [
     "Engine",
+    "EsDataFrameSource",
     "ExecError",
     "ParseError",
+    "SourcePlanner",
     "TranslateError",
     "Scope",
     "func_add",
@@ -27,6 +30,7 @@ __all__ = [
     "parse_filterql",
     "parse_sql",
     "parse_sql_statements",
+    "rewrite_source_select",
     "to_column",
 ]
 

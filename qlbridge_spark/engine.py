@@ -100,6 +100,12 @@ class Engine:
         self.session_vars: dict[str, object] = {}
         self.views: dict[str, SqlSelect] = {}
         self.streams: dict[str, object] = {}
+        # plannable sources: name → SourcePlanner-style object
+        # (≈ plan.SourcePlanner registry, plan/plan.go:116-123)
+        self.planner_sources: dict[str, object] = {}
+        # custom dialects: leading keyword → (Dialect, handler)
+        # (≈ lex.Dialect registration, lex/dialect.go + dialects/example)
+        self.dialects: dict[str, tuple[object, object]] = {}
 
     # ------------------------------------------------------------------
     # registry (≈ schema.RegisterSourceAsSchema, schema/registry.go:71)
@@ -125,6 +131,24 @@ class Engine:
             if os.path.exists(p):
                 self.register_df(t, read_parquet(self.spark, p), broadcast=t in ("region", "nation", "supplier", "part"))
 
+    def register_source(self, name: str, source) -> None:
+        """Register a plannable source (planner.SourcePlanner protocol).
+        When a query's FROM references it, the engine offers the source its
+        rewritten sub-select (pruned columns + pushable predicates) via
+        ``walk_source_select``; the source may return a DataFrame embodying
+        any subset of it — the engine re-applies the WHERE regardless."""
+        self.planner_sources[name.lower()] = source
+
+    def register_dialect(self, dialect, handler) -> None:
+        """Register a custom statement dialect (dialect.Dialect) with a
+        ``handler(engine, CustomStatement)`` executor. Statements whose
+        leading keyword matches one of the dialect's grammars are parsed by
+        the dialect and dispatched to the handler — the reference's runtime
+        dialect extension (/root/reference/dialects/example/main.go:15-40,
+        lex/dialect.go)."""
+        for kw in dialect.leading_keywords():
+            self.dialects[kw] = (dialect, handler)
+
     def register_include(self, name: str, filter_text: str) -> None:
         """Named filter for INCLUDE resolution (expr/include.go:23-25)."""
         stmt = parse_filterql(filter_text) if filter_text.upper().lstrip().startswith("FILTER") else None
@@ -135,6 +159,9 @@ class Engine:
         if df is None:
             if name.lower() in self.views:
                 return self._select(self.views[name.lower()])
+            src = self.planner_sources.get(name.lower())
+            if src is not None and hasattr(src, "scan"):
+                return src.scan(self.spark)
             raise ExecError(f"unknown table {name!r}; registered: {sorted(self.tables)}")
         return df
 
@@ -143,7 +170,15 @@ class Engine:
     # ------------------------------------------------------------------
     def execute(self, text: str):
         """Run any statement. SELECT/SHOW/DESCRIBE/FILTER → DataFrame;
-        DML → affected row count; DDL/commands → None."""
+        DML → affected row count; DDL/commands → None. Statements whose
+        leading keyword matches a registered custom dialect are parsed by
+        that dialect and dispatched to its handler."""
+        head = text.lstrip().split(None, 1)[0].upper() if text.strip() else ""
+        if head in self.dialects:
+            from .dialect import parse_dialect_statement
+
+            dialect, handler = self.dialects[head]
+            return handler(self, parse_dialect_statement(text, dialect))
         stmt = parse_sql(text)
         return self.execute_stmt(stmt)
 
@@ -268,11 +303,21 @@ class Engine:
         return df
 
     # -- FROM / joins ----------------------------------------------------
-    def _resolve_source(self, src: FromSource) -> DataFrame:
+    def _resolve_source(self, src: FromSource, sel: SqlSelect | None = None) -> DataFrame:
         if src.subquery is not None:
             df = self._select(src.subquery)
         else:
-            df = self.table(src.name)
+            df = None
+            planner_src = self.planner_sources.get((src.name or "").lower())
+            if planner_src is not None and sel is not None and hasattr(planner_src, "walk_source_select"):
+                # source-owned pushdown: offer the rewritten sub-select
+                # (plan.SourcePlanner ≈ plan/plan.go:116-123); a None return
+                # declines and we fall back to the plain scan
+                from .planner import rewrite_source_select
+
+                df = planner_src.walk_source_select(self, rewrite_source_select(sel, src).select)
+            if df is None:
+                df = self.table(src.name)
             if src.name.lower() in self.broadcast_hints:
                 df = F.broadcast(df)
         return df.alias(src.ref)
@@ -280,11 +325,11 @@ class Engine:
     def _build_from(self, sel: SqlSelect) -> tuple[DataFrame, Scope]:
         frames: dict[str, DataFrame] = {}
         first = sel.from_[0]
-        df = self._resolve_source(first)
+        df = self._resolve_source(first, sel)
         frames[first.ref] = df
         joined = df
         for src in sel.from_[1:]:
-            other = self._resolve_source(src)
+            other = self._resolve_source(src, sel)
             frames[src.ref] = other
             scope = Scope(dict(frames), includes=self.includes, params=self.session_vars)
             how = {
@@ -527,6 +572,13 @@ class Engine:
     def _filterql(self, stmt: FilterStatement) -> DataFrame:
         if not stmt.from_:
             raise ExecError("FILTER without FROM requires engine.filter(df, ...)")
+        planner_src = self.planner_sources.get(stmt.from_.lower())
+        if planner_src is not None and hasattr(planner_src, "walk_source_filter"):
+            out = planner_src.walk_source_filter(self, stmt)
+            if out is not None:
+                if stmt.alias:
+                    self.includes[stmt.alias.lower()] = stmt.filter
+                return out
         df = self.table(stmt.from_)
         scope = Scope({stmt.from_: df}, includes=self.includes, strict=False)
         out = df.filter(to_column(stmt.filter, scope))
@@ -548,7 +600,7 @@ class Engine:
     # ------------------------------------------------------------------
     def _show(self, s: SqlShow) -> DataFrame:
         if s.show in ("TABLES",):
-            rows = [{"Table": t} for t in sorted(self.tables)]
+            rows = [{"Table": t} for t in sorted(set(self.tables) | set(self.planner_sources))]
             df = self.spark.createDataFrame(rows, schema="Table string") if rows else self.spark.createDataFrame([], "Table string")
         elif s.show == "DATABASES":
             df = self.spark.createDataFrame([{"Database": self.name}])
@@ -659,6 +711,16 @@ class Engine:
 
             if not c.with_:
                 raise ExecError(f"CREATE {tok} requires WITH {{json}}")
+            typ = (c.with_.get("type") or c.with_.get("format") or "").lower()
+            if typ == "sqlite" and "query" not in c.with_:
+                # sqlite registers as a *plannable* source: sub-selects are
+                # compiled to native SQLite SQL (SourcePlanner parity,
+                # plan/plan.go:116-123 + datasource/sqlite/source.go:20-49)
+                from .sources import SqliteSource
+
+                dbf = c.with_.get("file") or c.with_.get("path")
+                self.register_source(c.ident, SqliteSource(dbf, c.with_.get("dbtable") or c.with_.get("table", "t")))
+                return None
             dfs = load_source(self.spark, c.with_)
             for tname, df in dfs.items():
                 self.register_df(tname if len(dfs) > 1 else c.ident, df)
@@ -687,6 +749,8 @@ class Engine:
             del self.tables[key]
         elif key in self.views:
             del self.views[key]
+        elif key in self.planner_sources:
+            del self.planner_sources[key]
         elif not d.if_exists:
             raise ExecError(f"cannot drop unknown {d.ident}")
         return None

@@ -43,8 +43,14 @@ class Token:
         return f"<{self.kind}:{self.val!r}>"
 
 
-_TOKEN_RE = re.compile(
-    r"""
+def _build_token_re(identity_chars: str = "") -> re.Pattern:
+    """Build the tokenizer regex. ``identity_chars`` adds extra characters
+    to bare identifiers — the reference's ``lex.IDENTITY_CHARS`` override
+    used by custom dialects (/root/reference/dialects/example/main.go:36
+    sets ``lex.IDENTITY_CHARS = "_./-"`` to allow dashes in identities)."""
+    extra = re.escape("".join(c for c in identity_chars if c not in "_.*"))
+    return re.compile(
+        r"""
   (?P<ws>\s+)
 | (?P<comment>--[^\n]*|\#[^\n]*|//[^\n]*|/\*.*?\*/)
 | (?P<number>(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
@@ -53,11 +59,15 @@ _TOKEN_RE = re.compile(
 | (?P<sq>'(?:[^'\\]|\\.)*')
 | (?P<op><=|>=|!=|<>|==|=~|!~|=|<|>|\|\||&&|[-+*/%!.:])
 | (?P<punct>[(),;\[\]{}])
-| (?P<ident>[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_*][A-Za-z0-9_*]*)*)
+| (?P<ident>[A-Za-z_][A-Za-z0-9_IDENTEXTRA]*(?:\.[A-Za-z_*][A-Za-z0-9_*IDENTEXTRA]*)*)
 | (?P<param>[@?][@A-Za-z0-9_.]*)
-""",
-    re.X | re.S,
-)
+""".replace("IDENTEXTRA", extra),
+        re.X | re.S,
+    )
+
+
+_TOKEN_RE = _build_token_re()
+_RE_CACHE: dict[str, re.Pattern] = {"": _TOKEN_RE}
 
 _PUNCT_KIND = {
     "(": LPAREN,
@@ -91,13 +101,19 @@ class LexError(ValueError):
     pass
 
 
-def tokenize(text: str) -> list[Token]:
-    """Lex ``text`` into a token list terminated by an EOF token."""
+def tokenize(text: str, identity_chars: str = "") -> list[Token]:
+    """Lex ``text`` into a token list terminated by an EOF token.
+
+    ``identity_chars``: extra characters allowed inside bare identifiers
+    (custom-dialect hook, ≈ lex.IDENTITY_CHARS)."""
+    token_re = _RE_CACHE.get(identity_chars)
+    if token_re is None:
+        token_re = _RE_CACHE[identity_chars] = _build_token_re(identity_chars)
     toks: list[Token] = []
     pos = 0
     n = len(text)
     while pos < n:
-        m = _TOKEN_RE.match(text, pos)
+        m = token_re.match(text, pos)
         if m is None:
             raise LexError(f"unexpected character {text[pos]!r} at {pos}: {text[max(0,pos-20):pos+20]!r}")
         kind = m.lastgroup

@@ -88,6 +88,158 @@ def _read_sqlite(spark: SparkSession, db_file: str, table: str, query: str | Non
     return spark.createDataFrame(data, schema=cols)
 
 
+class SqliteSource:
+    """Plannable SQLite source: the engine's per-source sub-select rewrite
+    (planner.rewrite_source_select) is compiled to a native SQLite SQL
+    string, so projection + predicates + limit run inside sqlite and only
+    matching rows are parallelized into Spark.
+
+    Parity: /root/reference/datasource/sqlite/source.go:20-49 runs the
+    reference's golden suite with sqlite executing pushed-down statements;
+    this class is the SourcePlanner-style equivalent (plan/plan.go:116-123).
+    The engine re-applies the WHERE afterwards (see planner.py contract), so
+    a partially-compilable predicate still returns correct rows.
+    """
+
+    def __init__(self, db_file: str, table: str):
+        self.db_file = db_file
+        self.dbtable = table
+        self.last_pushdown: str | None = None
+        import sqlite3
+
+        con = sqlite3.connect(db_file)
+        try:
+            self._columns = {r[1] for r in con.execute(f'PRAGMA table_info("{table}")').fetchall()}
+        finally:
+            con.close()
+
+    def scan(self, spark: SparkSession) -> DataFrame:
+        return _read_sqlite(spark, self.db_file, self.dbtable)
+
+    def walk_source_select(self, engine, sel) -> DataFrame | None:
+        cols = "*"
+        names = [c.expr.name for c in sel.columns if not c.is_star]
+        if names and all(n in self._columns for n in names):
+            cols = ", ".join(f'"{n}"' for n in names)
+
+        conj_sql: list[str] = []
+        compiled_all = True
+        if sel.where is not None:
+            from ..planner import _conjuncts
+
+            for conj in _conjuncts(sel.where):
+                s = _sqlite_expr(conj, self._columns)
+                if s is None:
+                    compiled_all = False
+                else:
+                    conj_sql.append(s)
+
+        sql = f'SELECT {cols} FROM "{self.dbtable}"'
+        if conj_sql:
+            sql += " WHERE " + " AND ".join(conj_sql)
+        # contract: LIMIT only if the entire offered WHERE was applied
+        if sel.limit is not None and compiled_all:
+            sql += f" LIMIT {int(sel.limit)}"
+        self.last_pushdown = sql
+        return _read_sqlite(engine.spark, self.db_file, self.dbtable, sql)
+
+
+def _sqlite_expr(node, columns: set) -> str | None:
+    """Compile one predicate conjunct to SQLite SQL; None = keep engine-side.
+    Dialect shims preserved: BETWEEN is EXCLUSIVE (vm/vm.go:868), LIKE
+    accepts ``*`` as a glob star (expr/builtins converts), EXISTS col →
+    col IS NOT NULL."""
+    from ..nodes import (
+        ArrayNode,
+        BinaryNode,
+        BoolNode,
+        BooleanNode,
+        IdentityNode,
+        NullNode,
+        NumberNode,
+        StringNode,
+        TriNode,
+        UnaryNode,
+    )
+
+    def lit(n) -> str | None:
+        if isinstance(n, NumberNode):
+            return n.text
+        if isinstance(n, StringNode):
+            return "'" + n.value.replace("'", "''") + "'"
+        if isinstance(n, BoolNode):
+            return "1" if n.value else "0"
+        if isinstance(n, NullNode):
+            return "NULL"
+        if isinstance(n, UnaryNode) and n.op == "-":
+            inner = lit(n.child)
+            return None if inner is None else f"-{inner}"
+        return None
+
+    def ident(n) -> str | None:
+        if isinstance(n, IdentityNode) and not n.is_star and n.name in columns:
+            return f'"{n.name}"'
+        return None
+
+    if isinstance(node, BinaryNode):
+        if node.op in ("AND", "OR"):
+            lhs, rhs = _sqlite_expr(node.left, columns), _sqlite_expr(node.right, columns)
+            if lhs is None or rhs is None:
+                return None
+            return f"({lhs} {node.op} {rhs})"
+        lhs = ident(node.left)
+        if lhs is None:
+            return None
+        if node.op in ("=", "!=", "<", "<=", ">", ">="):
+            rhs = lit(node.right)
+            if rhs is None:
+                return None
+            if isinstance(node.right, NullNode):
+                return f"{lhs} IS {'NOT ' if node.op == '!=' else ''}NULL"
+            op = "==" if node.op == "=" else node.op
+            return f"{lhs} {op} {rhs}"
+        if node.op == "LIKE" and isinstance(node.right, StringNode):
+            pat = node.right.value.replace("*", "%")
+            neg = "NOT " if node.negated else ""
+            return f"{lhs} {neg}LIKE '" + pat.replace("'", "''") + "'"
+        if node.op == "IN" and isinstance(node.right, ArrayNode):
+            vals = [lit(i) for i in node.right.items]
+            if any(v is None for v in vals):
+                return None
+            neg = "NOT " if node.negated else ""
+            return f"{lhs} {neg}IN ({', '.join(vals)})"
+        if node.op == "IS":
+            if isinstance(node.right, NullNode):
+                return f"{lhs} IS {'NOT ' if node.negated else ''}NULL"
+            return None
+        return None
+    if isinstance(node, BooleanNode):
+        parts = [_sqlite_expr(a, columns) for a in node.args]
+        if any(p is None for p in parts):
+            return None
+        joined = f" {node.op} ".join(parts)
+        return f"NOT ({joined})" if node.negated else f"({joined})"
+    if isinstance(node, UnaryNode):
+        if node.op == "NOT":
+            inner = _sqlite_expr(node.child, columns)
+            return None if inner is None else f"NOT ({inner})"
+        if node.op == "EXISTS":
+            col = ident(node.child)
+            return None if col is None else f"{col} IS NOT NULL"
+        return None
+    if isinstance(node, TriNode) and node.op == "BETWEEN":
+        col = ident(node.args[0])
+        lo, hi = lit(node.args[1]), lit(node.args[2])
+        if col is None or lo is None or hi is None:
+            return None
+        # dialect BETWEEN is exclusive (vm/vm.go:868)
+        body = f"({col} > {lo} AND {col} < {hi})"
+        return f"NOT {body}" if node.negated else body
+    if isinstance(node, BoolNode):
+        return "1" if node.value else "0"
+    return None
+
+
 def load_source(spark: SparkSession, cfg: dict) -> dict[str, DataFrame]:
     """Load a source config → {table_name: DataFrame}."""
     typ = (cfg.get("type") or cfg.get("format") or "csv").lower()
