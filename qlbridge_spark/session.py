@@ -51,6 +51,39 @@ def configure(spark: SparkSession, shuffle_partitions: int | None = None) -> Spa
     return spark
 
 
+def ensure_bucketed_star(spark: SparkSession, sf_dir: str, layout_dir: str, buckets: int = 16) -> dict[str, str]:
+    """Build (once per catalog) the bucketed physical layout for the star
+    schema's FACT tables: lineitem and orders bucketed + sorted on the join
+    key (orderkey). Returns {logical_name: catalog_table_name}.
+
+    This is the 100 TB design: both fact sides pre-clustered on the join
+    key means the orders⋈lineitem join — the biggest shuffle in the star —
+    needs NO Exchange on either side, and a groupBy on the same key also
+    reuses the layout. The write cost is paid once and amortized over every
+    subsequent query (bench reports it separately as layout_build_sec).
+    """
+    import os
+    import re
+
+    tag = re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    from .engine import read_parquet
+
+    names: dict[str, str] = {}
+    for logical, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
+        tname = f"bstar_{tag}_{logical}"
+        if not spark.catalog.tableExists(tname):
+            df = read_parquet(spark, f"{sf_dir}/{logical}.parquet")
+            write_table(
+                df,
+                os.path.join(layout_dir, tname),
+                bucket_by=(buckets, [key]),
+                sort_by=[key],
+                table_name=tname,
+            )
+        names[logical] = tname
+    return names
+
+
 def write_table(
     df: DataFrame,
     path: str,

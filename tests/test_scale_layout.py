@@ -33,6 +33,56 @@ class TestBucketedJoin:
             spark.sql("DROP TABLE IF EXISTS bt_b")
 
 
+class TestBucketedStar:
+    def test_fact_fact_join_exchange_free(self, spark, tmp_path):
+        """The bench's 100 TB layout: lineitem+orders bucketed on orderkey →
+        the engine's q03-shape (join + groupBy on the bucket key) runs with
+        ZERO Exchange; facts may not broadcast at scale so the broadcast
+        path is disabled for the proof."""
+        import shutil
+
+        from qlbridge_spark import Engine
+        from qlbridge_spark.session import ensure_bucketed_star
+
+        sf_dir = str(tmp_path / "sfx")
+        import os
+
+        os.makedirs(sf_dir)
+        from pyspark.sql import functions as F
+
+        spark.range(2000).select(
+            (F.col("id") % 500).alias("l_orderkey"),
+            (F.rand(7) * 100).alias("l_extendedprice"),
+            F.lit(0.05).alias("l_discount"),
+        ).write.parquet(f"{sf_dir}/lineitem.parquet")
+        spark.range(500).select(
+            F.col("id").alias("o_orderkey"), F.lit("O").alias("o_orderstatus")
+        ).write.parquet(f"{sf_dir}/orders.parquet")
+
+        names = ensure_bucketed_star(spark, sf_dir, str(tmp_path / "layout"), buckets=4)
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            eng = Engine(spark, "bstar-test")
+            eng.register_df("lineitem", spark.table(names["lineitem"]))
+            eng.register_df("orders", spark.table(names["orders"]))
+            df = eng.sql(
+                "SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+                "FROM orders JOIN lineitem ON l_orderkey = o_orderkey "
+                "GROUP BY o_orderkey ORDER BY revenue DESC LIMIT 5"
+            )
+            plan = df._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+            )
+            assert "Exchange" not in plan, plan
+            assert df.count() == 5
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            for t in names.values():
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(sf_dir, ignore_errors=True)
+
+
 class TestParseLatency:
     def test_statement_parse_under_5ms(self):
         # BASELINE.md: translation cost must vanish next to Spark's ~100ms
