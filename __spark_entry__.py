@@ -377,15 +377,18 @@ def _dp_ann_topk(spark, sf_dir):
 
 
 def _dp_minhash_pairs(spark, sf_dir):
-    # production two-phase shape: MinHash LSH candidates (bands=num_hashes
-    # → recall 1-(1-j)^64, effectively exhaustive at j>=0.5) + EXACT
-    # n-gram Jaccard verify — output equals the exhaustive exact pair set,
-    # which the DuckDB oracle computes directly. floor(j*1e4) avoids
-    # cross-engine float-rounding divergence.
+    # production two-phase shape: MinHash LSH candidates (bands=num_hashes=32,
+    # r=1 → a true pair at j>=0.5 is missed with prob (1-j)^32 <= 2^-32;
+    # over the few hundred true pairs at any tested SF the expected miss is
+    # < 1e-7, so the output equals the exhaustive exact pair set) + EXACT
+    # n-gram Jaccard verify, which the DuckDB oracle computes directly.
+    # 32 hashes (not 64) halves the banding rows AND the false-candidate
+    # rate at identical output. floor(j*1e4) avoids cross-engine
+    # float-rounding divergence.
     from qlbridge_spark.datapipe import lsh_jaccard_pairs
 
     d = _docs(spark, sf_dir)
-    return lsh_jaccard_pairs(d, "doc_id", "text", threshold=0.5, bands=64).select(
+    return lsh_jaccard_pairs(d, "doc_id", "text", threshold=0.5, num_hashes=32, bands=32).select(
         "id_a", "id_b", F.floor(F.col("jaccard") * 10000).cast("long").alias("j_x1e4")
     )
 

@@ -239,11 +239,22 @@ def lsh_jaccard_pairs(
 
     Returns (id_a, id_b, jaccard) with jaccard >= threshold.
     """
-    sigs = _minhash_sigs(df, id_col, text_col, num_hashes, shingle_size).persist()
-    cands = lsh_candidate_pairs(sigs, "__id", "minhash", bands, bucket_cap)
+    # tokenize/shingle ONCE: the gram table feeds both the signature
+    # aggregation (explode + min-aggs) and the exact verify — at 100 TB
+    # this is the table you'd materialize; locally persist() is the cut
     grams = _spread(df, id_col).select(
         F.col(id_col).alias("__gid"), _word_shingles(F.col(text_col), shingle_size).alias("__grams")
+    ).persist()
+    params = _perm_params(num_hashes)
+    h = F.xxhash64("__shingle").bitwiseAND(F.lit((1 << 32) - 1))
+    exploded = grams.select(F.col("__gid").alias("__id"), F.explode("__grams").alias("__shingle")).select("__id", h.alias("__h"))
+    aggs = [F.min(F.pmod(F.lit(a) * F.col("__h") + F.lit(b), F.lit(_MERSENNE_61))).alias(f"__mh{i}") for i, (a, b) in enumerate(params)]
+    sigs = (
+        exploded.groupBy("__id")
+        .agg(*aggs)
+        .select("__id", F.array(*[f"__mh{i}" for i in range(num_hashes)]).alias("minhash"))
     )
+    cands = lsh_candidate_pairs(sigs, "__id", "minhash", bands, bucket_cap)
     a = grams.select(F.col("__gid").alias("id_a"), F.col("__grams").alias("__ga"))
     b = grams.select(F.col("__gid").alias("id_b"), F.col("__grams").alias("__gb"))
     inter = F.size(F.array_intersect("__ga", "__gb"))

@@ -600,8 +600,15 @@ class Engine:
     # ------------------------------------------------------------------
     def _show(self, s: SqlShow) -> DataFrame:
         if s.show in ("TABLES",):
-            rows = [{"Table": t} for t in sorted(set(self.tables) | set(self.planner_sources))]
-            df = self.spark.createDataFrame(rows, schema="Table string") if rows else self.spark.createDataFrame([], "Table string")
+            names = sorted(set(self.tables) | set(self.planner_sources))
+            if s.full:
+                # SHOW FULL TABLES → name + table_type (plan/sql_rewrite.go:66)
+                rows = [{"Table": t, "Table_type": "VIEW" if t in self.views else "BASE TABLE"} for t in names]
+                schema = "Table string, Table_type string"
+            else:
+                rows = [{"Table": t} for t in names]
+                schema = "Table string"
+            df = self.spark.createDataFrame(rows, schema=schema) if rows else self.spark.createDataFrame([], schema)
         elif s.show == "DATABASES":
             df = self.spark.createDataFrame([{"Database": self.name}])
         elif s.show in ("COLUMNS", "FIELDS"):
@@ -610,6 +617,20 @@ class Engine:
             rows = [{"Variable_name": k, "Value": str(v)} for k, v in sorted(self.session_vars.items())]
             schema = "Variable_name string, Value string"
             df = self.spark.createDataFrame(rows, schema=schema) if rows else self.spark.createDataFrame([], schema)
+        elif s.show == "STATUS":
+            # MySQL-compat SHOW STATUS (plan/sql_rewrite.go:157): empty set,
+            # schema-correct — no server counters in a library engine
+            df = self.spark.createDataFrame([], "Variable_name string, Value string")
+        elif s.show == "INDEX":
+            # SHOW INDEX FROM t — 12-column MySQL shape (schema.ShowIndexCols,
+            # schema/schema.go:37; schemadb.go:360-374 returns no rows too)
+            self.table(s.ident)  # raises on unknown table
+            schema = (
+                "Table string, Non_unique long, Key_name string, Seq_in_index long, "
+                "Column_name string, Collation string, Cardinality long, Sub_part string, "
+                "Packed string, Null string, Index_type string, Index_comment string"
+            )
+            df = self.spark.createDataFrame([], schema)
         elif s.show == "CREATE":
             t = self.table(s.ident)
             ddl = f"CREATE TABLE `{s.ident}` (" + ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in t.schema.fields) + ")"

@@ -535,13 +535,19 @@ class SqlParser(ExprParser):
     def parse_show(self) -> SqlShow:
         self.advance()
         full = self.eat_kw("FULL")
+        # SHOW [GLOBAL | SESSION] VARIABLES/STATUS (lex/dialect_sql.go:262,
+        # plan/sql_rewrite.go:136,157) — scope prefix accepted, single store
+        if self.at_kw("GLOBAL", "SESSION", "SLAVE"):
+            self.advance()
         what = self.advance().upper
+        if what in ("INDEXES", "KEYS"):
+            what = "INDEX"
         s = SqlShow(show=what, full=full)
         if what == "CREATE":
             self.expect(IDENT, "TABLE")
             s.ident = self.advance().val
             return s
-        if what in ("COLUMNS", "FIELDS"):
+        if what in ("COLUMNS", "FIELDS", "INDEX"):
             self.expect(IDENT, "FROM")
             s.ident = self.advance().val
         if self.eat_kw("FROM"):

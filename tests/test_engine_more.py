@@ -75,6 +75,35 @@ class TestMoreEngine:
         r = rows(df)[0]
         assert "CREATE TABLE `users`" in r[1] or "CREATE TABLE `users`" in r[0]
 
+    def test_show_full_tables(self, engine):
+        # SHOW FULL TABLES → name + table_type (plan/sql_rewrite.go:66)
+        df = engine.execute("SHOW FULL TABLES")
+        assert df.columns == ["Table", "Table_type"]
+        r = {t: ty for t, ty in rows(df)}
+        assert r.get("users") == "BASE TABLE"
+
+    def test_show_index(self, engine):
+        # 12-column MySQL shape (schema.ShowIndexCols, schema/schema.go:37)
+        df = engine.execute("SHOW INDEX FROM users")
+        assert df.columns[:4] == ["Table", "Non_unique", "Key_name", "Seq_in_index"]
+        assert len(df.columns) == 12 and df.count() == 0
+        df = engine.execute("SHOW KEYS FROM users")  # alias form
+        assert len(df.columns) == 12
+        import pytest as _pytest
+
+        from qlbridge_spark import ExecError
+
+        with _pytest.raises(ExecError):
+            engine.execute("SHOW INDEX FROM nosuchtable")
+
+    def test_show_status_and_scoped_variables(self, engine):
+        df = engine.execute("SHOW STATUS")
+        assert df.columns == ["Variable_name", "Value"] and df.count() == 0
+        # GLOBAL/SESSION scope prefixes accepted (plan/sql_rewrite.go:136)
+        engine.execute("SET @@g1 = 7")
+        assert engine.execute("SHOW GLOBAL VARIABLES").count() >= 1
+        assert engine.execute("SHOW SESSION STATUS").count() == 0
+
 
 class TestGroupingExtensions:
     def test_group_by_positional(self, engine):
