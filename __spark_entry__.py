@@ -479,6 +479,50 @@ def _dp_curation_report(spark, sf_dir):
     )
 
 
+def _dp_asof_join(spark, sf_dir):
+    # as-of join (operator Spark lacks; DuckDB oracles it natively with
+    # ASOF LEFT JOIN): each purchase event matched to the user's most
+    # recent prior click. Union + last-value window = ONE shuffle on the
+    # key, no range-join explosion (datapipe/asof.py scale notes).
+    from qlbridge_spark.datapipe import asof_join
+
+    ev = _engine(spark, sf_dir).table("events")
+    left = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    right = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    out = asof_join(left, right, on="ts", by="user_id", tiebreak="click_id")
+    return out.select(
+        "event_id",
+        "user_id",
+        "click_id",
+        F.unix_micros("ts_right").alias("click_us"),
+    )
+
+
+def _dp_stratified_sample(spark, sf_dir):
+    # deterministic portable stratified sampling (hash-threshold on salted
+    # md5): downsample high-resource languages, keep the rest — reruns and
+    # other engines select the IDENTICAL row set (no rand()/sample()).
+    from qlbridge_spark.datapipe import hash_sample
+
+    d = _docs(spark, sf_dir)
+    return hash_sample(
+        d, "doc_id", {"en": 0.5, "de": 0.25}, strata_col="lang", default_rate=1.0, salt="cur1"
+    ).select("doc_id", "lang")
+
+
+def _dp_tfidf_terms(spark, sf_dir):
+    # top-3 characteristic terms per doc; integer-exact scoring (see
+    # tfidf_top_terms docstring) so ranks can't flip on libm ulp noise
+    from qlbridge_spark.datapipe import tfidf_top_terms
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 500)
+    return tfidf_top_terms(d, "doc_id", "text", k=3).select(
+        "doc_id", F.col("rank").cast("long").alias("rank"), "term", "tf", "df", "score"
+    )
+
+
 def _dp_multimodal(spark, sf_dir):
     # doc_id < 50 (not .limit) so the row set is deterministic for the
     # oracle; the decode itself is the real Arrow mapInPandas path
@@ -514,6 +558,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["dp12_sessionize"] = _dp_sessionize
     out["dp13_cosine_pairs"] = _dp_cosine_pairs
     out["dp14_curation_report"] = _dp_curation_report
+    out["dp15_asof_join"] = _dp_asof_join
+    out["dp16_stratified_sample"] = _dp_stratified_sample
+    out["dp17_tfidf_terms"] = _dp_tfidf_terms
     return out
 
 
@@ -909,4 +956,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                    sha256(text) AS sha256
             FROM documents WHERE doc_id < 50""",
+        # dp15: DuckDB has native ASOF JOIN — the direct oracle for the
+        # union+last-value window formulation (datapipe/asof.py)
+        "dp15_asof_join": """
+            SELECT l.event_id, l.user_id, r.event_id AS click_id,
+                   epoch_us(r.ts) AS click_us
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts""",
+        # dp16: identical salted-md5 hex-prefix threshold comparison —
+        # bit-for-bit the same keep set as sample_mask (sampling.py)
+        "dp16_stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE substr(md5(doc_id::VARCHAR || ':cur1'), 1, 8) <
+              CASE lang WHEN 'en' THEN '80000000'
+                        WHEN 'de' THEN '40000000'
+                        ELSE 'ffffffff' END""",
+        # dp17: integer-exact tf·idf (score = tf * floor(1000*N/df)) — the
+        # double division of two small ints is correctly rounded in both
+        # engines, so floor() agrees; ranks tie-break by term
+        "dp17_tfidf_terms": """
+            WITH terms AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(lower(trim(text)), '\\W+'),
+                                        x -> x <> '')) AS term
+              FROM documents WHERE doc_id < 500),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+            dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            n AS (SELECT count(DISTINCT doc_id) AS n FROM documents WHERE doc_id < 500),
+            scored AS (
+              SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+                     tf.tf * CAST(floor(1000 * n.n / dfreq.df) AS BIGINT) AS score
+              FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY doc_id
+                          ORDER BY score DESC, term ASC) AS rank
+              FROM scored)
+            SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df, score
+            FROM ranked WHERE rank <= 3""",
     }

@@ -25,9 +25,11 @@ from .dedup import (
     simhash,
     simhash_pairs,
 )
+from .asof import asof_join
+from .sampling import hash_sample, sample_mask
 from .sessions import session_stats, sessionize, sessionize_stream
 from .similarity import cosine_topk, ivf_build, ivf_topk
-from .text import fingerprint, lang_id, quality_score, token_count
+from .text import fingerprint, lang_id, quality_score, tfidf_top_terms, token_count
 
 __all__ = [
     "dedup_exact",
@@ -51,4 +53,8 @@ __all__ = [
     "quality_score",
     "token_count",
     "fingerprint",
+    "tfidf_top_terms",
+    "asof_join",
+    "hash_sample",
+    "sample_mask",
 ]

@@ -1,0 +1,61 @@
+"""Deterministic sampling for training-data curation.
+
+``hash_sample`` keeps a row iff a salted md5 of its key falls under the
+stratum's rate threshold. Properties that matter for corpus curation:
+
+- **deterministic & portable**: the keep/drop decision is a pure function
+  of (key, salt) — reruns, backfills, and other engines (the DuckDB
+  oracle compares the md5 hex prefix lexicographically, exactly as we do)
+  select the identical row set. ``df.sample()`` can't do any of that.
+- **stratified**: per-stratum rates (e.g. downsample English, keep all
+  low-resource languages) via a rate map compiled to one CASE column.
+- **shuffle-free**: a scan + filter, no exchange at any scale.
+
+The threshold compares the first 8 hex chars of md5 against
+``format(rate * 2^32, '08x')`` — an exact integer comparison done
+lexicographically on hex text, so float-rounding differences between
+engines cannot flip a row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def rate_threshold_hex(rate: float) -> str:
+    """Exact 8-hex-digit threshold for a [0,1] sampling rate."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0,1], got {rate}")
+    return format(min(int(rate * (1 << 32)), (1 << 32) - 1), "08x")
+
+
+def sample_mask(key: Column, rate: float | Column, salt: str = "") -> Column:
+    """Boolean keep-mask: salted-md5 uniform draw < rate (portable)."""
+    bucket = F.substring(F.md5(F.concat(key.cast("string"), F.lit(":" + salt))), 1, 8)
+    if isinstance(rate, Column):
+        return bucket < rate
+    return bucket < F.lit(rate_threshold_hex(rate))
+
+
+def hash_sample(
+    df: DataFrame,
+    key_col: str,
+    rate: float | dict[str, float],
+    strata_col: str | None = None,
+    default_rate: float = 1.0,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic (optionally stratified) sample.
+
+    ``rate`` is a single float, or a {stratum_value: rate} map applied via
+    ``strata_col`` (unlisted strata fall back to ``default_rate``).
+    """
+    if isinstance(rate, dict):
+        if not strata_col:
+            raise ValueError("a rate map requires strata_col")
+        thresh: Column = F.lit(rate_threshold_hex(default_rate))
+        for value, r in sorted(rate.items()):
+            thresh = F.when(F.col(strata_col) == value, F.lit(rate_threshold_hex(r))).otherwise(thresh)
+        return df.filter(sample_mask(F.col(key_col), thresh, salt))
+    return df.filter(sample_mask(F.col(key_col), float(rate), salt))

@@ -92,3 +92,47 @@ def fingerprint(text: Column, mode: str = "sorted_tokens") -> Column:
         norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
         return F.xxhash64(norm).cast("string")
     raise ValueError(f"unknown fingerprint mode {mode!r}")
+
+
+def tfidf_top_terms(
+    df,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    idf_scale: int = 1000,
+):
+    """Top-``k`` characteristic terms per document by tf·idf — keyword
+    extraction for corpus exploration/curation.
+
+    Integer-exact scoring for cross-engine determinism: instead of
+    tf·ln(N/df) (whose last-ulp differences between libm implementations
+    can flip ranks), score = tf · floor(idf_scale·N / df) — same ordering
+    family, exact 64-bit integer arithmetic everywhere. Ties break by term
+    (ascending), then deterministic.
+
+    Scale shape: explode terms → per-(doc,term) counts (map-side partial
+    agg) → doc-frequency per term (second small agg) → broadcast-joinable
+    DF table → per-doc top-k window (per-doc cardinality is tiny).
+    Returns (id, term, tf, df, score, rank).
+    """
+    from pyspark.sql import Window
+
+    terms = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\W+"), lambda t: t != F.lit(""))).alias("term"),
+    )
+    tf = terms.groupBy("__id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.select(F.countDistinct(F.col(id_col)).alias("__n"))
+    doc_freq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(doc_freq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", F.col("tf") * F.floor(F.lit(idf_scale) * F.col("__n") / F.col("df")).cast("long"))
+        .drop("__n")
+    )
+    w = Window.partitionBy("__id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("__id").alias(id_col), "term", "tf", "df", "score", "rank")
+    )

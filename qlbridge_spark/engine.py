@@ -82,7 +82,9 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in nanos_cols:
-        df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+        # integer `div`, NOT `/`: float division loses precision above 2^53
+        # and epoch-nanos are ~1.7e18 — a double round-trip lands ±1µs off
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
 
 

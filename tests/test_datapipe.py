@@ -264,3 +264,120 @@ class TestRound2Additions:
         plan = pairs._jdf.queryExecution().analyzed().toString()
         assert "concat_ws" not in plan
         assert pairs.collect() == [(1, 2)] or [(r["id_a"], r["id_b"]) for r in pairs.collect()] == [(1, 2)]
+
+
+class TestAsofJoin:
+    """asof_join (datapipe/asof.py): the union + last-value-window
+    formulation — semantics checked against hand-computed expectations,
+    plan checked for the single-shuffle shape."""
+
+    def _frames(self, spark):
+        left = spark.createDataFrame(
+            [(1, "u1", 100), (2, "u1", 205), (3, "u2", 150), (4, "u3", 50)],
+            "eid long, uid string, t long",
+        ).withColumn("t", F.timestamp_micros(F.col("t") * 1000000))
+        right = spark.createDataFrame(
+            [("u1", 90, 901), ("u1", 205, 902), ("u1", 300, 903), ("u2", 160, 904)],
+            "uid string, t long, rid long",
+        ).withColumn("t", F.timestamp_micros(F.col("t") * 1000000))
+        return left, right
+
+    def test_backward_semantics(self, spark):
+        from qlbridge_spark.datapipe import asof_join
+
+        left, right = self._frames(spark)
+        out = asof_join(left, right, on="t", by="uid", tiebreak="rid")
+        got = {r["eid"]: r["rid"] for r in out.collect()}
+        # eid1@100 → rid901@90; eid2@205 → rid902@205 (equal ts matches);
+        # eid3(u2)@150 → no prior (904 is at 160); eid4(u3) → no right rows
+        assert got == {1: 901, 2: 902, 3: None, 4: None}
+
+    def test_forward_semantics(self, spark):
+        from qlbridge_spark.datapipe import asof_join
+
+        left, right = self._frames(spark)
+        out = asof_join(left, right, on="t", by="uid", direction="forward", tiebreak="rid")
+        got = {r["eid"]: r["rid"] for r in out.collect()}
+        assert got == {1: 902, 2: 902, 3: 904, 4: None}
+
+    def test_tolerance(self, spark):
+        from qlbridge_spark.datapipe import asof_join
+
+        left, right = self._frames(spark)
+        out = asof_join(left, right, on="t", by="uid", tolerance_seconds=5, tiebreak="rid")
+        got = {r["eid"]: r["rid"] for r in out.collect()}
+        # only eid2 has a match within 5s (exact-ts); eid1's is 10s stale
+        assert got == {1: None, 2: 902, 3: None, 4: None}
+
+    def test_single_shuffle_plan(self, spark):
+        from qlbridge_spark.datapipe import asof_join
+
+        left, right = self._frames(spark)
+        out = asof_join(left, right, on="t", by="uid", tiebreak="rid")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # one hashpartitioning exchange on the key, no join operator at all
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+class TestHashSample:
+    def test_deterministic_and_stratified(self, spark):
+        from qlbridge_spark.datapipe import hash_sample
+
+        df = spark.createDataFrame(
+            [(i, "en" if i % 2 == 0 else "fr") for i in range(2000)], "id long, lang string"
+        )
+        s1 = sorted(r["id"] for r in hash_sample(df, "id", {"en": 0.25}, strata_col="lang", salt="s").collect())
+        s2 = sorted(r["id"] for r in hash_sample(df, "id", {"en": 0.25}, strata_col="lang", salt="s").collect())
+        assert s1 == s2  # rerun-identical
+        en = sum(1 for i in s1 if i % 2 == 0)
+        fr = sum(1 for i in s1 if i % 2 == 1)
+        assert fr == 1000  # default rate 1.0 keeps every fr doc
+        assert 150 < en < 350  # ~25% of 1000
+        # different salt → different subset
+        s3 = sorted(r["id"] for r in hash_sample(df, "id", {"en": 0.25}, strata_col="lang", salt="t").collect())
+        assert s1 != s3
+
+    def test_flat_rate_and_validation(self, spark):
+        import pytest as _pytest
+
+        from qlbridge_spark.datapipe import hash_sample
+        from qlbridge_spark.datapipe.sampling import rate_threshold_hex
+
+        df = spark.createDataFrame([(i,) for i in range(1000)], "id long")
+        n = hash_sample(df, "id", 0.5, salt="x").count()
+        assert 400 < n < 600
+        assert rate_threshold_hex(0.5) == "80000000"
+        with _pytest.raises(ValueError):
+            rate_threshold_hex(1.5)
+        with _pytest.raises(ValueError):
+            hash_sample(df, "id", {"en": 0.5})  # rate map needs strata_col
+
+    def test_no_shuffle(self, spark):
+        from qlbridge_spark.datapipe import hash_sample
+
+        df = spark.createDataFrame([(i, "en") for i in range(100)], "id long, lang string")
+        plan = hash_sample(df, "id", 0.5)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+
+class TestTfidf:
+    def test_top_terms_hand_checked(self, spark):
+        from qlbridge_spark.datapipe import tfidf_top_terms
+
+        df = spark.createDataFrame(
+            [
+                (1, "apple apple banana common"),
+                (2, "banana cherry common"),
+                (3, "cherry common common"),
+            ],
+            "doc_id long, text string",
+        )
+        out = tfidf_top_terms(df, "doc_id", "text", k=2)
+        rows = {(r["doc_id"], r["rank"]): (r["term"], r["tf"], r["df"]) for r in out.collect()}
+        # doc1: apple tf=2 df=1 score=2*3000; banana tf=1 df=2 score=1500
+        assert rows[(1, 1)] == ("apple", 2, 1)
+        assert rows[(1, 2)] == ("banana", 1, 2)
+        # doc3: common tf=2 df=3 score=2*1000=2000 beats cherry 1*1500
+        assert rows[(3, 1)] == ("common", 2, 3)
+        assert rows[(3, 2)] == ("cherry", 1, 2)
