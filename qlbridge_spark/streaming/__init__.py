@@ -61,6 +61,31 @@ def windowed_agg(df: DataFrame, ts_col: str, duration: str, slide: str | None, g
     return df.groupBy(w, *[F.col(c) for c in group_cols]).agg(*aggs)
 
 
+def dedup_stream(
+    stream_df: DataFrame,
+    key_cols: list[str],
+    ts_col: str | None = None,
+    delay: str = "10 minutes",
+    within_watermark: bool = True,
+) -> DataFrame:
+    """Streaming exact deduplication — the streaming face of
+    datapipe.dedup_exact.
+
+    With ``ts_col``: watermarks the stream and uses
+    ``dropDuplicatesWithinWatermark`` so state for a key is dropped once
+    the watermark passes it — bounded state, the only formulation that
+    survives an unbounded 100 TB/day stream. Without ``ts_col`` (or
+    ``within_watermark=False``): plain ``dropDuplicates`` — state grows
+    forever; only for bounded/test streams.
+    """
+    if ts_col is not None:
+        out = stream_df.withWatermark(ts_col, delay)
+        if within_watermark:
+            return out.dropDuplicatesWithinWatermark(key_cols)
+        return out.dropDuplicates(key_cols)
+    return stream_df.dropDuplicates(key_cols)
+
+
 def _as_stream(engine, name: str, base: DataFrame, cfg: dict) -> DataFrame:
     path = cfg.get("path")
     fmt = cfg.get("source_format", "parquet")

@@ -60,6 +60,45 @@ class TestContinuousView:
         assert totals == [3.0, 4.0]
 
 
+class TestStreamingDedup:
+    def test_dedup_stream_within_watermark(self, spark, tmp_path):
+        """Streaming exact dedup with bounded state
+        (dropDuplicatesWithinWatermark) — duplicate keys arriving within
+        the watermark window emit once."""
+        from qlbridge_spark.streaming import dedup_stream
+
+        rows = [
+            ("k1", 1.0, datetime.datetime(2024, 1, 1, 10, 0)),
+            ("k1", 2.0, datetime.datetime(2024, 1, 1, 10, 1)),  # dup key
+            ("k2", 3.0, datetime.datetime(2024, 1, 1, 10, 2)),
+        ]
+        batch = spark.createDataFrame(rows, "key string, value double, ts timestamp")
+        stream_dir = str(tmp_path / "dedup_stream")
+        batch.write.parquet(stream_dir)
+
+        src = spark.readStream.schema(batch.schema).parquet(stream_dir)
+        out = dedup_stream(src, ["key"], ts_col="ts", delay="10 minutes")
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("dedup_out")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = sorted(r["key"] for r in spark.sql("SELECT * FROM dedup_out").collect())
+            assert got == ["k1", "k2"]
+        finally:
+            q.stop()
+
+    def test_dedup_stream_batch_fallback(self, spark):
+        from qlbridge_spark.streaming import dedup_stream
+
+        df = spark.createDataFrame([("a", 1), ("a", 2), ("b", 3)], "k string, v long")
+        assert dedup_stream(df, ["k"]).count() == 2
+
+
 class TestVmParity:
     def test_eval_expression(self, spark):
         from qlbridge_spark.vm import eval_expression
