@@ -311,6 +311,40 @@ def _q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_window_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # lag + moving aggregate over event time per user — the telemetry
+    # shape. Integer-cent domain (floor(value*100+0.5)) so the moving sum
+    # is exact in both engines; gaps in epoch micros are exact longs.
+    from pyspark.sql import Window
+
+    eng = _engine(spark, sf_dir)
+    ev = eng.table("events").filter(F.col("user_id") < 20)
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w3 = w.rowsBetween(-2, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias("gap_us"),
+        F.sum(cents).over(w3).alias("mov3_cents"),
+    )
+
+
+def _q_window_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NTILE + percent_rank over customer balances within segment
+    from pyspark.sql import Window
+
+    eng = _engine(spark, sf_dir)
+    df = eng.table("customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return df.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.floor(F.percent_rank().over(w) * 1000000).cast("long").alias("prank_x1e6"),
+    ).filter(F.col("c_custkey") < 300)
+
+
 # ---------------------------------------------------------------------------
 # datapipe operators (dedup / similarity / text) — extensions
 # ---------------------------------------------------------------------------
@@ -544,6 +578,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q22_union"] = _q_union
     out["q23_window_rank"] = _q_window_rank
     out["q33_intersect_except"] = _q_intersect_except
+    out["q36_window_timeseries"] = _q_window_timeseries
+    out["q37_window_quartiles"] = _q_window_quartiles
     out["dp01_exact_dedup"] = _dp_exact_dedup
     out["dp02_fingerprint"] = _dp_fingerprint
     out["dp03_token_count"] = _dp_token_count
@@ -956,6 +992,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                    sha256(text) AS sha256
             FROM documents WHERE doc_id < 50""",
+        "q36_window_timeseries": """
+            SELECT event_id, user_id,
+                   epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us,
+                   sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                     OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov3_cents
+            FROM events
+            WHERE user_id < 20
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+        "q37_window_quartiles": """
+            SELECT c_mktsegment, c_custkey,
+                   CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+                   CAST(floor(percent_rank() OVER w * 1000000) AS BIGINT) AS prank_x1e6
+            FROM customer
+            WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+            QUALIFY c_custkey < 300""",
         # dp15: DuckDB has native ASOF JOIN — the direct oracle for the
         # union+last-value window formulation (datapipe/asof.py)
         "dp15_asof_join": """
