@@ -567,6 +567,22 @@ def _dp_multimodal(spark, sf_dir):
     return decode_features(mm).select("doc_id", "n_bytes", "sha256")
 
 
+def _dp_frame_sample(spark, sf_dir):
+    # video-style frame sampling over binary payloads (real Arrow
+    # mapInPandas batch path; fake "frames" = evenly-spaced byte ranges).
+    # ASCII-only guard makes byte offsets equal char offsets so DuckDB can
+    # replicate the slices with VARCHAR substring (no BLOB substring).
+    from qlbridge_spark.datapipe.multimodal import attach_fake_payload, frame_sample
+
+    d = _docs(spark, sf_dir).filter(
+        (F.col("doc_id") < 50) & (F.octet_length("text") == F.char_length("text"))
+    )
+    mm = attach_fake_payload(d, "doc_id", "text", modality="video")
+    return frame_sample(mm, n_frames=4).select(
+        "doc_id", F.col("frame_idx").cast("long").alias("frame_idx"), "frame_sha256", "frame_bytes"
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -595,6 +611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["dp13_cosine_pairs"] = _dp_cosine_pairs
     out["dp14_curation_report"] = _dp_curation_report
     out["dp15_asof_join"] = _dp_asof_join
+    out["dp18_frame_sample"] = _dp_frame_sample
     out["dp16_stratified_sample"] = _dp_stratified_sample
     out["dp17_tfidf_terms"] = _dp_tfidf_terms
     return out
@@ -1007,6 +1024,23 @@ def oracle_sql() -> dict[str, str]:
             FROM customer
             WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
             QUALIFY c_custkey < 300""",
+        # dp18: frame slices replicated with VARCHAR substring — valid
+        # because the entry filters to ASCII docs (byte offset == char
+        # offset); step/truncation formula mirrors multimodal.frame_sample
+        "dp18_frame_sample": """
+            WITH base AS (
+              SELECT doc_id, text, octet_length(encode(text)) AS nb,
+                     greatest(1, octet_length(encode(text)) // 4) AS step
+              FROM documents
+              WHERE doc_id < 50 AND octet_length(encode(text)) = length(text)),
+            frames AS (
+              SELECT doc_id, i AS frame_idx,
+                     substring(text, i * step + 1, step) AS chunk
+              FROM base, (SELECT unnest(generate_series(0, 3)) AS i))
+            SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+                   sha256(chunk) AS frame_sha256,
+                   CAST(length(chunk) AS BIGINT) AS frame_bytes
+            FROM frames WHERE chunk <> ''""",
         # dp15: DuckDB has native ASOF JOIN — the direct oracle for the
         # union+last-value window formulation (datapipe/asof.py)
         "dp15_asof_join": """
