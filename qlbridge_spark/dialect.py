@@ -37,6 +37,8 @@ class Clause:
     ``parser`` picks how the clause's token span is parsed:
       - "columns":  select-column list (aliases, funcs) → list[rel.Column]
       - "expr":     one expression → expression AST Node
+      - "filter":   a FilterQL expression (AND(...)/OR(...)/INCLUDE forms)
+                    → expression AST Node
       - "identity": a (possibly dotted/dashed) source name → str
       - "raw":      unparsed text span → str
     """
@@ -109,6 +111,10 @@ def _parse_span(parser: str, span: str):
         from .exprparse import parse_expression
 
         return parse_expression(span)
+    if parser == "filter":
+        from .rel import parse_filterql
+
+        return parse_filterql("FILTER " + span).filter
     if parser == "columns":
         from .rel import parse_sql
 

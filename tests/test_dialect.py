@@ -152,3 +152,41 @@ class TestEngineDispatch:
 
         # plain SQL still routes through the normal parser
         assert eng.sql("SELECT count(*) AS c FROM ourstream").collect()[0]["c"] == 3
+
+    def test_dialect_composes_with_filterql(self, spark):
+        """Second grammar: ALERT <name> FROM <src> WHEN <filterql> — shows a
+        custom statement embedding the engine's own FilterQL sub-language
+        (Clause(parser='filter')), like the reference dialects reuse
+        lex.LexColumns/LexExpression sub-lexers."""
+        alert = Dialect(
+            name="alerts",
+            statements=[
+                [
+                    Clause("ALERT", parser="identity"),
+                    Clause("FROM", parser="identity"),
+                    Clause("WHEN", parser="filter"),
+                ]
+            ],
+        )
+        eng = Engine(spark, "alert-test")
+        eng.register_df(
+            "metrics",
+            spark.createDataFrame(
+                [("m1", 95.0, "prod"), ("m2", 20.0, "prod"), ("m3", 99.0, "dev")],
+                "name string, cpu double, env string",
+            ),
+        )
+        fired = {}
+
+        def handle_alert(engine, stmt):
+            from qlbridge_spark import Scope, to_column
+
+            df = engine.table(stmt.get("from"))
+            hits = df.filter(to_column(stmt.get("when"), Scope({"_": df}, strict=False)))
+            fired[stmt.get("alert")] = [r["name"] for r in hits.collect()]
+            return hits
+
+        eng.register_dialect(alert, handle_alert)
+        out = eng.execute('ALERT high_cpu FROM metrics WHEN AND (cpu > 90, env = "prod")')
+        assert fired == {"high_cpu": ["m1"]}
+        assert out.count() == 1
