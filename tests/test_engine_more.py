@@ -206,3 +206,60 @@ class TestExecTestParity:
         assert len(rows) == 1
         assert rows[0]["date"].year == 2013
         engine.execute("DROP TABLE user_event3")
+
+
+class TestDbApi:
+    """PEP 249 driver parity (reference: qlbdriver/driver.go +
+    exec/sqldriver.go register a Go database/sql driver)."""
+
+    def test_cursor_roundtrip(self, spark):
+        from qlbridge_spark.dbapi import connect
+
+        conn = connect(spark, name="dbapi-test")
+        conn.engine.register_rows(
+            "users",
+            [
+                {"user_id": "u1", "name": "Aaron", "balance": 100.5},
+                {"user_id": "u2", "name": "Bob", "balance": 50.0},
+            ],
+        )
+        cur = conn.cursor()
+        cur.execute("SELECT name, balance FROM users ORDER BY name")
+        assert [d[0] for d in cur.description] == ["name", "balance"]
+        assert cur.fetchone() == ("Aaron", 100.5)
+        assert cur.fetchall() == [("Bob", 50.0)]
+        assert cur.fetchone() is None
+
+    def test_qmark_params_and_errors(self, spark):
+        import pytest as _pytest
+
+        from qlbridge_spark.dbapi import ProgrammingError, connect
+
+        conn = connect(spark, name="dbapi-test2")
+        conn.engine.register_rows("t", [{"a": 1, "s": "x?y"}, {"a": 2, "s": "z"}])
+        cur = conn.cursor()
+        # placeholder substituted; '?' INSIDE string literals untouched
+        rows = cur.execute('SELECT a FROM t WHERE a = ? AND s != "?"', [1]).fetchall()
+        assert rows == [(1,)]
+        with _pytest.raises(ProgrammingError):
+            cur.execute("SELECT a FROM t WHERE a = ?", [])
+        with _pytest.raises(ProgrammingError):
+            cur.execute("SELECT a FROM t", [1])
+        with _pytest.raises(ProgrammingError):
+            cur.execute("SELEKT nonsense")
+        # DML reports rowcount, no result set
+        cur.execute('INSERT INTO t (a, s) VALUES (3, "w")')
+        assert cur.rowcount == 1
+        with _pytest.raises(ProgrammingError):
+            cur.fetchall()
+
+    def test_connection_lifecycle(self, spark):
+        import pytest as _pytest
+
+        from qlbridge_spark.dbapi import InterfaceError, connect
+
+        with connect(spark, name="dbapi-test3") as conn:
+            conn.commit()
+            conn.rollback()
+        with _pytest.raises(InterfaceError):
+            conn.cursor()
