@@ -108,14 +108,22 @@ class Engine:
         # custom dialects: leading keyword → (Dialect, handler)
         # (≈ lex.Dialect registration, lex/dialect.go + dialects/example)
         self.dialects: dict[str, tuple[object, object]] = {}
+        # declared table keys (≈ schema.Key, datasource/key.go) for UPSERT
+        self.table_keys: dict[str, str] = {}
 
     # ------------------------------------------------------------------
     # registry (≈ schema.RegisterSourceAsSchema, schema/registry.go:71)
     # ------------------------------------------------------------------
-    def register_df(self, name: str, df: DataFrame, broadcast: bool = False) -> None:
+    def register_df(self, name: str, df: DataFrame, broadcast: bool = False, key: str | None = None) -> None:
+        """Register a DataFrame as a table. ``key`` declares the table's
+        unique key column (≈ schema.Key / datasource.KeyCol,
+        datasource/key.go:27-42) — UPSERT uses it to decide which rows to
+        replace instead of silently assuming the first column."""
         self.tables[name.lower()] = df
         if broadcast:
             self.broadcast_hints.add(name.lower())
+        if key is not None:
+            self.table_keys[name.lower()] = key
 
     def register_rows(self, name: str, rows: list[dict], schema=None) -> None:
         """In-memory source ≈ membtree/memdb static sources."""
@@ -690,8 +698,9 @@ class Engine:
         n = new.count()
         merged = base.unionByName(new, allowMissingColumns=True)
         if ins.upsert:
-            # upsert semantics: new rows win on the first column as key
-            key = ins.columns[0] if ins.columns else base.columns[0]
+            # upsert key: the table's DECLARED key when registered
+            # (datasource/key.go KeyCol); fallback = first insert column
+            key = self.table_keys.get(ins.table.lower()) or (ins.columns[0] if ins.columns else base.columns[0])
             old_only = base.join(new.select(key), on=key, how="left_anti")
             merged = old_only.unionByName(new, allowMissingColumns=True)
         self.register_df(ins.table, merged)

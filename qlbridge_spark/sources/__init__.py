@@ -23,7 +23,26 @@ class SourceError(ValueError):
     pass
 
 
+# custom format readers: type name → fn(spark, path, cfg) -> DataFrame
+# (≈ files.RegisterFileHandler, datasource/files/filehandler.go:65-66 —
+# third parties plug new file formats into the source layer at runtime)
+_READERS: dict[str, object] = {}
+
+
+def register_reader(type_name: str, reader) -> None:
+    """Register a custom source type for CREATE SOURCE WITH
+    {"type": <type_name>}. ``reader(spark, path, cfg) -> DataFrame``."""
+    _READERS[type_name.lower()] = reader
+
+
+def unregister_reader(type_name: str) -> None:
+    _READERS.pop(type_name.lower(), None)
+
+
 def _read_one(spark: SparkSession, typ: str, path: str, cfg: dict) -> DataFrame:
+    custom = _READERS.get(typ)
+    if custom is not None:
+        return custom(spark, path, cfg)
     opts = dict(cfg.get("options", {}))
     if typ == "csv":
         # reference CSV: header row, introspected types (datasource/csv.go:32,

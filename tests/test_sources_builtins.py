@@ -204,3 +204,50 @@ class TestRegexOperator:
 
         assert vm.matches(None, {"path": "stats.cpu"}, 'FILTER path =~ "^stats" FROM t') is True
         assert vm.matches(None, {"path": "disk.io"}, 'FILTER path =~ "^stats" FROM t') is False
+
+
+class TestCustomReaderRegistry:
+    """files.RegisterFileHandler parity (datasource/files/filehandler.go:65):
+    a runtime-registered reader makes a new source type available to
+    CREATE SOURCE."""
+
+    def test_register_reader_roundtrip(self, spark, tmp_path, engine):
+        from qlbridge_spark.sources import register_reader, unregister_reader
+
+        p = str(tmp_path / "data.tsvx")
+        with open(p, "w") as f:
+            f.write("a\t1\nb\t2\n")
+
+        def tsvx_reader(spark_, path, cfg):
+            return spark_.read.option("sep", "\t").schema("name string, v long").csv(path)
+
+        register_reader("tsvx", tsvx_reader)
+        try:
+            engine.execute(f'CREATE SOURCE tx WITH {{"type": "tsvx", "path": "{p}", "table": "tx"}}')
+            rows = engine.sql("SELECT name, v FROM tx ORDER BY name").collect()
+            assert [(r["name"], r["v"]) for r in rows] == [("a", 1), ("b", 2)]
+        finally:
+            unregister_reader("tsvx")
+            engine.execute("DROP TABLE tx")
+
+    def test_unknown_type_still_errors(self, spark):
+        import pytest as _pytest
+
+        from qlbridge_spark.sources import SourceError, load_source
+
+        with _pytest.raises(SourceError):
+            load_source(spark, {"type": "nosuchformat", "path": "/tmp/x"})
+
+
+class TestDeclaredUpsertKey:
+    def test_upsert_uses_declared_key(self, spark):
+        from qlbridge_spark import Engine
+
+        eng = Engine(spark, "keytest")
+        df = spark.createDataFrame([("x", "k1", 1.0), ("y", "k2", 2.0)], "extra string, id string, v double")
+        # declared key is NOT the first column — heuristic would pick wrong
+        eng.register_df("t", df, key="id")
+        n = eng.execute('UPSERT INTO t (extra, id, v) VALUES ("z", "k1", 9.0)')
+        assert n == 1
+        rows = {r["id"]: (r["extra"], r["v"]) for r in eng.table("t").collect()}
+        assert rows == {"k1": ("z", 9.0), "k2": ("y", 2.0)}  # replaced, not dup
