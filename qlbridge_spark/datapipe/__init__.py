@@ -28,6 +28,7 @@ from .dedup import (
 from .asof import asof_join
 from .sampling import hash_sample, sample_mask
 from .sessions import session_stats, sessionize, sessionize_stream
+from .skew import salted_join, skew_stats, two_phase_agg
 from .similarity import cosine_topk, ivf_build, ivf_topk
 from .text import fingerprint, lang_id, quality_score, tfidf_top_terms, token_count
 
@@ -57,4 +58,7 @@ __all__ = [
     "asof_join",
     "hash_sample",
     "sample_mask",
+    "salted_join",
+    "two_phase_agg",
+    "skew_stats",
 ]

@@ -381,3 +381,75 @@ class TestTfidf:
         # doc3: common tf=2 df=3 score=2*1000=2000 beats cherry 1*1500
         assert rows[(3, 1)] == ("common", 2, 3)
         assert rows[(3, 2)] == ("cherry", 1, 2)
+
+
+class TestSkewOperators:
+    """Salting patterns (datapipe/skew.py): output-identical to the naive
+    join/groupBy, hot keys spread across salt buckets."""
+
+    def _skewed(self, spark):
+        # 10k rows of hot key "h" + 100 distinct cold keys
+        from pyspark.sql import functions as F2
+
+        hot = spark.range(2000).select(F2.lit("h").alias("k"), F2.col("id").alias("v"))
+        cold = spark.range(100).select(F2.concat(F2.lit("c"), F2.col("id")).alias("k"), F2.col("id").alias("v"))
+        return hot.unionAll(cold)
+
+    def test_salted_join_matches_plain_join(self, spark):
+        from qlbridge_spark.datapipe import salted_join
+
+        big = self._skewed(spark)
+        other = spark.createDataFrame(
+            [("h", "HOT"), ("c1", "C1"), ("c2", "C2")], "k string, label string"
+        )
+        plain = big.join(other, "k").groupBy("k", "label").count()
+        salted = salted_join(big, other, "k").groupBy("k", "label").count()
+        assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+    def test_salted_left_join_keeps_unmatched(self, spark):
+        from qlbridge_spark.datapipe import salted_join
+
+        big = self._skewed(spark)
+        other = spark.createDataFrame([("h", "HOT")], "k string, label string")
+        out = salted_join(big, other, "k", how="left")
+        assert out.count() == big.count()
+        assert out.filter("label IS NULL").count() == 100  # all cold rows
+
+    def test_salt_spreads_hot_key(self, spark):
+        from pyspark.sql import functions as F2
+
+        from qlbridge_spark.datapipe import salted_join
+
+        big = self._skewed(spark)
+        other = spark.createDataFrame([("h", "HOT")], "k string, label string")
+        # peek at the salted key distribution through the same salt expr
+        salts = 8
+        salted = big.withColumn("__salt", F2.pmod(F2.xxhash64(*[F2.col(c) for c in big.columns]), F2.lit(salts)))
+        dist = salted.filter("k = 'h'").groupBy("__salt").count().collect()
+        assert len(dist) == salts  # hot key present in every salt bucket
+        assert max(r["count"] for r in dist) < 2000  # no bucket holds it all
+        assert salted_join(big, other, "k").count() == 2000
+
+    def test_two_phase_agg_matches_plain(self, spark):
+        from pyspark.sql import functions as F2
+
+        from qlbridge_spark.datapipe import two_phase_agg
+
+        df = self._skewed(spark)
+        plain = df.groupBy("k").agg(F2.sum("v").alias("s"), F2.count(F2.lit(1)).alias("n"), F2.max("v").alias("mx"))
+        two = two_phase_agg(
+            df,
+            "k",
+            partial_aggs={"s": F2.sum("v"), "n": F2.count(F2.lit(1)), "mx": F2.max("v")},
+            final_aggs={"s": F2.sum("s"), "n": F2.sum("n"), "mx": F2.max("mx")},
+        )
+        assert sorted(map(tuple, two.collect())) == sorted(map(tuple, plain.collect()))
+
+    def test_skew_stats_top_keys(self, spark):
+        from qlbridge_spark.datapipe import skew_stats
+
+        df = self._skewed(spark)
+        top = skew_stats(df, "k", top=3).collect()
+        assert top[0]["k"] == "h" and top[0]["n_rows"] == 2000
+        plan = skew_stats(df, "k", top=3)._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
