@@ -114,6 +114,29 @@ def _minhash_sigs(
     )
 
 
+def minhash_sig_col(text, num_hashes: int = 32, shingle_size: int = 3, seed: int = 42):
+    """Per-ROW MinHash signature as a pure Column expression (array<long>)
+    — no explode/aggregate, so it works on STREAMING frames where a
+    groupBy-per-id aggregation would need its own output mode.
+
+    Cost note: higher-order functions are interpreted and Catalyst inlines
+    the shingle pipeline per permutation, so this is slower per row than
+    the explode+min-agg batch path (measured ~50× at sf0.1) — use it for
+    streams and small interactive frames, `_minhash_sigs` for batch.
+    """
+    params = _perm_params(num_hashes, seed)
+    hashed = F.transform(
+        _word_shingles(text, shingle_size),
+        lambda s: F.xxhash64(s).bitwiseAND(F.lit((1 << 32) - 1)),
+    )
+    return F.array(
+        *[
+            F.array_min(F.transform(hashed, lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MERSENNE_61))))
+            for a, b in params
+        ]
+    )
+
+
 def minhash_signature(
     df: DataFrame,
     text_col: str,

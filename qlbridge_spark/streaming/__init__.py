@@ -86,6 +86,98 @@ def dedup_stream(
     return stream_df.dropDuplicates(key_cols)
 
 
+def near_dup_pairs_stream(
+    stream_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    num_hashes: int = 32,
+    bands: int = 8,
+    bucket_cap: int = 256,
+    shingle_size: int = 3,
+    state_timeout_ms: int | None = None,
+):
+    """STREAMING near-duplicate pair detection — the stateful counterpart
+    of datapipe.minhash_pairs, built as a custom operator on
+    ``applyInPandasWithState``.
+
+    Pipeline:
+    1. stateless: per-record MinHash signature (``minhash_sig_col`` Column
+       expression — no aggregation, so it runs on an append stream) and
+       LSH band keys via posexplode;
+    2. stateful: group by (band, bucket); each bucket's state holds the
+       ids + signatures seen so far (capped at ``bucket_cap`` — the skew
+       guard); an arriving record is compared against the stored
+       signatures (estimated Jaccard = fraction of agreeing positions)
+       and emits (id_a, id_b, est_jaccard) for matches ≥ threshold.
+
+    A pair colliding in several bands emits once per band — distinct()
+    downstream (per micro-batch via foreachBatch, or sink-side).
+    ``state_timeout_ms`` bounds bucket state by processing time; None
+    keeps state forever (tests / bounded streams).
+
+    Scale: state per bucket ≤ bucket_cap signatures; the band explode
+    multiplies rows ×bands but each row is (band, bucket, id, sig).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..datapipe.dedup import minhash_sig_col
+
+    sig = minhash_sig_col(F.col(text_col), num_hashes, shingle_size)
+    rows_per_band = num_hashes // bands
+    banded = stream_df.select(
+        F.col(id_col).cast("long").alias("__id"),
+        sig.alias("__sig"),
+    ).select(
+        "__id",
+        "__sig",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band), b),
+            )
+        ).alias("__band", "__bucket"),
+    )
+
+    out_schema = "id_a long, id_b long, est_jaccard double"
+    # state: parallel arrays — ids + flattened signatures (stride num_hashes)
+    state_schema = "ids array<long>, sigs array<long>"
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        ids, flat = state.get if state.exists else ([], [])
+        ids, flat = list(ids), list(flat)
+        out_rows = []
+        for pdf in pdfs:
+            for _id, s in zip(pdf["__id"], pdf["__sig"]):
+                s = list(s)
+                for j, prev_id in enumerate(ids):
+                    if prev_id == _id:
+                        continue
+                    prev = flat[j * num_hashes : (j + 1) * num_hashes]
+                    est = sum(1 for x, y in zip(prev, s) if x == y) / num_hashes
+                    if est >= threshold:
+                        a, b = (prev_id, _id) if prev_id < _id else (_id, prev_id)
+                        out_rows.append((a, b, est))
+                if len(ids) < bucket_cap:
+                    ids.append(int(_id))
+                    flat.extend(int(x) for x in s)
+        state.update((ids, flat))
+        if state_timeout_ms is not None:
+            state.setTimeoutDuration(state_timeout_ms)
+        yield pd.DataFrame(out_rows, columns=["id_a", "id_b", "est_jaccard"])
+
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout if state_timeout_ms is not None else GroupStateTimeout.NoTimeout
+    )
+    return banded.groupBy("__band", "__bucket").applyInPandasWithState(
+        update, out_schema, state_schema, "append", timeout_conf
+    )
+
+
 def _as_stream(engine, name: str, base: DataFrame, cfg: dict) -> DataFrame:
     path = cfg.get("path")
     fmt = cfg.get("source_format", "parquet")

@@ -453,3 +453,18 @@ class TestSkewOperators:
         assert top[0]["k"] == "h" and top[0]["n_rows"] == 2000
         plan = skew_stats(df, "k", top=3)._jdf.queryExecution().executedPlan().toString()
         assert "TakeOrderedAndProject" in plan
+
+
+class TestMinhashSigCol:
+    def test_row_expression_equals_batch_aggregation(self, spark, docs):
+        """minhash_sig_col (streaming per-row expression) must produce the
+        SAME signatures as the batch explode+min-agg path."""
+        from qlbridge_spark.datapipe.dedup import _minhash_sigs, minhash_sig_col
+
+        d = docs.filter("text != ''")
+        batch = {r["__id"]: list(r["minhash"]) for r in _minhash_sigs(d, "doc_id", "text", 16, 3).collect()}
+        row = {
+            r["doc_id"]: list(r["sig"])
+            for r in d.select("doc_id", minhash_sig_col(F.col("text"), 16, 3).alias("sig")).collect()
+        }
+        assert batch == row

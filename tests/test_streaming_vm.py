@@ -124,3 +124,42 @@ class TestVmParity:
         out = eval_sql(spark, "SELECT a * 2 AS dbl, toupper(s) AS up FROM ctx WHERE a > 1", {"a": 3, "s": "x"})
         assert out == {"dbl": 6, "up": "X"}
         assert eval_sql(spark, "SELECT a FROM ctx WHERE a > 99", {"a": 3, "s": "x"}) is None
+
+
+class TestStreamingNearDup:
+    def test_near_dup_pairs_stream(self, spark, tmp_path):
+        """Stateful LSH near-dup over a file stream: exact and near
+        duplicates surface as pairs; unrelated docs don't. Second batch
+        matches against FIRST batch's state (cross-batch memory)."""
+        from qlbridge_spark.streaming import near_dup_pairs_stream
+
+        base = "the quick brown fox jumps over the lazy dog and runs away fast"
+        near = "the quick brown fox jumps over the lazy dog and walks away fast"
+        other = "completely different content about databases and query engines here"
+        b1 = spark.createDataFrame([(1, base), (4, other)], "doc_id long, text string")
+        b2 = spark.createDataFrame([(2, base), (3, near)], "doc_id long, text string")
+
+        stream_dir = str(tmp_path / "nd_stream")
+        b1.write.parquet(stream_dir)
+
+        src = spark.readStream.schema(b1.schema).option("maxFilesPerTrigger", 1).parquet(stream_dir)
+        pairs = near_dup_pairs_stream(src, "doc_id", "text", threshold=0.5, bands=8)
+        q = (
+            pairs.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("nd_out")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            # second micro-batch: docs 2 (exact dup of 1) and 3 (near dup)
+            b2.write.mode("append").parquet(stream_dir)
+            q.processAllAvailable()
+            got = spark.sql("SELECT DISTINCT id_a, id_b, est_jaccard FROM nd_out").collect()
+            found = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in got}
+            assert found.get((1, 2)) == 1.0  # exact dup across batches
+            assert (1, 3) in found and found[(1, 3)] >= 0.5  # near dup
+            assert not any(4 in p for p in found)  # unrelated never pairs
+        finally:
+            q.stop()
