@@ -72,12 +72,22 @@ def ivf_build(
     vec_col: str = "embedding",
     n_cells: int = 16,
     method: str = "hash",
+    refine_iters: int = 0,
 ) -> tuple[DataFrame, DataFrame]:
     """Build the IVF index: pick ``n_cells`` deterministic centroid rows
     (``method='hash'``: smallest xxhash64(id) — a uniform pseudo-random
     sample; ``method='min_id'``: smallest ids — fully portable, used by the
     DuckDB oracle), assign every vector to its nearest centroid. Returns
     (assigned_corpus, centroids). The centroid's own id is its cell_id.
+
+    ``refine_iters`` runs that many k-means (Lloyd) iterations: assign →
+    per-cell component mean → reassign. Each iteration is one broadcast
+    assignment scan + one small aggregation (explode components → avg →
+    rebuild array); cells that lose all members keep their previous
+    centroid. Mean-based centroids cut probe misses on clustered data;
+    note distributed float summation makes refined centroids
+    partitioning-dependent in the last ulps, so the oracle-gated entry
+    stays on refine_iters=0.
 
     Scale: centroid selection is orderBy+limit, which Spark lowers to
     TakeOrderedAndProject — each partition keeps its local top-n_cells and
@@ -94,14 +104,39 @@ def ivf_build(
         .limit(n_cells)
         .select(F.col("__cid").alias("cell_id"), F.col("__cv").alias("centroid"))
     )
-    assigned = (
-        c.crossJoin(F.broadcast(cents))
-        .withColumn("__sim", cosine(F.col("__cv"), F.col("centroid")))
-        .withColumn("__rk", F.row_number().over(Window.partitionBy("__cid").orderBy(F.col("__sim").desc(), F.col("cell_id"))))
-        .filter(F.col("__rk") == 1)
-        .select(F.col("__cid").alias(id_col), F.col("__cv").alias(vec_col), "cell_id")
-    )
-    return assigned, cents
+
+    def assign(cents_df: DataFrame) -> DataFrame:
+        return (
+            c.crossJoin(F.broadcast(cents_df))
+            .withColumn("__sim", cosine(F.col("__cv"), F.col("centroid")))
+            .withColumn("__rk", F.row_number().over(Window.partitionBy("__cid").orderBy(F.col("__sim").desc(), F.col("cell_id"))))
+            .filter(F.col("__rk") == 1)
+            .select(F.col("__cid").alias(id_col), F.col("__cv").alias(vec_col), "cell_id")
+        )
+
+    for _ in range(refine_iters):
+        a = assign(cents)
+        # per-cell component means: posexplode → avg per (cell, pos) →
+        # rebuild sorted array. Two small aggregations, no collect.
+        means = (
+            a.select("cell_id", F.posexplode(F.col(vec_col)).alias("__pos", "__x"))
+            .groupBy("cell_id", "__pos")
+            .agg(F.avg("__x").alias("__m"))
+            .groupBy("cell_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__pos", "__m"))), lambda s: s["__m"]
+                ).alias("centroid")
+            )
+        )
+        # empty cells keep their previous centroid
+        cents = (
+            cents.select("cell_id", F.col("centroid").alias("__prev"))
+            .join(means, "cell_id", "left")
+            .select("cell_id", F.coalesce("centroid", "__prev").alias("centroid"))
+        )
+
+    return assign(cents), cents
 
 
 def ivf_topk(

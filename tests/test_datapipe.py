@@ -468,3 +468,43 @@ class TestMinhashSigCol:
             for r in d.select("doc_id", minhash_sig_col(F.col("text"), 16, 3).alias("sig")).collect()
         }
         assert batch == row
+
+
+class TestIvfKmeansRefine:
+    def test_refined_centroids_improve_recall_on_clustered_data(self, spark):
+        """3 Lloyd iterations on clustered data: refined-centroid recall
+        must be >= the random-centroid recall (and both indexes stay
+        plan-hygienic: no global window)."""
+        import random
+
+        from qlbridge_spark.datapipe import cosine_topk, ivf_build, ivf_topk
+
+        rnd = random.Random(7)
+        centers = [[rnd.gauss(0, 5) for _ in range(8)] for _ in range(6)]
+        rows = []
+        for i in range(240):
+            ctr = centers[i % 6]
+            rows.append((i, [x + rnd.gauss(0, 0.3) for x in ctr]))
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        q = df.filter(F.col("vec_id") < 4)
+        exact = {(r["query_id"], r["neighbor_id"]) for r in cosine_topk(df, q, k=5).collect()}
+
+        def recall(refine_iters):
+            assigned, cents = ivf_build(df, n_cells=6, method="hash", refine_iters=refine_iters)
+            assert cents.count() == 6
+            approx = {(r["query_id"], r["neighbor_id"]) for r in ivf_topk(assigned, cents, q, k=5, nprobe=2).collect()}
+            return len(exact & approx) / len(exact)
+
+        r0, r3 = recall(0), recall(3)
+        assert r3 >= r0
+        assert r3 >= 0.8  # refined centroids ≈ true cluster centers → high recall
+
+    def test_empty_cell_keeps_previous_centroid(self, spark):
+        from qlbridge_spark.datapipe import ivf_build
+
+        # 2 tight clusters, 4 cells → ≥2 cells starve during refinement
+        rows = [(i, [float(i % 2) * 10 + 1.0, 1.0]) for i in range(40)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        assigned, cents = ivf_build(df, n_cells=4, method="min_id", refine_iters=2)
+        assert cents.count() == 4  # no cell silently dropped
+        assert assigned.count() == 40
