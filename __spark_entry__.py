@@ -433,7 +433,11 @@ def _dp_simhash_pairs(spark, sf_dir):
     # default, exercised by pytest)
     from qlbridge_spark.datapipe import simhash_pairs
 
-    d = _docs(spark, sf_dir)
+    # zero-token docs get all-zero signatures and would pair with each
+    # other (correct operator behavior) but have no rows in the oracle's
+    # token-unnest CTE — exclude them on BOTH sides for a well-defined
+    # comparison (the oracle filters identically)
+    d = _docs(spark, sf_dir).filter(F.trim(F.col("text")) != "")
     return simhash_pairs(d, "doc_id", "text", max_hamming=6, portable=True).select(
         "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
     )
@@ -522,8 +526,13 @@ def _dp_asof_join(spark, sf_dir):
 
     ev = _engine(spark, sf_dir).table("events")
     left = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
-    right = ev.filter(F.col("event_type") == "click").select(
-        "user_id", "ts", F.col("event_id").alias("click_id")
+    # collapse same-(user, ts) clicks to max event_id FIRST: DuckDB's ASOF
+    # tie choice among equal timestamps is unspecified, so both engines
+    # must see a unique right row per (user, ts)
+    right = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
     )
     out = asof_join(left, right, on="ts", by="user_id", tiebreak="click_id")
     return out.select(
@@ -914,7 +923,7 @@ def oracle_sql() -> dict[str, str]:
             WITH toks AS (
               SELECT doc_id,
                      unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS tok
-              FROM documents),
+              FROM documents WHERE trim(text) <> ''),
             th AS (
               SELECT doc_id,
                      CAST(concat('0x', substring(md5(tok), 1, 8)) AS BIGINT) AS hi,
@@ -1044,10 +1053,12 @@ def oracle_sql() -> dict[str, str]:
         # dp15: DuckDB has native ASOF JOIN — the direct oracle for the
         # union+last-value window formulation (datapipe/asof.py)
         "dp15_asof_join": """
-            SELECT l.event_id, l.user_id, r.event_id AS click_id,
+            SELECT l.event_id, l.user_id, r.click_id,
                    epoch_us(r.ts) AS click_us
             FROM (SELECT * FROM events WHERE event_type = 'purchase') l
-            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+            ASOF LEFT JOIN (
+              SELECT user_id, ts, max(event_id) AS click_id
+              FROM events WHERE event_type = 'click' GROUP BY user_id, ts) r
               ON l.user_id = r.user_id AND l.ts >= r.ts""",
         # dp16: identical salted-md5 hex-prefix threshold comparison —
         # bit-for-bit the same keep set as sample_mask (sampling.py)
@@ -1056,7 +1067,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE substr(md5(doc_id::VARCHAR || ':cur1'), 1, 8) <
               CASE lang WHEN 'en' THEN '80000000'
                         WHEN 'de' THEN '40000000'
-                        ELSE 'ffffffff' END""",
+                        ELSE 'g' END""",
         # dp17: integer-exact tf·idf (score = tf * floor(1000*N/df)) — the
         # double division of two small ints is correctly rounded in both
         # engines, so floor() agrees; ranks tie-break by term

@@ -264,7 +264,9 @@ def lsh_jaccard_pairs(
     """
     # tokenize/shingle ONCE: the gram table feeds both the signature
     # aggregation (explode + min-aggs) and the exact verify — at 100 TB
-    # this is the table you'd materialize; locally persist() is the cut
+    # this is the table you'd materialize; locally persist() is the cut.
+    # The persisted frame is exposed on the result as `._cached_grams` so
+    # long-lived sessions can unpersist after consuming the pairs.
     grams = _spread(df, id_col).select(
         F.col(id_col).alias("__gid"), _word_shingles(F.col(text_col), shingle_size).alias("__grams")
     ).persist()
@@ -282,12 +284,14 @@ def lsh_jaccard_pairs(
     b = grams.select(F.col("__gid").alias("id_b"), F.col("__grams").alias("__gb"))
     inter = F.size(F.array_intersect("__ga", "__gb"))
     jac = inter / (F.size("__ga") + F.size("__gb") - inter)
-    return (
+    out = (
         cands.join(a, "id_a").join(b, "id_b")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    out._cached_grams = grams  # unpersist handle for long-lived sessions
+    return out
 
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 10) -> DataFrame:

@@ -24,10 +24,15 @@ from pyspark.sql import functions as F
 
 
 def rate_threshold_hex(rate: float) -> str:
-    """Exact 8-hex-digit threshold for a [0,1] sampling rate."""
+    """Exact threshold for a [0,1] sampling rate, compared lexicographically
+    against the first 8 hex chars of md5. rate=1.0 returns "g" — every hex
+    string sorts below it, so "keep all" keeps ALL rows (a 'ffffffff'
+    threshold with strict < would drop 1-in-2^32 keys)."""
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate must be in [0,1], got {rate}")
-    return format(min(int(rate * (1 << 32)), (1 << 32) - 1), "08x")
+    if rate >= 1.0:
+        return "g"
+    return format(int(rate * (1 << 32)), "08x")
 
 
 def sample_mask(key: Column, rate: float | Column, salt: str = "") -> Column:

@@ -94,10 +94,15 @@ def _substitute_params(sql: str, params) -> str:
     out = []
     it = iter(params)
     in_str: str | None = None
+    escaped = False
     for ch in sql:
         if in_str:
             out.append(ch)
-            if ch == in_str:
+            if escaped:
+                escaped = False
+            elif ch == "\\":
+                escaped = True  # lexer supports backslash escapes in strings
+            elif ch == in_str:
                 in_str = None
             continue
         if ch in "\"'":

@@ -586,6 +586,13 @@ class Engine:
         if planner_src is not None and hasattr(planner_src, "walk_source_filter"):
             out = planner_src.walk_source_filter(self, stmt)
             if out is not None:
+                # same safety contract as the SELECT path (planner.py): the
+                # source may have applied any SUBSET of the filter, so the
+                # engine re-applies it (idempotent); LIMIT re-applied after
+                scope = Scope({"_": out}, includes=self.includes, strict=False)
+                out = out.filter(to_column(stmt.filter, scope))
+                if stmt.limit:
+                    out = out.limit(stmt.limit)
                 if stmt.alias:
                     self.includes[stmt.alias.lower()] = stmt.filter
                 return out

@@ -214,13 +214,24 @@ def _sqlite_expr(node, columns: set) -> str | None:
             if rhs is None:
                 return None
             if isinstance(node.right, NullNode):
-                return f"{lhs} IS {'NOT ' if node.op == '!=' else ''}NULL"
+                # dialect missing-ness counts empty string as NULL
+                # (value/value.go:510 parity, translate.exists_column)
+                if node.op == "=":
+                    return f"({lhs} IS NULL OR {lhs} = '')"
+                return f"({lhs} IS NOT NULL AND {lhs} != '')"
             op = "==" if node.op == "=" else node.op
             return f"{lhs} {op} {rhs}"
         if node.op == "LIKE" and isinstance(node.right, StringNode):
+            # SQLite LIKE is case-insensitive and `_` is a wildcard — for a
+            # POSITIVE pattern both differences only widen the match set,
+            # which is safe (the engine re-applies the exact predicate).
+            # A NEGATED pattern inverts a widened set → rows lost: never
+            # push. `?` is a dialect single-char wildcard but literal in
+            # SQLite (narrows) → never push patterns containing it.
+            if node.negated or "?" in node.right.value:
+                return None
             pat = node.right.value.replace("*", "%")
-            neg = "NOT " if node.negated else ""
-            return f"{lhs} {neg}LIKE '" + pat.replace("'", "''") + "'"
+            return f"{lhs} LIKE '" + pat.replace("'", "''") + "'"
         if node.op == "IN" and isinstance(node.right, ArrayNode):
             vals = [lit(i) for i in node.right.items]
             if any(v is None for v in vals):
@@ -229,7 +240,9 @@ def _sqlite_expr(node, columns: set) -> str | None:
             return f"{lhs} {neg}IN ({', '.join(vals)})"
         if node.op == "IS":
             if isinstance(node.right, NullNode):
-                return f"{lhs} IS {'NOT ' if node.negated else ''}NULL"
+                if node.negated:
+                    return f"({lhs} IS NOT NULL AND {lhs} != '')"
+                return f"({lhs} IS NULL OR {lhs} = '')"
             return None
         return None
     if isinstance(node, BooleanNode):
@@ -243,8 +256,9 @@ def _sqlite_expr(node, columns: set) -> str | None:
             inner = _sqlite_expr(node.child, columns)
             return None if inner is None else f"NOT ({inner})"
         if node.op == "EXISTS":
+            # existence counts empty string as missing (value/value.go:510)
             col = ident(node.child)
-            return None if col is None else f"{col} IS NOT NULL"
+            return None if col is None else f"({col} IS NOT NULL AND {col} != '')"
         return None
     if isinstance(node, TriNode) and node.op == "BETWEEN":
         col = ident(node.args[0])

@@ -124,6 +124,14 @@ def near_dup_pairs_stream(
 
     from ..datapipe.dedup import minhash_sig_col
 
+    id_type = dict(stream_df.dtypes).get(id_col, "")
+    if id_type not in ("tinyint", "smallint", "int", "bigint", "long"):
+        # the long cast below would turn non-numeric ids into NULLs and the
+        # operator would silently emit nothing — fail loudly instead
+        raise ValueError(
+            f"near_dup_pairs_stream requires an integral id column; {id_col!r} is {id_type!r} "
+            "(hash string ids to long first, e.g. xxhash64(id))"
+        )
     sig = minhash_sig_col(F.col(text_col), num_hashes, shingle_size)
     rows_per_band = num_hashes // bands
     banded = stream_df.select(

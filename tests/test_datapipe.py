@@ -508,3 +508,13 @@ class TestIvfKmeansRefine:
         assigned, cents = ivf_build(df, n_cells=4, method="min_id", refine_iters=2)
         assert cents.count() == 4  # no cell silently dropped
         assert assigned.count() == 40
+
+
+class TestSampleRateOne:
+    def test_rate_one_keeps_every_row(self, spark):
+        from qlbridge_spark.datapipe import hash_sample
+        from qlbridge_spark.datapipe.sampling import rate_threshold_hex
+
+        assert rate_threshold_hex(1.0) == "g"  # sorts above every hex prefix
+        df = spark.createDataFrame([(i,) for i in range(5000)], "id long")
+        assert hash_sample(df, "id", 1.0, salt="any").count() == 5000

@@ -263,3 +263,16 @@ class TestDbApi:
             conn.rollback()
         with _pytest.raises(InterfaceError):
             conn.cursor()
+
+
+class TestDbApiEscapes:
+    def test_escaped_quote_inside_literal(self, spark):
+        from qlbridge_spark.dbapi import connect
+
+        conn = connect(spark, name="dbapi-esc")
+        conn.engine.register_rows("t", [{"a": 1, "s": 'it"s?'}, {"a": 2, "s": "plain"}])
+        cur = conn.cursor()
+        # the escaped quote must NOT end the literal; the inner ? is text,
+        # the outer ? is the real placeholder
+        rows = cur.execute('SELECT a FROM t WHERE s = "it\\"s?" AND a = ?', [1]).fetchall()
+        assert rows == [(1,)]

@@ -232,3 +232,66 @@ class TestRewriteHelpers:
         # qualifier stripped so the source sees bare column names
         assert isinstance(rw.select.where.left, IdentityNode)
         assert rw.select.where.left.parts == ("deleted",)
+
+
+class TestPushdownSemanticsSafety:
+    """Regression pins for review findings: pushed SQL must never NARROW
+    beyond dialect semantics (the engine can only re-filter, not recover
+    dropped rows)."""
+
+    @pytest.fixture()
+    def db_file(self, tmp_path):
+        p = str(tmp_path / "sem.db")
+        con = sqlite3.connect(p)
+        con.execute("CREATE TABLE t (id INTEGER, name TEXT, tag TEXT)")
+        con.executemany(
+            "INSERT INTO t VALUES (?,?,?)",
+            [(1, "Carol", "x"), (2, "carol", "y"), (3, "Caxol", ""), (4, None, "z")],
+        )
+        con.commit()
+        con.close()
+        return p
+
+    def _engine(self, spark, db_file, name):
+        eng = Engine(spark, name)
+        eng.execute(f'CREATE SOURCE sq WITH {{"type": "sqlite", "file": "{db_file}", "dbtable": "t"}}')
+        return eng, eng.planner_sources["sq"]
+
+    def test_negated_like_not_pushed(self, spark, db_file):
+        # sqlite LIKE is case-insensitive: pushing NOT LIKE 'Ca%' would
+        # drop 'carol' which the (case-sensitive) dialect keeps
+        eng, src = self._engine(spark, db_file, "sem1")
+        rows = sorted(r["id"] for r in eng.sql('SELECT id FROM sq WHERE name NOT LIKE "Ca*"').collect())
+        assert rows == [2]  # only lowercase 'carol' escapes the dialect glob
+        assert "LIKE" not in (src.last_pushdown or "")
+
+    def test_question_wildcard_not_pushed(self, spark, db_file):
+        # dialect '?' = single char; literal in sqlite → would under-match
+        eng, src = self._engine(spark, db_file, "sem2")
+        rows = sorted(r["id"] for r in eng.sql('SELECT id FROM sq WHERE name LIKE "Ca?ol"').collect())
+        assert rows == [1, 3]  # Carol + Caxol (case-sensitive ? wildcard)
+        assert "LIKE" not in (src.last_pushdown or "")
+
+    def test_null_semantics_count_empty_string(self, spark, db_file):
+        # dialect `x != NULL` == exists(x): NULL and '' both missing
+        eng, src = self._engine(spark, db_file, "sem3")
+        rows = sorted(r["id"] for r in eng.sql("SELECT id FROM sq WHERE tag != NULL").collect())
+        assert rows == [1, 2, 4]  # row 3 has '' → missing
+        assert "!= ''" in src.last_pushdown
+        rows = sorted(r["id"] for r in eng.sql("SELECT id FROM sq WHERE tag = NULL").collect())
+        assert rows == [3]
+
+    def test_filterql_refiltered_after_source(self, spark):
+        # a source may legally return a SUPERSET from walk_source_filter —
+        # the engine must re-apply the filter (same contract as SELECT)
+        class Superset(RecordingSource):
+            def walk_source_filter(self, engine, stmt):
+                self.seen.append(stmt)
+                return self.df  # applied nothing
+
+        eng = Engine(spark, "sem4")
+        src = Superset(spark.createDataFrame([("a", 5), ("b", 50)], "name string, score long"))
+        eng.register_source("s", src)
+        rows = eng.sql("FILTER score > 10 FROM s").collect()
+        assert [r["name"] for r in rows] == ["b"]
+        assert len(src.seen) == 1
