@@ -452,6 +452,18 @@ def _dp_ngram_jaccard(spark, sf_dir):
     )
 
 
+def _dp_prefix_jaccard(spark, sf_dir):
+    # PPJoin-family prefix filtering: recall-LOSSLESS exact Jaccard join
+    # (unlike dp09's df_cap stop-gram heuristic), so the oracle is simply
+    # the exhaustive exact pair set
+    from qlbridge_spark.datapipe import prefix_jaccard_pairs
+
+    d = _docs(spark, sf_dir)
+    return prefix_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.6).select(
+        "id_a", "id_b", F.floor(F.col("jaccard") * 10000).cast("long").alias("j_x1e4")
+    )
+
+
 def _dp_ivf_topk(spark, sf_dir):
     # method='min_id' picks the n_cells smallest ids as centroids — same
     # orderBy+limit scale path as 'hash', but replicable in ANSI SQL
@@ -621,6 +633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["dp14_curation_report"] = _dp_curation_report
     out["dp15_asof_join"] = _dp_asof_join
     out["dp18_frame_sample"] = _dp_frame_sample
+    out["dp19_prefix_jaccard"] = _dp_prefix_jaccard
     out["dp16_stratified_sample"] = _dp_stratified_sample
     out["dp17_tfidf_terms"] = _dp_tfidf_terms
     return out
@@ -1033,6 +1046,27 @@ def oracle_sql() -> dict[str, str]:
             FROM customer
             WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
             QUALIFY c_custkey < 300""",
+        # dp19: prefix filtering is recall-lossless, so its output equals
+        # the exhaustive exact-Jaccard pair set at the threshold
+        "dp19_prefix_jaccard": """
+            WITH g AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) - 2 < 1 THEN [array_to_string(toks, ' ')]
+                          ELSE list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                                 i -> array_to_string(list_slice(toks, i, i + 2), ' '))) END AS grams
+              FROM (SELECT doc_id,
+                           list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS toks
+                    FROM documents)),
+            inv AS (SELECT doc_id, len(grams) AS ng, unnest(grams) AS gram FROM g),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter,
+                     any_value(a.ng) AS na, any_value(b.ng) AS nb
+              FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id)
+            SELECT id_a, id_b,
+                   CAST(floor(10000 * (inter / CAST(na + nb - inter AS DOUBLE))) AS BIGINT) AS j_x1e4
+            FROM pairs
+            WHERE inter / CAST(na + nb - inter AS DOUBLE) >= 0.6""",
         # dp18: frame slices replicated with VARCHAR substring — valid
         # because the entry filters to ASCII docs (byte offset == char
         # offset); step/truncation formula mirrors multimodal.frame_sample

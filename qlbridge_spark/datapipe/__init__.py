@@ -22,6 +22,7 @@ from .dedup import (
     minhash_pairs,
     minhash_signature,
     ngram_jaccard_pairs,
+    prefix_jaccard_pairs,
     simhash,
     simhash_pairs,
 )
@@ -43,6 +44,7 @@ __all__ = [
     "simhash",
     "simhash_pairs",
     "ngram_jaccard_pairs",
+    "prefix_jaccard_pairs",
     "embedding_dup_pairs",
     "cosine_topk",
     "ivf_build",

@@ -11,7 +11,7 @@ members would otherwise produce a quadratic pair explosion on one task).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # a large prime < 2^61 for the (a*h + b) mod p permutation family
@@ -469,6 +469,70 @@ def ngram_jaccard_pairs(
     )
     jac = F.col("__inter") / (F.col("__na") + F.col("__nb") - F.col("__inter"))
     return inter.withColumn("jaccard", jac).filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard-threshold pairs via PREFIX FILTERING (PPJoin-family,
+    Xiao et al., "Efficient Similarity Joins for Near Duplicate Detection",
+    WWW'08): with all gram sets sorted by one global order (ascending
+    document frequency, then gram text), two sets with J ≥ t MUST share a
+    gram within each one's first ``|d| − ⌈t·|d|⌉ + 1`` grams — so only
+    that prefix is indexed. Unlike ``ngram_jaccard_pairs``'s ``df_cap``
+    stop-gram heuristic this is RECALL-LOSSLESS: the output is exactly
+    the exhaustive J ≥ t pair set, with an index that shrinks as the
+    threshold rises (t=0.9 indexes ~10% of each doc).
+
+    Rarest-first ordering also makes indexed grams the most selective
+    ones, so candidate buckets stay small without any cap.
+
+    Scale shape: gram-frequency aggregation (map-side partial) → per-doc
+    prefix (window over the doc's own grams — tiny partitions) →
+    inverted-index self-join on prefix grams → exact verify on the full
+    gram arrays. Returns (id_a, id_b, jaccard).
+    """
+    grams = (
+        _spread(df, id_col)
+        .select(F.col(id_col).alias("__gid"), _word_shingles(F.col(text_col), n).alias("__grams"))
+        .withColumn("__sz", F.size("__grams"))
+        .persist()
+    )
+    inv = grams.select("__gid", "__sz", F.explode("__grams").alias("__gram"))
+    freq = inv.groupBy("__gram").agg(F.count(F.lit(1)).alias("__df"))
+    # prefix length: |d| - ceil(t*|d|) + 1
+    plen = F.col("__sz") - F.ceil(F.lit(threshold) * F.col("__sz")).cast("int") + 1
+    ranked = (
+        inv.join(freq, "__gram")
+        .withColumn(
+            "__rk",
+            F.row_number().over(Window.partitionBy("__gid").orderBy(F.col("__df").asc(), F.col("__gram").asc())),
+        )
+        .filter(F.col("__rk") <= plen)
+        .select("__gid", "__gram")
+    )
+    l, r = ranked.alias("l"), ranked.alias("r")
+    cands = (
+        l.join(r, on=[F.col("l.__gram") == F.col("r.__gram"), F.col("l.__gid") < F.col("r.__gid")])
+        .select(F.col("l.__gid").alias("id_a"), F.col("r.__gid").alias("id_b"))
+        .distinct()
+    )
+    a = grams.select(F.col("__gid").alias("id_a"), F.col("__grams").alias("__ga"))
+    b = grams.select(F.col("__gid").alias("id_b"), F.col("__grams").alias("__gb"))
+    inter = F.size(F.array_intersect("__ga", "__gb"))
+    jac = inter / (F.size("__ga") + F.size("__gb") - inter)
+    out = (
+        cands.join(a, "id_a").join(b, "id_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    out._cached_grams = grams  # unpersist handle
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -518,3 +518,35 @@ class TestSampleRateOne:
         assert rate_threshold_hex(1.0) == "g"  # sorts above every hex prefix
         df = spark.createDataFrame([(i,) for i in range(5000)], "id long")
         assert hash_sample(df, "id", 1.0, salt="any").count() == 5000
+
+
+class TestPrefixJaccard:
+    def test_recall_lossless_vs_exhaustive(self, docs):
+        """Prefix filtering must return EXACTLY the exhaustive exact-Jaccard
+        pair set (PPJoin guarantee) — compared against the capless
+        inverted-index join on the same fixture."""
+        from qlbridge_spark.datapipe import ngram_jaccard_pairs, prefix_jaccard_pairs
+
+        d = docs.filter("text != ''")
+        exhaustive = {
+            (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+            for r in ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.3, df_cap=10**9).collect()
+        }
+        prefixed = {
+            (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+            for r in prefix_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.3).collect()
+        }
+        assert prefixed == exhaustive
+        assert (1, 2) in prefixed and prefixed[(1, 2)] == 1.0
+
+    def test_high_threshold_small_prefix(self, spark):
+        # at t=0.9 only ~10% of each doc is indexed, yet exact dups found
+        from qlbridge_spark.datapipe import prefix_jaccard_pairs
+
+        df = spark.createDataFrame(
+            [(i, "tok" + " tok".join(str((i * 31 + j) % 97) for j in range(40))) for i in range(30)]
+            + [(100, "tok" + " tok".join(str(j) for j in range(40))), (101, "tok" + " tok".join(str(j) for j in range(40)))],
+            "doc_id long, text string",
+        )
+        pairs = {(r["id_a"], r["id_b"]) for r in prefix_jaccard_pairs(df, "doc_id", "text", threshold=0.9).collect()}
+        assert (100, 101) in pairs
