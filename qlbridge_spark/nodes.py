@@ -148,7 +148,10 @@ class UnaryNode(Node):
         return [self.child]
 
     def sql(self) -> str:
-        return f"{self.op} ({self.child.sql()})"
+        # fully parenthesized: an unparenthesized `NOT x` as the left
+        # operand of a comparison re-parses with NOT binding looser,
+        # silently changing the tree (caught by the round-trip fuzz test)
+        return f"({self.op} ({self.child.sql()}))"
 
 
 @dataclass

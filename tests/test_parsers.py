@@ -198,3 +198,43 @@ class TestFilterQL:
     def test_with_payload(self):
         f = parse_filterql('FILTER x > 1 FROM t WITH {"backfill": true}')
         assert f.with_["backfill"] is True
+
+
+class TestParseRoundTrip:
+    def test_sql_rendering_is_stable_fixpoint(self):
+        """node.sql() must itself re-parse to an AST whose .sql() is
+        identical (render→parse→render is a fixpoint) — guards against
+        precedence/parenthesization drift across the whole grammar."""
+        import random
+
+        from qlbridge_spark.exprparse import parse_expression
+
+        rnd = random.Random(424242)
+        fields_num = ["age", "score", "zero"]
+        fields_str = ["name", "email"]
+
+        def gen(depth):
+            kind = rnd.random()
+            if depth <= 0 or kind < 0.25:
+                return rnd.choice(fields_num + fields_str + ["7", "3.25", '"lit"', "true", "NULL"])
+            if kind < 0.45:
+                return f"({gen(depth-1)} {rnd.choice(['+', '-', '*', '/', '%'])} {gen(depth-1)})"
+            if kind < 0.65:
+                return f"({gen(depth-1)} {rnd.choice(['>', '<', '>=', '<=', '=', '!='])} {gen(depth-1)})"
+            if kind < 0.8:
+                return f"({gen(depth-1)} {rnd.choice(['AND', 'OR'])} {gen(depth-1)})"
+            if kind < 0.9:
+                return f"NOT ({gen(depth-1)})"
+            return rnd.choice([
+                f"tolower({gen(depth-1)})",
+                f"coalesce({gen(depth-1)}, {gen(depth-1)})",
+                f"({rnd.choice(fields_num)} BETWEEN 1 AND 9)",
+                f'({rnd.choice(fields_str)} LIKE "a%")',
+                f"EXISTS {rnd.choice(fields_str)}",
+            ])
+
+        for _ in range(300):
+            text = gen(3)
+            first = parse_expression(text).sql()
+            second = parse_expression(first).sql()
+            assert first == second, f"not a fixpoint: {text!r} → {first!r} → {second!r}"
