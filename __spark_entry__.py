@@ -906,9 +906,12 @@ def oracle_sql() -> dict[str, str]:
                       FROM documents)))
             GROUP BY lang ORDER BY lang""",
         # dp07: the Spark side is MinHash-LSH candidates + exact n-gram
-        # Jaccard verify with single-hash bands (miss prob < 2^-64 at the
-        # threshold), so its output equals the exhaustive exact pair set —
-        # which SQL computes directly via an inverted-index self-join.
+        # Jaccard verify with single-hash bands (the entry runs
+        # num_hashes=bands=32, so a true pair at j>=0.5 is missed with
+        # prob (1-j)^32 <= 2^-32; over the few hundred true pairs at any
+        # tested SF the expected miss is < 1e-7), so its output equals the
+        # exhaustive exact pair set — which SQL computes directly via an
+        # inverted-index self-join.
         "dp07_minhash_pairs": """
             WITH g AS (
               SELECT doc_id,
@@ -1034,8 +1037,8 @@ def oracle_sql() -> dict[str, str]:
         "q36_window_timeseries": """
             SELECT event_id, user_id,
                    epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us,
-                   sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
-                     OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov3_cents
+                   CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                     OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS mov3_cents
             FROM events
             WHERE user_id < 20
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",

@@ -100,12 +100,14 @@ def _substitute_params(sql: str, params) -> str:
             out.append(ch)
             if escaped:
                 escaped = False
-            elif ch == "\\":
+            elif ch == "\\" and in_str != "`":
                 escaped = True  # lexer supports backslash escapes in strings
             elif ch == in_str:
+                # backtick identifiers have no escapes; `` doubling simply
+                # closes and reopens the span, which scans identically
                 in_str = None
             continue
-        if ch in "\"'":
+        if ch in "\"'`":
             in_str = ch
             out.append(ch)
             continue

@@ -82,9 +82,12 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in nanos_cols:
-        # integer `div`, NOT `/`: float division loses precision above 2^53
-        # and epoch-nanos are ~1.7e18 — a double round-trip lands ±1µs off
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        # integer FLOOR division, NOT `/` (float division loses precision
+        # above 2^53 — epoch-nanos are ~1.7e18, a double round-trip lands
+        # ±1µs off) and not bare `div` (truncates toward zero, which would
+        # convert pre-1970 nanos 1µs late). (n - pmod(n,1000)) is exact
+        # long arithmetic and pmod is non-negative, so this floors.
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"(`{c}` - pmod(`{c}`, 1000)) div 1000")))
     return df
 
 

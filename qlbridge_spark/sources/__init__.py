@@ -128,7 +128,14 @@ class SqliteSource:
 
         con = sqlite3.connect(db_file)
         try:
-            self._columns = {r[1] for r in con.execute(f'PRAGMA table_info("{table}")').fetchall()}
+            # name → affinity: comparison pushdown is affinity-gated (a
+            # numeric literal against a TEXT-affinity column compares
+            # LEXICOGRAPHICALLY inside sqlite while the engine coerces to
+            # numeric — pushing it would NARROW the row set, which the
+            # engine's re-applied WHERE cannot recover)
+            self._columns = {
+                r[1]: _sqlite_affinity(r[2]) for r in con.execute(f'PRAGMA table_info("{table}")').fetchall()
+            }
         finally:
             con.close()
 
@@ -163,8 +170,31 @@ class SqliteSource:
         return _read_sqlite(engine.spark, self.db_file, self.dbtable, sql)
 
 
-def _sqlite_expr(node, columns: set) -> str | None:
+def _sqlite_affinity(decl: str | None) -> str:
+    """SQLite column affinity from the declared type (sqlite docs §3.1
+    'Determination Of Column Affinity' — same rule order)."""
+    d = (decl or "").upper()
+    if "INT" in d:
+        return "INTEGER"
+    if "CHAR" in d or "CLOB" in d or "TEXT" in d:
+        return "TEXT"
+    if not d or "BLOB" in d:
+        return "BLOB"
+    if "REAL" in d or "FLOA" in d or "DOUB" in d:
+        return "REAL"
+    return "NUMERIC"
+
+
+_NUMERIC_AFFINITIES = ("INTEGER", "REAL", "NUMERIC")
+
+
+def _sqlite_expr(node, columns: dict) -> str | None:
     """Compile one predicate conjunct to SQLite SQL; None = keep engine-side.
+    ``columns`` maps name → affinity; literal-vs-column comparisons are
+    only pushed when the literal's type matches the column affinity
+    (numeric lit ↔ INTEGER/REAL/NUMERIC, string lit ↔ TEXT) — a mismatch
+    makes sqlite compare by storage-class order / lexicographically where
+    the engine coerces numerically, and a pushed WHERE must never narrow.
     Dialect shims preserved: BETWEEN is EXCLUSIVE (vm/vm.go:868), LIKE
     accepts ``*`` as a glob star (expr/builtins converts), EXISTS col →
     col IS NOT NULL."""
@@ -200,6 +230,19 @@ def _sqlite_expr(node, columns: set) -> str | None:
             return f'"{n.name}"'
         return None
 
+    def lit_ok(col_node, lit_node) -> bool:
+        """Literal type matches the column affinity — pushing is exact."""
+        aff = columns.get(getattr(col_node, "name", None))
+        if isinstance(lit_node, NullNode):
+            return True
+        if isinstance(lit_node, StringNode):
+            return aff == "TEXT"
+        if isinstance(lit_node, (NumberNode, BoolNode)):
+            return aff in _NUMERIC_AFFINITIES
+        if isinstance(lit_node, UnaryNode) and lit_node.op == "-":
+            return lit_ok(col_node, lit_node.child)
+        return False
+
     if isinstance(node, BinaryNode):
         if node.op in ("AND", "OR"):
             lhs, rhs = _sqlite_expr(node.left, columns), _sqlite_expr(node.right, columns)
@@ -211,7 +254,7 @@ def _sqlite_expr(node, columns: set) -> str | None:
             return None
         if node.op in ("=", "!=", "<", "<=", ">", ">="):
             rhs = lit(node.right)
-            if rhs is None:
+            if rhs is None or not lit_ok(node.left, node.right):
                 return None
             if isinstance(node.right, NullNode):
                 # dialect missing-ness counts empty string as NULL
@@ -230,11 +273,15 @@ def _sqlite_expr(node, columns: set) -> str | None:
             # SQLite (narrows) → never push patterns containing it.
             if node.negated or "?" in node.right.value:
                 return None
+            if columns.get(node.left.name) != "TEXT":
+                # sqlite LIKE on a numeric column matches against sqlite's
+                # text rendering, which need not equal the engine's
+                return None
             pat = node.right.value.replace("*", "%")
             return f"{lhs} LIKE '" + pat.replace("'", "''") + "'"
         if node.op == "IN" and isinstance(node.right, ArrayNode):
             vals = [lit(i) for i in node.right.items]
-            if any(v is None for v in vals):
+            if any(v is None for v in vals) or not all(lit_ok(node.left, i) for i in node.right.items):
                 return None
             neg = "NOT " if node.negated else ""
             return f"{lhs} {neg}IN ({', '.join(vals)})"
@@ -264,6 +311,8 @@ def _sqlite_expr(node, columns: set) -> str | None:
         col = ident(node.args[0])
         lo, hi = lit(node.args[1]), lit(node.args[2])
         if col is None or lo is None or hi is None:
+            return None
+        if not (lit_ok(node.args[0], node.args[1]) and lit_ok(node.args[0], node.args[2])):
             return None
         # dialect BETWEEN is exclusive (vm/vm.go:868)
         body = f"({col} > {lo} AND {col} < {hi})"

@@ -405,6 +405,12 @@ def _between(node: TriNode, scope: Scope) -> Column:
     subject = to_column(node.args[0], scope)
     low = _coerced_operand(node.args[1], node.args[0], scope)
     high = _coerced_operand(node.args[2], node.args[0], scope)
+    # string subject vs numeric bounds: same try_cast shim as _comparison
+    # (VM ParseInt/ParseFloat coercion, per-row not-ok on failure)
+    sdt = infer_dtype(node.args[0], scope)
+    bdts = [infer_dtype(node.args[i], scope) for i in (1, 2)]
+    if _is_stringy(sdt) and any(_is_numbery(b) for b in bdts):
+        subject = subject.try_cast("double")
     out = (subject > low) & (subject < high)  # EXCLUSIVE (vm/vm.go:868)
     return ~out if node.negated else out
 
@@ -519,6 +525,19 @@ def _comparison(node: BinaryNode, scope: Scope) -> Column:
 
     left = _coerced_operand(node.left, node.right, scope)
     right = _coerced_operand(node.right, node.left, scope)
+
+    # string COLUMN/expr vs numeric side: the VM coerces the string with
+    # ParseInt-then-ParseFloat and treats failure as not-ok (row excluded)
+    # — vm/vm.go:350-366. Spark's ANSI implicit cast would instead ERROR
+    # the whole query on a value like '42.0'; try_cast(double) gives the
+    # per-row NULL≈not-ok semantics. (String literals were already folded
+    # numeric — or rejected — above.)
+    if _is_stringy(ldt) and _is_numbery(rdt) and not isinstance(node.left, StringNode):
+        left = left.try_cast("double")
+        right = right.cast("double")
+    elif _is_numbery(ldt) and _is_stringy(rdt) and not isinstance(node.right, StringNode):
+        right = right.try_cast("double")
+        left = left.cast("double")
 
     # string column vs time → cast string side to timestamp (vm/vm.go:554-559)
     if _is_stringy(ldt) and _is_timey(rdt):

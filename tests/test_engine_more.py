@@ -276,3 +276,14 @@ class TestDbApiEscapes:
         # the outer ? is the real placeholder
         rows = cur.execute('SELECT a FROM t WHERE s = "it\\"s?" AND a = ?', [1]).fetchall()
         assert rows == [(1,)]
+
+    def test_question_mark_in_backtick_identifier(self, spark):
+        from qlbridge_spark.dbapi import connect
+
+        conn = connect(spark, name="dbapi-bq")
+        conn.engine.register_rows("t", [{"a?": 1, "b": 10}, {"a?": 2, "b": 20}])
+        cur = conn.cursor()
+        # '?' inside a backtick-quoted identifier is part of the name, not
+        # a qmark placeholder — exactly one parameter must be consumed
+        rows = cur.execute("SELECT b FROM t WHERE `a?` = ?", [2]).fetchall()
+        assert rows == [(20,)]

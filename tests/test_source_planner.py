@@ -281,6 +281,37 @@ class TestPushdownSemanticsSafety:
         rows = sorted(r["id"] for r in eng.sql("SELECT id FROM sq WHERE tag = NULL").collect())
         assert rows == [3]
 
+    def test_numeric_literal_on_text_column_not_pushed(self, spark, tmp_path):
+        # TEXT-affinity column vs numeric literal: sqlite compares
+        # lexicographically ('10' < 5 is false, '42.0' = 42 is false) while
+        # the dialect coerces to numeric — pushing would NARROW. The
+        # affinity gate must keep the comparison engine-side.
+        p = str(tmp_path / "aff.db")
+        con = sqlite3.connect(p)
+        con.execute("CREATE TABLE t (id INTEGER, sval TEXT)")
+        con.executemany("INSERT INTO t VALUES (?,?)", [(1, "10"), (2, "42.0"), (3, "3")])
+        con.commit()
+        con.close()
+        eng, src = self._engine(spark, p, "sem-aff")
+        rows = sorted(r["id"] for r in eng.sql("SELECT id FROM sq WHERE sval > 5").collect())
+        assert rows == [1, 2]  # numeric coercion: 10 and 42.0 exceed 5
+        assert "sval" not in (src.last_pushdown or "").split("FROM")[-1]
+        rows = sorted(r["id"] for r in eng.sql("SELECT id FROM sq WHERE sval = 42").collect())
+        assert rows == [2]
+        # matching affinity still pushes (id INTEGER vs numeric literal)
+        rows = sorted(r["id"] for r in eng.sql("SELECT id FROM sq WHERE id > 1").collect())
+        assert rows == [2, 3]
+        assert '"id" > 1' in src.last_pushdown
+
+    def test_string_literal_on_numeric_column_not_pushed(self, spark, db_file):
+        # INTEGER column vs string literal: sqlite applies INTEGER affinity
+        # to the literal only when it's a well-formed number; keep the
+        # engine's permissive coercion authoritative instead.
+        eng, src = self._engine(spark, db_file, "sem-aff2")
+        rows = sorted(r["id"] for r in eng.sql('SELECT id FROM sq WHERE id > "2"').collect())
+        assert rows == [3, 4]
+        assert "WHERE" not in (src.last_pushdown or "")
+
     def test_filterql_refiltered_after_source(self, spark):
         # a source may legally return a SUPERSET from walk_source_filter —
         # the engine must re-apply the filter (same contract as SELECT)
