@@ -419,8 +419,9 @@ def _dp_minhash_pairs(spark, sf_dir):
     # 32 hashes (not 64) halves the banding rows AND the false-candidate
     # rate at identical output. floor(j*1e4) avoids cross-engine
     # float-rounding divergence.
-    from qlbridge_spark.datapipe import lsh_jaccard_pairs
+    from qlbridge_spark.datapipe import lsh_jaccard_pairs, release_caches
 
+    release_caches()  # drop any prior dedup entry's persisted intermediates
     d = _docs(spark, sf_dir)
     return lsh_jaccard_pairs(d, "doc_id", "text", threshold=0.5, num_hashes=32, bands=32).select(
         "id_a", "id_b", F.floor(F.col("jaccard") * 10000).cast("long").alias("j_x1e4")
@@ -431,8 +432,9 @@ def _dp_simhash_pairs(spark, sf_dir):
     # portable=True derives token-hash bits from md5 so the DuckDB oracle
     # can replicate the signature bit-for-bit (xxhash64 is the scale-path
     # default, exercised by pytest)
-    from qlbridge_spark.datapipe import simhash_pairs
+    from qlbridge_spark.datapipe import release_caches, simhash_pairs
 
+    release_caches()
     # zero-token docs get all-zero signatures and would pair with each
     # other (correct operator behavior) but have no rows in the oracle's
     # token-unnest CTE — exclude them on BOTH sides for a well-defined
@@ -456,8 +458,9 @@ def _dp_prefix_jaccard(spark, sf_dir):
     # PPJoin-family prefix filtering: recall-LOSSLESS exact Jaccard join
     # (unlike dp09's df_cap stop-gram heuristic), so the oracle is simply
     # the exhaustive exact pair set
-    from qlbridge_spark.datapipe import prefix_jaccard_pairs
+    from qlbridge_spark.datapipe import prefix_jaccard_pairs, release_caches
 
+    release_caches()
     d = _docs(spark, sf_dir)
     return prefix_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.6).select(
         "id_a", "id_b", F.floor(F.col("jaccard") * 10000).cast("long").alias("j_x1e4")

@@ -76,12 +76,25 @@ def main() -> int:
         except Exception:
             pass  # warm-up is best-effort
 
+    from qlbridge_spark.datapipe import release_caches
+
+    # Each query runs REPS times and reports the MIN (go-bench steady-state
+    # methodology): single-shot timings at this scale showed up to 2× run-
+    # to-run variance (GC, code-cache, OS noise), which made round-over-
+    # round comparison mostly noise. The full spread is reported alongside.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     times: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in bench_names:
-        t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        times[name] = round(time.time() - t0, 3)
+        runs: list[float] = []
+        for _ in range(reps):
+            t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(round(time.time() - t0, 3))
+            release_caches()  # dedup intermediates don't carry across runs
+        times[name] = min(runs)
+        spread[name] = runs
 
     # ------------------------------------------------------------------
     # bucketed-layout section: the 100 TB physical design. lineitem+orders
@@ -165,6 +178,8 @@ def main() -> int:
                 "unit": "sec",
                 "queries": times,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "reps": reps,
+                "spread": spread,
                 "bucketed_layout": bucketed_info,
             }
         )

@@ -23,6 +23,7 @@ from .dedup import (
     minhash_signature,
     ngram_jaccard_pairs,
     prefix_jaccard_pairs,
+    release_caches,
     simhash,
     simhash_pairs,
 )
@@ -45,6 +46,7 @@ __all__ = [
     "simhash_pairs",
     "ngram_jaccard_pairs",
     "prefix_jaccard_pairs",
+    "release_caches",
     "embedding_dup_pairs",
     "cosine_topk",
     "ivf_build",

@@ -17,6 +17,33 @@ from pyspark.sql import functions as F
 # a large prime < 2^61 for the (a*h + b) mod p permutation family
 _MERSENNE_61 = (1 << 61) - 1
 
+# persisted intermediates (gram/signature tables) live here until the
+# caller releases them — long-lived sessions running many dedup queries
+# call release_caches() between queries so cached partitions don't
+# accumulate across an entire suite run
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def _track(df: DataFrame) -> DataFrame:
+    _LIVE_CACHES.append(df)
+    return df
+
+
+def release_caches() -> int:
+    """Unpersist every intermediate cached by dedup operators in this
+    session. Call after consuming the pairs of a dedup query (the caches
+    only help within one query DAG — signatures and grams feed both the
+    candidate join and the verify step). Returns the number released."""
+    n = 0
+    while _LIVE_CACHES:
+        df = _LIVE_CACHES.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass
+    return n
+
 
 def _tokens(text_col):
     return F.filter(F.split(F.lower(F.trim(text_col)), r"\s+"), lambda t: t != F.lit(""))
@@ -166,7 +193,8 @@ def lsh_candidate_pairs(
     id_col: str,
     sig_col: str = "minhash",
     bands: int = 16,
-    bucket_cap: int = 200,
+    bucket_cap: int | None = 200,
+    sig_len: int | None = None,
 ) -> DataFrame:
     """LSH banding: split signatures into ``bands`` bands, hash each band,
     join docs sharing a (band, hash) bucket → candidate pairs (id_a < id_b).
@@ -177,24 +205,35 @@ def lsh_candidate_pairs(
     - ``bucket_cap`` drops degenerate buckets (e.g. empty/boilerplate
       docs all hashing together) that would create O(n²) pairs in one
       task — the standard skew guard; dropped buckets are near-certain
-      duplicates of *many* docs and should be handled by exact dedup first
+      duplicates of *many* docs and should be handled by exact dedup
+      first. ``None`` disables the guard (and its counting pass) — the
+      recall-lossless configuration used by oracle-gated entries.
+    - ``sig_len`` (static signature length, if known) enables the r=1
+      fast path: when sig_len == bands each band is one signature
+      element, so ``posexplode(sig)`` IS the (band, bucket) pair — no
+      interpreted transform/slice/hash chain per row.
     """
     sig = F.col(sig_col)
-    rows_per_band = F.floor(F.size(sig) / bands).cast("int")
-    # band key = xxhash64 over the long slice directly (Catalyst's XxHash64
-    # hashes array values natively) — no per-band string materialization
-    banded = df.select(
-        F.col(id_col).alias("__id"),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(F.slice(sig, b * rows_per_band + 1, rows_per_band), b),
-            )
-        ).alias("__band", "__bucket"),
-    )
-    # skew guard: drop buckets larger than bucket_cap
-    counts = banded.groupBy("__band", "__bucket").agg(F.count(F.lit(1)).alias("__n"))
-    banded = banded.join(F.broadcast(counts.filter(F.col("__n") > bucket_cap)), ["__band", "__bucket"], "left_anti")
+    if sig_len is not None and sig_len == bands:
+        banded = df.select(F.col(id_col).alias("__id"), F.posexplode(sig).alias("__band", "__bucket"))
+    else:
+        rows_per_band = F.floor(F.size(sig) / bands).cast("int")
+        # band key = xxhash64 over the long slice directly (Catalyst's
+        # XxHash64 hashes array values natively) — no per-band string
+        # materialization
+        banded = df.select(
+            F.col(id_col).alias("__id"),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.xxhash64(F.slice(sig, b * rows_per_band + 1, rows_per_band), b),
+                )
+            ).alias("__band", "__bucket"),
+        )
+    if bucket_cap is not None:
+        # skew guard: drop buckets larger than bucket_cap
+        counts = banded.groupBy("__band", "__bucket").agg(F.count(F.lit(1)).alias("__n"))
+        banded = banded.join(F.broadcast(counts.filter(F.col("__n") > bucket_cap)), ["__band", "__bucket"], "left_anti")
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -223,7 +262,7 @@ def minhash_pairs(
     # materialize signatures once — they feed the band join AND both sides
     # of the verification join (at 100 TB you'd write this table out;
     # locally persist() is the same cut point)
-    sigs = _minhash_sigs(df, id_col, text_col, num_hashes, shingle_size).persist()
+    sigs = _track(_minhash_sigs(df, id_col, text_col, num_hashes, shingle_size).persist())
     cands = lsh_candidate_pairs(sigs, "__id", "minhash", bands)
     a = sigs.select(F.col("__id").alias("id_a"), F.col("minhash").alias("__sig_a"))
     b = sigs.select(F.col("__id").alias("id_b"), F.col("minhash").alias("__sig_b"))
@@ -247,7 +286,7 @@ def lsh_jaccard_pairs(
     num_hashes: int = 64,
     shingle_size: int = 3,
     bands: int = 64,
-    bucket_cap: int = 1_000_000,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs, the production two-phase shape: cheap MinHash
     LSH candidate generation, then EXACT n-gram Jaccard verification over
@@ -258,18 +297,21 @@ def lsh_jaccard_pairs(
     true Jaccard j becomes a candidate with probability 1-(1-j)^64 — at
     the 0.5 threshold the miss probability is < 2^-64, so the result set
     equals the exhaustive exact-Jaccard pair set (this is the oracle-gated
-    configuration). Fewer/wider bands trade recall for fewer candidates.
+    configuration; ``bucket_cap=None`` keeps it recall-lossless — set a
+    cap in production to guard degenerate buckets). Fewer/wider bands
+    trade recall for fewer candidates.
 
     Returns (id_a, id_b, jaccard) with jaccard >= threshold.
     """
     # tokenize/shingle ONCE: the gram table feeds both the signature
     # aggregation (explode + min-aggs) and the exact verify — at 100 TB
-    # this is the table you'd materialize; locally persist() is the cut.
-    # The persisted frame is exposed on the result as `._cached_grams` so
-    # long-lived sessions can unpersist after consuming the pairs.
-    grams = _spread(df, id_col).select(
-        F.col(id_col).alias("__gid"), _word_shingles(F.col(text_col), shingle_size).alias("__grams")
-    ).persist()
+    # this is the table you'd materialize; locally persist() is the cut
+    # (released via release_caches()).
+    grams = _track(
+        _spread(df, id_col)
+        .select(F.col(id_col).alias("__gid"), _word_shingles(F.col(text_col), shingle_size).alias("__grams"))
+        .persist()
+    )
     params = _perm_params(num_hashes)
     h = F.xxhash64("__shingle").bitwiseAND(F.lit((1 << 32) - 1))
     exploded = grams.select(F.col("__gid").alias("__id"), F.explode("__grams").alias("__shingle")).select("__id", h.alias("__h"))
@@ -279,19 +321,42 @@ def lsh_jaccard_pairs(
         .agg(*aggs)
         .select("__id", F.array(*[f"__mh{i}" for i in range(num_hashes)]).alias("minhash"))
     )
-    cands = lsh_candidate_pairs(sigs, "__id", "minhash", bands, bucket_cap)
-    a = grams.select(F.col("__gid").alias("id_a"), F.col("__grams").alias("__ga"))
-    b = grams.select(F.col("__gid").alias("id_b"), F.col("__grams").alias("__gb"))
-    inter = F.size(F.array_intersect("__ga", "__gb"))
-    jac = inter / (F.size("__ga") + F.size("__gb") - inter)
-    out = (
-        cands.join(a, "id_a").join(b, "id_b")
+    cands = lsh_candidate_pairs(sigs, "__id", "minhash", bands, bucket_cap, sig_len=num_hashes)
+    return _verify_jaccard(cands, grams, threshold)
+
+
+def _verify_jaccard(cands: DataFrame, grams: DataFrame, threshold: float) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs against a
+    ``(__gid, __grams array)`` table, as an INTERSECTION-COUNT JOIN:
+    candidates ⋈ exploded grams of side a ⋈ exploded grams of side b on
+    (id_b, gram), then groupBy(pair).count() = |A∩B|.
+
+    Every row in this pipeline is a few longs + one gram string and every
+    operator is whole-stage-codegen'd with map-side partial aggregation —
+    unlike the naive formulation (join both FULL gram arrays onto every
+    candidate row, interpreted array_intersect per pair), which ships
+    |cands|·2·|grams| array cells through the exchanges and was measured
+    2× slower at sf0.1. Pairs sharing no gram drop out of the inner join —
+    correct, since any threshold > 0 requires |A∩B| ≥ 1.
+    """
+    sizes = grams.select("__gid", F.size("__grams").alias("__sz"))
+    inv = grams.select("__gid", F.explode("__grams").alias("__gram"))
+    ia = inv.select(F.col("__gid").alias("id_a"), "__gram")
+    ib = inv.select(F.col("__gid").alias("id_b"), "__gram")
+    inter = (
+        cands.join(ia, "id_a")
+        .join(ib, ["id_b", "__gram"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    jac = F.col("__inter") / (F.col("__na") + F.col("__nb") - F.col("__inter"))
+    return (
+        inter.join(sizes.select(F.col("__gid").alias("id_a"), F.col("__sz").alias("__na")), "id_a")
+        .join(sizes.select(F.col("__gid").alias("id_b"), F.col("__sz").alias("__nb")), "id_b")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    out._cached_grams = grams  # unpersist handle for long-lived sessions
-    return out
 
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 10) -> DataFrame:
@@ -418,7 +483,7 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 
 
     Returns (id_a, id_b, hamming).
     """
-    sigs = simhash(_spread(df, id_col), text_col, "simhash", chunks, portable).select(F.col(id_col).alias("__id"), "simhash").persist()
+    sigs = _track(simhash(_spread(df, id_col), text_col, "simhash", chunks, portable).select(F.col(id_col).alias("__id"), "simhash").persist())
     banded = sigs.select("__id", "simhash", F.posexplode("simhash").alias("__chunk_idx", "__chunk_val"))
     l, r = banded.alias("l"), banded.alias("r")
     cands = (
@@ -496,7 +561,7 @@ def prefix_jaccard_pairs(
     inverted-index self-join on prefix grams → exact verify on the full
     gram arrays. Returns (id_a, id_b, jaccard).
     """
-    grams = (
+    grams = _track(
         _spread(df, id_col)
         .select(F.col(id_col).alias("__gid"), _word_shingles(F.col(text_col), n).alias("__grams"))
         .withColumn("__sz", F.size("__grams"))
@@ -521,18 +586,7 @@ def prefix_jaccard_pairs(
         .select(F.col("l.__gid").alias("id_a"), F.col("r.__gid").alias("id_b"))
         .distinct()
     )
-    a = grams.select(F.col("__gid").alias("id_a"), F.col("__grams").alias("__ga"))
-    b = grams.select(F.col("__gid").alias("id_b"), F.col("__grams").alias("__gb"))
-    inter = F.size(F.array_intersect("__ga", "__gb"))
-    jac = inter / (F.size("__ga") + F.size("__gb") - inter)
-    out = (
-        cands.join(a, "id_a").join(b, "id_b")
-        .withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
-    out._cached_grams = grams  # unpersist handle
-    return out
+    return _verify_jaccard(cands, grams.drop("__sz"), threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -567,7 +621,7 @@ def embedding_dup_pairs(
         )
 
     half = planes // 2
-    sk = _spread(df, id_col).select(F.col(id_col).alias("__id"), v.alias("__v"), sketch_bits(v).alias("__sk")).persist()
+    sk = _track(_spread(df, id_col).select(F.col(id_col).alias("__id"), v.alias("__v"), sketch_bits(v).alias("__sk")).persist())
     sk = sk.select(
         "__id",
         "__v",
