@@ -113,14 +113,13 @@ _Q = {
         WHERE l_discount > 0.04 AND l_discount < 0.07 AND l_quantity < 24
               AND l_shipdate >= "1996-01-01" AND l_shipdate < "1998-01-01" """,
     # §2.2 COUNT(DISTINCT) — implemented correctly (reference bug:
-    # testutil/testsuite.go:125-127 returns 0)
+    # testutil/testsuite.go:125-127 returns 0). DISTINCT-rows coverage
+    # lives in q25 (multi-column) — single-column q08 retired to stay
+    # within the driver's 50-entry scoring window.
     "q07_count_distinct": """
         SELECT count(distinct(c_mktsegment)) AS segs,
                count(distinct(c_nationkey)) AS nations
         FROM customer""",
-    # §2.2 DISTINCT rows
-    "q08_distinct_rows": """
-        SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment""",
     # §2.4 HAVING (post-agg filter, exec/where.go:24)
     "q09_having": """
         SELECT o_custkey, count(*) AS n
@@ -140,13 +139,24 @@ _Q = {
         FROM region LEFT JOIN nation ON r_regionkey = n_regionkey
         GROUP BY r_name
         ORDER BY r_name""",
-    # §2.9 string + hash builtins (expr/builtins/string.go, hash_and_encode.go)
+    # §2.9 string + hash + url builtins (expr/builtins/string.go,
+    # hash_and_encode.go, url_email.go:230/463/609 — host/qs/url.matchqs
+    # exercised on a synthetic URL so edge cases get a hard oracle row)
     "q12_string_funcs": """
         SELECT c_custkey, tolower(c_name) AS lname,
                hash.md5(c_name) AS md5h,
                hasprefix(c_name, "Customer#0000001") AS pfx,
                string.substr(c_name, 9, 17) AS numpart,
-               join(c_name, c_mktsegment, "|") AS joined
+               join(c_name, c_mktsegment, "|") AS joined,
+               host(if(c_custkey % 2 = 0,
+                       join("http://ex.com/p?seg=", c_mktsegment, ""),
+                       "http://ex.com/p")) AS hostc,
+               qs(if(c_custkey % 2 = 0,
+                     join("http://ex.com/p?seg=", c_mktsegment, ""),
+                     "http://ex.com/p"), "seg") AS qsv,
+               url.matchqs(if(c_custkey % 2 = 0,
+                              join("http://ex.com/p?seg=", c_mktsegment, ""),
+                              "http://ex.com/p"), "seg") AS hasq
         FROM customer
         WHERE c_custkey < 100
         ORDER BY c_custkey""",
@@ -192,30 +202,28 @@ _Q = {
         GROUP BY hr
         ORDER BY hr
         LIMIT 100""",
-    # math + casting builtins
+    # math + casting builtins (+ modulo, folded from retired q29)
     "q19_math_cast": """
         SELECT p_partkey, round(sqrt(p_retailprice), 4) AS rt,
                round(pow(p_size, 2), 1) AS sz2,
-               toint(tostring(p_size)) AS roundtrip
+               toint(tostring(p_size)) AS roundtrip,
+               p_size % 7 AS szmod
         FROM part
         WHERE p_partkey < 200
         ORDER BY p_partkey""",
     # literal select (plan/planner_select.go:267-286)
     "q20_literal": """SELECT 1 AS one, "hello" AS greeting, 2 * 3 AS six""",
     # §2.8 negation wrappers (NOT IN / NOT LIKE / NOT BETWEEN,
-    # expr/node.go:103-128 NegateableNode)
+    # expr/node.go:103-128 NegateableNode) + NOT(...) boolean grouping and
+    # modulo predicate (folded from retired q29)
     "q34_negations": """
         SELECT p_partkey, p_brand, p_size
         FROM part
         WHERE p_brand NOT LIKE "%#4%"
           AND p_size NOT BETWEEN 10 AND 40
           AND p_brand NOT IN ("Brand#55")
+          AND NOT (p_partkey % 3 = 0)
         ORDER BY p_partkey""",
-    # §2.8 BETWEEN over timestamps (exclusive, vm/vm.go:901)
-    "q24_time_between": """
-        SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total
-        FROM orders
-        WHERE o_orderdate BETWEEN "1997-01-01" AND "1998-01-01" """,
     # §2.2 multi-column DISTINCT
     "q25_distinct_multi": """
         SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
@@ -234,16 +242,12 @@ _Q = {
     # §2.3 CROSS JOIN (comma form)
     "q28_cross_join": """
         SELECT count(*) AS pairs FROM region, nation""",
-    # §2.9 oneof/coalesce + boolean logic on filters
-    "q29_logic_filters": """
-        SELECT o_orderkey, o_orderstatus
-        FROM orders
-        WHERE (o_orderstatus = "F" OR o_orderstatus = "O") AND NOT (o_orderkey % 2 = 0)
-        ORDER BY o_orderkey LIMIT 200""",
-    # time-bucketed multi-key agg (events pipeline shape)
+    # time-bucketed multi-key agg (events pipeline shape) + exclusive
+    # BETWEEN over timestamps (vm/vm.go:901, folded from retired q24)
     "q30_dow_profile": """
         SELECT dayofweek(ts) AS dow, event_type, count(*) AS n
         FROM events
+        WHERE ts BETWEEN "2024-01-08" AND "2024-01-22"
         GROUP BY dayofweek(ts), event_type
         ORDER BY dow, event_type""",
     # nested subquery + join + order (composite shape)
@@ -259,6 +263,52 @@ _Q = {
         FROM lineitem
         GROUP BY ROLLUP(l_returnflag, l_linestatus)
         ORDER BY l_returnflag, l_linestatus""",
+    # §2.6 set operations (superset; reference has none) — UNION ALL
+    # chain of tagged branches exercising INTERSECT / EXCEPT / UNION in
+    # FROM-subqueries, all parsed and executed by the engine dialect
+    "q22_setops": """
+        SELECT "hi" AS src, c_custkey AS k FROM customer WHERE c_acctbal >= 8000
+        UNION ALL
+        SELECT "lo" AS src, c_custkey AS k FROM customer WHERE c_acctbal < 1000
+        UNION ALL
+        SELECT "both" AS src, nk AS k FROM
+          (SELECT c_nationkey AS nk FROM customer INTERSECT SELECT s_nationkey AS nk FROM supplier) AS b
+        UNION ALL
+        SELECT "conly" AS src, nk AS k FROM
+          (SELECT c_nationkey AS nk FROM customer EXCEPT SELECT s_nationkey AS nk FROM supplier) AS c
+        UNION ALL
+        SELECT "any" AS src, nk AS k FROM
+          (SELECT c_nationkey AS nk FROM customer UNION SELECT s_nationkey AS nk FROM supplier) AS u""",
+    # window-function superset (OVER in the engine dialect, SURVEY §2.4
+    # "not present"): top-3 per segment via subquery + post-window filter
+    "q23_window_rank": """
+        SELECT c_mktsegment, c_custkey, bal, rnk FROM (
+          SELECT c_mktsegment, c_custkey, round(c_acctbal, 2) AS bal,
+                 row_number() OVER (PARTITION BY c_mktsegment
+                                    ORDER BY c_acctbal DESC, c_custkey) AS rnk
+          FROM customer) AS t
+        WHERE rnk <= 3""",
+    # lag + moving-frame aggregate over event time per user (telemetry
+    # shape); integer-cent domain so the moving sum is exact cross-engine
+    "q36_window_timeseries": """
+        SELECT event_id, user_id,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS gap_us,
+               sum(floor(value * 100 + 0.5)) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov3_cents
+        FROM events
+        WHERE user_id < 20""",
+    # NTILE + percent_rank within segment, post-window filter via subquery
+    "q37_window_quartiles": """
+        SELECT c_mktsegment, c_custkey, quartile, prank_x1e6 FROM (
+          SELECT c_mktsegment, c_custkey,
+                 cast(ntile(4) OVER (PARTITION BY c_mktsegment
+                     ORDER BY c_acctbal DESC, c_custkey) AS long) AS quartile,
+                 floor(percent_rank() OVER (PARTITION BY c_mktsegment
+                     ORDER BY c_acctbal DESC, c_custkey) * 1000000) AS prank_x1e6
+          FROM customer) AS t
+        WHERE c_custkey < 300""",
 }
 
 # FilterQL statement (run through the engine's FilterQL path)
@@ -276,73 +326,6 @@ def _q_filterql(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = _engine(spark, sf_dir)
     df = eng.execute(_FILTERQL)
     return df.select("c_custkey", "c_acctbal").orderBy("c_custkey")
-
-
-def _q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # set-op superset (reference has none, SURVEY §2.6)
-    eng = _engine(spark, sf_dir)
-    hi = eng.sql('SELECT c_custkey, "high" AS tier FROM customer WHERE c_acctbal >= 8000')
-    lo = eng.sql('SELECT c_custkey, "low" AS tier FROM customer WHERE c_acctbal < 1000')
-    return hi.unionAll(lo)
-
-
-def _q_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # INTERSECT/EXCEPT superset: nations having customers AND suppliers,
-    # minus any nation named like AMERICA-region ones... keep it simple:
-    eng = _engine(spark, sf_dir)
-    cust_nations = eng.sql("SELECT c_nationkey AS nk FROM customer")
-    supp_nations = eng.sql("SELECT s_nationkey AS nk FROM supplier")
-    both = cust_nations.intersect(supp_nations)
-    only_cust = cust_nations.distinct().exceptAll(supp_nations.distinct())
-    return both.withColumn("src", F.lit("both")).unionAll(only_cust.withColumn("src", F.lit("cust_only")))
-
-
-def _q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # window-function superset: top-3 customers per segment by balance
-    from pyspark.sql import Window
-
-    eng = _engine(spark, sf_dir)
-    df = eng.table("customer")
-    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
-    return (
-        df.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 3)
-        .select("c_mktsegment", "c_custkey", F.round("c_acctbal", 2).alias("bal"), "rnk")
-    )
-
-
-def _q_window_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # lag + moving aggregate over event time per user — the telemetry
-    # shape. Integer-cent domain (floor(value*100+0.5)) so the moving sum
-    # is exact in both engines; gaps in epoch micros are exact longs.
-    from pyspark.sql import Window
-
-    eng = _engine(spark, sf_dir)
-    ev = eng.table("events").filter(F.col("user_id") < 20)
-    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    w3 = w.rowsBetween(-2, 0)
-    return ev.select(
-        "event_id",
-        "user_id",
-        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias("gap_us"),
-        F.sum(cents).over(w3).alias("mov3_cents"),
-    )
-
-
-def _q_window_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # NTILE + percent_rank over customer balances within segment
-    from pyspark.sql import Window
-
-    eng = _engine(spark, sf_dir)
-    df = eng.table("customer")
-    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
-    return df.select(
-        "c_mktsegment",
-        "c_custkey",
-        F.ntile(4).over(w).cast("long").alias("quartile"),
-        F.floor(F.percent_rank().over(w) * 1000000).cast("long").alias("prank_x1e6"),
-    ).filter(F.col("c_custkey") < 300)
 
 
 # ---------------------------------------------------------------------------
@@ -492,22 +475,6 @@ def _dp_sessionize(spark, sf_dir):
     )
 
 
-def _dp_cosine_pairs(spark, sf_dir):
-    # exact cosine near-dup pairs (no LSH) — oracle-comparable; int ids only
-    from qlbridge_spark.datapipe.similarity import cosine
-
-    emb = _emb(spark, sf_dir).filter(F.col("vec_id") < 200)
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").cast("array<double>").alias("__va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").cast("array<double>").alias("__vb"))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("c", cosine(F.col("__va"), F.col("__vb")))
-        .filter(F.col("c") > 0.25)
-        .select("id_a", "id_b")
-    )
-
-
 def _dp_curation_report(spark, sf_dir):
     # composite pipeline: per-language corpus stats (the shape of a
     # training-data QA rollup: derive row features → group → aggregate)
@@ -615,11 +582,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for name in _Q:
         out[name] = _sql_query(name)
     out["q21_filterql"] = _q_filterql
-    out["q22_union"] = _q_union
-    out["q23_window_rank"] = _q_window_rank
-    out["q33_intersect_except"] = _q_intersect_except
-    out["q36_window_timeseries"] = _q_window_timeseries
-    out["q37_window_quartiles"] = _q_window_quartiles
     out["dp01_exact_dedup"] = _dp_exact_dedup
     out["dp02_fingerprint"] = _dp_fingerprint
     out["dp03_token_count"] = _dp_token_count
@@ -632,7 +594,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["dp10_ivf_topk"] = _dp_ivf_topk
     out["dp11_multimodal_decode"] = _dp_multimodal
     out["dp12_sessionize"] = _dp_sessionize
-    out["dp13_cosine_pairs"] = _dp_cosine_pairs
+    # dp13 (brute-force cosine pairs) retired: its machinery is a strict
+    # subset of dp06's scorer + embedding_dup_pairs' pytest coverage, and
+    # the driver scores at most 50 entries — slot given to dp15-dp19.
     out["dp14_curation_report"] = _dp_curation_report
     out["dp15_asof_join"] = _dp_asof_join
     out["dp18_frame_sample"] = _dp_frame_sample
@@ -700,8 +664,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(DISTINCT c_mktsegment) AS segs,
                    count(DISTINCT c_nationkey) AS nations
             FROM customer""",
-        "q08_distinct_rows": """
-            SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment""",
         "q09_having": """
             SELECT o_custkey, count(*) AS n FROM orders
             GROUP BY o_custkey HAVING count(*) > 12
@@ -718,7 +680,10 @@ def oracle_sql() -> dict[str, str]:
                    md5(c_name) AS md5h,
                    starts_with(c_name, 'Customer#0000001') AS pfx,
                    substr(c_name, 10, 8) AS numpart,
-                   concat_ws('|', c_name, c_mktsegment) AS joined
+                   concat_ws('|', c_name, c_mktsegment) AS joined,
+                   'ex.com' AS hostc,
+                   CASE WHEN c_custkey % 2 = 0 THEN c_mktsegment END AS qsv,
+                   (c_custkey % 2 = 0) AS hasq
             FROM customer WHERE c_custkey < 100 ORDER BY c_custkey""",
         "q13_time_funcs": """
             SELECT o_orderkey,
@@ -752,13 +717,10 @@ def oracle_sql() -> dict[str, str]:
         "q19_math_cast": """
             SELECT p_partkey, round(sqrt(p_retailprice), 4) AS rt,
                    round(pow(p_size, 2), 1) AS sz2,
-                   CAST(p_size AS BIGINT) AS roundtrip
+                   CAST(p_size AS BIGINT) AS roundtrip,
+                   p_size % 7 AS szmod
             FROM part WHERE p_partkey < 200 ORDER BY p_partkey""",
         "q20_literal": """SELECT 1 AS one, 'hello' AS greeting, 2 * 3 AS six""",
-        "q24_time_between": """
-            SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total
-            FROM orders
-            WHERE o_orderdate > TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'""",
         "q25_distinct_multi": """
             SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
             ORDER BY l_returnflag, l_linestatus""",
@@ -773,14 +735,10 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY n_name ORDER BY n_name""",
         "q28_cross_join": """
             SELECT count(*) AS pairs FROM region, nation""",
-        "q29_logic_filters": """
-            SELECT o_orderkey, o_orderstatus
-            FROM orders
-            WHERE (o_orderstatus = 'F' OR o_orderstatus = 'O') AND NOT (o_orderkey % 2 = 0)
-            ORDER BY o_orderkey LIMIT 200""",
         "q30_dow_profile": """
             SELECT CAST(dayofweek(ts) AS BIGINT) AS dow, event_type, count(*) AS n
             FROM events
+            WHERE ts > TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-22'
             GROUP BY dayofweek(ts), event_type
             ORDER BY dow, event_type""",
         "q31_top_nation_customers": """
@@ -794,31 +752,31 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             GROUP BY ROLLUP(l_returnflag, l_linestatus)
             ORDER BY l_returnflag, l_linestatus""",
-        "q33_intersect_except": """
-            SELECT nk, 'both' AS src FROM (
-              SELECT c_nationkey AS nk FROM customer
-              INTERSECT
-              SELECT s_nationkey AS nk FROM supplier)
-            UNION ALL
-            SELECT nk, 'cust_only' AS src FROM (
-              SELECT DISTINCT c_nationkey AS nk FROM customer
-              EXCEPT
-              SELECT DISTINCT s_nationkey AS nk FROM supplier)""",
         "q34_negations": """
             SELECT p_partkey, p_brand, p_size
             FROM part
             WHERE p_brand NOT LIKE '%#4%'
               AND NOT (p_size > 10 AND p_size < 40)
               AND p_brand NOT IN ('Brand#55')
+              AND NOT (p_partkey % 3 = 0)
             ORDER BY p_partkey""",
         "q21_filterql": """
             SELECT c_custkey, c_acctbal FROM customer
             WHERE c_acctbal > 5000 AND c_mktsegment = 'MACHINERY'
             ORDER BY c_custkey""",
-        "q22_union": """
-            SELECT c_custkey, 'high' AS tier FROM customer WHERE c_acctbal >= 8000
+        "q22_setops": """
+            SELECT 'hi' AS src, c_custkey AS k FROM customer WHERE c_acctbal >= 8000
             UNION ALL
-            SELECT c_custkey, 'low' AS tier FROM customer WHERE c_acctbal < 1000""",
+            SELECT 'lo' AS src, c_custkey AS k FROM customer WHERE c_acctbal < 1000
+            UNION ALL
+            SELECT 'both' AS src, nk AS k FROM
+              (SELECT c_nationkey AS nk FROM customer INTERSECT SELECT s_nationkey FROM supplier)
+            UNION ALL
+            SELECT 'conly' AS src, nk AS k FROM
+              (SELECT c_nationkey AS nk FROM customer EXCEPT SELECT s_nationkey FROM supplier)
+            UNION ALL
+            SELECT 'any' AS src, nk AS k FROM
+              (SELECT c_nationkey AS nk FROM customer UNION SELECT s_nationkey FROM supplier)""",
         "q23_window_rank": """
             SELECT c_mktsegment, c_custkey, round(c_acctbal, 2) AS bal, rnk
             FROM (SELECT c_mktsegment, c_custkey, c_acctbal,
@@ -883,11 +841,6 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END AS new_sess
                 FROM events WHERE user_id < 50))
             GROUP BY user_id, session_seq""",
-        "dp13_cosine_pairs": """
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b
-            FROM embeddings a, embeddings b
-            WHERE a.vec_id < b.vec_id AND a.vec_id < 200 AND b.vec_id < 200
-              AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) > 0.25""",
         "dp14_curation_report": """
             SELECT lang, count(*) AS docs,
                    CAST(sum(toks) AS BIGINT) AS tokens,

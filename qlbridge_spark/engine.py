@@ -49,6 +49,7 @@ from .rel import (
     SqlDrop,
     SqlInsert,
     SqlSelect,
+    SqlSetOp,
     SqlShow,
     SqlUpdate,
     SubqueryNode,
@@ -171,7 +172,7 @@ class Engine:
         df = self.tables.get(name.lower())
         if df is None:
             if name.lower() in self.views:
-                return self._select(self.views[name.lower()])
+                return self._select_any(self.views[name.lower()])
             src = self.planner_sources.get(name.lower())
             if src is not None and hasattr(src, "scan"):
                 return src.scan(self.spark)
@@ -198,6 +199,8 @@ class Engine:
     def execute_stmt(self, stmt):
         if isinstance(stmt, SqlSelect):
             return self._select(stmt)
+        if isinstance(stmt, SqlSetOp):
+            return self._set_op(stmt)
         if isinstance(stmt, FilterStatement):
             return self._filterql(stmt)
         if isinstance(stmt, SqlShow):
@@ -315,10 +318,36 @@ class Engine:
             self.register_df(sel.into, df)
         return df
 
+    def _select_any(self, sel) -> DataFrame:
+        """SELECT or set-op chain → DataFrame."""
+        return self._set_op(sel) if isinstance(sel, SqlSetOp) else self._select(sel)
+
+    def _set_op(self, stmt: SqlSetOp) -> DataFrame:
+        """Set operations — superset (SURVEY §2.6: reference has none).
+        Spark resolves set-op columns POSITIONALLY, same as ANSI SQL;
+        UNION/INTERSECT/EXCEPT dedup, the ALL forms keep bag semantics."""
+        left = self._select_any(stmt.left)
+        right = self._select_any(stmt.right)
+        if len(left.columns) != len(right.columns):
+            raise ExecError(f"set-op column counts differ: {len(left.columns)} vs {len(right.columns)}")
+        if stmt.op == "UNION ALL":
+            return left.unionAll(right)
+        if stmt.op == "UNION":
+            return left.unionAll(right).distinct()
+        if stmt.op == "INTERSECT":
+            return left.intersect(right)
+        if stmt.op == "INTERSECT ALL":
+            return left.intersectAll(right)
+        if stmt.op == "EXCEPT":
+            return left.subtract(right)
+        if stmt.op == "EXCEPT ALL":
+            return left.exceptAll(right)
+        raise ExecError(f"unknown set op {stmt.op}")
+
     # -- FROM / joins ----------------------------------------------------
     def _resolve_source(self, src: FromSource, sel: SqlSelect | None = None) -> DataFrame:
         if src.subquery is not None:
-            df = self._select(src.subquery)
+            df = self._select_any(src.subquery)
         else:
             df = None
             planner_src = self.planner_sources.get((src.name or "").lower())
@@ -778,7 +807,7 @@ class Engine:
             return create_continuous_view(self, c)
         if tok == "TABLE":
             if c.select is not None:  # CTAS
-                self.register_df(c.ident, self._select(c.select))
+                self.register_df(c.ident, self._select_any(c.select))
                 return None
             fields = [T.StructField(n, _ddl_type(ty), True) for n, ty in c.cols]
             self.register_df(c.ident, self.spark.createDataFrame([], T.StructType(fields)))

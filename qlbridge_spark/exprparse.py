@@ -36,6 +36,7 @@ from .nodes import (
     StringNode,
     TriNode,
     UnaryNode,
+    WindowNode,
 )
 
 
@@ -269,7 +270,8 @@ class ExprParser:
         if name == "count" and self.cur().kind == OP and self.cur().val == "*":
             self.advance()
             self.expect(RPAREN)
-            return FuncNode("count", [IdentityNode(("*",))])
+            fn = FuncNode("count", [IdentityNode(("*",))])
+            return self.parse_over(fn) if self.at_kw("OVER") else fn
         while self.cur().kind != RPAREN:
             if self.at_kw("DISTINCT"):
                 # COUNT(DISTINCT x) → distinct-flagged func
@@ -283,7 +285,63 @@ class ExprParser:
             else:
                 break
         self.expect(RPAREN)
-        return FuncNode(name, args)
+        fn = FuncNode(name, args)
+        if self.at_kw("OVER"):
+            return self.parse_over(fn)
+        return fn
+
+    def parse_over(self, fn: FuncNode) -> WindowNode:
+        """``OVER (PARTITION BY ... ORDER BY ... [ROWS BETWEEN ...])`` —
+        window-function superset (the reference has none, SURVEY §2.4)."""
+        self.expect(IDENT, "OVER")
+        self.expect(LPAREN)
+        win = WindowNode(func=fn)
+        if self.at_kw("PARTITION"):
+            self.advance()
+            self.expect(IDENT, "BY")
+            win.partition_by.append(self.parse_expr())
+            while self.cur().kind == COMMA:
+                self.advance()
+                win.partition_by.append(self.parse_expr())
+        if self.at_kw("ORDER"):
+            self.advance()
+            self.expect(IDENT, "BY")
+            while True:
+                e = self.parse_expr()
+                direction = "ASC"
+                if self.at_kw("ASC", "DESC"):
+                    direction = self.advance().upper
+                win.order_by.append((e, direction))
+                if self.cur().kind == COMMA:
+                    self.advance()
+                else:
+                    break
+        if self.at_kw("ROWS"):
+            self.advance()
+            self.expect(IDENT, "BETWEEN")
+            lo = self._frame_bound()
+            self.expect(IDENT, "AND")
+            hi = self._frame_bound()
+            win.frame = ("ROWS", lo, hi)
+        self.expect(RPAREN)
+        return win
+
+    def _frame_bound(self) -> int | None:
+        """One frame bound → Spark rowsBetween value (negative=preceding,
+        0=current, None=unbounded)."""
+        if self.eat_kw("UNBOUNDED"):
+            if not (self.eat_kw("PRECEDING") or self.eat_kw("FOLLOWING")):
+                raise ParseError(f"expected PRECEDING/FOLLOWING, got {self.cur()!r}")
+            return None
+        if self.eat_kw("CURRENT"):
+            self.expect(IDENT, "ROW")
+            return 0
+        n = int(self.expect(NUMBER).val)
+        if self.eat_kw("PRECEDING"):
+            return -n
+        if self.eat_kw("FOLLOWING"):
+            return n
+        raise ParseError(f"expected PRECEDING/FOLLOWING, got {self.cur()!r}")
 
     def parse_identity(self) -> IdentityNode:
         """Identity: bare dotted (one IDENT token), backticked parts joined

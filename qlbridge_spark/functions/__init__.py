@@ -80,10 +80,20 @@ def is_agg_func(name: str) -> bool:
 
 
 def is_agg_tree(node: Node) -> bool:
-    """True if any function in the tree is an aggregate (rel/sql.go:102)."""
-    for n in node.walk():
+    """True if any function in the tree is an aggregate (rel/sql.go:102).
+
+    Window expressions are NOT group aggregates: ``sum(x) OVER (...)``
+    computes per-row, so the walk does not descend into WindowNode."""
+    from ..nodes import WindowNode
+
+    stack = [node]
+    while stack:
+        n = stack.pop()
+        if isinstance(n, WindowNode):
+            continue
         if isinstance(n, FuncNode) and is_agg_func(n.name):
             return True
+        stack.extend(n.children())
     return False
 
 
@@ -529,7 +539,7 @@ def _tostring(n, s):
 
 _CAST_TYPES = {
     "char": "string", "varchar": "string", "string": "string", "text": "string",
-    "int": "long", "integer": "long", "bigint": "long", "smallint": "long",
+    "int": "long", "integer": "long", "bigint": "long", "smallint": "long", "long": "long",
     "float": "double", "double": "double", "number": "double", "decimal": "double",
     "bool": "boolean", "boolean": "boolean",
     "timestamp": "timestamp", "datetime": "timestamp", "date": "date", "binary": "binary",
@@ -956,3 +966,21 @@ def _round(n, s):
 @_reg("abs")
 def _abs(n, s):
     return F.abs(_c(n, s))
+
+
+@_reg("floor", return_type=T.LongType())
+def _floor(n, s):
+    # superset convenience (no reference counterpart); long like Spark SQL
+    return F.floor(_c(n, s))
+
+
+@_reg("ceil", return_type=T.LongType())
+def _ceil(n, s):
+    return F.ceil(_c(n, s))
+
+
+@_reg("epoch_us", return_type=T.LongType())
+def _epoch_us(n, s):
+    # epoch MICROSECONDS as bigint — superset for window/time-series
+    # queries; named after DuckDB's epoch_us so oracles read identically
+    return F.unix_micros(_c(n, s).cast("timestamp"))

@@ -171,6 +171,45 @@ class BooleanNode(Node):
 
 
 @dataclass
+class WindowNode(Node):
+    """``func(...) OVER (PARTITION BY ... ORDER BY ... [ROWS BETWEEN ...])``
+    — superset: the reference has no window functions (SURVEY §2.4 "not
+    present"); translated to ``pyspark.sql.Window``.
+
+    ``frame`` is ``("ROWS", lo, hi)`` with bounds in Spark's rowsBetween
+    convention (negative = preceding, 0 = current row, None = unbounded in
+    that direction), or None for the SQL default frame.
+    """
+
+    func: "FuncNode"
+    partition_by: list[Node] = field(default_factory=list)
+    order_by: list[tuple[Node, str]] = field(default_factory=list)  # (expr, ASC|DESC)
+    frame: tuple[str, int | None, int | None] | None = None
+
+    def children(self):
+        return [self.func, *self.partition_by, *[e for e, _ in self.order_by]]
+
+    def sql(self) -> str:
+        parts = []
+        if self.partition_by:
+            parts.append("PARTITION BY " + ", ".join(e.sql() for e in self.partition_by))
+        if self.order_by:
+            parts.append("ORDER BY " + ", ".join(f"{e.sql()} {d}" for e, d in self.order_by))
+        if self.frame is not None:
+            kind, lo, hi = self.frame
+
+            def bound(v, side):
+                if v is None:
+                    return f"UNBOUNDED {side}"
+                if v == 0:
+                    return "CURRENT ROW"
+                return f"{-v} PRECEDING" if v < 0 else f"{v} FOLLOWING"
+
+            parts.append(f"{kind} BETWEEN {bound(lo, 'PRECEDING')} AND {bound(hi, 'FOLLOWING')}")
+        return f"{self.func.sql()} OVER ({' '.join(parts)})"
+
+
+@dataclass
 class ArrayNode(Node):
     items: list[Node]
 

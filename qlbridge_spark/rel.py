@@ -97,6 +97,18 @@ class SqlSelect:
 
 
 @dataclass
+class SqlSetOp:
+    """UNION [ALL] / INTERSECT [ALL] / EXCEPT [ALL] between selects —
+    superset: the reference dialect has NO set operations
+    (lex/dialect_sql.go:30-50 statement list, SURVEY §2.6). Left-
+    associative; ORDER BY/LIMIT bind to the individual operands."""
+
+    op: str  # UNION | UNION ALL | INTERSECT | INTERSECT ALL | EXCEPT | EXCEPT ALL
+    left: "SqlSelect | SqlSetOp"
+    right: "SqlSelect | SqlSetOp"
+
+
+@dataclass
 class SubqueryNode(Node):
     """``WHERE x IN (SELECT ...)`` right-hand side (rel/sql.go:137-149).
     The reference parses but never executes this (plan/planner_select.go:94-98);
@@ -197,7 +209,7 @@ class FilterStatement:
 # SQL parser
 # --------------------------------------------------------------------------
 _JOIN_WORDS = {"JOIN", "INNER", "OUTER", "LEFT", "RIGHT", "FULL", "CROSS"}
-_CLAUSE_END = {"FROM", "WHERE", "FILTER", "GROUP", "HAVING", "ORDER", "LIMIT", "OFFSET", "INTO", "WITH", "ALIAS", "AS", "IF", "ON"}
+_CLAUSE_END = {"FROM", "WHERE", "FILTER", "GROUP", "HAVING", "ORDER", "LIMIT", "OFFSET", "INTO", "WITH", "ALIAS", "AS", "IF", "ON", "UNION", "INTERSECT", "EXCEPT"}
 
 
 class SqlParser(ExprParser):
@@ -225,7 +237,7 @@ class SqlParser(ExprParser):
         kw = t.upper
         if kw == "SELECT":
             self.advance()
-            return self.parse_select()
+            return self.parse_select_chain()
         if kw == "FILTER":
             return self.parse_filterql()
         if kw in ("INSERT", "UPSERT"):
@@ -255,6 +267,26 @@ class SqlParser(ExprParser):
         if kw == "PREPARE":
             raise ParseError("PREPARE not implemented")  # parity: exec/executor.go:144-146
         raise ParseError(f"unsupported statement {kw}")
+
+    def parse_select_chain(self) -> "SqlSelect | SqlSetOp":
+        """SELECT ... [UNION [ALL] | INTERSECT [ALL] | EXCEPT [ALL] SELECT
+        ...]* — left-associative set-op chain (superset, SURVEY §2.6)."""
+        left: SqlSelect | SqlSetOp = self.parse_select()
+        while self.at_kw("UNION", "INTERSECT", "EXCEPT"):
+            op = self.advance().upper
+            if self.eat_kw("ALL"):
+                op += " ALL"
+            t = self.cur()
+            if t.kind == LPAREN:
+                self.advance()
+                right: SqlSelect | SqlSetOp = self.parse_select_chain()
+                self.expect(RPAREN)
+            elif self.at_kw("SELECT"):
+                right = self.parse_select()
+            else:
+                raise ParseError(f"expected SELECT after {op}, got {t!r}")
+            left = SqlSetOp(op=op, left=left, right=right)
+        return left
 
     def parse_select(self) -> SqlSelect:
         # 'SELECT' already consumed by caller (or consume if present)
@@ -374,7 +406,7 @@ class SqlParser(ExprParser):
         t = self.cur()
         if t.kind == LPAREN:
             self.advance()
-            sub = self.parse_select()
+            sub = self.parse_select_chain()
             self.expect(RPAREN)
             src = FromSource(subquery=sub)
         else:
@@ -516,7 +548,7 @@ class SqlParser(ExprParser):
             self.expect(RPAREN)
         if self.eat_kw("AS"):
             self.expect(IDENT, "SELECT")
-            c.select = self.parse_select()
+            c.select = self.parse_select_chain()
         if self.at_kw("WITH"):
             c.with_ = self.parse_with()
         return c

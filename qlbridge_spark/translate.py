@@ -38,6 +38,7 @@ from .nodes import (
     StringNode,
     TriNode,
     UnaryNode,
+    WindowNode,
 )
 
 
@@ -298,6 +299,15 @@ def infer_dtype(node: Node, scope: Scope) -> T.DataType | None:
 
         fn = registry.get(node.name)
         return fn.return_type if fn else None
+    if isinstance(node, WindowNode):
+        name = node.func.name
+        if name in ("row_number", "rank", "dense_rank", "ntile"):
+            return T.IntegerType()
+        if name in ("percent_rank", "cume_dist"):
+            return T.DoubleType()
+        if name in ("lag", "lead"):
+            return infer_dtype(node.func.args[0], scope) if node.func.args else None
+        return infer_dtype(node.func, scope)
     return None
 
 
@@ -368,6 +378,8 @@ def to_column(node: Node, scope: Scope) -> Column:
         return ~out if node.negated else out
     if isinstance(node, TriNode):
         return _between(node, scope)
+    if isinstance(node, WindowNode):
+        return _window(node, scope)
     if isinstance(node, IncludeNode):
         inner = scope.includes.get(node.name)
         if inner is None:
@@ -399,6 +411,55 @@ def exists_column(node: Node, scope: Scope) -> Column:
     if _is_stringy(dt):
         return c.isNotNull() & (c != F.lit(""))
     return c.isNotNull()
+
+
+# ranking window functions (zero-arg) → pyspark builders
+_RANKING_FNS = ("row_number", "rank", "dense_rank", "percent_rank", "cume_dist")
+
+
+def _window(node: WindowNode, scope: Scope) -> Column:
+    """Lower ``func OVER (...)`` to ``Column.over(pyspark.sql.Window)``.
+
+    Superset of the reference (no window functions there, SURVEY §2.4);
+    semantics follow standard SQL: with an ORDER BY and no explicit frame,
+    aggregate functions use the default RANGE UNBOUNDED PRECEDING..CURRENT
+    ROW frame (Spark and DuckDB agree)."""
+    from pyspark.sql import Window
+
+    from .functions import build_function
+
+    name = node.func.name
+    w = Window.partitionBy(*[to_column(e, scope) for e in node.partition_by])
+    if node.order_by:
+        order = []
+        for e, d in node.order_by:
+            c = to_column(e, scope)
+            order.append(c.desc() if d == "DESC" else c.asc())
+        w = w.orderBy(*order)
+    elif name in _RANKING_FNS or name in ("ntile", "lag", "lead"):
+        raise TranslateError(f"window function {name}() requires ORDER BY in OVER()")
+
+    if name in _RANKING_FNS:
+        col = getattr(F, name)()
+    elif name == "ntile":
+        if len(node.func.args) != 1 or not isinstance(node.func.args[0], NumberNode):
+            raise TranslateError("ntile(n) takes one integer literal")
+        col = F.ntile(int(node.func.args[0].value))
+    elif name in ("lag", "lead"):
+        args = node.func.args
+        if not args:
+            raise TranslateError(f"{name}(expr[, offset]) takes at least one argument")
+        target = to_column(args[0], scope)
+        off = int(args[1].value) if len(args) > 1 and isinstance(args[1], NumberNode) else 1
+        col = (F.lag if name == "lag" else F.lead)(target, off)
+    else:
+        col = build_function(node.func, scope)
+
+    if node.frame is not None:
+        lo = Window.unboundedPreceding if node.frame[1] is None else node.frame[1]
+        hi = Window.unboundedFollowing if node.frame[2] is None else node.frame[2]
+        w = w.rowsBetween(lo, hi)
+    return col.over(w)
 
 
 def _between(node: TriNode, scope: Scope) -> Column:

@@ -1,0 +1,151 @@
+"""Window functions + set operations in the engine's own SQL dialect.
+
+Both are supersets: the reference has neither window functions
+(SURVEY §2.4 "not present") nor UNION/INTERSECT/EXCEPT
+(lex/dialect_sql.go:30-50 statement list, SURVEY §2.6). These tests pin
+the OVER() grammar, the pyspark.sql.Window lowering, and set-op
+semantics (dedup vs ALL, positional column resolution).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from qlbridge_spark import Engine
+from qlbridge_spark.exprparse import ParseError, parse_expression
+from qlbridge_spark.nodes import WindowNode
+from qlbridge_spark.translate import TranslateError
+
+
+@pytest.fixture()
+def eng(spark):
+    e = Engine(spark, "winset")
+    e.register_rows(
+        "sales",
+        [
+            {"region": "e", "rep": "a", "amt": 10},
+            {"region": "e", "rep": "b", "amt": 30},
+            {"region": "e", "rep": "c", "amt": 20},
+            {"region": "w", "rep": "d", "amt": 5},
+            {"region": "w", "rep": "e", "amt": 50},
+        ],
+    )
+    return e
+
+
+class TestWindowParse:
+    def test_over_roundtrip(self):
+        n = parse_expression(
+            "sum(x) OVER (PARTITION BY a, b ORDER BY c DESC, d ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"
+        )
+        assert isinstance(n, WindowNode)
+        assert [e.sql() for e in n.partition_by] == ["a", "b"]
+        assert [(e.sql(), d) for e, d in n.order_by] == [("c", "DESC"), ("d", "ASC")]
+        assert n.frame == ("ROWS", -2, 0)
+        # sql() → re-parse → identical structure
+        n2 = parse_expression(n.sql())
+        assert n2 == n
+
+    def test_unbounded_frame(self):
+        n = parse_expression("count(*) OVER (ORDER BY a ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)")
+        assert n.frame == ("ROWS", None, None)
+
+    def test_bad_frame_bound(self):
+        with pytest.raises(ParseError):
+            parse_expression("sum(x) OVER (ORDER BY a ROWS BETWEEN 2 AND 3)")
+
+
+class TestWindowExec:
+    def test_row_number_rank(self, eng):
+        rows = eng.sql(
+            """SELECT region, rep, rnk FROM (
+                 SELECT region, rep,
+                        row_number() OVER (PARTITION BY region ORDER BY amt DESC, rep) AS rnk
+                 FROM sales) AS t
+               WHERE rnk <= 2 ORDER BY region, rnk"""
+        ).collect()
+        assert [(r["region"], r["rep"], r["rnk"]) for r in rows] == [
+            ("e", "b", 1), ("e", "c", 2), ("w", "e", 1), ("w", "d", 2),
+        ]
+
+    def test_lag_and_moving_sum(self, eng):
+        rows = eng.sql(
+            """SELECT rep,
+                      lag(amt) OVER (PARTITION BY region ORDER BY rep) AS prev,
+                      sum(amt) OVER (PARTITION BY region ORDER BY rep
+                          ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS mov2
+               FROM sales ORDER BY rep"""
+        ).collect()
+        by_rep = {r["rep"]: (r["prev"], r["mov2"]) for r in rows}
+        assert by_rep["a"] == (None, 10)
+        assert by_rep["b"] == (10, 40)
+        assert by_rep["c"] == (30, 50)
+        assert by_rep["e"] == (5, 55)
+
+    def test_default_frame_running_sum(self, eng):
+        # ORDER BY without frame → SQL default running aggregate
+        rows = eng.sql(
+            "SELECT rep, sum(amt) OVER (PARTITION BY region ORDER BY rep) AS run FROM sales ORDER BY rep"
+        ).collect()
+        assert [r["run"] for r in rows if r["rep"] in "abc"] == [10, 40, 60]
+
+    def test_ntile_percent_rank(self, eng):
+        rows = eng.sql(
+            """SELECT rep, cast(ntile(2) OVER (PARTITION BY region ORDER BY amt) AS long) AS half,
+                      floor(percent_rank() OVER (PARTITION BY region ORDER BY amt) * 100) AS pr
+               FROM sales ORDER BY rep"""
+        ).collect()
+        e_rows = [(r["half"], r["pr"]) for r in rows if r["rep"] in "abc"]
+        assert e_rows == [(1, 0), (2, 100), (1, 50)]
+
+    def test_window_is_not_group_aggregate(self, eng):
+        # a windowed sum must NOT trigger the groupBy path (per-row output)
+        assert eng.sql("SELECT rep, sum(amt) OVER (PARTITION BY region ORDER BY rep) AS s FROM sales").count() == 5
+
+    def test_window_mixed_with_group_agg_still_aggregates(self, eng):
+        rows = eng.sql("SELECT region, sum(amt) AS total FROM sales GROUP BY region ORDER BY region").collect()
+        assert [(r["region"], r["total"]) for r in rows] == [("e", 60), ("w", 55)]
+
+    def test_ranking_requires_order_by(self, eng):
+        with pytest.raises(TranslateError):
+            eng.sql("SELECT row_number() OVER (PARTITION BY region) AS r FROM sales").collect()
+
+
+class TestSetOps:
+    def test_union_all_vs_union(self, eng):
+        ua = eng.sql("SELECT region FROM sales UNION ALL SELECT region FROM sales")
+        assert ua.count() == 10
+        u = eng.sql("SELECT region FROM sales UNION SELECT region FROM sales")
+        assert sorted(r["region"] for r in u.collect()) == ["e", "w"]
+
+    def test_intersect_except(self, eng):
+        eng.register_rows("other", [{"region": "e"}, {"region": "n"}])
+        i = eng.sql("SELECT region FROM sales INTERSECT SELECT region FROM other")
+        assert [r["region"] for r in i.collect()] == ["e"]
+        x = eng.sql("SELECT region FROM sales EXCEPT SELECT region FROM other")
+        assert [r["region"] for r in x.collect()] == ["w"]
+
+    def test_setop_in_from_subquery(self, eng):
+        eng.register_rows("other", [{"region": "e"}, {"region": "n"}])
+        n = eng.sql(
+            "SELECT count(*) AS n FROM (SELECT region FROM sales UNION SELECT region FROM other) AS t"
+        ).collect()
+        assert n[0]["n"] == 3
+
+    def test_chain_left_associative(self, eng):
+        # (sales ∪ sales) \ {w} — EXCEPT applies to the whole union chain
+        rows = eng.sql(
+            'SELECT region FROM sales UNION SELECT region FROM sales EXCEPT SELECT "w" AS region'
+        ).collect()
+        assert [r["region"] for r in rows] == ["e"]
+
+    def test_column_count_mismatch_raises(self, eng):
+        from qlbridge_spark.engine import ExecError
+
+        with pytest.raises(ExecError):
+            eng.sql("SELECT region, rep FROM sales UNION SELECT region FROM sales")
+
+    def test_view_over_setop(self, eng):
+        eng.execute("CREATE VIEW vx AS SELECT region FROM sales UNION SELECT rep AS region FROM sales")
+        # regions {e,w} ∪ reps {a,b,c,d,e} dedups the shared 'e' → 6
+        assert eng.sql("SELECT count(*) AS n FROM vx").collect()[0]["n"] == 6
