@@ -839,14 +839,56 @@ def _useragent_map(n, s):
 # ===========================================================================
 # hashing / encoding (expr/builtins/hash_and_encode.go)
 # ===========================================================================
+_SIP_UDF = None
+
+
+def _sip_udf():
+    """Arrow-batched SipHash-2-4 UDF, created lazily (a module-level
+    pandas_udf with a DDL-string return type breaks worker-side
+    deserialization — no active session there to parse it)."""
+    global _SIP_UDF
+    if _SIP_UDF is None:
+
+        @F.pandas_udf(T.LongType())
+        def sip(col):
+            import pandas as pd
+
+            from .sip import siphash24_i64
+
+            def one(v):
+                if v is None:
+                    return None
+                b = str(v).encode("utf-8")
+                if not b:
+                    return None  # reference: empty → not-ok (hash_and_encode.go:49)
+                return siphash24_i64(0, 1, b)
+
+            return pd.Series([one(v) for v in col], dtype="Int64")
+
+        _SIP_UDF = sip
+    return _SIP_UDF
+
+
 @_reg("hash", return_type=T.LongType())
 def _hash(n, s):
-    # reference siphash (hash_and_encode.go:25); xxhash64 is our stable
-    # 64-bit JVM-side stand-in (documented divergence)
+    # EXACT SipHash-2-4 with key (0,1) — bit-for-bit the reference's
+    # hash/hash.sip (hash_and_encode.go:25). Arrow-batched pandas UDF:
+    # correct-but-slow path; use hash.xx64 for JVM-native scale hashing.
+    c = _c(n, s)
+    if isinstance(infer_dtype(n.args[0], s), T.ArrayType):
+        # reference hashes the FIRST element of a slice input
+        c = F.element_at(c, 1)
+    return _sip_udf()(c.cast("string"))
+
+
+func_add("hash.sip", registry["hash"].builder, is_agg=False, return_type=T.LongType())
+
+
+@_reg("hash.xx64", return_type=T.LongType())
+def _hash_xx64(n, s):
+    # superset: stable 64-bit hash that stays in whole-stage codegen —
+    # the scale-path alternative to the exact-but-Python hash.sip
     return F.xxhash64(_c(n, s))
-
-
-func_add("hash.sip", registry["hash"].builder, return_type=T.LongType())
 
 
 @_reg("hash.md5", return_type=T.StringType())

@@ -1243,11 +1243,28 @@ def _py_useragent_map(n, sc):
 # -- hashing / encoding -----------------------------------------------------
 @_pyreg("hash")
 def _py_hash(n, sc):
+    # exact SipHash-2-4 key (0,1) — parity with the Spark builtin AND the
+    # reference (hash_and_encode.go:25); empty → not-ok like the reference
+    from .functions.sip import siphash24_i64
+
     v = _a(n, sc)
-    return None if v is None else _xxhash64_value(v)
+    if v is None:
+        return None
+    if isinstance(v, (list, tuple)):
+        if not v:
+            return None
+        v = v[0]
+    b = _s(v).encode("utf-8")
+    return siphash24_i64(0, 1, b) if b else None
 
 
 py_func_add("hash.sip", PY_FUNCS["hash"])
+
+
+@_pyreg("hash.xx64")
+def _py_hash_xx64(n, sc):
+    v = _a(n, sc)
+    return None if v is None else _xxhash64_value(v)
 
 
 def _mk_digest(alg):

@@ -92,10 +92,45 @@ class TestBuiltinLongTail:
     def test_hash_tail(self, evals):
         import hashlib
 
-        got = evals(["hash.sha512(email)", "hash(email)", "hash.sip(email)", "unsign(-5)"])
+        from qlbridge_spark.functions.sip import siphash24_i64
+
+        got = evals(["hash.sha512(email)", "hash(email)", "hash.sip(email)", "unsign(-5)", "hash.xx64(email)"])
         assert got[0] == hashlib.sha512(b"bob@bob.com").hexdigest()
-        assert isinstance(got[1], int) and got[1] == got[2]
+        # hash/hash.sip are EXACT SipHash-2-4 key (0,1) — the reference's
+        # hashSipEval (hash_and_encode.go:25) bit-for-bit
+        assert got[1] == got[2] == siphash24_i64(0, 1, b"bob@bob.com")
         assert got[3] == 5
+        assert isinstance(got[4], int)  # xx64 fast path stays available
+
+    def test_siphash_paper_vectors(self):
+        # official SipHash-2-4 test vectors (Aumasson & Bernstein, appendix
+        # A: key 000102..0f, messages 00,01,..): vectors[i] = Sip-2-4 of
+        # the first i message bytes
+        from qlbridge_spark.functions.sip import siphash24
+
+        k0 = 0x0706050403020100
+        k1 = 0x0F0E0D0C0B0A0908
+        msg = bytes(range(64))
+        expected = {
+            0: 0x726FDB47DD0E0E31,
+            1: 0x74F839C593DC67FD,
+            8: 0x93F5F5799A932462,
+            15: 0xA129CA6149BE45E5,
+            # the paper prints vectors as byte arrays; as little-endian
+            # uint64 the 63-byte vector (72 45 06 eb 4c 32 8a 95) is:
+            63: 0x958A324CEB064572,
+        }
+        for n, want in expected.items():
+            assert siphash24(k0, k1, msg[:n]) == want, f"vector {n}"
+
+    def test_siphash_partitioner_key(self):
+        # the reference's file/index partitioner key (456729, 1111581582)
+        # — datasource/files/filesource.go:49 — must be expressible too
+        from qlbridge_spark.functions.sip import siphash24
+
+        h1 = siphash24(456729, 1111581582, b"part-00000.csv")
+        h2 = siphash24(456729, 1111581582, b"part-00001.csv")
+        assert h1 != h2 and 0 <= h1 < (1 << 64)
 
     def test_uuid_and_misc(self, evals):
         got = evals(["uuid()", 'concat("a", 1, "b")', "abs(0 - 5)", "round(3.456, 1)"])
