@@ -114,6 +114,11 @@ class Engine:
         self.dialects: dict[str, tuple[object, object]] = {}
         # declared table keys (≈ schema.Key, datasource/key.go) for UPSERT
         self.table_keys: dict[str, str] = {}
+        # writable sinks: name → MERGE-capable table (sinks.DeltaMergeSink
+        # protocol ≈ ConnUpsert/ConnPatchWhere/ConnDeletion,
+        # schema/datasource.go:96-161); DML routes here instead of the
+        # in-memory registry swap
+        self.sinks: dict[str, object] = {}
 
     # ------------------------------------------------------------------
     # registry (≈ schema.RegisterSourceAsSchema, schema/registry.go:71)
@@ -163,6 +168,16 @@ class Engine:
         for kw in dialect.leading_keywords():
             self.dialects[kw] = (dialect, handler)
 
+    def register_sink(self, name: str, sink, key: str | None = None) -> None:
+        """Register a writable MERGE-capable sink (sinks.DeltaMergeSink
+        protocol). INSERT/UPSERT/UPDATE/DELETE against ``name`` execute as
+        transactional table operations (append / MERGE INTO / UPDATE WHERE
+        / DELETE WHERE) instead of the in-memory registry swap; reads scan
+        the sink's current table state."""
+        self.sinks[name.lower()] = sink
+        if key or getattr(sink, "key", None):
+            self.table_keys[name.lower()] = key or sink.key
+
     def register_include(self, name: str, filter_text: str) -> None:
         """Named filter for INCLUDE resolution (expr/include.go:23-25)."""
         stmt = parse_filterql(filter_text) if filter_text.upper().lstrip().startswith("FILTER") else None
@@ -171,6 +186,8 @@ class Engine:
     def table(self, name: str) -> DataFrame:
         df = self.tables.get(name.lower())
         if df is None:
+            if name.lower() in self.sinks:
+                return self.sinks[name.lower()].scan(self.spark)
             if name.lower() in self.views:
                 return self._select_any(self.views[name.lower()])
             src = self.planner_sources.get(name.lower())
@@ -735,6 +752,15 @@ class Engine:
                 if f.name in new.columns:
                     new = new.withColumn(f.name, F.col(f.name).cast(f.dataType))
         n = new.count()
+        sink = self.sinks.get(ins.table.lower())
+        if sink is not None:
+            # cluster write path: append / MERGE INTO on the sink table
+            if ins.upsert:
+                key = self.table_keys.get(ins.table.lower()) or (ins.columns[0] if ins.columns else base.columns[0])
+                sink.merge_upsert(new, key)
+            else:
+                sink.insert_append(new)
+            return n
         merged = base.unionByName(new, allowMissingColumns=True)
         if ins.upsert:
             # upsert key: the table's DECLARED key when registered
@@ -750,12 +776,21 @@ class Engine:
         scope = Scope({upd.table: df}, includes=self.includes)
         mask = to_column(upd.where, scope) if upd.where is not None else F.lit(True)
         n = df.filter(mask).count()
+        sink = self.sinks.get(upd.table.lower())
+        assignments: dict[str, SparkColumn] = {}
         for cname, node in upd.values.items():
             newv = to_column(node, scope)
             fld = next((f for f in df.schema.fields if f.name.lower() == cname.lower()), None)
             if fld is not None:
                 newv = newv.cast(fld.dataType)
                 cname = fld.name
+            assignments[cname] = newv
+        if sink is not None:
+            # ConnPatchWhere.PatchWhere parity: predicate + assignments
+            # pushed into the table format (transactional UPDATE WHERE)
+            sink.update_where(mask, assignments)
+            return n
+        for cname, newv in assignments.items():
             df = df.withColumn(cname, F.when(mask, newv).otherwise(F.col(cname)))
         self.register_df(upd.table, df)
         return n
@@ -763,12 +798,20 @@ class Engine:
     def _delete(self, d: SqlDelete) -> int:
         df = self.table(d.table)
         scope = Scope({d.table: df}, includes=self.includes)
+        sink = self.sinks.get(d.table.lower())
         if d.where is None:
             n = df.count()
-            self.register_df(d.table, df.limit(0))
+            if sink is not None:
+                sink.delete_where(None)
+            else:
+                self.register_df(d.table, df.limit(0))
             return n
         mask = to_column(d.where, scope)
         n = df.filter(mask).count()
+        if sink is not None:
+            # ConnDeletion.DeleteExpression parity: predicate pushed down
+            sink.delete_where(mask)
+            return n
         self.register_df(d.table, df.filter(~mask | mask.isNull()))
         return n
 

@@ -96,6 +96,9 @@ def near_dup_pairs_stream(
     bucket_cap: int = 256,
     shingle_size: int = 3,
     state_timeout_ms: int | None = None,
+    ts_col: str | None = None,
+    watermark_delay: str = "10 minutes",
+    state_ttl_ms: int = 600_000,
 ):
     """STREAMING near-duplicate pair detection — the stateful counterpart
     of datapipe.minhash_pairs, built as a custom operator on
@@ -113,8 +116,17 @@ def near_dup_pairs_stream(
 
     A pair colliding in several bands emits once per band — distinct()
     downstream (per micro-batch via foreachBatch, or sink-side).
-    ``state_timeout_ms`` bounds bucket state by processing time; None
-    keeps state forever (tests / bounded streams).
+
+    State lifetime (three modes):
+    - ``ts_col`` set → EVENT-TIME expiry: the stream is watermarked
+      (``withWatermark(ts_col, watermark_delay)``), each bucket's state
+      expires ``state_ttl_ms`` after its newest document's event time,
+      and documents arriving later than the watermark are DROPPED (both
+      by Spark's stateful-operator late filter and by an explicit guard
+      in the operator). This is the production mode: state is bounded by
+      event-time progress, not by wall-clock luck.
+    - ``state_timeout_ms`` set (no ts_col) → processing-time expiry.
+    - neither → state kept forever (tests / bounded streams only).
 
     Scale: state per bucket ≤ bucket_cap signatures; the band explode
     multiplies rows ×bands but each row is (band, bucket, id, sig).
@@ -132,14 +144,20 @@ def near_dup_pairs_stream(
             f"near_dup_pairs_stream requires an integral id column; {id_col!r} is {id_type!r} "
             "(hash string ids to long first, e.g. xxhash64(id))"
         )
+    use_event_time = ts_col is not None
+    if use_event_time:
+        stream_df = stream_df.withWatermark(ts_col, watermark_delay)
     sig = minhash_sig_col(F.col(text_col), num_hashes, shingle_size)
     rows_per_band = num_hashes // bands
+    ts_cols = [F.col(ts_col).alias("__ts")] if use_event_time else []
     banded = stream_df.select(
         F.col(id_col).cast("long").alias("__id"),
         sig.alias("__sig"),
+        *ts_cols,
     ).select(
         "__id",
         "__sig",
+        *(["__ts"] if use_event_time else []),
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -159,8 +177,15 @@ def near_dup_pairs_stream(
         ids, flat = state.get if state.exists else ([], [])
         ids, flat = list(ids), list(flat)
         out_rows = []
+        wm_ms = state.getCurrentWatermarkMs() if use_event_time else 0
+        max_ts_ms = 0
         for pdf in pdfs:
-            for _id, s in zip(pdf["__id"], pdf["__sig"]):
+            for row_i, (_id, s) in enumerate(zip(pdf["__id"], pdf["__sig"])):
+                if use_event_time:
+                    ev_ms = int(pd.Timestamp(pdf["__ts"].iloc[row_i]).value // 1_000_000)
+                    if wm_ms > 0 and ev_ms < wm_ms:
+                        continue  # late document — drop, don't match or store
+                    max_ts_ms = max(max_ts_ms, ev_ms)
                 s = list(s)
                 for j, prev_id in enumerate(ids):
                     if prev_id == _id:
@@ -174,13 +199,22 @@ def near_dup_pairs_stream(
                     ids.append(int(_id))
                     flat.extend(int(x) for x in s)
         state.update((ids, flat))
-        if state_timeout_ms is not None:
+        if use_event_time:
+            # expire state state_ttl_ms after the bucket's newest event
+            # (must be beyond the current watermark — Spark rejects
+            # timeouts at/behind it)
+            base = max(max_ts_ms, wm_ms + 1)
+            state.setTimeoutTimestamp(base + state_ttl_ms)
+        elif state_timeout_ms is not None:
             state.setTimeoutDuration(state_timeout_ms)
         yield pd.DataFrame(out_rows, columns=["id_a", "id_b", "est_jaccard"])
 
-    timeout_conf = (
-        GroupStateTimeout.ProcessingTimeTimeout if state_timeout_ms is not None else GroupStateTimeout.NoTimeout
-    )
+    if use_event_time:
+        timeout_conf = GroupStateTimeout.EventTimeTimeout
+    elif state_timeout_ms is not None:
+        timeout_conf = GroupStateTimeout.ProcessingTimeTimeout
+    else:
+        timeout_conf = GroupStateTimeout.NoTimeout
     return banded.groupBy("__band", "__bucket").applyInPandasWithState(
         update, out_schema, state_schema, "append", timeout_conf
     )

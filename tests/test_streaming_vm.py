@@ -163,3 +163,57 @@ class TestStreamingNearDup:
             assert not any(4 in p for p in found)  # unrelated never pairs
         finally:
             q.stop()
+
+    def test_near_dup_stream_event_time_watermark(self, spark, tmp_path):
+        """Event-time mode: late documents are dropped at the watermark and
+        bucket state expires state_ttl_ms after its newest event — bounded
+        state driven by event-time progress, not processing time."""
+        import datetime as dt
+
+        from qlbridge_spark.streaming import near_dup_pairs_stream
+
+        base = "the quick brown fox jumps over the lazy dog and runs away fast"
+        o1 = "completely different content about databases and query engines here"
+        o2 = "yet another unrelated string counting words about storage formats"
+        o3 = "final filler document content mentioning compilers and type systems"
+
+        def t(hhmm):
+            h, m = divmod(hhmm, 100)
+            return dt.datetime(2024, 5, 1, h, m)
+
+        schema = "doc_id long, text string, ts timestamp"
+        stream_dir = str(tmp_path / "ndw_stream")
+        spark.createDataFrame([(1, base, t(1000)), (4, o1, t(1000))], schema).write.parquet(stream_dir)
+
+        src = spark.readStream.schema("doc_id long, text string, ts timestamp").option("maxFilesPerTrigger", 1).parquet(stream_dir)
+        pairs = near_dup_pairs_stream(
+            src, "doc_id", "text", threshold=0.5, bands=8,
+            ts_col="ts", watermark_delay="2 minutes", state_ttl_ms=60_000,
+        )
+        q = (
+            pairs.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("ndw_out")
+            .option("checkpointLocation", str(tmp_path / "ndw_ck"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()  # b1: seeds state, watermark → 09:58
+            # b2: doc 2 pairs with 1; doc 9 is LATE (09:00 < watermark) → dropped
+            spark.createDataFrame([(2, base, t(1005)), (9, base, t(900))], schema).write.mode("append").parquet(stream_dir)
+            q.processAllAvailable()  # watermark → 10:03
+            # b3+b4: unrelated docs push the watermark past the base
+            # bucket's timeout (10:05 + 60s = 10:06) → its state expires
+            spark.createDataFrame([(5, o2, t(1100))], schema).write.mode("append").parquet(stream_dir)
+            q.processAllAvailable()  # watermark → 10:58; timeout armed keys fire next batch
+            spark.createDataFrame([(7, o3, t(1101))], schema).write.mode("append").parquet(stream_dir)
+            q.processAllAvailable()  # base bucket has no data + watermark past 10:06 → removed
+            # b5: a fresh base duplicate — state was expired, so NO pair
+            spark.createDataFrame([(6, base, t(1105))], schema).write.mode("append").parquet(stream_dir)
+            q.processAllAvailable()
+            found = {(r["id_a"], r["id_b"]) for r in spark.sql("SELECT DISTINCT id_a, id_b FROM ndw_out").collect()}
+            assert (1, 2) in found  # in-watermark dup pairs
+            assert not any(9 in p for p in found), "late doc must be dropped"
+            assert not any(6 in p for p in found), "state must have expired by event time"
+        finally:
+            q.stop()
