@@ -173,8 +173,12 @@ class Engine:
         protocol). INSERT/UPSERT/UPDATE/DELETE against ``name`` execute as
         transactional table operations (append / MERGE INTO / UPDATE WHERE
         / DELETE WHERE) instead of the in-memory registry swap; reads scan
-        the sink's current table state."""
+        the sink's current table state. Any in-memory table or view of the
+        same name is EVICTED — otherwise reads would keep hitting the
+        stale frame while DML mutates the sink."""
         self.sinks[name.lower()] = sink
+        self.tables.pop(name.lower(), None)
+        self.views.pop(name.lower(), None)
         if key or getattr(sink, "key", None):
             self.table_keys[name.lower()] = key or sink.key
 
@@ -342,24 +346,39 @@ class Engine:
     def _set_op(self, stmt: SqlSetOp) -> DataFrame:
         """Set operations — superset (SURVEY §2.6: reference has none).
         Spark resolves set-op columns POSITIONALLY, same as ANSI SQL;
-        UNION/INTERSECT/EXCEPT dedup, the ALL forms keep bag semantics."""
+        UNION/INTERSECT/EXCEPT dedup, the ALL forms keep bag semantics.
+        A chain-level ORDER BY/LIMIT/OFFSET (hoisted by the parser from
+        the trailing operand, ANSI binding) applies to the combined set."""
         left = self._select_any(stmt.left)
         right = self._select_any(stmt.right)
         if len(left.columns) != len(right.columns):
             raise ExecError(f"set-op column counts differ: {len(left.columns)} vs {len(right.columns)}")
         if stmt.op == "UNION ALL":
-            return left.unionAll(right)
-        if stmt.op == "UNION":
-            return left.unionAll(right).distinct()
-        if stmt.op == "INTERSECT":
-            return left.intersect(right)
-        if stmt.op == "INTERSECT ALL":
-            return left.intersectAll(right)
-        if stmt.op == "EXCEPT":
-            return left.subtract(right)
-        if stmt.op == "EXCEPT ALL":
-            return left.exceptAll(right)
-        raise ExecError(f"unknown set op {stmt.op}")
+            out = left.unionAll(right)
+        elif stmt.op == "UNION":
+            out = left.unionAll(right).distinct()
+        elif stmt.op == "INTERSECT":
+            out = left.intersect(right)
+        elif stmt.op == "INTERSECT ALL":
+            out = left.intersectAll(right)
+        elif stmt.op == "EXCEPT":
+            out = left.subtract(right)
+        elif stmt.op == "EXCEPT ALL":
+            out = left.exceptAll(right)
+        else:
+            raise ExecError(f"unknown set op {stmt.op}")
+        if stmt.order_by:
+            scope = Scope({"_": out}, includes=self.includes, params=self.session_vars)
+            cols = []
+            for e, direction in stmt.order_by:
+                c = F.col(out.columns[int(e.text) - 1]) if isinstance(e, NumberNode) else to_column(e, scope)
+                cols.extend(self._directional(c, direction))
+            out = out.orderBy(*cols)
+        if stmt.offset:
+            out = out.offset(stmt.offset)
+        if stmt.limit is not None:
+            out = out.limit(stmt.limit)
+        return out
 
     # -- FROM / joins ----------------------------------------------------
     def _resolve_source(self, src: FromSource, sel: SqlSelect | None = None) -> DataFrame:
@@ -428,7 +447,7 @@ class Engine:
             sub = self._as_subquery_in(conj)
             if sub is not None:
                 lhs_node, sub_sel, anti = sub
-                sub_df = self._select(sub_sel)
+                sub_df = self._select_any(sub_sel)
                 # unique key name — the subquery may project a column name
                 # that also exists on the outer side (ambiguous reference)
                 sub_df = sub_df.select(sub_df[sub_df.columns[0]].alias("__subq_key"))
@@ -735,7 +754,8 @@ class Engine:
     def _insert(self, ins: SqlInsert) -> int:
         base = self.table(ins.table)
         if ins.select is not None:
-            new = self._select(ins.select).toDF(*ins.columns) if ins.columns else self._select(ins.select)
+            sel_df = self._select_any(ins.select)
+            new = sel_df.toDF(*ins.columns) if ins.columns else sel_df
         else:
             # VALUES may contain expressions — uuid(), now(), todate(...)
             # (exec/exec_test.go INSERT/UPSERT cases) — translate each row
@@ -752,20 +772,19 @@ class Engine:
                 if f.name in new.columns:
                     new = new.withColumn(f.name, F.col(f.name).cast(f.dataType))
         n = new.count()
+        # upsert key: the table's DECLARED key when registered
+        # (datasource/key.go KeyCol); fallback = first insert column
+        key = self.table_keys.get(ins.table.lower()) or (ins.columns[0] if ins.columns else base.columns[0])
         sink = self.sinks.get(ins.table.lower())
         if sink is not None:
             # cluster write path: append / MERGE INTO on the sink table
             if ins.upsert:
-                key = self.table_keys.get(ins.table.lower()) or (ins.columns[0] if ins.columns else base.columns[0])
                 sink.merge_upsert(new, key)
             else:
                 sink.insert_append(new)
             return n
         merged = base.unionByName(new, allowMissingColumns=True)
         if ins.upsert:
-            # upsert key: the table's DECLARED key when registered
-            # (datasource/key.go KeyCol); fallback = first insert column
-            key = self.table_keys.get(ins.table.lower()) or (ins.columns[0] if ins.columns else base.columns[0])
             old_only = base.join(new.select(key), on=key, how="left_anti")
             merged = old_only.unionByName(new, allowMissingColumns=True)
         self.register_df(ins.table, merged)

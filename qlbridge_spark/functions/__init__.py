@@ -37,7 +37,9 @@ class FunctionDef:
     name: str
     builder: Callable[[FuncNode, Scope], Column]
     is_agg: bool = False
-    return_type: T.DataType | None = None
+    # static DataType, or (node, scope) -> DataType|None when the result
+    # type depends on argument types (array.slice, mapkeys, ...)
+    return_type: T.DataType | Callable[[FuncNode, "Scope"], T.DataType | None] | None = None
 
 
 registry: dict[str, FunctionDef] = {}
@@ -305,7 +307,21 @@ def _array_index(n, s):
     return F.element_at(_c(n, s), idx + F.lit(1))
 
 
-@_reg("array.slice")
+def _same_as_arg0(n, s):
+    return infer_dtype(n.args[0], s)
+
+
+def _map_key_array(n, s):
+    dt = infer_dtype(n.args[0], s)
+    return T.ArrayType(dt.keyType) if isinstance(dt, T.MapType) else None
+
+
+def _map_value_array(n, s):
+    dt = infer_dtype(n.args[0], s)
+    return T.ArrayType(dt.valueType) if isinstance(dt, T.MapType) else None
+
+
+@_reg("array.slice", return_type=_same_as_arg0)
 def _array_slice(n, s):
     arr = _c(n, s)
     start = _c(n, s, 1).cast("int")
@@ -315,12 +331,12 @@ def _array_slice(n, s):
     return F.slice(arr, start + 1, F.size(arr) - start)
 
 
-@_reg("mapkeys")
+@_reg("mapkeys", return_type=_map_key_array)
 def _mapkeys(n, s):
     return F.map_keys(_c(n, s))
 
 
-@_reg("mapvalues")
+@_reg("mapvalues", return_type=_map_value_array)
 def _mapvalues(n, s):
     return F.map_values(_c(n, s))
 
@@ -616,14 +632,14 @@ def _titlecase(n, s):
     return F.initcap(_c(n, s).cast("string"))
 
 
-@_reg("split")
+@_reg("split", return_type=T.ArrayType(T.StringType()))
 def _split(n, s):
     sep = re.escape(_lit_str(n, 1)) if len(n.args) > 1 else ","
     # drop empties like the reference's SplitOnSpace-ish behavior
     return F.filter(F.split(_c(n, s).cast("string"), sep), lambda x: x != F.lit(""))
 
 
-func_add("string.split", registry["split"].builder)
+func_add("string.split", registry["split"].builder, return_type=T.ArrayType(T.StringType()))
 func_add("string.strip", lambda n, s: F.trim(to_column(n.args[0], s).cast("string")), return_type=T.StringType())
 
 
@@ -715,7 +731,7 @@ def _host(n, s):
     return _host_of(_c(n, s).cast("string"))
 
 
-@_reg("hosts")
+@_reg("hosts", return_type=T.ArrayType(T.StringType()))
 def _hosts(n, s):
     cols = [_host_of(to_column(a, s).cast("string")) for a in n.args]
     if len(cols) == 1 and isinstance(infer_dtype(n.args[0], s), T.ArrayType):
@@ -739,7 +755,7 @@ def _domain(n, s):
     return _domain_of(c.cast("string"))
 
 
-@_reg("domains")
+@_reg("domains", return_type=T.ArrayType(T.StringType()))
 def _domains(n, s):
     outs = []
     for a in n.args:
@@ -876,8 +892,10 @@ def _hash(n, s):
     # correct-but-slow path; use hash.xx64 for JVM-native scale hashing.
     c = _c(n, s)
     if isinstance(infer_dtype(n.args[0], s), T.ArrayType):
-        # reference hashes the FIRST element of a slice input
-        c = F.element_at(c, 1)
+        # reference hashes the FIRST element of a slice input; try_ variant:
+        # ANSI element_at would fail the whole query on an empty array where
+        # the reference (and pyeval) return not-ok/None per row
+        c = F.try_element_at(c, F.lit(1))
     return _sip_udf()(c.cast("string"))
 
 

@@ -100,12 +100,19 @@ class SqlSelect:
 class SqlSetOp:
     """UNION [ALL] / INTERSECT [ALL] / EXCEPT [ALL] between selects —
     superset: the reference dialect has NO set operations
-    (lex/dialect_sql.go:30-50 statement list, SURVEY §2.6). Left-
-    associative; ORDER BY/LIMIT bind to the individual operands."""
+    (lex/dialect_sql.go:30-50 statement list, SURVEY §2.6).
+
+    ANSI semantics: INTERSECT binds tighter than UNION/EXCEPT, which
+    associate left; a trailing ORDER BY/LIMIT/OFFSET after the last
+    (unparenthesized) operand binds to the WHOLE chain. A parenthesized
+    operand keeps its clauses local."""
 
     op: str  # UNION | UNION ALL | INTERSECT | INTERSECT ALL | EXCEPT | EXCEPT ALL
     left: "SqlSelect | SqlSetOp"
     right: "SqlSelect | SqlSetOp"
+    order_by: list[tuple[Node, str]] = field(default_factory=list)
+    limit: int | None = None
+    offset: int | None = None
 
 
 @dataclass
@@ -224,7 +231,7 @@ class SqlParser(ExprParser):
         t = self.cur()
         if t.kind == LPAREN and self.peek().kind == IDENT and self.peek().upper == "SELECT":
             self.advance()
-            sel = self.parse_select()
+            sel = self.parse_select_chain()
             self.expect(RPAREN)
             return SubqueryNode(sel)
         return super().parse_primary()
@@ -269,24 +276,54 @@ class SqlParser(ExprParser):
         raise ParseError(f"unsupported statement {kw}")
 
     def parse_select_chain(self) -> "SqlSelect | SqlSetOp":
-        """SELECT ... [UNION [ALL] | INTERSECT [ALL] | EXCEPT [ALL] SELECT
-        ...]* — left-associative set-op chain (superset, SURVEY §2.6)."""
+        """SELECT ... [UNION [ALL] | INTERSECT [ALL] | EXCEPT [ALL] ...]*
+        — set-op chain (superset, SURVEY §2.6) with ANSI precedence:
+        INTERSECT binds tighter than UNION/EXCEPT; trailing ORDER BY/
+        LIMIT/OFFSET after the final unparenthesized operand apply to the
+        whole chain."""
         left: SqlSelect | SqlSetOp = self.parse_select()
         while self.at_kw("UNION", "INTERSECT", "EXCEPT"):
             op = self.advance().upper
             if self.eat_kw("ALL"):
                 op += " ALL"
-            t = self.cur()
-            if t.kind == LPAREN:
-                self.advance()
-                right: SqlSelect | SqlSetOp = self.parse_select_chain()
-                self.expect(RPAREN)
-            elif self.at_kw("SELECT"):
-                right = self.parse_select()
-            else:
-                raise ParseError(f"expected SELECT after {op}, got {t!r}")
-            left = SqlSetOp(op=op, left=left, right=right)
+            right, paren = self._setop_operand(op)
+            if not op.startswith("INTERSECT"):
+                # ANSI precedence: fold any following INTERSECT run into
+                # the right term before combining with UNION/EXCEPT
+                while self.at_kw("INTERSECT"):
+                    iop = self.advance().upper
+                    if self.eat_kw("ALL"):
+                        iop += " ALL"
+                    r2, p2 = self._setop_operand(iop)
+                    right = self._combine_setop(right, iop, r2, p2)
+                    paren = False
+            left = self._combine_setop(left, op, right, paren)
         return left
+
+    def _setop_operand(self, op: str):
+        """One set-op operand: SELECT ... or a parenthesized chain.
+        Returns (node, was_parenthesized)."""
+        t = self.cur()
+        if t.kind == LPAREN:
+            self.advance()
+            inner = self.parse_select_chain()
+            self.expect(RPAREN)
+            return inner, True
+        if self.at_kw("SELECT"):
+            return self.parse_select(), False
+        raise ParseError(f"expected SELECT after {op}, got {t!r}")
+
+    @staticmethod
+    def _combine_setop(left, op: str, right, right_parenthesized: bool) -> SqlSetOp:
+        node = SqlSetOp(op=op, left=left, right=right)
+        if not right_parenthesized:
+            # trailing ORDER BY/LIMIT/OFFSET lexically attach to the last
+            # operand — hoist them to the chain (ANSI binding); hoisting
+            # cascades outward through nested combines
+            node.order_by, right.order_by = right.order_by, []
+            node.limit, right.limit = right.limit, None
+            node.offset, right.offset = right.offset, None
+        return node
 
     def parse_select(self) -> SqlSelect:
         # 'SELECT' already consumed by caller (or consume if present)
@@ -470,7 +507,7 @@ class SqlParser(ExprParser):
         ins = SqlInsert(table=table, columns=cols, upsert=upsert)
         if self.at_kw("SELECT"):
             self.advance()
-            ins.select = self.parse_select()
+            ins.select = self.parse_select_chain()
             return ins
         self.expect(IDENT, "VALUES")
         while self.cur().kind == LPAREN:

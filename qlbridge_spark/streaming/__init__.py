@@ -24,7 +24,15 @@ from pyspark.sql import functions as F
 
 def create_continuous_view(engine, create_stmt):
     """Execute CREATE CONTINUOUSVIEW name AS SELECT ... WITH {...}."""
+    from ..rel import SqlSetOp
+
     sel = create_stmt.select
+    if isinstance(sel, SqlSetOp):
+        raise ValueError(
+            "set operations are not supported in CONTINUOUSVIEW (a streaming "
+            "union would need per-branch watermarks); create one view per "
+            "branch and union the sinks"
+        )
     # the trailing WITH {...} lexically attaches to the inner SELECT
     cfg = create_stmt.with_ or (sel.with_ if sel else None) or {}
     if sel is None:

@@ -298,7 +298,13 @@ def infer_dtype(node: Node, scope: Scope) -> T.DataType | None:
         from .functions import registry
 
         fn = registry.get(node.name)
-        return fn.return_type if fn else None
+        if fn is None:
+            return None
+        rt = fn.return_type
+        # callable return_type: type depends on argument types (e.g.
+        # array.slice returns its input's array type, mapkeys the map's
+        # key type) — called with (node, scope), may return None
+        return rt(node, scope) if callable(rt) and not isinstance(rt, T.DataType) else rt
     if isinstance(node, WindowNode):
         name = node.func.name
         if name in ("row_number", "rank", "dense_rank", "ntile"):
@@ -447,11 +453,20 @@ def _window(node: WindowNode, scope: Scope) -> Column:
         col = F.ntile(int(node.func.args[0].value))
     elif name in ("lag", "lead"):
         args = node.func.args
-        if not args:
-            raise TranslateError(f"{name}(expr[, offset]) takes at least one argument")
+        if not args or len(args) > 3:
+            raise TranslateError(f"{name}(expr[, offset[, default]]) takes 1-3 arguments")
         target = to_column(args[0], scope)
-        off = int(args[1].value) if len(args) > 1 and isinstance(args[1], NumberNode) else 1
-        col = (F.lag if name == "lag" else F.lead)(target, off)
+        off = 1
+        if len(args) > 1:
+            if not isinstance(args[1], NumberNode) or not args[1].is_int:
+                raise TranslateError(f"{name}: offset must be an integer literal, got {args[1].sql()}")
+            off = int(args[1].value)
+        if len(args) > 2:
+            if not isinstance(args[2], (NumberNode, StringNode, BoolNode)):
+                raise TranslateError(f"{name}: default must be a literal, got {args[2].sql()}")
+            col = (F.lag if name == "lag" else F.lead)(target, off, args[2].value)
+        else:
+            col = (F.lag if name == "lag" else F.lead)(target, off)
     else:
         col = build_function(node.func, scope)
 
@@ -590,15 +605,15 @@ def _comparison(node: BinaryNode, scope: Scope) -> Column:
     # string COLUMN/expr vs numeric side: the VM coerces the string with
     # ParseInt-then-ParseFloat and treats failure as not-ok (row excluded)
     # — vm/vm.go:350-366. Spark's ANSI implicit cast would instead ERROR
-    # the whole query on a value like '42.0'; try_cast(double) gives the
-    # per-row NULL≈not-ok semantics. (String literals were already folded
-    # numeric — or rejected — above.)
+    # the whole query on a value like '42.0'; try_cast gives the per-row
+    # NULL≈not-ok semantics. Against an INTEGRAL side the ParseInt branch
+    # compares exactly as long (a blanket double cast would collapse
+    # values above 2^53); only the ParseFloat fallback goes via double.
+    # (String literals were already folded numeric — or rejected — above.)
     if _is_stringy(ldt) and _is_numbery(rdt) and not isinstance(node.left, StringNode):
-        left = left.try_cast("double")
-        right = right.cast("double")
-    elif _is_numbery(ldt) and _is_stringy(rdt) and not isinstance(node.right, StringNode):
-        right = right.try_cast("double")
-        left = left.cast("double")
+        return _string_numeric_cmp(node.op, left, right, rdt, string_on_left=True)
+    if _is_numbery(ldt) and _is_stringy(rdt) and not isinstance(node.right, StringNode):
+        return _string_numeric_cmp(node.op, right, left, ldt, string_on_left=False)
 
     # string column vs time → cast string side to timestamp (vm/vm.go:554-559)
     if _is_stringy(ldt) and _is_timey(rdt):
@@ -612,6 +627,20 @@ def _comparison(node: BinaryNode, scope: Scope) -> Column:
         right = F.unix_timestamp(right)
 
     return _CMP[node.op](left, right)
+
+
+def _string_numeric_cmp(op: str, s: Column, num: Column, num_dt, string_on_left: bool) -> Column:
+    """Compare a string expr against a numeric expr with the VM's
+    ParseInt-then-ParseFloat coercion (vm/vm.go:350-366): when the numeric
+    side is integral and the string parses as a long, compare EXACTLY as
+    longs (double would lose precision above 2^53); otherwise fall back to
+    double. Uncoercible strings yield NULL → not-ok → row excluded."""
+    dbl = _CMP[op](s.try_cast("double"), num.cast("double")) if string_on_left else _CMP[op](num.cast("double"), s.try_cast("double"))
+    if not isinstance(num_dt, T.IntegralType):
+        return dbl
+    s_long = s.try_cast("long")
+    exact = _CMP[op](s_long, num) if string_on_left else _CMP[op](num, s_long)
+    return F.when(s_long.isNotNull(), exact).otherwise(dbl)
 
 
 def _in(node: BinaryNode, scope: Scope) -> Column:

@@ -99,6 +99,16 @@ class TestSinkRouting:
 
 
 class TestDeltaSink:
+    def test_register_sink_evicts_stale_table(self, spark):
+        # a pre-existing in-memory table of the same name must not shadow
+        # the sink's live state after registration
+        e = Engine(spark, "sink-evict")
+        e.register_rows("users", [{"user_id": "stale", "name": "x", "score": 0}])
+        df = spark.createDataFrame([("u1", "Aaron", 10)], "user_id string, name string, score long")
+        e.register_sink("users", FakeMergeSink(df, key="user_id"))
+        rows = e.sql("SELECT user_id FROM users").collect()
+        assert [r["user_id"] for r in rows] == ["u1"]
+
     def test_missing_delta_raises_helpfully(self, spark, tmp_path):
         if delta_available():
             pytest.skip("delta-spark installed — constructor must succeed instead")

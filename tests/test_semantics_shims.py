@@ -37,6 +37,25 @@ class TestUncoercibleComparison:
         df = engine.sql('SELECT user_id FROM users WHERE referral_count = "82"')
         assert df.count() == 1
 
+    def test_string_vs_long_exact_above_2_53(self, spark):
+        # ParseInt branch (vm/vm.go:350-366) compares exactly as int64;
+        # a blanket double cast would collapse 2^53 and 2^53+1
+        from qlbridge_spark import Engine
+
+        eng = Engine(spark, "exactcmp")
+        big = (1 << 53) + 1
+        eng.register_rows(
+            "t",
+            [
+                {"id": 1, "s": str(big), "n": big},
+                {"id": 2, "s": str(1 << 53), "n": big},
+                {"id": 3, "s": "9.5", "n": 9},  # ParseFloat fallback path
+            ],
+        )
+        assert [r["id"] for r in eng.sql("SELECT id FROM t WHERE s = n").collect()] == [1]
+        assert [r["id"] for r in eng.sql("SELECT id FROM t WHERE s < n").collect()] == [2]
+        assert [r["id"] for r in eng.sql("SELECT id FROM t WHERE s > 9").collect()] == [1, 2, 3]
+
 
 class TestJmespathComplex:
     def test_complex_jmespath_expression(self, spark):

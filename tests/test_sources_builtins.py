@@ -102,6 +102,15 @@ class TestBuiltinLongTail:
         assert got[3] == 5
         assert isinstance(got[4], int)  # xx64 fast path stays available
 
+    def test_hash_array_input_and_empty_array(self, evals):
+        from qlbridge_spark.functions.sip import siphash24_i64
+
+        # slice input hashes the FIRST element (hash_and_encode.go);
+        # an empty array is per-row not-ok (None), not a query error
+        got = evals(['hash(split(email, "@"))', 'hash(split("", ","))'])
+        assert got[0] == siphash24_i64(0, 1, b"bob")
+        assert got[1] is None
+
     def test_siphash_paper_vectors(self):
         # official SipHash-2-4 test vectors (Aumasson & Bernstein, appendix
         # A: key 000102..0f, messages 00,01,..): vectors[i] = Sip-2-4 of

@@ -149,3 +149,95 @@ class TestSetOps:
         eng.execute("CREATE VIEW vx AS SELECT region FROM sales UNION SELECT rep AS region FROM sales")
         # regions {e,w} ∪ reps {a,b,c,d,e} dedups the shared 'e' → 6
         assert eng.sql("SELECT count(*) AS n FROM vx").collect()[0]["n"] == 6
+
+
+class TestSetOpChainClauses:
+    """ANSI binding: trailing ORDER BY/LIMIT/OFFSET after the last
+    unparenthesized operand apply to the WHOLE chain; a parenthesized
+    operand keeps its clauses local. INTERSECT binds tighter than
+    UNION/EXCEPT."""
+
+    def test_trailing_order_limit_applies_to_chain(self, eng):
+        rows = eng.sql(
+            "SELECT amt FROM sales UNION ALL SELECT amt FROM sales ORDER BY amt DESC LIMIT 3"
+        ).collect()
+        # ordered over the combined 10-row bag, not just the right operand
+        assert [r["amt"] for r in rows] == [50, 50, 30]
+
+    def test_trailing_offset(self, eng):
+        rows = eng.sql(
+            "SELECT amt FROM sales UNION SELECT amt FROM sales ORDER BY amt LIMIT 2 OFFSET 1"
+        ).collect()
+        assert [r["amt"] for r in rows] == [10, 20]
+
+    def test_positional_order_by(self, eng):
+        rows = eng.sql(
+            "SELECT rep, amt FROM sales UNION ALL SELECT rep, amt FROM sales ORDER BY 2 DESC, 1 LIMIT 2"
+        ).collect()
+        assert [(r["rep"], r["amt"]) for r in rows] == [("e", 50), ("e", 50)]
+
+    def test_parenthesized_right_keeps_clauses_local(self, eng):
+        # inner LIMIT 1 (ordered) restricts only the right operand
+        rows = eng.sql(
+            "SELECT amt FROM sales WHERE amt = 10 UNION ALL "
+            "(SELECT amt FROM sales ORDER BY amt DESC LIMIT 1)"
+        ).collect()
+        assert sorted(r["amt"] for r in rows) == [10, 50]
+
+    def test_intersect_binds_tighter_than_union(self, eng):
+        eng.register_rows("o1", [{"amt": 10}, {"amt": 99}])
+        # A UNION B INTERSECT C == A UNION (B INTERSECT C); left-assoc
+        # reading would give ({10..50} ∩ {10,99}) = {10} only
+        rows = eng.sql(
+            'SELECT amt FROM sales WHERE amt = 30 UNION SELECT amt FROM sales INTERSECT SELECT amt FROM o1'
+        ).collect()
+        assert sorted(r["amt"] for r in rows) == [10, 30]
+
+    def test_setop_chain_in_subquery_and_in_clause(self, eng):
+        n = eng.sql(
+            "SELECT count(*) AS n FROM (SELECT region FROM sales UNION ALL "
+            "SELECT region FROM sales ORDER BY region LIMIT 3) AS t"
+        ).collect()
+        assert n[0]["n"] == 3
+        rows = eng.sql(
+            'SELECT rep FROM sales WHERE region IN '
+            '(SELECT region FROM sales WHERE amt > 40 UNION SELECT "n" AS region) ORDER BY rep'
+        ).collect()
+        assert [r["rep"] for r in rows] == ["d", "e"]
+
+    def test_insert_select_chain(self, eng):
+        eng.register_rows("tgt", [{"region": "zz"}])
+        eng.execute("INSERT INTO tgt (region) SELECT region FROM sales UNION SELECT rep AS region FROM sales")
+        assert eng.sql("SELECT count(*) AS n FROM tgt").collect()[0]["n"] == 7
+
+    def test_continuousview_rejects_setop(self, eng):
+        with pytest.raises(Exception, match="set operations"):
+            eng.execute(
+                "CREATE CONTINUOUSVIEW cv AS SELECT region FROM sales UNION SELECT rep AS region FROM sales"
+            )
+
+
+class TestLagLeadDefault:
+    def test_lag_default_literal(self, eng):
+        rows = eng.sql(
+            "SELECT rep, lag(amt, 1, 0) OVER (PARTITION BY region ORDER BY rep) AS prev "
+            "FROM sales ORDER BY rep"
+        ).collect()
+        by_rep = {r["rep"]: r["prev"] for r in rows}
+        assert by_rep["a"] == 0 and by_rep["b"] == 10 and by_rep["d"] == 0
+
+    def test_lead_default_string(self, eng):
+        rows = eng.sql(
+            'SELECT rep, lead(rep, 1, "END") OVER (PARTITION BY region ORDER BY rep) AS nxt '
+            "FROM sales ORDER BY rep"
+        ).collect()
+        by_rep = {r["rep"]: r["nxt"] for r in rows}
+        assert by_rep["c"] == "END" and by_rep["a"] == "b"
+
+    def test_lag_non_literal_offset_raises(self, eng):
+        with pytest.raises(TranslateError, match="offset must be an integer literal"):
+            eng.sql("SELECT lag(amt, amt) OVER (PARTITION BY region ORDER BY rep) AS p FROM sales").collect()
+
+    def test_lag_non_literal_default_raises(self, eng):
+        with pytest.raises(TranslateError, match="default must be a literal"):
+            eng.sql("SELECT lag(amt, 1, amt) OVER (PARTITION BY region ORDER BY rep) AS p FROM sales").collect()
