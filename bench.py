@@ -93,6 +93,16 @@ def main() -> int:
             df.write.format("noop").mode("overwrite").save()
             runs.append(round(time.time() - t0, 3))
             release_caches()  # dedup intermediates don't carry across runs
+            # Shuffle files and broadcast blocks are only reclaimed when the
+            # driver JVM GCs the owning RDD objects (ContextCleaner); with a
+            # quiet 8g heap that can take many reps, and the accumulating
+            # backlog measurably degrades later reps (observed: 6.5→7.5→13s
+            # for the same query). Collecting between reps — outside the
+            # timed region — is the JMH/go-bench steady-state convention.
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass
         times[name] = min(runs)
         spread[name] = runs
 

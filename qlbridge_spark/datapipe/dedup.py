@@ -338,8 +338,21 @@ def _verify_jaccard(cands: DataFrame, grams: DataFrame, threshold: float) -> Dat
     |cands|·2·|grams| array cells through the exchanges and was measured
     2× slower at sf0.1. Pairs sharing no gram drop out of the inner join —
     correct, since any threshold > 0 requires |A∩B| ≥ 1.
+
+    Before the gram join, candidates pass the LOSSLESS size-ratio filter
+    (PPJoin's length filter): J(A,B) ≥ t ⟹ |A∩B| ≥ t·|A∪B| ⟹
+    min(|A|,|B|) ≥ t·max(|A|,|B|), so mismatched-size pairs are dropped
+    using only the (tiny) per-doc gram-count table — no gram rows shipped.
+    The size join happens first anyway (the counts feed the Jaccard
+    denominator); carrying __na/__nb through the groupBy via first() means
+    the pair table is joined once, not three times.
     """
     sizes = grams.select("__gid", F.size("__grams").alias("__sz"))
+    cands = (
+        cands.join(sizes.select(F.col("__gid").alias("id_a"), F.col("__sz").alias("__na")), "id_a")
+        .join(sizes.select(F.col("__gid").alias("id_b"), F.col("__sz").alias("__nb")), "id_b")
+        .filter(F.least("__na", "__nb") >= threshold * F.greatest("__na", "__nb"))
+    )
     inv = grams.select("__gid", F.explode("__grams").alias("__gram"))
     ia = inv.select(F.col("__gid").alias("id_a"), "__gram")
     ib = inv.select(F.col("__gid").alias("id_b"), "__gram")
@@ -347,13 +360,11 @@ def _verify_jaccard(cands: DataFrame, grams: DataFrame, threshold: float) -> Dat
         cands.join(ia, "id_a")
         .join(ib, ["id_b", "__gram"])
         .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("__inter"))
+        .agg(F.count(F.lit(1)).alias("__inter"), F.first("__na").alias("__na"), F.first("__nb").alias("__nb"))
     )
     jac = F.col("__inter") / (F.col("__na") + F.col("__nb") - F.col("__inter"))
     return (
-        inter.join(sizes.select(F.col("__gid").alias("id_a"), F.col("__sz").alias("__na")), "id_a")
-        .join(sizes.select(F.col("__gid").alias("id_b"), F.col("__sz").alias("__nb")), "id_b")
-        .withColumn("jaccard", jac)
+        inter.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
