@@ -36,6 +36,8 @@ from .nodes import (
     NumberNode,
     StringNode,
     UnaryNode,
+    WindowNode,
+    transform,
 )
 from .rel import (
     Column,
@@ -313,7 +315,31 @@ class Engine:
                 sort_cols.append((names[int(e.text) - 1], None, direction))
             else:
                 sort_cols.append((f"__sort_{i}", to_column(e, scope), direction))
-        if sel.distinct:
+        if sel.qualify is not None:
+            # QUALIFY: post-window filter (superset; Snowflake/DuckDB).
+            # The predicate is computed ALONGSIDE the projection (same base
+            # scope, select aliases substituted), so window values in the
+            # select list are over the pre-filter rows — filtering first
+            # and re-projecting would renumber row_number() etc. Catalyst
+            # CSEs the duplicated window expressions into one WindowExec.
+            qnode = self._substitute_select_aliases(sel.qualify, sel)
+            qcol = to_column(qnode, scope).cast("boolean")
+            hidden = [c.alias(n) for n, c, _ in sort_cols if c is not None]
+            df = df.select(*(proj + hidden + [qcol.alias("__qualify")])).filter(F.col("__qualify"))
+            if sel.distinct:
+                df = df.select(*names).distinct()
+                out_scope = Scope({"_": df}, includes=self.includes, params=self.session_vars)
+                order = []
+                for (name, c, direction), (e, _) in zip(sort_cols, sel.order_by):
+                    col = F.col(name) if c is None else to_column(e, out_scope)
+                    order.extend(self._directional(col, direction))
+                if order:
+                    df = df.orderBy(*order)
+            else:
+                if sort_cols:
+                    df = df.orderBy(*[d for n, _, direction in sort_cols for d in self._directional(F.col(n), direction)])
+                df = df.select(*names)
+        elif sel.distinct:
             # DISTINCT applies to the projected rows; sort keys must be
             # output columns (or re-translatable against them)
             df = df.select(*proj).distinct()
@@ -527,6 +553,14 @@ class Engine:
         if having_node is not None:
             having_node, extra = self._rewrite_having(having_node, scope)
             hidden.extend(extra)
+        # QUALIFY windows over the aggregated rows; its group-agg subtrees
+        # (e.g. ORDER BY sum(x) inside OVER) become hidden agg columns too.
+        # Select aliases need no substitution here — they ARE columns of
+        # the aggregated frame the predicate is evaluated against.
+        qualify_node = sel.qualify
+        if qualify_node is not None:
+            qualify_node, qextra = self._rewrite_having(qualify_node, scope)
+            hidden.extend(qextra)
 
         if group_cols:
             if sel.group_mode == "ROLLUP":
@@ -542,6 +576,16 @@ class Engine:
         if having_node is not None:
             hscope = Scope({"_": agged}, includes=self.includes, params=self.session_vars)
             agged = agged.filter(to_column(having_node, hscope))
+        if qualify_node is not None:
+            # after HAVING (ANSI order): windows see the post-HAVING groups.
+            # Window exprs can't appear in a Filter directly — project the
+            # predicate, then filter on the projected column
+            qscope = Scope({"_": agged}, includes=self.includes, params=self.session_vars)
+            agged = (
+                agged.withColumn("__qualify", to_column(qualify_node, qscope).cast("boolean"))
+                .filter(F.col("__qualify"))
+                .drop("__qualify")
+            )
         # drop hidden having columns by name
         drop_hidden = [n for n in agged.columns if n.startswith("__hav_")]
         if drop_hidden:
@@ -550,18 +594,50 @@ class Engine:
         # order output columns as selected
         return agged.select(*out_names)
 
+    @staticmethod
+    def _substitute_select_aliases(node: Node, sel: SqlSelect) -> Node:
+        """QUALIFY sees select-list aliases (ANSI): replace single-part
+        identifiers naming an alias with the aliased expression. The
+        substituted expr is inserted as-is (no re-walk), so an alias
+        shadowing a base column (``amt*2 AS amt``) cannot recurse."""
+        amap = {c.alias: c.expr for c in sel.columns if not c.is_star and c.alias}
+
+        def fn(n: Node) -> Node:
+            if isinstance(n, IdentityNode) and len(n.parts) == 1 and n.name in amap:
+                return amap[n.name]
+            return n
+
+        return transform(node, fn)
+
     _hav_counter = 0
 
     def _rewrite_having(self, node: Node, scope: Scope):
-        """Replace maximal agg subtrees in HAVING with hidden column refs."""
+        """Replace maximal group-agg subtrees with hidden column refs so
+        HAVING / QUALIFY can be evaluated against the aggregated frame.
+
+        A WindowNode's own function is NOT extracted even when it is an
+        aggregate name (``sum(x) OVER (...)`` windows over the result
+        rows); agg subtrees in its ARGUMENTS / PARTITION BY / ORDER BY are
+        (``rank() OVER (ORDER BY sum(x))`` ranks groups by their sum)."""
+        import dataclasses
+
         hidden: list[SparkColumn] = []
 
         def walk(n: Node) -> Node:
-            if isinstance(n, FuncNode) and funcs.is_agg_func(n.name):
-                Engine._hav_counter += 1
-                name = f"__hav_{Engine._hav_counter}"
-                hidden.append(to_column(n, scope).alias(name))
-                return IdentityNode((name,))
+            if isinstance(n, WindowNode):
+                return dataclasses.replace(
+                    n,
+                    func=dataclasses.replace(n.func, args=[walk(a) for a in n.func.args]),
+                    partition_by=[walk(e) for e in n.partition_by],
+                    order_by=[(walk(e), d) for e, d in n.order_by],
+                )
+            if isinstance(n, FuncNode):
+                if funcs.is_agg_func(n.name):
+                    Engine._hav_counter += 1
+                    name = f"__hav_{Engine._hav_counter}"
+                    hidden.append(to_column(n, scope).alias(name))
+                    return IdentityNode((name,))
+                return dataclasses.replace(n, args=[walk(a) for a in n.args])
             if isinstance(n, BinaryNode):
                 return BinaryNode(n.op, walk(n.left), walk(n.right), n.negated)
             if isinstance(n, UnaryNode):

@@ -316,13 +316,13 @@ class ExprParser:
                     self.advance()
                 else:
                     break
-        if self.at_kw("ROWS"):
-            self.advance()
+        if self.at_kw("ROWS", "RANGE"):
+            kind = self.advance().upper
             self.expect(IDENT, "BETWEEN")
             lo = self._frame_bound()
             self.expect(IDENT, "AND")
             hi = self._frame_bound()
-            win.frame = ("ROWS", lo, hi)
+            win.frame = (kind, lo, hi)
         self.expect(RPAREN)
         return win
 

@@ -218,6 +218,27 @@ def _stddev(n, s):
     return F.stddev(_c(n, s))
 
 
+@_reg("median", is_agg=True, return_type=T.DoubleType())
+def _median(n, s):
+    # EXACT median (Spark's Median expression — sort-based, not the
+    # approx_percentile sketch); linear interpolation between the middle
+    # two like ANSI percentile_cont(0.5)
+    return F.median(_c(n, s).cast("double"))
+
+
+@_reg("percentile_cont", is_agg=True, return_type=T.DoubleType())
+def _percentile_cont(n, s):
+    # percentile_cont(expr, p) — EXACT continuous percentile with linear
+    # interpolation (matches DuckDB quantile_cont). Spark's F.percentile
+    # is the exact sort-based implementation, not a sketch.
+    if len(n.args) != 2 or not isinstance(n.args[1], NumberNode):
+        raise TranslateError("percentile_cont(expr, p) takes a numeric literal fraction")
+    p = float(n.args[1].value)
+    if not 0.0 <= p <= 1.0:
+        raise TranslateError("percentile_cont: p must be in [0, 1]")
+    return F.percentile(_c(n, s).cast("double"), F.lit(p))
+
+
 @_reg("distinct", is_agg=True)
 def _distinct_agg(n, s):
     # only meaningful inside count(distinct(x)) — standalone: collect_set

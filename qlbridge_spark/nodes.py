@@ -238,3 +238,29 @@ class MatchAllNode(Node):
 
     def sql(self) -> str:
         return "*"
+
+
+def transform(node: Node, fn) -> Node:
+    """Bottom-up rewrite: rebuild ``node`` with transformed children, then
+    apply ``fn`` (return a replacement node or the node unchanged). Used by
+    QUALIFY alias substitution and HAVING-style agg extraction."""
+    import dataclasses
+
+    if isinstance(node, FuncNode):
+        node = dataclasses.replace(node, args=[transform(a, fn) for a in node.args])
+    elif isinstance(node, BinaryNode):
+        node = dataclasses.replace(node, left=transform(node.left, fn), right=transform(node.right, fn))
+    elif isinstance(node, (TriNode, BooleanNode)):
+        node = dataclasses.replace(node, args=[transform(a, fn) for a in node.args])
+    elif isinstance(node, UnaryNode):
+        node = dataclasses.replace(node, child=transform(node.child, fn))
+    elif isinstance(node, WindowNode):
+        node = dataclasses.replace(
+            node,
+            func=transform(node.func, fn),
+            partition_by=[transform(e, fn) for e in node.partition_by],
+            order_by=[(transform(e, fn), d) for e, d in node.order_by],
+        )
+    elif isinstance(node, ArrayNode):
+        node = dataclasses.replace(node, items=[transform(i, fn) for i in node.items])
+    return fn(node)

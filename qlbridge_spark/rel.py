@@ -87,6 +87,7 @@ class SqlSelect:
     group_by: list[Node] = field(default_factory=list)
     group_mode: str = ""  # "" | ROLLUP | CUBE (superset: SURVEY §2.4 "not present")
     having: Node | None = None
+    qualify: Node | None = None  # post-window filter (superset; Snowflake/DuckDB QUALIFY)
     order_by: list[tuple[Node, str]] = field(default_factory=list)
     limit: int | None = None
     offset: int | None = None
@@ -216,7 +217,7 @@ class FilterStatement:
 # SQL parser
 # --------------------------------------------------------------------------
 _JOIN_WORDS = {"JOIN", "INNER", "OUTER", "LEFT", "RIGHT", "FULL", "CROSS"}
-_CLAUSE_END = {"FROM", "WHERE", "FILTER", "GROUP", "HAVING", "ORDER", "LIMIT", "OFFSET", "INTO", "WITH", "ALIAS", "AS", "IF", "ON", "UNION", "INTERSECT", "EXCEPT"}
+_CLAUSE_END = {"FROM", "WHERE", "FILTER", "GROUP", "HAVING", "QUALIFY", "ORDER", "LIMIT", "OFFSET", "INTO", "WITH", "ALIAS", "AS", "IF", "ON", "UNION", "INTERSECT", "EXCEPT"}
 
 
 class SqlParser(ExprParser):
@@ -355,6 +356,8 @@ class SqlParser(ExprParser):
                 sel.group_by = self.parse_expr_list()
         if self.eat_kw("HAVING"):
             sel.having = self.parse_expr()
+        if self.eat_kw("QUALIFY"):
+            sel.qualify = self.parse_expr()
         if self.at_kw("ORDER"):
             self.advance()
             self.expect(IDENT, "BY")

@@ -471,9 +471,17 @@ def _window(node: WindowNode, scope: Scope) -> Column:
         col = build_function(node.func, scope)
 
     if node.frame is not None:
-        lo = Window.unboundedPreceding if node.frame[1] is None else node.frame[1]
-        hi = Window.unboundedFollowing if node.frame[2] is None else node.frame[2]
-        w = w.rowsBetween(lo, hi)
+        kind, flo, fhi = node.frame
+        lo = Window.unboundedPreceding if flo is None else flo
+        hi = Window.unboundedFollowing if fhi is None else fhi
+        if kind == "RANGE":
+            # value-based frame: Spark requires exactly ONE order key when a
+            # bound is a numeric offset (RANGE n PRECEDING/FOLLOWING)
+            if any(b not in (None, 0) for b in (flo, fhi)) and len(node.order_by) != 1:
+                raise TranslateError("RANGE with a numeric offset requires exactly one ORDER BY expression")
+            w = w.rangeBetween(lo, hi)
+        else:
+            w = w.rowsBetween(lo, hi)
     return col.over(w)
 
 

@@ -217,6 +217,114 @@ class TestSetOpChainClauses:
             )
 
 
+class TestQualify:
+    def test_qualify_inline_window(self, eng):
+        rows = eng.sql(
+            """SELECT region, rep FROM sales
+               QUALIFY row_number() OVER (PARTITION BY region ORDER BY amt DESC, rep) <= 2
+               ORDER BY region, rep"""
+        ).collect()
+        assert [(r["region"], r["rep"]) for r in rows] == [("e", "b"), ("e", "c"), ("w", "d"), ("w", "e")]
+
+    def test_qualify_alias_reference(self, eng):
+        # alias in QUALIFY; projected rn keeps its PRE-filter value
+        rows = eng.sql(
+            """SELECT rep, row_number() OVER (PARTITION BY region ORDER BY amt DESC, rep) AS rn
+               FROM sales QUALIFY rn = 2 ORDER BY rep"""
+        ).collect()
+        assert [(r["rep"], r["rn"]) for r in rows] == [("c", 2), ("d", 2)]
+
+    def test_qualify_references_nonprojected_column(self, eng):
+        # window partitions on region, which is NOT in the select list
+        rows = eng.sql(
+            "SELECT rep FROM sales QUALIFY rank() OVER (PARTITION BY region ORDER BY amt DESC) = 1 ORDER BY rep"
+        ).collect()
+        assert [r["rep"] for r in rows] == ["b", "e"]
+
+    def test_qualify_with_group_by(self, eng):
+        eng.register_rows(
+            "sales2",
+            [
+                {"region": "e", "rep": "a", "amt": 10}, {"region": "e", "rep": "a", "amt": 5},
+                {"region": "e", "rep": "b", "amt": 30}, {"region": "w", "rep": "d", "amt": 5},
+                {"region": "w", "rep": "e", "amt": 50},
+            ],
+        )
+        # top rep per region by summed amount — agg subtree inside OVER
+        rows = eng.sql(
+            """SELECT region, rep, sum(amt) AS total FROM sales2 GROUP BY region, rep
+               QUALIFY row_number() OVER (PARTITION BY region ORDER BY sum(amt) DESC) = 1
+               ORDER BY region"""
+        ).collect()
+        assert [(r["region"], r["rep"], r["total"]) for r in rows] == [("e", "b", 30.0), ("w", "e", 50.0)]
+
+    def test_qualify_agg_alias_in_over(self, eng):
+        rows = eng.sql(
+            """SELECT region, sum(amt) AS total FROM sales GROUP BY region
+               QUALIFY rank() OVER (ORDER BY total DESC) = 1"""
+        ).collect()
+        assert [(r["region"], r["total"]) for r in rows] == [("e", 60.0)]
+
+    def test_qualify_with_distinct_and_order(self, eng):
+        rows = eng.sql(
+            """SELECT DISTINCT region FROM sales
+               QUALIFY count(*) OVER (PARTITION BY region) >= 3 ORDER BY region"""
+        ).collect()
+        assert [r["region"] for r in rows] == ["e"]
+
+
+class TestRangeFrames:
+    def test_range_parse_roundtrip(self):
+        n = parse_expression("sum(x) OVER (ORDER BY a RANGE BETWEEN 10 PRECEDING AND CURRENT ROW)")
+        assert n.frame == ("RANGE", -10, 0)
+        assert parse_expression(n.sql()) == n
+
+    def test_range_value_window(self, eng):
+        # value-based frame: rows within amt-10 .. amt (not row-count!)
+        rows = eng.sql(
+            """SELECT rep, sum(amt) OVER (ORDER BY amt RANGE BETWEEN 10 PRECEDING AND CURRENT ROW) AS s
+               FROM sales ORDER BY rep"""
+        ).collect()
+        by_rep = {r["rep"]: r["s"] for r in rows}
+        # amts: a=10,b=30,c=20,d=5,e=50 → s(a)=5+10, s(c)=10+20, s(b)=20+30, s(e)=50
+        assert by_rep == {"a": 15, "b": 50, "c": 30, "d": 5, "e": 50}
+
+    def test_range_unbounded(self, eng):
+        rows = eng.sql(
+            """SELECT rep, sum(amt) OVER (PARTITION BY region ORDER BY amt
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS t
+               FROM sales ORDER BY rep"""
+        ).collect()
+        assert {r["rep"]: r["t"] for r in rows} == {"a": 60, "b": 60, "c": 60, "d": 55, "e": 55}
+
+    def test_range_offset_needs_single_order_key(self, eng):
+        with pytest.raises(TranslateError, match="exactly one ORDER BY"):
+            eng.sql(
+                """SELECT sum(amt) OVER (ORDER BY amt, rep RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS s
+                   FROM sales"""
+            ).collect()
+
+
+class TestMedianPercentile:
+    def test_median_and_percentile_cont(self, eng):
+        rows = eng.sql(
+            "SELECT region, median(amt) AS med, percentile_cont(amt, 0.5) AS p50 "
+            "FROM sales GROUP BY region ORDER BY region"
+        ).collect()
+        assert [(r["region"], r["med"], r["p50"]) for r in rows] == [("e", 20.0, 20.0), ("w", 27.5, 27.5)]
+
+    def test_percentile_cont_interpolates(self, eng):
+        rows = eng.sql("SELECT percentile_cont(amt, 0.25) AS q FROM sales").collect()
+        # sorted amts 5,10,20,30,50 → p25 = 10
+        assert rows[0]["q"] == 10.0
+
+    def test_percentile_cont_validates(self, eng):
+        with pytest.raises(TranslateError):
+            eng.sql("SELECT percentile_cont(amt, 1.5) AS q FROM sales").collect()
+        with pytest.raises(TranslateError):
+            eng.sql("SELECT percentile_cont(amt, amt) AS q FROM sales").collect()
+
+
 class TestLagLeadDefault:
     def test_lag_default_literal(self, eng):
         rows = eng.sql(
