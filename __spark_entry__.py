@@ -229,10 +229,16 @@ _Q = {
         SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
         ORDER BY l_returnflag, l_linestatus""",
     # §2.4 min/max/stddev superset aggregates
+    # median/percentile_cont over the integer nationkey domain: linear
+    # interpolation lands on exact binary fractions (.0/.25/.5/.75), so
+    # Spark's exact F.percentile and DuckDB's quantile_cont hash-match
+    # without float fuzz
     "q26_minmax": """
         SELECT c_mktsegment, round(min(c_acctbal), 2) AS lo,
                round(max(c_acctbal), 2) AS hi,
-               round(stddev(c_acctbal), 2) AS sd
+               round(stddev(c_acctbal), 2) AS sd,
+               median(c_nationkey) AS med_nk,
+               percentile_cont(c_nationkey, 0.25) AS p25_nk
         FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     # §2.3 RIGHT JOIN
     "q27_right_join": """
@@ -280,14 +286,16 @@ _Q = {
         SELECT "any" AS src, nk AS k FROM
           (SELECT c_nationkey AS nk FROM customer UNION SELECT s_nationkey AS nk FROM supplier) AS u""",
     # window-function superset (OVER in the engine dialect, SURVEY §2.4
-    # "not present"): top-3 per segment via subquery + post-window filter
+    # "not present"): top-3 per segment via QUALIFY — the post-window
+    # filter without the subquery wrapper (alias rnk keeps its pre-filter
+    # numbering; the engine computes the predicate alongside the
+    # projection and Catalyst CSEs the duplicated window spec)
     "q23_window_rank": """
-        SELECT c_mktsegment, c_custkey, bal, rnk FROM (
-          SELECT c_mktsegment, c_custkey, round(c_acctbal, 2) AS bal,
-                 row_number() OVER (PARTITION BY c_mktsegment
-                                    ORDER BY c_acctbal DESC, c_custkey) AS rnk
-          FROM customer) AS t
-        WHERE rnk <= 3""",
+        SELECT c_mktsegment, c_custkey, round(c_acctbal, 2) AS bal,
+               row_number() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY c_acctbal DESC, c_custkey) AS rnk
+        FROM customer
+        QUALIFY rnk <= 3""",
     # lag + moving-frame aggregate over event time per user (telemetry
     # shape); integer-cent domain so the moving sum is exact cross-engine
     "q36_window_timeseries": """
@@ -727,7 +735,9 @@ def oracle_sql() -> dict[str, str]:
         "q26_minmax": """
             SELECT c_mktsegment, round(min(c_acctbal), 2) AS lo,
                    round(max(c_acctbal), 2) AS hi,
-                   round(stddev_samp(c_acctbal), 2) AS sd
+                   round(stddev_samp(c_acctbal), 2) AS sd,
+                   median(c_nationkey) AS med_nk,
+                   quantile_cont(c_nationkey, 0.25) AS p25_nk
             FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
         "q27_right_join": """
             SELECT n_name, count(c_custkey) AS n_cust
