@@ -297,26 +297,25 @@ _Q = {
         FROM customer
         QUALIFY rnk <= 3""",
     # lag + moving-frame aggregate over event time per user (telemetry
-    # shape); integer-cent domain so the moving sum is exact cross-engine
+    # shape); integer-cent domain so the moving sum is exact cross-engine.
+    # Named WINDOW specs (w / w3) — same clause the DuckDB oracle uses
     "q36_window_timeseries": """
         SELECT event_id, user_id,
-               epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
-                   ORDER BY ts, event_id) AS gap_us,
-               sum(floor(value * 100 + 0.5)) OVER (PARTITION BY user_id
-                   ORDER BY ts, event_id
-                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov3_cents
+               epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us,
+               sum(floor(value * 100 + 0.5)) OVER w3 AS mov3_cents
         FROM events
-        WHERE user_id < 20""",
-    # NTILE + percent_rank within segment, post-window filter via subquery
+        WHERE user_id < 20
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+               w3 AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""",
+    # NTILE + percent_rank sharing one named window; QUALIFY post-filter
     "q37_window_quartiles": """
-        SELECT c_mktsegment, c_custkey, quartile, prank_x1e6 FROM (
-          SELECT c_mktsegment, c_custkey,
-                 cast(ntile(4) OVER (PARTITION BY c_mktsegment
-                     ORDER BY c_acctbal DESC, c_custkey) AS long) AS quartile,
-                 floor(percent_rank() OVER (PARTITION BY c_mktsegment
-                     ORDER BY c_acctbal DESC, c_custkey) * 1000000) AS prank_x1e6
-          FROM customer) AS t
-        WHERE c_custkey < 300""",
+        SELECT c_mktsegment, c_custkey,
+               cast(ntile(4) OVER w AS long) AS quartile,
+               floor(percent_rank() OVER w * 1000000) AS prank_x1e6
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+        QUALIFY c_custkey < 300""",
 }
 
 # FilterQL statement (run through the engine's FilterQL path)

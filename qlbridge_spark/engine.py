@@ -285,6 +285,8 @@ class Engine:
     # SELECT
     # ------------------------------------------------------------------
     def _select(self, sel: SqlSelect) -> DataFrame:
+        if sel.windows:
+            sel = self._resolve_named_windows(sel)
         if not sel.from_:
             return self._literal_select(sel)
 
@@ -593,6 +595,34 @@ class Engine:
 
         # order output columns as selected
         return agged.select(*out_names)
+
+    @staticmethod
+    def _resolve_named_windows(sel: SqlSelect) -> SqlSelect:
+        """Resolve ``OVER w`` references against the select's ``WINDOW w AS
+        (...)`` specs, returning a rewritten copy (the parsed statement may
+        be shared, e.g. stored in a view)."""
+        import dataclasses
+
+        def resolve(n: Node) -> Node:
+            if isinstance(n, WindowNode) and n.ref is not None:
+                spec = sel.windows.get(n.ref)
+                if spec is None:
+                    raise ExecError(f"unknown window name {n.ref!r} (no WINDOW {n.ref} AS (...))")
+                return dataclasses.replace(spec, func=n.func, ref=None)
+            return n
+
+        def rw(node):
+            return transform(node, resolve) if node is not None else None
+
+        return dataclasses.replace(
+            sel,
+            columns=[dataclasses.replace(c, expr=rw(c.expr)) for c in sel.columns],
+            where=rw(sel.where),
+            having=rw(sel.having),
+            qualify=rw(sel.qualify),
+            order_by=[(rw(e), d) for e, d in sel.order_by],
+            windows={},
+        )
 
     @staticmethod
     def _substitute_select_aliases(node: Node, sel: SqlSelect) -> Node:

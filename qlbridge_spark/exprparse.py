@@ -291,10 +291,21 @@ class ExprParser:
         return fn
 
     def parse_over(self, fn: FuncNode) -> WindowNode:
-        """``OVER (PARTITION BY ... ORDER BY ... [ROWS BETWEEN ...])`` —
-        window-function superset (the reference has none, SURVEY §2.4)."""
+        """``OVER (PARTITION BY ... ORDER BY ... [ROWS BETWEEN ...])`` or
+        ``OVER w`` (named-window reference, resolved against the select's
+        ``WINDOW w AS (...)`` clause) — window-function superset (the
+        reference has none, SURVEY §2.4)."""
         self.expect(IDENT, "OVER")
+        if self.cur().kind == IDENT:
+            return WindowNode(func=fn, ref=self.advance().val)
         self.expect(LPAREN)
+        win = self.parse_window_spec(fn)
+        self.expect(RPAREN)
+        return win
+
+    def parse_window_spec(self, fn: FuncNode) -> WindowNode:
+        """The interior of an OVER( ... ) / WINDOW w AS ( ... ) spec —
+        cursor positioned after the opening paren; does not consume it."""
         win = WindowNode(func=fn)
         if self.at_kw("PARTITION"):
             self.advance()
@@ -323,7 +334,6 @@ class ExprParser:
             self.expect(IDENT, "AND")
             hi = self._frame_bound()
             win.frame = (kind, lo, hi)
-        self.expect(RPAREN)
         return win
 
     def _frame_bound(self) -> int | None:

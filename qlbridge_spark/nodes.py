@@ -185,11 +185,16 @@ class WindowNode(Node):
     partition_by: list[Node] = field(default_factory=list)
     order_by: list[tuple[Node, str]] = field(default_factory=list)  # (expr, ASC|DESC)
     frame: tuple[str, int | None, int | None] | None = None
+    # ``OVER w`` — reference to a statement-level ``WINDOW w AS (...)``
+    # spec; the engine resolves it into the fields above before translate
+    ref: str | None = None
 
     def children(self):
         return [self.func, *self.partition_by, *[e for e, _ in self.order_by]]
 
     def sql(self) -> str:
+        if self.ref is not None:
+            return f"{self.func.sql()} OVER {self.ref}"
         parts = []
         if self.partition_by:
             parts.append("PARTITION BY " + ", ".join(e.sql() for e in self.partition_by))

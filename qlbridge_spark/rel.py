@@ -31,6 +31,7 @@ from .lexer import (
 )
 from .nodes import (
     BooleanNode,
+    FuncNode,
     IdentityNode,
     IncludeNode,
     MatchAllNode,
@@ -88,6 +89,7 @@ class SqlSelect:
     group_mode: str = ""  # "" | ROLLUP | CUBE (superset: SURVEY §2.4 "not present")
     having: Node | None = None
     qualify: Node | None = None  # post-window filter (superset; Snowflake/DuckDB QUALIFY)
+    windows: dict = field(default_factory=dict)  # WINDOW w AS (...) named specs
     order_by: list[tuple[Node, str]] = field(default_factory=list)
     limit: int | None = None
     offset: int | None = None
@@ -217,7 +219,7 @@ class FilterStatement:
 # SQL parser
 # --------------------------------------------------------------------------
 _JOIN_WORDS = {"JOIN", "INNER", "OUTER", "LEFT", "RIGHT", "FULL", "CROSS"}
-_CLAUSE_END = {"FROM", "WHERE", "FILTER", "GROUP", "HAVING", "QUALIFY", "ORDER", "LIMIT", "OFFSET", "INTO", "WITH", "ALIAS", "AS", "IF", "ON", "UNION", "INTERSECT", "EXCEPT"}
+_CLAUSE_END = {"FROM", "WHERE", "FILTER", "GROUP", "HAVING", "QUALIFY", "WINDOW", "ORDER", "LIMIT", "OFFSET", "INTO", "WITH", "ALIAS", "AS", "IF", "ON", "UNION", "INTERSECT", "EXCEPT"}
 
 
 class SqlParser(ExprParser):
@@ -356,8 +358,25 @@ class SqlParser(ExprParser):
                 sel.group_by = self.parse_expr_list()
         if self.eat_kw("HAVING"):
             sel.having = self.parse_expr()
-        if self.eat_kw("QUALIFY"):
-            sel.qualify = self.parse_expr()
+        # QUALIFY and WINDOW in either order (DuckDB puts WINDOW before
+        # QUALIFY, Snowflake has no WINDOW clause — accept both)
+        while self.at_kw("QUALIFY", "WINDOW"):
+            if self.eat_kw("QUALIFY"):
+                sel.qualify = self.parse_expr()
+                continue
+            self.advance()  # WINDOW
+            # WINDOW w AS (PARTITION BY ... ORDER BY ... [frame])[, ...] —
+            # named specs referenced by `func() OVER w`
+            while True:
+                wname = self.expect(IDENT).val
+                self.expect(IDENT, "AS")
+                self.expect(LPAREN)
+                sel.windows[wname] = self.parse_window_spec(FuncNode("__window_spec__", []))
+                self.expect(RPAREN)
+                if self.cur().kind == COMMA:
+                    self.advance()
+                    continue
+                break
         if self.at_kw("ORDER"):
             self.advance()
             self.expect(IDENT, "BY")

@@ -434,6 +434,10 @@ def _window(node: WindowNode, scope: Scope) -> Column:
 
     from .functions import build_function
 
+    if node.ref is not None:
+        # `OVER w` resolved by the engine against the select's WINDOW
+        # clause; reaching translate unresolved means there wasn't one
+        raise TranslateError(f"OVER {node.ref} requires a WINDOW {node.ref} AS (...) clause")
     name = node.func.name
     w = Window.partitionBy(*[to_column(e, scope) for e in node.partition_by])
     if node.order_by:
@@ -470,7 +474,10 @@ def _window(node: WindowNode, scope: Scope) -> Column:
     else:
         col = build_function(node.func, scope)
 
-    if node.frame is not None:
+    if node.frame is not None and name not in _RANKING_FNS and name not in ("ntile", "lag", "lead"):
+        # ranking/offset functions have a fixed implicit frame; an explicit
+        # one (e.g. inherited from a named WINDOW spec) is ignored, as in
+        # DuckDB/PostgreSQL
         kind, flo, fhi = node.frame
         lo = Window.unboundedPreceding if flo is None else flo
         hi = Window.unboundedFollowing if fhi is None else fhi

@@ -305,6 +305,52 @@ class TestRangeFrames:
             ).collect()
 
 
+class TestNamedWindows:
+    def test_named_window_shared_by_two_funcs(self, eng):
+        rows = eng.sql(
+            """SELECT rep, row_number() OVER w AS rn, sum(amt) OVER w AS run
+               FROM sales WINDOW w AS (PARTITION BY region ORDER BY amt) ORDER BY rep"""
+        ).collect()
+        by_rep = {r["rep"]: (r["rn"], r["run"]) for r in rows}
+        assert by_rep["a"] == (1, 10) and by_rep["b"] == (3, 60) and by_rep["e"] == (2, 55)
+
+    def test_named_window_with_frame_and_qualify(self, eng):
+        rows = eng.sql(
+            """SELECT rep, sum(amt) OVER w AS t FROM sales
+               WINDOW w AS (PARTITION BY region ORDER BY amt
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               QUALIFY row_number() OVER w = 1 ORDER BY rep"""
+        ).collect()
+        assert [(r["rep"], r["t"]) for r in rows] == [("a", 60), ("d", 55)]
+
+    def test_two_named_windows(self, eng):
+        rows = eng.sql(
+            """SELECT rep, rank() OVER byamt AS r1, rank() OVER byrep AS r2 FROM sales
+               WINDOW byamt AS (ORDER BY amt DESC), byrep AS (ORDER BY rep) ORDER BY rep"""
+        ).collect()
+        assert rows[0]["rep"] == "a" and rows[0]["r1"] == 4 and rows[0]["r2"] == 1
+
+    def test_unknown_window_name(self, eng):
+        from qlbridge_spark.engine import ExecError
+
+        with pytest.raises(ExecError, match="unknown window name"):
+            eng.sql("SELECT rank() OVER nope AS r FROM sales WINDOW w AS (ORDER BY amt)").collect()
+
+    def test_over_ref_without_window_clause(self, eng):
+        with pytest.raises(TranslateError, match="requires a WINDOW"):
+            eng.sql("SELECT rank() OVER w AS r FROM sales").collect()
+
+    def test_view_over_named_window(self, eng):
+        # the parsed select is stored in the view; resolution must not
+        # mutate it (copy-on-resolve) so the view keeps working
+        eng.execute(
+            "CREATE VIEW topsales AS SELECT rep FROM sales "
+            "WINDOW w AS (PARTITION BY region ORDER BY amt DESC) QUALIFY row_number() OVER w = 1"
+        )
+        assert sorted(r["rep"] for r in eng.sql("SELECT rep FROM topsales").collect()) == ["b", "e"]
+        assert sorted(r["rep"] for r in eng.sql("SELECT rep FROM topsales").collect()) == ["b", "e"]
+
+
 class TestMedianPercentile:
     def test_median_and_percentile_cont(self, eng):
         rows = eng.sql(
