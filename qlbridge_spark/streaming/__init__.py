@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions import is_agg_tree as funcs_is_agg_tree
+
 
 def create_continuous_view(engine, create_stmt):
     """Execute CREATE CONTINUOUSVIEW name AS SELECT ... WITH {...}."""
@@ -49,11 +51,37 @@ def create_continuous_view(engine, create_stmt):
     if wm:
         stream_df = stream_df.withWatermark(wm["column"], wm.get("delay", "10 minutes"))
 
+    win = cfg.get("window")
+    if win:
+        # tumbling/sliding event-time window: the window STRUCT joins the
+        # GROUP BY keys (grouping on the struct keeps Spark's event-time
+        # marker, so watermark-based state eviction works in append mode);
+        # start/end are flattened after aggregation
+        if not sel.group_by and not any(
+            not c.is_star and funcs_is_agg_tree(c.expr) for c in sel.columns
+        ):
+            raise ValueError("WITH {'window': ...} requires an aggregating SELECT (GROUP BY / aggregates)")
+        stream_df = stream_df.withColumn(
+            "__win", F.window(F.col(win["column"]), win["duration"], win.get("slide"))
+        )
+
     # run the same SELECT translation against the streaming frame
     engine.register_df(f"__stream_{src.name}", stream_df)
     try:
         sel2 = _clone_with_from(sel, f"__stream_{src.name}", src)
+        if win:
+            from ..nodes import IdentityNode
+            from ..rel import Column as SelColumn
+
+            sel2.group_by = list(sel2.group_by) + [IdentityNode(("__win",))]
+            sel2.columns = list(sel2.columns) + [SelColumn(expr=IdentityNode(("__win",)), alias="__win")]
         out = engine._select(sel2)
+        if win:
+            out = (
+                out.withColumn("window_start", F.col("__win.start"))
+                .withColumn("window_end", F.col("__win.end"))
+                .drop("__win")
+            )
     finally:
         engine.tables.pop(f"__stream_{src.name}", None)
 

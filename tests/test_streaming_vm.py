@@ -46,6 +46,65 @@ class TestContinuousView:
         finally:
             q.stop()
 
+    def test_continuous_view_windowed_agg(self, spark, tmp_path):
+        """WITH {'window': ...}: tumbling event-time window joins the GROUP
+        BY keys; watermark bounds state; append mode emits only finalized
+        windows (the state-eviction contract a 100 TB/day stream needs)."""
+        import json
+
+        from qlbridge_spark import Engine
+
+        eng = Engine(spark)
+        rows = [
+            (1, "click", 1.0, datetime.datetime(2024, 1, 1, 10, 0, 30)),
+            (2, "click", 2.0, datetime.datetime(2024, 1, 1, 10, 4, 0)),
+            (3, "click", 4.0, datetime.datetime(2024, 1, 1, 10, 6, 0)),
+            (4, "view", 8.0, datetime.datetime(2024, 1, 1, 10, 7, 0)),
+            # far-future row pushes the watermark past the earlier windows
+            (5, "view", 0.5, datetime.datetime(2024, 1, 1, 11, 0, 0)),
+        ]
+        batch = spark.createDataFrame(rows, "event_id long, event_type string, value double, ts timestamp")
+        stream_dir = str(tmp_path / "win_stream")
+        ckpt = str(tmp_path / "ckpt")
+        batch.write.parquet(stream_dir)
+        eng.register_df("ev", batch)
+
+        cfg = {
+            "path": stream_dir,
+            "checkpoint": ckpt,
+            "output_mode": "append",
+            "watermark": {"column": "ts", "delay": "1 minute"},
+            "window": {"column": "ts", "duration": "5 minutes"},
+        }
+        q = eng.execute(
+            "CREATE CONTINUOUSVIEW ev_win AS SELECT event_type, count(*) AS n, sum(value) AS total "
+            f"FROM ev GROUP BY event_type WITH {json.dumps(cfg)}"
+        )
+        try:
+            q.processAllAvailable()
+            out = spark.sql("SELECT * FROM ev_win").collect()
+            got = {(r["event_type"], r["window_start"].minute): (r["n"], r["total"]) for r in out}
+            # windows [10:00,10:05) and [10:05,10:10) finalized by the 11:00
+            # row + 1 min delay; the 11:00 window itself is still open
+            assert got == {("click", 0): (2, 3.0), ("click", 5): (1, 4.0), ("view", 5): (1, 8.0)}
+            assert all({"window_start", "window_end"} <= set(r.asDict()) for r in out)
+        finally:
+            q.stop()
+
+    def test_continuous_view_window_requires_agg(self, spark, tmp_path):
+        import json
+
+        from qlbridge_spark import Engine
+
+        eng = Engine(spark)
+        batch = spark.createDataFrame([(1, datetime.datetime(2024, 1, 1))], "event_id long, ts timestamp")
+        stream_dir = str(tmp_path / "nowin_stream")
+        batch.write.parquet(stream_dir)
+        eng.register_df("ev2", batch)
+        cfg = {"path": stream_dir, "window": {"column": "ts", "duration": "5 minutes"}}
+        with pytest.raises(ValueError, match="aggregating SELECT"):
+            eng.execute(f"CREATE CONTINUOUSVIEW bad AS SELECT event_id FROM ev2 WITH {json.dumps(cfg)}")
+
     def test_windowed_agg_helper(self, spark, tmp_path):
         from qlbridge_spark.streaming import windowed_agg
 
