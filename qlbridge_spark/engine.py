@@ -287,6 +287,7 @@ class Engine:
     def _select(self, sel: SqlSelect) -> DataFrame:
         if sel.windows:
             sel = self._resolve_named_windows(sel)
+        sel = self._resolve_scalar_subqueries(sel)
         if not sel.from_:
             return self._literal_select(sel)
 
@@ -595,6 +596,88 @@ class Engine:
 
         # order output columns as selected
         return agged.select(*out_names)
+
+    def _resolve_scalar_subqueries(self, sel: SqlSelect) -> SqlSelect:
+        """Materialize UNCORRELATED scalar subqueries — ``(SELECT max(x)
+        FROM t)`` in a comparison / select position, ``EXISTS (SELECT …)``
+        — into literal columns before translation.
+
+        The subquery runs once at plan time (a driver action; Spark's own
+        uncorrelated-scalar-subquery execution is also a separate job) and
+        must produce one column and at most one row (ANSI). ``IN (SELECT
+        …)`` is NOT handled here — the WHERE path lowers it to a
+        semi/anti-join. Correlated subqueries are unsupported (they would
+        need decorrelation) and fail naturally: the inner select can't
+        resolve outer columns."""
+        import dataclasses
+
+        from .nodes import SparkColNode
+
+        def scalar(sub: SubqueryNode) -> Node:
+            sub_df = self._select_any(sub.select)
+            if len(sub_df.columns) != 1:
+                raise ExecError(f"scalar subquery must return one column, got {len(sub_df.columns)}")
+            rows = sub_df.limit(2).collect()
+            if len(rows) > 1:
+                raise ExecError("scalar subquery returned more than one row")
+            val = rows[0][0] if rows else None
+            return SparkColNode(col=F.lit(val), dtype=sub_df.schema.fields[0].dataType)
+
+        def walk(n: Node | None) -> Node | None:
+            if n is None:
+                return None
+            if isinstance(n, SubqueryNode):
+                return scalar(n)
+            if isinstance(n, UnaryNode):
+                if n.op == "EXISTS" and isinstance(n.child, SubqueryNode):
+                    inner = self._select_any(n.child.select)
+                    return SparkColNode(col=F.lit(inner.limit(1).count() > 0), dtype=None, text="EXISTS(...)")
+                return UnaryNode(n.op, walk(n.child))
+            if isinstance(n, BinaryNode):
+                if n.op == "IN" and isinstance(n.right, SubqueryNode):
+                    return BinaryNode(n.op, walk(n.left), n.right, n.negated)  # semi-join path
+                return BinaryNode(n.op, walk(n.left), walk(n.right), n.negated)
+            if isinstance(n, BooleanNode):
+                return BooleanNode(n.op, [walk(a) for a in n.args], n.negated)
+            if isinstance(n, FuncNode):
+                return dataclasses.replace(n, args=[walk(a) for a in n.args])
+            if isinstance(n, WindowNode):
+                return dataclasses.replace(
+                    n,
+                    func=dataclasses.replace(n.func, args=[walk(a) for a in n.func.args]),
+                    partition_by=[walk(e) for e in n.partition_by],
+                    order_by=[(walk(e), d) for e, d in n.order_by],
+                )
+            from .nodes import ArrayNode, TriNode
+
+            if isinstance(n, TriNode):
+                return dataclasses.replace(n, args=[walk(a) for a in n.args])
+            if isinstance(n, ArrayNode):
+                return dataclasses.replace(n, items=[walk(i) for i in n.items])
+            return n
+
+        if not self._has_scalar_subquery(sel):
+            return sel
+        return dataclasses.replace(
+            sel,
+            columns=[dataclasses.replace(c, expr=walk(c.expr), guard=walk(c.guard)) for c in sel.columns],
+            where=walk(sel.where),
+            having=walk(sel.having),
+            qualify=walk(sel.qualify),
+        )
+
+    @staticmethod
+    def _has_scalar_subquery(sel: SqlSelect) -> bool:
+        def scan(n: Node | None) -> bool:
+            if n is None:
+                return False
+            if isinstance(n, SubqueryNode):
+                return True
+            if isinstance(n, BinaryNode) and n.op == "IN" and isinstance(n.right, SubqueryNode):
+                return scan(n.left)
+            return any(scan(c) for c in n.children())
+
+        return any(scan(c.expr) or scan(c.guard) for c in sel.columns) or scan(sel.where) or scan(sel.having) or scan(sel.qualify)
 
     @staticmethod
     def _resolve_named_windows(sel: SqlSelect) -> SqlSelect:

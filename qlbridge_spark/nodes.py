@@ -245,6 +245,21 @@ class MatchAllNode(Node):
         return "*"
 
 
+@dataclass(eq=False)
+class SparkColNode(Node):
+    """A pre-lowered Spark Column injected by the engine — e.g. the
+    materialized value of an uncorrelated scalar subquery. eq=False: a
+    Column's ``==`` builds an expression, so dataclass equality would
+    misbehave; identity comparison is correct for injected nodes."""
+
+    col: object  # pyspark Column
+    dtype: object = None  # Spark DataType, when known
+    text: str = "(scalar subquery)"
+
+    def sql(self) -> str:
+        return self.text
+
+
 def transform(node: Node, fn) -> Node:
     """Bottom-up rewrite: rebuild ``node`` with transformed children, then
     apply ``fn`` (return a replacement node or the node unchanged). Used by

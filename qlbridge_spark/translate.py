@@ -35,6 +35,7 @@ from .nodes import (
     Node,
     NullNode,
     NumberNode,
+    SparkColNode,
     StringNode,
     TriNode,
     UnaryNode,
@@ -275,6 +276,8 @@ class Scope:
 # dtype inference for arbitrary nodes (best-effort, drives coercion shims)
 # --------------------------------------------------------------------------
 def infer_dtype(node: Node, scope: Scope) -> T.DataType | None:
+    if isinstance(node, SparkColNode):
+        return node.dtype
     if isinstance(node, NumberNode):
         return T.LongType() if node.is_int else T.DoubleType()
     if isinstance(node, StringNode):
@@ -352,6 +355,8 @@ _ARITH = {
 
 def to_column(node: Node, scope: Scope) -> Column:
     """Lower an expression AST to a Column."""
+    if isinstance(node, SparkColNode):
+        return node.col
     if isinstance(node, NumberNode):
         return F.lit(node.value)
     if isinstance(node, StringNode):

@@ -51,6 +51,36 @@ class TestMoreEngine:
         df = engine.sql("SELECT order_id FROM orders WHERE user_id NOT IN (SELECT user_id FROM users)")
         assert rows(df) == [(3,)]
 
+    def test_scalar_subquery_in_where(self, engine):
+        # uncorrelated scalar subquery materialized to a literal at plan time
+        df = engine.sql("SELECT order_id FROM orders WHERE price >= (SELECT max(price) FROM orders)")
+        assert rows(df) == [(2,)]
+
+    def test_scalar_subquery_in_select_and_arith(self, engine):
+        df = engine.sql("SELECT order_id, price - (SELECT avg(price) FROM orders) AS delta FROM orders ORDER BY order_id")
+        got = {r[0]: round(r[1], 2) for r in rows(df)}
+        # prices 22.50/37.50/22.50 → avg 27.50
+        assert got == {1: -5.0, 2: 10.0, 3: -5.0}
+
+    def test_scalar_subquery_multi_row_errors(self, engine):
+        with pytest.raises(ExecError, match="more than one row"):
+            engine.sql("SELECT order_id FROM orders WHERE price > (SELECT price FROM orders)").collect()
+
+    def test_scalar_subquery_multi_col_errors(self, engine):
+        with pytest.raises(ExecError, match="one column"):
+            engine.sql("SELECT order_id FROM orders WHERE price > (SELECT price, order_id FROM orders)").collect()
+
+    def test_scalar_subquery_empty_is_null(self, engine):
+        # empty scalar subquery → NULL → comparison not-true for all rows
+        df = engine.sql('SELECT order_id FROM orders WHERE price > (SELECT price FROM orders WHERE order_id = 999)')
+        assert df.count() == 0
+
+    def test_exists_subquery(self, engine):
+        df = engine.sql('SELECT order_id FROM orders WHERE EXISTS (SELECT 1 FROM users WHERE user_id = "9Ip1aKbeZe2njCDM")')
+        assert df.count() == 3
+        df2 = engine.sql('SELECT order_id FROM orders WHERE EXISTS (SELECT 1 FROM users WHERE user_id = "nope")')
+        assert df2.count() == 0
+
     def test_order_by_unselected_expression(self, engine):
         df = engine.sql("SELECT user_id FROM users ORDER BY referral_count DESC, user_id ASC")
         assert [r[0] for r in rows(df)] == ["9Ip1aKbeZe2njCDM", "hT2impsOPUREcVPc", "hT2impsabc345c"]
