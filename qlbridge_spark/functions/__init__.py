@@ -226,6 +226,35 @@ def _median(n, s):
     return F.median(_c(n, s).cast("double"))
 
 
+@_reg("approx_count_distinct", is_agg=True, return_type=T.LongType())
+def _approx_count_distinct(n, s):
+    # HyperLogLog++ sketch — the 100 TB path for COUNT(DISTINCT): one
+    # pass, fixed memory, no pre-shuffle expansion (datapipe/sketches.py
+    # exposes the same machinery as an operator)
+    if len(n.args) > 1:
+        if not isinstance(n.args[1], NumberNode):
+            raise TranslateError("approx_count_distinct(expr[, rsd]): rsd must be a numeric literal")
+        return F.approx_count_distinct(_c(n, s), float(n.args[1].value))
+    return F.approx_count_distinct(_c(n, s))
+
+
+@_reg("approx_percentile", is_agg=True, return_type=T.DoubleType())
+def _approx_percentile(n, s):
+    # t-digest-style sketch percentile (percentile_approx) — fixed-memory
+    # counterpart of percentile_cont for scale paths
+    if len(n.args) < 2 or not isinstance(n.args[1], NumberNode):
+        raise TranslateError("approx_percentile(expr, p[, accuracy]) takes a numeric literal fraction")
+    p = float(n.args[1].value)
+    if not 0.0 <= p <= 1.0:
+        raise TranslateError("approx_percentile: p must be in [0, 1]")
+    acc = 10000
+    if len(n.args) > 2:
+        if not isinstance(n.args[2], NumberNode):
+            raise TranslateError("approx_percentile: accuracy must be an integer literal")
+        acc = int(n.args[2].value)
+    return F.percentile_approx(_c(n, s).cast("double"), F.lit(p), F.lit(acc))
+
+
 @_reg("percentile_cont", is_agg=True, return_type=T.DoubleType())
 def _percentile_cont(n, s):
     # percentile_cont(expr, p) — EXACT continuous percentile with linear

@@ -74,3 +74,63 @@ class TestPlanHygiene:
                 spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
             )
             assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestNewFeaturePlans:
+    """Physical-plan shape for round-3 features: the point is not that the
+    queries run, but that they plan the way a 100 TB run needs."""
+
+    @staticmethod
+    def _plan(engine, q):
+        return engine.explain(q, mode="simple")
+
+    @staticmethod
+    def _count_op(plan, op):
+        import re
+
+        return sum(1 for l in plan.splitlines() if re.match(rf"^[\s+:*()-]*{op}\s", l))
+
+    def test_qualify_single_window_and_exchange(self, engine):
+        # alias substitution duplicates the window expr in the predicate;
+        # Catalyst must CSE it — ONE Window operator, ONE Exchange
+        plan = self._plan(
+            engine,
+            "SELECT user_id, row_number() OVER (PARTITION BY user_id ORDER BY price) AS rn "
+            "FROM orders QUALIFY rn = 1",
+        )
+        assert self._count_op(plan, "Window") == 1, plan
+        assert plan.count("Exchange") == 1, plan
+
+    def test_named_window_shared_spec_one_window_op(self, engine):
+        plan = self._plan(
+            engine,
+            "SELECT rank() OVER w AS r1, sum(price) OVER w AS s FROM orders "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY price)",
+        )
+        assert self._count_op(plan, "Window") == 1, plan
+
+    def test_setop_chain_order_limit_is_topk(self, engine):
+        # chain-level ORDER BY + LIMIT must plan TakeOrderedAndProject
+        # (top-k, no global sort) over the union
+        plan = self._plan(
+            engine,
+            "SELECT price FROM orders UNION ALL SELECT price FROM orders ORDER BY price DESC LIMIT 2",
+        )
+        assert "TakeOrderedAndProject" in plan, plan
+
+    def test_scalar_subquery_is_literal_no_join(self, engine):
+        # the subquery materialized at plan time: the OUTER plan has no
+        # join and no subquery node — just a pushable literal filter
+        plan = self._plan(
+            engine, "SELECT order_id FROM orders WHERE price >= (SELECT max(price) FROM orders)"
+        )
+        assert "Join" not in plan and "Subquery" not in plan, plan
+
+    def test_approx_sketch_aggs_partial_final(self, engine):
+        # sketch aggs keep the partial/final HashAggregate split (map-side
+        # sketch merge — fixed memory per partition at any scale)
+        plan = self._plan(
+            engine,
+            "SELECT user_id, approx_count_distinct(item_id) AS d FROM orders GROUP BY user_id",
+        )
+        assert plan.count("HashAggregate") == 2, plan

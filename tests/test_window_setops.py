@@ -370,6 +370,19 @@ class TestMedianPercentile:
         with pytest.raises(TranslateError):
             eng.sql("SELECT percentile_cont(amt, amt) AS q FROM sales").collect()
 
+    def test_approx_sketch_aggs(self, eng):
+        row = eng.sql(
+            "SELECT approx_count_distinct(rep) AS reps, approx_count_distinct(region, 0.01) AS regs, "
+            "approx_percentile(amt, 0.5) AS p50, approx_percentile(amt, 0.5, 100) AS p50b FROM sales"
+        ).collect()[0]
+        # exact at this tiny cardinality; sketches only diverge at scale
+        assert (row["reps"], row["regs"]) == (5, 2)
+        assert row["p50"] == 20.0 and row["p50b"] == 20.0
+
+    def test_approx_percentile_validates(self, eng):
+        with pytest.raises(TranslateError):
+            eng.sql("SELECT approx_percentile(amt) AS q FROM sales").collect()
+
 
 class TestLagLeadDefault:
     def test_lag_default_literal(self, eng):
