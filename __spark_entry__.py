@@ -263,11 +263,16 @@ _Q = {
           JOIN nation ON rich.c_nationkey = n_nationkey
         ORDER BY bal DESC, c_name LIMIT 25""",
     # §2.4 grouping-sets superset (reference: "not present")
+    # GROUPING SETS (ROLLUP's sets spelled explicitly) + ANSI grouping()
+    # null-vs-aggregated markers — one Expand+Aggregate plan, not a
+    # union of groupBys
     "q32_rollup": """
         SELECT l_returnflag, l_linestatus, count(*) AS n,
-               round(sum(l_quantity), 2) AS qty
+               round(sum(l_quantity), 2) AS qty,
+               cast(grouping(l_returnflag) AS long) AS g_rf,
+               cast(grouping(l_linestatus) AS long) AS g_ls
         FROM lineitem
-        GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         ORDER BY l_returnflag, l_linestatus""",
     # §2.6 set operations (superset; reference has none) — UNION ALL
     # chain of tagged branches exercising INTERSECT / EXCEPT / UNION in
@@ -757,9 +762,11 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY bal DESC, c_name LIMIT 25""",
         "q32_rollup": """
             SELECT l_returnflag, l_linestatus, count(*) AS n,
-                   round(sum(l_quantity), 2) AS qty
+                   round(sum(l_quantity), 2) AS qty,
+                   CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+                   CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls
             FROM lineitem
-            GROUP BY ROLLUP(l_returnflag, l_linestatus)
+            GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
             ORDER BY l_returnflag, l_linestatus""",
         "q34_negations": """
             SELECT p_partkey, p_brand, p_size

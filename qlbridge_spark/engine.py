@@ -524,7 +524,14 @@ class Engine:
                     g = c.expr
                     break
             name = name or (g.name if isinstance(g, IdentityNode) else f"_g{i}")
-            group_cols.append(to_column(g, scope).alias(name))
+            gcol = to_column(g, scope)
+            if not (isinstance(g, IdentityNode) and g.parts[-1] == name):
+                # alias only when the output name differs from the bare
+                # column — a redundant alias would break grouping():
+                # Spark matches its argument against the grouping columns
+                # by expression, and `col AS col` is a different expression
+                gcol = gcol.alias(name)
+            group_cols.append(gcol)
             group_names.append(name)
             group_sqls[g.sql()] = name
 
@@ -570,6 +577,18 @@ class Engine:
                 grouped = df.rollup(*group_cols)
             elif sel.group_mode == "CUBE":
                 grouped = df.cube(*group_cols)
+            elif sel.group_mode == "GROUPING SETS":
+                # each set lists a subset of the (aliased) grouping columns,
+                # matched by expression text; one Expand+Aggregate, not a
+                # union of groupBys
+                by_sql = {g.sql(): c for g, c in zip(sel.group_by, group_cols)}
+                sets = []
+                for one in sel.grouping_sets:
+                    try:
+                        sets.append([by_sql[e.sql()] for e in one])
+                    except KeyError as exc:
+                        raise ExecError(f"grouping set expression {exc} not in GROUP BY union") from None
+                grouped = df.groupingSets(sets, *group_cols)
             else:
                 grouped = df.groupBy(*group_cols)
             agged = grouped.agg(*(agg_cols + hidden)) if (agg_cols + hidden) else grouped.agg(F.count(F.lit(1)).alias("__cnt")).drop("__cnt")

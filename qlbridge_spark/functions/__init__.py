@@ -226,6 +226,18 @@ def _median(n, s):
     return F.median(_c(n, s).cast("double"))
 
 
+@_reg("grouping", is_agg=True, return_type=T.ByteType())
+def _grouping(n, s):
+    # 1 when the column is aggregated away in this ROLLUP/CUBE/GROUPING
+    # SETS output row, else 0 (ANSI GROUPING)
+    return F.grouping(_c(n, s))
+
+
+@_reg("grouping_id", is_agg=True, return_type=T.LongType())
+def _grouping_id(n, s):
+    return F.grouping_id(*[to_column(a, s) for a in n.args])
+
+
 @_reg("approx_count_distinct", is_agg=True, return_type=T.LongType())
 def _approx_count_distinct(n, s):
     # HyperLogLog++ sketch — the 100 TB path for COUNT(DISTINCT): one

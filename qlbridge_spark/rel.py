@@ -86,7 +86,8 @@ class SqlSelect:
     from_: list[FromSource] = field(default_factory=list)
     where: Node | None = None
     group_by: list[Node] = field(default_factory=list)
-    group_mode: str = ""  # "" | ROLLUP | CUBE (superset: SURVEY §2.4 "not present")
+    group_mode: str = ""  # "" | ROLLUP | CUBE | GROUPING SETS (superset: SURVEY §2.4 "not present")
+    grouping_sets: list[list[Node]] = field(default_factory=list)  # when group_mode == GROUPING SETS
     having: Node | None = None
     qualify: Node | None = None  # post-window filter (superset; Snowflake/DuckDB QUALIFY)
     windows: dict = field(default_factory=dict)  # WINDOW w AS (...) named specs
@@ -354,6 +355,29 @@ class SqlParser(ExprParser):
                 self.expect(LPAREN)
                 sel.group_by = self.parse_expr_list()
                 self.expect(RPAREN)
+            elif self.at_kw("GROUPING"):
+                # GROUP BY GROUPING SETS ((a, b), (a), ())
+                self.advance()
+                self.expect(IDENT, "SETS")
+                self.expect(LPAREN)
+                sel.group_mode = "GROUPING SETS"
+                seen: dict[str, Node] = {}
+                while True:
+                    self.expect(LPAREN)
+                    one: list[Node] = []
+                    if self.cur().kind != RPAREN:
+                        one = self.parse_expr_list()
+                    self.expect(RPAREN)
+                    sel.grouping_sets.append(one)
+                    for e in one:
+                        seen.setdefault(e.sql(), e)
+                    if self.cur().kind == COMMA:
+                        self.advance()
+                        continue
+                    break
+                self.expect(RPAREN)
+                # group_by = the distinct union of all sets' expressions
+                sel.group_by = list(seen.values())
             else:
                 sel.group_by = self.parse_expr_list()
         if self.eat_kw("HAVING"):

@@ -351,6 +351,52 @@ class TestNamedWindows:
         assert sorted(r["rep"] for r in eng.sql("SELECT rep FROM topsales").collect()) == ["b", "e"]
 
 
+class TestGroupingSets:
+    def test_grouping_sets_with_markers(self, eng):
+        rows = eng.sql(
+            """SELECT region, rep, sum(amt) AS t,
+                      cast(grouping(region) AS long) AS g_region,
+                      cast(grouping(rep) AS long) AS g_rep
+               FROM sales GROUP BY GROUPING SETS ((region, rep), (region), ())
+               ORDER BY region, rep"""
+        ).collect()
+        # 5 (region,rep) rows + 2 region rows + 1 grand total
+        assert len(rows) == 8
+        grand = [r for r in rows if r["g_region"] == 1]
+        assert len(grand) == 1 and grand[0]["t"] == 115.0 and grand[0]["g_rep"] == 1
+        reg = {r["region"]: r["t"] for r in rows if r["g_region"] == 0 and r["g_rep"] == 1}
+        assert reg == {"e": 60.0, "w": 55.0}
+
+    def test_grouping_sets_disjoint(self, eng):
+        # sets over different columns — not expressible as ROLLUP/CUBE
+        rows = eng.sql(
+            "SELECT region, rep, count(*) AS n FROM sales "
+            "GROUP BY GROUPING SETS ((region), (rep)) ORDER BY region, rep"
+        ).collect()
+        assert len(rows) == 7  # 2 regions + 5 reps
+        assert sum(1 for r in rows if r["region"] is None) == 5
+
+    def test_grouping_set_not_in_union_errors(self, eng):
+        # an expression can only appear in a set if GROUP BY's union has it
+        # (parser derives the union from the sets, so craft via engine API)
+        from qlbridge_spark.engine import ExecError
+        from qlbridge_spark.rel import parse_sql
+
+        sel = parse_sql("SELECT region, count(*) AS n FROM sales GROUP BY GROUPING SETS ((region))")
+        from qlbridge_spark.nodes import IdentityNode
+
+        sel.grouping_sets.append([IdentityNode(("rep",))])
+        with pytest.raises(ExecError, match="not in GROUP BY union"):
+            eng._select(sel)
+
+    def test_grouping_sets_plan_is_single_expand(self, eng):
+        df = eng.sql(
+            "SELECT region, rep, count(*) AS n FROM sales GROUP BY GROUPING SETS ((region), (rep))"
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Expand") == 1  # one Expand+Aggregate, no union of scans
+
+
 class TestMedianPercentile:
     def test_median_and_percentile_cont(self, eng):
         rows = eng.sql(
