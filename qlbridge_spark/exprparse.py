@@ -271,6 +271,7 @@ class ExprParser:
             self.advance()
             self.expect(RPAREN)
             fn = FuncNode("count", [IdentityNode(("*",))])
+            self._maybe_agg_filter(fn)
             return self.parse_over(fn) if self.at_kw("OVER") else fn
         while self.cur().kind != RPAREN:
             if self.at_kw("DISTINCT"):
@@ -286,9 +287,21 @@ class ExprParser:
                 break
         self.expect(RPAREN)
         fn = FuncNode(name, args)
+        self._maybe_agg_filter(fn)
         if self.at_kw("OVER"):
             return self.parse_over(fn)
         return fn
+
+    def _maybe_agg_filter(self, fn: FuncNode) -> None:
+        """``agg(x) FILTER (WHERE pred)`` — ANSI aggregate filter. Only
+        triggers on ``FILTER (`` so the engine dialect's ``FROM t FILTER
+        <expr>`` clause (FilterSelect) stays unambiguous."""
+        if self.at_kw("FILTER") and self.peek().kind == LPAREN:
+            self.advance()
+            self.expect(LPAREN)
+            self.expect(IDENT, "WHERE")
+            fn.filter_where = self.parse_expr()
+            self.expect(RPAREN)
 
     def parse_over(self, fn: FuncNode) -> WindowNode:
         """``OVER (PARTITION BY ... ORDER BY ... [ROWS BETWEEN ...])`` or

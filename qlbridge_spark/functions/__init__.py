@@ -73,7 +73,37 @@ def build_function(node: FuncNode, scope: Scope) -> Column:
     fd = registry.get(node.name)
     if fd is None:
         raise TranslateError(f"unknown function {node.name!r}")
+    if node.filter_where is not None:
+        if not fd.is_agg:
+            raise TranslateError(f"FILTER (WHERE ...) is only valid on an aggregate, not {node.name}()")
+        node = _apply_agg_filter(node, scope)
     return fd.builder(node, scope)
+
+
+def _apply_agg_filter(node: FuncNode, scope: Scope) -> FuncNode:
+    """``agg(x) FILTER (WHERE p)`` → rewrite the DATA argument to
+    ``when(p, x)`` (NULLs are excluded from every aggregate), leaving
+    parameter arguments (percentile fraction, accuracy, ...) alone.
+    ``count(*)`` counts matching rows; ``count(distinct x)`` wraps the
+    inner arguments."""
+    import dataclasses
+
+    from ..nodes import SparkColNode
+
+    cond = to_column(node.filter_where, scope)
+
+    def wrap(a: Node) -> Node:
+        if isinstance(a, IdentityNode) and a.is_star:  # count(*)
+            return SparkColNode(col=F.when(cond, F.lit(1)), dtype=T.IntegerType(), text="1")
+        return SparkColNode(col=F.when(cond, to_column(a, scope)), dtype=infer_dtype(a, scope), text=a.sql())
+
+    args = list(node.args)
+    if args:
+        if isinstance(args[0], FuncNode) and args[0].name == "distinct":
+            args[0] = dataclasses.replace(args[0], args=[wrap(x) for x in args[0].args])
+        else:
+            args[0] = wrap(args[0])
+    return dataclasses.replace(node, args=args, filter_where=None)
 
 
 def is_agg_func(name: str) -> bool:

@@ -95,12 +95,18 @@ class IdentityNode(Node):
 class FuncNode(Node):
     name: str  # lower-cased, may contain dots: "string.lowercase"
     args: list[Node]
+    # ANSI aggregate filter: agg(x) FILTER (WHERE pred) — only valid on
+    # aggregate functions; rows failing pred are excluded from the agg
+    filter_where: "Node | None" = None
 
     def children(self):
-        return self.args
+        return self.args + ([self.filter_where] if self.filter_where is not None else [])
 
     def sql(self) -> str:
-        return f"{self.name}({', '.join(a.sql() for a in self.args)})"
+        base = f"{self.name}({', '.join(a.sql() for a in self.args)})"
+        if self.filter_where is not None:
+            base += f" FILTER (WHERE {self.filter_where.sql()})"
+        return base
 
 
 @dataclass

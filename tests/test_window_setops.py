@@ -430,6 +430,49 @@ class TestMedianPercentile:
             eng.sql("SELECT approx_percentile(amt) AS q FROM sales").collect()
 
 
+class TestAggregateFilterWhere:
+    def test_filter_where_basic(self, eng):
+        rows = eng.sql(
+            """SELECT region,
+                      count(*) FILTER (WHERE amt > 15) AS big,
+                      sum(amt) FILTER (WHERE amt > 15) AS big_amt,
+                      count(*) AS total
+               FROM sales GROUP BY region ORDER BY region"""
+        ).collect()
+        assert [(r["region"], r["big"], r["big_amt"], r["total"]) for r in rows] == [
+            ("e", 2, 50.0, 3), ("w", 1, 50.0, 2),
+        ]
+
+    def test_filter_where_count_distinct(self, eng):
+        row = eng.sql(
+            'SELECT count(DISTINCT region) FILTER (WHERE amt < 15) AS r FROM sales'
+        ).collect()[0]
+        assert row["r"] == 2  # e (amt 10) and w (amt 5)
+
+    def test_filter_where_no_match_is_null_sum(self, eng):
+        row = eng.sql(
+            "SELECT sum(amt) FILTER (WHERE amt > 999) AS s, count(*) FILTER (WHERE amt > 999) AS n FROM sales"
+        ).collect()[0]
+        assert row["s"] is None and row["n"] == 0
+
+    def test_filter_where_on_scalar_function_errors(self, eng):
+        with pytest.raises(TranslateError, match="only valid on an aggregate"):
+            eng.sql("SELECT tolower(rep) FILTER (WHERE amt > 1) AS x FROM sales").collect()
+
+    def test_filter_where_roundtrip_sql(self):
+        n = parse_expression("sum(x) FILTER (WHERE (y > 2))")
+        assert "FILTER (WHERE" in n.sql()
+        assert parse_expression(n.sql()) == n
+
+    def test_filter_where_with_over(self, eng):
+        # agg FILTER ... OVER w: windowed conditional count
+        rows = eng.sql(
+            """SELECT rep, count(*) FILTER (WHERE amt >= 20) OVER (PARTITION BY region) AS big
+               FROM sales ORDER BY rep"""
+        ).collect()
+        assert {r["rep"]: r["big"] for r in rows} == {"a": 2, "b": 2, "c": 2, "d": 1, "e": 1}
+
+
 class TestLagLeadDefault:
     def test_lag_default_literal(self, eng):
         rows = eng.sql(
