@@ -12,6 +12,7 @@ frames, add event-time watermarking from WITH config, and materialize via
 WITH config keys:
     {"stream": true, "watermark": {"column": "ts", "delay": "10 minutes"},
      "window": {"column": "ts", "duration": "5 minutes", "slide": "..."},
+     "session": {"column": "ts", "gap": "5 minutes"},   # session windows
      "output_mode": "append"|"update"|"complete",
      "checkpoint": "/tmp/ckpt", "format": "memory"|"parquet", "path": ...}
 """
@@ -52,31 +53,39 @@ def create_continuous_view(engine, create_stmt):
         stream_df = stream_df.withWatermark(wm["column"], wm.get("delay", "10 minutes"))
 
     win = cfg.get("window")
-    if win:
-        # tumbling/sliding event-time window: the window STRUCT joins the
-        # GROUP BY keys (grouping on the struct keeps Spark's event-time
-        # marker, so watermark-based state eviction works in append mode);
-        # start/end are flattened after aggregation
+    sess = cfg.get("session")
+    if win and sess:
+        raise ValueError("WITH may specify 'window' or 'session', not both")
+    if win or sess:
+        # event-time window (tumbling/sliding) or session window (gap-
+        # merged): the window STRUCT joins the GROUP BY keys (grouping on
+        # the struct keeps Spark's event-time marker, so watermark-based
+        # state eviction works in append mode); start/end are flattened
+        # after aggregation
         if not sel.group_by and not any(
             not c.is_star and funcs_is_agg_tree(c.expr) for c in sel.columns
         ):
-            raise ValueError("WITH {'window': ...} requires an aggregating SELECT (GROUP BY / aggregates)")
-        stream_df = stream_df.withColumn(
-            "__win", F.window(F.col(win["column"]), win["duration"], win.get("slide"))
-        )
+            raise ValueError("WITH {'window'/'session': ...} requires an aggregating SELECT (GROUP BY / aggregates)")
+        if win:
+            wcol = F.window(F.col(win["column"]), win["duration"], win.get("slide"))
+        else:
+            # sessions close after `gap` of event-time silence per group
+            # key — Spark merges overlapping per-row windows in the agg
+            wcol = F.session_window(F.col(sess["column"]), sess.get("gap", "5 minutes"))
+        stream_df = stream_df.withColumn("__win", wcol)
 
     # run the same SELECT translation against the streaming frame
     engine.register_df(f"__stream_{src.name}", stream_df)
     try:
         sel2 = _clone_with_from(sel, f"__stream_{src.name}", src)
-        if win:
+        if win or sess:
             from ..nodes import IdentityNode
             from ..rel import Column as SelColumn
 
             sel2.group_by = list(sel2.group_by) + [IdentityNode(("__win",))]
             sel2.columns = list(sel2.columns) + [SelColumn(expr=IdentityNode(("__win",)), alias="__win")]
         out = engine._select(sel2)
-        if win:
+        if win or sess:
             out = (
                 out.withColumn("window_start", F.col("__win.start"))
                 .withColumn("window_end", F.col("__win.end"))

@@ -31,16 +31,23 @@ class TestSessionHelpers:
 
 class TestUdaf:
     def test_agg_add_median(self, engine):
-        from qlbridge_spark.functions import agg_add
+        # deliberately OVERRIDES the builtin median — runtime agg_add wins
+        # over the registry (expr.FuncAdd semantics); restored after, the
+        # registry is process-global
+        from qlbridge_spark.functions import agg_add, registry
 
         def median(v: pd.Series) -> float:
             return float(v.median())
 
+        saved = registry.get("median")
         agg_add("median", median, "double")
-        df = engine.sql("SELECT user_id, median(price) AS med FROM orders GROUP BY user_id ORDER BY user_id")
-        got = {r[0]: r[1] for r in df.collect()}
-        assert got["9Ip1aKbeZe2njCDM"] == 30.0
-        assert got["abcabcabc"] == 22.5
+        try:
+            df = engine.sql("SELECT user_id, median(price) AS med FROM orders GROUP BY user_id ORDER BY user_id")
+            got = {r[0]: r[1] for r in df.collect()}
+            assert got["9Ip1aKbeZe2njCDM"] == 30.0
+            assert got["abcabcabc"] == 22.5
+        finally:
+            registry["median"] = saved
 
 
 class TestAlterParity:

@@ -91,6 +91,63 @@ class TestContinuousView:
         finally:
             q.stop()
 
+    def test_continuous_view_session_window(self, spark, tmp_path):
+        """WITH {'session': ...}: gap-merged session windows per group key
+        (session_window keeps the event-time marker, so append mode emits
+        sessions once the watermark closes them)."""
+        import json
+
+        from qlbridge_spark import Engine
+
+        eng = Engine(spark)
+        rows = [
+            # user u1: two bursts separated by > 2m gap → two sessions
+            (1, "u1", datetime.datetime(2024, 1, 1, 10, 0, 0)),
+            (2, "u1", datetime.datetime(2024, 1, 1, 10, 1, 0)),
+            (3, "u1", datetime.datetime(2024, 1, 1, 10, 10, 0)),
+            # u2: one session
+            (4, "u2", datetime.datetime(2024, 1, 1, 10, 2, 0)),
+            # far-future row closes all earlier sessions
+            (5, "u3", datetime.datetime(2024, 1, 1, 12, 0, 0)),
+        ]
+        batch = spark.createDataFrame(rows, "event_id long, user string, ts timestamp")
+        stream_dir = str(tmp_path / "sess_stream")
+        batch.write.parquet(stream_dir)
+        eng.register_df("evs", batch)
+        cfg = {
+            "path": stream_dir,
+            "checkpoint": str(tmp_path / "sess_ckpt"),
+            "output_mode": "append",
+            "watermark": {"column": "ts", "delay": "1 minute"},
+            "session": {"column": "ts", "gap": "2 minutes"},
+        }
+        q = eng.execute(
+            "CREATE CONTINUOUSVIEW sess AS SELECT user, count(*) AS n FROM evs "
+            f"GROUP BY user WITH {json.dumps(cfg)}"
+        )
+        try:
+            q.processAllAvailable()
+            out = spark.sql("SELECT * FROM sess").collect()
+            got = sorted((r["user"], r["n"], r["window_start"].minute) for r in out)
+            # u1: session [10:00,10:03) n=2 and [10:10,10:12) n=1; u2: n=1
+            assert got == [("u1", 1, 10), ("u1", 2, 0), ("u2", 1, 2)]
+        finally:
+            q.stop()
+
+    def test_continuous_view_window_and_session_conflict(self, spark, tmp_path):
+        import json
+
+        from qlbridge_spark import Engine
+
+        eng = Engine(spark)
+        batch = spark.createDataFrame([(1, datetime.datetime(2024, 1, 1))], "event_id long, ts timestamp")
+        d = str(tmp_path / "conf_stream")
+        batch.write.parquet(d)
+        eng.register_df("ev3", batch)
+        cfg = {"path": d, "window": {"column": "ts", "duration": "5 minutes"}, "session": {"column": "ts", "gap": "1 minute"}}
+        with pytest.raises(ValueError, match="not both"):
+            eng.execute(f"CREATE CONTINUOUSVIEW bad2 AS SELECT count(*) AS n FROM ev3 WITH {json.dumps(cfg)}")
+
     def test_continuous_view_window_requires_agg(self, spark, tmp_path):
         import json
 
