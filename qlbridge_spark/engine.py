@@ -473,6 +473,12 @@ class Engine:
     def _apply_where(self, df: DataFrame, scope: Scope, sel: SqlSelect):
         plain: list[Node] = []
         for conj in self._conjuncts(sel.where):
+            ex = self._as_exists_subquery(conj)
+            if ex is not None:
+                # correlated EXISTS (uncorrelated ones were materialized to
+                # literals by _resolve_scalar_subqueries) → semi/anti-join
+                df = self._correlated_exists_join(df, scope, *ex)
+                continue
             sub = self._as_subquery_in(conj)
             if sub is not None:
                 lhs_node, sub_sel, anti = sub
@@ -495,6 +501,57 @@ class Engine:
         # rebuild scope frames to the post-join df for projection? frames
         # stay valid: filter/semi-join preserve the aliased lineage.
         return df, scope
+
+    @staticmethod
+    def _as_exists_subquery(node: Node):
+        """EXISTS (SELECT …) [under NOT] as a WHERE conjunct →
+        (select, anti) or None."""
+        anti = False
+        while isinstance(node, UnaryNode) and node.op == "NOT":
+            node = node.child
+            anti = not anti
+        if isinstance(node, UnaryNode) and node.op == "EXISTS" and isinstance(node.child, SubqueryNode):
+            return node.child.select, anti
+        return None
+
+    def _correlated_exists_join(self, df: DataFrame, scope: Scope, sub_sel, anti: bool) -> DataFrame:
+        """Decorrelate ``EXISTS (SELECT … WHERE inner-and-outer preds)``
+        into a LEFT SEMI (ANTI under NOT) join — the only plan that runs
+        this distributed: the correlated re-execution a tuple-at-a-time
+        engine would do is O(rows × subquery).
+
+        Inner-only conjuncts stay filters on the inner frame (pushed to
+        its scan); conjuncts referencing outer columns — equality or not
+        (``o.ts < u.ts`` works) — become the join condition, translated
+        against a combined inner+outer scope. All sources are
+        ``.alias()``-ed, so cross-frame references resolve by name."""
+        if isinstance(sub_sel, SqlSetOp) or sub_sel.group_by or sub_sel.having is not None:
+            raise ExecError("correlated EXISTS supports a plain inner SELECT (no set-ops/GROUP BY/HAVING)")
+        inner_df, inner_scope = self._build_from(sub_sel)
+        overlap = set(inner_scope.frames) & set(scope.frames)
+        if overlap:
+            raise ExecError(
+                f"correlated EXISTS: alias {sorted(overlap)} names both an outer and an inner table; "
+                "alias one side (… FROM orders AS o)"
+            )
+        combined = Scope({**scope.frames, **inner_scope.frames}, includes=self.includes, params=self.session_vars)
+        inner_preds: list[Node] = []
+        join_conds: list[SparkColumn] = []
+        for c in self._conjuncts(sub_sel.where) if sub_sel.where is not None else []:
+            try:
+                inner_preds.append(to_column(c, inner_scope))
+                continue
+            except TranslateError:
+                pass
+            join_conds.append(to_column(c, combined))
+        if not join_conds:
+            raise ExecError("EXISTS subquery is uncorrelated here; this path needs an outer-column reference")
+        for p in inner_preds:
+            inner_df = inner_df.filter(p)
+        on = join_conds[0]
+        for c in join_conds[1:]:
+            on = on & c
+        return df.join(inner_df, on=on, how="left_anti" if anti else "left_semi")
 
     @staticmethod
     def _as_subquery_in(node: Node):
@@ -633,7 +690,13 @@ class Engine:
         from .nodes import SparkColNode
 
         def scalar(sub: SubqueryNode) -> Node:
-            sub_df = self._select_any(sub.select)
+            try:
+                sub_df = self._select_any(sub.select)
+            except TranslateError as exc:
+                raise ExecError(
+                    f"correlated scalar subqueries are not supported (inner resolution failed: {exc}); "
+                    "only correlated EXISTS decorrelates to a semi-join"
+                ) from exc
             if len(sub_df.columns) != 1:
                 raise ExecError(f"scalar subquery must return one column, got {len(sub_df.columns)}")
             rows = sub_df.limit(2).collect()
@@ -649,7 +712,12 @@ class Engine:
                 return scalar(n)
             if isinstance(n, UnaryNode):
                 if n.op == "EXISTS" and isinstance(n.child, SubqueryNode):
-                    inner = self._select_any(n.child.select)
+                    try:
+                        inner = self._select_any(n.child.select)
+                    except TranslateError:
+                        # inner references outer columns → CORRELATED;
+                        # left intact for _apply_where's semi-join rewrite
+                        return n
                     return SparkColNode(col=F.lit(inner.limit(1).count() > 0), dtype=None, text="EXISTS(...)")
                 return UnaryNode(n.op, walk(n.child))
             if isinstance(n, BinaryNode):

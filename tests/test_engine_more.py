@@ -75,6 +75,64 @@ class TestMoreEngine:
         df = engine.sql('SELECT order_id FROM orders WHERE price > (SELECT price FROM orders WHERE order_id = 999)')
         assert df.count() == 0
 
+    def test_correlated_exists_semi_join(self, engine):
+        # users with at least one order → semi-join decorrelation
+        df = engine.sql(
+            "SELECT users.user_id FROM users WHERE EXISTS "
+            "(SELECT 1 FROM orders WHERE orders.user_id = users.user_id) ORDER BY users.user_id"
+        )
+        assert [r[0] for r in rows(df)] == ["9Ip1aKbeZe2njCDM"]
+
+    def test_correlated_not_exists_anti_join(self, engine):
+        df = engine.sql(
+            "SELECT users.user_id FROM users WHERE NOT EXISTS "
+            "(SELECT 1 FROM orders WHERE orders.user_id = users.user_id) ORDER BY users.user_id"
+        )
+        assert [r[0] for r in rows(df)] == ["hT2impsOPUREcVPc", "hT2impsabc345c"]
+
+    def test_correlated_exists_with_inner_filter(self, engine):
+        # inner-only predicate stays a pushed filter on the inner scan
+        df = engine.sql(
+            "SELECT users.user_id FROM users WHERE EXISTS "
+            "(SELECT 1 FROM orders WHERE orders.user_id = users.user_id AND orders.price > 30)"
+        )
+        assert [r[0] for r in rows(df)] == ["9Ip1aKbeZe2njCDM"]
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "LeftSemi" in plan
+
+    def test_correlated_exists_non_equi(self, engine):
+        # non-equality correlation also decorrelates (goes into the join)
+        df = engine.sql(
+            "SELECT users.user_id FROM users WHERE EXISTS "
+            "(SELECT 1 FROM orders WHERE orders.user_id = users.user_id AND orders.order_date > users.reg_date)"
+        )
+        assert [r[0] for r in rows(df)] == ["9Ip1aKbeZe2njCDM"]
+
+    def test_exists_same_alias_shadows_and_is_uncorrelated(self, engine):
+        # inner `orders` fully shadows the outer one (innermost scoping):
+        # bare `price` binds the INNER column, so the predicate is a
+        # self-comparison — an uncorrelated, constant-false EXISTS
+        df = engine.sql(
+            "SELECT order_id FROM orders WHERE EXISTS (SELECT 1 FROM orders WHERE orders.price > price)"
+        )
+        assert df.count() == 0
+
+    def test_correlated_exists_alias_collision_errors(self, engine):
+        # correlated via users, but inner alias `orders` collides with the
+        # outer orders frame → clear error asking to alias
+        with pytest.raises(ExecError, match="alias"):
+            engine.sql(
+                "SELECT users.user_id FROM users JOIN orders ON users.user_id = orders.user_id "
+                "WHERE EXISTS (SELECT 1 FROM orders WHERE orders.user_id = users.user_id)"
+            ).collect()
+
+    def test_correlated_scalar_subquery_clear_error(self, engine):
+        with pytest.raises(ExecError, match="correlated scalar"):
+            engine.sql(
+                "SELECT users.user_id FROM users WHERE referral_count > "
+                "(SELECT count(*) FROM orders WHERE orders.user_id = users.user_id)"
+            ).collect()
+
     def test_exists_subquery(self, engine):
         df = engine.sql('SELECT order_id FROM orders WHERE EXISTS (SELECT 1 FROM users WHERE user_id = "9Ip1aKbeZe2njCDM")')
         assert df.count() == 3
