@@ -482,7 +482,24 @@ class Engine:
             sub = self._as_subquery_in(conj)
             if sub is not None:
                 lhs_node, sub_sel, anti = sub
-                sub_df = self._select_any(sub_sel)
+                try:
+                    sub_df = self._select_any(sub_sel)
+                except TranslateError:
+                    # correlated IN: x IN (SELECT y FROM t WHERE c) ≡
+                    # EXISTS (SELECT 1 FROM t WHERE c AND y = x) — reuse
+                    # the EXISTS decorrelation. x is outer-context, so its
+                    # identities are pre-qualified with their outer frame
+                    # alias (a bare name would re-bind innermost once
+                    # inside the EXISTS where-clause)
+                    import dataclasses
+
+                    if isinstance(sub_sel, SqlSetOp) or not sub_sel.columns or sub_sel.columns[0].is_star:
+                        raise ExecError("correlated IN needs a plain single-column inner SELECT") from None
+                    eq = BinaryNode("=", sub_sel.columns[0].expr, self._qualify_identities(lhs_node, scope))
+                    new_where = eq if sub_sel.where is None else BinaryNode("AND", sub_sel.where, eq)
+                    ex_sel = dataclasses.replace(sub_sel, where=new_where)
+                    df = self._correlated_exists_join(df, scope, ex_sel, anti)
+                    continue
                 # unique key name — the subquery may project a column name
                 # that also exists on the outer side (ambiguous reference)
                 sub_df = sub_df.select(sub_df[sub_df.columns[0]].alias("__subq_key"))
@@ -501,6 +518,22 @@ class Engine:
         # rebuild scope frames to the post-join df for projection? frames
         # stay valid: filter/semi-join preserve the aliased lineage.
         return df, scope
+
+    @staticmethod
+    def _qualify_identities(node: Node, scope: Scope) -> Node:
+        """Rewrite single-part identities to their ``alias.column`` form
+        using ``scope``'s resolution — pins outer-context expressions to
+        outer frames before they are moved into a subquery's WHERE."""
+
+        def fn(n: Node) -> Node:
+            if isinstance(n, IdentityNode) and len(n.parts) == 1 and not n.is_star:
+                hit = scope._fields.get(n.parts[0].lower())
+                if hit is not None and n.parts[0].lower() not in scope._ambiguous:
+                    alias, fld = hit
+                    return IdentityNode((alias, fld.name))
+            return n
+
+        return transform(node, fn)
 
     @staticmethod
     def _as_exists_subquery(node: Node):

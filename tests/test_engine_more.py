@@ -133,6 +133,30 @@ class TestMoreEngine:
                 "(SELECT count(*) FROM orders WHERE orders.user_id = users.user_id)"
             ).collect()
 
+    def test_correlated_in_subquery(self, engine):
+        # bare outer lhs gets qualified before the EXISTS rewrite, so it
+        # does not re-bind to the inner orders.user_id
+        df = engine.sql(
+            "SELECT user_id FROM users WHERE user_id IN "
+            "(SELECT orders.user_id FROM orders WHERE orders.order_date > users.reg_date)"
+        )
+        assert [r[0] for r in rows(df)] == ["9Ip1aKbeZe2njCDM"]
+
+    def test_correlated_not_in_subquery(self, engine):
+        df = engine.sql(
+            "SELECT user_id FROM users WHERE user_id NOT IN "
+            "(SELECT orders.user_id FROM orders WHERE orders.order_date > users.reg_date) ORDER BY user_id"
+        )
+        assert [r[0] for r in rows(df)] == ["hT2impsOPUREcVPc", "hT2impsabc345c"]
+
+    def test_correlated_in_plan_is_semi_join(self, engine):
+        df = engine.sql(
+            "SELECT user_id FROM users WHERE user_id IN "
+            "(SELECT orders.user_id FROM orders WHERE orders.order_date > users.reg_date)"
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "LeftSemi" in plan and "BatchEvalPython" not in plan
+
     def test_exists_subquery(self, engine):
         df = engine.sql('SELECT order_id FROM orders WHERE EXISTS (SELECT 1 FROM users WHERE user_id = "9Ip1aKbeZe2njCDM")')
         assert df.count() == 3
