@@ -307,12 +307,11 @@ _Q = {
     "q36_window_timeseries": """
         SELECT event_id, user_id,
                epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us,
-               sum(floor(value * 100 + 0.5)) OVER w3 AS mov3_cents
+               sum(floor(value * 100 + 0.5))
+                   OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov3_cents
         FROM events
         WHERE user_id < 20
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
-               w3 AS (PARTITION BY user_id ORDER BY ts, event_id
-                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""",
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
     # NTILE + percent_rank sharing one named window; QUALIFY post-filter
     "q37_window_quartiles": """
         SELECT c_mktsegment, c_custkey,

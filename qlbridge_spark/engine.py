@@ -806,12 +806,24 @@ class Engine:
         be shared, e.g. stored in a view)."""
         import dataclasses
 
+        def lookup(name: str, seen: tuple = ()) -> WindowNode:
+            spec = sel.windows.get(name)
+            if spec is None:
+                raise ExecError(f"unknown window name {name!r} (no WINDOW {name} AS (...))")
+            if spec.ref is not None:
+                # WINDOW w2 AS (w [frame]) — chained named-window extension
+                if name in seen:
+                    raise ExecError(f"window definition cycle through {name!r}")
+                base = lookup(spec.ref, seen + (name,))
+                spec = dataclasses.replace(base, frame=spec.frame if spec.frame is not None else base.frame, ref=None)
+            return spec
+
         def resolve(n: Node) -> Node:
             if isinstance(n, WindowNode) and n.ref is not None:
-                spec = sel.windows.get(n.ref)
-                if spec is None:
-                    raise ExecError(f"unknown window name {n.ref!r} (no WINDOW {n.ref} AS (...))")
-                return dataclasses.replace(spec, func=n.func, ref=None)
+                spec = lookup(n.ref)
+                # OVER (w ROWS BETWEEN ...): the use-site frame wins
+                frame = n.frame if n.frame is not None else spec.frame
+                return dataclasses.replace(spec, func=n.func, frame=frame, ref=None)
             return n
 
         def rw(node):

@@ -318,7 +318,20 @@ class ExprParser:
 
     def parse_window_spec(self, fn: FuncNode) -> WindowNode:
         """The interior of an OVER( ... ) / WINDOW w AS ( ... ) spec —
-        cursor positioned after the opening paren; does not consume it."""
+        cursor positioned after the opening paren; does not consume it.
+        ``OVER (w [frame])`` — a leading bare identifier references a named
+        window, optionally extending it with a frame."""
+        t = self.cur()
+        if t.kind == IDENT and t.upper not in ("PARTITION", "ORDER", "ROWS", "RANGE"):
+            win = WindowNode(func=fn, ref=self.advance().val)
+            if self.at_kw("ROWS", "RANGE"):
+                kind = self.advance().upper
+                self.expect(IDENT, "BETWEEN")
+                lo = self._frame_bound()
+                self.expect(IDENT, "AND")
+                hi = self._frame_bound()
+                win.frame = (kind, lo, hi)
+            return win
         win = WindowNode(func=fn)
         if self.at_kw("PARTITION"):
             self.advance()

@@ -198,8 +198,22 @@ class WindowNode(Node):
     def children(self):
         return [self.func, *self.partition_by, *[e for e, _ in self.order_by]]
 
+    def _frame_sql(self) -> str:
+        kind, lo, hi = self.frame
+
+        def bound(v, side):
+            if v is None:
+                return f"UNBOUNDED {side}"
+            if v == 0:
+                return "CURRENT ROW"
+            return f"{-v} PRECEDING" if v < 0 else f"{v} FOLLOWING"
+
+        return f"{kind} BETWEEN {bound(lo, 'PRECEDING')} AND {bound(hi, 'FOLLOWING')}"
+
     def sql(self) -> str:
         if self.ref is not None:
+            if self.frame is not None:  # OVER (w ROWS BETWEEN ...) extension
+                return f"{self.func.sql()} OVER ({self.ref} {self._frame_sql()})"
             return f"{self.func.sql()} OVER {self.ref}"
         parts = []
         if self.partition_by:
@@ -207,16 +221,7 @@ class WindowNode(Node):
         if self.order_by:
             parts.append("ORDER BY " + ", ".join(f"{e.sql()} {d}" for e, d in self.order_by))
         if self.frame is not None:
-            kind, lo, hi = self.frame
-
-            def bound(v, side):
-                if v is None:
-                    return f"UNBOUNDED {side}"
-                if v == 0:
-                    return "CURRENT ROW"
-                return f"{-v} PRECEDING" if v < 0 else f"{v} FOLLOWING"
-
-            parts.append(f"{kind} BETWEEN {bound(lo, 'PRECEDING')} AND {bound(hi, 'FOLLOWING')}")
+            parts.append(self._frame_sql())
         return f"{self.func.sql()} OVER ({' '.join(parts)})"
 
 

@@ -340,6 +340,40 @@ class TestNamedWindows:
         with pytest.raises(TranslateError, match="requires a WINDOW"):
             eng.sql("SELECT rank() OVER w AS r FROM sales").collect()
 
+    def test_over_extends_named_window_with_frame(self, eng):
+        # OVER (w ROWS BETWEEN ...) inherits partition/order, overrides frame
+        rows = eng.sql(
+            """SELECT rep,
+                      sum(amt) OVER (w ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS mov2,
+                      sum(amt) OVER w AS run
+               FROM sales WINDOW w AS (PARTITION BY region ORDER BY rep) ORDER BY rep"""
+        ).collect()
+        by_rep = {r["rep"]: (r["mov2"], r["run"]) for r in rows}
+        assert by_rep["c"] == (50, 60) and by_rep["b"] == (40, 40)
+
+    def test_chained_window_definitions(self, eng):
+        # WINDOW w2 AS (w ROWS ...) — named spec extending another
+        rows = eng.sql(
+            """SELECT rep, sum(amt) OVER w2 AS mov2 FROM sales
+               WINDOW w AS (PARTITION BY region ORDER BY rep),
+                      w2 AS (w ROWS BETWEEN 1 PRECEDING AND CURRENT ROW)
+               ORDER BY rep"""
+        ).collect()
+        assert {r["rep"]: r["mov2"] for r in rows}["c"] == 50
+
+    def test_window_definition_cycle_errors(self, eng):
+        from qlbridge_spark.engine import ExecError
+
+        with pytest.raises(ExecError, match="cycle"):
+            eng.sql(
+                "SELECT sum(amt) OVER a AS s FROM sales WINDOW a AS (b), b AS (a)"
+            ).collect()
+
+    def test_over_extension_roundtrip(self):
+        n = parse_expression("sum(x) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)")
+        assert n.ref == "w" and n.frame == ("ROWS", -2, 0)
+        assert parse_expression(n.sql()) == n
+
     def test_view_over_named_window(self, eng):
         # the parsed select is stored in the view; resolution must not
         # mutate it (copy-on-resolve) so the view keeps working
