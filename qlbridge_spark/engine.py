@@ -287,11 +287,20 @@ class Engine:
     def _select(self, sel: SqlSelect) -> DataFrame:
         if sel.windows:
             sel = self._resolve_named_windows(sel)
-        sel = self._resolve_scalar_subqueries(sel)
         if not sel.from_:
+            # no outer frame to correlate against or join onto → eager
+            # plan-time materialization (the only option here)
+            sel = self._resolve_scalar_subqueries(sel)
             return self._literal_select(sel)
 
         df, scope = self._build_from(sel)
+
+        # HAVING/QUALIFY run post-aggregation where lazily-joined subquery
+        # columns would not survive the groupBy — materialize those
+        # positions eagerly; select-list + WHERE subqueries lower lazily
+        # (cross join / decorrelation) in _rewrite_subqueries
+        sel = self._resolve_scalar_subqueries(sel, fields=("having", "qualify"))
+        df, sel = self._rewrite_subqueries(df, scope, sel)
 
         # WHERE — decompose AND-conjuncts; IN (SELECT) → semi/anti join
         # (superset: reference parses but errors, plan/planner_select.go:94-98)
@@ -706,18 +715,18 @@ class Engine:
         # order output columns as selected
         return agged.select(*out_names)
 
-    def _resolve_scalar_subqueries(self, sel: SqlSelect) -> SqlSelect:
-        """Materialize UNCORRELATED scalar subqueries — ``(SELECT max(x)
-        FROM t)`` in a comparison / select position, ``EXISTS (SELECT …)``
-        — into literal columns before translation.
+    def _resolve_scalar_subqueries(self, sel: SqlSelect, fields: tuple[str, ...] = ("columns", "where", "having", "qualify")) -> SqlSelect:
+        """EAGERLY materialize UNCORRELATED scalar subqueries — ``(SELECT
+        max(x) FROM t)`` in a comparison / select position, ``EXISTS
+        (SELECT …)`` — into literal columns before translation.
 
-        The subquery runs once at plan time (a driver action; Spark's own
-        uncorrelated-scalar-subquery execution is also a separate job) and
-        must produce one column and at most one row (ANSI). ``IN (SELECT
-        …)`` is NOT handled here — the WHERE path lowers it to a
-        semi/anti-join. Correlated subqueries are unsupported (they would
-        need decorrelation) and fail naturally: the inner select can't
-        resolve outer columns."""
+        Used only where a lazy lowering is impossible: FROM-less selects
+        (no outer frame to join onto) and HAVING/QUALIFY (post-aggregation
+        positions where a lazily-joined column would not survive the
+        groupBy). Everywhere else ``_rewrite_subqueries`` lowers subqueries
+        lazily so ``explain()`` runs zero jobs. The subquery must produce
+        one column and at most one row (ANSI). ``IN (SELECT …)`` is NOT
+        handled here — the WHERE path lowers it to a semi/anti-join."""
         import dataclasses
 
         from .nodes import SparkColNode
@@ -727,8 +736,8 @@ class Engine:
                 sub_df = self._select_any(sub.select)
             except TranslateError as exc:
                 raise ExecError(
-                    f"correlated scalar subqueries are not supported (inner resolution failed: {exc}); "
-                    "only correlated EXISTS decorrelates to a semi-join"
+                    f"correlated scalar subqueries are supported in the select list and WHERE only "
+                    f"(this position aggregates before the decorrelating join could apply; inner resolution failed: {exc})"
                 ) from exc
             if len(sub_df.columns) != 1:
                 raise ExecError(f"scalar subquery must return one column, got {len(sub_df.columns)}")
@@ -776,18 +785,21 @@ class Engine:
                 return dataclasses.replace(n, items=[walk(i) for i in n.items])
             return n
 
-        if not self._has_scalar_subquery(sel):
+        if not self._has_scalar_subquery(sel, fields):
             return sel
-        return dataclasses.replace(
-            sel,
-            columns=[dataclasses.replace(c, expr=walk(c.expr), guard=walk(c.guard)) for c in sel.columns],
-            where=walk(sel.where),
-            having=walk(sel.having),
-            qualify=walk(sel.qualify),
-        )
+        repl: dict[str, object] = {}
+        if "columns" in fields:
+            repl["columns"] = [dataclasses.replace(c, expr=walk(c.expr), guard=walk(c.guard)) for c in sel.columns]
+        if "where" in fields:
+            repl["where"] = walk(sel.where)
+        if "having" in fields:
+            repl["having"] = walk(sel.having)
+        if "qualify" in fields:
+            repl["qualify"] = walk(sel.qualify)
+        return dataclasses.replace(sel, **repl)
 
     @staticmethod
-    def _has_scalar_subquery(sel: SqlSelect) -> bool:
+    def _has_scalar_subquery(sel: SqlSelect, fields: tuple[str, ...] = ("columns", "where", "having", "qualify")) -> bool:
         def scan(n: Node | None) -> bool:
             if n is None:
                 return False
@@ -797,7 +809,16 @@ class Engine:
                 return scan(n.left)
             return any(scan(c) for c in n.children())
 
-        return any(scan(c.expr) or scan(c.guard) for c in sel.columns) or scan(sel.where) or scan(sel.having) or scan(sel.qualify)
+        hit = False
+        if "columns" in fields:
+            hit = any(scan(c.expr) or scan(c.guard) for c in sel.columns)
+        if "where" in fields:
+            hit = hit or scan(sel.where)
+        if "having" in fields:
+            hit = hit or scan(sel.having)
+        if "qualify" in fields:
+            hit = hit or scan(sel.qualify)
+        return hit
 
     @staticmethod
     def _resolve_named_windows(sel: SqlSelect) -> SqlSelect:
