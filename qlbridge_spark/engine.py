@@ -715,43 +715,63 @@ class Engine:
         # order output columns as selected
         return agged.select(*out_names)
 
-    def _resolve_scalar_subqueries(self, sel: SqlSelect, fields: tuple[str, ...] = ("columns", "where", "having", "qualify")) -> SqlSelect:
-        """EAGERLY materialize UNCORRELATED scalar subqueries — ``(SELECT
-        max(x) FROM t)`` in a comparison / select position, ``EXISTS
-        (SELECT …)`` — into literal columns before translation.
+    def _materialize_scalar(self, sub_select) -> Node:
+        """Run an UNCORRELATED scalar subquery once at plan time and return
+        its value as a literal node (a bounded driver action — Spark's own
+        uncorrelated-scalar-subquery execution is likewise a separate job).
+        One column, at most one row (ANSI). Raises ``TranslateError``
+        through if the inner select references outer columns (correlated) —
+        callers decide whether to decorrelate or error."""
+        from .nodes import SparkColNode
 
-        Used only where a lazy lowering is impossible: FROM-less selects
-        (no outer frame to join onto) and HAVING/QUALIFY (post-aggregation
-        positions where a lazily-joined column would not survive the
-        groupBy). Everywhere else ``_rewrite_subqueries`` lowers subqueries
-        lazily so ``explain()`` runs zero jobs. The subquery must produce
-        one column and at most one row (ANSI). ``IN (SELECT …)`` is NOT
-        handled here — the WHERE path lowers it to a semi/anti-join."""
+        sub_df = self._select_any(sub_select)
+        if len(sub_df.columns) != 1:
+            raise ExecError(f"scalar subquery must return one column, got {len(sub_df.columns)}")
+        rows = sub_df.limit(2).collect()
+        if len(rows) > 1:
+            raise ExecError("scalar subquery returned more than one row")
+        val = rows[0][0] if rows else None
+        return SparkColNode(col=F.lit(val), dtype=sub_df.schema.fields[0].dataType)
+
+    def _resolve_scalar_subqueries(
+        self,
+        sel: SqlSelect,
+        fields: tuple[str, ...] = ("columns", "where", "having", "qualify"),
+        scalar_fn=None,
+    ) -> SqlSelect:
+        """Rewrite scalar-subquery positions — ``(SELECT max(x) FROM t)``
+        in a comparison / select position, ``EXISTS (SELECT …)`` — through
+        ``scalar_fn`` (default: eager uncorrelated materialization via
+        ``_materialize_scalar``; correlated errors).
+
+        The eager default is used where a join-based lowering is
+        impossible: FROM-less selects (no outer frame to join onto) and
+        HAVING/QUALIFY (post-aggregation positions where a joined column
+        would not survive the groupBy). Select-list + WHERE positions go
+        through ``_rewrite_subqueries``, which passes a ``scalar_fn`` that
+        decorrelates. ``IN (SELECT …)`` is NOT handled here — the WHERE
+        path lowers it to a semi/anti-join."""
         import dataclasses
 
         from .nodes import SparkColNode
 
         def scalar(sub: SubqueryNode) -> Node:
             try:
-                sub_df = self._select_any(sub.select)
+                return self._materialize_scalar(sub.select)
             except TranslateError as exc:
                 raise ExecError(
                     f"correlated scalar subqueries are supported in the select list and WHERE only "
                     f"(this position aggregates before the decorrelating join could apply; inner resolution failed: {exc})"
                 ) from exc
-            if len(sub_df.columns) != 1:
-                raise ExecError(f"scalar subquery must return one column, got {len(sub_df.columns)}")
-            rows = sub_df.limit(2).collect()
-            if len(rows) > 1:
-                raise ExecError("scalar subquery returned more than one row")
-            val = rows[0][0] if rows else None
-            return SparkColNode(col=F.lit(val), dtype=sub_df.schema.fields[0].dataType)
+
+        if scalar_fn is None:
+            scalar_fn = scalar
 
         def walk(n: Node | None) -> Node | None:
             if n is None:
                 return None
             if isinstance(n, SubqueryNode):
-                return scalar(n)
+                return scalar_fn(n)
             if isinstance(n, UnaryNode):
                 if n.op == "EXISTS" and isinstance(n.child, SubqueryNode):
                     try:
