@@ -532,7 +532,9 @@ def _dp_asof_join(spark, sf_dir):
         "event_id",
         "user_id",
         "click_id",
-        F.unix_micros("ts_right").alias("click_us"),
+        # NTZ-safe: parquet timestamp[us] reads as TIMESTAMP_NTZ in Spark 4;
+        # session tz is UTC so the LTZ cast matches DuckDB's naive epoch_us
+        F.unix_micros(F.col("ts_right").cast("timestamp_ltz")).alias("click_us"),
     )
 
 

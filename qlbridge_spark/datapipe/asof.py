@@ -89,7 +89,16 @@ def asof_join(
 
     out = unioned.withColumn("__match", carried).filter(F.col("__is_l") == 1)
     if tolerance_seconds is not None:
-        age = F.abs(F.unix_micros(F.col(on)) - F.unix_micros(F.col("__match.__rts"))) / 1e6
+        # cast through timestamp_ltz: unix_micros rejects TIMESTAMP_NTZ
+        # (Spark 4 reads parquet timestamp[us] as NTZ); the cast is a no-op
+        # for TIMESTAMP and age differences are tz-invariant
+        age = (
+            F.abs(
+                F.unix_micros(F.col(on).cast("timestamp_ltz"))
+                - F.unix_micros(F.col("__match.__rts").cast("timestamp_ltz"))
+            )
+            / 1e6
+        )
         out = out.withColumn("__match", F.when(age <= tolerance_seconds, F.col("__match")))
     sel = [F.col(c) for c in l_cols]
     sel.append(F.col("__match.__rts").alias(on + suffix))

@@ -30,8 +30,12 @@ def sessionize(
     w = Window.partitionBy(user_col).orderBy(ts_col)
     prev_ts = F.lag(F.col(ts_col)).over(w)
     # fractional-second gap (timestamp→double keeps microseconds;
-    # unix_timestamp would floor and mis-place boundaries near the gap)
-    gap_s = F.col(ts_col).cast("double") - prev_ts.cast("double")
+    # unix_timestamp would floor and mis-place boundaries near the gap).
+    # NTZ-safe: Spark 4 reads parquet timestamp[us] as TIMESTAMP_NTZ,
+    # which cannot cast to double directly — go through timestamp_ltz
+    # (no-op for TIMESTAMP; session-tz interpretation for NTZ, and gap
+    # DIFFERENCES are tz-invariant anyway)
+    gap_s = F.col(ts_col).cast("timestamp_ltz").cast("double") - prev_ts.cast("timestamp_ltz").cast("double")
     new_session = F.when(prev_ts.isNull() | (gap_s > gap_minutes * 60), F.lit(1)).otherwise(F.lit(0))
     return df.withColumn(session_col, F.sum(new_session).over(w))
 
@@ -52,7 +56,11 @@ def session_stats(
             F.min(ts_col).alias("t_start"),
             F.max(ts_col).alias("t_end"),
         )
-        .withColumn("duration_s", F.unix_timestamp("t_end") - F.unix_timestamp("t_start"))
+        .withColumn(
+            "duration_s",
+            F.unix_timestamp(F.col("t_end").cast("timestamp_ltz"))
+            - F.unix_timestamp(F.col("t_start").cast("timestamp_ltz")),
+        )
     )
 
 

@@ -733,6 +733,128 @@ class Engine:
         val = rows[0][0] if rows else None
         return SparkColNode(col=F.lit(val), dtype=sub_df.schema.fields[0].dataType)
 
+    def _rewrite_subqueries(self, df: DataFrame, scope: Scope, sel: SqlSelect) -> tuple[DataFrame, SqlSelect]:
+        """Lower select-list / WHERE scalar subqueries against the built
+        FROM frame.
+
+        - UNCORRELATED ``(SELECT max(x) FROM t)`` → one bounded plan-time
+          job via ``_materialize_scalar`` (the same strategy Spark itself
+          uses: an uncorrelated scalar subquery is a separate job whose
+          result is a literal in the main plan).
+        - CORRELATED ``(SELECT max(x) FROM t WHERE t.k = o.k)`` →
+          decorrelated: the inner select is aggregated by its correlation
+          keys once, then LEFT-JOINed onto the outer frame — a single
+          distributed join instead of the O(outer-rows × subquery)
+          re-execution a tuple-at-a-time engine would do. Superset: the
+          reference refuses every WHERE subquery
+          (/root/reference/plan/planner_select.go:94-98).
+
+        Returns the (possibly join-extended) frame and the rewritten
+        select; injected ``__csub*`` columns disappear at projection."""
+        if not self._has_scalar_subquery(sel, ("columns", "where")):
+            return df, sel
+
+        holder = {"df": df}
+
+        def scalar_fn(sub: SubqueryNode) -> Node:
+            try:
+                return self._materialize_scalar(sub.select)
+            except TranslateError:
+                pass  # inner references outer columns → decorrelate
+            node, holder["df"] = self._decorrelate_scalar(holder["df"], scope, sub.select)
+            return node
+
+        sel = self._resolve_scalar_subqueries(sel, fields=("columns", "where"), scalar_fn=scalar_fn)
+        return holder["df"], sel
+
+    def _decorrelate_scalar(self, df: DataFrame, scope: Scope, sub_sel) -> tuple[Node, DataFrame]:
+        """Decorrelate one correlated scalar subquery: aggregate the inner
+        relation by its correlation keys, LEFT-JOIN the 1-row-per-key frame
+        onto the outer, and return (value node, joined frame).
+
+        Requirements (ANSI ≤1-row-per-outer-row guarantee by construction):
+        a plain single-column aggregate SELECT, correlation via equality
+        conjuncts. Inner-only conjuncts stay filters on the inner frame
+        (pushed to its scan). COUNT over an empty correlated set is 0, not
+        NULL (the classic count-bug) → coalesced."""
+        from .nodes import SparkColNode
+
+        if isinstance(sub_sel, SqlSetOp):
+            raise ExecError("correlated scalar subquery must be a plain SELECT (no set-ops)")
+        if len(sub_sel.columns) != 1 or sub_sel.columns[0].is_star:
+            raise ExecError("scalar subquery must return exactly one column")
+        expr = sub_sel.columns[0].expr
+        if not funcs.is_agg_tree(expr):
+            raise ExecError(
+                "correlated scalar subquery must aggregate — e.g. (SELECT max(x) FROM t WHERE t.k = o.k); "
+                "a non-aggregate inner select could return more than one row per outer row"
+            )
+        if sub_sel.group_by or sub_sel.having is not None:
+            raise ExecError("correlated scalar subquery cannot use GROUP BY/HAVING")
+        if not sub_sel.from_:
+            raise ExecError("correlated scalar subquery needs a FROM clause")
+        inner_df, inner_scope = self._build_from(sub_sel)
+        overlap = set(inner_scope.frames) & set(scope.frames)
+        if overlap:
+            raise ExecError(
+                f"correlated scalar subquery: alias {sorted(overlap)} names both an outer and an inner "
+                "table; alias one side (… FROM orders AS o)"
+            )
+        inner_filters: list[SparkColumn] = []
+        pairs: list[tuple[SparkColumn, SparkColumn]] = []  # (inner key, outer key)
+        for c in self._conjuncts(sub_sel.where) if sub_sel.where is not None else []:
+            try:
+                inner_filters.append(to_column(c, inner_scope))
+                continue
+            except TranslateError:
+                pass
+            if not (isinstance(c, BinaryNode) and c.op == "=" and not c.negated):
+                raise ExecError(
+                    f"correlated scalar subquery: only equality correlation decorrelates to a join "
+                    f"(got {c.sql()})"
+                )
+            sides = []
+            for side in (c.left, c.right):
+                try:
+                    sides.append(("inner", to_column(side, inner_scope)))
+                except TranslateError:
+                    # not inner-resolvable → must be outer; a genuine
+                    # translation error (unknown column/function) raises
+                    # here with its original message
+                    sides.append(("outer", to_column(side, scope)))
+            kinds = [k for k, _ in sides]
+            if kinds == ["inner", "outer"]:
+                pairs.append((sides[0][1], sides[1][1]))
+            elif kinds == ["outer", "inner"]:
+                pairs.append((sides[1][1], sides[0][1]))
+            else:
+                raise ExecError("correlation conjunct must compare an inner column to an outer column")
+        if not pairs:
+            # nothing correlated after all — the earlier TranslateError was
+            # a genuine failure; re-run the inner select to surface it
+            self._select_any(sub_sel)
+            raise ExecError("scalar subquery resolution failed")  # pragma: no cover
+        for p in inner_filters:
+            inner_df = inner_df.filter(p)
+        self._subq_n = getattr(self, "_subq_n", 0) + 1
+        n = self._subq_n
+        val_name = f"__csub{n}_val"
+        key_names = [f"__csub{n}_k{i}" for i in range(len(pairs))]
+        agg_df = inner_df.groupBy(*[ic.alias(kn) for (ic, _), kn in zip(pairs, key_names)]).agg(
+            to_column(expr, inner_scope).alias(val_name)
+        )
+        on = None
+        for (_, oc), kn in zip(pairs, key_names):
+            # plain `==` (not null-safe): ANSI — a NULL outer key matches
+            # nothing, so the subquery is empty there and the value is NULL
+            cond = agg_df[kn] == oc
+            on = cond if on is None else (on & cond)
+        out = df.join(agg_df, on=on, how="left").drop(*key_names)
+        val = F.col(val_name)
+        if isinstance(expr, FuncNode) and expr.name.lower() in ("count", "approx_count_distinct"):
+            val = F.coalesce(val, F.lit(0))
+        return SparkColNode(col=val, dtype=None, text=f"({sub_sel.sql() if hasattr(sub_sel, 'sql') else 'correlated subquery'})"), out
+
     def _resolve_scalar_subqueries(
         self,
         sel: SqlSelect,

@@ -159,6 +159,12 @@ def _time_arg(node: FuncNode, scope: Scope, i: int = 0) -> Column:
         return _permissive_to_timestamp(c, node.args[i], scope)
     if isinstance(dt, T.NumericType):
         return F.timestamp_millis(c.cast("long"))
+    if isinstance(dt, T.TimestampNTZType):
+        # Spark 4 reads parquet timestamp[us] as TIMESTAMP_NTZ, which
+        # unix_timestamp/unix_micros and arithmetic casts reject — interpret
+        # in the session tz (UTC in tests/bench, matching DuckDB's naive
+        # timestamps) so every time builtin stays NTZ-safe
+        return c.cast("timestamp_ltz")
     return c
 
 
@@ -1135,4 +1141,7 @@ def _ceil(n, s):
 def _epoch_us(n, s):
     # epoch MICROSECONDS as bigint — superset for window/time-series
     # queries; named after DuckDB's epoch_us so oracles read identically
-    return F.unix_micros(_c(n, s).cast("timestamp"))
+    # timestamp_ltz explicitly: plain "timestamp" would leave a
+    # TIMESTAMP_NTZ input uncast when spark.sql.timestampType=NTZ, and
+    # unix_micros rejects NTZ
+    return F.unix_micros(_c(n, s).cast("timestamp_ltz"))

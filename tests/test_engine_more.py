@@ -126,11 +126,38 @@ class TestMoreEngine:
                 "WHERE EXISTS (SELECT 1 FROM orders WHERE orders.user_id = users.user_id)"
             ).collect()
 
-    def test_correlated_scalar_subquery_clear_error(self, engine):
-        with pytest.raises(ExecError, match="correlated scalar"):
+    def test_correlated_scalar_subquery_in_where(self, engine):
+        # decorrelated count: users without orders see 0 (count-bug
+        # coalesce), not NULL — so 12 > 0 keeps bob and notbob too
+        df = engine.sql(
+            "SELECT users.user_id FROM users WHERE referral_count > "
+            "(SELECT count(*) FROM orders WHERE orders.user_id = users.user_id) ORDER BY user_id"
+        )
+        assert [r[0] for r in rows(df)] == ["9Ip1aKbeZe2njCDM", "hT2impsOPUREcVPc", "hT2impsabc345c"]
+
+    def test_correlated_scalar_subquery_in_select_list(self, engine):
+        df = engine.sql(
+            "SELECT users.user_id, (SELECT max(price) FROM orders WHERE orders.user_id = users.user_id) AS top_price "
+            "FROM users ORDER BY user_id"
+        )
+        got = [(r[0], r[1]) for r in rows(df)]
+        assert got == [("9Ip1aKbeZe2njCDM", 37.50), ("hT2impsOPUREcVPc", None), ("hT2impsabc345c", None)]
+
+    def test_correlated_scalar_subquery_plan_is_join(self, engine):
+        # decorrelation must produce one aggregate + one join, not per-row
+        # re-execution: the physical plan has a join and no Python UDF
+        df = engine.sql(
+            "SELECT users.user_id, (SELECT count(*) FROM orders WHERE orders.user_id = users.user_id) AS n "
+            "FROM users"
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Join" in plan or "BroadcastHashJoin" in plan
+
+    def test_correlated_scalar_subquery_non_aggregate_errors(self, engine):
+        with pytest.raises(ExecError, match="must aggregate"):
             engine.sql(
                 "SELECT users.user_id FROM users WHERE referral_count > "
-                "(SELECT count(*) FROM orders WHERE orders.user_id = users.user_id)"
+                "(SELECT price FROM orders WHERE orders.user_id = users.user_id)"
             ).collect()
 
     def test_correlated_in_subquery(self, engine):
