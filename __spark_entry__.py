@@ -320,6 +320,17 @@ _Q = {
         FROM customer
         WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
         QUALIFY c_custkey < 300""",
+    # correlated scalar subqueries in the select list — decorrelated by the
+    # engine into one aggregate + one left join per subquery (superset: the
+    # reference refuses all WHERE/select subqueries,
+    # plan/planner_select.go:94-98). count() coalesces to 0 on empty
+    # correlated sets (the classic count-bug)
+    "q38_correlated_scalar": """
+        SELECT c_custkey,
+               (SELECT max(o_totalprice) FROM orders WHERE o_custkey = c_custkey) AS top_order,
+               (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
+        FROM customer
+        WHERE c_custkey < 200""",
 }
 
 # FilterQL statement (run through the engine's FilterQL path)
@@ -1022,6 +1033,12 @@ def oracle_sql() -> dict[str, str]:
             FROM customer
             WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
             QUALIFY c_custkey < 300""",
+        "q38_correlated_scalar": """
+            SELECT c_custkey,
+                   (SELECT max(o_totalprice) FROM orders WHERE o_custkey = c_custkey) AS top_order,
+                   CAST((SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS BIGINT) AS n_orders
+            FROM customer
+            WHERE c_custkey < 200""",
         # dp19: prefix filtering is recall-lossless, so its output equals
         # the exhaustive exact-Jaccard pair set at the threshold
         "dp19_prefix_jaccard": """
