@@ -550,3 +550,57 @@ class TestPrefixJaccard:
         )
         pairs = {(r["id_a"], r["id_b"]) for r in prefix_jaccard_pairs(df, "doc_id", "text", threshold=0.9).collect()}
         assert (100, 101) in pairs
+
+
+class TestLshProductionRecall:
+    """Recall-vs-cost evidence for the PRODUCTION LSH configuration.
+
+    dp07 ships the oracle-gated lossless config (bands=num_hashes, r=1 —
+    a 0.89-Jaccard pair misses with prob (1-j)^32 ≈ 2e-31). At 100 TB you
+    run fewer, wider bands to cut candidate volume; this pins the measured
+    recall of bands=8, r=2 (16 hashes) against the exact pair set on the
+    real testdata documents: P(candidate | j) = 1-(1-j²)^8, which at the
+    corpus's weakest true pair (j≈0.889) is 1-3.8e-6."""
+
+    SF_DIR = "/root/testdata/sf0.001"
+
+    def test_bands8_r2_recall_ge_99(self, spark):
+        import os
+
+        if not os.path.isdir(self.SF_DIR.rsplit("/", 1)[0]):
+            pytest.skip("testdata not present")
+        from qlbridge_spark.datapipe import lsh_jaccard_pairs, release_caches
+
+        docs = spark.read.parquet(self.SF_DIR + "/documents.parquet")
+        exact = {
+            (r["id_a"], r["id_b"])
+            for r in lsh_jaccard_pairs(docs, "doc_id", "text", threshold=0.5, num_hashes=32, bands=32).collect()
+        }
+        release_caches()
+        cheap = {
+            (r["id_a"], r["id_b"])
+            for r in lsh_jaccard_pairs(docs, "doc_id", "text", threshold=0.5, num_hashes=16, bands=8).collect()
+        }
+        release_caches()
+        assert len(exact) > 0
+        recall = len(cheap & exact) / len(exact)
+        # measured 1.0 at sf0.001 (28/28 pairs) — gate at the 0.99 target
+        assert recall >= 0.99, f"recall {recall:.4f} < 0.99 ({len(cheap & exact)}/{len(exact)})"
+
+    def test_bands8_r2_candidate_cost_lower(self, spark):
+        """The point of r=2: banding rows AND candidate pairs shrink —
+        band hashes collide only when BOTH rows of the band agree."""
+        import os
+
+        if not os.path.isdir(self.SF_DIR):
+            pytest.skip("testdata not present")
+        from qlbridge_spark.datapipe.dedup import lsh_candidate_pairs, minhash_signature
+        from qlbridge_spark.datapipe import release_caches
+
+        docs = spark.read.parquet(self.SF_DIR + "/documents.parquet")
+        sigs32 = minhash_signature(docs, "text", num_hashes=32, id_col="doc_id")
+        cands_lossless = lsh_candidate_pairs(sigs32, "doc_id", "minhash", bands=32, sig_len=32).count()
+        sigs16 = minhash_signature(docs, "text", num_hashes=16, id_col="doc_id")
+        cands_cheap = lsh_candidate_pairs(sigs16, "doc_id", "minhash", bands=8, sig_len=16).count()
+        release_caches()
+        assert cands_cheap <= cands_lossless

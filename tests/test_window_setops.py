@@ -145,6 +145,29 @@ class TestSetOps:
         with pytest.raises(ExecError):
             eng.sql("SELECT region, rep FROM sales UNION SELECT region FROM sales")
 
+    def test_setop_chain_inside_in_subquery(self, eng):
+        # the IN-subquery semi-join path accepts a full set-op chain
+        eng.register_rows("other", [{"region": "e"}, {"region": "n"}])
+        rows = eng.sql(
+            "SELECT DISTINCT region FROM sales WHERE region IN "
+            "(SELECT region FROM other UNION SELECT rep AS region FROM sales)"
+        ).collect()
+        assert sorted(r["region"] for r in rows) == ["e"]
+
+    def test_setop_chain_inside_not_in_subquery(self, eng):
+        eng.register_rows("other", [{"region": "e"}, {"region": "n"}])
+        rows = eng.sql(
+            "SELECT DISTINCT region FROM sales WHERE region NOT IN "
+            "(SELECT region FROM other UNION ALL SELECT region FROM other)"
+        ).collect()
+        assert sorted(r["region"] for r in rows) == ["w"]
+
+    def test_setop_chain_as_scalar_subquery(self, eng):
+        got = eng.sql(
+            "SELECT (SELECT max(amt) FROM sales INTERSECT SELECT max(amt) FROM sales) AS m FROM sales LIMIT 1"
+        ).collect()
+        assert got[0]["m"] == 50
+
     def test_view_over_setop(self, eng):
         eng.execute("CREATE VIEW vx AS SELECT region FROM sales UNION SELECT rep AS region FROM sales")
         # regions {e,w} ∪ reps {a,b,c,d,e} dedups the shared 'e' → 6
