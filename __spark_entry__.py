@@ -341,6 +341,15 @@ _Q = {
         WHERE p_size < 15
           AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity) FROM lineitem AS l2
                             WHERE l2.l_partkey = p_partkey)""",
+    # correlated quantified comparison (ANSI superset): > ALL lowers to the
+    # min/max rewrite over a per-correlation-key aggregate + left join —
+    # one shuffle, no per-row re-execution; empty inner sets pass vacuously
+    "q40_quantified_all": """
+        SELECT o_orderkey, round(o_totalprice, 2) AS total
+        FROM orders
+        WHERE o_orderkey < 2000
+          AND o_totalprice > ALL (SELECT l.l_extendedprice * 4 FROM lineitem AS l
+                                  WHERE l.l_orderkey = o_orderkey)""",
 }
 
 # FilterQL statement (run through the engine's FilterQL path)
@@ -1056,6 +1065,12 @@ def oracle_sql() -> dict[str, str]:
             WHERE p_size < 15
               AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity) FROM lineitem AS l2
                                 WHERE l2.l_partkey = p_partkey)""",
+        "q40_quantified_all": """
+            SELECT o_orderkey, round(o_totalprice, 2) AS total
+            FROM orders
+            WHERE o_orderkey < 2000
+              AND o_totalprice > ALL (SELECT l.l_extendedprice * 4 FROM lineitem AS l
+                                      WHERE l.l_orderkey = o_orderkey)""",
         # dp19: prefix filtering is recall-lossless, so its output equals
         # the exhaustive exact-Jaccard pair set at the threshold
         "dp19_prefix_jaccard": """

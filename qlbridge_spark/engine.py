@@ -764,40 +764,38 @@ class Engine:
             node, holder["df"] = self._decorrelate_scalar(holder["df"], scope, sub.select)
             return node
 
-        sel = self._resolve_scalar_subqueries(sel, fields=("columns", "where"), scalar_fn=scalar_fn)
+        def quant_fn(left_node: Node, sub: SubqueryNode, base: str, quant: str) -> Node:
+            x = to_column(left_node, scope)
+            try:
+                return self._materialize_quantified(x, sub.select, base, quant)
+            except TranslateError:
+                pass  # correlated → decorrelate
+            node, holder["df"] = self._decorrelate_quantified(holder["df"], scope, x, sub.select, base, quant)
+            return node
+
+        sel = self._resolve_scalar_subqueries(sel, fields=("columns", "where"), scalar_fn=scalar_fn, quant_fn=quant_fn)
         return holder["df"], sel
 
-    def _decorrelate_scalar(self, df: DataFrame, scope: Scope, sub_sel) -> tuple[Node, DataFrame]:
-        """Decorrelate one correlated scalar subquery: aggregate the inner
-        relation by its correlation keys, LEFT-JOIN the 1-row-per-key frame
-        onto the outer, and return (value node, joined frame).
+    def _correlation_split(self, scope: Scope, sub_sel, kind: str):
+        """Shared decorrelation front-end: build the inner frame, split the
+        inner WHERE into inner-only filters (applied, stay pushed to the
+        inner scan) and EQUALITY correlation conjuncts.
 
-        Requirements (ANSI ≤1-row-per-outer-row guarantee by construction):
-        a plain single-column aggregate SELECT, correlation via equality
-        conjuncts. Inner-only conjuncts stay filters on the inner frame
-        (pushed to its scan). COUNT over an empty correlated set is 0, not
-        NULL (the classic count-bug) → coalesced."""
-        from .nodes import SparkColNode
-
+        Returns ``(inner_df, inner_scope, pairs)`` with pairs as
+        (inner key Column, outer key Column)."""
         if isinstance(sub_sel, SqlSetOp):
-            raise ExecError("correlated scalar subquery must be a plain SELECT (no set-ops)")
+            raise ExecError(f"correlated {kind} subquery must be a plain SELECT (no set-ops)")
         if len(sub_sel.columns) != 1 or sub_sel.columns[0].is_star:
-            raise ExecError("scalar subquery must return exactly one column")
-        expr = sub_sel.columns[0].expr
-        if not funcs.is_agg_tree(expr):
-            raise ExecError(
-                "correlated scalar subquery must aggregate — e.g. (SELECT max(x) FROM t WHERE t.k = o.k); "
-                "a non-aggregate inner select could return more than one row per outer row"
-            )
+            raise ExecError(f"{kind} subquery must return exactly one column")
         if sub_sel.group_by or sub_sel.having is not None:
-            raise ExecError("correlated scalar subquery cannot use GROUP BY/HAVING")
+            raise ExecError(f"correlated {kind} subquery cannot use GROUP BY/HAVING")
         if not sub_sel.from_:
-            raise ExecError("correlated scalar subquery needs a FROM clause")
+            raise ExecError(f"correlated {kind} subquery needs a FROM clause")
         inner_df, inner_scope = self._build_from(sub_sel)
         overlap = set(inner_scope.frames) & set(scope.frames)
         if overlap:
             raise ExecError(
-                f"correlated scalar subquery: alias {sorted(overlap)} names both an outer and an inner "
+                f"correlated {kind} subquery: alias {sorted(overlap)} names both an outer and an inner "
                 "table; alias one side (… FROM orders AS o)"
             )
         inner_filters: list[SparkColumn] = []
@@ -810,7 +808,7 @@ class Engine:
                 pass
             if not (isinstance(c, BinaryNode) and c.op == "=" and not c.negated):
                 raise ExecError(
-                    f"correlated scalar subquery: only equality correlation decorrelates to a join "
+                    f"correlated {kind} subquery: only equality correlation decorrelates to a join "
                     f"(got {c.sql()})"
                 )
             sides = []
@@ -833,33 +831,163 @@ class Engine:
             # nothing correlated after all — the earlier TranslateError was
             # a genuine failure; re-run the inner select to surface it
             self._select_any(sub_sel)
-            raise ExecError("scalar subquery resolution failed")  # pragma: no cover
+            raise ExecError(f"{kind} subquery resolution failed")  # pragma: no cover
         for p in inner_filters:
             inner_df = inner_df.filter(p)
+        return inner_df, inner_scope, pairs
+
+    def _decorrelate_join(self, df: DataFrame, pairs, agg_df_builder):
+        """Back-end: groupBy the correlation keys with the caller's
+        aggregates, LEFT-JOIN the 1-row-per-key frame onto the outer.
+        ``agg_df_builder(grouped_key_cols) -> aggregated DataFrame`` keyed
+        by ``key_names``. Returns (joined df, unique name prefix)."""
         self._subq_n = getattr(self, "_subq_n", 0) + 1
         n = self._subq_n
-        val_name = f"__csub{n}_val"
         key_names = [f"__csub{n}_k{i}" for i in range(len(pairs))]
-        agg_df = inner_df.groupBy(*[ic.alias(kn) for (ic, _), kn in zip(pairs, key_names)]).agg(
-            to_column(expr, inner_scope).alias(val_name)
-        )
+        agg_df = agg_df_builder([ic.alias(kn) for (ic, _), kn in zip(pairs, key_names)], f"__csub{n}")
         on = None
         for (_, oc), kn in zip(pairs, key_names):
             # plain `==` (not null-safe): ANSI — a NULL outer key matches
             # nothing, so the subquery is empty there and the value is NULL
             cond = agg_df[kn] == oc
             on = cond if on is None else (on & cond)
-        out = df.join(agg_df, on=on, how="left").drop(*key_names)
-        val = F.col(val_name)
+        return df.join(agg_df, on=on, how="left").drop(*key_names), f"__csub{n}"
+
+    def _decorrelate_scalar(self, df: DataFrame, scope: Scope, sub_sel) -> tuple[Node, DataFrame]:
+        """Decorrelate one correlated scalar subquery: aggregate the inner
+        relation by its correlation keys, LEFT-JOIN the 1-row-per-key frame
+        onto the outer, and return (value node, joined frame).
+
+        Requirements (ANSI ≤1-row-per-outer-row guarantee by construction):
+        a plain single-column aggregate SELECT, correlation via equality
+        conjuncts. Inner-only conjuncts stay filters on the inner frame
+        (pushed to its scan). COUNT over an empty correlated set is 0, not
+        NULL (the classic count-bug) → coalesced."""
+        from .nodes import SparkColNode
+
+        if not isinstance(sub_sel, SqlSetOp) and sub_sel.columns and not sub_sel.columns[0].is_star:
+            expr = sub_sel.columns[0].expr
+        else:
+            raise ExecError("scalar subquery must return exactly one column")
+        if not funcs.is_agg_tree(expr):
+            raise ExecError(
+                "correlated scalar subquery must aggregate — e.g. (SELECT max(x) FROM t WHERE t.k = o.k); "
+                "a non-aggregate inner select could return more than one row per outer row"
+            )
+        inner_df, inner_scope, pairs = self._correlation_split(scope, sub_sel, "scalar")
+
+        def build(key_cols, prefix):
+            return inner_df.groupBy(*key_cols).agg(to_column(expr, inner_scope).alias(f"{prefix}_val"))
+
+        out, prefix = self._decorrelate_join(df, pairs, build)
+        val = F.col(f"{prefix}_val")
         if isinstance(expr, FuncNode) and expr.name.lower() in ("count", "approx_count_distinct"):
             val = F.coalesce(val, F.lit(0))
         return SparkColNode(col=val, dtype=None, text=f"({sub_sel.sql() if hasattr(sub_sel, 'sql') else 'correlated subquery'})"), out
+
+    # quantified comparison (x <op> ANY/ALL (SELECT …)) lowering ---------
+    @staticmethod
+    def _quantified_expr(x: SparkColumn, base: str, quant: str, total, n_nn, n_null, mn, mx) -> SparkColumn:
+        """ANSI three-valued quantified comparison from the inner column's
+        (count, non-null count, null count, min, max) — the min/max rewrite
+        every distributed engine uses (a literal per-row probe would be
+        O(outer×inner)). Empty set: ALL → TRUE, ANY → FALSE; NULLs in the
+        inner set poison only the otherwise-deciding branch (UNKNOWN)."""
+        null_b = F.lit(None).cast("boolean")
+        if base in ("<", "<=", ">", ">="):
+            if quant == "ALL":
+                viol = {">": x <= mx, ">=": x < mx, "<": x >= mn, "<=": x > mn}[base]
+                return (
+                    F.when(total == 0, F.lit(True))
+                    .when(x.isNull(), null_b)
+                    .when((n_nn > 0) & viol, F.lit(False))
+                    .when(n_null > 0, null_b)
+                    .otherwise(F.lit(True))
+                )
+            sat = {">": x > mn, ">=": x >= mn, "<": x < mx, "<=": x <= mx}[base]
+            return (
+                F.when(total == 0, F.lit(False))
+                .when(x.isNull(), null_b)
+                .when((n_nn > 0) & sat, F.lit(True))
+                .when(n_null > 0, null_b)
+                .otherwise(F.lit(False))
+            )
+        if base == "=" and quant == "ALL":
+            viol = (mn != x) | (mx != x)
+            return (
+                F.when(total == 0, F.lit(True))
+                .when(x.isNull(), null_b)
+                .when((n_nn > 0) & viol, F.lit(False))
+                .when(n_null > 0, null_b)
+                .otherwise(F.lit(True))
+            )
+        if base == "!=" and quant == "ANY":
+            sat = (mn != x) | (mx != x)
+            return (
+                F.when(total == 0, F.lit(False))
+                .when(x.isNull(), null_b)
+                .when((n_nn > 0) & sat, F.lit(True))
+                .when(n_null > 0, null_b)
+                .otherwise(F.lit(False))
+            )
+        raise ExecError(f"unsupported quantified comparison {base} {quant}")  # pragma: no cover
+
+    def _materialize_quantified(self, x: SparkColumn, sub_select, base: str, quant: str) -> Node:
+        """UNCORRELATED quantified comparison: one bounded plan-time job
+        computes (count, non-null, min, max) of the inner column; the
+        comparison folds to a literal-threshold expression."""
+        from .nodes import SparkColNode
+
+        sub_df = self._select_any(sub_select)
+        if len(sub_df.columns) != 1:
+            raise ExecError(f"quantified subquery must return one column, got {len(sub_df.columns)}")
+        c = sub_df[sub_df.columns[0]]
+        row = sub_df.agg(
+            F.count(F.lit(1)).alias("t"), F.count(c).alias("nn"), F.min(c).alias("mn"), F.max(c).alias("mx")
+        ).collect()[0]
+        total, n_nn = row["t"], row["nn"]
+        col = self._quantified_expr(
+            x, base, quant, F.lit(total), F.lit(n_nn), F.lit(total - n_nn), F.lit(row["mn"]), F.lit(row["mx"])
+        )
+        return SparkColNode(col=col, dtype=T.BooleanType(), text=f"(x {base} {quant} subquery)")
+
+    def _decorrelate_quantified(self, df: DataFrame, scope: Scope, x: SparkColumn, sub_sel, base: str, quant: str):
+        """CORRELATED quantified comparison: the per-correlation-key
+        (count, non-null, min, max) frame joins on like the scalar case;
+        outer rows with no matching key see an empty inner set (left-join
+        NULLs → counts coalesced to 0)."""
+        from .nodes import SparkColNode
+
+        inner_df, inner_scope, pairs = self._correlation_split(scope, sub_sel, "quantified")
+        val = to_column(sub_sel.columns[0].expr, inner_scope)
+
+        def build(key_cols, prefix):
+            return inner_df.groupBy(*key_cols).agg(
+                F.count(F.lit(1)).alias(f"{prefix}_t"),
+                F.count(val).alias(f"{prefix}_nn"),
+                F.min(val).alias(f"{prefix}_mn"),
+                F.max(val).alias(f"{prefix}_mx"),
+            )
+
+        out, p = self._decorrelate_join(df, pairs, build)
+        col = self._quantified_expr(
+            x,
+            base,
+            quant,
+            F.coalesce(F.col(f"{p}_t"), F.lit(0)),
+            F.coalesce(F.col(f"{p}_nn"), F.lit(0)),
+            F.coalesce(F.col(f"{p}_t") - F.col(f"{p}_nn"), F.lit(0)),
+            F.col(f"{p}_mn"),
+            F.col(f"{p}_mx"),
+        )
+        return SparkColNode(col=col, dtype=T.BooleanType(), text=f"(x {base} {quant} correlated subquery)"), out
 
     def _resolve_scalar_subqueries(
         self,
         sel: SqlSelect,
         fields: tuple[str, ...] = ("columns", "where", "having", "qualify"),
         scalar_fn=None,
+        quant_fn=None,
     ) -> SqlSelect:
         """Rewrite scalar-subquery positions — ``(SELECT max(x) FROM t)``
         in a comparison / select position, ``EXISTS (SELECT …)`` — through
@@ -886,8 +1014,16 @@ class Engine:
                     f"(this position aggregates before the decorrelating join could apply; inner resolution failed: {exc})"
                 ) from exc
 
+        def quant_default(left_node: Node, sub: SubqueryNode, base: str, quant: str) -> Node:
+            raise ExecError(
+                f"quantified subquery comparison ({base} {quant} (SELECT …)) is supported "
+                "in the select list and WHERE only"
+            )
+
         if scalar_fn is None:
             scalar_fn = scalar
+        if quant_fn is None:
+            quant_fn = quant_default
 
         def walk(n: Node | None) -> Node | None:
             if n is None:
@@ -907,6 +1043,16 @@ class Engine:
             if isinstance(n, BinaryNode):
                 if n.op == "IN" and isinstance(n.right, SubqueryNode):
                     return BinaryNode(n.op, walk(n.left), n.right, n.negated)  # semi-join path
+                if (n.op.endswith(" ANY") or n.op.endswith(" ALL")) and isinstance(n.right, SubqueryNode):
+                    base, _, quant = n.op.partition(" ")
+                    # = ANY ≡ IN and != ALL ≡ NOT IN — membership tests the
+                    # min/max rewrite can't express; route to the semi/anti
+                    # join path (NOT IN's anti-join shortcut documented)
+                    if base == "=" and quant == "ANY":
+                        return BinaryNode("IN", walk(n.left), n.right, n.negated)
+                    if base == "!=" and quant == "ALL":
+                        return BinaryNode("IN", walk(n.left), n.right, not n.negated)
+                    return quant_fn(walk(n.left), n.right, base, quant)
                 return BinaryNode(n.op, walk(n.left), walk(n.right), n.negated)
             if isinstance(n, BooleanNode):
                 return BooleanNode(n.op, [walk(a) for a in n.args], n.negated)

@@ -134,8 +134,25 @@ class ExprParser:
                 if _PREC_CMP <= prec:
                     return left
                 self.advance()
-                right = self.parse_expr(_PREC_CMP)
-                left = BinaryNode(_CANON.get(t.val, t.val), left, right)
+                q = self.cur()
+                if (
+                    q.kind == IDENT
+                    and q.upper in ("ANY", "SOME", "ALL")
+                    and self.peek().kind == LPAREN
+                    and self.peek(2).kind == IDENT
+                    and self.peek(2).upper == "SELECT"
+                ):
+                    # quantified subquery comparison: x > ALL (SELECT …) —
+                    # ANSI superset (the reference's any()/all() builtins,
+                    # builtins/logic.go:288, take plain args, never a
+                    # subquery, so `ANY (SELECT` is unambiguous). SOME ≡ ANY.
+                    quant = "ANY" if q.upper in ("ANY", "SOME") else "ALL"
+                    self.advance()
+                    sub = self.parse_unary(_PREC_CMP)  # (SELECT …) → SubqueryNode
+                    left = BinaryNode(f"{_CANON.get(t.val, t.val)} {quant}", left, sub)
+                else:
+                    right = self.parse_expr(_PREC_CMP)
+                    left = BinaryNode(_CANON.get(t.val, t.val), left, right)
             elif t.kind == OP and t.val in ("=~", "!~"):
                 # regex-match operator → rlike (the reference lexes regex
                 # literals, lex/lexer.go:1106 LexRegex, but parses neither;
