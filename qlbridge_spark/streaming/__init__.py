@@ -52,6 +52,30 @@ def create_continuous_view(engine, create_stmt):
     if wm:
         stream_df = stream_df.withWatermark(wm["column"], wm.get("delay", "10 minutes"))
 
+    # JOINed sources: batch frames by default (stream-static join — Spark
+    # re-scans the static side per micro-batch, no state). A source listed
+    # in WITH {'streams': {name: {path, watermark}}} streams too →
+    # stream-stream join; Spark requires BOTH sides watermarked so join
+    # state is evictable (unbounded buffers otherwise — the 100 TB killer)
+    streams_cfg = {str(k).lower(): v for k, v in (cfg.get("streams") or {}).items()}
+    extra_streams: list[str] = []
+    for src2 in sel.from_[1:]:
+        scfg = streams_cfg.get((src2.name or "").lower())
+        if scfg is None:
+            continue
+        b2 = engine.table(src2.name)
+        s2 = _as_stream(engine, src2.name, b2, scfg)
+        wm2 = scfg.get("watermark")
+        if wm2:
+            s2 = s2.withWatermark(wm2["column"], wm2.get("delay", "10 minutes"))
+        elif wm:
+            raise ValueError(
+                f"stream-stream join: source {src2.name!r} needs WITH "
+                "{'streams': {..., 'watermark': {...}}} so join state can be evicted"
+            )
+        engine.register_df(f"__stream_{src2.name}", s2)
+        extra_streams.append(src2.name)
+
     win = cfg.get("window")
     sess = cfg.get("session")
     if win and sess:
@@ -77,7 +101,7 @@ def create_continuous_view(engine, create_stmt):
     # run the same SELECT translation against the streaming frame
     engine.register_df(f"__stream_{src.name}", stream_df)
     try:
-        sel2 = _clone_with_from(sel, f"__stream_{src.name}", src)
+        sel2 = _clone_with_from(sel, f"__stream_{src.name}", src, renames={n: f"__stream_{n}" for n in extra_streams})
         if win or sess:
             from ..nodes import IdentityNode
             from ..rel import Column as SelColumn
@@ -93,6 +117,8 @@ def create_continuous_view(engine, create_stmt):
             )
     finally:
         engine.tables.pop(f"__stream_{src.name}", None)
+        for n in extra_streams:
+            engine.tables.pop(f"__stream_{n}", None)
 
     query = _start(out, create_stmt.ident, cfg)
     engine.streams[create_stmt.ident.lower()] = query
@@ -273,7 +299,10 @@ def _as_stream(engine, name: str, base: DataFrame, cfg: dict) -> DataFrame:
     raise ValueError("CONTINUOUSVIEW requires WITH {'path': <stream source dir>}")
 
 
-def _clone_with_from(sel, new_table: str, old_src):
+def _clone_with_from(sel, new_table: str, old_src, renames: dict[str, str] | None = None):
+    """Clone ``sel`` with the first FROM source renamed to ``new_table``
+    and any other sources renamed per ``renames`` (stream-stream joins).
+    Aliases are preserved so join/where references keep resolving."""
     import copy
 
     sel2 = copy.copy(sel)
@@ -282,6 +311,13 @@ def _clone_with_from(sel, new_table: str, old_src):
     src2.name = new_table
     src2.alias = old_src.alias or old_src.name
     sel2.from_[0] = src2
+    for i, s in enumerate(sel2.from_[1:], start=1):
+        new = (renames or {}).get(s.name)
+        if new:
+            sr = copy.copy(s)
+            sr.alias = s.alias or s.name
+            sr.name = new
+            sel2.from_[i] = sr
     sel2.with_ = {}
     return sel2
 

@@ -46,6 +46,89 @@ class TestContinuousView:
         finally:
             q.stop()
 
+    def test_continuous_view_stream_static_join(self, spark, tmp_path):
+        """JOINed sources stay batch by default → stream-static join:
+        Spark re-scans the static dimension per micro-batch, no join
+        state. The standard streaming-enrichment shape."""
+        from qlbridge_spark import Engine
+
+        eng = Engine(spark)
+        ev = spark.createDataFrame(
+            [(1, 10, 2.0), (2, 20, 3.0), (3, 10, 5.0)],
+            "event_id long, user_id long, value double",
+        )
+        stream_dir = str(tmp_path / "ev_stream")
+        ev.write.parquet(stream_dir)
+        eng.register_df("ev", ev)
+        eng.register_df("users_dim", spark.createDataFrame([(10, "alice"), (20, "bob")], "user_id long, name string"))
+
+        q = eng.execute(
+            "CREATE CONTINUOUSVIEW ev_enriched AS "
+            "SELECT ev.event_id, users_dim.name, ev.value FROM ev "
+            "JOIN users_dim ON ev.user_id = users_dim.user_id "
+            f'WITH {{"path": "{stream_dir}"}}'
+        )
+        try:
+            q.processAllAvailable()
+            out = {r["event_id"]: r["name"] for r in spark.sql("SELECT * FROM ev_enriched").collect()}
+            assert out == {1: "alice", 2: "bob", 3: "alice"}
+        finally:
+            q.stop()
+
+    def test_continuous_view_stream_stream_join(self, spark, tmp_path):
+        """Both sides streamed (WITH {'streams': ...}) → stream-stream
+        join; both sides carry watermarks so Spark can evict join state
+        (the unbounded-buffer killer at scale)."""
+        from qlbridge_spark import Engine
+
+        eng = Engine(spark)
+        t0 = datetime.datetime(2024, 1, 1, 10, 0)
+        imps = spark.createDataFrame(
+            [(1, t0, "ad_a"), (2, t0 + datetime.timedelta(minutes=1), "ad_b")],
+            "imp_id long, imp_ts timestamp, ad string",
+        )
+        clicks = spark.createDataFrame(
+            [(1, t0 + datetime.timedelta(seconds=30)), (2, t0 + datetime.timedelta(minutes=2))],
+            "imp_id long, click_ts timestamp",
+        )
+        imp_dir, click_dir = str(tmp_path / "imps"), str(tmp_path / "clicks")
+        imps.write.parquet(imp_dir)
+        clicks.write.parquet(click_dir)
+        eng.register_df("imps", imps)
+        eng.register_df("clicks", clicks)
+
+        q = eng.execute(
+            "CREATE CONTINUOUSVIEW attributed AS "
+            "SELECT imps.imp_id, imps.ad, clicks.click_ts FROM imps "
+            "JOIN clicks ON imps.imp_id = clicks.imp_id "
+            f'WITH {{"path": "{imp_dir}", '
+            f'"watermark": {{"column": "imp_ts", "delay": "10 minutes"}}, '
+            f'"streams": {{"clicks": {{"path": "{click_dir}", '
+            f'"watermark": {{"column": "click_ts", "delay": "10 minutes"}}}}}}}}'
+        )
+        try:
+            q.processAllAvailable()
+            out = {r["imp_id"]: r["ad"] for r in spark.sql("SELECT * FROM attributed").collect()}
+            assert out == {1: "ad_a", 2: "ad_b"}
+        finally:
+            q.stop()
+
+    def test_stream_stream_join_requires_watermark(self, spark, tmp_path):
+        from qlbridge_spark import Engine
+
+        eng = Engine(spark)
+        ev = spark.createDataFrame([(1, datetime.datetime(2024, 1, 1))], "id long, ts timestamp")
+        d = str(tmp_path / "s1")
+        ev.write.parquet(d)
+        eng.register_df("s1", ev)
+        eng.register_df("s2", ev)
+        with pytest.raises(ValueError, match="watermark"):
+            eng.execute(
+                "CREATE CONTINUOUSVIEW x AS SELECT s1.id FROM s1 JOIN s2 ON s1.id = s2.id "
+                f'WITH {{"path": "{d}", "watermark": {{"column": "ts"}}, '
+                f'"streams": {{"s2": {{"path": "{d}"}}}}}}'
+            )
+
     def test_continuous_view_windowed_agg(self, spark, tmp_path):
         """WITH {'window': ...}: tumbling event-time window joins the GROUP
         BY keys; watermark bounds state; append mode emits only finalized
