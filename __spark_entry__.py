@@ -350,6 +350,20 @@ _Q = {
         WHERE o_orderkey < 2000
           AND o_totalprice > ALL (SELECT l.l_extendedprice * 4 FROM lineitem AS l
                                   WHERE l.l_orderkey = o_orderkey)""",
+    # leading WITH CTEs (ANSI superset — the reference's WITH is only the
+    # trailing config map): chained CTEs, the second referencing the first;
+    # each CTE is a lazy plan, so Catalyst inlines and pushes the final
+    # filter through both
+    "q41_cte_chain": """
+        WITH big_orders AS (
+            SELECT o_custkey, o_totalprice FROM orders WHERE o_totalprice > 100000
+        ), per_cust AS (
+            SELECT o_custkey, count(*) AS n_big, round(sum(o_totalprice), 2) AS total
+            FROM big_orders GROUP BY o_custkey
+        )
+        SELECT c_custkey, c_mktsegment, n_big, total
+        FROM customer JOIN per_cust ON per_cust.o_custkey = c_custkey
+        WHERE n_big >= 3""",
 }
 
 # FilterQL statement (run through the engine's FilterQL path)
@@ -1071,6 +1085,17 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_orderkey < 2000
               AND o_totalprice > ALL (SELECT l.l_extendedprice * 4 FROM lineitem AS l
                                       WHERE l.l_orderkey = o_orderkey)""",
+        "q41_cte_chain": """
+            WITH big_orders AS (
+                SELECT o_custkey, o_totalprice FROM orders WHERE o_totalprice > 100000
+            ), per_cust AS (
+                SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_big,
+                       round(sum(o_totalprice), 2) AS total
+                FROM big_orders GROUP BY o_custkey
+            )
+            SELECT c_custkey, c_mktsegment, n_big, total
+            FROM customer JOIN per_cust ON per_cust.o_custkey = c_custkey
+            WHERE n_big >= 3""",
         # dp19: prefix filtering is recall-lossless, so its output equals
         # the exhaustive exact-Jaccard pair set at the threshold
         "dp19_prefix_jaccard": """

@@ -41,6 +41,7 @@ from .nodes import (
 )
 from .rel import (
     Column,
+    CteQuery,
     FilterStatement,
     FromSource,
     SqlAlter,
@@ -224,6 +225,8 @@ class Engine:
             return self._select(stmt)
         if isinstance(stmt, SqlSetOp):
             return self._set_op(stmt)
+        if isinstance(stmt, CteQuery):
+            return self._cte_query(stmt)
         if isinstance(stmt, FilterStatement):
             return self._filterql(stmt)
         if isinstance(stmt, SqlShow):
@@ -380,6 +383,29 @@ class Engine:
     def _select_any(self, sel) -> DataFrame:
         """SELECT or set-op chain → DataFrame."""
         return self._set_op(sel) if isinstance(sel, SqlSetOp) else self._select(sel)
+
+    def _cte_query(self, stmt: CteQuery) -> DataFrame:
+        """WITH … AS (…) SELECT …: each CTE registers as a LAZY DataFrame
+        (a declared plan, not a materialization — Catalyst inlines it and
+        still pushes filters/prunes columns through it; Spark's own CTE
+        handling is identical). Later CTEs see earlier ones; names shadow
+        registered tables for the statement's duration only."""
+        saved: dict[str, DataFrame] = {}
+        added: list[str] = []
+        try:
+            for name, csel in stmt.ctes:
+                key = name.lower()
+                df = self._select_any(csel)
+                if key in self.tables:
+                    saved[key] = self.tables[key]
+                else:
+                    added.append(key)
+                self.tables[key] = df
+            return self._select_any(stmt.query)
+        finally:
+            self.tables.update(saved)
+            for k in added:
+                self.tables.pop(k, None)
 
     def _set_op(self, stmt: SqlSetOp) -> DataFrame:
         """Set operations — superset (SURVEY §2.6: reference has none).

@@ -101,6 +101,18 @@ class SqlSelect:
 
 
 @dataclass
+class CteQuery:
+    """Leading ``WITH name AS (SELECT …) [, name2 AS (…)]* SELECT …`` —
+    ANSI CTEs, a superset (the reference's WITH is the trailing key-value
+    config map, lex/dialect_sql.go `WITH {…}`; the two never collide: CTE
+    WITH leads the statement, config WITH trails the select). Later CTEs
+    may reference earlier ones; RECURSIVE is rejected at parse."""
+
+    ctes: list = field(default_factory=list)  # [(name, SqlSelect | SqlSetOp), …]
+    query: object = None  # SqlSelect | SqlSetOp
+
+
+@dataclass
 class SqlSetOp:
     """UNION [ALL] / INTERSECT [ALL] / EXCEPT [ALL] between selects —
     superset: the reference dialect has NO set operations
@@ -249,6 +261,8 @@ class SqlParser(ExprParser):
         if kw == "SELECT":
             self.advance()
             return self.parse_select_chain()
+        if kw == "WITH":
+            return self.parse_cte_query()
         if kw == "FILTER":
             return self.parse_filterql()
         if kw in ("INSERT", "UPSERT"):
@@ -328,6 +342,31 @@ class SqlParser(ExprParser):
             node.limit, right.limit = right.limit, None
             node.offset, right.offset = right.offset, None
         return node
+
+    def parse_cte_query(self) -> CteQuery:
+        """WITH name AS (select-chain) [, …]* SELECT … (ANSI CTEs)."""
+        self.advance()  # WITH
+        if self.at_kw("RECURSIVE"):
+            raise ParseError("WITH RECURSIVE is not supported (no fixpoint iteration on Spark plans)")
+        ctes: list = []
+        while True:
+            t = self.cur()
+            if t.kind not in (IDENT, QIDENT):
+                raise ParseError(f"expected CTE name after WITH, got {t!r}")
+            name = self.advance().val
+            self.expect(IDENT, "AS")
+            self.expect(LPAREN)
+            inner = self.parse_select_chain()
+            self.expect(RPAREN)
+            ctes.append((name, inner))
+            if self.cur().kind == COMMA:
+                self.advance()
+                continue
+            break
+        if not self.at_kw("SELECT"):
+            raise ParseError(f"expected SELECT after WITH clause, got {self.cur()!r}")
+        self.advance()
+        return CteQuery(ctes=ctes, query=self.parse_select_chain())
 
     def parse_select(self) -> SqlSelect:
         # 'SELECT' already consumed by caller (or consume if present)

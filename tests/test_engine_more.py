@@ -426,3 +426,52 @@ class TestDbApiEscapes:
         # a qmark placeholder — exactly one parameter must be consumed
         rows = cur.execute("SELECT b FROM t WHERE `a?` = ?", [2]).fetchall()
         assert rows == [(20,)]
+
+
+class TestCte:
+    """Leading WITH … AS (…) CTEs — ANSI superset; the reference's WITH is
+    the trailing config map only (lex/dialect_sql.go), so the two forms
+    never collide."""
+
+    def test_basic_cte(self, engine):
+        rows = engine.sql(
+            "WITH pricey AS (SELECT order_id, price FROM orders WHERE price > 25) "
+            "SELECT count(*) AS n FROM pricey"
+        ).collect()
+        assert rows[0]["n"] == 1
+
+    def test_chained_ctes_later_sees_earlier(self, engine):
+        rows = engine.sql(
+            "WITH a AS (SELECT user_id, price FROM orders), "
+            "b AS (SELECT user_id, sum(price) AS total FROM a GROUP BY user_id) "
+            "SELECT user_id, total FROM b ORDER BY total DESC"
+        ).collect()
+        assert rows[0]["user_id"] == "9Ip1aKbeZe2njCDM" and rows[0]["total"] == 60.0
+
+    def test_cte_shadows_and_restores_table(self, engine):
+        n_before = engine.sql("SELECT count(*) AS n FROM orders").collect()[0]["n"]
+        shadowed = engine.sql(
+            "WITH orders AS (SELECT order_id FROM orders LIMIT 1) SELECT count(*) AS n FROM orders"
+        ).collect()[0]["n"]
+        assert shadowed == 1
+        assert engine.sql("SELECT count(*) AS n FROM orders").collect()[0]["n"] == n_before
+        assert "pricey" not in engine.tables and "a" not in engine.tables
+
+    def test_cte_with_setop_chain_and_join(self, engine):
+        rows = engine.sql(
+            "WITH ids AS (SELECT user_id FROM orders UNION SELECT user_id FROM users) "
+            "SELECT count(*) AS n FROM ids"
+        ).collect()
+        assert rows[0]["n"] == 4  # 3 users + 1 order-only id, deduped
+
+    def test_recursive_rejected(self, engine):
+        from qlbridge_spark.rel import ParseError
+
+        with pytest.raises(ParseError, match="RECURSIVE"):
+            engine.sql("WITH RECURSIVE r AS (SELECT 1) SELECT * FROM r")
+
+    def test_missing_select_after_with(self, engine):
+        from qlbridge_spark.rel import ParseError
+
+        with pytest.raises(ParseError, match="expected SELECT"):
+            engine.sql("WITH a AS (SELECT 1)")
