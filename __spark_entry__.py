@@ -127,21 +127,19 @@ _Q = {
         GROUP BY o_custkey
         HAVING count(*) > 12
         ORDER BY n DESC, o_custkey""",
-    # §2.5 ORDER BY + LIMIT/OFFSET (offset: parse-only in reference)
-    "q10_order_offset": """
-        SELECT p_partkey, p_retailprice
-        FROM part
-        ORDER BY p_retailprice DESC, p_partkey
-        LIMIT 10 OFFSET 5""",
-    # §2.3 LEFT JOIN (grammar-accepted superset; exec ignores it in ref)
+    # §2.3 LEFT + RIGHT OUTER joins in one chain (grammar-accepted
+    # superset; exec ignores join type in ref) — count(c_custkey) counts
+    # only matched customers, so unmatched nations show 0
     "q11_left_join": """
-        SELECT r_name, count(n_nationkey) AS n_nations
-        FROM region LEFT JOIN nation ON r_regionkey = n_regionkey
-        GROUP BY r_name
-        ORDER BY r_name""",
+        SELECT r_name, n_name, count(c_custkey) AS n_cust
+        FROM customer RIGHT JOIN nation ON c_nationkey = n_nationkey
+                      LEFT JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+        ORDER BY r_name, n_name""",
     # §2.9 string + hash + url builtins (expr/builtins/string.go,
     # hash_and_encode.go, url_email.go:230/463/609 — host/qs/url.matchqs
     # exercised on a synthetic URL so edge cases get a hard oracle row)
+    # + §2.9 conditional builtins if()/oneof() (folded from retired q15)
     "q12_string_funcs": """
         SELECT c_custkey, tolower(c_name) AS lname,
                hash.md5(c_name) AS md5h,
@@ -154,6 +152,8 @@ _Q = {
                qs(if(c_custkey % 2 = 0,
                      join("http://ex.com/p?seg=", c_mktsegment, ""),
                      "http://ex.com/p"), "seg") AS qsv,
+               if(c_acctbal > 5000, "high", "low") AS tier,
+               round(oneof(c_acctbal, 0), 2) AS bal,
                url.matchqs(if(c_custkey % 2 = 0,
                               join("http://ex.com/p?seg=", c_mktsegment, ""),
                               "http://ex.com/p"), "seg") AS hasq
@@ -175,12 +175,6 @@ _Q = {
         WHERE c_mktsegment LIKE "%BUILD%" OR c_mktsegment IN ("MACHINERY", "FURNITURE")
         ORDER BY c_custkey""",
     # §2.9 conditional (if) + oneof/coalesce
-    "q15_conditional": """
-        SELECT c_custkey,
-               if(c_acctbal > 5000, "high", "low") AS tier,
-               round(oneof(c_acctbal, 0), 2) AS bal
-        FROM customer
-        ORDER BY c_custkey""",
     # §2.7 subquery in FROM
     "q16_subquery_from": """
         SELECT seg, round(avg(bal), 2) AS avg_bal, count(*) AS n
@@ -224,10 +218,12 @@ _Q = {
           AND p_brand NOT IN ("Brand#55")
           AND NOT (p_partkey % 3 = 0)
         ORDER BY p_partkey""",
-    # §2.2 multi-column DISTINCT
+    # §2.2 multi-column DISTINCT + §2.5 ORDER BY + LIMIT/OFFSET (offset:
+    # parse-only in reference) — DISTINCT applies before the chain clauses
     "q25_distinct_multi": """
         SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
-        ORDER BY l_returnflag, l_linestatus""",
+        ORDER BY l_returnflag, l_linestatus
+        LIMIT 4 OFFSET 1""",
     # §2.4 min/max/stddev superset aggregates
     # median/percentile_cont over the integer nationkey domain: linear
     # interpolation lands on exact binary fractions (.0/.25/.5/.75), so
@@ -240,11 +236,6 @@ _Q = {
                median(c_nationkey) AS med_nk,
                percentile_cont(c_nationkey, 0.25) AS p25_nk
         FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
-    # §2.3 RIGHT JOIN
-    "q27_right_join": """
-        SELECT n_name, count(c_custkey) AS n_cust
-        FROM customer RIGHT JOIN nation ON c_nationkey = n_nationkey
-        GROUP BY n_name ORDER BY n_name""",
     # §2.3 CROSS JOIN (comma form)
     "q28_cross_join": """
         SELECT count(*) AS pairs FROM region, nation""",
@@ -324,11 +315,15 @@ _Q = {
     # engine into one aggregate + one left join per subquery (superset: the
     # reference refuses all WHERE/select subqueries,
     # plan/planner_select.go:94-98). count() coalesces to 0 on empty
-    # correlated sets (the classic count-bug)
+    # correlated sets (the classic count-bug). beats_all: correlated
+    # QUANTIFIED comparison (> ALL) via the min/max rewrite — per-key
+    # aggregate + left join, vacuous TRUE on customers without orders
     "q38_correlated_scalar": """
         SELECT c_custkey,
                (SELECT max(o_totalprice) FROM orders WHERE o_custkey = c_custkey) AS top_order,
-               (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
+               (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders,
+               c_acctbal * 100 > ALL (SELECT o.o_totalprice FROM orders AS o
+                                      WHERE o.o_custkey = c_custkey) AS beats_all
         FROM customer
         WHERE c_custkey < 200""",
     # TPC-H Q17 shape: correlated aggregate subquery in WHERE against the
@@ -341,15 +336,6 @@ _Q = {
         WHERE p_size < 15
           AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity) FROM lineitem AS l2
                             WHERE l2.l_partkey = p_partkey)""",
-    # correlated quantified comparison (ANSI superset): > ALL lowers to the
-    # min/max rewrite over a per-correlation-key aggregate + left join —
-    # one shuffle, no per-row re-execution; empty inner sets pass vacuously
-    "q40_quantified_all": """
-        SELECT o_orderkey, round(o_totalprice, 2) AS total
-        FROM orders
-        WHERE o_orderkey < 2000
-          AND o_totalprice > ALL (SELECT l.l_extendedprice * 4 FROM lineitem AS l
-                                  WHERE l.l_orderkey = o_orderkey)""",
     # leading WITH CTEs (ANSI superset — the reference's WITH is only the
     # trailing config map): chained CTEs, the second referencing the first;
     # each CTE is a lazy plan, so Catalyst inlines and pushes the final
@@ -726,13 +712,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_custkey, count(*) AS n FROM orders
             GROUP BY o_custkey HAVING count(*) > 12
             ORDER BY n DESC, o_custkey""",
-        "q10_order_offset": """
-            SELECT p_partkey, p_retailprice FROM part
-            ORDER BY p_retailprice DESC, p_partkey LIMIT 10 OFFSET 5""",
         "q11_left_join": """
-            SELECT r_name, count(n_nationkey) AS n_nations
-            FROM region LEFT JOIN nation ON r_regionkey = n_regionkey
-            GROUP BY r_name ORDER BY r_name""",
+            SELECT r_name, n_name, CAST(count(c_custkey) AS BIGINT) AS n_cust
+            FROM customer RIGHT JOIN nation ON c_nationkey = n_nationkey
+                          LEFT JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name
+            ORDER BY r_name, n_name""",
         "q12_string_funcs": """
             SELECT c_custkey, lower(c_name) AS lname,
                    md5(c_name) AS md5h,
@@ -741,6 +726,8 @@ def oracle_sql() -> dict[str, str]:
                    concat_ws('|', c_name, c_mktsegment) AS joined,
                    'ex.com' AS hostc,
                    CASE WHEN c_custkey % 2 = 0 THEN c_mktsegment END AS qsv,
+                   CASE WHEN c_acctbal > 5000 THEN 'high' ELSE 'low' END AS tier,
+                   round(coalesce(c_acctbal, 0), 2) AS bal,
                    (c_custkey % 2 = 0) AS hasq
             FROM customer WHERE c_custkey < 100 ORDER BY c_custkey""",
         "q13_time_funcs": """
@@ -755,11 +742,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, c_mktsegment FROM customer
             WHERE c_mktsegment LIKE '%BUILD%' OR c_mktsegment IN ('MACHINERY', 'FURNITURE')
             ORDER BY c_custkey""",
-        "q15_conditional": """
-            SELECT c_custkey,
-                   CASE WHEN c_acctbal > 5000 THEN 'high' ELSE 'low' END AS tier,
-                   round(coalesce(c_acctbal, 0), 2) AS bal
-            FROM customer ORDER BY c_custkey""",
         "q16_subquery_from": """
             SELECT seg, round(avg(bal), 2) AS avg_bal, count(*) AS n
             FROM (SELECT c_mktsegment AS seg, c_acctbal AS bal FROM customer WHERE c_acctbal > 0) AS t
@@ -781,7 +763,8 @@ def oracle_sql() -> dict[str, str]:
         "q20_literal": """SELECT 1 AS one, 'hello' AS greeting, 2 * 3 AS six""",
         "q25_distinct_multi": """
             SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
-            ORDER BY l_returnflag, l_linestatus""",
+            ORDER BY l_returnflag, l_linestatus
+            LIMIT 4 OFFSET 1""",
         "q26_minmax": """
             SELECT c_mktsegment, round(min(c_acctbal), 2) AS lo,
                    round(max(c_acctbal), 2) AS hi,
@@ -789,10 +772,6 @@ def oracle_sql() -> dict[str, str]:
                    median(c_nationkey) AS med_nk,
                    quantile_cont(c_nationkey, 0.25) AS p25_nk
             FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
-        "q27_right_join": """
-            SELECT n_name, count(c_custkey) AS n_cust
-            FROM customer RIGHT JOIN nation ON c_nationkey = n_nationkey
-            GROUP BY n_name ORDER BY n_name""",
         "q28_cross_join": """
             SELECT count(*) AS pairs FROM region, nation""",
         "q30_dow_profile": """
@@ -1070,7 +1049,9 @@ def oracle_sql() -> dict[str, str]:
         "q38_correlated_scalar": """
             SELECT c_custkey,
                    (SELECT max(o_totalprice) FROM orders WHERE o_custkey = c_custkey) AS top_order,
-                   CAST((SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS BIGINT) AS n_orders
+                   CAST((SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS BIGINT) AS n_orders,
+                   c_acctbal * 100 > ALL (SELECT o.o_totalprice FROM orders AS o
+                                          WHERE o.o_custkey = c_custkey) AS beats_all
             FROM customer
             WHERE c_custkey < 200""",
         "q39_small_quantity_revenue": """
@@ -1079,12 +1060,6 @@ def oracle_sql() -> dict[str, str]:
             WHERE p_size < 15
               AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity) FROM lineitem AS l2
                                 WHERE l2.l_partkey = p_partkey)""",
-        "q40_quantified_all": """
-            SELECT o_orderkey, round(o_totalprice, 2) AS total
-            FROM orders
-            WHERE o_orderkey < 2000
-              AND o_totalprice > ALL (SELECT l.l_extendedprice * 4 FROM lineitem AS l
-                                      WHERE l.l_orderkey = o_orderkey)""",
         "q41_cte_chain": """
             WITH big_orders AS (
                 SELECT o_custkey, o_totalprice FROM orders WHERE o_totalprice > 100000
