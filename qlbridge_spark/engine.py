@@ -777,7 +777,7 @@ class Engine:
 
         Returns the (possibly join-extended) frame and the rewritten
         select; injected ``__csub*`` columns disappear at projection."""
-        if not self._has_scalar_subquery(sel, ("columns", "where")):
+        if not self._has_scalar_subquery(sel, ("columns", "where"), include_in=True):
             return df, sel
 
         holder = {"df": df}
@@ -799,8 +799,88 @@ class Engine:
             node, holder["df"] = self._decorrelate_quantified(holder["df"], scope, x, sub.select, base, quant)
             return node
 
-        sel = self._resolve_scalar_subqueries(sel, fields=("columns", "where"), scalar_fn=scalar_fn, quant_fn=quant_fn)
+        def in_fn(left_node: Node, sub: SubqueryNode, negated: bool) -> Node:
+            # membership as a BOOLEAN COLUMN (select list / disjunctions —
+            # positions the semi-join can't serve); ANSI three-valued
+            x = to_column(left_node, scope)
+            node, holder["df"] = self._lower_in_membership(holder["df"], x, sub.select, negated)
+            return node
+
+        import dataclasses
+
+        walk = lambda n: self._walk_subqueries(n, scalar_fn, quant_fn, in_fn)  # noqa: E731
+        sel = dataclasses.replace(
+            sel,
+            columns=[dataclasses.replace(c, expr=walk(c.expr), guard=walk(c.guard)) for c in sel.columns],
+            where=self._walk_where_protected(sel.where, walk),
+        )
         return holder["df"], sel
+
+    def _walk_where_protected(self, where: Node | None, walk) -> Node | None:
+        """Walk a WHERE tree, PRESERVING top-level ``IN (SELECT)`` and
+        ``EXISTS`` conjuncts — `_apply_where` lowers those to semi/anti
+        joins, strictly better plans than a membership-marker join (no
+        NULL-handling columns, AQE-broadcastable). Everything else —
+        disjunctive INs, scalar/quantified subqueries — lowers here."""
+        if where is None:
+            return None
+        out: Node | None = None
+        for c in self._conjuncts(where):
+            # = ANY / != ALL conjuncts are IN / NOT IN — normalize so the
+            # semi/anti-join path claims them too
+            if isinstance(c, BinaryNode) and isinstance(c.right, SubqueryNode):
+                if c.op == "= ANY":
+                    c = BinaryNode("IN", c.left, c.right, c.negated)
+                elif c.op == "!= ALL":
+                    c = BinaryNode("IN", c.left, c.right, not c.negated)
+            if self._as_subquery_in(c) is not None:
+                lowered = c  # semi/anti-join path claims conjunct INs
+            else:
+                # everything else walks — incl. EXISTS, whose walk branch
+                # folds uncorrelated ones to a literal and PRESERVES
+                # correlated ones for _apply_where's semi-join
+                lowered = walk(c)
+            out = lowered if out is None else BinaryNode("AND", out, lowered)
+        return out
+
+    def _lower_in_membership(self, df: DataFrame, x: SparkColumn, sub_sel, negated: bool):
+        """``x IN (SELECT …)`` as a BOOLEAN COLUMN (select list /
+        disjunctive WHERE — positions a semi-join can't serve): LEFT JOIN
+        the distinct non-null inner values with a match marker, then fold
+        ANSI three-valued membership — FALSE on empty set, UNKNOWN when
+        unmatched against a set containing NULL (or when x is NULL).
+        The inner set's (size, null-count) are two plan-time scalars;
+        UNCORRELATED only (a correlated disjunctive IN needs a general
+        outer-join decorrelation — clear error instead)."""
+        from .nodes import SparkColNode
+
+        try:
+            sub_df = self._select_any(sub_sel)
+        except TranslateError as exc:
+            raise ExecError(
+                "correlated IN (SELECT …) is supported only as a top-level WHERE conjunct "
+                f"(semi/anti-join); in this position the inner select must be self-contained: {exc}"
+            ) from None
+        if len(sub_df.columns) != 1:
+            raise ExecError(f"IN subquery must return one column, got {len(sub_df.columns)}")
+        c = sub_df[sub_df.columns[0]]
+        row = sub_df.agg(F.count(F.lit(1)).alias("t"), F.count(c).alias("nn")).collect()[0]
+        total, has_null = row["t"], row["t"] - row["nn"] > 0
+        self._subq_n = getattr(self, "_subq_n", 0) + 1
+        key = f"__inq{self._subq_n}_k"
+        mark = f"__inq{self._subq_n}_m"
+        vals = sub_df.select(c.alias(key)).where(c.isNotNull()).distinct().withColumn(mark, F.lit(True))
+        out = df.join(vals, on=x == F.col(key), how="left").drop(key)
+        flag = (
+            F.when(F.lit(total == 0), F.lit(False))
+            .when(x.isNull(), F.lit(None).cast("boolean"))
+            .when(F.col(mark).isNotNull(), F.lit(True))
+            .when(F.lit(has_null), F.lit(None).cast("boolean"))
+            .otherwise(F.lit(False))
+        )
+        if negated:
+            flag = ~flag  # three-valued NOT: NULL stays NULL
+        return SparkColNode(col=flag, dtype=T.BooleanType(), text="(x IN subquery)"), out
 
     def _correlation_split(self, scope: Scope, sub_sel, kind: str):
         """Shared decorrelation front-end: build the inner frame, split the
@@ -1051,53 +1131,8 @@ class Engine:
         if quant_fn is None:
             quant_fn = quant_default
 
-        def walk(n: Node | None) -> Node | None:
-            if n is None:
-                return None
-            if isinstance(n, SubqueryNode):
-                return scalar_fn(n)
-            if isinstance(n, UnaryNode):
-                if n.op == "EXISTS" and isinstance(n.child, SubqueryNode):
-                    try:
-                        inner = self._select_any(n.child.select)
-                    except TranslateError:
-                        # inner references outer columns → CORRELATED;
-                        # left intact for _apply_where's semi-join rewrite
-                        return n
-                    return SparkColNode(col=F.lit(inner.limit(1).count() > 0), dtype=None, text="EXISTS(...)")
-                return UnaryNode(n.op, walk(n.child))
-            if isinstance(n, BinaryNode):
-                if n.op == "IN" and isinstance(n.right, SubqueryNode):
-                    return BinaryNode(n.op, walk(n.left), n.right, n.negated)  # semi-join path
-                if (n.op.endswith(" ANY") or n.op.endswith(" ALL")) and isinstance(n.right, SubqueryNode):
-                    base, _, quant = n.op.partition(" ")
-                    # = ANY ≡ IN and != ALL ≡ NOT IN — membership tests the
-                    # min/max rewrite can't express; route to the semi/anti
-                    # join path (NOT IN's anti-join shortcut documented)
-                    if base == "=" and quant == "ANY":
-                        return BinaryNode("IN", walk(n.left), n.right, n.negated)
-                    if base == "!=" and quant == "ALL":
-                        return BinaryNode("IN", walk(n.left), n.right, not n.negated)
-                    return quant_fn(walk(n.left), n.right, base, quant)
-                return BinaryNode(n.op, walk(n.left), walk(n.right), n.negated)
-            if isinstance(n, BooleanNode):
-                return BooleanNode(n.op, [walk(a) for a in n.args], n.negated)
-            if isinstance(n, FuncNode):
-                return dataclasses.replace(n, args=[walk(a) for a in n.args])
-            if isinstance(n, WindowNode):
-                return dataclasses.replace(
-                    n,
-                    func=dataclasses.replace(n.func, args=[walk(a) for a in n.func.args]),
-                    partition_by=[walk(e) for e in n.partition_by],
-                    order_by=[(walk(e), d) for e, d in n.order_by],
-                )
-            from .nodes import ArrayNode, TriNode
-
-            if isinstance(n, TriNode):
-                return dataclasses.replace(n, args=[walk(a) for a in n.args])
-            if isinstance(n, ArrayNode):
-                return dataclasses.replace(n, items=[walk(i) for i in n.items])
-            return n
+        def walk(n):
+            return self._walk_subqueries(n, scalar_fn, quant_fn, None)
 
         if not self._has_scalar_subquery(sel, fields):
             return sel
@@ -1112,15 +1147,83 @@ class Engine:
             repl["qualify"] = walk(sel.qualify)
         return dataclasses.replace(sel, **repl)
 
+    def _walk_subqueries(self, n: Node | None, scalar_fn, quant_fn, in_fn=None) -> Node | None:
+        """Bottom-up subquery lowering over one expression tree. ``in_fn``
+        of None PRESERVES ``IN (SELECT)`` nodes (the WHERE semi-join path
+        claims them); a callable lowers them to a membership column."""
+        import dataclasses
+
+        from .nodes import ArrayNode, SparkColNode, TriNode
+
+        def walk(node: Node | None) -> Node | None:
+            return self._walk_subqueries(node, scalar_fn, quant_fn, in_fn)
+
+        if n is None:
+            return None
+        if isinstance(n, SubqueryNode):
+            return scalar_fn(n)
+        if isinstance(n, UnaryNode):
+            if n.op == "EXISTS" and isinstance(n.child, SubqueryNode):
+                try:
+                    inner = self._select_any(n.child.select)
+                except TranslateError:
+                    # inner references outer columns → CORRELATED;
+                    # left intact for _apply_where's semi-join rewrite
+                    return n
+                return SparkColNode(col=F.lit(inner.limit(1).count() > 0), dtype=None, text="EXISTS(...)")
+            return UnaryNode(n.op, walk(n.child))
+        if isinstance(n, BinaryNode):
+            if n.op == "IN" and isinstance(n.right, SubqueryNode):
+                if in_fn is None:
+                    return BinaryNode(n.op, walk(n.left), n.right, n.negated)  # semi-join path
+                return in_fn(walk(n.left), n.right, n.negated)
+            if (n.op.endswith(" ANY") or n.op.endswith(" ALL")) and isinstance(n.right, SubqueryNode):
+                base, _, quant = n.op.partition(" ")
+                # = ANY ≡ IN and != ALL ≡ NOT IN — membership tests the
+                # min/max rewrite can't express; route to the semi/anti
+                # join path (NOT IN's anti-join shortcut documented)
+                if base == "=" and quant == "ANY":
+                    inner = BinaryNode("IN", walk(n.left), n.right, n.negated)
+                    return inner if in_fn is None else in_fn(inner.left, n.right, n.negated)
+                if base == "!=" and quant == "ALL":
+                    inner = BinaryNode("IN", walk(n.left), n.right, not n.negated)
+                    return inner if in_fn is None else in_fn(inner.left, n.right, not n.negated)
+                return quant_fn(walk(n.left), n.right, base, quant)
+            return BinaryNode(n.op, walk(n.left), walk(n.right), n.negated)
+        if isinstance(n, BooleanNode):
+            return BooleanNode(n.op, [walk(a) for a in n.args], n.negated)
+        if isinstance(n, FuncNode):
+            return dataclasses.replace(n, args=[walk(a) for a in n.args])
+        if isinstance(n, WindowNode):
+            return dataclasses.replace(
+                n,
+                func=dataclasses.replace(n.func, args=[walk(a) for a in n.func.args]),
+                partition_by=[walk(e) for e in n.partition_by],
+                order_by=[(walk(e), d) for e, d in n.order_by],
+            )
+        if isinstance(n, TriNode):
+            return dataclasses.replace(n, args=[walk(a) for a in n.args])
+        if isinstance(n, ArrayNode):
+            return dataclasses.replace(n, items=[walk(i) for i in n.items])
+        return n
+
     @staticmethod
-    def _has_scalar_subquery(sel: SqlSelect, fields: tuple[str, ...] = ("columns", "where", "having", "qualify")) -> bool:
+    def _has_scalar_subquery(
+        sel: SqlSelect,
+        fields: tuple[str, ...] = ("columns", "where", "having", "qualify"),
+        include_in: bool = False,
+    ) -> bool:
+        """``include_in`` also counts ``IN (SELECT …)`` nodes — used by
+        `_rewrite_subqueries`, whose walk lowers select-list/disjunctive
+        INs (top-level WHERE conjunct INs stay with the semi-join path)."""
+
         def scan(n: Node | None) -> bool:
             if n is None:
                 return False
             if isinstance(n, SubqueryNode):
                 return True
             if isinstance(n, BinaryNode) and n.op == "IN" and isinstance(n.right, SubqueryNode):
-                return scan(n.left)
+                return include_in or scan(n.left)
             return any(scan(c) for c in n.children())
 
         hit = False

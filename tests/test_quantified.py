@@ -125,3 +125,46 @@ class TestQuantifiedCorrelated:
         # any(ident) is the reference's existence builtin — must still
         # parse as a function call, not a quantifier
         assert engine.sql("SELECT count(*) AS n FROM users WHERE any(email)").collect()[0]["n"] == 3
+
+
+class TestInMembershipColumn:
+    """IN (SELECT …) outside the top-level WHERE conjunct position —
+    lowered to a membership-marker LEFT JOIN with ANSI three-valued
+    folding (conjunct INs keep the strictly-better semi/anti-join)."""
+
+    def test_in_select_list(self, qeng, duck):
+        q = "SELECT x, x IN (SELECT v FROM s_nonull) AS m FROM vals"
+        want = sorted((tuple(r) for r in duck.execute(q).fetchall()), key=str)
+        got = sorted((tuple(r) for r in qeng.sql(q).collect()), key=str)
+        assert got == want
+
+    @pytest.mark.parametrize("sname", sorted(SETS))
+    def test_in_select_list_null_matrix(self, qeng, duck, sname):
+        q = f"SELECT x, x IN (SELECT v FROM {sname}) AS m FROM vals"
+        want = sorted((tuple(r) for r in duck.execute(q).fetchall()), key=str)
+        got = sorted((tuple(r) for r in qeng.sql(q).collect()), key=str)
+        assert got == want
+
+    def test_not_in_select_list(self, qeng, duck):
+        q = "SELECT x, x NOT IN (SELECT v FROM s_null) AS m FROM vals"
+        want = sorted((tuple(r) for r in duck.execute(q).fetchall()), key=str)
+        got = sorted((tuple(r) for r in qeng.sql(q).collect()), key=str)
+        assert got == want
+
+    def test_disjunctive_in_where(self, qeng, duck):
+        q = "SELECT x FROM vals WHERE x = 5 OR x IN (SELECT v FROM s_nonull)"
+        want = sorted(r[0] for r in duck.execute(q).fetchall())
+        got = sorted(r[0] for r in qeng.sql(q).collect())
+        assert got == want == [5]
+
+    def test_conjunct_in_still_semi_join(self, qeng):
+        df = qeng.sql("SELECT x FROM vals WHERE x IN (SELECT v FROM s_nonull)")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "LeftSemi" in plan
+
+    def test_correlated_disjunctive_in_errors_clearly(self, engine):
+        with pytest.raises(ExecError, match="top-level WHERE conjunct"):
+            engine.sql(
+                "SELECT order_id FROM orders WHERE order_id = 99 OR price IN "
+                "(SELECT referral_count FROM users WHERE users.user_id = orders.user_id)"
+            ).collect()
