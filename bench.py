@@ -179,6 +179,31 @@ def main() -> int:
     except Exception as e:  # bucketed section is additive — never sink the bench
         bucketed_info["error"] = f"{type(e).__name__}: {e}"
 
+    # ------------------------------------------------------------------
+    # decorrelation section (additive, not in the headline total): the
+    # round-6 subquery lowerings at the bench SF. Each correlated
+    # scalar/quantified subquery runs as ONE per-key aggregate + ONE join;
+    # a tuple-at-a-time engine re-executes the inner query per outer row
+    # (at sf0.1 that would be 150k lineitem scans for q39).
+    # ------------------------------------------------------------------
+    decorrelation_info: dict = {}
+    try:
+        for name in ("q38_correlated_scalar", "q39_small_quantity_revenue", "q41_cte_chain"):
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
+            t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            plan = df._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+            )
+            decorrelation_info[name] = {
+                "sec": round(time.time() - t0, 3),
+                "exchanges": plan.count("Exchange"),
+                "python_udfs": plan.count("BatchEvalPython"),
+            }
+    except Exception as e:
+        decorrelation_info["error"] = f"{type(e).__name__}: {e}"
+
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
@@ -191,6 +216,7 @@ def main() -> int:
                 "reps": reps,
                 "spread": spread,
                 "bucketed_layout": bucketed_info,
+                "decorrelation": decorrelation_info,
             }
         )
     )
