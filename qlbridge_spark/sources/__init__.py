@@ -55,6 +55,14 @@ def _read_one(spark: SparkSession, typ: str, path: str, cfg: dict) -> DataFrame:
         return spark.read.options(**opts).json(path)
     if typ == "parquet":
         return spark.read.options(**opts).parquet(path)
+    if typ == "orc":
+        # columnar alternative — native reader, same pushdown/pruning as
+        # parquet (superset: the reference has no ORC source)
+        return spark.read.options(**opts).orc(path)
+    if typ in ("text", "textfile"):
+        # one row per line, single `value` string column — the raw-corpus
+        # ingestion shape for the datapipe operators
+        return spark.read.options(**opts).text(path)
     if typ == "sqlite":
         return _read_sqlite(spark, cfg.get("file") or path, cfg.get("dbtable") or cfg.get("table", "t"), cfg.get("query"))
     if typ == "jdbc":

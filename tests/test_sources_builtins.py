@@ -13,6 +13,22 @@ class TestSources:
         assert [r[0] for r in out] == ["fido"]
         engine.execute("DROP SOURCE pets_json")
 
+    def test_sources_orc(self, engine, spark, tmp_path):
+        p = str(tmp_path / "pets_orc")
+        spark.createDataFrame([("rex", 3), ("fido", 5)], "name string, age int").write.orc(p)
+        engine.execute(f'CREATE SOURCE pets_orc WITH {{"type": "orc", "path": "{p}"}}')
+        out = engine.sql("SELECT name FROM pets_orc WHERE age > 4").collect()
+        assert [r[0] for r in out] == ["fido"]
+        engine.execute("DROP SOURCE pets_orc")
+
+    def test_sources_text(self, engine, tmp_path):
+        p = tmp_path / "corpus.txt"
+        p.write_text("the quick brown fox\nhello world\n")
+        engine.execute(f'CREATE SOURCE corpus WITH {{"type": "text", "path": "{p}"}}')
+        out = engine.sql('SELECT value FROM corpus WHERE value LIKE "hello*"').collect()
+        assert [r[0] for r in out] == ["hello world"]
+        engine.execute("DROP SOURCE corpus")
+
     def test_sources_multi_table(self, engine, tmp_path):
         # cloud-files-style source: one config, many tables
         (tmp_path / "a.csv").write_text("x\n1\n2\n")
