@@ -120,7 +120,7 @@ def create_continuous_view(engine, create_stmt):
         for n in extra_streams:
             engine.tables.pop(f"__stream_{n}", None)
 
-    query = _start(out, create_stmt.ident, cfg)
+    query = _start(out, create_stmt.ident, cfg, engine=engine)
     engine.streams[create_stmt.ident.lower()] = query
     return query
 
@@ -322,12 +322,46 @@ def _clone_with_from(sel, new_table: str, old_src, renames: dict[str, str] | Non
     return sel2
 
 
-def _start(out: DataFrame, name: str, cfg: dict):
+def _start(out: DataFrame, name: str, cfg: dict, engine=None):
     mode = cfg.get("output_mode", "append")
     fmt = cfg.get("format", "memory")
     writer = out.writeStream.outputMode(mode).queryName(name)
     if cfg.get("checkpoint"):
         writer = writer.option("checkpointLocation", cfg["checkpoint"])
+    if fmt == "upsert":
+        # streaming upsert: each micro-batch MERGEs into the target by key
+        # (the standard foreachBatch + MERGE production pattern). Target
+        # resolution: a registered sink with merge_upsert (e.g.
+        # DeltaMergeSink — transactional MERGE INTO at scale) wins; else
+        # the engine's in-memory registry gets anti-join + union semantics
+        # (exactly the engine's batch UPSERT).
+        target = cfg.get("target", name)
+        key = cfg.get("key")
+        if engine is None or key is None:
+            raise ValueError("WITH {'format': 'upsert'} requires a key and an engine-backed target")
+
+        def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+            sink = engine.sinks.get(target.lower())
+            if sink is not None and hasattr(sink, "merge_upsert"):
+                sink.merge_upsert(batch_df, key)
+                return
+            cur = engine.tables.get(target.lower())
+            if cur is None:
+                merged = batch_df
+            else:
+                # latest-wins within the batch too: dedup on key first
+                from pyspark.sql import Window
+
+                ranked = batch_df.withColumn(
+                    "__rn", F.row_number().over(Window.partitionBy(key).orderBy(F.lit(1)))
+                )
+                newest = ranked.filter(F.col("__rn") == 1).drop("__rn")
+                merged = cur.join(newest.select(key), on=key, how="left_anti").unionByName(newest)
+            # materialize: a lazy plan over the stream batch would be
+            # unreadable after the micro-batch ends
+            engine.register_df(target, engine.spark.createDataFrame(merged.collect(), merged.schema))
+
+        return writer.foreachBatch(merge_batch).start()
     if fmt == "memory":
         return writer.format("memory").start()
     return writer.format(fmt).option("path", cfg["sink_path"]).start()

@@ -129,6 +129,85 @@ class TestContinuousView:
                 f'"streams": {{"s2": {{"path": "{d}"}}}}}}'
             )
 
+    def test_continuous_view_upsert_sink(self, spark, tmp_path):
+        """WITH {'format': 'upsert'}: each micro-batch MERGEs into the
+        engine target by key (foreachBatch + MERGE, the production
+        streaming-upsert shape; a registered merge sink — e.g. Delta —
+        takes priority, in-memory registry upsert otherwise)."""
+        from qlbridge_spark import Engine
+
+        eng = Engine(spark)
+        v1 = spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0)], "id long, k string, v double")
+        stream_dir = str(tmp_path / "up_stream")
+        v1.write.parquet(stream_dir)
+        eng.register_df("src", v1)
+
+        q = eng.execute(
+            "CREATE CONTINUOUSVIEW up AS SELECT id, k, v FROM src "
+            f'WITH {{"path": "{stream_dir}", "format": "upsert", "target": "state_tbl", "key": "id"}}'
+        )
+        try:
+            q.processAllAvailable()
+            assert {tuple(r) for r in eng.table("state_tbl").collect()} == {(1, "a", 1.0), (2, "b", 2.0)}
+
+            # second file: update id=2, add id=3 → MERGE semantics
+            spark.createDataFrame([(2, "b2", 20.0), (3, "c", 3.0)], "id long, k string, v double").write.mode(
+                "append"
+            ).parquet(stream_dir)
+            q.processAllAvailable()
+            assert {tuple(r) for r in eng.table("state_tbl").collect()} == {
+                (1, "a", 1.0),
+                (2, "b2", 20.0),
+                (3, "c", 3.0),
+            }
+        finally:
+            q.stop()
+
+    def test_continuous_view_upsert_sink_protocol(self, spark, tmp_path):
+        """A registered sink exposing merge_upsert receives each batch —
+        the DeltaMergeSink protocol, testable without the delta jar."""
+        from qlbridge_spark import Engine
+
+        eng = Engine(spark)
+        v1 = spark.createDataFrame([(1, "a")], "id long, k string")
+        stream_dir = str(tmp_path / "sink_stream")
+        v1.write.parquet(stream_dir)
+        eng.register_df("src2", v1)
+
+        calls = []
+
+        class FakeSink:
+            def merge_upsert(self, df, key):
+                calls.append((sorted(tuple(r) for r in df.collect()), key))
+
+            def scan(self, spark):  # engine.table() contract
+                raise NotImplementedError
+
+        eng.register_sink("state_sink", FakeSink())
+        q = eng.execute(
+            "CREATE CONTINUOUSVIEW up2 AS SELECT id, k FROM src2 "
+            f'WITH {{"path": "{stream_dir}", "format": "upsert", "target": "state_sink", "key": "id"}}'
+        )
+        try:
+            q.processAllAvailable()
+            assert calls == [([(1, "a")], "id")]
+        finally:
+            q.stop()
+
+    def test_upsert_sink_requires_key(self, spark, tmp_path):
+        from qlbridge_spark import Engine
+
+        eng = Engine(spark)
+        v1 = spark.createDataFrame([(1, "a")], "id long, k string")
+        d = str(tmp_path / "nokey")
+        v1.write.parquet(d)
+        eng.register_df("src3", v1)
+        with pytest.raises(ValueError, match="key"):
+            eng.execute(
+                "CREATE CONTINUOUSVIEW up3 AS SELECT id FROM src3 "
+                f'WITH {{"path": "{d}", "format": "upsert"}}'
+            )
+
     def test_continuous_view_windowed_agg(self, spark, tmp_path):
         """WITH {'window': ...}: tumbling event-time window joins the GROUP
         BY keys; watermark bounds state; append mode emits only finalized
