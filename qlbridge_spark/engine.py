@@ -381,7 +381,9 @@ class Engine:
         return df
 
     def _select_any(self, sel) -> DataFrame:
-        """SELECT or set-op chain → DataFrame."""
+        """SELECT, set-op chain, or CTE query → DataFrame."""
+        if isinstance(sel, CteQuery):
+            return self._cte_query(sel)
         return self._set_op(sel) if isinstance(sel, SqlSetOp) else self._select(sel)
 
     def _cte_query(self, stmt: CteQuery) -> DataFrame:

@@ -669,8 +669,11 @@ class SqlParser(ExprParser):
                     self.advance()
             self.expect(RPAREN)
         if self.eat_kw("AS"):
-            self.expect(IDENT, "SELECT")
-            c.select = self.parse_select_chain()
+            if self.at_kw("WITH"):
+                c.select = self.parse_cte_query()
+            else:
+                self.expect(IDENT, "SELECT")
+                c.select = self.parse_select_chain()
         if self.at_kw("WITH"):
             c.with_ = self.parse_with()
         return c
@@ -715,7 +718,12 @@ class SqlParser(ExprParser):
     def parse_describe(self) -> SqlDescribe:
         kw = self.advance().upper
         t = self.cur()
-        if t.kind == IDENT and t.upper in ("SELECT", "FILTER") and kw == "EXPLAIN" or (kw in ("DESCRIBE", "DESC") and t.kind == IDENT and t.upper == "SELECT"):
+        if (
+            t.kind == IDENT
+            and t.upper in ("SELECT", "FILTER", "WITH")
+            and kw == "EXPLAIN"
+            or (kw in ("DESCRIBE", "DESC") and t.kind == IDENT and t.upper in ("SELECT", "WITH"))
+        ):
             return SqlDescribe(stmt=self.parse_statement())
         return SqlDescribe(ident=self.advance().val)
 

@@ -475,3 +475,16 @@ class TestCte:
 
         with pytest.raises(ParseError, match="expected SELECT"):
             engine.sql("WITH a AS (SELECT 1)")
+
+    def test_view_over_cte(self, engine):
+        engine.execute(
+            "CREATE VIEW v_cte AS WITH big AS (SELECT user_id, price FROM orders WHERE price > 25) "
+            "SELECT user_id FROM big"
+        )
+        assert engine.sql("SELECT count(*) AS n FROM v_cte").collect()[0]["n"] == 1
+        engine.execute("DROP VIEW v_cte")
+
+    def test_explain_cte(self, engine):
+        out = engine.execute("EXPLAIN WITH x AS (SELECT order_id FROM orders) SELECT count(*) AS n FROM x")
+        text = "\n".join(r[0] for r in out.collect())
+        assert "Physical Plan" in text
