@@ -298,11 +298,12 @@ class Engine:
 
         df, scope = self._build_from(sel)
 
-        # HAVING/QUALIFY run post-aggregation where lazily-joined subquery
-        # columns would not survive the groupBy — materialize those
-        # positions eagerly; select-list + WHERE subqueries lower lazily
-        # (cross join / decorrelation) in _rewrite_subqueries
-        sel = self._resolve_scalar_subqueries(sel, fields=("having", "qualify"))
+        # QUALIFY runs post-window where lazily-joined subquery columns
+        # would not survive — materialize that position eagerly.
+        # Select-list + WHERE subqueries lower lazily (decorrelation) in
+        # _rewrite_subqueries; HAVING subqueries lower inside _aggregate
+        # against the aggregated frame (correlation binds to group keys)
+        sel = self._resolve_scalar_subqueries(sel, fields=("qualify",))
         df, sel = self._rewrite_subqueries(df, scope, sel)
 
         # WHERE — decompose AND-conjuncts; IN (SELECT) → semi/anti join
@@ -638,6 +639,7 @@ class Engine:
         group_cols: list[SparkColumn] = []
         group_names: list[str] = []
         group_sqls: dict[str, str] = {}
+        qualified_group_keys: list[tuple[str, str]] = []
         for i, g in enumerate(sel.group_by):
             if isinstance(g, NumberNode):  # GROUP BY 1 → positional
                 g = sel.columns[int(g.text) - 1].expr
@@ -661,6 +663,15 @@ class Engine:
             group_cols.append(gcol)
             group_names.append(name)
             group_sqls[g.sql()] = name
+            # remember the group key's ORIGINAL qualified name so HAVING
+            # subqueries can correlate on `frame.col` (post-agg, only the
+            # bare output name exists — and inside a subquery the bare
+            # name would re-bind innermost to the inner frame)
+            if isinstance(g, IdentityNode) and not g.is_star:
+                hit = scope._fields.get(g.name.lower())
+                if hit is not None:
+                    alias, fld = hit
+                    qualified_group_keys.append((f"{alias.lower()}.{fld.name.lower()}", name))
 
         agg_cols: list[SparkColumn] = []
         out_names: list[str] = []
@@ -724,6 +735,16 @@ class Engine:
 
         if having_node is not None:
             hscope = Scope({"_": agged}, includes=self.includes, params=self.session_vars)
+            agged_types = {f_.name: f_.dataType for f_ in agged.schema.fields}
+            for qual, out_name in qualified_group_keys:
+                hscope._fields.setdefault(qual, ("_", T.StructField(out_name, agged_types[out_name])))
+            if self._node_has_subquery(having_node):
+                # HAVING subqueries lower HERE, against the aggregated
+                # frame: correlation conjuncts bind to the group-key
+                # columns, so the same decorrelating join machinery applies
+                # (aggregates in the predicate are already hidden-column
+                # references via _rewrite_having)
+                agged, having_node = self._lower_having_subqueries(agged, hscope, having_node)
             agged = agged.filter(to_column(having_node, hscope))
         if qualify_node is not None:
             # after HAVING (ANSI order): windows see the post-HAVING groups.
@@ -817,6 +838,46 @@ class Engine:
             where=self._walk_where_protected(sel.where, walk),
         )
         return holder["df"], sel
+
+    @staticmethod
+    def _node_has_subquery(n: Node | None) -> bool:
+        if n is None:
+            return False
+        if isinstance(n, SubqueryNode):
+            return True
+        return any(Engine._node_has_subquery(c) for c in n.children())
+
+    def _lower_having_subqueries(self, agged: DataFrame, hscope: Scope, having_node: Node):
+        """Lower HAVING-position subqueries against the AGGREGATED frame:
+        uncorrelated → bounded plan-time job; correlated (on group keys) →
+        per-key aggregate + left join; IN (SELECT) → membership column
+        (a semi-join can't carry the rest of the predicate here)."""
+        holder = {"df": agged}
+
+        def scalar_fn(sub: SubqueryNode) -> Node:
+            try:
+                return self._materialize_scalar(sub.select)
+            except TranslateError:
+                pass
+            node, holder["df"] = self._decorrelate_scalar(holder["df"], hscope, sub.select)
+            return node
+
+        def quant_fn(left_node: Node, sub: SubqueryNode, base: str, quant: str) -> Node:
+            x = to_column(left_node, hscope)
+            try:
+                return self._materialize_quantified(x, sub.select, base, quant)
+            except TranslateError:
+                pass
+            node, holder["df"] = self._decorrelate_quantified(holder["df"], hscope, x, sub.select, base, quant)
+            return node
+
+        def in_fn(left_node: Node, sub: SubqueryNode, negated: bool) -> Node:
+            x = to_column(left_node, hscope)
+            node, holder["df"] = self._lower_in_membership(holder["df"], x, sub.select, negated)
+            return node
+
+        new_node = self._walk_subqueries(having_node, scalar_fn, quant_fn, in_fn)
+        return holder["df"], new_node
 
     def _walk_where_protected(self, where: Node | None, walk) -> Node | None:
         """Walk a WHERE tree, PRESERVING top-level ``IN (SELECT)`` and

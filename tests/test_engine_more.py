@@ -488,3 +488,51 @@ class TestCte:
         out = engine.execute("EXPLAIN WITH x AS (SELECT order_id FROM orders) SELECT count(*) AS n FROM x")
         text = "\n".join(r[0] for r in out.collect())
         assert "Physical Plan" in text
+
+
+class TestHavingSubqueries:
+    """HAVING-position subqueries lower against the AGGREGATED frame —
+    uncorrelated materialize, correlated (group-key) decorrelate, INs
+    become membership columns (superset: the reference refuses all
+    subqueries, plan/planner_select.go:94-98)."""
+
+    def test_uncorrelated_having_scalar(self, engine):
+        rows = engine.sql(
+            "SELECT user_id, count(*) AS n FROM orders GROUP BY user_id "
+            "HAVING count(*) > (SELECT count(*) FROM users WHERE referral_count > 50)"
+        ).collect()
+        assert [(r["user_id"], r["n"]) for r in rows] == [("9Ip1aKbeZe2njCDM", 2)]
+
+    def test_correlated_having_scalar(self, engine):
+        # group-key correlation via the ORIGINAL qualified name
+        # (orders.user_id) — aaron: sum 60.0 > max referral 82 is false;
+        # abcabcabc has no matching user → NULL → excluded
+        rows = engine.sql(
+            "SELECT user_id, round(sum(price), 2) AS total FROM orders GROUP BY user_id "
+            "HAVING sum(price) > (SELECT max(referral_count) FROM users WHERE users.user_id = orders.user_id) "
+            "ORDER BY user_id"
+        ).collect()
+        assert rows == []
+
+    def test_correlated_having_scalar_passing(self, engine):
+        rows = engine.sql(
+            "SELECT user_id, round(sum(price), 2) AS total FROM orders GROUP BY user_id "
+            "HAVING sum(price) > (SELECT min(referral_count) / 10.0 FROM users WHERE users.user_id = orders.user_id) "
+            "ORDER BY user_id"
+        ).collect()
+        # aaron: 60.0 > 8.2 → passes; others: empty inner set → NULL → excluded
+        assert [r["user_id"] for r in rows] == ["9Ip1aKbeZe2njCDM"]
+
+    def test_having_in_subquery(self, engine):
+        rows = engine.sql(
+            "SELECT user_id, count(*) AS n FROM orders GROUP BY user_id "
+            "HAVING user_id IN (SELECT user_id FROM users) ORDER BY user_id"
+        ).collect()
+        assert [r["user_id"] for r in rows] == ["9Ip1aKbeZe2njCDM"]
+
+    def test_having_not_in_subquery(self, engine):
+        rows = engine.sql(
+            "SELECT user_id, count(*) AS n FROM orders GROUP BY user_id "
+            "HAVING user_id NOT IN (SELECT user_id FROM users) ORDER BY user_id"
+        ).collect()
+        assert [r["user_id"] for r in rows] == ["abcabcabc"]
