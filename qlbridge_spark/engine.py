@@ -1038,19 +1038,32 @@ class Engine:
             expr = sub_sel.columns[0].expr
         else:
             raise ExecError("scalar subquery must return exactly one column")
-        if not funcs.is_agg_tree(expr):
-            raise ExecError(
-                "correlated scalar subquery must aggregate — e.g. (SELECT max(x) FROM t WHERE t.k = o.k); "
-                "a non-aggregate inner select could return more than one row per outer row"
-            )
+        is_agg = funcs.is_agg_tree(expr)
         inner_df, inner_scope, pairs = self._correlation_split(scope, sub_sel, "scalar")
 
         def build(key_cols, prefix):
-            return inner_df.groupBy(*key_cols).agg(to_column(expr, inner_scope).alias(f"{prefix}_val"))
+            val_col = to_column(expr, inner_scope)
+            if is_agg:
+                return inner_df.groupBy(*key_cols).agg(val_col.alias(f"{prefix}_val"))
+            # NON-AGGREGATE inner select (the lookup-join pattern,
+            # `(SELECT c_name FROM customer WHERE c_custkey = o_custkey)`):
+            # ANSI demands ≤1 inner row PER MATCHED outer row — enforced
+            # distributed via a per-key count + raise_error, evaluated only
+            # for keys an outer row actually joins (unmatched multi-row
+            # keys don't error, per ANSI)
+            return inner_df.groupBy(*key_cols).agg(
+                F.first(val_col).alias(f"{prefix}_val"),
+                F.count(F.lit(1)).alias(f"{prefix}_cnt"),
+            )
 
         out, prefix = self._decorrelate_join(df, pairs, build)
         val = F.col(f"{prefix}_val")
-        if isinstance(expr, FuncNode) and expr.name.lower() in ("count", "approx_count_distinct"):
+        if not is_agg:
+            val = F.when(
+                F.col(f"{prefix}_cnt") > 1,
+                F.raise_error(F.lit("scalar subquery returned more than one row")),
+            ).otherwise(val)
+        elif isinstance(expr, FuncNode) and expr.name.lower() in ("count", "approx_count_distinct"):
             val = F.coalesce(val, F.lit(0))
         return SparkColNode(col=val, dtype=None, text=f"({sub_sel.sql() if hasattr(sub_sel, 'sql') else 'correlated subquery'})"), out
 

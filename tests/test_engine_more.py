@@ -153,8 +153,24 @@ class TestMoreEngine:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Join" in plan or "BroadcastHashJoin" in plan
 
-    def test_correlated_scalar_subquery_non_aggregate_errors(self, engine):
-        with pytest.raises(ExecError, match="must aggregate"):
+    def test_correlated_scalar_non_aggregate_lookup(self, engine):
+        # lookup-join pattern: non-aggregate inner with ≤1 row per key
+        # (orders keyed by order_id) decorrelates with a runtime one-row
+        # guard instead of erroring at plan time
+        rows = engine.sql(
+            "SELECT order_id, (SELECT users.email FROM users WHERE users.user_id = orders.user_id) AS email "
+            "FROM orders ORDER BY order_id"
+        ).collect()
+        assert [(r["order_id"], r["email"]) for r in rows] == [
+            (1, "aaron@email.com"),
+            (2, "aaron@email.com"),
+            (3, None),
+        ]
+
+    def test_correlated_scalar_non_aggregate_multi_row_errors_at_runtime(self, engine):
+        # aaron matches 2 order rows → ANSI runtime error (distributed
+        # raise_error, not a plan-time refusal)
+        with pytest.raises(Exception, match="more than one row"):
             engine.sql(
                 "SELECT users.user_id FROM users WHERE referral_count > "
                 "(SELECT price FROM orders WHERE orders.user_id = users.user_id)"
