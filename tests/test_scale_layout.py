@@ -101,3 +101,49 @@ class TestParseLatency:
             parse_sql(stmt)
         per = (time.perf_counter() - t0) / n
         assert per < 0.005, f"parse took {per*1000:.2f}ms"
+
+
+class TestSubqueryPlanShapes:
+    """Plan-shape pins for the round-6 subquery lowerings: every one must
+    be a JOIN-based distributed plan with zero Python UDFs — a regression
+    to per-row re-execution or BatchEvalPython is the 100 TB killer."""
+
+    def _plan(self, df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_correlated_scalar_is_agg_plus_join(self, engine):
+        df = engine.sql(
+            "SELECT users.user_id, (SELECT max(price) FROM orders WHERE orders.user_id = users.user_id) AS p "
+            "FROM users"
+        )
+        plan = self._plan(df)
+        assert "Join" in plan and "Aggregate" in plan
+        assert "BatchEvalPython" not in plan
+
+    def test_quantified_correlated_single_join(self, engine):
+        df = engine.sql(
+            "SELECT users.user_id FROM users WHERE referral_count > ALL "
+            "(SELECT item_count FROM orders WHERE orders.user_id = users.user_id)"
+        )
+        plan = self._plan(df)
+        # one decorrelating join, not one per comparison operand
+        assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") + plan.count("ShuffledHashJoin") == 1
+        assert "BatchEvalPython" not in plan
+
+    def test_in_membership_join_no_udf(self, engine):
+        df = engine.sql(
+            "SELECT user_id, user_id IN (SELECT user_id FROM orders) AS has_order FROM users"
+        )
+        plan = self._plan(df)
+        assert "Join" in plan and "BatchEvalPython" not in plan
+
+    def test_cte_filter_pushes_to_scan(self, spark, tmp_path, engine):
+        # the CTE is a lazy frame: Catalyst inlines it, so a filter on the
+        # OUTER query reaches the parquet scan inside the CTE
+        p = str(tmp_path / "cte_push")
+        spark.range(1000).selectExpr("id", "id * 2 AS v").write.parquet(p)
+        engine.execute(f'CREATE SOURCE cte_t WITH {{"type": "parquet", "path": "{p}"}}')
+        df = engine.sql("WITH c AS (SELECT id, v FROM cte_t) SELECT v FROM c WHERE id > 900")
+        ex = df._jdf.queryExecution().toString()
+        assert "GreaterThan(id,900)" in ex  # PushedFilters through the CTE
+        engine.execute("DROP SOURCE cte_t")
