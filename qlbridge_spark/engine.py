@@ -1041,10 +1041,26 @@ class Engine:
         is_agg = funcs.is_agg_tree(expr)
         inner_df, inner_scope, pairs = self._correlation_split(scope, sub_sel, "scalar")
 
+        top1 = (
+            not is_agg
+            and sub_sel.limit == 1
+            and len(sub_sel.order_by) == 1
+            and not isinstance(sub_sel.order_by[0][0], NumberNode)
+        )
+
         def build(key_cols, prefix):
             val_col = to_column(expr, inner_scope)
             if is_agg:
                 return inner_df.groupBy(*key_cols).agg(val_col.alias(f"{prefix}_val"))
+            if top1:
+                # `… ORDER BY y [DESC] LIMIT 1` — the latest/first-value
+                # lookup: exactly one row per key by construction, lowered
+                # to max_by/min_by (single partial-aggregable pass; ties
+                # nondeterministic, same as LIMIT 1 itself)
+                okey, direction = sub_sel.order_by[0]
+                ocol = to_column(okey, inner_scope)
+                fn = F.max_by if direction.upper().startswith("DESC") else F.min_by
+                return inner_df.groupBy(*key_cols).agg(fn(val_col, ocol).alias(f"{prefix}_val"))
             # NON-AGGREGATE inner select (the lookup-join pattern,
             # `(SELECT c_name FROM customer WHERE c_custkey = o_custkey)`):
             # ANSI demands ≤1 inner row PER MATCHED outer row — enforced
@@ -1058,7 +1074,7 @@ class Engine:
 
         out, prefix = self._decorrelate_join(df, pairs, build)
         val = F.col(f"{prefix}_val")
-        if not is_agg:
+        if not is_agg and not top1:
             val = F.when(
                 F.col(f"{prefix}_cnt") > 1,
                 F.raise_error(F.lit("scalar subquery returned more than one row")),

@@ -552,3 +552,23 @@ class TestHavingSubqueries:
             "HAVING user_id NOT IN (SELECT user_id FROM users) ORDER BY user_id"
         ).collect()
         assert [r["user_id"] for r in rows] == ["abcabcabc"]
+
+    def test_correlated_scalar_top1_lookup(self, engine):
+        # ORDER BY ... LIMIT 1 inner → max_by/min_by per key, no runtime
+        # guard needed (exactly one row per key by construction)
+        rows = engine.sql(
+            "SELECT users.user_id, (SELECT price FROM orders WHERE orders.user_id = users.user_id "
+            "ORDER BY order_id DESC LIMIT 1) AS last_price FROM users ORDER BY user_id"
+        ).collect()
+        assert [(r["user_id"], r["last_price"]) for r in rows] == [
+            ("9Ip1aKbeZe2njCDM", 37.50),
+            ("hT2impsOPUREcVPc", None),
+            ("hT2impsabc345c", None),
+        ]
+
+    def test_correlated_scalar_top1_asc(self, engine):
+        rows = engine.sql(
+            "SELECT users.user_id, (SELECT price FROM orders WHERE orders.user_id = users.user_id "
+            "ORDER BY order_id ASC LIMIT 1) AS first_price FROM users WHERE user_id = \"9Ip1aKbeZe2njCDM\""
+        ).collect()
+        assert rows[0]["first_price"] == 22.50
