@@ -318,10 +318,23 @@ _Q = {
     # correlated sets (the classic count-bug). beats_all: correlated
     # QUANTIFIED comparison (> ALL) via the min/max rewrite — per-key
     # aggregate + left join, vacuous TRUE on customers without orders
+    # round 7 additions: last_affordable = RANGE-correlated scalar (probe-
+    # frame decorrelation), n_plus1 = composite count expression (empty-set
+    # value 1, not NULL), has_urgent = correlated IN as a select-list
+    # column, last_prio = multi-key ORDER BY … LIMIT 1 top-1 lookup
     "q38_correlated_scalar": """
         SELECT c_custkey,
                (SELECT max(o_totalprice) FROM orders WHERE o_custkey = c_custkey) AS top_order,
                (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders,
+               (SELECT count(*) + 1 FROM orders WHERE o_custkey = c_custkey) AS n_plus1,
+               (SELECT max(o2.o_orderdate) FROM orders AS o2
+                WHERE o2.o_custkey = c_custkey
+                  AND o2.o_totalprice <= c_acctbal * 50) AS last_affordable,
+               "1-URGENT" IN (SELECT o3.o_orderpriority FROM orders AS o3
+                              WHERE o3.o_custkey = c_custkey) AS has_urgent,
+               (SELECT o4.o_orderpriority FROM orders AS o4
+                WHERE o4.o_custkey = c_custkey
+                ORDER BY o4.o_orderdate DESC, o4.o_orderkey ASC LIMIT 1) AS last_prio,
                c_acctbal * 100 > ALL (SELECT o.o_totalprice FROM orders AS o
                                       WHERE o.o_custkey = c_custkey) AS beats_all
         FROM customer
@@ -1050,6 +1063,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey,
                    (SELECT max(o_totalprice) FROM orders WHERE o_custkey = c_custkey) AS top_order,
                    CAST((SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS BIGINT) AS n_orders,
+                   CAST((SELECT count(*) + 1 FROM orders WHERE o_custkey = c_custkey) AS BIGINT) AS n_plus1,
+                   (SELECT max(o2.o_orderdate) FROM orders AS o2
+                    WHERE o2.o_custkey = c_custkey
+                      AND o2.o_totalprice <= c_acctbal * 50) AS last_affordable,
+                   '1-URGENT' IN (SELECT o3.o_orderpriority FROM orders AS o3
+                                  WHERE o3.o_custkey = c_custkey) AS has_urgent,
+                   (SELECT o4.o_orderpriority FROM orders AS o4
+                    WHERE o4.o_custkey = c_custkey
+                    ORDER BY o4.o_orderdate DESC, o4.o_orderkey ASC LIMIT 1) AS last_prio,
                    c_acctbal * 100 > ALL (SELECT o.o_totalprice FROM orders AS o
                                           WHERE o.o_custkey = c_custkey) AS beats_all
             FROM customer

@@ -826,7 +826,7 @@ class Engine:
             # membership as a BOOLEAN COLUMN (select list / disjunctions —
             # positions the semi-join can't serve); ANSI three-valued
             x = to_column(left_node, scope)
-            node, holder["df"] = self._lower_in_membership(holder["df"], x, sub.select, negated)
+            node, holder["df"] = self._lower_in_membership(holder["df"], x, sub.select, negated, scope)
             return node
 
         import dataclasses
@@ -873,7 +873,7 @@ class Engine:
 
         def in_fn(left_node: Node, sub: SubqueryNode, negated: bool) -> Node:
             x = to_column(left_node, hscope)
-            node, holder["df"] = self._lower_in_membership(holder["df"], x, sub.select, negated)
+            node, holder["df"] = self._lower_in_membership(holder["df"], x, sub.select, negated, hscope)
             return node
 
         new_node = self._walk_subqueries(having_node, scalar_fn, quant_fn, in_fn)
@@ -906,20 +906,40 @@ class Engine:
             out = lowered if out is None else BinaryNode("AND", out, lowered)
         return out
 
-    def _lower_in_membership(self, df: DataFrame, x: SparkColumn, sub_sel, negated: bool):
+    @staticmethod
+    def _membership_flag(x: SparkColumn, t: SparkColumn, nn: SparkColumn, matched: SparkColumn, negated: bool) -> SparkColumn:
+        """ANSI three-valued membership from per-row set statistics:
+        FALSE on empty set, UNKNOWN when x is NULL (non-empty set) or when
+        unmatched against a set containing NULL, else matched."""
+        null_b = F.lit(None).cast("boolean")
+        flag = (
+            F.when(t == 0, F.lit(False))
+            .when(x.isNull(), null_b)
+            .when(matched, F.lit(True))
+            .when(t - nn > 0, null_b)
+            .otherwise(F.lit(False))
+        )
+        return ~flag if negated else flag  # three-valued NOT: NULL stays NULL
+
+    def _lower_in_membership(self, df: DataFrame, x: SparkColumn, sub_sel, negated: bool, scope: Scope | None = None):
         """``x IN (SELECT …)`` as a BOOLEAN COLUMN (select list /
         disjunctive WHERE — positions a semi-join can't serve): LEFT JOIN
         the distinct non-null inner values with a match marker, then fold
         ANSI three-valued membership — FALSE on empty set, UNKNOWN when
         unmatched against a set containing NULL (or when x is NULL).
-        The inner set's (size, null-count) are two plan-time scalars;
-        UNCORRELATED only (a correlated disjunctive IN needs a general
-        outer-join decorrelation — clear error instead)."""
+
+        Fully LAZY: the inner set's (size, null-count) ride along as a
+        1-row broadcast frame instead of a plan-time collect, so the whole
+        statement stays one job. CORRELATED inner selects (equality
+        correlation) decorrelate via per-correlation-key statistics +
+        per-(key, value) match join — see ``_lower_in_membership_corr``."""
         from .nodes import SparkColNode
 
         try:
             sub_df = self._select_any(sub_sel)
         except TranslateError as exc:
+            if scope is not None:
+                return self._lower_in_membership_corr(df, scope, x, sub_sel, negated)
             raise ExecError(
                 "correlated IN (SELECT …) is supported only as a top-level WHERE conjunct "
                 f"(semi/anti-join); in this position the inner select must be self-contained: {exc}"
@@ -927,31 +947,77 @@ class Engine:
         if len(sub_df.columns) != 1:
             raise ExecError(f"IN subquery must return one column, got {len(sub_df.columns)}")
         c = sub_df[sub_df.columns[0]]
-        row = sub_df.agg(F.count(F.lit(1)).alias("t"), F.count(c).alias("nn")).collect()[0]
-        total, has_null = row["t"], row["t"] - row["nn"] > 0
         self._subq_n = getattr(self, "_subq_n", 0) + 1
-        key = f"__inq{self._subq_n}_k"
-        mark = f"__inq{self._subq_n}_m"
+        n = self._subq_n
+        key, mark, tcol, nncol = f"__inq{n}_k", f"__inq{n}_m", f"__inq{n}_t", f"__inq{n}_nn"
+        stats = sub_df.agg(F.count(F.lit(1)).alias(tcol), F.count(c).alias(nncol))
         vals = sub_df.select(c.alias(key)).where(c.isNotNull()).distinct().withColumn(mark, F.lit(True))
-        out = df.join(vals, on=x == F.col(key), how="left").drop(key)
-        flag = (
-            F.when(F.lit(total == 0), F.lit(False))
-            .when(x.isNull(), F.lit(None).cast("boolean"))
-            .when(F.col(mark).isNotNull(), F.lit(True))
-            .when(F.lit(has_null), F.lit(None).cast("boolean"))
-            .otherwise(F.lit(False))
-        )
-        if negated:
-            flag = ~flag  # three-valued NOT: NULL stays NULL
+        # 1-row broadcast cross join carries (size, null-count) per row;
+        # the __inq* stat/mark columns vanish at the final projection
+        out = df.crossJoin(F.broadcast(stats)).join(F.broadcast(vals), on=x == F.col(key), how="left").drop(key)
+        flag = self._membership_flag(x, F.col(tcol), F.col(nncol), F.col(mark).isNotNull(), negated)
         return SparkColNode(col=flag, dtype=T.BooleanType(), text="(x IN subquery)"), out
 
-    def _correlation_split(self, scope: Scope, sub_sel, kind: str):
+    def _lower_in_membership_corr(self, df: DataFrame, scope: Scope, x: SparkColumn, sub_sel, negated: bool):
+        """CORRELATED membership column — ``x IN (SELECT v FROM t WHERE
+        t.k = o.k)`` in the select list or a disjunction. Decorrelated to
+        two equality joins, both AQE-broadcastable when the inner side is
+        small:
+
+          stats = inner groupBy correlation keys → (count, non-null count)
+          match = distinct (keys, value) LEFT-JOINed on keys AND value = x
+
+        Outer rows with no key match see an empty set (counts coalesce to
+        0 → FALSE, or TRUE→FALSE under NOT IN), matching ANSI. Superset:
+        the reference refuses every WHERE subquery
+        (/root/reference/plan/planner_select.go:94-98)."""
+        from .nodes import SparkColNode
+
+        inner_df, inner_scope, pairs, _ = self._correlation_split(scope, sub_sel, "IN")
+        val = to_column(sub_sel.columns[0].expr, inner_scope)
+
+        def build(key_cols, prefix):
+            return inner_df.groupBy(*key_cols).agg(
+                F.count(F.lit(1)).alias(f"{prefix}_t"), F.count(val).alias(f"{prefix}_nn")
+            )
+
+        out, p = self._decorrelate_join(df, pairs, build)
+        self._subq_n = getattr(self, "_subq_n", 0) + 1
+        m = self._subq_n
+        key_names = [f"__inq{m}_k{i}" for i in range(len(pairs))]
+        vkey, mark = f"__inq{m}_v", f"__inq{m}_m"
+        vals = (
+            inner_df.where(val.isNotNull())
+            .select(*[ic.alias(kn) for (ic, _), kn in zip(pairs, key_names)], val.alias(vkey))
+            .distinct()
+            .withColumn(mark, F.lit(True))
+        )
+        on = vals[vkey] == x
+        for (_, oc), kn in zip(pairs, key_names):
+            on = on & (vals[kn] == oc)
+        out = out.join(vals, on=on, how="left").drop(vkey, *key_names)
+        flag = self._membership_flag(
+            x,
+            F.coalesce(F.col(f"{p}_t"), F.lit(0)),
+            F.coalesce(F.col(f"{p}_nn"), F.lit(0)),
+            F.col(mark).isNotNull(),
+            negated,
+        )
+        return SparkColNode(col=flag, dtype=T.BooleanType(), text="(x IN correlated subquery)"), out
+
+    _RANGE_FLIP = {"<": ">", "<=": ">=", ">": "<", ">=": "<=", "!=": "!="}
+
+    def _correlation_split(self, scope: Scope, sub_sel, kind: str, allow_range: bool = False):
         """Shared decorrelation front-end: build the inner frame, split the
         inner WHERE into inner-only filters (applied, stay pushed to the
-        inner scan) and EQUALITY correlation conjuncts.
+        inner scan), EQUALITY correlation conjuncts, and (when
+        ``allow_range``) NON-EQUALITY correlation conjuncts.
 
-        Returns ``(inner_df, inner_scope, pairs)`` with pairs as
-        (inner key Column, outer key Column)."""
+        Returns ``(inner_df, inner_scope, pairs, ranges)`` with pairs as
+        (inner key Column, outer key Column) and ranges as
+        (op, inner Column, outer Column) normalized so the predicate reads
+        ``inner <op> outer``. Without ``allow_range`` a non-equality
+        correlated conjunct raises (ranges is then always empty)."""
         if isinstance(sub_sel, SqlSetOp):
             raise ExecError(f"correlated {kind} subquery must be a plain SELECT (no set-ops)")
         if len(sub_sel.columns) != 1 or sub_sel.columns[0].is_star:
@@ -969,16 +1035,18 @@ class Engine:
             )
         inner_filters: list[SparkColumn] = []
         pairs: list[tuple[SparkColumn, SparkColumn]] = []  # (inner key, outer key)
+        ranges: list[tuple[str, SparkColumn, SparkColumn]] = []  # (op, inner, outer)
+        range_ops = set(self._RANGE_FLIP) if allow_range else set()
         for c in self._conjuncts(sub_sel.where) if sub_sel.where is not None else []:
             try:
                 inner_filters.append(to_column(c, inner_scope))
                 continue
             except TranslateError:
                 pass
-            if not (isinstance(c, BinaryNode) and c.op == "=" and not c.negated):
+            if not (isinstance(c, BinaryNode) and not c.negated and (c.op == "=" or c.op in range_ops)):
                 raise ExecError(
-                    f"correlated {kind} subquery: only equality correlation decorrelates to a join "
-                    f"(got {c.sql()})"
+                    f"correlated {kind} subquery: only equality{'/range' if allow_range else ''} "
+                    f"correlation decorrelates to a join (got {c.sql()})"
                 )
             sides = []
             for side in (c.left, c.right):
@@ -991,19 +1059,23 @@ class Engine:
                     sides.append(("outer", to_column(side, scope)))
             kinds = [k for k, _ in sides]
             if kinds == ["inner", "outer"]:
-                pairs.append((sides[0][1], sides[1][1]))
+                inner_col, outer_col, op = sides[0][1], sides[1][1], c.op
             elif kinds == ["outer", "inner"]:
-                pairs.append((sides[1][1], sides[0][1]))
+                inner_col, outer_col, op = sides[1][1], sides[0][1], self._RANGE_FLIP.get(c.op, c.op)
             else:
                 raise ExecError("correlation conjunct must compare an inner column to an outer column")
-        if not pairs:
+            if op == "=":
+                pairs.append((inner_col, outer_col))
+            else:
+                ranges.append((op, inner_col, outer_col))
+        if not pairs and not ranges:
             # nothing correlated after all — the earlier TranslateError was
             # a genuine failure; re-run the inner select to surface it
             self._select_any(sub_sel)
             raise ExecError(f"{kind} subquery resolution failed")  # pragma: no cover
         for p in inner_filters:
             inner_df = inner_df.filter(p)
-        return inner_df, inner_scope, pairs
+        return inner_df, inner_scope, pairs, ranges
 
     def _decorrelate_join(self, df: DataFrame, pairs, agg_df_builder):
         """Back-end: groupBy the correlation keys with the caller's
@@ -1022,6 +1094,104 @@ class Engine:
             on = cond if on is None else (on & cond)
         return df.join(agg_df, on=on, how="left").drop(*key_names), f"__csub{n}"
 
+    @staticmethod
+    def _count_shape(expr) -> str:
+        """'bare' (a count-family call IS the whole expression → coalesce
+        its NULL-on-empty to 0), 'composite' (a count is buried in a larger
+        expression, e.g. ``count(*)+1`` → needs the full empty-relation
+        value), or 'none'. The classic count-bug: COUNT over an empty
+        correlated set is 0/defined, not the NULL a left join produces."""
+        names = {"count", "count_distinct", "approx_count_distinct"}
+        if isinstance(expr, FuncNode) and expr.name.lower() in names:
+            return "bare"
+
+        def has(n: Node) -> bool:
+            if isinstance(n, FuncNode) and n.name.lower() in names:
+                return True
+            return any(has(c) for c in n.children())
+
+        return "composite" if has(expr) else "none"
+
+    def _empty_agg_value(self, inner_df: DataFrame, val_col: SparkColumn):
+        """Evaluate the aggregate expression over the EMPTY relation — the
+        ANSI value a scalar subquery takes for outer rows with no matching
+        inner rows (``count(*)+1`` → 1, ``2*count(x)`` → 0, ``max(x)`` →
+        NULL). One bounded plan-time job Catalyst folds to a LocalRelation
+        (PropagateEmptyRelation), so no cluster work."""
+        return inner_df.where(F.lit(False)).agg(val_col.alias("__empty")).collect()[0][0]
+
+    def _scalar_val_expr(self, prefix: str, is_agg: bool, count_shape: str, top1: bool, limit1_any: bool, empty_val):
+        """Post-join value expression for a decorrelated scalar subquery.
+        ``empty_val`` is a lazy callable giving the empty-set value for
+        composite count expressions (only invoked for that shape)."""
+        val = F.col(f"{prefix}_val")
+        if not is_agg and not top1 and not limit1_any:
+            val = F.when(
+                F.col(f"{prefix}_cnt") > 1,
+                F.raise_error(F.lit("scalar subquery returned more than one row")),
+            ).otherwise(val)
+        elif count_shape == "bare":
+            val = F.coalesce(val, F.lit(0))
+        elif count_shape == "composite":
+            val = F.when(F.col(f"{prefix}_cnt").isNull(), F.lit(empty_val())).otherwise(val)
+        return val
+
+    def _decorrelate_scalar_range(
+        self, df, expr, inner_df, inner_scope, pairs, ranges, is_agg, count_shape, agg_exprs, top1, top1_window_frame, limit1_any
+    ):
+        """RANGE-correlated scalar subquery — ``(SELECT max(y) FROM t WHERE
+        t.k = o.k AND t.ts <= o.ts)``, the latest-value-before lookup. A
+        per-key pre-aggregate can't serve a non-equality predicate, so
+        aggregate per distinct PROBE tuple instead:
+
+          probes  = distinct outer (eq keys + range operands)  [1 shuffle]
+          matched = probes ⋈ inner: eq keys + range residual   [equi-join]
+          aggd    = matched groupBy probe tuple                [1 shuffle]
+          out     = outer LEFT JOIN aggd on probe tuple        [equi, AQE-broadcastable]
+
+        Scale: both shuffles key on the probe tuple (≤ outer cardinality,
+        usually far less after distinct); the equality keys keep the middle
+        join an equi-join with the range as a residual condition — never a
+        cartesian (when only range conjuncts exist it degrades to a
+        broadcast-nested-loop against the distinct probes, still bounded by
+        |probes| × |inner-after-filters|). NULL probe operands match
+        nothing → empty set (ANSI: the correlation predicate is UNKNOWN).
+        Superset: the reference refuses every WHERE subquery
+        (/root/reference/plan/planner_select.go:94-98)."""
+        self._subq_n = getattr(self, "_subq_n", 0) + 1
+        prefix = f"__csub{self._subq_n}"
+        probe_specs = []  # (name, outer Column, inner Column, op)
+        for i, (ic, oc) in enumerate(pairs):
+            probe_specs.append((f"{prefix}_k{i}", oc, ic, "="))
+        for j, (op, ic, oc) in enumerate(ranges):
+            probe_specs.append((f"{prefix}_r{j}", oc, ic, op))
+        names = [nm for nm, _, _, _ in probe_specs]
+        probes = df.select(*[oc.alias(nm) for nm, oc, _, _ in probe_specs]).distinct()
+        cond = None
+        for nm, _, ic, op in probe_specs:
+            pc = probes[nm]
+            c = {"=": ic == pc, "<": ic < pc, "<=": ic <= pc, ">": ic > pc, ">=": ic >= pc, "!=": ic != pc}[op]
+            cond = c if cond is None else cond & c
+        matched = probes.join(inner_df, on=cond, how="inner")
+        aggs = agg_exprs(prefix, names)
+        aggd = top1_window_frame(matched, prefix, names) if aggs is None else matched.groupBy(*names).agg(*aggs)
+        on = None
+        for nm, oc, _, _ in probe_specs:
+            # plain == (not null-safe): a NULL probe operand joins nothing,
+            # leaving the subquery value NULL / empty-set — exactly ANSI
+            c = aggd[nm] == oc
+            on = c if on is None else on & c
+        out = df.join(aggd, on=on, how="left").drop(*names)
+        val = self._scalar_val_expr(
+            prefix,
+            is_agg,
+            count_shape,
+            top1,
+            limit1_any,
+            lambda: self._empty_agg_value(inner_df, to_column(expr, inner_scope)),
+        )
+        return val, out
+
     def _decorrelate_scalar(self, df: DataFrame, scope: Scope, sub_sel) -> tuple[Node, DataFrame]:
         """Decorrelate one correlated scalar subquery: aggregate the inner
         relation by its correlation keys, LEFT-JOIN the 1-row-per-key frame
@@ -1039,20 +1209,27 @@ class Engine:
         else:
             raise ExecError("scalar subquery must return exactly one column")
         is_agg = funcs.is_agg_tree(expr)
-        inner_df, inner_scope, pairs = self._correlation_split(scope, sub_sel, "scalar")
+        inner_df, inner_scope, pairs, ranges = self._correlation_split(scope, sub_sel, "scalar", allow_range=True)
 
-        top1 = (
-            not is_agg
-            and sub_sel.limit == 1
-            and len(sub_sel.order_by) == 1
-            and not isinstance(sub_sel.order_by[0][0], NumberNode)
-        )
+        order_keys = [ok for ok in sub_sel.order_by if not isinstance(ok[0], NumberNode)]
+        top1 = not is_agg and sub_sel.limit == 1 and sub_sel.order_by and len(order_keys) == len(sub_sel.order_by)
+        # LIMIT 1 with no ORDER BY: any row is a valid answer (the limit
+        # itself is nondeterministic) — first() without the >1-row error
+        limit1_any = not is_agg and sub_sel.limit == 1 and not top1
+        count_shape = self._count_shape(expr) if is_agg else "none"
 
-        def build(key_cols, prefix):
+        def agg_exprs(prefix, key_names):
+            """Aggregate list for one correlation group; or None when the
+            top-1 lowering needs a window (multi-key ORDER BY)."""
             val_col = to_column(expr, inner_scope)
             if is_agg:
-                return inner_df.groupBy(*key_cols).agg(val_col.alias(f"{prefix}_val"))
-            if top1:
+                aggs = [val_col.alias(f"{prefix}_val")]
+                if count_shape == "composite":
+                    # composite count expr (count(*)+1): need a matched
+                    # marker so the empty-set value can be substituted
+                    aggs.append(F.count(F.lit(1)).alias(f"{prefix}_cnt"))
+                return aggs
+            if top1 and len(order_keys) == 1:
                 # `… ORDER BY y [DESC] LIMIT 1` — the latest/first-value
                 # lookup: exactly one row per key by construction, lowered
                 # to max_by/min_by (single partial-aggregable pass; ties
@@ -1060,27 +1237,75 @@ class Engine:
                 okey, direction = sub_sel.order_by[0]
                 ocol = to_column(okey, inner_scope)
                 fn = F.max_by if direction.upper().startswith("DESC") else F.min_by
-                return inner_df.groupBy(*key_cols).agg(fn(val_col, ocol).alias(f"{prefix}_val"))
+                return [fn(val_col, ocol).alias(f"{prefix}_val")]
+            if top1:
+                return None  # multi-key ORDER BY → windowed top-1
+            if limit1_any:
+                return [F.first(val_col).alias(f"{prefix}_val")]
             # NON-AGGREGATE inner select (the lookup-join pattern,
             # `(SELECT c_name FROM customer WHERE c_custkey = o_custkey)`):
             # ANSI demands ≤1 inner row PER MATCHED outer row — enforced
             # distributed via a per-key count + raise_error, evaluated only
             # for keys an outer row actually joins (unmatched multi-row
             # keys don't error, per ANSI)
-            return inner_df.groupBy(*key_cols).agg(
+            return [
                 F.first(val_col).alias(f"{prefix}_val"),
                 F.count(F.lit(1)).alias(f"{prefix}_cnt"),
+            ]
+
+        def top1_window_frame(keyed_df, prefix, key_names):
+            """Multi-key (possibly mixed-direction) ORDER BY … LIMIT 1:
+            row_number over the correlation keys; NULLS LAST both ways for
+            parity with the max_by/min_by single-key path (which ignores
+            NULL ordering values)."""
+            from pyspark.sql.window import Window
+
+            val_col = to_column(expr, inner_scope)
+            osel = [to_column(k, inner_scope).alias(f"{prefix}_o{i}") for i, (k, _) in enumerate(sub_sel.order_by)]
+            sel = keyed_df.select(*key_names, val_col.alias(f"{prefix}_val"), *osel) if isinstance(key_names[0], str) else None
+            ordered = [
+                F.col(f"{prefix}_o{i}").desc_nulls_last()
+                if d.upper().startswith("DESC")
+                else F.col(f"{prefix}_o{i}").asc_nulls_last()
+                for i, (_, d) in enumerate(sub_sel.order_by)
+            ]
+            w = Window.partitionBy(*key_names).orderBy(*ordered)
+            rn = f"{prefix}_rn"
+            return (
+                sel.withColumn(rn, F.row_number().over(w))
+                .where(F.col(rn) == 1)
+                .select(*key_names, f"{prefix}_val")
             )
 
+        if ranges:
+            # NON-EQUALITY correlation (`t.ts <= o.ts`): the per-key
+            # pre-aggregate can't serve — lower through a distinct PROBE
+            # frame instead (see _decorrelate_scalar_range)
+            val, out = self._decorrelate_scalar_range(
+                df, expr, inner_df, inner_scope, pairs, ranges, is_agg, count_shape, agg_exprs, top1, top1_window_frame, limit1_any
+            )
+            from .nodes import SparkColNode as _SCN
+
+            return _SCN(col=val, dtype=None, text="(range-correlated subquery)"), out
+
+        def build(key_cols, prefix):
+            key_names = [f"{prefix}_k{i}" for i in range(len(key_cols))]
+            aggs = agg_exprs(prefix, key_names)
+            if aggs is None:
+                # aliased keys + original inner columns so the window frame
+                # can resolve both by name and by expression id
+                return top1_window_frame(inner_df.select(*key_cols, *inner_df.columns), prefix, key_names)
+            return inner_df.groupBy(*key_cols).agg(*aggs)
+
         out, prefix = self._decorrelate_join(df, pairs, build)
-        val = F.col(f"{prefix}_val")
-        if not is_agg and not top1:
-            val = F.when(
-                F.col(f"{prefix}_cnt") > 1,
-                F.raise_error(F.lit("scalar subquery returned more than one row")),
-            ).otherwise(val)
-        elif isinstance(expr, FuncNode) and expr.name.lower() in ("count", "approx_count_distinct"):
-            val = F.coalesce(val, F.lit(0))
+        val = self._scalar_val_expr(
+            prefix,
+            is_agg,
+            count_shape,
+            top1,
+            limit1_any,
+            lambda: self._empty_agg_value(inner_df, to_column(expr, inner_scope)),
+        )
         return SparkColNode(col=val, dtype=None, text=f"({sub_sel.sql() if hasattr(sub_sel, 'sql') else 'correlated subquery'})"), out
 
     # quantified comparison (x <op> ANY/ALL (SELECT …)) lowering ---------
@@ -1156,7 +1381,7 @@ class Engine:
         NULLs → counts coalesced to 0)."""
         from .nodes import SparkColNode
 
-        inner_df, inner_scope, pairs = self._correlation_split(scope, sub_sel, "quantified")
+        inner_df, inner_scope, pairs, _ = self._correlation_split(scope, sub_sel, "quantified")
         val = to_column(sub_sel.columns[0].expr, inner_scope)
 
         def build(key_cols, prefix):

@@ -1,0 +1,155 @@
+"""Range-correlated scalar subqueries, composite count expressions,
+correlated IN membership columns, and LIMIT 1 lookup variants (round 7).
+
+Reference parity note: the reference refuses EVERY WHERE-position subquery
+(/root/reference/plan/planner_select.go:94-98) — this whole file is
+superset surface. Semantics are pinned against DuckDB-computed expected
+values (the same frames run through duckdb in scripts/check_oracle.py
+shapes; literals here were cross-checked by tests/conftest-independent
+runs)."""
+
+from __future__ import annotations
+
+import pytest
+
+from qlbridge_spark import Engine
+from qlbridge_spark.engine import ExecError
+
+
+@pytest.fixture(scope="module")
+def reng(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, "a", 10, 100.0),
+            (2, "a", 20, 200.0),
+            (3, "b", 30, 300.0),
+            (4, "b", 5, 50.0),
+            (5, "c", 7, None),
+            (6, None, 9, 90.0),
+        ],
+        "id int, k string, ts int, v double",
+    )
+    ref = spark.createDataFrame(
+        [
+            (1, "a", 5, 1.0),
+            (2, "a", 15, 2.0),
+            (3, "a", 25, 3.0),
+            (4, "b", 30, 4.0),
+            (5, "d", 1, 9.0),
+            (6, "b", None, 7.0),
+        ],
+        "rid int, k string, ts int, v double",
+    )
+    eng = Engine(spark, "corr_range")
+    eng.register_df("ev", ev)
+    eng.register_df("ref", ref)
+    return eng
+
+
+def rows_of(eng, q):
+    return {r[0]: tuple(r)[1:] for r in eng.sql(q).collect()}
+
+
+class TestRangeCorrelatedScalar:
+    def test_max_at_or_before(self, reng):
+        got = rows_of(
+            reng,
+            "SELECT id, (SELECT max(r.v) FROM ref r WHERE r.k = ev.k AND r.ts <= ev.ts) AS p FROM ev",
+        )
+        # a@10→{5}→1.0; a@20→{5,15}→2.0; b@30→{30}→4.0 (NULL inner ts drops);
+        # b@5→empty→NULL; c→no key→NULL; NULL outer key→NULL
+        assert got == {1: (1.0,), 2: (2.0,), 3: (4.0,), 4: (None,), 5: (None,), 6: (None,)}
+
+    def test_strict_before_count_bug(self, reng):
+        got = rows_of(
+            reng,
+            "SELECT id, (SELECT count(*) FROM ref r WHERE r.k = ev.k AND r.ts < ev.ts) AS n FROM ev",
+        )
+        # count over the empty range set is 0, not NULL (count-bug through
+        # the PROBE path); b@30: ts<30 matches nothing (30 not <, NULL drops)
+        assert got == {1: (1,), 2: (2,), 3: (0,), 4: (0,), 5: (0,), 6: (0,)}
+
+    def test_range_only_no_equality(self, reng):
+        got = rows_of(
+            reng,
+            "SELECT id, (SELECT count(*) FROM ref r WHERE r.ts > ev.ts) AS n FROM ev",
+        )
+        # inner ts values {5,15,25,30,1,NULL}; per outer ts count strictly greater
+        assert got == {1: (3,), 2: (2,), 3: (0,), 4: (3,), 5: (3,), 6: (3,)}
+
+    def test_sum_with_ties_included(self, reng):
+        got = rows_of(
+            reng,
+            "SELECT id, (SELECT sum(r.v) FROM ref r WHERE r.k = ev.k AND r.ts >= ev.ts) AS s FROM ev",
+        )
+        # b@30: ts>=30 → exactly the tie row (4.0); a@10 → {15,25} → 5.0
+        assert got[3] == (4.0,)
+        assert got[1] == (5.0,)
+        assert got[4] == (4.0,)  # b@5 → {30} only (NULL ts never matches)
+
+
+class TestCompositeCountExpr:
+    def test_count_plus_one_empty_set(self, reng):
+        got = rows_of(reng, "SELECT id, (SELECT count(*) + 1 FROM ref r WHERE r.k = ev.k) AS c FROM ev")
+        # empty correlated set → count(*)+1 = 1 (NOT NULL): ids 5 (k=c) and 6 (k NULL)
+        assert got == {1: (4,), 2: (4,), 3: (3,), 4: (3,), 5: (1,), 6: (1,)}
+
+    def test_scaled_count(self, reng):
+        got = rows_of(reng, "SELECT id, (SELECT 2 * count(r.ts) FROM ref r WHERE r.k = ev.k) AS c FROM ev")
+        # count(col) skips the NULL ts row for k=b → 2*1=2; empty sets → 0
+        assert got == {1: (6,), 2: (6,), 3: (2,), 4: (2,), 5: (0,), 6: (0,)}
+
+
+class TestCorrelatedMembershipColumn:
+    def test_select_list_three_valued(self, reng):
+        got = rows_of(reng, "SELECT id, ev.ts IN (SELECT r.ts FROM ref r WHERE r.k = ev.k) AS m FROM ev")
+        # a@10/a@20: no match, no NULL in {5,15,25} → False; b@30 → True;
+        # b@5: no match but inner set {30,NULL} has NULL → UNKNOWN;
+        # empty sets (c, NULL key) → False
+        assert got == {1: (False,), 2: (False,), 3: (True,), 4: (None,), 5: (False,), 6: (False,)}
+
+    def test_not_in_three_valued(self, reng):
+        got = rows_of(reng, "SELECT id, ev.ts NOT IN (SELECT r.ts FROM ref r WHERE r.k = ev.k) AS m FROM ev")
+        assert got == {1: (True,), 2: (True,), 3: (False,), 4: (None,), 5: (True,), 6: (True,)}
+
+    def test_disjunctive_where(self, reng):
+        got = rows_of(
+            reng,
+            "SELECT id, ev.v FROM ev WHERE ev.ts IN (SELECT r.ts FROM ref r WHERE r.k = ev.k) OR ev.v > 250",
+        )
+        assert set(got) == {3}
+
+
+class TestLimitOneLookups:
+    def test_multikey_order_by_limit1(self, reng):
+        got = rows_of(
+            reng,
+            "SELECT id, (SELECT r.v FROM ref r WHERE r.k = ev.k ORDER BY r.ts DESC, r.v ASC LIMIT 1) AS x FROM ev",
+        )
+        # k=a → max ts 25 → 3.0; k=b → NULLS LAST puts ts=30 first → 4.0
+        assert got == {1: (3.0,), 2: (3.0,), 3: (4.0,), 4: (4.0,), 5: (None,), 6: (None,)}
+
+    def test_limit1_no_order_by_no_error(self, reng):
+        # LIMIT 1 without ORDER BY: any row is valid — restrict to a
+        # single-row key so the assertion is deterministic
+        got = rows_of(
+            reng,
+            "SELECT id, (SELECT r.v FROM ref r WHERE r.k = ev.k AND r.rid = 4 LIMIT 1) AS x FROM ev",
+        )
+        assert got[3] == (4.0,) and got[1] == (None,)
+
+    def test_multirow_without_limit_still_errors(self, reng):
+        import py4j.protocol
+
+        with pytest.raises(Exception, match="more than one row"):
+            reng.sql("SELECT id, (SELECT r.v FROM ref r WHERE r.k = ev.k) AS x FROM ev").collect()
+
+
+class TestStillRejected:
+    def test_disjunctive_range_correlated_in_errors(self, reng):
+        # correlated IN decorrelation is equality-only — range correlation
+        # inside IN raises the clear split error, not a wrong answer
+        with pytest.raises(ExecError, match="equality"):
+            reng.sql(
+                "SELECT id, ev.ts IN (SELECT r.ts FROM ref r WHERE r.ts > ev.ts) AS m FROM ev"
+            ).collect()

@@ -164,9 +164,22 @@ class TestInMembershipColumn:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "LeftSemi" in plan
 
-    def test_correlated_disjunctive_in_errors_clearly(self, engine):
-        with pytest.raises(ExecError, match="top-level WHERE conjunct"):
-            engine.sql(
-                "SELECT order_id FROM orders WHERE order_id = 99 OR price IN "
-                "(SELECT referral_count FROM users WHERE users.user_id = orders.user_id)"
-            ).collect()
+    def test_correlated_disjunctive_in(self, engine):
+        # round 7: decorrelated membership column (was a clear error) —
+        # per-key stats + (key, value) match join, ANSI three-valued
+        rows = engine.sql(
+            "SELECT order_id FROM orders WHERE order_id = 3 OR item_count IN "
+            "(SELECT referral_count FROM users WHERE users.user_id = orders.user_id)"
+        ).collect()
+        # orders 1,2 → user aaron (referral_count 82 = item_count); order 3 by the OR
+        assert sorted(r["order_id"] for r in rows) == [1, 2, 3]
+
+    def test_correlated_in_select_list(self, engine):
+        rows = engine.sql(
+            "SELECT order_id, item_count IN "
+            "(SELECT referral_count FROM users WHERE users.user_id = orders.user_id) AS m "
+            "FROM orders"
+        ).collect()
+        got = {r["order_id"]: r["m"] for r in rows}
+        # order 3's user is unknown → empty correlated set → FALSE (not NULL)
+        assert got == {1: True, 2: True, 3: False}
