@@ -10,7 +10,11 @@ Lake's MERGE INTO / UPDATE / DELETE.
 
 Delta is an OPTIONAL dependency (no jar in this container): the sink
 detects availability at import-probe time, constructs only when present,
-and the test suite skips cleanly otherwise. Engine integration:
+and the test suite skips cleanly otherwise. ``ParquetMergeSink`` is the
+no-dependency durable fallback — same protocol, snapshot-and-swap parquet
+versions — so the MERGE write path (batch DML and the streaming upsert
+sink) is e2e-tested on disk even without the Delta jar. Engine
+integration:
 
     eng.register_sink("users", DeltaMergeSink(spark, path, key="user_id"))
     eng.execute('UPSERT INTO users (user_id, name) VALUES ("u1", "Aa")')
@@ -92,3 +96,123 @@ class DeltaMergeSink:
             self._table().delete()
         else:
             self._table().delete(cond)
+
+
+class ParquetMergeSink:
+    """Durable MERGE-capable sink over plain parquet — the no-extra-
+    dependency fallback for DeltaMergeSink (same protocol, so the engine
+    and the streaming upsert sink route identically).
+
+    Transactionality is snapshot-and-swap: every mutation writes a NEW
+    versioned directory (``<path>/v<N>``) from a staging dir, then
+    atomically advances the ``_VERSION`` pointer file (write-temp +
+    ``os.replace``). Readers resolve the pointer at scan time, so they see
+    either the old or the new snapshot — never a partial write. Old
+    versions remain until ``vacuum()``.
+
+    Scale honesty: each mutation rewrites the table (no file-level
+    MERGE/file-skipping like Delta), which is O(table) per batch — right
+    for small-to-medium durable state and for e2e-testing the MERGE write
+    path in containers without the Delta jar; swap in DeltaMergeSink for
+    100 TB incremental merges. Single-writer (matches the reference's
+    memdb/membtree sources — /root/reference/datasource/membtree.go).
+    """
+
+    def __init__(self, spark: SparkSession, path: str, key: str):
+        import os
+
+        self.spark = spark
+        self.path = path
+        self.key = key
+        os.makedirs(path, exist_ok=True)
+
+    # -- version bookkeeping -------------------------------------------
+    def _version_file(self) -> str:
+        import os
+
+        return os.path.join(self.path, "_VERSION")
+
+    def _version(self) -> int:
+        """Current committed version, or -1 when uninitialized."""
+        import os
+
+        try:
+            with open(self._version_file()) as f:
+                return int(f.read().strip())
+        except (OSError, ValueError):
+            return -1
+
+    def _data_dir(self, version: int) -> str:
+        import os
+
+        return os.path.join(self.path, f"v{version}")
+
+    def _commit(self, df: DataFrame) -> None:
+        """Write ``df`` to a staging dir, promote it to the next version,
+        atomically advance the pointer."""
+        import os
+        import uuid
+
+        nxt = self._version() + 1
+        staging = os.path.join(self.path, f".staging-{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(staging)
+        final = self._data_dir(nxt)
+        os.rename(staging, final)
+        tmp = self._version_file() + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(nxt))
+        os.replace(tmp, self._version_file())  # atomic on POSIX
+
+    def vacuum(self, keep: int = 1) -> int:
+        """Drop all but the newest ``keep`` committed versions; returns
+        the number of version dirs removed."""
+        import os
+        import re
+        import shutil
+
+        cur = self._version()
+        removed = 0
+        for name in os.listdir(self.path):
+            m = re.fullmatch(r"v(\d+)", name)
+            if m and int(m.group(1)) <= cur - keep:
+                shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
+                removed += 1
+        return removed
+
+    # -- reads ----------------------------------------------------------
+    def scan(self, spark: SparkSession) -> DataFrame:
+        v = self._version()
+        if v < 0:
+            raise FileNotFoundError(f"ParquetMergeSink at {self.path} has no committed version")
+        return spark.read.parquet(self._data_dir(v))
+
+    # -- writes ---------------------------------------------------------
+    def ensure(self, df: DataFrame) -> None:
+        """Create the table from ``df`` if it does not exist yet."""
+        if self._version() < 0:
+            self._commit(df)
+
+    def insert_append(self, new: DataFrame) -> None:
+        self._commit(self.scan(self.spark).unionByName(new, allowMissingColumns=True))
+
+    def merge_upsert(self, new: DataFrame, key: str | None = None) -> None:
+        """MERGE semantics: matched rows replaced by the source row, new
+        keys inserted (whenMatchedUpdateAll/whenNotMatchedInsertAll)."""
+        k = key or self.key
+        if self._version() < 0:
+            self._commit(new)
+            return
+        cur = self.scan(self.spark)
+        kept = cur.join(new.select(k).distinct(), on=k, how="left_anti")
+        self._commit(kept.unionByName(new, allowMissingColumns=True))
+
+    def update_where(self, cond: Column, assignments: dict[str, Column]) -> None:
+        from pyspark.sql import functions as F
+
+        df = self.scan(self.spark)
+        df = df.withColumns({c: F.when(cond, v).otherwise(F.col(c)) for c, v in assignments.items()})
+        self._commit(df)
+
+    def delete_where(self, cond: Column | None) -> None:
+        cur = self.scan(self.spark)
+        self._commit(cur.limit(0) if cond is None else cur.filter(~cond | cond.isNull()))

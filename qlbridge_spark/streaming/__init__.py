@@ -340,26 +340,38 @@ def _start(out: DataFrame, name: str, cfg: dict, engine=None):
         if engine is None or key is None:
             raise ValueError("WITH {'format': 'upsert'} requires a key and an engine-backed target")
 
+        # within-batch dedup ordering: a real recency column (WITH
+        # {'order_by': 'event_ts'}) gives latest-wins; without one the
+        # kept row per key is ARBITRARY (same as LIMIT 1 without ORDER BY)
+        order_col = cfg.get("order_by")
+
         def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+            from pyspark.sql import Window
+
+            ranked = batch_df.withColumn(
+                "__rn",
+                F.row_number().over(
+                    Window.partitionBy(key).orderBy(
+                        F.col(order_col).desc_nulls_last() if order_col else F.lit(1)
+                    )
+                ),
+            )
+            newest = ranked.filter(F.col("__rn") == 1).drop("__rn")
             sink = engine.sinks.get(target.lower())
             if sink is not None and hasattr(sink, "merge_upsert"):
-                sink.merge_upsert(batch_df, key)
+                sink.merge_upsert(newest, key)
                 return
             cur = engine.tables.get(target.lower())
             if cur is None:
-                merged = batch_df
+                merged = newest
             else:
-                # latest-wins within the batch too: dedup on key first
-                from pyspark.sql import Window
-
-                ranked = batch_df.withColumn(
-                    "__rn", F.row_number().over(Window.partitionBy(key).orderBy(F.lit(1)))
-                )
-                newest = ranked.filter(F.col("__rn") == 1).drop("__rn")
                 merged = cur.join(newest.select(key), on=key, how="left_anti").unionByName(newest)
-            # materialize: a lazy plan over the stream batch would be
-            # unreadable after the micro-batch ends
-            engine.register_df(target, engine.spark.createDataFrame(merged.collect(), merged.schema))
+            # materialize EXECUTOR-side: the lazy plan over the stream
+            # batch would be unreadable after the micro-batch ends, but a
+            # driver collect() round-trip grows with TABLE size per batch —
+            # localCheckpoint writes the merged snapshot to block storage
+            # and truncates lineage instead (driver-safe at any table size)
+            engine.register_df(target, merged.localCheckpoint(eager=True))
 
         return writer.foreachBatch(merge_batch).start()
     if fmt == "memory":
