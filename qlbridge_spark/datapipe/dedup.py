@@ -370,12 +370,17 @@ def _verify_jaccard(cands: DataFrame, grams: DataFrame, threshold: float) -> Dat
     )
 
 
-def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 10) -> DataFrame:
-    """Connected components over a pair list via iterative min-label
-    propagation: every node repeatedly adopts the minimum label among
-    itself and its neighbors; converges in O(component diameter)
-    iterations (each = one shuffle join + one aggregation — the standard
-    large-scale CC loop; diameters of near-dup clusters are tiny).
+def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 20) -> DataFrame:
+    """Connected components over a pair list via min-label propagation
+    with POINTER JUMPING: each round a node (1) adopts the minimum label
+    among itself and its neighbors (hash-to-min — one shuffle join + one
+    aggregation), then (2) shortcuts to its label's label (one more join),
+    which halves effective path lengths. Convergence is therefore
+    O(log diameter) rounds, not O(diameter): a 1000-node path converges
+    in ~10 rounds where plain propagation needs 1000. The loop exits as
+    soon as no label changes; if ``max_iter`` is exhausted first (a graph
+    with diameter ≳ 2^max_iter — astronomically unlikely for dup
+    clusters) it WARNS instead of silently under-merging.
 
     Returns (node, component) where component = min node id reachable.
     """
@@ -386,6 +391,7 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
         .persist()
     )
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn("comp", F.col("node")).persist()
+    converged = False
     for it in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["node"])
@@ -395,6 +401,14 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
         new_labels = (
             labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
             .select("node", F.least(F.col("comp"), F.coalesce(F.col("__nmin"), F.col("comp"))).alias("comp"))
+        )
+        # pointer jumping: comp ← label(comp). Sound because labels only
+        # decrease and label(comp) is in the same component (reachability
+        # is transitive); this is what turns O(d) into O(log d).
+        jump = new_labels.select(F.col("node").alias("__jn"), F.col("comp").alias("__jc"))
+        new_labels = (
+            new_labels.join(jump, new_labels["comp"] == jump["__jn"], "left")
+            .select("node", F.coalesce(F.col("__jc"), F.col("comp")).alias("comp"))
         )
         # localCheckpoint every few iterations cuts the join-on-join lineage
         # (otherwise plan size grows linearly and re-evaluation on executor
@@ -407,8 +421,19 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds — components may be under-merged; raise max_iter "
+            "(each extra round doubles the reachable diameter)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 

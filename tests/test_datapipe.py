@@ -184,6 +184,32 @@ class TestConnectedComponents:
         assert comps[5] == comps[2] == comps[9] == comps[7] == 2
         assert comps[11] == comps[12] == 11
 
+    def test_long_path_converges_via_pointer_jumping(self, spark):
+        """A 60-edge path has diameter 60 ≫ the old per-round reach; the
+        pointer-jumping shortcut must still converge (O(log d) rounds)
+        inside the default max_iter — the round-6 verdict's under-merge
+        hazard."""
+        import warnings
+
+        from qlbridge_spark.datapipe import connected_components
+
+        n = 61
+        pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "id_a long, id_b long")
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")  # non-convergence warning = failure
+            comps = {r["node"]: r["comp"] for r in connected_components(pairs, max_iter=10).collect()}
+        assert len(comps) == n
+        assert set(comps.values()) == {0}
+
+    def test_nonconvergence_warns_not_silent(self, spark):
+        import pytest as _pytest
+
+        from qlbridge_spark.datapipe import connected_components
+
+        pairs = spark.createDataFrame([(i, i + 1) for i in range(40)], "id_a long, id_b long")
+        with _pytest.warns(RuntimeWarning, match="did not converge"):
+            connected_components(pairs, max_iter=1).collect()
+
     def test_include_cycle_detection(self, spark):
         import pytest
 
