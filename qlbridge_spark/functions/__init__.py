@@ -921,33 +921,34 @@ def _url_matchqs(n, s):
     return v.isNotNull()
 
 
-# useragent: reference uses a full UA-parsing lib (url_email.go:696). The
-# container has no such lib — deterministic regex heuristic, flagged
-# divergence.
-_UA_FAMS = [("Edge", "Edg[eA]?/"), ("Chrome", "Chrome/"), ("Firefox", "Firefox/"), ("Safari", "Safari/"), ("IE", "MSIE |Trident/"), ("Opera", "Opera|OPR/")]
-_UA_OS = [("Windows", "Windows"), ("Android", "Android"), ("iOS", "iPhone|iPad|iOS"), ("Mac OS X", "Mac OS X|Macintosh"), ("Linux", "Linux")]
-
-
-def _ua_pick(c: Column, table) -> Column:
-    out = F.lit("Other")
-    for name, pat in reversed(table):
-        out = F.when(c.rlike(pat), F.lit(name)).otherwise(out)
-    return out
+# useragent: reference wraps the mssola/user_agent Go lib
+# (url_email.go:694-856, parts bot/mobile/mozilla/platform/os/engine/
+# engine_version/browser/browser_version). Ours evaluates a vendored
+# uap-core regex subset (functions/uaparse.py) as pure when/rlike Column
+# chains — whole-stage codegen, no UDF. Documented divergence: "os"
+# returns the uap-core OS FAMILY, not the Go lib's raw token.
 
 
 @_reg("useragent", return_type=T.StringType())
 def _useragent(n, s):
+    from . import uaparse
+
     c = _c(n, s).cast("string")
     part = _lit_str(n, 1) if len(n.args) > 1 else "ua_family"
-    if part in ("os", "os_family"):
-        return _ua_pick(c, _UA_OS)
-    return _ua_pick(c, _UA_FAMS)
+    return uaparse.part_col(c, part)
 
 
 @_reg("useragent.map")
 def _useragent_map(n, s):
+    from . import uaparse
+
     c = _c(n, s).cast("string")
-    return F.create_map(F.lit("ua_family"), _ua_pick(c, _UA_FAMS), F.lit("os_family"), _ua_pick(c, _UA_OS))
+    # the reference's 9 keys (url_email.go:845-855) + the engine's
+    # historical ua_family/os_family aliases
+    entries = []
+    for k in uaparse.PARTS:
+        entries.extend([F.lit(k), uaparse.part_col(c, k)])
+    return F.create_map(*entries)
 
 
 # ===========================================================================

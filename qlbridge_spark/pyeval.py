@@ -1212,14 +1212,7 @@ def _py_urlminusqs(n, sc):
     return re.sub(r"[?&]$", "", out)
 
 
-from .functions import _UA_FAMS, _UA_OS  # noqa: E402  (regex tables shared with batch side)
-
-
-def _py_ua_pick(s, table):
-    for name, pat in table:
-        if re.search(pat, s):
-            return name
-    return "Other"
+from .functions import uaparse as _uaparse  # noqa: E402  (tables shared with batch side)
 
 
 @_pyreg("useragent")
@@ -1228,7 +1221,7 @@ def _py_useragent(n, sc):
     if v is None:
         return None
     part = _lit_str(n, 1) if len(n.args) > 1 else "ua_family"
-    return _py_ua_pick(_s(v), _UA_OS if part in ("os", "os_family") else _UA_FAMS)
+    return _uaparse.parse_part(_s(v), part)
 
 
 @_pyreg("useragent.map")
@@ -1237,7 +1230,7 @@ def _py_useragent_map(n, sc):
     if v is None:
         return None
     s = _s(v)
-    return {"ua_family": _py_ua_pick(s, _UA_FAMS), "os_family": _py_ua_pick(s, _UA_OS)}
+    return {k: _uaparse.parse_part(s, k) for k in _uaparse.PARTS}
 
 
 # -- hashing / encoding -----------------------------------------------------
