@@ -100,9 +100,29 @@ class Engine:
     BuildSqlJob (exec/executor.go:46) + database/sql driver ergonomics
     (exec/sqldriver.go)."""
 
+    #: warn once per process, not per Engine
+    _tz_warned = False
+
     def __init__(self, spark: SparkSession, name: str = "default"):
         self.spark = spark
         self.name = name
+        # TIMESTAMP_NTZ contract: parquet timestamp[us] reads as NTZ in
+        # Spark 4, and every time builtin interprets NTZ wall-times in the
+        # SESSION time zone (functions/__init__.py _time_arg). Under a
+        # non-UTC session, epoch_us/unix_timestamp/as-of tolerances would
+        # silently shift — surface that instead of diverging quietly.
+        tz = spark.conf.get("spark.sql.session.timeZone", "")
+        if tz not in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00") and not Engine._tz_warned:
+            import warnings
+
+            Engine._tz_warned = True
+            warnings.warn(
+                f"session time zone is {tz!r}: TIMESTAMP_NTZ columns are interpreted as "
+                "session-local wall times; set spark.sql.session.timeZone=UTC for "
+                "UTC-stable epoch/time-bucket semantics (the tested configuration)",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         self.tables: dict[str, DataFrame] = {}
         self.broadcast_hints: set[str] = set()
         self.includes: dict[str, Node] = {}

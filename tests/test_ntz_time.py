@@ -85,3 +85,36 @@ class TestNtzDatapipe:
         out = asof_join(left, right, on="ts", tolerance_seconds=1.0)
         got = {r["id"]: r["rid"] for r in out.collect()}
         assert got == {1: 101, 2: 102, 3: 103, 4: 104}
+
+
+class TestNtzTimezoneContract:
+    def test_non_utc_session_warns_once(self, spark):
+        """NTZ wall-times are interpreted in the session tz — a non-UTC
+        session gets a one-time RuntimeWarning naming the contract
+        (functions/__init__.py _time_arg interprets via timestamp_ltz)."""
+        import warnings
+
+        from qlbridge_spark import Engine
+
+        prev = spark.conf.get("spark.sql.session.timeZone")
+        Engine._tz_warned = False
+        try:
+            spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+            with pytest.warns(RuntimeWarning, match="TIMESTAMP_NTZ"):
+                Engine(spark, "tz-probe")
+            with warnings.catch_warnings():
+                warnings.simplefilter("error")
+                Engine(spark, "tz-probe-2")  # second construction: silent
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", prev)
+            Engine._tz_warned = False
+
+    def test_utc_session_silent(self, spark):
+        import warnings
+
+        from qlbridge_spark import Engine
+
+        Engine._tz_warned = False
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            Engine(spark, "tz-utc-probe")
