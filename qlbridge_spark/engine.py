@@ -849,9 +849,13 @@ class Engine:
             node, holder["df"] = self._lower_in_membership(holder["df"], x, sub.select, negated, scope)
             return node
 
+        def exists_fn(sub: SubqueryNode) -> Node:
+            node, holder["df"] = self._lower_exists_mark(holder["df"], scope, sub.select)
+            return node
+
         import dataclasses
 
-        walk = lambda n: self._walk_subqueries(n, scalar_fn, quant_fn, in_fn)  # noqa: E731
+        walk = lambda n: self._walk_subqueries(n, scalar_fn, quant_fn, in_fn, exists_fn)  # noqa: E731
         sel = dataclasses.replace(
             sel,
             columns=[dataclasses.replace(c, expr=walk(c.expr), guard=walk(c.guard)) for c in sel.columns],
@@ -896,7 +900,11 @@ class Engine:
             node, holder["df"] = self._lower_in_membership(holder["df"], x, sub.select, negated, hscope)
             return node
 
-        new_node = self._walk_subqueries(having_node, scalar_fn, quant_fn, in_fn)
+        def exists_fn(sub: SubqueryNode) -> Node:
+            node, holder["df"] = self._lower_exists_mark(holder["df"], hscope, sub.select)
+            return node
+
+        new_node = self._walk_subqueries(having_node, scalar_fn, quant_fn, in_fn, exists_fn)
         return holder["df"], new_node
 
     def _walk_where_protected(self, where: Node | None, walk) -> Node | None:
@@ -916,12 +924,13 @@ class Engine:
                     c = BinaryNode("IN", c.left, c.right, c.negated)
                 elif c.op == "!= ALL":
                     c = BinaryNode("IN", c.left, c.right, not c.negated)
-            if self._as_subquery_in(c) is not None:
-                lowered = c  # semi/anti-join path claims conjunct INs
+            if self._as_subquery_in(c) is not None or self._as_exists_subquery(c) is not None:
+                # semi/anti-join path claims conjunct INs and conjunct
+                # [NOT] EXISTS — strictly better plans than a mark column
+                lowered = c
             else:
-                # everything else walks — incl. EXISTS, whose walk branch
-                # folds uncorrelated ones to a literal and PRESERVES
-                # correlated ones for _apply_where's semi-join
+                # everything else walks — disjunctive/select-list EXISTS
+                # lowers to a boolean mark column here
                 lowered = walk(c)
             out = lowered if out is None else BinaryNode("AND", out, lowered)
         return out
@@ -977,6 +986,31 @@ class Engine:
         out = df.crossJoin(F.broadcast(stats)).join(F.broadcast(vals), on=x == F.col(key), how="left").drop(key)
         flag = self._membership_flag(x, F.col(tcol), F.col(nncol), F.col(mark).isNotNull(), negated)
         return SparkColNode(col=flag, dtype=T.BooleanType(), text="(x IN subquery)"), out
+
+    def _lower_exists_mark(self, df: DataFrame, scope: Scope, sub_sel):
+        """CORRELATED ``EXISTS (SELECT …)`` as a BOOLEAN COLUMN (select
+        list / disjunctive WHERE — top-level conjuncts keep the strictly
+        better semi/anti-join). One per-correlation-key TRUE marker +
+        LEFT JOIN; EXISTS is two-valued, so unmatched keys coalesce to
+        FALSE. The select list of the inner query is irrelevant to EXISTS
+        (ANSI) — normalized to ``SELECT 1`` before the split so ``SELECT
+        *`` inner selects work. Superset: the reference refuses every
+        WHERE subquery (/root/reference/plan/planner_select.go:94-98)."""
+        import dataclasses
+
+        from .nodes import SparkColNode
+
+        if isinstance(sub_sel, SqlSetOp):
+            raise ExecError("correlated EXISTS subquery must be a plain SELECT (no set-ops)")
+        one = dataclasses.replace(sub_sel, columns=[Column(expr=NumberNode("1"))], order_by=[], limit=None)
+        inner_df, inner_scope, pairs, _ = self._correlation_split(scope, one, "EXISTS")
+
+        def build(key_cols, prefix):
+            return inner_df.groupBy(*key_cols).agg(F.lit(True).alias(f"{prefix}_ex"))
+
+        out, p = self._decorrelate_join(df, pairs, build)
+        flag = F.coalesce(F.col(f"{p}_ex"), F.lit(False))
+        return SparkColNode(col=flag, dtype=T.BooleanType(), text="EXISTS(correlated)"), out
 
     def _lower_in_membership_corr(self, df: DataFrame, scope: Scope, x: SparkColumn, sub_sel, negated: bool):
         """CORRELATED membership column — ``x IN (SELECT v FROM t WHERE
@@ -1484,16 +1518,19 @@ class Engine:
             repl["qualify"] = walk(sel.qualify)
         return dataclasses.replace(sel, **repl)
 
-    def _walk_subqueries(self, n: Node | None, scalar_fn, quant_fn, in_fn=None) -> Node | None:
+    def _walk_subqueries(self, n: Node | None, scalar_fn, quant_fn, in_fn=None, exists_fn=None) -> Node | None:
         """Bottom-up subquery lowering over one expression tree. ``in_fn``
         of None PRESERVES ``IN (SELECT)`` nodes (the WHERE semi-join path
-        claims them); a callable lowers them to a membership column."""
+        claims them); a callable lowers them to a membership column.
+        ``exists_fn`` likewise: None preserves correlated EXISTS for the
+        semi-join; a callable lowers it to a boolean mark column
+        (select-list / disjunctive positions)."""
         import dataclasses
 
         from .nodes import ArrayNode, SparkColNode, TriNode
 
         def walk(node: Node | None) -> Node | None:
-            return self._walk_subqueries(node, scalar_fn, quant_fn, in_fn)
+            return self._walk_subqueries(node, scalar_fn, quant_fn, in_fn, exists_fn)
 
         if n is None:
             return None
@@ -1504,9 +1541,10 @@ class Engine:
                 try:
                     inner = self._select_any(n.child.select)
                 except TranslateError:
-                    # inner references outer columns → CORRELATED;
-                    # left intact for _apply_where's semi-join rewrite
-                    return n
+                    # inner references outer columns → CORRELATED; mark
+                    # column when the position allows it, else left intact
+                    # for _apply_where's semi-join rewrite
+                    return n if exists_fn is None else exists_fn(n.child)
                 return SparkColNode(col=F.lit(inner.limit(1).count() > 0), dtype=None, text="EXISTS(...)")
             return UnaryNode(n.op, walk(n.child))
         if isinstance(n, BinaryNode):

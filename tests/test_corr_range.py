@@ -153,3 +153,34 @@ class TestStillRejected:
             reng.sql(
                 "SELECT id, ev.ts IN (SELECT r.ts FROM ref r WHERE r.ts > ev.ts) AS m FROM ev"
             ).collect()
+
+
+class TestCorrelatedExistsColumn:
+    def test_select_list_exists(self, reng):
+        got = rows_of(reng, "SELECT id, EXISTS (SELECT 1 FROM ref r WHERE r.k = ev.k) AS e FROM ev")
+        assert got == {1: (True,), 2: (True,), 3: (True,), 4: (True,), 5: (False,), 6: (False,)}
+
+    def test_select_star_inner(self, reng):
+        # EXISTS ignores the inner select list (normalized to SELECT 1)
+        got = rows_of(reng, "SELECT id, EXISTS (SELECT * FROM ref r WHERE r.k = ev.k AND r.v > 3) AS e FROM ev")
+        assert got == {1: (False,), 2: (False,), 3: (True,), 4: (True,), 5: (False,), 6: (False,)}
+
+    def test_disjunctive_exists(self, reng):
+        got = rows_of(
+            reng,
+            "SELECT id, ev.v FROM ev WHERE EXISTS (SELECT 1 FROM ref r WHERE r.k = ev.k AND r.v > 3) OR ev.v > 250",
+        )
+        assert set(got) == {3, 4}
+
+    def test_disjunctive_not_exists(self, reng):
+        got = rows_of(
+            reng,
+            "SELECT id, ev.v FROM ev WHERE NOT EXISTS (SELECT 1 FROM ref r WHERE r.k = ev.k) OR ev.ts = 30",
+        )
+        # no-match keys (c, NULL) pass via NOT EXISTS; id 3 via ts
+        assert set(got) == {3, 5, 6}
+
+    def test_top_level_conjunct_keeps_semi_join(self, reng, spark):
+        df = reng.sql("SELECT id FROM ev WHERE EXISTS (SELECT 1 FROM ref r WHERE r.k = ev.k)")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "LeftSemi" in plan  # mark-column lowering must NOT claim conjuncts
