@@ -111,7 +111,10 @@ class Engine:
         # SESSION time zone (functions/__init__.py _time_arg). Under a
         # non-UTC session, epoch_us/unix_timestamp/as-of tolerances would
         # silently shift — surface that instead of diverging quietly.
-        tz = spark.conf.get("spark.sql.session.timeZone", "")
+        try:
+            tz = spark.conf.get("spark.sql.session.timeZone")
+        except Exception:  # pragma: no cover - conf lookup should not fail
+            tz = ""
         if tz not in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00") and not Engine._tz_warned:
             import warnings
 
@@ -533,9 +536,18 @@ class Engine:
         for conj in self._conjuncts(sel.where):
             ex = self._as_exists_subquery(conj)
             if ex is not None:
-                # correlated EXISTS (uncorrelated ones were materialized to
-                # literals by _resolve_scalar_subqueries) → semi/anti-join
-                df = self._correlated_exists_join(df, scope, *ex)
+                ex_sel, ex_anti = ex
+                # innermost scoping first: if the inner select resolves
+                # standalone (all names bind inner, even when the table
+                # name shadows an outer one) the EXISTS is UNCORRELATED —
+                # one bounded job folds it to a constant filter
+                try:
+                    inner = self._select_any(ex_sel)
+                except TranslateError:
+                    df = self._correlated_exists_join(df, scope, ex_sel, ex_anti)
+                    continue
+                if (inner.limit(1).count() > 0) == ex_anti:
+                    df = df.filter(F.lit(False))
                 continue
             sub = self._as_subquery_in(conj)
             if sub is not None:
