@@ -1202,6 +1202,95 @@ class Engine:
             val = F.when(F.col(f"{prefix}_cnt").isNull(), F.lit(empty_val())).otherwise(val)
         return val
 
+    #: window aggregates for the single-range fast path
+    _RANGE_WINDOW_AGGS = ("count", "sum", "min", "max", "avg")
+
+    def _range_window_aggd(self, expr, inner_df, inner_scope, pairs, ranges, probes, prefix, is_agg, count_shape):
+        """Running-window lowering for a SINGLE-range correlated aggregate
+        (the as-of shape, ``(SELECT max(y) FROM t WHERE t.k=o.k AND
+        t.ts <= o.ts)``): union the distinct probe tuples with the inner
+        rows, sort each equality-key partition by the range operand, and
+        read the running aggregate at each probe row.
+
+        Why this beats the probe-join path: the join materializes
+        |matching probes| × |inner| intermediate rows per equality key
+        (quadratic on hot keys) and then aggregates them away; the window
+        touches each union row ONCE — linear, skew-tolerant, and one
+        fewer shuffle (no matched/groupBy pair). Strict and inclusive
+        bounds are exact via a tie-break sort on the probe/inner tag, so
+        ties never depend on row order. Returns the aggregated frame
+        keyed by the probe-tuple names, or None when ineligible (multiple
+        ranges, no equality key, non-whitelisted aggregate, composite
+        count, DISTINCT agg, probe/inner type mismatch)."""
+        if not is_agg or count_shape == "composite" or len(ranges) != 1 or not pairs:
+            return None
+        if not isinstance(expr, FuncNode) or expr.filter_where is not None:
+            return None
+        fname = expr.name.lower()
+        if fname not in self._RANGE_WINDOW_AGGS:
+            return None
+        op, r_ic, _ = ranges[0]
+        if op not in ("<", "<=", ">", ">="):
+            return None
+        if fname == "count":
+            a = expr.args[0]
+            if isinstance(a, IdentityNode) and a.is_star:
+                pval = F.lit(1)
+            elif isinstance(a, FuncNode) and a.name == "distinct":
+                return None  # DISTINCT not window-expressible
+            else:
+                pval = to_column(a, inner_scope)
+        else:
+            pval = to_column(expr.args[0], inner_scope)
+            if fname == "avg":
+                pval = pval.cast("double")
+        from pyspark.sql.window import Window
+
+        k_names = [f"{prefix}_k{i}" for i in range(len(pairs))]
+        r_name = f"{prefix}_r0"
+        tag = f"{prefix}_tag"
+        vname = f"{prefix}_pv"
+        # rows whose correlation predicate is UNKNOWN (NULL key/operand)
+        # can never match — drop them so NULL grouping can't leak them in
+        keep = r_ic.isNotNull()
+        for ic, _ in pairs:
+            keep = keep & ic.isNotNull()
+        inner_side = inner_df.where(keep).select(
+            *[ic.alias(kn) for (ic, _), kn in zip(pairs, k_names)],
+            r_ic.alias(r_name),
+            pval.alias(vname),
+            F.lit(1).alias(tag),
+        )
+        vtype = inner_side.schema[vname].dataType
+        probe_side = probes.select(*k_names, r_name, F.lit(None).cast(vtype).alias(vname), F.lit(0).alias(tag))
+        # the union compares probe operands against inner columns by
+        # POSITION — identical types only (the join path coerces; here a
+        # silent cross-type sort would reorder, so bail to the join path)
+        if [f.dataType for f in probe_side.schema.fields] != [f.dataType for f in inner_side.schema.fields]:
+            return None
+        unioned = probe_side.union(inner_side)
+        rv = F.col(r_name)
+        # inclusive ops sort tied inner rows BEFORE the probe (frame
+        # includes them); strict ops sort them after (frame excludes).
+        # NULL probe operands sort first → empty frame → ANSI empty set.
+        ordering = {
+            "<=": [rv.asc_nulls_first(), F.col(tag).desc()],
+            "<": [rv.asc_nulls_first(), F.col(tag).asc()],
+            ">=": [rv.desc_nulls_first(), F.col(tag).desc()],
+            ">": [rv.desc_nulls_first(), F.col(tag).asc()],
+        }[op]
+        w = (
+            Window.partitionBy(*k_names)
+            .orderBy(*ordering)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        agg_col = {"count": F.count, "sum": F.sum, "min": F.min, "max": F.max, "avg": F.avg}[fname](F.col(vname))
+        return (
+            unioned.withColumn(f"{prefix}_val", agg_col.over(w))
+            .where(F.col(tag) == 0)
+            .select(*k_names, r_name, f"{prefix}_val")
+        )
+
     def _decorrelate_scalar_range(
         self, df, expr, inner_df, inner_scope, pairs, ranges, is_agg, count_shape, agg_exprs, top1, top1_window_frame, limit1_any
     ):
@@ -1233,14 +1322,17 @@ class Engine:
             probe_specs.append((f"{prefix}_r{j}", oc, ic, op))
         names = [nm for nm, _, _, _ in probe_specs]
         probes = df.select(*[oc.alias(nm) for nm, oc, _, _ in probe_specs]).distinct()
-        cond = None
-        for nm, _, ic, op in probe_specs:
-            pc = probes[nm]
-            c = {"=": ic == pc, "<": ic < pc, "<=": ic <= pc, ">": ic > pc, ">=": ic >= pc, "!=": ic != pc}[op]
-            cond = c if cond is None else cond & c
-        matched = probes.join(inner_df, on=cond, how="inner")
-        aggs = agg_exprs(prefix, names)
-        aggd = top1_window_frame(matched, prefix, names) if aggs is None else matched.groupBy(*names).agg(*aggs)
+        aggd = self._range_window_aggd(expr, inner_df, inner_scope, pairs, ranges, probes, prefix, is_agg, count_shape)
+        if aggd is None:
+            # general fallback: range join against the distinct probes
+            cond = None
+            for nm, _, ic, op in probe_specs:
+                pc = probes[nm]
+                c = {"=": ic == pc, "<": ic < pc, "<=": ic <= pc, ">": ic > pc, ">=": ic >= pc, "!=": ic != pc}[op]
+                cond = c if cond is None else cond & c
+            matched = probes.join(inner_df, on=cond, how="inner")
+            aggs = agg_exprs(prefix, names)
+            aggd = top1_window_frame(matched, prefix, names) if aggs is None else matched.groupBy(*names).agg(*aggs)
         on = None
         for nm, oc, _, _ in probe_specs:
             # plain == (not null-safe): a NULL probe operand joins nothing,

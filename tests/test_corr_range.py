@@ -184,3 +184,59 @@ class TestCorrelatedExistsColumn:
         df = reng.sql("SELECT id FROM ev WHERE EXISTS (SELECT 1 FROM ref r WHERE r.k = ev.k)")
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "LeftSemi" in plan  # mark-column lowering must NOT claim conjuncts
+
+
+class TestRangeWindowFastPath:
+    """Single-range whitelisted aggregates lower through the union +
+    running-window plan (no range join, one fewer shuffle); everything
+    else keeps the probe-join fallback. Values themselves are pinned by
+    TestRangeCorrelatedScalar, which now runs through this path."""
+
+    Q_WIN = "SELECT id, (SELECT max(r.v) FROM ref r WHERE r.k = ev.k AND r.ts <= ev.ts) AS p FROM ev"
+    # stddev is not window-whitelisted → probe path
+    Q_PROBE = "SELECT id, (SELECT stddev(r.v) FROM ref r WHERE r.k = ev.k AND r.ts <= ev.ts) AS p FROM ev"
+
+    @staticmethod
+    def _plan(eng, q):
+        return eng.sql(q)._jdf.queryExecution().executedPlan().toString()
+
+    def test_window_plan_no_range_join(self, reng):
+        plan = self._plan(reng, self.Q_WIN)
+        assert "Window" in plan
+        # every remaining join is an EQUI-join on the probe tuple (the
+        # final left join back); the quadratic range-condition join that
+        # the probe path needs must be gone
+        assert plan.count("Join") <= self._plan(reng, self.Q_PROBE).count("Join")
+
+    def test_probe_fallback_keeps_join(self, reng):
+        plan = self._plan(reng, self.Q_PROBE)
+        assert "Window" not in plan
+
+    def test_window_beats_probe_on_exchanges(self, reng):
+        win = self._plan(reng, self.Q_WIN).count("Exchange")
+        probe = self._plan(reng, self.Q_PROBE).count("Exchange")
+        assert win < probe
+
+    def test_strict_tie_rows_excluded(self, reng):
+        # ref has (k=b, ts=30); ev id=3 is (k=b, ts=30): strict < must
+        # exclude the tied row even though both sort at the same ts
+        got = rows_of(
+            reng,
+            "SELECT id, (SELECT count(*) FROM ref r WHERE r.k = ev.k AND r.ts < ev.ts) AS n FROM ev",
+        )
+        assert got[3] == (0,)
+
+    def test_inclusive_tie_rows_included(self, reng):
+        got = rows_of(
+            reng,
+            "SELECT id, (SELECT count(*) FROM ref r WHERE r.k = ev.k AND r.ts <= ev.ts) AS n FROM ev",
+        )
+        assert got[3] == (1,)
+
+    def test_count_column_skips_inner_nulls(self, reng):
+        # count(r.v): rid=5 (k=d) never matches; v NULL rows not counted
+        got = rows_of(
+            reng,
+            "SELECT id, (SELECT count(r.v) FROM ref r WHERE r.k = ev.k AND r.ts <= ev.ts) AS n FROM ev",
+        )
+        assert got == {1: (1,), 2: (2,), 3: (1,), 4: (0,), 5: (0,), 6: (0,)}
