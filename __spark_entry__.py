@@ -336,7 +336,10 @@ _Q = {
                 WHERE o4.o_custkey = c_custkey
                 ORDER BY o4.o_orderdate DESC, o4.o_orderkey ASC LIMIT 1) AS last_prio,
                c_acctbal * 100 > ALL (SELECT o.o_totalprice FROM orders AS o
-                                      WHERE o.o_custkey = c_custkey) AS beats_all
+                                      WHERE o.o_custkey = c_custkey) AS beats_all,
+               c_nationkey IN (SELECT o5.o_orderkey % 25 FROM orders AS o5
+                               WHERE o5.o_custkey = c_custkey
+                                 AND o5.o_totalprice < c_acctbal * 100) AS nat_match
         FROM customer
         WHERE c_custkey < 200""",
     # TPC-H Q17 shape: correlated aggregate subquery in WHERE against the
@@ -1073,7 +1076,10 @@ def oracle_sql() -> dict[str, str]:
                     WHERE o4.o_custkey = c_custkey
                     ORDER BY o4.o_orderdate DESC, o4.o_orderkey ASC LIMIT 1) AS last_prio,
                    c_acctbal * 100 > ALL (SELECT o.o_totalprice FROM orders AS o
-                                          WHERE o.o_custkey = c_custkey) AS beats_all
+                                          WHERE o.o_custkey = c_custkey) AS beats_all,
+                   c_nationkey IN (SELECT o5.o_orderkey % 25 FROM orders AS o5
+                                   WHERE o5.o_custkey = c_custkey
+                                     AND o5.o_totalprice < c_acctbal * 100) AS nat_match
             FROM customer
             WHERE c_custkey < 200""",
         "q39_small_quantity_revenue": """

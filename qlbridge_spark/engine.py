@@ -1034,13 +1034,17 @@ class Engine:
           match = distinct (keys, value) LEFT-JOINed on keys AND value = x
 
         Outer rows with no key match see an empty set (counts coalesce to
-        0 → FALSE, or TRUE→FALSE under NOT IN), matching ANSI. Superset:
+        0 → FALSE, or TRUE→FALSE under NOT IN), matching ANSI. RANGE
+        correlation (``t.ts < o.ts`` conjuncts) routes through a distinct
+        probe-tuple aggregation instead — see the branch below. Superset:
         the reference refuses every WHERE subquery
         (/root/reference/plan/planner_select.go:94-98)."""
         from .nodes import SparkColNode
 
-        inner_df, inner_scope, pairs, _ = self._correlation_split(scope, sub_sel, "IN")
+        inner_df, inner_scope, pairs, ranges = self._correlation_split(scope, sub_sel, "IN", allow_range=True)
         val = to_column(sub_sel.columns[0].expr, inner_scope)
+        if ranges:
+            return self._lower_in_membership_range(df, x, inner_df, val, pairs, ranges, negated)
 
         def build(key_cols, prefix):
             return inner_df.groupBy(*key_cols).agg(
@@ -1070,6 +1074,57 @@ class Engine:
             negated,
         )
         return SparkColNode(col=flag, dtype=T.BooleanType(), text="(x IN correlated subquery)"), out
+
+    def _lower_in_membership_range(self, df, x, inner_df, val, pairs, ranges, negated):
+        """RANGE-correlated membership column — ``x IN (SELECT v FROM t
+        WHERE t.k = o.k AND t.ts < o.ts)``. The per-key stats of the
+        equality path can't serve a range predicate, so aggregate per
+        distinct PROBE tuple (eq keys + range operands + x itself):
+
+          probes  = distinct outer (keys, operands, x)        [1 shuffle]
+          matched = probes ⋈ inner: eq keys + range residual
+          stats   = matched groupBy probe → (count, non-null, any v = x)
+          out     = outer LEFT JOIN stats on probe tuple      [equi]
+
+        Folding the match marker into the same aggregate (``x`` rides in
+        the probe tuple) keeps this ONE join instead of the equality
+        path's two. The ``x`` join-back component is null-safe: an x-NULL
+        outer row must still see the true set size (ANSI: NULL IN
+        non-empty-set is UNKNOWN, not FALSE). NULL eq keys/operands match
+        nothing → empty set → FALSE, via the plain == components."""
+        from .nodes import SparkColNode
+
+        self._subq_n = getattr(self, "_subq_n", 0) + 1
+        prefix = f"__inq{self._subq_n}"
+        probe_specs = [(f"{prefix}_k{i}", oc, ic, "=") for i, (ic, oc) in enumerate(pairs)]
+        probe_specs += [(f"{prefix}_r{j}", oc, ic, op) for j, (op, ic, oc) in enumerate(ranges)]
+        xn = f"{prefix}_x"
+        names = [nm for nm, _, _, _ in probe_specs]
+        probes = df.select(*[oc.alias(nm) for nm, oc, _, _ in probe_specs], x.alias(xn)).distinct()
+        cond = None
+        for nm, _, ic, op in probe_specs:
+            pc = probes[nm]
+            c = {"=": ic == pc, "<": ic < pc, "<=": ic <= pc, ">": ic > pc, ">=": ic >= pc, "!=": ic != pc}[op]
+            cond = c if cond is None else cond & c
+        matched = probes.join(inner_df, on=cond, how="inner")
+        t, nn, m = f"{prefix}_t", f"{prefix}_nn", f"{prefix}_m"
+        stats = matched.groupBy(*names, xn).agg(
+            F.count(F.lit(1)).alias(t),
+            F.count(val).alias(nn),
+            F.max(F.when(val == F.col(xn), F.lit(True))).alias(m),
+        )
+        on = stats[xn].eqNullSafe(x)
+        for nm, oc, _, _ in probe_specs:
+            on = on & (stats[nm] == oc)
+        out = df.join(stats, on=on, how="left").drop(xn, *names)
+        flag = self._membership_flag(
+            x,
+            F.coalesce(F.col(t), F.lit(0)),
+            F.coalesce(F.col(nn), F.lit(0)),
+            F.coalesce(F.col(m), F.lit(False)),
+            negated,
+        )
+        return SparkColNode(col=flag, dtype=T.BooleanType(), text="(x IN range-correlated subquery)"), out
 
     _RANGE_FLIP = {"<": ">", "<=": ">=", ">": "<", ">=": "<=", "!=": "!="}
 

@@ -145,14 +145,46 @@ class TestLimitOneLookups:
             reng.sql("SELECT id, (SELECT r.v FROM ref r WHERE r.k = ev.k) AS x FROM ev").collect()
 
 
-class TestStillRejected:
-    def test_disjunctive_range_correlated_in_errors(self, reng):
-        # correlated IN decorrelation is equality-only — range correlation
-        # inside IN raises the clear split error, not a wrong answer
-        with pytest.raises(ExecError, match="equality"):
-            reng.sql(
-                "SELECT id, ev.ts IN (SELECT r.ts FROM ref r WHERE r.ts > ev.ts) AS m FROM ev"
-            ).collect()
+class TestRangeCorrelatedIn:
+    """Membership columns with RANGE correlation (select list /
+    disjunctions) — probe-tuple decorrelation with the match marker
+    folded into the stats aggregate. Expected values cross-checked
+    against DuckDB on the same frames."""
+
+    def test_range_only_membership_always_false(self, reng):
+        # x IN {r.ts : r.ts > x} can never contain x itself
+        got = rows_of(reng, "SELECT id, ev.ts IN (SELECT r.ts FROM ref r WHERE r.ts > ev.ts) AS m FROM ev")
+        assert got == {i: (False,) for i in range(1, 7)}
+
+    def test_null_x_against_nonempty_set_is_unknown(self, reng):
+        # id 5 has v NULL and a NON-empty correlated set → UNKNOWN, while
+        # empty sets (id 6 via NULL-key … none here) stay FALSE
+        got = rows_of(reng, "SELECT id, ev.v IN (SELECT r.v FROM ref r WHERE r.ts < ev.ts) AS m FROM ev")
+        assert got == {1: (False,), 2: (False,), 3: (False,), 4: (False,), 5: (None,), 6: (False,)}
+
+    def test_null_in_set_poisons_unmatched(self, reng):
+        # k=b matches ref rows (ts=30) and (ts=NULL): id 3 finds 30 →
+        # TRUE; id 4 is unmatched against a set containing NULL → UNKNOWN;
+        # empty sets (c / NULL key) → FALSE
+        got = rows_of(
+            reng,
+            "SELECT id, ev.ts IN (SELECT r.ts FROM ref r WHERE r.k = ev.k AND r.v <= ev.v) AS m FROM ev",
+        )
+        assert got == {1: (False,), 2: (False,), 3: (True,), 4: (None,), 5: (False,), 6: (False,)}
+
+    def test_not_in_three_valued(self, reng):
+        got = rows_of(
+            reng,
+            "SELECT id, ev.ts NOT IN (SELECT r.ts FROM ref r WHERE r.k = ev.k AND r.v <= ev.v) AS m FROM ev",
+        )
+        assert got == {1: (True,), 2: (True,), 3: (False,), 4: (None,), 5: (True,), 6: (True,)}
+
+    def test_disjunctive_where_position(self, reng):
+        got = rows_of(
+            reng,
+            "SELECT id, ev.ts FROM ev WHERE ev.ts IN (SELECT r.ts FROM ref r WHERE r.k = ev.k AND r.v <= ev.v) OR ev.ts = 7",
+        )
+        assert set(got) == {3, 5}
 
 
 class TestCorrelatedExistsColumn:
