@@ -1591,21 +1591,46 @@ class Engine:
         """CORRELATED quantified comparison: the per-correlation-key
         (count, non-null, min, max) frame joins on like the scalar case;
         outer rows with no matching key see an empty inner set (left-join
-        NULLs → counts coalesced to 0)."""
+        NULLs → counts coalesced to 0). RANGE correlation aggregates the
+        same statistics per distinct PROBE tuple instead (the
+        _decorrelate_scalar_range strategy)."""
         from .nodes import SparkColNode
 
-        inner_df, inner_scope, pairs, _ = self._correlation_split(scope, sub_sel, "quantified")
+        inner_df, inner_scope, pairs, ranges = self._correlation_split(scope, sub_sel, "quantified", allow_range=True)
         val = to_column(sub_sel.columns[0].expr, inner_scope)
 
-        def build(key_cols, prefix):
-            return inner_df.groupBy(*key_cols).agg(
+        def stat_aggs(prefix):
+            return [
                 F.count(F.lit(1)).alias(f"{prefix}_t"),
                 F.count(val).alias(f"{prefix}_nn"),
                 F.min(val).alias(f"{prefix}_mn"),
                 F.max(val).alias(f"{prefix}_mx"),
-            )
+            ]
 
-        out, p = self._decorrelate_join(df, pairs, build)
+        if ranges:
+            self._subq_n = getattr(self, "_subq_n", 0) + 1
+            p = f"__csub{self._subq_n}"
+            probe_specs = [(f"{p}_k{i}", oc, ic, "=") for i, (ic, oc) in enumerate(pairs)]
+            probe_specs += [(f"{p}_r{j}", oc, ic, op) for j, (op, ic, oc) in enumerate(ranges)]
+            names = [nm for nm, _, _, _ in probe_specs]
+            probes = df.select(*[oc.alias(nm) for nm, oc, _, _ in probe_specs]).distinct()
+            cond = None
+            for nm, _, ic, op in probe_specs:
+                pc = probes[nm]
+                c = {"=": ic == pc, "<": ic < pc, "<=": ic <= pc, ">": ic > pc, ">=": ic >= pc, "!=": ic != pc}[op]
+                cond = c if cond is None else cond & c
+            stats = probes.join(inner_df, on=cond, how="inner").groupBy(*names).agg(*stat_aggs(p))
+            on = None
+            for nm, oc, _, _ in probe_specs:
+                c = stats[nm] == oc
+                on = c if on is None else on & c
+            out = df.join(stats, on=on, how="left").drop(*names)
+        else:
+
+            def build(key_cols, prefix):
+                return inner_df.groupBy(*key_cols).agg(*stat_aggs(prefix))
+
+            out, p = self._decorrelate_join(df, pairs, build)
         col = self._quantified_expr(
             x,
             base,

@@ -272,3 +272,40 @@ class TestRangeWindowFastPath:
             "SELECT id, (SELECT count(r.v) FROM ref r WHERE r.k = ev.k AND r.ts <= ev.ts) AS n FROM ev",
         )
         assert got == {1: (1,), 2: (2,), 3: (1,), 4: (0,), 5: (0,), 6: (0,)}
+
+
+class TestRangeCorrelatedQuantified:
+    """Quantified comparisons with RANGE correlation — per-probe-tuple
+    (count, non-null, min, max) statistics. DuckDB-cross-checked."""
+
+    def test_all_with_range(self, reng):
+        # ev.v > ALL {r.v : r.k=ev.k, r.ts<=ev.ts}; empty sets → TRUE
+        got = rows_of(
+            reng,
+            "SELECT id, ev.v > ALL (SELECT r.v FROM ref r WHERE r.k = ev.k AND r.ts <= ev.ts) AS m FROM ev",
+        )
+        # id 5 (k=c) has an EMPTY correlated set: ALL over the empty set
+        # is TRUE even though ev.v is NULL there (ANSI vacuous truth)
+        assert got == {1: (True,), 2: (True,), 3: (True,), 4: (True,), 5: (True,), 6: (True,)}
+
+    def test_any_with_strict_range(self, reng):
+        # ev.v < ANY {r.v : r.k=ev.k, r.ts<ev.ts}; empty sets → FALSE
+        got = rows_of(
+            reng,
+            "SELECT id, ev.v < ANY (SELECT r.v FROM ref r WHERE r.k = ev.k AND r.ts < ev.ts) AS m FROM ev",
+        )
+        assert got == {1: (False,), 2: (False,), 3: (False,), 4: (False,), 5: (False,), 6: (False,)}
+
+    def test_range_only_some(self, reng):
+        got = rows_of(reng, "SELECT id, ev.ts >= SOME (SELECT r.ts FROM ref r WHERE r.ts > ev.ts) AS m FROM ev")
+        # x >= y with y strictly greater than x is always FALSE; empty → FALSE
+        assert got == {i: (False,) for i in range(1, 7)}
+
+    def test_conjunct_where_position(self, reng):
+        got = rows_of(
+            reng,
+            "SELECT id, ev.v FROM ev WHERE ev.v > ALL (SELECT r.v FROM ref r WHERE r.k = ev.k AND r.ts <= ev.ts) AND ev.ts < 25",
+        )
+        # TRUE rows with ts<25: ids 1,2,4,6 plus id 5 (empty set → vacuous
+        # TRUE despite NULL v); id 3 excluded by ts=30
+        assert set(got) == {1, 2, 4, 5, 6}
