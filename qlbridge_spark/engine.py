@@ -421,7 +421,10 @@ class Engine:
         try:
             for name, csel in stmt.ctes:
                 key = name.lower()
-                df = self._select_any(csel)
+                if stmt.recursive and self._references_table(csel, key):
+                    df = self._recursive_cte(key, csel)
+                else:
+                    df = self._select_any(csel)
                 if key in self.tables:
                     saved[key] = self.tables[key]
                 else:
@@ -432,6 +435,75 @@ class Engine:
             self.tables.update(saved)
             for k in added:
                 self.tables.pop(k, None)
+
+    @classmethod
+    def _references_table(cls, sel, key: str) -> bool:
+        """Does this select-chain read table ``key`` anywhere in a FROM
+        (including derived tables and set-op operands)?"""
+        if isinstance(sel, SqlSetOp):
+            return cls._references_table(sel.left, key) or cls._references_table(sel.right, key)
+        if isinstance(sel, CteQuery):  # pragma: no cover - nested WITH
+            return any(cls._references_table(c, key) for _, c in sel.ctes) or cls._references_table(sel.query, key)
+        for src in getattr(sel, "from_", []) or []:
+            if src.name is not None and src.name.lower() == key:
+                return True
+            if src.subquery is not None and cls._references_table(src.subquery, key):
+                return True
+        return False
+
+    def _recursive_cte(self, key: str, body) -> DataFrame:
+        """``WITH RECURSIVE r AS (anchor UNION [ALL] step) …`` — iterative
+        union fixpoint (semi-naive): each round binds ``r`` to the rows
+        produced by the PREVIOUS round only (the delta), unions the new
+        rows in, and stops when a round adds nothing. UNION dedupes the
+        delta against everything seen (so cyclic graphs terminate); UNION
+        ALL keeps bag semantics and relies on the recursion being finite.
+
+        Scale: the per-round frames are ``localCheckpoint``-ed — without
+        that the logical plan doubles every round and Catalyst analysis
+        goes quadratic. The only driver action per round is an
+        ``isEmpty`` on the delta (Spark's own recursive-CTE runtime does
+        the same loop; its depth limit default of 100 is mirrored via
+        session var ``max_recursion_depth``). Superset: the reference has
+        no recursion of any kind."""
+        if not isinstance(body, SqlSetOp) or body.op not in ("UNION", "UNION ALL"):
+            raise ExecError("recursive CTE body must be: anchor-SELECT UNION [ALL] recursive-SELECT")
+        if self._references_table(body.left, key):
+            # left-assoc chains put extra anchors on the left; the
+            # recursive member must be the RIGHT operand
+            raise ExecError("recursive CTE: only the right UNION operand may reference the CTE itself")
+        distinct = body.op == "UNION"
+        anchor = self._select_any(body.left)
+        limit = int(self.session_vars.get("max_recursion_depth", 100))
+        result = anchor.distinct() if distinct else anchor
+        result = result.localCheckpoint(eager=True)
+        frontier = result
+        saved = self.tables.get(key)
+        try:
+            for _ in range(limit):
+                self.tables[key] = frontier
+                step = self._select_any(body.right)
+                if len(step.columns) != len(result.columns):
+                    raise ExecError(
+                        f"recursive CTE column counts differ: anchor {len(result.columns)} vs step {len(step.columns)}"
+                    )
+                step = step.toDF(*result.columns)
+                if distinct:
+                    step = step.distinct().subtract(result)
+                step = step.localCheckpoint(eager=True)
+                if step.isEmpty():
+                    return result
+                result = result.unionAll(step).localCheckpoint(eager=True)
+                frontier = step
+            raise ExecError(
+                f"recursive CTE {key!r} exceeded max_recursion_depth={limit} "
+                "(SET max_recursion_depth = N to raise)"
+            )
+        finally:
+            if saved is not None:
+                self.tables[key] = saved
+            else:
+                self.tables.pop(key, None)
 
     def _set_op(self, stmt: SqlSetOp) -> DataFrame:
         """Set operations — superset (SURVEY §2.6: reference has none).

@@ -110,6 +110,7 @@ class CteQuery:
 
     ctes: list = field(default_factory=list)  # [(name, SqlSelect | SqlSetOp), …]
     query: object = None  # SqlSelect | SqlSetOp
+    recursive: bool = False  # WITH RECURSIVE — self-referencing CTEs allowed
 
 
 @dataclass
@@ -346,8 +347,7 @@ class SqlParser(ExprParser):
     def parse_cte_query(self) -> CteQuery:
         """WITH name AS (select-chain) [, …]* SELECT … (ANSI CTEs)."""
         self.advance()  # WITH
-        if self.at_kw("RECURSIVE"):
-            raise ParseError("WITH RECURSIVE is not supported (no fixpoint iteration on Spark plans)")
+        recursive = self.eat_kw("RECURSIVE")
         ctes: list = []
         while True:
             t = self.cur()
@@ -366,7 +366,7 @@ class SqlParser(ExprParser):
         if not self.at_kw("SELECT"):
             raise ParseError(f"expected SELECT after WITH clause, got {self.cur()!r}")
         self.advance()
-        return CteQuery(ctes=ctes, query=self.parse_select_chain())
+        return CteQuery(ctes=ctes, query=self.parse_select_chain(), recursive=recursive)
 
     def parse_select(self) -> SqlSelect:
         # 'SELECT' already consumed by caller (or consume if present)

@@ -3,7 +3,7 @@ star, cross join, datemath filters on tables, ALTER parity error."""
 
 import pytest
 
-from qlbridge_spark import ExecError
+from qlbridge_spark import Engine, ExecError
 
 
 def rows(df):
@@ -480,11 +480,10 @@ class TestCte:
         ).collect()
         assert rows[0]["n"] == 4  # 3 users + 1 order-only id, deduped
 
-    def test_recursive_rejected(self, engine):
-        from qlbridge_spark.rel import ParseError
-
-        with pytest.raises(ParseError, match="RECURSIVE"):
-            engine.sql("WITH RECURSIVE r AS (SELECT 1) SELECT * FROM r")
+    def test_recursive_keyword_without_self_reference_is_plain_cte(self, engine):
+        # RECURSIVE is a permission, not a requirement (ANSI)
+        df = engine.sql("WITH RECURSIVE r AS (SELECT 1 AS n) SELECT * FROM r")
+        assert [r[0] for r in df.collect()] == [1]
 
     def test_missing_select_after_with(self, engine):
         from qlbridge_spark.rel import ParseError
@@ -572,3 +571,53 @@ class TestHavingSubqueries:
             "ORDER BY order_id ASC LIMIT 1) AS first_price FROM users WHERE user_id = \"9Ip1aKbeZe2njCDM\""
         ).collect()
         assert rows[0]["first_price"] == 22.50
+
+
+class TestRecursiveCte:
+    """WITH RECURSIVE — iterative union fixpoint (semi-naive delta
+    evaluation, localCheckpoint-truncated lineage). Superset: the
+    reference has no recursion; expected values DuckDB-cross-checked."""
+
+    def test_counter_union_all(self, engine):
+        df = engine.sql(
+            "WITH RECURSIVE nums AS (SELECT 1 AS n UNION ALL SELECT n + 1 FROM nums WHERE n < 10) "
+            "SELECT sum(n) AS s, count(*) AS c FROM nums"
+        )
+        assert [tuple(r) for r in df.collect()] == [(55, 10)]
+
+    def test_transitive_closure_union_dedup(self, engine, spark):
+        eng = Engine(spark, "rec_tc")
+        eng.register_df("edges", spark.createDataFrame([(1, 2), (2, 3), (3, 4), (2, 7), (10, 11)], "src int, dst int"))
+        df = eng.sql(
+            "WITH RECURSIVE reach AS (SELECT src, dst FROM edges WHERE src = 1 "
+            "UNION SELECT e.src, e.dst FROM edges e JOIN reach r ON e.src = r.dst) "
+            "SELECT count(*) AS c, max(dst) AS m FROM reach"
+        )
+        assert [tuple(r) for r in df.collect()] == [(4, 7)]
+
+    def test_cycle_terminates_under_union(self, engine, spark):
+        eng = Engine(spark, "rec_cyc")
+        eng.register_df("cyc", spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "src int, dst int"))
+        df = eng.sql(
+            "WITH RECURSIVE reach AS (SELECT dst FROM cyc WHERE src = 1 "
+            "UNION SELECT c.dst FROM cyc c JOIN reach r ON c.src = r.dst) "
+            "SELECT count(*) AS c FROM reach"
+        )
+        assert df.collect()[0][0] == 3
+
+    def test_depth_limit_errors_and_is_settable(self, engine):
+        with pytest.raises(ExecError, match="max_recursion_depth"):
+            engine.sql(
+                "WITH RECURSIVE nums AS (SELECT 1 AS n UNION ALL SELECT n + 1 FROM nums) SELECT count(*) FROM nums"
+            )
+
+    def test_self_reference_on_left_errors(self, engine):
+        with pytest.raises(ExecError, match="right UNION operand"):
+            engine.sql(
+                "WITH RECURSIVE r AS (SELECT n FROM r UNION ALL SELECT 1 AS n) SELECT * FROM r"
+            )
+
+    def test_self_reference_without_recursive_keyword_errors(self, engine):
+        # plain WITH: the CTE name is not visible inside its own body
+        with pytest.raises(Exception):
+            engine.sql("WITH r AS (SELECT 1 AS n UNION ALL SELECT n + 1 FROM r WHERE n < 3) SELECT * FROM r").collect()
