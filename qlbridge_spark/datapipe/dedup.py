@@ -54,11 +54,13 @@ def _spread(df: DataFrame, key: str) -> DataFrame:
     parallelism. Small-file inputs (one parquet file → one partition)
     would otherwise run tokenize/shingle/hash single-threaded — the
     classic small-input/heavy-CPU mismatch; the shuffle of raw docs is
-    negligible next to the per-row compute it unlocks."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
-        return df
-    return df.repartition(target, F.col(key))
+    negligible next to the per-row compute it unlocks. Unconditional on
+    purpose: checking the current partition count (df.rdd) forces eager
+    physical planning, and for the groupBy-by-id pipelines the keyed
+    exchange here satisfies the aggregate's ClusteredDistribution anyway,
+    so Catalyst elides the agg's own shuffle — the repartition replaces a
+    shuffle rather than adding one."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(key))
 
 
 def _word_shingles(text_col, n: int):

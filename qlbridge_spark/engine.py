@@ -886,14 +886,70 @@ class Engine:
         val = rows[0][0] if rows else None
         return SparkColNode(col=F.lit(val), dtype=sub_df.schema.fields[0].dataType)
 
+    def _lazy_scalar(self, df: DataFrame, sub_select) -> tuple[Node, DataFrame]:
+        """UNCORRELATED scalar subquery as a LAZY 1-row broadcast cross
+        join (no plan-time collect — the whole statement stays one Spark
+        job): ``limit(2)`` bounds the inner work, the aggregate yields
+        (first value, row count), and the >1-row ANSI violation raises at
+        RUNTIME via ``raise_error``. Raises ``TranslateError`` through
+        when the inner select references outer columns (correlated)."""
+        from .nodes import SparkColNode
+
+        sub_df = self._select_any(sub_select)
+        if len(sub_df.columns) != 1:
+            raise ExecError(f"scalar subquery must return one column, got {len(sub_df.columns)}")
+        self._subq_n = getattr(self, "_subq_n", 0) + 1
+        p = f"__usub{self._subq_n}"
+        lim = sub_df.limit(2)
+        c = lim[lim.columns[0]]
+        stats = lim.agg(F.first(c).alias(f"{p}_val"), F.count(F.lit(1)).alias(f"{p}_cnt"))
+        out = df.crossJoin(F.broadcast(stats))
+        val = F.when(
+            F.col(f"{p}_cnt") > 1,
+            F.raise_error(F.lit("scalar subquery returned more than one row")),
+        ).otherwise(F.col(f"{p}_val"))
+        return SparkColNode(col=val, dtype=sub_df.schema.fields[0].dataType), out
+
+    def _lazy_quantified(self, df: DataFrame, x: SparkColumn, sub_select, base: str, quant: str) -> tuple[Node, DataFrame]:
+        """UNCORRELATED quantified comparison, lazily: the inner column's
+        (count, non-null, min, max) ride along as a 1-row broadcast frame
+        and the min/max rewrite reads them as columns — zero plan-time
+        jobs, same three-valued semantics."""
+        from .nodes import SparkColNode
+
+        sub_df = self._select_any(sub_select)
+        if len(sub_df.columns) != 1:
+            raise ExecError(f"quantified subquery must return one column, got {len(sub_df.columns)}")
+        c = sub_df[sub_df.columns[0]]
+        self._subq_n = getattr(self, "_subq_n", 0) + 1
+        p = f"__usub{self._subq_n}"
+        stats = sub_df.agg(
+            F.count(F.lit(1)).alias(f"{p}_t"),
+            F.count(c).alias(f"{p}_nn"),
+            F.min(c).alias(f"{p}_mn"),
+            F.max(c).alias(f"{p}_mx"),
+        )
+        out = df.crossJoin(F.broadcast(stats))
+        col = self._quantified_expr(
+            x,
+            base,
+            quant,
+            F.col(f"{p}_t"),
+            F.col(f"{p}_nn"),
+            F.col(f"{p}_t") - F.col(f"{p}_nn"),
+            F.col(f"{p}_mn"),
+            F.col(f"{p}_mx"),
+        )
+        return SparkColNode(col=col, dtype=T.BooleanType(), text=f"(x {base} {quant} subquery)"), out
+
     def _rewrite_subqueries(self, df: DataFrame, scope: Scope, sel: SqlSelect) -> tuple[DataFrame, SqlSelect]:
         """Lower select-list / WHERE scalar subqueries against the built
         FROM frame.
 
-        - UNCORRELATED ``(SELECT max(x) FROM t)`` → one bounded plan-time
-          job via ``_materialize_scalar`` (the same strategy Spark itself
-          uses: an uncorrelated scalar subquery is a separate job whose
-          result is a literal in the main plan).
+        - UNCORRELATED ``(SELECT max(x) FROM t)`` → a LAZY 1-row
+          broadcast cross join via ``_lazy_scalar`` — no plan-time job;
+          FROM-less and HAVING/QUALIFY positions keep the eager
+          ``_materialize_scalar`` fold (no frame to join onto).
         - CORRELATED ``(SELECT max(x) FROM t WHERE t.k = o.k)`` →
           decorrelated: the inner select is aggregated by its correlation
           keys once, then LEFT-JOINed onto the outer frame — a single
@@ -911,7 +967,8 @@ class Engine:
 
         def scalar_fn(sub: SubqueryNode) -> Node:
             try:
-                return self._materialize_scalar(sub.select)
+                node, holder["df"] = self._lazy_scalar(holder["df"], sub.select)
+                return node
             except TranslateError:
                 pass  # inner references outer columns → decorrelate
             node, holder["df"] = self._decorrelate_scalar(holder["df"], scope, sub.select)
@@ -920,7 +977,8 @@ class Engine:
         def quant_fn(left_node: Node, sub: SubqueryNode, base: str, quant: str) -> Node:
             x = to_column(left_node, scope)
             try:
-                return self._materialize_quantified(x, sub.select, base, quant)
+                node, holder["df"] = self._lazy_quantified(holder["df"], x, sub.select, base, quant)
+                return node
             except TranslateError:
                 pass  # correlated → decorrelate
             node, holder["df"] = self._decorrelate_quantified(holder["df"], scope, x, sub.select, base, quant)

@@ -49,10 +49,14 @@ def main():
 
     from pyspark.sql import SparkSession
 
+    import os
+
     spark = (
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "16")
         .config("spark.ui.enabled", "false")
+        # default 1g falls over at the sf1 scale-proof sweep
+        .config("spark.driver.memory", os.environ.get("CHECK_ORACLE_MEM", "12g"))
         .appName("check_oracle")
         .getOrCreate()
     )
