@@ -946,10 +946,12 @@ class Engine:
         """Lower select-list / WHERE scalar subqueries against the built
         FROM frame.
 
-        - UNCORRELATED ``(SELECT max(x) FROM t)`` → a LAZY 1-row
-          broadcast cross join via ``_lazy_scalar`` — no plan-time job;
-          FROM-less and HAVING/QUALIFY positions keep the eager
-          ``_materialize_scalar`` fold (no frame to join onto).
+        - UNCORRELATED ``(SELECT max(x) FROM t)`` → in the SELECT LIST a
+          LAZY 1-row broadcast cross join via ``_lazy_scalar`` (no
+          plan-time job); in WHERE the eager ``_materialize_scalar``
+          literal fold, which keeps the predicate pushable to the scan.
+          FROM-less and HAVING/QUALIFY positions are eager too (no frame
+          to join onto).
         - CORRELATED ``(SELECT max(x) FROM t WHERE t.k = o.k)`` →
           decorrelated: the inner select is aggregated by its correlation
           keys once, then LEFT-JOINed onto the outer frame — a single
@@ -965,24 +967,40 @@ class Engine:
 
         holder = {"df": df}
 
-        def scalar_fn(sub: SubqueryNode) -> Node:
-            try:
-                node, holder["df"] = self._lazy_scalar(holder["df"], sub.select)
+        def make_scalar_fn(lazy: bool):
+            def scalar_fn(sub: SubqueryNode) -> Node:
+                try:
+                    if lazy:
+                        node, holder["df"] = self._lazy_scalar(holder["df"], sub.select)
+                        return node
+                    # WHERE position: the EAGER literal fold keeps the
+                    # predicate PUSHABLE to the scan (price >= lit(42)
+                    # reaches PushedFilters; a joined column never does —
+                    # at scale the scan pruning beats saving one bounded
+                    # job, which is also how Spark itself runs uncorrelated
+                    # scalar subqueries)
+                    return self._materialize_scalar(sub.select)
+                except TranslateError:
+                    pass  # inner references outer columns → decorrelate
+                node, holder["df"] = self._decorrelate_scalar(holder["df"], scope, sub.select)
                 return node
-            except TranslateError:
-                pass  # inner references outer columns → decorrelate
-            node, holder["df"] = self._decorrelate_scalar(holder["df"], scope, sub.select)
-            return node
 
-        def quant_fn(left_node: Node, sub: SubqueryNode, base: str, quant: str) -> Node:
-            x = to_column(left_node, scope)
-            try:
-                node, holder["df"] = self._lazy_quantified(holder["df"], x, sub.select, base, quant)
+            return scalar_fn
+
+        def make_quant_fn(lazy: bool):
+            def quant_fn(left_node: Node, sub: SubqueryNode, base: str, quant: str) -> Node:
+                x = to_column(left_node, scope)
+                try:
+                    if lazy:
+                        node, holder["df"] = self._lazy_quantified(holder["df"], x, sub.select, base, quant)
+                        return node
+                    return self._materialize_quantified(x, sub.select, base, quant)
+                except TranslateError:
+                    pass  # correlated → decorrelate
+                node, holder["df"] = self._decorrelate_quantified(holder["df"], scope, x, sub.select, base, quant)
                 return node
-            except TranslateError:
-                pass  # correlated → decorrelate
-            node, holder["df"] = self._decorrelate_quantified(holder["df"], scope, x, sub.select, base, quant)
-            return node
+
+            return quant_fn
 
         def in_fn(left_node: Node, sub: SubqueryNode, negated: bool) -> Node:
             # membership as a BOOLEAN COLUMN (select list / disjunctions —
@@ -997,11 +1015,14 @@ class Engine:
 
         import dataclasses
 
-        walk = lambda n: self._walk_subqueries(n, scalar_fn, quant_fn, in_fn, exists_fn)  # noqa: E731
+        # select list: LAZY (saves a job, nothing pushable at stake);
+        # WHERE: EAGER literal fold (keeps scan pushdown)
+        walk_cols = lambda n: self._walk_subqueries(n, make_scalar_fn(True), make_quant_fn(True), in_fn, exists_fn)  # noqa: E731
+        walk_where = lambda n: self._walk_subqueries(n, make_scalar_fn(False), make_quant_fn(False), in_fn, exists_fn)  # noqa: E731
         sel = dataclasses.replace(
             sel,
-            columns=[dataclasses.replace(c, expr=walk(c.expr), guard=walk(c.guard)) for c in sel.columns],
-            where=self._walk_where_protected(sel.where, walk),
+            columns=[dataclasses.replace(c, expr=walk_cols(c.expr), guard=walk_cols(c.guard)) for c in sel.columns],
+            where=self._walk_where_protected(sel.where, walk_where),
         )
         return holder["df"], sel
 

@@ -63,10 +63,15 @@ class TestMoreEngine:
         assert got == {1: -5.0, 2: 10.0, 3: -5.0}
 
     def test_scalar_subquery_multi_row_errors(self, engine):
-        # lazily lowered (1-row broadcast frame) → the ANSI >1-row
-        # violation surfaces at RUNTIME via raise_error, not at plan time
-        with pytest.raises(Exception, match="more than one row"):
+        # WHERE position folds eagerly (pushdown-preserving) → plan-time error
+        with pytest.raises(ExecError, match="more than one row"):
             engine.sql("SELECT order_id FROM orders WHERE price > (SELECT price FROM orders)").collect()
+
+    def test_scalar_subquery_multi_row_errors_lazily_in_select(self, engine):
+        # select-list position lowers lazily → the ANSI violation
+        # surfaces at RUNTIME via raise_error
+        with pytest.raises(Exception, match="more than one row"):
+            engine.sql("SELECT order_id, (SELECT price FROM orders) AS p FROM orders").collect()
 
     def test_scalar_subquery_multi_col_errors(self, engine):
         with pytest.raises(ExecError, match="one column"):

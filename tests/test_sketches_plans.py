@@ -119,12 +119,20 @@ class TestNewFeaturePlans:
         assert "TakeOrderedAndProject" in plan, plan
 
     def test_scalar_subquery_is_literal_no_join(self, engine):
-        # the subquery materialized at plan time: the OUTER plan has no
-        # join and no subquery node — just a pushable literal filter
+        # WHERE position: materialized at plan time so the predicate
+        # stays a pushable literal filter — no join, no subquery node
         plan = self._plan(
             engine, "SELECT order_id FROM orders WHERE price >= (SELECT max(price) FROM orders)"
         )
         assert "Join" not in plan and "Subquery" not in plan, plan
+
+    def test_select_list_scalar_subquery_is_lazy_join(self, engine):
+        # select-list position: LAZY 1-row broadcast cross join — no
+        # plan-time job, the statement is a single Spark job
+        plan = self._plan(
+            engine, "SELECT order_id, (SELECT max(price) FROM orders) AS m FROM orders"
+        )
+        assert "BroadcastNestedLoopJoin" in plan, plan
 
     def test_approx_sketch_aggs_partial_final(self, engine):
         # sketch aggs keep the partial/final HashAggregate split (map-side
