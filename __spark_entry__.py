@@ -889,8 +889,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(epoch(max(ts))) AS BIGINT) AS end_s
             FROM (
               SELECT user_id, ts,
+                     -- RANGE frame (not ROWS): peers at the same ts must share a
+                     -- session — a ROWS frame splits tie groups arbitrarily when
+                     -- the flagged row does not sort first (Spark's sum-over-
+                     -- orderBy default is RANGE, which is the deterministic form)
                      CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+                          RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
               FROM (
                 SELECT user_id, ts,
                        CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL

@@ -37,6 +37,10 @@ def sessionize(
     # DIFFERENCES are tz-invariant anyway)
     gap_s = F.col(ts_col).cast("timestamp_ltz").cast("double") - prev_ts.cast("timestamp_ltz").cast("double")
     new_session = F.when(prev_ts.isNull() | (gap_s > gap_minutes * 60), F.lit(1)).otherwise(F.lit(0))
+    # sum over an ORDER BY window defaults to a RANGE frame: tied
+    # timestamps are peers and share one session regardless of their
+    # arbitrary order within the tie — deterministic under duplicate ts
+    # (a ROWS frame would split tie groups when the flagged row sorts late)
     return df.withColumn(session_col, F.sum(new_session).over(w))
 
 

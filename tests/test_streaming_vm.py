@@ -412,7 +412,12 @@ class TestStreamingNearDup:
         from qlbridge_spark.streaming import near_dup_pairs_stream
 
         base = "the quick brown fox jumps over the lazy dog and runs away fast"
-        near = "the quick brown fox jumps over the lazy dog and walks away fast"
+        # one APPENDED token: 11 of 12 shingles shared (j = 0.917). With
+        # the unbiased minhash family collisions are genuinely
+        # probabilistic, so the test pins a high-j pair at bands=16/r=2:
+        # miss prob (1 - j²)¹⁶ ≈ 3e-13 — deterministic in practice.
+        # (The old word-substitution pair sat at j = 0.57, a coin flip.)
+        near = base + " indeed"
         other = "completely different content about databases and query engines here"
         b1 = spark.createDataFrame([(1, base), (4, other)], "doc_id long, text string")
         b2 = spark.createDataFrame([(2, base), (3, near)], "doc_id long, text string")
@@ -421,7 +426,7 @@ class TestStreamingNearDup:
         b1.write.parquet(stream_dir)
 
         src = spark.readStream.schema(b1.schema).option("maxFilesPerTrigger", 1).parquet(stream_dir)
-        pairs = near_dup_pairs_stream(src, "doc_id", "text", threshold=0.5, bands=8)
+        pairs = near_dup_pairs_stream(src, "doc_id", "text", threshold=0.5, bands=16)
         q = (
             pairs.writeStream.outputMode("append")
             .format("memory")
