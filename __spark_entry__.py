@@ -356,8 +356,12 @@ _Q = {
     # trailing config map): chained CTEs, the second referencing the first;
     # each CTE is a lazy plan, so Catalyst inlines and pushes the final
     # filter through both
+    # round 7: a RECURSIVE member joins the chain — semi-naive union
+    # fixpoint (engine._recursive_cte); the tier series bounds n_big 3..7
     "q41_cte_chain": """
-        WITH big_orders AS (
+        WITH RECURSIVE tiers AS (
+            SELECT 3 AS tier UNION ALL SELECT tier + 1 FROM tiers WHERE tier < 7
+        ), big_orders AS (
             SELECT o_custkey, o_totalprice FROM orders WHERE o_totalprice > 100000
         ), per_cust AS (
             SELECT o_custkey, count(*) AS n_big, round(sum(o_totalprice), 2) AS total
@@ -365,7 +369,7 @@ _Q = {
         )
         SELECT c_custkey, c_mktsegment, n_big, total
         FROM customer JOIN per_cust ON per_cust.o_custkey = c_custkey
-        WHERE n_big >= 3""",
+                      JOIN tiers ON per_cust.n_big = tiers.tier""",
 }
 
 # FilterQL statement (run through the engine's FilterQL path)
@@ -1093,7 +1097,9 @@ def oracle_sql() -> dict[str, str]:
               AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity) FROM lineitem AS l2
                                 WHERE l2.l_partkey = p_partkey)""",
         "q41_cte_chain": """
-            WITH big_orders AS (
+            WITH RECURSIVE tiers AS (
+                SELECT 3 AS tier UNION ALL SELECT tier + 1 FROM tiers WHERE tier < 7
+            ), big_orders AS (
                 SELECT o_custkey, o_totalprice FROM orders WHERE o_totalprice > 100000
             ), per_cust AS (
                 SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_big,
@@ -1102,7 +1108,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT c_custkey, c_mktsegment, n_big, total
             FROM customer JOIN per_cust ON per_cust.o_custkey = c_custkey
-            WHERE n_big >= 3""",
+                          JOIN tiers ON per_cust.n_big = tiers.tier""",
         # dp19: prefix filtering is recall-lossless, so its output equals
         # the exhaustive exact-Jaccard pair set at the threshold
         "dp19_prefix_jaccard": """
