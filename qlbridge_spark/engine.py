@@ -1411,7 +1411,9 @@ class Engine:
     #: window aggregates for the single-range fast path
     _RANGE_WINDOW_AGGS = ("count", "sum", "min", "max", "avg")
 
-    def _range_window_aggd(self, expr, inner_df, inner_scope, pairs, ranges, probes, prefix, is_agg, count_shape):
+    def _range_window_aggd(
+        self, expr, inner_df, inner_scope, pairs, ranges, probes, prefix, is_agg, count_shape, order_by=None, top1=False
+    ):
         """Running-window lowering for a SINGLE-range correlated aggregate
         (the as-of shape, ``(SELECT max(y) FROM t WHERE t.k=o.k AND
         t.ts <= o.ts)``): union the distinct probe tuples with the inner
@@ -1428,28 +1430,48 @@ class Engine:
         keyed by the probe-tuple names, or None when ineligible (multiple
         ranges, no equality key, non-whitelisted aggregate, composite
         count, DISTINCT agg, probe/inner type mismatch)."""
-        if not is_agg or count_shape == "composite" or len(ranges) != 1 or not pairs:
-            return None
-        if not isinstance(expr, FuncNode) or expr.filter_where is not None:
-            return None
-        fname = expr.name.lower()
-        if fname not in self._RANGE_WINDOW_AGGS:
+        if count_shape == "composite" or len(ranges) != 1 or not pairs:
             return None
         op, r_ic, _ = ranges[0]
         if op not in ("<", "<=", ">", ">="):
             return None
-        if fname == "count":
-            a = expr.args[0]
-            if isinstance(a, IdentityNode) and a.is_star:
-                pval = F.lit(1)
-            elif isinstance(a, FuncNode) and a.name == "distinct":
-                return None  # DISTINCT not window-expressible
-            else:
-                pval = to_column(a, inner_scope)
+        pick = None  # top-1: F.first / F.last over the running frame
+        if top1:
+            # as-of lookup `(SELECT v … AND t.ts <= o.ts ORDER BY t.ts
+            # [DESC] LIMIT 1)`: valid only when the ORDER BY key IS the
+            # range operand — then "latest before" is the last non-null
+            # value in the running frame (LOCF), "earliest" the first
+            if is_agg or order_by is None or len(order_by) != 1:
+                return None
+            okey, direction = order_by[0]
+            if str(to_column(okey, inner_scope)) != str(r_ic):
+                return None
+            want_latest = direction.upper().startswith("DESC")
+            asc_window = op in ("<", "<=")
+            pick = F.last if (asc_window == want_latest) else F.first
+            # struct wrapper: a top-1 row whose VALUE is NULL must still
+            # win (ignorenulls may only skip probe rows, not inner rows)
+            pval = F.struct(F.lit(1).alias("m"), to_column(expr, inner_scope).alias("v"))
+        elif not is_agg:
+            return None
+        elif not isinstance(expr, FuncNode) or expr.filter_where is not None:
+            return None
         else:
-            pval = to_column(expr.args[0], inner_scope)
-            if fname == "avg":
-                pval = pval.cast("double")
+            fname = expr.name.lower()
+            if fname not in self._RANGE_WINDOW_AGGS:
+                return None
+            if fname == "count":
+                a = expr.args[0]
+                if isinstance(a, IdentityNode) and a.is_star:
+                    pval = F.lit(1)
+                elif isinstance(a, FuncNode) and a.name == "distinct":
+                    return None  # DISTINCT not window-expressible
+                else:
+                    pval = to_column(a, inner_scope)
+            else:
+                pval = to_column(expr.args[0], inner_scope)
+                if fname == "avg":
+                    pval = pval.cast("double")
         from pyspark.sql.window import Window
 
         k_names = [f"{prefix}_k{i}" for i in range(len(pairs))]
@@ -1490,15 +1512,32 @@ class Engine:
             .orderBy(*ordering)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        agg_col = {"count": F.count, "sum": F.sum, "min": F.min, "max": F.max, "avg": F.avg}[fname](F.col(vname))
+        if pick is not None:
+            win_col = pick(F.col(vname), ignorenulls=True).over(w).getField("v")
+        else:
+            agg = {"count": F.count, "sum": F.sum, "min": F.min, "max": F.max, "avg": F.avg}[fname](F.col(vname))
+            win_col = agg.over(w)
         return (
-            unioned.withColumn(f"{prefix}_val", agg_col.over(w))
+            unioned.withColumn(f"{prefix}_val", win_col)
             .where(F.col(tag) == 0)
             .select(*k_names, r_name, f"{prefix}_val")
         )
 
     def _decorrelate_scalar_range(
-        self, df, expr, inner_df, inner_scope, pairs, ranges, is_agg, count_shape, agg_exprs, top1, top1_window_frame, limit1_any
+        self,
+        df,
+        expr,
+        inner_df,
+        inner_scope,
+        pairs,
+        ranges,
+        is_agg,
+        count_shape,
+        agg_exprs,
+        top1,
+        top1_window_frame,
+        limit1_any,
+        order_by=None,
     ):
         """RANGE-correlated scalar subquery — ``(SELECT max(y) FROM t WHERE
         t.k = o.k AND t.ts <= o.ts)``, the latest-value-before lookup. A
@@ -1528,7 +1567,9 @@ class Engine:
             probe_specs.append((f"{prefix}_r{j}", oc, ic, op))
         names = [nm for nm, _, _, _ in probe_specs]
         probes = df.select(*[oc.alias(nm) for nm, oc, _, _ in probe_specs]).distinct()
-        aggd = self._range_window_aggd(expr, inner_df, inner_scope, pairs, ranges, probes, prefix, is_agg, count_shape)
+        aggd = self._range_window_aggd(
+            expr, inner_df, inner_scope, pairs, ranges, probes, prefix, is_agg, count_shape, order_by, top1
+        )
         if aggd is None:
             # general fallback: range join against the distinct probes
             cond = None
@@ -1646,7 +1687,19 @@ class Engine:
             # pre-aggregate can't serve — lower through a distinct PROBE
             # frame instead (see _decorrelate_scalar_range)
             val, out = self._decorrelate_scalar_range(
-                df, expr, inner_df, inner_scope, pairs, ranges, is_agg, count_shape, agg_exprs, top1, top1_window_frame, limit1_any
+                df,
+                expr,
+                inner_df,
+                inner_scope,
+                pairs,
+                ranges,
+                is_agg,
+                count_shape,
+                agg_exprs,
+                top1,
+                top1_window_frame,
+                limit1_any,
+                order_by=sub_sel.order_by,
             )
             from .nodes import SparkColNode as _SCN
 

@@ -309,3 +309,41 @@ class TestRangeCorrelatedQuantified:
         # TRUE rows with ts<25: ids 1,2,4,6 plus id 5 (empty set → vacuous
         # TRUE despite NULL v); id 3 excluded by ts=30
         assert set(got) == {1, 2, 4, 5, 6}
+
+
+class TestAsOfTop1WindowPath:
+    """`(SELECT v … AND t.ts <= o.ts ORDER BY t.ts DESC LIMIT 1)` — the
+    as-of lookup — lowers through the running-window path (last/first
+    non-null value over the equality-key frame) when the ORDER BY key IS
+    the range operand; other ORDER BY keys keep the probe path. DuckDB
+    cross-checked."""
+
+    def test_latest_at_or_before(self, reng):
+        got = rows_of(
+            reng,
+            "SELECT id, (SELECT r.v FROM ref r WHERE r.k = ev.k AND r.ts <= ev.ts ORDER BY r.ts DESC LIMIT 1) AS p FROM ev",
+        )
+        # a@10→ts5→1.0; a@20→ts15→2.0; b@30→ts30→4.0; b@5→empty→NULL
+        assert got == {1: (1.0,), 2: (2.0,), 3: (4.0,), 4: (None,), 5: (None,), 6: (None,)}
+
+    def test_earliest_at_or_after(self, reng):
+        got = rows_of(
+            reng,
+            "SELECT id, (SELECT r.v FROM ref r WHERE r.k = ev.k AND r.ts >= ev.ts ORDER BY r.ts ASC LIMIT 1) AS p FROM ev",
+        )
+        # a@10→ts15→2.0; a@20→ts25→3.0; b@30→ts30→4.0; b@5→ts30→4.0
+        assert got == {1: (2.0,), 2: (3.0,), 3: (4.0,), 4: (4.0,), 5: (None,), 6: (None,)}
+
+    def test_window_plan_engaged(self, reng):
+        plan = reng.sql(
+            "SELECT id, (SELECT r.v FROM ref r WHERE r.k = ev.k AND r.ts <= ev.ts ORDER BY r.ts DESC LIMIT 1) AS p FROM ev"
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "Window" in plan
+
+    def test_other_order_key_falls_back(self, reng):
+        # ORDER BY a non-operand column: probe path, still correct
+        got = rows_of(
+            reng,
+            "SELECT id, (SELECT r.v FROM ref r WHERE r.k = ev.k AND r.ts <= ev.ts ORDER BY r.rid DESC LIMIT 1) AS p FROM ev",
+        )
+        assert got == {1: (1.0,), 2: (2.0,), 3: (4.0,), 4: (None,), 5: (None,), 6: (None,)}
