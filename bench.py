@@ -204,6 +204,40 @@ def main() -> int:
     except Exception as e:
         decorrelation_info["error"] = f"{type(e).__name__}: {e}"
 
+    # range-correlation study: the SAME as-of-shaped subquery through the
+    # round-7 running-window path (whitelisted agg) vs the probe
+    # range-join fallback (stddev forces it) — the window path is linear
+    # in |probes|+|inner| where the probe join materializes
+    # |probes|×|inner| per hot equality key
+    range_corr_info: dict = {}
+    try:
+        from qlbridge_spark import Engine as _Eng
+
+        _e = _Eng(spark, "bench_rangecorr")
+        _e.load_parquet_dir(sf_dir)
+        shapes = {
+            "window_max": "(SELECT max(l2.l_extendedprice) FROM lineitem AS l2 "
+            "WHERE l2.l_orderkey = o_orderkey AND l2.l_shipdate <= o_orderdate)",
+            "probe_stddev": "(SELECT stddev(l2.l_extendedprice) FROM lineitem AS l2 "
+            "WHERE l2.l_orderkey = o_orderkey AND l2.l_shipdate <= o_orderdate)",
+        }
+        for key, sub in shapes.items():
+            q = f"SELECT o_orderkey, {sub} AS v FROM orders"
+            _e.sql(q).write.format("noop").mode("overwrite").save()  # warm
+            t0 = time.time()
+            df = _e.sql(q)
+            df.write.format("noop").mode("overwrite").save()
+            plan = df._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+            )
+            range_corr_info[key] = {
+                "sec": round(time.time() - t0, 3),
+                "exchanges": plan.count("Exchange"),
+                "windows": plan.count("Window"),
+            }
+    except Exception as e:
+        range_corr_info["error"] = f"{type(e).__name__}: {e}"
+
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
@@ -217,6 +251,7 @@ def main() -> int:
                 "spread": spread,
                 "bucketed_layout": bucketed_info,
                 "decorrelation": decorrelation_info,
+                "range_correlation": range_corr_info,
             }
         )
     )
