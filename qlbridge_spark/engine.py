@@ -321,20 +321,17 @@ class Engine:
 
         df, scope = self._build_from(sel)
 
-        # QUALIFY runs post-window where lazily-joined subquery columns
-        # would not survive — materialize that position eagerly.
-        # Select-list + WHERE subqueries lower lazily (decorrelation) in
-        # _rewrite_subqueries; HAVING subqueries lower inside _aggregate
-        # against the aggregated frame (correlation binds to group keys)
-        sel = self._resolve_scalar_subqueries(sel, fields=("qualify",))
-        df, sel = self._rewrite_subqueries(df, scope, sel)
+        # Select-list + WHERE + (non-agg) QUALIFY subqueries lower lazily
+        # (decorrelation) in _rewrite_subqueries; HAVING and aggregated
+        # QUALIFY subqueries lower inside _aggregate against the
+        # aggregated frame (correlation binds to group keys)
+        is_agg = bool(sel.group_by) or any(funcs.is_agg_tree(c.expr) for c in sel.columns if not c.is_star)
+        df, sel = self._rewrite_subqueries(df, scope, sel, include_qualify=not is_agg)
 
         # WHERE — decompose AND-conjuncts; IN (SELECT) → semi/anti join
         # (superset: reference parses but errors, plan/planner_select.go:94-98)
         if sel.where is not None:
             df, scope = self._apply_where(df, scope, sel)
-
-        is_agg = bool(sel.group_by) or any(funcs.is_agg_tree(c.expr) for c in sel.columns if not c.is_star)
 
         if is_agg:
             df = self._aggregate(df, scope, sel)
@@ -855,11 +852,18 @@ class Engine:
             # Window exprs can't appear in a Filter directly — project the
             # predicate, then filter on the projected column
             qscope = Scope({"_": agged}, includes=self.includes, params=self.session_vars)
+            agged_types = {f_.name: f_.dataType for f_ in agged.schema.fields}
+            for qual, out_name in qualified_group_keys:
+                qscope._fields.setdefault(qual, ("_", T.StructField(out_name, agged_types[out_name])))
+            if self._node_has_subquery(qualify_node):
+                # QUALIFY subqueries lower like HAVING's: against the
+                # aggregated frame, correlation binding to group keys
+                agged, qualify_node = self._lower_having_subqueries(agged, qscope, qualify_node)
             agged = (
                 agged.withColumn("__qualify", to_column(qualify_node, qscope).cast("boolean"))
                 .filter(F.col("__qualify"))
                 .drop("__qualify")
-            )
+            )  # joined __csub/__inq columns fall away at the final select
         # drop hidden having columns by name
         drop_hidden = [n for n in agged.columns if n.startswith("__hav_")]
         if drop_hidden:
@@ -942,7 +946,9 @@ class Engine:
         )
         return SparkColNode(col=col, dtype=T.BooleanType(), text=f"(x {base} {quant} subquery)"), out
 
-    def _rewrite_subqueries(self, df: DataFrame, scope: Scope, sel: SqlSelect) -> tuple[DataFrame, SqlSelect]:
+    def _rewrite_subqueries(
+        self, df: DataFrame, scope: Scope, sel: SqlSelect, include_qualify: bool = False
+    ) -> tuple[DataFrame, SqlSelect]:
         """Lower select-list / WHERE scalar subqueries against the built
         FROM frame.
 
@@ -961,8 +967,12 @@ class Engine:
           (/root/reference/plan/planner_select.go:94-98).
 
         Returns the (possibly join-extended) frame and the rewritten
-        select; injected ``__csub*`` columns disappear at projection."""
-        if not self._has_scalar_subquery(sel, ("columns", "where"), include_in=True):
+        select; injected ``__csub*`` columns disappear at projection.
+        ``include_qualify``: non-aggregated QUALIFY predicates lower here
+        too (the joined columns ride to the post-window filter);
+        aggregated QUALIFY lowers in _aggregate instead."""
+        fields = ("columns", "where") + (("qualify",) if include_qualify else ())
+        if not self._has_scalar_subquery(sel, fields, include_in=True):
             return df, sel
 
         holder = {"df": df}
@@ -1019,11 +1029,13 @@ class Engine:
         # WHERE: EAGER literal fold (keeps scan pushdown)
         walk_cols = lambda n: self._walk_subqueries(n, make_scalar_fn(True), make_quant_fn(True), in_fn, exists_fn)  # noqa: E731
         walk_where = lambda n: self._walk_subqueries(n, make_scalar_fn(False), make_quant_fn(False), in_fn, exists_fn)  # noqa: E731
-        sel = dataclasses.replace(
-            sel,
+        repl = dict(
             columns=[dataclasses.replace(c, expr=walk_cols(c.expr), guard=walk_cols(c.guard)) for c in sel.columns],
             where=self._walk_where_protected(sel.where, walk_where),
         )
+        if include_qualify and sel.qualify is not None:
+            repl["qualify"] = walk_cols(sel.qualify)
+        sel = dataclasses.replace(sel, **repl)
         return holder["df"], sel
 
     @staticmethod

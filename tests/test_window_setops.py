@@ -554,3 +554,62 @@ class TestLagLeadDefault:
     def test_lag_non_literal_default_raises(self, eng):
         with pytest.raises(TranslateError, match="default must be a literal"):
             eng.sql("SELECT lag(amt, 1, amt) OVER (PARTITION BY region ORDER BY rep) AS p FROM sales").collect()
+
+
+class TestQualifySubqueries:
+    """Subqueries in QUALIFY (round 7): non-aggregated predicates lower
+    with the select-list machinery (joined columns ride to the
+    post-window filter); aggregated predicates lower like HAVING's,
+    against the aggregated frame with correlation on group keys.
+    DuckDB-cross-checked expected values."""
+
+    @pytest.fixture(scope="class")
+    def qeng(self, spark):
+        from qlbridge_spark import Engine
+
+        eng = Engine(spark, "qualify_subq")
+        eng.register_df(
+            "qev",
+            spark.createDataFrame(
+                [(1, "a", 10, 100.0), (2, "a", 20, 2.0), (3, "b", 30, 4.0), (4, "b", 5, 50.0), (5, "c", 7, 8.0), (6, "c", 9, 90.0)],
+                "id int, k string, ts int, v double",
+            ),
+        )
+        eng.register_df(
+            "qref",
+            spark.createDataFrame(
+                [(1, "a", 5, 1.0), (2, "a", 15, 2.0), (3, "b", 25, 3.0), (4, "b", 30, 4.0), (5, "c", 1, 9.0)],
+                "rid int, k string, ts int, v double",
+            ),
+        )
+        return eng
+
+    def test_nonagg_qualify_correlated_scalar(self, qeng):
+        df = qeng.sql(
+            "SELECT id, k, row_number() OVER (PARTITION BY k ORDER BY ts) AS rn FROM qev "
+            "QUALIFY rn = 1 AND (SELECT count(*) FROM qref r WHERE r.k = qev.k) > 1 ORDER BY id"
+        )
+        assert [tuple(r) for r in df.collect()] == [(1, "a", 1), (4, "b", 1)]
+
+    def test_nonagg_qualify_uncorrelated_scalar(self, qeng):
+        df = qeng.sql(
+            "SELECT id, row_number() OVER (ORDER BY ts) AS rn FROM qev "
+            "QUALIFY rn <= (SELECT count(*) FROM qref) - 3 ORDER BY id"
+        )
+        assert [tuple(r) for r in df.collect()] == [(4, 1), (5, 2)]
+
+    def test_agg_qualify_correlated_scalar_on_group_key(self, qeng):
+        df = qeng.sql(
+            "SELECT k, sum(v) AS sv FROM qev GROUP BY k "
+            "QUALIFY rank() OVER (ORDER BY sum(v) DESC) <= 2 AND (SELECT count(*) FROM qref r WHERE r.k = qev.k) > 1 ORDER BY k"
+        )
+        # sums: a=102 (rank 1), c=98 (rank 2), b=54 (rank 3); c's
+        # correlated count is 1, failing > 1 → only a survives
+        assert [tuple(r) for r in df.collect()] == [("a", 102.0)]
+
+    def test_agg_qualify_correlated_exists(self, qeng):
+        df = qeng.sql(
+            "SELECT k, count(*) AS n FROM qev GROUP BY k "
+            "QUALIFY row_number() OVER (ORDER BY k) >= 1 AND EXISTS (SELECT 1 FROM qref r WHERE r.k = qev.k AND r.v > 3) ORDER BY k"
+        )
+        assert [tuple(r) for r in df.collect()] == [("b", 2), ("c", 2)]
