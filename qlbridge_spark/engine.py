@@ -624,6 +624,14 @@ class Engine:
                 try:
                     sub_df = self._select_any(sub_sel)
                 except TranslateError:
+                    if anti:
+                        # correlated NOT IN: ANSI NULL poisoning is
+                        # per-correlation-group, so lower through the
+                        # membership flag and keep only TRUE rows
+                        x = to_column(self._qualify_identities(lhs_node, scope), scope)
+                        node, df = self._lower_in_membership_corr(df, scope, x, sub_sel, negated=True)
+                        df = df.filter(node.col)
+                        continue
                     # correlated IN: x IN (SELECT y FROM t WHERE c) ≡
                     # EXISTS (SELECT 1 FROM t WHERE c AND y = x) — reuse
                     # the EXISTS decorrelation. x is outer-context, so its
@@ -643,9 +651,26 @@ class Engine:
                 # that also exists on the outer side (ambiguous reference)
                 sub_df = sub_df.select(sub_df[sub_df.columns[0]].alias("__subq_key"))
                 lhs = to_column(lhs_node, scope)
-                how = "left_anti" if anti else "left_semi"
-                # semi-join: distributed IN; Catalyst/AQE broadcasts when small
-                df = df.join(sub_df, on=lhs == F.col("__subq_key"), how=how)
+                if anti:
+                    # ANSI NOT IN: an inner NULL poisons EVERY unmatched
+                    # row (UNKNOWN → filtered) and a NULL x never passes —
+                    # except against the EMPTY set, which passes all rows.
+                    # One lazy broadcast stats frame + the same anti-join:
+                    # rows survive iff set empty OR (x non-null AND set
+                    # null-free AND x unmatched)
+                    self._subq_n = getattr(self, "_subq_n", 0) + 1
+                    t, nn = f"__nin{self._subq_n}_t", f"__nin{self._subq_n}_nn"
+                    key = sub_df["__subq_key"]
+                    stats = sub_df.agg(F.count(F.lit(1)).alias(t), F.count(key).alias(nn))
+                    df = (
+                        df.crossJoin(F.broadcast(stats))
+                        .filter((F.col(t) == 0) | (lhs.isNotNull() & (F.col(nn) == F.col(t))))
+                        .drop(t, nn)
+                    )
+                    df = df.join(sub_df, on=lhs == F.col("__subq_key"), how="left_anti")
+                else:
+                    # semi-join: distributed IN; Catalyst/AQE broadcasts when small
+                    df = df.join(sub_df, on=lhs == F.col("__subq_key"), how="left_semi")
             else:
                 plain.append(conj)
         if plain:

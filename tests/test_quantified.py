@@ -47,11 +47,6 @@ class TestQuantifiedMatrix:
     @pytest.mark.parametrize("quant", ["ANY", "ALL"])
     @pytest.mark.parametrize("sname", sorted(SETS))
     def test_where_matches_duckdb(self, qeng, duck, base, quant, sname):
-        if base == "!=" and quant == "ALL" and sname != "s_empty":
-            # != ALL ≡ NOT IN, which keeps the engine's documented
-            # anti-join divergence (NULL lhs / NULL elements kept, vs
-            # ANSI UNKNOWN) — pinned separately below
-            pytest.skip("shares the documented NOT IN anti-join divergence")
         q = f"SELECT x FROM vals WHERE x {base} {quant} (SELECT v FROM {sname})"
         # DuckDB spells != as <>
         dq = q.replace("!=", "<>")
@@ -60,15 +55,19 @@ class TestQuantifiedMatrix:
         got = sorted((r[0] for r in qeng.sql(q).collect()), key=key)
         assert got == want, f"{q}: got {got}, duckdb {want}"
 
-    def test_ne_all_anti_join_divergence(self, qeng):
-        # documented divergence: != ALL ≡ NOT IN ≡ left anti-join, which
-        # keeps NULL-x rows and ignores NULL inner elements (ANSI says
-        # both are UNKNOWN → filtered); same shortcut as the engine's
-        # NOT IN path
+    def test_ne_all_is_ansi_not_in(self, qeng):
+        # != ALL ≡ NOT IN with FULL ANSI semantics (round 7): an inner
+        # NULL poisons every unmatched row and a NULL x never passes, so
+        # a null-bearing set filters everything
+        got = [r[0] for r in qeng.sql("SELECT x FROM vals WHERE x != ALL (SELECT v FROM s_null)").collect()]
+        assert got == []
+
+    def test_not_in_empty_set_passes_all(self, qeng):
         got = sorted(
-            (r[0] for r in qeng.sql("SELECT x FROM vals WHERE x != ALL (SELECT v FROM s_null)").collect()),
+            (r[0] for r in qeng.sql("SELECT x FROM vals WHERE x NOT IN (SELECT v FROM s_empty)").collect()),
             key=lambda v: (v is None, v),
         )
+        # even NULL x passes: NOT IN over the empty set is NOT(FALSE)
         assert got == [1, 5, None]
 
     def test_some_is_any(self, qeng):
