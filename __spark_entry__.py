@@ -216,6 +216,7 @@ _Q = {
         WHERE p_brand NOT LIKE "%#4%"
           AND p_size NOT BETWEEN 10 AND 40
           AND p_brand NOT IN ("Brand#55")
+          AND p_partkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey < 50)
           AND NOT (p_partkey % 3 = 0)
         ORDER BY p_partkey""",
     # §2.2 multi-column DISTINCT + §2.5 ORDER BY + LIMIT/OFFSET (offset:
@@ -819,6 +820,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE p_brand NOT LIKE '%#4%'
               AND NOT (p_size > 10 AND p_size < 40)
               AND p_brand NOT IN ('Brand#55')
+              AND p_partkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey < 50)
               AND NOT (p_partkey % 3 = 0)
             ORDER BY p_partkey""",
         "q21_filterql": """
