@@ -415,13 +415,25 @@ def _dp_fingerprint(spark, sf_dir):
 
 
 def _dp_token_count(spark, sf_dir):
-    from qlbridge_spark.datapipe import token_count
+    # round 7: per-CHUNK granularity — token counting + the training-data
+    # chunking op (32-token windows, 8 overlap; datapipe.chunk_documents,
+    # zero-shuffle posexplode) in one oracle-gated frame
+    from qlbridge_spark.datapipe import chunk_documents, token_count
 
     d = _docs(spark, sf_dir)
-    return d.select(
+    chunks = chunk_documents(d, "doc_id", "text", chunk_tokens=32, overlap=8)
+    counts = d.select(
         "doc_id",
         token_count(F.col("text")).cast("long").alias("ws_tokens"),
         token_count(F.col("text"), "bpe").cast("long").alias("bpe_tokens"),
+    )
+    return chunks.join(counts, "doc_id").select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("n_chunk_tokens").cast("long").alias("n_chunk_tokens"),
+        F.md5("chunk_text").alias("chunk_md5"),
+        "ws_tokens",
+        "bpe_tokens",
     )
 
 
@@ -858,10 +870,23 @@ def oracle_sql() -> dict[str, str]:
                      list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> ''))), ' ')) AS fp
             FROM documents""",
         "dp03_token_count": """
+            WITH t AS (
+              SELECT doc_id, text,
+                     list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks
+              FROM documents),
+            c AS (
+              SELECT doc_id, toks,
+                     CAST(len(toks) AS BIGINT) AS ws_tokens,
+                     CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens,
+                     greatest(1, CAST(ceil((len(toks) - 8) / 24.0) AS INT)) AS n_chunks
+              FROM t WHERE len(toks) > 0)
             SELECT doc_id,
-                   CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS BIGINT) AS ws_tokens,
-                   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens
-            FROM documents""",
+                   CAST(i AS BIGINT) AS chunk_idx,
+                   CAST(len(list_slice(toks, i * 24 + 1, i * 24 + 32)) AS BIGINT) AS n_chunk_tokens,
+                   md5(array_to_string(list_slice(toks, i * 24 + 1, i * 24 + 32), ' ')) AS chunk_md5,
+                   ws_tokens, bpe_tokens
+            FROM c, (SELECT unnest(generate_series(0, 9)) AS i) idx
+            WHERE i < n_chunks""",
         "dp04_quality": """
             SELECT doc_id, CAST(floor((
               0.4 * least(n_chars / 500.0, 1.0)

@@ -32,7 +32,7 @@ from .sampling import hash_sample, sample_mask
 from .sessions import session_stats, sessionize, sessionize_stream
 from .skew import salted_join, skew_stats, two_phase_agg
 from .similarity import cosine_topk, ivf_build, ivf_topk
-from .text import fingerprint, lang_id, quality_score, tfidf_top_terms, token_count
+from .text import chunk_documents, fingerprint, lang_id, quality_score, tfidf_top_terms, token_count
 
 __all__ = [
     "dedup_exact",
@@ -57,6 +57,7 @@ __all__ = [
     "lang_id",
     "quality_score",
     "token_count",
+    "chunk_documents",
     "fingerprint",
     "tfidf_top_terms",
     "asof_join",

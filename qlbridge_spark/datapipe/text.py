@@ -136,3 +136,50 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(F.col("__id").alias(id_col), "term", "tf", "df", "score", "rank")
     )
+
+
+def chunk_documents(
+    df,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 512,
+    overlap: int = 64,
+):
+    """Explode documents into fixed-size token windows with overlap — the
+    standard LLM training-data pre-processing step (context-window
+    packing happens downstream; this is the per-document split).
+
+    Pure Column expressions end to end: tokenize once, compute the chunk
+    count arithmetically, slice windows with ``transform`` over a
+    ``sequence``, ``posexplode`` to one row per chunk — no UDF, stays in
+    whole-stage codegen, embarrassingly parallel (no shuffle at all: the
+    explode happens in the scan stage).
+
+    Chunk layout: chunk i covers tokens ``[i·stride, i·stride +
+    chunk_tokens)`` with ``stride = chunk_tokens - overlap``; the last
+    chunk may be short. A document with ``n`` tokens yields
+    ``max(1, ceil((n - overlap) / stride))`` chunks; empty documents
+    yield none (a training pipeline drops them).
+
+    Returns (id, chunk_idx, n_chunk_tokens, chunk_text).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError(f"overlap ({overlap}) must be smaller than chunk_tokens ({chunk_tokens})")
+    stride = chunk_tokens - overlap
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != F.lit(""))
+    n = F.size(toks)
+    n_chunks = F.greatest(F.lit(1), F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("int"))
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(toks, i * stride + 1, chunk_tokens), " "),
+    )
+    return (
+        df.where(n > 0)
+        .select(F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk_text"))
+        .select(
+            id_col,
+            "chunk_idx",
+            F.size(F.filter(F.split(F.col("chunk_text"), r"\s+"), lambda t: t != F.lit(""))).alias("n_chunk_tokens"),
+            "chunk_text",
+        )
+    )

@@ -630,3 +630,55 @@ class TestLshProductionRecall:
         cands_cheap = lsh_candidate_pairs(sigs16, "doc_id", "minhash", bands=8, sig_len=16).count()
         release_caches()
         assert cands_cheap <= cands_lossless
+
+
+class TestChunkDocuments:
+    """Token-window chunking (chunk_documents): zero-shuffle posexplode,
+    last-chunk-short layout, overlap stitching. DuckDB replica gates the
+    same arithmetic in dp03."""
+
+    def _chunks(self, spark, rows, **kw):
+        from qlbridge_spark.datapipe import chunk_documents
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {
+            (r["doc_id"], r["chunk_idx"]): (r["n_chunk_tokens"], r["chunk_text"])
+            for r in chunk_documents(df, "doc_id", "text", **kw).collect()
+        }
+
+    def test_layout_and_overlap(self, spark):
+        text = " ".join(f"t{i}" for i in range(10))  # 10 tokens
+        got = self._chunks(spark, [(1, text)], chunk_tokens=4, overlap=1)
+        # stride 3, ceil((10-1)/3) = 3 chunks: starts 0,3,6 — the last
+        # chunk [t6..t9] already covers the tail, no degenerate 4th
+        assert got[(1, 0)] == (4, "t0 t1 t2 t3")
+        assert got[(1, 1)] == (4, "t3 t4 t5 t6")
+        assert got[(1, 2)] == (4, "t6 t7 t8 t9")
+        assert len(got) == 3
+
+    def test_short_doc_single_chunk(self, spark):
+        got = self._chunks(spark, [(1, "a b")], chunk_tokens=32, overlap=8)
+        assert got == {(1, 0): (2, "a b")}
+
+    def test_exact_boundary_no_empty_tail(self, spark):
+        text = " ".join(f"t{i}" for i in range(4))
+        got = self._chunks(spark, [(1, text)], chunk_tokens=4, overlap=1)
+        assert len(got) == 1  # 4 tokens fit one 4-token chunk exactly
+
+    def test_empty_docs_dropped(self, spark):
+        got = self._chunks(spark, [(1, "  "), (2, "x")], chunk_tokens=4, overlap=1)
+        assert set(k[0] for k in got) == {2}
+
+    def test_overlap_ge_chunk_errors(self, spark):
+        from qlbridge_spark.datapipe import chunk_documents
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="overlap"):
+            chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=4)
+
+    def test_no_shuffle_plan(self, spark):
+        from qlbridge_spark.datapipe import chunk_documents
+
+        df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+        plan = chunk_documents(df, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "BatchEvalPython" not in plan
