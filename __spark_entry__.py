@@ -606,12 +606,16 @@ def _dp_stratified_sample(spark, sf_dir):
     # deterministic portable stratified sampling (hash-threshold on salted
     # md5): downsample high-resource languages, keep the rest — reruns and
     # other engines select the IDENTICAL row set (no rand()/sample()).
-    from qlbridge_spark.datapipe import hash_sample
+    # round 7: composed with cap_per_group (domain-quota curation): at
+    # most 40 surviving docs per language, chosen by the same portable
+    # salted-md5 draw, so the whole selection stays engine-reproducible
+    from qlbridge_spark.datapipe import cap_per_group, hash_sample
 
     d = _docs(spark, sf_dir)
-    return hash_sample(
+    sampled = hash_sample(
         d, "doc_id", {"en": 0.5, "de": 0.25}, strata_col="lang", default_rate=1.0, salt="cur1"
-    ).select("doc_id", "lang")
+    )
+    return cap_per_group(sampled, "lang", 40, key_col="doc_id", salt="cap1").select("doc_id", "lang")
 
 
 def _dp_tfidf_terms(spark, sf_dir):
@@ -1187,11 +1191,18 @@ def oracle_sql() -> dict[str, str]:
         # dp16: identical salted-md5 hex-prefix threshold comparison —
         # bit-for-bit the same keep set as sample_mask (sampling.py)
         "dp16_stratified_sample": """
-            SELECT doc_id, lang FROM documents
-            WHERE substr(md5(doc_id::VARCHAR || ':cur1'), 1, 8) <
-              CASE lang WHEN 'en' THEN '80000000'
-                        WHEN 'de' THEN '40000000'
-                        ELSE 'g' END""",
+            WITH sampled AS (
+              SELECT doc_id, lang FROM documents
+              WHERE substr(md5(doc_id::VARCHAR || ':cur1'), 1, 8) <
+                CASE lang WHEN 'en' THEN '80000000'
+                          WHEN 'de' THEN '40000000'
+                          ELSE 'g' END)
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang,
+                     row_number() OVER (PARTITION BY lang
+                       ORDER BY substr(md5(doc_id::VARCHAR || ':cap1'), 1, 8), doc_id) AS rn
+              FROM sampled)
+            WHERE rn <= 40""",
         # dp17: integer-exact tf·idf (score = tf * floor(1000*N/df)) — the
         # double division of two small ints is correctly rounded in both
         # engines, so floor() agrees; ranks tie-break by term

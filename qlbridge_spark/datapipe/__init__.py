@@ -28,7 +28,7 @@ from .dedup import (
     simhash_pairs,
 )
 from .asof import asof_join
-from .sampling import hash_sample, sample_mask
+from .sampling import cap_per_group, hash_sample, sample_mask
 from .sessions import session_stats, sessionize, sessionize_stream
 from .skew import salted_join, skew_stats, two_phase_agg
 from .similarity import cosine_topk, ivf_build, ivf_topk
@@ -62,6 +62,7 @@ __all__ = [
     "tfidf_top_terms",
     "asof_join",
     "hash_sample",
+    "cap_per_group",
     "sample_mask",
     "salted_join",
     "two_phase_agg",

@@ -64,3 +64,35 @@ def hash_sample(
             thresh = F.when(F.col(strata_col) == value, F.lit(rate_threshold_hex(r))).otherwise(thresh)
         return df.filter(sample_mask(F.col(key_col), thresh, salt))
     return df.filter(sample_mask(F.col(key_col), float(rate), salt))
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    cap: int,
+    order_by: list[Column] | None = None,
+    key_col: str | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group — the domain-quota step of
+    corpus curation (cap documents per domain/source so one crawl host
+    cannot dominate the mixture).
+
+    Selection is DETERMINISTIC: rows rank by ``order_by`` (e.g. a quality
+    score, best first) or, when omitted, by the salted-md5 draw of
+    ``key_col`` (an unbiased uniform sample of each group, portable
+    across engines like ``hash_sample``). One shuffle on the group column
+    — the same exchange any per-group operator needs; the window itself
+    is a single pass.
+    """
+    from pyspark.sql import Window
+
+    if order_by is None:
+        if key_col is None:
+            raise ValueError("cap_per_group needs order_by or key_col")
+        order_by = [
+            F.substring(F.md5(F.concat(F.col(key_col).cast("string"), F.lit(":" + salt))), 1, 8).asc(),
+            F.col(key_col).asc(),
+        ]
+    w = Window.partitionBy(group_col).orderBy(*order_by)
+    return df.withColumn("__rank", F.row_number().over(w)).where(F.col("__rank") <= cap).drop("__rank")

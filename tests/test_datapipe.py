@@ -682,3 +682,35 @@ class TestChunkDocuments:
         df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
         plan = chunk_documents(df, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+class TestCapPerGroup:
+    def test_caps_and_is_deterministic(self, spark):
+        from qlbridge_spark.datapipe import cap_per_group
+
+        df = spark.createDataFrame([(i, "g%d" % (i % 3)) for i in range(60)], "id long, g string")
+        out = cap_per_group(df, "g", 5, key_col="id", salt="s1")
+        counts = {r["g"]: r["n"] for r in out.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert counts == {"g0": 5, "g1": 5, "g2": 5}
+        again = cap_per_group(df, "g", 5, key_col="id", salt="s1")
+        assert sorted(r["id"] for r in out.collect()) == sorted(r["id"] for r in again.collect())
+
+    def test_small_groups_kept_whole(self, spark):
+        from qlbridge_spark.datapipe import cap_per_group
+
+        df = spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")], "id long, g string")
+        assert cap_per_group(df, "g", 10, key_col="id").count() == 3
+
+    def test_order_by_priority(self, spark):
+        from qlbridge_spark.datapipe import cap_per_group
+
+        df = spark.createDataFrame([(1, "a", 0.9), (2, "a", 0.5), (3, "a", 0.7)], "id long, g string, q double")
+        kept = sorted(r["id"] for r in cap_per_group(df, "g", 2, order_by=[F.col("q").desc()]).collect())
+        assert kept == [1, 3]  # best-quality two
+
+    def test_requires_ordering(self, spark):
+        from qlbridge_spark.datapipe import cap_per_group
+
+        df = spark.createDataFrame([(1, "a")], "id long, g string")
+        with pytest.raises(ValueError, match="order_by or key_col"):
+            cap_per_group(df, "g", 1)
