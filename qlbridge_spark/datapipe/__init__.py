@@ -32,7 +32,16 @@ from .sampling import cap_per_group, hash_sample, sample_mask
 from .sessions import session_stats, sessionize, sessionize_stream
 from .skew import salted_join, skew_stats, two_phase_agg
 from .similarity import cosine_topk, ivf_build, ivf_topk
-from .text import chunk_documents, fingerprint, lang_id, quality_score, tfidf_top_terms, token_count
+from .text import (
+    chunk_documents,
+    fingerprint,
+    lang_id,
+    quality_score,
+    scrub_stats,
+    scrub_text,
+    tfidf_top_terms,
+    token_count,
+)
 
 __all__ = [
     "dedup_exact",
@@ -58,6 +67,8 @@ __all__ = [
     "quality_score",
     "token_count",
     "chunk_documents",
+    "scrub_text",
+    "scrub_stats",
     "fingerprint",
     "tfidf_top_terms",
     "asof_join",

@@ -183,3 +183,44 @@ def chunk_documents(
             "chunk_text",
         )
     )
+
+
+#: redaction patterns — order matters (URLs before bare hostnames would
+#: matter if hostnames were scrubbed; emails before URLs so the @ form
+#: wins). Public, conservative regexes: better to under-redact than to
+#: eat surrounding prose.
+SCRUB_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("url", r"(?i)\bhttps?://[^\s<>\"']+", "<URL>"),
+    ("ipv4", r"\b(?:(?:25[0-5]|2[0-4][0-9]|1?[0-9]{1,2})\.){3}(?:25[0-5]|2[0-4][0-9]|1?[0-9]{1,2})\b", "<IP>"),
+    ("phone", r"\+?[0-9][0-9()\-. ]{7,}[0-9]", "<PHONE>"),
+)
+
+
+def scrub_text(text: Column, kinds: tuple[str, ...] = ("email", "url", "ipv4")) -> Column:
+    """Redact PII-ish spans (emails, URLs, IPv4s, optionally phone-like
+    digit runs) with typed placeholder tokens — the privacy-scrub step of
+    a corpus pipeline. A chain of JVM ``regexp_replace`` calls: no UDF,
+    no shuffle, linear scan work.
+    """
+    by_name = {k: (p, r) for k, p, r in SCRUB_PATTERNS}
+    out = text
+    for k in kinds:
+        if k not in by_name:
+            raise ValueError(f"unknown scrub kind {k!r}; have {sorted(by_name)}")
+        pat, repl = by_name[k]
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def scrub_stats(text: Column, kinds: tuple[str, ...] = ("email", "url", "ipv4")) -> Column:
+    """Per-row count of redactable spans by kind, as a map<string,int> —
+    the audit side of ``scrub_text`` (a curation report wants 'how much
+    PII did we remove per source', not just the cleaned text)."""
+    by_name = {k: p for k, p, _ in SCRUB_PATTERNS}
+    pairs = []
+    for k in kinds:
+        if k not in by_name:
+            raise ValueError(f"unknown scrub kind {k!r}; have {sorted(by_name)}")
+        pairs.extend([F.lit(k), F.regexp_count(text, F.lit(by_name[k]))])
+    return F.create_map(*pairs)

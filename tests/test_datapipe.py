@@ -714,3 +714,46 @@ class TestCapPerGroup:
         df = spark.createDataFrame([(1, "a")], "id long, g string")
         with pytest.raises(ValueError, match="order_by or key_col"):
             cap_per_group(df, "g", 1)
+
+
+class TestScrubText:
+    def test_redacts_email_url_ip(self, spark):
+        from qlbridge_spark.datapipe import scrub_text
+
+        df = spark.createDataFrame(
+            [("contact bob@example.com or https://ex.com/a?b=1 from 10.0.0.1 today",)], "text string"
+        )
+        out = df.select(scrub_text(F.col("text")).alias("t")).collect()[0]["t"]
+        assert out == "contact <EMAIL> or <URL> from <IP> today"
+
+    def test_phone_opt_in(self, spark):
+        from qlbridge_spark.datapipe import scrub_text
+
+        df = spark.createDataFrame([("call +1 (415) 555-0199 now",)], "text string")
+        kept = df.select(scrub_text(F.col("text")).alias("t")).collect()[0]["t"]
+        assert "555" in kept  # phone not scrubbed by default
+        got = df.select(scrub_text(F.col("text"), ("email", "url", "ipv4", "phone")).alias("t")).collect()[0]["t"]
+        assert got == "call <PHONE> now"
+
+    def test_stats_map(self, spark):
+        from qlbridge_spark.datapipe import scrub_stats
+
+        df = spark.createDataFrame([("a@b.co c@d.io http://x.io 8.8.8.8 plain",)], "text string")
+        m = df.select(scrub_stats(F.col("text")).alias("m")).collect()[0]["m"]
+        assert m == {"email": 2, "url": 1, "ipv4": 1}
+
+    def test_no_python_in_plan(self, spark):
+        from qlbridge_spark.datapipe import scrub_stats, scrub_text
+
+        df = spark.createDataFrame([("x",)], "text string")
+        plan = (
+            df.select(scrub_text(F.col("text")), scrub_stats(F.col("text")))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BatchEvalPython" not in plan and "Exchange" not in plan
+
+    def test_unknown_kind_errors(self, spark):
+        from qlbridge_spark.datapipe import scrub_text
+
+        with pytest.raises(ValueError, match="unknown scrub kind"):
+            scrub_text(F.lit("x"), ("ssn",))
