@@ -402,9 +402,16 @@ def _emb(spark, sf_dir):
 
 
 def _dp_exact_dedup(spark, sf_dir):
-    from qlbridge_spark.datapipe import dedup_exact
+    # round 7: composed with benchmark DECONTAMINATION — docs sharing any
+    # 8-gram with the "benchmark" subset (doc_id % 97 == 0, standing in
+    # for an eval set) are dropped after the exact dedup, the test-set
+    # leakage guard every training pipeline runs
+    from qlbridge_spark.datapipe import decontaminate, dedup_exact
 
-    return dedup_exact(_docs(spark, sf_dir), ["text"], keep="doc_id").select("doc_id", "lang", "n_chars")
+    d = _docs(spark, sf_dir)
+    deduped = dedup_exact(d, ["text"], keep="doc_id")
+    bench = deduped.where(F.col("doc_id") % 97 == 0)
+    return decontaminate(deduped, bench, "doc_id", "text", n=8).select("doc_id", "lang", "n_chars")
 
 
 def _dp_fingerprint(spark, sf_dir):
@@ -863,11 +870,26 @@ def oracle_sql() -> dict[str, str]:
                   FROM customer)
             WHERE rnk <= 3""",
         "dp01_exact_dedup": """
-            SELECT doc_id, lang, n_chars FROM (
-              SELECT doc_id, lang, n_chars,
-                     row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
-              FROM documents)
-            WHERE rn = 1""",
+            WITH deduped AS (
+              SELECT doc_id, lang, n_chars, text FROM (
+                SELECT doc_id, lang, n_chars, text,
+                       row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+                FROM documents)
+              WHERE rn = 1),
+            grams AS (
+              SELECT doc_id,
+                     unnest(CASE WHEN len(toks) - 7 < 1 THEN [array_to_string(toks, ' ')]
+                            ELSE list_distinct(list_transform(generate_series(1, len(toks) - 7),
+                                   i -> array_to_string(list_slice(toks, i, i + 7), ' '))) END) AS g
+              FROM (SELECT doc_id,
+                           list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS toks
+                    FROM deduped)),
+            bench_grams AS (
+              SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0 AND g <> ''),
+            contaminated AS (
+              SELECT DISTINCT grams.doc_id FROM grams JOIN bench_grams USING (g))
+            SELECT doc_id, lang, n_chars FROM deduped
+            WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)""",
         "dp02_fingerprint": """
             SELECT doc_id,
                    md5(array_to_string(list_sort(list_distinct(

@@ -14,6 +14,7 @@ except multimodal decoders, which are Arrow-batched ``mapInPandas``.
 
 from .dedup import (
     connected_components,
+    decontaminate,
     dedup_exact,
     embedding_dup_pairs,
     lsh_candidate_pairs,
@@ -45,6 +46,7 @@ from .text import (
 
 __all__ = [
     "dedup_exact",
+    "decontaminate",
     "connected_components",
     "minhash_signature",
     "lsh_candidate_pairs",

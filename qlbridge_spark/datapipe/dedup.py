@@ -679,3 +679,32 @@ def _cosine(a, b):
     na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
     nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
     return dot / (na * nb)
+
+
+def decontaminate(
+    df: DataFrame,
+    bench_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 13,
+    bench_text_col: str | None = None,
+) -> DataFrame:
+    """Benchmark DECONTAMINATION: drop corpus documents sharing any word
+    n-gram with an evaluation/benchmark set — the standard guard against
+    test-set leakage into training data (n≈13 is the common published
+    window; lower n is stricter).
+
+    Scale shape: the benchmark side is tiny next to the corpus, so its
+    distinct grams BROADCAST; the corpus explodes grams once and the
+    contaminated-id set comes from a broadcast hash join + distinct —
+    the only shuffle is the final LEFT ANTI join on ids (AQE-broadcast
+    when the contaminated set is small, the usual case)."""
+    bench_text = bench_text_col or text_col
+    bench_grams = (
+        bench_df.select(F.explode(_word_shingles(F.col(bench_text), n)).alias("__g"))
+        .where(F.col("__g") != "")
+        .distinct()
+    )
+    corpus_grams = df.select(F.col(id_col).alias("__cid"), F.explode(_word_shingles(F.col(text_col), n)).alias("__g"))
+    contaminated = corpus_grams.join(F.broadcast(bench_grams), "__g").select("__cid").distinct()
+    return df.join(contaminated, on=df[id_col] == contaminated["__cid"], how="left_anti")

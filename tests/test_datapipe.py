@@ -757,3 +757,35 @@ class TestScrubText:
 
         with pytest.raises(ValueError, match="unknown scrub kind"):
             scrub_text(F.lit("x"), ("ssn",))
+
+
+class TestDecontaminate:
+    def test_overlapping_docs_dropped(self, spark):
+        from qlbridge_spark.datapipe import decontaminate
+
+        corpus = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta epsilon zeta"),
+                (2, "one two three four five six seven"),   # contains bench 4-gram
+                (3, "totally unrelated words here again now"),
+            ],
+            "doc_id long, text string",
+        )
+        bench = spark.createDataFrame([(100, "zzz one two three four qqq")], "doc_id long, text string")
+        kept = sorted(r["doc_id"] for r in decontaminate(corpus, bench, "doc_id", "text", n=4).collect())
+        assert kept == [1, 3]
+
+    def test_no_overlap_keeps_all(self, spark):
+        from qlbridge_spark.datapipe import decontaminate
+
+        corpus = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+        bench = spark.createDataFrame([(9, "v w x y z")], "doc_id long, text string")
+        assert decontaminate(corpus, bench, "doc_id", "text", n=3).count() == 1
+
+    def test_benchmark_broadcast_plan(self, spark):
+        from qlbridge_spark.datapipe import decontaminate
+
+        corpus = spark.createDataFrame([(i, f"w{i} w{i+1} w{i+2} w{i+3}") for i in range(50)], "doc_id long, text string")
+        bench = corpus.limit(2)
+        plan = decontaminate(corpus, bench, "doc_id", "text", n=3)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan and "BatchEvalPython" not in plan
