@@ -37,6 +37,7 @@ from .text import (
     chunk_documents,
     fingerprint,
     lang_id,
+    pack_sequences,
     quality_score,
     scrub_stats,
     scrub_text,
@@ -70,6 +71,7 @@ __all__ = [
     "token_count",
     "chunk_documents",
     "scrub_text",
+    "pack_sequences",
     "scrub_stats",
     "fingerprint",
     "tfidf_top_terms",

@@ -224,3 +224,43 @@ def scrub_stats(text: Column, kinds: tuple[str, ...] = ("email", "url", "ipv4"))
             raise ValueError(f"unknown scrub kind {k!r}; have {sorted(by_name)}")
         pairs.extend([F.lit(k), F.regexp_count(text, F.lit(by_name[k]))])
     return F.create_map(*pairs)
+
+
+def pack_sequences(
+    chunks_df,
+    id_cols: list[str],
+    token_col: str,
+    window_tokens: int = 2048,
+    buckets: int = 1024,
+    salt: str = "",
+) -> "DataFrame":
+    """Assign chunks to fixed-size context-window bins — the packing step
+    between chunking and batching in an LLM data pipeline.
+
+    Distributed greedy streaming packing: chunks hash into ``buckets``
+    independent streams (salted md5 of the id tuple — deterministic and
+    engine-portable), each bucket orders its chunks by id and fills
+    windows by running token cumsum, ``bin = floor(exclusive_cumsum /
+    window_tokens)``. A bin may overflow by at most one chunk — the
+    standard streaming-packing trade-off; training loaders truncate or
+    spill the tail token run. Exact first-fit packing is inherently
+    sequential; bucketing recovers parallelism while keeping every
+    decision a pure function of the data (reruns pack identically).
+
+    One shuffle (the per-bucket window). Returns the input plus
+    ``pack_bucket``, ``pack_bin``, ``bin_fill`` (inclusive running
+    tokens in the bin).
+    """
+    from pyspark.sql import Window
+
+    key = F.concat_ws("§", *[F.col(c).cast("string") for c in id_cols], F.lit(salt))
+    bucket = F.pmod(F.xxhash64(key), F.lit(buckets))
+    df = chunks_df.withColumn("pack_bucket", bucket)
+    w = Window.partitionBy("pack_bucket").orderBy(*[F.col(c) for c in id_cols])
+    cum = F.sum(F.col(token_col)).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    excl = cum - F.col(token_col)
+    df = df.withColumn("pack_bin", F.floor(excl / F.lit(window_tokens)).cast("long"))
+    # fill within the bin: inclusive cumsum minus the bin's starting offset
+    wbin = Window.partitionBy("pack_bucket", "pack_bin").orderBy(*[F.col(c) for c in id_cols])
+    df = df.withColumn("bin_fill", F.sum(F.col(token_col)).over(wbin.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    return df

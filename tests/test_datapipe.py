@@ -789,3 +789,36 @@ class TestDecontaminate:
         bench = corpus.limit(2)
         plan = decontaminate(corpus, bench, "doc_id", "text", n=3)._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan and "BatchEvalPython" not in plan
+
+
+class TestPackSequences:
+    def test_bins_fill_and_never_split_chunks(self, spark):
+        from qlbridge_spark.datapipe import pack_sequences
+
+        rows = [(d, i, 30) for d in range(4) for i in range(5)]  # 20 chunks x 30 tokens
+        df = spark.createDataFrame(rows, "doc_id long, chunk_idx long, n_tok long")
+        out = pack_sequences(df, ["doc_id", "chunk_idx"], "n_tok", window_tokens=100, buckets=1).collect()
+        by_bin = {}
+        for r in out:
+            by_bin.setdefault(r["pack_bin"], []).append(r["n_tok"])
+        # 600 tokens / 100-token windows → 6 bins; each bin ≤ 100 + one chunk
+        assert len(by_bin) == 6
+        for b, toks in by_bin.items():
+            assert sum(toks) <= 100 + 30
+
+    def test_deterministic_across_runs(self, spark):
+        from qlbridge_spark.datapipe import pack_sequences
+
+        rows = [(d, 0, 10 + d % 7) for d in range(50)]
+        df = spark.createDataFrame(rows, "doc_id long, chunk_idx long, n_tok long")
+        a = {(r["doc_id"]): (r["pack_bucket"], r["pack_bin"]) for r in pack_sequences(df, ["doc_id", "chunk_idx"], "n_tok", 64, buckets=8, salt="s").collect()}
+        b = {(r["doc_id"]): (r["pack_bucket"], r["pack_bin"]) for r in pack_sequences(df, ["doc_id", "chunk_idx"], "n_tok", 64, buckets=8, salt="s").collect()}
+        assert a == b
+
+    def test_single_shuffle_plan(self, spark):
+        from qlbridge_spark.datapipe import pack_sequences
+
+        df = spark.createDataFrame([(1, 0, 5)], "doc_id long, chunk_idx long, n_tok long")
+        plan = pack_sequences(df, ["doc_id", "chunk_idx"], "n_tok")._jdf.queryExecution().executedPlan().toString()
+        # both windows share the pack_bucket partitioning: one Exchange
+        assert plan.count("Exchange") == 1 and "BatchEvalPython" not in plan
