@@ -340,7 +340,10 @@ _Q = {
                                       WHERE o.o_custkey = c_custkey) AS beats_all,
                c_nationkey IN (SELECT o5.o_orderkey % 25 FROM orders AS o5
                                WHERE o5.o_custkey = c_custkey
-                                 AND o5.o_totalprice < c_acctbal * 100) AS nat_match
+                                 AND o5.o_totalprice < c_acctbal * 100) AS nat_match,
+               (SELECT max(s) FROM (SELECT sum(o6.o_totalprice) AS s FROM orders AS o6
+                                    WHERE o6.o_custkey = c_custkey
+                                    GROUP BY o6.o_orderdate) t) AS max_daily
         FROM customer
         WHERE c_custkey < 200""",
     # TPC-H Q17 shape: correlated aggregate subquery in WHERE against the
@@ -1140,7 +1143,10 @@ def oracle_sql() -> dict[str, str]:
                                           WHERE o.o_custkey = c_custkey) AS beats_all,
                    c_nationkey IN (SELECT o5.o_orderkey % 25 FROM orders AS o5
                                    WHERE o5.o_custkey = c_custkey
-                                     AND o5.o_totalprice < c_acctbal * 100) AS nat_match
+                                     AND o5.o_totalprice < c_acctbal * 100) AS nat_match,
+                   (SELECT max(s) FROM (SELECT sum(o6.o_totalprice) AS s FROM orders AS o6
+                                        WHERE o6.o_custkey = c_custkey
+                                        GROUP BY o6.o_orderdate) t) AS max_daily
             FROM customer
             WHERE c_custkey < 200""",
         "q39_small_quantity_revenue": """

@@ -1316,7 +1316,7 @@ class Engine:
 
     _RANGE_FLIP = {"<": ">", "<=": ">=", ">": "<", ">=": "<=", "!=": "!="}
 
-    def _correlation_split(self, scope: Scope, sub_sel, kind: str, allow_range: bool = False):
+    def _correlation_split(self, scope: Scope, sub_sel, kind: str, allow_range: bool = False, allow_group: bool = False):
         """Shared decorrelation front-end: build the inner frame, split the
         inner WHERE into inner-only filters (applied, stay pushed to the
         inner scan), EQUALITY correlation conjuncts, and (when
@@ -1329,10 +1329,12 @@ class Engine:
         correlated conjunct raises (ranges is then always empty)."""
         if isinstance(sub_sel, SqlSetOp):
             raise ExecError(f"correlated {kind} subquery must be a plain SELECT (no set-ops)")
-        if len(sub_sel.columns) != 1 or sub_sel.columns[0].is_star:
+        if not allow_group and (len(sub_sel.columns) != 1 or sub_sel.columns[0].is_star):
             raise ExecError(f"{kind} subquery must return exactly one column")
-        if sub_sel.group_by or sub_sel.having is not None:
+        if not allow_group and (sub_sel.group_by or sub_sel.having is not None):
             raise ExecError(f"correlated {kind} subquery cannot use GROUP BY/HAVING")
+        if allow_group and sub_sel.having is not None:
+            raise ExecError(f"correlated {kind} subquery cannot use HAVING")
         if not sub_sel.from_:
             raise ExecError(f"correlated {kind} subquery needs a FROM clause")
         inner_df, inner_scope = self._build_from(sub_sel)
@@ -1634,6 +1636,82 @@ class Engine:
         )
         return val, out
 
+    def _decorrelate_scalar_grouped(self, df: DataFrame, scope: Scope, sub_sel, expr, is_agg) -> tuple[Node, DataFrame]:
+        """Correlated scalar whose FROM is a GROUPED derived table —
+        ``(SELECT max(s) FROM (SELECT sum(x) AS s FROM t WHERE t.k = o.k
+        GROUP BY t.g) q)`` — the max-per-group-per-key lookup (max daily
+        spend per customer, busiest hour per host, …).
+
+        Two-level decorrelation, both levels one distributed aggregate:
+        the derived table re-aggregates by (correlation keys + its own
+        GROUP BY), the outer aggregate collapses that to one row per
+        correlation key, and the standard LEFT JOIN carries the value
+        back. A tuple-at-a-time engine re-runs the whole grouped query
+        per outer row. Equality correlation only (a range conjunct would
+        need the probe machinery threaded through both levels)."""
+        from .nodes import SparkColNode
+
+        if not is_agg:
+            raise ExecError(
+                "correlated scalar over a grouped derived table must aggregate "
+                "(the derived table has one row per group, not per outer row)"
+            )
+        src = sub_sel.from_[0]
+        q_sel = src.subquery
+        if any(c.is_star for c in q_sel.columns):
+            raise ExecError("correlated grouped derived table cannot use *")
+        inner_df, inner_scope, pairs, _ = self._correlation_split(scope, q_sel, "scalar", allow_group=True)
+        self._subq_n = getattr(self, "_subq_n", 0) + 1
+        prefix = f"__csub{self._subq_n}"
+        key_names = [f"{prefix}_k{i}" for i in range(len(pairs))]
+        g_names = [f"{prefix}_g{j}" for j in range(len(q_sel.group_by))]
+        g_sqls = [g.sql() for g in q_sel.group_by]
+        group_cols = [to_column(g, inner_scope).alias(gn) for g, gn in zip(q_sel.group_by, g_names)]
+        aggs: list[SparkColumn] = []
+        post: list[SparkColumn] = []  # output columns of the derived table
+        for c in q_sel.columns:
+            name = c.output_name
+            if funcs.is_agg_tree(c.expr):
+                aggs.append(to_column(c.expr, inner_scope).alias(name))
+                post.append(F.col(name))
+            else:
+                try:
+                    j = g_sqls.index(c.expr.sql())
+                except ValueError:
+                    raise ExecError(
+                        f"derived-table column {c.expr.sql()} is neither an aggregate nor a GROUP BY key"
+                    ) from None
+                post.append(F.col(g_names[j]).alias(name))
+        qprime = (
+            inner_df.groupBy(*[ic.alias(kn) for (ic, _), kn in zip(pairs, key_names)], *group_cols)
+            .agg(*aggs)
+            .select(*key_names, *post)
+            .alias(src.ref)
+        )
+        # the OUTER level evaluates against the derived table's columns
+        qscope = Scope({src.ref: qprime}, includes=self.includes, params=self.session_vars)
+        for conj in self._conjuncts(sub_sel.where) if sub_sel.where is not None else []:
+            qprime = qprime.filter(to_column(conj, qscope))
+        count_shape = self._count_shape(expr)
+        out_aggs = [to_column(expr, qscope).alias(f"{prefix}_val")]
+        if count_shape == "composite":
+            out_aggs.append(F.count(F.lit(1)).alias(f"{prefix}_cnt"))
+        agg_df = qprime.groupBy(*key_names).agg(*out_aggs)
+        on = None
+        for (_, oc), kn in zip(pairs, key_names):
+            c = agg_df[kn] == oc
+            on = c if on is None else (on & c)
+        out = df.join(agg_df, on=on, how="left").drop(*key_names)
+        val = self._scalar_val_expr(
+            prefix,
+            True,
+            count_shape,
+            False,
+            False,
+            lambda: self._empty_agg_value(qprime, to_column(expr, qscope)),
+        )
+        return SparkColNode(col=val, dtype=None, text="(grouped correlated subquery)"), out
+
     def _decorrelate_scalar(self, df: DataFrame, scope: Scope, sub_sel) -> tuple[Node, DataFrame]:
         """Decorrelate one correlated scalar subquery: aggregate the inner
         relation by its correlation keys, LEFT-JOIN the 1-row-per-key frame
@@ -1651,6 +1729,16 @@ class Engine:
         else:
             raise ExecError("scalar subquery must return exactly one column")
         is_agg = funcs.is_agg_tree(expr)
+        if (
+            len(sub_sel.from_) == 1
+            and sub_sel.from_[0].subquery is not None
+            and not isinstance(sub_sel.from_[0].subquery, SqlSetOp)
+            and sub_sel.from_[0].subquery.group_by
+        ):
+            # aggregate-over-grouped-correlated-derived-table, e.g.
+            # (SELECT max(s) FROM (SELECT sum(x) AS s FROM t
+            #  WHERE t.k = o.k GROUP BY t.g) q)
+            return self._decorrelate_scalar_grouped(df, scope, sub_sel, expr, is_agg)
         inner_df, inner_scope, pairs, ranges = self._correlation_split(scope, sub_sel, "scalar", allow_range=True)
 
         order_keys = [ok for ok in sub_sel.order_by if not isinstance(ok[0], NumberNode)]

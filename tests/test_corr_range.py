@@ -347,3 +347,55 @@ class TestAsOfTop1WindowPath:
             "SELECT id, (SELECT r.v FROM ref r WHERE r.k = ev.k AND r.ts <= ev.ts ORDER BY r.rid DESC LIMIT 1) AS p FROM ev",
         )
         assert got == {1: (1.0,), 2: (2.0,), 3: (4.0,), 4: (None,), 5: (None,), 6: (None,)}
+
+
+class TestGroupedCorrelatedScalar:
+    """Correlated scalar over a GROUPED derived table — two-level
+    decorrelation (derived table re-aggregates by correlation keys + its
+    GROUP BY; outer aggregate collapses per key). DuckDB-cross-checked."""
+
+    @pytest.fixture(scope="class")
+    def geng(self, spark):
+        eng = Engine(spark, "grouped_corr")
+        eng.register_df(
+            "gev",
+            spark.createDataFrame([(1, "a"), (2, "a"), (3, "b"), (4, "c")], "id int, k string"),
+        )
+        eng.register_df(
+            "gref",
+            spark.createDataFrame(
+                [(1, "a", "x", 10.0), (2, "a", "x", 20.0), (3, "a", "y", 5.0), (4, "b", "x", 7.0)],
+                "rid int, k string, g string, v double",
+            ),
+        )
+        return eng
+
+    def test_max_of_group_sums(self, geng):
+        got = rows_of(
+            geng,
+            "SELECT id, (SELECT max(s) FROM (SELECT sum(r.v) AS s FROM gref r WHERE r.k = gev.k GROUP BY r.g) t) AS m FROM gev",
+        )
+        # k=a: sums {x:30, y:5} → 30; k=b: {x:7} → 7; k=c: empty → NULL
+        assert got == {1: (30.0,), 2: (30.0,), 3: (7.0,), 4: (None,)}
+
+    def test_count_of_groups_composite(self, geng):
+        got = rows_of(
+            geng,
+            "SELECT id, (SELECT count(*) + 1 FROM (SELECT r.g AS g, count(*) AS n FROM gref r WHERE r.k = gev.k GROUP BY r.g) t) AS c FROM gev",
+        )
+        # a → 2 groups + 1 = 3; b → 2; c → empty derived table → 0+1 = 1
+        assert got == {1: (3,), 2: (3,), 3: (2,), 4: (1,)}
+
+    def test_outer_filter_on_derived_column(self, geng):
+        got = rows_of(
+            geng,
+            "SELECT id, (SELECT avg(s) FROM (SELECT r.g AS g, sum(r.v) AS s FROM gref r WHERE r.k = gev.k GROUP BY r.g) t WHERE s > 6) AS a FROM gev",
+        )
+        # a: sums {30, 5} → only 30 passes → 30.0; b: {7} → 7.0; c: NULL
+        assert got == {1: (30.0,), 2: (30.0,), 3: (7.0,), 4: (None,)}
+
+    def test_non_aggregate_outer_errors(self, geng):
+        with pytest.raises(ExecError, match="must aggregate"):
+            geng.sql(
+                "SELECT id, (SELECT s FROM (SELECT sum(r.v) AS s FROM gref r WHERE r.k = gev.k GROUP BY r.g) t) AS m FROM gev"
+            ).collect()
