@@ -1050,10 +1050,26 @@ class Engine:
 
         import dataclasses
 
+        # SUBQUERY COALESCING: scalar aggregates sharing (FROM, WHERE) —
+        # i.e. the same inner relation and correlation — merge into ONE
+        # per-key aggregate + ONE join carrying every value column,
+        # instead of a join per subquery (q38's three bare aggregates
+        # over `orders WHERE o_custkey = c_custkey` become one)
+        coalesced = self._coalesce_scalar_subqueries(holder, scope, sel, include_qualify)
+
+        def wrap_scalar(lazy):
+            base = make_scalar_fn(lazy)
+
+            def fn(sub: SubqueryNode) -> Node:
+                hit = coalesced.get(id(sub))
+                return hit() if hit is not None else base(sub)
+
+            return fn
+
         # select list: LAZY (saves a job, nothing pushable at stake);
         # WHERE: EAGER literal fold (keeps scan pushdown)
-        walk_cols = lambda n: self._walk_subqueries(n, make_scalar_fn(True), make_quant_fn(True), in_fn, exists_fn)  # noqa: E731
-        walk_where = lambda n: self._walk_subqueries(n, make_scalar_fn(False), make_quant_fn(False), in_fn, exists_fn)  # noqa: E731
+        walk_cols = lambda n: self._walk_subqueries(n, wrap_scalar(True), make_quant_fn(True), in_fn, exists_fn)  # noqa: E731
+        walk_where = lambda n: self._walk_subqueries(n, wrap_scalar(False), make_quant_fn(False), in_fn, exists_fn)  # noqa: E731
         repl = dict(
             columns=[dataclasses.replace(c, expr=walk_cols(c.expr), guard=walk_cols(c.guard)) for c in sel.columns],
             where=self._walk_where_protected(sel.where, walk_where),
@@ -1062,6 +1078,95 @@ class Engine:
             repl["qualify"] = walk_cols(sel.qualify)
         sel = dataclasses.replace(sel, **repl)
         return holder["df"], sel
+
+    def _coalesce_scalar_subqueries(self, holder, scope: Scope, sel: SqlSelect, include_qualify: bool = True):
+        """Group SELECT-LIST scalar-aggregate subqueries by their
+        (FROM, WHERE) text; each group of ≥2 lowers as ONE per-key
+        aggregate carrying every member's value column + ONE left join —
+        the classic subquery-coalescing optimization (a join per
+        subquery otherwise). WHERE-position subqueries are never
+        coalesced (they fold to pushable literals instead). Returns
+        {id(SubqueryNode): thunk → replacement node}; groups whose
+        correlation is absent, ranged, or unsplittable silently fall
+        back to the per-subquery paths."""
+        from .nodes import SparkColNode
+
+        def candidates(n: Node | None, out):
+            if n is None:
+                return
+            if isinstance(n, SubqueryNode):
+                ss = n.select
+                if (
+                    not isinstance(ss, SqlSetOp)
+                    and len(ss.columns) == 1
+                    and not ss.columns[0].is_star
+                    and funcs.is_agg_tree(ss.columns[0].expr)
+                    and not ss.group_by
+                    and ss.having is None
+                    and not ss.order_by
+                    and ss.limit is None
+                    and not ss.distinct
+                    and ss.from_
+                    and all(s.subquery is None for s in ss.from_)
+                ):
+                    sig = (
+                        "|".join(
+                            f"{s.name}:{s.alias}:{s.join_type}:{s.join_expr.sql() if s.join_expr else ''}"
+                            for s in ss.from_
+                        ),
+                        ss.where.sql() if ss.where is not None else "",
+                    )
+                    out.setdefault(sig, []).append(n)
+                return  # don't descend into the subquery's own tree
+            for c in n.children():
+                candidates(c, out)
+
+        groups: dict = {}
+        for c in sel.columns:
+            candidates(c.expr, groups)
+            candidates(c.guard, groups)
+        if include_qualify:
+            candidates(sel.qualify, groups)
+
+        mapping: dict[int, object] = {}
+        for members in groups.values():
+            if len(members) < 2:
+                continue
+            try:
+                self._select_any(members[0].select)
+                continue  # uncorrelated → lazy/eager paths handle it
+            except TranslateError:
+                pass
+            try:
+                inner_df, inner_scope, pairs, ranges = self._correlation_split(
+                    scope, members[0].select, "scalar", allow_range=True
+                )
+            except ExecError:
+                continue
+            if ranges or not pairs:
+                continue  # range shapes keep the window/probe lowering
+            self._subq_n = getattr(self, "_subq_n", 0) + 1
+            prefix = f"__csub{self._subq_n}"
+            exprs = [m.select.columns[0].expr for m in members]
+            shapes = [self._count_shape(e) for e in exprs]
+
+            def build(key_cols, p, _inner=inner_df, _scope=inner_scope, _exprs=exprs, _shapes=shapes):
+                aggs = [to_column(e, _scope).alias(f"{p}_v{i}") for i, e in enumerate(_exprs)]
+                if any(s == "composite" for s in _shapes):
+                    aggs.append(F.count(F.lit(1)).alias(f"{p}_cnt"))
+                return _inner.groupBy(*key_cols).agg(*aggs)
+
+            holder["df"], p = self._decorrelate_join(holder["df"], pairs, build)
+            for i, (m, shape, e) in enumerate(zip(members, shapes, exprs)):
+                val = F.col(f"{p}_v{i}")
+                if shape == "bare":
+                    val = F.coalesce(val, F.lit(0))
+                elif shape == "composite":
+                    ev = self._empty_agg_value(inner_df, to_column(e, inner_scope))
+                    val = F.when(F.col(f"{p}_cnt").isNull(), F.lit(ev)).otherwise(val)
+                node = SparkColNode(col=val, dtype=None, text="(coalesced correlated subquery)")
+                mapping[id(m)] = (lambda n=node: n)
+        return mapping
 
     @staticmethod
     def _node_has_subquery(n: Node | None) -> bool:

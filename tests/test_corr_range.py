@@ -399,3 +399,38 @@ class TestGroupedCorrelatedScalar:
             geng.sql(
                 "SELECT id, (SELECT s FROM (SELECT sum(r.v) AS s FROM gref r WHERE r.k = gev.k GROUP BY r.g) t) AS m FROM gev"
             ).collect()
+
+
+class TestSubqueryCoalescing:
+    """Select-list scalar aggregates sharing (FROM, WHERE) merge into one
+    per-key aggregate + one join (subquery coalescing)."""
+
+    Q3 = (
+        "SELECT id,"
+        " (SELECT max(r.v) FROM ref r WHERE r.k = ev.k) AS mx,"
+        " (SELECT count(*) FROM ref r WHERE r.k = ev.k) AS n,"
+        " (SELECT count(*) + 1 FROM ref r WHERE r.k = ev.k) AS n1"
+        " FROM ev"
+    )
+
+    def test_one_join_for_three_subqueries(self, reng):
+        plan = reng.sql(self.Q3)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Join") == 1, plan
+
+    def test_values_and_count_shapes_survive(self, reng):
+        got = rows_of(reng, self.Q3)
+        # k=a → max 3.0, 3 rows; k=b → 7.0, 2; empty keys → NULL / 0 / 1
+        assert got[1] == (3.0, 3, 4)
+        assert got[3] == (7.0, 2, 3)
+        assert got[5] == (None, 0, 1)
+        assert got[6] == (None, 0, 1)
+
+    def test_different_where_not_merged_still_correct(self, reng):
+        got = rows_of(
+            reng,
+            "SELECT id,"
+            " (SELECT count(*) FROM ref r WHERE r.k = ev.k) AS all_n,"
+            " (SELECT count(*) FROM ref r WHERE r.k = ev.k AND r.v > 3) AS big_n"
+            " FROM ev",
+        )
+        assert got[1] == (3, 0) and got[3] == (2, 2)
