@@ -721,9 +721,19 @@ class Engine:
         its scan); conjuncts referencing outer columns — equality or not
         (``o.ts < u.ts`` works) — become the join condition, translated
         against a combined inner+outer scope. All sources are
-        ``.alias()``-ed, so cross-frame references resolve by name."""
+        ``.alias()``-ed, so cross-frame references resolve by name.
+
+        SINGLE-RANGE shapes first reduce to a per-key extremum:
+        ``EXISTS(… r.k = o.k AND r.ts <= o.ts)`` holds iff
+        ``min(r.ts) per k <= o.ts``, so the semi/anti join runs against a
+        one-row-per-key aggregate (broadcastable) instead of range-joining
+        the full inner relation — O(|keys|) join input, no hot-key pair
+        explosion."""
         if isinstance(sub_sel, SqlSetOp) or sub_sel.group_by or sub_sel.having is not None:
             raise ExecError("correlated EXISTS supports a plain inner SELECT (no set-ops/GROUP BY/HAVING)")
+        reduced = self._exists_range_extremum_join(df, scope, sub_sel, anti)
+        if reduced is not None:
+            return reduced
         inner_df, inner_scope = self._build_from(sub_sel)
         overlap = set(inner_scope.frames) & set(scope.frames)
         if overlap:
@@ -749,6 +759,45 @@ class Engine:
         for c in join_conds[1:]:
             on = on & c
         return df.join(inner_df, on=on, how="left_anti" if anti else "left_semi")
+
+    def _exists_range_extremum_join(self, df: DataFrame, scope: Scope, sub_sel, anti: bool) -> DataFrame | None:
+        """Reduce a single-range correlated EXISTS to a per-key extremum
+        semi/anti join (see _correlated_exists_join). Returns None when
+        the shape doesn't fit (no/multiple ranges, non-binary correlation
+        conjuncts, != range) — callers fall back to the generic join.
+        NULL inner operands drop out of min/max exactly as ANSI wants
+        (NULL <op> x is UNKNOWN, never a witness); an empty/absent key
+        gives no aggregate row, so the semi join rejects and the anti
+        join keeps — NOT EXISTS over the empty set is TRUE."""
+        import dataclasses
+
+        one = dataclasses.replace(sub_sel, columns=[Column(expr=NumberNode("1"))], order_by=[], limit=None)
+        try:
+            inner_df, inner_scope, pairs, ranges = self._correlation_split(scope, one, "EXISTS", allow_range=True)
+        except (ExecError, TranslateError):
+            return None
+        if len(ranges) != 1 or not pairs:
+            return None
+        op, r_ic, r_oc = ranges[0]
+        if op not in ("<", "<=", ">", ">="):
+            return None
+        self._subq_n = getattr(self, "_subq_n", 0) + 1
+        p = f"__exr{self._subq_n}"
+        key_names = [f"{p}_k{i}" for i in range(len(pairs))]
+        ext = F.min if op in ("<", "<=") else F.max
+        agg = inner_df.groupBy(*[ic.alias(kn) for (ic, _), kn in zip(pairs, key_names)]).agg(
+            ext(r_ic).alias(f"{p}_ext")
+        )
+        cmp = {
+            "<": agg[f"{p}_ext"] < r_oc,
+            "<=": agg[f"{p}_ext"] <= r_oc,
+            ">": agg[f"{p}_ext"] > r_oc,
+            ">=": agg[f"{p}_ext"] >= r_oc,
+        }[op]
+        on = cmp
+        for (_, oc), kn in zip(pairs, key_names):
+            on = (agg[kn] == oc) & on
+        return df.join(agg, on=on, how="left_anti" if anti else "left_semi")
 
     @staticmethod
     def _as_subquery_in(node: Node):

@@ -434,3 +434,34 @@ class TestSubqueryCoalescing:
             " FROM ev",
         )
         assert got[1] == (3, 0) and got[3] == (2, 2)
+
+
+class TestExistsRangeExtremum:
+    """Single-range correlated EXISTS reduces to a per-key min/max
+    semi/anti join (no range join over the full inner relation)."""
+
+    def test_exists_at_or_before(self, reng):
+        got = set(r[0] for r in reng.sql(
+            "SELECT id FROM ev WHERE EXISTS (SELECT 1 FROM ref r WHERE r.k = ev.k AND r.ts <= ev.ts)"
+        ).collect())
+        # a@10 (min a-ts 5), a@20, b@30 (min valid b-ts 30); b@5 no, c/d no
+        assert got == {1, 2, 3}
+
+    def test_not_exists_is_complement(self, reng):
+        got = set(r[0] for r in reng.sql(
+            "SELECT id FROM ev WHERE NOT EXISTS (SELECT 1 FROM ref r WHERE r.k = ev.k AND r.ts <= ev.ts)"
+        ).collect())
+        assert got == {4, 5, 6}
+
+    def test_plan_is_aggregate_semi_join(self, reng):
+        plan = reng.sql(
+            "SELECT id FROM ev WHERE EXISTS (SELECT 1 FROM ref r WHERE r.k = ev.k AND r.ts <= ev.ts)"
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "HashAggregate" in plan and "LeftSemi" in plan
+
+    def test_multi_range_falls_back_correct(self, reng):
+        # two range conjuncts → generic combined-scope join, still right
+        got = set(r[0] for r in reng.sql(
+            "SELECT id FROM ev WHERE EXISTS (SELECT 1 FROM ref r WHERE r.k = ev.k AND r.ts <= ev.ts AND r.rid > ev.id - 100)"
+        ).collect())
+        assert got == {1, 2, 3}
