@@ -1357,7 +1357,25 @@ class Engine:
         if isinstance(sub_sel, SqlSetOp):
             raise ExecError("correlated EXISTS subquery must be a plain SELECT (no set-ops)")
         one = dataclasses.replace(sub_sel, columns=[Column(expr=NumberNode("1"))], order_by=[], limit=None)
-        inner_df, inner_scope, pairs, _ = self._correlation_split(scope, one, "EXISTS")
+        inner_df, inner_scope, pairs, ranges = self._correlation_split(scope, one, "EXISTS", allow_range=True)
+        if len(ranges) > 1 or (ranges and (ranges[0][0] not in ("<", "<=", ">", ">=") or not pairs)):
+            raise ExecError(
+                "correlated EXISTS column supports equality correlation plus at most one <,<=,>,>= conjunct"
+            )
+        if ranges:
+            # per-key extremum: EXISTS(r.ts <= o.ts …) ⇔ min(r.ts) <= o.ts
+            # (max for >/>=); missing keys coalesce to FALSE
+            op, r_ic, r_oc = ranges[0]
+            ext = F.min if op in ("<", "<=") else F.max
+
+            def build(key_cols, prefix):
+                return inner_df.groupBy(*key_cols).agg(ext(r_ic).alias(f"{prefix}_ex"))
+
+            out, p = self._decorrelate_join(df, pairs, build)
+            e = F.col(f"{p}_ex")
+            cmp = {"<": e < r_oc, "<=": e <= r_oc, ">": e > r_oc, ">=": e >= r_oc}[op]
+            flag = F.coalesce(cmp, F.lit(False))
+            return SparkColNode(col=flag, dtype=T.BooleanType(), text="EXISTS(range-correlated)"), out
 
         def build(key_cols, prefix):
             return inner_df.groupBy(*key_cols).agg(F.lit(True).alias(f"{prefix}_ex"))

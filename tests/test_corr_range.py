@@ -465,3 +465,24 @@ class TestExistsRangeExtremum:
             "SELECT id FROM ev WHERE EXISTS (SELECT 1 FROM ref r WHERE r.k = ev.k AND r.ts <= ev.ts AND r.rid > ev.id - 100)"
         ).collect())
         assert got == {1, 2, 3}
+
+
+class TestExistsMarkRange:
+    """EXISTS mark columns (select list / disjunctions) with one range
+    conjunct — per-key extremum left join, coalesced to FALSE."""
+
+    def test_select_list_range_exists(self, reng):
+        got = rows_of(
+            reng,
+            "SELECT id, EXISTS (SELECT 1 FROM ref r WHERE r.k = ev.k AND r.ts <= ev.ts) AS e FROM ev",
+        )
+        assert got == {1: (True,), 2: (True,), 3: (True,), 4: (False,), 5: (False,), 6: (False,)}
+
+    def test_not_exists_mark(self, reng):
+        got = rows_of(
+            reng,
+            "SELECT id, NOT EXISTS (SELECT 1 FROM ref r WHERE r.k = ev.k AND r.ts > ev.ts) AS e FROM ev",
+        )
+        # a@10: ref a has ts 15,25 > 10 → exists → False; a@20: 25 → False;
+        # b@30/b@5: b valid ts {30}: >30 no →True@3, >5 yes→False@4; others True
+        assert got == {1: (False,), 2: (False,), 3: (True,), 4: (False,), 5: (True,), 6: (True,)}
