@@ -486,3 +486,14 @@ class TestExistsMarkRange:
         # a@10: ref a has ts 15,25 > 10 → exists → False; a@20: 25 → False;
         # b@30/b@5: b valid ts {30}: >30 no →True@3, >5 yes→False@4; others True
         assert got == {1: (False,), 2: (False,), 3: (True,), 4: (False,), 5: (True,), 6: (True,)}
+
+
+def test_multi_source_correlated_scalar(reng):
+    # JOIN inside the correlated subquery: correlation splits off the
+    # WHERE while the ON condition builds the inner frame
+    got = rows_of(
+        reng,
+        "SELECT id, (SELECT max(r.v) FROM ref r JOIN ref r2 ON r2.rid = r.rid "
+        "WHERE r.k = ev.k) AS m FROM ev",
+    )
+    assert got[1] == (3.0,) and got[3] == (7.0,) and got[5] == (None,)
