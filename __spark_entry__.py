@@ -562,15 +562,19 @@ def _dp_sessionize(spark, sf_dir):
 
 def _dp_curation_report(spark, sf_dir):
     # composite pipeline: per-language corpus stats (the shape of a
-    # training-data QA rollup: derive row features → group → aggregate)
-    from qlbridge_spark.datapipe import quality_score, token_count
+    # training-data QA rollup: derive row features → group → aggregate).
+    # round 7: + per-language average top-BIGRAM coverage (the Gopher /
+    # RefinedWeb repetition-filter family, datapipe.ngram_repetition)
+    from qlbridge_spark.datapipe import ngram_repetition, quality_score, token_count
 
     d = _docs(spark, sf_dir)
-    derived = d.select(
+    rep = ngram_repetition(d, "doc_id", "text", n=2).select("doc_id", "top_frac")
+    derived = d.join(rep, "doc_id", "left").select(
         "lang",
         token_count(F.col("text")).cast("long").alias("toks"),
         quality_score(F.col("text"), F.col("n_chars")).alias("q"),
         F.col("n_chars"),
+        F.col("top_frac"),
     )
     return (
         derived.groupBy("lang")
@@ -579,6 +583,7 @@ def _dp_curation_report(spark, sf_dir):
             F.sum("toks").alias("tokens"),
             F.round(F.avg("q"), 3).alias("avg_quality"),
             F.max("n_chars").alias("max_chars"),
+            F.round(F.avg("top_frac"), 3).alias("avg_rep"),
         )
         .orderBy("lang")
     )
@@ -963,24 +968,35 @@ def oracle_sql() -> dict[str, str]:
                 FROM events WHERE user_id < 50))
             GROUP BY user_id, session_seq""",
         "dp14_curation_report": """
+            WITH lt_t AS (
+              SELECT doc_id, lang, text, n_chars,
+                     list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS lt
+              FROM documents),
+            bigrams AS (
+              SELECT doc_id, unnest(list_transform(generate_series(1, len(lt) - 1),
+                                    i -> lt[i] || ' ' || lt[i + 1])) AS g
+              FROM lt_t WHERE len(lt) >= 2),
+            per_g AS (SELECT doc_id, g, count(*) AS c FROM bigrams GROUP BY doc_id, g),
+            rep AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top_frac FROM per_g GROUP BY doc_id)
             SELECT lang, count(*) AS docs,
                    CAST(sum(toks) AS BIGINT) AS tokens,
                    round(avg(q), 3) AS avg_quality,
-                   max(n_chars) AS max_chars
+                   max(n_chars) AS max_chars,
+                   round(avg(top_frac), 3) AS avg_rep
             FROM (
-              SELECT lang, n_chars,
+              SELECT lang, n_chars, top_frac,
                      CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS BIGINT) AS toks,
                      0.4 * least(n_chars / 500.0, 1.0)
                      + 0.3 * (CASE WHEN n_toks > 0 THEN n_distinct / n_toks ELSE 0.0 END)
                      + 0.3 * (1.0 - CASE WHEN n_chars > 0 THEN punct / CAST(n_chars AS DOUBLE) ELSE 1.0 END) AS q
               FROM (
-                SELECT lang, text, n_chars,
+                SELECT lang, text, n_chars, top_frac,
                        CAST(len(lt) AS DOUBLE) AS n_toks,
                        CAST(len(list_distinct(lt)) AS DOUBLE) AS n_distinct,
                        CAST(len(regexp_extract_all(text, '[.,;:!?()\\[\\]{}<>/\\\\|@#$%^&*~`]')) AS DOUBLE) AS punct
-                FROM (SELECT lang, text, n_chars,
-                             list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS lt
-                      FROM documents)))
+                FROM (SELECT d.lang, d.text, d.n_chars, rep.top_frac,
+                             list_filter(string_split_regex(lower(trim(d.text)), '\\s+'), x -> x <> '') AS lt
+                      FROM documents d LEFT JOIN rep ON rep.doc_id = d.doc_id)))
             GROUP BY lang ORDER BY lang""",
         # dp07: the Spark side is MinHash-LSH candidates + exact n-gram
         # Jaccard verify with single-hash bands (the entry runs

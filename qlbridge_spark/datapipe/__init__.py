@@ -37,6 +37,7 @@ from .text import (
     chunk_documents,
     fingerprint,
     lang_id,
+    ngram_repetition,
     pack_sequences,
     quality_score,
     scrub_stats,
@@ -72,6 +73,7 @@ __all__ = [
     "chunk_documents",
     "scrub_text",
     "pack_sequences",
+    "ngram_repetition",
     "scrub_stats",
     "fingerprint",
     "tfidf_top_terms",

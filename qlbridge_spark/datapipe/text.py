@@ -264,3 +264,41 @@ def pack_sequences(
     wbin = Window.partitionBy("pack_bucket", "pack_bin").orderBy(*[F.col(c) for c in id_cols])
     df = df.withColumn("bin_fill", F.sum(F.col(token_col)).over(wbin.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     return df
+
+
+def ngram_repetition(df, id_col: str, text_col: str, n: int = 2):
+    """Per-document n-gram REPETITION: the fraction of all n-gram
+    occurrences taken by the single most frequent n-gram — the
+    top-n-gram-coverage family of quality filters (heavily repeated
+    bigrams mark boilerplate/spam; published pipelines drop documents
+    above a coverage threshold).
+
+    Counted n-grams include repeats (occurrence counting, not the
+    distinct-shingle sets dedup uses). Explode + two-level aggregate —
+    map-side partial aggregation both times, one shuffle on the doc id.
+    Documents with fewer than n tokens report 0 occurrences and a NULL
+    fraction. Returns (id, top_ngram, top_n, total_n, top_frac)."""
+    toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != F.lit(""))
+    k = F.size(toks) - (n - 1)
+    grams = F.when(
+        k > 0,
+        F.transform(F.sequence(F.lit(1), k), lambda i: F.array_join(F.slice(toks, i, n), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = df.select(F.col(id_col).alias("__id"), F.explode_outer(grams).alias("__g"))
+    per_gram = exploded.groupBy("__id", "__g").agg(F.count(F.col("__g")).alias("__c"))
+    return (
+        per_gram.groupBy("__id")
+        .agg(
+            F.max_by("__g", F.struct(F.col("__c"), F.col("__g"))).alias("top_ngram"),
+            F.max("__c").alias("top_n"),
+            F.sum("__c").alias("total_n"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            F.when(F.col("top_n").isNotNull(), F.col("top_ngram")).otherwise(F.lit(None)).alias("top_ngram"),
+            F.coalesce(F.col("top_n"), F.lit(0)).alias("top_n"),
+            F.coalesce(F.col("total_n"), F.lit(0)).alias("total_n"),
+            # ANSI-safe: guard the 0-occurrence case instead of 0/0
+            F.when(F.col("total_n") > 0, F.col("top_n") / F.col("total_n")).alias("top_frac"),
+        )
+    )

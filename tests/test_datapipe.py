@@ -822,3 +822,39 @@ class TestPackSequences:
         plan = pack_sequences(df, ["doc_id", "chunk_idx"], "n_tok")._jdf.queryExecution().executedPlan().toString()
         # both windows share the pack_bucket partitioning: one Exchange
         assert plan.count("Exchange") == 1 and "BatchEvalPython" not in plan
+
+
+class TestNgramRepetition:
+    def test_top_bigram_coverage(self, spark):
+        from qlbridge_spark.datapipe import ngram_repetition
+
+        df = spark.createDataFrame(
+            [
+                (1, "spam spam spam spam"),          # "spam spam" ×3 of 3 bigrams
+                (2, "a b c d e"),                     # all bigrams unique
+                (3, "x"),                             # < 2 tokens
+                (4, ""),                              # empty
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in ngram_repetition(df, "doc_id", "text", n=2).collect()}
+        assert out[1]["top_ngram"] == "spam spam" and out[1]["top_n"] == 3 and out[1]["total_n"] == 3
+        assert out[1]["top_frac"] == 1.0
+        assert out[2]["top_n"] == 1 and out[2]["total_n"] == 4 and out[2]["top_frac"] == 0.25
+        assert out[3]["top_n"] == 0 and out[3]["top_frac"] is None
+        assert out[4]["top_n"] == 0 and out[4]["top_frac"] is None
+
+    def test_counts_occurrences_not_distinct(self, spark):
+        from qlbridge_spark.datapipe import ngram_repetition
+
+        df = spark.createDataFrame([(1, "a b a b a")], "doc_id long, text string")
+        r = ngram_repetition(df, "doc_id", "text", n=2).collect()[0]
+        # bigrams: "a b","b a","a b","b a" → top 2 of 4
+        assert r["top_n"] == 2 and r["total_n"] == 4 and r["top_frac"] == 0.5
+
+    def test_no_python_in_plan(self, spark):
+        from qlbridge_spark.datapipe import ngram_repetition
+
+        df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        plan = ngram_repetition(df, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
