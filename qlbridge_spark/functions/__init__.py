@@ -1146,3 +1146,54 @@ def _epoch_us(n, s):
     # TIMESTAMP_NTZ input uncast when spark.sql.timestampType=NTZ, and
     # unix_micros rejects NTZ
     return F.unix_micros(_c(n, s).cast("timestamp_ltz"))
+
+
+# ===========================================================================
+# training-data pipeline builtins — SQL bridges to qlbridge_spark.datapipe
+# (superset: no reference counterpart; lets the SQL surface run the same
+# curation ops the Python API exposes)
+# ===========================================================================
+@_reg("tokencount", return_type=T.LongType())
+def _tokencount(n, s):
+    """tokencount(text[, mode]) — whitespace (default) or 'bpe'."""
+    from ..datapipe.text import token_count as _tc
+
+    mode = "whitespace"
+    if len(n.args) > 1:
+        mode = _require_str_literal(n.args[1], "tokencount mode")
+    return _tc(_c(n, s), mode).cast("long")
+
+
+@_reg("qualityscore", return_type=T.DoubleType())
+def _qualityscore(n, s):
+    from ..datapipe.text import quality_score as _qs
+
+    return _qs(_c(n, s))
+
+
+@_reg("langid", return_type=T.StringType())
+def _langid(n, s):
+    from ..datapipe.text import lang_id as _li
+
+    return _li(_c(n, s))
+
+
+@_reg("scrub", return_type=T.StringType())
+def _scrub(n, s):
+    """scrub(text[, kind, ...]) — redact email/url/ipv4 (default) or the
+    named kinds (email, url, ipv4, phone)."""
+    from ..datapipe.text import scrub_text as _st
+
+    kinds = tuple(_require_str_literal(a, "scrub kind") for a in n.args[1:]) or ("email", "url", "ipv4")
+    try:
+        return _st(_c(n, s), kinds)
+    except ValueError as exc:
+        raise TranslateError(str(exc)) from None
+
+
+def _require_str_literal(node, what: str) -> str:
+    from ..nodes import StringNode
+
+    if not isinstance(node, StringNode):
+        raise TranslateError(f"{what} must be a string literal")
+    return node.value

@@ -250,3 +250,40 @@ def _arg(n, s):
     from qlbridge_spark import to_column
 
     return to_column(n.args[0], s)
+
+
+class TestPipelineBuiltins:
+    """SQL bridges to the datapipe text ops (superset builtins)."""
+
+    @pytest.fixture(scope="class")
+    def peng(self, spark):
+        from qlbridge_spark import Engine
+
+        eng = Engine(spark, "pipe_builtins")
+        eng.register_df(
+            "pdocs",
+            spark.createDataFrame(
+                [(1, "Hello WORLD write to bob@x.io or https://a.io from 10.0.0.1")],
+                "id long, text string",
+            ),
+        )
+        return eng
+
+    def test_tokencount_modes(self, peng):
+        r = peng.sql('SELECT tokencount(text) AS ws, tokencount(text, "bpe") AS b FROM pdocs').collect()[0]
+        assert r["ws"] == 9 and r["b"] > r["ws"]
+
+    def test_scrub_and_langid(self, peng):
+        r = peng.sql('SELECT scrub(text) AS c, langid(text) AS lg, qualityscore(text) AS q FROM pdocs').collect()[0]
+        assert "<EMAIL>" in r["c"] and "<URL>" in r["c"] and "<IP>" in r["c"]
+        assert r["lg"] == "en" and 0.0 <= r["q"] <= 1.0
+
+    def test_scrub_kind_selection(self, peng):
+        r = peng.sql('SELECT scrub(text, "email") AS c FROM pdocs').collect()[0]
+        assert "<EMAIL>" in r["c"] and "https://a.io" in r["c"]
+
+    def test_bad_literal_errors(self, peng):
+        from qlbridge_spark.translate import TranslateError
+
+        with pytest.raises(TranslateError, match="string literal"):
+            peng.sql("SELECT tokencount(text, id) AS x FROM pdocs").collect()
