@@ -705,6 +705,16 @@ def decontaminate(
         .where(F.col("__g") != "")
         .distinct()
     )
+    if df.isStreaming:
+        # Spark can't anti-join a stream on the right; fold the (tiny,
+        # static) benchmark gram set into a per-row hash-set membership
+        # filter instead — stateless, works in any output mode. Hash the
+        # grams so the literal carries longs, not full shingle strings.
+        hashes = sorted(r[0] for r in bench_grams.select(F.xxhash64("__g")).collect())
+        hset = F.lit(hashes).cast("array<bigint>")
+        doc_grams = _word_shingles(F.col(text_col), n)
+        hit = F.exists(doc_grams, lambda g: F.array_contains(hset, F.xxhash64(g)))
+        return df.where(~F.coalesce(hit, F.lit(False)))
     corpus_grams = df.select(F.col(id_col).alias("__cid"), F.explode(_word_shingles(F.col(text_col), n)).alias("__g"))
     contaminated = corpus_grams.join(F.broadcast(bench_grams), "__g").select("__cid").distinct()
     return df.join(contaminated, on=df[id_col] == contaminated["__cid"], how="left_anti")

@@ -500,3 +500,52 @@ class TestStreamingNearDup:
             assert not any(6 in p for p in found), "state must have expired by event time"
         finally:
             q.stop()
+
+
+class TestStreamingPipelineOps:
+    """The round-7 curation ops compose with Structured Streaming:
+    chunk_documents is a stateless projection (works on any stream);
+    decontaminate is a stream-static LEFT ANTI join."""
+
+    def test_chunk_documents_on_stream(self, spark, tmp_path):
+        from qlbridge_spark.datapipe import chunk_documents
+
+        src_dir = str(tmp_path / "chunk_src")
+        b = spark.createDataFrame([(1, " ".join(f"t{i}" for i in range(10)))], "doc_id long, text string")
+        b.write.parquet(src_dir)
+        stream = spark.readStream.schema(b.schema).parquet(src_dir)
+        chunks = chunk_documents(stream, "doc_id", "text", chunk_tokens=4, overlap=1)
+        assert chunks.isStreaming
+        q = (
+            chunks.writeStream.outputMode("append").format("memory")
+            .queryName("chunk_out").option("checkpointLocation", str(tmp_path / "ck1")).start()
+        )
+        try:
+            q.processAllAvailable()
+            rows = spark.sql("SELECT * FROM chunk_out ORDER BY chunk_idx").collect()
+            assert [r["chunk_text"] for r in rows] == ["t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9"]
+        finally:
+            q.stop()
+
+    def test_decontaminate_stream_static(self, spark, tmp_path):
+        from qlbridge_spark.datapipe import decontaminate
+
+        src_dir = str(tmp_path / "dec_src")
+        b = spark.createDataFrame(
+            [(1, "alpha beta gamma delta"), (2, "one two three four")], "doc_id long, text string"
+        )
+        b.write.parquet(src_dir)
+        stream = spark.readStream.schema(b.schema).parquet(src_dir)
+        bench = spark.createDataFrame([(9, "zz one two three qq")], "doc_id long, text string")
+        clean = decontaminate(stream, bench, "doc_id", "text", n=3)
+        assert clean.isStreaming
+        q = (
+            clean.writeStream.outputMode("append").format("memory")
+            .queryName("dec_out").option("checkpointLocation", str(tmp_path / "ck2")).start()
+        )
+        try:
+            q.processAllAvailable()
+            kept = [r["doc_id"] for r in spark.sql("SELECT doc_id FROM dec_out").collect()]
+            assert kept == [1]
+        finally:
+            q.stop()
