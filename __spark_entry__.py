@@ -237,9 +237,19 @@ _Q = {
                median(c_nationkey) AS med_nk,
                percentile_cont(c_nationkey, 0.25) AS p25_nk
         FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
-    # §2.3 CROSS JOIN (comma form)
+    # §2.3 CROSS JOIN (comma form) + lateral UNNEST + (VALUES …) table
+    # constructor + ANSI NULLS ordering (all supersets; reference grammar
+    # has none — lex/dialect_sql.go). The UNNEST lowers to a Generate
+    # (narrow, zero-shuffle); VALUES is a fixed 2-row frame cross-joined in.
     "q28_cross_join": """
-        SELECT count(*) AS pairs FROM region, nation""",
+        SELECT v.grp, u.w AS word, count(*) AS n
+        FROM part p,
+             UNNEST(split(p.p_name, " ")) AS u(w),
+             (VALUES (1, "a"), (2, "b")) AS v(k, grp)
+        WHERE p.p_partkey <= 100
+        GROUP BY v.grp, u.w
+        ORDER BY n DESC NULLS LAST, word, grp
+        LIMIT 40""",
     # time-bucketed multi-key agg (events pipeline shape) + exclusive
     # BETWEEN over timestamps (vm/vm.go:901, folded from retired q24)
     "q30_dow_profile": """
@@ -825,7 +835,14 @@ def oracle_sql() -> dict[str, str]:
                    quantile_cont(c_nationkey, 0.25) AS p25_nk
             FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
         "q28_cross_join": """
-            SELECT count(*) AS pairs FROM region, nation""",
+            SELECT v.grp, u.w AS word, count(*) AS n
+            FROM part p,
+                 UNNEST(string_split(p.p_name, ' ')) AS u(w),
+                 (VALUES (1, 'a'), (2, 'b')) AS v(k, grp)
+            WHERE p.p_partkey <= 100
+            GROUP BY v.grp, u.w
+            ORDER BY n DESC NULLS LAST, word, grp
+            LIMIT 40""",
         "q30_dow_profile": """
             SELECT CAST(dayofweek(ts) AS BIGINT) AS dow, event_type, count(*) AS n
             FROM events

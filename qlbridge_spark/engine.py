@@ -30,6 +30,7 @@ from . import functions as funcs
 from .nodes import (
     BinaryNode,
     BooleanNode,
+    BoolNode,
     FuncNode,
     IdentityNode,
     Node,
@@ -540,8 +541,30 @@ class Engine:
         return out
 
     # -- FROM / joins ----------------------------------------------------
+    def _values_frame(self, src: FromSource) -> DataFrame:
+        """(VALUES (…), (…)) AS t(c1, c2) — ANSI row constructor
+        (superset; the reference's VALUES exists only inside INSERT).
+        Each row is a 1-row projection over ``range(1)`` (rows may hold
+        expressions — now(), uuid()); positional union coerces types the
+        ANSI way. VALUES lists are small by construction — this never
+        scales with data, so the union chain is fine."""
+        ncols = len(src.values_rows[0])
+        names = src.out_cols or [f"col{i}" for i in range(ncols)]
+        if len(names) != ncols:
+            raise ExecError(f"VALUES arity {ncols} does not match column list {names}")
+        scope = Scope({}, includes=self.includes, params=self.session_vars)
+        out = None
+        for r in src.values_rows:
+            one = self.spark.range(1).select(
+                *[to_column(node, scope).alias(n) for node, n in zip(r, names)]
+            )
+            out = one if out is None else out.unionAll(one)
+        return out
+
     def _resolve_source(self, src: FromSource, sel: SqlSelect | None = None) -> DataFrame:
-        if src.subquery is not None:
+        if src.values_rows is not None:
+            df = self._values_frame(src)
+        elif src.subquery is not None:
             df = self._select_any(src.subquery)
         else:
             df = None
@@ -559,16 +582,70 @@ class Engine:
                 df = F.broadcast(df)
         return df.alias(src.ref)
 
+    def _apply_unnest(
+        self,
+        joined: DataFrame,
+        src: FromSource,
+        frames: dict[str, DataFrame],
+        physical: dict[str, str],
+    ) -> DataFrame:
+        """Lateral UNNEST: explode the array expression against the frame
+        built so far. CROSS/INNER drops rows whose array is empty/NULL
+        (explode); LEFT keeps them with a NULL element (explode_outer) —
+        ANSI lateral-join semantics. WITH ORDINALITY adds a 1-based
+        position column via posexplode. The generator output lands as an
+        UNQUALIFIED column on the joined frame under a collision-proof
+        internal name; ``physical`` lets the scope route ``u.x`` (and the
+        bare name) to it. No shuffle: Generate is a narrow operator."""
+        scope = Scope(
+            dict(frames), includes=self.includes, params=self.session_vars, physical=dict(physical)
+        )
+        arr = to_column(src.unnest, scope)
+        ref = src.ref
+        val_name = src.out_cols[0] if src.out_cols else ref
+        phys_val = f"__un_{ref}_{val_name}"
+        outer = src.join_type.startswith("LEFT") or src.join_type.startswith("FULL")
+        if src.join_expr is not None and not (
+            isinstance(src.join_expr, BoolNode) and src.join_expr.value
+        ):
+            raise ExecError("JOIN UNNEST(...) supports only ON true (lateral joins have no key)")
+        if src.ordinality:
+            ord_name = src.out_cols[1] if len(src.out_cols) > 1 else "ordinality"
+            phys_ord = f"__un_{ref}_{ord_name}"
+            gen = F.posexplode_outer(arr) if outer else F.posexplode(arr)
+            joined = joined.select("*", gen.alias("__un_pos", phys_val))
+            joined = joined.withColumn(phys_ord, F.col("__un_pos") + F.lit(1)).drop("__un_pos")
+            out_names = [(val_name, phys_val), (ord_name, phys_ord)]
+        else:
+            gen = F.explode_outer(arr) if outer else F.explode(arr)
+            joined = joined.select("*", gen.alias(phys_val))
+            out_names = [(val_name, phys_val)]
+        for name, phys in out_names:
+            physical[f"{ref.lower()}.{name.lower()}"] = phys
+        # register a schema-only view of the generator output so the scope
+        # (and `u.*` expansion) sees the user-facing names/dtypes; never
+        # executed — resolution goes through ``physical``
+        frames[ref] = joined.select(
+            *[F.col(phys).alias(name) for name, phys in out_names]
+        ).alias(ref)
+        return joined
+
     def _build_from(self, sel: SqlSelect) -> tuple[DataFrame, Scope]:
         frames: dict[str, DataFrame] = {}
+        physical: dict[str, str] = {}
         first = sel.from_[0]
+        if first.unnest is not None:
+            raise ExecError("UNNEST needs a preceding FROM source to be lateral over")
         df = self._resolve_source(first, sel)
         frames[first.ref] = df
         joined = df
         for src in sel.from_[1:]:
+            if src.unnest is not None:
+                joined = self._apply_unnest(joined, src, frames, physical)
+                continue
             other = self._resolve_source(src, sel)
             frames[src.ref] = other
-            scope = Scope(dict(frames), includes=self.includes, params=self.session_vars)
+            scope = Scope(dict(frames), includes=self.includes, params=self.session_vars, physical=dict(physical))
             how = {
                 "": "inner",
                 "INNER": "inner",
@@ -586,7 +663,7 @@ class Engine:
                 joined = joined.join(other, on=cond, how=how)
             else:
                 joined = joined.crossJoin(other)
-        scope = Scope(frames, includes=self.includes, params=self.session_vars)
+        scope = Scope(frames, includes=self.includes, params=self.session_vars, physical=physical)
         return joined, scope
 
     # -- WHERE -------------------------------------------------------------
@@ -829,7 +906,11 @@ class Engine:
                     break
             name = name or (g.name if isinstance(g, IdentityNode) else f"_g{i}")
             gcol = to_column(g, scope)
-            if not (isinstance(g, IdentityNode) and g.parts[-1] == name):
+            if isinstance(g, IdentityNode) and scope.physical_name(g) is not None:
+                # lateral (UNNEST) output: the physical column carries an
+                # internal name — always re-alias to the user-facing one
+                gcol = gcol.alias(name)
+            elif not (isinstance(g, IdentityNode) and g.parts[-1] == name):
                 # alias only when the output name differs from the bare
                 # column — a redundant alias would break grouping():
                 # Spark matches its argument against the grouping columns
@@ -2403,11 +2484,13 @@ class Engine:
                     if frame is None:
                         raise ExecError(f"unknown alias {tref}.*")
                     for fc in frame.columns:
-                        proj.append(F.col(f"{tref}.{fc}" if scope.multi else fc))
+                        # scope.col routes lateral (UNNEST) outputs to
+                        # their physical unqualified columns
+                        proj.append(scope.col(IdentityNode((tref, fc))).alias(fc))
                         names.append(fc)
                 else:
                     for fc in scope.columns():
-                        proj.append(scope.col(IdentityNode((fc,))))
+                        proj.append(scope.col(IdentityNode((fc,))).alias(fc))
                         names.append(fc)
                 continue
             col = to_column(c.expr, scope)
@@ -2428,7 +2511,16 @@ class Engine:
 
     @staticmethod
     def _directional(col: SparkColumn, direction: str):
-        return [col.desc() if direction == "DESC" else col.asc()]
+        """ASC/DESC with optional ANSI NULLS FIRST/LAST. Spark's defaults
+        (ASC→NULLS FIRST, DESC→NULLS LAST) apply when unspecified."""
+        words = direction.upper().split()
+        desc = bool(words) and words[0] == "DESC"
+        nulls = words[-1] if "NULLS" in words else None
+        if nulls == "FIRST":
+            return [col.desc_nulls_first() if desc else col.asc_nulls_first()]
+        if nulls == "LAST":
+            return [col.desc_nulls_last() if desc else col.asc_nulls_last()]
+        return [col.desc() if desc else col.asc()]
 
     def _order_limit(self, df: DataFrame, scope: Scope, sel: SqlSelect, post_agg: bool) -> DataFrame:
         if sel.distinct:
@@ -2439,7 +2531,16 @@ class Engine:
                 if isinstance(e, NumberNode):
                     c = F.col(df.columns[int(e.text) - 1])
                 else:
-                    c = to_column(e, Scope({"_": df}, includes=self.includes, params=self.session_vars))
+                    out_scope = Scope({"_": df}, includes=self.includes, params=self.session_vars)
+                    try:
+                        c = to_column(e, out_scope)
+                    except TranslateError:
+                        # qualified group key (`ORDER BY t.k` after GROUP BY
+                        # t.k): post-agg only the bare output name survives
+                        if isinstance(e, IdentityNode) and len(e.parts) > 1:
+                            c = to_column(IdentityNode((e.parts[-1],)), out_scope)
+                        else:
+                            raise
                 cols.extend(self._directional(c, direction))
             df = df.orderBy(*cols)
         if sel.offset:

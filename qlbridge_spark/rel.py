@@ -67,13 +67,20 @@ class Column:
 
 @dataclass
 class FromSource:
-    """FROM clause element (rel/sql.go:126-133)."""
+    """FROM clause element (rel/sql.go:126-133). Supersets: ``UNNEST(expr)
+    [WITH ORDINALITY]`` lateral table functions and ``(VALUES …)`` row
+    constructors — neither exists in the reference grammar
+    (lex/dialect_sql.go statement list)."""
 
     name: str | None = None
     alias: str | None = None
     subquery: "SqlSelect | None" = None
     join_type: str = ""  # "", INNER, LEFT, RIGHT, OUTER, CROSS, FULL
     join_expr: Node | None = None
+    unnest: Node | None = None  # UNNEST(<array expr>) lateral source
+    ordinality: bool = False  # UNNEST(...) WITH ORDINALITY
+    out_cols: list[str] = field(default_factory=list)  # AS t(c1, c2, ...)
+    values_rows: list | None = None  # (VALUES (...), (...)) rows of Nodes
 
     @property
     def ref(self) -> str:
@@ -448,6 +455,14 @@ class SqlParser(ExprParser):
                 direction = "ASC"
                 if self.at_kw("ASC", "DESC"):
                     direction = self.advance().upper
+                if self.at_kw("NULLS"):
+                    # ANSI NULLS FIRST | NULLS LAST (superset; Spark's
+                    # defaults are ASC→NULLS FIRST, DESC→NULLS LAST)
+                    self.advance()
+                    pos = self.advance()
+                    if pos.kind != IDENT or pos.upper not in ("FIRST", "LAST"):
+                        raise ParseError(f"expected FIRST or LAST after NULLS, got {pos!r}")
+                    direction += f" NULLS {pos.upper}"
                 sel.order_by.append((e, direction))
                 if self.cur().kind == COMMA:
                     self.advance()
@@ -526,11 +541,52 @@ class SqlParser(ExprParser):
 
     def parse_one_source(self) -> FromSource:
         t = self.cur()
-        if t.kind == LPAREN:
+        if t.kind == LPAREN and self.peek().kind == IDENT and self.peek().upper == "VALUES":
+            # (VALUES (1, 'a'), (2, 'b')) AS t(x, y) — ANSI table value
+            # constructor (superset; reference VALUES exists only in INSERT)
+            self.advance()
+            self.advance()  # VALUES
+            rows: list[list[Node]] = []
+            while self.cur().kind == LPAREN:
+                self.advance()
+                row: list[Node] = []
+                while self.cur().kind != RPAREN:
+                    row.append(self.parse_expr())
+                    if self.cur().kind == COMMA:
+                        self.advance()
+                self.expect(RPAREN)
+                rows.append(row)
+                if self.cur().kind == COMMA:
+                    self.advance()
+                else:
+                    break
+            if not rows:
+                raise ParseError("VALUES needs at least one row")
+            if any(len(r) != len(rows[0]) for r in rows):
+                raise ParseError("VALUES rows differ in arity")
+            self.expect(RPAREN)
+            src = FromSource(values_rows=rows)
+        elif t.kind == LPAREN:
             self.advance()
             sub = self.parse_select_chain()
             self.expect(RPAREN)
             src = FromSource(subquery=sub)
+        elif t.kind == IDENT and t.upper == "UNNEST" and self.peek().kind == LPAREN:
+            # UNNEST(<array expr>) [WITH ORDINALITY] AS t(v[, ord]) —
+            # lateral explode over the frame built so far (ANSI superset)
+            self.advance()
+            self.advance()  # (
+            expr = self.parse_expr()
+            self.expect(RPAREN)
+            src = FromSource(unnest=expr)
+            if (
+                self.at_kw("WITH")
+                and self.peek().kind == IDENT
+                and self.peek().upper == "ORDINALITY"
+            ):
+                self.advance()
+                self.advance()
+                src.ordinality = True
         else:
             name = self.advance()
             if name.kind not in (IDENT, QIDENT):
@@ -540,6 +596,14 @@ class SqlParser(ExprParser):
             src.alias = self.advance().val
         elif self.cur().kind in (IDENT, QIDENT) and self.cur().upper not in _CLAUSE_END and self.cur().upper not in _JOIN_WORDS and self.cur().upper != "ON":
             src.alias = self.advance().val
+        if src.alias is not None and self.cur().kind == LPAREN and (src.values_rows is not None or src.unnest is not None or src.subquery is not None):
+            # derived-column-list: AS t(c1, c2, ...)
+            self.advance()
+            while self.cur().kind != RPAREN:
+                src.out_cols.append(self.advance().val)
+                if self.cur().kind == COMMA:
+                    self.advance()
+            self.expect(RPAREN)
         return src
 
     def parse_with(self) -> dict:

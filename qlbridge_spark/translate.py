@@ -189,6 +189,7 @@ class Scope:
         includes: dict[str, Node] | None = None,
         params: dict[str, object] | None = None,
         strict: bool = True,
+        physical: dict[str, str] | None = None,
     ):
         """``strict=False`` resolves unknown identities to NULL instead of
         erroring — the reference's VM/FilterQL behavior over schemaless
@@ -200,6 +201,10 @@ class Scope:
         self.includes = includes or {}
         self.params = params or {}
         self.strict = strict
+        # lateral sources (UNNEST) materialize as UNQUALIFIED generator
+        # output columns on the joined frame; ``physical`` maps
+        # "alias.field" (lower) → the actual column name to reference
+        self.physical = physical or {}
         self._fields: dict[str, tuple[str, T.StructField]] = {}
         self._ambiguous: set[str] = set()
         multi = len(self.frames) > 1
@@ -244,7 +249,11 @@ class Scope:
                     if take == 1 and key in self._ambiguous:
                         raise TranslateError(f"ambiguous column {parts[0]!r} (defined by multiple tables); qualify with an alias")
                     alias, fld = hit
-                    colref = f"{alias}.{fld.name}" if self.multi else fld.name
+                    phys = self.physical.get(f"{alias.lower()}.{fld.name.lower()}")
+                    if phys is not None:
+                        colref = phys
+                    else:
+                        colref = f"{alias}.{fld.name}" if self.multi else fld.name
                     return F.col(colref), fld.dataType, parts[take:]
         if not self.strict:
             return F.lit(None), T.NullType(), ()
@@ -256,6 +265,20 @@ class Scope:
         for p in rest:
             c = c[p]
         return c
+
+    def physical_name(self, ident: IdentityNode) -> str | None:
+        """The physical column this identity routes to when a lateral
+        (UNNEST) rename applies; None for ordinary columns."""
+        if not self.physical:
+            return None
+        parts = ident.parts
+        for take in (2, 1):
+            if len(parts) >= take:
+                hit = self._fields.get(".".join(parts[:take]).lower())
+                if hit is not None:
+                    alias, fld = hit
+                    return self.physical.get(f"{alias.lower()}.{fld.name.lower()}")
+        return None
 
     def dtype(self, ident: IdentityNode) -> T.DataType | None:
         c, dt, rest = self._resolve(ident)

@@ -1,0 +1,183 @@
+"""Lateral UNNEST, (VALUES ...) table constructors, and ANSI
+NULLS FIRST/LAST ordering — all supersets (the reference grammar has
+none of them: lex/dialect_sql.go statement list; VALUES exists only in
+INSERT, rel/sql.go).
+
+Plan shape: UNNEST lowers to a Generate (narrow, no shuffle); VALUES
+lowers to a union of 1-row projections (never data-sized)."""
+
+import pytest
+
+from qlbridge_spark.engine import ExecError
+from qlbridge_spark.rel import parse_sql
+from qlbridge_spark.translate import TranslateError
+
+
+@pytest.fixture(scope="module")
+def eng(spark):
+    from qlbridge_spark import Engine
+
+    e = Engine(spark)
+    e.register_df(
+        "docs",
+        spark.createDataFrame(
+            [(1, ["a", "b"], "x"), (2, [], "y"), (3, ["c"], "z"), (4, None, "w")],
+            "id int, toks array<string>, lab string",
+        ),
+    )
+    e.register_df(
+        "nv",
+        spark.createDataFrame([(1, None), (2, 5), (3, 1), (4, None)], "id int, v int"),
+    )
+    return e
+
+
+class TestValues:
+    def test_basic(self, eng):
+        rows = eng.execute(
+            "SELECT t.a, t.b FROM (VALUES (1, 'one'), (2, 'two')) AS t(a, b) ORDER BY a"
+        ).collect()
+        assert [(r.a, r.b) for r in rows] == [(1, "one"), (2, "two")]
+
+    def test_default_column_names(self, eng):
+        df = eng.execute("SELECT * FROM (VALUES (10, 20)) AS t")
+        assert df.columns == ["col0", "col1"]
+        assert df.collect()[0][0] == 10
+
+    def test_expressions_in_rows(self, eng):
+        rows = eng.execute(
+            "SELECT x FROM (VALUES (1 + 1), (10 * 2)) AS t(x) ORDER BY x"
+        ).collect()
+        assert [r.x for r in rows] == [2, 20]
+
+    def test_join_against_table(self, eng):
+        rows = eng.execute(
+            "SELECT d.id, v.nm FROM docs d JOIN (VALUES (1, 'uno'), (3, 'tres')) AS v(k, nm)"
+            " ON d.id = v.k ORDER BY d.id"
+        ).collect()
+        assert [(r.id, r.nm) for r in rows] == [(1, "uno"), (3, "tres")]
+
+    def test_arity_mismatch_errors(self, eng):
+        from qlbridge_spark.rel import ParseError
+
+        with pytest.raises(ParseError):
+            parse_sql("SELECT * FROM (VALUES (1, 2), (3)) AS t(a, b)")
+        with pytest.raises(ExecError):
+            eng.execute("SELECT * FROM (VALUES (1, 2)) AS t(a, b, c)")
+
+    def test_type_coercion_across_rows(self, eng):
+        rows = eng.execute(
+            "SELECT x FROM (VALUES (1), (2.5)) AS t(x) ORDER BY x"
+        ).collect()
+        assert [r.x for r in rows] == [1.0, 2.5]
+
+
+class TestUnnest:
+    def test_cross_drops_empty_and_null(self, eng):
+        rows = eng.execute(
+            "SELECT d.id, u.tok FROM docs d, UNNEST(d.toks) AS u(tok) ORDER BY d.id, u.tok"
+        ).collect()
+        assert [(r.id, r.tok) for r in rows] == [(1, "a"), (1, "b"), (3, "c")]
+
+    def test_left_keeps_empty_rows(self, eng):
+        rows = eng.execute(
+            "SELECT d.id, u.tok FROM docs d LEFT JOIN UNNEST(d.toks) AS u(tok) ON true"
+            " ORDER BY d.id, u.tok"
+        ).collect()
+        ids = [(r.id, r.tok) for r in rows]
+        assert (2, None) in ids and (4, None) in ids and (1, "a") in ids
+
+    def test_with_ordinality(self, eng):
+        rows = eng.execute(
+            "SELECT d.id, u.tok, u.pos FROM docs d, UNNEST(d.toks) WITH ORDINALITY"
+            " AS u(tok, pos) ORDER BY d.id, u.pos"
+        ).collect()
+        assert [(r.id, r.tok, r.pos) for r in rows] == [(1, "a", 1), (1, "b", 2), (3, "c", 1)]
+
+    def test_ordinality_default_name(self, eng):
+        df = eng.execute(
+            "SELECT * FROM docs d, UNNEST(d.toks) WITH ORDINALITY AS u(tok)"
+        )
+        assert "ordinality" in df.columns
+
+    def test_group_by_unnested(self, eng):
+        rows = eng.execute(
+            "SELECT u.tok, sum(d.id) AS s FROM docs d, UNNEST(d.toks) AS u(tok)"
+            " GROUP BY u.tok ORDER BY u.tok"
+        ).collect()
+        assert [(r.tok, r.s) for r in rows] == [("a", 1), ("b", 1), ("c", 3)]
+
+    def test_where_on_unnested(self, eng):
+        rows = eng.execute(
+            "SELECT tok FROM docs d, UNNEST(toks) AS u(tok) WHERE tok != 'b' ORDER BY tok"
+        ).collect()
+        assert [r.tok for r in rows] == ["a", "c"]
+
+    def test_star_and_table_star(self, eng):
+        df = eng.execute("SELECT * FROM docs d, UNNEST(toks) AS u(tok)")
+        assert df.columns == ["id", "toks", "lab", "tok"]
+        df2 = eng.execute("SELECT u.* FROM docs d, UNNEST(toks) AS u(tok)")
+        assert df2.columns == ["tok"]
+
+    def test_join_after_unnest(self, eng):
+        rows = eng.execute(
+            "SELECT d.id, u.tok, d2.lab FROM docs d, UNNEST(d.toks) AS u(tok), docs d2"
+            " WHERE d.id = d2.id ORDER BY d.id, u.tok"
+        ).collect()
+        assert [(r.id, r.tok, r.lab) for r in rows] == [(1, "a", "x"), (1, "b", "x"), (3, "c", "z")]
+
+    def test_alias_without_column_list(self, eng):
+        rows = eng.execute(
+            "SELECT d.id, u FROM docs d, UNNEST(d.toks) AS u ORDER BY d.id, u"
+        ).collect()
+        assert [r.u for r in rows] == ["a", "b", "c"]
+
+    def test_expression_argument(self, eng):
+        rows = eng.execute(
+            "SELECT w FROM docs d, UNNEST(split(d.lab, ',')) AS t(w) WHERE d.id = 1"
+        ).collect()
+        assert [r.w for r in rows] == ["x"]
+
+    def test_no_shuffle_plan(self, eng):
+        plan = eng.execute(
+            "SELECT d.id, u.tok FROM docs d, UNNEST(d.toks) AS u(tok)"
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # Generate is narrow — lateral costs no shuffle
+        assert "Generate" in plan
+
+    def test_unnest_first_source_errors(self, eng):
+        with pytest.raises(ExecError):
+            eng.execute("SELECT * FROM UNNEST(array(1, 2)) AS t(x)")
+
+    def test_on_condition_must_be_true(self, eng):
+        with pytest.raises(ExecError):
+            eng.execute(
+                "SELECT * FROM docs d LEFT JOIN UNNEST(d.toks) AS u(tok) ON d.id = 1"
+            )
+
+
+class TestNullsOrdering:
+    def test_desc_nulls_first(self, eng):
+        rows = eng.execute("SELECT id FROM nv ORDER BY v DESC NULLS FIRST, id").collect()
+        assert [r.id for r in rows] == [1, 4, 2, 3]
+
+    def test_asc_nulls_last(self, eng):
+        rows = eng.execute("SELECT id FROM nv ORDER BY v ASC NULLS LAST, id").collect()
+        assert [r.id for r in rows] == [3, 2, 1, 4]
+
+    def test_default_unchanged(self, eng):
+        # Spark defaults: ASC→NULLS FIRST, DESC→NULLS LAST
+        rows = eng.execute("SELECT id FROM nv ORDER BY v, id").collect()
+        assert [r.id for r in rows] == [1, 4, 3, 2]
+
+    def test_post_agg_qualified_order_key(self, eng):
+        rows = eng.execute(
+            "SELECT d.lab, count(*) AS n FROM docs d GROUP BY d.lab ORDER BY d.lab DESC"
+        ).collect()
+        assert [r.lab for r in rows] == ["z", "y", "x", "w"]
+
+    def test_bad_nulls_keyword(self, eng):
+        from qlbridge_spark.rel import ParseError
+
+        with pytest.raises(ParseError):
+            parse_sql("SELECT 1 FROM nv ORDER BY v NULLS MIDDLE")
