@@ -238,18 +238,30 @@ _Q = {
                percentile_cont(c_nationkey, 0.25) AS p25_nk
         FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     # §2.3 CROSS JOIN (comma form) + lateral UNNEST + (VALUES …) table
-    # constructor + ANSI NULLS ordering (all supersets; reference grammar
-    # has none — lex/dialect_sql.go). The UNNEST lowers to a Generate
-    # (narrow, zero-shuffle); VALUES is a fixed 2-row frame cross-joined in.
+    # constructor + ANSI NULLS ordering + bracketed PIVOT/UNPIVOT (all
+    # supersets; reference grammar has none — lex/dialect_sql.go). The
+    # UNNEST lowers to a Generate (narrow, zero-shuffle); VALUES is a
+    # fixed 2-row frame cross-joined in; PIVOT with an explicit IN list
+    # keeps map-side partial agg (one shuffle); UNPIVOT is a narrow melt.
     "q28_cross_join": """
-        SELECT v.grp, u.w AS word, count(*) AS n
-        FROM part p,
-             UNNEST(split(p.p_name, " ")) AS u(w),
-             (VALUES (1, "a"), (2, "b")) AS v(k, grp)
-        WHERE p.p_partkey <= 100
-        GROUP BY v.grp, u.w
-        ORDER BY n DESC NULLS LAST, word, grp
-        LIMIT 40""",
+        SELECT * FROM (
+          SELECT v.grp, u.w AS word, count(*) AS n
+          FROM part p,
+               UNNEST(split(p.p_name, " ")) AS u(w),
+               (VALUES (1, "a"), (2, "b")) AS v(k, grp)
+          WHERE p.p_partkey <= 100
+          GROUP BY v.grp, u.w
+          ORDER BY n DESC NULLS LAST, word, grp
+          LIMIT 40) t0
+        UNION ALL
+        SELECT "pv" AS grp, o_orderpriority AS word, open_cnt AS n
+        FROM (SELECT o_orderpriority, o_orderstatus FROM orders) s
+             PIVOT (count(*) FOR o_orderstatus IN ("O" AS open_cnt)) pv
+        UNION ALL
+        SELECT "up" AS grp, metric AS word, val AS n
+        FROM (SELECT count(*) AS n_orders, count(distinct(o_custkey)) AS n_custs
+              FROM orders) agg
+             UNPIVOT (val FOR metric IN (n_orders, n_custs)) up""",
     # time-bucketed multi-key agg (events pipeline shape) + exclusive
     # BETWEEN over timestamps (vm/vm.go:901, folded from retired q24)
     "q30_dow_profile": """
@@ -835,14 +847,24 @@ def oracle_sql() -> dict[str, str]:
                    quantile_cont(c_nationkey, 0.25) AS p25_nk
             FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
         "q28_cross_join": """
-            SELECT v.grp, u.w AS word, count(*) AS n
-            FROM part p,
-                 UNNEST(string_split(p.p_name, ' ')) AS u(w),
-                 (VALUES (1, 'a'), (2, 'b')) AS v(k, grp)
-            WHERE p.p_partkey <= 100
-            GROUP BY v.grp, u.w
-            ORDER BY n DESC NULLS LAST, word, grp
-            LIMIT 40""",
+            SELECT * FROM (
+              SELECT v.grp, u.w AS word, count(*) AS n
+              FROM part p,
+                   UNNEST(string_split(p.p_name, ' ')) AS u(w),
+                   (VALUES (1, 'a'), (2, 'b')) AS v(k, grp)
+              WHERE p.p_partkey <= 100
+              GROUP BY v.grp, u.w
+              ORDER BY n DESC NULLS LAST, word, grp
+              LIMIT 40) t0
+            UNION ALL
+            SELECT 'pv' AS grp, o_orderpriority AS word, open_cnt AS n
+            FROM (SELECT o_orderpriority, o_orderstatus FROM orders) s
+                 PIVOT (count(*) FOR o_orderstatus IN ('O' AS open_cnt)) pv
+            UNION ALL
+            SELECT 'up' AS grp, metric AS word, val AS n
+            FROM (SELECT count(*) AS n_orders, count(DISTINCT o_custkey) AS n_custs
+                  FROM orders) agg
+                 UNPIVOT (val FOR metric IN (n_orders, n_custs)) up""",
         "q30_dow_profile": """
             SELECT CAST(dayofweek(ts) AS BIGINT) AS dow, event_type, count(*) AS n
             FROM events

@@ -561,6 +561,66 @@ class Engine:
             out = one if out is None else out.unionAll(one)
         return out
 
+    def _apply_pivot(self, df: DataFrame, src: FromSource) -> DataFrame:
+        """Bracketed PIVOT (Snowflake/DuckDB shape, superset): implicit
+        group keys are every column not consumed by the aggregate or the
+        FOR column — then one groupBy().pivot(values).agg(). Passing the
+        explicit IN-list to .pivot() skips Spark's distinct-values scan
+        AND keeps the map-side partial aggregation: one shuffle total."""
+        spec = src.pivot
+        scope = Scope({"_": df}, includes=self.includes, params=self.session_vars)
+        agg_node = spec["agg"]
+        agg_col = to_column(agg_node, scope)
+        if not funcs.is_agg_tree(agg_node):
+            raise ExecError("PIVOT needs an aggregate function")
+        from .nodes import BoolNode as _B
+        from .nodes import NumberNode as _Num
+        from .nodes import StringNode as _S
+        from .planner import _walk_identities
+
+        idents: list[IdentityNode] = []
+        _walk_identities(agg_node, idents)
+        used = {p.parts[-1].lower() for p in idents}
+        used.add(spec["for"].lower())
+        keys = [c for c in df.columns if c.lower() not in used]
+        vals, names = [], []
+        for v, alias in spec["in"]:
+            if isinstance(v, (_Num, _S, _B)):
+                lit = v.value
+            else:
+                raise ExecError("PIVOT IN values must be literals")
+            vals.append(lit)
+            names.append(alias or str(lit))
+        out = df.groupBy(*[F.col(k) for k in keys]).pivot(spec["for"], vals).agg(agg_col)
+        # single-agg pivot names columns by value string — re-alias to the
+        # user-facing names (IN-list aliases win)
+        for spark_name, want in zip(out.columns[len(keys):], names):
+            if spark_name != want:
+                out = out.withColumnRenamed(spark_name, want)
+        return out
+
+    def _apply_unpivot(self, df: DataFrame, src: FromSource) -> DataFrame:
+        """Bracketed UNPIVOT (superset): Spark's native unpivot (melt).
+        NULL measure values are dropped by default (Snowflake/DuckDB
+        semantics); INCLUDE NULLS keeps them. Narrow op — no shuffle."""
+        spec = src.unpivot
+        lower = {c.lower(): c for c in df.columns}
+        melt_cols, labels = [], []
+        for c, label in spec["cols"]:
+            hit = lower.get(c.lower())
+            if hit is None:
+                raise ExecError(f"UNPIVOT column {c!r} not in source")
+            melt_cols.append(hit)
+            labels.append(label or hit)
+        ids = [c for c in df.columns if c not in melt_cols]
+        out = df.unpivot(ids, melt_cols, spec["name"], spec["value"])
+        if labels != melt_cols:
+            mapping = F.create_map(*[x for c, l in zip(melt_cols, labels) for x in (F.lit(c), F.lit(l))])
+            out = out.withColumn(spec["name"], mapping[F.col(spec["name"])])
+        if not spec["include_nulls"]:
+            out = out.filter(F.col(spec["value"]).isNotNull())
+        return out
+
     def _resolve_source(self, src: FromSource, sel: SqlSelect | None = None) -> DataFrame:
         if src.values_rows is not None:
             df = self._values_frame(src)
@@ -580,6 +640,10 @@ class Engine:
                 df = self.table(src.name)
             if src.name.lower() in self.broadcast_hints:
                 df = F.broadcast(df)
+        if src.pivot is not None:
+            df = self._apply_pivot(df, src)
+        if src.unpivot is not None:
+            df = self._apply_unpivot(df, src)
         return df.alias(src.ref)
 
     def _apply_unnest(

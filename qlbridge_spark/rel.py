@@ -81,6 +81,12 @@ class FromSource:
     ordinality: bool = False  # UNNEST(...) WITH ORDINALITY
     out_cols: list[str] = field(default_factory=list)  # AS t(c1, c2, ...)
     values_rows: list | None = None  # (VALUES (...), (...)) rows of Nodes
+    # PIVOT (agg(expr) FOR col IN (v [AS name], ...)):
+    #   {"agg": FuncNode, "for": str, "in": [(literal Node, alias|None), ...]}
+    pivot: dict | None = None
+    # UNPIVOT [INCLUDE NULLS] (val FOR name IN (c1 [AS 'label'], ...)):
+    #   {"value": str, "name": str, "cols": [(colname, label|None)], "include_nulls": bool}
+    unpivot: dict | None = None
 
     @property
     def ref(self) -> str:
@@ -592,10 +598,22 @@ class SqlParser(ExprParser):
             if name.kind not in (IDENT, QIDENT):
                 raise ParseError(f"expected table name, got {name!r}")
             src = FromSource(name=name.val)
+        # Snowflake/DuckDB bracketed PIVOT/UNPIVOT wrap the source — they
+        # may appear before OR after the source alias:
+        # FROM t PIVOT (sum(x) FOR c IN ('a', 'b')) p
+        # FROM (SELECT …) s PIVOT (…) p
+        self._parse_pivot_clauses(src)
         if self.eat_kw("AS"):
             src.alias = self.advance().val
         elif self.cur().kind in (IDENT, QIDENT) and self.cur().upper not in _CLAUSE_END and self.cur().upper not in _JOIN_WORDS and self.cur().upper != "ON":
             src.alias = self.advance().val
+            if self._parse_pivot_clauses(src):
+                # what we took as an alias was the SOURCE alias and a pivot
+                # clause follows — allow a fresh alias for the pivoted frame
+                if self.eat_kw("AS"):
+                    src.alias = self.advance().val
+                elif self.cur().kind in (IDENT, QIDENT) and self.cur().upper not in _CLAUSE_END and self.cur().upper not in _JOIN_WORDS and self.cur().upper != "ON":
+                    src.alias = self.advance().val
         if src.alias is not None and self.cur().kind == LPAREN and (src.values_rows is not None or src.unnest is not None or src.subquery is not None):
             # derived-column-list: AS t(c1, c2, ...)
             self.advance()
@@ -605,6 +623,72 @@ class SqlParser(ExprParser):
                     self.advance()
             self.expect(RPAREN)
         return src
+
+    def _parse_pivot_clauses(self, src: FromSource) -> bool:
+        saw = False
+        while (
+            self.cur().kind == IDENT
+            and self.cur().upper in ("PIVOT", "UNPIVOT")
+            and (
+                self.peek().kind == LPAREN
+                or (self.peek().kind == IDENT and self.peek().upper == "INCLUDE")
+            )
+        ):
+            saw = True
+            kw = self.advance().upper
+            include_nulls = False
+            if kw == "UNPIVOT" and self.eat_kw("INCLUDE"):
+                self.expect(IDENT, "NULLS")
+                include_nulls = True
+            self.expect(LPAREN)
+            if kw == "PIVOT":
+                agg = self.parse_expr()
+                if not isinstance(agg, FuncNode):
+                    raise ParseError("PIVOT needs an aggregate call: PIVOT (agg(expr) FOR ...)")
+                self.expect(IDENT, "FOR")
+                for_tok = self.advance()
+                if for_tok.kind not in (IDENT, QIDENT):
+                    raise ParseError(f"expected pivot column after FOR, got {for_tok!r}")
+                self.expect(IDENT, "IN")
+                self.expect(LPAREN)
+                vals: list[tuple[Node, str | None]] = []
+                while self.cur().kind != RPAREN:
+                    v = self.parse_expr()
+                    a = self.advance().val if self.eat_kw("AS") else None
+                    vals.append((v, a))
+                    if self.cur().kind == COMMA:
+                        self.advance()
+                self.expect(RPAREN)
+                self.expect(RPAREN)
+                if not vals:
+                    raise ParseError("PIVOT IN list is empty")
+                src.pivot = {"agg": agg, "for": for_tok.val, "in": vals}
+            else:
+                val_name = self.advance().val
+                self.expect(IDENT, "FOR")
+                name_name = self.advance().val
+                self.expect(IDENT, "IN")
+                self.expect(LPAREN)
+                cols: list[tuple[str, str | None]] = []
+                while self.cur().kind != RPAREN:
+                    c = self.advance().val
+                    a = None
+                    if self.eat_kw("AS"):
+                        a = self.advance().val.strip("'")
+                    cols.append((c, a))
+                    if self.cur().kind == COMMA:
+                        self.advance()
+                self.expect(RPAREN)
+                self.expect(RPAREN)
+                if not cols:
+                    raise ParseError("UNPIVOT IN list is empty")
+                src.unpivot = {
+                    "value": val_name,
+                    "name": name_name,
+                    "cols": cols,
+                    "include_nulls": include_nulls,
+                }
+        return saw
 
     def parse_with(self) -> dict:
         """WITH payload: either a JSON blob ``WITH {...}`` or key=value

@@ -181,3 +181,91 @@ class TestNullsOrdering:
 
         with pytest.raises(ParseError):
             parse_sql("SELECT 1 FROM nv ORDER BY v NULLS MIDDLE")
+
+
+class TestPivotUnpivot:
+    @pytest.fixture(scope="class")
+    def peng(self, spark):
+        from qlbridge_spark import Engine
+
+        e = Engine(spark)
+        e.register_df(
+            "sales",
+            spark.createDataFrame(
+                [("a", "x", 1), ("a", "y", 2), ("b", "x", 3), ("b", "x", 4)],
+                "grp string, cat string, amt int",
+            ),
+        )
+        e.register_df(
+            "wide",
+            spark.createDataFrame(
+                [("a", 1, 2), ("b", 3, 4), ("c", None, 5)], "k string, x int, y int"
+            ),
+        )
+        return e
+
+    def test_pivot_basic(self, peng):
+        rows = peng.execute(
+            "SELECT * FROM sales PIVOT (sum(amt) FOR cat IN ('x', 'y')) ORDER BY grp"
+        ).collect()
+        assert [(r.grp, r.x, r.y) for r in rows] == [("a", 1, 2), ("b", 7, None)]
+
+    def test_pivot_value_aliases(self, peng):
+        df = peng.execute(
+            "SELECT * FROM sales PIVOT (sum(amt) FOR cat IN ('x' AS xx, 'y' AS yy)) p ORDER BY grp"
+        )
+        assert df.columns == ["grp", "xx", "yy"]
+
+    def test_pivot_after_subquery_alias(self, peng):
+        # implicit group keys = all columns not consumed by the agg or the
+        # FOR column — project the inner select down to exactly those
+        rows = peng.execute(
+            "SELECT grp, x FROM (SELECT grp, cat FROM sales) s"
+            " PIVOT (count(*) FOR cat IN ('x')) p ORDER BY grp"
+        ).collect()
+        assert [(r.grp, r.x) for r in rows] == [("a", 1), ("b", 2)]
+
+    def test_pivot_plan_shape(self, peng):
+        plan = peng.execute(
+            "SELECT * FROM sales PIVOT (sum(amt) FOR cat IN ('x', 'y'))"
+        )._jdf.queryExecution().executedPlan().toString()
+        # explicit IN list → no distinct-values driver job; Spark lowers to
+        # two agg levels ((grp,cat) then pivotfirst on grp), each with a
+        # map-side partial — 2 exchanges over strictly shrinking data
+        assert plan.count("Exchange") == 2
+        assert "partial_sum" in plan and "partial_pivotfirst" in plan
+
+    def test_pivot_non_agg_errors(self, peng):
+        with pytest.raises(ExecError):
+            peng.execute("SELECT * FROM sales PIVOT (abs(amt) FOR cat IN ('x'))")
+
+    def test_unpivot_excludes_nulls_by_default(self, peng):
+        rows = peng.execute(
+            "SELECT * FROM wide UNPIVOT (val FOR name IN (x, y)) ORDER BY k, name"
+        ).collect()
+        assert [(r.k, r.name, r.val) for r in rows] == [
+            ("a", "x", 1), ("a", "y", 2), ("b", "x", 3), ("b", "y", 4), ("c", "y", 5)
+        ]
+
+    def test_unpivot_include_nulls(self, peng):
+        rows = peng.execute(
+            "SELECT * FROM wide UNPIVOT INCLUDE NULLS (val FOR name IN (x, y)) WHERE k = 'c'"
+        ).collect()
+        assert sorted((r.name, r.val) for r in rows) == [("x", None), ("y", 5)]
+
+    def test_unpivot_labels(self, peng):
+        rows = peng.execute(
+            "SELECT * FROM wide UNPIVOT (val FOR name IN (x AS 'ex', y AS 'why')) ORDER BY k, name"
+        ).collect()
+        assert {r.name for r in rows} == {"ex", "why"}
+
+    def test_unpivot_unknown_column_errors(self, peng):
+        with pytest.raises(ExecError):
+            peng.execute("SELECT * FROM wide UNPIVOT (val FOR name IN (zz))")
+
+    def test_pivot_then_join(self, peng):
+        rows = peng.execute(
+            "SELECT p.grp, p.x, w.y FROM sales PIVOT (sum(amt) FOR cat IN ('x','y')) p"
+            " JOIN wide w ON p.grp = w.k ORDER BY p.grp"
+        ).collect()
+        assert [(r.grp, r.x, r.y) for r in rows] == [("a", 1, 2), ("b", 7, 4)]
