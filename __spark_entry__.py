@@ -176,11 +176,17 @@ _Q = {
         ORDER BY c_custkey""",
     # §2.9 conditional (if) + oneof/coalesce
     # §2.7 subquery in FROM
+    # + DuckDB-style star modifiers and BY-ALL shorthands (supersets):
+    # * EXCLUDE/REPLACE prune and rewrite the star expansion in place;
+    # GROUP BY ALL groups on every non-aggregate select expression;
+    # ORDER BY ALL sorts by every output column left-to-right
     "q16_subquery_from": """
-        SELECT seg, round(avg(bal), 2) AS avg_bal, count(*) AS n
-        FROM (SELECT c_mktsegment AS seg, c_acctbal AS bal FROM customer WHERE c_acctbal > 0) AS t
-        GROUP BY seg
-        ORDER BY seg""",
+        SELECT c_mktsegment AS seg, round(avg(c_acctbal), 2) AS avg_bal, count(*) AS n
+        FROM (SELECT * EXCLUDE (c_custkey, c_name, c_nationkey)
+                       REPLACE (c_acctbal * 1.0 AS c_acctbal)
+              FROM customer WHERE c_acctbal > 0) AS t
+        GROUP BY ALL
+        ORDER BY ALL""",
     # §2.9 json builtins over events.props + cast chain
     "q17_events_json": """
         SELECT event_type, count(*) AS n,
@@ -817,9 +823,12 @@ def oracle_sql() -> dict[str, str]:
             WHERE c_mktsegment LIKE '%BUILD%' OR c_mktsegment IN ('MACHINERY', 'FURNITURE')
             ORDER BY c_custkey""",
         "q16_subquery_from": """
-            SELECT seg, round(avg(bal), 2) AS avg_bal, count(*) AS n
-            FROM (SELECT c_mktsegment AS seg, c_acctbal AS bal FROM customer WHERE c_acctbal > 0) AS t
-            GROUP BY seg ORDER BY seg""",
+            SELECT c_mktsegment AS seg, round(avg(c_acctbal), 2) AS avg_bal, count(*) AS n
+            FROM (SELECT * EXCLUDE (c_custkey, c_name, c_nationkey)
+                           REPLACE (c_acctbal * 1.0 AS c_acctbal)
+                  FROM customer WHERE c_acctbal > 0) AS t
+            GROUP BY ALL
+            ORDER BY ALL""",
         "q17_events_json": """
             SELECT event_type, count(*) AS n,
                    round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k

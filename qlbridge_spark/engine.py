@@ -326,6 +326,12 @@ class Engine:
         # (decorrelation) in _rewrite_subqueries; HAVING and aggregated
         # QUALIFY subqueries lower inside _aggregate against the
         # aggregated frame (correlation binds to group keys)
+        if getattr(sel, "group_all", False) and not sel.group_by:
+            # GROUP BY ALL (DuckDB/Snowflake superset): every non-aggregate
+            # select expression is a group key (idempotent on cached ASTs)
+            sel.group_by = [
+                c.expr for c in sel.columns if not c.is_star and not funcs.is_agg_tree(c.expr)
+            ]
         is_agg = bool(sel.group_by) or any(funcs.is_agg_tree(c.expr) for c in sel.columns if not c.is_star)
         df, sel = self._rewrite_subqueries(df, scope, sel, include_qualify=not is_agg)
 
@@ -344,8 +350,12 @@ class Engine:
         # non-selected expressions (standard SQL; Catalyst prunes the rest);
         # ORDER BY keys naming a select alias sort on the projected column
         proj, names = self._projection(sel, scope)
+        order_pairs = sel.order_by
+        if getattr(sel, "order_all", None) and not order_pairs:
+            # ORDER BY ALL: every output column, left to right (DuckDB)
+            order_pairs = [(IdentityNode((n,)), sel.order_all) for n in names]
         sort_cols: list[tuple[str, SparkColumn | None, str]] = []
-        for i, (e, direction) in enumerate(sel.order_by):
+        for i, (e, direction) in enumerate(order_pairs):
             if isinstance(e, IdentityNode) and e.name in names:
                 sort_cols.append((e.name, None, direction))
             elif isinstance(e, NumberNode):  # ORDER BY 2 → positional
@@ -367,7 +377,7 @@ class Engine:
                 df = df.select(*names).distinct()
                 out_scope = Scope({"_": df}, includes=self.includes, params=self.session_vars)
                 order = []
-                for (name, c, direction), (e, _) in zip(sort_cols, sel.order_by):
+                for (name, c, direction), (e, _) in zip(sort_cols, order_pairs):
                     col = F.col(name) if c is None else to_column(e, out_scope)
                     order.extend(self._directional(col, direction))
                 if order:
@@ -382,7 +392,7 @@ class Engine:
             df = df.select(*proj).distinct()
             out_scope = Scope({"_": df}, includes=self.includes, params=self.session_vars)
             order = []
-            for (name, c, direction), (e, _) in zip(sort_cols, sel.order_by):
+            for (name, c, direction), (e, _) in zip(sort_cols, order_pairs):
                 col = F.col(name) if c is None else to_column(e, out_scope)
                 order.extend(self._directional(col, direction))
             if order:
@@ -2542,20 +2552,27 @@ class Engine:
         names: list[str] = []
         for c in sel.columns:
             if c.is_star:
+                excl = {x.lower() for x in getattr(c, "exclude", ())}
+                repl = getattr(c, "replace", None) or {}
                 if len(c.expr.parts) > 1:  # t.* — one source's columns
                     tref = c.expr.parts[0]
                     frame = scope.frames.get(tref)
                     if frame is None:
                         raise ExecError(f"unknown alias {tref}.*")
-                    for fc in frame.columns:
+                    expand = [(fc, IdentityNode((tref, fc))) for fc in frame.columns]
+                else:
+                    expand = [(fc, IdentityNode((fc,))) for fc in scope.columns()]
+                for fc, ident in expand:
+                    if fc.lower() in excl:  # * EXCLUDE (…) — DuckDB superset
+                        continue
+                    rep = repl.get(fc.lower())
+                    if rep is not None:  # * REPLACE (expr AS col) keeps position
+                        proj.append(to_column(rep, scope).alias(fc))
+                    else:
                         # scope.col routes lateral (UNNEST) outputs to
                         # their physical unqualified columns
-                        proj.append(scope.col(IdentityNode((tref, fc))).alias(fc))
-                        names.append(fc)
-                else:
-                    for fc in scope.columns():
-                        proj.append(scope.col(IdentityNode((fc,))).alias(fc))
-                        names.append(fc)
+                        proj.append(scope.col(ident).alias(fc))
+                    names.append(fc)
                 continue
             col = to_column(c.expr, scope)
             if c.guard is not None:
@@ -2589,9 +2606,12 @@ class Engine:
     def _order_limit(self, df: DataFrame, scope: Scope, sel: SqlSelect, post_agg: bool) -> DataFrame:
         if sel.distinct:
             df = df.distinct()
-        if sel.order_by:
+        order_pairs = sel.order_by
+        if getattr(sel, "order_all", None) and not order_pairs:
+            order_pairs = [(IdentityNode((n,)), sel.order_all) for n in df.columns]
+        if order_pairs:
             cols = []
-            for e, direction in sel.order_by:
+            for e, direction in order_pairs:
                 if isinstance(e, NumberNode):
                     c = F.col(df.columns[int(e.text) - 1])
                 else:

@@ -51,6 +51,8 @@ class Column:
     expr: Node
     alias: str | None = None
     guard: Node | None = None  # non-standard `col IF expr` (exec/projection.go:158-175)
+    exclude: list[str] = field(default_factory=list)  # * EXCLUDE (a, b) — DuckDB superset
+    replace: dict = field(default_factory=dict)  # * REPLACE (expr AS a) — name → Node
 
     @property
     def is_star(self) -> bool:
@@ -105,6 +107,8 @@ class SqlSelect:
     qualify: Node | None = None  # post-window filter (superset; Snowflake/DuckDB QUALIFY)
     windows: dict = field(default_factory=dict)  # WINDOW w AS (...) named specs
     order_by: list[tuple[Node, str]] = field(default_factory=list)
+    group_all: bool = False  # GROUP BY ALL (DuckDB/Snowflake superset)
+    order_all: str | None = None  # ORDER BY ALL [ASC|DESC ...] direction
     limit: int | None = None
     offset: int | None = None
     distinct: bool = False
@@ -430,6 +434,13 @@ class SqlParser(ExprParser):
                 self.expect(RPAREN)
                 # group_by = the distinct union of all sets' expressions
                 sel.group_by = list(seen.values())
+            elif self.at_kw("ALL") and self.peek().upper in _CLAUSE_END | {"UNION", "INTERSECT", "EXCEPT"} or (
+                self.at_kw("ALL") and self.peek().kind not in (IDENT, QIDENT)
+            ):
+                # GROUP BY ALL — every non-aggregate select expression
+                # becomes a group key (DuckDB/Snowflake superset)
+                self.advance()
+                sel.group_all = True
             else:
                 sel.group_by = self.parse_expr_list()
         if self.eat_kw("HAVING"):
@@ -456,6 +467,25 @@ class SqlParser(ExprParser):
         if self.at_kw("ORDER"):
             self.advance()
             self.expect(IDENT, "BY")
+            if self.at_kw("ALL") and (
+                self.peek().kind not in (IDENT, QIDENT)
+                or self.peek().upper in _CLAUSE_END
+                or self.peek().upper in ("ASC", "DESC")
+            ):
+                # ORDER BY ALL [ASC|DESC] [NULLS ...] — every output
+                # column, left to right (DuckDB superset)
+                self.advance()
+                direction = "ASC"
+                if self.at_kw("ASC", "DESC"):
+                    direction = self.advance().upper
+                if self.at_kw("NULLS"):
+                    self.advance()
+                    pos = self.advance()
+                    if pos.kind != IDENT or pos.upper not in ("FIRST", "LAST"):
+                        raise ParseError(f"expected FIRST or LAST after NULLS, got {pos!r}")
+                    direction += f" NULLS {pos.upper}"
+                sel.order_all = direction
+                return self._finish_select(sel)
             while True:
                 e = self.parse_expr()
                 direction = "ASC"
@@ -474,6 +504,10 @@ class SqlParser(ExprParser):
                     self.advance()
                 else:
                     break
+        return self._finish_select(sel)
+
+    def _finish_select(self, sel: SqlSelect) -> SqlSelect:
+        """Post-ORDER-BY tail: LIMIT/OFFSET/WITH/ALIAS/semicolon."""
         if self.eat_kw("LIMIT"):
             sel.limit = int(self.expect(NUMBER).val)
         if self.eat_kw("OFFSET"):
@@ -492,10 +526,56 @@ class SqlParser(ExprParser):
             t = self.cur()
             if t.kind == OP and t.val == "*":
                 self.advance()
-                cols.append(Column(IdentityNode(("*",))))
+                star = Column(IdentityNode(("*",)))
+                # DuckDB/Snowflake star modifiers (superset):
+                #   * EXCLUDE (a, b)   drop columns from the expansion
+                #   * REPLACE (expr AS a)   swap a column's expression in place
+                while (
+                    self.cur().kind == IDENT
+                    and self.cur().upper in ("EXCLUDE", "REPLACE")
+                    and self.peek().kind == LPAREN
+                ):
+                    mod = self.advance().upper
+                    self.expect(LPAREN)
+                    if mod == "EXCLUDE":
+                        while self.cur().kind != RPAREN:
+                            star.exclude.append(self.advance().val)
+                            if self.cur().kind == COMMA:
+                                self.advance()
+                    else:
+                        while self.cur().kind != RPAREN:
+                            e = self.parse_expr()
+                            self.expect(IDENT, "AS")
+                            star.replace[self.advance().val.lower()] = e
+                            if self.cur().kind == COMMA:
+                                self.advance()
+                    self.expect(RPAREN)
+                cols.append(star)
             else:
                 e = self.parse_expr()
                 col = Column(e)
+                if isinstance(e, IdentityNode) and e.is_star:
+                    # t.* accepts the same EXCLUDE/REPLACE modifiers
+                    while (
+                        self.cur().kind == IDENT
+                        and self.cur().upper in ("EXCLUDE", "REPLACE")
+                        and self.peek().kind == LPAREN
+                    ):
+                        mod = self.advance().upper
+                        self.expect(LPAREN)
+                        if mod == "EXCLUDE":
+                            while self.cur().kind != RPAREN:
+                                col.exclude.append(self.advance().val)
+                                if self.cur().kind == COMMA:
+                                    self.advance()
+                        else:
+                            while self.cur().kind != RPAREN:
+                                ex = self.parse_expr()
+                                self.expect(IDENT, "AS")
+                                col.replace[self.advance().val.lower()] = ex
+                                if self.cur().kind == COMMA:
+                                    self.advance()
+                        self.expect(RPAREN)
                 # col IF guard (exec/projection.go:158-175)
                 if self.at_kw("IF"):
                     self.advance()

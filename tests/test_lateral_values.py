@@ -269,3 +269,68 @@ class TestPivotUnpivot:
             " JOIN wide w ON p.grp = w.k ORDER BY p.grp"
         ).collect()
         assert [(r.grp, r.x, r.y) for r in rows] == [("a", 1, 2), ("b", 7, 4)]
+
+
+class TestStarModifiersByAll:
+    @pytest.fixture(scope="class")
+    def seng(self, spark):
+        from qlbridge_spark import Engine
+
+        e = Engine(spark)
+        e.register_df(
+            "sales2",
+            spark.createDataFrame(
+                [("a", "x", 1), ("a", "y", 2), ("b", "x", 3), ("b", "x", 4)],
+                "grp string, cat string, amt int",
+            ),
+        )
+        return e
+
+    def test_group_by_all(self, seng):
+        rows = seng.execute(
+            "SELECT grp, cat, sum(amt) AS s FROM sales2 GROUP BY ALL ORDER BY grp, cat"
+        ).collect()
+        assert [(r.grp, r.cat, r.s) for r in rows] == [("a", "x", 1), ("a", "y", 2), ("b", "x", 7)]
+
+    def test_group_by_all_expression_key(self, seng):
+        rows = seng.execute(
+            "SELECT toupper(grp) AS g, count(*) AS n FROM sales2 GROUP BY ALL ORDER BY g"
+        ).collect()
+        assert [(r.g, r.n) for r in rows] == [("A", 2), ("B", 2)]
+
+    def test_order_by_all(self, seng):
+        rows = seng.execute("SELECT grp, cat, amt FROM sales2 ORDER BY ALL").collect()
+        assert [tuple(r) for r in rows] == [
+            ("a", "x", 1), ("a", "y", 2), ("b", "x", 3), ("b", "x", 4)
+        ]
+
+    def test_order_by_all_desc_post_agg(self, seng):
+        rows = seng.execute(
+            "SELECT grp, sum(amt) AS s FROM sales2 GROUP BY ALL ORDER BY ALL DESC"
+        ).collect()
+        assert [(r.grp, r.s) for r in rows] == [("b", 7), ("a", 3)]
+
+    def test_exclude(self, seng):
+        assert seng.execute("SELECT * EXCLUDE (amt) FROM sales2").columns == ["grp", "cat"]
+
+    def test_replace_keeps_position(self, seng):
+        df = seng.execute("SELECT * REPLACE (amt * 10 AS amt) FROM sales2 ORDER BY ALL")
+        assert df.columns == ["grp", "cat", "amt"]
+        assert [r.amt for r in df.collect()] == [10, 20, 30, 40]
+
+    def test_table_star_exclude(self, seng):
+        assert seng.execute("SELECT s.* EXCLUDE (cat, amt) FROM sales2 s").columns == ["grp"]
+
+    def test_exclude_and_replace_combined(self, seng):
+        rows = seng.execute(
+            "SELECT * EXCLUDE (cat) REPLACE (amt + 1 AS amt) FROM sales2 ORDER BY ALL LIMIT 2"
+        ).collect()
+        assert [tuple(r) for r in rows] == [("a", 2), ("a", 3)]
+
+    def test_column_named_all_still_orders(self, seng, spark):
+        from qlbridge_spark import Engine
+
+        e = Engine(spark)
+        e.register_df("allt", spark.createDataFrame([(2,), (1,)], "all int"))
+        # ALL here binds the keyword (== every output column) — same result
+        assert [r[0] for r in e.execute("SELECT all FROM allt ORDER BY all").collect()] == [1, 2]
