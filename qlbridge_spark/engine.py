@@ -320,6 +320,7 @@ class Engine:
             sel = self._resolve_scalar_subqueries(sel)
             return self._literal_select(sel)
 
+        sel = self._rewrite_select_unnest(sel)
         df, scope = self._build_from(sel)
 
         # Select-list + WHERE + (non-agg) QUALIFY subqueries lower lazily
@@ -683,7 +684,25 @@ class Engine:
             isinstance(src.join_expr, BoolNode) and src.join_expr.value
         ):
             raise ExecError("JOIN UNNEST(...) supports only ON true (lateral joins have no key)")
-        if src.ordinality:
+        if src.unnest_zip is not None and len(src.unnest_zip) > 1:
+            # several same-level unnests zip element-wise (DuckDB):
+            # project the arrays, arrays_zip (NULL-pads the shorter), one
+            # explode, then unpack the struct fields — still a narrow plan
+            tmp = [f"__unz_{ref}_{i}" for i in range(len(src.unnest_zip))]
+            joined = joined.select(
+                "*", *[to_column(a, scope).alias(t) for a, t in zip(src.unnest_zip, tmp)]
+            )
+            zipped = F.arrays_zip(*[F.col(t) for t in tmp])
+            phys_struct = f"__un_{ref}_zip"
+            gen = F.explode_outer(zipped) if outer else F.explode(zipped)
+            joined = joined.select("*", gen.alias(phys_struct))
+            out_names = []
+            for name, t in zip(src.out_cols, tmp):
+                phys = f"__un_{ref}_{name}"
+                joined = joined.withColumn(phys, F.col(phys_struct)[t])
+                out_names.append((name, phys))
+            joined = joined.drop(phys_struct, *tmp)
+        elif src.ordinality:
             ord_name = src.out_cols[1] if len(src.out_cols) > 1 else "ordinality"
             phys_ord = f"__un_{ref}_{ord_name}"
             gen = F.posexplode_outer(arr) if outer else F.posexplode(arr)
@@ -703,6 +722,37 @@ class Engine:
             *[F.col(phys).alias(name) for name, phys in out_names]
         ).alias(ref)
         return joined
+
+    def _rewrite_select_unnest(self, sel: SqlSelect) -> SqlSelect:
+        """Select-list ``unnest(arr)`` (DuckDB style) — rewritten into a
+        lateral FROM-position UNNEST. One generator explodes; SEVERAL
+        zip element-wise (shorter arrays NULL-padded), matching DuckDB's
+        same-level-unnest semantics, via one arrays_zip + one explode."""
+        gens = [
+            (i, c)
+            for i, c in enumerate(sel.columns)
+            if not c.is_star
+            and isinstance(c.expr, FuncNode)
+            and c.expr.name.lower() == "unnest"
+            and len(c.expr.args) == 1
+        ]
+        if not gens or not sel.from_:
+            return sel
+        import dataclasses
+
+        ref = "__gen"
+        new_cols = list(sel.columns)
+        out_cols: list[str] = []
+        args: list[Node] = []
+        for k, (i, c) in enumerate(gens):
+            name = c.alias or ("unnest" if len(gens) == 1 else f"unnest_{k}")
+            out_cols.append(name)
+            args.append(c.expr.args[0])
+            new_cols[i] = dataclasses.replace(c, expr=IdentityNode((ref, name)), alias=name)
+        src = FromSource(unnest=args[0], alias=ref, out_cols=out_cols)
+        if len(args) > 1:
+            src.unnest_zip = args
+        return dataclasses.replace(sel, columns=new_cols, from_=list(sel.from_) + [src])
 
     def _build_from(self, sel: SqlSelect) -> tuple[DataFrame, Scope]:
         frames: dict[str, DataFrame] = {}

@@ -80,6 +80,7 @@ class FromSource:
     join_type: str = ""  # "", INNER, LEFT, RIGHT, OUTER, CROSS, FULL
     join_expr: Node | None = None
     unnest: Node | None = None  # UNNEST(<array expr>) lateral source
+    unnest_zip: list | None = None  # >1 select-list unnests zip element-wise
     ordinality: bool = False  # UNNEST(...) WITH ORDINALITY
     out_cols: list[str] = field(default_factory=list)  # AS t(c1, c2, ...)
     values_rows: list | None = None  # (VALUES (...), (...)) rows of Nodes

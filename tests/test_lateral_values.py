@@ -334,3 +334,47 @@ class TestStarModifiersByAll:
         e.register_df("allt", spark.createDataFrame([(2,), (1,)], "all int"))
         # ALL here binds the keyword (== every output column) — same result
         assert [r[0] for r in e.execute("SELECT all FROM allt ORDER BY all").collect()] == [1, 2]
+
+
+class TestSelectListUnnest:
+    @pytest.fixture(scope="class")
+    def ueng(self, spark):
+        from qlbridge_spark import Engine
+
+        e = Engine(spark)
+        e.register_df(
+            "zdocs",
+            spark.createDataFrame(
+                [(1, ["a", "b"], [10, 20, 30]), (2, [], []), (3, ["c"], [7])],
+                "id int, toks array<string>, nums array<int>",
+            ),
+        )
+        return e
+
+    def test_single(self, ueng):
+        rows = ueng.execute("SELECT id, unnest(toks) AS tok FROM zdocs ORDER BY id, tok").collect()
+        assert [(r.id, r.tok) for r in rows] == [(1, "a"), (1, "b"), (3, "c")]
+
+    def test_default_output_name(self, ueng):
+        assert ueng.execute("SELECT id, unnest(toks) FROM zdocs").columns == ["id", "unnest"]
+
+    def test_two_unnests_zip_with_null_padding(self, ueng):
+        # DuckDB same-level semantics: zip element-wise, shorter side NULL
+        rows = ueng.execute(
+            "SELECT id, unnest(toks) AS t, unnest(nums) AS n FROM zdocs ORDER BY id, n NULLS LAST"
+        ).collect()
+        assert [(r.id, r.t, r.n) for r in rows] == [
+            (1, "a", 10), (1, "b", 20), (1, None, 30), (3, "c", 7)
+        ]
+
+    def test_outer_filter_applies(self, ueng):
+        rows = ueng.execute(
+            "SELECT id, unnest(nums) AS n FROM zdocs WHERE id < 3 ORDER BY n"
+        ).collect()
+        assert [r.n for r in rows] == [10, 20, 30]
+
+    def test_narrow_plan(self, ueng):
+        plan = ueng.execute(
+            "SELECT id, unnest(toks) AS t, unnest(nums) AS n FROM zdocs"
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "Generate" in plan
