@@ -371,7 +371,10 @@ _Q = {
                                  AND o5.o_totalprice < c_acctbal * 100) AS nat_match,
                (SELECT max(s) FROM (SELECT sum(o6.o_totalprice) AS s FROM orders AS o6
                                     WHERE o6.o_custkey = c_custkey
-                                    GROUP BY o6.o_orderdate) t) AS max_daily
+                                    GROUP BY o6.o_orderdate) t) AS max_daily,
+               (SELECT count(*) FROM orders AS o7
+                WHERE o7.o_custkey = c_custkey
+                GROUP BY o7.o_custkey) AS n_grouped
         FROM customer
         WHERE c_custkey < 200""",
     # TPC-H Q17 shape: correlated aggregate subquery in WHERE against the
@@ -1210,7 +1213,10 @@ def oracle_sql() -> dict[str, str]:
                                      AND o5.o_totalprice < c_acctbal * 100) AS nat_match,
                    (SELECT max(s) FROM (SELECT sum(o6.o_totalprice) AS s FROM orders AS o6
                                         WHERE o6.o_custkey = c_custkey
-                                        GROUP BY o6.o_orderdate) t) AS max_daily
+                                        GROUP BY o6.o_orderdate) t) AS max_daily,
+                   CAST((SELECT count(*) FROM orders AS o7
+                         WHERE o7.o_custkey = c_custkey
+                         GROUP BY o7.o_custkey) AS BIGINT) AS n_grouped
             FROM customer
             WHERE c_custkey < 200""",
         "q39_small_quantity_revenue": """

@@ -2116,6 +2116,39 @@ class Engine:
             # (SELECT max(s) FROM (SELECT sum(x) AS s FROM t
             #  WHERE t.k = o.k GROUP BY t.g) q)
             return self._decorrelate_scalar_grouped(df, scope, sub_sel, expr, is_agg)
+        if getattr(sub_sel, "group_by", None):
+            # direct GROUP BY inside the correlated scalar: legal exactly
+            # when the group keys are a subset of the correlation equality
+            # keys — then every outer row sees at most ONE group (the
+            # WHERE pins all keys), and an EMPTY set yields no group row
+            # → NULL, NOT the count-bug 0 (no coalesce here; that is the
+            # ANSI difference from the ungrouped form)
+            if not is_agg:
+                raise ExecError("correlated scalar subquery with GROUP BY must select an aggregate")
+            if len(sub_sel.columns) != 1:
+                raise ExecError(f"scalar subquery must return one column, got {len(sub_sel.columns)}")
+            inner_df, inner_scope, pairs, ranges = self._correlation_split(
+                scope, sub_sel, "scalar", allow_range=False, allow_group=True
+            )
+            pair_strs = {str(ic) for ic, _ in pairs}
+            for g in sub_sel.group_by:
+                if str(to_column(g, inner_scope)) not in pair_strs:
+                    raise ExecError(
+                        f"correlated scalar GROUP BY key {g.sql()} must be one of the "
+                        "correlation equality keys (anything else can return more than "
+                        "one row per outer row)"
+                    )
+
+            def build_grouped(key_cols, prefix):
+                return inner_df.groupBy(*key_cols).agg(
+                    to_column(expr, inner_scope).alias(f"{prefix}_val")
+                )
+
+            out, prefix = self._decorrelate_join(df, pairs, build_grouped)
+            return (
+                SparkColNode(col=F.col(f"{prefix}_val"), dtype=None, text="(grouped correlated scalar)"),
+                out,
+            )
         inner_df, inner_scope, pairs, ranges = self._correlation_split(scope, sub_sel, "scalar", allow_range=True)
 
         order_keys = [ok for ok in sub_sel.order_by if not isinstance(ok[0], NumberNode)]

@@ -497,3 +497,49 @@ def test_multi_source_correlated_scalar(reng):
         "WHERE r.k = ev.k) AS m FROM ev",
     )
     assert got[1] == (3.0,) and got[3] == (7.0,) and got[5] == (None,)
+
+
+class TestGroupedCorrelatedScalar:
+    """Direct GROUP BY inside a correlated scalar — legal when the group
+    keys are a subset of the correlation equality keys. ANSI subtlety
+    pinned here: the EMPTY correlated set yields NO group row → NULL,
+    unlike the ungrouped count(*) form's count-bug 0 (DuckDB agrees)."""
+
+    @pytest.fixture(scope="class")
+    def geng(self, spark):
+        from qlbridge_spark import Engine
+
+        e = Engine(spark)
+        e.register_df("gout", spark.createDataFrame([(1,), (2,), (3,)], "ok int"))
+        e.register_df("ginn", spark.createDataFrame([(1, 5), (1, 7), (2, 9)], "lk int, q int"))
+        return e
+
+    def test_count_null_on_empty_group(self, geng):
+        rows = geng.execute(
+            "SELECT ok, (SELECT count(*) FROM ginn WHERE lk = ok GROUP BY lk) AS n,"
+            " (SELECT count(*) FROM ginn WHERE lk = ok) AS n0 FROM gout ORDER BY ok"
+        ).collect()
+        assert [(r.ok, r.n, r.n0) for r in rows] == [(1, 2, 2), (2, 1, 1), (3, None, 0)]
+
+    def test_sum_grouped(self, geng):
+        rows = geng.execute(
+            "SELECT ok, (SELECT sum(q) FROM ginn WHERE lk = ok GROUP BY lk) AS s"
+            " FROM gout ORDER BY ok"
+        ).collect()
+        assert [(r.ok, r.s) for r in rows] == [(1, 12), (2, 9), (3, None)]
+
+    def test_non_key_group_errors(self, geng):
+        from qlbridge_spark.engine import ExecError
+
+        with pytest.raises(ExecError, match="correlation equality keys"):
+            geng.execute(
+                "SELECT ok, (SELECT count(*) FROM ginn WHERE lk = ok GROUP BY q) AS n FROM gout"
+            ).collect()
+
+    def test_non_agg_grouped_errors(self, geng):
+        from qlbridge_spark.engine import ExecError
+
+        with pytest.raises(ExecError, match="must select an aggregate"):
+            geng.execute(
+                "SELECT ok, (SELECT q FROM ginn WHERE lk = ok GROUP BY lk) AS n FROM gout"
+            ).collect()
