@@ -2127,8 +2127,16 @@ class Engine:
                 raise ExecError("correlated scalar subquery with GROUP BY must select an aggregate")
             if len(sub_sel.columns) != 1:
                 raise ExecError(f"scalar subquery must return one column, got {len(sub_sel.columns)}")
+            import dataclasses
+
+            having = sub_sel.having
+            if having is not None and not funcs.is_agg_tree(having):
+                raise ExecError(
+                    "correlated scalar HAVING must be an aggregate predicate (e.g. count(*) > 2)"
+                )
             inner_df, inner_scope, pairs, ranges = self._correlation_split(
-                scope, sub_sel, "scalar", allow_range=False, allow_group=True
+                scope, dataclasses.replace(sub_sel, having=None), "scalar",
+                allow_range=False, allow_group=True,
             )
             pair_strs = {str(ic) for ic, _ in pairs}
             for g in sub_sel.group_by:
@@ -2140,9 +2148,15 @@ class Engine:
                     )
 
             def build_grouped(key_cols, prefix):
-                return inner_df.groupBy(*key_cols).agg(
-                    to_column(expr, inner_scope).alias(f"{prefix}_val")
-                )
+                aggs = [to_column(expr, inner_scope).alias(f"{prefix}_val")]
+                if having is not None:
+                    # HAVING filters the (single) group: a filtered-out
+                    # group joins nothing → NULL, same as an empty group
+                    aggs.append(to_column(having, inner_scope).cast("boolean").alias(f"{prefix}_hav"))
+                g = inner_df.groupBy(*key_cols).agg(*aggs)
+                if having is not None:
+                    g = g.where(F.col(f"{prefix}_hav")).drop(f"{prefix}_hav")
+                return g
 
             out, prefix = self._decorrelate_join(df, pairs, build_grouped)
             return (

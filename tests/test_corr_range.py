@@ -543,3 +543,20 @@ class TestGroupedCorrelatedScalar:
             geng.execute(
                 "SELECT ok, (SELECT q FROM ginn WHERE lk = ok GROUP BY lk) AS n FROM gout"
             ).collect()
+
+    def test_having_filters_group_to_null(self, geng):
+        # HAVING rejects the group → joins nothing → NULL (DuckDB-matched)
+        rows = geng.execute(
+            "SELECT ok, (SELECT sum(q) FROM ginn WHERE lk = ok GROUP BY lk"
+            " HAVING count(*) > 1) AS s FROM gout ORDER BY ok"
+        ).collect()
+        assert [(r.ok, r.s) for r in rows] == [(1, 12), (2, None), (3, None)]
+
+    def test_non_agg_having_errors(self, geng):
+        from qlbridge_spark.engine import ExecError
+
+        with pytest.raises(ExecError, match="HAVING must be an aggregate"):
+            geng.execute(
+                "SELECT ok, (SELECT sum(q) FROM ginn WHERE lk = ok GROUP BY lk"
+                " HAVING q > 1) AS s FROM gout"
+            ).collect()
