@@ -655,6 +655,20 @@ class Engine:
             df = self._apply_pivot(df, src)
         if src.unpivot is not None:
             df = self._apply_unpivot(df, src)
+        if src.sample is not None:
+            # TABLESAMPLE: PERCENT → per-row Bernoulli sample at the scan
+            # (SampleExec, narrow, no shuffle; REPEATABLE pins the seed);
+            # ROWS → limit, matching Spark SQL's TABLESAMPLE (n ROWS)
+            sp = src.sample
+            if sp["kind"] == "percent":
+                if not 0 <= sp["value"] <= 100:
+                    raise ExecError(f"TABLESAMPLE percent must be in [0, 100], got {sp['value']}")
+                # NOTE: fraction must be a KEYWORD arg — PySpark's sample()
+                # arg-shuffles a positional float into withReplacement and
+                # silently drops the seed
+                df = df.sample(fraction=sp["value"] / 100.0, seed=sp["seed"])
+            else:
+                df = df.limit(sp["value"])
         return df.alias(src.ref)
 
     def _apply_unnest(

@@ -90,6 +90,9 @@ class FromSource:
     # UNPIVOT [INCLUDE NULLS] (val FOR name IN (c1 [AS 'label'], ...)):
     #   {"value": str, "name": str, "cols": [(colname, label|None)], "include_nulls": bool}
     unpivot: dict | None = None
+    # TABLESAMPLE (p PERCENT | n ROWS) [REPEATABLE (seed)]:
+    #   {"kind": "percent"|"rows", "value": float|int, "seed": int|None}
+    sample: dict | None = None
 
     @property
     def ref(self) -> str:
@@ -684,6 +687,7 @@ class SqlParser(ExprParser):
         # FROM t PIVOT (sum(x) FOR c IN ('a', 'b')) p
         # FROM (SELECT …) s PIVOT (…) p
         self._parse_pivot_clauses(src)
+        self._parse_tablesample(src)
         if self.eat_kw("AS"):
             src.alias = self.advance().val
         elif self.cur().kind in (IDENT, QIDENT) and self.cur().upper not in _CLAUSE_END and self.cur().upper not in _JOIN_WORDS and self.cur().upper != "ON":
@@ -695,6 +699,7 @@ class SqlParser(ExprParser):
                     src.alias = self.advance().val
                 elif self.cur().kind in (IDENT, QIDENT) and self.cur().upper not in _CLAUSE_END and self.cur().upper not in _JOIN_WORDS and self.cur().upper != "ON":
                     src.alias = self.advance().val
+            self._parse_tablesample(src)
         if src.alias is not None and self.cur().kind == LPAREN and (src.values_rows is not None or src.unnest is not None or src.subquery is not None):
             # derived-column-list: AS t(c1, c2, ...)
             self.advance()
@@ -704,6 +709,36 @@ class SqlParser(ExprParser):
                     self.advance()
             self.expect(RPAREN)
         return src
+
+    def _parse_tablesample(self, src: FromSource) -> None:
+        """``TABLESAMPLE (10 PERCENT) [REPEATABLE (42)]`` — Spark SQL's
+        sampling clause (superset; not in the reference grammar).
+        ``n ROWS`` takes the first n rows (Spark's TABLESAMPLE ROWS is a
+        limit, not a random draw)."""
+        if not (
+            self.cur().kind == IDENT
+            and self.cur().upper == "TABLESAMPLE"
+            and self.peek().kind == LPAREN
+        ):
+            return
+        self.advance()
+        self.expect(LPAREN)
+        num = self.expect(NUMBER).val
+        unit = self.advance()
+        if unit.kind != IDENT or unit.upper not in ("PERCENT", "ROWS"):
+            raise ParseError(f"expected PERCENT or ROWS in TABLESAMPLE, got {unit!r}")
+        self.expect(RPAREN)
+        spec = {
+            "kind": "percent" if unit.upper == "PERCENT" else "rows",
+            "value": float(num) if unit.upper == "PERCENT" else int(num),
+            "seed": None,
+        }
+        if self.at_kw("REPEATABLE"):
+            self.advance()
+            self.expect(LPAREN)
+            spec["seed"] = int(self.expect(NUMBER).val)
+            self.expect(RPAREN)
+        src.sample = spec
 
     def _parse_pivot_clauses(self, src: FromSource) -> bool:
         saw = False

@@ -378,3 +378,39 @@ class TestSelectListUnnest:
             "SELECT id, unnest(toks) AS t, unnest(nums) AS n FROM zdocs"
         )._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan and "Generate" in plan
+
+
+class TestTablesample:
+    def test_percent_repeatable_is_deterministic(self, eng, spark):
+        from qlbridge_spark import Engine
+
+        e = Engine(spark)
+        e.register_df("big", spark.range(1000).toDF("n"))
+        a = [r.n for r in e.execute("SELECT n FROM big TABLESAMPLE (10 PERCENT) REPEATABLE (42) ORDER BY n").collect()]
+        b = [r.n for r in e.execute("SELECT n FROM big TABLESAMPLE (10 PERCENT) REPEATABLE (42) ORDER BY n").collect()]
+        assert a == b and 40 < len(a) < 200
+
+    def test_rows_is_limit(self, eng, spark):
+        from qlbridge_spark import Engine
+
+        e = Engine(spark)
+        e.register_df("big2", spark.range(100).toDF("n"))
+        assert e.execute("SELECT n FROM big2 TABLESAMPLE (7 ROWS)").count() == 7
+
+    def test_sample_composes_with_where(self, eng, spark):
+        from qlbridge_spark import Engine
+
+        e = Engine(spark)
+        e.register_df("big3", spark.range(1000).toDF("n"))
+        rows = e.execute(
+            "SELECT n FROM big3 TABLESAMPLE (50 PERCENT) REPEATABLE (7) WHERE n < 100"
+        ).collect()
+        assert all(r.n < 100 for r in rows) and 20 < len(rows) < 80
+
+    def test_bad_percent_errors(self, eng, spark):
+        from qlbridge_spark import Engine
+
+        e = Engine(spark)
+        e.register_df("big4", spark.range(10).toDF("n"))
+        with pytest.raises(ExecError):
+            e.execute("SELECT n FROM big4 TABLESAMPLE (150 PERCENT)")
