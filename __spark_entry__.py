@@ -277,11 +277,20 @@ _Q = {
         GROUP BY dayofweek(ts), event_type
         ORDER BY dow, event_type""",
     # nested subquery + join + order (composite shape)
+    # + LATERAL derived table (top-k per group, decorrelated to ONE
+    # row_number window + equi-join — never per-outer-row re-execution)
     "q31_top_nation_customers": """
-        SELECT n_name, c_name, round(c_acctbal, 2) AS bal
-        FROM (SELECT c_name, c_acctbal, c_nationkey FROM customer WHERE c_acctbal > 9000) AS rich
-          JOIN nation ON rich.c_nationkey = n_nationkey
-        ORDER BY bal DESC, c_name LIMIT 25""",
+        SELECT * FROM (
+          SELECT n_name, c_name, round(c_acctbal, 2) AS bal
+          FROM (SELECT c_name, c_acctbal, c_nationkey FROM customer WHERE c_acctbal > 9000) AS rich
+            JOIN nation ON rich.c_nationkey = n_nationkey
+          ORDER BY bal DESC, c_name LIMIT 25) top25
+        UNION ALL
+        SELECT n_name, l.c_name, l.bal
+        FROM nation, LATERAL (SELECT c_name, round(c_acctbal, 2) AS bal
+                              FROM customer
+                              WHERE c_nationkey = n_nationkey
+                              ORDER BY c_acctbal DESC, c_name LIMIT 2) l""",
     # §2.4 grouping-sets superset (reference: "not present")
     # GROUPING SETS (ROLLUP's sets spelled explicitly) + ANSI grouping()
     # null-vs-aggregated markers — one Expand+Aggregate plan, not a
@@ -884,10 +893,17 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY dayofweek(ts), event_type
             ORDER BY dow, event_type""",
         "q31_top_nation_customers": """
-            SELECT n_name, c_name, round(c_acctbal, 2) AS bal
-            FROM (SELECT c_name, c_acctbal, c_nationkey FROM customer WHERE c_acctbal > 9000) AS rich
-              JOIN nation ON rich.c_nationkey = n_nationkey
-            ORDER BY bal DESC, c_name LIMIT 25""",
+            SELECT * FROM (
+              SELECT n_name, c_name, round(c_acctbal, 2) AS bal
+              FROM (SELECT c_name, c_acctbal, c_nationkey FROM customer WHERE c_acctbal > 9000) AS rich
+                JOIN nation ON rich.c_nationkey = n_nationkey
+              ORDER BY bal DESC, c_name LIMIT 25) top25
+            UNION ALL
+            SELECT n_name, l.c_name, l.bal
+            FROM nation, LATERAL (SELECT c_name, round(c_acctbal, 2) AS bal
+                                  FROM customer
+                                  WHERE c_nationkey = n_nationkey
+                                  ORDER BY c_acctbal DESC, c_name LIMIT 2) l""",
         "q32_rollup": """
             SELECT l_returnflag, l_linestatus, count(*) AS n,
                    round(sum(l_quantity), 2) AS qty,

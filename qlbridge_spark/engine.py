@@ -768,6 +768,161 @@ class Engine:
             src.unnest_zip = args
         return dataclasses.replace(sel, columns=new_cols, from_=list(sel.from_) + [src])
 
+    def _apply_lateral(
+        self,
+        joined: DataFrame,
+        src: FromSource,
+        frames: dict[str, DataFrame],
+        physical: dict[str, str],
+    ) -> DataFrame:
+        """LATERAL (SELECT …) — ANSI lateral derived table (superset; the
+        reference refuses every subquery position). The correlated
+        subquery is DECORRELATED into one join — never a per-outer-row
+        re-execution:
+
+        - plain select            → inner keys projected, equi-join (+ any
+                                    range conjuncts as join residuals)
+        - ORDER BY … LIMIT n      → per-key top-n via one row_number
+                                    window, then equi-join (the top-k-per-
+                                    group idiom, one shuffle)
+        - aggregate select        → groupBy correlation keys; a global agg
+                                    ALWAYS yields one row per outer row
+                                    (ANSI), so missing keys substitute the
+                                    empty-relation value (count→0, sum→NULL)
+        - GROUP BY inside         → keys + group keys aggregated
+
+        CROSS/comma/INNER drops outer rows with an empty lateral result;
+        LEFT JOIN LATERAL … ON true keeps them NULL-filled. The lateral's
+        output columns land under collision-proof internal names routed
+        through the scope's ``physical`` map (same trick as UNNEST)."""
+        sub_sel = src.subquery
+        outer_scope = Scope(
+            dict(frames), includes=self.includes, params=self.session_vars, physical=dict(physical)
+        )
+        left = src.join_type.startswith("LEFT") or src.join_type.startswith("FULL")
+        if src.join_expr is not None and not (
+            isinstance(src.join_expr, BoolNode) and src.join_expr.value
+        ):
+            raise ExecError("JOIN LATERAL supports only ON true (correlation lives in the subquery)")
+        ref = src.ref
+        try:
+            # uncorrelated lateral — just a derived table
+            lat = self._select_any(sub_sel).alias(ref)
+            frames[ref] = lat
+            return joined.join(lat, on=F.lit(True), how="left") if left else joined.crossJoin(lat)
+        except TranslateError:
+            pass
+        if isinstance(sub_sel, SqlSetOp):
+            raise ExecError("correlated LATERAL subquery must be a plain SELECT (no set-ops)")
+        import dataclasses
+
+        having = sub_sel.having
+        if having is not None:
+            raise ExecError("correlated LATERAL subquery does not support HAVING yet")
+        inner_df, inner_scope, pairs, ranges = self._correlation_split(
+            outer_scope, dataclasses.replace(sub_sel, order_by=[], limit=None, offset=None),
+            "LATERAL", allow_range=True, allow_group=True,
+        )
+        self._subq_n = getattr(self, "_subq_n", 0) + 1
+        n = self._subq_n
+        key_names = [f"__lat{n}_k{i}" for i in range(len(pairs))]
+        key_cols = [ic.alias(kn) for (ic, _), kn in zip(pairs, key_names)]
+        is_agg = bool(sub_sel.group_by) or any(
+            funcs.is_agg_tree(c.expr) for c in sub_sel.columns if not c.is_star
+        )
+        out_phys: list[tuple[str, str]] = []  # (user name, internal name)
+
+        def internal(name: str) -> str:
+            return f"__lat{n}_{name}"
+
+        if is_agg:
+            if ranges:
+                raise ExecError(
+                    "aggregate LATERAL supports equality correlation only "
+                    "(use the as-of/range-correlated scalar forms for range aggregates)"
+                )
+            group_cols, group_sqls = [], {}
+            for i, g in enumerate(sub_sel.group_by):
+                gn = internal(f"g{i}")
+                group_cols.append(to_column(g, inner_scope).alias(gn))
+                group_sqls[g.sql()] = gn
+            aggs, post = [], []
+            for c in sub_sel.columns:
+                if c.is_star:
+                    raise ExecError("aggregate LATERAL cannot use *")
+                name = c.output_name
+                if funcs.is_agg_tree(c.expr):
+                    aggs.append(to_column(c.expr, inner_scope).alias(internal(name)))
+                    post.append((name, internal(name), c.expr))
+                elif c.expr.sql() in group_sqls:
+                    post.append((name, group_sqls[c.expr.sql()], None))
+                else:
+                    raise ExecError(f"LATERAL select column {c.expr.sql()} is neither aggregate nor group key")
+            cnt = internal("cnt")
+            lat = inner_df.groupBy(*key_cols, *group_cols).agg(*aggs, F.count(F.lit(1)).alias(cnt))
+            on = None
+            for (_, oc), kn in zip(pairs, key_names):
+                cond = lat[kn] == oc
+                on = cond if on is None else (on & cond)
+            global_agg = not sub_sel.group_by
+            joined = joined.join(lat, on=on, how="left" if (left or global_agg) else "inner")
+            if global_agg:
+                # ANSI: a global aggregate subquery yields a row even for
+                # an empty correlated set — substitute empty-relation values
+                for name, phys, expr in post:
+                    if expr is None:
+                        continue
+                    empty = self._empty_agg_value(inner_df, to_column(expr, inner_scope))
+                    joined = joined.withColumn(
+                        phys, F.when(F.col(cnt).isNull(), F.lit(empty)).otherwise(F.col(phys))
+                    )
+            joined = joined.drop(cnt, *key_names)
+            out_phys = [(name, phys) for name, phys, _ in post]
+        else:
+            proj, names = self._projection(sub_sel, inner_scope)
+            proj = [c.alias(internal(nm)) for c, nm in zip(proj, names)]
+            range_names = [internal(f"r{i}") for i in range(len(ranges))]
+            range_cols = [ic.alias(rn) for (_, ic, _), rn in zip(ranges, range_names)]
+            lat = inner_df.select(*key_cols, *range_cols, *proj)
+            if sub_sel.limit is not None:
+                if ranges:
+                    raise ExecError("LATERAL with LIMIT supports equality correlation only")
+                from pyspark.sql.window import Window
+
+                order = []
+                for okey, direction in sub_sel.order_by:
+                    order.extend(self._directional(to_column(okey, inner_scope), direction))
+                # LIMIT without ORDER BY: any rows satisfy ANSI — arbitrary pick
+                w = Window.partitionBy(*key_names).orderBy(*(order or [F.lit(1)]))
+                rn = internal("rn")
+                lo = sub_sel.offset or 0
+                lat = (
+                    inner_df.select(*key_cols, *[to_column(k, inner_scope).alias(internal(f"o{i}")) for i, (k, _) in enumerate(sub_sel.order_by)], *proj)
+                    .withColumn(rn, F.row_number().over(
+                        Window.partitionBy(*key_names).orderBy(*(
+                            [d for i, (_, direc) in enumerate(sub_sel.order_by) for d in self._directional(F.col(internal(f"o{i}")), direc)]
+                            or [F.lit(1)]
+                        ))
+                    ))
+                    .where((F.col(rn) > lo) & (F.col(rn) <= lo + sub_sel.limit))
+                    .drop(rn, *[internal(f"o{i}") for i in range(len(sub_sel.order_by))])
+                )
+            on = None
+            for (_, oc), kn in zip(pairs, key_names):
+                cond = lat[kn] == oc
+                on = cond if on is None else (on & cond)
+            for (op, _, oc), rn_ in zip(ranges, range_names):
+                cond = {"<": lat[rn_] < oc, "<=": lat[rn_] <= oc, ">": lat[rn_] > oc, ">=": lat[rn_] >= oc}[op]
+                on = cond if on is None else (on & cond)
+            joined = joined.join(lat, on=on, how="left" if left else "inner")
+            joined = joined.drop(*key_names, *range_names)
+            out_phys = [(nm, internal(nm)) for nm in names]
+
+        for name, phys in out_phys:
+            physical[f"{ref.lower()}.{name.lower()}"] = phys
+        frames[ref] = joined.select(*[F.col(p).alias(nm) for nm, p in out_phys]).alias(ref)
+        return joined
+
     def _build_from(self, sel: SqlSelect) -> tuple[DataFrame, Scope]:
         frames: dict[str, DataFrame] = {}
         physical: dict[str, str] = {}
@@ -780,6 +935,9 @@ class Engine:
         for src in sel.from_[1:]:
             if src.unnest is not None:
                 joined = self._apply_unnest(joined, src, frames, physical)
+                continue
+            if getattr(src, "lateral", False) and src.subquery is not None:
+                joined = self._apply_lateral(joined, src, frames, physical)
                 continue
             other = self._resolve_source(src, sel)
             frames[src.ref] = other

@@ -93,6 +93,7 @@ class FromSource:
     # TABLESAMPLE (p PERCENT | n ROWS) [REPEATABLE (seed)]:
     #   {"kind": "percent"|"rows", "value": float|int, "seed": int|None}
     sample: dict | None = None
+    lateral: bool = False  # LATERAL (SELECT …) — subquery may see prior FROM items
 
     @property
     def ref(self) -> str:
@@ -631,6 +632,19 @@ class SqlParser(ExprParser):
 
     def parse_one_source(self) -> FromSource:
         t = self.cur()
+        if t.kind == IDENT and t.upper == "LATERAL" and self.peek().kind == LPAREN:
+            # LATERAL (SELECT …) — ANSI lateral derived table (superset);
+            # the subquery may reference columns of preceding FROM items
+            self.advance()
+            self.expect(LPAREN)
+            sub = self.parse_select_chain()
+            self.expect(RPAREN)
+            src = FromSource(subquery=sub, lateral=True)
+            if self.eat_kw("AS"):
+                src.alias = self.advance().val
+            elif self.cur().kind in (IDENT, QIDENT) and self.cur().upper not in _CLAUSE_END and self.cur().upper not in _JOIN_WORDS and self.cur().upper != "ON":
+                src.alias = self.advance().val
+            return src
         if t.kind == LPAREN and self.peek().kind == IDENT and self.peek().upper == "VALUES":
             # (VALUES (1, 'a'), (2, 'b')) AS t(x, y) — ANSI table value
             # constructor (superset; reference VALUES exists only in INSERT)
