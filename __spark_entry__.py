@@ -342,10 +342,15 @@ _Q = {
         WHERE user_id < 20
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
     # NTILE + percent_rank sharing one named window; QUALIFY post-filter
+    # + ANSI CASE and last_value IGNORE NULLS (the gap-fill idiom:
+    # running latest non-null over the named window)
     "q37_window_quartiles": """
         SELECT c_mktsegment, c_custkey,
                cast(ntile(4) OVER w AS long) AS quartile,
-               floor(percent_rank() OVER w * 1000000) AS prank_x1e6
+               floor(percent_rank() OVER w * 1000000) AS prank_x1e6,
+               CASE WHEN c_acctbal < 0 THEN "neg" WHEN c_acctbal < 5000 THEN "mid" ELSE "high" END AS band,
+               last_value(CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_name END)
+                 IGNORE NULLS OVER w AS last_named
         FROM customer
         WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
         QUALIFY c_custkey < 300""",
@@ -1205,7 +1210,10 @@ def oracle_sql() -> dict[str, str]:
         "q37_window_quartiles": """
             SELECT c_mktsegment, c_custkey,
                    CAST(ntile(4) OVER w AS BIGINT) AS quartile,
-                   CAST(floor(percent_rank() OVER w * 1000000) AS BIGINT) AS prank_x1e6
+                   CAST(floor(percent_rank() OVER w * 1000000) AS BIGINT) AS prank_x1e6,
+                   CASE WHEN c_acctbal < 0 THEN 'neg' WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS band,
+                   last_value(CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_name END IGNORE NULLS)
+                     OVER w AS last_named
             FROM customer
             WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
             QUALIFY c_custkey < 300""",

@@ -257,6 +257,8 @@ class ExprParser:
             return self.parse_identity()
         if t.kind == IDENT:
             up = t.upper
+            if up == "CASE":
+                return self.parse_case()
             if up == "NULL":
                 self.advance()
                 return NullNode()
@@ -309,10 +311,44 @@ class ExprParser:
             return self.parse_over(fn)
         return fn
 
+    def parse_case(self) -> "CaseNode":
+        """ANSI ``CASE [operand] WHEN … THEN … [ELSE …] END`` — searched
+        and simple forms (superset; the reference dialect has only its
+        ``if()``/``oneof()`` builtins)."""
+        from .nodes import CaseNode
+
+        self.advance()  # CASE
+        operand = None
+        if not self.at_kw("WHEN"):
+            operand = self.parse_expr()
+        whens: list[tuple[Node, Node]] = []
+        while self.at_kw("WHEN"):
+            self.advance()
+            cond = self.parse_expr()
+            self.expect(IDENT, "THEN")
+            whens.append((cond, self.parse_expr()))
+        if not whens:
+            raise ParseError("CASE needs at least one WHEN ... THEN ...")
+        default = None
+        if self.at_kw("ELSE"):
+            self.advance()
+            default = self.parse_expr()
+        self.expect(IDENT, "END")
+        return CaseNode(operand=operand, whens=whens, default=default)
+
     def _maybe_agg_filter(self, fn: FuncNode) -> None:
         """``agg(x) FILTER (WHERE pred)`` — ANSI aggregate filter. Only
         triggers on ``FILTER (`` so the engine dialect's ``FROM t FILTER
-        <expr>`` clause (FilterSelect) stays unambiguous."""
+        <expr>`` clause (FilterSelect) stays unambiguous. Also eats the
+        ANSI ``IGNORE NULLS`` / ``RESPECT NULLS`` null-treatment clause
+        (honored by window value functions)."""
+        if (
+            self.at_kw("IGNORE", "RESPECT")
+            and self.peek().kind == IDENT
+            and self.peek().upper == "NULLS"
+        ):
+            fn.ignore_nulls = self.advance().upper == "IGNORE"
+            self.advance()  # NULLS
         if self.at_kw("FILTER") and self.peek().kind == LPAREN:
             self.advance()
             self.expect(LPAREN)

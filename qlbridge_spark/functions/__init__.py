@@ -73,6 +73,11 @@ def build_function(node: FuncNode, scope: Scope) -> Column:
     fd = registry.get(node.name)
     if fd is None:
         raise TranslateError(f"unknown function {node.name!r}")
+    if getattr(node, "ignore_nulls", False):
+        raise TranslateError(
+            f"IGNORE NULLS is only supported on window value functions "
+            f"(first_value/last_value/nth_value OVER …), not {node.name}()"
+        )
     if node.filter_where is not None:
         if not fd.is_agg:
             raise TranslateError(f"FILTER (WHERE ...) is only valid on an aggregate, not {node.name}()")

@@ -98,6 +98,10 @@ class FuncNode(Node):
     # ANSI aggregate filter: agg(x) FILTER (WHERE pred) — only valid on
     # aggregate functions; rows failing pred are excluded from the agg
     filter_where: "Node | None" = None
+    # ANSI null treatment: func(x) IGNORE NULLS — honored by the window
+    # value functions (first_value/last_value/nth_value); RESPECT NULLS
+    # is the parse-only default
+    ignore_nulls: bool = False
 
     def children(self):
         return self.args + ([self.filter_where] if self.filter_where is not None else [])
@@ -234,6 +238,36 @@ class ArrayNode(Node):
 
     def sql(self) -> str:
         return "(" + ", ".join(i.sql() for i in self.items) + ")"
+
+
+@dataclass
+class CaseNode(Node):
+    """ANSI CASE — searched (``CASE WHEN p THEN r``) and simple
+    (``CASE x WHEN v THEN r``) forms; superset (reference has only
+    ``if()``/``oneof()`` builtins). Lowers to an F.when chain."""
+
+    operand: "Node | None"
+    whens: list  # [(cond-or-match-value Node, result Node), ...]
+    default: "Node | None" = None
+
+    def children(self):
+        out = [] if self.operand is None else [self.operand]
+        for c, r in self.whens:
+            out.extend((c, r))
+        if self.default is not None:
+            out.append(self.default)
+        return out
+
+    def sql(self) -> str:
+        parts = ["CASE"]
+        if self.operand is not None:
+            parts.append(self.operand.sql())
+        for c, r in self.whens:
+            parts.append(f"WHEN {c.sql()} THEN {r.sql()}")
+        if self.default is not None:
+            parts.append(f"ELSE {self.default.sql()}")
+        parts.append("END")
+        return " ".join(parts)
 
 
 @dataclass

@@ -28,6 +28,7 @@ from .nodes import (
     BinaryNode,
     BoolNode,
     BooleanNode,
+    CaseNode,
     FuncNode,
     IdentityNode,
     IncludeNode,
@@ -320,6 +321,12 @@ def infer_dtype(node: Node, scope: Scope) -> T.DataType | None:
         if lt is not None and rt is not None:
             return T.LongType()
         return None
+    if isinstance(node, CaseNode):
+        for _, r in node.whens:
+            dt = infer_dtype(r, scope)
+            if dt is not None:
+                return dt
+        return infer_dtype(node.default, scope) if node.default is not None else None
     if isinstance(node, FuncNode):
         from .functions import registry
 
@@ -392,6 +399,18 @@ def to_column(node: Node, scope: Scope) -> Column:
         return scope.col(node)
     if isinstance(node, ArrayNode):
         return F.array(*[to_column(i, scope) for i in node.items])
+    if isinstance(node, CaseNode):
+        # ANSI CASE → F.when chain; simple form compares the operand with
+        # the engine's own `=` coercion shims. No ELSE → NULL (ANSI).
+        col = None
+        for cond, res in node.whens:
+            cnode = cond if node.operand is None else BinaryNode("=", node.operand, cond)
+            c = to_column(cnode, scope).cast("boolean")
+            r = to_column(res, scope)
+            col = F.when(c, r) if col is None else col.when(c, r)
+        if node.default is not None:
+            col = col.otherwise(to_column(node.default, scope))
+        return col
     if isinstance(node, FuncNode):
         from .functions import build_function
 
@@ -483,8 +502,30 @@ def _window(node: WindowNode, scope: Scope) -> Column:
         if len(node.func.args) != 1 or not isinstance(node.func.args[0], NumberNode):
             raise TranslateError("ntile(n) takes one integer literal")
         col = F.ntile(int(node.func.args[0].value))
+    elif name in ("first_value", "last_value", "nth_value"):
+        # ANSI window value functions with IGNORE NULLS support (superset;
+        # DuckDB-compatible). Default SQL frame applies: last_value over
+        # an ORDER BY without an explicit frame sees up to the CURRENT row.
+        args = node.func.args
+        ign = getattr(node.func, "ignore_nulls", False)
+        if not args:
+            raise TranslateError(f"{name}(expr) needs an argument")
+        target = to_column(args[0], scope)
+        if name == "nth_value":
+            if len(args) != 2 or not isinstance(args[1], NumberNode) or not args[1].is_int:
+                raise TranslateError("nth_value(expr, n) takes an integer literal offset")
+            col = F.nth_value(target, int(args[1].value), ignoreNulls=ign)
+        elif name == "first_value":
+            col = F.first(target, ignorenulls=ign)
+        else:
+            col = F.last(target, ignorenulls=ign)
     elif name in ("lag", "lead"):
         args = node.func.args
+        if getattr(node.func, "ignore_nulls", False):
+            raise TranslateError(
+                f"{name}() IGNORE NULLS is not supported (no PySpark equivalent); "
+                "use last_value/first_value IGNORE NULLS over an explicit frame instead"
+            )
         if not args or len(args) > 3:
             raise TranslateError(f"{name}(expr[, offset[, default]]) takes 1-3 arguments")
         target = to_column(args[0], scope)

@@ -613,3 +613,87 @@ class TestQualifySubqueries:
             "QUALIFY row_number() OVER (ORDER BY k) >= 1 AND EXISTS (SELECT 1 FROM qref r WHERE r.k = qev.k AND r.v > 3) ORDER BY k"
         )
         assert [tuple(r) for r in df.collect()] == [("b", 2), ("c", 2)]
+
+
+class TestCaseAndNullTreatment:
+    @pytest.fixture(scope="class")
+    def ceng(self, spark):
+        from qlbridge_spark import Engine
+
+        e = Engine(spark)
+        e.register_df("ct", spark.createDataFrame([(1, "a"), (2, "b"), (3, "c"), (6, "d")], "n int, s string"))
+        e.register_df(
+            "nt",
+            spark.createDataFrame(
+                [(1, 1, None), (1, 2, "a"), (1, 3, None), (1, 4, "b"), (2, 1, None)],
+                "g int, i int, v string",
+            ),
+        )
+        return e
+
+    def test_searched_case(self, ceng):
+        rows = ceng.execute(
+            "SELECT n, CASE WHEN n < 2 THEN 'small' WHEN n < 5 THEN 'mid' ELSE 'big' END AS sz"
+            " FROM ct ORDER BY n"
+        ).collect()
+        assert [r.sz for r in rows] == ["small", "mid", "mid", "big"]
+
+    def test_simple_case_no_else_is_null(self, ceng):
+        rows = ceng.execute(
+            "SELECT s, CASE s WHEN 'a' THEN 1 WHEN 'b' THEN 2 END AS code FROM ct ORDER BY s"
+        ).collect()
+        assert [r.code for r in rows] == [1, 2, None, None]
+
+    def test_case_as_group_key(self, ceng):
+        rows = ceng.execute(
+            "SELECT CASE WHEN n % 2 = 0 THEN 'even' ELSE 'odd' END AS par, count(*) AS c"
+            " FROM ct GROUP BY par ORDER BY par"
+        ).collect()
+        assert [(r.par, r.c) for r in rows] == [("even", 2), ("odd", 2)]
+
+    def test_case_inside_aggregate(self, ceng):
+        assert ceng.execute(
+            "SELECT sum(CASE WHEN n > 2 THEN n ELSE 0 END) AS s FROM ct"
+        ).collect()[0].s == 9
+
+    def test_case_without_when_errors(self, ceng):
+        from qlbridge_spark.exprparse import ParseError
+
+        with pytest.raises(ParseError):
+            ceng.execute("SELECT CASE ELSE 1 END FROM ct")
+
+    def test_last_value_ignore_nulls_running(self, ceng):
+        # the gap-fill idiom: running latest non-null (DuckDB-matched)
+        rows = ceng.execute(
+            "SELECT g, i, last_value(v) IGNORE NULLS OVER (PARTITION BY g ORDER BY i) AS lv"
+            " FROM nt ORDER BY g, i"
+        ).collect()
+        assert [r.lv for r in rows] == [None, "a", "a", "b", None]
+
+    def test_first_value_ignore_nulls_full_frame(self, ceng):
+        rows = ceng.execute(
+            "SELECT g, i, first_value(v) IGNORE NULLS OVER (PARTITION BY g ORDER BY i"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS fv FROM nt ORDER BY g, i"
+        ).collect()
+        assert [r.fv for r in rows] == ["a", "a", "a", "a", None]
+
+    def test_nth_value(self, ceng):
+        rows = ceng.execute(
+            "SELECT g, i, nth_value(v, 2) OVER (PARTITION BY g ORDER BY i"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS n2 FROM nt ORDER BY g, i"
+        ).collect()
+        assert [r.n2 for r in rows] == ["a", "a", "a", "a", None]
+
+    def test_ignore_nulls_on_lag_errors(self, ceng):
+        from qlbridge_spark.translate import TranslateError
+
+        with pytest.raises((TranslateError, Exception), match="IGNORE NULLS"):
+            ceng.execute(
+                "SELECT lag(v) IGNORE NULLS OVER (PARTITION BY g ORDER BY i) FROM nt"
+            ).collect()
+
+    def test_ignore_nulls_outside_window_errors(self, ceng):
+        from qlbridge_spark.translate import TranslateError
+
+        with pytest.raises((TranslateError, Exception), match="IGNORE NULLS"):
+            ceng.execute("SELECT count(v) IGNORE NULLS FROM nt").collect()
