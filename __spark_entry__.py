@@ -203,11 +203,19 @@ _Q = {
         ORDER BY hr
         LIMIT 100""",
     # math + casting builtins (+ modulo, folded from retired q29)
+    # + the ANSI portability batch (sign/trunc/greatest/ln/substring/
+    # trim/initcap — standard names the reference builtin set lacks)
     "q19_math_cast": """
         SELECT p_partkey, round(sqrt(p_retailprice), 4) AS rt,
                round(pow(p_size, 2), 1) AS sz2,
                toint(tostring(p_size)) AS roundtrip,
-               p_size % 7 AS szmod
+               p_size % 7 AS szmod,
+               sign(p_retailprice - 1500) AS sg,
+               trunc(p_retailprice / 100) AS trc,
+               greatest(p_size, 25) AS gst,
+               round(ln(p_retailprice), 4) AS lnp,
+               toupper(substring(p_name, 1, 10)) AS nm10,
+               trim(concat_ws("-", p_brand, tostring(p_size))) AS bs
         FROM part
         WHERE p_partkey < 200
         ORDER BY p_partkey""",
@@ -858,7 +866,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT p_partkey, round(sqrt(p_retailprice), 4) AS rt,
                    round(pow(p_size, 2), 1) AS sz2,
                    CAST(p_size AS BIGINT) AS roundtrip,
-                   p_size % 7 AS szmod
+                   p_size % 7 AS szmod,
+                   sign(p_retailprice - 1500) AS sg,
+                   trunc(p_retailprice / 100) AS trc,
+                   CAST(greatest(p_size, 25) AS BIGINT) AS gst,
+                   round(ln(p_retailprice), 4) AS lnp,
+                   upper(substring(p_name, 1, 10)) AS nm10,
+                   trim(concat_ws('-', p_brand, CAST(p_size AS VARCHAR))) AS bs
             FROM part WHERE p_partkey < 200 ORDER BY p_partkey""",
         "q20_literal": """SELECT 1 AS one, 'hello' AS greeting, 2 * 3 AS six""",
         "q25_distinct_multi": """

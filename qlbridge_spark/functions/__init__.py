@@ -1202,3 +1202,166 @@ def _require_str_literal(node, what: str) -> str:
     if not isinstance(node, StringNode):
         raise TranslateError(f"{what} must be a string literal")
     return node.value
+
+
+# ===========================================================================
+# ANSI / portability batch — standard SQL names a user migrating from any
+# other engine expects. Superset: none exist in the reference builtin set
+# (expr/builtins/builtins.go registry). All are thin JVM-native
+# pyspark.sql.functions passthroughs — zero Python in the row path.
+# ===========================================================================
+def _nary(fname, return_type=None, min_args=1, max_args=None):
+    """Register a positional passthrough to pyspark.sql.functions.<fname>."""
+
+    def builder(n, s, _f=getattr(F, fname), _lo=min_args, _hi=max_args, _nm=fname):
+        if len(n.args) < _lo or (_hi is not None and len(n.args) > _hi):
+            raise TranslateError(f"{_nm}() takes {_lo}{'+' if _hi is None else f'-{_hi}'} arguments")
+        return _f(*[to_column(a, s) for a in n.args])
+
+    func_add(fname, builder, return_type=return_type)
+
+
+for _name, _rt, _lo, _hi in [
+    ("nullif", None, 2, 2),
+    ("greatest", None, 2, None),
+    ("least", None, 2, None),
+    ("trim", T.StringType(), 1, 2),
+    ("ltrim", T.StringType(), 1, 2),
+    ("rtrim", T.StringType(), 1, 2),
+    ("lpad", T.StringType(), 2, 3),
+    ("rpad", T.StringType(), 2, 3),
+    ("repeat", T.StringType(), 2, 2),
+    ("reverse", None, 1, 1),
+    ("left", T.StringType(), 2, 2),
+    ("right", T.StringType(), 2, 2),
+    ("instr", T.LongType(), 2, 2),
+    ("initcap", T.StringType(), 1, 1),
+    ("ascii", T.LongType(), 1, 1),
+    ("exp", T.DoubleType(), 1, 1),
+    ("log10", T.DoubleType(), 1, 1),
+    ("log2", T.DoubleType(), 1, 1),
+    ("sin", T.DoubleType(), 1, 1),
+    ("cos", T.DoubleType(), 1, 1),
+    ("tan", T.DoubleType(), 1, 1),
+    ("asin", T.DoubleType(), 1, 1),
+    ("acos", T.DoubleType(), 1, 1),
+    ("atan", T.DoubleType(), 1, 1),
+    ("atan2", T.DoubleType(), 2, 2),
+    ("degrees", T.DoubleType(), 1, 1),
+    ("radians", T.DoubleType(), 1, 1),
+    ("try_divide", None, 2, 2),
+]:
+    _nary(_name, _rt, _lo, _hi)
+
+
+@_reg("substring", return_type=T.StringType())
+def _substring(n, s):
+    """ANSI substring(str, start[, len]) — 1-based, like Spark/DuckDB."""
+    if len(n.args) not in (2, 3):
+        raise TranslateError("substring(str, start[, len]) takes 2-3 arguments")
+    c = to_column(n.args[0], s)
+    start = to_column(n.args[1], s)
+    length = to_column(n.args[2], s) if len(n.args) == 3 else F.lit(2147483647)
+    return F.substring(c, start, length)
+
+
+func_add("substr", registry["substring"].builder, return_type=T.StringType())
+func_add("ifnull", registry["coalesce"].builder)
+func_add("nvl", registry["coalesce"].builder)
+
+
+@_reg("concat_ws", return_type=T.StringType())
+def _concat_ws(n, s):
+    if len(n.args) < 2:
+        raise TranslateError("concat_ws(sep, x, ...) needs a separator and at least one value")
+    sep = _require_str_literal(n.args[0], "concat_ws separator")
+    return F.concat_ws(sep, *[to_column(a, s) for a in n.args[1:]])
+
+
+@_reg("ln", return_type=T.DoubleType())
+def _ln(n, s):
+    return F.log(to_column(n.args[0], s))
+
+
+@_reg("log", return_type=T.DoubleType())
+def _log(n, s):
+    """log(x) = natural log; log(base, x) = log in base (ANSI/DuckDB).
+    F.log takes the base as a PYTHON float — a Column base is rejected,
+    so require a numeric literal."""
+    if len(n.args) == 1:
+        return F.log(to_column(n.args[0], s))
+    from ..nodes import NumberNode as _N
+
+    if not isinstance(n.args[0], _N):
+        raise TranslateError("log(base, x): base must be a numeric literal")
+    return F.log(float(n.args[0].value), to_column(n.args[1], s))
+
+
+@_reg("sign", return_type=T.DoubleType())
+def _sign(n, s):
+    return F.signum(to_column(n.args[0], s))
+
+
+@_reg("mod", return_type=None)
+def _mod(n, s):
+    if len(n.args) != 2:
+        raise TranslateError("mod(a, b) takes two arguments")
+    return to_column(n.args[0], s) % to_column(n.args[1], s)
+
+
+@_reg("pi", return_type=T.DoubleType())
+def _pi(n, s):
+    return F.pi()
+
+
+@_reg("chr", return_type=T.StringType())
+def _chr(n, s):
+    return F.char(to_column(n.args[0], s))
+
+
+@_reg("trunc", return_type=T.DoubleType())
+def _trunc(n, s):
+    """Numeric truncation toward zero (Spark's trunc() is date-only)."""
+    c = to_column(n.args[0], s).cast("double")
+    if len(n.args) == 2:
+        from ..nodes import NumberNode as _N
+
+        if not isinstance(n.args[1], _N) or not n.args[1].is_int:
+            raise TranslateError("trunc(x, d): d must be an integer literal")
+        f = 10 ** int(n.args[1].value)
+        scaled = c * F.lit(f)
+        return F.when(scaled < 0, F.ceil(scaled)).otherwise(F.floor(scaled)) / F.lit(f)
+    return (F.when(c < 0, F.ceil(c)).otherwise(F.floor(c))).cast("double")
+
+
+# ---- ANSI aggregate batch (all JVM-native) --------------------------------
+for _aname in [
+    "var_pop", "var_samp", "stddev_pop", "stddev_samp",
+    "corr", "covar_pop", "covar_samp",
+    "bool_and", "bool_or", "any_value", "mode",
+]:
+
+    def _abuilder(n, s, _f=getattr(F, _aname), _nm=_aname):
+        return _f(*[to_column(a, s) for a in n.args])
+
+    func_add(_aname, _abuilder, is_agg=True)
+
+func_add("variance", registry["var_samp"].builder, is_agg=True)
+func_add("every", registry["bool_and"].builder, is_agg=True)
+
+
+@_reg("array_agg", is_agg=True)
+def _array_agg(n, s):
+    return F.collect_list(to_column(n.args[0], s))
+
+
+@_reg("string_agg", is_agg=True, return_type=T.StringType())
+def _string_agg(n, s):
+    """string_agg(x[, sep]) — concatenation order is NONDETERMINISTIC in a
+    distributed engine (same as DuckDB/Postgres without WITHIN GROUP);
+    wrap in an outer sort of the collected list when order matters."""
+    sep = _require_str_literal(n.args[1], "string_agg separator") if len(n.args) > 1 else ","
+    return F.string_agg(to_column(n.args[0], s), F.lit(sep))
+
+
+func_add("listagg", registry["string_agg"].builder, is_agg=True, return_type=T.StringType())

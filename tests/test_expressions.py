@@ -287,3 +287,62 @@ class TestPipelineBuiltins:
 
         with pytest.raises(TranslateError, match="string literal"):
             peng.sql("SELECT tokencount(text, id) AS x FROM pdocs").collect()
+
+
+class TestAnsiPortabilityBatch:
+    """Standard SQL function names (superset; absent from the reference's
+    builtin registry expr/builtins/builtins.go) — all JVM-native."""
+
+    def test_string_batch(self, spark):
+        from qlbridge_spark import Engine
+
+        e = Engine(spark)
+        e.register_df("ap", spark.createDataFrame([(1, "  hello world  ")], "n int, s string"))
+        r = e.execute(
+            'SELECT substring(s, 3, 5) AS sub, trim(s) AS t, ltrim(s) AS lt, rtrim(s) AS rt,'
+            ' lpad(tostring(n), 3, "0") AS lp, repeat("ab", 2) AS rp, reverse("abc") AS rv,'
+            ' left(trim(s), 5) AS lf, right(trim(s), 5) AS rg, instr("hello", "ll") AS ins,'
+            ' initcap("foo bar") AS ic, ascii("A") AS asc, chr(66) AS ch,'
+            " concat_ws('-', 'a', 'b') AS cw FROM ap"
+        ).collect()[0]
+        assert (r.sub, r.t, r.lp, r.rp, r.rv) == ("hello", "hello world", "001", "abab", "cba")
+        assert (r.lf, r.rg, r.ins, r.ic, r.asc, r.ch, r.cw) == ("hello", "world", 3, "Foo Bar", 65, "B", "a-b")
+
+    def test_math_batch(self, spark):
+        from qlbridge_spark import Engine
+
+        e = Engine(spark)
+        e.register_df("am", spark.createDataFrame([(-2.7,)], "x double"))
+        r = e.execute(
+            "SELECT sign(x) AS sg, trunc(x) AS t0, trunc(x * 10, 1) AS t1, mod(7, 3) AS m,"
+            " round(ln(exp(1.0)), 9) AS one, round(log10(100.0), 9) AS two,"
+            " round(log(2, 8.0), 9) AS three, round(degrees(pi()), 6) AS d,"
+            " greatest(1, 5, 3) AS g, least(1, 5, 3) AS l, nullif(2, 2) AS nf,"
+            " ifnull(NULL, 9) AS inn, try_divide(1, 0) AS td FROM am"
+        ).collect()[0]
+        assert (r.sg, r.t0, r.t1, r.m) == (-1.0, -2.0, -27.0, 1)
+        assert (r.one, r.two, r.three, r.d) == (1.0, 2.0, 3.0, 180.0)
+        assert (r.g, r.l, r.nf, r.inn, r.td) == (5, 1, None, 9, None)
+
+    def test_agg_batch(self, spark):
+        from qlbridge_spark import Engine
+
+        e = Engine(spark)
+        e.register_df("ag", spark.createDataFrame([(1, 1.0), (2, 2.0), (3, 3.0)], "n int, x double"))
+        r = e.execute(
+            "SELECT bool_and(n > 0) AS ba, bool_or(n > 2) AS bo, round(var_pop(n), 4) AS vp,"
+            " round(var_samp(n), 4) AS vs, round(stddev_pop(n), 4) AS sp, round(corr(n, x), 4) AS cr,"
+            " round(covar_samp(n, x), 4) AS cv, mode(n) AS md, array_agg(n) AS aa,"
+            " string_agg(tostring(n), '|') AS sa FROM ag"
+        ).collect()[0]
+        assert (r.ba, r.bo) == (True, True)
+        assert (r.vp, r.vs, r.sp, r.cr, r.cv) == (0.6667, 1.0, 0.8165, 1.0, 1.0)
+        assert sorted(r.aa) == [1, 2, 3] and sorted(r.sa.split("|")) == ["1", "2", "3"]
+
+    def test_variance_alias_and_every(self, spark):
+        from qlbridge_spark import Engine
+
+        e = Engine(spark)
+        e.register_df("av", spark.createDataFrame([(1,), (2,), (3,)], "n int"))
+        r = e.execute("SELECT round(variance(n), 2) AS v, every(n < 10) AS ev FROM av").collect()[0]
+        assert (r.v, r.ev) == (1.0, True)
