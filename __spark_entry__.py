@@ -161,10 +161,16 @@ _Q = {
         WHERE c_custkey < 100
         ORDER BY c_custkey""",
     # §2.9 date/time builtins (expr/builtins/time.go; Go weekday 0=Sunday)
+    # + ANSI EXTRACT(part FROM ts) alongside the reference's comma-form
+    # extract (DuckDB/Postgres part numbering: dow Sunday=0, ISO week)
     "q13_time_funcs": """
         SELECT o_orderkey, yy(o_orderdate) AS yy2, mm(o_orderdate) AS m,
                dayofweek(o_orderdate) AS dow, hourofday(o_orderdate) AS hod,
-               yymm(o_orderdate) AS ym
+               yymm(o_orderdate) AS ym,
+               extract(quarter FROM o_orderdate) AS qtr,
+               extract(isodow FROM o_orderdate) AS idw,
+               extract(week FROM o_orderdate) AS wk,
+               extract(epoch FROM o_orderdate) AS ep
         FROM orders
         WHERE o_orderkey < 200
         ORDER BY o_orderkey""",
@@ -841,7 +847,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(month(o_orderdate) AS BIGINT) AS m,
                    CAST(dayofweek(o_orderdate) AS BIGINT) AS dow,
                    CAST(hour(o_orderdate) AS BIGINT) AS hod,
-                   strftime(o_orderdate, '%y%m') AS ym
+                   strftime(o_orderdate, '%y%m') AS ym,
+                   extract(quarter FROM o_orderdate) AS qtr,
+                   extract(isodow FROM o_orderdate) AS idw,
+                   extract(week FROM o_orderdate) AS wk,
+                   CAST(extract(epoch FROM o_orderdate) AS BIGINT) AS ep
             FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey""",
         "q14_like_in": """
             SELECT c_custkey, c_mktsegment FROM customer

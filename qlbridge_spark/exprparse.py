@@ -286,6 +286,19 @@ class ExprParser:
             args.append(StringNode(ty.val))
             self.expect(RPAREN)
             return FuncNode("cast", args)
+        if (
+            name == "extract"
+            and self.cur().kind == IDENT
+            and self.peek().kind == IDENT
+            and self.peek().upper == "FROM"
+        ):
+            # ANSI EXTRACT(part FROM expr) — distinct from the reference's
+            # strftime-style extract(ts, "%format") which keeps its comma form
+            part = self.advance().val
+            self.advance()  # FROM
+            arg = self.parse_expr()
+            self.expect(RPAREN)
+            return FuncNode("__extract_ansi", [StringNode(part), arg])
         if name == "count" and self.cur().kind == OP and self.cur().val == "*":
             self.advance()
             self.expect(RPAREN)

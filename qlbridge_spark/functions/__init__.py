@@ -1365,3 +1365,38 @@ def _string_agg(n, s):
 
 
 func_add("listagg", registry["string_agg"].builder, is_agg=True, return_type=T.StringType())
+
+
+@_reg("__extract_ansi", return_type=T.LongType())
+def _extract_ansi(n, s):
+    """ANSI ``EXTRACT(part FROM ts)`` (parser-lowered). Part numbering
+    follows DuckDB/PostgreSQL: dow Sunday=0, isodow Monday=1, week = ISO
+    week. BIGINT result for cross-engine hash parity."""
+    part = _lit_str(n, 0).lower()
+    c = _time_arg(n, s, 1)
+    builders = {
+        "year": F.year,
+        "quarter": F.quarter,
+        "month": F.month,
+        "week": F.weekofyear,
+        "day": F.dayofmonth,
+        "dayofmonth": F.dayofmonth,
+        "doy": F.dayofyear,
+        "dayofyear": F.dayofyear,
+        "hour": F.hour,
+        "minute": F.minute,
+        "second": F.second,
+    }
+    if part in builders:
+        return builders[part](c).cast("long")
+    if part == "dow":
+        return (F.dayofweek(c) - 1).cast("long")
+    if part == "isodow":
+        return (F.weekday(c) + 1).cast("long")
+    if part == "epoch":
+        return F.unix_timestamp(c).cast("long")
+    if part == "millisecond":
+        return (F.second(c) * 1000 + (F.unix_micros(c) % 1_000_000) / 1000).cast("long")
+    if part == "microsecond":
+        return (F.second(c) * 1_000_000 + F.unix_micros(c) % 1_000_000).cast("long")
+    raise TranslateError(f"EXTRACT: unsupported part {part!r}")

@@ -346,3 +346,30 @@ class TestAnsiPortabilityBatch:
         e.register_df("av", spark.createDataFrame([(1,), (2,), (3,)], "n int"))
         r = e.execute("SELECT round(variance(n), 2) AS v, every(n < 10) AS ev FROM av").collect()[0]
         assert (r.v, r.ev) == (1.0, True)
+
+    def test_ansi_extract(self, spark):
+        import datetime
+
+        from qlbridge_spark import Engine
+
+        e = Engine(spark)
+        e.register_df(
+            "ex", spark.createDataFrame([(datetime.datetime(2024, 3, 15, 10, 30, 45),)], "ts timestamp")
+        )
+        r = e.execute(
+            "SELECT extract(year FROM ts) AS y, extract(quarter FROM ts) AS q,"
+            " extract(dow FROM ts) AS dw, extract(isodow FROM ts) AS idw,"
+            " extract(week FROM ts) AS wk, extract(epoch FROM ts) AS ep,"
+            ' extract(ts, "%Y-%m") AS ref FROM ex'
+        ).collect()[0]
+        # DuckDB/Postgres numbering: 2024-03-15 is a Friday → dow 5, isodow 5
+        assert (r.y, r.q, r.dw, r.idw, r.wk, r.ep, r.ref) == (2024, 1, 5, 5, 11, 1710498645, "2024-03")
+
+    def test_extract_bad_part_errors(self, spark):
+        from qlbridge_spark import Engine
+        from qlbridge_spark.translate import TranslateError
+
+        e = Engine(spark)
+        e.register_df("ex2", spark.sql("SELECT current_timestamp() AS ts"))
+        with pytest.raises((TranslateError, Exception), match="unsupported part"):
+            e.execute("SELECT extract(fortnight FROM ts) FROM ex2").collect()
