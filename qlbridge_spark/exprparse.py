@@ -197,8 +197,13 @@ class ExprParser:
             high = self.parse_expr(_PREC_CMP)
             return TriNode("BETWEEN", [left, low, high], negated=negated)
         if kw == "IS":
-            # IS [NOT] NULL
+            # IS [NOT] NULL | IS [NOT] DISTINCT FROM (null-safe compare)
             isnot = self.eat_kw("NOT")
+            if self.at_kw("DISTINCT"):
+                self.advance()
+                self.expect(IDENT, "FROM")
+                right = self.parse_expr(_PREC_CMP)
+                return BinaryNode("IS DISTINCT FROM", left, right, negated=isnot)
             self.expect(IDENT, "NULL")
             return BinaryNode("IS", left, NullNode(), negated=isnot)
         right = self.parse_expr(_PREC_CMP)

@@ -623,6 +623,13 @@ def _binary(node: BinaryNode, scope: Scope) -> Column:
         c = to_column(node.left, scope)
         return c.isNotNull() if node.negated else c.isNull()
 
+    if op == "IS DISTINCT FROM":
+        # ANSI null-safe inequality: never UNKNOWN (superset)
+        l = to_column(node.left, scope)
+        r = to_column(node.right, scope)
+        eq = l.eqNullSafe(r)
+        return eq if node.negated else ~eq
+
     if op in _CMP:
         return _comparison(node, scope)
 

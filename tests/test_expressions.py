@@ -373,3 +373,30 @@ class TestAnsiPortabilityBatch:
         e.register_df("ex2", spark.sql("SELECT current_timestamp() AS ts"))
         with pytest.raises((TranslateError, Exception), match="unsupported part"):
             e.execute("SELECT extract(fortnight FROM ts) FROM ex2").collect()
+
+    def test_is_distinct_from(self, spark):
+        from qlbridge_spark import Engine
+
+        e = Engine(spark)
+        e.register_df(
+            "dt", spark.createDataFrame([(1, 1), (1, 2), (1, None), (None, None)], "a int, b int")
+        )
+        rows = e.execute(
+            "SELECT a, b, a IS DISTINCT FROM b AS d, a IS NOT DISTINCT FROM b AS nd FROM dt"
+        ).collect()
+        got = {(r.a, r.b): (r.d, r.nd) for r in rows}
+        # null-safe: never UNKNOWN (DuckDB/ANSI semantics)
+        assert got == {
+            (1, 1): (False, True),
+            (1, 2): (True, False),
+            (1, None): (True, False),
+            (None, None): (False, True),
+        }
+
+    def test_is_distinct_from_in_where(self, spark):
+        from qlbridge_spark import Engine
+
+        e = Engine(spark)
+        e.register_df("dt2", spark.createDataFrame([(1, 1), (2, None)], "a int, b int"))
+        rows = e.execute("SELECT a FROM dt2 WHERE a IS DISTINCT FROM b").collect()
+        assert [r.a for r in rows] == [2]
