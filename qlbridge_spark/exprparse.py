@@ -264,6 +264,26 @@ class ExprParser:
             up = t.upper
             if up == "CASE":
                 return self.parse_case()
+            if up == "INTERVAL" and (
+                self.peek().kind == NUMBER or self.peek().kind == STRING
+            ):
+                # INTERVAL 3 DAY | INTERVAL '3 days' — ANSI interval
+                # literal (superset; the reference's datemath strings
+                # "now-3d" remain the native form)
+                self.advance()
+                q = self.advance()
+                if q.kind == NUMBER:
+                    num = q.val
+                    unit_tok = self.advance()
+                    if unit_tok.kind != IDENT:
+                        raise ParseError(f"expected interval unit, got {unit_tok!r}")
+                    unit = unit_tok.val
+                else:
+                    parts = q.val.split()
+                    if len(parts) != 2:
+                        raise ParseError(f"bad interval literal {q.val!r} (want '<n> <unit>')")
+                    num, unit = parts
+                return FuncNode("__interval_lit", [NumberNode(num), StringNode(unit)])
             if up == "NULL":
                 self.advance()
                 return NullNode()

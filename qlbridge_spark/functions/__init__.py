@@ -1400,3 +1400,28 @@ def _extract_ansi(n, s):
     if part == "microsecond":
         return (F.second(c) * 1_000_000 + F.unix_micros(c) % 1_000_000).cast("long")
     raise TranslateError(f"EXTRACT: unsupported part {part!r}")
+
+
+@_reg("__interval_lit")
+def _interval_lit(n, s):
+    """ANSI ``INTERVAL n unit`` literal (parser-lowered) → make_interval.
+    Composes with +/- on timestamps/dates; fractional seconds via the
+    millisecond/microsecond units."""
+    qty = float(n.args[0].value)
+    unit = _lit_str(n, 1).lower().rstrip("s")
+    slot = {
+        "year": "years", "month": "months", "week": "weeks", "day": "days",
+        "hour": "hours", "minute": "mins", "min": "mins",
+        "second": "secs", "sec": "secs",
+    }.get(unit)
+    if slot is None:
+        if unit == "millisecond":
+            slot, qty = "secs", qty / 1_000
+        elif unit == "microsecond":
+            slot, qty = "secs", qty / 1_000_000
+        else:
+            raise TranslateError(f"INTERVAL: unsupported unit {unit!r}")
+    if slot != "secs" and qty != int(qty):
+        raise TranslateError(f"INTERVAL: {unit} quantity must be an integer")
+    kw = {slot: F.lit(qty if slot == "secs" else int(qty))}
+    return F.make_interval(**kw)

@@ -400,3 +400,37 @@ class TestAnsiPortabilityBatch:
         e.register_df("dt2", spark.createDataFrame([(1, 1), (2, None)], "a int, b int"))
         rows = e.execute("SELECT a FROM dt2 WHERE a IS DISTINCT FROM b").collect()
         assert [r.a for r in rows] == [2]
+
+    def test_interval_literals(self, spark):
+        import datetime
+
+        from qlbridge_spark import Engine
+
+        e = Engine(spark)
+        e.register_df(
+            "iv", spark.createDataFrame([(datetime.datetime(2024, 3, 15, 10, 30, 45),)], "ts timestamp")
+        )
+        r = e.execute(
+            "SELECT ts + INTERVAL 3 DAY AS d3, ts - INTERVAL '2 hours' AS h2,"
+            " ts + INTERVAL 1 month AS m1, ts + INTERVAL 500 millisecond AS ms FROM iv"
+        ).collect()[0]
+        assert r.d3 == datetime.datetime(2024, 3, 18, 10, 30, 45)
+        assert r.h2 == datetime.datetime(2024, 3, 15, 8, 30, 45)
+        assert r.m1 == datetime.datetime(2024, 4, 15, 10, 30, 45)
+        assert r.ms == datetime.datetime(2024, 3, 15, 10, 30, 45, 500000)
+
+    def test_interval_in_where(self, spark):
+        from qlbridge_spark import Engine
+
+        e = Engine(spark)
+        e.register_df("iv2", spark.sql("SELECT current_timestamp() AS ts"))
+        assert e.execute("SELECT 1 AS x FROM iv2 WHERE ts > now() - INTERVAL 1 day").count() == 1
+
+    def test_interval_bad_unit_errors(self, spark):
+        from qlbridge_spark import Engine
+        from qlbridge_spark.translate import TranslateError
+
+        e = Engine(spark)
+        e.register_df("iv3", spark.sql("SELECT current_timestamp() AS ts"))
+        with pytest.raises((TranslateError, Exception), match="unsupported unit"):
+            e.execute("SELECT ts + INTERVAL 2 fortnight FROM iv3").collect()
