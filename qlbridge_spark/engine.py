@@ -817,10 +817,11 @@ class Engine:
         import dataclasses
 
         having = sub_sel.having
-        if having is not None:
-            raise ExecError("correlated LATERAL subquery does not support HAVING yet")
+        if having is not None and not funcs.is_agg_tree(having):
+            raise ExecError("LATERAL HAVING must be an aggregate predicate (e.g. count(*) > 2)")
         inner_df, inner_scope, pairs, ranges = self._correlation_split(
-            outer_scope, dataclasses.replace(sub_sel, order_by=[], limit=None, offset=None),
+            outer_scope,
+            dataclasses.replace(sub_sel, order_by=[], limit=None, offset=None, having=None),
             "LATERAL", allow_range=True, allow_group=True,
         )
         self._subq_n = getattr(self, "_subq_n", 0) + 1
@@ -859,12 +860,25 @@ class Engine:
                 else:
                     raise ExecError(f"LATERAL select column {c.expr.sql()} is neither aggregate nor group key")
             cnt = internal("cnt")
+            hav_name = internal("hav")
+            if having is not None:
+                aggs.append(to_column(having, inner_scope).cast("boolean").alias(hav_name))
             lat = inner_df.groupBy(*key_cols, *group_cols).agg(*aggs, F.count(F.lit(1)).alias(cnt))
+            global_agg = not sub_sel.group_by
+            if having is not None:
+                # HAVING filters groups (hidden agg column); for a GLOBAL
+                # agg the empty-set row only survives when the predicate
+                # holds over the empty relation (one folded plan-time job)
+                lat = lat.where(F.col(hav_name)).drop(hav_name)
+                if global_agg:
+                    empty_ok = self._empty_agg_value(
+                        inner_df, to_column(having, inner_scope).cast("boolean")
+                    )
+                    global_agg = bool(empty_ok)
             on = None
             for (_, oc), kn in zip(pairs, key_names):
                 cond = lat[kn] == oc
                 on = cond if on is None else (on & cond)
-            global_agg = not sub_sel.group_by
             joined = joined.join(lat, on=on, how="left" if (left or global_agg) else "inner")
             if global_agg:
                 # ANSI: a global aggregate subquery yields a row even for

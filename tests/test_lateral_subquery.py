@@ -121,3 +121,27 @@ class TestLateral:
         assert [(r.nm, r.ok, r.ck) for r in rows] == [
             ("ann", 10, 1), ("ann", 11, 1), ("ann", 12, 1), ("bob", 13, 2)
         ]
+
+    def test_having_filters_agg_lateral(self, leng):
+        # HAVING rejects bob's single-row group; CROSS drops, ann survives
+        rows = leng.execute(
+            "SELECT lc.nm, l.n FROM lc,"
+            " LATERAL (SELECT count(*) AS n FROM lo WHERE ock = ck HAVING count(*) > 1) l ORDER BY nm"
+        ).collect()
+        assert [(r.nm, r.n) for r in rows] == [("ann", 3)]
+
+    def test_having_true_on_empty_keeps_zero_row(self, leng):
+        # HAVING holds over the empty relation → cat keeps its count-0 row
+        # (DuckDB-matched ANSI subtlety)
+        rows = leng.execute(
+            "SELECT lc.nm, l.n FROM lc,"
+            " LATERAL (SELECT count(*) AS n FROM lo WHERE ock = ck HAVING count(*) < 5) l ORDER BY nm"
+        ).collect()
+        assert [(r.nm, r.n) for r in rows] == [("ann", 3), ("bob", 1), ("cat", 0)]
+
+    def test_left_lateral_having_nulls(self, leng):
+        rows = leng.execute(
+            "SELECT lc.nm, l.n FROM lc LEFT JOIN"
+            " LATERAL (SELECT count(*) AS n FROM lo WHERE ock = ck HAVING count(*) > 1) l ON true ORDER BY nm"
+        ).collect()
+        assert [(r.nm, r.n) for r in rows] == [("ann", 3), ("bob", None), ("cat", None)]
