@@ -685,11 +685,22 @@ def _dp_stratified_sample(spark, sf_dir):
     # salted-md5 draw, so the whole selection stays engine-reproducible
     from qlbridge_spark.datapipe import cap_per_group, hash_sample
 
+    # second-half round 7: + fractional-epoch MIXTURE member (the
+    # "2.7 epochs of wiki" primitive) — epoch 0 is the full corpus, the
+    # 0.3-epoch tail is the same portable salted-md5 draw, so the DuckDB
+    # oracle reproduces the mixture row-for-row
+    from qlbridge_spark.datapipe.sampling import mix_corpora
+
     d = _docs(spark, sf_dir)
     sampled = hash_sample(
         d, "doc_id", {"en": 0.5, "de": 0.25}, strata_col="lang", default_rate=1.0, salt="cur1"
     )
-    return cap_per_group(sampled, "lang", 40, key_col="doc_id", salt="cap1").select("doc_id", "lang")
+    capped = cap_per_group(sampled, "lang", 40, key_col="doc_id", salt="cap1").select("doc_id", "lang")
+    mixed = mix_corpora({"w": (d, 1.3)}, "doc_id", salt="mx1").select(
+        "doc_id",
+        F.concat(F.col("__source"), F.lit(":"), F.col("__epoch").cast("string")).alias("lang"),
+    )
+    return capped.unionByName(mixed)
 
 
 def _dp_tfidf_terms(spark, sf_dir):
@@ -1348,7 +1359,12 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY lang
                        ORDER BY substr(md5(doc_id::VARCHAR || ':cap1'), 1, 8), doc_id) AS rn
               FROM sampled)
-            WHERE rn <= 40""",
+            WHERE rn <= 40
+            UNION ALL
+            SELECT doc_id, 'w:0' AS lang FROM documents
+            UNION ALL
+            SELECT doc_id, 'w:1' AS lang FROM documents
+            WHERE substr(md5(doc_id::VARCHAR || ':mx1:w:epoch1'), 1, 8) < '4ccccccc'""",
         # dp17: integer-exact tf·idf (score = tf * floor(1000*N/df)) — the
         # double division of two small ints is correctly rounded in both
         # engines, so floor() agrees; ranks tie-break by term

@@ -96,3 +96,66 @@ def cap_per_group(
         ]
     w = Window.partitionBy(group_col).orderBy(*order_by)
     return df.withColumn("__rank", F.row_number().over(w)).where(F.col("__rank") <= cap).drop("__rank")
+
+
+def epoch_sample(df: DataFrame, key_col: str, epochs: float, salt: str = "") -> DataFrame:
+    """Deterministic FRACTIONAL-EPOCH resampling — the up/downsampling
+    primitive of training-mixture construction (e.g. "2.7 epochs of
+    Wikipedia, 0.3 epochs of CommonCrawl").
+
+    ``epochs`` < 1 is a plain hash_sample; ``epochs`` = k + f replicates
+    every row k times (distinct ``__epoch`` tag so downstream global
+    shuffles spread the copies) and adds one hash-sampled f-fraction pass
+    with its own salt — so the fractional copy is an unbiased, portable,
+    rerun-stable subset, never "the first f of the file".
+
+    Scale: unions of narrow scans + filters — zero shuffles added. The
+    output carries an ``__epoch`` LONG column (0-based copy index) callers
+    may drop or keep for mixing diagnostics.
+    """
+    if epochs < 0:
+        raise ValueError(f"epochs must be >= 0, got {epochs}")
+    whole = int(epochs)
+    frac = epochs - whole
+    parts = [df.withColumn("__epoch", F.lit(i).cast("long")) for i in range(whole)]
+    if frac > 0:
+        parts.append(
+            hash_sample(df, key_col, frac, salt=f"{salt}:epoch{whole}").withColumn(
+                "__epoch", F.lit(whole).cast("long")
+            )
+        )
+    if not parts:
+        return df.withColumn("__epoch", F.lit(0).cast("long")).limit(0)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def mix_corpora(
+    sources: dict[str, tuple[DataFrame, float]],
+    key_col: str,
+    salt: str = "",
+    source_col: str = "__source",
+) -> DataFrame:
+    """Weighted training-mixture union: ``{name: (frame, epochs)}`` →
+    one frame where each source contributes ``epochs`` deterministic
+    passes (fractional epochs hash-sampled per ``epoch_sample``), tagged
+    with ``source_col`` for downstream per-source diagnostics.
+
+    Frames must share the mixing schema (select the common columns
+    first). The result is an unordered bag — follow with a global
+    hash-shuffle (e.g. repartition by md5 of the key) when training-order
+    randomization matters; that is the single shuffle of the whole
+    pipeline.
+    """
+    if not sources:
+        raise ValueError("mix_corpora needs at least one source")
+    out = None
+    for name in sorted(sources):
+        frame, epochs = sources[name]
+        part = epoch_sample(frame, key_col, epochs, salt=f"{salt}:{name}").withColumn(
+            source_col, F.lit(name)
+        )
+        out = part if out is None else out.unionByName(part)
+    return out

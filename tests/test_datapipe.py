@@ -858,3 +858,48 @@ class TestNgramRepetition:
         df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
         plan = ngram_repetition(df, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan
+
+
+class TestMixCorpora:
+    """epoch_sample / mix_corpora — deterministic training-mixture
+    construction (fractional-epoch up/downsampling, zero shuffles)."""
+
+    def test_epoch_sample_whole_and_fraction(self, spark):
+        from qlbridge_spark.datapipe.sampling import epoch_sample
+
+        df = spark.range(2000).toDF("id")
+        out = epoch_sample(df, "id", 2.5, salt="t")
+        n = out.count()
+        assert 2000 * 2 + 800 < n < 2000 * 2 + 1200  # ~2.5 epochs
+        # copies tagged 0/1, fraction tagged 2
+        tags = {r["__epoch"] for r in out.select("__epoch").distinct().collect()}
+        assert tags == {0, 1, 2}
+
+    def test_epoch_sample_deterministic(self, spark):
+        from qlbridge_spark.datapipe.sampling import epoch_sample
+
+        df = spark.range(500).toDF("id")
+        a = sorted(r.id for r in epoch_sample(df, "id", 0.3, salt="x").collect())
+        b = sorted(r.id for r in epoch_sample(df, "id", 0.3, salt="x").collect())
+        assert a == b and 80 < len(a) < 220
+
+    def test_epoch_zero(self, spark):
+        from qlbridge_spark.datapipe.sampling import epoch_sample
+
+        assert epoch_sample(spark.range(10).toDF("id"), "id", 0.0).count() == 0
+
+    def test_mix_corpora_weights_and_tags(self, spark):
+        from qlbridge_spark.datapipe.sampling import mix_corpora
+
+        a = spark.range(1000).toDF("id")
+        b = spark.range(500).toDF("id")
+        m = mix_corpora({"wiki": (a, 2.0), "cc": (b, 0.4)}, "id", salt="mx")
+        counts = {r["__source"]: r["count"] for r in m.groupBy("__source").count().collect()}
+        assert counts["wiki"] == 2000 and 120 < counts["cc"] < 280
+
+    def test_mix_no_shuffle(self, spark):
+        from qlbridge_spark.datapipe.sampling import mix_corpora
+
+        a = spark.range(100).toDF("id")
+        m = mix_corpora({"a": (a, 1.5), "b": (a, 0.5)}, "id")
+        assert m._jdf.queryExecution().executedPlan().toString().count("Exchange") == 0
