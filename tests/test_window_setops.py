@@ -697,3 +697,16 @@ class TestCaseAndNullTreatment:
 
         with pytest.raises((TranslateError, Exception), match="IGNORE NULLS"):
             ceng.execute("SELECT count(v) IGNORE NULLS FROM nt").collect()
+
+    def test_grouping_sets_positional_order(self, spark):
+        # TODO-NEXT round-6 note: GROUPING SETS × positional ORDER BY
+        from qlbridge_spark import Engine
+
+        e = Engine(spark)
+        e.register_df("gs", spark.createDataFrame([("a", "x", 1), ("a", "y", 2), ("b", "x", 3)], "g string, h string, v int"))
+        rows = e.execute(
+            "SELECT g, h, sum(v) AS s FROM gs GROUP BY GROUPING SETS ((g, h), (g), ()) ORDER BY 1, 2, 3"
+        ).collect()
+        assert [(r.g, r.h, r.s) for r in rows] == [
+            (None, None, 6), ("a", None, 3), ("a", "x", 1), ("a", "y", 2), ("b", None, 3), ("b", "x", 3)
+        ]
