@@ -341,6 +341,22 @@ class Engine:
         if sel.where is not None:
             df, scope = self._apply_where(df, scope, sel)
 
+        if getattr(sel, "distinct_on", None):
+            # DISTINCT ON (k, ...) — Postgres/DuckDB: keep ONE row per key
+            # tuple, the first under ORDER BY (arbitrary without one).
+            # Lowered to a row_number window: one shuffle on the keys.
+            from pyspark.sql.window import Window
+
+            if is_agg:
+                raise ExecError("DISTINCT ON cannot combine with aggregation")
+            w_order = []
+            for e, direction in sel.order_by:
+                w_order.extend(self._directional(to_column(e, scope), direction))
+            w = Window.partitionBy(*[to_column(k, scope) for k in sel.distinct_on]).orderBy(
+                *(w_order or [F.lit(1)])
+            )
+            df = df.withColumn("__don_rn", F.row_number().over(w)).where(F.col("__don_rn") == 1).drop("__don_rn")
+
         if is_agg:
             df = self._aggregate(df, scope, sel)
             out_scope = Scope({"_": df}, includes=self.includes, params=self.session_vars)

@@ -112,6 +112,7 @@ class SqlSelect:
     qualify: Node | None = None  # post-window filter (superset; Snowflake/DuckDB QUALIFY)
     windows: dict = field(default_factory=dict)  # WINDOW w AS (...) named specs
     order_by: list[tuple[Node, str]] = field(default_factory=list)
+    distinct_on: list[Node] = field(default_factory=list)  # DISTINCT ON (k, ...) keys
     group_all: bool = False  # GROUP BY ALL (DuckDB/Snowflake superset)
     order_all: str | None = None  # ORDER BY ALL [ASC|DESC ...] direction
     limit: int | None = None
@@ -396,7 +397,15 @@ class SqlParser(ExprParser):
             self.advance()
         sel = SqlSelect()
         if self.eat_kw("DISTINCT"):
-            sel.distinct = True
+            if self.at_kw("ON") and self.peek().kind == LPAREN:
+                # DISTINCT ON (k, ...) — Postgres/DuckDB: one row per key
+                # tuple, picked by the ORDER BY after the keys
+                self.advance()
+                self.expect(LPAREN)
+                sel.distinct_on = self.parse_expr_list()
+                self.expect(RPAREN)
+            else:
+                sel.distinct = True
         sel.columns = self.parse_columns()
         if self.eat_kw("INTO"):
             sel.into = self.advance().val

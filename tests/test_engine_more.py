@@ -628,3 +628,42 @@ class TestRecursiveCte:
         # plain WITH: the CTE name is not visible inside its own body
         with pytest.raises(Exception):
             engine.sql("WITH r AS (SELECT 1 AS n UNION ALL SELECT n + 1 FROM r WHERE n < 3) SELECT * FROM r").collect()
+
+
+class TestDistinctOn:
+    """DISTINCT ON (k) — Postgres/DuckDB one-row-per-key shorthand,
+    lowered to a row_number window (one shuffle on the keys)."""
+
+    @pytest.fixture(scope="class")
+    def deng(self, spark):
+        from qlbridge_spark import Engine
+
+        e = Engine(spark)
+        e.register_df(
+            "don",
+            spark.createDataFrame(
+                [(10, 1, 100.0), (11, 1, 50.0), (12, 1, 75.0), (13, 2, 200.0)],
+                "ok int, ock int, amt double",
+            ),
+        )
+        return e
+
+    def test_picks_first_by_order(self, deng):
+        rows = deng.execute(
+            "SELECT DISTINCT ON (ock) ock, ok, amt FROM don ORDER BY ock, amt DESC"
+        ).collect()
+        assert [(r.ock, r.ok) for r in rows] == [(1, 10), (2, 13)]
+
+    def test_where_composes(self, deng):
+        # amt<100 drops ok=10 (100.0) and ok=13 (200.0) — per-key best of
+        # the remainder is ok=12 (75.0) for ock=1, nothing for ock=2
+        rows = deng.execute(
+            "SELECT DISTINCT ON (ock) ock, ok FROM don WHERE amt < 100 ORDER BY ock, amt DESC"
+        ).collect()
+        assert [(r.ock, r.ok) for r in rows] == [(1, 12)]
+
+    def test_with_agg_errors(self, deng):
+        from qlbridge_spark.engine import ExecError
+
+        with pytest.raises(ExecError, match="DISTINCT ON"):
+            deng.execute("SELECT DISTINCT ON (ock) ock, count(*) FROM don").collect()
