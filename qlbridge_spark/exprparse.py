@@ -330,6 +330,7 @@ class ExprParser:
             fn = FuncNode("count", [IdentityNode(("*",))])
             self._maybe_agg_filter(fn)
             return self.parse_over(fn) if self.at_kw("OVER") else fn
+        agg_order: list = []
         while self.cur().kind != RPAREN:
             if self.at_kw("DISTINCT"):
                 # COUNT(DISTINCT x) → distinct-flagged func
@@ -338,12 +339,28 @@ class ExprParser:
                 args.append(FuncNode("distinct", [inner]))
             else:
                 args.append(self.parse_expr())
+            if self.at_kw("ORDER"):
+                # ordered-set aggregate: agg(x[, sep] ORDER BY k [DESC], ...)
+                self.advance()
+                self.expect(IDENT, "BY")
+                while True:
+                    e = self.parse_expr()
+                    d = "ASC"
+                    if self.at_kw("ASC", "DESC"):
+                        d = self.advance().upper
+                    agg_order.append((e, d))
+                    if self.cur().kind == COMMA:
+                        self.advance()
+                        continue
+                    break
+                break
             if self.cur().kind == COMMA:
                 self.advance()
             else:
                 break
         self.expect(RPAREN)
         fn = FuncNode(name, args)
+        fn.agg_order = agg_order
         self._maybe_agg_filter(fn)
         if self.at_kw("OVER"):
             return self.parse_over(fn)

@@ -78,6 +78,11 @@ def build_function(node: FuncNode, scope: Scope) -> Column:
             f"IGNORE NULLS is only supported on window value functions "
             f"(first_value/last_value/nth_value OVER …), not {node.name}()"
         )
+    if getattr(node, "agg_order", None) and node.name not in ("string_agg", "listagg", "array_agg"):
+        raise TranslateError(
+            f"ORDER BY inside a call is only supported for ordered-set aggregates "
+            f"(string_agg/listagg/array_agg), not {node.name}()"
+        )
     if node.filter_where is not None:
         if not fd.is_agg:
             raise TranslateError(f"FILTER (WHERE ...) is only valid on an aggregate, not {node.name}()")
@@ -1350,17 +1355,41 @@ func_add("variance", registry["var_samp"].builder, is_agg=True)
 func_add("every", registry["bool_and"].builder, is_agg=True)
 
 
+def _ordered_collect(n, s):
+    """collect_list honoring ``agg_order`` — JVM-native ordered-set
+    aggregation: collect (key…, value) structs, sort_array, extract.
+    All keys must share one direction (sort_array is single-direction).
+    Without ORDER BY, plain collect_list (nondeterministic order, same
+    as DuckDB/Postgres without WITHIN GROUP)."""
+    val = to_column(n.args[0], s)
+    order = getattr(n, "agg_order", None)
+    if not order:
+        return F.collect_list(val)
+    dirs = {d for _, d in order}
+    if len(dirs) > 1:
+        raise TranslateError("ordered-set aggregate: all ORDER BY keys must share one direction")
+    keys = [to_column(e, s) for e, _ in order]
+    arr = F.sort_array(
+        F.collect_list(F.struct(*[k.alias(f"k{i}") for i, k in enumerate(keys)], val.alias("v"))),
+        asc=dirs == {"ASC"},
+    )
+    return F.transform(arr, lambda x: x["v"])
+
+
 @_reg("array_agg", is_agg=True)
 def _array_agg(n, s):
-    return F.collect_list(to_column(n.args[0], s))
+    return _ordered_collect(n, s)
 
 
 @_reg("string_agg", is_agg=True, return_type=T.StringType())
 def _string_agg(n, s):
-    """string_agg(x[, sep]) — concatenation order is NONDETERMINISTIC in a
-    distributed engine (same as DuckDB/Postgres without WITHIN GROUP);
-    wrap in an outer sort of the collected list when order matters."""
+    """string_agg(x[, sep] [ORDER BY k]) — ordered-set form is exact and
+    deterministic; without ORDER BY the concatenation order is
+    NONDETERMINISTIC in a distributed engine (same as DuckDB/Postgres
+    without WITHIN GROUP)."""
     sep = _require_str_literal(n.args[1], "string_agg separator") if len(n.args) > 1 else ","
+    if getattr(n, "agg_order", None):
+        return F.array_join(_ordered_collect(n, s), sep)
     return F.string_agg(to_column(n.args[0], s), F.lit(sep))
 
 

@@ -102,6 +102,9 @@ class FuncNode(Node):
     # value functions (first_value/last_value/nth_value); RESPECT NULLS
     # is the parse-only default
     ignore_nulls: bool = False
+    # ordered-set aggregates: agg(x ORDER BY k [DESC], ...) — honored by
+    # string_agg/listagg/array_agg; [(expr, "ASC"|"DESC"), ...]
+    agg_order: list = field(default_factory=list)
 
     def children(self):
         return self.args + ([self.filter_where] if self.filter_where is not None else [])

@@ -434,3 +434,38 @@ class TestAnsiPortabilityBatch:
         e.register_df("iv3", spark.sql("SELECT current_timestamp() AS ts"))
         with pytest.raises((TranslateError, Exception), match="unsupported unit"):
             e.execute("SELECT ts + INTERVAL 2 fortnight FROM iv3").collect()
+
+    def test_ordered_set_aggregates(self, spark):
+        from qlbridge_spark import Engine
+
+        e = Engine(spark)
+        e.register_df(
+            "osa",
+            spark.createDataFrame(
+                [("a", 3, "z"), ("a", 1, "x"), ("a", 2, "y"), ("b", 5, "q")], "g string, n int, s string"
+            ),
+        )
+        rows = e.execute(
+            "SELECT g, string_agg(s, ',' ORDER BY n) AS a, string_agg(s, ',' ORDER BY n DESC) AS d,"
+            " array_agg(n ORDER BY s DESC) AS r FROM osa GROUP BY g ORDER BY g"
+        ).collect()
+        # DuckDB-matched deterministic ordering
+        assert [(r.g, r.a, r.d, r.r) for r in rows] == [("a", "x,y,z", "z,y,x", [3, 2, 1]), ("b", "q", "q", [5])]
+
+    def test_agg_order_on_plain_agg_errors(self, spark):
+        from qlbridge_spark import Engine
+        from qlbridge_spark.translate import TranslateError
+
+        e = Engine(spark)
+        e.register_df("osa2", spark.createDataFrame([(1,)], "n int"))
+        with pytest.raises((TranslateError, Exception), match="ordered-set"):
+            e.execute("SELECT sum(n ORDER BY n) FROM osa2").collect()
+
+    def test_mixed_direction_errors(self, spark):
+        from qlbridge_spark import Engine
+        from qlbridge_spark.translate import TranslateError
+
+        e = Engine(spark)
+        e.register_df("osa3", spark.createDataFrame([(1, 2)], "a int, b int"))
+        with pytest.raises((TranslateError, Exception), match="one direction"):
+            e.execute("SELECT string_agg(tostring(a), ',' ORDER BY a ASC, b DESC) FROM osa3").collect()
