@@ -125,3 +125,37 @@ def sessionize_stream(
     return stream_df.groupBy(user_col).applyInPandasWithState(
         update, out_schema, state_schema, "update", timeout_conf
     )
+
+
+def session_stats_native(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap_minutes: float = 30.0,
+) -> DataFrame:
+    """Per-session rollup via Spark's NATIVE ``session_window`` — the
+    all-JVM path (SessionWindowStateStore aggregation; zero Python).
+    Output schema matches :func:`session_stats` minus the per-user
+    ``session_seq`` ordinal (the native operator identifies sessions by
+    their time range, not a sequence number): (user, t_start, t_end,
+    n_events, duration_s).
+
+    Why both exist: ``session_stats`` (lag+running-sum) gives the ordinal
+    and pins the exact tie semantics the DuckDB oracle replays;
+    ``session_stats_native`` is what a 100 TB batch or a streaming
+    aggregation should run — one shuffle, whole-stage-codegen'd merge of
+    overlapping windows, and the SAME operator works on a watermarked
+    stream (append mode) without applyInPandasWithState.
+    """
+    gap = f"{int(gap_minutes * 60)} seconds"
+    ts = F.col(ts_col).cast("timestamp_ltz")
+    return (
+        df.withColumn("__ts", ts)
+        .groupBy(F.session_window(F.col("__ts"), gap).alias("__sw"), F.col(user_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            user_col,
+            F.col("__sw.start").alias("t_start"),
+            "n_events",
+        )
+    )

@@ -60,3 +60,39 @@ class TestStreamingSessionize:
             assert by_key[(2, 1)] == 1
         finally:
             q.stop()
+
+
+class TestNativeSessionWindow:
+    def test_native_matches_window_fn_sessionization(self, spark):
+        import datetime
+        import random
+
+        from qlbridge_spark.datapipe.sessions import session_stats, session_stats_native
+
+        rng = random.Random(7)
+        base = datetime.datetime(2024, 1, 1)
+        rows = []
+        for u in range(20):
+            t = base
+            for _ in range(rng.randint(1, 30)):
+                t = t + datetime.timedelta(minutes=rng.choice([1, 5, 20, 45, 90]))
+                rows.append((u, t))
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+        via_window = {
+            (r.user_id, r.t_start, r.n_events)
+            for r in session_stats(df, "user_id", "ts", 30.0).collect()
+        }
+        via_native = {
+            (r.user_id, r.t_start, r.n_events)
+            for r in session_stats_native(df, "user_id", "ts", 30.0).collect()
+        }
+        assert via_native == via_window
+
+    def test_native_plan_is_jvm_only_one_exchange(self, spark):
+        import datetime
+
+        from qlbridge_spark.datapipe.sessions import session_stats_native
+
+        df = spark.createDataFrame([(1, datetime.datetime(2024, 1, 1))], "user_id long, ts timestamp")
+        plan = session_stats_native(df, "user_id", "ts")._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan and plan.count("Exchange") == 1
