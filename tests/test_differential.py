@@ -1,0 +1,112 @@
+"""Differential fuzzing: a deterministic corpus of randomly generated
+queries runs through the qlbridge_spark engine AND DuckDB on identical
+data; results must match row-for-row.
+
+The grammar stays inside the dialect intersection (single-quoted
+strings, % modulo, CASE, coalesce/nullif/greatest/least, IS [NOT]
+NULL / IS DISTINCT FROM, IN lists, LIKE, sum/min/max/count, GROUP BY,
+ORDER BY ... NULLS FIRST) and avoids the documented divergences
+(exclusive BETWEEN, int division). Integers and strings only — no
+float comparison fuzz. Seeded: failures reproduce exactly; each query
+is printed on failure."""
+
+import random
+
+import duckdb
+import pytest
+
+ROWS = []
+_rng = random.Random(20240814)
+for i in range(300):
+    a = None if _rng.random() < 0.12 else _rng.randint(-20, 20)
+    b = None if _rng.random() < 0.12 else _rng.randint(-20, 20)
+    s = None if _rng.random() < 0.1 else _rng.choice(["alpha", "beta", "gamma", "delta", "axe"])
+    ROWS.append((i, a, b, s))
+
+
+@pytest.fixture(scope="module")
+def feng(spark):
+    from qlbridge_spark import Engine
+
+    e = Engine(spark)
+    e.register_df("fz", spark.createDataFrame(ROWS, "id int, a int, b int, s string"))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE fz (id int, a int, b int, s varchar)")
+    con.executemany("INSERT INTO fz VALUES (?, ?, ?, ?)", ROWS)
+    return e, con
+
+
+def _gen_scalar(rng):
+    choices = [
+        "a",
+        "b",
+        "id % 7",
+        "a + b",
+        "a * 2",
+        "abs(a)",
+        "coalesce(a, b, 0)",
+        "nullif(a, b)",
+        "greatest(a, b)",
+        "least(a, b)",
+        "CASE WHEN a > b THEN a ELSE b END",
+        "CASE s WHEN 'alpha' THEN 1 WHEN 'beta' THEN 2 ELSE 0 END",
+        "CASE WHEN a IS NULL THEN -99 WHEN a > 0 THEN 1 ELSE -1 END",
+    ]
+    return rng.choice(choices)
+
+
+def _gen_pred(rng):
+    choices = [
+        "a > b",
+        "a >= 0",
+        "a IS NULL",
+        "b IS NOT NULL",
+        "a IS DISTINCT FROM b",
+        "a IS NOT DISTINCT FROM b",
+        "a IN (1, 2, 3, 5, 8)",
+        "s LIKE '%a%'",
+        "s IN ('alpha', 'beta')",
+        "a % 2 = 0",
+        "(a > 0 AND b > 0)",
+        "(a < 0 OR b < 0)",
+        "NOT (a = b)",
+    ]
+    return rng.choice(choices)
+
+
+def _gen_query(rng):
+    if rng.random() < 0.4:
+        # aggregate shape
+        key = rng.choice(["s", "id % 3", "CASE WHEN a > 0 THEN 'p' ELSE 'n' END"])
+        aggs = rng.sample(
+            [
+                "count(*) AS c",
+                "sum(a) AS sa",
+                "min(b) AS mb",
+                "max(a) AS ma",
+                "count(b) AS cb",
+                "sum(CASE WHEN a > 0 THEN 1 ELSE 0 END) AS pos",
+            ],
+            k=rng.randint(1, 3),
+        )
+        where = f" WHERE {_gen_pred(rng)}" if rng.random() < 0.6 else ""
+        return (
+            f"SELECT {key} AS k, {', '.join(aggs)} FROM fz{where} "
+            f"GROUP BY k ORDER BY k NULLS FIRST"
+        )
+    cols = [f"{_gen_scalar(rng)} AS c{i}" for i in range(rng.randint(1, 3))]
+    where = f" WHERE {_gen_pred(rng)}" if rng.random() < 0.7 else ""
+    return f"SELECT id, {', '.join(cols)} FROM fz{where} ORDER BY id NULLS FIRST"
+
+
+def test_differential_corpus(feng):
+    e, con = feng
+    rng = random.Random(99)
+    failures = []
+    for qi in range(60):
+        q = _gen_query(rng)
+        spark_rows = [tuple(r) for r in e.execute(q).collect()]
+        duck_rows = con.execute(q).fetchall()
+        if spark_rows != duck_rows:
+            failures.append((q, spark_rows[:5], duck_rows[:5]))
+    assert not failures, f"{len(failures)} mismatching queries: {failures[:3]}"
