@@ -99,6 +99,47 @@ def _gen_query(rng):
     return f"SELECT id, {', '.join(cols)} FROM fz{where} ORDER BY id NULLS FIRST"
 
 
+def _gen_query_v2(rng):
+    """Second-wave shapes: subqueries, set ops, window functions,
+    DISTINCT ON, HAVING, ordered-set aggregates."""
+    shape = rng.randint(0, 5)
+    if shape == 0:
+        # scalar subquery + IN subquery
+        return (
+            "SELECT id, a, (SELECT max(b) FROM fz) AS mb FROM fz"
+            " WHERE a IN (SELECT b FROM fz WHERE b > 5) ORDER BY id NULLS FIRST"
+        )
+    if shape == 1:
+        op = rng.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"])
+        return (
+            f"SELECT a FROM fz WHERE a > 0 {op} SELECT b FROM fz WHERE b > 0"
+            " ORDER BY a NULLS FIRST"
+        )
+    if shape == 2:
+        fn = rng.choice(
+            ["row_number()", "rank()", "dense_rank()", "sum(a)", "count(*)"]
+        )
+        return (
+            f"SELECT id, {fn} OVER (PARTITION BY s ORDER BY id) AS w FROM fz"
+            " WHERE s IS NOT NULL ORDER BY id NULLS FIRST"
+        )
+    if shape == 3:
+        return (
+            "SELECT DISTINCT ON (s) s, id, a FROM fz WHERE s IS NOT NULL"
+            " ORDER BY s, id"
+        )
+    if shape == 4:
+        having = rng.choice(["count(*) > 5", "sum(a) IS NOT NULL", "min(b) < 0"])
+        return (
+            f"SELECT s, count(*) AS c FROM fz GROUP BY s HAVING {having}"
+            " ORDER BY s NULLS FIRST"
+        )
+    return (
+        "SELECT s, string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS ids"
+        " FROM fz WHERE s IS NOT NULL AND id < 40 GROUP BY s ORDER BY s"
+    )
+
+
 def test_differential_corpus(feng):
     e, con = feng
     rng = random.Random(99)
@@ -109,4 +150,17 @@ def test_differential_corpus(feng):
         duck_rows = con.execute(q).fetchall()
         if spark_rows != duck_rows:
             failures.append((q, spark_rows[:5], duck_rows[:5]))
+    assert not failures, f"{len(failures)} mismatching queries: {failures[:3]}"
+
+
+def test_differential_corpus_v2(feng):
+    e, con = feng
+    rng = random.Random(7)
+    failures = []
+    for qi in range(24):
+        q = _gen_query_v2(rng)
+        spark_rows = sorted((tuple(r) for r in e.execute(q).collect()), key=repr)
+        duck_rows = sorted((tuple(r) for r in con.execute(q).fetchall()), key=repr)
+        if spark_rows != duck_rows:
+            failures.append((q, spark_rows[:4], duck_rows[:4]))
     assert not failures, f"{len(failures)} mismatching queries: {failures[:3]}"
