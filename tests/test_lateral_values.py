@@ -414,3 +414,23 @@ class TestTablesample:
         e.register_df("big4", spark.range(10).toDF("n"))
         with pytest.raises(ExecError):
             e.execute("SELECT n FROM big4 TABLESAMPLE (150 PERCENT)")
+
+
+class TestSelectUnnestComposition:
+    def test_unnest_alias_as_group_key(self, eng, spark):
+        from qlbridge_spark import Engine
+
+        e = Engine(spark)
+        e.register_df("gu", spark.createDataFrame([(1, ["a", "b"]), (2, ["a"])], "id int, toks array<string>"))
+        rows = e.execute(
+            "SELECT unnest(toks) AS t, count(*) AS n FROM gu GROUP BY t ORDER BY t"
+        ).collect()
+        assert [(r.t, r.n) for r in rows] == [("a", 2), ("b", 1)]
+
+    def test_distinct_on_with_star(self, eng, spark):
+        from qlbridge_spark import Engine
+
+        e = Engine(spark)
+        e.register_df("ds", spark.createDataFrame([(1, "x"), (1, "y"), (2, "z")], "k int, v string"))
+        rows = e.execute("SELECT DISTINCT ON (k) * FROM ds ORDER BY k, v").collect()
+        assert [(r.k, r.v) for r in rows] == [(1, "x"), (2, "z")]
