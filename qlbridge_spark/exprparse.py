@@ -227,7 +227,19 @@ class ExprParser:
             self.advance()
             name = self.advance()
             return IncludeNode(name.val)
-        return self.parse_primary()
+        return self._postfix(self.parse_primary())
+
+    def _postfix(self, node: Node) -> Node:
+        """Postfix bracket indexing ``arr[i]`` / ``m['key']`` — 1-based for
+        arrays (negative = from the end), key lookup for maps; DuckDB
+        semantics via element_at (superset; the reference's 0-based form
+        is the ``array.index()`` builtin)."""
+        while self.cur().kind == LBRACKET:
+            self.advance()
+            idx = self.parse_expr()
+            self.expect(RBRACKET)
+            node = FuncNode("__bracket_index", [node, idx])
+        return node
 
     def parse_primary(self) -> Node:
         t = self.cur()

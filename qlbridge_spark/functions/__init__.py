@@ -1454,3 +1454,16 @@ def _interval_lit(n, s):
         raise TranslateError(f"INTERVAL: {unit} quantity must be an integer")
     kw = {slot: F.lit(qty if slot == "secs" else int(qty))}
     return F.make_interval(**kw)
+
+
+@_reg("__bracket_index")
+def _bracket_index(n, s):
+    """Postfix ``base[idx]`` (parser-lowered): element_at — 1-based array
+    index (negative counts from the end) or map-key lookup, out-of-range
+    → NULL. DuckDB-compatible; 0-based access stays array.index()."""
+    base = _c(n, s)
+    idx = to_column(n.args[1], s)
+    dt = infer_dtype(n.args[0], s)
+    if isinstance(dt, T.ArrayType):
+        idx = idx.cast("int")
+    return F.try_element_at(base, idx)

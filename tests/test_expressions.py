@@ -469,3 +469,27 @@ class TestAnsiPortabilityBatch:
         e.register_df("osa3", spark.createDataFrame([(1, 2)], "a int, b int"))
         with pytest.raises((TranslateError, Exception), match="one direction"):
             e.execute("SELECT string_agg(tostring(a), ',' ORDER BY a ASC, b DESC) FROM osa3").collect()
+
+    def test_bracket_indexing(self, spark):
+        from qlbridge_spark import Engine
+
+        e = Engine(spark)
+        e.register_df(
+            "bi",
+            spark.createDataFrame(
+                [(1, ["a", "b", "c"], {"k": 7})], "id int, arr array<string>, m map<string,int>"
+            ),
+        )
+        r = e.execute(
+            "SELECT arr[1] AS f, arr[-1] AS l, arr[9] AS oob, m['k'] AS mk, m['z'] AS mz,"
+            " split('x,y', ',')[2] AS fn FROM bi"
+        ).collect()[0]
+        # DuckDB semantics: 1-based, negative from the end, out-of-range NULL
+        assert (r.f, r.l, r.oob, r.mk, r.mz, r.fn) == ("a", "c", None, 7, None, "y")
+
+    def test_bracket_on_array_literal(self, spark):
+        from qlbridge_spark import Engine
+
+        e = Engine(spark)
+        e.register_df("bi2", spark.createDataFrame([(1,)], "id int"))
+        assert e.execute("SELECT [10, 20, 30][2] AS x FROM bi2").collect()[0].x == 20
