@@ -315,14 +315,15 @@ class ExprParser:
         name = self.advance().val.lower()
         self.expect(LPAREN)
         args: list[Node] = []
-        # CAST(x AS type) special grammar (expr/builtins/cast.go:42)
-        if name == "cast":
+        # CAST(x AS type) special grammar (expr/builtins/cast.go:42);
+        # TRY_CAST is the NULL-on-failure ANSI variant (superset)
+        if name in ("cast", "try_cast"):
             args.append(self.parse_expr())
             self.expect(IDENT, "AS")
             ty = self.advance()
             args.append(StringNode(ty.val))
             self.expect(RPAREN)
-            return FuncNode("cast", args)
+            return FuncNode(name, args)
         if (
             name == "extract"
             and self.cur().kind == IDENT

@@ -678,6 +678,16 @@ def _cast(n, s):
     return _c(n, s).cast(ty)
 
 
+@_reg("try_cast")
+def _try_cast(n, s):
+    """TRY_CAST(x AS type) — NULL instead of error on bad input (ANSI
+    superset; DuckDB-compatible)."""
+    ty = _CAST_TYPES.get(_lit_str(n, 1).lower())
+    if ty is None:
+        raise TranslateError(f"try_cast: unknown type {_lit_str(n, 1)!r}")
+    return _c(n, s).try_cast(ty)
+
+
 @_reg("tobool", return_type=T.BooleanType())
 def _tobool(n, s):
     return _c(n, s).cast("string").try_cast("boolean")

@@ -493,3 +493,11 @@ class TestAnsiPortabilityBatch:
         e = Engine(spark)
         e.register_df("bi2", spark.createDataFrame([(1,)], "id int"))
         assert e.execute("SELECT [10, 20, 30][2] AS x FROM bi2").collect()[0].x == 20
+
+    def test_try_cast(self, spark):
+        from qlbridge_spark import Engine
+
+        e = Engine(spark)
+        e.register_df("tc", spark.createDataFrame([("12",), ("oops",)], "s string"))
+        rows = e.execute("SELECT s, try_cast(s AS int) AS n FROM tc ORDER BY s").collect()
+        assert [(r.s, r.n) for r in rows] == [("12", 12), ("oops", None)]
