@@ -1477,3 +1477,71 @@ def _bracket_index(n, s):
     if isinstance(dt, T.ArrayType):
         idx = idx.cast("int")
     return F.try_element_at(base, idx)
+
+
+# ---- ANSI date/time portability batch -------------------------------------
+@_reg("current_date", return_type=T.DateType())
+def _current_date(n, s):
+    return F.current_date()
+
+
+@_reg("current_timestamp", return_type=T.TimestampType())
+def _current_timestamp(n, s):
+    return F.current_timestamp()
+
+
+func_add("today", registry["current_date"].builder, return_type=T.DateType())
+
+
+@_reg("date_trunc", return_type=T.TimestampType())
+def _date_trunc(n, s):
+    """date_trunc('month', ts) — ANSI argument order (part first, like
+    Spark SQL/DuckDB); NTZ-safe through _time_arg."""
+    part = _lit_str(n, 0)
+    return F.date_trunc(part, _time_arg(n, s, 1))
+
+
+@_reg("date_add", return_type=T.DateType())
+def _date_add(n, s):
+    return F.date_add(_time_arg(n, s, 0).cast("date"), to_column(n.args[1], s).cast("int"))
+
+
+@_reg("date_sub", return_type=T.DateType())
+def _date_sub(n, s):
+    return F.date_sub(_time_arg(n, s, 0).cast("date"), to_column(n.args[1], s).cast("int"))
+
+
+@_reg("datediff", return_type=T.LongType())
+def _datediff(n, s):
+    """datediff(end, start) — whole days, Spark/MySQL argument order."""
+    return F.datediff(_time_arg(n, s, 0).cast("date"), _time_arg(n, s, 1).cast("date")).cast("long")
+
+
+@_reg("last_day", return_type=T.DateType())
+def _last_day(n, s):
+    return F.last_day(_time_arg(n, s, 0))
+
+
+@_reg("add_months", return_type=T.DateType())
+def _add_months(n, s):
+    return F.add_months(_time_arg(n, s, 0).cast("date"), to_column(n.args[1], s).cast("int"))
+
+
+@_reg("months_between", return_type=T.DoubleType())
+def _months_between(n, s):
+    return F.months_between(_time_arg(n, s, 0), _time_arg(n, s, 1))
+
+
+@_reg("make_date", return_type=T.DateType())
+def _make_date(n, s):
+    return F.make_date(*[to_column(a, s).cast("int") for a in n.args[:3]])
+
+
+@_reg("to_date", return_type=T.DateType())
+def _to_date(n, s):
+    if len(n.args) > 1:
+        return F.to_date(_c(n, s), _lit_str(n, 1))
+    return _time_arg(n, s, 0).cast("date")
+
+
+func_add("date_part", registry["__extract_ansi"].builder, return_type=T.LongType())

@@ -501,3 +501,33 @@ class TestAnsiPortabilityBatch:
         e.register_df("tc", spark.createDataFrame([("12",), ("oops",)], "s string"))
         rows = e.execute("SELECT s, try_cast(s AS int) AS n FROM tc ORDER BY s").collect()
         assert [(r.s, r.n) for r in rows] == [("12", 12), ("oops", None)]
+
+    def test_ansi_date_batch(self, spark):
+        import datetime
+
+        from qlbridge_spark import Engine
+
+        e = Engine(spark)
+        e.register_df(
+            "adb", spark.createDataFrame([(datetime.datetime(2024, 3, 15, 10, 30),)], "ts timestamp")
+        )
+        r = e.execute(
+            "SELECT date_trunc('month', ts) AS mo, date_add(ts, 10) AS p10,"
+            " datediff('2024-03-20', ts) AS dd, last_day(ts) AS ld, add_months(ts, 2) AS am,"
+            " round(months_between('2024-05-15', ts), 4) AS mb, make_date(2024, 2, 29) AS md,"
+            " to_date(ts) AS d, date_part('year', ts) AS y FROM adb"
+        ).collect()[0]
+        assert r.mo == datetime.datetime(2024, 3, 1)
+        assert r.p10 == datetime.date(2024, 3, 25)
+        assert (r.dd, r.ld, r.am) == (5, datetime.date(2024, 3, 31), datetime.date(2024, 5, 15))
+        assert (r.mb, r.md, r.d, r.y) == (2.0, datetime.date(2024, 2, 29), datetime.date(2024, 3, 15), 2024)
+
+    def test_current_date_functions(self, spark):
+        from qlbridge_spark import Engine
+
+        e = Engine(spark)
+        e.register_df("cdf", spark.range(1).toDF("n"))
+        r = e.execute(
+            "SELECT current_date() AS d, current_timestamp() AS ts, today() AS t FROM cdf"
+        ).collect()[0]
+        assert r.d == r.t and r.ts is not None
