@@ -1545,3 +1545,76 @@ def _to_date(n, s):
 
 
 func_add("date_part", registry["__extract_ansi"].builder, return_type=T.LongType())
+
+
+# ---- ANSI/DuckDB array + regex + json name batch --------------------------
+for _name, _rt, _lo, _hi in [
+    ("array_contains", T.BooleanType(), 2, 2),
+    ("array_distinct", None, 1, 1),
+    ("array_sort", None, 1, 1),
+    ("array_position", T.LongType(), 2, 2),  # 1-based, 0 = absent (Spark/DuckDB)
+    ("array_remove", None, 2, 2),
+    ("array_union", None, 2, 2),
+    ("array_intersect", None, 2, 2),
+    ("array_except", None, 2, 2),
+    ("arrays_zip", None, 2, None),
+    ("flatten", None, 1, 1),
+    ("array_max", None, 1, 1),
+    ("array_min", None, 1, 1),
+    ("slice", None, 3, 3),  # slice(arr, start, len) — 1-based
+]:
+    _nary(_name, _rt, _lo, _hi)
+
+
+@_reg("array_length", return_type=T.LongType())
+def _array_length(n, s):
+    return F.size(_c(n, s)).cast("long")
+
+
+@_reg("regexp_matches", return_type=T.BooleanType())
+def _regexp_matches(n, s):
+    return _c(n, s).rlike(_lit_str(n, 1))
+
+
+@_reg("regexp_replace", return_type=T.StringType())
+def _regexp_replace_fn(n, s):
+    return F.regexp_replace(_c(n, s), _lit_str(n, 1), _lit_str(n, 2))
+
+
+@_reg("regexp_extract", return_type=T.StringType())
+def _regexp_extract_fn(n, s):
+    grp = int(n.args[2].value) if len(n.args) > 2 else 1
+    return F.regexp_extract(_c(n, s), _lit_str(n, 1), grp)
+
+
+@_reg("starts_with", return_type=T.BooleanType())
+def _starts_with(n, s):
+    return _c(n, s).startswith(_c(n, s, 1))
+
+
+@_reg("ends_with", return_type=T.BooleanType())
+def _ends_with(n, s):
+    return _c(n, s).endswith(_c(n, s, 1))
+
+
+func_add("strpos", registry["instr"].builder, return_type=T.LongType())
+
+
+@_reg("printf", return_type=T.StringType())
+def _printf(n, s):
+    return F.format_string(_lit_str(n, 0), *[to_column(a, s) for a in n.args[1:]])
+
+
+func_add("format_string", registry["printf"].builder, return_type=T.StringType())
+
+
+@_reg("json_extract", return_type=T.StringType())
+def _json_extract(n, s):
+    """json_extract(doc, '$.path') → get_json_object (JVM-side; the
+    reference's jmespath form stays json.jmespath)."""
+    return F.get_json_object(_c(n, s), _lit_str(n, 1))
+
+
+func_add("json_extract_string", registry["json_extract"].builder, return_type=T.StringType())
+func_add("md5", registry["hash.md5"].builder, return_type=T.StringType())
+func_add("sha256", registry["hash.sha256"].builder, return_type=T.StringType())

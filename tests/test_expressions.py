@@ -531,3 +531,26 @@ class TestAnsiPortabilityBatch:
             "SELECT current_date() AS d, current_timestamp() AS ts, today() AS t FROM cdf"
         ).collect()[0]
         assert r.d == r.t and r.ts is not None
+
+    def test_array_regex_json_batch(self, spark):
+        from qlbridge_spark import Engine
+
+        e = Engine(spark)
+        e.register_df(
+            "arj",
+            spark.createDataFrame(
+                [(1, ["c", "a", "b"], '{"k": {"v": 5}}', "hello")],
+                "id int, arr array<string>, js string, s string",
+            ),
+        )
+        r = e.execute(
+            "SELECT array_contains(arr, 'a') AS hasa, array_length(arr) AS n,"
+            " array_sort(arr) AS srt, array_position(arr, 'b') AS pos,"
+            " slice(array_sort(arr), 2, 2) AS sl, regexp_matches(s, 'ell') AS rm,"
+            " regexp_replace(s, 'l+', 'L') AS rr, regexp_extract(s, 'h(e.)', 1) AS re,"
+            " starts_with(s, 'he') AS sw, ends_with(s, 'lo') AS ew, strpos(s, 'llo') AS sp,"
+            " printf('%s-%d', s, id) AS pf, json_extract(js, '$.k.v') AS jx FROM arj"
+        ).collect()[0]
+        assert (r.hasa, r.n, r.srt, r.pos) == (True, 3, ["a", "b", "c"], 3)
+        assert (r.sl, r.rm, r.rr, r.re) == (["b", "c"], True, "heLo", "el")
+        assert (r.sw, r.ew, r.sp, r.pf, r.jx) == (True, True, 3, "hello-1", "5")
