@@ -1578,6 +1578,10 @@ def _regexp_matches(n, s):
 
 @_reg("regexp_replace", return_type=T.StringType())
 def _regexp_replace_fn(n, s):
+    """Replaces ALL occurrences (Spark/MySQL semantics). DIVERGENCE:
+    DuckDB/Postgres replace only the first match unless the 'g' flag is
+    given — found by the differential fuzzer; oracle SQL for this
+    function must pass 'g'."""
     return F.regexp_replace(_c(n, s), _lit_str(n, 1), _lit_str(n, 2))
 
 
@@ -1598,6 +1602,8 @@ def _ends_with(n, s):
 
 
 func_add("strpos", registry["instr"].builder, return_type=T.LongType())
+func_add("upper", registry["toupper"].builder, return_type=T.StringType())
+func_add("lower", registry["tolower"].builder, return_type=T.StringType())
 
 
 @_reg("printf", return_type=T.StringType())

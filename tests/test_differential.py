@@ -51,6 +51,20 @@ def _gen_scalar(rng):
         "CASE WHEN a > b THEN a ELSE b END",
         "CASE s WHEN 'alpha' THEN 1 WHEN 'beta' THEN 2 ELSE 0 END",
         "CASE WHEN a IS NULL THEN -99 WHEN a > 0 THEN 1 ELSE -1 END",
+        "sign(a)",
+        "mod(abs(a) + 1, 5)",
+        "substring(s, 2, 3)",
+        "upper(s)",
+        "reverse(s)",
+        "instr(s, 'a')",
+        "concat_ws('-', s, 'z')",
+        "lpad(s, 8, '.')",
+        "left(s, 3)",
+        "length(s)",
+        "starts_with(s, 'a')",
+        "regexp_replace(s, '^a', 'A')",  # anchored: Spark replaces ALL, DuckDB first-only
+        "try_cast(s AS int)",
+        "if(a > 0, 'pos', 'neg')",
     ]
     return rng.choice(choices)
 
