@@ -345,6 +345,21 @@ class ExprParser:
             return self.parse_over(fn) if self.at_kw("OVER") else fn
         agg_order: list = []
         while self.cur().kind != RPAREN:
+            if (self.cur().kind == IDENT and self.peek().kind == OP and self.peek().val == "->") or (
+                self.cur().kind == LPAREN
+                and self.peek().kind == IDENT
+                and self.peek(2).kind == COMMA
+                and self.peek(3).kind == IDENT
+                and self.peek(4).kind == RPAREN
+                and self.peek(5).kind == OP
+                and self.peek(5).val == "->"
+            ):
+                # lambda argument of a higher-order function:
+                # x -> expr  |  (acc, x) -> expr
+                args.append(self.parse_lambda())
+                if self.cur().kind == COMMA:
+                    self.advance()
+                continue
             if self.at_kw("DISTINCT"):
                 # COUNT(DISTINCT x) → distinct-flagged func
                 self.advance()
@@ -378,6 +393,24 @@ class ExprParser:
         if self.at_kw("OVER"):
             return self.parse_over(fn)
         return fn
+
+    def parse_lambda(self):
+        from .nodes import LambdaNode
+
+        params: list[str] = []
+        if self.cur().kind == LPAREN:
+            self.advance()
+            while self.cur().kind != RPAREN:
+                params.append(self.advance().val)
+                if self.cur().kind == COMMA:
+                    self.advance()
+            self.expect(RPAREN)
+        else:
+            params.append(self.advance().val)
+        arrow = self.advance()
+        if arrow.kind != OP or arrow.val != "->":
+            raise ParseError(f"expected -> in lambda, got {arrow!r}")
+        return LambdaNode(params=params, body=self.parse_expr())
 
     def parse_case(self) -> "CaseNode":
         """ANSI ``CASE [operand] WHEN … THEN … [ELSE …] END`` — searched

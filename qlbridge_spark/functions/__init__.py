@@ -1624,3 +1624,78 @@ def _json_extract(n, s):
 func_add("json_extract_string", registry["json_extract"].builder, return_type=T.StringType())
 func_add("md5", registry["hash.md5"].builder, return_type=T.StringType())
 func_add("sha256", registry["hash.sha256"].builder, return_type=T.StringType())
+
+
+# ---- higher-order array functions (lambda arguments) ----------------------
+def _lambda_fn(lam, s):
+    """Lower a LambdaNode to a Python callable over Columns: occurrences
+    of the lambda params in the body substitute the runtime Columns, the
+    rest of the body translates against the enclosing scope — the result
+    is a Catalyst LambdaFunction, fully JVM-side."""
+    from ..nodes import IdentityNode as _I
+    from ..nodes import LambdaNode, SparkColNode
+    from ..nodes import transform as _node_transform
+
+    if not isinstance(lam, LambdaNode):
+        raise TranslateError("expected a lambda argument: x -> expr or (acc, x) -> expr")
+
+    def apply(cols):
+        binds = {p.lower(): c for p, c in zip(lam.params, cols)}
+
+        def sub(nd):
+            if isinstance(nd, _I) and nd.parts[0].lower() in binds:
+                c = binds[nd.parts[0].lower()]
+                for part in nd.parts[1:]:  # struct-field access on the var
+                    c = c[part]
+                return SparkColNode(col=c, dtype=None, text=nd.name)
+            return nd
+
+        return to_column(_node_transform(lam.body, sub), s)
+
+    # PySpark inspects the callable's signature — exact positional arity
+    # required (no *args)
+    if len(lam.params) == 1:
+        return lambda x: apply([x])
+    if len(lam.params) == 2:
+        return lambda x, y: apply([x, y])
+    raise TranslateError("lambdas take 1 or 2 parameters")
+
+
+@_reg("transform")
+def _hof_transform(n, s):
+    return F.transform(_c(n, s), _lambda_fn(n.args[1], s))
+
+
+@_reg("list_filter")
+def _hof_filter(n, s):
+    return F.filter(_c(n, s), _lambda_fn(n.args[1], s))
+
+
+@_reg("aggregate")
+def _hof_aggregate(n, s):
+    """aggregate(arr, init, (acc, x) -> merge [, acc -> finish])."""
+    merge = _lambda_fn(n.args[2], s)
+    if len(n.args) > 3:
+        return F.aggregate(_c(n, s), _c(n, s, 1), merge, _lambda_fn(n.args[3], s))
+    return F.aggregate(_c(n, s), _c(n, s, 1), merge)
+
+
+@_reg("zip_with")
+def _hof_zip_with(n, s):
+    return F.zip_with(_c(n, s), _c(n, s, 1), _lambda_fn(n.args[2], s))
+
+
+@_reg("forall", return_type=T.BooleanType())
+def _hof_forall(n, s):
+    return F.forall(_c(n, s), _lambda_fn(n.args[1], s))
+
+
+@_reg("array_exists", return_type=T.BooleanType())
+def _hof_exists(n, s):
+    return F.exists(_c(n, s), _lambda_fn(n.args[1], s))
+
+
+func_add("list_transform", registry["transform"].builder)
+func_add("array_filter", registry["list_filter"].builder)
+func_add("list_reduce_init", registry["aggregate"].builder)
+func_add("reduce", registry["aggregate"].builder)

@@ -57,7 +57,7 @@ def _build_token_re(identity_chars: str = "") -> re.Pattern:
 | (?P<bq>`(?:[^`]|``)*`)
 | (?P<dq>"(?:[^"\\]|\\.)*")
 | (?P<sq>'(?:[^'\\]|\\.)*')
-| (?P<op><=|>=|!=|<>|==|=~|!~|=|<|>|\|\||&&|[-+*/%!.:])
+| (?P<op>->|<=|>=|!=|<>|==|=~|!~|=|<|>|\|\||&&|[-+*/%!.:])
 | (?P<punct>[(),;\[\]{}])
 | (?P<ident>[A-Za-z_][A-Za-z0-9_IDENTEXTRA]*(?:\.[A-Za-z_*][A-Za-z0-9_*IDENTEXTRA]*)*)
 | (?P<param>[@?][@A-Za-z0-9_.]*)

@@ -332,3 +332,21 @@ def transform(node: Node, fn) -> Node:
     elif isinstance(node, ArrayNode):
         node = dataclasses.replace(node, items=[transform(i, fn) for i in node.items])
     return fn(node)
+
+
+@dataclass
+class LambdaNode(Node):
+    """``x -> expr`` / ``(acc, x) -> expr`` — lambda argument of a
+    higher-order array function (transform/list_filter/aggregate/
+    zip_with). Superset; DuckDB-compatible syntax. Only valid as a
+    direct function argument — translate rejects it anywhere else."""
+
+    params: list  # [str, ...] (1 or 2)
+    body: "Node"
+
+    def children(self):
+        return [self.body]
+
+    def sql(self) -> str:
+        ps = self.params[0] if len(self.params) == 1 else "(" + ", ".join(self.params) + ")"
+        return f"{ps} -> {self.body.sql()}"

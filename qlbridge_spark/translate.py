@@ -453,6 +453,13 @@ def to_column(node: Node, scope: Scope) -> Column:
         return F.lit(True)
     if isinstance(node, BinaryNode):
         return _binary(node, scope)
+    from .nodes import LambdaNode as _Lam
+
+    if isinstance(node, _Lam):
+        raise TranslateError(
+            "a lambda (x -> expr) is only valid as a higher-order function argument "
+            "(transform/list_filter/aggregate/zip_with/forall/array_exists)"
+        )
     raise TranslateError(f"cannot translate {node!r}")
 
 

@@ -554,3 +554,37 @@ class TestAnsiPortabilityBatch:
         assert (r.hasa, r.n, r.srt, r.pos) == (True, 3, ["a", "b", "c"], 3)
         assert (r.sl, r.rm, r.rr, r.re) == (["b", "c"], True, "heLo", "el")
         assert (r.sw, r.ew, r.sp, r.pf, r.jx) == (True, True, 3, "hello-1", "5")
+
+    def test_higher_order_lambdas(self, spark):
+        from qlbridge_spark import Engine
+
+        e = Engine(spark)
+        e.register_df(
+            "hof", spark.createDataFrame([(2, [1, 2, 3], [10, 20, 30])], "k int, a array<int>, b array<int>")
+        )
+        r = e.execute(
+            "SELECT transform(a, x -> x * k) AS sc, list_filter(a, x -> x % 2 = 1) AS od,"
+            " aggregate(a, 0, (acc, x) -> acc + x) AS tot, zip_with(a, b, (x, y) -> x + y) AS z,"
+            " forall(a, x -> x > 0) AS ap, array_exists(a, x -> x = 2) AS h2,"
+            " list_transform(a, x -> x + 100) AS lt FROM hof"
+        ).collect()[0]
+        # closure over the outer column k works (Catalyst LambdaFunction)
+        assert (r.sc, r.od, r.tot) == ([2, 4, 6], [1, 3], 6)
+        assert (r.z, r.ap, r.h2, r.lt) == ([11, 22, 33], True, True, [101, 102, 103])
+
+    def test_lambda_plan_is_jvm_only(self, spark):
+        from qlbridge_spark import Engine
+
+        e = Engine(spark)
+        e.register_df("hof2", spark.createDataFrame([([1, 2],)], "a array<int>"))
+        plan = e.execute("SELECT transform(a, x -> x + 1) AS t FROM hof2")._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan
+
+    def test_lambda_outside_hof_errors(self, spark):
+        from qlbridge_spark import Engine
+        from qlbridge_spark.translate import TranslateError
+
+        e = Engine(spark)
+        e.register_df("hof3", spark.createDataFrame([([1],)], "a array<int>"))
+        with pytest.raises((TranslateError, Exception), match="lambda"):
+            e.execute("SELECT coalesce(a, x -> x) FROM hof3").collect()
