@@ -156,7 +156,9 @@ _Q = {
                round(oneof(c_acctbal, 0), 2) AS bal,
                url.matchqs(if(c_custkey % 2 = 0,
                               join("http://ex.com/p?seg=", c_mktsegment, ""),
-                              "http://ex.com/p"), "seg") AS hasq
+                              "http://ex.com/p"), "seg") AS hasq,
+               array_join(list_transform([c_name, c_mktsegment], x -> lower(x)), "|") AS lowered,
+               aggregate(transform(split(c_name, "#"), x -> length(x)), cast(0 AS long), (acc, x) -> acc + x) AS csum
         FROM customer
         WHERE c_custkey < 100
         ORDER BY c_custkey""",
@@ -850,7 +852,10 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN c_custkey % 2 = 0 THEN c_mktsegment END AS qsv,
                    CASE WHEN c_acctbal > 5000 THEN 'high' ELSE 'low' END AS tier,
                    round(coalesce(c_acctbal, 0), 2) AS bal,
-                   (c_custkey % 2 = 0) AS hasq
+                   (c_custkey % 2 = 0) AS hasq,
+                   array_to_string(list_transform([c_name, c_mktsegment], x -> lower(x)), '|') AS lowered,
+                   CAST(list_reduce(list_transform(string_split(c_name, '#'), x -> length(x)),
+                                    (acc, x) -> acc + x) AS BIGINT) AS csum
             FROM customer WHERE c_custkey < 100 ORDER BY c_custkey""",
         "q13_time_funcs": """
             SELECT o_orderkey,

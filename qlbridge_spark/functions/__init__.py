@@ -1601,6 +1601,12 @@ def _ends_with(n, s):
     return _c(n, s).endswith(_c(n, s, 1))
 
 
+@_reg("array_join", return_type=T.StringType())
+def _array_join(n, s):
+    return F.array_join(_c(n, s), _lit_str(n, 1))
+
+
+func_add("array_to_string", registry["array_join"].builder, return_type=T.StringType())
 func_add("strpos", registry["instr"].builder, return_type=T.LongType())
 func_add("upper", registry["toupper"].builder, return_type=T.StringType())
 func_add("lower", registry["tolower"].builder, return_type=T.StringType())
