@@ -56,7 +56,7 @@ _PREC_ADD = 5
 _PREC_MUL = 6
 _PREC_UNARY = 7
 
-_KEYWORD_CMP = {"LIKE", "IN", "CONTAINS", "INTERSECTS", "IS", "BETWEEN"}
+_KEYWORD_CMP = {"LIKE", "ILIKE", "IN", "CONTAINS", "INTERSECTS", "IS", "BETWEEN"}
 
 
 class ExprParser:

@@ -640,13 +640,22 @@ def _binary(node: BinaryNode, scope: Scope) -> Column:
     if op in _CMP:
         return _comparison(node, scope)
 
-    if op == "LIKE":
+    if op in ("LIKE", "ILIKE"):
+        # ILIKE: case-insensitive glob (Postgres/DuckDB superset) — both
+        # sides lowered; pattern may be a literal or a column
         l = to_column(node.left, scope)
+        if op == "ILIKE":
+            l = F.lower(l)
         if isinstance(node.right, StringNode):
-            c = l.rlike(glob_to_regex(node.right.value))
+            pat = node.right.value.lower() if op == "ILIKE" else node.right.value
+            c = l.rlike(glob_to_regex(pat))
         else:
             r = to_column(node.right, scope)
-            c = l.rlike(F.concat(F.lit("^"), F.regexp_replace(F.regexp_replace(r, r"([.\[\]^$\\(){}+?|])", r"\\$1"), r"[%*]", ".*"), F.lit("$")))
+            if op == "ILIKE":
+                r = F.lower(r)
+            # F.regexp_like, not Column.rlike — rlike takes only a str
+            # pattern (column patterns raised NOT_ITERABLE)
+            c = F.regexp_like(l, F.concat(F.lit("^"), F.regexp_replace(F.regexp_replace(r, r"([.\[\]^$\\(){}+?|])", r"\\$1"), r"[%*]", ".*"), F.lit("$")))
         return ~c if node.negated else c
 
     if op == "=~":

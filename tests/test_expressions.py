@@ -588,3 +588,18 @@ class TestAnsiPortabilityBatch:
         e.register_df("hof3", spark.createDataFrame([([1],)], "a array<int>"))
         with pytest.raises((TranslateError, Exception), match="lambda"):
             e.execute("SELECT coalesce(a, x -> x) FROM hof3").collect()
+
+    def test_ilike(self, spark):
+        from qlbridge_spark import Engine
+
+        e = Engine(spark)
+        e.register_df("il", spark.createDataFrame([("Alpha",), ("BETA",), ("gamma",)], "s string"))
+        assert [r.s for r in e.execute("SELECT s FROM il WHERE s ILIKE '%a%' ORDER BY s").collect()] == [
+            "Alpha", "BETA", "gamma"
+        ]
+        assert [r.s for r in e.execute("SELECT s FROM il WHERE s NOT ILIKE 'b%' ORDER BY s").collect()] == [
+            "Alpha", "gamma"
+        ]
+        # column pattern, both sides lowered
+        e.register_df("il2", spark.createDataFrame([("Alpha", "AL%")], "s string, p string"))
+        assert e.execute("SELECT s FROM il2 WHERE s ILIKE p").count() == 1
