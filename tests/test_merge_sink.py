@@ -208,11 +208,19 @@ class TestParquetMergeSink:
             spark.createDataFrame(
                 [(2, "b-old", 21), (2, "b-new", 22), (3, "c", 30)], "id long, k string, seq long"
             ).write.mode("append").parquet(stream_dir)
-            q.processAllAvailable()
-            assert {tuple(r) for r in eng.sql("SELECT * FROM state_pq").collect()} == {
-                (1, "a", 10),
-                (2, "b-new", 22),
-                (3, "c", 30),
-            }
+            expected = {(1, "a", 10), (2, "b-new", 22), (3, "c", 30)}
+            # under full-suite load the file-stream listing can race the
+            # just-appended files (mod-time granularity) — re-drive the
+            # source until the batch lands instead of a single pass
+            import time
+
+            got = None
+            for _ in range(10):
+                q.processAllAvailable()
+                got = {tuple(r) for r in eng.sql("SELECT * FROM state_pq").collect()}
+                if got == expected:
+                    break
+                time.sleep(0.5)
+            assert got == expected
         finally:
             q.stop()
