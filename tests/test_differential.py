@@ -178,3 +178,33 @@ def test_differential_corpus_v2(feng):
         if spark_rows != duck_rows:
             failures.append((q, spark_rows[:4], duck_rows[:4]))
     assert not failures, f"{len(failures)} mismatching queries: {failures[:3]}"
+
+
+def test_differential_table_shapes(feng):
+    """v3: lateral/unnest/pivot/values table expressions vs DuckDB."""
+    e, con = feng
+    queries = [
+        # single-column unnest of a constructed array (explode semantics)
+        "SELECT id, unnest([a, b]) AS v FROM fz WHERE id < 50 ORDER BY id NULLS FIRST, v NULLS FIRST",
+        # correlated LATERAL aggregate over an expression key
+        "SELECT f.id, l.m FROM fz f, LATERAL (SELECT max(a) AS m FROM fz i"
+        " WHERE i.id % 10 = f.id % 10) l WHERE f.id < 30 ORDER BY f.id",
+        # LATERAL top-1 per key
+        "SELECT f.id, l.b FROM fz f, LATERAL (SELECT b FROM fz i WHERE i.id % 7 = f.id % 7"
+        " AND i.b IS NOT NULL ORDER BY i.b DESC, i.id LIMIT 1) l WHERE f.id < 20 ORDER BY f.id",
+        # bracketed PIVOT with an explicit IN list
+        "SELECT * FROM (SELECT s, a FROM fz WHERE s IS NOT NULL AND a IS NOT NULL) p"
+        " PIVOT (count(a) FOR s IN ('alpha', 'beta', 'axe')) ORDER BY 1 NULLS FIRST, 2, 3",
+        # VALUES join
+        "SELECT f.id, v.tag FROM fz f JOIN (VALUES (0, 'zero'), (1, 'one')) v(r, tag)"
+        " ON f.id % 2 = v.r WHERE f.id < 10 ORDER BY f.id",
+        # DISTINCT ON over an expression key with ORDER tie-break
+        "SELECT DISTINCT ON (id % 5) id % 5 AS k, id FROM fz WHERE id < 40 ORDER BY id % 5, id",
+    ]
+    failures = []
+    for q in queries:
+        spark_rows = sorted((tuple(r) for r in e.execute(q).collect()), key=repr)
+        duck_rows = sorted((tuple(r) for r in con.execute(q).fetchall()), key=repr)
+        if spark_rows != duck_rows:
+            failures.append((q, spark_rows[:4], duck_rows[:4]))
+    assert not failures, f"{len(failures)} mismatching: {failures}"
