@@ -1705,3 +1705,33 @@ func_add("list_transform", registry["transform"].builder)
 func_add("array_filter", registry["list_filter"].builder)
 func_add("list_reduce_init", registry["aggregate"].builder)
 func_add("reduce", registry["aggregate"].builder)
+
+
+# ---- struct construction + JSON export ------------------------------------
+@_reg("struct")
+def _struct(n, s):
+    """struct(a, b, t.c) — fields named after the argument identities
+    (last path part) or col0..colN for computed expressions."""
+    cols = []
+    for i, a in enumerate(n.args):
+        name = a.parts[-1] if isinstance(a, IdentityNode) else f"col{i}"
+        cols.append(to_column(a, s).alias(name))
+    return F.struct(*cols)
+
+
+@_reg("named_struct")
+def _named_struct(n, s):
+    """named_struct('k1', v1, 'k2', v2, ...) — ANSI/Spark form."""
+    if len(n.args) % 2 != 0:
+        raise TranslateError("named_struct takes name/value pairs")
+    cols = []
+    for i in range(0, len(n.args), 2):
+        cols.append(to_column(n.args[i + 1], s).alias(_require_str_literal(n.args[i], "field name")))
+    return F.struct(*cols)
+
+
+@_reg("to_json", return_type=T.StringType())
+def _to_json(n, s):
+    """to_json(struct/map/array) — the parquet→JSONL export op:
+    SELECT to_json(named_struct('id', id, 'text', text)) FROM docs."""
+    return F.to_json(_c(n, s))

@@ -603,3 +603,27 @@ class TestAnsiPortabilityBatch:
         # column pattern, both sides lowered
         e.register_df("il2", spark.createDataFrame([("Alpha", "AL%")], "s string, p string"))
         assert e.execute("SELECT s FROM il2 WHERE s ILIKE p").count() == 1
+
+    def test_struct_to_json_export(self, spark):
+        # the parquet→JSONL export op; compact format matches DuckDB's
+        # to_json(struct_pack(...)) exactly for int/string fields
+        import duckdb
+
+        from qlbridge_spark import Engine
+
+        e = Engine(spark)
+        e.register_df("je", spark.createDataFrame([(1, "hello")], "id int, text string"))
+        line = e.execute(
+            "SELECT to_json(named_struct('id', id, 'text', text)) AS line FROM je"
+        ).collect()[0].line
+        duck = duckdb.sql("SELECT to_json(struct_pack(id := 1, text := 'hello'))").fetchone()[0]
+        assert line == duck == '{"id":1,"text":"hello"}'
+
+    def test_struct_field_names(self, spark):
+        from qlbridge_spark import Engine
+
+        e = Engine(spark)
+        e.register_df("sf", spark.createDataFrame([(1, 2)], "a int, b int"))
+        df = e.execute("SELECT struct(a, b) AS s, struct(a + 1) AS t FROM sf")
+        assert df.schema["s"].dataType.fieldNames() == ["a", "b"]
+        assert df.schema["t"].dataType.fieldNames() == ["col0"]
