@@ -302,3 +302,21 @@ def ngram_repetition(df, id_col: str, text_col: str, n: int = 2):
             F.when(F.col("total_n") > 0, F.col("top_n") / F.col("total_n")).alias("top_frac"),
         )
     )
+
+
+def export_jsonl(df, path: str, mode: str = "overwrite") -> None:
+    """Write a frame as JSON-lines — the standard training-data handoff
+    format. One to_json(struct(*)) projection + text write: all JVM-side,
+    no driver collection, scales with partitions (one .jsonl part per
+    partition; coalesce/repartition upstream to control file counts)."""
+    from pyspark.sql import functions as F
+
+    df.select(F.to_json(F.struct(*df.columns)).alias("value")).write.mode(mode).text(path)
+
+
+def read_jsonl(spark, path: str, schema=None):
+    """Read JSON-lines back (schema optional; inferred when omitted)."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.json(path)

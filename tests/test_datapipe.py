@@ -903,3 +903,17 @@ class TestMixCorpora:
         a = spark.range(100).toDF("id")
         m = mix_corpora({"a": (a, 1.5), "b": (a, 0.5)}, "id")
         assert m._jdf.queryExecution().executedPlan().toString().count("Exchange") == 0
+
+
+class TestJsonlExport:
+    def test_roundtrip(self, spark, tmp_path):
+        from qlbridge_spark.datapipe.text import export_jsonl, read_jsonl
+
+        df = spark.createDataFrame([(1, "hello"), (2, "world")], "id long, text string")
+        out = str(tmp_path / "out_jsonl")
+        export_jsonl(df, out)
+        back = read_jsonl(spark, out)
+        assert {(r.id, r.text) for r in back.collect()} == {(1, "hello"), (2, "world")}
+        # raw lines are compact JSON objects
+        lines = {r.value for r in spark.read.text(out).collect()}
+        assert '{"id":1,"text":"hello"}' in lines
