@@ -238,6 +238,46 @@ def main() -> int:
     except Exception as e:
         range_corr_info["error"] = f"{type(e).__name__}: {e}"
 
+    # lateral study: top-3-per-customer through the LATERAL derived-table
+    # lowering vs the hand-written QUALIFY window form — both should plan
+    # to ONE row_number Window + join/filter; a per-outer-row re-execution
+    # engine would scan orders 15k times at sf0.1
+    lateral_info: dict = {}
+    try:
+        from qlbridge_spark import Engine as _EngL
+
+        _el = _EngL(spark, "bench_lateral")
+        _el.load_parquet_dir(sf_dir)
+        lateral_shapes = {
+            "lateral_top3": (
+                "SELECT c_custkey, l.o_orderkey, l.o_totalprice FROM customer, "
+                "LATERAL (SELECT o_orderkey, o_totalprice FROM orders "
+                "WHERE o_custkey = c_custkey ORDER BY o_totalprice DESC LIMIT 3) l"
+            ),
+            "window_top3": (
+                "SELECT c_custkey, o_orderkey, o_totalprice "
+                "FROM customer JOIN orders ON o_custkey = c_custkey "
+                "QUALIFY row_number() OVER (PARTITION BY c_custkey "
+                "ORDER BY o_totalprice DESC) <= 3"
+            ),
+        }
+        for key, q in lateral_shapes.items():
+            _el.sql(q).write.format("noop").mode("overwrite").save()  # warm
+            t0 = time.time()
+            df = _el.sql(q)
+            df.write.format("noop").mode("overwrite").save()
+            plan = df._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+            )
+            lateral_info[key] = {
+                "sec": round(time.time() - t0, 3),
+                "exchanges": plan.count("Exchange"),
+                "windows": plan.count("Window"),
+                "python_udfs": plan.count("BatchEvalPython"),
+            }
+    except Exception as e:
+        lateral_info["error"] = f"{type(e).__name__}: {e}"
+
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
@@ -252,6 +292,7 @@ def main() -> int:
                 "bucketed_layout": bucketed_info,
                 "decorrelation": decorrelation_info,
                 "range_correlation": range_corr_info,
+                "lateral": lateral_info,
             }
         )
     )
