@@ -893,7 +893,7 @@ def oracle_sql() -> dict[str, str]:
                    round(pow(p_size, 2), 1) AS sz2,
                    CAST(p_size AS BIGINT) AS roundtrip,
                    p_size % 7 AS szmod,
-                   sign(p_retailprice - 1500) AS sg,
+                   CAST(sign(p_retailprice - 1500) AS BIGINT) AS sg,
                    trunc(p_retailprice / 100) AS trc,
                    CAST(greatest(p_size, 25) AS BIGINT) AS gst,
                    round(ln(p_retailprice), 4) AS lnp,

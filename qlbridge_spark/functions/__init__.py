@@ -1312,9 +1312,11 @@ def _log(n, s):
     return F.log(float(n.args[0].value), to_column(n.args[1], s))
 
 
-@_reg("sign", return_type=T.DoubleType())
+@_reg("sign", return_type=T.LongType())
 def _sign(n, s):
-    return F.signum(to_column(n.args[0], s))
+    # integer-valued like the reference convention (expr/builtins/math.go)
+    # and DuckDB's sign(); Spark's signum() alone returns DOUBLE -1.0/0.0/1.0
+    return F.signum(to_column(n.args[0], s)).cast("long")
 
 
 @_reg("mod", return_type=None)
