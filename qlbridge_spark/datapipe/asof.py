@@ -89,16 +89,25 @@ def asof_join(
 
     out = unioned.withColumn("__match", carried).filter(F.col("__is_l") == 1)
     if tolerance_seconds is not None:
-        # cast through timestamp_ltz: unix_micros rejects TIMESTAMP_NTZ
-        # (Spark 4 reads parquet timestamp[us] as NTZ); the cast is a no-op
-        # for TIMESTAMP and age differences are tz-invariant
-        age = (
-            F.abs(
-                F.unix_micros(F.col(on).cast("timestamp_ltz"))
-                - F.unix_micros(F.col("__match.__rts").cast("timestamp_ltz"))
+        from pyspark.sql import types as T
+
+        dt_on = unioned.schema[on].dataType
+        if isinstance(dt_on, (T.TimestampType, T.TimestampNTZType)):
+            # timestampdiff is NTZ-native AND DST-free (no session-tz
+            # round trip — a cast("timestamp_ltz") diff would be off by
+            # the DST step for walls straddling a transition)
+            from ..tzutil import ts_diff_us
+
+            age = F.abs(ts_diff_us(F.col(on), F.col("__match.__rts"), dt_on)) / 1e6
+        else:
+            # date/string keys: legacy cast path (no-op for TIMESTAMP)
+            age = (
+                F.abs(
+                    F.unix_micros(F.col(on).cast("timestamp_ltz"))
+                    - F.unix_micros(F.col("__match.__rts").cast("timestamp_ltz"))
+                )
+                / 1e6
             )
-            / 1e6
-        )
         out = out.withColumn("__match", F.when(age <= tolerance_seconds, F.col("__match")))
     sel = [F.col(c) for c in l_cols]
     sel.append(F.col("__match.__rts").alias(on + suffix))

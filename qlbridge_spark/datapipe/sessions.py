@@ -27,15 +27,21 @@ def sessionize(
     Single shuffle on ``user_col`` (the window partition); the running sum
     stays within the same partition — no extra exchange.
     """
+    from pyspark.sql import types as T
+
     w = Window.partitionBy(user_col).orderBy(ts_col)
     prev_ts = F.lag(F.col(ts_col)).over(w)
-    # fractional-second gap (timestamp→double keeps microseconds;
-    # unix_timestamp would floor and mis-place boundaries near the gap).
-    # NTZ-safe: Spark 4 reads parquet timestamp[us] as TIMESTAMP_NTZ,
-    # which cannot cast to double directly — go through timestamp_ltz
-    # (no-op for TIMESTAMP; session-tz interpretation for NTZ, and gap
-    # DIFFERENCES are tz-invariant anyway)
-    gap_s = F.col(ts_col).cast("timestamp_ltz").cast("double") - prev_ts.cast("timestamp_ltz").cast("double")
+    # fractional-second gap (microsecond precision; unix_timestamp would
+    # floor and mis-place boundaries near the gap). timestampdiff is
+    # NTZ-native (Spark 4 reads parquet timestamp[us] as TIMESTAMP_NTZ)
+    # and tz/DST-free — no session-tz round trip (tzutil)
+    dt = df.schema[ts_col].dataType if ts_col in df.columns else None
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        from ..tzutil import ts_diff_us
+
+        gap_s = ts_diff_us(F.col(ts_col), prev_ts, dt) / F.lit(1e6)
+    else:
+        gap_s = F.col(ts_col).cast("timestamp_ltz").cast("double") - prev_ts.cast("timestamp_ltz").cast("double")
     new_session = F.when(prev_ts.isNull() | (gap_s > gap_minutes * 60), F.lit(1)).otherwise(F.lit(0))
     # sum over an ORDER BY window defaults to a RANGE frame: tied
     # timestamps are peers and share one session regardless of their
@@ -62,10 +68,18 @@ def session_stats(
         )
         .withColumn(
             "duration_s",
-            F.unix_timestamp(F.col("t_end").cast("timestamp_ltz"))
-            - F.unix_timestamp(F.col("t_start").cast("timestamp_ltz")),
+            # floored-second epochs differenced (matches the DuckDB
+            # oracle's epoch() semantics), UTC-stable for NTZ via tzutil
+            _floor_epoch_s("t_end", s.schema[ts_col].dataType)
+            - _floor_epoch_s("t_start", s.schema[ts_col].dataType),
         )
     )
+
+
+def _floor_epoch_s(col: str, dt):
+    from ..tzutil import utc_epoch_us
+
+    return F.floor(utc_epoch_us(F.col(col), dt) / F.lit(1_000_000)).cast("long")
 
 
 def sessionize_stream(
@@ -152,10 +166,17 @@ def session_stats_native(
     return (
         df.withColumn("__ts", ts)
         .groupBy(F.session_window(F.col("__ts"), gap).alias("__sw"), F.col(user_col))
-        .agg(F.count(F.lit(1)).alias("n_events"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # true last-event time, NOT __sw.end (which extends past the
+            # last event by the gap) — matches session_stats semantics
+            F.max("__ts").alias("t_end"),
+        )
         .select(
             user_col,
             F.col("__sw.start").alias("t_start"),
+            "t_end",
             "n_events",
+            (F.unix_timestamp("t_end") - F.unix_timestamp(F.col("__sw.start"))).alias("duration_s"),
         )
     )

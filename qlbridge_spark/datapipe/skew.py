@@ -61,6 +61,7 @@ def two_phase_agg(
     partial_aggs: dict[str, Column],
     final_aggs: dict[str, Column] | None = None,
     salts: int = 16,
+    salt_on: str | list[str] | None = None,
 ) -> DataFrame:
     """Two-phase (salted) aggregation for skewed group keys.
 
@@ -70,13 +71,23 @@ def two_phase_agg(
     column (correct for sum/count). For min/max pass
     ``final_aggs={"m": F.min("m")}`` etc.
 
+    ``salt_on``: columns the salt is derived from (default: the whole
+    row). For DISTINCT-style partials the salt MUST be a function of the
+    distinct column so equal values land in the same salt bucket and the
+    per-salt distinct counts sum exactly:
+    ``two_phase_agg(df, "k", {"nd": F.count_distinct("v")},
+    {"nd": F.sum("nd")}, salt_on="v")``.
+
     Spark's hash aggregate already does map-side partial aggregation, so
     this only wins when the SHUFFLED partials for one key still overwhelm
     one reducer (enormous per-key cardinality after combine — e.g.
     count-distinct-style payloads) or when AQE is unavailable.
     """
     keys = [group_cols] if isinstance(group_cols, str) else list(group_cols)
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salts)).cast("int")
+    salt_cols = (
+        [salt_on] if isinstance(salt_on, str) else list(salt_on) if salt_on is not None else list(df.columns)
+    )
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(salts)).cast("int")
     partial = (
         df.withColumn("__salt", salt)
         .groupBy(*keys, "__salt")

@@ -108,10 +108,14 @@ class Engine:
         self.spark = spark
         self.name = name
         # TIMESTAMP_NTZ contract: parquet timestamp[us] reads as NTZ in
-        # Spark 4, and every time builtin interprets NTZ wall-times in the
-        # SESSION time zone (functions/__init__.py _time_arg). Under a
-        # non-UTC session, epoch_us/unix_timestamp/as-of tolerances would
-        # silently shift — surface that instead of diverging quietly.
+        # Spark 4. NTZ walls mean UTC: every epoch-extracting path
+        # (epoch_us/totimestamp/unixtrunc/EXTRACT(epoch), asof tolerance,
+        # session gaps) is session-tz-independent via tzutil's pure
+        # wall-field arithmetic (tests/test_tz_stability.py pins this
+        # under Europe/Berlin incl. DST-gap walls). What STILL follows
+        # the session tz, per standard SQL: rendering/wall-extraction of
+        # true TIMESTAMP (ltz) columns, and parsing of zoneless string
+        # literals — surface that once for non-UTC sessions.
         try:
             tz = spark.conf.get("spark.sql.session.timeZone")
         except Exception:  # pragma: no cover - conf lookup should not fail
@@ -121,9 +125,10 @@ class Engine:
 
             Engine._tz_warned = True
             warnings.warn(
-                f"session time zone is {tz!r}: TIMESTAMP_NTZ columns are interpreted as "
-                "session-local wall times; set spark.sql.session.timeZone=UTC for "
-                "UTC-stable epoch/time-bucket semantics (the tested configuration)",
+                f"session time zone is {tz!r}: TIMESTAMP_NTZ epochs are UTC-stable, but "
+                "TIMESTAMP (ltz) wall rendering and zoneless string-literal parsing "
+                "follow the session zone (standard SQL); the oracle-tested "
+                "configuration is spark.sql.session.timeZone=UTC",
                 RuntimeWarning,
                 stacklevel=2,
             )

@@ -30,6 +30,7 @@ from ..translate import (
     parse_permissive_date,
     to_column,
 )
+from ..tzutil import is_ntz, utc_epoch_us
 
 
 @dataclass
@@ -581,7 +582,9 @@ def _todatein(n, s):
 
 @_reg("totimestamp", return_type=T.LongType())
 def _totimestamp(n, s):
-    """Unix epoch seconds (time.go:275)."""
+    """Unix epoch seconds (time.go:275). NTZ → UTC-stable (tzutil)."""
+    if n.args and is_ntz(infer_dtype(n.args[0], s)):
+        return F.floor(utc_epoch_us(_c(n, s), infer_dtype(n.args[0], s)) / F.lit(1_000_000)).cast("long")
     return F.unix_timestamp(_time_arg(n, s)).cast("long")
 
 
@@ -612,9 +615,27 @@ _TRUNC_UNIT = {"s": "second", "m": "minute", "h": "hour", "d": "day", "w": "week
 
 @_reg("unixtrunc", return_type=T.LongType())
 def _unixtrunc(n, s):
+    unit = _TRUNC_UNIT.get(_lit_str(n, 1), "second") if len(n.args) > 1 else None
+    if n.args and is_ntz(infer_dtype(n.args[0], s)):
+        # UTC-stable NTZ path: date_trunc round-trips through the session
+        # tz, so truncate on the UTC epoch directly (fixed-size units) or
+        # on the wall DATE (calendar units — NTZ→DATE is wall-based)
+        c = _c(n, s)
+        us = utc_epoch_us(c, infer_dtype(n.args[0], s))
+        sec = F.floor(us / F.lit(1_000_000))
+        if unit in (None, "second"):
+            return sec.cast("long")
+        size = {"minute": 60, "hour": 3600, "day": 86400}.get(unit)
+        if size is not None:
+            return (F.floor(sec / F.lit(size)) * size).cast("long")
+        day = F.floor(sec / F.lit(86400))
+        if unit == "week":
+            # epoch day 0 = Thursday; Spark's week truncation starts Monday
+            return ((day - F.pmod(day + 3, F.lit(7))) * 86400).cast("long")
+        d = F.trunc(c.cast("date"), {"month": "month", "year": "year"}[unit])
+        return (F.datediff(d, F.lit("1970-01-01").cast("date")).cast("long") * 86400).cast("long")
     t = _time_arg(n, s)
-    if len(n.args) > 1:
-        unit = _TRUNC_UNIT.get(_lit_str(n, 1), "second")
+    if unit is not None:
         t = F.date_trunc(unit, t)
     return F.unix_timestamp(t).cast("long")
 
@@ -698,8 +719,9 @@ def _toint(n, s):
     c = _c(n, s)
     dt = infer_dtype(n.args[0], s)
     if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
-        # time → epoch MILLIS (value/value.go:932-933)
-        return (F.unix_timestamp(c) * 1000).cast("long")
+        # time → epoch MILLIS (value/value.go:932-933); whole-second
+        # precision like Go's .Unix()*1000, UTC-stable for NTZ (tzutil)
+        return (F.floor(utc_epoch_us(c, dt) / F.lit(1_000_000)) * 1000).cast("long")
     if isinstance(dt, T.NumericType):
         return c.cast("long")
     cleaned = F.regexp_replace(c.cast("string"), r"[^0-9eE.+-]", "")
@@ -1161,11 +1183,11 @@ def _ceil(n, s):
 @_reg("epoch_us", return_type=T.LongType())
 def _epoch_us(n, s):
     # epoch MICROSECONDS as bigint — superset for window/time-series
-    # queries; named after DuckDB's epoch_us so oracles read identically
-    # timestamp_ltz explicitly: plain "timestamp" would leave a
-    # TIMESTAMP_NTZ input uncast when spark.sql.timestampType=NTZ, and
-    # unix_micros rejects NTZ
-    return F.unix_micros(_c(n, s).cast("timestamp_ltz"))
+    # queries; named after DuckDB's epoch_us so oracles read identically.
+    # NTZ inputs interpret as UTC wall times independent of the session tz
+    # (tzutil.utc_epoch_us) — plain cast("timestamp_ltz") would shift the
+    # instant under a non-UTC session
+    return utc_epoch_us(_c(n, s), infer_dtype(n.args[0], s))
 
 
 # ===========================================================================
@@ -1435,6 +1457,9 @@ def _extract_ansi(n, s):
     if part == "isodow":
         return (F.weekday(c) + 1).cast("long")
     if part == "epoch":
+        dt1 = infer_dtype(n.args[1], s)
+        if is_ntz(dt1):
+            return F.floor(utc_epoch_us(_c(n, s, 1), dt1) / F.lit(1_000_000)).cast("long")
         return F.unix_timestamp(c).cast("long")
     if part == "millisecond":
         return (F.second(c) * 1000 + (F.unix_micros(c) % 1_000_000) / 1000).cast("long")

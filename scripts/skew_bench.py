@@ -1,0 +1,284 @@
+"""Skew-mitigation benchmark (round-8 directive): PROVE salted_join /
+two_phase_agg / AQE skew-join with numbers, not just output-equality
+tests.
+
+Builds a deliberately skewed variant of the sf1 lineitem (one hot
+supplier key holding ~30 % of all rows — the "celebrity key" / default-id
+pattern), then measures, for a join and a count-distinct aggregation:
+
+  join_plain    SMJ, AQE off, broadcast off  — the naive plan: the hot
+                key lands in ONE shuffle partition (the 100 TB killer)
+  join_aqe      AQE skew-join splits the hot partition at runtime
+  join_salted   datapipe.skew.salted_join — explicit, plannable salting
+  agg_plain     groupBy(suppkey).count_distinct(orderkey): the second
+                shuffle keys on suppkey alone → hot reducer gets every
+                distinct orderkey of the hot key
+  agg_salted    two_phase_agg salted on the DISTINCT column (exact)
+
+Metrics per variant: wall time (min of N runs) AND straggler evidence —
+max/median task duration of the heaviest stage, from the Spark UI REST
+API (/api/v1/.../taskSummary). Outputs are cross-checked for equality
+across variants before any timing is reported.
+
+Usage: python scripts/skew_bench.py [sf1_dir]     (writes SKEW_r08.md)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import urllib.request
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+UI_PORT = 4057
+RUNS = 3
+SALTS = 16
+HOT_KEY = 1
+HOT_FRACTION = 3  # out of 10 → ~30 %
+
+
+def _api(app_id: str, path: str):
+    url = f"http://localhost:{UI_PORT}/api/v1/applications/{app_id}{path}"
+    with urllib.request.urlopen(url, timeout=10) as r:
+        return json.loads(r.read())
+
+
+def completed_stages(app_id: str) -> list[dict]:
+    return _api(app_id, "/stages?status=complete")
+
+
+def task_summary(app_id: str, stage_id: int, attempt: int = 0) -> dict | None:
+    try:
+        return _api(app_id, f"/stages/{stage_id}/{attempt}/taskSummary?quantiles=0.5,1.0")
+    except Exception:
+        return None
+
+
+def straggler_stats(app_id: str, min_stage_id: int) -> dict:
+    """Across every stage the variant ran, find the stage with the worst
+    max-task duration; report its (max, median, numTasks)."""
+    worst = {"stage_id": None, "task_max_ms": 0.0, "task_med_ms": 0.0, "num_tasks": 0}
+    for st in completed_stages(app_id):
+        if st["stageId"] <= min_stage_id:
+            continue
+        ts = task_summary(app_id, st["stageId"], st.get("attemptId", 0))
+        if not ts or "duration" not in ts:
+            continue
+        med, mx = ts["duration"][0], ts["duration"][1]
+        if mx > worst["task_max_ms"]:
+            worst = {
+                "stage_id": st["stageId"],
+                "task_max_ms": round(mx, 1),
+                "task_med_ms": round(med, 1),
+                "num_tasks": st.get("numTasks", 0),
+            }
+    return worst
+
+
+def max_stage_id(app_id: str) -> int:
+    stages = _api(app_id, "/stages")
+    return max((s["stageId"] for s in stages), default=-1)
+
+
+def run_variant(spark, name: str, confs: dict, build, collect):
+    """Apply session confs, run `build()` → DataFrame, `collect(df)` →
+    comparable python value. Returns (result, wall_best, straggler)."""
+    app_id = spark.sparkContext.applicationId
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    result, best, strag = None, float("inf"), None
+    try:
+        for i in range(RUNS):
+            before = max_stage_id(app_id)
+            t0 = time.perf_counter()
+            result = collect(build())
+            dt = time.perf_counter() - t0
+            if dt < best:
+                best = dt
+                strag = straggler_stats(app_id, before)
+    finally:
+        for k in confs:
+            spark.conf.unset(k)
+    return result, best, strag
+
+
+def main() -> int:
+    sf1 = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, ".testdata_sf1")
+    if not os.path.isdir(sf1):
+        print(f"sf1 dir {sf1} missing — run scripts/make_sf1.py first", file=sys.stderr)
+        return 2
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    sys.path.insert(0, REPO)
+    from qlbridge_spark.datapipe.skew import salted_join, skew_stats, two_phase_agg
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "8")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "12g")
+        .config("spark.ui.enabled", "true")
+        .config("spark.ui.port", str(UI_PORT))
+        .config("spark.sql.session.timeZone", "UTC")
+        .appName("skew_bench")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    app_id = spark.sparkContext.applicationId
+
+    # -- build the skewed dataset (deterministic): ~30 % of lineitem rows
+    # remapped onto supplier key 1 ------------------------------------
+    skew_dir = os.path.join(REPO, ".skewdata_r08")
+    skew_li_path = os.path.join(skew_dir, "lineitem_skew.parquet")
+    if not os.path.exists(skew_li_path):
+        li = spark.read.parquet(os.path.join(sf1, "lineitem.parquet"))
+        hot = F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(10)) < HOT_FRACTION
+        li.withColumn(
+            "l_suppkey", F.when(hot, F.lit(HOT_KEY).cast("long")).otherwise(F.col("l_suppkey"))
+        ).write.mode("overwrite").parquet(skew_li_path)
+
+    skew_li = spark.read.parquet(skew_li_path)
+    supp = spark.read.parquet(os.path.join(sf1, "supplier.parquet"))
+    n_rows = skew_li.count()
+    supp.count()  # warm page cache for fairness
+
+    top = [(r[0], r[1]) for r in skew_stats(skew_li, "l_suppkey", top=3).collect()]
+    print(f"rows={n_rows}  hottest keys: {top}")
+
+    # ---- JOIN: skewed fact ⋈ supplier (broadcast disabled — stands in
+    # for an other-side too large to broadcast at 100 TB) --------------
+    NO_BCAST = {"spark.sql.autoBroadcastJoinThreshold": "-1"}
+    AQE_OFF = {"spark.sql.adaptive.enabled": "false", **NO_BCAST}
+    AQE_SKEW = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # sf1's hot partition is ~10s of MB; production default threshold
+        # (256m) is tuned for real clusters — scale it to the test data
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8m",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8m",
+        **NO_BCAST,
+    }
+
+    supp_k = supp.withColumnRenamed("s_suppkey", "l_suppkey")
+
+    def join_plain():
+        j = skew_li.join(supp_k, on="l_suppkey", how="inner")
+        return j.groupBy("s_nationkey").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("l_extendedprice").alias("rev")
+        )
+
+    def join_salted():
+        j = salted_join(skew_li, supp_k, on="l_suppkey", how="inner", salts=SALTS)
+        return j.groupBy("s_nationkey").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("l_extendedprice").alias("rev")
+        )
+
+    def collect_join(df):
+        return sorted((r["s_nationkey"], r["n"], r["rev"]) for r in df.collect())
+
+    variants = {}
+    variants["join_plain"] = run_variant(spark, "join_plain", AQE_OFF, join_plain, collect_join)
+    variants["join_aqe"] = run_variant(spark, "join_aqe", AQE_SKEW, join_plain, collect_join)
+    variants["join_salted"] = run_variant(spark, "join_salted", AQE_OFF, join_salted, collect_join)
+
+    # outputs must agree (counts exact; float sums to relative 1e-9)
+    base = variants["join_plain"][0]
+    for name in ("join_aqe", "join_salted"):
+        other = variants[name][0]
+        assert len(base) == len(other), (name, len(base), len(other))
+        for (k1, n1, r1), (k2, n2, r2) in zip(base, other):
+            assert k1 == k2 and n1 == n2, (name, k1, k2, n1, n2)
+            assert abs(r1 - r2) <= 1e-9 * max(abs(r1), 1.0), (name, k1, r1, r2)
+    print("join outputs: MATCH across plain/aqe/salted")
+
+    # ---- AGG: count(DISTINCT orderkey) per supplier — the dedup shuffle
+    # keys on suppkey alone, so the hot reducer receives every distinct
+    # orderkey of the hot key (~18 % of all orders) ---------------------
+    def agg_plain():
+        per_key = skew_li.groupBy("l_suppkey").agg(F.count_distinct("l_orderkey").alias("nd"))
+        return per_key.agg(
+            F.sum("nd").alias("total"), F.max("nd").alias("mx"), F.count(F.lit(1)).alias("k")
+        )
+
+    def agg_salted():
+        per_key = two_phase_agg(
+            skew_li,
+            "l_suppkey",
+            {"nd": F.count_distinct("l_orderkey")},
+            {"nd": F.sum("nd")},
+            salts=SALTS,
+            salt_on="l_orderkey",
+        )
+        return per_key.agg(
+            F.sum("nd").alias("total"), F.max("nd").alias("mx"), F.count(F.lit(1)).alias("k")
+        )
+
+    def collect_agg(df):
+        r = df.collect()[0]
+        return (int(r["total"]), int(r["mx"]), int(r["k"]))
+
+    variants["agg_plain"] = run_variant(spark, "agg_plain", AQE_OFF, agg_plain, collect_agg)
+    variants["agg_aqe"] = run_variant(spark, "agg_aqe", AQE_SKEW, agg_plain, collect_agg)
+    variants["agg_salted"] = run_variant(spark, "agg_salted", AQE_OFF, agg_salted, collect_agg)
+    assert variants["agg_plain"][0] == variants["agg_salted"][0] == variants["agg_aqe"][0], (
+        variants["agg_plain"][0],
+        variants["agg_salted"][0],
+        variants["agg_aqe"][0],
+    )
+    print(f"agg outputs: MATCH across plain/aqe/salted {variants['agg_plain'][0]}")
+
+    # ---- report -------------------------------------------------------
+    lines = [
+        "# SKEW_r08 — skew-mitigation benchmark (sf1, deliberately skewed)",
+        "",
+        f"Dataset: sf1 lineitem ({n_rows:,} rows) with ~30 % of rows remapped to",
+        f"supplier key {HOT_KEY} (hottest keys by rows: {top}). Join side: sf1 supplier,",
+        f"broadcast DISABLED (stands in for a too-large-to-broadcast dim at 100 TB).",
+        f"local[{cpus}], shuffle.partitions=32, min of {RUNS} runs; straggler stats from",
+        "the Spark UI REST taskSummary of the worst stage in the best run.",
+        "",
+        "| variant | wall s | worst-stage task max ms | task median ms | max/med | tasks |",
+        "|---|---|---|---|---|---|",
+    ]
+    for name, (res, wall, strag) in variants.items():
+        ratio = (strag["task_max_ms"] / strag["task_med_ms"]) if strag and strag["task_med_ms"] else float("nan")
+        lines.append(
+            f"| {name} | {wall:.3f} | {strag['task_max_ms']} | {strag['task_med_ms']} "
+            f"| {ratio:.1f}× | {strag['num_tasks']} |"
+        )
+    jp, ja, js = (variants[k] for k in ("join_plain", "join_aqe", "join_salted"))
+    ap, aq, asx = (variants[k] for k in ("agg_plain", "agg_aqe", "agg_salted"))
+    lines += [
+        "",
+        "## Outcome",
+        "",
+        f"- join straggler (max task): plain {jp[2]['task_max_ms']} ms → "
+        f"AQE {ja[2]['task_max_ms']} ms ({jp[2]['task_max_ms']/max(ja[2]['task_max_ms'],0.1):.1f}× better), "
+        f"salted {js[2]['task_max_ms']} ms ({jp[2]['task_max_ms']/max(js[2]['task_max_ms'],0.1):.1f}× better)",
+        f"- join wall: plain {jp[1]:.3f} s → AQE {ja[1]:.3f} s, salted {js[1]:.3f} s",
+        f"- count-distinct straggler: plain {ap[2]['task_max_ms']} ms → "
+        f"salted two-phase {asx[2]['task_max_ms']} ms "
+        f"({ap[2]['task_max_ms']/max(asx[2]['task_max_ms'],0.1):.1f}× better); AQE alone "
+        f"{aq[2]['task_max_ms']} ms (AQE does not split skewed aggregates — the explicit salt is required)",
+        f"- agg wall: plain {ap[1]:.3f} s → AQE {aq[1]:.3f} s, salted {asx[1]:.3f} s",
+        "- all variant outputs verified equal before timing (counts exact, sums to 1e-9 rel).",
+        "",
+        "At 1000 executors the wall-clock gap widens to the straggler ratio:",
+        "every other task finishes and the cluster waits on the one hot",
+        "partition; max/med ≈ 1 is the scalability criterion, not local wall time.",
+    ]
+    out = os.path.join(REPO, "SKEW_r08.md")
+    with open(out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("\n".join(lines))
+    print(f"\nwrote {out}")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

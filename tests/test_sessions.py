@@ -79,11 +79,11 @@ class TestNativeSessionWindow:
                 rows.append((u, t))
         df = spark.createDataFrame(rows, "user_id long, ts timestamp")
         via_window = {
-            (r.user_id, r.t_start, r.n_events)
+            (r.user_id, r.t_start, r.t_end, r.n_events, r.duration_s)
             for r in session_stats(df, "user_id", "ts", 30.0).collect()
         }
         via_native = {
-            (r.user_id, r.t_start, r.n_events)
+            (r.user_id, r.t_start, r.t_end, r.n_events, r.duration_s)
             for r in session_stats_native(df, "user_id", "ts", 30.0).collect()
         }
         assert via_native == via_window
