@@ -180,6 +180,27 @@ class TestParquetMergeSink:
         with pytest.raises(FileNotFoundError, match="no committed version"):
             sink.scan(spark)
 
+    @staticmethod
+    def _drain_until(q, eng, table: str, expected: set, deadline_s: float = 90.0) -> set:
+        """Re-drive the stream until the sink state equals ``expected``.
+
+        processAllAvailable() only guarantees data visible AT CALL TIME is
+        processed — under full-suite load the file-source listing can lag
+        a just-finished append, so a single pass (or a short fixed retry
+        count) is a race. Poll with a generous wall-clock deadline; the
+        happy path exits on the first iteration. Raises the stream's own
+        exception immediately if the query died (no silent timeout)."""
+        import time
+
+        end = time.time() + deadline_s
+        got = None
+        while True:
+            q.processAllAvailable()  # raises if the stream terminated with an error
+            got = {tuple(r) for r in eng.sql(f"SELECT * FROM {table}").collect()}
+            if got == expected or time.time() >= end:
+                return got
+            time.sleep(0.3)
+
     def test_streaming_upsert_routes_to_parquet_sink(self, spark, tmp_path):
         """The streaming upsert sink prefers a registered merge sink — the
         durable path now runs e2e without Delta: micro-batches MERGE into
@@ -195,32 +216,26 @@ class TestParquetMergeSink:
         sink.ensure(v1.limit(0))
         eng.register_sink("state_pq", sink)
 
+        # query name must be UNIQUE across the whole suite: the Spark
+        # session is session-scoped and test_streaming_vm.py also runs a
+        # query named "up" — a not-yet-deregistered duplicate makes
+        # start() fail only in full-suite runs
         q = eng.execute(
-            "CREATE CONTINUOUSVIEW up AS SELECT id, k, seq FROM src "
+            "CREATE CONTINUOUSVIEW pq_sink_upsert AS SELECT id, k, seq FROM src "
             f'WITH {{"path": "{stream_dir}", "format": "upsert", "target": "state_pq", '
             f'"key": "id", "order_by": "seq"}}'
         )
         try:
-            q.processAllAvailable()
-            assert {tuple(r) for r in eng.sql("SELECT * FROM state_pq").collect()} == {(1, "a", 10), (2, "b", 20)}
+            expected1 = {(1, "a", 10), (2, "b", 20)}
+            got = self._drain_until(q, eng, "state_pq", expected1)
+            assert got == expected1
             # duplicate keys within one batch: the HIGHEST seq wins (real
             # recency, not arbitrary) — id=2 gets seq 22, id=3 inserted
             spark.createDataFrame(
                 [(2, "b-old", 21), (2, "b-new", 22), (3, "c", 30)], "id long, k string, seq long"
             ).write.mode("append").parquet(stream_dir)
-            expected = {(1, "a", 10), (2, "b-new", 22), (3, "c", 30)}
-            # under full-suite load the file-stream listing can race the
-            # just-appended files (mod-time granularity) — re-drive the
-            # source until the batch lands instead of a single pass
-            import time
-
-            got = None
-            for _ in range(10):
-                q.processAllAvailable()
-                got = {tuple(r) for r in eng.sql("SELECT * FROM state_pq").collect()}
-                if got == expected:
-                    break
-                time.sleep(0.5)
-            assert got == expected
+            expected2 = {(1, "a", 10), (2, "b-new", 22), (3, "c", 30)}
+            got = self._drain_until(q, eng, "state_pq", expected2)
+            assert got == expected2
         finally:
             q.stop()
