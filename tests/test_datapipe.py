@@ -471,6 +471,26 @@ class TestSkewOperators:
         )
         assert sorted(map(tuple, two.collect())) == sorted(map(tuple, plain.collect()))
 
+    def test_two_phase_agg_salt_on_distinct_column_exact(self, spark):
+        """salt_on=<distinct col> partitions equal values into one salt
+        bucket, so per-salt count_distinct sums EXACTLY (whole-row salt
+        would double-count values straddling buckets)."""
+        from pyspark.sql import functions as F2
+
+        from qlbridge_spark.datapipe import two_phase_agg
+
+        df = self._skewed(spark).withColumn("g", (F2.col("v") % 7).cast("long"))
+        plain = df.groupBy("k").agg(F2.count_distinct("g").alias("nd"))
+        two = two_phase_agg(
+            df,
+            "k",
+            partial_aggs={"nd": F2.count_distinct("g")},
+            final_aggs={"nd": F2.sum("nd")},
+            salts=8,
+            salt_on="g",
+        )
+        assert sorted(map(tuple, two.collect())) == sorted(map(tuple, plain.collect()))
+
     def test_skew_stats_top_keys(self, spark):
         from qlbridge_spark.datapipe import skew_stats
 
