@@ -1605,11 +1605,38 @@ def _regexp_matches(n, s):
 
 @_reg("regexp_replace", return_type=T.StringType())
 def _regexp_replace_fn(n, s):
-    """Replaces ALL occurrences (Spark/MySQL semantics). DIVERGENCE:
-    DuckDB/Postgres replace only the first match unless the 'g' flag is
-    given — found by the differential fuzzer; oracle SQL for this
-    function must pass 'g'."""
-    return F.regexp_replace(_c(n, s), _lit_str(n, 1), _lit_str(n, 2))
+    """DuckDB/Postgres semantics (round-7 directive — the divergence is
+    now CLOSED, not documented): replaces only the FIRST match unless the
+    optional 4th ``flags`` argument contains ``g``; ``i``/``s``/``m``/
+    ``x`` lower to inline Java regex flags. First-only runs JVM-side by
+    wrapping the pattern as ``(prefix)(pat)(suffix)`` with lazy prefix
+    and renumbering ``$N`` replacement refs (+2). Limitations (same
+    plan-time literal contract as the rest of the regex builtins):
+    backreferences INSIDE the pattern and ``(`` inside char classes defeat
+    the group renumbering — pass 'g' for Spark-native semantics there."""
+    import re as _re
+
+    pat, rep = _lit_str(n, 1), _lit_str(n, 2)
+    flags = _lit_str(n, 3) if len(n.args) > 3 else ""
+    inline = "".join(ch for ch in "imsx" if ch in flags)
+    if inline:
+        pat = f"(?{inline}){pat}"
+    if "g" in flags:
+        return F.regexp_replace(_c(n, s), pat, rep)
+    try:
+        ngroups = _re.compile(pat).groups
+    except _re.error:  # Java-only constructs — count plain '(' groups
+        ngroups = len(_re.findall(r"(?<!\\)\((?!\?)", pat))
+    def _shift(m):  # $0 (whole match) → the wrapped pattern group $2
+        i = int(m.group(1))
+        return f"${i + 2}" if i > 0 else "$2"
+
+    shifted = _re.sub(r"\$(\d+)", _shift, rep)
+    # [\s\S] instead of (?s)+dot so the user pattern's own '.' semantics
+    # stay default; the suffix consumes to end-of-string, so the engine
+    # performs at most one replacement
+    wrapped = f"([\\s\\S]*?)({pat})([\\s\\S]*)"
+    return F.regexp_replace(_c(n, s), wrapped, f"$1{shifted}${ngroups + 3}")
 
 
 @_reg("regexp_extract", return_type=T.StringType())

@@ -62,7 +62,10 @@ def _gen_scalar(rng):
         "left(s, 3)",
         "length(s)",
         "starts_with(s, 'a')",
-        "regexp_replace(s, '^a', 'A')",  # anchored: Spark replaces ALL, DuckDB first-only
+        "regexp_replace(s, 'a', 'A')",  # first-only (DuckDB parity, r8)
+        "regexp_replace(s, 'a', 'A', 'g')",  # explicit global flag
+        # group refs excluded here: semantics now MATCH but the ref syntax
+        # differs ($1 Java vs \1 RE2) — pinned in test_regexp_replace.py
         "try_cast(s AS int)",
         "if(a > 0, 'pos', 'neg')",
     ]
