@@ -43,6 +43,59 @@ def value_hash(rows, colnames):
     return hashlib.md5("\n".join(lines).encode()).hexdigest()
 
 
+# LSH entries are PROBABILISTIC at the decision boundary: a true pair at
+# jaccard j survives banding with prob 1-(1-j^r)^b, so at large corpus
+# sizes a few boundary-j misses are the DESIGNED behavior, not a bug
+# (round-7 sf1 sweep: dp07 missed 2 of 250,600 pairs at j=0.615 — the
+# count theory predicts). This registry automates that budget (round-7
+# directive #6): a hash mismatch for these entries is re-judged as PASS
+# when (a) the engine reports NO pair the oracle lacks, and (b) the
+# missing pairs number within 3× the theoretical expectation
+# Σ_pairs (1-j^r)^b AND each one was individually missable (p > 1e-6).
+LSH_BUDGET = {
+    # dp07 entry config: num_hashes=32, bands=16 → r=2 rows per band
+    "dp07_minhash_pairs": {"r": 2, "bands": 16, "j_col": "j_x1e4", "j_scale": 1e4},
+}
+
+
+def lsh_boundary_verdict(name, spark_rows, spark_cols, duck_rows, duck_cols):
+    """Return (ok, detail) applying the boundary-miss budget; ok=None when
+    the mismatch is NOT explainable as boundary misses (caller keeps the
+    original FAIL)."""
+    import math
+
+    cfg = LSH_BUDGET[name]
+    lc = [c.lower() for c in spark_cols]
+    try:
+        ia, ib, ij = lc.index("id_a"), lc.index("id_b"), lc.index(cfg["j_col"])
+    except ValueError:
+        return None, "id/jaccard columns not found"
+    dlc = [c.lower() for c in duck_cols]
+    da, db, dj = dlc.index("id_a"), dlc.index("id_b"), dlc.index(cfg["j_col"])
+    got = {(r[ia], r[ib]): r[ij] for r in spark_rows}
+    want = {(r[da], r[db]): r[dj] for r in duck_rows}
+    extra = set(got) - set(want)
+    if extra:
+        return None, f"{len(extra)} pairs not in oracle (not a boundary miss)"
+    common_diff = [k for k in got if got[k] != want[k]]
+    if common_diff:
+        return None, f"{len(common_diff)} pairs with differing jaccard values"
+    missing = {k: want[k] for k in set(want) - set(got)}
+    r, b, scale = cfg["r"], cfg["bands"], cfg["j_scale"]
+    expected = sum(math.pow(1.0 - math.pow(j / scale, r), b) for j in want.values())
+    budget = max(1.0, 3.0 * expected)
+    if len(missing) > budget:
+        return None, f"{len(missing)} misses exceed budget {budget:.2f} (expected {expected:.3f})"
+    for k, j in missing.items():
+        p = math.pow(1.0 - math.pow(j / scale, r), b)
+        if p <= 1e-6:
+            return None, f"pair {k} at j={j/scale:.3f} has miss prob {p:.2e} — theory says it cannot miss"
+    return True, (
+        f"boundary-budget: {len(missing)} miss(es) of {len(want)} pairs, "
+        f"expected {expected:.3f}, all individually missable"
+    )
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     name_filter = sys.argv[2] if len(sys.argv) > 2 else ""
@@ -122,6 +175,13 @@ def main():
                         problems.append(f"  spark: {a[:150]}")
                         problems.append(f"  duck : {b[:150]}")
                         break
+        if problems and name in LSH_BUDGET:
+            ok, detail = lsh_boundary_verdict(name, spark_rows, spark_cols, duck_rows, duck_cols)
+            if ok:
+                print(f"PASS {name}  ({len(spark_rows)} rows, {el:.1f}s) [{detail}]")
+                n_pass += 1
+                continue
+            problems.append(f"boundary-budget rejected: {detail}")
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems[:1]) + "".join("\n" + p for p in problems[1:]))
             n_fail += 1
