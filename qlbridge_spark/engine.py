@@ -151,6 +151,18 @@ class Engine:
         # schema/datasource.go:96-161); DML routes here instead of the
         # in-memory registry swap
         self.sinks: dict[str, object] = {}
+        # plan/fold caches (superset of reference PREPARE, which is
+        # parse-only — exec/executor.go:144-146). Epoch bumps on ANY
+        # registry/DDL/DML/SET mutation and clears both caches; entries
+        # also carry a TTL so plan-time-frozen datemath ("now") literals
+        # do not live forever.
+        self._cache_epoch = 0
+        self._plan_cache: dict[tuple, tuple[float, DataFrame]] = {}
+        self._fold_cache: dict[tuple, tuple] = {}
+        self._bound_params: dict[str, object] = {}
+        self.plan_cache_ttl_s = 60.0
+        self.plan_cache_max = 128
+        self.plan_cache_stats = {"hits": 0, "misses": 0, "fold_hits": 0, "fold_misses": 0}
 
     # ------------------------------------------------------------------
     # registry (≈ schema.RegisterSourceAsSchema, schema/registry.go:71)
@@ -161,6 +173,7 @@ class Engine:
         datasource/key.go:27-42) — UPSERT uses it to decide which rows to
         replace instead of silently assuming the first column."""
         self.tables[name.lower()] = df
+        self._bump_cache_epoch()
         if broadcast:
             self.broadcast_hints.add(name.lower())
         if key is not None:
@@ -189,6 +202,7 @@ class Engine:
         ``walk_source_select``; the source may return a DataFrame embodying
         any subset of it — the engine re-applies the WHERE regardless."""
         self.planner_sources[name.lower()] = source
+        self._bump_cache_epoch()
 
     def register_dialect(self, dialect, handler) -> None:
         """Register a custom statement dialect (dialect.Dialect) with a
@@ -209,6 +223,7 @@ class Engine:
         same name is EVICTED — otherwise reads would keep hitting the
         stale frame while DML mutates the sink."""
         self.sinks[name.lower()] = sink
+        self._bump_cache_epoch()
         self.tables.pop(name.lower(), None)
         self.views.pop(name.lower(), None)
         if key or getattr(sink, "key", None):
@@ -218,6 +233,14 @@ class Engine:
         """Named filter for INCLUDE resolution (expr/include.go:23-25)."""
         stmt = parse_filterql(filter_text) if filter_text.upper().lstrip().startswith("FILTER") else None
         self.includes[name.lower()] = stmt.filter if stmt else parse_sql(f"SELECT 1 WHERE {filter_text}").where
+        self._bump_cache_epoch()
+
+    def _scope_params(self) -> dict:
+        """Values resolvable as ``@var`` / ``?N`` identities in expressions:
+        session vars overlaid with the active prepared-statement binds."""
+        if not self._bound_params:
+            return self.session_vars
+        return {**self.session_vars, **self._bound_params}
 
     def table(self, name: str) -> DataFrame:
         df = self.tables.get(name.lower())
@@ -235,21 +258,76 @@ class Engine:
     # ------------------------------------------------------------------
     # entry points
     # ------------------------------------------------------------------
+    # statement classes that can mutate engine/table state — executing one
+    # invalidates the plan/fold caches
+    _MUTATING_STMTS = ("SqlInsert", "SqlUpdate", "SqlDelete", "SqlCreate", "SqlDrop", "SqlCommand", "SqlAlter")
+
+    def _bump_cache_epoch(self) -> None:
+        self._cache_epoch += 1
+        self._plan_cache.clear()
+        self._fold_cache.clear()
+
+    def clear_plan_cache(self) -> None:
+        """Drop all cached analyzed plans and subquery folds."""
+        self._bump_cache_epoch()
+
+    def _cacheable(self, text: str, head: str) -> bool:
+        # read-only statements over registry tables; sink-backed tables
+        # mutate OUTSIDE the engine (streaming upserts, direct sink calls)
+        # so their scans must be rebuilt per statement; bound ?-params make
+        # the text non-reusable (prepare() handles that path)
+        return head in ("SELECT", "WITH", "FILTER") and not self.sinks and not self._bound_params
+
     def execute(self, text: str):
         """Run any statement. SELECT/SHOW/DESCRIBE/FILTER → DataFrame;
         DML → affected row count; DDL/commands → None. Statements whose
         leading keyword matches a registered custom dialect are parsed by
-        that dialect and dispatched to its handler."""
+        that dialect and dispatched to its handler.
+
+        Read-only statements are served from a statement-level plan cache
+        (text → analyzed DataFrame incl. folded subquery literals),
+        invalidated on any registry/DDL/DML/SET mutation and after
+        ``plan_cache_ttl_s`` (datemath "now" literals are frozen at plan
+        time). Superset of the reference's PREPARE, which is parse-only
+        (exec/executor.go:144-146)."""
         head = text.lstrip().split(None, 1)[0].upper() if text.strip() else ""
         if head in self.dialects:
             from .dialect import parse_dialect_statement
 
             dialect, handler = self.dialects[head]
             return handler(self, parse_dialect_statement(text, dialect))
+        key = None
+        if self._cacheable(text, head):
+            import time as _time
+
+            key = (text, self._cache_epoch)
+            hit = self._plan_cache.get(key)
+            if hit is not None and (_time.monotonic() - hit[0]) < self.plan_cache_ttl_s:
+                self.plan_cache_stats["hits"] += 1
+                return hit[1]
+            self.plan_cache_stats["misses"] += 1
         stmt = parse_sql(text)
-        return self.execute_stmt(stmt)
+        out = self.execute_stmt(stmt)
+        if key is not None and isinstance(out, DataFrame):
+            import time as _time
+
+            if len(self._plan_cache) >= self.plan_cache_max:
+                # drop the oldest entry (insertion-ordered dict)
+                self._plan_cache.pop(next(iter(self._plan_cache)), None)
+            self._plan_cache[key] = (_time.monotonic(), out)
+        return out
+
+    def prepare(self, text: str) -> "PreparedStatement":
+        """Parse once, execute many: ``?`` placeholders (PEP 249 qmark,
+        numbered left-to-right) bind per execution at TRANSLATE time — no
+        re-parse, and parameter-free subquery folds are reused across
+        executions via the fold cache. Superset: the reference parses
+        PREPARE but cannot execute it (exec/executor.go:144-146)."""
+        return PreparedStatement(self, text)
 
     def execute_stmt(self, stmt):
+        if type(stmt).__name__ in self._MUTATING_STMTS:
+            self._bump_cache_epoch()
         if isinstance(stmt, SqlSelect):
             return self._select(stmt)
         if isinstance(stmt, SqlSetOp):
@@ -364,7 +442,7 @@ class Engine:
 
         if is_agg:
             df = self._aggregate(df, scope, sel)
-            out_scope = Scope({"_": df}, includes=self.includes, params=self.session_vars)
+            out_scope = Scope({"_": df}, includes=self.includes, params=self._scope_params())
             df = self._order_limit(df, out_scope, sel, post_agg=True)
             return df
 
@@ -397,7 +475,7 @@ class Engine:
             df = df.select(*(proj + hidden + [qcol.alias("__qualify")])).filter(F.col("__qualify"))
             if sel.distinct:
                 df = df.select(*names).distinct()
-                out_scope = Scope({"_": df}, includes=self.includes, params=self.session_vars)
+                out_scope = Scope({"_": df}, includes=self.includes, params=self._scope_params())
                 order = []
                 for (name, c, direction), (e, _) in zip(sort_cols, order_pairs):
                     col = F.col(name) if c is None else to_column(e, out_scope)
@@ -412,7 +490,7 @@ class Engine:
             # DISTINCT applies to the projected rows; sort keys must be
             # output columns (or re-translatable against them)
             df = df.select(*proj).distinct()
-            out_scope = Scope({"_": df}, includes=self.includes, params=self.session_vars)
+            out_scope = Scope({"_": df}, includes=self.includes, params=self._scope_params())
             order = []
             for (name, c, direction), (e, _) in zip(sort_cols, order_pairs):
                 col = F.col(name) if c is None else to_column(e, out_scope)
@@ -560,7 +638,7 @@ class Engine:
         else:
             raise ExecError(f"unknown set op {stmt.op}")
         if stmt.order_by:
-            scope = Scope({"_": out}, includes=self.includes, params=self.session_vars)
+            scope = Scope({"_": out}, includes=self.includes, params=self._scope_params())
             cols = []
             for e, direction in stmt.order_by:
                 c = F.col(out.columns[int(e.text) - 1]) if isinstance(e, NumberNode) else to_column(e, scope)
@@ -584,7 +662,7 @@ class Engine:
         names = src.out_cols or [f"col{i}" for i in range(ncols)]
         if len(names) != ncols:
             raise ExecError(f"VALUES arity {ncols} does not match column list {names}")
-        scope = Scope({}, includes=self.includes, params=self.session_vars)
+        scope = Scope({}, includes=self.includes, params=self._scope_params())
         out = None
         for r in src.values_rows:
             one = self.spark.range(1).select(
@@ -600,7 +678,7 @@ class Engine:
         explicit IN-list to .pivot() skips Spark's distinct-values scan
         AND keeps the map-side partial aggregation: one shuffle total."""
         spec = src.pivot
-        scope = Scope({"_": df}, includes=self.includes, params=self.session_vars)
+        scope = Scope({"_": df}, includes=self.includes, params=self._scope_params())
         agg_node = spec["agg"]
         agg_col = to_column(agg_node, scope)
         if not funcs.is_agg_tree(agg_node):
@@ -708,7 +786,7 @@ class Engine:
         internal name; ``physical`` lets the scope route ``u.x`` (and the
         bare name) to it. No shuffle: Generate is a narrow operator."""
         scope = Scope(
-            dict(frames), includes=self.includes, params=self.session_vars, physical=dict(physical)
+            dict(frames), includes=self.includes, params=self._scope_params(), physical=dict(physical)
         )
         arr = to_column(src.unnest, scope)
         ref = src.ref
@@ -818,7 +896,7 @@ class Engine:
         through the scope's ``physical`` map (same trick as UNNEST)."""
         sub_sel = src.subquery
         outer_scope = Scope(
-            dict(frames), includes=self.includes, params=self.session_vars, physical=dict(physical)
+            dict(frames), includes=self.includes, params=self._scope_params(), physical=dict(physical)
         )
         left = src.join_type.startswith("LEFT") or src.join_type.startswith("FULL")
         if src.join_expr is not None and not (
@@ -976,7 +1054,7 @@ class Engine:
                 continue
             other = self._resolve_source(src, sel)
             frames[src.ref] = other
-            scope = Scope(dict(frames), includes=self.includes, params=self.session_vars, physical=dict(physical))
+            scope = Scope(dict(frames), includes=self.includes, params=self._scope_params(), physical=dict(physical))
             how = {
                 "": "inner",
                 "INNER": "inner",
@@ -994,7 +1072,7 @@ class Engine:
                 joined = joined.join(other, on=cond, how=how)
             else:
                 joined = joined.crossJoin(other)
-        scope = Scope(frames, includes=self.includes, params=self.session_vars, physical=physical)
+        scope = Scope(frames, includes=self.includes, params=self._scope_params(), physical=physical)
         return joined, scope
 
     # -- WHERE -------------------------------------------------------------
@@ -1149,7 +1227,7 @@ class Engine:
                 f"correlated EXISTS: alias {sorted(overlap)} names both an outer and an inner table; "
                 "alias one side (… FROM orders AS o)"
             )
-        combined = Scope({**scope.frames, **inner_scope.frames}, includes=self.includes, params=self.session_vars)
+        combined = Scope({**scope.frames, **inner_scope.frames}, includes=self.includes, params=self._scope_params())
         inner_preds: list[Node] = []
         join_conds: list[SparkColumn] = []
         for c in self._conjuncts(sub_sel.where) if sub_sel.where is not None else []:
@@ -1321,7 +1399,7 @@ class Engine:
             agged = df.agg(*(agg_cols + hidden))
 
         if having_node is not None:
-            hscope = Scope({"_": agged}, includes=self.includes, params=self.session_vars)
+            hscope = Scope({"_": agged}, includes=self.includes, params=self._scope_params())
             agged_types = {f_.name: f_.dataType for f_ in agged.schema.fields}
             for qual, out_name in qualified_group_keys:
                 hscope._fields.setdefault(qual, ("_", T.StructField(out_name, agged_types[out_name])))
@@ -1337,7 +1415,7 @@ class Engine:
             # after HAVING (ANSI order): windows see the post-HAVING groups.
             # Window exprs can't appear in a Filter directly — project the
             # predicate, then filter on the projected column
-            qscope = Scope({"_": agged}, includes=self.includes, params=self.session_vars)
+            qscope = Scope({"_": agged}, includes=self.includes, params=self._scope_params())
             agged_types = {f_.name: f_.dataType for f_ in agged.schema.fields}
             for qual, out_name in qualified_group_keys:
                 qscope._fields.setdefault(qual, ("_", T.StructField(out_name, agged_types[out_name])))
@@ -1367,6 +1445,12 @@ class Engine:
         callers decide whether to decorrelate or error."""
         from .nodes import SparkColNode
 
+        key = self._fold_key("scalar", sub_select)
+        hit = self._fold_cache.get(key) if key else None
+        if hit is not None:
+            self.plan_cache_stats["fold_hits"] += 1
+            val, dtype = hit
+            return SparkColNode(col=F.lit(val), dtype=dtype)
         sub_df = self._select_any(sub_select)
         if len(sub_df.columns) != 1:
             raise ExecError(f"scalar subquery must return one column, got {len(sub_df.columns)}")
@@ -1374,7 +1458,29 @@ class Engine:
         if len(rows) > 1:
             raise ExecError("scalar subquery returned more than one row")
         val = rows[0][0] if rows else None
-        return SparkColNode(col=F.lit(val), dtype=sub_df.schema.fields[0].dataType)
+        dtype = sub_df.schema.fields[0].dataType
+        if key:
+            self.plan_cache_stats["fold_misses"] += 1
+            self._fold_cache[key] = (val, dtype)
+        return SparkColNode(col=F.lit(val), dtype=dtype)
+
+    def _fold_key(self, kind: str, sub_select):
+        """Cache key for a plan-time subquery fold: the sub-AST's dataclass
+        repr (deterministic for pure parsed nodes) + the cache epoch; binds
+        join the key only when the subquery actually references a ``?N``/
+        ``@var`` parameter, so parameter-free folds are shared across
+        prepared-statement executions."""
+        try:
+            text = repr(sub_select)
+        except Exception:  # pragma: no cover - dataclass reprs don't raise
+            return None
+        if "SparkColNode" in text:  # rewritten nodes carry live Columns
+            return None
+        key = (kind, text, self._cache_epoch)
+        params = self._scope_params()
+        if params and any(f"'{p}'" in text or f'"{p}"' in text for p in params):
+            key = key + (tuple(sorted((k, repr(v)) for k, v in params.items())),)
+        return key
 
     def _lazy_scalar(self, df: DataFrame, sub_select) -> tuple[Node, DataFrame]:
         """UNCORRELATED scalar subquery as a LAZY 1-row broadcast cross
@@ -2273,7 +2379,7 @@ class Engine:
             .alias(src.ref)
         )
         # the OUTER level evaluates against the derived table's columns
-        qscope = Scope({src.ref: qprime}, includes=self.includes, params=self.session_vars)
+        qscope = Scope({src.ref: qprime}, includes=self.includes, params=self._scope_params())
         for conj in self._conjuncts(sub_sel.where) if sub_sel.where is not None else []:
             qprime = qprime.filter(to_column(conj, qscope))
         count_shape = self._count_shape(expr)
@@ -2534,6 +2640,15 @@ class Engine:
         comparison folds to a literal-threshold expression."""
         from .nodes import SparkColNode
 
+        key = self._fold_key("quant", sub_select)
+        hit = self._fold_cache.get(key) if key else None
+        if hit is not None:
+            self.plan_cache_stats["fold_hits"] += 1
+            total, n_nn, mn, mx = hit
+            col = self._quantified_expr(
+                x, base, quant, F.lit(total), F.lit(n_nn), F.lit(total - n_nn), F.lit(mn), F.lit(mx)
+            )
+            return SparkColNode(col=col, dtype=T.BooleanType(), text=f"(x {base} {quant} subquery)")
         sub_df = self._select_any(sub_select)
         if len(sub_df.columns) != 1:
             raise ExecError(f"quantified subquery must return one column, got {len(sub_df.columns)}")
@@ -2542,6 +2657,9 @@ class Engine:
             F.count(F.lit(1)).alias("t"), F.count(c).alias("nn"), F.min(c).alias("mn"), F.max(c).alias("mx")
         ).collect()[0]
         total, n_nn = row["t"], row["nn"]
+        if key:
+            self.plan_cache_stats["fold_misses"] += 1
+            self._fold_cache[key] = (total, n_nn, row["mn"], row["mx"])
         col = self._quantified_expr(
             x, base, quant, F.lit(total), F.lit(n_nn), F.lit(total - n_nn), F.lit(row["mn"]), F.lit(row["mx"])
         )
@@ -2919,7 +3037,7 @@ class Engine:
                 if isinstance(e, NumberNode):
                     c = F.col(df.columns[int(e.text) - 1])
                 else:
-                    out_scope = Scope({"_": df}, includes=self.includes, params=self.session_vars)
+                    out_scope = Scope({"_": df}, includes=self.includes, params=self._scope_params())
                     try:
                         c = to_column(e, out_scope)
                     except TranslateError:
@@ -2941,7 +3059,7 @@ class Engine:
 
     def _literal_select(self, sel: SqlSelect) -> DataFrame:
         """``SELECT 1, "hello"`` — no FROM (plan/planner_select.go:267-286)."""
-        scope = Scope({}, includes=self.includes, params=self.session_vars)
+        scope = Scope({}, includes=self.includes, params=self._scope_params())
         cols = []
         for i, c in enumerate(sel.columns):
             cols.append(to_column(c.expr, scope).alias(c.alias or c.expr.sql().strip("'")))
@@ -3068,7 +3186,7 @@ class Engine:
             # VALUES may contain expressions — uuid(), now(), todate(...)
             # (exec/exec_test.go INSERT/UPSERT cases) — translate each row
             # as a 1-row projection and union
-            scope = Scope({}, includes=self.includes, params=self.session_vars)
+            scope = Scope({}, includes=self.includes, params=self._scope_params())
             row_dfs = []
             for r in ins.rows:
                 cols = [to_column(node, scope).alias(cname) for cname, node in zip(ins.columns, r)]
@@ -3235,3 +3353,45 @@ _DDL_TYPES = {
 def _ddl_type(ty: str) -> T.DataType:
     base = re.sub(r"\(.*\)", "", ty).lower()
     return _DDL_TYPES.get(base, T.StringType())
+
+
+class PreparedStatement:
+    """Parse-once handle from :meth:`Engine.prepare`.
+
+    ``?`` placeholders are numbered left-to-right at lex time (``?0``,
+    ``?1``, ...) and bind at translate time as literals — each
+    ``execute(*args)`` skips parsing entirely and, via the engine's fold
+    cache, re-uses plan-time subquery folds whose text does not reference
+    a parameter. Reference parity note: qlbridge parses PREPARE but
+    returns ErrNotImplemented on execution (exec/executor.go:144-146) —
+    this API is a documented superset.
+    """
+
+    def __init__(self, engine: Engine, text: str):
+        from .lexer import tokenize
+
+        self.engine = engine
+        self.text = text
+        self.stmt = parse_sql(text)
+        self.n_params = sum(
+            1 for t in tokenize(text) if t.kind == "IDENT" and re.fullmatch(r"\?\d+", t.val)
+        )
+
+    def execute(self, *args):
+        """Execute with positional binds; returns what Engine.execute
+        returns (DataFrame for queries)."""
+        if len(args) != self.n_params:
+            raise ExecError(f"prepared statement takes {self.n_params} parameter(s), got {len(args)}")
+        binds = {f"?{i}": v for i, v in enumerate(args)}
+        prev = self.engine._bound_params
+        self.engine._bound_params = binds
+        try:
+            return self.engine.execute_stmt(self.stmt)
+        finally:
+            self.engine._bound_params = prev
+
+    def sql(self, *args) -> DataFrame:
+        out = self.execute(*args)
+        if not isinstance(out, DataFrame):
+            raise ExecError("prepared statement did not produce rows")
+        return out

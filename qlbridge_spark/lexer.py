@@ -112,6 +112,7 @@ def tokenize(text: str, identity_chars: str = "") -> list[Token]:
     toks: list[Token] = []
     pos = 0
     n = len(text)
+    qmark = 0  # positional ?-parameters number left-to-right: ?0, ?1, ...
     while pos < n:
         m = token_re.match(text, pos)
         if m is None:
@@ -134,6 +135,9 @@ def tokenize(text: str, identity_chars: str = "") -> list[Token]:
         elif kind == "ident":
             toks.append(Token(IDENT, val, pos))
         elif kind == "param":
+            if val == "?":  # bare qmark (PEP 249 paramstyle) → positional
+                val = f"?{qmark}"
+                qmark += 1
             toks.append(Token(IDENT, val, pos))
         pos = m.end()
     toks.append(Token(EOF, "", n))

@@ -88,7 +88,11 @@ class IdentityNode(Node):
         return self.parts[-1] == "*"
 
     def sql(self) -> str:
-        return ".".join(f"`{p}`" if not p.isidentifier() and p != "*" else p for p in self.parts)
+        # @var / ?N parameter identities render bare: backticks inside a
+        # derived column alias break Spark's attribute-name parsing
+        return ".".join(
+            p if p == "*" or p.isidentifier() or p[:1] in "@?" else f"`{p}`" for p in self.parts
+        )
 
 
 @dataclass

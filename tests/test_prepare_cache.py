@@ -1,0 +1,170 @@
+"""Statement-level plan cache + PREPARE API (round-7 directive #7).
+
+- Engine.execute caches read-only statements (text → analyzed DataFrame
+  incl. folded subquery literals), invalidated by any registry/DDL/DML/
+  SET mutation and by TTL.
+- Engine.prepare parses once; ``?`` qmark params bind at translate time.
+  Re-executing with new params must skip re-parse AND re-fold: the
+  parameter-free uncorrelated-subquery fold job runs exactly once —
+  asserted via Spark job counts (statusTracker job groups).
+
+Reference parity: qlbridge parses PREPARE but returns ErrNotImplemented
+on execution (exec/executor.go:144-146) — this API is a documented
+superset.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from qlbridge_spark import Engine
+from qlbridge_spark.engine import ExecError
+
+
+@pytest.fixture()
+def eng(spark):
+    e = Engine(spark, "cache-test")
+    e.register_rows(
+        "items",
+        [
+            {"id": 1, "qty": 10, "price": 5.0},
+            {"id": 2, "qty": 20, "price": 15.0},
+            {"id": 3, "qty": 30, "price": 25.0},
+            {"id": 4, "qty": 40, "price": 35.0},
+        ],
+    )
+    return e
+
+
+def _jobs_in_group(spark, group: str, body):
+    """Run ``body()`` under a job group; return the number of Spark jobs
+    it launched (public statusTracker API)."""
+    sc = spark.sparkContext
+    sc.setJobGroup(group, group)
+    try:
+        body()
+    finally:
+        sc.setJobGroup(None, None)
+    ids = sc.statusTracker().getJobIdsForGroup(group)
+    return len(ids)
+
+
+class TestPlanCache:
+    def test_identical_text_returns_cached_plan(self, eng):
+        q = "SELECT id, qty * 2 AS q2 FROM items WHERE qty > 15"
+        d1 = eng.sql(q)
+        d2 = eng.sql(q)
+        assert d1 is d2
+        assert eng.plan_cache_stats["hits"] == 1
+        assert [r["id"] for r in d2.orderBy("id").collect()] == [2, 3, 4]
+
+    def test_register_df_invalidates(self, eng, spark):
+        q = "SELECT count(*) AS n FROM items"
+        d1 = eng.sql(q)
+        eng.register_rows("items", [{"id": 9, "qty": 1, "price": 1.0}])
+        d2 = eng.sql(q)
+        assert d1 is not d2
+        assert d2.collect()[0]["n"] == 1
+
+    def test_dml_invalidates(self, eng):
+        q = "SELECT count(*) AS n FROM items"
+        d1 = eng.sql(q)
+        assert d1.collect()[0]["n"] == 4
+        eng.execute("DELETE FROM items WHERE qty > 25")
+        d2 = eng.sql(q)
+        assert d1 is not d2
+        assert d2.collect()[0]["n"] == 2
+
+    def test_set_command_invalidates(self, eng):
+        q = "SELECT id FROM items WHERE qty > 15"
+        d1 = eng.sql(q)
+        eng.execute("SET max_recursion_depth = 50")
+        assert eng.sql(q) is not d1
+
+    def test_ttl_expiry(self, eng):
+        eng.plan_cache_ttl_s = 0.0
+        q = "SELECT id FROM items"
+        d1 = eng.sql(q)
+        assert eng.sql(q) is not d1
+
+    def test_select_into_never_cached(self, eng):
+        eng.execute("SELECT id INTO copy1 FROM items WHERE qty > 15")
+        # INTO mutates the registry: the same text must re-execute, and
+        # the target table must exist
+        assert eng.sql("SELECT count(*) AS n FROM copy1").collect()[0]["n"] == 3
+
+    def test_sink_presence_disables_cache(self, eng, spark, tmp_path):
+        from qlbridge_spark.sinks import ParquetMergeSink
+
+        sink = ParquetMergeSink(spark, str(tmp_path / "s"), key="id")
+        sink.ensure(spark.createDataFrame([(1, "a")], "id long, v string"))
+        eng.register_sink("st", sink)
+        q = "SELECT count(*) AS n FROM st"
+        d1 = eng.sql(q)
+        # direct sink mutation, invisible to the engine — the next sql()
+        # must rebuild the scan and see the new version
+        sink.merge_upsert(spark.createDataFrame([(2, "b")], "id long, v string"))
+        d2 = eng.sql(q)
+        assert d1 is not d2
+        assert d2.collect()[0]["n"] == 2
+
+
+class TestPreparedStatement:
+    def test_positional_binds(self, eng):
+        ps = eng.prepare("SELECT ? AS a, ? AS b, id FROM items WHERE qty >= ?")
+        rows = ps.sql(1, "x", 30).orderBy("id").collect()
+        assert [(r["a"], r["b"], r["id"]) for r in rows] == [(1, "x", 3), (1, "x", 4)]
+        rows = ps.sql(2, "y", 40).collect()
+        assert [(r["a"], r["b"], r["id"]) for r in rows] == [(2, "y", 4)]
+
+    def test_wrong_arity_raises(self, eng):
+        ps = eng.prepare("SELECT id FROM items WHERE qty > ?")
+        with pytest.raises(ExecError, match="1 parameter"):
+            ps.sql(1, 2)
+
+    def test_matches_direct_sql(self, eng):
+        ps = eng.prepare("SELECT sum(qty) AS s FROM items WHERE price < ?")
+        assert ps.sql(30.0).collect()[0]["s"] == eng.sql("SELECT sum(qty) AS s FROM items WHERE price < 30.0").collect()[0]["s"]
+
+    def test_refold_skipped_across_executions(self, eng, spark):
+        """THE r7 gate: a parameterized query with a parameter-free
+        uncorrelated scalar subquery folds its plan-time job exactly once;
+        the second execution builds its plan with ZERO Spark jobs."""
+        ps = eng.prepare(
+            "SELECT count(*) AS n FROM items WHERE qty < ? AND price < (SELECT avg(price) FROM items)"
+        )
+        n1 = _jobs_in_group(spark, "prep-fold-1", lambda: ps.sql(35))
+        assert n1 >= 1  # the fold job ran (plan build only — no collect)
+        n2 = _jobs_in_group(spark, "prep-fold-2", lambda: ps.sql(25))
+        assert n2 == 0, f"second execution launched {n2} plan-time job(s)"
+        assert eng.plan_cache_stats["fold_hits"] >= 1
+        # results still correct per bind
+        assert ps.sql(35).collect()[0]["n"] == 2
+        assert ps.sql(100).collect()[0]["n"] == 2  # avg(price)=20 → id 1,2
+
+    def test_param_inside_subquery_refolds(self, eng, spark):
+        """A subquery that REFERENCES the param must re-fold per bind."""
+        ps = eng.prepare(
+            "SELECT count(*) AS n FROM items WHERE price < (SELECT avg(price) + ? FROM items)"
+        )
+        assert ps.sql(0).collect()[0]["n"] == 2
+        assert ps.sql(10).collect()[0]["n"] == 3
+
+    def test_quantified_fold_cached(self, eng, spark):
+        ps = eng.prepare("SELECT count(*) AS n FROM items WHERE qty + ? > ALL (SELECT qty FROM items WHERE id < 3)")
+        a = ps.sql(0).collect()[0]["n"]
+        n2 = _jobs_in_group(spark, "prep-quant-2", lambda: ps.sql(5))
+        assert n2 == 0
+        assert a == 2  # qty>20: ids 3,4
+
+
+class TestDbapiStillWorks:
+    def test_qmark_through_dbapi(self, eng):
+        """dbapi splices params as literals BEFORE the engine lexes — the
+        new lexer numbering must not disturb that path."""
+        from qlbridge_spark.dbapi import connect
+
+        con = connect(engine=eng)
+        cur = con.cursor()
+        cur.execute("SELECT id FROM items WHERE qty > ? ORDER BY id", [15])
+        assert [r[0] for r in cur.fetchall()] == [2, 3, 4]
