@@ -432,9 +432,23 @@ class Engine:
 
             if is_agg:
                 raise ExecError("DISTINCT ON cannot combine with aggregation")
+            # resolve ORDER BY keys like the main path does: positional
+            # (ORDER BY 2) and select-list-alias keys bind to the
+            # PROJECTION expression — translated in the raw scope they
+            # would fold to a constant / raise (ADVICE r7)
+            d_proj, d_names = self._projection(sel, scope)
             w_order = []
             for e, direction in sel.order_by:
-                w_order.extend(self._directional(to_column(e, scope), direction))
+                if isinstance(e, NumberNode):
+                    idx = int(e.text) - 1
+                    if not (0 <= idx < len(d_names)):
+                        raise ExecError(f"ORDER BY position {e.text} is not in the select list")
+                    col = d_proj[idx]
+                elif isinstance(e, IdentityNode) and e.name in d_names and e.name.lower() not in {c.lower() for c in df.columns}:
+                    col = d_proj[d_names.index(e.name)]
+                else:
+                    col = to_column(e, scope)
+                w_order.extend(self._directional(col, direction))
             w = Window.partitionBy(*[to_column(k, scope) for k in sel.distinct_on]).orderBy(
                 *(w_order or [F.lit(1)])
             )

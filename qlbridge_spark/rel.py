@@ -266,6 +266,18 @@ class SqlParser(ExprParser):
         super().__init__(tokenize(text))
         self.text = text
 
+    def _order_all_shorthand_ahead(self) -> bool:
+        """cur is ALL inside ORDER BY: shorthand iff the clause consists
+        solely of ``ALL [ASC|DESC] [NULLS FIRST|LAST]`` — anything else
+        (a comma list, an operator) means a real column named ``all``."""
+        i = 1
+        if self.peek(i).upper in ("ASC", "DESC"):
+            i += 1
+        if self.peek(i).upper == "NULLS" and self.peek(i + 1).upper in ("FIRST", "LAST"):
+            i += 2
+        t = self.peek(i)
+        return t.upper in _CLAUSE_END or t.kind in (EOF, SEMI, RPAREN)
+
     # -- expression hook: subquery in parens ---------------------------
     def parse_primary(self) -> Node:
         t = self.cur()
@@ -448,11 +460,14 @@ class SqlParser(ExprParser):
                 self.expect(RPAREN)
                 # group_by = the distinct union of all sets' expressions
                 sel.group_by = list(seen.values())
-            elif self.at_kw("ALL") and self.peek().upper in _CLAUSE_END | {"UNION", "INTERSECT", "EXCEPT"} or (
-                self.at_kw("ALL") and self.peek().kind not in (IDENT, QIDENT)
+            elif self.at_kw("ALL") and (
+                self.peek().upper in _CLAUSE_END or self.peek().kind in (EOF, SEMI, RPAREN)
             ):
                 # GROUP BY ALL — every non-aggregate select expression
-                # becomes a group key (DuckDB/Snowflake superset)
+                # becomes a group key (DuckDB/Snowflake superset). ALL is
+                # the shorthand only as the SOLE token of the clause: a
+                # real column named `all` in a list (`GROUP BY all, x`)
+                # parses as an ordinary expression (ADVICE r7)
                 self.advance()
                 sel.group_all = True
             else:
@@ -481,13 +496,12 @@ class SqlParser(ExprParser):
         if self.at_kw("ORDER"):
             self.advance()
             self.expect(IDENT, "BY")
-            if self.at_kw("ALL") and (
-                self.peek().kind not in (IDENT, QIDENT)
-                or self.peek().upper in _CLAUSE_END
-                or self.peek().upper in ("ASC", "DESC")
-            ):
+            if self.at_kw("ALL") and self._order_all_shorthand_ahead():
                 # ORDER BY ALL [ASC|DESC] [NULLS ...] — every output
-                # column, left to right (DuckDB superset)
+                # column, left to right (DuckDB superset). ALL is the
+                # shorthand only when it is the SOLE sort expression; a
+                # real column named `all` in a list (`ORDER BY all, x`)
+                # parses as an ordinary reference (ADVICE r7)
                 self.advance()
                 direction = "ASC"
                 if self.at_kw("ASC", "DESC"):

@@ -667,3 +667,56 @@ class TestDistinctOn:
 
         with pytest.raises(ExecError, match="DISTINCT ON"):
             deng.execute("SELECT DISTINCT ON (ock) ock, count(*) FROM don").collect()
+
+    def test_positional_order_key(self, deng):
+        # ORDER BY 3 = the amt column of the projection (ADVICE r7: was a
+        # folded constant → arbitrary survivor)
+        rows = deng.execute(
+            "SELECT DISTINCT ON (ock) ock, ok, amt FROM don ORDER BY 1, 3 DESC"
+        ).collect()
+        assert [(r.ock, r.ok) for r in rows] == [(1, 10), (2, 13)]
+
+    def test_alias_order_key(self, deng):
+        # a select-list ALIAS as the DISTINCT ON order key (was: raise)
+        rows = deng.execute(
+            "SELECT DISTINCT ON (ock) ock, ok, amt * 2 AS dbl FROM don ORDER BY ock, dbl DESC"
+        ).collect()
+        assert [(r.ock, r.ok, r.dbl) for r in rows] == [(1, 10, 200.0), (2, 13, 400.0)]
+
+    def test_out_of_range_position_errors(self, deng):
+        from qlbridge_spark.engine import ExecError
+
+        with pytest.raises(ExecError, match="position"):
+            deng.execute("SELECT DISTINCT ON (ock) ock FROM don ORDER BY 9").collect()
+
+
+class TestAllColumnNotShorthand:
+    """A real column NAMED `all` must not trigger the GROUP BY ALL /
+    ORDER BY ALL shorthand when used inside a key list (ADVICE r7)."""
+
+    @pytest.fixture(scope="class")
+    def aeng(self, spark):
+        from qlbridge_spark import Engine
+
+        e = Engine(spark)
+        e.register_df(
+            "allt",
+            spark.createDataFrame([(1, "x", 5.0), (1, "y", 7.0), (2, "x", 9.0)], "all int, cat string, v double"),
+        )
+        return e
+
+    def test_group_by_all_column_in_list(self, aeng):
+        rows = aeng.sql(
+            "SELECT `all`, cat, sum(v) AS s FROM allt GROUP BY all, cat ORDER BY all, cat"
+        ).collect()
+        assert [(r["all"], r.cat, r.s) for r in rows] == [(1, "x", 5.0), (1, "y", 7.0), (2, "x", 9.0)]
+
+    def test_order_by_all_column_in_list(self, aeng):
+        rows = aeng.sql("SELECT all, v FROM allt ORDER BY all DESC, v").collect()
+        # ORDER BY all DESC is the DuckDB sole-expr shorthand (all columns
+        # desc) — a LIST (`all DESC, v`) stays a column reference
+        assert [r["all"] for r in rows] == [2, 1, 1]
+
+    def test_sole_all_is_still_shorthand(self, aeng):
+        rows = aeng.sql("SELECT cat, sum(v) AS s FROM allt GROUP BY ALL ORDER BY ALL").collect()
+        assert [(r.cat, r.s) for r in rows] == [("x", 14.0), ("y", 7.0)]
