@@ -378,8 +378,13 @@ class Engine:
 
     def explain(self, text: str, mode: str = "formatted") -> str:
         """Formatted physical plan for a statement — the plan-inspection
-        loop (`PushedFilters` / `ReadSchema` / join strategies)."""
-        df = self.sql(text)
+        loop (`PushedFilters` / `ReadSchema` / join strategies). Bypasses
+        the plan cache: a cached DataFrame that has already executed shows
+        its FINALIZED adaptive plan, not the statement's initial plan."""
+        out = self.execute_stmt(parse_sql(text))
+        if not isinstance(out, DataFrame):
+            raise ExecError(f"statement did not produce rows: {text[:50]}")
+        df = out
         return df._jdf.queryExecution().explainString(
             self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
         )
@@ -540,6 +545,7 @@ class Engine:
         registered tables for the statement's duration only."""
         saved: dict[str, DataFrame] = {}
         added: list[str] = []
+        self._cte_binding_depth = getattr(self, "_cte_binding_depth", 0) + 1
         try:
             for name, csel in stmt.ctes:
                 key = name.lower()
@@ -554,6 +560,7 @@ class Engine:
                 self.tables[key] = df
             return self._select_any(stmt.query)
         finally:
+            self._cte_binding_depth -= 1
             self.tables.update(saved)
             for k in added:
                 self.tables.pop(k, None)
@@ -1484,6 +1491,13 @@ class Engine:
         join the key only when the subquery actually references a ``?N``/
         ``@var`` parameter, so parameter-free folds are shared across
         prepared-statement executions."""
+        # context hazards: (a) CTE bindings shadow table names for the
+        # statement's duration WITHOUT an epoch bump — the same sub-AST
+        # repr can mean different data inside vs outside the binding;
+        # (b) planner sources / sinks re-scan external state per call.
+        # No fold caching in either situation.
+        if getattr(self, "_cte_binding_depth", 0) or self.sinks or self.planner_sources:
+            return None
         try:
             text = repr(sub_select)
         except Exception:  # pragma: no cover - dataclass reprs don't raise

@@ -230,6 +230,10 @@ class TestRangeWindowFastPath:
 
     @staticmethod
     def _plan(eng, q):
+        # fresh build: a plan-cached DataFrame another test already
+        # COLLECTED shows its finalized adaptive plan (more Exchange
+        # nodes rendered), not the statement's initial plan
+        eng.clear_plan_cache()
         return eng.sql(q)._jdf.queryExecution().executedPlan().toString()
 
     def test_window_plan_no_range_join(self, reng):
