@@ -59,6 +59,9 @@ class Connection:
     def __init__(self, engine):
         self.engine = engine
         self._closed = False
+        # operation text → PreparedStatement (or False = unpreparable,
+        # use literal splicing); see Cursor.execute
+        self._prepared: dict[str, object] = {}
 
     def cursor(self) -> "Cursor":
         self._check()
@@ -159,9 +162,35 @@ class Cursor:
         self._conn._check()
         from pyspark.sql import DataFrame
 
-        text = _substitute_params(operation, parameters)
         try:
-            out = self._conn.engine.execute(text)
+            if parameters:
+                # real prepared-statement binds (typed, injection-safe) —
+                # the handle is cached per operation text so executemany /
+                # repeated execute skip re-parsing and reuse param-free
+                # subquery folds (engine.prepare). Statements that cannot
+                # take translate-time binds (custom dialects, DML VALUES
+                # literal slots) fall back to literal splicing, and the
+                # fallback is remembered per operation.
+                params = tuple(parameters)
+                ps = self._conn._prepared.get(operation)
+                if ps is None:
+                    try:
+                        ps = self._conn.engine.prepare(operation)
+                    except Exception:
+                        ps = False
+                    self._conn._prepared[operation] = ps
+                _miss = object()
+                out = _miss
+                if ps is not False and ps.n_params == len(params):
+                    try:
+                        out = ps.execute(*params)
+                    except Exception:
+                        self._conn._prepared[operation] = False
+                        out = _miss
+                if out is _miss:
+                    out = self._conn.engine.execute(_substitute_params(operation, params))
+            else:
+                out = self._conn.engine.execute(operation)
         except Error:
             raise
         except Exception as e:  # ParseError/TranslateError/ExecError → DB-API

@@ -168,3 +168,33 @@ class TestDbapiStillWorks:
         cur = con.cursor()
         cur.execute("SELECT id FROM items WHERE qty > ? ORDER BY id", [15])
         assert [r[0] for r in cur.fetchall()] == [2, 3, 4]
+        # repeated execute reuses the cached PreparedStatement handle
+        cur.execute("SELECT id FROM items WHERE qty > ? ORDER BY id", [25])
+        assert [r[0] for r in cur.fetchall()] == [3, 4]
+        ps = con._prepared["SELECT id FROM items WHERE qty > ? ORDER BY id"]
+        assert ps is not False and ps.n_params == 1
+
+    def test_executemany_insert_binds(self, eng):
+        """executemany INSERT runs through ONE cached PreparedStatement —
+        parse once, typed binds per row."""
+        from qlbridge_spark.dbapi import connect
+
+        con = connect(engine=eng)
+        cur = con.cursor()
+        op = "INSERT INTO items (id, qty, price) VALUES (?, ?, ?)"
+        cur.executemany(op, [(7, 70, 7.5), (8, 80, 8.5)])
+        ps = con._prepared[op]
+        assert ps is not False and ps.n_params == 3
+        cur.execute("SELECT sum(qty) AS s FROM items WHERE id >= 7")
+        assert cur.fetchone()[0] == 150
+
+    def test_string_param_binds_typed(self, eng):
+        """Prepared binds carry python values — a string containing a
+        quote must not break (no literal splicing on this path)."""
+        from qlbridge_spark.dbapi import connect
+
+        eng.register_rows("names", [{"n": 'o"quote'}, {"n": "plain"}])
+        con = connect(engine=eng)
+        cur = con.cursor()
+        cur.execute("SELECT count(*) AS c FROM names WHERE n = ?", ['o"quote'])
+        assert cur.fetchone()[0] == 1
