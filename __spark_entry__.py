@@ -557,6 +557,20 @@ def _dp_minhash_pairs(spark, sf_dir):
     )
 
 
+def _dp_dedup_keep_best(spark, sf_dir):
+    # end-to-end near-dup CURATION: LSH pairs → connected clusters →
+    # keep the highest-quality member per cluster (longest text here;
+    # ties → min id) — the representative choice a training-data
+    # pipeline actually wants (full article beats truncated scrape).
+    # Unpaired docs survive untouched.
+    from qlbridge_spark.datapipe import dedup_keep_best, lsh_jaccard_pairs, release_caches
+
+    release_caches()
+    d = _docs(spark, sf_dir).select("doc_id", "text").withColumn("q", F.length("text").cast("long"))
+    pairs = lsh_jaccard_pairs(d, "doc_id", "text", threshold=0.5, num_hashes=32, bands=16)
+    return dedup_keep_best(d, "doc_id", pairs, "q").select("doc_id", F.col("q").alias("qlen"))
+
+
 def _dp_simhash_pairs(spark, sf_dir):
     # portable=True derives token-hash bits from md5 so the DuckDB oracle
     # can replicate the signature bit-for-bit (xxhash64 is the scale-path
@@ -769,6 +783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["dp15_asof_join"] = _dp_asof_join
     out["dp18_frame_sample"] = _dp_frame_sample
     out["dp19_prefix_jaccard"] = _dp_prefix_jaccard
+    out["dp20_dedup_keep_best"] = _dp_dedup_keep_best
     out["dp16_stratified_sample"] = _dp_stratified_sample
     out["dp17_tfidf_terms"] = _dp_tfidf_terms
     return out
@@ -1136,6 +1151,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(10000 * (inter / CAST(na + nb - inter AS DOUBLE))) AS BIGINT) AS j_x1e4
             FROM pairs
             WHERE inter / CAST(na + nb - inter AS DOUBLE) >= 0.5""",
+        # dp20: dp07's exact pair set → connected components via recursive
+        # min-label propagation (small-graph oracle; the engine runs
+        # pointer-jumping) → per-cluster winner by (length(text) DESC,
+        # doc_id ASC); unpaired docs survive.
+        "dp20_dedup_keep_best": """
+            WITH RECURSIVE g AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) - 2 < 1 THEN [array_to_string(toks, ' ')]
+                          ELSE list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                                 i -> array_to_string(list_slice(toks, i, i + 2), ' '))) END AS grams
+              FROM (SELECT doc_id,
+                           list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS toks
+                    FROM documents)),
+            inv AS (SELECT doc_id, len(grams) AS ng, unnest(grams) AS gram FROM g),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter,
+                     any_value(a.ng) AS na, any_value(b.ng) AS nb
+              FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id),
+            dup AS (SELECT id_a, id_b FROM pairs
+                    WHERE inter / CAST(na + nb - inter AS DOUBLE) >= 0.5),
+            edges AS (SELECT id_a AS a, id_b AS b FROM dup
+                      UNION ALL SELECT id_b AS a, id_a AS b FROM dup),
+            reach(node, lbl) AS (
+              SELECT DISTINCT a, a FROM edges
+              UNION
+              SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.node = e.b),
+            comp AS (SELECT node, min(lbl) AS comp FROM reach GROUP BY node),
+            scored AS (SELECT c.node, c.comp, length(d.text) AS q
+                       FROM comp c JOIN documents d ON d.doc_id = c.node),
+            losers AS (SELECT node FROM (
+                SELECT node, row_number() OVER (PARTITION BY comp ORDER BY q DESC, node ASC) AS rn
+                FROM scored) WHERE rn > 1)
+            SELECT doc_id, CAST(length(text) AS BIGINT) AS qlen
+            FROM documents
+            WHERE doc_id NOT IN (SELECT node FROM losers)""",
         # dp08: full SimHash replica — md5-derived 64-bit token hashes
         # (portable=True on the Spark side), per-bit +/-1 votes, 4×16-bit
         # chunks (MSB-first fold), pigeonhole banding on equal chunks,

@@ -278,6 +278,51 @@ def main() -> int:
     except Exception as e:
         lateral_info["error"] = f"{type(e).__name__}: {e}"
 
+    # plan-cache / PREPARE section (round 8, additive): statement-latency
+    # amortization. The statement carries an uncorrelated scalar subquery
+    # whose plan-time fold is a full aggregate job — cold execution pays
+    # parse+translate+fold every time; the statement cache and prepared
+    # binds pay it once. At 100 TB the fold is a real scan: amortizing it
+    # across a parameter sweep is the difference between one warehouse
+    # scan and N of them.
+    plan_cache_info: dict = {}
+    try:
+        from qlbridge_spark import Engine as _EngP
+
+        _ep = _EngP(spark, "bench_prepcache")
+        _ep.load_parquet_dir(sf_dir)
+        stmt = (
+            "SELECT count(*) AS n FROM lineitem WHERE l_quantity < 25 "
+            "AND l_extendedprice < (SELECT avg(l_extendedprice) FROM lineitem)"
+        )
+        pstmt = (
+            "SELECT count(*) AS n FROM lineitem WHERE l_quantity < ? "
+            "AND l_extendedprice < (SELECT avg(l_extendedprice) FROM lineitem)"
+        )
+        _ep.sql(stmt).collect()  # warm codegen
+
+        def _best(fn, n=5):
+            runs = []
+            for _ in range(n):
+                t0 = time.time()
+                fn()
+                runs.append(time.time() - t0)
+            return round(min(runs), 4)
+
+        def _cold():
+            _ep.clear_plan_cache()
+            _ep.sql(stmt).collect()
+
+        plan_cache_info["cold_stmt_sec"] = _best(_cold)
+        plan_cache_info["cached_stmt_sec"] = _best(lambda: _ep.sql(stmt).collect())
+        ps = _ep.prepare(pstmt)
+        ps.sql(25).collect()  # first bind pays the fold
+        binds = iter([10, 20, 30, 40, 15] * 2)
+        plan_cache_info["prepared_bind_sec"] = _best(lambda: ps.sql(next(binds)).collect())
+        plan_cache_info["fold_stats"] = dict(_ep.plan_cache_stats)
+    except Exception as e:
+        plan_cache_info["error"] = f"{type(e).__name__}: {e}"
+
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
@@ -293,6 +338,7 @@ def main() -> int:
                 "decorrelation": decorrelation_info,
                 "range_correlation": range_corr_info,
                 "lateral": lateral_info,
+                "plan_cache": plan_cache_info,
             }
         )
     )

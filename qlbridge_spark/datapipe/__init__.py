@@ -18,6 +18,7 @@ from .dedup import (
     dedup_exact,
     embedding_dup_pairs,
     lsh_candidate_pairs,
+    dedup_keep_best,
     lsh_jaccard_pairs,
     minhash_dedup,
     minhash_pairs,
@@ -52,6 +53,7 @@ __all__ = [
     "connected_components",
     "minhash_signature",
     "lsh_candidate_pairs",
+    "dedup_keep_best",
     "lsh_jaccard_pairs",
     "minhash_pairs",
     "minhash_dedup",

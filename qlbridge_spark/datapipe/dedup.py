@@ -455,6 +455,42 @@ def minhash_dedup(df: DataFrame, id_col: str, text_col: str, threshold: float = 
     return df.join(losers, on=id_col, how="left_anti")
 
 
+def dedup_keep_best(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    score_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Near-dup clustering that keeps the BEST-scoring representative per
+    connected cluster (highest ``score_col``; ties → smallest id) instead
+    of the arbitrary min-id doc — the curation-quality choice (longest /
+    highest-quality member survives, e.g. the full article rather than a
+    truncated scrape).
+
+    ``pairs`` is any duplicate-pair frame (minhash_pairs /
+    simhash_pairs / ngram_jaccard_pairs / embedding_dup_pairs output).
+    Docs never appearing in a pair survive untouched. Plan shape:
+    pointer-jumping components (O(log diameter) rounds) + ONE
+    row_number window over (cluster) + an anti-join — no all-pairs work
+    beyond what the candidate generator already bounded.
+    """
+    comps = connected_components(pairs, id_a=id_a, id_b=id_b)
+    from pyspark.sql import Window
+
+    member = comps.join(
+        df.select(F.col(id_col).alias("node"), F.col(score_col).alias("__score")), on="node"
+    )
+    w = Window.partitionBy("comp").orderBy(F.col("__score").desc(), F.col("node").asc())
+    losers = (
+        member.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") > 1)
+        .select(F.col("node").alias(id_col))
+    )
+    return df.join(losers, on=id_col, how="left_anti")
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

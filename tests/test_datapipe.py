@@ -40,6 +40,28 @@ class TestDedup:
         assert 1 in kept and 2 not in kept and 3 not in kept
         assert 4 in kept and 5 in kept
 
+    def test_dedup_keep_best_picks_highest_score(self, spark):
+        from pyspark.sql import functions as F2
+
+        from qlbridge_spark.datapipe import dedup_keep_best
+
+        df = spark.createDataFrame(
+            [(1, 10), (2, 50), (3, 30), (4, 99), (9, 7)], "id long, q long"
+        )
+        # transitive chain 1~2~3 (no direct 1-3 pair) + isolated 4, 9
+        pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+        kept = sorted(r["id"] for r in dedup_keep_best(df, "id", pairs, "q").collect())
+        # cluster {1,2,3}: best q=50 is id 2 (NOT min id 1); 4 and 9 untouched
+        assert kept == [2, 4, 9]
+
+    def test_dedup_keep_best_tie_breaks_min_id(self, spark):
+        from qlbridge_spark.datapipe import dedup_keep_best
+
+        df = spark.createDataFrame([(5, 10), (6, 10), (7, 3)], "id long, q long")
+        pairs = spark.createDataFrame([(5, 6), (6, 7)], "id_a long, id_b long")
+        kept = sorted(r["id"] for r in dedup_keep_best(df, "id", pairs, "q").collect())
+        assert kept == [5]
+
     def test_simhash_pairs(self, spark):
         # SimHash discriminates on LONG documents (few bit-votes flip per
         # edit); tiny docs are minhash territory. 500-token docs:
