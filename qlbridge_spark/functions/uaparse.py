@@ -96,6 +96,7 @@ PARTS = (
     "browser_version",
     "os",
     "os_family",
+    "os_raw",
     "ua_family",
     "bot",
     "mobile",
@@ -103,6 +104,35 @@ PARTS = (
     "platform",
     "engine",
     "engine_version",
+)
+
+# "os_raw": the raw OS token of the UA comment, in the style of the Go
+# lib the reference wraps (mssola user_agent ua.OS(), url_email.go:766):
+# Windows NT versions map to marketing names, underscore version
+# separators normalize to dots, other platforms return their comment
+# token. "os"/"os_family" keep the uap-core FAMILY (documented
+# divergence); os_raw is the parity escape hatch.
+WIN_NT_RE = r"Windows NT (\d+\.\d+)"
+WIN_NT_NAMES = {
+    "10.0": "Windows 10",
+    "6.3": "Windows 8.1",
+    "6.2": "Windows 8",
+    "6.1": "Windows 7",
+    "6.0": "Windows Vista",
+    "5.2": "Windows XP x64 Edition",
+    "5.1": "Windows XP",
+    "5.0": "Windows 2000",
+}
+#: (pattern, normalize_underscores) — the underscore→dot rewrite applies
+#: only to version-bearing Apple tokens; "Linux x86_64" keeps its
+#: underscore
+OS_RAW_RES = (
+    (r"((?:Intel|PPC) Mac OS X [\d_.]+)", True),
+    (r"(CPU (?:iPhone )?OS [\d_]+ like Mac OS X)", True),
+    (r"(Android[ \d.]*\d)", False),
+    (r"(CrOS [^;)]+)", False),
+    (r"(Linux [^;)]+)", False),
+    (r"(Linux)", False),
 )
 
 
@@ -131,6 +161,15 @@ def parse_part(s: str, part: str) -> str:
         fam = _pick(s, UA_FAMILIES)
         vpat = next((v for f, _, v in UA_FAMILIES if f == fam), None)
         return _extract(s, vpat) if vpat else ""
+    if part == "os_raw":
+        m = re.search(WIN_NT_RE, s)
+        if m:
+            return WIN_NT_NAMES.get(m.group(1), f"Windows NT {m.group(1)}")
+        for pat, norm in OS_RAW_RES:
+            m = re.search(pat, s)
+            if m:
+                return m.group(1).replace("_", ".") if norm else m.group(1)
+        return ""
     if part == "bot":
         return "true" if re.search(BOT_RE, s) else "false"
     if part == "mobile":
@@ -164,6 +203,16 @@ def part_col(c, part: str):
             if vpat is not None:
                 out = F.when(c.rlike(det), F.regexp_extract(c, vpat, 1)).otherwise(out)
         return out
+    if part == "os_raw":
+        out = F.lit("")
+        for pat, norm in reversed(OS_RAW_RES):
+            ext = F.regexp_extract(c, pat, 1)
+            out = F.when(ext != "", F.translate(ext, "_", ".") if norm else ext).otherwise(out)
+        win = F.regexp_extract(c, WIN_NT_RE, 1)
+        wname = F.concat(F.lit("Windows NT "), win)
+        for ver, name in WIN_NT_NAMES.items():
+            wname = F.when(win == ver, F.lit(name)).otherwise(wname)
+        return F.when(win != "", wname).otherwise(out)
     if part == "bot":
         return F.when(c.rlike(BOT_RE), F.lit("true")).otherwise(F.lit("false"))
     if part == "mobile":

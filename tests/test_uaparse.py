@@ -116,6 +116,24 @@ class TestUaCoreSubsetPython:
         ff = FIXTURE[9][0]
         assert uaparse.parse_part(ff, "engine") == "Gecko"
 
+    def test_os_raw_go_lib_style(self):
+        """os_raw: the raw comment token in the style of the Go lib the
+        reference wraps (ua.OS(), url_email.go:766) — Windows NT →
+        marketing name, underscores → dots. 'os' keeps the uap family
+        (documented divergence); os_raw is the parity part."""
+        assert uaparse.parse_part(FIXTURE[0][0], "os_raw") == "Windows 10"
+        mac = "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15"
+        assert uaparse.parse_part(mac, "os_raw") == "Intel Mac OS X 10.15.7"
+        ios = "Mozilla/5.0 (iPhone; CPU iPhone OS 14_2 like Mac OS X) AppleWebKit/605.1.15"
+        assert uaparse.parse_part(ios, "os_raw") == "CPU iPhone OS 14.2 like Mac OS X"
+        android = "Mozilla/5.0 (Linux; Android 14; Pixel 8) AppleWebKit/537.36"
+        assert uaparse.parse_part(android, "os_raw") == "Android 14"
+        linux = "Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36"
+        assert uaparse.parse_part(linux, "os_raw") == "Linux x86_64"
+        win7 = "Mozilla/5.0 (Windows NT 6.1; WOW64) AppleWebKit/537.36"
+        assert uaparse.parse_part(win7, "os_raw") == "Windows 7"
+        assert uaparse.parse_part("curl/8.4.0", "os_raw") == ""
+
 
 class TestUaCoreSubsetColumn:
     def test_column_path_matches_python_path(self, spark):
