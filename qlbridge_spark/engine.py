@@ -767,6 +767,18 @@ class Engine:
                 from .planner import rewrite_source_select
 
                 df = planner_src.walk_source_select(self, rewrite_source_select(sel, src).select)
+            if df is None and getattr(src, "version", None) is not None:
+                # time travel: resolve the named snapshot of a versioned
+                # sink (ParquetMergeSink `v<N>` dirs / Delta versionAsOf)
+                sink = self.sinks.get((src.name or "").lower())
+                if sink is None:
+                    raise ExecError(
+                        f"VERSION AS OF requires a versioned sink table; {src.name!r} is not one"
+                    )
+                try:
+                    df = sink.scan(self.spark, version=src.version)
+                except TypeError as e:
+                    raise ExecError(f"sink for {src.name!r} does not support time travel") from e
             if df is None:
                 df = self.table(src.name)
             if src.name.lower() in self.broadcast_hints:

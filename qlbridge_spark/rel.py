@@ -93,6 +93,9 @@ class FromSource:
     # TABLESAMPLE (p PERCENT | n ROWS) [REPEATABLE (seed)]:
     #   {"kind": "percent"|"rows", "value": float|int, "seed": int|None}
     sample: dict | None = None
+    #: time travel (`FROM t VERSION AS OF n`) — resolved against a
+    #: versioned sink's snapshot
+    version: int | None = None
     lateral: bool = False  # LATERAL (SELECT …) — subquery may see prior FROM items
 
     @property
@@ -719,6 +722,18 @@ class SqlParser(ExprParser):
             if name.kind not in (IDENT, QIDENT):
                 raise ParseError(f"expected table name, got {name!r}")
             src = FromSource(name=name.val)
+            # Delta-style time travel over versioned sinks. Only the full
+            # VERSION AS OF sequence triggers — a table alias named
+            # `version` keeps parsing as an alias.
+            if (
+                self.cur().upper == "VERSION"
+                and self.peek().upper == "AS"
+                and self.peek(2).upper == "OF"
+            ):
+                self.advance()
+                self.advance()
+                self.advance()
+                src.version = int(self.expect(NUMBER).val)
         # Snowflake/DuckDB bracketed PIVOT/UNPIVOT wrap the source — they
         # may appear before OR after the source alias:
         # FROM t PIVOT (sum(x) FOR c IN ('a', 'b')) p

@@ -58,8 +58,13 @@ class DeltaMergeSink:
         self.key = key
 
     # -- reads ----------------------------------------------------------
-    def scan(self, spark: SparkSession) -> DataFrame:
-        return spark.read.format("delta").load(self.path)
+    def scan(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Current table state, or a past snapshot via ``version``
+        (Delta ``versionAsOf`` — engine ``FROM t VERSION AS OF n``)."""
+        reader = spark.read.format("delta")
+        if version is not None:
+            reader = reader.option("versionAsOf", version)
+        return reader.load(self.path)
 
     # -- writes ---------------------------------------------------------
     def ensure(self, df: DataFrame) -> None:
@@ -180,11 +185,35 @@ class ParquetMergeSink:
         return removed
 
     # -- reads ----------------------------------------------------------
-    def scan(self, spark: SparkSession) -> DataFrame:
-        v = self._version()
-        if v < 0:
+    def scan(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Current committed state, or the ``version`` snapshot (engine
+        ``FROM t VERSION AS OF n`` — reproducible reads: a training run
+        pins the dataset version it saw). Vacuumed versions raise with
+        the retained list."""
+        import os
+
+        cur = self._version()
+        if cur < 0:
             raise FileNotFoundError(f"ParquetMergeSink at {self.path} has no committed version")
+        v = cur if version is None else int(version)
+        if not 0 <= v <= cur or not os.path.isdir(self._data_dir(v)):
+            raise FileNotFoundError(
+                f"version {v} of {self.path} is not available "
+                f"(current {cur}, retained: {self.versions()})"
+            )
         return spark.read.parquet(self._data_dir(v))
+
+    def versions(self) -> list[int]:
+        """Committed versions still on disk (ascending)."""
+        import os
+        import re
+
+        out = []
+        for name in os.listdir(self.path):
+            m = re.fullmatch(r"v(\d+)", name)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
 
     # -- writes ---------------------------------------------------------
     def ensure(self, df: DataFrame) -> None:

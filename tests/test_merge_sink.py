@@ -173,6 +173,49 @@ class TestParquetMergeSink:
         assert removed == 1
         assert sink.scan(spark).count() == 2
 
+    def test_version_as_of_time_travel(self, spark, tmp_path):
+        """FROM t VERSION AS OF n reads the pinned snapshot — the
+        reproducible-read primitive a training run needs (same data on
+        re-run regardless of later MERGEs)."""
+        from qlbridge_spark.sinks import ParquetMergeSink
+
+        eng = Engine(spark, "tt-test")
+        sink = ParquetMergeSink(spark, str(tmp_path / "tt"), key="id")
+        sink.ensure(spark.createDataFrame([(1, "a")], "id long, v string"))  # v0
+        eng.register_sink("t", sink)
+        eng.execute('UPSERT INTO t (id, v) VALUES (1, "a2"), (2, "b")')  # v1
+        eng.execute("DELETE FROM t WHERE id = 1")  # v2
+        assert {tuple(r) for r in eng.sql("SELECT * FROM t VERSION AS OF 0").collect()} == {(1, "a")}
+        assert {tuple(r) for r in eng.sql("SELECT * FROM t VERSION AS OF 1").collect()} == {(1, "a2"), (2, "b")}
+        assert {tuple(r) for r in eng.sql("SELECT * FROM t").collect()} == {(2, "b")}
+        # aliased + joined time travel composes
+        rows = eng.sql(
+            "SELECT cur.id, old.v AS was FROM t cur JOIN t VERSION AS OF 1 AS old ON cur.id = old.id"
+        ).collect()
+        assert [(r["id"], r["was"]) for r in rows] == [(2, "b")]
+
+    def test_version_as_of_errors(self, spark, tmp_path):
+        from qlbridge_spark.engine import ExecError
+        from qlbridge_spark.sinks import ParquetMergeSink
+
+        eng = Engine(spark, "tt-err")
+        sink = ParquetMergeSink(spark, str(tmp_path / "tte"), key="id")
+        sink.ensure(spark.createDataFrame([(1, "a")], "id long, v string"))
+        sink.merge_upsert(spark.createDataFrame([(2, "b")], "id long, v string"))
+        eng.register_sink("t", sink)
+        eng.register_rows("plain", [{"id": 1}])
+        with pytest.raises(Exception, match="not available"):
+            eng.sql("SELECT * FROM t VERSION AS OF 9").collect()
+        with pytest.raises(ExecError, match="versioned sink"):
+            eng.sql("SELECT * FROM plain VERSION AS OF 0").collect()
+        # vacuum drops v0; time travel to it must raise, current still works
+        sink.vacuum(keep=1)
+        with pytest.raises(Exception, match="not available"):
+            eng.sql("SELECT * FROM t VERSION AS OF 0").collect()
+        assert eng.sql("SELECT count(*) AS n FROM t").collect()[0]["n"] == 2
+        # a table alias literally named `version` still parses as an alias
+        assert eng.sql("SELECT version.id FROM plain version").collect()[0]["id"] == 1
+
     def test_uninitialized_scan_raises(self, spark, tmp_path):
         from qlbridge_spark.sinks import ParquetMergeSink
 
