@@ -3210,6 +3210,31 @@ class Engine:
             df = self.execute_stmt(d.stmt)
             plan = df._jdf.queryExecution().explainString(self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
             return self.spark.createDataFrame([{"plan": line} for line in plan.split("\n")], schema="plan string")
+        ident = d.ident or ""
+        if ident.lower().startswith("history "):
+            # DESCRIBE HISTORY <sink table> — retained snapshot versions of
+            # a versioned sink (Delta-parity; pairs with VERSION AS OF)
+            tname = ident.split(None, 1)[1].strip().lower()
+            sink = self.sinks.get(tname)
+            if sink is None or not hasattr(sink, "versions"):
+                raise ExecError(f"DESCRIBE HISTORY requires a versioned sink table; {tname!r} is not one")
+            import datetime
+            import os
+
+            rows = []
+            for v in sink.versions():
+                p = sink._data_dir(v)
+                ts = datetime.datetime.fromtimestamp(os.path.getmtime(p), datetime.timezone.utc)
+                rows.append(
+                    {
+                        "version": v,
+                        "committed_at": ts.replace(tzinfo=None),
+                        "is_current": v == sink._version(),
+                    }
+                )
+            return self.spark.createDataFrame(
+                rows, schema="version long, committed_at timestamp, is_current boolean"
+            )
         return self._schema_df(d.ident)
 
     # ------------------------------------------------------------------

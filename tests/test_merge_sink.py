@@ -216,6 +216,21 @@ class TestParquetMergeSink:
         # a table alias literally named `version` still parses as an alias
         assert eng.sql("SELECT version.id FROM plain version").collect()[0]["id"] == 1
 
+    def test_describe_history(self, spark, tmp_path):
+        from qlbridge_spark.engine import ExecError
+        from qlbridge_spark.sinks import ParquetMergeSink
+
+        eng = Engine(spark, "hist-test")
+        sink = ParquetMergeSink(spark, str(tmp_path / "h"), key="id")
+        sink.ensure(spark.createDataFrame([(1, "a")], "id long, v string"))
+        sink.merge_upsert(spark.createDataFrame([(2, "b")], "id long, v string"))
+        eng.register_sink("t", sink)
+        rows = eng.sql("DESCRIBE HISTORY t").orderBy("version").collect()
+        assert [(r["version"], r["is_current"]) for r in rows] == [(0, False), (1, True)]
+        eng.register_rows("plain", [{"id": 1}])
+        with pytest.raises(ExecError, match="versioned sink"):
+            eng.sql("DESCRIBE HISTORY plain").collect()
+
     def test_uninitialized_scan_raises(self, spark, tmp_path):
         from qlbridge_spark.sinks import ParquetMergeSink
 
