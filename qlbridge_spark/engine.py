@@ -767,16 +767,22 @@ class Engine:
                 from .planner import rewrite_source_select
 
                 df = planner_src.walk_source_select(self, rewrite_source_select(sel, src).select)
-            if df is None and getattr(src, "version", None) is not None:
+            want_version = getattr(src, "version", None)
+            as_of = getattr(src, "as_of_ts", None)
+            if df is None and (want_version is not None or as_of is not None):
                 # time travel: resolve the named snapshot of a versioned
                 # sink (ParquetMergeSink `v<N>` dirs / Delta versionAsOf)
                 sink = self.sinks.get((src.name or "").lower())
                 if sink is None:
                     raise ExecError(
-                        f"VERSION AS OF requires a versioned sink table; {src.name!r} is not one"
+                        f"VERSION/TIMESTAMP AS OF requires a versioned sink table; {src.name!r} is not one"
                     )
+                if as_of is not None:
+                    if not hasattr(sink, "version_at"):
+                        raise ExecError(f"sink for {src.name!r} does not support TIMESTAMP AS OF")
+                    want_version = sink.version_at(as_of)
                 try:
-                    df = sink.scan(self.spark, version=src.version)
+                    df = sink.scan(self.spark, version=want_version)
                 except TypeError as e:
                     raise ExecError(f"sink for {src.name!r} does not support time travel") from e
             if df is None:

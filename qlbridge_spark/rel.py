@@ -96,6 +96,9 @@ class FromSource:
     #: time travel (`FROM t VERSION AS OF n`) — resolved against a
     #: versioned sink's snapshot
     version: int | None = None
+    #: `FROM t TIMESTAMP AS OF '<ts>'` — latest snapshot committed at or
+    #: before the wall time (resolved via sink commit times)
+    as_of_ts: str | None = None
     lateral: bool = False  # LATERAL (SELECT …) — subquery may see prior FROM items
 
     @property
@@ -723,17 +726,24 @@ class SqlParser(ExprParser):
                 raise ParseError(f"expected table name, got {name!r}")
             src = FromSource(name=name.val)
             # Delta-style time travel over versioned sinks. Only the full
-            # VERSION AS OF sequence triggers — a table alias named
-            # `version` keeps parsing as an alias.
+            # VERSION AS OF / TIMESTAMP AS OF sequence triggers — a table
+            # alias named `version` or `timestamp` keeps parsing as an
+            # alias.
             if (
-                self.cur().upper == "VERSION"
+                self.cur().upper in ("VERSION", "TIMESTAMP")
                 and self.peek().upper == "AS"
                 and self.peek(2).upper == "OF"
             ):
+                kind = self.advance().upper
                 self.advance()
                 self.advance()
-                self.advance()
-                src.version = int(self.expect(NUMBER).val)
+                if kind == "VERSION":
+                    src.version = int(self.expect(NUMBER).val)
+                else:
+                    t = self.advance()
+                    if t.kind != STRING:
+                        raise ParseError(f"TIMESTAMP AS OF expects a string literal, got {t!r}")
+                    src.as_of_ts = t.val
         # Snowflake/DuckDB bracketed PIVOT/UNPIVOT wrap the source — they
         # may appear before OR after the source alias:
         # FROM t PIVOT (sum(x) FOR c IN ('a', 'b')) p

@@ -215,6 +215,31 @@ class ParquetMergeSink:
                 out.append(int(m.group(1)))
         return sorted(out)
 
+    def version_at(self, ts: str) -> int:
+        """Latest retained version committed at or before wall time ``ts``
+        (ISO format, interpreted as UTC — commit times come from the
+        version dirs' mtimes, so copies that rewrite mtimes lose history
+        fidelity; Delta keeps true commit timestamps in its log)."""
+        import datetime
+        import os
+
+        want = datetime.datetime.fromisoformat(ts)
+        if want.tzinfo is None:
+            want = want.replace(tzinfo=datetime.timezone.utc)
+        best = None
+        for v in self.versions():
+            mt = datetime.datetime.fromtimestamp(
+                os.path.getmtime(self._data_dir(v)), datetime.timezone.utc
+            )
+            if mt <= want:
+                best = v
+        if best is None:
+            raise FileNotFoundError(
+                f"no version of {self.path} committed at or before {ts!r} "
+                f"(retained: {self.versions()})"
+            )
+        return best
+
     # -- writes ---------------------------------------------------------
     def ensure(self, df: DataFrame) -> None:
         """Create the table from ``df`` if it does not exist yet."""

@@ -216,6 +216,33 @@ class TestParquetMergeSink:
         # a table alias literally named `version` still parses as an alias
         assert eng.sql("SELECT version.id FROM plain version").collect()[0]["id"] == 1
 
+    def test_timestamp_as_of(self, spark, tmp_path):
+        """TIMESTAMP AS OF resolves the latest snapshot committed at or
+        before the given wall time (commit times = version dir mtimes)."""
+        import datetime
+        import time
+
+        from qlbridge_spark.sinks import ParquetMergeSink
+
+        eng = Engine(spark, "ts-tt")
+        sink = ParquetMergeSink(spark, str(tmp_path / "ts"), key="id")
+        sink.ensure(spark.createDataFrame([(1, "a")], "id long, v string"))  # v0
+        time.sleep(1.1)
+        mid = datetime.datetime.now(datetime.timezone.utc).isoformat()
+        time.sleep(1.1)
+        sink.merge_upsert(spark.createDataFrame([(2, "b")], "id long, v string"))  # v1
+        eng.register_sink("t", sink)
+        got = {tuple(r) for r in eng.sql(f"SELECT * FROM t TIMESTAMP AS OF '{mid}'").collect()}
+        assert got == {(1, "a")}
+        now = datetime.datetime.now(datetime.timezone.utc).isoformat()
+        got = {tuple(r) for r in eng.sql(f"SELECT * FROM t TIMESTAMP AS OF '{now}'").collect()}
+        assert got == {(1, "a"), (2, "b")}
+        with pytest.raises(Exception, match="at or before"):
+            eng.sql("SELECT * FROM t TIMESTAMP AS OF '1999-01-01T00:00:00+00:00'").collect()
+        # a table alias literally named `timestamp` still parses as alias
+        eng.register_rows("plain", [{"id": 5}])
+        assert eng.sql("SELECT timestamp.id FROM plain timestamp").collect()[0]["id"] == 5
+
     def test_describe_history(self, spark, tmp_path):
         from qlbridge_spark.engine import ExecError
         from qlbridge_spark.sinks import ParquetMergeSink
