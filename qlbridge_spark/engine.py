@@ -47,6 +47,7 @@ from .rel import (
     FromSource,
     SqlAlter,
     SqlCommand,
+    SqlCopy,
     SqlCreate,
     SqlDelete,
     SqlDescribe,
@@ -260,7 +261,7 @@ class Engine:
     # ------------------------------------------------------------------
     # statement classes that can mutate engine/table state — executing one
     # invalidates the plan/fold caches
-    _MUTATING_STMTS = ("SqlInsert", "SqlUpdate", "SqlDelete", "SqlCreate", "SqlDrop", "SqlCommand", "SqlAlter")
+    _MUTATING_STMTS = ("SqlInsert", "SqlUpdate", "SqlDelete", "SqlCreate", "SqlDrop", "SqlCommand", "SqlAlter", "SqlCopy")
 
     def _bump_cache_epoch(self) -> None:
         self._cache_epoch += 1
@@ -352,6 +353,8 @@ class Engine:
             return self._drop(stmt)
         if isinstance(stmt, SqlCommand):
             return self._command(stmt)
+        if isinstance(stmt, SqlCopy):
+            return self._copy(stmt)
         if isinstance(stmt, SqlAlter):
             # parity: reference plans but never executes ALTER
             # (exec/ddl.go:136-152 → ErrNotImplemented)
@@ -3393,6 +3396,57 @@ class Engine:
             self.name = cmd.ident
             return None
         return None  # ROLLBACK/COMMIT are parse-only no-ops (lex/dialect_sql.go:203-210)
+
+    # ------------------------------------------------------------------
+    # COPY — bulk I/O (DuckDB-style superset; executor-parallel writes)
+    # ------------------------------------------------------------------
+    _COPY_FORMATS = {"parquet", "csv", "json", "jsonl", "orc", "text"}
+
+    def _copy(self, c: SqlCopy) -> int:
+        fmt = str(c.options.get("format", "parquet")).lower()
+        if fmt == "jsonl":
+            fmt = "json"  # Spark's json source IS json-lines
+        if fmt not in self._COPY_FORMATS:
+            raise ExecError(f"COPY format {fmt!r} not supported (one of {sorted(self._COPY_FORMATS)})")
+        if c.direction == "TO":
+            df = self._select_any(c.query) if c.query is not None else self.table(c.table)
+            writer = df.write.format(fmt)
+            if c.options.get("overwrite"):
+                writer = writer.mode("overwrite")
+            if fmt == "csv":
+                writer = writer.option("header", str(c.options.get("header", True)).lower())
+                if "delimiter" in c.options:
+                    writer = writer.option("sep", str(c.options["delimiter"]))
+            if "compression" in c.options:
+                writer = writer.option("compression", str(c.options["compression"]))
+            part = c.options.get("partition_by")
+            if part:
+                writer = writer.partitionBy(*part)
+            writer.save(c.path)
+            # written-row count from the files (parquet/orc: footer
+            # metadata only — no data scan)
+            return self.spark.read.format(fmt).options(
+                **({"header": "true"} if fmt == "csv" else {})
+            ).load(c.path).count()
+        # COPY <table> FROM '<path>': append into the registered table /
+        # sink (DuckDB semantics — the table must exist)
+        reader = self.spark.read.format(fmt)
+        if fmt == "csv":
+            reader = reader.option("header", str(c.options.get("header", True)).lower()).option(
+                "inferSchema", "true"
+            )
+            if "delimiter" in c.options:
+                reader = reader.option("sep", str(c.options["delimiter"]))
+        new = reader.load(c.path)
+        n = new.count()
+        tname = c.table.lower()
+        sink = self.sinks.get(tname)
+        if sink is not None and hasattr(sink, "insert_append"):
+            sink.insert_append(new)
+            return n
+        base = self.table(c.table)
+        self.register_df(c.table, base.unionByName(new, allowMissingColumns=True))
+        return n
 
 
 def _literal_value(node: Node):

@@ -233,6 +233,17 @@ class SqlShow:
 
 
 @dataclass
+class SqlCopy:
+    """COPY bulk I/O (DuckDB-style superset)."""
+
+    table: str | None = None
+    query: object | None = None  # SqlSelect | SqlSetOp | CteQuery
+    direction: str = "TO"
+    path: str = ""
+    options: dict = field(default_factory=dict)
+
+
+@dataclass
 class SqlDescribe:
     ident: str | None = None
     stmt: object | None = None  # DESCRIBE/EXPLAIN <statement>
@@ -333,7 +344,61 @@ class SqlParser(ExprParser):
             return self.parse_command()
         if kw == "PREPARE":
             raise ParseError("PREPARE not implemented")  # parity: exec/executor.go:144-146
+        if kw == "COPY":
+            return self.parse_copy()
         raise ParseError(f"unsupported statement {kw}")
+
+    def parse_copy(self) -> "SqlCopy":
+        """``COPY <table | (SELECT ...)> TO '<path>' [(opt[, ...])]`` and
+        ``COPY <table> FROM '<path>' [(opt[, ...])]`` — DuckDB-style bulk
+        I/O (superset; no reference counterpart). Options: FORMAT
+        parquet|csv|json|orc|text, HEADER [true|false], OVERWRITE,
+        DELIMITER '<c>', COMPRESSION <codec>, PARTITION_BY (col, ...)."""
+        self.advance()  # COPY
+        c = SqlCopy()
+        if self.cur().kind == LPAREN:
+            self.advance()
+            if self.cur().upper == "SELECT":
+                self.advance()
+                c.query = self.parse_select_chain()
+            elif self.cur().upper == "WITH":
+                c.query = self.parse_cte_query()
+            else:
+                raise ParseError(f"expected SELECT/WITH in COPY source, got {self.cur()!r}")
+            self.expect(RPAREN)
+        else:
+            c.table = self.advance().val
+        direction = self.advance()
+        if direction.upper not in ("TO", "FROM"):
+            raise ParseError(f"expected TO or FROM in COPY, got {direction!r}")
+        c.direction = direction.upper
+        if c.direction == "FROM" and c.table is None:
+            raise ParseError("COPY FROM requires a target table name")
+        path = self.advance()
+        if path.kind != STRING:
+            raise ParseError(f"COPY expects a quoted path, got {path!r}")
+        c.path = path.val
+        if self.cur().kind == LPAREN:
+            self.advance()
+            while self.cur().kind != RPAREN:
+                key = self.advance().upper
+                if key == "PARTITION_BY":
+                    cols = []
+                    self.expect(LPAREN)
+                    while self.cur().kind != RPAREN:
+                        cols.append(self.advance().val)
+                        if self.cur().kind == COMMA:
+                            self.advance()
+                    self.expect(RPAREN)
+                    c.options["partition_by"] = cols
+                elif self.cur().kind in (IDENT, STRING, NUMBER) and self.cur().upper != "PARTITION_BY":
+                    c.options[key.lower()] = self.advance().val
+                else:
+                    c.options[key.lower()] = True
+                if self.cur().kind == COMMA:
+                    self.advance()
+            self.expect(RPAREN)
+        return c
 
     def parse_select_chain(self) -> "SqlSelect | SqlSetOp":
         """SELECT ... [UNION [ALL] | INTERSECT [ALL] | EXCEPT [ALL] ...]*
