@@ -392,6 +392,60 @@ class Engine:
             self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
         )
 
+    def explain_analyze(self, text: str) -> str:
+        """Execute the statement to completion (noop sink — executor-
+        parallel, nothing collected) and return the physical plan
+        annotated with RUNTIME per-operator SQL metrics (rows, scan/agg
+        times, shuffle bytes, peak memory …) — DuckDB/Postgres-style
+        EXPLAIN ANALYZE, from Spark's own SQLMetric registry."""
+        out = self.execute_stmt(parse_sql(text))
+        if not isinstance(out, DataFrame):
+            raise ExecError(f"EXPLAIN ANALYZE needs a row-producing statement: {text[:50]}")
+        return self._analyze_plan(out)
+
+    def _analyze_plan(self, df: DataFrame) -> str:
+        # run the DataFrame's OWN queryExecution (a writer would attach
+        # metrics to a separate wrapping execution): toRdd().count() is
+        # executor-parallel and ships only per-partition counts back
+        df._jdf.queryExecution().toRdd().count()
+        lines: list[str] = []
+
+        def kids(node):
+            out = []
+            ch = node.children()
+            for i in range(ch.length()):
+                out.append(ch.apply(i))
+            if not out:
+                # AQE wrappers (AdaptiveSparkPlan / QueryStage / ReusedExchange)
+                # hold their subtree outside children()
+                for meth in ("executedPlan", "plan", "child"):
+                    try:
+                        out.append(getattr(node, meth)())
+                        break
+                    except Exception:
+                        continue
+            return out
+
+        def walk(node, depth):
+            if depth > 100:  # pragma: no cover - plans are never this deep
+                return
+            ms = {}
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                m = kv._2()
+                v = m.value()
+                if v:
+                    label = m.name().get() if m.name().isDefined() else kv._1()
+                    ms[label] = v
+            rendered = ", ".join(f"{k}={v:,}" for k, v in sorted(ms.items()))
+            lines.append("  " * depth + node.nodeName() + (f"  [{rendered}]" if rendered else ""))
+            for c in kids(node):
+                walk(c, depth + 1)
+
+        walk(df._jdf.queryExecution().executedPlan(), 0)
+        return "\n".join(lines)
+
     def filter(self, df: DataFrame, filterql_text: str) -> DataFrame:
         """Apply a FilterQL statement to an arbitrary DataFrame
         (vm.Matches ≈ vm/filterqlvm.go:81)."""
@@ -3215,6 +3269,11 @@ class Engine:
         return self.spark.createDataFrame(rows, schema="Field string, Type string, Null string, Key string, Default string, Extra string")
 
     def _describe(self, d: SqlDescribe) -> DataFrame:
+        if d.stmt is not None and d.analyze:  # EXPLAIN ANALYZE <select>
+            report = self._analyze_plan(self.execute_stmt(d.stmt))
+            return self.spark.createDataFrame(
+                [{"plan": line} for line in report.split("\n")], schema="plan string"
+            )
         if d.stmt is not None:  # EXPLAIN <select>
             df = self.execute_stmt(d.stmt)
             plan = df._jdf.queryExecution().explainString(self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))

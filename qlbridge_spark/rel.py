@@ -247,6 +247,7 @@ class SqlCopy:
 class SqlDescribe:
     ident: str | None = None
     stmt: object | None = None  # DESCRIBE/EXPLAIN <statement>
+    analyze: bool = False  # EXPLAIN ANALYZE — execute + runtime metrics
 
 
 @dataclass
@@ -1109,6 +1110,11 @@ class SqlParser(ExprParser):
     def parse_describe(self) -> SqlDescribe:
         kw = self.advance().upper
         t = self.cur()
+        if kw == "EXPLAIN" and t.kind == IDENT and t.upper == "ANALYZE":
+            # EXPLAIN ANALYZE <select>: execute and report runtime
+            # per-operator metrics (DuckDB/Postgres-style superset)
+            self.advance()
+            return SqlDescribe(stmt=self.parse_statement(), analyze=True)
         if (
             t.kind == IDENT
             and t.upper in ("SELECT", "FILTER", "WITH")
