@@ -53,6 +53,7 @@ from .rel import (
     SqlDescribe,
     SqlDrop,
     SqlInsert,
+    SqlMerge,
     SqlSelect,
     SqlSetOp,
     SqlShow,
@@ -261,7 +262,7 @@ class Engine:
     # ------------------------------------------------------------------
     # statement classes that can mutate engine/table state — executing one
     # invalidates the plan/fold caches
-    _MUTATING_STMTS = ("SqlInsert", "SqlUpdate", "SqlDelete", "SqlCreate", "SqlDrop", "SqlCommand", "SqlAlter", "SqlCopy")
+    _MUTATING_STMTS = ("SqlInsert", "SqlUpdate", "SqlDelete", "SqlCreate", "SqlDrop", "SqlCommand", "SqlAlter", "SqlCopy", "SqlMerge")
 
     def _bump_cache_epoch(self) -> None:
         self._cache_epoch += 1
@@ -355,6 +356,8 @@ class Engine:
             return self._command(stmt)
         if isinstance(stmt, SqlCopy):
             return self._copy(stmt)
+        if isinstance(stmt, SqlMerge):
+            return self._merge(stmt)
         if isinstance(stmt, SqlAlter):
             # parity: reference plans but never executes ALTER
             # (exec/ddl.go:136-152 → ErrNotImplemented)
@@ -3455,6 +3458,100 @@ class Engine:
             self.name = cmd.ident
             return None
         return None  # ROLLBACK/COMMIT are parse-only no-ops (lex/dialect_sql.go:203-210)
+
+    # ------------------------------------------------------------------
+    # MERGE INTO — ANSI conditional upsert/delete (superset: the
+    # reference only exposes sink-level whole-row upsert)
+    # ------------------------------------------------------------------
+    def _merge(self, m: SqlMerge) -> int:
+        """One-pass plan: target FULL OUTER JOIN source on the merge
+        condition; a first-match-wins when-chain picks the acting clause
+        per row; every target column is rebuilt with per-clause value
+        chains; kept rows = non-deleted target rows + inserted
+        source-only rows. Cardinality rule enforced like Delta: a target
+        row matching >1 source rows while any MATCHED clause exists is an
+        error (nondeterministic update), checked with one bounded agg."""
+        t_ref = m.target_alias or m.target
+        s_ref = m.source_alias or m.source or "__src"
+        if t_ref == s_ref:
+            raise ExecError("MERGE target and source need distinct names/aliases")
+        sink = self.sinks.get(m.target.lower())
+        target = sink.scan(self.spark) if sink is not None else self.table(m.target)
+        src = self._select_any(m.source_query) if m.source_query is not None else self.table(m.source)
+        TID, SM = "__merge_tid", "__merge_smatch"
+        t = target.withColumn(TID, F.monotonically_increasing_id()).alias(t_ref)
+        s = src.withColumn(SM, F.lit(1)).alias(s_ref)
+        scope = Scope({t_ref: t, s_ref: s}, includes=self.includes, params=self._scope_params())
+        joined = t.join(s, on=to_column(m.on, scope), how="full_outer")
+
+        matched = F.col(TID).isNotNull() & F.col(SM).isNotNull()
+        not_matched = F.col(TID).isNull()
+        if any(cl.matched for cl in m.clauses):
+            dups = (
+                joined.filter(matched)
+                .groupBy(TID)
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .filter(F.col("__n") > 1)
+                .limit(1)
+                .count()
+            )
+            if dups:
+                raise ExecError(
+                    "MERGE cardinality violation: a target row matched multiple source rows"
+                )
+
+        # first-match-wins clause selection
+        action = None
+        for i, cl in enumerate(m.clauses):
+            base = matched if cl.matched else not_matched
+            if cl.cond is not None:
+                base = base & to_column(cl.cond, scope)
+            action = F.when(base, F.lit(f"a{i}")) if action is None else action.when(base, F.lit(f"a{i}"))
+        act = F.coalesce(action, F.lit(""))
+
+        tcols = list(target.columns)
+        scols = set(src.columns)
+        exprs = []
+        for c in tcols:
+            dtype = target.schema[c].dataType
+            e = F.col(f"{t_ref}.{c}")
+            for i, cl in enumerate(m.clauses):
+                sub = None
+                if cl.action == "update":
+                    if cl.set_values == "*":
+                        if c in scols:
+                            sub = F.col(f"{s_ref}.{c}")
+                    elif c in cl.set_values:
+                        sub = to_column(cl.set_values[c], scope)
+                elif cl.action == "insert":
+                    if cl.insert_values == "*":
+                        sub = F.col(f"{s_ref}.{c}") if c in scols else F.lit(None)
+                    else:
+                        cols = cl.insert_cols or tcols[: len(cl.insert_values)]
+                        low = [x.lower() for x in cols]
+                        sub = (
+                            to_column(cl.insert_values[low.index(c.lower())], scope)
+                            if c.lower() in low
+                            else F.lit(None)
+                        )
+                if sub is not None:
+                    e = F.when(act == f"a{i}", sub.cast(dtype)).otherwise(e)
+            exprs.append(e.alias(c))
+
+        del_ids = [f"a{i}" for i, cl in enumerate(m.clauses) if cl.action == "delete"]
+        ins_ids = [f"a{i}" for i, cl in enumerate(m.clauses) if cl.action == "insert"]
+        del_pred = act.isin(del_ids) if del_ids else F.lit(False)
+        ins_pred = act.isin(ins_ids) if ins_ids else F.lit(False)
+        keep = (F.col(TID).isNotNull() & ~del_pred) | (F.col(TID).isNull() & ins_pred)
+        final = joined.filter(keep).select(*exprs)
+        n_affected = joined.filter(act != "").count()
+        if sink is not None:
+            if not hasattr(sink, "overwrite"):
+                raise ExecError(f"sink for {m.target!r} does not support MERGE (needs overwrite())")
+            sink.overwrite(final)
+        else:
+            self.register_df(m.target, final)
+        return n_affected
 
     # ------------------------------------------------------------------
     # COPY — bulk I/O (DuckDB-style superset; executor-parallel writes)

@@ -233,6 +233,34 @@ class SqlShow:
 
 
 @dataclass
+class MergeClause:
+    """One WHEN [NOT] MATCHED [AND cond] THEN <action> arm."""
+
+    matched: bool = True
+    cond: Node | None = None
+    action: str = "update"  # update | delete | insert
+    #: UPDATE SET assignments (col → expr) or "*" for set-all-by-name
+    set_values: object = None
+    insert_cols: list[str] | None = None
+    #: INSERT VALUES exprs or "*" for insert-all-by-name
+    insert_values: object = None
+
+
+@dataclass
+class SqlMerge:
+    """ANSI MERGE INTO (SQL:2003 F312 family — superset; the reference
+    has no MERGE statement, only sink-level upsert)."""
+
+    target: str = ""
+    target_alias: str | None = None
+    source: str | None = None
+    source_query: object | None = None
+    source_alias: str | None = None
+    on: Node | None = None
+    clauses: list[MergeClause] = field(default_factory=list)
+
+
+@dataclass
 class SqlCopy:
     """COPY bulk I/O (DuckDB-style superset)."""
 
@@ -347,7 +375,105 @@ class SqlParser(ExprParser):
             raise ParseError("PREPARE not implemented")  # parity: exec/executor.go:144-146
         if kw == "COPY":
             return self.parse_copy()
+        if kw == "MERGE":
+            return self.parse_merge()
         raise ParseError(f"unsupported statement {kw}")
+
+    def parse_merge(self) -> "SqlMerge":
+        """``MERGE INTO t [AS a] USING <s | (SELECT …)> [AS b] ON cond
+        { WHEN [NOT] MATCHED [AND cond] THEN
+            UPDATE SET c = e[, …] | UPDATE SET * | DELETE |
+            INSERT [(c, …)] VALUES (e, …) | INSERT * }+``"""
+        self.advance()  # MERGE
+        self.expect(IDENT, "INTO")
+        m = SqlMerge(target=self.advance().val)
+        if self.eat_kw("AS"):
+            m.target_alias = self.advance().val
+        elif self.cur().kind in (IDENT, QIDENT) and self.cur().upper != "USING":
+            m.target_alias = self.advance().val
+        self.expect(IDENT, "USING")
+        if self.cur().kind == LPAREN:
+            self.advance()
+            if self.cur().upper == "SELECT":
+                self.advance()
+                m.source_query = self.parse_select_chain()
+            elif self.cur().upper == "WITH":
+                m.source_query = self.parse_cte_query()
+            else:
+                raise ParseError(f"expected SELECT/WITH in MERGE source, got {self.cur()!r}")
+            self.expect(RPAREN)
+        else:
+            m.source = self.advance().val
+        if self.eat_kw("AS"):
+            m.source_alias = self.advance().val
+        elif self.cur().kind in (IDENT, QIDENT) and self.cur().upper != "ON":
+            m.source_alias = self.advance().val
+        self.expect(IDENT, "ON")
+        m.on = self.parse_expr()
+        while self.at_kw("WHEN"):
+            self.advance()
+            cl = MergeClause(matched=not self.eat_kw("NOT"))
+            self.expect(IDENT, "MATCHED")
+            if self.eat_kw("AND"):
+                cl.cond = self.parse_expr()
+            self.expect(IDENT, "THEN")
+            act = self.advance().upper
+            if act == "UPDATE":
+                if not cl.matched:
+                    raise ParseError("WHEN NOT MATCHED cannot UPDATE")
+                self.expect(IDENT, "SET")
+                cl.action = "update"
+                if self.cur().kind == OP and self.cur().val == "*":
+                    self.advance()
+                    cl.set_values = "*"
+                else:
+                    vals: dict[str, Node] = {}
+                    while True:
+                        name = self.advance().val
+                        if self.cur().kind == OP and self.cur().val in ("=", "=="):
+                            self.advance()
+                        vals[name] = self.parse_expr()
+                        if self.cur().kind == COMMA:
+                            self.advance()
+                        else:
+                            break
+                    cl.set_values = vals
+            elif act == "DELETE":
+                if not cl.matched:
+                    raise ParseError("WHEN NOT MATCHED cannot DELETE")
+                cl.action = "delete"
+            elif act == "INSERT":
+                if cl.matched:
+                    raise ParseError("WHEN MATCHED cannot INSERT")
+                cl.action = "insert"
+                if self.cur().kind == OP and self.cur().val == "*":
+                    self.advance()
+                    cl.insert_values = "*"
+                else:
+                    if self.cur().kind == LPAREN:
+                        self.advance()
+                        cols = []
+                        while self.cur().kind != RPAREN:
+                            cols.append(self.advance().val)
+                            if self.cur().kind == COMMA:
+                                self.advance()
+                        self.expect(RPAREN)
+                        cl.insert_cols = cols
+                    self.expect(IDENT, "VALUES")
+                    self.expect(LPAREN)
+                    vals_l: list[Node] = []
+                    while self.cur().kind != RPAREN:
+                        vals_l.append(self.parse_expr())
+                        if self.cur().kind == COMMA:
+                            self.advance()
+                    self.expect(RPAREN)
+                    cl.insert_values = vals_l
+            else:
+                raise ParseError(f"expected UPDATE/DELETE/INSERT after THEN, got {act!r}")
+            m.clauses.append(cl)
+        if not m.clauses:
+            raise ParseError("MERGE requires at least one WHEN clause")
+        return m
 
     def parse_copy(self) -> "SqlCopy":
         """``COPY <table | (SELECT ...)> TO '<path>' [(opt[, ...])]`` and

@@ -93,6 +93,11 @@ class DeltaMergeSink:
             .execute()
         )
 
+    def overwrite(self, df: DataFrame) -> None:
+        """Replace the table contents transactionally (engine MERGE INTO
+        commit path)."""
+        df.write.format("delta").mode("overwrite").save(self.path)
+
     def update_where(self, cond: Column, assignments: dict[str, Column]) -> None:
         self._table().update(cond, assignments)
 
@@ -259,6 +264,11 @@ class ParquetMergeSink:
         cur = self.scan(self.spark)
         kept = cur.join(new.select(k).distinct(), on=k, how="left_anti")
         self._commit(kept.unionByName(new, allowMissingColumns=True))
+
+    def overwrite(self, df: DataFrame) -> None:
+        """Replace the table contents as a NEW committed version (engine
+        MERGE INTO commit path; old snapshots stay time-travelable)."""
+        self._commit(df)
 
     def update_where(self, cond: Column, assignments: dict[str, Column]) -> None:
         from pyspark.sql import functions as F
