@@ -3542,8 +3542,20 @@ class Engine:
         ins_ids = [f"a{i}" for i, cl in enumerate(m.clauses) if cl.action == "insert"]
         del_pred = act.isin(del_ids) if del_ids else F.lit(False)
         ins_pred = act.isin(ins_ids) if ins_ids else F.lit(False)
-        keep = (F.col(TID).isNotNull() & ~del_pred) | (F.col(TID).isNull() & ins_pred)
-        final = joined.filter(keep).select(*exprs)
+        # target side deduped by row id: an INSERT-only merge legally joins
+        # a target row against several duplicate-key source rows (no
+        # cardinality rule without a MATCHED arm) and must emit it ONCE;
+        # whenever a MATCHED arm exists, multi-matches errored above, so
+        # the surviving duplicates are value-identical and any survivor is
+        # correct
+        t_part = (
+            joined.filter(F.col(TID).isNotNull() & ~del_pred)
+            .select(F.col(TID), *exprs)
+            .dropDuplicates([TID])
+            .drop(TID)
+        )
+        s_part = joined.filter(F.col(TID).isNull() & ins_pred).select(*exprs)
+        final = t_part.unionByName(s_part)
         n_affected = joined.filter(act != "").count()
         if sink is not None:
             if not hasattr(sink, "overwrite"):

@@ -1,0 +1,160 @@
+"""Randomized MERGE INTO property test against an independent python
+reference interpreter of the ANSI semantics (DuckDB 1.0 has no MERGE to
+differential-test against).
+
+The reference model is written from the SEMANTICS — per target row, the
+FIRST matching WHEN arm (in statement order) acts; NULL keys never
+equality-match; source-only rows feed NOT MATCHED arms; a target row
+with >1 matching source rows under any MATCHED arm is a cardinality
+error — and shares no code with the engine's full-outer-join lowering.
+Expressions are generated as (sql text, python closure) pairs so both
+sides evaluate the same spec independently.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from qlbridge_spark import Engine
+from qlbridge_spark.engine import ExecError
+
+N_CASES = 40
+
+
+def _gen_expr(rng):
+    """(sql, fn(t_row, s_row) -> value) — NULL-propagating arithmetic."""
+    choice = rng.randint(0, 3)
+    if choice == 0:
+        c = rng.randint(-5, 99)
+        return str(c), lambda t, s, c=c: c
+    if choice == 1:
+        return "s.v", lambda t, s: s["v"]
+    if choice == 2:
+        return "t.v + s.v", lambda t, s: None if t["v"] is None or s["v"] is None else t["v"] + s["v"]
+    c = rng.randint(1, 4)
+    return f"s.v * {c}", lambda t, s, c=c: None if s["v"] is None else s["v"] * c
+
+
+def _gen_cond(rng, matched):
+    """(sql, fn(t_row, s_row) -> bool) — three-valued: None ⇒ not true."""
+    choice = rng.randint(0, 2)
+    if choice == 0:
+        return None, lambda t, s: True
+    c = rng.randint(-10, 30)
+    if choice == 1 or not matched:
+        return f"s.v > {c}", lambda t, s, c=c: s["v"] is not None and s["v"] > c
+    return f"t.v < {c}", lambda t, s, c=c: t["v"] is not None and t["v"] < c
+
+
+def _gen_clauses(rng):
+    clauses = []
+    n = rng.randint(1, 3)
+    kinds = rng.sample(["update", "delete", "insert"], k=min(n, 3))
+    for kind in kinds:
+        matched = kind != "insert"
+        cond_sql, cond_fn = _gen_cond(rng, matched)
+        head = "WHEN MATCHED" if matched else "WHEN NOT MATCHED"
+        if cond_sql:
+            head += f" AND {cond_sql}"
+        if kind == "update":
+            e_sql, e_fn = _gen_expr(rng)
+            clauses.append((f"{head} THEN UPDATE SET v = {e_sql}", "update", cond_fn, e_fn))
+        elif kind == "delete":
+            clauses.append((f"{head} THEN DELETE", "delete", cond_fn, None))
+        else:
+            e_sql, e_fn = _gen_expr(rng)
+            clauses.append(
+                (f"{head} THEN INSERT (k, v) VALUES (s.k, {e_sql})", "insert", cond_fn, e_fn)
+            )
+    # put matched arms in their generated order but keep at least one arm
+    return clauses
+
+
+def _reference_merge(t_rows, s_rows, clauses):
+    """Final multiset of (k, v) per the ANSI spec, or 'cardinality'."""
+    matched_arm_exists = any(kind != "insert" for _, kind, _, _ in clauses)
+    by_key: dict = {}
+    for s in s_rows:
+        if s["k"] is not None:
+            by_key.setdefault(s["k"], []).append(s)
+    out = []
+    for t in t_rows:
+        matches = by_key.get(t["k"], []) if t["k"] is not None else []
+        if len(matches) > 1 and matched_arm_exists:
+            return "cardinality"
+        if not matches:
+            out.append((t["k"], t["v"]))
+            continue
+        s = matches[0]
+        acted = False
+        for _, kind, cond_fn, e_fn in clauses:
+            if kind == "insert":
+                continue
+            if cond_fn(t, s):
+                acted = True
+                if kind == "update":
+                    out.append((t["k"], e_fn(t, s)))
+                # delete: drop the row
+                break
+        if not acted:
+            out.append((t["k"], t["v"]))
+    t_keys = {t["k"] for t in t_rows if t["k"] is not None}
+    for s in s_rows:
+        if s["k"] is not None and s["k"] in t_keys:
+            continue
+        for _, kind, cond_fn, e_fn in clauses:
+            if kind != "insert":
+                continue
+            null_t = {"k": None, "v": None}
+            if cond_fn(null_t, s):
+                out.append((s["k"], e_fn(null_t, s)))
+                break
+    return sorted(out, key=repr)
+
+
+def _gen_rows(rng, n, key_hi, null_frac=0.1, dup_frac=0.15):
+    rows, used = [], []
+    for _ in range(n):
+        if used and rng.random() < dup_frac:
+            k = rng.choice(used)
+        else:
+            k = None if rng.random() < null_frac else rng.randint(0, key_hi)
+            if k is not None:
+                used.append(k)
+        v = None if rng.random() < 0.1 else rng.randint(-20, 120)
+        rows.append({"k": k, "v": v})
+    return rows
+
+
+@pytest.fixture(scope="module")
+def meng(spark):
+    return Engine(spark, "merge-fuzz")
+
+
+def test_merge_fuzz_matches_reference(meng, spark):
+    rng = random.Random(20260814)
+    failures = []
+    for case in range(N_CASES):
+        # unique target keys (a real table has a key); sources may dup
+        t_rows = _gen_rows(rng, rng.randint(4, 10), 8, dup_frac=0.0)
+        seen = set()
+        t_rows = [r for r in t_rows if r["k"] is None or (r["k"] not in seen and not seen.add(r["k"]))]
+        s_rows = _gen_rows(rng, rng.randint(3, 9), 11)
+        clauses = _gen_clauses(rng)
+        stmt = (
+            "MERGE INTO tgt t USING src s ON t.k = s.k "
+            + " ".join(sql for sql, *_ in clauses)
+        )
+        meng.register_df("tgt", spark.createDataFrame([(r["k"], r["v"]) for r in t_rows], "k int, v int"))
+        meng.register_df("src", spark.createDataFrame([(r["k"], r["v"]) for r in s_rows], "k int, v int"))
+        want = _reference_merge(t_rows, s_rows, clauses)
+        try:
+            meng.execute(stmt)
+            got = sorted(((r["k"], r["v"]) for r in meng.sql("SELECT k, v FROM tgt").collect()), key=repr)
+        except ExecError as e:
+            got = "cardinality" if "cardinality" in str(e) else f"error: {e}"
+        if got != want:
+            failures.append((case, stmt, t_rows, s_rows, want, got))
+    assert not failures, f"{len(failures)} mismatching merges; first: {failures[0]}"
