@@ -42,6 +42,9 @@ def main() -> None:
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.ui.enabled", "false")
+        # the near-dup stage's signature/band frames need more than the
+        # 1g JVM default on the driver in local mode
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "6g"))
         .appName("curation_pipeline")
         .getOrCreate()
     )
