@@ -3463,6 +3463,122 @@ class Engine:
     # MERGE INTO — ANSI conditional upsert/delete (superset: the
     # reference only exposes sink-level whole-row upsert)
     # ------------------------------------------------------------------
+    @staticmethod
+    def _normalize_merge_sets(m: SqlMerge, t_ref: str, tcols: list) -> None:
+        """Normalize UPDATE SET keys in place: strip a leading target
+        alias/name qualifier (the lexer folds ``t.v`` into one IDENT),
+        case-fold to the target column's spelling, and reject keys that
+        resolve to no target column (silently dropping an assignment
+        would corrupt data while still counting the row as affected).
+        Idempotent, so prepared statements re-running the same parsed
+        tree are safe."""
+        by_lower = {c.lower(): c for c in tcols}
+        prefixes = (f"{t_ref.lower()}.", f"{m.target.lower()}.")
+        for cl in m.clauses:
+            if cl.action != "update" or cl.set_values == "*":
+                continue
+            norm = {}
+            for k, v in cl.set_values.items():
+                kl = k.lower()
+                for p in prefixes:
+                    if kl.startswith(p):
+                        kl = kl[len(p):]
+                        break
+                col = by_lower.get(kl)
+                if col is None:
+                    raise ExecError(
+                        f"MERGE UPDATE SET references unknown target column {k!r} "
+                        f"(target columns: {tcols})"
+                    )
+                norm[col] = v
+            cl.set_values = norm
+
+    # expression constructs whose qlbridge semantics MATCH Spark SQL's —
+    # only these may be lowered verbatim onto a native sink merge builder.
+    # Deliberately excluded (engine semantics diverge): BETWEEN (exclusive
+    # bounds), LIKE (glob), CONTAINS/INTERSECTS/IN, `/` and `%` (div-by-
+    # zero / float-mod shims), qlbridge-only builtins, @var params.
+    _ANSI_SAFE_OPS = frozenset({"+", "-", "*", "=", "==", "!=", "<>", "<", "<=", ">", ">=", "AND", "OR"})
+    _ANSI_SAFE_FUNCS = frozenset({
+        "coalesce", "upper", "lower", "abs", "length", "trim", "ltrim", "rtrim",
+        "concat", "greatest", "least", "nullif", "floor", "ceil", "round", "substring",
+    })
+
+    @classmethod
+    def _render_ansi(cls, node) -> str:
+        """Render an expression tree as Spark SQL, raising ExecError on any
+        construct the engine evaluates differently from Spark — the MERGE
+        native-lowering path falls back to the (semantics-authoritative)
+        translated full-outer-join plan for those."""
+        from .nodes import BoolNode, BooleanNode, NullNode, UnaryNode
+
+        if isinstance(node, NumberNode):
+            # float literals get the D suffix: Spark parses bare decimals
+            # as DECIMAL, the engine's NumberNode floats are doubles
+            return node.text if node.is_int else f"{node.text}D"
+        if isinstance(node, (StringNode, NullNode)):
+            return node.sql()
+        if isinstance(node, BoolNode):
+            return "true" if node.value else "false"
+        if isinstance(node, IdentityNode):
+            if node.is_star or any(p[:1] in "@?" for p in node.parts):
+                raise ExecError("merge-native: star/param identity")
+            return node.sql()
+        if isinstance(node, BinaryNode):
+            if node.op not in cls._ANSI_SAFE_OPS or node.negated:
+                raise ExecError(f"merge-native: operator {node.op} diverges")
+            op = "=" if node.op == "==" else node.op
+            return f"({cls._render_ansi(node.left)} {op} {cls._render_ansi(node.right)})"
+        if isinstance(node, UnaryNode) and node.op in ("-", "NOT"):
+            return f"({node.op} ({cls._render_ansi(node.child)}))"
+        if isinstance(node, BooleanNode) and not node.negated:
+            return "(" + f" {node.op} ".join(cls._render_ansi(a) for a in node.args) + ")"
+        if (
+            isinstance(node, FuncNode)
+            and node.name in cls._ANSI_SAFE_FUNCS
+            and node.filter_where is None
+            and not node.agg_order
+            and not node.ignore_nulls
+        ):
+            return f"{node.name}({', '.join(cls._render_ansi(a) for a in node.args)})"
+        raise ExecError(f"merge-native: {type(node).__name__} not ANSI-renderable")
+
+    def _merge_native(self, m: SqlMerge, sink, src: DataFrame, t_ref: str, s_ref: str, tcols: list):
+        """Lower the when-chains to the sink's native merge builder
+        (``merge_when`` — Delta: file-pruned incremental MERGE, no
+        full-table rewrite). Expressions are rendered by the conservative
+        ``_render_ansi`` walker BEFORE the sink is touched; any refused
+        construct returns None and the caller falls back to the generic
+        full-outer-join path. Once ``merge_when`` starts, errors propagate
+        (the sink is transactional — nothing partial to unwind)."""
+        try:
+            render = self._render_ansi
+            on_sql = render(m.on)
+            clauses = []
+            for cl in m.clauses:
+                d = {
+                    "matched": cl.matched,
+                    "action": cl.action,
+                    "cond": render(cl.cond) if cl.cond is not None else None,
+                }
+                if cl.action == "update":
+                    d["set"] = (
+                        "*" if cl.set_values == "*"
+                        else {c: render(n) for c, n in cl.set_values.items()}
+                    )
+                elif cl.action == "insert":
+                    if cl.insert_values == "*":
+                        d["values"] = "*"
+                    else:
+                        cols = cl.insert_cols or tcols[: len(cl.insert_values)]
+                        d["values"] = {
+                            cols[i]: render(n) for i, n in enumerate(cl.insert_values)
+                        }
+                clauses.append(d)
+        except ExecError:
+            return None  # not ANSI-renderable → generic path
+        return sink.merge_when(src, on_sql, clauses, t_alias=t_ref, s_alias=s_ref)
+
     def _merge(self, m: SqlMerge) -> int:
         """One-pass plan: target FULL OUTER JOIN source on the merge
         condition; a first-match-wins when-chain picks the acting clause
@@ -3470,7 +3586,14 @@ class Engine:
         chains; kept rows = non-deleted target rows + inserted
         source-only rows. Cardinality rule enforced like Delta: a target
         row matching >1 source rows while any MATCHED clause exists is an
-        error (nondeterministic update), checked with one bounded agg."""
+        error (nondeterministic update), checked with one bounded agg.
+
+        Scale path: the full-outer join is persisted and executed ONCE
+        (cardinality check, affected count, and both output branches all
+        read the cache — previously up to 4 executions per statement),
+        and sinks exposing ``merge_when`` (DeltaMergeSink) get the
+        when-chains lowered to their native merge builder instead of a
+        full-table overwrite."""
         t_ref = m.target_alias or m.target
         s_ref = m.source_alias or m.source or "__src"
         if t_ref == s_ref:
@@ -3478,92 +3601,107 @@ class Engine:
         sink = self.sinks.get(m.target.lower())
         target = sink.scan(self.spark) if sink is not None else self.table(m.target)
         src = self._select_any(m.source_query) if m.source_query is not None else self.table(m.source)
+        self._normalize_merge_sets(m, t_ref, list(target.columns))
+        if sink is not None and hasattr(sink, "merge_when"):
+            n = self._merge_native(m, sink, src, t_ref, s_ref, list(target.columns))
+            if n is not None:
+                return n
         TID, SM = "__merge_tid", "__merge_smatch"
         t = target.withColumn(TID, F.monotonically_increasing_id()).alias(t_ref)
         s = src.withColumn(SM, F.lit(1)).alias(s_ref)
         scope = Scope({t_ref: t, s_ref: s}, includes=self.includes, params=self._scope_params())
-        joined = t.join(s, on=to_column(m.on, scope), how="full_outer")
+        # persist: the cardinality check, the affected count, and both
+        # output branches below all read this ONE materialization instead
+        # of re-executing the full-outer join (at 100 TB, 4 scans → 1)
+        joined = t.join(s, on=to_column(m.on, scope), how="full_outer").persist()
 
         matched = F.col(TID).isNotNull() & F.col(SM).isNotNull()
         not_matched = F.col(TID).isNull()
-        if any(cl.matched for cl in m.clauses):
-            dups = (
-                joined.filter(matched)
-                .groupBy(TID)
-                .agg(F.count(F.lit(1)).alias("__n"))
-                .filter(F.col("__n") > 1)
-                .limit(1)
-                .count()
-            )
-            if dups:
-                raise ExecError(
-                    "MERGE cardinality violation: a target row matched multiple source rows"
+        try:
+            if any(cl.matched for cl in m.clauses):
+                dups = (
+                    joined.filter(matched)
+                    .groupBy(TID)
+                    .agg(F.count(F.lit(1)).alias("__n"))
+                    .filter(F.col("__n") > 1)
+                    .limit(1)
+                    .count()
                 )
+                if dups:
+                    raise ExecError(
+                        "MERGE cardinality violation: a target row matched multiple source rows"
+                    )
 
-        # first-match-wins clause selection
-        action = None
-        for i, cl in enumerate(m.clauses):
-            base = matched if cl.matched else not_matched
-            if cl.cond is not None:
-                base = base & to_column(cl.cond, scope)
-            action = F.when(base, F.lit(f"a{i}")) if action is None else action.when(base, F.lit(f"a{i}"))
-        act = F.coalesce(action, F.lit(""))
-
-        tcols = list(target.columns)
-        scols = set(src.columns)
-        exprs = []
-        for c in tcols:
-            dtype = target.schema[c].dataType
-            e = F.col(f"{t_ref}.{c}")
+            # first-match-wins clause selection
+            action = None
             for i, cl in enumerate(m.clauses):
-                sub = None
-                if cl.action == "update":
-                    if cl.set_values == "*":
-                        if c in scols:
-                            sub = F.col(f"{s_ref}.{c}")
-                    elif c in cl.set_values:
-                        sub = to_column(cl.set_values[c], scope)
-                elif cl.action == "insert":
-                    if cl.insert_values == "*":
-                        sub = F.col(f"{s_ref}.{c}") if c in scols else F.lit(None)
-                    else:
-                        cols = cl.insert_cols or tcols[: len(cl.insert_values)]
-                        low = [x.lower() for x in cols]
-                        sub = (
-                            to_column(cl.insert_values[low.index(c.lower())], scope)
-                            if c.lower() in low
-                            else F.lit(None)
-                        )
-                if sub is not None:
-                    e = F.when(act == f"a{i}", sub.cast(dtype)).otherwise(e)
-            exprs.append(e.alias(c))
+                base = matched if cl.matched else not_matched
+                if cl.cond is not None:
+                    base = base & to_column(cl.cond, scope)
+                action = F.when(base, F.lit(f"a{i}")) if action is None else action.when(base, F.lit(f"a{i}"))
+            act = F.coalesce(action, F.lit(""))
 
-        del_ids = [f"a{i}" for i, cl in enumerate(m.clauses) if cl.action == "delete"]
-        ins_ids = [f"a{i}" for i, cl in enumerate(m.clauses) if cl.action == "insert"]
-        del_pred = act.isin(del_ids) if del_ids else F.lit(False)
-        ins_pred = act.isin(ins_ids) if ins_ids else F.lit(False)
-        # target side deduped by row id: an INSERT-only merge legally joins
-        # a target row against several duplicate-key source rows (no
-        # cardinality rule without a MATCHED arm) and must emit it ONCE;
-        # whenever a MATCHED arm exists, multi-matches errored above, so
-        # the surviving duplicates are value-identical and any survivor is
-        # correct
-        t_part = (
-            joined.filter(F.col(TID).isNotNull() & ~del_pred)
-            .select(F.col(TID), *exprs)
-            .dropDuplicates([TID])
-            .drop(TID)
-        )
-        s_part = joined.filter(F.col(TID).isNull() & ins_pred).select(*exprs)
-        final = t_part.unionByName(s_part)
-        n_affected = joined.filter(act != "").count()
-        if sink is not None:
-            if not hasattr(sink, "overwrite"):
-                raise ExecError(f"sink for {m.target!r} does not support MERGE (needs overwrite())")
-            sink.overwrite(final)
-        else:
-            self.register_df(m.target, final)
-        return n_affected
+            tcols = list(target.columns)
+            scols = set(src.columns)
+            exprs = []
+            for c in tcols:
+                dtype = target.schema[c].dataType
+                e = F.col(f"{t_ref}.{c}")
+                for i, cl in enumerate(m.clauses):
+                    sub = None
+                    if cl.action == "update":
+                        if cl.set_values == "*":
+                            if c in scols:
+                                sub = F.col(f"{s_ref}.{c}")
+                        elif c in cl.set_values:
+                            sub = to_column(cl.set_values[c], scope)
+                    elif cl.action == "insert":
+                        if cl.insert_values == "*":
+                            sub = F.col(f"{s_ref}.{c}") if c in scols else F.lit(None)
+                        else:
+                            cols = cl.insert_cols or tcols[: len(cl.insert_values)]
+                            low = [x.lower() for x in cols]
+                            sub = (
+                                to_column(cl.insert_values[low.index(c.lower())], scope)
+                                if c.lower() in low
+                                else F.lit(None)
+                            )
+                    if sub is not None:
+                        e = F.when(act == f"a{i}", sub.cast(dtype)).otherwise(e)
+                exprs.append(e.alias(c))
+
+            del_ids = [f"a{i}" for i, cl in enumerate(m.clauses) if cl.action == "delete"]
+            ins_ids = [f"a{i}" for i, cl in enumerate(m.clauses) if cl.action == "insert"]
+            del_pred = act.isin(del_ids) if del_ids else F.lit(False)
+            ins_pred = act.isin(ins_ids) if ins_ids else F.lit(False)
+            # target side deduped by row id: an INSERT-only merge legally joins
+            # a target row against several duplicate-key source rows (no
+            # cardinality rule without a MATCHED arm) and must emit it ONCE;
+            # whenever a MATCHED arm exists, multi-matches errored above, so
+            # the surviving duplicates are value-identical and any survivor is
+            # correct
+            t_part = (
+                joined.filter(F.col(TID).isNotNull() & ~del_pred)
+                .select(F.col(TID), *exprs)
+                .dropDuplicates([TID])
+                .drop(TID)
+            )
+            s_part = joined.filter(F.col(TID).isNull() & ins_pred).select(*exprs)
+            final = t_part.unionByName(s_part)
+            n_affected = joined.filter(act != "").count()
+            if sink is not None:
+                if not hasattr(sink, "overwrite"):
+                    raise ExecError(f"sink for {m.target!r} does not support MERGE (needs overwrite())")
+                sink.overwrite(final)
+            else:
+                # materialize through the cache before it is released: the
+                # registered result must not re-execute the full-outer join
+                # on every later read (and chained MERGEs must not build an
+                # O(n²) lineage of nested joins)
+                self.register_df(m.target, final.localCheckpoint(eager=True))
+            return n_affected
+        finally:
+            joined.unpersist()
 
     # ------------------------------------------------------------------
     # COPY — bulk I/O (DuckDB-style superset; executor-parallel writes)

@@ -98,6 +98,46 @@ class DeltaMergeSink:
         commit path)."""
         df.write.format("delta").mode("overwrite").save(self.path)
 
+    def merge_when(
+        self,
+        source: DataFrame,
+        on_sql: str,
+        clauses: list[dict],
+        t_alias: str = "t",
+        s_alias: str = "s",
+    ) -> int:
+        """Native MERGE INTO: the engine's when-chains lowered onto
+        Delta's merge builder — file-pruned and incremental, NO
+        full-table rewrite (the generic engine path overwrites the whole
+        table). ``clauses`` entries: ``{matched, action:
+        'update'|'delete'|'insert', cond: sql|None, set: '*'|{col: sql},
+        values: '*'|{col: sql}}`` — expressions are Spark SQL strings
+        referencing ``t_alias``/``s_alias``, pre-validated by the engine.
+        Returns rows affected, from the commit's operationMetrics.
+        First-match-wins clause order is preserved (Delta evaluates
+        when-clauses in builder order)."""
+        b = self._table().alias(t_alias).merge(source.alias(s_alias), on_sql)
+        for cl in clauses:
+            cond = cl.get("cond")
+            if cl["action"] == "update":
+                if cl["set"] == "*":
+                    b = b.whenMatchedUpdateAll(condition=cond)
+                else:
+                    b = b.whenMatchedUpdate(condition=cond, set=cl["set"])
+            elif cl["action"] == "delete":
+                b = b.whenMatchedDelete(condition=cond)
+            else:  # insert
+                if cl["values"] == "*":
+                    b = b.whenNotMatchedInsertAll(condition=cond)
+                else:
+                    b = b.whenNotMatchedInsert(condition=cond, values=cl["values"])
+        b.execute()
+        om = self._table().history(1).collect()[0].asDict().get("operationMetrics") or {}
+        return sum(
+            int(om.get(k, 0) or 0)
+            for k in ("numTargetRowsUpdated", "numTargetRowsDeleted", "numTargetRowsInserted")
+        )
+
     def update_where(self, cond: Column, assignments: dict[str, Column]) -> None:
         self._table().update(cond, assignments)
 

@@ -132,3 +132,74 @@ class TestMergeInto:
         )
         got = {tuple(r) for r in eng.sql("SELECT id, v, tag FROM tgt").collect()}
         assert got == want
+
+
+class TestMergeSetNormalization:
+    """UPDATE SET key resolution: alias/target-qualified and case-folded
+    keys must resolve to target columns (the lexer folds ``t.v`` into one
+    IDENT); unknown keys must error instead of silently dropping the
+    assignment while still counting the row as affected."""
+
+    def test_alias_qualified_set(self, eng):
+        n = eng.execute(
+            "MERGE INTO tgt t USING src s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET t.v = s.v"
+        )
+        assert n == 2
+        assert _state(eng) == {1: (10, "old"), 2: (200, "old"), 3: (-1, "old")}
+
+    def test_target_name_qualified_and_case_folded_set(self, eng):
+        eng.execute(
+            "MERGE INTO tgt USING src ON tgt.id = src.id "
+            "WHEN MATCHED THEN UPDATE SET tgt.V = src.v"
+        )
+        assert _state(eng)[2] == (200, "old")
+
+    def test_unknown_set_key_raises(self, eng):
+        with pytest.raises(ExecError, match="unknown target column"):
+            eng.execute(
+                "MERGE INTO tgt t USING src s ON t.id = s.id "
+                "WHEN MATCHED THEN UPDATE SET nope = s.v"
+            )
+
+    def test_source_alias_qualified_set_key_raises(self, eng):
+        # SET targets are target columns; a source-qualified key is invalid
+        with pytest.raises(ExecError, match="unknown target column"):
+            eng.execute(
+                "MERGE INTO tgt t USING src s ON t.id = s.id "
+                "WHEN MATCHED THEN UPDATE SET s.v = t.v"
+            )
+
+
+class TestMergeSingleExecution:
+    def test_join_executes_once(self, spark):
+        """The full-outer join is persisted and the whole statement
+        (cardinality check, affected count, output build) reads ONE
+        materialization — pinned by an accumulator that counts scans of
+        the target side (previously up to 4 executions per MERGE)."""
+        acc = spark.sparkContext.accumulator(0)
+        base = spark.createDataFrame(
+            [(1, 10, "old"), (2, 20, "old")], "id long, v long, tag string"
+        )
+
+        def bump(it):
+            acc.add(1)
+            return it
+
+        counted = spark.createDataFrame(base.rdd.coalesce(1).mapPartitions(bump), base.schema)
+        e = Engine(spark, "merge-scan-count")
+        e.register_df("t2", counted)
+        e.register_rows("s2", [{"id": 2, "v": 200, "tag": "new"}, {"id": 9, "v": 900, "tag": "new"}])
+        n = e.execute(
+            "MERGE INTO t2 t USING s2 s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET v = s.v "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+        assert n == 2
+        assert acc.value == 1, f"target scanned {acc.value}x during MERGE (join must execute once)"
+        got = {r["id"]: (r["v"], r["tag"]) for r in e.sql("SELECT * FROM t2").collect()}
+        assert got == {1: (10, "old"), 2: (200, "old"), 9: (900, "new")}
+        # the registered result is materialized: reading it again does not
+        # re-execute the (unpersisted) join
+        e.sql("SELECT * FROM t2").collect()
+        assert acc.value == 1

@@ -324,3 +324,176 @@ class TestParquetMergeSink:
             assert got == expected2
         finally:
             q.stop()
+
+
+class NativeFakeMergeSink(FakeMergeSink):
+    """Protocol fake for the NATIVE merge path (DeltaMergeSink.merge_when):
+    interprets the lowered when-chains over a full-outer join with
+    F.expr, i.e. what Delta's merge builder does — independently of the
+    engine's translate.py lowering."""
+
+    def overwrite(self, df):
+        self.calls.append("overwrite")
+        self.df = df.localCheckpoint(eager=True)
+
+    def merge_when(self, source, on_sql, clauses, t_alias="t", s_alias="s"):
+        self.calls.append("merge_when")
+        self.last_lowering = (on_sql, clauses, t_alias, s_alias)
+        TID, SM = "__tid", "__sm"
+        t = self.df.withColumn(TID, F.monotonically_increasing_id()).alias(t_alias)
+        s = source.withColumn(SM, F.lit(1)).alias(s_alias)
+        j = t.join(s, on=F.expr(on_sql), how="full_outer").persist()
+        matched = F.col(TID).isNotNull() & F.col(SM).isNotNull()
+        act = None
+        for i, cl in enumerate(clauses):
+            base = matched if cl["matched"] else F.col(TID).isNull()
+            if cl.get("cond"):
+                base = base & F.expr(cl["cond"])
+            act = F.when(base, F.lit(i)) if act is None else act.when(base, F.lit(i))
+        act = F.coalesce(act, F.lit(-1))
+        tcols = self.df.columns
+        scols = set(source.columns)
+        exprs = []
+        for c in tcols:
+            dtype = self.df.schema[c].dataType
+            e = F.col(f"{t_alias}.{c}")
+            for i, cl in enumerate(clauses):
+                sub = None
+                if cl["action"] == "update":
+                    if cl["set"] == "*":
+                        sub = F.col(f"{s_alias}.{c}") if c in scols else None
+                    elif c in cl["set"]:
+                        sub = F.expr(cl["set"][c])
+                elif cl["action"] == "insert":
+                    vals = cl["values"]
+                    if vals == "*":
+                        sub = F.col(f"{s_alias}.{c}") if c in scols else F.lit(None)
+                    else:
+                        sub = F.expr(vals[c]) if c in vals else F.lit(None)
+                if sub is not None:
+                    e = F.when(act == i, sub.cast(dtype)).otherwise(e)
+            exprs.append(e.alias(c))
+        del_ids = [i for i, cl in enumerate(clauses) if cl["action"] == "delete"] or [-99]
+        ins_ids = [i for i, cl in enumerate(clauses) if cl["action"] == "insert"] or [-99]
+        keep_t = (
+            j.filter(F.col(TID).isNotNull() & ~act.isin(del_ids))
+            .select(F.col(TID), *exprs)
+            .dropDuplicates([TID])
+            .drop(TID)
+        )
+        ins = j.filter(F.col(TID).isNull() & act.isin(ins_ids)).select(*exprs)
+        n = j.filter(act != -1).count()
+        self.df = keep_t.unionByName(ins).localCheckpoint(eager=True)
+        j.unpersist()
+        return int(n)
+
+
+@pytest.fixture()
+def neng(spark):
+    e = Engine(spark, "native-merge-test")
+    df = spark.createDataFrame(
+        [(1, 10, "old"), (2, 20, "old"), (3, 30, "old")], "id long, v long, tag string"
+    )
+    sink = NativeFakeMergeSink(df, key="id")
+    e.register_sink("tgt", sink)
+    e.register_rows(
+        "src",
+        [
+            {"id": 2, "v": 200, "tag": "new"},
+            {"id": 3, "v": -1, "tag": "new"},
+            {"id": 4, "v": 400, "tag": "new"},
+        ],
+    )
+    return e, sink
+
+
+class TestNativeMergeLowering:
+    """MERGE INTO against a merge_when-capable sink lowers the when-chains
+    to the sink's native builder (Delta: file-pruned incremental merge)
+    instead of the generic full-outer-join + full-table overwrite()."""
+
+    def _state(self, eng):
+        return {r["id"]: (r["v"], r["tag"]) for r in eng.sql("SELECT * FROM tgt").collect()}
+
+    def test_routes_to_native_builder(self, neng):
+        eng, sink = neng
+        n = eng.execute(
+            "MERGE INTO tgt t USING src s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET t.v = s.v "
+            "WHEN NOT MATCHED THEN INSERT (id, v, tag) VALUES (s.id, s.v, 'ins')"
+        )
+        assert sink.calls == ["merge_when"]  # no overwrite: incremental path
+        assert n == 3
+        assert self._state(eng) == {
+            1: (10, "old"), 2: (200, "old"), 3: (-1, "old"), 4: (400, "ins"),
+        }
+
+    def test_clause_order_and_conditions_native(self, neng):
+        eng, sink = neng
+        n = eng.execute(
+            "MERGE INTO tgt t USING src s ON t.id = s.id "
+            "WHEN MATCHED AND s.v < 0 THEN DELETE "
+            "WHEN MATCHED THEN UPDATE SET v = t.v + s.v "
+            "WHEN NOT MATCHED AND s.v > 100 THEN INSERT (id, v, tag) VALUES (s.id, s.v, 'big')"
+        )
+        assert sink.calls == ["merge_when"]
+        assert n == 3
+        assert self._state(eng) == {1: (10, "old"), 2: (220, "old"), 4: (400, "big")}
+
+    def test_set_star_insert_star_native(self, neng):
+        eng, sink = neng
+        eng.execute(
+            "MERGE INTO tgt USING src ON tgt.id = src.id "
+            "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+        )
+        assert sink.calls == ["merge_when"]
+        assert self._state(eng) == {
+            1: (10, "old"), 2: (200, "new"), 3: (-1, "new"), 4: (400, "new"),
+        }
+
+    def test_falls_back_on_divergent_expression(self, neng):
+        """qlbridge BETWEEN is EXCLUSIVE — lowering it verbatim to Spark
+        SQL (inclusive) would silently change results, so the engine must
+        refuse the native path and run the translated generic plan."""
+        eng, sink = neng
+        eng.execute(
+            "MERGE INTO tgt t USING src s ON t.id = s.id "
+            "WHEN MATCHED AND s.v BETWEEN 100 AND 300 THEN UPDATE SET v = s.v"
+        )
+        assert sink.calls == ["overwrite"]  # generic path committed via overwrite
+        # exclusive bounds: only v=200 qualifies (and 100/300 would not)
+        assert self._state(eng) == {1: (10, "old"), 2: (200, "old"), 3: (30, "old")}
+
+    def test_native_matches_generic_path(self, spark):
+        """Same MERGE through the native lowering and the generic engine
+        path must produce identical state and affected counts."""
+        stmt = (
+            "MERGE INTO tgt t USING src s ON t.id = s.id "
+            "WHEN MATCHED AND s.v < 0 THEN DELETE "
+            "WHEN MATCHED THEN UPDATE SET v = s.v + 1, tag = s.tag "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+        rows = [(1, 10, "old"), (2, 20, "old"), (3, 30, "old")]
+        srows = [
+            {"id": 2, "v": 200, "tag": "new"},
+            {"id": 3, "v": -1, "tag": "new"},
+            {"id": 4, "v": 400, "tag": "new"},
+        ]
+        schema = "id long, v long, tag string"
+
+        e1 = Engine(spark, "nm-a")
+        s1 = NativeFakeMergeSink(spark.createDataFrame(rows, schema), key="id")
+        e1.register_sink("tgt", s1)
+        e1.register_rows("src", srows)
+        n1 = e1.execute(stmt)
+        assert s1.calls == ["merge_when"]
+
+        e2 = Engine(spark, "nm-b")
+        e2.register_df("tgt", spark.createDataFrame(rows, schema))
+        e2.register_rows("src", srows)
+        n2 = e2.execute(stmt)
+
+        assert n1 == n2
+        got1 = {tuple(r) for r in e1.sql("SELECT id, v, tag FROM tgt").collect()}
+        got2 = {tuple(r) for r in e2.sql("SELECT id, v, tag FROM tgt").collect()}
+        assert got1 == got2
