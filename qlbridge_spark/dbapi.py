@@ -182,9 +182,20 @@ class Cursor:
                 _miss = object()
                 out = _miss
                 if ps is not False and ps.n_params == len(params):
+                    from .exprparse import ParseError
+                    from .translate import TranslateError
+
                     try:
                         out = ps.execute(*params)
-                    except Exception:
+                    except (ParseError, TranslateError):
+                        # prepare/translate-time failure only: this
+                        # statement shape cannot take typed binds — demote
+                        # to literal splicing. Runtime ExecErrors from a
+                        # successfully-translated execution PROPAGATE: a
+                        # DML that failed after partially applying effects
+                        # must not silently run twice, and the typed-bind
+                        # path must not be permanently lost to a transient
+                        # runtime failure.
                         self._conn._prepared[operation] = False
                         out = _miss
                 if out is _miss:

@@ -273,12 +273,45 @@ class Engine:
         """Drop all cached analyzed plans and subquery folds."""
         self._bump_cache_epoch()
 
+    # nondeterministic constructs whose seeds freeze in an analyzed plan:
+    # caching them would return identical "random" values for the TTL
+    _NONDET_RE = re.compile(r"\b(rand|randn|random|uuid|shuffle)\s*\(", re.IGNORECASE)
+
     def _cacheable(self, text: str, head: str) -> bool:
-        # read-only statements over registry tables; sink-backed tables
-        # mutate OUTSIDE the engine (streaming upserts, direct sink calls)
-        # so their scans must be rebuilt per statement; bound ?-params make
-        # the text non-reusable (prepare() handles that path)
-        return head in ("SELECT", "WITH", "FILTER") and not self.sinks and not self._bound_params
+        # read-only statements only; bound ?-params make the text
+        # non-reusable (prepare() handles that path); planner sources
+        # (SQLite & co.) materialize rows at PLAN time, so a cached plan
+        # would freeze external data and skip plan-inspection state
+        # (mirrors the _fold_key guard); rand()/uuid()/unseeded
+        # TABLESAMPLE must produce fresh values per execution
+        if head not in ("SELECT", "WITH", "FILTER") or self._bound_params or self.planner_sources:
+            return False
+        if self._NONDET_RE.search(text):
+            return False
+        low = text.lower()
+        if "tablesample" in low and "repeatable" not in low:
+            return False
+        return True
+
+    def _sink_version_key(self):
+        """Monotonic version fingerprint of all registered sinks, or None
+        when any sink cannot report one. Sink-backed tables mutate OUTSIDE
+        the engine (streaming upserts, direct sink calls), so cached plans
+        are keyed on sink versions instead of disabling caching outright —
+        one registered merge sink no longer turns off caching for pure
+        registry tables; a sink commit changes the key and forces a miss."""
+        if not self.sinks:
+            return ()
+        fps = []
+        for name, s in sorted(self.sinks.items()):
+            ver = getattr(s, "_version", None)
+            if not callable(ver):
+                return None  # unversioned sink → cache off (as before)
+            try:
+                fps.append((name, ver()))
+            except Exception:
+                return None
+        return tuple(fps)
 
     def execute(self, text: str):
         """Run any statement. SELECT/SHOW/DESCRIBE/FILTER → DataFrame;
@@ -302,7 +335,9 @@ class Engine:
         if self._cacheable(text, head):
             import time as _time
 
-            key = (text, self._cache_epoch)
+            sink_fp = self._sink_version_key()
+            key = (text, self._cache_epoch, sink_fp) if sink_fp is not None else None
+        if key is not None:
             hit = self._plan_cache.get(key)
             if hit is not None and (_time.monotonic() - hit[0]) < self.plan_cache_ttl_s:
                 self.plan_cache_stats["hits"] += 1
@@ -3715,7 +3750,15 @@ class Engine:
         if fmt not in self._COPY_FORMATS:
             raise ExecError(f"COPY format {fmt!r} not supported (one of {sorted(self._COPY_FORMATS)})")
         if c.direction == "TO":
+            from pyspark.sql import Observation
+
             df = self._select_any(c.query) if c.query is not None else self.table(c.table)
+            # row count piggybacks on the write job itself (Observation):
+            # no re-read of the output — previously a full data re-scan
+            # for csv/json, and the csv re-read miscounted under
+            # HEADER false / custom DELIMITER
+            obs = Observation()
+            df = df.observe(obs, F.count(F.lit(1)).alias("n"))
             writer = df.write.format(fmt)
             if c.options.get("overwrite"):
                 writer = writer.mode("overwrite")
@@ -3729,11 +3772,7 @@ class Engine:
             if part:
                 writer = writer.partitionBy(*part)
             writer.save(c.path)
-            # written-row count from the files (parquet/orc: footer
-            # metadata only — no data scan)
-            return self.spark.read.format(fmt).options(
-                **({"header": "true"} if fmt == "csv" else {})
-            ).load(c.path).count()
+            return int(obs.get["n"])
         # COPY <table> FROM '<path>': append into the registered table /
         # sink (DuckDB semantics — the table must exist)
         reader = self.spark.read.format(fmt)

@@ -96,3 +96,35 @@ class TestCopyFrom:
 
         with pytest.raises(ParseError, match="target table"):
             eng.execute(f"COPY (SELECT 1) FROM '{tmp_path}/x'")
+
+
+class TestCopyToCountNoRescan:
+    def test_header_false_custom_delimiter_count(self, eng, spark, tmp_path):
+        """The returned count comes from the write job itself (Observation)
+        — previously a csv re-read hardcoded header=true, consuming the
+        first data row of every part file under HEADER false."""
+        p = str(tmp_path / "out_csv_nh")
+        n = eng.execute(f"COPY t TO '{p}' (FORMAT csv, HEADER false, DELIMITER '|')")
+        assert n == 3
+        back = spark.read.option("header", "false").option("sep", "|").csv(p)
+        assert back.count() == 3
+
+    def test_count_without_output_rescan(self, eng, spark, tmp_path):
+        """COPY TO must not launch a second job re-reading what it just
+        wrote: the whole statement is ONE Spark job (the write, with the
+        count observed on it)."""
+        sc = spark.sparkContext
+        p = str(tmp_path / "out_onejob")
+        sc.setJobGroup("copy-onejob", "copy-onejob")
+        try:
+            n = eng.execute(f"COPY t TO '{p}' (FORMAT csv, HEADER false)")
+        finally:
+            sc.setJobGroup(None, None)
+        assert n == 3
+        jobs = sc.statusTracker().getJobIdsForGroup("copy-onejob")
+        assert len(jobs) == 1, f"COPY TO launched {len(jobs)} jobs (want 1: the write)"
+
+    def test_empty_result_count(self, eng, tmp_path):
+        p = str(tmp_path / "out_empty")
+        n = eng.execute(f"COPY (SELECT id FROM t WHERE id > 99) TO '{p}' (FORMAT json)")
+        assert n == 0

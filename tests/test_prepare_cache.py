@@ -93,7 +93,10 @@ class TestPlanCache:
         # the target table must exist
         assert eng.sql("SELECT count(*) AS n FROM copy1").collect()[0]["n"] == 3
 
-    def test_sink_presence_disables_cache(self, eng, spark, tmp_path):
+    def test_sink_commit_forces_cache_miss(self, eng, spark, tmp_path):
+        """Cached plans are keyed on sink VERSIONS: a direct sink commit
+        (invisible to the engine) changes the key, so the next sql()
+        rebuilds the scan and sees the new data."""
         from qlbridge_spark.sinks import ParquetMergeSink
 
         sink = ParquetMergeSink(spark, str(tmp_path / "s"), key="id")
@@ -107,6 +110,74 @@ class TestPlanCache:
         d2 = eng.sql(q)
         assert d1 is not d2
         assert d2.collect()[0]["n"] == 2
+
+    def test_versioned_sink_does_not_disable_cache(self, eng, spark, tmp_path):
+        """One registered (versioned) merge sink no longer turns off
+        statement caching — neither for pure registry tables nor for the
+        sink table itself while its version is unchanged."""
+        from qlbridge_spark.sinks import ParquetMergeSink
+
+        sink = ParquetMergeSink(spark, str(tmp_path / "s2"), key="id")
+        sink.ensure(spark.createDataFrame([(1, "a")], "id long, v string"))
+        eng.register_sink("st", sink)
+        h0 = eng.plan_cache_stats["hits"]
+        d1 = eng.sql("SELECT id FROM items WHERE qty > 15")
+        d2 = eng.sql("SELECT id FROM items WHERE qty > 15")
+        assert d2 is d1 and eng.plan_cache_stats["hits"] == h0 + 1
+        s1 = eng.sql("SELECT count(*) AS n FROM st")
+        s2 = eng.sql("SELECT count(*) AS n FROM st")
+        assert s2 is s1  # same sink version -> cache hit
+
+    def test_unversioned_sink_disables_cache(self, eng, spark):
+        class Unversioned:
+            key = "id"
+
+            def __init__(self, df):
+                self.df = df
+
+            def scan(self, spark):
+                return self.df
+
+        eng.register_sink("uv", Unversioned(spark.range(3)))
+        d1 = eng.sql("SELECT id FROM items WHERE qty > 15")
+        d2 = eng.sql("SELECT id FROM items WHERE qty > 15")
+        assert d1 is not d2  # cannot fingerprint the sink -> no caching
+
+    def test_planner_source_disables_cache(self, eng, spark, tmp_path):
+        """SQLite & co. materialize rows at PLAN time — a cached plan
+        would freeze external data (mirrors the _fold_key guard)."""
+        import sqlite3
+
+        dbf = str(tmp_path / "pc.db")
+        con = sqlite3.connect(dbf)
+        con.execute("CREATE TABLE t (id INTEGER)")
+        con.execute("INSERT INTO t VALUES (1)")
+        con.commit()
+        eng.execute(
+            'CREATE SOURCE sq WITH {"type": "sqlite", "file": "%s", "table": "t"}' % dbf
+        )
+        d1 = eng.sql("SELECT id FROM items WHERE qty > 15")
+        d2 = eng.sql("SELECT id FROM items WHERE qty > 15")
+        assert d1 is not d2
+        # and the external table reflects mutations between statements
+        assert eng.sql("SELECT count(*) AS n FROM sq").collect()[0]["n"] == 1
+        con.execute("INSERT INTO t VALUES (2)")
+        con.commit()
+        assert eng.sql("SELECT count(*) AS n FROM sq").collect()[0]["n"] == 2
+        con.close()
+
+    def test_nondeterministic_not_cached(self, eng):
+        """rand()/uuid() seeds freeze in an analyzed plan — repeated
+        execution within the TTL must still produce fresh values."""
+        q = "SELECT uuid() AS u FROM items WHERE id = 1"
+        u1 = eng.sql(q).collect()[0]["u"]
+        u2 = eng.sql(q).collect()[0]["u"]
+        assert u1 != u2
+        assert not eng._cacheable("SELECT rand() AS r FROM items", "SELECT")
+        assert not eng._cacheable("SELECT id FROM items TABLESAMPLE (50 PERCENT)", "SELECT")
+        assert eng._cacheable(
+            "SELECT id FROM items TABLESAMPLE (50 PERCENT) REPEATABLE (7)", "SELECT"
+        )
 
 
 class TestPreparedStatement:
@@ -198,3 +269,60 @@ class TestDbapiStillWorks:
         cur = con.cursor()
         cur.execute("SELECT count(*) AS c FROM names WHERE n = ?", ['o"quote'])
         assert cur.fetchone()[0] == 1
+
+
+class TestDbApiFallbackScope:
+    def test_runtime_error_propagates_without_demotion(self, eng):
+        """A runtime ExecError from a successfully-translated prepared
+        execution must PROPAGATE (not trigger a silent literal-splicing
+        re-execution, which would double-apply DML effects) and must not
+        permanently demote the operation from typed binds."""
+        from qlbridge_spark.dbapi import ProgrammingError, connect
+
+        con = connect(engine=eng)
+        cur = con.cursor()
+        op = "SELECT id FROM items WHERE qty > ? ORDER BY id"
+        cur.execute(op, [15])
+        assert [r[0] for r in cur.fetchall()] == [2, 3, 4]
+        ps = con._prepared[op]
+        assert ps is not False
+
+        # force a RUNTIME failure inside the prepared execution: if the
+        # old catch-all fallback were still in place, execute() would run
+        # the statement twice (calls == 2) and demote the handle
+        calls = {"n": 0}
+        real = ps.execute
+
+        def boom(*args):
+            calls["n"] += 1
+            raise ExecError("runtime failure after translate")
+
+        ps.execute = boom
+        try:
+            with pytest.raises(ProgrammingError, match="runtime failure"):
+                cur.execute(op, [15])
+        finally:
+            ps.execute = real
+        assert calls["n"] == 1  # no second (spliced) execution
+        assert con._prepared[op] is ps  # still the typed-bind handle
+
+    def test_translate_failure_still_demotes_to_splicing(self, eng):
+        """The legitimate fallback (statement shapes that cannot take
+        translate-time binds) keeps working: a TranslateError from the
+        prepared path demotes to literal splicing and succeeds."""
+        from qlbridge_spark.dbapi import connect
+        from qlbridge_spark.translate import TranslateError
+
+        con = connect(engine=eng)
+        cur = con.cursor()
+        op = "SELECT id FROM items WHERE qty > ? ORDER BY id"
+        cur.execute(op, [15])
+        ps = con._prepared[op]
+
+        def cannot_bind(*args):
+            raise TranslateError("this shape cannot take typed binds")
+
+        ps.execute = cannot_bind
+        cur.execute(op, [25])  # falls back to splicing, succeeds
+        assert [r[0] for r in cur.fetchall()] == [3, 4]
+        assert con._prepared[op] is False  # demotion remembered
