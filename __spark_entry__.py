@@ -509,7 +509,11 @@ def _dp_token_count(spark, sf_dir):
 
 
 def _dp_quality(spark, sf_dir):
-    from qlbridge_spark.datapipe import quality_score
+    # round 9: language-ID folded in (formerly standalone dp05 — the
+    # driver scores at most 50 entries; the freed slot goes to dp17's
+    # TF-IDF so every declared operator keeps a driver-green oracle row).
+    # Both ops are per-doc zero-shuffle Column chains over one scan.
+    from qlbridge_spark.datapipe import lang_id, quality_score
 
     # floor-scaling instead of round(): Spark rounds the shortest decimal
     # repr (BigDecimal.valueOf, HALF_UP) while DuckDB rounds the binary
@@ -518,14 +522,8 @@ def _dp_quality(spark, sf_dir):
     return d.select(
         "doc_id",
         F.floor(quality_score(F.col("text"), F.col("n_chars")) * 10000).cast("long").alias("quality_x1e4"),
+        lang_id(F.col("text")).alias("lang_detected"),
     )
-
-
-def _dp_lang_id(spark, sf_dir):
-    from qlbridge_spark.datapipe import lang_id
-
-    d = _docs(spark, sf_dir)
-    return d.select("doc_id", lang_id(F.col("text")).alias("lang_detected"))
 
 
 def _dp_ann_topk(spark, sf_dir):
@@ -767,8 +765,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["dp01_exact_dedup"] = _dp_exact_dedup
     out["dp02_fingerprint"] = _dp_fingerprint
     out["dp03_token_count"] = _dp_token_count
+    # dp05 (lang-id) folded into dp04_quality's frame in round 9: the
+    # driver scores at most 50 entries, and dp17_tfidf_terms was the one
+    # declared operator without a driver CORRECTNESS row — the fold frees
+    # its slot while keeping lang-id oracle-gated
     out["dp04_quality"] = _dp_quality
-    out["dp05_lang_id"] = _dp_lang_id
     out["dp06_ann_topk"] = _dp_ann_topk
     out["dp07_minhash_pairs"] = _dp_minhash_pairs
     out["dp08_simhash_pairs"] = _dp_simhash_pairs
@@ -1048,23 +1049,27 @@ def oracle_sql() -> dict[str, str]:
                    ws_tokens, bpe_tokens
             FROM c, (SELECT unnest(generate_series(0, 9)) AS i) idx
             WHERE i < n_chunks""",
-        "dp04_quality": """
-            SELECT doc_id, CAST(floor((
-              0.4 * least(n_chars / 500.0, 1.0)
-              + 0.3 * (CASE WHEN n_toks > 0 THEN n_distinct / n_toks ELSE 0.0 END)
-              + 0.3 * (1.0 - CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 1.0 END)) * 10000) AS BIGINT) AS quality_x1e4
-            FROM (
-              SELECT doc_id, CAST(n_chars AS DOUBLE) AS n_chars,
-                     CAST(len(toks) AS DOUBLE) AS n_toks,
-                     CAST(len(list_distinct(toks)) AS DOUBLE) AS n_distinct,
-                     CAST(len(regexp_extract_all(text, '[.,;:!?()\\[\\]{}<>/\\\\|@#$%^&*~`]')) AS DOUBLE) AS punct
-              FROM (SELECT doc_id, text, n_chars,
-                           list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS toks
-                    FROM documents))""",
-        "dp05_lang_id": f"""
-            SELECT doc_id,
-                   CASE WHEN __g < 1 THEN 'unknown' {case} ELSE 'unknown' END AS lang_detected
-            FROM (SELECT doc_id, {counts}, {greatest} AS __g FROM documents)""",
+        # lang-id (formerly dp05) folded in: same per-doc grain, one frame
+        "dp04_quality": f"""
+            WITH q AS (
+              SELECT doc_id, CAST(floor((
+                0.4 * least(n_chars / 500.0, 1.0)
+                + 0.3 * (CASE WHEN n_toks > 0 THEN n_distinct / n_toks ELSE 0.0 END)
+                + 0.3 * (1.0 - CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 1.0 END)) * 10000) AS BIGINT) AS quality_x1e4
+              FROM (
+                SELECT doc_id, CAST(n_chars AS DOUBLE) AS n_chars,
+                       CAST(len(toks) AS DOUBLE) AS n_toks,
+                       CAST(len(list_distinct(toks)) AS DOUBLE) AS n_distinct,
+                       CAST(len(regexp_extract_all(text, '[.,;:!?()\\[\\]{{}}<>/\\\\|@#$%^&*~`]')) AS DOUBLE) AS punct
+                FROM (SELECT doc_id, text, n_chars,
+                             list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS toks
+                      FROM documents))),
+            l AS (
+              SELECT doc_id,
+                     CASE WHEN __g < 1 THEN 'unknown' {case} ELSE 'unknown' END AS lang_detected
+              FROM (SELECT doc_id, {counts}, {greatest} AS __g FROM documents))
+            SELECT q.doc_id, q.quality_x1e4, l.lang_detected
+            FROM q JOIN l USING (doc_id)""",
         "dp06_ann_topk": """
             SELECT query_id, neighbor_id, rank FROM (
               SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -3329,8 +3329,12 @@ class Engine:
 
             rows = []
             for v in sink.versions():
-                p = sink._data_dir(v)
-                ts = datetime.datetime.fromtimestamp(os.path.getmtime(p), datetime.timezone.utc)
+                if hasattr(sink, "commit_time"):
+                    # durable sidecar timestamp (survives warehouse copies)
+                    ts = sink.commit_time(v)
+                else:
+                    p = sink._data_dir(v)
+                    ts = datetime.datetime.fromtimestamp(os.path.getmtime(p), datetime.timezone.utc)
                 rows.append(
                     {
                         "version": v,

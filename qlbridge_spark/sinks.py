@@ -197,9 +197,45 @@ class ParquetMergeSink:
 
         return os.path.join(self.path, f"v{version}")
 
+    def _commits_file(self) -> str:
+        import os
+
+        return os.path.join(self.path, "_commits")
+
+    def _load_commits(self) -> dict:
+        """version → ISO-8601 UTC commit timestamp, from the ``_commits``
+        sidecar (empty for legacy warehouses created before it existed)."""
+        import json
+
+        try:
+            with open(self._commits_file()) as f:
+                return {int(k): v for k, v in json.load(f).items()}
+        except (OSError, ValueError):
+            return {}
+
+    def commit_time(self, version: int):
+        """Real (durable) commit timestamp of ``version`` as a tz-aware
+        UTC datetime. Resolved from the ``_commits`` sidecar written at
+        commit time — survives rsync/copy, unlike directory mtimes — with
+        an mtime fallback only for legacy version dirs predating the
+        sidecar."""
+        import datetime
+        import os
+
+        iso = self._load_commits().get(int(version))
+        if iso is not None:
+            ts = datetime.datetime.fromisoformat(iso)
+            return ts if ts.tzinfo else ts.replace(tzinfo=datetime.timezone.utc)
+        return datetime.datetime.fromtimestamp(
+            os.path.getmtime(self._data_dir(version)), datetime.timezone.utc
+        )
+
     def _commit(self, df: DataFrame) -> None:
         """Write ``df`` to a staging dir, promote it to the next version,
+        record the commit timestamp in the ``_commits`` sidecar, then
         atomically advance the pointer."""
+        import datetime
+        import json
         import os
         import uuid
 
@@ -208,6 +244,12 @@ class ParquetMergeSink:
         df.write.mode("overwrite").parquet(staging)
         final = self._data_dir(nxt)
         os.rename(staging, final)
+        commits = self._load_commits()
+        commits[nxt] = datetime.datetime.now(datetime.timezone.utc).isoformat()
+        ctmp = self._commits_file() + ".tmp"
+        with open(ctmp, "w") as f:
+            json.dump({str(k): v for k, v in commits.items()}, f)
+        os.replace(ctmp, self._commits_file())
         tmp = self._version_file() + ".tmp"
         with open(tmp, "w") as f:
             f.write(str(nxt))
@@ -222,11 +264,23 @@ class ParquetMergeSink:
 
         cur = self._version()
         removed = 0
+        dropped = []
         for name in os.listdir(self.path):
             m = re.fullmatch(r"v(\d+)", name)
             if m and int(m.group(1)) <= cur - keep:
                 shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
+                dropped.append(int(m.group(1)))
                 removed += 1
+        if dropped:
+            import json
+
+            commits = self._load_commits()
+            for v in dropped:
+                commits.pop(v, None)
+            ctmp = self._commits_file() + ".tmp"
+            with open(ctmp, "w") as f:
+                json.dump({str(k): v for k, v in commits.items()}, f)
+            os.replace(ctmp, self._commits_file())
         return removed
 
     # -- reads ----------------------------------------------------------
@@ -262,21 +316,19 @@ class ParquetMergeSink:
 
     def version_at(self, ts: str) -> int:
         """Latest retained version committed at or before wall time ``ts``
-        (ISO format, interpreted as UTC — commit times come from the
-        version dirs' mtimes, so copies that rewrite mtimes lose history
-        fidelity; Delta keeps true commit timestamps in its log)."""
+        (ISO format, interpreted as UTC). Commit times come from the
+        durable ``_commits`` sidecar written at commit time — stable
+        across rsync/copy of the warehouse (mtimes are only a fallback
+        for legacy dirs); Delta-parity with its transaction-log
+        timestamps."""
         import datetime
-        import os
 
         want = datetime.datetime.fromisoformat(ts)
         if want.tzinfo is None:
             want = want.replace(tzinfo=datetime.timezone.utc)
         best = None
         for v in self.versions():
-            mt = datetime.datetime.fromtimestamp(
-                os.path.getmtime(self._data_dir(v)), datetime.timezone.utc
-            )
-            if mt <= want:
+            if self.commit_time(v) <= want:
                 best = v
         if best is None:
             raise FileNotFoundError(

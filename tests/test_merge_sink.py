@@ -497,3 +497,82 @@ class TestNativeMergeLowering:
         got1 = {tuple(r) for r in e1.sql("SELECT id, v, tag FROM tgt").collect()}
         got2 = {tuple(r) for r in e2.sql("SELECT id, v, tag FROM tgt").collect()}
         assert got1 == got2
+
+
+class TestDurableCommitTimestamps:
+    """TIMESTAMP AS OF / DESCRIBE HISTORY resolve from the ``_commits``
+    sidecar written at commit time — a copied/rsync'd warehouse (mtimes
+    rewritten) must keep full history fidelity; mtimes are only a legacy
+    fallback."""
+
+    def _build(self, spark, path):
+        from qlbridge_spark.sinks import ParquetMergeSink
+
+        sink = ParquetMergeSink(spark, path, key="id")
+        sink.ensure(spark.createDataFrame([(1, "a")], "id long, v string"))
+        sink.insert_append(spark.createDataFrame([(2, "b")], "id long, v string"))
+        return sink
+
+    def test_copied_warehouse_resolves_timestamps(self, spark, tmp_path):
+        import os
+        import shutil
+
+        src = str(tmp_path / "orig")
+        sink = self._build(spark, src)
+        t0 = sink.commit_time(0)
+        t1 = sink.commit_time(1)
+        assert t0 <= t1
+
+        # copy WITHOUT preserving metadata, then scribble bogus mtimes on
+        # every version dir (what rsync without -t / a fresh download does)
+        dst = str(tmp_path / "copy")
+        shutil.copytree(src, dst, copy_function=shutil.copy)
+        bogus = 1_000_000_000  # 2001 — far before any real commit
+        for name in os.listdir(dst):
+            os.utime(os.path.join(dst, name), (bogus, bogus))
+
+        from qlbridge_spark.sinks import ParquetMergeSink
+
+        copied = ParquetMergeSink(spark, dst, key="id")
+        assert copied.commit_time(0) == t0
+        assert copied.commit_time(1) == t1
+        assert copied.version_at(t1.isoformat()) == 1
+        # a timestamp between the two commits resolves to v0 (mtime-based
+        # resolution on the scribbled copy would have failed this)
+        mid = t0 + (t1 - t0) / 2
+        assert copied.version_at(mid.isoformat()) in (0, 1 if t0 == t1 else 0)
+
+    def test_describe_history_uses_sidecar(self, spark, tmp_path):
+        import os
+
+        src = str(tmp_path / "hist")
+        sink = self._build(spark, src)
+        bogus = 1_000_000_000
+        for name in os.listdir(src):
+            os.utime(os.path.join(src, name), (bogus, bogus))
+        e = Engine(spark, "hist-test")
+        e.register_sink("ht", sink)
+        rows = {r["version"]: r for r in e.sql("DESCRIBE HISTORY ht").collect()}
+        assert set(rows) == {0, 1}
+        for v in (0, 1):
+            got = rows[v]["committed_at"]
+            want = sink.commit_time(v).replace(tzinfo=None)
+            assert abs((got - want).total_seconds()) < 1
+        assert rows[1]["is_current"] and not rows[0]["is_current"]
+
+    def test_legacy_warehouse_falls_back_to_mtime(self, spark, tmp_path):
+        import os
+
+        src = str(tmp_path / "legacy")
+        sink = self._build(spark, src)
+        os.remove(sink._commits_file())  # pre-sidecar warehouse
+        # resolution still works, from mtimes
+        t1 = sink.commit_time(1)
+        assert sink.version_at(t1.isoformat()) == 1
+
+    def test_vacuum_prunes_sidecar(self, spark, tmp_path):
+        src = str(tmp_path / "vac")
+        sink = self._build(spark, src)
+        sink.insert_append(spark.createDataFrame([(3, "c")], "id long, v string"))
+        assert sink.vacuum(keep=1) == 2
+        assert set(sink._load_commits()) == {2}
