@@ -58,6 +58,7 @@ from .rel import (
     SqlSetOp,
     SqlShow,
     SqlUpdate,
+    SqlVacuum,
     SubqueryNode,
     parse_filterql,
     parse_sql,
@@ -262,7 +263,7 @@ class Engine:
     # ------------------------------------------------------------------
     # statement classes that can mutate engine/table state — executing one
     # invalidates the plan/fold caches
-    _MUTATING_STMTS = ("SqlInsert", "SqlUpdate", "SqlDelete", "SqlCreate", "SqlDrop", "SqlCommand", "SqlAlter", "SqlCopy", "SqlMerge")
+    _MUTATING_STMTS = ("SqlInsert", "SqlUpdate", "SqlDelete", "SqlCreate", "SqlDrop", "SqlCommand", "SqlAlter", "SqlCopy", "SqlMerge", "SqlVacuum")
 
     def _bump_cache_epoch(self) -> None:
         self._cache_epoch += 1
@@ -393,6 +394,8 @@ class Engine:
             return self._copy(stmt)
         if isinstance(stmt, SqlMerge):
             return self._merge(stmt)
+        if isinstance(stmt, SqlVacuum):
+            return self._vacuum(stmt)
         if isinstance(stmt, SqlAlter):
             # parity: reference plans but never executes ALTER
             # (exec/ddl.go:136-152 → ErrNotImplemented)
@@ -3741,6 +3744,22 @@ class Engine:
             return n_affected
         finally:
             joined.unpersist()
+
+    def _vacuum(self, v: SqlVacuum) -> int:
+        """``VACUUM t [RETAIN n VERSIONS]`` — lifecycle statement for the
+        versioned MERGE sinks (Delta-parity; the reference has no
+        versioned storage). Returns the number of snapshot versions
+        dropped. Classed as mutating so cached plans pinned to old
+        version dirs (VERSION AS OF reads) are invalidated."""
+        sink = self.sinks.get(v.table.lower())
+        if sink is None or not hasattr(sink, "vacuum"):
+            raise ExecError(
+                f"VACUUM requires a versioned sink table; {v.table!r} is not one"
+            )
+        keep = 1 if v.retain is None else int(v.retain)
+        if keep < 1:
+            raise ExecError("VACUUM RETAIN must keep at least 1 version")
+        return sink.vacuum(keep=keep)
 
     # ------------------------------------------------------------------
     # COPY — bulk I/O (DuckDB-style superset; executor-parallel writes)

@@ -286,6 +286,17 @@ class SqlCommand:
 
 
 @dataclass
+class SqlVacuum:
+    """``VACUUM <sink table> [RETAIN <n> VERSIONS]`` — drop all but the
+    newest n committed snapshot versions of a versioned MERGE sink
+    (Delta-parity lifecycle statement; pairs with VERSION AS OF /
+    DESCRIBE HISTORY)."""
+
+    table: str = ""
+    retain: int | None = None
+
+
+@dataclass
 class FilterStatement:
     """FilterQL (rel/filter.go:35-46): FILTER <expr> [FROM t] [LIMIT n]
     [WITH {}] [ALIAS name]; FILTER SELECT cols FROM t WHERE ..."""
@@ -377,6 +388,14 @@ class SqlParser(ExprParser):
             return self.parse_copy()
         if kw == "MERGE":
             return self.parse_merge()
+        if kw == "VACUUM":
+            self.advance()
+            table = self.advance().val
+            retain = None
+            if self.eat_kw("RETAIN"):
+                retain = int(self.expect(NUMBER).val)
+                self.expect(IDENT, "VERSIONS")
+            return SqlVacuum(table=table, retain=retain)
         raise ParseError(f"unsupported statement {kw}")
 
     def parse_merge(self) -> "SqlMerge":

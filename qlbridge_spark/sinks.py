@@ -147,6 +147,19 @@ class DeltaMergeSink:
         else:
             self._table().delete(cond)
 
+    def vacuum(self, keep: int = 1, retention_hours: float | None = None) -> int:
+        """Delta VACUUM (protocol parity with ParquetMergeSink.vacuum —
+        the engine's ``VACUUM t`` statement routes here). Delta retention
+        is TIME-based, not version-count-based: ``keep`` is accepted for
+        protocol compatibility, ``retention_hours`` governs what Delta
+        actually removes (its own default when None). Returns 0 — Delta
+        does not report a removed-version count."""
+        if retention_hours is None:
+            self._table().vacuum()
+        else:
+            self._table().vacuum(retention_hours)
+        return 0
+
 
 class ParquetMergeSink:
     """Durable MERGE-capable sink over plain parquet — the no-extra-

@@ -528,11 +528,6 @@ def _window(node: WindowNode, scope: Scope) -> Column:
             col = F.last(target, ignorenulls=ign)
     elif name in ("lag", "lead"):
         args = node.func.args
-        if getattr(node.func, "ignore_nulls", False):
-            raise TranslateError(
-                f"{name}() IGNORE NULLS is not supported (no PySpark equivalent); "
-                "use last_value/first_value IGNORE NULLS over an explicit frame instead"
-            )
         if not args or len(args) > 3:
             raise TranslateError(f"{name}(expr[, offset[, default]]) takes 1-3 arguments")
         target = to_column(args[0], scope)
@@ -541,9 +536,33 @@ def _window(node: WindowNode, scope: Scope) -> Column:
             if not isinstance(args[1], NumberNode) or not args[1].is_int:
                 raise TranslateError(f"{name}: offset must be an integer literal, got {args[1].sql()}")
             off = int(args[1].value)
+        if len(args) > 2 and not isinstance(args[2], (NumberNode, StringNode, BoolNode)):
+            raise TranslateError(f"{name}: default must be a literal, got {args[2].sql()}")
+        if getattr(node.func, "ignore_nulls", False):
+            # ANSI lag/lead IGNORE NULLS (no PySpark builder) — rewritten
+            # to a value function over an explicit frame, DuckDB-parity:
+            #   lag(x, k)  → k-th last non-null in ROWS [unbounded, -1]
+            #   lead(x, k) → k-th non-null in ROWS [+1, unbounded]
+            # k=1 lowers to last/first(ignorenulls) — O(1) running state;
+            # k>1 collects the frame's non-null values (bounded by the
+            # partition) and indexes from the appropriate end.
+            if off < 1:
+                raise TranslateError(f"{name}: IGNORE NULLS requires offset >= 1, got {off}")
+            if name == "lag":
+                fw = w.rowsBetween(Window.unboundedPreceding, -1)
+            else:
+                fw = w.rowsBetween(1, Window.unboundedFollowing)
+            if off == 1:
+                out = (F.last if name == "lag" else F.first)(target, ignorenulls=True).over(fw)
+            else:
+                vals = F.collect_list(target).over(fw)
+                # try_element_at: out-of-range (fewer than k non-null
+                # values in the frame) yields NULL, ANSI-mode-safe
+                out = F.try_element_at(vals, F.lit(-off if name == "lag" else off))
+            if len(args) > 2:
+                out = F.coalesce(out, F.lit(args[2].value))
+            return out
         if len(args) > 2:
-            if not isinstance(args[2], (NumberNode, StringNode, BoolNode)):
-                raise TranslateError(f"{name}: default must be a literal, got {args[2].sql()}")
             col = (F.lag if name == "lag" else F.lead)(target, off, args[2].value)
         else:
             col = (F.lag if name == "lag" else F.lead)(target, off)

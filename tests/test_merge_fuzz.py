@@ -158,3 +158,41 @@ def test_merge_fuzz_matches_reference(meng, spark):
         if got != want:
             failures.append((case, stmt, t_rows, s_rows, want, got))
     assert not failures, f"{len(failures)} mismatching merges; first: {failures[0]}"
+
+
+def test_merge_fuzz_native_lowering(spark):
+    """The same randomized property corpus through the NATIVE sink
+    lowering (merge_when protocol fake interpreting the lowered
+    when-chains with F.expr, Delta-style) — every generated expression is
+    ANSI-safe, so the native path must be taken each time and agree with
+    the independent reference interpreter, including cardinality errors."""
+    from test_merge_sink import NativeFakeMergeSink
+
+    rng = random.Random(20260901)
+    failures = []
+    for case in range(20):
+        t_rows = _gen_rows(rng, rng.randint(4, 10), 8, dup_frac=0.0)
+        seen = set()
+        t_rows = [r for r in t_rows if r["k"] is None or (r["k"] not in seen and not seen.add(r["k"]))]
+        s_rows = _gen_rows(rng, rng.randint(3, 9), 11)
+        clauses = _gen_clauses(rng)
+        stmt = (
+            "MERGE INTO tgt t USING src s ON t.k = s.k "
+            + " ".join(sql for sql, *_ in clauses)
+        )
+        e = Engine(spark, f"merge-fuzz-native-{case}")
+        sink = NativeFakeMergeSink(
+            spark.createDataFrame([(r["k"], r["v"]) for r in t_rows], "k int, v int"), key="k"
+        )
+        e.register_sink("tgt", sink)
+        e.register_df("src", spark.createDataFrame([(r["k"], r["v"]) for r in s_rows], "k int, v int"))
+        want = _reference_merge(t_rows, s_rows, clauses)
+        try:
+            e.execute(stmt)
+            assert sink.calls == ["merge_when"], f"case {case}: generic fallback taken for {stmt}"
+            got = sorted(((r["k"], r["v"]) for r in sink.df.collect()), key=repr)
+        except Exception as ex:
+            got = "cardinality" if "cardinality" in str(ex) else f"error: {ex}"
+        if got != want:
+            failures.append((case, stmt, t_rows, s_rows, want, got))
+    assert not failures, f"{len(failures)} mismatching native merges; first: {failures[0]}"

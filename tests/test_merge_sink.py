@@ -344,6 +344,15 @@ class NativeFakeMergeSink(FakeMergeSink):
         s = source.withColumn(SM, F.lit(1)).alias(s_alias)
         j = t.join(s, on=F.expr(on_sql), how="full_outer").persist()
         matched = F.col(TID).isNotNull() & F.col(SM).isNotNull()
+        if any(cl["matched"] for cl in clauses):
+            # Delta raises on a target row matching multiple source rows
+            # whenever the merge has MATCHED clauses
+            dups = (
+                j.filter(matched).groupBy(TID).count().filter(F.col("count") > 1).limit(1).count()
+            )
+            if dups:
+                j.unpersist()
+                raise Exception("DELTA_MERGE cardinality violation: multiple source rows matched")
         act = None
         for i, cl in enumerate(clauses):
             base = matched if cl["matched"] else F.col(TID).isNull()
@@ -576,3 +585,57 @@ class TestDurableCommitTimestamps:
         sink.insert_append(spark.createDataFrame([(3, "c")], "id long, v string"))
         assert sink.vacuum(keep=1) == 2
         assert set(sink._load_commits()) == {2}
+
+
+class TestVacuumStatement:
+    """``VACUUM t [RETAIN n VERSIONS]`` — SQL lifecycle surface over the
+    versioned sinks (pairs with VERSION AS OF / DESCRIBE HISTORY)."""
+
+    def _sink(self, spark, path):
+        from qlbridge_spark.sinks import ParquetMergeSink
+
+        sink = ParquetMergeSink(spark, path, key="id")
+        sink.ensure(spark.createDataFrame([(1, "a")], "id long, v string"))
+        sink.insert_append(spark.createDataFrame([(2, "b")], "id long, v string"))
+        sink.insert_append(spark.createDataFrame([(3, "c")], "id long, v string"))
+        return sink
+
+    def test_vacuum_retain(self, spark, tmp_path):
+        sink = self._sink(spark, str(tmp_path / "w"))
+        e = Engine(spark, "vac-test")
+        e.register_sink("wh", sink)
+        assert e.execute("VACUUM wh RETAIN 2 VERSIONS") == 1
+        assert sink.versions() == [1, 2]
+        # default retains only the current version
+        assert e.execute("VACUUM wh") == 1
+        assert sink.versions() == [2]
+        assert {r["v"] for r in e.sql("SELECT v FROM wh").collect()} == {"a", "b", "c"}
+
+    def test_vacuum_invalidates_cached_snapshot_reads(self, spark, tmp_path):
+        """A cached `VERSION AS OF` plan pins old version dirs — VACUUM is
+        a mutating statement, so the cache epoch bumps and the stale read
+        errors cleanly instead of failing mid-scan."""
+        sink = self._sink(spark, str(tmp_path / "w2"))
+        e = Engine(spark, "vac-test2")
+        e.register_sink("wh", sink)
+        assert e.sql("SELECT count(*) AS n FROM wh VERSION AS OF 0").collect()[0]["n"] == 1
+        e.execute("VACUUM wh")
+        with pytest.raises(Exception, match="not available|version"):
+            e.sql("SELECT count(*) AS n FROM wh VERSION AS OF 0").collect()
+
+    def test_vacuum_non_sink_errors(self, spark):
+        from qlbridge_spark.engine import ExecError
+
+        e = Engine(spark, "vac-test3")
+        e.register_df("plain", spark.range(3))
+        with pytest.raises(ExecError, match="versioned sink"):
+            e.execute("VACUUM plain")
+
+    def test_vacuum_retain_zero_errors(self, spark, tmp_path):
+        from qlbridge_spark.engine import ExecError
+
+        sink = self._sink(spark, str(tmp_path / "w3"))
+        e = Engine(spark, "vac-test4")
+        e.register_sink("wh", sink)
+        with pytest.raises(ExecError, match="at least 1"):
+            e.execute("VACUUM wh RETAIN 0 VERSIONS")

@@ -684,12 +684,41 @@ class TestCaseAndNullTreatment:
         ).collect()
         assert [r.n2 for r in rows] == ["a", "a", "a", "a", None]
 
-    def test_ignore_nulls_on_lag_errors(self, ceng):
+    def test_lag_lead_ignore_nulls_duckdb_differential(self, ceng):
+        """lag/lead IGNORE NULLS (rewritten to value functions over an
+        explicit frame) — every shape cross-checked against DuckDB on the
+        same rows: k=1 (last/first running state), k>1 (frame collect),
+        and the 3-arg default form."""
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE nt AS SELECT * FROM (VALUES "
+            "(1, 1, NULL), (1, 2, 'a'), (1, 3, NULL), (1, 4, 'b'), (2, 1, NULL)"
+            ") t(g, i, v)"
+        )
+        shapes = [
+            "lag(v) IGNORE NULLS",
+            "lag(v, 2) IGNORE NULLS",
+            "lead(v) IGNORE NULLS",
+            "lead(v, 2) IGNORE NULLS",
+            "lag(v, 1, 'dflt') IGNORE NULLS",
+            "lead(v, 1, 'dflt') IGNORE NULLS",
+        ]
+        for shape in shapes:
+            q = f"SELECT g, i, {shape} OVER (PARTITION BY g ORDER BY i) AS o FROM nt ORDER BY g, i"
+            got = [r.o for r in ceng.execute(q).collect()]
+            # DuckDB puts the null-treatment clause inside the parens
+            dq = q.replace(") IGNORE NULLS", " IGNORE NULLS)")
+            want = [r[2] for r in con.execute(dq).fetchall()]
+            assert got == want, f"{shape}: spark={got} duckdb={want}"
+
+    def test_lag_ignore_nulls_bad_offset(self, ceng):
         from qlbridge_spark.translate import TranslateError
 
-        with pytest.raises((TranslateError, Exception), match="IGNORE NULLS"):
+        with pytest.raises((TranslateError, Exception), match="offset"):
             ceng.execute(
-                "SELECT lag(v) IGNORE NULLS OVER (PARTITION BY g ORDER BY i) FROM nt"
+                "SELECT lag(v, 0) IGNORE NULLS OVER (PARTITION BY g ORDER BY i) FROM nt"
             ).collect()
 
     def test_ignore_nulls_outside_window_errors(self, ceng):
