@@ -57,6 +57,7 @@ from .rel import (
     SqlSelect,
     SqlSetOp,
     SqlShow,
+    SqlRestore,
     SqlUpdate,
     SqlVacuum,
     SubqueryNode,
@@ -263,7 +264,7 @@ class Engine:
     # ------------------------------------------------------------------
     # statement classes that can mutate engine/table state — executing one
     # invalidates the plan/fold caches
-    _MUTATING_STMTS = ("SqlInsert", "SqlUpdate", "SqlDelete", "SqlCreate", "SqlDrop", "SqlCommand", "SqlAlter", "SqlCopy", "SqlMerge", "SqlVacuum")
+    _MUTATING_STMTS = ("SqlInsert", "SqlUpdate", "SqlDelete", "SqlCreate", "SqlDrop", "SqlCommand", "SqlAlter", "SqlCopy", "SqlMerge", "SqlVacuum", "SqlRestore")
 
     def _bump_cache_epoch(self) -> None:
         self._cache_epoch += 1
@@ -396,6 +397,8 @@ class Engine:
             return self._merge(stmt)
         if isinstance(stmt, SqlVacuum):
             return self._vacuum(stmt)
+        if isinstance(stmt, SqlRestore):
+            return self._restore(stmt)
         if isinstance(stmt, SqlAlter):
             # parity: reference plans but never executes ALTER
             # (exec/ddl.go:136-152 → ErrNotImplemented)
@@ -3760,6 +3763,18 @@ class Engine:
         if keep < 1:
             raise ExecError("VACUUM RETAIN must keep at least 1 version")
         return sink.vacuum(keep=keep)
+
+    def _restore(self, r: SqlRestore) -> int:
+        """``RESTORE [TABLE] t TO VERSION AS OF n | TO TIMESTAMP AS OF
+        '<ts>'`` — roll a versioned sink back to a past snapshot by
+        committing it as the NEW current version (history preserved;
+        Delta-parity). Returns the new current version number."""
+        sink = self.sinks.get(r.table.lower())
+        if sink is None or not hasattr(sink, "restore"):
+            raise ExecError(
+                f"RESTORE requires a versioned sink table; {r.table!r} is not one"
+            )
+        return sink.restore(version=r.version, timestamp=r.timestamp)
 
     # ------------------------------------------------------------------
     # COPY — bulk I/O (DuckDB-style superset; executor-parallel writes)

@@ -286,6 +286,18 @@ class SqlCommand:
 
 
 @dataclass
+class SqlRestore:
+    """``RESTORE [TABLE] <sink table> TO VERSION AS OF n | TO TIMESTAMP
+    AS OF '<ts>'`` — roll a versioned MERGE sink back to a past snapshot
+    by committing it as the NEW current version (history is preserved;
+    Delta-parity RESTORE TABLE)."""
+
+    table: str = ""
+    version: int | None = None
+    timestamp: str | None = None
+
+
+@dataclass
 class SqlVacuum:
     """``VACUUM <sink table> [RETAIN <n> VERSIONS]`` — drop all but the
     newest n committed snapshot versions of a versioned MERGE sink
@@ -396,6 +408,20 @@ class SqlParser(ExprParser):
                 retain = int(self.expect(NUMBER).val)
                 self.expect(IDENT, "VERSIONS")
             return SqlVacuum(table=table, retain=retain)
+        if kw == "RESTORE":
+            self.advance()
+            self.eat_kw("TABLE")
+            table = self.advance().val
+            self.expect(IDENT, "TO")
+            if self.eat_kw("VERSION"):
+                self.expect(IDENT, "AS")
+                self.expect(IDENT, "OF")
+                return SqlRestore(table=table, version=int(self.expect(NUMBER).val))
+            if self.eat_kw("TIMESTAMP"):
+                self.expect(IDENT, "AS")
+                self.expect(IDENT, "OF")
+                return SqlRestore(table=table, timestamp=self.expect(STRING).val)
+            raise ParseError("RESTORE requires TO VERSION AS OF n or TO TIMESTAMP AS OF '<ts>'")
         raise ParseError(f"unsupported statement {kw}")
 
     def parse_merge(self) -> "SqlMerge":

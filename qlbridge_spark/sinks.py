@@ -147,6 +147,19 @@ class DeltaMergeSink:
         else:
             self._table().delete(cond)
 
+    def restore(self, version: int | None = None, timestamp: str | None = None) -> int:
+        """Delta RESTORE TABLE (engine ``RESTORE`` statement): rolls the
+        table back to a past version/timestamp via Delta's native restore
+        (file-level, transactional). Returns the post-restore version."""
+        if (version is None) == (timestamp is None):
+            raise ValueError("restore takes exactly one of version= or timestamp=")
+        t = self._table()
+        if version is not None:
+            t.restoreToVersion(int(version))
+        else:
+            t.restoreToTimestamp(timestamp)
+        return int(t.history(1).collect()[0]["version"])
+
     def vacuum(self, keep: int = 1, retention_hours: float | None = None) -> int:
         """Delta VACUUM (protocol parity with ParquetMergeSink.vacuum —
         the engine's ``VACUUM t`` statement routes here). Delta retention
@@ -374,6 +387,18 @@ class ParquetMergeSink:
         """Replace the table contents as a NEW committed version (engine
         MERGE INTO commit path; old snapshots stay time-travelable)."""
         self._commit(df)
+
+    def restore(self, version: int | None = None, timestamp: str | None = None) -> int:
+        """Roll back to a past snapshot by committing it as the NEW
+        current version (engine ``RESTORE TABLE``; Delta-parity). History
+        is preserved — the restore itself is a commit that can be
+        time-traveled past or vacuumed like any other. Returns the new
+        current version number."""
+        if (version is None) == (timestamp is None):
+            raise ValueError("restore takes exactly one of version= or timestamp=")
+        v = int(version) if version is not None else self.version_at(timestamp)
+        self._commit(self.scan(self.spark, v))
+        return self._version()
 
     def update_where(self, cond: Column, assignments: dict[str, Column]) -> None:
         from pyspark.sql import functions as F

@@ -639,3 +639,63 @@ class TestVacuumStatement:
         e.register_sink("wh", sink)
         with pytest.raises(ExecError, match="at least 1"):
             e.execute("VACUUM wh RETAIN 0 VERSIONS")
+
+
+class TestRestoreStatement:
+    """``RESTORE [TABLE] t TO VERSION|TIMESTAMP AS OF …`` — rollback as a
+    NEW commit (history preserved), completing the reproducible-runs
+    lifecycle with VERSION AS OF / DESCRIBE HISTORY / VACUUM."""
+
+    def _sink(self, spark, path):
+        from qlbridge_spark.sinks import ParquetMergeSink
+
+        sink = ParquetMergeSink(spark, path, key="id")
+        sink.ensure(spark.createDataFrame([(1, "a")], "id long, v string"))
+        sink.insert_append(spark.createDataFrame([(2, "b")], "id long, v string"))
+        sink.merge_upsert(spark.createDataFrame([(1, "A2")], "id long, v string"))
+        return sink
+
+    def test_restore_to_version(self, spark, tmp_path):
+        sink = self._sink(spark, str(tmp_path / "r"))
+        e = Engine(spark, "restore-test")
+        e.register_sink("wh", sink)
+        assert {tuple(r) for r in e.sql("SELECT id, v FROM wh").collect()} == {(1, "A2"), (2, "b")}
+        new_v = e.execute("RESTORE TABLE wh TO VERSION AS OF 0")
+        assert new_v == 3  # rollback is a new commit, not history rewrite
+        assert {tuple(r) for r in e.sql("SELECT id, v FROM wh").collect()} == {(1, "a")}
+        # pre-restore state is still reachable through time travel
+        assert {tuple(r) for r in e.sql("SELECT id, v FROM wh VERSION AS OF 2").collect()} == {
+            (1, "A2"), (2, "b"),
+        }
+        assert [r["version"] for r in e.sql("DESCRIBE HISTORY wh").collect()] == [0, 1, 2, 3]
+
+    def test_restore_to_timestamp(self, spark, tmp_path):
+        sink = self._sink(spark, str(tmp_path / "rt"))
+        e = Engine(spark, "restore-test-ts")
+        e.register_sink("wh", sink)
+        t1 = sink.commit_time(1).isoformat()
+        e.execute(f"RESTORE wh TO TIMESTAMP AS OF '{t1}'")
+        assert {tuple(r) for r in e.sql("SELECT id, v FROM wh").collect()} == {(1, "a"), (2, "b")}
+
+    def test_restore_invalidates_cached_plans(self, spark, tmp_path):
+        sink = self._sink(spark, str(tmp_path / "rc"))
+        e = Engine(spark, "restore-test-c")
+        e.register_sink("wh", sink)
+        assert e.sql("SELECT count(*) AS n FROM wh").collect()[0]["n"] == 2
+        e.execute("RESTORE wh TO VERSION AS OF 0")
+        assert e.sql("SELECT count(*) AS n FROM wh").collect()[0]["n"] == 1
+
+    def test_restore_non_sink_errors(self, spark):
+        from qlbridge_spark.engine import ExecError
+
+        e = Engine(spark, "restore-test-e")
+        e.register_df("plain", spark.range(2))
+        with pytest.raises(ExecError, match="versioned sink"):
+            e.execute("RESTORE plain TO VERSION AS OF 0")
+
+    def test_restore_parse_errors(self, spark):
+        from qlbridge_spark.rel import parse_sql
+        from qlbridge_spark.exprparse import ParseError
+
+        with pytest.raises(ParseError, match="VERSION AS OF"):
+            parse_sql("RESTORE TABLE wh TO YESTERDAY")
