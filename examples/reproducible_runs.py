@@ -72,21 +72,30 @@ def main() -> None:
     print(f"pinned v0 read: {pinned} rows (current: {cur})")
     assert pinned == v0 and cur == v0 + 1
 
-    # 4: parameterized sweep — the avg-length subquery folds once.
-    # NOTE: a separate Engine (as a separate analysis job would use) —
-    # an engine with registered sinks deliberately disables fold caching
-    # because sinks mutate outside the engine's epoch tracking.
-    sweep = Engine(spark, "sweep")
-    sweep.load_parquet_dir(sf_dir)
-    ps = sweep.prepare(
+    # 4: parameterized sweep — the avg-length subquery folds once and is
+    # reused across binds. Round 9: this works on the SAME engine that
+    # holds the versioned sink — fold/plan caches key on sink VERSIONS
+    # (a commit to `corpus` would invalidate them), they are no longer
+    # disabled outright by a sink's presence.
+    ps = eng.prepare(
         "SELECT count(*) AS n FROM documents "
         "WHERE length(text) >= ? AND length(text) < (SELECT 2 * avg(length(text)) FROM documents)"
     )
     for floor in (0, 50, 200, 500):
         print(f"  docs with {floor} <= len < 2*avg:", ps.sql(floor).collect()[0]["n"])
-    st = sweep.plan_cache_stats
+    st = eng.plan_cache_stats
     print(f"fold jobs: {st['fold_misses']} (reused {st['fold_hits']}x)")
     assert st["fold_misses"] == 1 and st["fold_hits"] == 3
+
+    # 5 (round 9): operational rollback + retention — RESTORE commits the
+    # old snapshot as a NEW version (history preserved), VACUUM bounds
+    # disk growth once old pins are no longer needed.
+    restored_v = eng.execute("RESTORE TABLE corpus TO VERSION AS OF 0")
+    assert eng.sql("SELECT count(*) AS n FROM corpus").collect()[0]["n"] == v0
+    print(f"restored to v0 as new version v{restored_v};",
+          "history:", [r.version for r in eng.sql("DESCRIBE HISTORY corpus").collect()])
+    dropped = eng.execute("VACUUM corpus RETAIN 1 VERSIONS")
+    print(f"vacuum dropped {dropped} old version(s)")
 
     spark.stop()
 

@@ -1613,9 +1613,15 @@ class Engine:
         # context hazards: (a) CTE bindings shadow table names for the
         # statement's duration WITHOUT an epoch bump — the same sub-AST
         # repr can mean different data inside vs outside the binding;
-        # (b) planner sources / sinks re-scan external state per call.
-        # No fold caching in either situation.
-        if getattr(self, "_cte_binding_depth", 0) or self.sinks or self.planner_sources:
+        # (b) planner sources re-scan external state per call. No fold
+        # caching in either situation. Versioned sinks join the KEY
+        # instead (round 9, mirroring the plan cache): a fold stays
+        # reusable while every sink's version is unchanged, and a direct
+        # sink commit changes the key; unversioned sinks disable.
+        if getattr(self, "_cte_binding_depth", 0) or self.planner_sources:
+            return None
+        sink_fp = self._sink_version_key()
+        if sink_fp is None:
             return None
         try:
             text = repr(sub_select)
@@ -1623,7 +1629,7 @@ class Engine:
             return None
         if "SparkColNode" in text:  # rewritten nodes carry live Columns
             return None
-        key = (kind, text, self._cache_epoch)
+        key = (kind, text, self._cache_epoch, sink_fp)
         params = self._scope_params()
         if params and any(f"'{p}'" in text or f'"{p}"' in text for p in params):
             key = key + (tuple(sorted((k, repr(v)) for k, v in params.items())),)

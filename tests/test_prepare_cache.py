@@ -326,3 +326,27 @@ class TestDbApiFallbackScope:
         cur.execute(op, [25])  # falls back to splicing, succeeds
         assert [r[0] for r in cur.fetchall()] == [3, 4]
         assert con._prepared[op] is False  # demotion remembered
+
+
+class TestFoldCacheWithSinks:
+    def test_fold_reuse_keyed_on_sink_version(self, eng, spark, tmp_path):
+        """Round 9: a registered VERSIONED sink no longer disables fold
+        caching — folds reuse while the sink version is unchanged and
+        refold after a direct sink commit."""
+        from qlbridge_spark.sinks import ParquetMergeSink
+
+        sink = ParquetMergeSink(spark, str(tmp_path / "fs"), key="id")
+        sink.ensure(spark.createDataFrame([(1, "a")], "id long, v string"))
+        eng.register_sink("st", sink)
+        ps = eng.prepare(
+            "SELECT id FROM items WHERE qty >= ? AND price < (SELECT max(price) FROM items)"
+        )
+        ps.sql(10)
+        m0, h0 = eng.plan_cache_stats["fold_misses"], eng.plan_cache_stats["fold_hits"]
+        assert m0 >= 1
+        ps.sql(20)
+        assert eng.plan_cache_stats["fold_hits"] == h0 + 1  # reused despite the sink
+        # direct sink commit -> version changes -> refold
+        sink.insert_append(spark.createDataFrame([(2, "b")], "id long, v string"))
+        ps.sql(30)
+        assert eng.plan_cache_stats["fold_misses"] == m0 + 1
