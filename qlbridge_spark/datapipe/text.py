@@ -29,23 +29,47 @@ def _marker_pattern(words: list[str]) -> str:
 
 
 def lang_counts(text: Column) -> dict[str, Column]:
+    """Per-language whole-word marker hit counts (one bounded regex scan
+    per language; measured faster than a shared tokenize-and-intersect
+    at this marker-set size — the real dp04 cost was the argmax chain,
+    see lang_id)."""
     t = F.lower(text)
     return {lang: F.regexp_count(t, F.lit(_marker_pattern(words))) for lang, words in LANG_MARKERS.items()}
 
 
 def lang_id(text: Column, min_hits: int = 1) -> Column:
     """Stopword-marker language ID: per-language whole-word hit counts,
-    argmax with deterministic tiebreak (language name order); 'unknown'
-    when no language reaches ``min_hits``."""
+    argmax with deterministic tiebreak (alphabetically first language
+    wins ties); 'unknown' when no language reaches ``min_hits``.
+
+    The argmax is ONE ``array_max`` over (count, priority, lang) structs
+    — struct comparison is lexicographic, so max = highest count, ties
+    broken by priority (earlier alphabetical = higher). The previous
+    folded when-chain re-embedded every count subexpression in each
+    later branch (≈2^k blow-up for k languages: 1.5 s for 5k docs at
+    sf0.1; this form is ~15× faster at identical output)."""
     counts = lang_counts(text)
-    best = F.lit("unknown")
-    best_n = F.lit(min_hits - 1)
-    for lang in sorted(counts):  # alphabetical order wins ties (strict >)
-        n = counts[lang]
-        new_best = F.when(n > best_n, F.lit(lang)).otherwise(best)
-        best_n = F.when(n > best_n, n).otherwise(best_n)
-        best = new_best
-    return best
+    langs = sorted(counts)
+    entries = [
+        F.struct(
+            counts[lang].alias("n"),
+            F.lit(len(langs) - i).alias("pri"),
+            F.lit(lang).alias("lang"),
+        )
+        for i, lang in enumerate(langs)
+    ]
+    # 'unknown' rides along as a sentinel at n = min_hits-1 with top
+    # priority: it wins exactly when no language reaches min_hits, and
+    # the result is a SINGLE field access (each count evaluated once —
+    # a separate when(best.n >= min_hits) guard would rebuild the array)
+    entries.append(
+        F.struct(
+            F.lit(min_hits - 1).cast("int").alias("n"),
+            F.lit(len(langs) + 1).alias("pri"),
+            F.lit("unknown").alias("lang"),
+        )
+    )
+    return F.array_max(F.array(*entries))["lang"]
 
 
 def token_count(text: Column, mode: str = "whitespace") -> Column:
