@@ -374,6 +374,48 @@ def _start(out: DataFrame, name: str, cfg: dict, engine=None):
             engine.register_df(target, merged.localCheckpoint(eager=True))
 
         return writer.foreachBatch(merge_batch).start()
+    if fmt == "merge":
+        # streaming MERGE: each micro-batch is registered under a source
+        # name and an arbitrary MERGE INTO statement runs against it —
+        # the canonical CDC ingestion recipe (foreachBatch + MERGE:
+        # conditional UPDATE arms, DELETE on tombstone rows, filtered
+        # INSERT). Strictly more expressive than 'upsert' (whole-row
+        # latest-wins); targets registered merge sinks get the engine's
+        # native/persist-once MERGE path per batch.
+        stmt_text = cfg.get("merge")
+        if engine is None or not stmt_text:
+            raise ValueError(
+                "WITH {'format': 'merge'} requires an engine and a 'merge' "
+                "statement text (MERGE INTO <target> USING <source_name> ...)"
+            )
+        src_name = str(cfg.get("source_name", "batch")).lower()
+        from ..rel import SqlMerge, parse_sql
+
+        parsed = parse_sql(stmt_text)  # validate ONCE at stream start
+        if not isinstance(parsed, SqlMerge):
+            raise ValueError("WITH {'format': 'merge'}: 'merge' must be a MERGE INTO statement")
+        if (parsed.source or "").lower() != src_name or parsed.source_query is not None:
+            raise ValueError(
+                f"WITH {{'format': 'merge'}}: the MERGE must read USING {src_name!r} "
+                "(the per-micro-batch source registration)"
+            )
+
+        def run_merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+            prev = engine.tables.get(src_name)
+            engine.register_df(src_name, batch_df)
+            try:
+                # re-parse per batch: the engine's MERGE normalizes clause
+                # SET keys in place, and a fresh tree keeps batches
+                # independent
+                engine.execute_stmt(parse_sql(stmt_text))
+            finally:
+                if prev is not None:
+                    engine.register_df(src_name, prev)
+                else:
+                    engine.tables.pop(src_name, None)
+                    engine.clear_plan_cache()
+
+        return writer.foreachBatch(run_merge_batch).start()
     if fmt == "memory":
         return writer.format("memory").start()
     return writer.format(fmt).option("path", cfg["sink_path"]).start()

@@ -699,3 +699,79 @@ class TestRestoreStatement:
 
         with pytest.raises(ParseError, match="VERSION AS OF"):
             parse_sql("RESTORE TABLE wh TO YESTERDAY")
+
+
+class TestStreamingMerge:
+    """format:'merge' — a full MERGE INTO statement per micro-batch (the
+    canonical foreachBatch CDC recipe): tombstone DELETEs, conditional
+    updates, filtered inserts, against a durable versioned sink."""
+
+    @staticmethod
+    def _drain_until(q, eng, table: str, expected: set, deadline_s: float = 90.0) -> set:
+        import time
+
+        end = time.time() + deadline_s
+        while True:
+            q.processAllAvailable()
+            got = {tuple(r) for r in eng.sql(f"SELECT * FROM {table}").collect()}
+            if got == expected or time.time() >= end:
+                return got
+            time.sleep(0.3)
+
+    def test_cdc_merge_stream_into_parquet_sink(self, spark, tmp_path):
+        from qlbridge_spark.sinks import ParquetMergeSink
+
+        eng = Engine(spark, "cdc-stream-test")
+        stream_dir = str(tmp_path / "cdc_stream")
+        b1 = spark.createDataFrame(
+            [(1, "a", "U", 1), (2, "b", "U", 2)], "id long, v string, op string, seq long"
+        )
+        b1.write.parquet(stream_dir)
+        eng.register_df("cdc_src", b1)
+        sink = ParquetMergeSink(spark, str(tmp_path / "cdc_state"), key="id")
+        sink.ensure(spark.createDataFrame([], "id long, v string"))
+        eng.register_sink("cdc_state", sink)
+
+        merge_sql = (
+            "MERGE INTO cdc_state t USING batch s ON t.id = s.id "
+            "WHEN MATCHED AND s.op = 'D' THEN DELETE "
+            "WHEN MATCHED THEN UPDATE SET v = s.v "
+            "WHEN NOT MATCHED AND s.op != 'D' THEN INSERT (id, v) VALUES (s.id, s.v)"
+        )
+        q = eng.execute(
+            "CREATE CONTINUOUSVIEW cdc_merge_q AS SELECT id, v, op, seq FROM cdc_src "
+            f'WITH {{"path": "{stream_dir}", "format": "merge", '
+            f'"merge": "{merge_sql}"}}'
+        )
+        try:
+            got = self._drain_until(q, eng, "cdc_state", {(1, "a"), (2, "b")})
+            assert got == {(1, "a"), (2, "b")}
+            # batch 2: update id=1, DELETE id=2 (tombstone), insert id=3;
+            # a tombstone for a missing key (id=9) must be a no-op
+            spark.createDataFrame(
+                [(1, "a2", "U", 3), (2, None, "D", 4), (3, "c", "U", 5), (9, None, "D", 6)],
+                "id long, v string, op string, seq long",
+            ).write.mode("append").parquet(stream_dir)
+            got = self._drain_until(q, eng, "cdc_state", {(1, "a2"), (3, "c")})
+            assert got == {(1, "a2"), (3, "c")}
+        finally:
+            q.stop()
+        # durable history: every micro-batch MERGE is a commit
+        assert len(sink.versions()) >= 3
+
+    def test_merge_stream_validates_statement_at_start(self, spark, tmp_path):
+        eng = Engine(spark, "cdc-validate-test")
+        stream_dir = str(tmp_path / "cdc_v")
+        spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(stream_dir)
+        eng.register_df("vsrc", spark.read.parquet(stream_dir))
+        with pytest.raises(Exception, match="MERGE INTO statement"):
+            eng.execute(
+                "CREATE CONTINUOUSVIEW cdc_bad1 AS SELECT id, v FROM vsrc "
+                f'WITH {{"path": "{stream_dir}", "format": "merge", "merge": "SELECT 1"}}'
+            )
+        with pytest.raises(Exception, match="USING"):
+            eng.execute(
+                "CREATE CONTINUOUSVIEW cdc_bad2 AS SELECT id, v FROM vsrc "
+                f'WITH {{"path": "{stream_dir}", "format": "merge", '
+                f'"merge": "MERGE INTO t USING other s ON t.id = s.id WHEN MATCHED THEN DELETE"}}'
+            )
