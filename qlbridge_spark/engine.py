@@ -163,6 +163,12 @@ class Engine:
         self._cache_epoch = 0
         self._plan_cache: dict[tuple, tuple[float, DataFrame]] = {}
         self._fold_cache: dict[tuple, tuple] = {}
+        # statement-scoped memo of the sink-version fingerprint: computed
+        # once per outermost execute_stmt instead of once per fold-key
+        # (a statement with N subquery folds would otherwise read every
+        # sink's _VERSION file N+1 times)
+        self._stmt_depth = 0
+        self._stmt_sink_fp = None
         self._bound_params: dict[str, object] = {}
         self.plan_cache_ttl_s = 60.0
         self.plan_cache_max = 128
@@ -306,11 +312,14 @@ class Engine:
             return ()
         fps = []
         for name, s in sorted(self.sinks.items()):
-            ver = getattr(s, "_version", None)
-            if not callable(ver):
+            # cache_token (current version + oldest retained) also moves
+            # on DIRECT sink.vacuum() calls, which preserve _version but
+            # delete dirs a cached VERSION AS OF plan may be pinned to
+            tok = getattr(s, "cache_token", None) or getattr(s, "_version", None)
+            if not callable(tok):
                 return None  # unversioned sink → cache off (as before)
             try:
-                fps.append((name, ver()))
+                fps.append((name, tok()))
             except Exception:
                 return None
         return tuple(fps)
@@ -365,6 +374,18 @@ class Engine:
         return PreparedStatement(self, text)
 
     def execute_stmt(self, stmt):
+        outermost = self._stmt_depth == 0
+        self._stmt_depth += 1
+        if outermost:
+            self._stmt_sink_fp = self._sink_version_key()
+        try:
+            return self._execute_stmt_inner(stmt)
+        finally:
+            self._stmt_depth -= 1
+            if outermost:
+                self._stmt_sink_fp = None
+
+    def _execute_stmt_inner(self, stmt):
         if type(stmt).__name__ in self._MUTATING_STMTS:
             self._bump_cache_epoch()
         if isinstance(stmt, SqlSelect):
@@ -1620,7 +1641,7 @@ class Engine:
         # sink commit changes the key; unversioned sinks disable.
         if getattr(self, "_cte_binding_depth", 0) or self.planner_sources:
             return None
-        sink_fp = self._sink_version_key()
+        sink_fp = self._stmt_sink_fp if self._stmt_depth > 0 else self._sink_version_key()
         if sink_fp is None:
             return None
         try:
@@ -3336,17 +3357,16 @@ class Engine:
             sink = self.sinks.get(tname)
             if sink is None or not hasattr(sink, "versions"):
                 raise ExecError(f"DESCRIBE HISTORY requires a versioned sink table; {tname!r} is not one")
-            import datetime
-            import os
-
+            if not hasattr(sink, "commit_time"):
+                raise ExecError(
+                    f"DESCRIBE HISTORY: sink for {tname!r} exposes versions() but no "
+                    "commit_time(); implement commit_time (ParquetMergeSink keeps a "
+                    "durable _commits sidecar with an mtime fallback)"
+                )
             rows = []
             for v in sink.versions():
-                if hasattr(sink, "commit_time"):
-                    # durable sidecar timestamp (survives warehouse copies)
-                    ts = sink.commit_time(v)
-                else:
-                    p = sink._data_dir(v)
-                    ts = datetime.datetime.fromtimestamp(os.path.getmtime(p), datetime.timezone.utc)
+                # durable sidecar timestamp (survives warehouse copies)
+                ts = sink.commit_time(v)
                 rows.append(
                     {
                         "version": v,
@@ -3635,9 +3655,12 @@ class Engine:
         condition; a first-match-wins when-chain picks the acting clause
         per row; every target column is rebuilt with per-clause value
         chains; kept rows = non-deleted target rows + inserted
-        source-only rows. Cardinality rule enforced like Delta: a target
-        row matching >1 source rows while any MATCHED clause exists is an
-        error (nondeterministic update), checked with one bounded agg.
+        source-only rows. Cardinality rule enforced like ANSI/Delta,
+        CONDITION-AWARE: a target row is an error only when more than one
+        source row's first-matching arm would UPDATE or DELETE it
+        (matching rows whose conditions route them to no arm don't
+        count), checked with one bounded agg; the acting row then wins
+        the per-target-id reduction.
 
         Scale path: the full-outer join is persisted and executed ONCE
         (cardinality check, affected count, and both output branches all
@@ -3669,20 +3692,6 @@ class Engine:
         matched = F.col(TID).isNotNull() & F.col(SM).isNotNull()
         not_matched = F.col(TID).isNull()
         try:
-            if any(cl.matched for cl in m.clauses):
-                dups = (
-                    joined.filter(matched)
-                    .groupBy(TID)
-                    .agg(F.count(F.lit(1)).alias("__n"))
-                    .filter(F.col("__n") > 1)
-                    .limit(1)
-                    .count()
-                )
-                if dups:
-                    raise ExecError(
-                        "MERGE cardinality violation: a target row matched multiple source rows"
-                    )
-
             # first-match-wins clause selection
             action = None
             for i, cl in enumerate(m.clauses):
@@ -3691,6 +3700,27 @@ class Engine:
                     base = base & to_column(cl.cond, scope)
                 action = F.when(base, F.lit(f"a{i}")) if action is None else action.when(base, F.lit(f"a{i}"))
             act = F.coalesce(action, F.lit(""))
+
+            # ANSI/Delta cardinality rule, CONDITION-AWARE (round 9 — the
+            # earlier raw-match check errored even when WHEN conditions
+            # disambiguated which source row acts): a target row is in
+            # violation only when MORE THAN ONE source row's first-matching
+            # arm would UPDATE or DELETE it.
+            mids = [f"a{i}" for i, cl in enumerate(m.clauses) if cl.matched]
+            if mids:
+                dups = (
+                    joined.filter(F.col(TID).isNotNull() & act.isin(mids))
+                    .groupBy(TID)
+                    .agg(F.count(F.lit(1)).alias("__n"))
+                    .filter(F.col("__n") > 1)
+                    .limit(1)
+                    .count()
+                )
+                if dups:
+                    raise ExecError(
+                        "MERGE cardinality violation: multiple source rows attempted "
+                        "to update or delete the same target row"
+                    )
 
             tcols = list(target.columns)
             scols = set(src.columns)
@@ -3723,19 +3753,28 @@ class Engine:
 
             del_ids = [f"a{i}" for i, cl in enumerate(m.clauses) if cl.action == "delete"]
             ins_ids = [f"a{i}" for i, cl in enumerate(m.clauses) if cl.action == "insert"]
-            del_pred = act.isin(del_ids) if del_ids else F.lit(False)
             ins_pred = act.isin(ins_ids) if ins_ids else F.lit(False)
-            # target side deduped by row id: an INSERT-only merge legally joins
-            # a target row against several duplicate-key source rows (no
-            # cardinality rule without a MATCHED arm) and must emit it ONCE;
-            # whenever a MATCHED arm exists, multi-matches errored above, so
-            # the surviving duplicates are value-identical and any survivor is
-            # correct
+            # target side reduced to ONE row per target id, preferring the
+            # ACTING joined row: under the condition-aware cardinality rule
+            # a target row may join several source rows of which at most one
+            # acts (checked above) — the acting row carries the update (or
+            # marks the delete), the non-acting duplicates carry the old
+            # values and must not survive alongside it. Window over the
+            # persisted join; same single shuffle the old dropDuplicates did.
+            from pyspark.sql import Window as _W
+
+            pick = F.row_number().over(
+                _W.partitionBy(TID).orderBy(F.col("__merge_acted").desc(), F.col(TID))
+            )
             t_part = (
-                joined.filter(F.col(TID).isNotNull() & ~del_pred)
-                .select(F.col(TID), *exprs)
-                .dropDuplicates([TID])
-                .drop(TID)
+                joined.filter(F.col(TID).isNotNull())
+                .select(F.col(TID), act.alias("__merge_act"), (act != "").alias("__merge_acted"), *exprs)
+                .withColumn("__merge_rn", pick)
+                .filter(
+                    (F.col("__merge_rn") == 1)
+                    & ~F.col("__merge_act").isin(del_ids if del_ids else ["__none"])
+                )
+                .drop(TID, "__merge_act", "__merge_acted", "__merge_rn")
             )
             s_part = joined.filter(F.col(TID).isNull() & ins_pred).select(*exprs)
             final = t_part.unionByName(s_part)
@@ -3755,20 +3794,31 @@ class Engine:
             joined.unpersist()
 
     def _vacuum(self, v: SqlVacuum) -> int:
-        """``VACUUM t [RETAIN n VERSIONS]`` — lifecycle statement for the
-        versioned MERGE sinks (Delta-parity; the reference has no
-        versioned storage). Returns the number of snapshot versions
-        dropped. Classed as mutating so cached plans pinned to old
-        version dirs (VERSION AS OF reads) are invalidated."""
+        """``VACUUM t [RETAIN n VERSIONS | RETAIN h HOURS]`` — lifecycle
+        statement for the versioned MERGE sinks (Delta-parity; the
+        reference has no versioned storage). Returns the number of
+        snapshot versions dropped. VERSIONS is count-based
+        (ParquetMergeSink; Delta rejects it — its retention is
+        time-based); HOURS drops non-current snapshots older than
+        now−h (both sinks). Classed as mutating so cached plans pinned
+        to old version dirs (VERSION AS OF reads) are invalidated."""
         sink = self.sinks.get(v.table.lower())
         if sink is None or not hasattr(sink, "vacuum"):
             raise ExecError(
                 f"VACUUM requires a versioned sink table; {v.table!r} is not one"
             )
-        keep = 1 if v.retain is None else int(v.retain)
-        if keep < 1:
-            raise ExecError("VACUUM RETAIN must keep at least 1 version")
-        return sink.vacuum(keep=keep)
+        try:
+            if v.retain_hours is not None:
+                if v.retain_hours < 0:
+                    raise ExecError("VACUUM RETAIN HOURS must be >= 0")
+                return sink.vacuum(retention_hours=float(v.retain_hours))
+            if v.retain is not None:
+                if v.retain < 1:
+                    raise ExecError("VACUUM RETAIN must keep at least 1 version")
+                return sink.vacuum(keep=int(v.retain))
+            return sink.vacuum()
+        except ValueError as e:  # sink-level capability mismatch (Delta keep=)
+            raise ExecError(str(e)) from e
 
     def _restore(self, r: SqlRestore) -> int:
         """``RESTORE [TABLE] t TO VERSION AS OF n | TO TIMESTAMP AS OF

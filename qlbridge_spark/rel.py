@@ -299,13 +299,16 @@ class SqlRestore:
 
 @dataclass
 class SqlVacuum:
-    """``VACUUM <sink table> [RETAIN <n> VERSIONS]`` — drop all but the
-    newest n committed snapshot versions of a versioned MERGE sink
-    (Delta-parity lifecycle statement; pairs with VERSION AS OF /
-    DESCRIBE HISTORY)."""
+    """``VACUUM <sink table> [RETAIN <n> VERSIONS | RETAIN <h> HOURS]`` —
+    drop old committed snapshots of a versioned MERGE sink, by version
+    count (ParquetMergeSink) or by time-based retention (Delta's native
+    model; ParquetMergeSink resolves it through the commit-timestamp
+    sidecar). Delta-parity lifecycle statement; pairs with VERSION AS OF
+    / DESCRIBE HISTORY."""
 
     table: str = ""
     retain: int | None = None
+    retain_hours: float | None = None
 
 
 @dataclass
@@ -358,6 +361,13 @@ class SqlParser(ExprParser):
         return super().parse_primary()
 
     # -- statements -----------------------------------------------------
+    @staticmethod
+    def _int_literal(text: str, where: str) -> int:
+        try:
+            return int(text)
+        except ValueError:
+            raise ParseError(f"{where} requires an integer, got {text!r}") from None
+
     def parse_statement(self):
         t = self.cur()
         if t.kind != IDENT:
@@ -403,11 +413,17 @@ class SqlParser(ExprParser):
         if kw == "VACUUM":
             self.advance()
             table = self.advance().val
-            retain = None
+            v = SqlVacuum(table=table)
             if self.eat_kw("RETAIN"):
-                retain = int(self.expect(NUMBER).val)
-                self.expect(IDENT, "VERSIONS")
-            return SqlVacuum(table=table, retain=retain)
+                num = self.expect(NUMBER).val
+                unit = self.advance().upper
+                if unit == "VERSIONS":
+                    v.retain = self._int_literal(num, "VACUUM RETAIN ... VERSIONS")
+                elif unit == "HOURS":
+                    v.retain_hours = float(num)
+                else:
+                    raise ParseError(f"VACUUM RETAIN takes VERSIONS or HOURS, got {unit!r}")
+            return v
         if kw == "RESTORE":
             self.advance()
             self.eat_kw("TABLE")
@@ -416,7 +432,10 @@ class SqlParser(ExprParser):
             if self.eat_kw("VERSION"):
                 self.expect(IDENT, "AS")
                 self.expect(IDENT, "OF")
-                return SqlRestore(table=table, version=int(self.expect(NUMBER).val))
+                return SqlRestore(
+                    table=table,
+                    version=self._int_literal(self.expect(NUMBER).val, "RESTORE ... VERSION AS OF"),
+                )
             if self.eat_kw("TIMESTAMP"):
                 self.expect(IDENT, "AS")
                 self.expect(IDENT, "OF")

@@ -160,13 +160,20 @@ class DeltaMergeSink:
             t.restoreToTimestamp(timestamp)
         return int(t.history(1).collect()[0]["version"])
 
-    def vacuum(self, keep: int = 1, retention_hours: float | None = None) -> int:
+    def vacuum(self, keep: int | None = None, retention_hours: float | None = None) -> int:
         """Delta VACUUM (protocol parity with ParquetMergeSink.vacuum —
         the engine's ``VACUUM t`` statement routes here). Delta retention
-        is TIME-based, not version-count-based: ``keep`` is accepted for
-        protocol compatibility, ``retention_hours`` governs what Delta
-        actually removes (its own default when None). Returns 0 — Delta
-        does not report a removed-version count."""
+        is TIME-based only: ``RETAIN n VERSIONS`` (keep=) cannot be
+        honored and raises instead of silently doing nothing —
+        previously the count was validated, ignored, and 0 returned
+        while disk kept growing. Use ``RETAIN h HOURS``; with neither,
+        Delta's own default retention applies. Returns 0 — Delta does
+        not report a removed-version count."""
+        if keep is not None:
+            raise ValueError(
+                "Delta retention is time-based: use VACUUM t RETAIN <h> HOURS "
+                "(RETAIN n VERSIONS is only supported by ParquetMergeSink)"
+            )
         if retention_hours is None:
             self._table().vacuum()
         else:
@@ -239,6 +246,17 @@ class ParquetMergeSink:
         except (OSError, ValueError):
             return {}
 
+    def _save_commits(self, commits: dict) -> None:
+        """Atomically rewrite the ``_commits`` sidecar (write-temp +
+        os.replace, same protocol as the _VERSION pointer)."""
+        import json
+        import os
+
+        ctmp = self._commits_file() + ".tmp"
+        with open(ctmp, "w") as f:
+            json.dump({str(k): v for k, v in commits.items()}, f)
+        os.replace(ctmp, self._commits_file())
+
     def commit_time(self, version: int):
         """Real (durable) commit timestamp of ``version`` as a tz-aware
         UTC datetime. Resolved from the ``_commits`` sidecar written at
@@ -272,41 +290,48 @@ class ParquetMergeSink:
         os.rename(staging, final)
         commits = self._load_commits()
         commits[nxt] = datetime.datetime.now(datetime.timezone.utc).isoformat()
-        ctmp = self._commits_file() + ".tmp"
-        with open(ctmp, "w") as f:
-            json.dump({str(k): v for k, v in commits.items()}, f)
-        os.replace(ctmp, self._commits_file())
+        self._save_commits(commits)
         tmp = self._version_file() + ".tmp"
         with open(tmp, "w") as f:
             f.write(str(nxt))
         os.replace(tmp, self._version_file())  # atomic on POSIX
 
-    def vacuum(self, keep: int = 1) -> int:
-        """Drop all but the newest ``keep`` committed versions; returns
-        the number of version dirs removed."""
+    def vacuum(self, keep: int = 1, retention_hours: float | None = None) -> int:
+        """Drop old committed versions; returns the number removed.
+
+        ``keep`` retains the newest N versions (count-based).
+        ``retention_hours`` instead drops every non-current version whose
+        commit time (sidecar) is older than now−hours — the Delta-style
+        time-based model, resolvable here thanks to the durable
+        ``_commits`` timestamps; the CURRENT version is never dropped."""
+        import datetime
         import os
         import re
         import shutil
 
         cur = self._version()
+        if retention_hours is not None:
+            cutoff = datetime.datetime.now(datetime.timezone.utc) - datetime.timedelta(
+                hours=retention_hours
+            )
+            victims = {
+                v for v in self.versions() if v != cur and self.commit_time(v) < cutoff
+            }
+        else:
+            victims = {v for v in self.versions() if v <= cur - keep}
         removed = 0
         dropped = []
         for name in os.listdir(self.path):
             m = re.fullmatch(r"v(\d+)", name)
-            if m and int(m.group(1)) <= cur - keep:
+            if m and int(m.group(1)) in victims:
                 shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
                 dropped.append(int(m.group(1)))
                 removed += 1
         if dropped:
-            import json
-
             commits = self._load_commits()
             for v in dropped:
                 commits.pop(v, None)
-            ctmp = self._commits_file() + ".tmp"
-            with open(ctmp, "w") as f:
-                json.dump({str(k): v for k, v in commits.items()}, f)
-            os.replace(ctmp, self._commits_file())
+            self._save_commits(commits)
         return removed
 
     # -- reads ----------------------------------------------------------
@@ -362,6 +387,15 @@ class ParquetMergeSink:
                 f"(retained: {self.versions()})"
             )
         return best
+
+    def cache_token(self):
+        """Fingerprint of the externally-visible table state for the
+        engine's plan/fold caches: (current version, oldest retained).
+        Commits change the first element; vacuum changes the second —
+        so cached ``VERSION AS OF`` plans pinned to a since-vacuumed
+        snapshot miss instead of failing mid-scan."""
+        vs = self.versions()
+        return (self._version(), vs[0] if vs else -1)
 
     # -- writes ---------------------------------------------------------
     def ensure(self, df: DataFrame) -> None:

@@ -73,33 +73,39 @@ def _gen_clauses(rng):
 
 
 def _reference_merge(t_rows, s_rows, clauses):
-    """Final multiset of (k, v) per the ANSI spec, or 'cardinality'."""
-    matched_arm_exists = any(kind != "insert" for _, kind, _, _ in clauses)
+    """Final multiset of (k, v) per the ANSI spec, or 'cardinality'.
+
+    Cardinality is CONDITION-AWARE (ANSI 14.12 / Delta): a target row is
+    an error only when MORE THAN ONE source row's first-matching arm
+    would update or delete it — matching source rows whose conditions
+    route them to no arm are harmless, and the single acting row (if
+    any) wins."""
     by_key: dict = {}
     for s in s_rows:
         if s["k"] is not None:
             by_key.setdefault(s["k"], []).append(s)
-    out = []
-    for t in t_rows:
-        matches = by_key.get(t["k"], []) if t["k"] is not None else []
-        if len(matches) > 1 and matched_arm_exists:
-            return "cardinality"
-        if not matches:
-            out.append((t["k"], t["v"]))
-            continue
-        s = matches[0]
-        acted = False
+
+    def first_arm(t, s):
         for _, kind, cond_fn, e_fn in clauses:
             if kind == "insert":
                 continue
             if cond_fn(t, s):
-                acted = True
-                if kind == "update":
-                    out.append((t["k"], e_fn(t, s)))
-                # delete: drop the row
-                break
-        if not acted:
+                return (kind, e_fn)
+        return None
+
+    out = []
+    for t in t_rows:
+        matches = by_key.get(t["k"], []) if t["k"] is not None else []
+        acting = [(s, a) for s in matches for a in [first_arm(t, s)] if a is not None]
+        if len(acting) > 1:
+            return "cardinality"
+        if not acting:
             out.append((t["k"], t["v"]))
+            continue
+        s, (kind, e_fn) = acting[0]
+        if kind == "update":
+            out.append((t["k"], e_fn(t, s)))
+        # delete: drop the row
     t_keys = {t["k"] for t in t_rows if t["k"] is not None}
     for s in s_rows:
         if s["k"] is not None and s["k"] in t_keys:

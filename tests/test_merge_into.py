@@ -203,3 +203,57 @@ class TestMergeSingleExecution:
         # re-execute the (unpersisted) join
         e.sql("SELECT * FROM t2").collect()
         assert acc.value == 1
+
+
+class TestConditionAwareCardinality:
+    """ANSI 14.12 / Delta rule: a multi-match is an error only when more
+    than one source row's first-matching arm would update/delete the
+    target row — conditions that disambiguate the acting row are legal
+    (the old raw-match check errored on these), and the acting row's
+    effect must win over the non-acting duplicates."""
+
+    def test_disambiguated_update_applies(self, eng):
+        eng.register_rows(
+            "dsrc", [{"id": 2, "v": 100, "pick": 1}, {"id": 2, "v": 999, "pick": 0}]
+        )
+        n = eng.execute(
+            "MERGE INTO tgt t USING dsrc s ON t.id = s.id "
+            "WHEN MATCHED AND s.pick = 1 THEN UPDATE SET v = s.v"
+        )
+        assert n == 1
+        assert _state(eng)[2] == (100, "old")  # picked row's value, not 999/arbitrary
+
+    def test_disambiguated_delete_removes_row(self, eng):
+        eng.register_rows(
+            "dsrc2", [{"id": 3, "v": 1, "pick": 1}, {"id": 3, "v": 2, "pick": 0}]
+        )
+        n = eng.execute(
+            "MERGE INTO tgt t USING dsrc2 s ON t.id = s.id "
+            "WHEN MATCHED AND s.pick = 1 THEN DELETE"
+        )
+        assert n == 1
+        # the non-acting duplicate must not resurrect the deleted row
+        assert 3 not in _state(eng)
+
+    def test_two_acting_rows_still_error(self, eng):
+        eng.register_rows(
+            "dsrc3", [{"id": 2, "v": 100, "pick": 1}, {"id": 2, "v": 999, "pick": 1}]
+        )
+        with pytest.raises(ExecError, match="cardinality"):
+            eng.execute(
+                "MERGE INTO tgt t USING dsrc3 s ON t.id = s.id "
+                "WHEN MATCHED AND s.pick = 1 THEN UPDATE SET v = s.v"
+            )
+
+    def test_acting_row_chosen_across_different_arms(self, eng):
+        # one source row routes to DELETE, the other to no arm: delete wins
+        eng.register_rows(
+            "dsrc4", [{"id": 1, "v": -5, "pick": 0}, {"id": 1, "v": 7, "pick": 0}]
+        )
+        n = eng.execute(
+            "MERGE INTO tgt t USING dsrc4 s ON t.id = s.id "
+            "WHEN MATCHED AND s.v < 0 THEN DELETE "
+            "WHEN MATCHED AND s.pick = 1 THEN UPDATE SET v = s.v"
+        )
+        assert n == 1
+        assert 1 not in _state(eng)

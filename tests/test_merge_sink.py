@@ -344,15 +344,6 @@ class NativeFakeMergeSink(FakeMergeSink):
         s = source.withColumn(SM, F.lit(1)).alias(s_alias)
         j = t.join(s, on=F.expr(on_sql), how="full_outer").persist()
         matched = F.col(TID).isNotNull() & F.col(SM).isNotNull()
-        if any(cl["matched"] for cl in clauses):
-            # Delta raises on a target row matching multiple source rows
-            # whenever the merge has MATCHED clauses
-            dups = (
-                j.filter(matched).groupBy(TID).count().filter(F.col("count") > 1).limit(1).count()
-            )
-            if dups:
-                j.unpersist()
-                raise Exception("DELTA_MERGE cardinality violation: multiple source rows matched")
         act = None
         for i, cl in enumerate(clauses):
             base = matched if cl["matched"] else F.col(TID).isNull()
@@ -360,6 +351,20 @@ class NativeFakeMergeSink(FakeMergeSink):
                 base = base & F.expr(cl["cond"])
             act = F.when(base, F.lit(i)) if act is None else act.when(base, F.lit(i))
         act = F.coalesce(act, F.lit(-1))
+        # Delta cardinality rule (condition-aware): error when >1 source
+        # row's first-matching arm would modify the same target row
+        mids = [i for i, cl in enumerate(clauses) if cl["matched"]]
+        if mids:
+            dups = (
+                j.filter(F.col(TID).isNotNull() & act.isin(mids))
+                .groupBy(TID).count().filter(F.col("count") > 1).limit(1).count()
+            )
+            if dups:
+                j.unpersist()
+                raise Exception(
+                    "DELTA_MERGE cardinality violation: multiple source rows "
+                    "attempted to modify the same target row"
+                )
         tcols = self.df.columns
         scols = set(source.columns)
         exprs = []
@@ -384,11 +389,15 @@ class NativeFakeMergeSink(FakeMergeSink):
             exprs.append(e.alias(c))
         del_ids = [i for i, cl in enumerate(clauses) if cl["action"] == "delete"] or [-99]
         ins_ids = [i for i, cl in enumerate(clauses) if cl["action"] == "insert"] or [-99]
+        from pyspark.sql import Window as _W
+
         keep_t = (
-            j.filter(F.col(TID).isNotNull() & ~act.isin(del_ids))
-            .select(F.col(TID), *exprs)
-            .dropDuplicates([TID])
-            .drop(TID)
+            j.filter(F.col(TID).isNotNull())
+            .select(F.col(TID), act.alias("__a"), *exprs)
+            .withColumn("__rn", F.row_number().over(
+                _W.partitionBy(TID).orderBy((F.col("__a") != -1).desc())))
+            .filter((F.col("__rn") == 1) & ~F.col("__a").isin(del_ids))
+            .drop(TID, "__a", "__rn")
         )
         ins = j.filter(F.col(TID).isNull() & act.isin(ins_ids)).select(*exprs)
         n = j.filter(act != -1).count()
@@ -775,3 +784,71 @@ class TestStreamingMerge:
                 f'WITH {{"path": "{stream_dir}", "format": "merge", '
                 f'"merge": "MERGE INTO t USING other s ON t.id = s.id WHEN MATCHED THEN DELETE"}}'
             )
+
+
+class TestVacuumRetention:
+    """Round-9 review fixes: time-based retention, capability mismatch
+    errors, and vacuum-aware cache invalidation."""
+
+    def _sink(self, spark, path):
+        from qlbridge_spark.sinks import ParquetMergeSink
+
+        sink = ParquetMergeSink(spark, path, key="id")
+        sink.ensure(spark.createDataFrame([(1, "a")], "id long, v string"))
+        sink.insert_append(spark.createDataFrame([(2, "b")], "id long, v string"))
+        sink.insert_append(spark.createDataFrame([(3, "c")], "id long, v string"))
+        return sink
+
+    def test_retain_hours_drops_old_versions(self, spark, tmp_path):
+        import datetime
+
+        sink = self._sink(spark, str(tmp_path / "h"))
+        # age versions 0 and 1 by 10 days in the sidecar (commit times are
+        # the durable source of truth)
+        commits = sink._load_commits()
+        old = (datetime.datetime.now(datetime.timezone.utc) - datetime.timedelta(days=10)).isoformat()
+        commits[0] = old
+        commits[1] = old
+        sink._save_commits(commits)
+        e = Engine(spark, "vac-hours")
+        e.register_sink("wh", sink)
+        assert e.execute("VACUUM wh RETAIN 48 HOURS") == 2
+        assert sink.versions() == [2]
+        # current version is NEVER dropped even if old
+        commits = sink._load_commits()
+        commits[2] = old
+        sink._save_commits(commits)
+        assert e.execute("VACUUM wh RETAIN 48 HOURS") == 0
+        assert sink.versions() == [2]
+
+    def test_version_count_retain_on_time_based_sink_errors(self, spark):
+        from qlbridge_spark.engine import ExecError
+
+        class TimeBasedOnly:
+            key = "id"
+
+            def scan(self, spark_):
+                return spark.range(1)
+
+            def vacuum(self, keep=None, retention_hours=None):
+                if keep is not None:
+                    raise ValueError("retention is time-based: use RETAIN HOURS")
+                return 0
+
+        e = Engine(spark, "vac-delta-like")
+        e.register_sink("d", TimeBasedOnly())
+        with pytest.raises(ExecError, match="time-based"):
+            e.execute("VACUUM d RETAIN 1 VERSIONS")
+        assert e.execute("VACUUM d RETAIN 24 HOURS") == 0
+
+    def test_direct_vacuum_invalidates_cached_snapshot_plan(self, spark, tmp_path):
+        """cache_token covers DIRECT sink.vacuum() calls (which preserve
+        _version): the cached VERSION AS OF plan must miss and rebuild to
+        the sink's clean 'not available' error, not fail mid-scan."""
+        sink = self._sink(spark, str(tmp_path / "cv"))
+        e = Engine(spark, "vac-direct")
+        e.register_sink("wh", sink)
+        assert e.sql("SELECT count(*) AS n FROM wh VERSION AS OF 0").collect()[0]["n"] == 1
+        sink.vacuum(keep=1)  # DIRECT call — engine epoch does not move
+        with pytest.raises(Exception, match="not available"):
+            e.sql("SELECT count(*) AS n FROM wh VERSION AS OF 0").collect()
