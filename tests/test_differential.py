@@ -211,3 +211,81 @@ def test_differential_table_shapes(feng):
         if spark_rows != duck_rows:
             failures.append((q, spark_rows[:4], duck_rows[:4]))
     assert not failures, f"{len(failures)} mismatching: {failures}"
+
+
+# ---------------------------------------------------------------------------
+# third-wave shapes (round 9): table constructors + lateral UNNEST —
+# (VALUES ...) AS t(...), comma-lateral and LEFT JOIN UNNEST, unnest
+# aggregation. Array rows include empty and NULL arrays (the rows a
+# lateral comma join must DROP and a LEFT JOIN must keep).
+# ---------------------------------------------------------------------------
+VROWS = []
+_vrng = random.Random(77)
+for i in range(60):
+    arr = None if _vrng.random() < 0.12 else [
+        _vrng.randint(-5, 9) for _ in range(_vrng.randint(0, 4))
+    ]
+    s = _vrng.choice(["alpha", "beta", "gamma", None])
+    VROWS.append((i, arr, s))
+
+
+@pytest.fixture(scope="module")
+def veng(spark):
+    from qlbridge_spark import Engine
+
+    e = Engine(spark)
+    e.register_df("fzv", spark.createDataFrame(VROWS, "id int, arr array<int>, s string"))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE fzv (id int, arr int[], s varchar)")
+    con.executemany("INSERT INTO fzv VALUES (?, ?, ?)", VROWS)
+    return e, con
+
+
+def _gen_query_v3(rng):
+    shape = rng.randint(0, 4)
+    if shape == 0:
+        # literal table constructor with computed projection
+        rows = ", ".join(
+            f"({rng.randint(-9, 9)}, '{rng.choice(['x', 'y', 'z'])}')" for _ in range(rng.randint(2, 4))
+        )
+        return (
+            f"SELECT t.a + 1 AS a1, t.b FROM (VALUES {rows}) AS t(a, b)"
+            " ORDER BY a1, b"
+        )
+    if shape == 1:
+        c = rng.randint(-5, 9)
+        return (
+            f"SELECT f.id, u.x FROM fzv f, UNNEST(f.arr) AS u(x) WHERE u.x > {c}"
+            " ORDER BY f.id, u.x"
+        )
+    if shape == 2:
+        return (
+            "SELECT u.x, count(*) AS c, min(f.id) AS mn FROM fzv f, UNNEST(f.arr) AS u(x)"
+            " GROUP BY u.x ORDER BY u.x"
+        )
+    if shape == 3:
+        # LEFT JOIN UNNEST keeps empty/NULL-array rows
+        return (
+            "SELECT f.id, u.x FROM fzv f LEFT JOIN UNNEST(f.arr) AS u(x) ON true"
+            " WHERE f.s IS NOT NULL ORDER BY f.id, u.x NULLS FIRST"
+        )
+    # VALUES joined to a base table
+    k = rng.randint(2, 5)
+    rows = ", ".join(f"({i}, 'n{i}')" for i in range(k))
+    return (
+        f"SELECT f.id, v.nm FROM fzv f JOIN (VALUES {rows}) AS v(k, nm)"
+        f" ON f.id % {k} = v.k WHERE f.id < 20 ORDER BY f.id, v.nm"
+    )
+
+
+def test_differential_corpus_v3(veng):
+    e, con = veng
+    rng = random.Random(31)
+    failures = []
+    for qi in range(30):
+        q = _gen_query_v3(rng)
+        spark_rows = sorted((tuple(r) for r in e.execute(q).collect()), key=repr)
+        duck_rows = sorted((tuple(r) for r in con.execute(q).fetchall()), key=repr)
+        if spark_rows != duck_rows:
+            failures.append((q, spark_rows[:4], duck_rows[:4]))
+    assert not failures, f"{len(failures)} mismatching v3 queries: {failures[:3]}"

@@ -202,3 +202,43 @@ def test_merge_fuzz_native_lowering(spark):
         if got != want:
             failures.append((case, stmt, t_rows, s_rows, want, got))
     assert not failures, f"{len(failures)} mismatching native merges; first: {failures[0]}"
+
+
+def test_merge_fuzz_multimatch_conditions(meng, spark):
+    """Densified corpus for the condition-aware cardinality domain: tiny
+    key space + heavy source duplication guarantees multi-matches, and
+    every matched arm carries a condition — so cases split between
+    'exactly one acting row applies' and 'two acting rows error', the
+    distinction the round-9 rule introduced."""
+    rng = random.Random(20260915)
+    failures = []
+    for case in range(20):
+        t_rows = _gen_rows(rng, rng.randint(3, 6), 4, null_frac=0.05, dup_frac=0.0)
+        seen = set()
+        t_rows = [r for r in t_rows if r["k"] is None or (r["k"] not in seen and not seen.add(r["k"]))]
+        s_rows = _gen_rows(rng, rng.randint(6, 12), 4, null_frac=0.05, dup_frac=0.5)
+        clauses = []
+        for kind in rng.sample(["update", "delete"], k=rng.randint(1, 2)):
+            c = rng.randint(-10, 30)
+            head = f"WHEN MATCHED AND s.v > {c}"
+            cond_fn = lambda t, s, c=c: s["v"] is not None and s["v"] > c
+            if kind == "update":
+                e_sql, e_fn = _gen_expr(rng)
+                clauses.append((f"{head} THEN UPDATE SET v = {e_sql}", "update", cond_fn, e_fn))
+            else:
+                clauses.append((f"{head} THEN DELETE", "delete", cond_fn, None))
+        stmt = (
+            "MERGE INTO tgt t USING src s ON t.k = s.k "
+            + " ".join(sql for sql, *_ in clauses)
+        )
+        meng.register_df("tgt", spark.createDataFrame([(r["k"], r["v"]) for r in t_rows], "k int, v int"))
+        meng.register_df("src", spark.createDataFrame([(r["k"], r["v"]) for r in s_rows], "k int, v int"))
+        want = _reference_merge(t_rows, s_rows, clauses)
+        try:
+            meng.execute(stmt)
+            got = sorted(((r["k"], r["v"]) for r in meng.sql("SELECT k, v FROM tgt").collect()), key=repr)
+        except ExecError as e:
+            got = "cardinality" if "cardinality" in str(e) else f"error: {e}"
+        if got != want:
+            failures.append((case, stmt, t_rows, s_rows, want, got))
+    assert not failures, f"{len(failures)} mismatching multimatch merges; first: {failures[0]}"
