@@ -169,6 +169,7 @@ class Engine:
         # sink's _VERSION file N+1 times)
         self._stmt_depth = 0
         self._stmt_sink_fp = None
+        self._seed_sink_fp = None  # one-shot handoff from execute() to execute_stmt()
         self._bound_params: dict[str, object] = {}
         self.plan_cache_ttl_s = 60.0
         self.plan_cache_max = 128
@@ -347,6 +348,9 @@ class Engine:
             import time as _time
 
             sink_fp = self._sink_version_key()
+            # seed the statement-scoped memo: execute_stmt (on a miss)
+            # reuses this instead of re-reading every sink's state
+            self._seed_sink_fp = (sink_fp,)
             key = (text, self._cache_epoch, sink_fp) if sink_fp is not None else None
         if key is not None:
             hit = self._plan_cache.get(key)
@@ -377,7 +381,9 @@ class Engine:
         outermost = self._stmt_depth == 0
         self._stmt_depth += 1
         if outermost:
-            self._stmt_sink_fp = self._sink_version_key()
+            seed = self._seed_sink_fp
+            self._seed_sink_fp = None
+            self._stmt_sink_fp = seed[0] if seed is not None else self._sink_version_key()
         try:
             return self._execute_stmt_inner(stmt)
         finally:
@@ -3357,16 +3363,25 @@ class Engine:
             sink = self.sinks.get(tname)
             if sink is None or not hasattr(sink, "versions"):
                 raise ExecError(f"DESCRIBE HISTORY requires a versioned sink table; {tname!r} is not one")
-            if not hasattr(sink, "commit_time"):
+            import datetime
+            import os
+
+            has_ct = hasattr(sink, "commit_time")
+            if not has_ct and not hasattr(sink, "_data_dir"):
                 raise ExecError(
-                    f"DESCRIBE HISTORY: sink for {tname!r} exposes versions() but no "
-                    "commit_time(); implement commit_time (ParquetMergeSink keeps a "
-                    "durable _commits sidecar with an mtime fallback)"
+                    f"DESCRIBE HISTORY: sink for {tname!r} exposes versions() but "
+                    "neither commit_time() (durable timestamps) nor _data_dir() "
+                    "(mtime fallback)"
                 )
             rows = []
             for v in sink.versions():
-                # durable sidecar timestamp (survives warehouse copies)
-                ts = sink.commit_time(v)
+                if has_ct:
+                    # durable sidecar timestamp (survives warehouse copies)
+                    ts = sink.commit_time(v)
+                else:  # duck-typed pre-round-9 sink: best-effort mtimes
+                    ts = datetime.datetime.fromtimestamp(
+                        os.path.getmtime(sink._data_dir(v)), datetime.timezone.utc
+                    )
                 rows.append(
                     {
                         "version": v,
@@ -3763,8 +3778,13 @@ class Engine:
             # persisted join; same single shuffle the old dropDuplicates did.
             from pyspark.sql import Window as _W
 
+            # sole order key: acting row first. Ties among NON-acting
+            # duplicates are value-identical in the selected exprs (they
+            # differ only in unselected source columns), so no further
+            # tie-break is needed (and TID would be a no-op — it is the
+            # partition column).
             pick = F.row_number().over(
-                _W.partitionBy(TID).orderBy(F.col("__merge_acted").desc(), F.col(TID))
+                _W.partitionBy(TID).orderBy(F.col("__merge_acted").desc())
             )
             t_part = (
                 joined.filter(F.col(TID).isNotNull())
@@ -3807,17 +3827,19 @@ class Engine:
             raise ExecError(
                 f"VACUUM requires a versioned sink table; {v.table!r} is not one"
             )
+        if v.retain_hours is not None and v.retain_hours < 0:
+            raise ExecError("VACUUM RETAIN HOURS must be >= 0")
+        if v.retain is not None and v.retain < 1:
+            raise ExecError("VACUUM RETAIN must keep at least 1 version")
+        from .sinks import SinkCapabilityError
+
         try:
             if v.retain_hours is not None:
-                if v.retain_hours < 0:
-                    raise ExecError("VACUUM RETAIN HOURS must be >= 0")
                 return sink.vacuum(retention_hours=float(v.retain_hours))
             if v.retain is not None:
-                if v.retain < 1:
-                    raise ExecError("VACUUM RETAIN must keep at least 1 version")
                 return sink.vacuum(keep=int(v.retain))
             return sink.vacuum()
-        except ValueError as e:  # sink-level capability mismatch (Delta keep=)
+        except SinkCapabilityError as e:  # e.g. Delta cannot do RETAIN VERSIONS
             raise ExecError(str(e)) from e
 
     def _restore(self, r: SqlRestore) -> int:

@@ -31,6 +31,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 
 
+class SinkCapabilityError(ValueError):
+    """A sink cannot honor the requested operation mode (e.g. Delta's
+    time-based retention vs RETAIN n VERSIONS). The engine converts this
+    to ExecError; unrelated ValueErrors from inside a sink propagate."""
+
+
 def delta_available() -> bool:
     """True when the delta-spark package (and its jar) is importable."""
     try:
@@ -170,7 +176,7 @@ class DeltaMergeSink:
         Delta's own default retention applies. Returns 0 — Delta does
         not report a removed-version count."""
         if keep is not None:
-            raise ValueError(
+            raise SinkCapabilityError(
                 "Delta retention is time-based: use VACUUM t RETAIN <h> HOURS "
                 "(RETAIN n VERSIONS is only supported by ParquetMergeSink)"
             )
@@ -257,22 +263,29 @@ class ParquetMergeSink:
             json.dump({str(k): v for k, v in commits.items()}, f)
         os.replace(ctmp, self._commits_file())
 
-    def commit_time(self, version: int):
-        """Real (durable) commit timestamp of ``version`` as a tz-aware
-        UTC datetime. Resolved from the ``_commits`` sidecar written at
-        commit time — survives rsync/copy, unlike directory mtimes — with
-        an mtime fallback only for legacy version dirs predating the
-        sidecar."""
+    def _commit_time_from(self, commits: dict, version: int):
+        """Resolve one version's commit time from an already-loaded
+        sidecar dict (mtime fallback for legacy dirs) — lets batch
+        callers (vacuum, version_at, DESCRIBE HISTORY) read the sidecar
+        once instead of once per version."""
         import datetime
         import os
 
-        iso = self._load_commits().get(int(version))
+        iso = commits.get(int(version))
         if iso is not None:
             ts = datetime.datetime.fromisoformat(iso)
             return ts if ts.tzinfo else ts.replace(tzinfo=datetime.timezone.utc)
         return datetime.datetime.fromtimestamp(
             os.path.getmtime(self._data_dir(version)), datetime.timezone.utc
         )
+
+    def commit_time(self, version: int):
+        """Real (durable) commit timestamp of ``version`` as a tz-aware
+        UTC datetime. Resolved from the ``_commits`` sidecar written at
+        commit time — survives rsync/copy, unlike directory mtimes — with
+        an mtime fallback only for legacy version dirs predating the
+        sidecar."""
+        return self._commit_time_from(self._load_commits(), version)
 
     def _commit(self, df: DataFrame) -> None:
         """Write ``df`` to a staging dir, promote it to the next version,
@@ -309,13 +322,18 @@ class ParquetMergeSink:
         import re
         import shutil
 
+        if retention_hours is not None and keep != 1:
+            raise ValueError("vacuum takes either keep= or retention_hours=, not both")
         cur = self._version()
         if retention_hours is not None:
+            commits = self._load_commits()  # ONE sidecar read for all versions
             cutoff = datetime.datetime.now(datetime.timezone.utc) - datetime.timedelta(
                 hours=retention_hours
             )
             victims = {
-                v for v in self.versions() if v != cur and self.commit_time(v) < cutoff
+                v
+                for v in self.versions()
+                if v != cur and self._commit_time_from(commits, v) < cutoff
             }
         else:
             victims = {v for v in self.versions() if v <= cur - keep}
@@ -378,8 +396,9 @@ class ParquetMergeSink:
         if want.tzinfo is None:
             want = want.replace(tzinfo=datetime.timezone.utc)
         best = None
+        commits = self._load_commits()
         for v in self.versions():
-            if self.commit_time(v) <= want:
+            if self._commit_time_from(commits, v) <= want:
                 best = v
         if best is None:
             raise FileNotFoundError(
@@ -390,12 +409,14 @@ class ParquetMergeSink:
 
     def cache_token(self):
         """Fingerprint of the externally-visible table state for the
-        engine's plan/fold caches: (current version, oldest retained).
-        Commits change the first element; vacuum changes the second —
-        so cached ``VERSION AS OF`` plans pinned to a since-vacuumed
-        snapshot miss instead of failing mid-scan."""
-        vs = self.versions()
-        return (self._version(), vs[0] if vs else -1)
+        engine's plan/fold caches: (current version, every retained
+        version). Commits extend it; ANY vacuum — including a time-based
+        one that drops a middle version while older ones survive —
+        changes it, so cached ``VERSION AS OF`` plans pinned to a
+        since-vacuumed snapshot miss instead of failing mid-scan. The
+        versions() listdir already happens for scans; this adds no new
+        I/O class."""
+        return (self._version(), tuple(self.versions()))
 
     # -- writes ---------------------------------------------------------
     def ensure(self, df: DataFrame) -> None:

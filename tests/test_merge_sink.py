@@ -831,8 +831,10 @@ class TestVacuumRetention:
                 return spark.range(1)
 
             def vacuum(self, keep=None, retention_hours=None):
+                from qlbridge_spark.sinks import SinkCapabilityError
+
                 if keep is not None:
-                    raise ValueError("retention is time-based: use RETAIN HOURS")
+                    raise SinkCapabilityError("retention is time-based: use RETAIN HOURS")
                 return 0
 
         e = Engine(spark, "vac-delta-like")
@@ -852,3 +854,39 @@ class TestVacuumRetention:
         sink.vacuum(keep=1)  # DIRECT call — engine epoch does not move
         with pytest.raises(Exception, match="not available"):
             e.sql("SELECT count(*) AS n FROM wh VERSION AS OF 0").collect()
+
+
+class TestVacuumCacheEdgeCases:
+    def test_middle_version_vacuum_invalidates_cache(self, spark, tmp_path):
+        """cache_token fingerprints EVERY retained version: a time-based
+        vacuum that drops a MIDDLE version (older survivor protected by a
+        legacy mtime fallback) must still change the token, so the cached
+        VERSION AS OF plan for the dropped version misses."""
+        import datetime
+
+        from qlbridge_spark.sinks import ParquetMergeSink
+
+        sink = ParquetMergeSink(spark, str(tmp_path / "mid"), key="id")
+        sink.ensure(spark.createDataFrame([(1, "a")], "id long, v string"))
+        sink.insert_append(spark.createDataFrame([(2, "b")], "id long, v string"))
+        sink.insert_append(spark.createDataFrame([(3, "c")], "id long, v string"))
+        commits = sink._load_commits()
+        old = (datetime.datetime.now(datetime.timezone.utc) - datetime.timedelta(days=10)).isoformat()
+        commits[1] = old
+        del commits[0]  # v0 becomes a legacy dir: fresh mtime protects it
+        sink._save_commits(commits)
+        e = Engine(spark, "vac-mid")
+        e.register_sink("wh", sink)
+        assert e.sql("SELECT count(*) AS n FROM wh VERSION AS OF 1").collect()[0]["n"] == 2
+        assert sink.vacuum(retention_hours=48) == 1  # drops ONLY v1
+        assert sink.versions() == [0, 2]
+        with pytest.raises(Exception, match="not available"):
+            e.sql("SELECT count(*) AS n FROM wh VERSION AS OF 1").collect()
+
+    def test_vacuum_keep_and_hours_mutually_exclusive(self, spark, tmp_path):
+        from qlbridge_spark.sinks import ParquetMergeSink
+
+        sink = ParquetMergeSink(spark, str(tmp_path / "mx"), key="id")
+        sink.ensure(spark.createDataFrame([(1, "a")], "id long, v string"))
+        with pytest.raises(ValueError, match="not both"):
+            sink.vacuum(keep=5, retention_hours=1)
