@@ -344,13 +344,12 @@ class Engine:
             dialect, handler = self.dialects[head]
             return handler(self, parse_dialect_statement(text, dialect))
         key = None
+        seed_fp = None
         if self._cacheable(text, head):
             import time as _time
 
             sink_fp = self._sink_version_key()
-            # seed the statement-scoped memo: execute_stmt (on a miss)
-            # reuses this instead of re-reading every sink's state
-            self._seed_sink_fp = (sink_fp,)
+            seed_fp = (sink_fp,)
             key = (text, self._cache_epoch, sink_fp) if sink_fp is not None else None
         if key is not None:
             hit = self._plan_cache.get(key)
@@ -359,6 +358,10 @@ class Engine:
                 return hit[1]
             self.plan_cache_stats["misses"] += 1
         stmt = parse_sql(text)
+        # seed the statement-scoped memo ONLY when we are about to run
+        # (never on a cache hit, which returns above — a lingering seed
+        # would hand a stale fingerprint to the next direct execute_stmt)
+        self._seed_sink_fp = seed_fp
         out = self.execute_stmt(stmt)
         if key is not None and isinstance(out, DataFrame):
             import time as _time

@@ -350,3 +350,28 @@ class TestFoldCacheWithSinks:
         sink.insert_append(spark.createDataFrame([(2, "b")], "id long, v string"))
         ps.sql(30)
         assert eng.plan_cache_stats["fold_misses"] == m0 + 1
+
+
+class TestSeedFingerprintHygiene:
+    def test_prepared_refolds_after_sink_commit_despite_cache_hit(self, eng, spark, tmp_path):
+        """A plan-cache HIT must not leave a stale sink fingerprint behind
+        for the next DIRECT execute_stmt (prepared statements): after a
+        sink commit, the prepared statement's subquery fold over the sink
+        table must re-run, not serve the pre-commit value."""
+        from qlbridge_spark.sinks import ParquetMergeSink
+
+        sink = ParquetMergeSink(spark, str(tmp_path / "sf"), key="id")
+        sink.ensure(spark.createDataFrame([(1, "a")], "id long, v string"))
+        eng.register_sink("st", sink)
+        # WHERE-position subquery: folded at plan time (select-position
+        # scalar subqueries are lazy and would mask the staleness)
+        ps = eng.prepare("SELECT id FROM items WHERE id <= (SELECT count(*) FROM st) AND qty >= ?")
+        assert [r["id"] for r in ps.sql(0).orderBy("id").collect()] == [1]  # fold: count=1
+        # a cache MISS then HIT on an unrelated statement (the hit path
+        # previously left the pre-commit fingerprint seeded)
+        q = "SELECT id FROM items WHERE qty > 15"
+        d1 = eng.sql(q)
+        assert eng.sql(q) is d1  # hit
+        sink.insert_append(spark.createDataFrame([(2, "b")], "id long, v string"))
+        # must REFOLD under the new sink version: count=2 -> ids [1, 2]
+        assert [r["id"] for r in ps.sql(0).orderBy("id").collect()] == [1, 2]
