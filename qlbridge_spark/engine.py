@@ -3605,7 +3605,21 @@ class Engine:
             # float literals get the D suffix: Spark parses bare decimals
             # as DECIMAL, the engine's NumberNode floats are doubles
             return node.text if node.is_int else f"{node.text}D"
-        if isinstance(node, (StringNode, NullNode)):
+        if isinstance(node, StringNode):
+            # NOT node.sql(): the lexer already decoded escapes, and Spark
+            # SQL's default parser re-interprets C-style escapes inside
+            # string literals — render for SPARK's escaping rules ('a\b'
+            # must not become 'a<backspace>' on the native merge path)
+            v = (
+                node.value.replace("\\", "\\\\")
+                .replace("'", "\\'")
+                .replace("\n", "\\n")
+                .replace("\r", "\\r")
+                .replace("\t", "\\t")
+                .replace("\0", "\\0")
+            )
+            return f"'{v}'"
+        if isinstance(node, NullNode):
             return node.sql()
         if isinstance(node, BoolNode):
             return "true" if node.value else "false"
@@ -3640,6 +3654,19 @@ class Engine:
         construct returns None and the caller falls back to the generic
         full-outer-join path. Once ``merge_when`` starts, errors propagate
         (the sink is transactional — nothing partial to unwind)."""
+        # '*' clauses: native builders (Delta whenMatchedUpdateAll /
+        # whenNotMatchedInsertAll) REQUIRE the source to cover the target
+        # columns; the generic path instead keeps target values (update)
+        # or NULL-fills (insert) for columns missing from the source. Only
+        # lower '*' natively when the semantics coincide — source covers
+        # target case-insensitively — else take the generic fallback.
+        if any(
+            (cl.action == "update" and cl.set_values == "*")
+            or (cl.action == "insert" and cl.insert_values == "*")
+            for cl in m.clauses
+        ):
+            if not {c.lower() for c in tcols} <= {c.lower() for c in src.columns}:
+                return None
         try:
             render = self._render_ansi
             on_sql = render(m.on)

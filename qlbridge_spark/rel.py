@@ -412,7 +412,7 @@ class SqlParser(ExprParser):
             return self.parse_merge()
         if kw == "VACUUM":
             self.advance()
-            table = self.advance().val
+            table = self.expect(IDENT).val
             v = SqlVacuum(table=table)
             if self.eat_kw("RETAIN"):
                 num = self.expect(NUMBER).val
@@ -427,7 +427,7 @@ class SqlParser(ExprParser):
         if kw == "RESTORE":
             self.advance()
             self.eat_kw("TABLE")
-            table = self.advance().val
+            table = self.expect(IDENT).val
             self.expect(IDENT, "TO")
             if self.eat_kw("VERSION"):
                 self.expect(IDENT, "AS")

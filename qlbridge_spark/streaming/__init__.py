@@ -391,6 +391,18 @@ def _start(out: DataFrame, name: str, cfg: dict, engine=None):
         src_name = str(cfg.get("source_name", "batch")).lower()
         from ..rel import SqlMerge, parse_sql
 
+        # the micro-batch is registered engine-wide under src_name for the
+        # duration of each batch (foreachBatch runs on a streaming thread);
+        # a name that shadows an existing table would let concurrent engine
+        # queries in the same process read micro-batch data under that name
+        # or race the restore — reject the collision at stream START.
+        # Single-writer assumption: one stream per source_name per engine.
+        if src_name in engine.tables or src_name in engine.sinks:
+            raise ValueError(
+                f"WITH {{'format': 'merge'}}: source_name {src_name!r} collides with an "
+                "already-registered table/sink; pick an unused name (the micro-batch is "
+                "registered under it engine-wide for each batch)"
+            )
         parsed = parse_sql(stmt_text)  # validate ONCE at stream start
         if not isinstance(parsed, SqlMerge):
             raise ValueError("WITH {'format': 'merge'}: 'merge' must be a MERGE INTO statement")

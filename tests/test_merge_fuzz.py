@@ -204,6 +204,92 @@ def test_merge_fuzz_native_lowering(spark):
     assert not failures, f"{len(failures)} mismatching native merges; first: {failures[0]}"
 
 
+def test_merge_fuzz_string_literals(spark):
+    """Gnarly string literals (backslashes, quotes, control chars) through
+    BOTH merge paths. The engine's lexer decodes C-style escapes, so the
+    native lowering must RE-escape when rendering Spark SQL — Spark's
+    default string parser interprets backslash escapes, and an unescaped
+    'a\\b' silently became 'a<backspace>' on the native path only
+    (NativeFakeMergeSink evaluates the rendered SQL with F.expr, sharing
+    Delta's blind spot, so it proves the renderer not just the engine)."""
+    from test_merge_sink import NativeFakeMergeSink
+
+    values = [
+        "a\\b",            # the ADVICE repro: backslash + 'b'
+        "c:\\temp\\new",   # windows-path backslashes before escape letters
+        "it's",            # embedded quote
+        "tab\there",       # real tab
+        "line\nbreak",     # real newline
+        "cr\rhere",        # real carriage return
+        "trailing\\",      # trailing backslash
+        "double\\\\slash", # two literal backslashes
+    ]
+    for i, val in enumerate(values):
+        lit = "'" + val.replace("\\", "\\\\").replace("'", "\\'") + "'"
+        stmt = (
+            f"MERGE INTO tgt t USING src s ON t.k = s.k "
+            f"WHEN MATCHED AND s.name = {lit} THEN UPDATE SET name = {lit} "
+            f"WHEN NOT MATCHED THEN INSERT (k, name) VALUES (s.k, {lit})"
+        )
+        src = [(1, val), (2, "zzz")]
+        tgt = [(1, "old1"), (3, "keep")]
+        want = sorted([(1, val), (2, val), (3, "keep")])
+
+        gen = Engine(spark, f"merge-strlit-gen-{i}")
+        gen.register_df("tgt", spark.createDataFrame(tgt, "k int, name string"))
+        gen.register_df("src", spark.createDataFrame(src, "k int, name string"))
+        gen.execute(stmt)
+        got_gen = sorted((r["k"], r["name"]) for r in gen.sql("SELECT k, name FROM tgt").collect())
+
+        nat = Engine(spark, f"merge-strlit-nat-{i}")
+        sink = NativeFakeMergeSink(spark.createDataFrame(tgt, "k int, name string"), key="k")
+        nat.register_sink("tgt", sink)
+        nat.register_df("src", spark.createDataFrame(src, "k int, name string"))
+        nat.execute(stmt)
+        assert sink.calls == ["merge_when"], f"value {val!r}: generic fallback taken"
+        got_nat = sorted((r["k"], r["name"]) for r in sink.df.collect())
+
+        assert got_gen == want, f"generic path diverged for {val!r}: {got_gen}"
+        assert got_nat == want, f"native path diverged for {val!r}: {got_nat}"
+
+
+def test_merge_native_star_requires_source_coverage(spark):
+    """ADVICE low: UPDATE SET * / INSERT * only lower natively when the
+    source columns cover the target's (Delta's updateAll/insertAll
+    requirement); otherwise the generic path's keep/NULL-fill semantics
+    must win — same statement, same result, regardless of sink type."""
+    from test_merge_sink import NativeFakeMergeSink
+
+    stmt = (
+        "MERGE INTO tgt t USING src s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    # source missing target column 'extra' → native '*' lowering must NOT fire
+    e = Engine(spark, "merge-star-cover-1")
+    sink = NativeFakeMergeSink(
+        spark.createDataFrame([(1, 10, "a"), (3, 30, "c")], "k int, v int, extra string"), key="k"
+    )
+    e.register_sink("tgt", sink)
+    e.register_df("src", spark.createDataFrame([(1, 11), (2, 22)], "k int, v int"))
+    e.execute(stmt)
+    assert "merge_when" not in sink.calls, "native '*' lowering fired without source coverage"
+    got = sorted((r["k"], r["v"], r["extra"]) for r in sink.df.collect())
+    # generic semantics: update keeps target 'extra'; insert NULL-fills it
+    assert got == [(1, 11, "a"), (2, 22, None), (3, 30, "c")]
+
+    # source covers target → native path fires and agrees
+    e2 = Engine(spark, "merge-star-cover-2")
+    sink2 = NativeFakeMergeSink(
+        spark.createDataFrame([(1, 10), (3, 30)], "k int, v int"), key="k"
+    )
+    e2.register_sink("tgt", sink2)
+    e2.register_df("src", spark.createDataFrame([(1, 11), (2, 22)], "k int, v int"))
+    e2.execute(stmt)
+    assert sink2.calls == ["merge_when"]
+    assert sorted((r["k"], r["v"]) for r in sink2.df.collect()) == [(1, 11), (2, 22), (3, 30)]
+
+
 def test_merge_fuzz_multimatch_conditions(meng, spark):
     """Densified corpus for the condition-aware cardinality domain: tiny
     key space + heavy source duplication guarantees multi-matches, and

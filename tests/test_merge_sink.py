@@ -709,6 +709,20 @@ class TestRestoreStatement:
         with pytest.raises(ParseError, match="VERSION AS OF"):
             parse_sql("RESTORE TABLE wh TO YESTERDAY")
 
+    def test_vacuum_restore_require_table_name(self, spark):
+        """ADVICE low: a missing/non-identifier table name must be a
+        ParseError, not an empty-named SqlVacuum that later fails with a
+        confusing 'not a versioned sink'."""
+        from qlbridge_spark.rel import parse_sql
+        from qlbridge_spark.exprparse import ParseError
+
+        with pytest.raises(ParseError):
+            parse_sql("VACUUM")
+        with pytest.raises(ParseError):
+            parse_sql("VACUUM 42")
+        with pytest.raises(ParseError):
+            parse_sql("RESTORE TABLE 42 TO VERSION AS OF 1")
+
 
 class TestStreamingMerge:
     """format:'merge' — a full MERGE INTO statement per micro-batch (the
@@ -783,6 +797,22 @@ class TestStreamingMerge:
                 "CREATE CONTINUOUSVIEW cdc_bad2 AS SELECT id, v FROM vsrc "
                 f'WITH {{"path": "{stream_dir}", "format": "merge", '
                 f'"merge": "MERGE INTO t USING other s ON t.id = s.id WHEN MATCHED THEN DELETE"}}'
+            )
+
+    def test_merge_stream_rejects_source_name_collision(self, spark, tmp_path):
+        """ADVICE low: the micro-batch registers engine-wide under
+        source_name — shadowing an existing table would let concurrent
+        queries read micro-batch data under that name. Reject at start."""
+        eng = Engine(spark, "cdc-collide-test")
+        stream_dir = str(tmp_path / "cdc_c")
+        spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(stream_dir)
+        eng.register_df("vsrc", spark.read.parquet(stream_dir))
+        eng.register_df("batch", spark.createDataFrame([(9, "x")], "id long, v string"))
+        with pytest.raises(Exception, match="collides"):
+            eng.execute(
+                "CREATE CONTINUOUSVIEW cdc_bad3 AS SELECT id, v FROM vsrc "
+                f'WITH {{"path": "{stream_dir}", "format": "merge", '
+                f'"merge": "MERGE INTO tgt t USING batch s ON t.id = s.id WHEN MATCHED THEN DELETE"}}'
             )
 
 
