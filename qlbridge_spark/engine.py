@@ -471,13 +471,25 @@ class Engine:
         parallel, nothing collected) and return the physical plan
         annotated with RUNTIME per-operator SQL metrics (rows, scan/agg
         times, shuffle bytes, peak memory …) — DuckDB/Postgres-style
-        EXPLAIN ANALYZE, from Spark's own SQLMetric registry."""
+        EXPLAIN ANALYZE, from Spark's own SQLMetric registry.
+
+        The report footer carries the plan/fold cache activity of THIS
+        statement (how many subquery folds were served from cache vs
+        computed) plus the session totals — the observability hook for
+        tuning ``plan_cache_ttl_s`` on repeated-statement workloads."""
+        before = dict(self.plan_cache_stats)
         out = self.execute_stmt(parse_sql(text))
         if not isinstance(out, DataFrame):
             raise ExecError(f"EXPLAIN ANALYZE needs a row-producing statement: {text[:50]}")
-        return self._analyze_plan(out)
+        return self._analyze_plan(out, stats_before=before)
 
-    def _analyze_plan(self, df: DataFrame) -> str:
+    def _cache_stats_footer(self, before: dict) -> str:
+        delta = {k: self.plan_cache_stats[k] - before.get(k, 0) for k in self.plan_cache_stats}
+        this = ", ".join(f"{k}={v}" for k, v in sorted(delta.items()) if v) or "none"
+        total = ", ".join(f"{k}={v}" for k, v in sorted(self.plan_cache_stats.items()))
+        return f"PlanCache: this statement: {this}  [session: {total}]"
+
+    def _analyze_plan(self, df: DataFrame, stats_before: dict | None = None) -> str:
         # run the DataFrame's OWN queryExecution (a writer would attach
         # metrics to a separate wrapping execution): toRdd().count() is
         # executor-parallel and ships only per-partition counts back
@@ -518,6 +530,8 @@ class Engine:
                 walk(c, depth + 1)
 
         walk(df._jdf.queryExecution().executedPlan(), 0)
+        if stats_before is not None:
+            lines.append(self._cache_stats_footer(stats_before))
         return "\n".join(lines)
 
     def filter(self, df: DataFrame, filterql_text: str) -> DataFrame:
@@ -3350,7 +3364,8 @@ class Engine:
 
     def _describe(self, d: SqlDescribe) -> DataFrame:
         if d.stmt is not None and d.analyze:  # EXPLAIN ANALYZE <select>
-            report = self._analyze_plan(self.execute_stmt(d.stmt))
+            before = dict(self.plan_cache_stats)
+            report = self._analyze_plan(self.execute_stmt(d.stmt), stats_before=before)
             return self.spark.createDataFrame(
                 [{"plan": line} for line in report.split("\n")], schema="plan string"
             )

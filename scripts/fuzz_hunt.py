@@ -1,19 +1,20 @@
 """Extended differential fuzz hunt — reproducible harness for the
 per-round hunts recorded in TODO-NEXT.md.
 
-Runs the three generator waves from tests/test_differential.py (v1:
+Runs the four generator waves from tests/test_differential.py (v1:
 expression/aggregate/predicate shapes; v2: subqueries, set ops, windows,
 DISTINCT ON, HAVING, ordered-set aggs; v3: (VALUES ...) constructors and
-lateral UNNEST) through BOTH the engine and DuckDB on identical data and
-requires row-for-row agreement.
+lateral UNNEST; v4: randomized LATERAL derived tables, PIVOT/UNPIVOT,
+CTE + set-op chains) through BOTH the engine and DuckDB on identical
+data and requires row-for-row agreement.
 
 Usage:
     python scripts/fuzz_hunt.py [seed ...]        # default seeds 2000-2039
     python scripts/fuzz_hunt.py $(seq 5000 5079)  # bigger hunt
 
-Each seed contributes 20 v1 + 20 v2 + 20 v3 queries (60/seed; the
-default 40 seeds = 2,400 queries). Failures print the exact query and
-both result prefixes, and the process exits non-zero.
+Each seed contributes 20 queries per wave (80/seed; the default 40
+seeds = 3,200 queries). Failures print the exact query and both result
+prefixes, and the process exits non-zero.
 """
 import random
 import sys
@@ -62,8 +63,8 @@ for seed in seeds:
         if sp != du:
             fails += 1
             print(f"MISMATCH v1 seed={seed}: {q}\n  spark={sp[:4]}\n  duck={du[:4]}")
-    for tag, gen in (("v2", td._gen_query_v2), ("v3", td._gen_query_v3)):
-        rng_w = random.Random(seed * 7 + (1 if tag == "v2" else 2))
+    for tag, gen in (("v2", td._gen_query_v2), ("v3", td._gen_query_v3), ("v4", td._gen_query_v4)):
+        rng_w = random.Random(seed * 7 + {"v2": 1, "v3": 2, "v4": 3}[tag])
         for _ in range(20):
             q = gen(rng_w)
             n += 1

@@ -278,6 +278,84 @@ def _gen_query_v3(rng):
     )
 
 
+# ---------------------------------------------------------------------------
+# fourth-wave shapes (round 10): RANDOMIZED lateral derived tables (the
+# r7 decorrelation machinery: aggregates, top-n LIMIT, GROUP BY inside),
+# PIVOT/UNPIVOT with random agg + IN lists, and CTE + set-op chains —
+# previously covered only by the fixed 6-query list above.
+# ---------------------------------------------------------------------------
+def _gen_query_v4(rng):
+    shape = rng.randint(0, 5)
+    if shape == 0:
+        # comma LATERAL single aggregate over a modulo key
+        agg = rng.choice(["sum(i.a)", "min(i.b)", "max(i.a)", "count(*)", "count(i.b)"])
+        k = rng.randint(3, 10)
+        pred = f" AND {_gen_pred(rng).replace('a ', 'i.a ').replace('b ', 'i.b ').replace('s ', 'i.s ')}" if rng.random() < 0.4 else ""
+        return (
+            f"SELECT f.id, l.m FROM fz f, LATERAL (SELECT {agg} AS m FROM fz i"
+            f" WHERE i.id % {k} = f.id % {k}{pred}) l WHERE f.id < 30 ORDER BY f.id"
+        )
+    if shape == 1:
+        # LATERAL top-n per key (deterministic: unique id tie-break)
+        n = rng.randint(1, 3)
+        k = rng.randint(4, 9)
+        dir_ = rng.choice(["DESC", "ASC"])
+        return (
+            f"SELECT f.id, l.b FROM fz f, LATERAL (SELECT i.b FROM fz i"
+            f" WHERE i.id % {k} = f.id % {k} AND i.b IS NOT NULL"
+            f" ORDER BY i.b {dir_}, i.id LIMIT {n}) l WHERE f.id < 20"
+            " ORDER BY f.id, l.b"
+        )
+    if shape == 2:
+        # LATERAL with GROUP BY inside the derived table
+        k = rng.randint(3, 8)
+        agg = rng.choice(["count(*)", "sum(i.a)", "min(i.id)"])
+        return (
+            f"SELECT f.id, l.k2, l.c FROM fz f, LATERAL (SELECT i.s AS k2, {agg} AS c"
+            f" FROM fz i WHERE i.id % {k} = f.id % {k} AND i.s IS NOT NULL GROUP BY i.s) l"
+            " WHERE f.id < 15 ORDER BY f.id, l.k2, l.c"
+        )
+    if shape == 3:
+        # bracketed PIVOT: random agg + random IN list
+        agg = rng.choice(["count(a)", "sum(a)", "min(a)", "max(a)"])
+        tags = rng.sample(["alpha", "beta", "gamma", "axe"], k=rng.randint(2, 3))
+        inlist = ", ".join(f"'{t}'" for t in tags)
+        where = f" AND {_gen_pred(rng)}" if rng.random() < 0.5 else ""
+        cols = ", ".join(str(i + 1) for i in range(len(tags)))
+        return (
+            f"SELECT * FROM (SELECT s, a FROM fz WHERE s IS NOT NULL AND a IS NOT NULL{where}) p"
+            f" PIVOT ({agg} FOR s IN ({inlist})) ORDER BY {cols}"
+        )
+    if shape == 4:
+        # bracketed UNPIVOT (narrow melt, ANSI NULL-dropping in both)
+        n = rng.randint(10, 60)
+        return (
+            f"SELECT * FROM (SELECT id, a, b FROM fz WHERE id < {n}) p"
+            " UNPIVOT (v FOR col IN (a, b)) ORDER BY id, col"
+        )
+    # CTE feeding a set-op chain
+    c1, c2 = rng.randint(-5, 5), rng.randint(-5, 5)
+    op = rng.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"])
+    return (
+        f"WITH big AS (SELECT a FROM fz WHERE a > {c1})"
+        f" SELECT a FROM big {op} SELECT b AS a FROM fz WHERE b > {c2}"
+        " ORDER BY a NULLS FIRST"
+    )
+
+
+def test_differential_corpus_v4(feng):
+    e, con = feng
+    rng = random.Random(41)
+    failures = []
+    for qi in range(30):
+        q = _gen_query_v4(rng)
+        spark_rows = sorted((tuple(r) for r in e.execute(q).collect()), key=repr)
+        duck_rows = sorted((tuple(r) for r in con.execute(q).fetchall()), key=repr)
+        if spark_rows != duck_rows:
+            failures.append((q, spark_rows[:4], duck_rows[:4]))
+    assert not failures, f"{len(failures)} mismatching v4 queries: {failures[:3]}"
+
+
 def test_differential_corpus_v3(veng):
     e, con = veng
     rng = random.Random(31)

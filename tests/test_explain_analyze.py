@@ -47,3 +47,20 @@ def test_join_metrics(eng, spark):
 def test_non_query_errors(eng):
     with pytest.raises(ExecError, match="row-producing"):
         eng.explain_analyze("SET x = 1")
+
+
+def test_cache_stats_footer(eng):
+    """Round-10 observability: the report footer carries THIS statement's
+    plan/fold cache activity plus session totals."""
+    # statement with an uncorrelated scalar subquery → a fold on first run
+    q = "SELECT k, count(*) AS n FROM t WHERE v < (SELECT max(v) FROM t) GROUP BY k"
+    rep1 = eng.explain_analyze(q)
+    assert "PlanCache:" in rep1 and "session:" in rep1
+    assert "fold_misses=1" in rep1, rep1.split("PlanCache:")[1]
+    # second run: the fold is served from cache
+    rep2 = eng.explain_analyze(q)
+    assert "fold_hits=1" in rep2.split("PlanCache:")[1].split("[session")[0]
+    # SQL surface carries the footer too
+    rows = eng.sql("EXPLAIN ANALYZE SELECT count(*) AS n FROM t").collect()
+    text = "\n".join(r["plan"] for r in rows)
+    assert "PlanCache:" in text

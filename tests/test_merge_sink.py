@@ -799,6 +799,72 @@ class TestStreamingMerge:
                 f'"merge": "MERGE INTO t USING other s ON t.id = s.id WHEN MATCHED THEN DELETE"}}'
             )
 
+    def test_cdc_merge_with_watermark_drops_late_events(self, spark, tmp_path):
+        """Round-10: format:'merge' composed with an event-time watermark +
+        tumbling-window aggregation. Append mode only emits FINALIZED
+        windows, so a late CDC event behind the watermark is dropped by
+        the agg before the per-batch MERGE ever sees it — and the window
+        state store stays bounded (closed windows evicted), the contract
+        that keeps a 100 TB/day CDC stream from accumulating state."""
+        import datetime
+        import json
+
+        from qlbridge_spark.sinks import ParquetMergeSink
+
+        eng = Engine(spark, "cdc-wm-test")
+        stream_dir = str(tmp_path / "wm_stream")
+        sink = ParquetMergeSink(spark, str(tmp_path / "wm_state"), key="id")
+        sink.ensure(spark.createDataFrame([], "id long, v long"))
+        eng.register_sink("wm_state", sink)
+
+        def write(rows):
+            spark.createDataFrame(
+                rows, "id long, v long, ts timestamp"
+            ).write.mode("append").parquet(stream_dir)
+
+        t = lambda h, m: datetime.datetime(2024, 1, 1, h, m)
+        write([(1, 10, t(10, 0)), (2, 20, t(10, 1))])
+        eng.register_df("cdc_wm_src", spark.read.parquet(stream_dir))
+
+        merge_sql = (
+            "MERGE INTO wm_state t USING batch s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET v = s.v "
+            "WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)"
+        )
+        cfg = {
+            "path": stream_dir,
+            "checkpoint": str(tmp_path / "wm_ckpt"),
+            "output_mode": "append",
+            "watermark": {"column": "ts", "delay": "1 minute"},
+            "window": {"column": "ts", "duration": "5 minutes"},
+            "format": "merge",
+            "merge": merge_sql,
+        }
+        q = eng.execute(
+            "CREATE CONTINUOUSVIEW cdc_wm AS SELECT id, max(v) AS v FROM cdc_wm_src "
+            f"GROUP BY id WITH {json.dumps(cfg)}"
+        )
+        try:
+            q.processAllAvailable()
+            # watermark still inside the 10:00 window → nothing finalized
+            assert self._drain_until(q, eng, "wm_state", set(), 5.0) == set()
+            # far-future row closes the [10:00,10:05) window
+            write([(9, 90, t(11, 0))])
+            got = self._drain_until(q, eng, "wm_state", {(1, 10), (2, 20)})
+            assert got == {(1, 10), (2, 20)}
+            # LATE update for id=1 (ts behind the 10:59 watermark) must be
+            # DROPPED; the 12:00 row closes the 11:00 window → id=9 lands
+            write([(1, 999, t(10, 2)), (8, 80, t(12, 0))])
+            got = self._drain_until(q, eng, "wm_state", {(1, 10), (2, 20), (9, 90)})
+            assert got == {(1, 10), (2, 20), (9, 90)}, "late event leaked through the watermark"
+            # bounded state: closed windows are evicted — only the open
+            # [12:00,12:05) window's single group may remain
+            prog = q.lastProgress
+            state_rows = sum(op["numRowsTotal"] for op in prog["stateOperators"])
+            assert state_rows <= 2, f"state not bounded: {state_rows} rows retained"
+        finally:
+            q.stop()
+
     def test_merge_stream_rejects_source_name_collision(self, spark, tmp_path):
         """ADVICE low: the micro-batch registers engine-wide under
         source_name — shadowing an existing table would let concurrent
