@@ -54,6 +54,7 @@ from .rel import (
     SqlDrop,
     SqlInsert,
     SqlMerge,
+    SqlOptimize,
     SqlSelect,
     SqlSetOp,
     SqlShow,
@@ -271,7 +272,7 @@ class Engine:
     # ------------------------------------------------------------------
     # statement classes that can mutate engine/table state — executing one
     # invalidates the plan/fold caches
-    _MUTATING_STMTS = ("SqlInsert", "SqlUpdate", "SqlDelete", "SqlCreate", "SqlDrop", "SqlCommand", "SqlAlter", "SqlCopy", "SqlMerge", "SqlVacuum", "SqlRestore")
+    _MUTATING_STMTS = ("SqlInsert", "SqlUpdate", "SqlDelete", "SqlCreate", "SqlDrop", "SqlCommand", "SqlAlter", "SqlCopy", "SqlMerge", "SqlVacuum", "SqlRestore", "SqlOptimize")
 
     def _bump_cache_epoch(self) -> None:
         self._cache_epoch += 1
@@ -429,6 +430,8 @@ class Engine:
             return self._vacuum(stmt)
         if isinstance(stmt, SqlRestore):
             return self._restore(stmt)
+        if isinstance(stmt, SqlOptimize):
+            return self._optimize(stmt)
         if isinstance(stmt, SqlAlter):
             # parity: reference plans but never executes ALTER
             # (exec/ddl.go:136-152 → ErrNotImplemented)
@@ -873,6 +876,11 @@ class Engine:
         for spark_name, want in zip(out.columns[len(keys):], names):
             if spark_name != want:
                 out = out.withColumnRenamed(spark_name, want)
+        # ANSI: count over an EMPTY pivot cell is 0, but Spark's pivot
+        # leaves the cell NULL (fuzz-v4-found divergence vs DuckDB) — only
+        # the count family has a non-NULL empty-group value to restore
+        if getattr(agg_node, "name", "").lower() in ("count", "count_distinct", "approx_count_distinct"):
+            out = out.withColumns({c: F.coalesce(F.col(c), F.lit(0)) for c in names})
         return out
 
     def _apply_unpivot(self, df: DataFrame, src: FromSource) -> DataFrame:
@@ -898,7 +906,9 @@ class Engine:
         return out
 
     def _resolve_source(self, src: FromSource, sel: SqlSelect | None = None) -> DataFrame:
-        if src.values_rows is not None:
+        if getattr(src, "table_changes", None) is not None:
+            df = self._table_changes_df(*src.table_changes)
+        elif src.values_rows is not None:
             df = self._values_frame(src)
         elif src.subquery is not None:
             df = self._select_any(src.subquery)
@@ -953,6 +963,75 @@ class Engine:
             else:
                 df = df.limit(sp["value"])
         return df.alias(src.ref)
+
+    def _table_changes_df(self, tname: str, v_from: int, v_to: int | None) -> DataFrame:
+        """``FROM TABLE_CHANGES('t', v_from[, v_to])`` — Delta-style change
+        data feed over a versioned sink: one row per changed table row per
+        commit in ``(v_from, v_to]``, tagged ``_change_type`` (insert /
+        delete / update_preimage / update_postimage) with
+        ``_commit_version`` and ``_commit_timestamp``.
+
+        Snapshot sinks (ParquetMergeSink) keep full snapshots, not change
+        logs, so each version step is reconstructed as a key-joined diff:
+        one full-outer join per step on the sink key — honest cost
+        O(versions × table). That is the right tool for incremental
+        downstream consumption of a MERGE-maintained table (read ONLY
+        what changed since the version you last processed instead of
+        rescanning 100 TB); a Delta sink with native CDF enabled should
+        read ``table_changes`` through Delta and skip this reconstruction.
+        Vacuumed versions raise (the diff needs both endpoints on disk)."""
+        sink = self.sinks.get(tname.lower())
+        if sink is None or not hasattr(sink, "versions"):
+            raise ExecError(f"TABLE_CHANGES requires a versioned sink table; {tname!r} is not one")
+        have = sorted(sink.versions())
+        if not have:
+            raise ExecError(f"TABLE_CHANGES: {tname!r} has no committed versions")
+        v_to = max(have) if v_to is None else int(v_to)
+        v_from = int(v_from)
+        if v_from > v_to:
+            raise ExecError(f"TABLE_CHANGES: start version {v_from} is after end version {v_to}")
+        # Delta semantics: [v_from, v_to] are COMMITS whose changes are
+        # returned; commit v diffs v-1 → v (commit 0 = the initial inserts)
+        need = list(range(max(0, v_from - 1), v_to + 1))
+        missing = [v for v in need if v not in have]
+        if missing:
+            raise ExecError(
+                f"TABLE_CHANGES: versions {missing} of {tname!r} are not on disk "
+                f"(vacuumed or never committed; have {have})"
+            )
+        key = sink.key
+        commit_ts = {
+            v: sink.commit_time(v) if hasattr(sink, "commit_time") else None
+            for v in range(v_from, v_to + 1)
+        }
+        cols = sink.scan(self.spark, version=v_to).columns
+        steps = []
+        for v in range(v_from, v_to + 1):
+            cur = sink.scan(self.spark, version=v)
+            prev = cur.limit(0) if v == 0 else sink.scan(self.spark, version=v - 1)
+            prev, cur = prev.alias("__p"), cur.alias("__c")
+            j = prev.join(cur, on=F.col(f"__p.{key}").eqNullSafe(F.col(f"__c.{key}")), how="full_outer")
+            p_key, c_key = F.col(f"__p.{key}"), F.col(f"__c.{key}")
+            changed = None
+            for c in cols:
+                ne = ~F.col(f"__p.{c}").eqNullSafe(F.col(f"__c.{c}"))
+                changed = ne if changed is None else (changed | ne)
+            meta = [
+                F.lit(v).cast("long").alias("_commit_version"),
+                F.lit(commit_ts.get(v)).cast("timestamp").alias("_commit_timestamp"),
+            ]
+            p_row = [F.col(f"__p.{c}").alias(c) for c in cols]
+            c_row = [F.col(f"__c.{c}").alias(c) for c in cols]
+            ct = lambda s: F.lit(s).alias("_change_type")  # noqa: E731
+            steps.append(j.filter(p_key.isNull()).select(*c_row, ct("insert"), *meta))
+            steps.append(j.filter(c_key.isNull()).select(*p_row, ct("delete"), *meta))
+            both = j.filter(p_key.isNotNull() & c_key.isNotNull() & changed)
+            steps.append(both.select(*p_row, ct("update_preimage"), *meta))
+            steps.append(both.select(*c_row, ct("update_postimage"), *meta))
+        out = steps[0]
+        for s in steps[1:]:
+            out = out.unionByName(s)
+        return out
 
     def _apply_unnest(
         self,
@@ -3898,6 +3977,41 @@ class Engine:
                 f"RESTORE requires a versioned sink table; {r.table!r} is not one"
             )
         return sink.restore(version=r.version, timestamp=r.timestamp)
+
+    def _optimize(self, o: "SqlOptimize") -> DataFrame:
+        """``OPTIMIZE t [ZORDER BY (...)]`` — layout maintenance on a
+        versioned sink: compact small files accumulated by MERGE/append
+        commits and optionally Z-order-cluster on the listed columns so
+        parquet min/max stats prune scans on ANY of them (the multi-
+        column data-skipping story at 100 TB — see datapipe/zorder.py).
+        Delta sinks route to the native incremental OPTIMIZE; parquet
+        sinks rewrite the snapshot as a new commit. Returns a one-row
+        metrics frame (Delta-style). File sizing: session var
+        ``optimize.target_file_mb`` (default 128)."""
+        sink = self.sinks.get(o.table.lower())
+        if sink is None or not hasattr(sink, "optimize"):
+            raise ExecError(
+                f"OPTIMIZE requires a versioned sink table; {o.table!r} is not one"
+            )
+        if o.zorder:
+            cols = {c.lower() for c in sink.scan(self.spark).columns}
+            bad = [c for c in o.zorder if c.lower() not in cols]
+            if bad:
+                raise ExecError(f"OPTIMIZE ZORDER BY references unknown columns: {bad}")
+        target_mb = int(self.session_vars.get("optimize.target_file_mb", 128))
+        m = sink.optimize(zorder_by=o.zorder or None, target_file_mb=target_mb)
+        return self.spark.createDataFrame(
+            [
+                {
+                    "table": o.table,
+                    "version": m.get("version"),
+                    "files_before": m.get("files_before"),
+                    "files_after": m.get("files_after"),
+                    "zorder_by": ",".join(m.get("zorder_by") or []),
+                }
+            ],
+            schema="table string, version long, files_before long, files_after long, zorder_by string",
+        )
 
     # ------------------------------------------------------------------
     # COPY — bulk I/O (DuckDB-style superset; executor-parallel writes)

@@ -100,6 +100,9 @@ class FromSource:
     #: before the wall time (resolved via sink commit times)
     as_of_ts: str | None = None
     lateral: bool = False  # LATERAL (SELECT …) — subquery may see prior FROM items
+    #: TABLE_CHANGES('t', v_from[, v_to]) — CDF rows between two committed
+    #: versions of a versioned sink: (name, v_from, v_to|None)
+    table_changes: tuple | None = None
 
     @property
     def ref(self) -> str:
@@ -312,6 +315,18 @@ class SqlVacuum:
 
 
 @dataclass
+class SqlOptimize:
+    """``OPTIMIZE <sink table> [ZORDER BY (c1, c2, ...)]`` — compact a
+    versioned sink's small files into ~target-size files and optionally
+    Z-order-cluster them on the listed columns for multi-column
+    data-skipping (Delta-parity layout maintenance; routes to Delta's
+    native OPTIMIZE on Delta sinks, snapshot rewrite on parquet sinks)."""
+
+    table: str = ""
+    zorder: list[str] = field(default_factory=list)
+
+
+@dataclass
 class FilterStatement:
     """FilterQL (rel/filter.go:35-46): FILTER <expr> [FROM t] [LIMIT n]
     [WITH {}] [ALIAS name]; FILTER SELECT cols FROM t WHERE ..."""
@@ -410,6 +425,21 @@ class SqlParser(ExprParser):
             return self.parse_copy()
         if kw == "MERGE":
             return self.parse_merge()
+        if kw == "OPTIMIZE":
+            self.advance()
+            o = SqlOptimize(table=self.expect(IDENT).val)
+            if self.eat_kw("ZORDER"):
+                self.expect(IDENT, "BY")
+                parens = self.cur().kind == LPAREN
+                if parens:
+                    self.advance()
+                o.zorder.append(self.expect(IDENT).val)
+                while self.cur().kind == COMMA:
+                    self.advance()
+                    o.zorder.append(self.expect(IDENT).val)
+                if parens:
+                    self.expect(RPAREN)
+            return o
         if kw == "VACUUM":
             self.advance()
             table = self.expect(IDENT).val
@@ -960,6 +990,22 @@ class SqlParser(ExprParser):
             sub = self.parse_select_chain()
             self.expect(RPAREN)
             src = FromSource(subquery=sub)
+        elif t.kind == IDENT and t.upper == "TABLE_CHANGES" and self.peek().kind == LPAREN:
+            # TABLE_CHANGES('t', v_from[, v_to]) — Delta-style change data
+            # feed over a versioned sink (superset; pairs with VERSION AS OF)
+            self.advance()
+            self.advance()  # (
+            tname = self.advance()
+            if tname.kind != STRING:
+                raise ParseError(f"TABLE_CHANGES expects a quoted table name, got {tname!r}")
+            self.expect(COMMA)
+            v_from = self._int_literal(self.expect(NUMBER).val, "TABLE_CHANGES start version")
+            v_to = None
+            if self.cur().kind == COMMA:
+                self.advance()
+                v_to = self._int_literal(self.expect(NUMBER).val, "TABLE_CHANGES end version")
+            self.expect(RPAREN)
+            src = FromSource(table_changes=(tname.val, v_from, v_to), alias="table_changes")
         elif t.kind == IDENT and t.upper == "UNNEST" and self.peek().kind == LPAREN:
             # UNNEST(<array expr>) [WITH ORDINALITY] AS t(v[, ord]) —
             # lateral explode over the frame built so far (ANSI superset)

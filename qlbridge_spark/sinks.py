@@ -186,6 +186,25 @@ class DeltaMergeSink:
             self._table().vacuum(retention_hours)
         return 0
 
+    def optimize(self, zorder_by: list[str] | None = None,
+                 target_file_mb: int | None = None, bits_per_col: int = 8) -> dict:
+        """Delta OPTIMIZE (the engine's ``OPTIMIZE t [ZORDER BY ...]``
+        statement routes here): native bin-packing compaction or
+        multi-dimensional Z-order clustering — file-level and
+        incremental, no snapshot rewrite. File sizing follows Delta's
+        own session confs (``target_file_mb`` is the ParquetMergeSink
+        knob); metrics come from the commit."""
+        b = self._table().optimize()
+        rows = (b.executeZOrderBy(*zorder_by) if zorder_by else b.executeCompaction()).collect()
+        m = rows[0].asDict().get("metrics") if rows else None
+        md = m.asDict() if m is not None and hasattr(m, "asDict") else {}
+        return {
+            "version": int(self._table().history(1).collect()[0]["version"]),
+            "files_before": md.get("numFilesRemoved"),
+            "files_after": md.get("numFilesAdded"),
+            "zorder_by": list(zorder_by or []),
+        }
+
 
 class ParquetMergeSink:
     """Durable MERGE-capable sink over plain parquet — the no-extra-
@@ -442,6 +461,50 @@ class ParquetMergeSink:
         """Replace the table contents as a NEW committed version (engine
         MERGE INTO commit path; old snapshots stay time-travelable)."""
         self._commit(df)
+
+    # -- layout maintenance ---------------------------------------------
+    def _snapshot_stats(self, version: int) -> tuple[int, int]:
+        """(data files, data bytes) of one committed snapshot dir."""
+        import os
+
+        n = total = 0
+        root_dir = self._data_dir(version)
+        for root, _, files in os.walk(root_dir):
+            for fn in files:
+                if fn.startswith(("_", ".")):
+                    continue
+                n += 1
+                total += os.path.getsize(os.path.join(root, fn))
+        return n, total
+
+    def optimize(self, zorder_by: list[str] | None = None,
+                 target_file_mb: int = 128, bits_per_col: int = 8) -> dict:
+        """Compact (and optionally Z-order cluster) the CURRENT snapshot
+        as a new commit — the engine's ``OPTIMIZE t [ZORDER BY ...]``.
+
+        After many MERGE/append commits a snapshot accumulates small
+        files; this rewrites it at ~``target_file_mb`` per file, and with
+        ``zorder_by`` lays rows on the Morton curve of those columns so
+        parquet row-group min/max stats prune scans filtered on ANY of
+        them (see datapipe/zorder.py). Snapshot-sink honesty: this is an
+        O(table) rewrite, the same cost class as any other commit here;
+        DeltaMergeSink routes to Delta's incremental native OPTIMIZE.
+        Old versions stay time-travelable until vacuum."""
+        from .datapipe.zorder import cluster_frame, estimate_num_files
+
+        cur = self._version()
+        if cur < 0:
+            raise ValueError("optimize: sink has no committed data yet")
+        files_before, data_bytes = self._snapshot_stats(cur)
+        n_files = estimate_num_files(data_bytes, target_file_mb)
+        self._commit(cluster_frame(self.scan(self.spark), zorder_by, n_files, bits_per_col))
+        files_after, _ = self._snapshot_stats(self._version())
+        return {
+            "version": self._version(),
+            "files_before": files_before,
+            "files_after": files_after,
+            "zorder_by": list(zorder_by or []),
+        }
 
     def restore(self, version: int | None = None, timestamp: str | None = None) -> int:
         """Roll back to a past snapshot by committing it as the NEW

@@ -1,0 +1,209 @@
+"""Round-10 layout-maintenance + change-data-feed surface:
+
+- ``OPTIMIZE t [ZORDER BY (...)]`` — small-file compaction and Morton-
+  curve clustering over versioned sinks (Delta-parity statement; at
+  100 TB this is what keeps parquet min/max row-group stats usable for
+  multi-column data skipping after many MERGE commits).
+- ``FROM TABLE_CHANGES('t', v_from[, v_to])`` — Delta-style CDF rows
+  reconstructed from snapshot diffs (incremental downstream consumption
+  of a MERGE-maintained table).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from qlbridge_spark import Engine
+from qlbridge_spark.engine import ExecError
+from qlbridge_spark.sinks import ParquetMergeSink
+
+
+@pytest.fixture()
+def wh(spark, tmp_path):
+    e = Engine(spark, "layout-test")
+    sink = ParquetMergeSink(spark, str(tmp_path / "wh"), key="id")
+    # commit a deliberately fragmented snapshot: 16 partitions → 16 files
+    # (the md5 pad is incompressible, so the snapshot is big enough that a
+    # 1 MB file-size target yields a genuinely multi-file layout)
+    df = spark.range(0, 200000).selectExpr(
+        "id",
+        "id % 97 AS a",
+        "cast(id * 7919 % 1009 AS double) AS b",
+        "concat('u', id % 50) AS s",
+        "md5(cast(id AS string)) AS pad",
+    ).repartition(16)
+    sink.ensure(df)
+    e.register_sink("wh", sink)
+    return e, sink
+
+
+def _data_files(sink, version):
+    n, _ = sink._snapshot_stats(version)
+    return n
+
+
+class TestOptimize:
+    def test_compaction_reduces_files_and_preserves_rows(self, wh, spark):
+        e, sink = wh
+        v0 = sink._version()
+        before = _data_files(sink, v0)
+        assert before >= 16
+        out = e.sql("OPTIMIZE wh").collect()[0]
+        assert out["files_before"] == before
+        assert out["files_after"] < before
+        assert out["version"] == v0 + 1
+        assert out["zorder_by"] == ""
+        # contents identical, pre-optimize snapshot still time-travelable
+        assert e.sql("SELECT count(*) AS n FROM wh").collect()[0]["n"] == 200000
+        tt = e.sql(f"SELECT count(*) AS n FROM wh VERSION AS OF {v0}").collect()[0]["n"]
+        assert tt == 200000
+
+    def test_zorder_clusters_both_columns(self, wh, spark):
+        e, sink = wh
+        e.execute("SET optimize.target_file_mb = 1")  # force multiple output files
+        out = e.sql("OPTIMIZE wh ZORDER BY (a, b)").collect()[0]
+        assert out["zorder_by"] == "a,b"
+        # every file should cover a narrow hyper-rectangle of (a, b):
+        # per-FILE ranges of BOTH columns must be well under the global
+        # range (a plain sort would only narrow one of them)
+        cur = sink.scan(spark).withColumn("f", F.input_file_name())
+        stats = (
+            cur.groupBy("f")
+            .agg((F.max("a") - F.min("a")).alias("ar"), (F.max("b") - F.min("b")).alias("br"))
+            .collect()
+        )
+        assert len(stats) >= 2, "expected a multi-file layout"
+        mean_ar = sum(r["ar"] for r in stats) / len(stats)
+        mean_br = sum(r["br"] for r in stats) / len(stats)
+        assert mean_ar < 96 * 0.8, f"a not clustered: {mean_ar}"
+        assert mean_br < 1008 * 0.8, f"b not clustered: {mean_br}"
+        # row multiset unchanged
+        assert e.sql("SELECT sum(a) AS sa, sum(b) AS sb, count(*) AS n FROM wh").collect()[0] == \
+            e.sql(f"SELECT sum(a) AS sa, sum(b) AS sb, count(*) AS n FROM wh VERSION AS OF 0").collect()[0]
+
+    def test_zorder_unknown_column_errors(self, wh):
+        e, _ = wh
+        with pytest.raises(ExecError, match="unknown columns"):
+            e.execute("OPTIMIZE wh ZORDER BY (nope)")
+
+    def test_optimize_non_sink_errors(self, wh, spark):
+        e, _ = wh
+        e.register_df("plain", spark.range(3))
+        with pytest.raises(ExecError, match="versioned sink"):
+            e.execute("OPTIMIZE plain")
+
+    def test_optimize_invalidates_plan_cache(self, wh):
+        e, sink = wh
+        n1 = e.sql("SELECT count(*) AS n FROM wh").collect()[0]["n"]
+        e.execute("OPTIMIZE wh")
+        # a post-OPTIMIZE DML must not be served a stale cached plan
+        e.execute("DELETE FROM wh WHERE id < 10000")
+        assert e.sql("SELECT count(*) AS n FROM wh").collect()[0]["n"] == n1 - 10000
+
+
+class TestZorderKey:
+    def test_errors(self, spark):
+        from qlbridge_spark.datapipe.zorder import zorder_key
+
+        df = spark.range(5).selectExpr("id", "id AS a")
+        with pytest.raises(ValueError, match="at least one"):
+            zorder_key(df, [])
+        with pytest.raises(ValueError, match="not in frame"):
+            zorder_key(df, ["zz"])
+        with pytest.raises(ValueError, match="overflows"):
+            zorder_key(df, ["id", "a"], bits_per_col=32)
+
+    def test_nulls_and_constants(self, spark):
+        from qlbridge_spark.datapipe.zorder import zorder_key
+
+        df = spark.range(100).selectExpr(
+            "id",
+            "CASE WHEN id % 7 = 0 THEN NULL ELSE id % 13 END AS a",
+            "'const' AS c",
+        )
+        keyed, k = zorder_key(df, ["a", "c"])
+        assert keyed.filter(F.col(k).isNull()).count() == 0
+        assert keyed.count() == 100
+        assert keyed.columns == df.columns + [k]
+
+    def test_deterministic(self, spark):
+        from qlbridge_spark.datapipe.zorder import zorder_key
+
+        df = spark.range(1000).selectExpr("id", "id % 31 AS a", "concat('s', id % 11) AS s")
+        k1, _ = zorder_key(df, ["a", "s"])
+        k2, _ = zorder_key(df, ["a", "s"])
+        assert k1.orderBy("id").collect() == k2.orderBy("id").collect()
+
+
+class TestTableChanges:
+    @pytest.fixture()
+    def cdc(self, spark, tmp_path):
+        e = Engine(spark, "cdf-test")
+        sink = ParquetMergeSink(spark, str(tmp_path / "cdfwh"), key="id")
+        sink.ensure(spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"))  # v0
+        e.register_sink("cdfwh", sink)
+        e.register_df("src", spark.createDataFrame([(2, "B"), (3, "c")], "id long, v string"))
+        e.execute(
+            "MERGE INTO cdfwh t USING src s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET v = s.v "
+            "WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)"
+        )  # v1
+        e.execute("DELETE FROM cdfwh WHERE id = 1")  # v2
+        return e, sink
+
+    def test_change_rows(self, cdc):
+        e, _ = cdc
+        rows = e.sql(
+            "SELECT id, v, _change_type, _commit_version FROM TABLE_CHANGES('cdfwh', 1)"
+        ).collect()
+        got = sorted((r["id"], r["v"], r["_change_type"], r["_commit_version"]) for r in rows)
+        assert got == sorted(
+            [
+                (2, "b", "update_preimage", 1),
+                (2, "B", "update_postimage", 1),
+                (3, "c", "insert", 1),
+                (1, "a", "delete", 2),
+            ]
+        )
+        # commit timestamps come from the durable sidecar
+        assert all(r["_commit_version"] >= 1 for r in rows)
+
+    def test_commit_zero_is_initial_inserts(self, cdc):
+        e, _ = cdc
+        rows = e.sql("SELECT id, _change_type FROM TABLE_CHANGES('cdfwh', 0, 0)").collect()
+        assert sorted((r["id"], r["_change_type"]) for r in rows) == [
+            (1, "insert"),
+            (2, "insert"),
+        ]
+
+    def test_composes_with_where_and_alias(self, cdc):
+        e, _ = cdc
+        n = e.sql(
+            "SELECT count(*) AS n FROM TABLE_CHANGES('cdfwh', 0) c "
+            "WHERE c._change_type = 'insert'"
+        ).collect()[0]["n"]
+        assert n == 3
+
+    def test_no_op_commit_produces_no_rows(self, cdc, spark):
+        e, sink = cdc
+        sink.overwrite(sink.scan(spark))  # v3: identical contents
+        assert e.sql("SELECT * FROM TABLE_CHANGES('cdfwh', 3, 3)").count() == 0
+
+    def test_errors(self, cdc, spark):
+        e, _ = cdc
+        e.register_df("plain", spark.range(2))
+        with pytest.raises(ExecError, match="versioned sink"):
+            e.sql("SELECT * FROM TABLE_CHANGES('plain', 0)")
+        with pytest.raises(ExecError, match="after end"):
+            e.sql("SELECT * FROM TABLE_CHANGES('cdfwh', 5, 1)")
+        with pytest.raises(ExecError, match="not on disk"):
+            e.sql("SELECT * FROM TABLE_CHANGES('cdfwh', 0, 99)")
+
+    def test_vacuumed_version_errors(self, cdc):
+        e, sink = cdc
+        sink.vacuum(keep=1)
+        with pytest.raises(ExecError, match="not on disk"):
+            e.sql("SELECT * FROM TABLE_CHANGES('cdfwh', 1)").collect()
