@@ -1016,18 +1016,33 @@ class Engine:
             for c in cols:
                 ne = ~F.col(f"__p.{c}").eqNullSafe(F.col(f"__c.{c}"))
                 changed = ne if changed is None else (changed | ne)
-            meta = [
-                F.lit(v).cast("long").alias("_commit_version"),
-                F.lit(commit_ts.get(v)).cast("timestamp").alias("_commit_timestamp"),
-            ]
-            p_row = [F.col(f"__p.{c}").alias(c) for c in cols]
-            c_row = [F.col(f"__c.{c}").alias(c) for c in cols]
-            ct = lambda s: F.lit(s).alias("_change_type")  # noqa: E731
-            steps.append(j.filter(p_key.isNull()).select(*c_row, ct("insert"), *meta))
-            steps.append(j.filter(c_key.isNull()).select(*p_row, ct("delete"), *meta))
-            both = j.filter(p_key.isNotNull() & c_key.isNotNull() & changed)
-            steps.append(both.select(*p_row, ct("update_preimage"), *meta))
-            steps.append(both.select(*c_row, ct("update_postimage"), *meta))
+            # ONE pass over the join: each row maps to 0-2 change records
+            # (array + explode) instead of four filtered branch selects
+            # that would each re-execute the full-outer join — at 100 TB,
+            # 1 scan per version step, not 4
+            p_struct = F.struct(*[F.col(f"__p.{c}").alias(c) for c in cols])
+            c_struct = F.struct(*[F.col(f"__c.{c}").alias(c) for c in cols])
+            rec = lambda ct, row: F.struct(F.lit(ct).alias("_ct"), row.alias("_row"))  # noqa: E731
+            pairs = F.array(
+                F.when(p_key.isNull(), rec("insert", c_struct)).when(
+                    p_key.isNotNull() & c_key.isNotNull() & changed,
+                    rec("update_preimage", p_struct),
+                ),
+                F.when(c_key.isNull(), rec("delete", p_struct)).when(
+                    p_key.isNotNull() & c_key.isNotNull() & changed,
+                    rec("update_postimage", c_struct),
+                ),
+            )
+            steps.append(
+                j.select(F.explode(pairs).alias("_e"))
+                .filter(F.col("_e").isNotNull())
+                .select(
+                    *[F.col(f"_e._row.{c}").alias(c) for c in cols],
+                    F.col("_e._ct").alias("_change_type"),
+                    F.lit(v).cast("long").alias("_commit_version"),
+                    F.lit(commit_ts.get(v)).cast("timestamp").alias("_commit_timestamp"),
+                )
+            )
         out = steps[0]
         for s in steps[1:]:
             out = out.unionByName(s)

@@ -202,6 +202,18 @@ class TestTableChanges:
         with pytest.raises(ExecError, match="not on disk"):
             e.sql("SELECT * FROM TABLE_CHANGES('cdfwh', 0, 99)")
 
+    def test_single_join_per_version_step(self, cdc):
+        """Scale pin: each version step is ONE full-outer join feeding an
+        array+explode (a 4-branch filter/union formulation would show 4
+        Join nodes and re-execute the join 4x per step — the exact
+        anti-pattern the round-8 review flagged on MERGE)."""
+        import re
+
+        e, _ = cdc
+        df = e.sql("SELECT * FROM TABLE_CHANGES('cdfwh', 1, 1)")
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert len(re.findall(r"\bJoin\b", plan)) == 1, plan
+
     def test_vacuumed_version_errors(self, cdc):
         e, sink = cdc
         sink.vacuum(keep=1)
