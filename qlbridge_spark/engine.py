@@ -1253,8 +1253,8 @@ class Engine:
                     )
                     global_agg = bool(empty_ok)
             on = None
-            for (_, oc), kn in zip(pairs, key_names):
-                cond = lat[kn] == oc
+            for i, ((_, oc), kn) in enumerate(zip(pairs, key_names)):
+                cond = self._pair_cond(pairs, i, lat[kn], oc)
                 on = cond if on is None else (on & cond)
             joined = joined.join(lat, on=on, how="left" if (left or global_agg) else "inner")
             if global_agg:
@@ -1299,8 +1299,8 @@ class Engine:
                     .drop(rn, *[internal(f"o{i}") for i in range(len(sub_sel.order_by))])
                 )
             on = None
-            for (_, oc), kn in zip(pairs, key_names):
-                cond = lat[kn] == oc
+            for i, ((_, oc), kn) in enumerate(zip(pairs, key_names)):
+                cond = self._pair_cond(pairs, i, lat[kn], oc)
                 on = cond if on is None else (on & cond)
             for (op, _, oc), rn_ in zip(ranges, range_names):
                 cond = {"<": lat[rn_] < oc, "<=": lat[rn_] <= oc, ">": lat[rn_] > oc, ">=": lat[rn_] >= oc}[op]
@@ -1559,8 +1559,8 @@ class Engine:
             ">=": agg[f"{p}_ext"] >= r_oc,
         }[op]
         on = cmp
-        for (_, oc), kn in zip(pairs, key_names):
-            on = (agg[kn] == oc) & on
+        for i, ((_, oc), kn) in enumerate(zip(pairs, key_names)):
+            on = self._pair_cond(pairs, i, agg[kn], oc) & on
         return df.join(agg, on=on, how="left_anti" if anti else "left_semi")
 
     @staticmethod
@@ -2232,8 +2232,8 @@ class Engine:
             .withColumn(mark, F.lit(True))
         )
         on = vals[vkey] == x
-        for (_, oc), kn in zip(pairs, key_names):
-            on = on & (vals[kn] == oc)
+        for i, ((_, oc), kn) in enumerate(zip(pairs, key_names)):
+            on = on & self._pair_cond(pairs, i, vals[kn], oc)
         out = out.join(vals, on=on, how="left").drop(vkey, *key_names)
         flag = self._membership_flag(
             x,
@@ -2265,7 +2265,10 @@ class Engine:
 
         self._subq_n = getattr(self, "_subq_n", 0) + 1
         prefix = f"__inq{self._subq_n}"
-        probe_specs = [(f"{prefix}_k{i}", oc, ic, "=") for i, (ic, oc) in enumerate(pairs)]
+        probe_specs = [
+            (f"{prefix}_k{i}", oc, ic, "<=>" if i in getattr(pairs, "nullsafe", ()) else "=")
+            for i, (ic, oc) in enumerate(pairs)
+        ]
         probe_specs += [(f"{prefix}_r{j}", oc, ic, op) for j, (op, ic, oc) in enumerate(ranges)]
         xn = f"{prefix}_x"
         names = [nm for nm, _, _, _ in probe_specs]
@@ -2273,7 +2276,7 @@ class Engine:
         cond = None
         for nm, _, ic, op in probe_specs:
             pc = probes[nm]
-            c = {"=": ic == pc, "<": ic < pc, "<=": ic <= pc, ">": ic > pc, ">=": ic >= pc, "!=": ic != pc}[op]
+            c = {"=": ic == pc, "<=>": ic.eqNullSafe(pc), "<": ic < pc, "<=": ic <= pc, ">": ic > pc, ">=": ic >= pc, "!=": ic != pc}[op]
             cond = c if cond is None else cond & c
         matched = probes.join(inner_df, on=cond, how="inner")
         t, nn, m = f"{prefix}_t", f"{prefix}_nn", f"{prefix}_m"
@@ -2284,7 +2287,7 @@ class Engine:
         )
         on = stats[xn].eqNullSafe(x)
         for nm, oc, _, _ in probe_specs:
-            on = on & (stats[nm] == oc)
+            on = on & stats[nm].eqNullSafe(oc)
         out = df.join(stats, on=on, how="left").drop(xn, *names)
         flag = self._membership_flag(
             x,
@@ -2296,6 +2299,22 @@ class Engine:
         return SparkColNode(col=flag, dtype=T.BooleanType(), text="(x IN range-correlated subquery)"), out
 
     _RANGE_FLIP = {"<": ">", "<=": ">=", ">": "<", ">=": "<=", "!=": "!="}
+
+    class _CorrPairs(list):
+        """Equality-correlation pairs; ``nullsafe`` holds the indexes of
+        ``IS NOT DISTINCT FROM`` conjuncts (join with eqNullSafe — a NULL
+        outer key MATCHES the inner NULL group, unlike ANSI ``=``)."""
+
+        nullsafe: frozenset = frozenset()
+
+    @staticmethod
+    def _pair_cond(pairs, i: int, key_col, outer_col):
+        """Join condition for correlation pair ``i``: null-safe pairs use
+        eqNullSafe; plain ``=`` pairs keep ANSI semantics (a NULL outer
+        key matches nothing, so the subquery is empty there)."""
+        if i in getattr(pairs, "nullsafe", ()):
+            return key_col.eqNullSafe(outer_col)
+        return key_col == outer_col
 
     def _correlation_split(self, scope: Scope, sub_sel, kind: str, allow_range: bool = False, allow_group: bool = False):
         """Shared decorrelation front-end: build the inner frame, split the
@@ -2326,7 +2345,8 @@ class Engine:
                 "table; alias one side (… FROM orders AS o)"
             )
         inner_filters: list[SparkColumn] = []
-        pairs: list[tuple[SparkColumn, SparkColumn]] = []  # (inner key, outer key)
+        pairs = self._CorrPairs()  # (inner key, outer key)
+        nullsafe: set[int] = set()
         ranges: list[tuple[str, SparkColumn, SparkColumn]] = []  # (op, inner, outer)
         range_ops = set(self._RANGE_FLIP) if allow_range else set()
         for c in self._conjuncts(sub_sel.where) if sub_sel.where is not None else []:
@@ -2335,7 +2355,12 @@ class Engine:
                 continue
             except TranslateError:
                 pass
-            if not (isinstance(c, BinaryNode) and not c.negated and (c.op == "=" or c.op in range_ops)):
+            # `x IS NOT DISTINCT FROM y` is NULL-SAFE equality — decorrelates
+            # like `=` but the join must match NULL keys (eqNullSafe)
+            ns = isinstance(c, BinaryNode) and c.op == "IS DISTINCT FROM" and c.negated
+            if not ns and not (
+                isinstance(c, BinaryNode) and not c.negated and (c.op == "=" or c.op in range_ops)
+            ):
                 raise ExecError(
                     f"correlated {kind} subquery: only equality{'/range' if allow_range else ''} "
                     f"correlation decorrelates to a join (got {c.sql()})"
@@ -2356,10 +2381,13 @@ class Engine:
                 inner_col, outer_col, op = sides[1][1], sides[0][1], self._RANGE_FLIP.get(c.op, c.op)
             else:
                 raise ExecError("correlation conjunct must compare an inner column to an outer column")
-            if op == "=":
+            if op == "=" or ns:
+                if ns:
+                    nullsafe.add(len(pairs))
                 pairs.append((inner_col, outer_col))
             else:
                 ranges.append((op, inner_col, outer_col))
+        pairs.nullsafe = frozenset(nullsafe)
         if not pairs and not ranges:
             # nothing correlated after all — the earlier TranslateError was
             # a genuine failure; re-run the inner select to surface it
@@ -2379,10 +2407,10 @@ class Engine:
         key_names = [f"__csub{n}_k{i}" for i in range(len(pairs))]
         agg_df = agg_df_builder([ic.alias(kn) for (ic, _), kn in zip(pairs, key_names)], f"__csub{n}")
         on = None
-        for (_, oc), kn in zip(pairs, key_names):
-            # plain `==` (not null-safe): ANSI — a NULL outer key matches
-            # nothing, so the subquery is empty there and the value is NULL
-            cond = agg_df[kn] == oc
+        for i, ((_, oc), kn) in enumerate(zip(pairs, key_names)):
+            # plain `=` pairs keep ANSI semantics (NULL outer key matches
+            # nothing); IS NOT DISTINCT FROM pairs join null-safely
+            cond = self._pair_cond(pairs, i, agg_df[kn], oc)
             on = cond if on is None else (on & cond)
         return df.join(agg_df, on=on, how="left").drop(*key_names), f"__csub{n}"
 
@@ -2499,10 +2527,14 @@ class Engine:
         tag = f"{prefix}_tag"
         vname = f"{prefix}_pv"
         # rows whose correlation predicate is UNKNOWN (NULL key/operand)
-        # can never match — drop them so NULL grouping can't leak them in
+        # can never match — drop them so NULL grouping can't leak them in.
+        # EXCEPT null-safe pairs (IS NOT DISTINCT FROM): there the NULL
+        # group is a real match target, and partitionBy's NULL grouping
+        # gives exactly the null-safe semantics
         keep = r_ic.isNotNull()
-        for ic, _ in pairs:
-            keep = keep & ic.isNotNull()
+        for i, (ic, _) in enumerate(pairs):
+            if i not in getattr(pairs, "nullsafe", ()):
+                keep = keep & ic.isNotNull()
         inner_side = inner_df.where(keep).select(
             *[ic.alias(kn) for (ic, _), kn in zip(pairs, k_names)],
             r_ic.alias(r_name),
@@ -2582,7 +2614,9 @@ class Engine:
         prefix = f"__csub{self._subq_n}"
         probe_specs = []  # (name, outer Column, inner Column, op)
         for i, (ic, oc) in enumerate(pairs):
-            probe_specs.append((f"{prefix}_k{i}", oc, ic, "="))
+            probe_specs.append(
+                (f"{prefix}_k{i}", oc, ic, "<=>" if i in getattr(pairs, "nullsafe", ()) else "=")
+            )
         for j, (op, ic, oc) in enumerate(ranges):
             probe_specs.append((f"{prefix}_r{j}", oc, ic, op))
         names = [nm for nm, _, _, _ in probe_specs]
@@ -2595,16 +2629,18 @@ class Engine:
             cond = None
             for nm, _, ic, op in probe_specs:
                 pc = probes[nm]
-                c = {"=": ic == pc, "<": ic < pc, "<=": ic <= pc, ">": ic > pc, ">=": ic >= pc, "!=": ic != pc}[op]
+                c = {"=": ic == pc, "<=>": ic.eqNullSafe(pc), "<": ic < pc, "<=": ic <= pc, ">": ic > pc, ">=": ic >= pc, "!=": ic != pc}[op]
                 cond = c if cond is None else cond & c
             matched = probes.join(inner_df, on=cond, how="inner")
             aggs = agg_exprs(prefix, names)
             aggd = top1_window_frame(matched, prefix, names) if aggs is None else matched.groupBy(*names).agg(*aggs)
         on = None
         for nm, oc, _, _ in probe_specs:
-            # plain == (not null-safe): a NULL probe operand joins nothing,
-            # leaving the subquery value NULL / empty-set — exactly ANSI
-            c = aggd[nm] == oc
+            # null-safe join-back: the probe tuple came from the OUTER frame
+            # verbatim, so <=> is exact — for plain `=` components a NULL
+            # probe never produced an aggd row (ANSI empty-set), and for
+            # IS NOT DISTINCT FROM components the NULL probe's row matches
+            c = aggd[nm].eqNullSafe(oc)
             on = c if on is None else on & c
         out = df.join(aggd, on=on, how="left").drop(*names)
         val = self._scalar_val_expr(
@@ -2679,8 +2715,8 @@ class Engine:
             out_aggs.append(F.count(F.lit(1)).alias(f"{prefix}_cnt"))
         agg_df = qprime.groupBy(*key_names).agg(*out_aggs)
         on = None
-        for (_, oc), kn in zip(pairs, key_names):
-            c = agg_df[kn] == oc
+        for i, ((_, oc), kn) in enumerate(zip(pairs, key_names)):
+            c = self._pair_cond(pairs, i, agg_df[kn], oc)
             on = c if on is None else (on & c)
         out = df.join(agg_df, on=on, how="left").drop(*key_names)
         val = self._scalar_val_expr(
@@ -2979,19 +3015,22 @@ class Engine:
         if ranges:
             self._subq_n = getattr(self, "_subq_n", 0) + 1
             p = f"__csub{self._subq_n}"
-            probe_specs = [(f"{p}_k{i}", oc, ic, "=") for i, (ic, oc) in enumerate(pairs)]
+            probe_specs = [
+            (f"{p}_k{i}", oc, ic, "<=>" if i in getattr(pairs, "nullsafe", ()) else "=")
+            for i, (ic, oc) in enumerate(pairs)
+        ]
             probe_specs += [(f"{p}_r{j}", oc, ic, op) for j, (op, ic, oc) in enumerate(ranges)]
             names = [nm for nm, _, _, _ in probe_specs]
             probes = df.select(*[oc.alias(nm) for nm, oc, _, _ in probe_specs]).distinct()
             cond = None
             for nm, _, ic, op in probe_specs:
                 pc = probes[nm]
-                c = {"=": ic == pc, "<": ic < pc, "<=": ic <= pc, ">": ic > pc, ">=": ic >= pc, "!=": ic != pc}[op]
+                c = {"=": ic == pc, "<=>": ic.eqNullSafe(pc), "<": ic < pc, "<=": ic <= pc, ">": ic > pc, ">=": ic >= pc, "!=": ic != pc}[op]
                 cond = c if cond is None else cond & c
             stats = probes.join(inner_df, on=cond, how="inner").groupBy(*names).agg(*stat_aggs(p))
             on = None
             for nm, oc, _, _ in probe_specs:
-                c = stats[nm] == oc
+                c = stats[nm].eqNullSafe(oc)
                 on = c if on is None else on & c
             out = df.join(stats, on=on, how="left").drop(*names)
         else:
@@ -3468,6 +3507,39 @@ class Engine:
             plan = df._jdf.queryExecution().explainString(self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
             return self.spark.createDataFrame([{"plan": line} for line in plan.split("\n")], schema="plan string")
         ident = d.ident or ""
+        if ident.lower().startswith("detail "):
+            # DESCRIBE DETAIL <sink table> — current-snapshot physical
+            # facts (Delta-parity; pairs with OPTIMIZE: check numFiles /
+            # sizeInBytes before and after a compaction)
+            tname = ident.split(None, 1)[1].strip().lower()
+            sink = self.sinks.get(tname)
+            if sink is None or not hasattr(sink, "versions"):
+                raise ExecError(f"DESCRIBE DETAIL requires a versioned sink table; {tname!r} is not one")
+            v = max(sink.versions())
+            num_files = size_bytes = None
+            if hasattr(sink, "_snapshot_stats"):
+                num_files, size_bytes = sink._snapshot_stats(v)
+            ts = sink.commit_time(v).replace(tzinfo=None) if hasattr(sink, "commit_time") else None
+            return self.spark.createDataFrame(
+                [
+                    {
+                        "name": tname,
+                        "format": type(sink).__name__,
+                        "location": getattr(sink, "path", None),
+                        "key": getattr(sink, "key", None),
+                        "version": v,
+                        "num_files": num_files,
+                        "size_bytes": size_bytes,
+                        "committed_at": ts,
+                        "retained_versions": len(sink.versions()),
+                    }
+                ],
+                schema=(
+                    "name string, format string, location string, key string, "
+                    "version long, num_files long, size_bytes long, "
+                    "committed_at timestamp, retained_versions long"
+                ),
+            )
         if ident.lower().startswith("history "):
             # DESCRIBE HISTORY <sink table> — retained snapshot versions of
             # a versioned sink (Delta-parity; pairs with VERSION AS OF)

@@ -1358,9 +1358,9 @@ class SqlParser(ExprParser):
             or (kw in ("DESCRIBE", "DESC") and t.kind == IDENT and t.upper in ("SELECT", "WITH"))
         ):
             return SqlDescribe(stmt=self.parse_statement())
-        if kw in ("DESCRIBE", "DESC") and t.kind == IDENT and t.upper == "HISTORY":
-            self.advance()
-            return SqlDescribe(ident=f"history {self.advance().val}")
+        if kw in ("DESCRIBE", "DESC") and t.kind == IDENT and t.upper in ("HISTORY", "DETAIL"):
+            word = self.advance().upper.lower()
+            return SqlDescribe(ident=f"{word} {self.advance().val}")
         return SqlDescribe(ident=self.advance().val)
 
     def parse_command(self) -> SqlCommand:

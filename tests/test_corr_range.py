@@ -564,3 +564,94 @@ class TestGroupedCorrelatedScalar:
                 "SELECT ok, (SELECT sum(q) FROM ginn WHERE lk = ok GROUP BY lk"
                 " HAVING q > 1) AS s FROM gout"
             ).collect()
+
+
+class TestNullSafeCorrelation:
+    """Round-10: ``inner IS NOT DISTINCT FROM outer`` correlation — the
+    null-safe equality pair. Decorrelates exactly like ``=`` except the
+    join matches NULL keys (eqNullSafe), so a NULL outer key sees the
+    inner NULL group instead of the ANSI empty set. Every case below is
+    DuckDB-differential on data where both sides carry NULLs."""
+
+    @pytest.fixture(scope="class")
+    def nseng(self, spark):
+        import duckdb
+
+        t = [(1, None, 10), (2, 5, 20), (3, 7, 30), (4, None, 40), (5, 5, 50)]
+        u = [(1, None, 1), (2, None, 2), (3, 5, 3), (4, 7, 4), (5, 7, 5), (6, 8, 6)]
+        eng = Engine(spark, "nullsafe-corr")
+        eng.register_df("nt", spark.createDataFrame(t, "id int, k int, v int"))
+        eng.register_df("nu", spark.createDataFrame(u, "uid int, k int, w int"))
+        con = duckdb.connect()
+        con.execute("CREATE TABLE nt (id int, k int, v int)")
+        con.executemany("INSERT INTO nt VALUES (?, ?, ?)", t)
+        con.execute("CREATE TABLE nu (uid int, k int, w int)")
+        con.executemany("INSERT INTO nu VALUES (?, ?, ?)", u)
+        return eng, con
+
+    def _both(self, nseng, q):
+        eng, con = nseng
+        sp = sorted((tuple(r) for r in eng.sql(q).collect()), key=repr)
+        du = sorted((tuple(r) for r in con.execute(q).fetchall()), key=repr)
+        assert sp == du, f"{q}\n spark={sp}\n duck={du}"
+        return sp
+
+    def test_scalar_subquery(self, nseng):
+        rows = self._both(
+            nseng,
+            "SELECT t.id, (SELECT sum(u.w) FROM nu u WHERE u.k IS NOT DISTINCT FROM t.k) AS s "
+            "FROM nt t ORDER BY t.id",
+        )
+        # NULL outer keys (ids 1, 4) see the inner NULL group (w 1+2)
+        assert rows[0] == (1, 3) and rows[3] == (4, 3)
+
+    def test_correlated_exists(self, nseng):
+        rows = self._both(
+            nseng,
+            "SELECT t.id FROM nt t WHERE EXISTS "
+            "(SELECT 1 FROM nu u WHERE u.k IS NOT DISTINCT FROM t.k AND u.w > 1) ORDER BY t.id",
+        )
+        assert (4,) in rows  # NULL key matches the inner NULL group's w=2
+
+    def test_correlated_in(self, nseng):
+        self._both(
+            nseng,
+            "SELECT t.id FROM nt t WHERE t.v IN "
+            "(SELECT u.w * 10 FROM nu u WHERE u.k IS NOT DISTINCT FROM t.k) ORDER BY t.id",
+        )
+
+    def test_lateral_count(self, nseng):
+        # count: DuckDB keeps empty-group rows for count laterals, so this
+        # is differential-safe even where a group is empty
+        self._both(
+            nseng,
+            "SELECT t.id, l.c FROM nt t, LATERAL "
+            "(SELECT count(*) AS c FROM nu u WHERE u.k IS NOT DISTINCT FROM t.k) l ORDER BY t.id",
+        )
+
+    def test_lateral_agg_ansi_empty_group_divergence(self, nseng):
+        """DOCUMENTED ORACLE DIVERGENCE (engine is ANSI/Postgres-correct):
+        a correlated lateral GLOBAL aggregate always yields one row, even
+        for an empty correlated set — DuckDB 1.0 DROPS that row for
+        non-count aggregates (while keeping it for count() and for the
+        equivalent scalar subquery — internally inconsistent, a known
+        decorrelation quirk). Pin OUR semantics; the fuzzer's v4 grammar
+        avoids the divergent shape (see _gen_query_v4)."""
+        eng, con = nseng
+        q = (
+            "SELECT t.id, l.m FROM nt t, LATERAL "
+            "(SELECT max(u.w) AS m FROM nu u WHERE u.k IS NOT DISTINCT FROM t.k AND u.w > 100) l "
+            "ORDER BY t.id"
+        )
+        sp = [tuple(r) for r in eng.sql(q).collect()]
+        assert sp == [(1, None), (2, None), (3, None), (4, None), (5, None)]
+        du = con.execute(q).fetchall()
+        assert du == []  # DuckDB 1.0 drops all five — the quirk this test documents
+
+    def test_mixed_nullsafe_and_range(self, nseng):
+        # null-safe pair + a range conjunct exercises the probe path
+        self._both(
+            nseng,
+            "SELECT t.id, (SELECT sum(u.w) FROM nu u "
+            "WHERE u.k IS NOT DISTINCT FROM t.k AND u.uid < t.v) AS s FROM nt t ORDER BY t.id",
+        )

@@ -287,13 +287,35 @@ def _gen_query_v3(rng):
 def _gen_query_v4(rng):
     shape = rng.randint(0, 5)
     if shape == 0:
-        # comma LATERAL single aggregate over a modulo key
-        agg = rng.choice(["sum(i.a)", "min(i.b)", "max(i.a)", "count(*)", "count(i.b)"])
+        # comma LATERAL single aggregate over a modulo key.
+        # DuckDB 1.0 DROPS the always-one-row result of a correlated
+        # lateral GLOBAL aggregate when the group is empty — for non-count
+        # aggregates only (count and scalar subqueries keep it; pinned in
+        # test_corr_range.TestNullSafeCorrelation). The engine follows
+        # ANSI/Postgres (row kept, NULL value). So: shapes whose groups
+        # can be EMPTIED (inner preds, null-safe correlation) draw only
+        # count-family aggregates; bare modulo groups (always non-empty
+        # over 300 rows) may draw any aggregate.
         k = rng.randint(3, 10)
-        pred = f" AND {_gen_pred(rng).replace('a ', 'i.a ').replace('b ', 'i.b ').replace('s ', 'i.s ')}" if rng.random() < 0.4 else ""
+        corr = f"i.id % {k} = f.id % {k}"
+        roll = rng.random()
+        if roll < 0.35:
+            pred = rng.choice(
+                ["i.a > 5", "i.b IS NOT NULL", "i.a IS NOT DISTINCT FROM i.b", "i.s LIKE '%a%'"]
+            )
+            agg = rng.choice(["count(*)", "count(i.b)"])
+            where = f" AND {pred}"
+        elif roll < 0.55:
+            # null-safe correlation (round-10: IS NOT DISTINCT FROM pairs)
+            corr = "i.b IS NOT DISTINCT FROM f.b"
+            agg = rng.choice(["count(*)", "count(i.a)"])
+            where = ""
+        else:
+            agg = rng.choice(["sum(i.a)", "min(i.b)", "max(i.a)", "count(*)", "count(i.b)"])
+            where = ""
         return (
             f"SELECT f.id, l.m FROM fz f, LATERAL (SELECT {agg} AS m FROM fz i"
-            f" WHERE i.id % {k} = f.id % {k}{pred}) l WHERE f.id < 30 ORDER BY f.id"
+            f" WHERE {corr}{where}) l WHERE f.id < 30 ORDER BY f.id"
         )
     if shape == 1:
         # LATERAL top-n per key (deterministic: unique id tie-break)

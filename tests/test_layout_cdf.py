@@ -95,6 +95,28 @@ class TestOptimize:
         with pytest.raises(ExecError, match="versioned sink"):
             e.execute("OPTIMIZE plain")
 
+    def test_describe_detail(self, wh):
+        e, sink = wh
+        row = e.sql("DESCRIBE DETAIL wh").collect()[0]
+        assert row["name"] == "wh"
+        assert row["format"] == "ParquetMergeSink"
+        assert row["key"] == "id"
+        assert row["version"] == 0
+        assert row["num_files"] >= 16
+        assert row["size_bytes"] > 0
+        assert row["committed_at"] is not None
+        before = row["num_files"]
+        e.execute("OPTIMIZE wh")
+        row2 = e.sql("DESCRIBE DETAIL wh").collect()[0]
+        assert row2["version"] == 1 and row2["num_files"] < before
+        assert row2["retained_versions"] == 2
+
+    def test_describe_detail_non_sink_errors(self, wh, spark):
+        e, _ = wh
+        e.register_df("plain2", spark.range(3))
+        with pytest.raises(ExecError, match="versioned sink"):
+            e.sql("DESCRIBE DETAIL plain2")
+
     def test_optimize_invalidates_plan_cache(self, wh):
         e, sink = wh
         n1 = e.sql("SELECT count(*) AS n FROM wh").collect()[0]["n"]
