@@ -988,6 +988,8 @@ class Engine:
             raise ExecError(f"TABLE_CHANGES: {tname!r} has no committed versions")
         v_to = max(have) if v_to is None else int(v_to)
         v_from = int(v_from)
+        if v_from < 0:
+            raise ExecError(f"TABLE_CHANGES: start version must be >= 0, got {v_from}")
         if v_from > v_to:
             raise ExecError(f"TABLE_CHANGES: start version {v_from} is after end version {v_to}")
         # Delta semantics: [v_from, v_to] are COMMITS whose changes are
