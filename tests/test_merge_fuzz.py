@@ -290,6 +290,130 @@ def test_merge_native_star_requires_source_coverage(spark):
     assert sorted((r["k"], r["v"]) for r in sink2.df.collect()) == [(1, 11), (2, 22), (3, 30)]
 
 
+_GNARLY_STRINGS = ["a\\b", "it's", "tab\there", "nl\nx", "plain", "end\\", ""]
+
+
+def _gen_str_expr(rng):
+    """(engine-sql, fn(t_row, s_row) -> str|None) over a `name` column."""
+    choice = rng.randint(0, 3)
+    if choice == 0:
+        v = rng.choice(_GNARLY_STRINGS)
+        lit = "'" + v.replace("\\", "\\\\").replace("'", "\\'").replace("\n", "\\n").replace("\t", "\\t") + "'"
+        return lit, lambda t, s, v=v: v
+    if choice == 1:
+        return "s.name", lambda t, s: s["name"]
+    if choice == 2:
+        return (
+            "upper(s.name)",
+            lambda t, s: None if s["name"] is None else s["name"].upper(),
+        )
+    return (
+        "concat(t.name, s.name)",
+        lambda t, s: None if t["name"] is None or s["name"] is None else t["name"] + s["name"],
+    )
+
+
+def test_merge_fuzz_string_column(spark):
+    """Randomized MERGE corpus over a STRING value column (NULLs + gnarly
+    literals) through BOTH the generic plan and the native merge_when
+    lowering, each against the independent interpreter — the post-
+    escaping-fix densification ADVICE asked for."""
+    from test_merge_sink import NativeFakeMergeSink
+
+    rng = random.Random(20261001)
+    failures = []
+    for case in range(16):
+        t_rows, s_rows = [], []
+        used = set()
+        for _ in range(rng.randint(3, 7)):
+            k = rng.randint(0, 7)
+            if k in used:
+                continue
+            used.add(k)
+            t_rows.append({"k": k, "name": None if rng.random() < 0.2 else rng.choice(_GNARLY_STRINGS)})
+        for _ in range(rng.randint(3, 8)):
+            k = None if rng.random() < 0.1 else rng.randint(0, 9)
+            s_rows.append({"k": k, "name": None if rng.random() < 0.2 else rng.choice(_GNARLY_STRINGS)})
+        # dedupe source keys: every arm here is unconditioned, so duplicate
+        # source keys would be a cardinality error in every engine — the
+        # cardinality domain is covered by test_merge_fuzz_multimatch_conditions
+        seen = set()
+        s_rows = [r for r in s_rows if r["k"] is None or (r["k"] not in seen and not seen.add(r["k"]))]
+        clauses = []
+        kinds = rng.sample(["update", "delete", "insert"], k=rng.randint(1, 3))
+        for kind in kinds:
+            if kind == "update":
+                e_sql, e_fn = _gen_str_expr(rng)
+                clauses.append((f"WHEN MATCHED THEN UPDATE SET name = {e_sql}", "update", lambda t, s: True, e_fn))
+            elif kind == "delete":
+                clauses.append(("WHEN MATCHED THEN DELETE", "delete", lambda t, s: True, None))
+            else:
+                e_sql, e_fn = _gen_str_expr(rng)
+                clauses.append(
+                    (f"WHEN NOT MATCHED THEN INSERT (k, name) VALUES (s.k, {e_sql})", "insert", lambda t, s: True, e_fn)
+                )
+        stmt = "MERGE INTO tgt t USING src s ON t.k = s.k " + " ".join(sql for sql, *_ in clauses)
+
+        def ref():
+            by_key = {}
+            for s in s_rows:
+                if s["k"] is not None:
+                    by_key.setdefault(s["k"], []).append(s)
+            out = []
+            for t in t_rows:
+                matches = by_key.get(t["k"], []) if t["k"] is not None else []
+                if len(matches) > 1 and any(kind != "insert" for _, kind, _, _ in clauses):
+                    return "cardinality"
+                acted = False
+                for s in matches:
+                    for _, kind, _, e_fn in clauses:
+                        if kind == "insert":
+                            continue
+                        acted = True
+                        if kind == "update":
+                            out.append((t["k"], e_fn(t, s)))
+                        break  # first matching arm acts
+                    break
+                if not acted:
+                    out.append((t["k"], t["name"]))
+            t_keys = {t["k"] for t in t_rows}
+            for s in s_rows:
+                if s["k"] is None or s["k"] not in t_keys:
+                    for _, kind, _, e_fn in clauses:
+                        if kind == "insert":
+                            out.append((s["k"], e_fn({"k": None, "name": None}, s)))
+                            break
+            return sorted(out, key=repr)
+
+        want = ref()
+        tgt_tuples = [(r["k"], r["name"]) for r in t_rows]
+        src_tuples = [(r["k"], r["name"]) for r in s_rows]
+
+        gen = Engine(spark, f"merge-strcol-gen-{case}")
+        gen.register_df("tgt", spark.createDataFrame(tgt_tuples, "k int, name string"))
+        gen.register_df("src", spark.createDataFrame(src_tuples, "k int, name string"))
+        try:
+            gen.execute(stmt)
+            got_gen = sorted(((r["k"], r["name"]) for r in gen.sql("SELECT k, name FROM tgt").collect()), key=repr)
+        except ExecError as e:
+            got_gen = "cardinality" if "cardinality" in str(e) else f"error: {e}"
+
+        nat = Engine(spark, f"merge-strcol-nat-{case}")
+        sink = NativeFakeMergeSink(spark.createDataFrame(tgt_tuples, "k int, name string"), key="k")
+        nat.register_sink("tgt", sink)
+        nat.register_df("src", spark.createDataFrame(src_tuples, "k int, name string"))
+        try:
+            nat.execute(stmt)
+            assert sink.calls == ["merge_when"], f"case {case}: generic fallback taken"
+            got_nat = sorted(((r["k"], r["name"]) for r in sink.df.collect()), key=repr)
+        except Exception as e:
+            got_nat = "cardinality" if "cardinality" in str(e) else f"error: {e}"
+
+        if got_gen != want or got_nat != want:
+            failures.append((case, stmt, t_rows, s_rows, want, got_gen, got_nat))
+    assert not failures, f"{len(failures)} mismatching string merges; first: {failures[0]}"
+
+
 def test_merge_fuzz_multimatch_conditions(meng, spark):
     """Densified corpus for the condition-aware cardinality domain: tiny
     key space + heavy source duplication guarantees multi-matches, and
