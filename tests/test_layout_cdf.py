@@ -241,3 +241,56 @@ class TestTableChanges:
         sink.vacuum(keep=1)
         with pytest.raises(ExecError, match="not on disk"):
             e.sql("SELECT * FROM TABLE_CHANGES('cdfwh', 1)").collect()
+
+
+class TestChangesSince:
+    """Incremental CDC consumption loop: a downstream replica applies
+    `changes_since` deltas checkpoint-to-checkpoint and must equal the
+    source table — never rescanning it."""
+
+    def test_consumer_loop_converges(self, spark, tmp_path):
+        e = Engine(spark, "cdc-consumer")
+        sink = ParquetMergeSink(spark, str(tmp_path / "cwh"), key="id")
+        sink.ensure(spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"))
+        e.register_sink("cwh", sink)
+
+        replica: dict = {}
+        ckpt = -1
+
+        def consume():
+            nonlocal ckpt
+            df, v = e.changes_since("cwh", ckpt)
+            for r in df.orderBy("_commit_version").collect():
+                if r["_change_type"] in ("insert", "update_postimage"):
+                    replica[r["id"]] = r["v"]
+                elif r["_change_type"] == "delete":
+                    replica.pop(r["id"], None)
+            ckpt = v
+
+        consume()  # catches up to v0 (initial inserts)
+        assert replica == {1: "a", 2: "b"} and ckpt == 0
+
+        e.register_df("src", spark.createDataFrame([(2, "B"), (3, "c")], "id long, v string"))
+        e.execute(
+            "MERGE INTO cwh t USING src s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET v = s.v "
+            "WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)"
+        )
+        e.execute("DELETE FROM cwh WHERE id = 1")
+        consume()
+        assert replica == {2: "B", 3: "c"} and ckpt == 2
+
+        # caught up: empty frame, full CDF schema, version unchanged
+        df, v = e.changes_since("cwh", ckpt)
+        assert v == 2 and df.count() == 0
+        assert {"_change_type", "_commit_version", "_commit_timestamp"} <= set(df.columns)
+        # replica equals the table
+        assert replica == {r["id"]: r["v"] for r in e.sql("SELECT * FROM cwh").collect()}
+
+    def test_stale_ahead_checkpoint_errors(self, spark, tmp_path):
+        e = Engine(spark, "cdc-consumer-2")
+        sink = ParquetMergeSink(spark, str(tmp_path / "cwh2"), key="id")
+        sink.ensure(spark.createDataFrame([(1, "a")], "id long, v string"))
+        e.register_sink("cwh2", sink)
+        with pytest.raises(ExecError, match="ahead"):
+            e.changes_since("cwh2", 7)
