@@ -1609,6 +1609,7 @@ class Engine:
     # -- aggregation -------------------------------------------------------
     def _aggregate(self, df: DataFrame, scope: Scope, sel: SqlSelect) -> DataFrame:
         group_cols: list[SparkColumn] = []
+        group_aliased: list[tuple[SparkColumn, bool]] = []  # (pre-alias col, was aliased)
         group_names: list[str] = []
         group_sqls: dict[str, str] = {}
         qualified_group_keys: list[tuple[str, str]] = []
@@ -1625,18 +1626,20 @@ class Engine:
                     g = c.expr
                     break
             name = name or (g.name if isinstance(g, IdentityNode) else f"_g{i}")
-            gcol = to_column(g, scope)
+            raw_gcol = to_column(g, scope)
+            gcol = raw_gcol
             if isinstance(g, IdentityNode) and scope.physical_name(g) is not None:
                 # lateral (UNNEST) output: the physical column carries an
                 # internal name — always re-alias to the user-facing one
-                gcol = gcol.alias(name)
+                gcol = raw_gcol.alias(name)
             elif not (isinstance(g, IdentityNode) and g.parts[-1] == name):
                 # alias only when the output name differs from the bare
                 # column — a redundant alias would break grouping():
                 # Spark matches its argument against the grouping columns
                 # by expression, and `col AS col` is a different expression
-                gcol = gcol.alias(name)
+                gcol = raw_gcol.alias(name)
             group_cols.append(gcol)
+            group_aliased.append((raw_gcol, gcol is not raw_gcol))
             group_names.append(name)
             group_sqls[g.sql()] = name
             # remember the group key's ORIGINAL qualified name so HAVING
@@ -1686,15 +1689,34 @@ class Engine:
             qualify_node, qextra = self._rewrite_having(qualify_node, scope)
             hidden.extend(qextra)
 
+        gset_renames: list[tuple[str, str]] = []
+        if group_cols and sel.group_mode in ("ROLLUP", "CUBE", "GROUPING SETS"):
+            # Spark's rollup/cube/groupingSets match set members and
+            # grouping() arguments against the grouping columns by
+            # EXPRESSION, and a computed `expr AS g` alias mints a fresh
+            # exprId per use — matching then fails (set values silently
+            # NULLed, or GROUPING_COLUMN_MISMATCH; v4-fuzz-found).
+            # Pre-project every aliased key to an internal plain column,
+            # group by the attribute (always matches), rename after agg.
+            new_cols = []
+            for i, ((raw, aliased), name) in enumerate(zip(group_aliased, group_names)):
+                if aliased:
+                    internal = f"__gk{i}_{name}"
+                    df = df.withColumn(internal, raw)
+                    new_cols.append(F.col(internal))
+                    gset_renames.append((internal, name))
+                else:
+                    new_cols.append(group_cols[i])
+            group_cols = new_cols
         if group_cols:
             if sel.group_mode == "ROLLUP":
                 grouped = df.rollup(*group_cols)
             elif sel.group_mode == "CUBE":
                 grouped = df.cube(*group_cols)
             elif sel.group_mode == "GROUPING SETS":
-                # each set lists a subset of the (aliased) grouping columns,
-                # matched by expression text; one Expand+Aggregate, not a
-                # union of groupBys
+                # each set lists a subset of the grouping columns, matched
+                # by expression text; one Expand+Aggregate, not a union of
+                # groupBys
                 by_sql = {g.sql(): c for g, c in zip(sel.group_by, group_cols)}
                 sets = []
                 for one in sel.grouping_sets:
@@ -1706,6 +1728,8 @@ class Engine:
             else:
                 grouped = df.groupBy(*group_cols)
             agged = grouped.agg(*(agg_cols + hidden)) if (agg_cols + hidden) else grouped.agg(F.count(F.lit(1)).alias("__cnt")).drop("__cnt")
+            for internal, name in gset_renames:
+                agged = agged.withColumnRenamed(internal, name)
         else:
             agged = df.agg(*(agg_cols + hidden))
 

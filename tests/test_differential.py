@@ -285,7 +285,22 @@ def _gen_query_v3(rng):
 # previously covered only by the fixed 6-query list above.
 # ---------------------------------------------------------------------------
 def _gen_query_v4(rng):
-    shape = rng.randint(0, 5)
+    shape = rng.randint(0, 6)
+    if shape == 6:
+        # grouping-sets family: ROLLUP / CUBE / explicit GROUPING SETS
+        # with grouping() markers (one Expand+Aggregate plan both sides)
+        aggs = rng.sample(["count(*) AS c", "sum(a) AS sa", "min(b) AS mb"], k=rng.randint(1, 2))
+        form = rng.choice([
+            "ROLLUP (s, g)",
+            "CUBE (s, g)",
+            "GROUPING SETS ((s, g), (s), ())",
+            "GROUPING SETS ((s, g), (g))",
+        ])
+        return (
+            f"SELECT s, id % 3 AS g, grouping(s) AS gs, {', '.join(aggs)} FROM fz"
+            f" WHERE a IS NOT NULL GROUP BY {form}"
+            " ORDER BY s NULLS FIRST, g NULLS FIRST, gs"
+        )
     if shape == 0:
         # comma LATERAL single aggregate over a modulo key.
         # DuckDB 1.0 DROPS the always-one-row result of a correlated
