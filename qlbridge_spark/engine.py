@@ -905,6 +905,29 @@ class Engine:
             out = out.filter(F.col(spec["value"]).isNotNull())
         return out
 
+    def _sink_scan(self, sink, src: "FromSource", sel: "SqlSelect | None",
+                   version: int | None = None) -> DataFrame:
+        """Scan a versioned sink table, with FILE-LEVEL data skipping when
+        the sink supports it: the SELECT's pushable WHERE conjuncts
+        (col-vs-literal ranges / IN sets / null checks that reference only
+        this source) are handed to ``sink.scan_pruned`` so files whose
+        min/max stats cannot match are never opened. Pruning is purely an
+        I/O optimization — the engine applies the FULL WHERE to the frame
+        afterwards, so kept-but-unneeded files are filtered exactly as
+        before and results are identical to an unpruned scan."""
+        if sel is not None and sel.where is not None and hasattr(sink, "scan_pruned"):
+            from .skipping import extract_conjuncts
+
+            refs = {r for r in ((src.ref or "").lower(), (src.name or "").lower()) if r}
+            conj = extract_conjuncts(sel.where, refs, allow_bare=len(sel.from_) == 1)
+            if conj:
+                return sink.scan_pruned(self.spark, conj, version=version)
+        if version is None:
+            # current-state scan: minimal protocol (fake/duck-typed sinks
+            # need not accept a version kwarg)
+            return sink.scan(self.spark)
+        return sink.scan(self.spark, version=version)
+
     def _resolve_source(self, src: FromSource, sel: SqlSelect | None = None) -> DataFrame:
         if getattr(src, "table_changes", None) is not None:
             df = self._table_changes_df(*src.table_changes)
@@ -937,11 +960,21 @@ class Engine:
                         raise ExecError(f"sink for {src.name!r} does not support TIMESTAMP AS OF")
                     want_version = sink.version_at(as_of)
                 try:
-                    df = sink.scan(self.spark, version=want_version)
+                    df = self._sink_scan(sink, src, sel, version=want_version)
                 except TypeError as e:
                     raise ExecError(f"sink for {src.name!r} does not support time travel") from e
             if df is None:
-                df = self.table(src.name)
+                nm = (src.name or "").lower()
+                # file-level data skipping: a versioned sink scan gets the
+                # pushable WHERE conjuncts so non-matching files are never
+                # opened (skipping.py). Registry tables shadow sinks
+                # (self.table precedence), so only route when the sink
+                # actually owns the name.
+                sink = self.sinks.get(nm) if nm not in self.tables else None
+                if sink is not None:
+                    df = self._sink_scan(sink, src, sel)
+                else:
+                    df = self.table(src.name)
             if src.name.lower() in self.broadcast_hints:
                 df = F.broadcast(df)
         if src.pivot is not None:

@@ -232,6 +232,10 @@ class ParquetMergeSink:
         self.spark = spark
         self.path = path
         self.key = key
+        #: observability for the data-skipping scan path: the last
+        #: scan_pruned call's {files_total, files_read, version}, or None
+        #: when the last pruned scan fell back to a full read
+        self.last_scan: dict | None = None
         os.makedirs(path, exist_ok=True)
 
     # -- version bookkeeping -------------------------------------------
@@ -320,6 +324,17 @@ class ParquetMergeSink:
         df.write.mode("overwrite").parquet(staging)
         final = self._data_dir(nxt)
         os.rename(staging, final)
+        try:
+            # data-skipping sidecar: per-file min/max/null-count stats from
+            # the just-written parquet FOOTERS (driver-side metadata read).
+            # Written before the pointer advances, so a committed version
+            # always has its sidecar; best-effort — a failure only
+            # disables pruning for this snapshot, never the commit
+            from .skipping import write_stats_sidecar
+
+            write_stats_sidecar(final, schema_json=df.schema.json())
+        except Exception:
+            pass
         commits = self._load_commits()
         commits[nxt] = datetime.datetime.now(datetime.timezone.utc).isoformat()
         self._save_commits(commits)
@@ -389,6 +404,50 @@ class ParquetMergeSink:
                 f"(current {cur}, retained: {self.versions()})"
             )
         return spark.read.parquet(self._data_dir(v))
+
+    def scan_pruned(
+        self, spark: SparkSession, conjuncts: list, version: int | None = None
+    ) -> DataFrame:
+        """Snapshot scan with FILE-LEVEL data skipping: only files whose
+        ``_stats.json`` min/max/null stats could satisfy every conjunct
+        are handed to the parquet reader (skipping.py — Delta-parity
+        design). Falls back to the full scan when the snapshot predates
+        the sidecar. Pruning is conservative and the engine re-applies
+        the full WHERE afterwards, so results are identical to an
+        unpruned scan — only the I/O differs.
+
+        When every file is pruned, ONE file is still read: its rows are
+        provably non-matching (the engine's residual filter drops them)
+        and it pins the correct schema without a createDataFrame round-
+        trip. ``last_scan`` records {files_total, files_read, version}
+        for observability (EXPLAIN ANALYZE / tests)."""
+        import os
+
+        from .skipping import load_stats_sidecar, prune_files
+
+        cur = self._version()
+        if cur < 0:
+            raise FileNotFoundError(f"ParquetMergeSink at {self.path} has no committed version")
+        v = cur if version is None else int(version)
+        if not 0 <= v <= cur or not os.path.isdir(self._data_dir(v)):
+            raise FileNotFoundError(
+                f"version {v} of {self.path} is not available "
+                f"(current {cur}, retained: {self.versions()})"
+            )
+        vdir = self._data_dir(v)
+        stats = load_stats_sidecar(vdir) if conjuncts else None
+        if stats is None:
+            self.last_scan = None
+            return spark.read.parquet(vdir)
+        kept, total = prune_files(stats, conjuncts)
+        all_files = sorted(stats.get("files") or {})
+        if not all_files:
+            self.last_scan = None
+            return spark.read.parquet(vdir)
+        if not kept:
+            kept = [all_files[0]]
+        self.last_scan = {"files_total": total, "files_read": len(kept), "version": v}
+        return spark.read.parquet(*[os.path.join(vdir, rel) for rel in kept])
 
     def versions(self) -> list[int]:
         """Committed versions still on disk (ascending)."""
