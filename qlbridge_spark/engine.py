@@ -55,6 +55,7 @@ from .rel import (
     SqlInsert,
     SqlMerge,
     SqlOptimize,
+    SqlRefresh,
     SqlSelect,
     SqlSetOp,
     SqlShow,
@@ -142,6 +143,10 @@ class Engine:
         self.includes: dict[str, Node] = {}
         self.session_vars: dict[str, object] = {}
         self.views: dict[str, SqlSelect] = {}
+        # materialized views: name → matview.MatView metadata (the
+        # materialized frame itself lives in self.tables so reads, SHOW
+        # TABLES and cache invalidation work unchanged)
+        self.mat_views: dict[str, object] = {}
         self.streams: dict[str, object] = {}
         # plannable sources: name → SourcePlanner-style object
         # (≈ plan.SourcePlanner registry, plan/plan.go:116-123)
@@ -272,7 +277,7 @@ class Engine:
     # ------------------------------------------------------------------
     # statement classes that can mutate engine/table state — executing one
     # invalidates the plan/fold caches
-    _MUTATING_STMTS = ("SqlInsert", "SqlUpdate", "SqlDelete", "SqlCreate", "SqlDrop", "SqlCommand", "SqlAlter", "SqlCopy", "SqlMerge", "SqlVacuum", "SqlRestore", "SqlOptimize")
+    _MUTATING_STMTS = ("SqlInsert", "SqlUpdate", "SqlDelete", "SqlCreate", "SqlDrop", "SqlCommand", "SqlAlter", "SqlCopy", "SqlMerge", "SqlVacuum", "SqlRestore", "SqlOptimize", "SqlRefresh")
 
     def _bump_cache_epoch(self) -> None:
         self._cache_epoch += 1
@@ -432,6 +437,8 @@ class Engine:
             return self._restore(stmt)
         if isinstance(stmt, SqlOptimize):
             return self._optimize(stmt)
+        if isinstance(stmt, SqlRefresh):
+            return self._refresh(stmt)
         if isinstance(stmt, SqlAlter):
             # parity: reference plans but never executes ALTER
             # (exec/ddl.go:136-152 → ErrNotImplemented)
@@ -3785,6 +3792,8 @@ class Engine:
                 raise ExecError("CREATE VIEW requires AS SELECT")
             self.views[c.ident.lower()] = c.select
             return None
+        if tok == "MATERIALIZED VIEW":
+            return self._create_matview(c)
         if tok == "CONTINUOUSVIEW":
             from .streaming import create_continuous_view
 
@@ -3800,8 +3809,13 @@ class Engine:
 
     def _drop(self, d: SqlDrop):
         key = d.ident.lower()
+        if d.tok == "MATERIALIZED VIEW" and key not in self.mat_views:
+            if d.if_exists:
+                return None
+            raise ExecError(f"cannot drop unknown materialized view {d.ident}")
         if key in self.tables:
             del self.tables[key]
+            self.mat_views.pop(key, None)  # dropping an MV's frame drops its metadata
         elif key in self.views:
             del self.views[key]
         elif key in self.planner_sources:
@@ -3809,6 +3823,103 @@ class Engine:
         elif not d.if_exists:
             raise ExecError(f"cannot drop unknown {d.ident}")
         return None
+
+    def _create_matview(self, c: SqlCreate):
+        """CREATE MATERIALIZED VIEW — materialize the query and, when it
+        fits the signed-delta algebra over a versioned-sink base
+        (matview.analyze), store it in incremental STATE form so REFRESH
+        consumes only the change feed. ``WITH {"path": "..."}`` persists
+        the state in a ParquetMergeSink (durable + versioned) instead of
+        a localCheckpoint."""
+        from .matview import MatView, analyze, exposed_frame, persist_state, state_frame
+
+        if c.select is None:
+            raise ExecError("CREATE MATERIALIZED VIEW requires AS SELECT")
+        lname = c.ident.lower()
+        if c.if_not_exists and lname in self.mat_views:
+            return None
+        mv = analyze(self, c.select) if isinstance(c.select, SqlSelect) else None
+        if mv is None:
+            mv = MatView(name=lname, select=c.select)
+        mv.name = lname
+        # the trailing WITH {...} config map parses onto the SELECT itself
+        # (reference grammar); accept it from either position
+        with_cfg = dict(getattr(c.select, "with_", None) or {})
+        with_cfg.update(c.with_ or {})
+        path = with_cfg.get("path")
+        if path:
+            from .sinks import ParquetMergeSink
+
+            mv.state_sink = ParquetMergeSink(
+                self.spark, str(path), key=mv.key_cols[0] if mv.key_cols else "__mv_n"
+            )
+        if mv.incremental:
+            sink = self.sinks[mv.base]
+            mv.base_version = max(sink.versions())
+            # exposed dtypes from the ORIGINAL query's analyzed schema
+            # (analysis only — no job): incremental refreshes cast back to
+            # these, so the view stays schema-identical to a recompute
+            mv.exposed_types = {
+                f.name: f.dataType for f in self._select_any(c.select).schema.fields
+            }
+            base_df = sink.scan(self.spark, version=mv.base_version)
+            mv.internal = persist_state(mv, state_frame(self, mv, base_df, F.lit(1)))
+        else:
+            mv.internal = persist_state(mv, self._select_any(c.select))
+        self.mat_views[lname] = mv
+        self.register_df(lname, exposed_frame(mv))
+        return None
+
+    def _refresh(self, r: SqlRefresh) -> DataFrame:
+        """REFRESH MATERIALIZED VIEW — incremental when possible: fold the
+        base sink's commits since the last refresh (changes_since CDF)
+        into the stored aggregation state; O(|changes| + |view|), never a
+        base rescan. Falls back to full recompute when FULL is forced,
+        the view isn't incrementally maintainable, or the change feed has
+        a vacuumed gap. Returns a one-row report naming the mode that
+        actually ran."""
+        from .matview import exposed_frame, merge_state, persist_state, state_frame
+
+        lname = r.view.lower()
+        mv = self.mat_views.get(lname)
+        if mv is None:
+            raise ExecError(f"REFRESH MATERIALIZED VIEW: unknown materialized view {r.view!r}")
+        mode = "full"
+        v_from = mv.base_version
+        if mv.incremental and not r.full:
+            if self.sinks.get(mv.base) is None:
+                raise ExecError(
+                    f"materialized view {r.view!r}: base {mv.base!r} is no longer a registered sink"
+                )
+            try:
+                changes, cur = self.changes_since(mv.base, mv.base_version)
+            except ExecError:
+                changes = None  # vacuumed gap / stale checkpoint → full recompute
+            if changes is not None:
+                if cur == mv.base_version:
+                    mode = "noop"
+                else:
+                    mode = "incremental"
+                    w = F.when(
+                        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+                    ).otherwise(F.lit(-1))
+                    delta = state_frame(self, mv, changes, w)
+                    mv.internal = persist_state(mv, merge_state(mv, mv.internal, delta))
+                    mv.base_version = cur
+        if mode == "full":
+            if mv.incremental:
+                sink = self.sinks[mv.base]
+                mv.base_version = max(sink.versions())
+                base_df = sink.scan(self.spark, version=mv.base_version)
+                mv.internal = persist_state(mv, state_frame(self, mv, base_df, F.lit(1)))
+            else:
+                mv.internal = persist_state(mv, self._select_any(mv.select))
+        if mode != "noop":
+            self.register_df(lname, exposed_frame(mv))
+        return self.spark.createDataFrame(
+            [(r.view, mode, v_from, mv.base_version)],
+            "view string, mode string, from_version long, to_version long",
+        )
 
     def _command(self, cmd: SqlCommand):
         if cmd.kw == "SET":

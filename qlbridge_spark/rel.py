@@ -315,6 +315,17 @@ class SqlVacuum:
 
 
 @dataclass
+class SqlRefresh:
+    """``REFRESH MATERIALIZED VIEW <name> [FULL]`` — bring a materialized
+    view up to date. Incremental (change-feed fold) when the view's
+    query supports it and FULL was not forced; the returned report row
+    records which mode actually ran (matview.py)."""
+
+    view: str = ""
+    full: bool = False
+
+
+@dataclass
 class SqlOptimize:
     """``OPTIMIZE <sink table> [ZORDER BY (c1, c2, ...)]`` — compact a
     versioned sink's small files into ~target-size files and optionally
@@ -440,6 +451,14 @@ class SqlParser(ExprParser):
                 if parens:
                     self.expect(RPAREN)
             return o
+        if kw == "REFRESH":
+            self.advance()
+            self.expect(IDENT, "MATERIALIZED")
+            self.expect(IDENT, "VIEW")
+            r = SqlRefresh(view=self.expect(IDENT).val)
+            if self.eat_kw("FULL"):
+                r.full = True
+            return r
         if kw == "VACUUM":
             self.advance()
             table = self.expect(IDENT).val
@@ -1275,7 +1294,10 @@ class SqlParser(ExprParser):
             self.expect(IDENT, "REPLACE")
             or_replace = True
         tok = self.advance().upper
-        if tok not in ("SOURCE", "SCHEMA", "VIEW", "CONTINUOUSVIEW", "TABLE", "DATABASE", "INDEX"):
+        if tok == "MATERIALIZED":
+            self.expect(IDENT, "VIEW")
+            tok = "MATERIALIZED VIEW"
+        if tok not in ("SOURCE", "SCHEMA", "VIEW", "MATERIALIZED VIEW", "CONTINUOUSVIEW", "TABLE", "DATABASE", "INDEX"):
             raise ParseError(f"CREATE {tok} not supported")
         if_not_exists = False
         if self.at_kw("IF"):
@@ -1309,6 +1331,9 @@ class SqlParser(ExprParser):
     def parse_drop(self) -> SqlDrop:
         self.advance()
         tok = self.advance().upper
+        if tok == "MATERIALIZED":
+            self.expect(IDENT, "VIEW")
+            tok = "MATERIALIZED VIEW"
         if_exists = False
         if self.at_kw("IF"):
             self.advance()

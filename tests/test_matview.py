@@ -1,0 +1,266 @@
+"""Materialized views with incremental maintenance (matview.py).
+
+The load-bearing property: after ANY sequence of base-table mutations,
+an incrementally refreshed view is row-for-row AND schema-identical to
+recomputing its query from scratch. Everything else (mode reporting,
+durable state, fallback paths, eligibility analysis) hangs off that.
+"""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from qlbridge_spark.engine import Engine, ExecError
+
+
+def _mk(spark, tmp_path, name, rows, schema="id long, g string, x double"):
+    from qlbridge_spark.sinks import ParquetMergeSink
+
+    eng = Engine(spark, f"mv-{name}")
+    sink = ParquetMergeSink(spark, str(tmp_path / name), key="id")
+    sink.ensure(spark.createDataFrame(rows, schema))
+    eng.register_sink("t", sink)
+    return eng, sink
+
+
+BASE = [(1, "a", 10.0), (2, "a", 20.0), (3, "b", None), (4, "b", 5.0), (5, "c", 7.0)]
+MV_SQL = (
+    "SELECT g, count(*) AS n, sum(x) AS s, avg(x) AS a, count(x) AS cx "
+    "FROM t WHERE id > 1 GROUP BY g"
+)
+
+
+def _rows(eng, sql):
+    return sorted(tuple(r) for r in eng.sql(sql).collect())
+
+
+class TestIncrementalRefresh:
+    def test_insert_update_delete_parity(self, spark, tmp_path):
+        eng, _ = _mk(spark, tmp_path, "p1", BASE)
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {MV_SQL}")
+        assert eng.mat_views["mv"].incremental
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, MV_SQL)
+
+        eng.execute("INSERT INTO t (id, g, x) VALUES (6, 'c', 3.0), (7, 'd', 1.0)")
+        eng.execute("UPDATE t SET x = 100.0 WHERE id = 2")
+        eng.execute("DELETE FROM t WHERE g = 'b'")
+        rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+        assert rep["mode"] == "incremental"
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, MV_SQL)
+        # schema identical to a recompute (dtype casts applied)
+        assert eng.sql("SELECT * FROM mv").schema == eng.sql(MV_SQL).schema
+
+    def test_filter_boundary_crossing_update(self, spark, tmp_path):
+        """An UPDATE that moves rows across the WHERE boundary must net
+        out (preimage −1 inside the filter, postimage filtered away)."""
+        eng, _ = _mk(spark, tmp_path, "p2", BASE)
+        eng.execute(
+            "CREATE MATERIALIZED VIEW mv AS "
+            "SELECT g, sum(x) AS s, count(*) AS n FROM t WHERE x < 15 GROUP BY g"
+        )
+        eng.execute("UPDATE t SET x = 1000.0 WHERE id = 1")  # leaves the filter
+        eng.execute("UPDATE t SET x = 2.0 WHERE id = 2")  # enters the filter
+        assert eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]["mode"] == "incremental"
+        assert _rows(eng, "SELECT * FROM mv") == _rows(
+            eng, "SELECT g, sum(x) AS s, count(*) AS n FROM t WHERE x < 15 GROUP BY g"
+        )
+
+    def test_group_vanishes_and_reappears(self, spark, tmp_path):
+        eng, _ = _mk(spark, tmp_path, "p3", BASE)
+        eng.execute("CREATE MATERIALIZED VIEW mv AS SELECT g, count(*) AS n FROM t GROUP BY g")
+        eng.execute("DELETE FROM t WHERE g = 'c'")
+        eng.sql("REFRESH MATERIALIZED VIEW mv")
+        assert {r["g"] for r in eng.sql("SELECT * FROM mv").collect()} == {"a", "b"}
+        eng.execute("INSERT INTO t (id, g, x) VALUES (9, 'c', 1.0)")
+        eng.sql("REFRESH MATERIALIZED VIEW mv")
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, "SELECT g, count(*) AS n FROM t GROUP BY g")
+
+    def test_all_null_group_exposes_null_sum(self, spark, tmp_path):
+        """Deleting a group's only non-NULL x must flip sum/avg back to
+        NULL (the hidden non-null-count state, not the raw sum)."""
+        eng, _ = _mk(spark, tmp_path, "p4", BASE)
+        eng.execute("CREATE MATERIALIZED VIEW mv AS SELECT g, sum(x) AS s, avg(x) AS a FROM t GROUP BY g")
+        eng.execute("DELETE FROM t WHERE id = 4")  # b keeps only the NULL-x row
+        eng.sql("REFRESH MATERIALIZED VIEW mv")
+        b = [r for r in eng.sql("SELECT * FROM mv").collect() if r["g"] == "b"]
+        assert b and b[0]["s"] is None and b[0]["a"] is None
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, "SELECT g, sum(x) AS s, avg(x) AS a FROM t GROUP BY g")
+
+    def test_global_aggregate_view(self, spark, tmp_path):
+        eng, _ = _mk(spark, tmp_path, "p5", BASE)
+        eng.execute("CREATE MATERIALIZED VIEW mv AS SELECT count(*) AS n, sum(x) AS s FROM t")
+        assert eng.mat_views["mv"].incremental
+        eng.execute("DELETE FROM t WHERE id > 0")  # empty the base
+        eng.sql("REFRESH MATERIALIZED VIEW mv")
+        rows = eng.sql("SELECT * FROM mv").collect()
+        assert len(rows) == 1  # ANSI: global agg keeps its single row
+        assert rows[0]["n"] == 0 and rows[0]["s"] is None
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, "SELECT count(*) AS n, sum(x) AS s FROM t")
+
+    def test_noop_when_caught_up(self, spark, tmp_path):
+        eng, _ = _mk(spark, tmp_path, "p6", BASE)
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {MV_SQL}")
+        rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+        assert rep["mode"] == "noop"
+        assert rep["from_version"] == rep["to_version"]
+
+    def test_refresh_full_forces_recompute(self, spark, tmp_path):
+        eng, _ = _mk(spark, tmp_path, "p7", BASE)
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {MV_SQL}")
+        eng.execute("INSERT INTO t (id, g, x) VALUES (8, 'z', 4.0)")
+        rep = eng.sql("REFRESH MATERIALIZED VIEW mv FULL").collect()[0]
+        assert rep["mode"] == "full"
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, MV_SQL)
+
+    def test_vacuumed_gap_falls_back_to_full(self, spark, tmp_path):
+        eng, sink = _mk(spark, tmp_path, "p8", BASE)
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {MV_SQL}")
+        eng.execute("INSERT INTO t (id, g, x) VALUES (8, 'z', 4.0)")
+        eng.execute("DELETE FROM t WHERE id = 8")
+        sink.vacuum(keep=1)  # drops the versions the delta needs
+        rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+        assert rep["mode"] == "full"
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, MV_SQL)
+
+    def test_randomized_mutation_parity(self, spark, tmp_path):
+        """Property: across randomized mutation batches with interleaved
+        refreshes, the view always equals a from-scratch recompute."""
+        rng = random.Random(20260814)
+        rows = [(i, rng.choice("abcde"), float(rng.randint(0, 50))) for i in range(60)]
+        eng, _ = _mk(spark, tmp_path, "prand", rows)
+        q = (
+            "SELECT g, count(*) AS n, sum(x) AS s, avg(x) AS a, count(x) AS cx "
+            "FROM t WHERE x > 5 GROUP BY g"
+        )
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
+        next_id = 60
+        for round_ in range(4):
+            for _ in range(rng.randint(1, 3)):
+                op = rng.choice(["ins", "upd", "del"])
+                if op == "ins":
+                    vals = ", ".join(
+                        f"({next_id + k}, '{rng.choice('abcde')}', {float(rng.randint(0, 50))})"
+                        for k in range(rng.randint(1, 4))
+                    )
+                    next_id += 4
+                    eng.execute(f"INSERT INTO t (id, g, x) VALUES {vals}")
+                elif op == "upd":
+                    eng.execute(
+                        f"UPDATE t SET x = {float(rng.randint(0, 50))} "
+                        f"WHERE id % {rng.randint(2, 7)} = 0"
+                    )
+                else:
+                    eng.execute(f"DELETE FROM t WHERE id % {rng.randint(5, 11)} = 1")
+            rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+            assert rep["mode"] in ("incremental", "noop"), round_
+            got, want = _rows(eng, "SELECT * FROM mv"), _rows(eng, q)
+            # doubles: compare with tolerance (incremental FP accumulation)
+            assert len(got) == len(want), round_
+            for gr, wr in zip(got, want):
+                assert gr[0] == wr[0] and gr[1] == wr[1] and gr[4] == wr[4], round_
+                for i in (2, 3):
+                    if wr[i] is None:
+                        assert gr[i] is None, round_
+                    else:
+                        assert abs(gr[i] - wr[i]) < 1e-6, (round_, gr, wr)
+
+
+class TestDurableState:
+    def test_with_path_persists_versions(self, spark, tmp_path):
+        eng, _ = _mk(spark, tmp_path, "d1", BASE)
+        state = tmp_path / "mv_state"
+        eng.execute(
+            f'CREATE MATERIALIZED VIEW mv AS {MV_SQL} WITH {{"path": "{state}"}}'
+        )
+        mv = eng.mat_views["mv"]
+        assert mv.state_sink is not None and mv.state_sink._version() == 0
+        eng.execute("INSERT INTO t (id, g, x) VALUES (6, 'c', 3.0)")
+        eng.sql("REFRESH MATERIALIZED VIEW mv")
+        assert mv.state_sink._version() == 1  # each refresh commits a version
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, MV_SQL)
+
+
+class TestEligibility:
+    @pytest.mark.parametrize(
+        "q",
+        [
+            "SELECT g, min(x) AS m FROM t GROUP BY g",  # non-distributive agg
+            "SELECT g, count(DISTINCT x) AS d FROM t GROUP BY g",  # distinct
+            "SELECT g, count(*) AS n FROM t GROUP BY g HAVING n > 1",  # having
+            "SELECT t.g, count(*) AS n FROM t JOIN t u ON t.id = u.id GROUP BY t.g",  # join
+            "SELECT upper(g) AS u, count(*) AS n FROM t GROUP BY g",  # key not exposed
+            "SELECT g, count(*) AS n FROM t GROUP BY g ORDER BY n",  # order by
+            "SELECT DISTINCT g FROM t",  # no aggregate
+        ],
+    )
+    def test_non_incremental_shapes_still_work(self, spark, tmp_path, q):
+        eng, _ = _mk(spark, tmp_path, f"e{abs(hash(q)) % 99999}", BASE)
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
+        assert not eng.mat_views["mv"].incremental
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
+        eng.execute("DELETE FROM t WHERE id = 5")
+        rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+        assert rep["mode"] == "full"
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
+
+    def test_registry_base_is_full_mode(self, spark, tmp_path):
+        eng = Engine(spark, "mv-reg")
+        eng.register_df("r", spark.createDataFrame([(1, "a")], "id long, g string"))
+        eng.execute("CREATE MATERIALIZED VIEW mv AS SELECT g, count(*) AS n FROM r GROUP BY g")
+        assert not eng.mat_views["mv"].incremental
+        assert _rows(eng, "SELECT * FROM mv") == [("a", 1)]
+
+    def test_view_is_stable_until_refresh(self, spark, tmp_path):
+        """A materialized view must NOT see base changes until refreshed —
+        that is what distinguishes it from a plain view."""
+        eng, _ = _mk(spark, tmp_path, "e-stale", BASE)
+        eng.execute("CREATE MATERIALIZED VIEW mv AS SELECT count(*) AS n FROM t")
+        eng.execute("DELETE FROM t WHERE id > 0")
+        assert eng.sql("SELECT * FROM mv").collect()[0]["n"] == 5  # still the snapshot
+        eng.sql("REFRESH MATERIALIZED VIEW mv")
+        assert eng.sql("SELECT * FROM mv").collect()[0]["n"] == 0
+
+
+class TestLifecycleAndErrors:
+    def test_drop_materialized_view(self, spark, tmp_path):
+        eng, _ = _mk(spark, tmp_path, "l1", BASE)
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {MV_SQL}")
+        eng.execute("DROP MATERIALIZED VIEW mv")
+        assert "mv" not in eng.mat_views
+        with pytest.raises(ExecError):
+            eng.sql("SELECT * FROM mv")
+        with pytest.raises(ExecError):
+            eng.execute("DROP MATERIALIZED VIEW mv")
+        eng.execute("DROP MATERIALIZED VIEW IF EXISTS mv")  # no error
+
+    def test_refresh_unknown_view_errors(self, spark):
+        eng = Engine(spark, "l2")
+        with pytest.raises(ExecError, match="unknown materialized view"):
+            eng.execute("REFRESH MATERIALIZED VIEW nope")
+
+    def test_create_requires_select(self, spark):
+        eng = Engine(spark, "l3")
+        with pytest.raises(ExecError, match="requires AS SELECT"):
+            eng.execute("CREATE MATERIALIZED VIEW mv")
+
+    def test_if_not_exists_and_replace(self, spark, tmp_path):
+        eng, _ = _mk(spark, tmp_path, "l4", BASE)
+        eng.execute("CREATE MATERIALIZED VIEW mv AS SELECT count(*) AS n FROM t")
+        eng.execute(
+            "CREATE MATERIALIZED VIEW IF NOT EXISTS mv AS SELECT count(*) AS zzz FROM t"
+        )
+        assert eng.sql("SELECT * FROM mv").columns == ["n"]  # kept the original
+        eng.execute("CREATE OR REPLACE MATERIALIZED VIEW mv AS SELECT count(*) AS m FROM t")
+        assert eng.sql("SELECT * FROM mv").columns == ["m"]
+
+    def test_plan_cache_invalidated_by_refresh(self, spark, tmp_path):
+        """A cached SELECT over the view must not serve stale results
+        after REFRESH (register_df bumps the cache epoch)."""
+        eng, _ = _mk(spark, tmp_path, "l5", BASE)
+        eng.execute("CREATE MATERIALIZED VIEW mv AS SELECT count(*) AS n FROM t")
+        q = "SELECT n FROM mv"
+        assert eng.sql(q).collect()[0]["n"] == 5
+        eng.execute("INSERT INTO t (id, g, x) VALUES (6, 'c', 3.0)")
+        eng.sql("REFRESH MATERIALIZED VIEW mv")
+        assert eng.sql(q).collect()[0]["n"] == 6
