@@ -4287,7 +4287,19 @@ class Engine:
             if bad:
                 raise ExecError(f"OPTIMIZE ZORDER BY references unknown columns: {bad}")
         target_mb = int(self.session_vars.get("optimize.target_file_mb", 128))
-        m = sink.optimize(zorder_by=o.zorder or None, target_file_mb=target_mb)
+        curve = str(self.session_vars.get("optimize.curve", "morton")).lower()
+        if curve not in ("morton", "hilbert"):
+            raise ExecError(f"optimize.curve must be 'morton' or 'hilbert', got {curve!r}")
+        try:
+            m = sink.optimize(zorder_by=o.zorder or None, target_file_mb=target_mb, curve=curve)
+        except TypeError:
+            # sink without a curve knob (e.g. Delta's native OPTIMIZE
+            # chooses its own layout): only the default passes through
+            if curve != "morton":
+                raise ExecError(
+                    f"sink for {o.table!r} does not support optimize.curve={curve!r}"
+                ) from None
+            m = sink.optimize(zorder_by=o.zorder or None, target_file_mb=target_mb)
         return self.spark.createDataFrame(
             [
                 {

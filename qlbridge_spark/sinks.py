@@ -537,16 +537,18 @@ class ParquetMergeSink:
         return n, total
 
     def optimize(self, zorder_by: list[str] | None = None,
-                 target_file_mb: int = 128, bits_per_col: int = 8) -> dict:
+                 target_file_mb: int = 128, bits_per_col: int = 8,
+                 curve: str = "morton") -> dict:
         """Compact (and optionally Z-order cluster) the CURRENT snapshot
         as a new commit — the engine's ``OPTIMIZE t [ZORDER BY ...]``.
 
         After many MERGE/append commits a snapshot accumulates small
         files; this rewrites it at ~``target_file_mb`` per file, and with
-        ``zorder_by`` lays rows on the Morton curve of those columns so
-        parquet row-group min/max stats prune scans filtered on ANY of
-        them (see datapipe/zorder.py). Snapshot-sink honesty: this is an
-        O(table) rewrite, the same cost class as any other commit here;
+        ``zorder_by`` lays rows on the Morton (default) or Hilbert
+        (``curve='hilbert'``) curve of those columns so parquet min/max
+        stats prune scans filtered on ANY of them (see
+        datapipe/zorder.py). Snapshot-sink honesty: this is an O(table)
+        rewrite, the same cost class as any other commit here;
         DeltaMergeSink routes to Delta's incremental native OPTIMIZE.
         Old versions stay time-travelable until vacuum."""
         from .datapipe.zorder import cluster_frame, estimate_num_files
@@ -556,7 +558,9 @@ class ParquetMergeSink:
             raise ValueError("optimize: sink has no committed data yet")
         files_before, data_bytes = self._snapshot_stats(cur)
         n_files = estimate_num_files(data_bytes, target_file_mb)
-        self._commit(cluster_frame(self.scan(self.spark), zorder_by, n_files, bits_per_col))
+        self._commit(
+            cluster_frame(self.scan(self.spark), zorder_by, n_files, bits_per_col, curve=curve)
+        )
         files_after, _ = self._snapshot_stats(self._version())
         return {
             "version": self._version(),

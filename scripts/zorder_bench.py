@@ -49,6 +49,9 @@ layouts = {
     "natural": lambda df: df.repartition(N_FILES),
     "sorted_okey": lambda df: df.repartitionByRange(N_FILES, "l_orderkey").sortWithinPartitions("l_orderkey"),
     "zorder_okey_pkey": lambda df: cluster_frame(df, ["l_orderkey", "l_partkey"], N_FILES),
+    "hilbert_okey_pkey": lambda df: cluster_frame(
+        df, ["l_orderkey", "l_partkey"], N_FILES, curve="hilbert"
+    ),
 }
 for name, fn in layouts.items():
     path = f"{base}/{name}"

@@ -160,6 +160,80 @@ class TestZorderKey:
         assert k1.orderBy("id").collect() == k2.orderBy("id").collect()
 
 
+class TestHilbertCurve:
+    """Hilbert clustering (datapipe/zorder.py hilbert_key): the curve
+    itself is characterized by two properties — its indices over the
+    bucket grid are a permutation, and consecutive indices are adjacent
+    grid cells (the locality Morton lacks at quadrant boundaries)."""
+
+    @pytest.mark.parametrize("ncols,bits", [(2, 3), (2, 4), (3, 3), (4, 2)])
+    def test_curve_is_a_space_filling_permutation(self, ncols, bits):
+        import itertools
+
+        from qlbridge_spark.datapipe.zorder import hilbert_index
+
+        side = 1 << bits
+        cells = list(itertools.product(range(side), repeat=ncols))
+        idx = [hilbert_index(c, bits) for c in cells]
+        assert sorted(idx) == list(range(side**ncols))  # bijection
+        by_d = [c for _, c in sorted(zip(idx, cells))]
+        for a, b in zip(by_d, by_d[1:]):
+            assert sum(abs(x - y) for x, y in zip(a, b)) == 1, (a, b)
+
+    def test_hilbert_key_matches_driver_side_index(self, spark):
+        """The broadcast-lookup join must assign exactly hilbert_index of
+        the bucket ids — verified on data engineered so bucket id == the
+        raw value (uniform 0..2^bits-1)."""
+        from qlbridge_spark.datapipe.zorder import hilbert_key
+
+        df = spark.range(256).selectExpr("id % 16 AS a", "cast(id / 16 AS long) AS b")
+        keyed, k = hilbert_key(df, ["a", "b"], bits_per_col=4)
+        assert keyed.filter(F.col(k).isNull()).count() == 0
+        assert keyed.count() == 256
+        # the key is a FUNCTION of the cell (one key per (a, b) value —
+        # the lookup join neither duplicates nor forks rows), and the
+        # curve spreads cells widely (approx quantile buckets may merge
+        # a few, so exact bijection is not guaranteed)
+        per_cell = keyed.groupBy("a", "b").agg(F.countDistinct(k).alias("nk")).collect()
+        assert all(r["nk"] == 1 for r in per_cell)
+        assert keyed.select(k).distinct().count() > 150
+
+    def test_hilbert_key_plan_is_jvm_only(self, spark):
+        from qlbridge_spark.datapipe.zorder import hilbert_key
+
+        df = spark.range(5000).selectExpr("id % 50 AS a", "id % 77 AS b")
+        keyed, k = hilbert_key(df, ["a", "b"])
+        plan = keyed._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan  # no Python UDFs
+        assert "BroadcastHashJoin" in plan  # lookup join broadcasts
+
+    def test_optimize_with_hilbert_curve_clusters_both(self, wh, spark):
+        e, sink = wh
+        e.execute("SET optimize.target_file_mb = 1")
+        e.execute("SET optimize.curve = 'hilbert'")
+        out = e.sql("OPTIMIZE wh ZORDER BY (a, b)").collect()[0]
+        assert out["zorder_by"] == "a,b"
+        cur = sink.scan(spark).withColumn("f", F.input_file_name())
+        stats = (
+            cur.groupBy("f")
+            .agg((F.max("a") - F.min("a")).alias("ar"), (F.max("b") - F.min("b")).alias("br"))
+            .collect()
+        )
+        assert len(stats) >= 2
+        mean_ar = sum(r["ar"] for r in stats) / len(stats)
+        mean_br = sum(r["br"] for r in stats) / len(stats)
+        assert mean_ar < 96 * 0.8, f"a not clustered: {mean_ar}"
+        assert mean_br < 1008 * 0.8, f"b not clustered: {mean_br}"
+        assert e.sql("SELECT sum(a) AS sa, sum(b) AS sb, count(*) AS n FROM wh").collect()[0] == \
+            e.sql("SELECT sum(a) AS sa, sum(b) AS sb, count(*) AS n FROM wh VERSION AS OF 0").collect()[0]
+
+    def test_bad_curve_value_errors(self, wh):
+        e, _ = wh
+        e.execute("SET optimize.curve = 'peano'")
+        with pytest.raises(ExecError, match="morton.*hilbert|hilbert.*morton"):
+            e.execute("OPTIMIZE wh ZORDER BY (a, b)")
+
+
 class TestTableChanges:
     @pytest.fixture()
     def cdc(self, spark, tmp_path):
