@@ -323,6 +323,112 @@ def main() -> int:
     except Exception as e:
         plan_cache_info["error"] = f"{type(e).__name__}: {e}"
 
+    # ------------------------------------------------------------------
+    # data-skipping section (round 10, additive): a versioned sink with
+    # the z-ordered layout + per-file stats sidecar; selective engine
+    # queries report files_read/files_total from scan_pruned. At 100 TB
+    # files_read ∝ bytes scanned — the transferable number (wall time at
+    # this SF is scheduler-dominated; see ZORDER_r10.md).
+    # ------------------------------------------------------------------
+    skip_info: dict = {}
+    try:
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as _F
+
+        from qlbridge_spark import Engine as _EngS
+        from qlbridge_spark.engine import read_parquet as _rp
+        from qlbridge_spark.sinks import ParquetMergeSink as _PMS
+
+        skip_dir = tempfile.mkdtemp(prefix="bench_skip_")
+        try:
+            _li = _rp(spark, os.path.join(sf_dir, "lineitem.parquet"))
+            _sk = _PMS(spark, os.path.join(skip_dir, "li"), key="l_orderkey")
+            _sk.ensure(_li.repartition(16))
+            _es = _EngS(spark, "bench_skip")
+            _es.register_sink("li", _sk)
+            _es.session_vars["optimize.target_file_mb"] = 1  # ~12 files at sf0.1
+            _es.execute("OPTIMIZE li ZORDER BY (l_orderkey, l_partkey)")
+            okey = int(_li.approxQuantile("l_orderkey", [0.5], 0.01)[0])
+            pkey = int(_li.approxQuantile("l_partkey", [0.5], 0.01)[0])
+            for key, q in {
+                "okey_point": f"SELECT sum(l_quantity) AS s FROM li WHERE l_orderkey = {okey}",
+                "pkey_point": f"SELECT sum(l_quantity) AS s FROM li WHERE l_partkey = {pkey}",
+                "okey_range": f"SELECT sum(l_quantity) AS s FROM li WHERE l_orderkey >= {okey} AND l_orderkey < {int(okey * 1.02)}",
+            }.items():
+                _es.sql(q).collect()  # warm
+                t0 = time.time()
+                _es.sql(q).collect()
+                skip_info[key] = {
+                    "sec": round(time.time() - t0, 4),
+                    **(_sk.last_scan or {}),
+                }
+        finally:
+            shutil.rmtree(skip_dir, ignore_errors=True)
+    except Exception as e:
+        skip_info["error"] = f"{type(e).__name__}: {e}"
+
+    # ------------------------------------------------------------------
+    # materialized-view refresh section (round 10, additive): incremental
+    # (recorded change feed → signed-delta fold, O(|changes|+|view|))
+    # vs forced FULL recompute (O(|base|)) after a ~1 % mutation batch.
+    # HONEST SMALL-SF READING: on local[32] with page-cached parquet a
+    # full 600k-row re-aggregation streams in well under a second, while
+    # the incremental path pays ~1.5 s of FIXED cost (several job
+    # launches: change-feed readers, delta agg, state merge, checkpoint
+    # — a bare 1-row createDataFrame().collect() alone costs ~0.4 s on
+    # this stack). So full WINS at this SF and the section exists to
+    # keep both numbers honest: the incremental number is ~flat in base
+    # size (measured ~3 s at both 600k and 6M rows) where full grows
+    # linearly — the crossover sits around 10^8 rows locally and far
+    # lower on cold object-store scans at 100 TB.
+    # ------------------------------------------------------------------
+    mv_info: dict = {}
+    try:
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as _F
+
+        from qlbridge_spark import Engine as _EngM
+        from qlbridge_spark.engine import read_parquet as _rpm
+        from qlbridge_spark.sinks import ParquetMergeSink as _PMSM
+
+        mv_dir = tempfile.mkdtemp(prefix="bench_mv_")
+        try:
+            _lim = _rpm(spark, os.path.join(sf_dir, "lineitem.parquet")).withColumn(
+                "l_rid", _F.xxhash64("l_orderkey", "l_linenumber")
+            )
+            _skm = _PMSM(spark, os.path.join(mv_dir, "li"), key="l_rid")
+            _skm.ensure(_lim.repartition(16))
+            _em = _EngM(spark, "bench_mv")
+            _em.register_sink("li", _skm)
+            t0 = time.time()
+            _em.execute(
+                "CREATE MATERIALIZED VIEW mv AS SELECT l_returnflag, count(*) AS n, "
+                "sum(l_quantity) AS sq, avg(l_extendedprice) AS ae FROM li GROUP BY l_returnflag"
+            )
+            mv_info["create_sec"] = round(time.time() - t0, 3)
+            mv_info["base_rows"] = _skm.scan(spark).count()
+            # ~1 % mutation batch (recorded change feed)
+            _em.execute("DELETE FROM li WHERE l_rid % 100 = 7")
+            _em.execute("UPDATE li SET l_quantity = l_quantity + 1 WHERE l_rid % 100 = 11")
+            t0 = time.time()
+            rep = _em.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+            _em.sql("SELECT * FROM mv").collect()
+            mv_info["incremental_refresh_sec"] = round(time.time() - t0, 3)
+            mv_info["incremental_mode"] = rep["mode"]
+            _em.execute("DELETE FROM li WHERE l_rid % 100 = 23")
+            t0 = time.time()
+            _em.sql("REFRESH MATERIALIZED VIEW mv FULL").collect()
+            _em.sql("SELECT * FROM mv").collect()
+            mv_info["full_refresh_sec"] = round(time.time() - t0, 3)
+        finally:
+            shutil.rmtree(mv_dir, ignore_errors=True)
+    except Exception as e:
+        mv_info["error"] = f"{type(e).__name__}: {e}"
+
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
@@ -339,6 +445,8 @@ def main() -> int:
                 "range_correlation": range_corr_info,
                 "lateral": lateral_info,
                 "plan_cache": plan_cache_info,
+                "data_skipping": skip_info,
+                "matview_refresh": mv_info,
             }
         )
     )

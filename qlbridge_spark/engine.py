@@ -1033,22 +1033,56 @@ class Engine:
         if v_from > v_to:
             raise ExecError(f"TABLE_CHANGES: start version {v_from} is after end version {v_to}")
         # Delta semantics: [v_from, v_to] are COMMITS whose changes are
-        # returned; commit v diffs v-1 → v (commit 0 = the initial inserts)
-        need = list(range(max(0, v_from - 1), v_to + 1))
-        missing = [v for v in need if v not in have]
-        if missing:
+        # returned; commit v diffs v-1 → v (commit 0 = the initial inserts).
+        # Commits with a commit-time change RECORDING (ParquetMergeSink
+        # c<N> dirs — the Delta _change_data design) are read directly:
+        # O(|changes|), no snapshot diff, and they stay readable even
+        # after the flanking snapshots are vacuumed. Only unrecorded
+        # steps need both diff endpoints on disk.
+        if v_to not in have:
             raise ExecError(
-                f"TABLE_CHANGES: versions {missing} of {tname!r} are not on disk "
+                f"TABLE_CHANGES: version {v_to} of {tname!r} is not on disk "
                 f"(vacuumed or never committed; have {have})"
             )
-        key = sink.key
-        commit_ts = {
-            v: sink.commit_time(v) if hasattr(sink, "commit_time") else None
+        recorded: dict[int, DataFrame | None] = {
+            v: (sink.recorded_changes(self.spark, v) if hasattr(sink, "recorded_changes") else None)
             for v in range(v_from, v_to + 1)
         }
+        missing = [
+            v
+            for v in range(v_from, v_to + 1)
+            if recorded[v] is None and not (v in have and (v == 0 or v - 1 in have))
+        ]
+        if missing:
+            raise ExecError(
+                f"TABLE_CHANGES: versions {missing} of {tname!r} have neither a change "
+                f"recording nor both diff endpoints on disk (vacuumed or never "
+                f"committed; have {have})"
+            )
+        key = sink.key
+
+        def _ct(v: int):
+            # a recorded step stays readable after its snapshot dir is
+            # vacuumed, but then has no commit-time source — NULL timestamp
+            try:
+                return sink.commit_time(v) if hasattr(sink, "commit_time") else None
+            except Exception:
+                return None
+
+        commit_ts = {v: _ct(v) for v in range(v_from, v_to + 1)}
         cols = sink.scan(self.spark, version=v_to).columns
         steps = []
         for v in range(v_from, v_to + 1):
+            if recorded[v] is not None:
+                steps.append(
+                    recorded[v].select(
+                        *cols,
+                        F.col("_change_type"),
+                        F.lit(v).cast("long").alias("_commit_version"),
+                        F.lit(commit_ts.get(v)).cast("timestamp").alias("_commit_timestamp"),
+                    )
+                )
+                continue
             cur = sink.scan(self.spark, version=v)
             prev = cur.limit(0) if v == 0 else sink.scan(self.spark, version=v - 1)
             prev, cur = prev.alias("__p"), cur.alias("__c")
@@ -4151,7 +4185,7 @@ class Engine:
 
             tcols = list(target.columns)
             scols = set(src.columns)
-            exprs = []
+            val_exprs: list = []  # (col, unaliased value expr) — reused for CDF recording
             for c in tcols:
                 dtype = target.schema[c].dataType
                 e = F.col(f"{t_ref}.{c}")
@@ -4176,7 +4210,8 @@ class Engine:
                             )
                     if sub is not None:
                         e = F.when(act == f"a{i}", sub.cast(dtype)).otherwise(e)
-                exprs.append(e.alias(c))
+                val_exprs.append((c, e))
+            exprs = [e.alias(c) for c, e in val_exprs]
 
             del_ids = [f"a{i}" for i, cl in enumerate(m.clauses) if cl.action == "delete"]
             ins_ids = [f"a{i}" for i, cl in enumerate(m.clauses) if cl.action == "insert"]
@@ -4214,7 +4249,49 @@ class Engine:
             if sink is not None:
                 if not hasattr(sink, "overwrite"):
                     raise ExecError(f"sink for {m.target!r} does not support MERGE (needs overwrite())")
-                sink.overwrite(final)
+                import inspect as _inspect
+
+                if "changes" in _inspect.signature(sink.overwrite).parameters:
+                    # CDF recording: the merge knows its change rows exactly
+                    # (the persisted join is re-read from cache, not
+                    # re-executed). Update rows are recorded only when a
+                    # value actually changed — matching snapshot-diff
+                    # semantics, where an x = x update emits nothing.
+                    upd_ids = [f"a{i}" for i, cl in enumerate(m.clauses) if cl.action == "update"]
+                    old_cols = [F.col(f"{t_ref}.{c}").alias(c) for c in tcols]
+                    pieces = []
+                    if upd_ids:
+                        differs = None
+                        for c, e in val_exprs:
+                            ne = ~e.eqNullSafe(F.col(f"{t_ref}.{c}"))
+                            differs = ne if differs is None else (differs | ne)
+                        upd = joined.filter(
+                            F.col(TID).isNotNull() & act.isin(upd_ids) & differs
+                        )
+                        pieces.append(
+                            upd.select(*old_cols).withColumn(
+                                "_change_type", F.lit("update_preimage")
+                            )
+                        )
+                        pieces.append(
+                            upd.select(*exprs).withColumn(
+                                "_change_type", F.lit("update_postimage")
+                            )
+                        )
+                    if del_ids:
+                        pieces.append(
+                            joined.filter(F.col(TID).isNotNull() & act.isin(del_ids))
+                            .select(*old_cols)
+                            .withColumn("_change_type", F.lit("delete"))
+                        )
+                    if ins_ids:
+                        pieces.append(s_part.withColumn("_change_type", F.lit("insert")))
+                    ch = pieces[0]
+                    for p in pieces[1:]:
+                        ch = ch.unionByName(p)
+                    sink.overwrite(final, changes=ch)
+                else:
+                    sink.overwrite(final)
             else:
                 # materialize through the cache before it is released: the
                 # registered result must not re-execute the full-outer join

@@ -310,10 +310,67 @@ class ParquetMergeSink:
         sidecar."""
         return self._commit_time_from(self._load_commits(), version)
 
-    def _commit(self, df: DataFrame) -> None:
+    def _changes_dir(self, version: int) -> str:
+        import os
+
+        return os.path.join(self.path, f"c{version}")
+
+    def _record_changes(self, version: int, changes) -> None:
+        """Persist the commit's change rows alongside the snapshot so the
+        change feed (TABLE_CHANGES / changes_since) reads O(|changes|)
+        instead of diffing adjacent O(|base|) snapshots — the Delta CDC
+        ``_change_data`` design. ``changes`` is a DataFrame of base rows
+        + ``_change_type``, or one of the markers ``"all_insert"`` (every
+        row of this snapshot is an insert — avoids duplicating a bulk
+        load's data) / ``"none"`` (layout-only commit, e.g. OPTIMIZE:
+        logically nothing changed). Best-effort: on failure the commit
+        stands and the feed falls back to the snapshot diff."""
+        import os
+        import shutil
+        import uuid
+
+        d = self._changes_dir(version)
+        try:
+            if isinstance(changes, str):
+                os.makedirs(d, exist_ok=True)
+                marker = "_ALL_INSERT" if changes == "all_insert" else "_NO_CHANGES"
+                open(os.path.join(d, marker), "w").close()
+                return
+            staging = os.path.join(self.path, f".cstaging-{uuid.uuid4().hex}")
+            changes.write.mode("overwrite").parquet(staging)
+            os.rename(staging, d)
+        except Exception:
+            shutil.rmtree(d, ignore_errors=True)
+
+    def recorded_changes(self, spark: SparkSession, version: int):
+        """Change rows recorded at commit time for ``version`` (base
+        columns + ``_change_type``), or None when this commit has no
+        recording (pre-recording warehouses, restore/upsert commits) —
+        the caller falls back to the snapshot diff."""
+        import os
+
+        d = self._changes_dir(version)
+        if not os.path.isdir(d):
+            return None
+        base_cols_frame = lambda: self.scan(spark, version)  # noqa: E731
+        if os.path.exists(os.path.join(d, "_NO_CHANGES")):
+            from pyspark.sql import functions as F
+
+            return base_cols_frame().limit(0).withColumn("_change_type", F.lit(""))
+        if os.path.exists(os.path.join(d, "_ALL_INSERT")):
+            from pyspark.sql import functions as F
+
+            return base_cols_frame().withColumn("_change_type", F.lit("insert"))
+        if not any(n.endswith(".parquet") for n in os.listdir(d)):
+            return None  # torn recording → diff fallback
+        return spark.read.parquet(d)
+
+    def _commit(self, df: DataFrame, changes=None) -> None:
         """Write ``df`` to a staging dir, promote it to the next version,
         record the commit timestamp in the ``_commits`` sidecar, then
-        atomically advance the pointer."""
+        atomically advance the pointer. ``changes`` optionally records
+        the commit's change rows for O(|changes|) feed reads (see
+        _record_changes)."""
         import datetime
         import json
         import os
@@ -324,6 +381,8 @@ class ParquetMergeSink:
         df.write.mode("overwrite").parquet(staging)
         final = self._data_dir(nxt)
         os.rename(staging, final)
+        if changes is not None:
+            self._record_changes(nxt, changes)
         try:
             # data-skipping sidecar: per-file min/max/null-count stats from
             # the just-written parquet FOOTERS (driver-side metadata read).
@@ -374,11 +433,13 @@ class ParquetMergeSink:
         removed = 0
         dropped = []
         for name in os.listdir(self.path):
-            m = re.fullmatch(r"v(\d+)", name)
-            if m and int(m.group(1)) in victims:
+            # vacuum a version's change recording (c<N>) with its snapshot
+            m = re.fullmatch(r"([vc])(\d+)", name)
+            if m and int(m.group(2)) in victims:
                 shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
-                dropped.append(int(m.group(1)))
-                removed += 1
+                if m.group(1) == "v":
+                    dropped.append(int(m.group(2)))
+                    removed += 1
         if dropped:
             commits = self._load_commits()
             for v in dropped:
@@ -500,26 +561,39 @@ class ParquetMergeSink:
     def ensure(self, df: DataFrame) -> None:
         """Create the table from ``df`` if it does not exist yet."""
         if self._version() < 0:
-            self._commit(df)
+            self._commit(df, changes="all_insert")
 
     def insert_append(self, new: DataFrame) -> None:
-        self._commit(self.scan(self.spark).unionByName(new, allowMissingColumns=True))
+        from pyspark.sql import functions as F
+
+        cur = self.scan(self.spark)
+        # recorded change rows carry the SNAPSHOT's column set (missing
+        # source columns null-fill, exactly as the appended data does)
+        rec = cur.limit(0).unionByName(new, allowMissingColumns=True).withColumn(
+            "_change_type", F.lit("insert")
+        )
+        self._commit(cur.unionByName(new, allowMissingColumns=True), changes=rec)
 
     def merge_upsert(self, new: DataFrame, key: str | None = None) -> None:
         """MERGE semantics: matched rows replaced by the source row, new
-        keys inserted (whenMatchedUpdateAll/whenNotMatchedInsertAll)."""
+        keys inserted (whenMatchedUpdateAll/whenNotMatchedInsertAll).
+        No change recording: with duplicate keys on either side the
+        pre/post pairing is ambiguous, so the feed uses the exact
+        snapshot diff for these commits."""
         k = key or self.key
         if self._version() < 0:
-            self._commit(new)
+            self._commit(new, changes="all_insert")
             return
         cur = self.scan(self.spark)
         kept = cur.join(new.select(k).distinct(), on=k, how="left_anti")
         self._commit(kept.unionByName(new, allowMissingColumns=True))
 
-    def overwrite(self, df: DataFrame) -> None:
+    def overwrite(self, df: DataFrame, changes=None) -> None:
         """Replace the table contents as a NEW committed version (engine
-        MERGE INTO commit path; old snapshots stay time-travelable)."""
-        self._commit(df)
+        MERGE INTO commit path; old snapshots stay time-travelable).
+        ``changes`` optionally records the commit's change rows (the
+        engine's MERGE knows them exactly) for O(|changes|) feed reads."""
+        self._commit(df, changes=changes)
 
     # -- layout maintenance ---------------------------------------------
     def _snapshot_stats(self, version: int) -> tuple[int, int]:
@@ -559,7 +633,8 @@ class ParquetMergeSink:
         files_before, data_bytes = self._snapshot_stats(cur)
         n_files = estimate_num_files(data_bytes, target_file_mb)
         self._commit(
-            cluster_frame(self.scan(self.spark), zorder_by, n_files, bits_per_col, curve=curve)
+            cluster_frame(self.scan(self.spark), zorder_by, n_files, bits_per_col, curve=curve),
+            changes="none",  # layout-only: the feed records a logical no-op
         )
         files_after, _ = self._snapshot_stats(self._version())
         return {
@@ -582,12 +657,36 @@ class ParquetMergeSink:
         return self._version()
 
     def update_where(self, cond: Column, assignments: dict[str, Column]) -> None:
+        from functools import reduce
+
         from pyspark.sql import functions as F
 
         df = self.scan(self.spark)
-        df = df.withColumns({c: F.when(cond, v).otherwise(F.col(c)) for c, v in assignments.items()})
-        self._commit(df)
+        out = df.withColumns({c: F.when(cond, v).otherwise(F.col(c)) for c, v in assignments.items()})
+        # recorded changes: rows the condition touches AND whose assigned
+        # values actually differ — matching the snapshot-diff semantics
+        # (an x = x update emits nothing there either)
+        differs = reduce(
+            lambda a, b: a | b, [~F.col(c).eqNullSafe(v) for c, v in assignments.items()]
+        )
+        touched = df.filter(cond & differs)
+        rec = touched.withColumn("_change_type", F.lit("update_preimage")).unionByName(
+            touched.withColumns(dict(assignments)).withColumn(
+                "_change_type", F.lit("update_postimage")
+            )
+        )
+        self._commit(out, changes=rec)
 
     def delete_where(self, cond: Column | None) -> None:
+        from pyspark.sql import functions as F
+
         cur = self.scan(self.spark)
-        self._commit(cur.limit(0) if cond is None else cur.filter(~cond | cond.isNull()))
+        if cond is None:
+            self._commit(
+                cur.limit(0), changes=cur.withColumn("_change_type", F.lit("delete"))
+            )
+            return
+        self._commit(
+            cur.filter(~cond | cond.isNull()),
+            changes=cur.filter(cond).withColumn("_change_type", F.lit("delete")),
+        )

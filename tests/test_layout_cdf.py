@@ -298,23 +298,158 @@ class TestTableChanges:
         with pytest.raises(ExecError, match="not on disk"):
             e.sql("SELECT * FROM TABLE_CHANGES('cdfwh', 0, 99)")
 
-    def test_single_join_per_version_step(self, cdc):
-        """Scale pin: each version step is ONE full-outer join feeding an
-        array+explode (a 4-branch filter/union formulation would show 4
-        Join nodes and re-execute the join 4x per step — the exact
-        anti-pattern the round-8 review flagged on MERGE)."""
+    def test_recorded_step_has_no_join_diff_step_exactly_one(self, cdc):
+        """Scale pins, both feed paths: a RECORDED step (v2, the DELETE —
+        commit-time c<N> recording) plans with ZERO joins; with the
+        recording removed, the snapshot-diff fallback is ONE full-outer
+        join feeding an array+explode (a 4-branch filter/union
+        formulation would show 4 Join nodes and re-execute the join 4x
+        per step — the exact anti-pattern the round-8 review flagged on
+        MERGE)."""
         import re
+        import shutil
 
-        e, _ = cdc
-        df = e.sql("SELECT * FROM TABLE_CHANGES('cdfwh', 1, 1)")
+        e, sink = cdc
+        df = e.sql("SELECT * FROM TABLE_CHANGES('cdfwh', 2, 2)")
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert len(re.findall(r"\bJoin\b", plan)) == 0, plan
+        shutil.rmtree(sink._changes_dir(2))
+        e.clear_plan_cache()
+        df = e.sql("SELECT * FROM TABLE_CHANGES('cdfwh', 2, 2)")
         plan = df._jdf.queryExecution().optimizedPlan().toString()
         assert len(re.findall(r"\bJoin\b", plan)) == 1, plan
 
     def test_vacuumed_version_errors(self, cdc):
         e, sink = cdc
+        # drop v2's recording so the step NEEDS both diff endpoints; then
+        # vacuum v0/v1 away → unsatisfiable either way
+        import shutil
+
+        shutil.rmtree(sink._changes_dir(2))
         sink.vacuum(keep=1)
-        with pytest.raises(ExecError, match="not on disk"):
-            e.sql("SELECT * FROM TABLE_CHANGES('cdfwh', 1)").collect()
+        with pytest.raises(ExecError, match="neither a change recording nor both"):
+            e.sql("SELECT * FROM TABLE_CHANGES('cdfwh', 2)").collect()
+
+
+class TestChangeRecording:
+    """Commit-time change recording (ParquetMergeSink c<N> dirs, the
+    Delta _change_data design): the feed reads O(|changes|) instead of
+    diffing O(|base|) snapshots. The binding contract: recorded output
+    is IDENTICAL to the snapshot-diff output for every DML shape."""
+
+    def _battery(self, spark, tmp_path, name):
+        e = Engine(spark, f"cdcrec-{name}")
+        sink = ParquetMergeSink(spark, str(tmp_path / name), key="id")
+        sink.ensure(
+            spark.createDataFrame(
+                [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "id long, g string, x double"
+            )
+        )
+        e.register_sink("t", sink)
+        e.execute("INSERT INTO t (id, g, x) VALUES (4, 'd', 40.0)")
+        e.execute("UPDATE t SET x = x + 1 WHERE id <= 2")
+        e.execute("UPDATE t SET g = g WHERE id = 3")  # no-op: must emit nothing
+        e.execute("DELETE FROM t WHERE id = 1")
+        e.register_df(
+            "src", spark.createDataFrame([(2, "B", 99.0), (5, "e", 50.0)], "id long, g string, x double")
+        )
+        e.execute(
+            "MERGE INTO t USING src s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET x = s.x "
+            "WHEN NOT MATCHED THEN INSERT (id, g, x) VALUES (s.id, s.g, s.x)"
+        )
+        e.execute("SET optimize.target_file_mb = 64")
+        e.execute("OPTIMIZE t")
+        return e, sink
+
+    def test_recorded_equals_snapshot_diff(self, spark, tmp_path):
+        import glob
+        import shutil
+
+        e, sink = self._battery(spark, tmp_path, "par")
+        q = "SELECT id, g, x, _change_type, _commit_version FROM TABLE_CHANGES('t', 0)"
+        rec = sorted(tuple(r) for r in e.sql(q).collect())
+        # every commit of the battery except merge_upsert-style ones is
+        # recorded: ensure, insert, 2 updates, delete, MERGE, OPTIMIZE
+        cdirs = sorted(glob.glob(str(tmp_path / "par" / "c*")))
+        assert len(cdirs) == 7
+        for p in cdirs:
+            shutil.rmtree(p)
+        e.clear_plan_cache()  # out-of-band fs mutation: drop pinned plans
+        diff = sorted(tuple(r) for r in e.sql(q).collect())
+        assert rec == diff
+        # the no-op update commit contributes zero rows either way
+        assert not [r for r in rec if r[4] == 3]
+
+    def test_noop_and_layout_commits_record_empty(self, spark, tmp_path):
+        e, sink = self._battery(spark, tmp_path, "noop")
+        v_opt = sink._version()  # the OPTIMIZE commit
+        assert (
+            e.sql(f"SELECT * FROM TABLE_CHANGES('t', {v_opt}, {v_opt})").count() == 0
+        )
+
+    def test_flanking_vacuum_gap_consumable_via_recordings(self, spark, tmp_path):
+        """With recordings, the change feed stays consumable even when
+        the OLDEST retained step's diff endpoint (v-1) was vacuumed —
+        previously a hard error, now only unrecorded commits need both
+        snapshots on disk."""
+        e = Engine(spark, "cdcrec-vac")
+        sink = ParquetMergeSink(spark, str(tmp_path / "vac"), key="id")
+        sink.ensure(spark.createDataFrame([(1, "a")], "id long, v string"))  # v0
+        e.register_sink("t", sink)
+        e.execute("INSERT INTO t (id, v) VALUES (2, 'b')")  # v1
+        e.execute("UPDATE t SET v = 'a2' WHERE id = 1")  # v2
+        e.execute("DELETE FROM t WHERE id = 2")  # v3
+        assert sink.vacuum(keep=2) == 2  # drops v0, v1 (and c0, c1)
+        df, cur = e.changes_since("t", 1)  # steps 2, 3: v1 is GONE
+        assert cur == 3
+        got = sorted((r["id"], r["_change_type"], r["_commit_version"]) for r in df.collect())
+        assert got == [
+            (1, "update_postimage", 2),
+            (1, "update_preimage", 2),
+            (2, "delete", 3),
+        ]
+        # an UNRECORDED step with a vacuumed endpoint still errors
+        sink.merge_upsert(spark.createDataFrame([(9, "z")], "id long, v string"))  # v4, no rec
+        sink.vacuum(keep=1)  # only v4 retained; step 4 diff needs v3
+        e.clear_plan_cache()
+        with pytest.raises(ExecError, match="neither a change recording nor both"):
+            e.changes_since("t", 3)
+
+    def test_merge_upsert_commit_falls_back_to_diff(self, spark, tmp_path):
+        e = Engine(spark, "cdcrec-ups")
+        sink = ParquetMergeSink(spark, str(tmp_path / "ups"), key="id")
+        sink.ensure(spark.createDataFrame([(1, "a")], "id long, v string"))
+        e.register_sink("t", sink)
+        sink.merge_upsert(spark.createDataFrame([(1, "A"), (2, "b")], "id long, v string"))
+        assert not os.path.isdir(str(tmp_path / "ups" / "c1"))  # no recording
+        got = sorted(
+            (r["id"], r["_change_type"])
+            for r in e.sql("SELECT * FROM TABLE_CHANGES('t', 1, 1)").collect()
+        )
+        assert got == [(1, "update_postimage"), (1, "update_preimage"), (2, "insert")]
+
+    def test_incremental_mv_refresh_over_recorded_changes(self, spark, tmp_path):
+        """The consumer this was built for: MV refresh folds the recorded
+        delta — correct end-to-end over recorded commits."""
+        e = Engine(spark, "cdcrec-mv")
+        sink = ParquetMergeSink(spark, str(tmp_path / "mvr"), key="id")
+        sink.ensure(
+            spark.createDataFrame([(i, "g" + str(i % 3), float(i)) for i in range(30)],
+                                  "id long, g string, x double")
+        )
+        e.register_sink("t", sink)
+        e.execute("CREATE MATERIALIZED VIEW mv AS SELECT g, sum(x) AS s, count(*) AS n FROM t GROUP BY g")
+        e.execute("DELETE FROM t WHERE id % 5 = 0")
+        e.execute("UPDATE t SET x = x * 2 WHERE id % 3 = 1")
+        rep = e.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+        assert rep["mode"] == "incremental"
+        got = sorted(tuple(r) for r in e.sql("SELECT * FROM mv").collect())
+        want = sorted(
+            tuple(r)
+            for r in e.sql("SELECT g, sum(x) AS s, count(*) AS n FROM t GROUP BY g").collect()
+        )
+        assert got == want
 
 
 class TestChangesSince:
