@@ -488,10 +488,25 @@ class Engine:
         computed) plus the session totals — the observability hook for
         tuning ``plan_cache_ttl_s`` on repeated-statement workloads."""
         before = dict(self.plan_cache_stats)
+        # identity snapshot of each sink's pruning record: scan_pruned
+        # assigns a fresh dict per pruned scan, so `is` tells us whether
+        # THIS statement pruned (an equal-valued dict from a repeat of
+        # the same query still differs by identity)
+        scans_before = {n: getattr(s, "last_scan", None) for n, s in self.sinks.items()}
         out = self.execute_stmt(parse_sql(text))
         if not isinstance(out, DataFrame):
             raise ExecError(f"EXPLAIN ANALYZE needs a row-producing statement: {text[:50]}")
-        return self._analyze_plan(out, stats_before=before)
+        report = self._analyze_plan(out, stats_before=before)
+        skipped = []
+        for n, s in self.sinks.items():
+            ls = getattr(s, "last_scan", None)
+            if ls is not None and ls is not scans_before.get(n):
+                skipped.append(
+                    f"{n}: read {ls['files_read']}/{ls['files_total']} files of v{ls['version']}"
+                )
+        if skipped:
+            report += "\nDataSkipping: " + "; ".join(skipped)
+        return report
 
     def _cache_stats_footer(self, before: dict) -> str:
         delta = {k: self.plan_cache_stats[k] - before.get(k, 0) for k in self.plan_cache_stats}

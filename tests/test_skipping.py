@@ -206,6 +206,51 @@ class TestSinkPruning:
             assert got == want, pred
 
 
+class TestPruningFuzz:
+    def test_randomized_predicates_never_false_drop(self, sinked):
+        """Property: for randomized conjunctive predicates over int/
+        float/string columns (boundary-biased literals, IN sets, null
+        checks, BETWEEN), the pruned sink scan equals the unpruned
+        registry scan under the same engine semantics."""
+        import random
+
+        eng, sink = sinked
+        eng.register_df("t_fuzz", sink.scan(eng.spark))
+        rng = random.Random(0xC0FFEE)
+        int_lits = [0, 1, 124, 125, 126, 437, 500, 998, 999, 1000, -5, 99999]
+        str_lits = ["cat_0", "cat_3", "cat_6", "cat_7", "aaa", "zzz", ""]
+        flt_lits = [0.0, 1.5, 748.5, 1498.5, 1500.0, -1.0]
+
+        def atom():
+            kind = rng.choice(["int_cmp", "str_cmp", "flt_cmp", "in", "null", "between"])
+            if kind == "int_cmp":
+                return f"id {rng.choice(['=', '<', '<=', '>', '>='])} {rng.choice(int_lits)}"
+            if kind == "str_cmp":
+                return f"cat {rng.choice(['=', '<', '<=', '>', '>='])} '{rng.choice(str_lits)}'"
+            if kind == "flt_cmp":
+                return f"score {rng.choice(['=', '<', '<=', '>', '>='])} {rng.choice(flt_lits)}"
+            if kind == "in":
+                col, lits = rng.choice([("id", int_lits), ("cat", [f"'{s}'" for s in str_lits])])
+                vals = ", ".join(str(v) for v in rng.sample(lits, rng.randint(1, 3)))
+                return f"{col} IN ({vals})"
+            if kind == "null":
+                return f"score IS {rng.choice(['NULL', 'NOT NULL'])}"
+            lo, hi = sorted(rng.sample(int_lits, 2))
+            return f"id BETWEEN {lo} AND {hi}"
+
+        for i in range(40):
+            pred = " AND ".join(atom() for _ in range(rng.randint(1, 3)))
+            got = sorted(
+                tuple(r)
+                for r in eng.sql(f"SELECT id, cat, score FROM t WHERE {pred}").collect()
+            )
+            want = sorted(
+                tuple(r)
+                for r in eng.sql(f"SELECT id, cat, score FROM t_fuzz WHERE {pred}").collect()
+            )
+            assert got == want, (i, pred)
+
+
 class TestZorderComposition:
     def test_zorder_prunes_both_columns_e2e(self, spark, tmp_path):
         """OPTIMIZE ZORDER BY (a, b) then point-query each dimension
@@ -253,6 +298,18 @@ class TestZorderComposition:
         n_files = _files_read(df)
         assert n_files == sink.last_scan["files_read"]
         assert n_files < 8
+
+
+class TestObservability:
+    def test_explain_analyze_reports_data_skipping(self, sinked):
+        eng, sink = sinked
+        report = eng.explain_analyze("SELECT id FROM t WHERE id = 437")
+        assert "DataSkipping: t: read 1/8 files of v0" in report
+        # a statement not touching the sink reports nothing, even though
+        # last_scan still holds the previous record
+        eng.register_df("plain", eng.spark.range(5))
+        report2 = eng.explain_analyze("SELECT * FROM plain")
+        assert "DataSkipping" not in report2
 
 
 class TestStatsSidecar:
