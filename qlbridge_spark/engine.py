@@ -1170,6 +1170,69 @@ class Engine:
             return self._table_changes_df(table, cur, cur).limit(0), cur
         return self._table_changes_df(table, after_version + 1, cur), cur
 
+    def stream_changes(self, table: str, starting_version: int | str = 0) -> DataFrame:
+        """The sink's change feed as a Structured Streaming DataFrame —
+        the streaming tail to :meth:`changes_since`'s batch loop (Delta
+        ``readChangeFeed`` stream parity). Offsets are sink versions, so
+        Spark's checkpoint gives exactly-once consumption across
+        restarts; each micro-batch reads ONLY the commit-time change
+        recordings of new versions (O(|changes|) parquet files fanned
+        across executors as Arrow batches — see
+        ``streaming/cdf_source.py``). ``starting_version`` may be a
+        version number (0 = full history incl. the initial load) or
+        ``'latest'`` (tail only). Unrecorded commits (merge_upsert /
+        overwrite / restore, or recordings vacuumed past the stream's
+        lag) fail the stream loudly rather than degrading to an
+        O(table) snapshot diff inside a micro-batch."""
+        sink = self.sinks.get(table.lower())
+        if sink is None or not hasattr(sink, "versions"):
+            raise ExecError(f"stream_changes requires a versioned sink table; {table!r} is not one")
+        if not getattr(sink, "path", None):
+            raise ExecError(f"stream_changes: sink {table!r} has no filesystem path")
+        from .streaming import cdf_source
+
+        cdf_source.register(self.spark)
+        schema = (
+            sink.scan(self.spark)
+            .schema.add("_change_type", T.StringType())
+            .add("_commit_version", T.LongType())
+            .add("_commit_timestamp", T.TimestampType())
+        )
+        return (
+            self.spark.readStream.format(cdf_source.FORMAT_NAME)
+            .schema(schema)
+            .option("path", sink.path)
+            .option("startingVersion", str(starting_version))
+            .load()
+        )
+
+    def replicate_changes(
+        self,
+        source: str,
+        target: str,
+        key: str | None = None,
+        checkpoint: str | None = None,
+        starting_version: int | str = 0,
+    ):
+        """Start a stream that keeps ``target`` converged to ``source`` by
+        applying the source's change feed — CDC replication without ever
+        rescanning the source table (each micro-batch is O(|changes|), the
+        apply is one MERGE per batch; see streaming ``format:
+        'replicate'``). ``target`` must already exist (a registered table
+        or sink with matching columns); ``key`` defaults to the source
+        sink's merge key. Returns the StreamingQuery."""
+        from .streaming import _start
+
+        feed = self.stream_changes(source, starting_version)
+        if key is None:
+            key = getattr(self.sinks.get(source.lower()), "key", None)
+        if target.lower() not in self.tables and target.lower() not in self.sinks:
+            raise ExecError(f"replicate_changes: target table {target!r} does not exist")
+        cfg = {"format": "replicate", "target": target, "key": key}
+        if checkpoint:
+            cfg["checkpoint"] = checkpoint
+        return _start(feed, f"replicate_{source}_{target}".lower(), cfg, engine=self)
+
     def _apply_unnest(
         self,
         joined: DataFrame,

@@ -292,11 +292,17 @@ def near_dup_pairs_stream(
 
 
 def _as_stream(engine, name: str, base: DataFrame, cfg: dict) -> DataFrame:
+    if cfg.get("changes"):
+        # the table's change-data feed as the stream source (versioned
+        # sinks only): each micro-batch is O(|new commits' changes|) —
+        # the CDC consumption loop in pure SQL surface. Meta columns
+        # (_change_type/_commit_version/_commit_timestamp) are selectable.
+        return engine.stream_changes(name, cfg.get("starting_version", 0))
     path = cfg.get("path")
     fmt = cfg.get("source_format", "parquet")
     if path:
         return engine.spark.readStream.schema(base.schema).format(fmt).load(path)
-    raise ValueError("CONTINUOUSVIEW requires WITH {'path': <stream source dir>}")
+    raise ValueError("CONTINUOUSVIEW requires WITH {'path': <stream source dir>} or {'changes': true}")
 
 
 def _clone_with_from(sel, new_table: str, old_src, renames: dict[str, str] | None = None):
@@ -374,6 +380,76 @@ def _start(out: DataFrame, name: str, cfg: dict, engine=None):
             engine.register_df(target, merged.localCheckpoint(eager=True))
 
         return writer.foreachBatch(merge_batch).start()
+    if fmt == "replicate":
+        # turnkey CDC replication: apply the change feed (a stream_changes /
+        # WITH {'changes': true} frame) to a target table so it converges to
+        # the source. Per micro-batch: keep each key's LATEST non-preimage
+        # row (rank by _commit_version — a batch may span several commits),
+        # then ONE 3-arm MERGE (delete tombstones / update matches / insert
+        # novelties) through the engine — sinks take their native/persist-
+        # once MERGE path, so the apply is O(|batch|) + one target commit.
+        target = cfg.get("target")
+        key = cfg.get("key")
+        if engine is None or not target or not key:
+            raise ValueError(
+                "WITH {'format': 'replicate'} requires an engine, a 'target' table and "
+                "the replication 'key'"
+            )
+        src_name = f"__cdf_apply_{name}".lower()
+        if src_name in engine.tables or src_name in engine.sinks:
+            raise ValueError(
+                f"WITH {{'format': 'replicate'}}: internal source name {src_name!r} is "
+                "taken; one replicate stream per view name per engine"
+            )
+        meta = {"_change_type", "_commit_version", "_commit_timestamp"}
+        missing = meta - set(out.columns)
+        if missing or key not in out.columns:
+            raise ValueError(
+                f"WITH {{'format': 'replicate'}}: the stream must carry {sorted(meta)} and "
+                f"the key {key!r} (read the source WITH {{'changes': true}}); missing: "
+                f"{sorted(missing) or [key]}"
+            )
+        data_cols = [c for c in out.columns if c not in meta]
+        sets = ", ".join(f"{c} = {src_name}.{c}" for c in data_cols if c != key)
+        ins_cols = ", ".join(data_cols)
+        ins_vals = ", ".join(f"{src_name}.{c}" for c in data_cols)
+        stmt_text = (
+            f"MERGE INTO {target} USING {src_name} ON {target}.{key} = {src_name}.{key} "
+            f"WHEN MATCHED AND {src_name}._change_type = 'delete' THEN DELETE "
+            + (f"WHEN MATCHED THEN UPDATE SET {sets} " if sets else "")
+            + f"WHEN NOT MATCHED AND {src_name}._change_type <> 'delete' "
+            f"THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
+        )
+        from ..rel import parse_sql
+
+        parse_sql(stmt_text)  # validate ONCE at stream start
+
+        def apply_cdf_batch(batch_df: DataFrame, batch_id: int) -> None:
+            from pyspark.sql import Window
+
+            latest = (
+                batch_df.filter(F.col("_change_type") != "update_preimage")
+                .withColumn(
+                    "__rn",
+                    F.row_number().over(
+                        Window.partitionBy(key).orderBy(F.col("_commit_version").desc())
+                    ),
+                )
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+            prev = engine.tables.get(src_name)
+            engine.register_df(src_name, latest)
+            try:
+                engine.execute_stmt(parse_sql(stmt_text))
+            finally:
+                if prev is not None:
+                    engine.register_df(src_name, prev)
+                else:
+                    engine.tables.pop(src_name, None)
+                    engine.clear_plan_cache()
+
+        return writer.foreachBatch(apply_cdf_batch).start()
     if fmt == "merge":
         # streaming MERGE: each micro-batch is registered under a source
         # name and an arbitrary MERGE INTO statement runs against it —
