@@ -429,6 +429,83 @@ def main() -> int:
     except Exception as e:
         mv_info["error"] = f"{type(e).__name__}: {e}"
 
+    # ------------------------------------------------------------------
+    # streaming change-feed section (round 10, additive): consume a ~1 %
+    # mutation commit through the qlb_table_changes streaming source
+    # (O(|changes|) recorded files per micro-batch) and compare with a
+    # full snapshot rescan (O(|base|)) — the quantity a 100 TB CDC
+    # consumer cares about. rows_consumed / base_rows is the read-
+    # amplification the feed avoids; consume_sec carries Structured
+    # Streaming's fixed per-batch costs (micro-batch planning, Python
+    # worker spin-up), so at this SF the wall-clock gap understates the
+    # 1000× I/O gap the file counts show.
+    # ------------------------------------------------------------------
+    cdc_info: dict = {}
+    try:
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as _F
+
+        from qlbridge_spark import Engine as _EngC
+        from qlbridge_spark.engine import read_parquet as _rpc
+        from qlbridge_spark.sinks import ParquetMergeSink as _PMSC
+
+        cdc_dir = tempfile.mkdtemp(prefix="bench_cdc_")
+        try:
+            _lic = _rpc(spark, os.path.join(sf_dir, "lineitem.parquet")).withColumn(
+                "l_rid", _F.xxhash64("l_orderkey", "l_linenumber")
+            )
+            _skc = _PMSC(spark, os.path.join(cdc_dir, "li"), key="l_rid")
+            _skc.ensure(_lic.repartition(16))
+            _ec = _EngC(spark, "bench_cdc")
+            _ec.register_sink("li", _skc)
+            cdc_info["base_rows"] = _skc.scan(spark).count()
+            consumed = {"rows": 0}
+
+            def _count_batch(bdf, _bid):
+                consumed["rows"] += bdf.count()
+
+            # earlier sections leave GC/listener backlog that can inflate a
+            # single measurement several-fold (same caveat as the headline
+            # reps); collect first and keep the min of 2 mutate+consume reps
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass
+            q = (
+                _ec.stream_changes("li", starting_version="latest")
+                .writeStream.outputMode("append")
+                .foreachBatch(_count_batch)
+                .start()
+            )
+            try:
+                q.processAllAvailable()  # warm the stream machinery
+                commit_runs, consume_runs, row_runs = [], [], []
+                for mod in (42, 43):
+                    t0 = time.time()
+                    _ec.execute(
+                        f"UPDATE li SET l_quantity = l_quantity + 1 WHERE l_rid % 100 = {mod}"
+                    )
+                    commit_runs.append(round(time.time() - t0, 3))
+                    consumed["rows"] = 0
+                    t0 = time.time()
+                    q.processAllAvailable()
+                    consume_runs.append(round(time.time() - t0, 3))
+                    row_runs.append(consumed["rows"])
+                cdc_info["mutation_commit_sec"] = min(commit_runs)
+                cdc_info["stream_consume_sec"] = min(consume_runs)
+                cdc_info["rows_consumed"] = row_runs[consume_runs.index(min(consume_runs))]
+            finally:
+                q.stop()
+            t0 = time.time()
+            _skc.scan(spark).count()
+            cdc_info["full_rescan_sec"] = round(time.time() - t0, 3)
+        finally:
+            shutil.rmtree(cdc_dir, ignore_errors=True)
+    except Exception as e:
+        cdc_info["error"] = f"{type(e).__name__}: {e}"
+
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
@@ -447,6 +524,7 @@ def main() -> int:
                 "plan_cache": plan_cache_info,
                 "data_skipping": skip_info,
                 "matview_refresh": mv_info,
+                "cdc_stream": cdc_info,
             }
         )
     )
