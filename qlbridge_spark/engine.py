@@ -3831,6 +3831,19 @@ class Engine:
         self.register_df(ins.table, merged)
         return n
 
+    def _dml_conjuncts(self, table: str, where) -> list:
+        """Pushable WHERE conjuncts of a single-table DML statement, for
+        the sink's file-pruned (copy-on-write) rewrite path. Best-effort:
+        an unextractable predicate just means a full rewrite."""
+        if where is None:
+            return []
+        try:
+            from .skipping import extract_conjuncts
+
+            return extract_conjuncts(where, {table.lower()}, allow_bare=True)
+        except Exception:
+            return []
+
     def _update(self, upd: SqlUpdate) -> int:
         df = self.table(upd.table)
         scope = Scope({upd.table: df}, includes=self.includes)
@@ -3847,8 +3860,16 @@ class Engine:
             assignments[cname] = newv
         if sink is not None:
             # ConnPatchWhere.PatchWhere parity: predicate + assignments
-            # pushed into the table format (transactional UPDATE WHERE)
-            sink.update_where(mask, assignments)
+            # pushed into the table format (transactional UPDATE WHERE).
+            # COW-capable sinks also get the pushable WHERE conjuncts so
+            # they rewrite only the files whose stats could match and
+            # hardlink the rest (O(changed files), not O(table))
+            if hasattr(sink, "_cow_split"):
+                sink.update_where(
+                    mask, assignments, conjuncts=self._dml_conjuncts(upd.table, upd.where)
+                )
+            else:
+                sink.update_where(mask, assignments)
             return n
         for cname, newv in assignments.items():
             df = df.withColumn(cname, F.when(mask, newv).otherwise(F.col(cname)))
@@ -3870,7 +3891,10 @@ class Engine:
         n = df.filter(mask).count()
         if sink is not None:
             # ConnDeletion.DeleteExpression parity: predicate pushed down
-            sink.delete_where(mask)
+            if hasattr(sink, "_cow_split"):
+                sink.delete_where(mask, conjuncts=self._dml_conjuncts(d.table, d.where))
+            else:
+                sink.delete_where(mask)
             return n
         self.register_df(d.table, df.filter(~mask | mask.isNull()))
         return n

@@ -236,6 +236,9 @@ class ParquetMergeSink:
         #: scan_pruned call's {files_total, files_read, version}, or None
         #: when the last pruned scan fell back to a full read
         self.last_scan: dict | None = None
+        #: observability for the write path: the last commit's {mode:
+        #: 'full'|'cow'[, files_linked, files_rewritten]}
+        self.last_commit: dict | None = None
         os.makedirs(path, exist_ok=True)
 
     # -- version bookkeeping -------------------------------------------
@@ -379,10 +382,6 @@ class ParquetMergeSink:
         nxt = self._version() + 1
         staging = os.path.join(self.path, f".staging-{uuid.uuid4().hex}")
         df.write.mode("overwrite").parquet(staging)
-        final = self._data_dir(nxt)
-        os.rename(staging, final)
-        if changes is not None:
-            self._record_changes(nxt, changes)
         try:
             # data-skipping sidecar: per-file min/max/null-count stats from
             # the just-written parquet FOOTERS (driver-side metadata read).
@@ -391,9 +390,22 @@ class ParquetMergeSink:
             # disables pruning for this snapshot, never the commit
             from .skipping import write_stats_sidecar
 
-            write_stats_sidecar(final, schema_json=df.schema.json())
+            write_stats_sidecar(staging, schema_json=df.schema.json())
         except Exception:
             pass
+        self._promote(nxt, staging, changes)
+        self.last_commit = {"mode": "full"}
+
+    def _promote(self, nxt: int, staging: str, changes) -> None:
+        """Rename a fully-staged snapshot dir into place, record changes,
+        stamp the commit time, and atomically advance the pointer."""
+        import datetime
+        import os
+
+        final = self._data_dir(nxt)
+        os.rename(staging, final)
+        if changes is not None:
+            self._record_changes(nxt, changes)
         commits = self._load_commits()
         commits[nxt] = datetime.datetime.now(datetime.timezone.utc).isoformat()
         self._save_commits(commits)
@@ -401,6 +413,112 @@ class ParquetMergeSink:
         with open(tmp, "w") as f:
             f.write(str(nxt))
         os.replace(tmp, self._version_file())  # atomic on POSIX
+
+    def _data_rels(self, version: int) -> list[str]:
+        """Relative paths of the data files of one snapshot dir."""
+        import os
+
+        vdir = self._data_dir(version)
+        out = []
+        for root, _, names in os.walk(vdir):
+            for fn in names:
+                if fn.endswith(".parquet") and not fn.startswith(("_", ".")):
+                    out.append(os.path.relpath(os.path.join(root, fn), vdir))
+        return sorted(out)
+
+    def _commit_cow(self, new_df: DataFrame, link_rels: list[str], changes=None) -> None:
+        """Copy-on-write commit: write ONLY ``new_df`` as fresh parquet
+        files and HARDLINK the unchanged ``link_rels`` from the current
+        snapshot into the next version dir — the snapshot-per-version
+        model keeps its atomic-pointer simplicity while a mutation's I/O
+        drops from O(table) to O(changed files) (Delta's file-level
+        rewrite economics). Data files are immutable once committed, so
+        links are safe across versions; vacuum's rmtree just drops link
+        counts. The stats sidecar CARRIES the linked files' entries
+        (no footer re-reads — at 80k files per snapshot that matters)
+        and collects fresh entries for the new files only."""
+        import os
+        import shutil
+        import uuid
+
+        from .skipping import STATS_FILE, collect_file_stats, load_stats_sidecar
+
+        cur = self._version()
+        vdir = self._data_dir(cur)
+        nxt = cur + 1
+        staging = os.path.join(self.path, f".staging-{uuid.uuid4().hex}")
+        new_df.write.mode("overwrite").parquet(staging)
+        try:
+            stats = collect_file_stats(staging, schema_json=new_df.schema.json())
+        except Exception:
+            stats = None
+        old_files = (load_stats_sidecar(vdir) or {}).get("files") or {}
+        for rel in link_rels:
+            dst = os.path.join(staging, os.path.basename(rel))
+            try:
+                os.link(os.path.join(vdir, rel), dst)
+            except OSError:
+                shutil.copy2(os.path.join(vdir, rel), dst)
+            if stats is not None:
+                ent = old_files.get(rel)
+                if ent is None:
+                    stats = None  # legacy snapshot without stats for this file
+                else:
+                    stats["files"][os.path.basename(rel)] = ent
+        if stats is None and link_rels:
+            # fall back to a full footer sweep (legacy warehouses) — a
+            # sidecar that misses a data file would make scan_pruned skip
+            # it silently, so the sidecar must be complete or absent
+            try:
+                stats = collect_file_stats(staging, schema_json=new_df.schema.json())
+            except Exception:
+                stats = None
+        if stats is not None:
+            import json as _json
+
+            tmp = os.path.join(staging, STATS_FILE + ".tmp")
+            with open(tmp, "w") as f:
+                _json.dump(stats, f)
+            os.replace(tmp, os.path.join(staging, STATS_FILE))
+        else:
+            try:
+                os.remove(os.path.join(staging, STATS_FILE))
+            except OSError:
+                pass
+        self._promote(nxt, staging, changes)
+
+    def _cow_split(self, conjuncts) -> tuple[list[str], list[str]] | None:
+        """(files to rewrite, files to link) for a predicate DML, or None
+        when copy-on-write cannot be proven safe: no pushable conjuncts,
+        no/legacy sidecar, a sidecar that does not cover every data file,
+        or pruning that keeps everything anyway (no benefit). Files NOT
+        kept by ``prune_files`` provably contain no matching row (the
+        same conservative contract scan-time skipping relies on), so
+        linking them unchanged preserves exact semantics."""
+        from .skipping import load_stats_sidecar, prune_files
+
+        if not conjuncts:
+            return None
+        cur = self._version()
+        if cur < 0:
+            return None
+        stats = load_stats_sidecar(self._data_dir(cur))
+        if stats is None:
+            return None
+        actual = self._data_rels(cur)
+        import os as _os
+
+        if any(_os.sep in r for r in actual):
+            return None  # nested layout — basename linking would collide
+        sidecar_files = set((stats.get("files") or {}))
+        if not set(actual) <= sidecar_files:
+            return None
+        kept, total = prune_files(stats, conjuncts)
+        kept_set = set(kept) & set(actual)
+        link = [r for r in actual if r not in kept_set]
+        if not link:
+            return None
+        return sorted(kept_set), link
 
     def vacuum(self, keep: int = 1, retention_hours: float | None = None) -> int:
         """Drop old committed versions; returns the number removed.
@@ -569,9 +687,25 @@ class ParquetMergeSink:
         cur = self.scan(self.spark)
         # recorded change rows carry the SNAPSHOT's column set (missing
         # source columns null-fill, exactly as the appended data does)
-        rec = cur.limit(0).unionByName(new, allowMissingColumns=True).withColumn(
-            "_change_type", F.lit("insert")
-        )
+        aligned = cur.limit(0).unionByName(new, allowMissingColumns=True)
+        rec = aligned.withColumn("_change_type", F.lit("insert"))
+        cur_cols = {c.lower() for c in cur.columns}
+        if all(c.lower() in cur_cols for c in new.columns):
+            # copy-on-write append: every existing file links unchanged;
+            # only the new rows are written — O(|new|), not O(table)
+            link = self._data_rels(self._version())
+            import os as _os
+
+            if link and not any(_os.sep in r for r in link):
+                self._commit_cow(aligned, link, changes=rec)
+                self.last_commit = {
+                    "mode": "cow",
+                    "files_linked": len(link),
+                    "files_rewritten": 0,
+                }
+                return
+        # schema-widening append (new columns) keeps the full rewrite so
+        # every data file carries the merged schema
         self._commit(cur.unionByName(new, allowMissingColumns=True), changes=rec)
 
     def merge_upsert(self, new: DataFrame, key: str | None = None) -> None:
@@ -653,19 +787,79 @@ class ParquetMergeSink:
         if (version is None) == (timestamp is None):
             raise ValueError("restore takes exactly one of version= or timestamp=")
         v = int(version) if version is not None else self.version_at(timestamp)
-        self._commit(self.scan(self.spark, v))
+        import os
+        import shutil
+        import uuid
+
+        cur = self._version()
+        if not 0 <= v <= cur or not os.path.isdir(self._data_dir(v)):
+            raise FileNotFoundError(
+                f"version {v} of {self.path} is not available "
+                f"(current {cur}, retained: {self.versions()})"
+            )
+        rels = self._data_rels(v)
+        if rels and not any(os.sep in r for r in rels):
+            # pure metadata restore: hardlink every data file of the target
+            # snapshot and carry its sidecar — ZERO Spark jobs, O(#files)
+            # driver syscalls instead of an O(table) rewrite
+            from .skipping import STATS_FILE
+
+            src_dir = self._data_dir(v)
+            staging = os.path.join(self.path, f".staging-{uuid.uuid4().hex}")
+            os.makedirs(staging)
+            try:
+                for rel in rels:
+                    try:
+                        os.link(os.path.join(src_dir, rel), os.path.join(staging, rel))
+                    except OSError:
+                        shutil.copy2(os.path.join(src_dir, rel), os.path.join(staging, rel))
+                sc = os.path.join(src_dir, STATS_FILE)
+                if os.path.exists(sc):
+                    shutil.copy2(sc, os.path.join(staging, STATS_FILE))
+            except Exception:
+                shutil.rmtree(staging, ignore_errors=True)
+                raise
+            self._promote(cur + 1, staging, None)
+            self.last_commit = {"mode": "cow", "files_linked": len(rels), "files_rewritten": 0}
+        else:
+            self._commit(self.scan(self.spark, v))
         return self._version()
 
-    def update_where(self, cond: Column, assignments: dict[str, Column]) -> None:
+    def update_where(
+        self, cond: Column, assignments: dict[str, Column], conjuncts=None
+    ) -> None:
         from functools import reduce
 
         from pyspark.sql import functions as F
 
-        df = self.scan(self.spark)
+        import os as _os
+
+        split = self._cow_split(conjuncts)
+        if split is not None:
+            # file-pruned UPDATE: only files whose stats could match the
+            # predicate are read and rewritten; the rest hardlink into the
+            # new snapshot (O(changed files), Delta-style rewrite economics)
+            rewrite, link = split
+            vdir = self._data_dir(self._version())
+            base = self.scan(self.spark)
+            df = (
+                self.spark.read.parquet(*[_os.path.join(vdir, r) for r in rewrite])
+                if rewrite
+                else base.limit(0)
+            )
+            self.last_commit = {
+                "mode": "cow",
+                "files_linked": len(link),
+                "files_rewritten": len(rewrite),
+            }
+        else:
+            df, link = self.scan(self.spark), None
         out = df.withColumns({c: F.when(cond, v).otherwise(F.col(c)) for c, v in assignments.items()})
         # recorded changes: rows the condition touches AND whose assigned
         # values actually differ — matching the snapshot-diff semantics
-        # (an x = x update emits nothing there either)
+        # (an x = x update emits nothing there either). Under COW the
+        # linked files provably hold no cond-matching row, so computing
+        # from the rewrite subset records the identical change set.
         differs = reduce(
             lambda a, b: a | b, [~F.col(c).eqNullSafe(v) for c, v in assignments.items()]
         )
@@ -675,17 +869,44 @@ class ParquetMergeSink:
                 "_change_type", F.lit("update_postimage")
             )
         )
-        self._commit(out, changes=rec)
+        if link is not None:
+            self._commit_cow(out, link, changes=rec)
+        else:
+            self._commit(out, changes=rec)
 
-    def delete_where(self, cond: Column | None) -> None:
+    def delete_where(self, cond: Column | None, conjuncts=None) -> None:
         from pyspark.sql import functions as F
 
-        cur = self.scan(self.spark)
+        import os as _os
+
         if cond is None:
+            cur = self.scan(self.spark)
             self._commit(
                 cur.limit(0), changes=cur.withColumn("_change_type", F.lit("delete"))
             )
             return
+        split = self._cow_split(conjuncts)
+        if split is not None:
+            rewrite, link = split
+            vdir = self._data_dir(self._version())
+            base = self.scan(self.spark)
+            cur = (
+                self.spark.read.parquet(*[_os.path.join(vdir, r) for r in rewrite])
+                if rewrite
+                else base.limit(0)
+            )
+            self.last_commit = {
+                "mode": "cow",
+                "files_linked": len(link),
+                "files_rewritten": len(rewrite),
+            }
+            self._commit_cow(
+                cur.filter(~cond | cond.isNull()),
+                link,
+                changes=cur.filter(cond).withColumn("_change_type", F.lit("delete")),
+            )
+            return
+        cur = self.scan(self.spark)
         self._commit(
             cur.filter(~cond | cond.isNull()),
             changes=cur.filter(cond).withColumn("_change_type", F.lit("delete")),

@@ -1,0 +1,261 @@
+"""Copy-on-write DML for versioned parquet sinks (sinks.py
+``_commit_cow`` / ``_cow_split``): predicate UPDATE/DELETE rewrite only
+the files whose stats sidecar says could match (the same conservative
+contract scan-time data skipping relies on), INSERT appends write only
+the new rows, RESTORE is pure hardlinking — every other file hardlinks
+into the new snapshot unchanged. Delta-style file-level rewrite
+economics on the snapshot-per-version model; reference sinks
+(qlbridge's Conn* mutation interfaces) have no versioning at all."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from qlbridge_spark import Engine
+from qlbridge_spark.sinks import ParquetMergeSink
+
+
+@pytest.fixture()
+def cow(spark, tmp_path):
+    """8-file range-partitioned sink (tight per-file id ranges) + a plain
+    registry copy of the same data for differential checks."""
+    df = (
+        spark.range(1000)
+        .select(
+            F.col("id"),
+            F.concat(F.lit("cat_"), (F.col("id") % 7).cast("string")).alias("cat"),
+            F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id") * 1.5).alias("score"),
+        )
+        .repartitionByRange(8, "id")
+        .sortWithinPartitions("id")
+    )
+    sink = ParquetMergeSink(spark, str(tmp_path / "cow_t"), key="id")
+    sink.ensure(df)
+    eng = Engine(spark, "cow-test")
+    eng.register_sink("t", sink)
+    eng.register_df("ref", sink.scan(spark))
+    return eng, sink
+
+
+def _rows(df):
+    # repr-keyed sort: NULLs and floats aren't mutually orderable
+    return sorted((tuple(r) for r in df.collect()), key=repr)
+
+
+def _inodes(sink, v):
+    d = os.path.join(sink.path, f"v{v}")
+    return {
+        f: os.stat(os.path.join(d, f)).st_ino
+        for f in os.listdir(d)
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    }
+
+
+class TestCowDml:
+    def test_update_rewrites_only_matching_files(self, spark, cow):
+        eng, sink = cow
+        eng.execute("UPDATE t SET score = -1 WHERE id >= 900")
+        assert sink.last_commit == {"mode": "cow", "files_linked": 7, "files_rewritten": 1}
+        eng.execute("UPDATE ref SET score = -1 WHERE id >= 900")
+        assert _rows(sink.scan(spark)) == _rows(eng.table("ref"))
+        # unchanged files are the SAME inode as v0 (no data movement)
+        shared = set(_inodes(sink, 0).values()) & set(_inodes(sink, 1).values())
+        assert len(shared) == 7
+
+    def test_delete_links_nonmatching_files(self, spark, cow):
+        eng, sink = cow
+        eng.execute("DELETE FROM t WHERE id IN (5, 250, 999)")
+        assert sink.last_commit["mode"] == "cow"
+        assert sink.last_commit["files_linked"] + sink.last_commit["files_rewritten"] == 8
+        assert sink.last_commit["files_rewritten"] <= 3
+        eng.execute("DELETE FROM ref WHERE id IN (5, 250, 999)")
+        assert _rows(sink.scan(spark)) == _rows(eng.table("ref"))
+
+    def test_append_writes_only_new_rows(self, spark, cow):
+        eng, sink = cow
+        eng.execute("INSERT INTO t (id, cat, score) VALUES (5000, 'x', 1.0), (5001, 'y', 2.0)")
+        assert sink.last_commit["mode"] == "cow" and sink.last_commit["files_rewritten"] == 0
+        assert sink.last_commit["files_linked"] == 8
+        assert sink.scan(spark).count() == 1002
+        # appended rows landed in fresh files; all 8 originals are links
+        assert len(set(_inodes(sink, 0).values()) & set(_inodes(sink, 1).values())) == 8
+
+    def test_append_with_new_column_falls_back_to_full(self, spark, cow):
+        """Schema-widening appends keep the full rewrite so every file
+        carries the merged schema (a mixed-schema dir would make plain
+        spark.read.parquet drop the new column nondeterministically)."""
+        eng, sink = cow
+        extra = spark.createDataFrame([(7777, "z", 1.0, "new")], "id long, cat string, score double, note string")
+        sink.insert_append(extra)
+        assert sink.last_commit == {"mode": "full"}
+        out = sink.scan(spark)
+        assert "note" in out.columns and out.count() == 1001
+
+    def test_unpushable_predicate_falls_back_to_full(self, spark, cow):
+        eng, sink = cow
+        eng.execute("UPDATE t SET score = 0 WHERE upper(cat) = \"CAT_3\"")
+        assert sink.last_commit == {"mode": "full"}
+        eng.execute("UPDATE ref SET score = 0 WHERE upper(cat) = \"CAT_3\"")
+        assert _rows(sink.scan(spark)) == _rows(eng.table("ref"))
+
+    def test_no_sidecar_falls_back_to_full(self, spark, cow):
+        eng, sink = cow
+        os.remove(os.path.join(sink.path, "v0", "_stats.json"))
+        eng.execute("DELETE FROM t WHERE id < 10")
+        assert sink.last_commit == {"mode": "full"}
+        assert sink.scan(spark).count() == 990
+
+    def test_zero_matching_files_commits_all_links(self, spark, cow):
+        """A predicate no file can match still commits a (no-op) version:
+        8 links, 0 rewrites, empty change recording."""
+        eng, sink = cow
+        eng.execute("DELETE FROM t WHERE id = 999999")
+        assert sink.last_commit == {"mode": "cow", "files_linked": 8, "files_rewritten": 0}
+        assert sink.scan(spark).count() == 1000
+        assert eng.sql("SELECT * FROM TABLE_CHANGES('t', 1, 1)").count() == 0
+
+    def test_change_feed_parity_on_cow_commits(self, spark, cow):
+        """Recorded changes from the pruned subset equal the full snapshot
+        diff — the linked files provably contain no matching row."""
+        eng, sink = cow
+        eng.execute("UPDATE t SET score = -5 WHERE id >= 870 AND id < 880")
+        rec = _rows(
+            eng.sql("SELECT id, cat, score, _change_type FROM TABLE_CHANGES('t', 1, 1)")
+        )
+        # force the snapshot-diff path by dropping the recording
+        import shutil
+
+        shutil.rmtree(os.path.join(sink.path, "c1"))
+        eng.clear_plan_cache()  # the recording removal is invisible to the sink-version cache key
+        diff = _rows(
+            eng.sql("SELECT id, cat, score, _change_type FROM TABLE_CHANGES('t', 1, 1)")
+        )
+        assert rec == diff
+        # 10 ids hit; id 870 has NULL score → update to -5 still differs
+        assert len(rec) == 20
+
+    def test_skipping_works_on_carried_sidecar(self, spark, cow):
+        """COW carries old stats entries for linked files — pruned scans
+        on the new snapshot stay correct and still skip files."""
+        eng, sink = cow
+        eng.execute("UPDATE t SET score = 1 WHERE id >= 990")
+        got = _rows(eng.sql("SELECT id, score FROM t WHERE id = 123"))
+        assert sink.last_scan is not None
+        assert sink.last_scan["files_read"] < sink.last_scan["files_total"]
+        assert got == [(123, 184.5)]
+
+    def test_vacuum_keeps_linked_files_alive(self, spark, cow):
+        """Dropping the old snapshot (rmtree) only decrements link counts;
+        the new snapshot's linked files stay readable."""
+        eng, sink = cow
+        eng.execute("UPDATE t SET score = 0 WHERE id < 50")
+        before = _rows(sink.scan(spark))
+        assert sink.vacuum(keep=1) == 1  # v0 gone
+        assert _rows(sink.scan(spark)) == before
+
+    def test_restore_is_pure_linking(self, spark, cow):
+        eng, sink = cow
+        v0 = _rows(sink.scan(spark, 0))
+        eng.execute("DELETE FROM t WHERE id < 500")
+        sink.restore(version=0)
+        assert sink.last_commit == {"mode": "cow", "files_linked": 8, "files_rewritten": 0}
+        assert _rows(sink.scan(spark)) == v0
+        assert set(_inodes(sink, 0).values()) == set(_inodes(sink, 2).values())
+
+    def test_chained_cow_commits_and_time_travel(self, spark, cow):
+        """Many successive COW commits: every historical version stays
+        exactly reconstructable."""
+        eng, sink = cow
+        snaps = {0: _rows(sink.scan(spark))}
+        for i, stmt in enumerate(
+            [
+                "UPDATE t SET score = 1 WHERE id < 100",
+                "DELETE FROM t WHERE id >= 950",
+                "INSERT INTO t (id, cat, score) VALUES (2000, 'n', 9.0)",
+                "UPDATE t SET cat = \"mid\" WHERE id >= 400 AND id < 600",
+            ],
+            start=1,
+        ):
+            eng.execute(stmt)
+            snaps[i] = _rows(sink.scan(spark))
+        for v, want in snaps.items():
+            assert _rows(sink.scan(spark, v)) == want, f"version {v} drifted"
+
+
+class TestCowFuzz:
+    def test_randomized_dml_differential(self, spark, tmp_path):
+        """Property: a randomized UPDATE/DELETE sequence with boundary-
+        biased pushable AND unpushable predicates produces identical
+        tables through the COW sink and the plain in-memory path, and
+        identical change feeds to the snapshot diff."""
+        import random
+
+        rng = random.Random(0xC0DE)
+        df = (
+            spark.range(600)
+            .select(
+                F.col("id"),
+                (F.col("id") % 5).cast("string").alias("g"),
+                F.when(F.col("id") % 7 == 0, None).otherwise(F.col("id") * 2).alias("v"),
+            )
+            .repartitionByRange(6, "id")
+            .sortWithinPartitions("id")
+        )
+        sink = ParquetMergeSink(spark, str(tmp_path / "fz"), key="id")
+        sink.ensure(df)
+        eng = Engine(spark, "cow-fuzz")
+        eng.register_sink("t", sink)
+        eng.register_df("ref", sink.scan(spark))
+
+        bounds = [0, 1, 99, 100, 101, 299, 300, 599, 600, -5]
+        preds = (
+            [f"id {op} {b}" for op in ("<", "<=", ">", ">=", "=") for b in bounds]
+            + [f"id IN ({a}, {b})" for a, b in [(0, 599), (100, 300), (7, 8)]]
+            + ["v IS NULL", "v IS NOT NULL", 'g = "3"', "id % 10 = 3", "v > 500 AND id < 400"]
+        )
+        cow_modes = 0
+        for i in range(14):
+            pred = rng.choice(preds)
+            if rng.random() < 0.5:
+                stmt = f"UPDATE %s SET v = {rng.randint(-3, 3)} WHERE {pred}"
+            else:
+                stmt = f"DELETE FROM %s WHERE {pred}"
+            eng.execute(stmt % "t")
+            eng.execute(stmt % "ref")
+            if sink.last_commit and sink.last_commit.get("mode") == "cow":
+                cow_modes += 1
+            got = sorted(tuple(r) for r in sink.scan(spark).collect())
+            want = sorted(tuple(r) for r in eng.table("ref").collect())
+            assert got == want, (i, stmt % "t")
+        assert cow_modes >= 4  # the corpus actually exercised the COW path
+
+    def test_recorded_vs_diff_feed_after_fuzz(self, spark, tmp_path):
+        """Every COW commit's recording equals its snapshot diff."""
+        import random
+        import shutil
+
+        rng = random.Random(7)
+        df = spark.range(300).select(
+            F.col("id"), (F.col("id") * 3).alias("v")
+        ).repartitionByRange(4, "id")
+        sink = ParquetMergeSink(spark, str(tmp_path / "fz2"), key="id")
+        sink.ensure(df)
+        eng = Engine(spark, "cow-fuzz2")
+        eng.register_sink("t", sink)
+        for _ in range(6):
+            b = rng.choice([0, 50, 150, 299])
+            eng.execute(
+                rng.choice(
+                    [f"UPDATE t SET v = v + 1 WHERE id >= {b}", f"DELETE FROM t WHERE id = {b}"]
+                )
+            )
+        cur = sink._version()
+        rec = _rows(eng.sql(f"SELECT * FROM TABLE_CHANGES('t', 1, {cur})"))
+        for v in range(1, cur + 1):
+            shutil.rmtree(os.path.join(sink.path, f"c{v}"), ignore_errors=True)
+        eng.clear_plan_cache()
+        diff = _rows(eng.sql(f"SELECT * FROM TABLE_CHANGES('t', 1, {cur})"))
+        rec_nots = [r[:-1] for r in rec]  # diff path re-derives timestamps
+        diff_nots = [r[:-1] for r in diff]
+        assert rec_nots == diff_nots
