@@ -37,6 +37,25 @@ class SinkCapabilityError(ValueError):
     to ExecError; unrelated ValueErrors from inside a sink propagate."""
 
 
+class ConcurrentWriteError(RuntimeError):
+    """A read-dependent mutation (UPDATE/DELETE/MERGE/OPTIMIZE/RESTORE)
+    lost the commit race: another writer committed between this
+    statement's snapshot read and its promote. The statement wrote
+    nothing — re-run it against the new current snapshot. Blind appends
+    never raise this (they rebase and retry automatically); this is the
+    ParquetMergeSink analogue of Delta's ConcurrentModificationException
+    under Serializable isolation."""
+
+
+class _CommitConflict(Exception):
+    """Internal: the promote CAS (rename into the next version slot)
+    lost. ``current`` carries the pointer observed after the loss."""
+
+    def __init__(self, current: int):
+        self.current = current
+        super().__init__(f"commit conflict; current version is now {current}")
+
+
 def delta_available() -> bool:
     """True when the delta-spark package (and its jar) is importable."""
     try:
@@ -218,12 +237,21 @@ class ParquetMergeSink:
     either the old or the new snapshot — never a partial write. Old
     versions remain until ``vacuum()``.
 
-    Scale honesty: each mutation rewrites the table (no file-level
-    MERGE/file-skipping like Delta), which is O(table) per batch — right
-    for small-to-medium durable state and for e2e-testing the MERGE write
-    path in containers without the Delta jar; swap in DeltaMergeSink for
-    100 TB incremental merges. Single-writer (matches the reference's
-    memdb/membtree sources — /root/reference/datasource/membtree.go).
+    Predicate DML is COPY-ON-WRITE at file granularity (``_commit_cow``):
+    only files whose stats sidecar could match the predicate are
+    rewritten, the rest hardlink into the new snapshot — Delta's
+    file-level rewrite economics; swap in DeltaMergeSink where the jar
+    is available for its native log-based protocol.
+
+    Multi-writer safe via optimistic concurrency (``_promote``): the
+    rename into the next version slot is the commit CAS; blind appends
+    and upserts REBASE and retry on a lost race, read-dependent
+    mutations (UPDATE/DELETE/MERGE/OPTIMIZE/RESTORE) raise
+    ConcurrentWriteError — Delta's Serializable-isolation behavior.
+    Same-host POSIX semantics (the reference's mutable sources are
+    in-process single-writer — /root/reference/datasource/membtree.go;
+    this is a strict superset). VACUUM remains an administrative
+    operation: don't run it concurrently with writers.
     """
 
     def __init__(self, spark: SparkSession, path: str, key: str):
@@ -268,15 +296,27 @@ class ParquetMergeSink:
         return os.path.join(self.path, "_commits")
 
     def _load_commits(self) -> dict:
-        """version → ISO-8601 UTC commit timestamp, from the ``_commits``
-        sidecar (empty for legacy warehouses created before it existed)."""
+        """version → ISO-8601 UTC commit timestamp. The global ``_commits``
+        sidecar is a cache; the authoritative stamp is the ``_commit_ts``
+        file written INTO each version dir before its promote rename, so
+        concurrent writers can never lose each other's entries to a
+        read-modify-write race on the shared sidecar."""
         import json
+        import os
 
         try:
             with open(self._commits_file()) as f:
-                return {int(k): v for k, v in json.load(f).items()}
+                commits = {int(k): v for k, v in json.load(f).items()}
         except (OSError, ValueError):
-            return {}
+            commits = {}
+        for v in self.versions():
+            if v not in commits:
+                try:
+                    with open(os.path.join(self._data_dir(v), "_commit_ts")) as f:
+                        commits[v] = f.read().strip()
+                except OSError:
+                    pass
+        return commits
 
     def _save_commits(self, commits: dict) -> None:
         """Atomically rewrite the ``_commits`` sidecar (write-temp +
@@ -368,18 +408,22 @@ class ParquetMergeSink:
             return None  # torn recording → diff fallback
         return spark.read.parquet(d)
 
-    def _commit(self, df: DataFrame, changes=None) -> None:
+    def _commit(self, df: DataFrame, changes=None, base: int | None = None) -> None:
         """Write ``df`` to a staging dir, promote it to the next version,
-        record the commit timestamp in the ``_commits`` sidecar, then
-        atomically advance the pointer. ``changes`` optionally records
-        the commit's change rows for O(|changes|) feed reads (see
-        _record_changes)."""
-        import datetime
-        import json
+        record the commit timestamp, then atomically advance the pointer.
+        ``changes`` optionally records the commit's change rows for
+        O(|changes|) feed reads (see _record_changes). ``base`` pins the
+        version this commit's content was COMPUTED FROM: the promote
+        targets base+1, so a concurrent commit in between loses the CAS
+        and raises ConcurrentWriteError instead of silently clobbering
+        the intervening writer (Serializable isolation). base=None reads
+        the pointer at entry (blind writes whose content is
+        base-independent)."""
         import os
+        import shutil
         import uuid
 
-        nxt = self._version() + 1
+        nxt = (self._version() if base is None else base) + 1
         staging = os.path.join(self.path, f".staging-{uuid.uuid4().hex}")
         df.write.mode("overwrite").parquet(staging)
         try:
@@ -393,26 +437,80 @@ class ParquetMergeSink:
             write_stats_sidecar(staging, schema_json=df.schema.json())
         except Exception:
             pass
-        self._promote(nxt, staging, changes)
+        try:
+            self._promote(nxt, staging, changes)
+        except _CommitConflict as c:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise ConcurrentWriteError(
+                f"{self.path}: another writer committed version {c.current} "
+                f"while this statement was computing against version {nxt - 1}; "
+                "nothing was written — re-run the statement"
+            ) from None
         self.last_commit = {"mode": "full"}
 
     def _promote(self, nxt: int, staging: str, changes) -> None:
-        """Rename a fully-staged snapshot dir into place, record changes,
-        stamp the commit time, and atomically advance the pointer."""
+        """Rename a fully-staged snapshot dir into the ``v<nxt>`` slot,
+        record changes, and advance the pointer.
+
+        The rename IS the commit CAS: POSIX rename onto an existing
+        non-empty directory fails with ENOTEMPTY, so of N concurrent
+        writers targeting the same slot exactly one wins and the rest get
+        _CommitConflict — no lock is held across the (slow) data write.
+        The commit timestamp is stamped INTO the staging dir before the
+        rename (still writer-exclusive), so history never races. If the
+        slot is occupied but the pointer never advances (a writer died
+        between rename and pointer write), the fully-staged orphan is
+        ADOPTED — the pointer rolls forward to it and the caller rebases
+        onto it like any other lost race. Single-host POSIX semantics
+        (rename atomicity, flock); an object-store deployment would swap
+        this for a log-based commit protocol as Delta does."""
         import datetime
         import os
+        import time
 
+        with open(os.path.join(staging, "_commit_ts"), "w") as f:
+            f.write(datetime.datetime.now(datetime.timezone.utc).isoformat())
         final = self._data_dir(nxt)
-        os.rename(staging, final)
+        try:
+            os.rename(staging, final)
+        except OSError:
+            if not os.path.isdir(final):
+                raise
+            # lost the CAS. Either the winner is about to advance the
+            # pointer (normal race — wait for it) or it died post-rename
+            # (torn commit — the slot holds a complete, durable snapshot;
+            # adopt it so the table never wedges)
+            deadline = time.monotonic() + 2.0
+            while self._version() < nxt and time.monotonic() < deadline:
+                time.sleep(0.02)
+            if self._version() < nxt:
+                self._advance_pointer(nxt)
+            raise _CommitConflict(self._version()) from None
         if changes is not None:
             self._record_changes(nxt, changes)
-        commits = self._load_commits()
-        commits[nxt] = datetime.datetime.now(datetime.timezone.utc).isoformat()
-        self._save_commits(commits)
-        tmp = self._version_file() + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(str(nxt))
-        os.replace(tmp, self._version_file())  # atomic on POSIX
+        self._advance_pointer(nxt)
+
+    def _advance_pointer(self, nxt: int) -> None:
+        """Monotonically advance the ``_VERSION`` pointer to ``nxt`` and
+        fold the new version's stamp into the ``_commits`` cache, under a
+        short flock-ed critical section (microseconds — no data I/O): a
+        slow writer that already won an EARLIER slot can never regress
+        the pointer over a later commit, and concurrent sidecar updates
+        can't drop each other's entries."""
+        import fcntl
+        import os
+
+        with open(os.path.join(self.path, "_LOCK"), "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            try:
+                if self._version() < nxt:
+                    tmp = self._version_file() + ".tmp"
+                    with open(tmp, "w") as f:
+                        f.write(str(nxt))
+                    os.replace(tmp, self._version_file())  # atomic on POSIX
+                self._save_commits(self._load_commits())
+            finally:
+                fcntl.flock(lock, fcntl.LOCK_UN)
 
     def _data_rels(self, version: int) -> list[str]:
         """Relative paths of the data files of one snapshot dir."""
@@ -426,7 +524,9 @@ class ParquetMergeSink:
                     out.append(os.path.relpath(os.path.join(root, fn), vdir))
         return sorted(out)
 
-    def _commit_cow(self, new_df: DataFrame, link_rels: list[str], changes=None) -> None:
+    def _commit_cow(
+        self, new_df: DataFrame, link_rels: list[str], changes=None, base: int | None = None
+    ) -> None:
         """Copy-on-write commit: write ONLY ``new_df`` as fresh parquet
         files and HARDLINK the unchanged ``link_rels`` from the current
         snapshot into the next version dir — the snapshot-per-version
@@ -443,7 +543,7 @@ class ParquetMergeSink:
 
         from .skipping import STATS_FILE, collect_file_stats, load_stats_sidecar
 
-        cur = self._version()
+        cur = self._version() if base is None else base
         vdir = self._data_dir(cur)
         nxt = cur + 1
         staging = os.path.join(self.path, f".staging-{uuid.uuid4().hex}")
@@ -485,9 +585,19 @@ class ParquetMergeSink:
                 os.remove(os.path.join(staging, STATS_FILE))
             except OSError:
                 pass
-        self._promote(nxt, staging, changes)
+        try:
+            self._promote(nxt, staging, changes)
+        except _CommitConflict as c:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise ConcurrentWriteError(
+                f"{self.path}: another writer committed version {c.current} "
+                f"while this statement was computing against version {cur}; "
+                "nothing was written — re-run the statement"
+            ) from None
 
-    def _cow_split(self, conjuncts) -> tuple[list[str], list[str]] | None:
+    def _cow_split(
+        self, conjuncts, base: int | None = None
+    ) -> tuple[list[str], list[str]] | None:
         """(files to rewrite, files to link) for a predicate DML, or None
         when copy-on-write cannot be proven safe: no pushable conjuncts,
         no/legacy sidecar, a sidecar that does not cover every data file,
@@ -499,7 +609,7 @@ class ParquetMergeSink:
 
         if not conjuncts:
             return None
-        cur = self._version()
+        cur = self._version() if base is None else base
         if cur < 0:
             return None
         stats = load_stats_sidecar(self._data_dir(cur))
@@ -676,58 +786,111 @@ class ParquetMergeSink:
         return (self._version(), tuple(self.versions()))
 
     # -- writes ---------------------------------------------------------
+    #: bounded rebase attempts for auto-retrying writes (append/upsert);
+    #: each retry recomputes against the NEW current snapshot, so the
+    #: retried operation is serializable — the bound only guards livelock
+    _OCC_RETRIES = 12
+
     def ensure(self, df: DataFrame) -> None:
-        """Create the table from ``df`` if it does not exist yet."""
+        """Create the table from ``df`` if it does not exist yet.
+        Losing the creation race to a concurrent writer satisfies the
+        contract (the table exists) — no error."""
         if self._version() < 0:
-            self._commit(df, changes="all_insert")
+            try:
+                self._commit(df, changes="all_insert", base=-1)
+            except ConcurrentWriteError:
+                if self._version() < 0:
+                    raise
 
     def insert_append(self, new: DataFrame) -> None:
+        """Blind append. Concurrent appends never fail: a lost commit
+        race REBASES — the whole append recomputes against the new
+        current snapshot and retries (Delta-parity: blind appends
+        auto-resolve under any concurrent commit; the content written is
+        independent of the base, so the retry is serializable)."""
+        import os as _os
+
         from pyspark.sql import functions as F
 
-        cur = self.scan(self.spark)
-        # recorded change rows carry the SNAPSHOT's column set (missing
-        # source columns null-fill, exactly as the appended data does)
-        aligned = cur.limit(0).unionByName(new, allowMissingColumns=True)
-        rec = aligned.withColumn("_change_type", F.lit("insert"))
-        cur_cols = {c.lower() for c in cur.columns}
-        if all(c.lower() in cur_cols for c in new.columns):
-            # copy-on-write append: every existing file links unchanged;
-            # only the new rows are written — O(|new|), not O(table)
-            link = self._data_rels(self._version())
-            import os as _os
-
-            if link and not any(_os.sep in r for r in link):
-                self._commit_cow(aligned, link, changes=rec)
-                self.last_commit = {
-                    "mode": "cow",
-                    "files_linked": len(link),
-                    "files_rewritten": 0,
-                }
+        last = None
+        for _ in range(self._OCC_RETRIES):
+            basev = self._version()
+            cur = self.scan(self.spark, basev)
+            # recorded change rows carry the SNAPSHOT's column set (missing
+            # source columns null-fill, exactly as the appended data does)
+            aligned = cur.limit(0).unionByName(new, allowMissingColumns=True)
+            rec = aligned.withColumn("_change_type", F.lit("insert"))
+            cur_cols = {c.lower() for c in cur.columns}
+            try:
+                if all(c.lower() in cur_cols for c in new.columns):
+                    # copy-on-write append: every existing file links
+                    # unchanged; only the new rows are written — O(|new|)
+                    link = self._data_rels(basev)
+                    if link and not any(_os.sep in r for r in link):
+                        self._commit_cow(aligned, link, changes=rec, base=basev)
+                        self.last_commit = {
+                            "mode": "cow",
+                            "files_linked": len(link),
+                            "files_rewritten": 0,
+                        }
+                        return
+                # schema-widening append (new columns) keeps the full
+                # rewrite so every data file carries the merged schema
+                self._commit(
+                    cur.unionByName(new, allowMissingColumns=True), changes=rec, base=basev
+                )
                 return
-        # schema-widening append (new columns) keeps the full rewrite so
-        # every data file carries the merged schema
-        self._commit(cur.unionByName(new, allowMissingColumns=True), changes=rec)
+            except ConcurrentWriteError as e:
+                last = e
+                continue
+        raise last
 
     def merge_upsert(self, new: DataFrame, key: str | None = None) -> None:
         """MERGE semantics: matched rows replaced by the source row, new
         keys inserted (whenMatchedUpdateAll/whenNotMatchedInsertAll).
         No change recording: with duplicate keys on either side the
         pre/post pairing is ambiguous, so the feed uses the exact
-        snapshot diff for these commits."""
+        snapshot diff for these commits. A lost commit race rebases (the
+        full upsert recomputes against the new snapshot — serializable,
+        and what the streaming upsert sink wants under a concurrent
+        batch writer)."""
         k = key or self.key
-        if self._version() < 0:
-            self._commit(new, changes="all_insert")
-            return
-        cur = self.scan(self.spark)
-        kept = cur.join(new.select(k).distinct(), on=k, how="left_anti")
-        self._commit(kept.unionByName(new, allowMissingColumns=True))
+        last = None
+        for _ in range(self._OCC_RETRIES):
+            basev = self._version()
+            try:
+                if basev < 0:
+                    self._commit(new, changes="all_insert", base=-1)
+                    return
+                cur = self.scan(self.spark, basev)
+                kept = cur.join(new.select(k).distinct(), on=k, how="left_anti")
+                self._commit(kept.unionByName(new, allowMissingColumns=True), base=basev)
+                return
+            except ConcurrentWriteError as e:
+                last = e
+                continue
+        raise last
 
     def overwrite(self, df: DataFrame, changes=None) -> None:
         """Replace the table contents as a NEW committed version (engine
         MERGE INTO commit path; old snapshots stay time-travelable).
         ``changes`` optionally records the commit's change rows (the
-        engine's MERGE knows them exactly) for O(|changes|) feed reads."""
-        self._commit(df, changes=changes)
+        engine's MERGE knows them exactly) for O(|changes|) feed reads.
+        With ``changes`` the commit is read-dependent (the change rows
+        were computed against a specific base), so a lost race raises
+        ConcurrentWriteError; a bare overwrite is blind and retries."""
+        if changes is not None:
+            self._commit(df, changes=changes)
+            return
+        last = None
+        for _ in range(self._OCC_RETRIES):
+            try:
+                self._commit(df)
+                return
+            except ConcurrentWriteError as e:
+                last = e
+                continue
+        raise last
 
     # -- layout maintenance ---------------------------------------------
     def _snapshot_stats(self, version: int) -> tuple[int, int]:
@@ -767,8 +930,9 @@ class ParquetMergeSink:
         files_before, data_bytes = self._snapshot_stats(cur)
         n_files = estimate_num_files(data_bytes, target_file_mb)
         self._commit(
-            cluster_frame(self.scan(self.spark), zorder_by, n_files, bits_per_col, curve=curve),
+            cluster_frame(self.scan(self.spark, cur), zorder_by, n_files, bits_per_col, curve=curve),
             changes="none",  # layout-only: the feed records a logical no-op
+            base=cur,  # a concurrent commit must not be clobbered by a layout rewrite
         )
         files_after, _ = self._snapshot_stats(self._version())
         return {
@@ -819,10 +983,17 @@ class ParquetMergeSink:
             except Exception:
                 shutil.rmtree(staging, ignore_errors=True)
                 raise
-            self._promote(cur + 1, staging, None)
+            try:
+                self._promote(cur + 1, staging, None)
+            except _CommitConflict as c:
+                shutil.rmtree(staging, ignore_errors=True)
+                raise ConcurrentWriteError(
+                    f"{self.path}: another writer committed version {c.current} "
+                    f"during RESTORE from version {cur}; nothing was written"
+                ) from None
             self.last_commit = {"mode": "cow", "files_linked": len(rels), "files_rewritten": 0}
         else:
-            self._commit(self.scan(self.spark, v))
+            self._commit(self.scan(self.spark, v), base=cur)
         return self._version()
 
     def update_where(
@@ -834,14 +1005,15 @@ class ParquetMergeSink:
 
         import os as _os
 
-        split = self._cow_split(conjuncts)
+        basev = self._version()
+        split = self._cow_split(conjuncts, base=basev)
         if split is not None:
             # file-pruned UPDATE: only files whose stats could match the
             # predicate are read and rewritten; the rest hardlink into the
             # new snapshot (O(changed files), Delta-style rewrite economics)
             rewrite, link = split
-            vdir = self._data_dir(self._version())
-            base = self.scan(self.spark)
+            vdir = self._data_dir(basev)
+            base = self.scan(self.spark, basev)
             df = (
                 self.spark.read.parquet(*[_os.path.join(vdir, r) for r in rewrite])
                 if rewrite
@@ -853,7 +1025,7 @@ class ParquetMergeSink:
                 "files_rewritten": len(rewrite),
             }
         else:
-            df, link = self.scan(self.spark), None
+            df, link = self.scan(self.spark, basev), None
         out = df.withColumns({c: F.when(cond, v).otherwise(F.col(c)) for c, v in assignments.items()})
         # recorded changes: rows the condition touches AND whose assigned
         # values actually differ — matching the snapshot-diff semantics
@@ -870,26 +1042,29 @@ class ParquetMergeSink:
             )
         )
         if link is not None:
-            self._commit_cow(out, link, changes=rec)
+            self._commit_cow(out, link, changes=rec, base=basev)
         else:
-            self._commit(out, changes=rec)
+            self._commit(out, changes=rec, base=basev)
 
     def delete_where(self, cond: Column | None, conjuncts=None) -> None:
         from pyspark.sql import functions as F
 
         import os as _os
 
+        basev = self._version()
         if cond is None:
-            cur = self.scan(self.spark)
+            cur = self.scan(self.spark, basev)
             self._commit(
-                cur.limit(0), changes=cur.withColumn("_change_type", F.lit("delete"))
+                cur.limit(0),
+                changes=cur.withColumn("_change_type", F.lit("delete")),
+                base=basev,
             )
             return
-        split = self._cow_split(conjuncts)
+        split = self._cow_split(conjuncts, base=basev)
         if split is not None:
             rewrite, link = split
-            vdir = self._data_dir(self._version())
-            base = self.scan(self.spark)
+            vdir = self._data_dir(basev)
+            base = self.scan(self.spark, basev)
             cur = (
                 self.spark.read.parquet(*[_os.path.join(vdir, r) for r in rewrite])
                 if rewrite
@@ -904,10 +1079,12 @@ class ParquetMergeSink:
                 cur.filter(~cond | cond.isNull()),
                 link,
                 changes=cur.filter(cond).withColumn("_change_type", F.lit("delete")),
+                base=basev,
             )
             return
-        cur = self.scan(self.spark)
+        cur = self.scan(self.spark, basev)
         self._commit(
             cur.filter(~cond | cond.isNull()),
             changes=cur.filter(cond).withColumn("_change_type", F.lit("delete")),
+            base=basev,
         )
