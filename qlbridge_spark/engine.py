@@ -3935,6 +3935,51 @@ class Engine:
 
             return create_continuous_view(self, c)
         if tok == "TABLE":
+            # WITH {"path": ...} creates a DURABLE versioned parquet sink
+            # (optionally hive-partitioned) instead of an in-memory frame:
+            #   CREATE TABLE t AS SELECT ...
+            #     WITH {"path": "/w/t", "key": "id", "partition_by": ["dt"]}
+            with_cfg = dict(getattr(c.select, "with_", None) or {})
+            with_cfg.update(c.with_ or {})
+            path = with_cfg.get("path")
+            if path:
+                from .sinks import ParquetMergeSink
+
+                part = with_cfg.get("partition_by") or []
+                if isinstance(part, str):
+                    part = [part]
+                if c.select is not None:
+                    df = self._select_any(c.select)
+                else:
+                    fields = [T.StructField(n, _ddl_type(ty), True) for n, ty in c.cols]
+                    df = self.spark.createDataFrame([], T.StructType(fields))
+                bad = [p for p in part if p not in df.columns]
+                if bad:
+                    raise ExecError(
+                        f"CREATE TABLE {c.ident}: partition_by columns {bad} "
+                        f"not in the table's columns {df.columns}"
+                    )
+                key = with_cfg.get("key") or (df.columns[0] if df.columns else "id")
+                try:
+                    sink = ParquetMergeSink(
+                        self.spark, str(path), key=str(key), partition_by=[str(p) for p in part]
+                    )
+                except ValueError as e:  # reopen with conflicting partitioning
+                    raise ExecError(str(e)) from None
+                existed = sink._version() >= 0
+                if existed and c.if_not_exists:
+                    pass  # keep the existing table state
+                elif existed and not c.or_replace:
+                    raise ExecError(
+                        f"CREATE TABLE {c.ident}: {path} already holds a table "
+                        "(use OR REPLACE or IF NOT EXISTS)"
+                    )
+                elif existed:  # OR REPLACE: new snapshot, history preserved
+                    sink.overwrite(df)
+                else:
+                    sink.ensure(df)
+                self.register_sink(c.ident, sink)
+                return None
             if c.select is not None:  # CTAS
                 self.register_df(c.ident, self._select_any(c.select))
                 return None

@@ -47,6 +47,11 @@ class ConcurrentWriteError(RuntimeError):
     under Serializable isolation."""
 
 
+#: batch_key_conjunct sentinel: every key in the batch is NULL, so an
+#: equality join on the key can match no target row at all
+_ALL_NULL_KEYS = object()
+
+
 class _CommitConflict(Exception):
     """Internal: the promote CAS (rename into the next version slot)
     lost. ``current`` carries the pointer observed after the loss."""
@@ -254,7 +259,14 @@ class ParquetMergeSink:
     operation: don't run it concurrently with writers.
     """
 
-    def __init__(self, spark: SparkSession, path: str, key: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key: str,
+        partition_by: list[str] | None = None,
+    ):
+        import json
         import os
 
         self.spark = spark
@@ -268,6 +280,31 @@ class ParquetMergeSink:
         #: 'full'|'cow'[, files_linked, files_rewritten]}
         self.last_commit: dict | None = None
         os.makedirs(path, exist_ok=True)
+        # hive partitioning is a TABLE property, not a handle property:
+        # it's persisted in _meta.json at creation and re-opened handles
+        # inherit it (a conflicting explicit spec is an error, not a
+        # silent layout change)
+        meta = None
+        try:
+            with open(os.path.join(path, "_meta.json")) as f:
+                meta = json.load(f)
+        except (OSError, ValueError):
+            pass
+        if meta is not None:
+            stored = list(meta.get("partition_by") or [])
+            if partition_by is not None and list(partition_by) != stored:
+                raise ValueError(
+                    f"{path} is partitioned by {stored}; cannot reopen with "
+                    f"partition_by={list(partition_by)}"
+                )
+            self.partition_by = stored
+        else:
+            self.partition_by = list(partition_by or [])
+            if self.partition_by:
+                tmp = os.path.join(path, "_meta.json.tmp")
+                with open(tmp, "w") as f:
+                    json.dump({"partition_by": self.partition_by, "key": key}, f)
+                os.replace(tmp, os.path.join(path, "_meta.json"))
 
     # -- version bookkeeping -------------------------------------------
     def _version_file(self) -> str:
@@ -425,7 +462,7 @@ class ParquetMergeSink:
 
         nxt = (self._version() if base is None else base) + 1
         staging = os.path.join(self.path, f".staging-{uuid.uuid4().hex}")
-        df.write.mode("overwrite").parquet(staging)
+        self._write_staging(df, staging)
         try:
             # data-skipping sidecar: per-file min/max/null-count stats from
             # the just-written parquet FOOTERS (driver-side metadata read).
@@ -512,6 +549,62 @@ class ParquetMergeSink:
             finally:
                 fcntl.flock(lock, fcntl.LOCK_UN)
 
+    def _write_staging(self, df: DataFrame, staging: str) -> None:
+        """Write a snapshot's data files to a staging dir, in the table's
+        layout (hive ``col=value`` dirs when partitioned)."""
+        w = df.write.mode("overwrite")
+        if self.partition_by:
+            w = w.partitionBy(*self.partition_by)
+        w.parquet(staging)
+
+    def _typed_read(self, df: DataFrame, vdir: str) -> DataFrame:
+        """Undo hive partition-value TYPE INFERENCE: directory values are
+        strings, and Spark guesses their type on read (a string column
+        holding '3' comes back as int). The committed schema travels in
+        the stats sidecar — cast partition columns back to it and restore
+        the original column order, so a partitioned table round-trips
+        schema-identically. Best-effort for legacy snapshots without a
+        sidecar schema (inference stands)."""
+        if not self.partition_by:
+            return df
+        import json
+
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        from .skipping import load_stats_sidecar
+
+        schema_json = (load_stats_sidecar(vdir) or {}).get("schema")
+        if not schema_json:
+            return df
+        try:
+            want = T.StructType.fromJson(json.loads(schema_json))
+        except Exception:
+            return df
+        have = {f.name: f.dataType for f in df.schema.fields}
+        cols = []
+        for f in want.fields:
+            if f.name not in have:
+                continue
+            c = F.col(f.name)
+            if f.name in self.partition_by and have[f.name] != f.dataType:
+                c = c.cast(f.dataType).alias(f.name)
+            cols.append(c)
+        extras = [F.col(n) for n in df.columns if n not in {f.name for f in want.fields}]
+        return df.select(*cols, *extras)
+
+    def _read_files(self, vdir: str, rels: list[str]) -> DataFrame:
+        """Read an explicit subset of a snapshot's data files. basePath
+        keeps hive partition columns derivable from the leaf paths."""
+        import os
+
+        return self._typed_read(
+            self.spark.read.option("basePath", vdir).parquet(
+                *[os.path.join(vdir, r) for r in rels]
+            ),
+            vdir,
+        )
+
     def _data_rels(self, version: int) -> list[str]:
         """Relative paths of the data files of one snapshot dir."""
         import os
@@ -547,14 +640,19 @@ class ParquetMergeSink:
         vdir = self._data_dir(cur)
         nxt = cur + 1
         staging = os.path.join(self.path, f".staging-{uuid.uuid4().hex}")
-        new_df.write.mode("overwrite").parquet(staging)
+        self._write_staging(new_df, staging)
         try:
             stats = collect_file_stats(staging, schema_json=new_df.schema.json())
         except Exception:
             stats = None
         old_files = (load_stats_sidecar(vdir) or {}).get("files") or {}
         for rel in link_rels:
-            dst = os.path.join(staging, os.path.basename(rel))
+            dst = os.path.join(staging, rel)
+            # linked files keep their RELATIVE paths, so hive-partitioned
+            # layouts link partition-dir structure intact (and flat-layout
+            # basenames can never collide across snapshots)
+            if os.sep in rel:
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
             try:
                 os.link(os.path.join(vdir, rel), dst)
             except OSError:
@@ -564,7 +662,7 @@ class ParquetMergeSink:
                 if ent is None:
                     stats = None  # legacy snapshot without stats for this file
                 else:
-                    stats["files"][os.path.basename(rel)] = ent
+                    stats["files"][rel] = ent
         if stats is None and link_rels:
             # fall back to a full footer sweep (legacy warehouses) — a
             # sidecar that misses a data file would make scan_pruned skip
@@ -616,10 +714,6 @@ class ParquetMergeSink:
         if stats is None:
             return None
         actual = self._data_rels(cur)
-        import os as _os
-
-        if any(_os.sep in r for r in actual):
-            return None  # nested layout — basename linking would collide
         sidecar_files = set((stats.get("files") or {}))
         if not set(actual) <= sidecar_files:
             return None
@@ -692,7 +786,7 @@ class ParquetMergeSink:
                 f"version {v} of {self.path} is not available "
                 f"(current {cur}, retained: {self.versions()})"
             )
-        return spark.read.parquet(self._data_dir(v))
+        return self._typed_read(spark.read.parquet(self._data_dir(v)), self._data_dir(v))
 
     def scan_pruned(
         self, spark: SparkSession, conjuncts: list, version: int | None = None
@@ -727,16 +821,16 @@ class ParquetMergeSink:
         stats = load_stats_sidecar(vdir) if conjuncts else None
         if stats is None:
             self.last_scan = None
-            return spark.read.parquet(vdir)
+            return self._typed_read(spark.read.parquet(vdir), vdir)
         kept, total = prune_files(stats, conjuncts)
         all_files = sorted(stats.get("files") or {})
         if not all_files:
             self.last_scan = None
-            return spark.read.parquet(vdir)
+            return self._typed_read(spark.read.parquet(vdir), vdir)
         if not kept:
             kept = [all_files[0]]
         self.last_scan = {"files_total": total, "files_read": len(kept), "version": v}
-        return spark.read.parquet(*[os.path.join(vdir, rel) for rel in kept])
+        return self._read_files(vdir, kept)
 
     def versions(self) -> list[int]:
         """Committed versions still on disk (ascending)."""
@@ -808,8 +902,6 @@ class ParquetMergeSink:
         current snapshot and retries (Delta-parity: blind appends
         auto-resolve under any concurrent commit; the content written is
         independent of the base, so the retry is serializable)."""
-        import os as _os
-
         from pyspark.sql import functions as F
 
         last = None
@@ -826,7 +918,7 @@ class ParquetMergeSink:
                     # copy-on-write append: every existing file links
                     # unchanged; only the new rows are written — O(|new|)
                     link = self._data_rels(basev)
-                    if link and not any(_os.sep in r for r in link):
+                    if link:
                         self._commit_cow(aligned, link, changes=rec, base=basev)
                         self.last_commit = {
                             "mode": "cow",
@@ -848,6 +940,17 @@ class ParquetMergeSink:
     def merge_upsert(self, new: DataFrame, key: str | None = None) -> None:
         """MERGE semantics: matched rows replaced by the source row, new
         keys inserted (whenMatchedUpdateAll/whenNotMatchedInsertAll).
+
+        File-pruned copy-on-write when the stats sidecar allows it
+        (Delta's MERGE economics): the incoming batch's KEYS become
+        skipping conjuncts — an IN-set for small batches, a min/max range
+        for large ones — and every file whose key stats PROVE no overlap
+        hardlinks unchanged; only overlapping files are anti-joined and
+        rewritten. A typical CDC batch touching one day of a
+        date-clustered 80k-file table rewrites that day's files, not the
+        table. Falls back to the full rewrite when stats are missing,
+        keys aren't prunable literals, or the batch widens the schema.
+
         No change recording: with duplicate keys on either side the
         pre/post pairing is ambiguous, so the feed uses the exact
         snapshot diff for these commits. A lost commit race rebases (the
@@ -862,6 +965,27 @@ class ParquetMergeSink:
                 if basev < 0:
                     self._commit(new, changes="all_insert", base=-1)
                     return
+                split = self._upsert_cow_split(new, k, basev)
+                if split is not None:
+                    rewrite, link = split
+                    aligned = (
+                        self.scan(self.spark, basev)
+                        .limit(0)
+                        .unionByName(new, allowMissingColumns=True)
+                    )
+                    if rewrite:
+                        hit = self._read_files(self._data_dir(basev), rewrite)
+                        kept = hit.join(new.select(k).distinct(), on=k, how="left_anti")
+                        out = kept.unionByName(aligned)
+                    else:
+                        out = aligned
+                    self._commit_cow(out, link, base=basev)
+                    self.last_commit = {
+                        "mode": "cow",
+                        "files_linked": len(link),
+                        "files_rewritten": len(rewrite),
+                    }
+                    return
                 cur = self.scan(self.spark, basev)
                 kept = cur.join(new.select(k).distinct(), on=k, how="left_anti")
                 self._commit(kept.unionByName(new, allowMissingColumns=True), base=basev)
@@ -870,6 +994,116 @@ class ParquetMergeSink:
                 last = e
                 continue
         raise last
+
+    #: collect at most this many distinct keys driver-side for the
+    #: IN-set conjunct; bigger batches prune on the min/max range instead
+    _UPSERT_KEY_CAP = 4096
+
+    def _upsert_cow_split(
+        self, new: DataFrame, k: str, basev: int
+    ) -> tuple[list[str], list[str]] | None:
+        """(files to rewrite, files to link) for an upsert of ``new`` on
+        key ``k``, or None when file-pruned COW cannot be proven safe or
+        buys nothing. Sound because key-equality is null-rejecting: a
+        pruned file provably holds no row whose key appears in ``new``,
+        and null-keyed rows on either side never match a merge join."""
+        import json
+
+        from .skipping import load_stats_sidecar, prune_files
+
+        stats = load_stats_sidecar(self._data_dir(basev))
+        if stats is None:
+            return None
+        actual = self._data_rels(basev)
+        files = stats.get("files") or {}
+        if not actual or not set(actual) <= set(files):
+            return None
+        # COW links old files untouched, so a batch that WIDENS the schema
+        # needs the full rewrite (every data file must carry the columns)
+        schema_json = stats.get("schema")
+        if not schema_json:
+            return None
+        try:
+            snap_cols = {
+                f.get("name", "").lower() for f in json.loads(schema_json).get("fields") or []
+            }
+        except ValueError:
+            return None
+        if not {c.lower() for c in new.columns} <= snap_cols:
+            return None
+
+        conj = self.batch_key_conjunct(new, k)
+        if conj is _ALL_NULL_KEYS:  # pure insert, nothing can match
+            return [], actual
+        if conj is None:
+            return None
+        kept, _total = prune_files(stats, [conj])
+        rewrite = [r for r in actual if r in set(kept)]
+        link = [r for r in actual if r not in set(kept)]
+        if not link:
+            return None  # every file may hold a matching key — no benefit
+        return rewrite, link
+
+    def batch_key_conjunct(self, df: DataFrame, col: str):
+        """Skipping conjunct describing ``df[col]``'s value set: an
+        IN-set for batches up to ``_UPSERT_KEY_CAP`` distinct keys (ONE
+        bounded collect), else the min/max range (one tiny agg — at 100 TB
+        the summary job is O(|batch|), never O(table)). Returns
+        ``_ALL_NULL_KEYS`` when every key is NULL (an equality on the
+        column can match nothing), or None when the values don't fit the
+        skipping literal domain (→ caller must not prune)."""
+        import datetime as _dt
+        import decimal as _dec
+
+        from pyspark.sql import functions as F
+
+        from .skipping import InConjunct, RangeConjunct
+
+        def lit(v):
+            if isinstance(v, (bool, int, float, str)):
+                return v
+            if isinstance(v, (_dt.datetime, _dt.date)):
+                return v.isoformat()
+            if isinstance(v, _dec.Decimal) and v == v.to_integral_value():
+                return int(v)
+            return None
+
+        head = (
+            df.select(F.col(col).alias("k")).distinct().limit(self._UPSERT_KEY_CAP + 1).collect()
+        )
+        vals = [r.k for r in head if r.k is not None]
+        if len(head) <= self._UPSERT_KEY_CAP:
+            if not vals:
+                return _ALL_NULL_KEYS
+            conv = [lit(v) for v in vals]
+            if any(c is None for c in conv):
+                return None
+            return InConjunct(col.lower(), tuple(conv))
+        row = df.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).collect()[0]
+        lo, hi = lit(row.lo), lit(row.hi)
+        if lo is None or hi is None:
+            return None
+        return RangeConjunct(col.lower(), lo=lo, hi=hi)
+
+    def overwrite_cow(
+        self,
+        df: DataFrame,
+        link_rels: list[str],
+        changes=None,
+        base: int | None = None,
+        files_rewritten: int | None = None,
+    ) -> None:
+        """COW variant of ``overwrite`` for callers (the engine's MERGE)
+        that PROVED which files a statement cannot touch: ``df`` holds the
+        new content of the rewritten region only; ``link_rels`` hardlink
+        unchanged from the base snapshot. Read-dependent — a lost commit
+        race raises ConcurrentWriteError (nothing written)."""
+        self._commit_cow(df, link_rels, changes=changes, base=base)
+        self.last_commit = {
+            "mode": "cow",
+            "files_linked": len(link_rels),
+            "files_rewritten": files_rewritten if files_rewritten is not None else 0,
+        }
 
     def overwrite(self, df: DataFrame, changes=None) -> None:
         """Replace the table contents as a NEW committed version (engine
@@ -962,10 +1196,11 @@ class ParquetMergeSink:
                 f"(current {cur}, retained: {self.versions()})"
             )
         rels = self._data_rels(v)
-        if rels and not any(os.sep in r for r in rels):
+        if rels:
             # pure metadata restore: hardlink every data file of the target
-            # snapshot and carry its sidecar — ZERO Spark jobs, O(#files)
-            # driver syscalls instead of an O(table) rewrite
+            # snapshot (partition-dir structure intact) and carry its
+            # sidecar — ZERO Spark jobs, O(#files) driver syscalls instead
+            # of an O(table) rewrite
             from .skipping import STATS_FILE
 
             src_dir = self._data_dir(v)
@@ -973,10 +1208,13 @@ class ParquetMergeSink:
             os.makedirs(staging)
             try:
                 for rel in rels:
+                    dst = os.path.join(staging, rel)
+                    if os.sep in rel:
+                        os.makedirs(os.path.dirname(dst), exist_ok=True)
                     try:
-                        os.link(os.path.join(src_dir, rel), os.path.join(staging, rel))
+                        os.link(os.path.join(src_dir, rel), dst)
                     except OSError:
-                        shutil.copy2(os.path.join(src_dir, rel), os.path.join(staging, rel))
+                        shutil.copy2(os.path.join(src_dir, rel), dst)
                 sc = os.path.join(src_dir, STATS_FILE)
                 if os.path.exists(sc):
                     shutil.copy2(sc, os.path.join(staging, STATS_FILE))
@@ -1003,8 +1241,6 @@ class ParquetMergeSink:
 
         from pyspark.sql import functions as F
 
-        import os as _os
-
         basev = self._version()
         split = self._cow_split(conjuncts, base=basev)
         if split is not None:
@@ -1015,7 +1251,7 @@ class ParquetMergeSink:
             vdir = self._data_dir(basev)
             base = self.scan(self.spark, basev)
             df = (
-                self.spark.read.parquet(*[_os.path.join(vdir, r) for r in rewrite])
+                self._read_files(vdir, rewrite)
                 if rewrite
                 else base.limit(0)
             )
@@ -1049,8 +1285,6 @@ class ParquetMergeSink:
     def delete_where(self, cond: Column | None, conjuncts=None) -> None:
         from pyspark.sql import functions as F
 
-        import os as _os
-
         basev = self._version()
         if cond is None:
             cur = self.scan(self.spark, basev)
@@ -1066,7 +1300,7 @@ class ParquetMergeSink:
             vdir = self._data_dir(basev)
             base = self.scan(self.spark, basev)
             cur = (
-                self.spark.read.parquet(*[_os.path.join(vdir, r) for r in rewrite])
+                self._read_files(vdir, rewrite)
                 if rewrite
                 else base.limit(0)
             )

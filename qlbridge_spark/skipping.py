@@ -244,9 +244,85 @@ def _tag_value(v):
     return None
 
 
+def _schema_tags(schema_json: str | None) -> dict:
+    """column name → stat tag from a Spark schema JSON, for typing
+    hive-partition directory values (which exist only as path strings).
+    Unknown/complex types are absent → no partition entry → file kept."""
+    if not schema_json:
+        return {}
+    try:
+        fields = json.loads(schema_json).get("fields") or []
+    except ValueError:
+        return {}
+    simple = {
+        "byte": "int", "short": "int", "integer": "int", "long": "int",
+        "float": "float", "double": "float", "string": "str",
+        "boolean": "bool", "date": "date", "timestamp": "ts",
+        "timestamp_ntz": "ts",
+    }
+    out = {}
+    for f in fields:
+        t = f.get("type")
+        if isinstance(t, str):
+            if t in simple:
+                out[f["name"]] = simple[t]
+            elif t.startswith("decimal"):
+                out[f["name"]] = "dec"
+    return out
+
+
+def _partition_entries(rel: str, rows: int, tags: dict) -> dict:
+    """Stat entries derived from a file's hive-partition path components
+    (``col=value`` dirs): the column is constant across the file, so
+    min = max = the decoded value — this is what makes partition pruning
+    fall out of the ordinary file-skipping machinery, and what lets
+    copy-on-write DML rewrite only the matching partitions. Undecodable
+    components are skipped (conservative: no entry → file kept)."""
+    import urllib.parse
+
+    out: dict = {}
+    for comp in rel.split(os.sep)[:-1]:
+        if "=" not in comp:
+            continue
+        name, _, raw = comp.partition("=")
+        if raw == "__HIVE_DEFAULT_PARTITION__":
+            out[name] = {"nulls": rows}  # the whole file is NULL for this column
+            continue
+        tag = tags.get(name)
+        if tag is None:
+            continue
+        v = urllib.parse.unquote(raw)
+        try:
+            if tag == "int":
+                val = int(v)
+            elif tag == "float":
+                val = float(v)
+            elif tag == "bool":
+                if v.lower() not in ("true", "false"):
+                    continue
+                val = v.lower() == "true"
+            elif tag == "date":
+                datetime.date.fromisoformat(v)
+                val = v
+            elif tag == "ts":
+                datetime.datetime.fromisoformat(v)
+                val = v
+            elif tag == "dec":
+                decimal.Decimal(v)
+                val = v
+            else:
+                val = v
+        except (ValueError, decimal.InvalidOperation):
+            continue
+        out[name] = {"t": tag, "min": val, "max": val, "nulls": 0}
+    return out
+
+
 def collect_file_stats(version_dir: str, schema_json: str | None = None) -> dict:
     """Per-file column stats for every parquet data file under
     ``version_dir``, from footer metadata only (no data pages read).
+    Hive-partition path components (``col=value``) contribute constant
+    min=max entries for the partition columns, typed via ``schema_json``.
 
     Returns the sidecar dict: ``{"schema": ..., "files": {relpath:
     {"rows": n, "columns": {name: {"t": tag, "min": v, "max": v,
@@ -255,6 +331,7 @@ def collect_file_stats(version_dir: str, schema_json: str | None = None) -> dict
     unknown and keeps the file."""
     import pyarrow.parquet as pq
 
+    tags = _schema_tags(schema_json)
     files: dict = {}
     for root, _, names in os.walk(version_dir):
         for fn in sorted(names):
@@ -311,6 +388,7 @@ def collect_file_stats(version_dir: str, schema_json: str | None = None) -> dict
                     entry["nulls"] = sum(nulls) if nulls else 0
                 if entry:
                     cols[name] = entry
+            cols.update(_partition_entries(rel, md.num_rows, tags))
             files[rel] = {"rows": md.num_rows, "columns": cols}
     out = {"files": files}
     if schema_json is not None:

@@ -1,0 +1,251 @@
+"""Hive-partitioned versioned parquet sinks (sinks.py ``partition_by``)
++ durable ``CREATE TABLE … WITH {"path": …}``.
+
+The contract under test:
+1. Partitioning is a TABLE property: persisted in ``_meta.json`` at
+   creation, inherited by re-opened handles, and a conflicting explicit
+   spec is an error — never a silent layout change.
+2. Schema round-trips EXACTLY. Hive partition-directory values are path
+   strings and Spark type-infers them on read; the sink casts them back
+   to the committed schema (``_typed_read``), so a string column holding
+   ``'3'`` stays a string and column order is stable.
+3. Partition pruning falls out of the ordinary data-skipping machinery:
+   path components contribute constant min=max stats entries, so a
+   WHERE on the partition column reads only matching partitions'
+   files — and copy-on-write DML rewrites only matching partitions.
+4. Every lifecycle op (upsert, COW append, restore, time travel,
+   vacuum) preserves the partition-dir structure via relative-path
+   hardlinks.
+
+At 100 TB the partition column is the date/tenant key: pruning at the
+directory level is the difference between scanning one day and scanning
+three years.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from qlbridge_spark import Engine
+from qlbridge_spark.engine import ExecError
+from qlbridge_spark.sinks import ParquetMergeSink
+
+
+def _rows(df):
+    return sorted((tuple(r) for r in df.collect()), key=repr)
+
+
+def _base_df(spark):
+    return spark.range(300).select(
+        F.col("id"),
+        F.concat(F.lit("d"), (F.col("id") % 3).cast("string")).alias("dt"),
+        (F.col("id") * 2).cast("string").alias("label"),
+        (F.col("id") % 10).cast("double").alias("score"),
+    )
+
+
+@pytest.fixture()
+def psink(spark, tmp_path):
+    sink = ParquetMergeSink(spark, str(tmp_path / "pt"), key="id", partition_by=["dt"])
+    sink.ensure(_base_df(spark))
+    return sink
+
+
+class TestPartitionedLayout:
+    def test_hive_dirs_written(self, psink):
+        vdir = psink._data_dir(psink._version())
+        parts = sorted(d for d in os.listdir(vdir) if d.startswith("dt="))
+        assert parts == ["dt=d0", "dt=d1", "dt=d2"]
+
+    def test_schema_roundtrip_exact(self, spark, psink):
+        df = _base_df(spark)
+        got = psink.scan(spark)
+        # names, TYPES and ORDER (nullability excluded: parquet reads are
+        # always nullable regardless of the writer's flags)
+        assert [(f.name, f.dataType) for f in got.schema.fields] == [
+            (f.name, f.dataType) for f in df.schema.fields
+        ]
+        assert _rows(got) == _rows(df)
+
+    def test_meta_persisted_and_inherited(self, spark, psink):
+        reopened = ParquetMergeSink(spark, psink.path, key="id")
+        assert reopened.partition_by == ["dt"]
+        # a write through the inherited handle keeps the layout
+        reopened.merge_upsert(
+            spark.createDataFrame(
+                [(9000, "d9", "x", 1.0)], "id long, dt string, label string, score double"
+            )
+        )
+        vdir = reopened._data_dir(reopened._version())
+        assert os.path.isdir(os.path.join(vdir, "dt=d9"))
+
+    def test_conflicting_partition_spec_rejected(self, spark, psink):
+        with pytest.raises(ValueError, match="partitioned by"):
+            ParquetMergeSink(spark, psink.path, key="id", partition_by=["label"])
+        with pytest.raises(ValueError, match="partitioned by"):
+            ParquetMergeSink(spark, psink.path, key="id", partition_by=[])
+
+    def test_numeric_string_partition_value_stays_string(self, spark, tmp_path):
+        # the classic hive-inference trap: dir value '3' must NOT come
+        # back as an int column
+        sink = ParquetMergeSink(spark, str(tmp_path / "nt"), key="id", partition_by=["bucket"])
+        df = spark.range(20).select(
+            F.col("id"), (F.col("id") % 4).cast("string").alias("bucket")
+        )
+        sink.ensure(df)
+        got = sink.scan(spark)
+        assert dict((f.name, f.dataType.simpleString()) for f in got.schema.fields) == {
+            "id": "bigint",
+            "bucket": "string",
+        }
+        assert _rows(got) == _rows(df)
+
+    def test_null_partition_roundtrip(self, spark, tmp_path):
+        sink = ParquetMergeSink(spark, str(tmp_path / "np"), key="id", partition_by=["dt"])
+        df = spark.createDataFrame(
+            [(1, "a"), (2, None), (3, "a"), (4, None)], "id long, dt string"
+        )
+        sink.ensure(df)
+        assert _rows(sink.scan(spark)) == _rows(df)
+
+
+class TestPartitionPruning:
+    def _engine(self, spark, psink):
+        eng = Engine(spark, "pt-test")
+        eng.register_sink("t", psink)
+        return eng
+
+    def test_where_on_partition_col_prunes(self, spark, psink):
+        eng = self._engine(spark, psink)
+        got = eng.execute("SELECT id, label FROM t WHERE dt = 'd1'")
+        assert psink.last_scan is not None
+        assert psink.last_scan["files_read"] < psink.last_scan["files_total"]
+        want = _base_df(spark).filter("dt = 'd1'").select("id", "label")
+        assert _rows(got) == _rows(want)
+
+    def test_is_null_partition_prunes(self, spark, tmp_path):
+        sink = ParquetMergeSink(spark, str(tmp_path / "ip"), key="id", partition_by=["dt"])
+        sink.ensure(
+            spark.createDataFrame(
+                [(1, "a"), (2, None), (3, "b")], "id long, dt string"
+            ).repartition("dt")
+        )
+        eng = Engine(spark, "pt-null")
+        eng.register_sink("t", sink)
+        got = eng.execute("SELECT id FROM t WHERE dt IS NULL")
+        assert _rows(got) == [(2,)]
+        assert sink.last_scan["files_read"] < sink.last_scan["files_total"]
+
+    def test_cow_dml_rewrites_only_matching_partition(self, spark, psink):
+        eng = self._engine(spark, psink)
+        eng.execute("UPDATE t SET score = -1 WHERE dt = 'd2'")
+        assert psink.last_commit["mode"] == "cow"
+        assert psink.last_commit["files_rewritten"] < (
+            psink.last_commit["files_rewritten"] + psink.last_commit["files_linked"]
+        )
+        # linked files keep their partition dirs (relative-path hardlinks)
+        vdir = psink._data_dir(psink._version())
+        assert {d for d in os.listdir(vdir) if d.startswith("dt=")} == {
+            "dt=d0",
+            "dt=d1",
+            "dt=d2",
+        }
+        want = _base_df(spark).withColumn(
+            "score", F.when(F.col("dt") == "d2", -1.0).otherwise(F.col("score"))
+        )
+        assert _rows(psink.scan(spark)) == _rows(want)
+
+    def test_delete_partition(self, spark, psink):
+        eng = self._engine(spark, psink)
+        eng.execute("DELETE FROM t WHERE dt = 'd0'")
+        assert psink.last_commit["mode"] == "cow"
+        assert _rows(psink.scan(spark)) == _rows(_base_df(spark).filter("dt != 'd0'"))
+
+
+class TestPartitionedLifecycle:
+    def test_upsert_append_restore_timetravel(self, spark, psink):
+        v0 = psink._version()
+        new = spark.createDataFrame(
+            [(0, "d0", "CHANGED", 9.0), (7777, "d1", "new", 1.0)],
+            "id long, dt string, label string, score double",
+        )
+        psink.merge_upsert(new)
+        got = psink.scan(spark)
+        assert got.count() == 301
+        assert _rows(got.filter("id = 0").select("label")) == [("CHANGED",)]
+        # time travel back to v0: original rows, partition layout intact
+        old = psink.scan(spark, v0)
+        assert _rows(old) == _rows(_base_df(spark))
+        # restore commits the OLD snapshot as a NEW version via hardlinks
+        psink.restore(version=v0)
+        assert _rows(psink.scan(spark)) == _rows(_base_df(spark))
+        vdir = psink._data_dir(psink._version())
+        assert os.path.isdir(os.path.join(vdir, "dt=d0"))
+
+    def test_insert_only_append_is_cow(self, spark, psink):
+        fresh = spark.createDataFrame(
+            [(8000, "d1", "x", 0.5)], "id long, dt string, label string, score double"
+        )
+        psink.merge_upsert(fresh)
+        assert psink.last_commit["mode"] == "cow"
+        assert psink.last_commit["files_rewritten"] == 0
+        assert psink.scan(spark).count() == 301
+
+    def test_vacuum_partitioned(self, spark, psink):
+        psink.merge_upsert(
+            spark.createDataFrame(
+                [(8001, "d2", "y", 0.1)], "id long, dt string, label string, score double"
+            )
+        )
+        psink.vacuum(keep=1)
+        assert psink.versions() == [psink._version()]
+        assert psink.scan(spark).count() == 301
+
+
+class TestCreateTableWithPath:
+    def test_ctas_durable_partitioned(self, spark, tmp_path):
+        eng = Engine(spark, "ctas-test")
+        eng.register_df("src", _base_df(spark))
+        p = tmp_path / "wh" / "t1"
+        eng.execute(
+            "CREATE TABLE t1 AS SELECT id, dt, score FROM src "
+            f'WITH {{"path": "{p}", "key": "id", "partition_by": ["dt"]}}'
+        )
+        assert os.path.isdir(os.path.join(str(p), "v0", "dt=d0"))
+        got = eng.execute("SELECT count(*) AS n FROM t1 WHERE dt = 'd1'")
+        assert got.collect()[0].n == 100
+        # a fresh engine re-opens the durable table from disk
+        eng2 = Engine(spark, "ctas-test-2")
+        eng2.register_sink("t1", ParquetMergeSink(spark, str(p), key="id"))
+        assert eng2.execute("SELECT count(*) AS n FROM t1").collect()[0].n == 300
+
+    def test_ctas_existing_path_guards(self, spark, tmp_path):
+        eng = Engine(spark, "ctas-guards")
+        eng.register_df("src", _base_df(spark))
+        p = tmp_path / "wh" / "t2"
+        def mk(pre):
+            return (
+                f"CREATE TABLE {pre} t2 AS SELECT id, dt FROM src "
+                f'WITH {{"path": "{p}", "key": "id"}}'
+            )
+
+        eng.execute(mk(""))
+        with pytest.raises(ExecError, match="already holds a table"):
+            eng.execute(mk(""))
+        eng.execute(mk("IF NOT EXISTS"))  # keeps state
+        assert eng.execute("SELECT count(*) AS n FROM t2").collect()[0].n == 300
+        eng.execute(
+            "CREATE OR REPLACE TABLE t2 AS SELECT id, dt FROM src WHERE dt = 'd0' "
+            f'WITH {{"path": "{p}", "key": "id"}}'
+        )
+        assert eng.execute("SELECT count(*) AS n FROM t2").collect()[0].n == 100
+
+    def test_ctas_bad_partition_col(self, spark, tmp_path):
+        eng = Engine(spark, "ctas-bad")
+        eng.register_df("src", _base_df(spark))
+        with pytest.raises(ExecError, match="partition_by"):
+            eng.execute(
+                "CREATE TABLE t3 AS SELECT id FROM src "
+                f'WITH {{"path": "{tmp_path / "t3"}", "partition_by": ["nope"]}}'
+            )
