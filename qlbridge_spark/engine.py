@@ -4258,6 +4258,81 @@ class Engine:
             return None  # not ANSI-renderable → generic path
         return sink.merge_when(src, on_sql, clauses, t_alias=t_ref, s_alias=s_ref)
 
+    @staticmethod
+    def _merge_equi_pairs(on, t_ref: str, s_ref: str, src_cols: list) -> list:
+        """(target col, source col actual-case) for every plain
+        ``t.col = s.col`` equi-conjunct of the MERGE ON condition. Only
+        qualified bare-column refs on both sides count; null-safe
+        equality (``IS NOT DISTINCT FROM``) is deliberately excluded —
+        its NULL=NULL matches would break null-rejecting file pruning."""
+        from .nodes import BinaryNode, BooleanNode, IdentityNode
+
+        srcmap = {c.lower(): c for c in src_cols}
+        tl, sl = t_ref.lower(), s_ref.lower()
+        pairs = []
+        stack = [on]
+        while stack:
+            n = stack.pop()
+            if isinstance(n, BinaryNode) and n.op == "AND" and not n.negated:
+                stack.extend((n.left, n.right))
+                continue
+            if isinstance(n, BooleanNode) and n.op == "AND" and not n.negated:
+                stack.extend(n.args)
+                continue
+            if not (isinstance(n, BinaryNode) and n.op == "=" and not n.negated):
+                continue
+            sides = {}
+            for node in (n.left, n.right):
+                if isinstance(node, IdentityNode) and len(node.parts) == 2:
+                    sides[node.parts[0].lower()] = node.parts[1]
+            if tl in sides and sl in sides and sides[sl].lower() in srcmap:
+                pairs.append((sides[tl].lower(), srcmap[sides[sl].lower()]))
+        return pairs
+
+    def _merge_cow_split(self, m: SqlMerge, sink, src: DataFrame, t_ref: str, s_ref: str):
+        """(base version, files to rewrite, files to link) when the MERGE
+        ON condition lets file statistics prove which target files cannot
+        hold a matching row, else None. Sound because this MERGE dialect
+        has no NOT MATCHED BY SOURCE arm: a target row with no source
+        match passes through unchanged, so a file provably containing
+        only such rows can hardlink into the new snapshot untouched.
+        Conjuncts: literal comparisons on the target side of ON prune
+        directly; ONE ``t.col = s.col`` equi-pair adds the source batch's
+        key summary (IN-set / min-max range — one bounded job)."""
+        import dataclasses
+
+        from .sinks import _ALL_NULL_KEYS
+        from .skipping import extract_conjuncts, load_stats_sidecar, prune_files
+
+        basev = sink._version()
+        if basev < 0:
+            return None
+        stats = load_stats_sidecar(sink._data_dir(basev))
+        if stats is None:
+            return None
+        actual = sink._data_rels(basev)
+        if not actual or not set(actual) <= set(stats.get("files") or {}):
+            return None
+        conjs = extract_conjuncts(m.on, {t_ref.lower()}, allow_bare=False)
+        for tcol, scol in self._merge_equi_pairs(m.on, t_ref, s_ref, list(src.columns)):
+            c = sink.batch_key_conjunct(src, scol)
+            if c is _ALL_NULL_KEYS:
+                # every source key NULL: equality can match no target row,
+                # the whole table links (only insert arms can fire)
+                return basev, [], list(actual)
+            if c is not None:
+                conjs.append(dataclasses.replace(c, col=tcol))
+                break  # one key-summary job is enough
+        if not conjs:
+            return None
+        kept, _total = prune_files(stats, conjs)
+        ks = set(kept)
+        rewrite = [r for r in actual if r in ks]
+        link = [r for r in actual if r not in ks]
+        if not link:
+            return None  # nothing provably untouched — full path
+        return basev, rewrite, link
+
     def _merge(self, m: SqlMerge) -> int:
         """One-pass plan: target FULL OUTER JOIN source on the merge
         condition; a first-match-wins when-chain picks the acting clause
@@ -4288,6 +4363,21 @@ class Engine:
             n = self._merge_native(m, sink, src, t_ref, s_ref, list(target.columns))
             if n is not None:
                 return n
+        # file-pruned COW over versioned parquet sinks (Delta's MERGE
+        # economics on the generic path): files whose stats PROVE no ON
+        # match hardlink through; the join below runs over the rewritten
+        # region only. At 100 TB a CDC batch touching one day of a
+        # date-clustered table joins against that day, not the table.
+        cow = None
+        if sink is not None and hasattr(sink, "overwrite_cow"):
+            cow = self._merge_cow_split(m, sink, src, t_ref, s_ref)
+            if cow is not None:
+                basev, rewrite, _link = cow
+                target = (
+                    sink._read_files(sink._data_dir(basev), rewrite)
+                    if rewrite
+                    else sink.scan(self.spark, basev).limit(0)
+                )
         TID, SM = "__merge_tid", "__merge_smatch"
         t = target.withColumn(TID, F.monotonically_increasing_id()).alias(t_ref)
         s = src.withColumn(SM, F.lit(1)).alias(s_ref)
@@ -4436,7 +4526,12 @@ class Engine:
                     ch = pieces[0]
                     for p in pieces[1:]:
                         ch = ch.unionByName(p)
-                    sink.overwrite(final, changes=ch)
+                    if cow is not None:
+                        sink.overwrite_cow(
+                            final, cow[2], changes=ch, base=cow[0], files_rewritten=len(cow[1])
+                        )
+                    else:
+                        sink.overwrite(final, changes=ch)
                 else:
                     sink.overwrite(final)
             else:

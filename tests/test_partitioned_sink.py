@@ -249,3 +249,130 @@ class TestCreateTableWithPath:
                 "CREATE TABLE t3 AS SELECT id FROM src "
                 f'WITH {{"path": "{tmp_path / "t3"}", "partition_by": ["nope"]}}'
             )
+
+
+class TestMergeCow:
+    """Engine MERGE INTO over a versioned parquet sink is file-pruned
+    copy-on-write when the ON condition + stats sidecar prove which
+    files cannot hold a match (engine._merge_cow_split)."""
+
+    @pytest.fixture()
+    def wh(self, spark, tmp_path):
+        # 4 files with DISJOINT id ranges (range-partitioned write), so
+        # key stats actually discriminate
+        sink = ParquetMergeSink(spark, str(tmp_path / "mc"), key="id")
+        df = (
+            spark.range(400)
+            .select(
+                F.col("id"),
+                (F.col("id") % 7).cast("double").alias("score"),
+                F.concat(F.lit("r"), F.col("id").cast("string")).alias("label"),
+            )
+            .repartitionByRange(4, "id")
+        )
+        sink.ensure(df)
+        eng = Engine(spark, "merge-cow")
+        eng.register_sink("t", sink)
+        return eng, sink, df
+
+    def test_narrow_batch_links_most_files(self, spark, wh):
+        eng, sink, base = wh
+        eng.register_df(
+            "src",
+            spark.createDataFrame(
+                [(5, 99.0, "upd"), (9000, 1.0, "new")], "id long, score double, label string"
+            ),
+        )
+        n = eng.execute(
+            "MERGE INTO t USING src s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET score = s.score "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+        assert sink.last_commit["mode"] == "cow"
+        assert sink.last_commit["files_rewritten"] == 1
+        assert sink.last_commit["files_linked"] == 3
+        got = sink.scan(spark)
+        assert got.count() == 401
+        assert _rows(got.filter("id = 5").select("score", "label")) == [(99.0, "r5")]
+        assert _rows(got.filter("id = 9000").select("label")) == [("new",)]
+        # CDF recording still exact under the COW commit
+        ch = eng.sql(
+            f"SELECT id, _change_type FROM TABLE_CHANGES('t', {sink._version()})"
+        )
+        assert _rows(ch) == [
+            (5, "update_postimage"),
+            (5, "update_preimage"),
+            (9000, "insert"),
+        ]
+
+    def test_delete_arm_cow(self, spark, wh):
+        eng, sink, base = wh
+        eng.register_df(
+            "src", spark.createDataFrame([(250,), (399,)], "id long")
+        )
+        eng.execute(
+            "MERGE INTO t USING src s ON t.id = s.id WHEN MATCHED THEN DELETE"
+        )
+        assert sink.last_commit["mode"] == "cow"
+        assert sink.last_commit["files_linked"] >= 1
+        assert sink.scan(spark).count() == 398
+        assert sink.scan(spark).filter("id IN (250, 399)").count() == 0
+
+    def test_all_null_keys_pure_insert(self, spark, wh):
+        eng, sink, base = wh
+        eng.register_df(
+            "src",
+            spark.createDataFrame(
+                [(None, 1.0, "nk")], "id long, score double, label string"
+            ),
+        )
+        eng.execute(
+            "MERGE INTO t USING src s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET score = s.score "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+        assert sink.last_commit == {
+            "mode": "cow",
+            "files_linked": 4,
+            "files_rewritten": 0,
+        }
+        assert sink.scan(spark).count() == 401
+
+    def test_on_literal_conjunct_prunes_partitions(self, spark, tmp_path):
+        # partitioned sink + ON carrying a literal partition predicate:
+        # only the named partition's files rewrite even though the key
+        # summary alone (id present in every partition) wouldn't prune
+        sink = ParquetMergeSink(spark, str(tmp_path / "lp"), key="id", partition_by=["dt"])
+        sink.ensure(_base_df(spark))
+        eng = Engine(spark, "merge-lit")
+        eng.register_sink("t", sink)
+        eng.register_df(
+            "src",
+            spark.createDataFrame([(1, -5.0), (2, -5.0)], "id long, score double"),
+        )
+        eng.execute(
+            "MERGE INTO t USING src s ON t.id = s.id AND t.dt = 'd1' "
+            "WHEN MATCHED THEN UPDATE SET score = s.score"
+        )
+        assert sink.last_commit["mode"] == "cow"
+        assert sink.last_commit["files_linked"] >= 1
+        got = sink.scan(spark)
+        # id=1 lives in dt=d1 (1%3==1): updated; id=2 is dt=d2: untouched
+        assert _rows(got.filter("id = 1").select("score")) == [(-5.0,)]
+        assert _rows(got.filter("id = 2").select("score")) == [(2.0,)]
+
+    def test_wide_batch_falls_back_to_full(self, spark, wh):
+        eng, sink, base = wh
+        # every file's range is hit -> no link benefit -> full rewrite
+        eng.register_df(
+            "src",
+            spark.range(0, 400, 97).select(
+                F.col("id"), F.lit(0.0).alias("score"), F.lit("w").alias("label")
+            ),
+        )
+        eng.execute(
+            "MERGE INTO t USING src s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET score = s.score"
+        )
+        assert sink.last_commit["mode"] == "full"
+        assert _rows(sink.scan(spark).filter("id = 97").select("score")) == [(0.0,)]
