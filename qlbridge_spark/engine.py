@@ -4289,7 +4289,10 @@ class Engine:
                 pairs.append((sides[tl].lower(), srcmap[sides[sl].lower()]))
         return pairs
 
-    def _merge_cow_split(self, m: SqlMerge, sink, src: DataFrame, t_ref: str, s_ref: str):
+    def _merge_cow_split(
+        self, m: SqlMerge, sink, src: DataFrame, t_ref: str, s_ref: str,
+        base: int | None = None,
+    ):
         """(base version, files to rewrite, files to link) when the MERGE
         ON condition lets file statistics prove which target files cannot
         hold a matching row, else None. Sound because this MERGE dialect
@@ -4304,7 +4307,7 @@ class Engine:
         from .sinks import _ALL_NULL_KEYS
         from .skipping import extract_conjuncts, load_stats_sidecar, prune_files
 
-        basev = sink._version()
+        basev = sink._version() if base is None else base
         if basev < 0:
             return None
         stats = load_stats_sidecar(sink._data_dir(basev))
@@ -4356,21 +4359,48 @@ class Engine:
         if t_ref == s_ref:
             raise ExecError("MERGE target and source need distinct names/aliases")
         sink = self.sinks.get(m.target.lower())
-        target = sink.scan(self.spark) if sink is not None else self.table(m.target)
+        # base-pin versioned sinks for the WHOLE statement: the snapshot
+        # we scan is the version the commit CAS targets +1, so a
+        # concurrent commit landing anywhere inside the (multi-second)
+        # scan→join→commit window raises ConcurrentWriteError instead of
+        # being silently clobbered (Serializable, matching
+        # update_where/delete_where/optimize/restore)
+        basev: int | None = None
+        if sink is not None and hasattr(sink, "_version"):
+            v = sink._version()
+            if v >= 0:
+                basev = v
+        if sink is None:
+            target = self.table(m.target)
+        elif basev is not None:
+            target = sink.scan(self.spark, basev)
+        else:
+            target = sink.scan(self.spark)
         src = self._select_any(m.source_query) if m.source_query is not None else self.table(m.source)
         self._normalize_merge_sets(m, t_ref, list(target.columns))
         if sink is not None and hasattr(sink, "merge_when"):
             n = self._merge_native(m, sink, src, t_ref, s_ref, list(target.columns))
             if n is not None:
                 return n
+        import inspect as _inspect
+
+        ow_params = (
+            set(_inspect.signature(sink.overwrite).parameters)
+            if sink is not None and hasattr(sink, "overwrite")
+            else set()
+        )
         # file-pruned COW over versioned parquet sinks (Delta's MERGE
         # economics on the generic path): files whose stats PROVE no ON
         # match hardlink through; the join below runs over the rewritten
         # region only. At 100 TB a CDC batch touching one day of a
         # date-clustered table joins against that day, not the table.
+        # Only when the changes-capable commit branch will consume it: a
+        # duck-typed sink exposing overwrite_cow but a legacy overwrite
+        # signature would otherwise commit just the rewritten region as
+        # the full table (silent data loss on the linked files' rows).
         cow = None
-        if sink is not None and hasattr(sink, "overwrite_cow"):
-            cow = self._merge_cow_split(m, sink, src, t_ref, s_ref)
+        if sink is not None and hasattr(sink, "overwrite_cow") and "changes" in ow_params:
+            cow = self._merge_cow_split(m, sink, src, t_ref, s_ref, base=basev)
             if cow is not None:
                 basev, rewrite, _link = cow
                 target = (
@@ -4486,9 +4516,7 @@ class Engine:
             if sink is not None:
                 if not hasattr(sink, "overwrite"):
                     raise ExecError(f"sink for {m.target!r} does not support MERGE (needs overwrite())")
-                import inspect as _inspect
-
-                if "changes" in _inspect.signature(sink.overwrite).parameters:
+                if "changes" in ow_params:
                     # CDF recording: the merge knows its change rows exactly
                     # (the persisted join is re-read from cache, not
                     # re-executed). Update rows are recorded only when a
@@ -4530,9 +4558,16 @@ class Engine:
                         sink.overwrite_cow(
                             final, cow[2], changes=ch, base=cow[0], files_rewritten=len(cow[1])
                         )
+                    elif "base" in ow_params and basev is not None:
+                        sink.overwrite(final, changes=ch, base=basev)
                     else:
                         sink.overwrite(final, changes=ch)
                 else:
+                    # cow is None here by construction (COW is only
+                    # computed when the changes-capable branch above will
+                    # commit it) — a legacy overwrite always gets the FULL
+                    # final frame, never just the rewritten region
+                    assert cow is None
                     sink.overwrite(final)
             else:
                 # materialize through the cache before it is released: the

@@ -410,6 +410,7 @@ class ParquetMergeSink:
         import uuid
 
         d = self._changes_dir(version)
+        staging = None
         try:
             if isinstance(changes, str):
                 os.makedirs(d, exist_ok=True)
@@ -420,7 +421,14 @@ class ParquetMergeSink:
             changes.write.mode("overwrite").parquet(staging)
             os.rename(staging, d)
         except Exception:
-            shutil.rmtree(d, ignore_errors=True)
+            # clean up THIS call's staging leftovers only — never the
+            # final dir: if ``d`` already exists it belongs to an earlier
+            # recording for this version (e.g. the rename failed because
+            # the slot is occupied) and deleting it would degrade that
+            # commit's feed to the snapshot-diff fallback. Stray
+            # .cstaging-* dirs from crashed writers are swept by vacuum().
+            if staging is not None:
+                shutil.rmtree(staging, ignore_errors=True)
 
     def recorded_changes(self, spark: SparkSession, version: int):
         """Change rows recorded at commit time for ``version`` (base
@@ -767,7 +775,33 @@ class ParquetMergeSink:
             for v in dropped:
                 commits.pop(v, None)
             self._save_commits(commits)
+        self._sweep_stale_staging()
         return removed
+
+    #: staging dirs older than this are presumed abandoned (a writer died
+    #: before promote/rename). Generous: an in-flight commit's staging dir
+    #: must never be swept under a live writer.
+    _STAGING_TTL_SECONDS = 24 * 3600
+
+    def _sweep_stale_staging(self) -> None:
+        """Remove abandoned ``.staging-*`` / ``.cstaging-*`` dirs left by
+        writers that died mid-commit (promote never ran) or whose change
+        recording failed before its rename. Age-gated so a concurrent
+        writer's LIVE staging dir is never deleted."""
+        import os
+        import shutil
+        import time
+
+        cutoff = time.time() - self._STAGING_TTL_SECONDS
+        for name in os.listdir(self.path):
+            if not name.startswith((".staging-", ".cstaging-")):
+                continue
+            p = os.path.join(self.path, name)
+            try:
+                if os.path.isdir(p) and os.path.getmtime(p) < cutoff:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                continue
 
     # -- reads ----------------------------------------------------------
     def scan(self, spark: SparkSession, version: int | None = None) -> DataFrame:
@@ -913,8 +947,20 @@ class ParquetMergeSink:
             aligned = cur.limit(0).unionByName(new, allowMissingColumns=True)
             rec = aligned.withColumn("_change_type", F.lit("insert"))
             cur_cols = {c.lower() for c in cur.columns}
+            # COW-eligible only when the batch introduces no new columns
+            # AND no type changes: unionByName coerces mismatched types to
+            # the wider one, so a long batch appended into an int column
+            # would write wide-typed new files while hardlinking the old
+            # narrow-typed ones — a mixed-type snapshot later scans fail
+            # on ('Parquet column cannot be converted'). Exact dtype
+            # equality of the aligned frame against the snapshot schema
+            # keeps the linked files honest; any drift → full rewrite at
+            # the merged type (the pre-COW behavior).
+            same_types = [f.dataType for f in aligned.schema.fields] == [
+                f.dataType for f in cur.schema.fields
+            ]
             try:
-                if all(c.lower() in cur_cols for c in new.columns):
+                if same_types and all(c.lower() in cur_cols for c in new.columns):
                     # copy-on-write append: every existing file links
                     # unchanged; only the new rows are written — O(|new|)
                     link = self._data_rels(basev)
@@ -1105,16 +1151,20 @@ class ParquetMergeSink:
             "files_rewritten": files_rewritten if files_rewritten is not None else 0,
         }
 
-    def overwrite(self, df: DataFrame, changes=None) -> None:
+    def overwrite(self, df: DataFrame, changes=None, base: int | None = None) -> None:
         """Replace the table contents as a NEW committed version (engine
         MERGE INTO commit path; old snapshots stay time-travelable).
         ``changes`` optionally records the commit's change rows (the
         engine's MERGE knows them exactly) for O(|changes|) feed reads.
         With ``changes`` the commit is read-dependent (the change rows
         were computed against a specific base), so a lost race raises
-        ConcurrentWriteError; a bare overwrite is blind and retries."""
-        if changes is not None:
-            self._commit(df, changes=changes)
+        ConcurrentWriteError; ``base`` pins the version the content was
+        COMPUTED FROM — the promote CAS targets base+1, so a concurrent
+        commit landing anywhere in the (multi-second) scan→commit window
+        loses the race loudly instead of being silently clobbered. A bare
+        overwrite is blind and retries."""
+        if changes is not None or base is not None:
+            self._commit(df, changes=changes, base=base)
             return
         last = None
         for _ in range(self._OCC_RETRIES):

@@ -51,17 +51,21 @@ META_COLS = ("_change_type", "_commit_version", "_commit_timestamp")
 
 @dataclasses.dataclass(frozen=True)
 class ChangeFilePartition(InputPartition):
-    """One parquet file of one commit's change set.
+    """A batch of change-set parquet files forming ONE input partition.
 
-    ``change_type`` is None when the file already carries a
-    ``_change_type`` column (a recorded ``c<N>`` file) and the constant
-    tag to apply otherwise (an ``_ALL_INSERT`` / commit-0 snapshot file).
-    ``commit_ts`` is the ISO commit timestamp (may be None)."""
+    ``items`` is a tuple of ``(file, version, change_type, commit_ts,
+    root)`` tuples: ``change_type`` is None when the file already carries
+    a ``_change_type`` column (a recorded ``c<N>`` file) and the constant
+    tag to apply otherwise (an ``_ALL_INSERT`` / commit-0 snapshot file);
+    ``commit_ts`` is the ISO commit timestamp (may be None); ``root`` is
+    the snapshot dir the file lives under when it is a hive-partitioned
+    data file — partition-column values are derived from the
+    ``col=value`` path components relative to it (hive data files don't
+    store partition columns). Tiny files from many small CDC commits are
+    packed together (size-bounded) so a micro-batch costs O(partitions
+    worth of bytes), not one Python worker task per 4 KB file."""
 
-    file: str
-    version: int
-    change_type: str | None
-    commit_ts: str | None
+    items: tuple
 
 
 def _read_pointer(path: str) -> int:
@@ -82,11 +86,37 @@ def _load_commit_times(path: str) -> dict[int, str]:
 
 
 def _parquet_files(d: str) -> list[str]:
-    return sorted(
-        os.path.join(d, n)
-        for n in os.listdir(d)
-        if n.endswith(".parquet") and not n.startswith((".", "_"))
-    )
+    """Recursive: hive-partitioned snapshots keep data files under
+    ``col=value`` subdirectories."""
+    out = []
+    for root, _, names in os.walk(d):
+        for n in names:
+            if n.endswith(".parquet") and not n.startswith((".", "_")):
+                out.append(os.path.join(root, n))
+    return sorted(out)
+
+
+def _partition_path_values(file: str, root: str) -> dict[str, str | None]:
+    """Lower-cased hive partition column → decoded string value (None for
+    ``__HIVE_DEFAULT_PARTITION__``) from the ``col=value`` components of
+    ``file``'s path under ``root``."""
+    import urllib.parse
+
+    out: dict[str, str | None] = {}
+    rel = os.path.relpath(file, root)
+    for comp in rel.split(os.sep)[:-1]:
+        if "=" not in comp:
+            continue
+        k, _, raw = comp.partition("=")
+        out[k.lower()] = (
+            None if raw == "__HIVE_DEFAULT_PARTITION__" else urllib.parse.unquote(raw)
+        )
+    return out
+
+
+#: pack change files into input partitions up to this many bytes — many
+#: small CDC commits otherwise cost one Python-worker task per tiny file
+_PACK_BYTES = 32 << 20
 
 
 class TableChangesStreamReader(DataSourceStreamReader):
@@ -114,7 +144,7 @@ class TableChangesStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict):
         v_from, v_to = int(start["version"]) + 1, int(end["version"])
         commit_ts = _load_commit_times(self.path) if v_from <= v_to else {}
-        parts: list[ChangeFilePartition] = []
+        items: list[tuple] = []  # (file, version, tag, ts, root)
         for v in range(v_from, v_to + 1):
             ts = commit_ts.get(v)
             cdir = os.path.join(self.path, f"c{v}")
@@ -123,9 +153,12 @@ class TableChangesStreamReader(DataSourceStreamReader):
                 if os.path.exists(os.path.join(cdir, "_NO_CHANGES")):
                     continue
                 if os.path.exists(os.path.join(cdir, "_ALL_INSERT")):
-                    files, tag = _parquet_files(vdir), "insert"
+                    # snapshot data files — hive-partitioned layouts keep
+                    # them under col=value dirs; root lets read() inject
+                    # the partition-column values the files don't store
+                    files, tag, root = _parquet_files(vdir), "insert", vdir
                 else:
-                    files, tag = _parquet_files(cdir), None
+                    files, tag, root = _parquet_files(cdir), None, None
                     if not files:  # torn recording
                         raise RuntimeError(
                             f"streaming TABLE_CHANGES: commit {v} of {self.path} has a torn "
@@ -134,7 +167,7 @@ class TableChangesStreamReader(DataSourceStreamReader):
                         )
             elif v == 0 and os.path.isdir(vdir):
                 # batch-CDF parity: commit 0 IS the initial bulk insert
-                files, tag = _parquet_files(vdir), "insert"
+                files, tag, root = _parquet_files(vdir), "insert", vdir
             else:
                 raise RuntimeError(
                     f"streaming TABLE_CHANGES: commit {v} of {self.path} has no change "
@@ -144,49 +177,83 @@ class TableChangesStreamReader(DataSourceStreamReader):
                     "unrecorded commits via batch TABLE_CHANGES, or re-seed the "
                     "stream from a newer startingVersion."
                 )
-            parts.extend(ChangeFilePartition(f, v, tag, ts) for f in files)
-        return parts or [ChangeFilePartition("", -1, None, None)]  # empty batch sentinel
+            items.extend((f, v, tag, ts, root) for f in files)
+        # pack tiny files into few partitions (size-bounded, order kept):
+        # a 20-commit CDC backlog of 4 KB recordings becomes ONE task,
+        # not 20 planner round-trips' worth of Python workers
+        parts: list[ChangeFilePartition] = []
+        batch: list[tuple] = []
+        batch_bytes = 0
+        for it in items:
+            try:
+                sz = os.path.getsize(it[0])
+            except OSError:
+                sz = _PACK_BYTES  # unknown size → its own partition
+            if batch and batch_bytes + sz > _PACK_BYTES:
+                parts.append(ChangeFilePartition(tuple(batch)))
+                batch, batch_bytes = [], 0
+            batch.append(it)
+            batch_bytes += sz
+        if batch:
+            parts.append(ChangeFilePartition(tuple(batch)))
+        return parts or [ChangeFilePartition(())]  # empty batch sentinel
 
     # -- executor-side read (Arrow-vectorized) --------------------------
     def read(self, partition: ChangeFilePartition):
-        if partition.version < 0:  # empty-batch sentinel
-            return iter(())
         import pyarrow as pa
         import pyarrow.parquet as pq
 
         from pyspark.sql.pandas.types import to_arrow_schema
 
         target = to_arrow_schema(self.schema)
-        tbl = pq.read_table(partition.file)
-        n = tbl.num_rows
-        cols = {name.lower(): col for name, col in zip(tbl.column_names, tbl.itercolumns())}
-        ts = None
-        if partition.commit_ts is not None:
-            import datetime
+        for file, version, change_type, commit_ts, root in partition.items:
+            tbl = pq.read_table(file)
+            n = tbl.num_rows
+            cols = {name.lower(): col for name, col in zip(tbl.column_names, tbl.itercolumns())}
+            pvals = _partition_path_values(file, root) if root else {}
+            ts = None
+            if commit_ts is not None:
+                import datetime
 
-            ts = datetime.datetime.fromisoformat(partition.commit_ts)
-        arrays = []
-        for field in target:
-            lname = field.name.lower()
-            if lname == "_change_type" and partition.change_type is not None:
-                arr = pa.array([partition.change_type] * n, type=pa.string())
-            elif lname == "_commit_version":
-                arr = pa.array([partition.version] * n, type=pa.int64())
-            elif lname == "_commit_timestamp":
-                arr = pa.array([ts] * n).cast(field.type)
-            elif lname in cols:
-                arr = cols[lname]
-            else:
-                raise RuntimeError(
-                    f"streaming TABLE_CHANGES: change file {partition.file} lacks column "
-                    f"{field.name!r} (schema drift between recording and current snapshot)"
-                )
-            arrays.append(arr)
-        out = pa.Table.from_arrays(
-            [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in arrays],
-            names=[f.name for f in target],
-        ).cast(target)
-        return iter(out.to_batches())
+                ts = datetime.datetime.fromisoformat(commit_ts)
+            arrays = []
+            for field in target:
+                lname = field.name.lower()
+                if lname == "_change_type" and change_type is not None:
+                    arr = pa.array([change_type] * n, type=pa.string())
+                elif lname == "_commit_version":
+                    arr = pa.array([version] * n, type=pa.int64())
+                elif lname == "_commit_timestamp":
+                    arr = pa.array([ts] * n).cast(field.type)
+                elif lname in cols:
+                    arr = cols[lname]
+                elif lname in pvals:
+                    # hive partition column: constant across the file,
+                    # value decoded from the col=value path component
+                    raw = pvals[lname]
+                    if raw is None:
+                        arr = pa.nulls(n, type=field.type)
+                    elif pa.types.is_boolean(field.type):
+                        arr = pa.array([raw.lower() == "true"] * n, type=pa.bool_())
+                    else:
+                        try:
+                            arr = pa.array([raw] * n, type=pa.string()).cast(field.type)
+                        except pa.ArrowInvalid as e:
+                            raise RuntimeError(
+                                f"streaming TABLE_CHANGES: partition value {raw!r} of "
+                                f"{field.name!r} in {file} does not cast to {field.type}"
+                            ) from e
+                else:
+                    raise RuntimeError(
+                        f"streaming TABLE_CHANGES: change file {file} lacks column "
+                        f"{field.name!r} (schema drift between recording and current snapshot)"
+                    )
+                arrays.append(arr)
+            out = pa.Table.from_arrays(
+                [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in arrays],
+                names=[f.name for f in target],
+            ).cast(target)
+            yield from out.to_batches()
 
     def commit(self, end: dict) -> None:
         pass  # checkpointing is Spark's; recordings are vacuumed by the sink
@@ -213,15 +280,28 @@ class TableChangesDataSource(DataSource):
         cur = _read_pointer(path)
         if cur < 0:
             raise ValueError(f"{path} has no committed version to infer a schema from")
-        import pyarrow.parquet as pq
+        from pyspark.sql.types import LongType, StringType, StructType, TimestampType
 
-        from pyspark.sql.pandas.types import from_arrow_schema
-        from pyspark.sql.types import LongType, StringType, TimestampType
+        vdir = os.path.join(path, f"v{cur}")
+        # sidecar first: it carries the COMMITTED Spark schema, including
+        # hive partition columns the data files themselves don't store
+        base = None
+        try:
+            with open(os.path.join(vdir, "_stats.json")) as f:
+                sj = json.load(f).get("schema")
+            if sj:
+                base = StructType.fromJson(json.loads(sj))
+        except (OSError, ValueError):
+            base = None
+        if base is None:
+            import pyarrow.parquet as pq
 
-        files = _parquet_files(os.path.join(path, f"v{cur}"))
-        if not files:
-            raise ValueError(f"{path}/v{cur} holds no parquet files")
-        base = from_arrow_schema(pq.read_schema(files[0]))
+            from pyspark.sql.pandas.types import from_arrow_schema
+
+            files = _parquet_files(vdir)
+            if not files:
+                raise ValueError(f"{path}/v{cur} holds no parquet files")
+            base = from_arrow_schema(pq.read_schema(files[0]))
         return (
             base.add("_change_type", StringType())
             .add("_commit_version", LongType())
