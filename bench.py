@@ -106,6 +106,23 @@ def main() -> int:
         times[name] = min(runs)
         spread[name] = runs
 
+    # Emit the headline record IMMEDIATELY — before any additive study
+    # section runs or prints — so a truncated stdout capture can never
+    # lose it (round 10's official bench record had parsed:null because
+    # the single end-of-run JSON line, grown by the additive sections,
+    # overflowed the capture window mid-line). The full record, with
+    # spreads and study sections, is printed at the end AND written to
+    # BENCH.json beside this script.
+    headline = {
+        "metric": "headline_queries_total_sec",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "reps": reps,
+    }
+    print(json.dumps(headline), flush=True)
+
     # ------------------------------------------------------------------
     # bucketed-layout section: the 100 TB physical design. lineitem+orders
     # pre-bucketed on orderkey → the fact-fact join and the orderkey
@@ -506,28 +523,26 @@ def main() -> int:
     except Exception as e:
         cdc_info["error"] = f"{type(e).__name__}: {e}"
 
-    total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "reps": reps,
-                "spread": spread,
-                "bucketed_layout": bucketed_info,
-                "decorrelation": decorrelation_info,
-                "range_correlation": range_corr_info,
-                "lateral": lateral_info,
-                "plan_cache": plan_cache_info,
-                "data_skipping": skip_info,
-                "matview_refresh": mv_info,
-                "cdc_stream": cdc_info,
-            }
-        )
+    full = dict(
+        headline,
+        spread=spread,
+        bucketed_layout=bucketed_info,
+        decorrelation=decorrelation_info,
+        range_correlation=range_corr_info,
+        lateral=lateral_info,
+        plan_cache=plan_cache_info,
+        data_skipping=skip_info,
+        matview_refresh=mv_info,
+        cdc_stream=cdc_info,
     )
+    # durable copy: the scoreboard can always recover the full record
+    # from disk even if stdout capture truncates
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json"), "w") as f:
+            json.dump(full, f)
+    except OSError:
+        pass
+    print(json.dumps(full))
     return 0
 
 

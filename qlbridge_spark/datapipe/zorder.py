@@ -249,11 +249,12 @@ def cluster_frame(df: DataFrame, zorder_by: list[str] | None,
     )
 
 
-def estimate_num_files(total_bytes: int, target_file_mb: int = 128) -> int:
+def estimate_num_files(total_bytes: int, target_file_mb: float = 128) -> int:
     """File count for a compacted rewrite: ceil(bytes / target).
 
     Parquet compression makes on-disk bytes the honest sizing input —
     the caller passes the CURRENT snapshot's byte size, so the rewrite
-    lands near the target file size regardless of row width."""
-    target = max(1, int(target_file_mb)) * 1024 * 1024
+    lands near the target file size regardless of row width.
+    Fractional ``target_file_mb`` is honored (tests use sub-MB targets)."""
+    target = max(1, int(target_file_mb * 1024 * 1024))
     return max(1, math.ceil(max(0, int(total_bytes)) / target))

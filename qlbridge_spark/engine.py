@@ -501,9 +501,10 @@ class Engine:
         for n, s in self.sinks.items():
             ls = getattr(s, "last_scan", None)
             if ls is not None and ls is not scans_before.get(n):
-                skipped.append(
-                    f"{n}: read {ls['files_read']}/{ls['files_total']} files of v{ls['version']}"
-                )
+                line = f"{n}: read {ls['files_read']}/{ls['files_total']} files of v{ls['version']}"
+                if "partitions_total" in ls:
+                    line += f", {ls['partitions_read']}/{ls['partitions_total']} partitions"
+                skipped.append(line)
         if skipped:
             report += "\nDataSkipping: " + "; ".join(skipped)
         return report
@@ -3848,7 +3849,6 @@ class Engine:
         df = self.table(upd.table)
         scope = Scope({upd.table: df}, includes=self.includes)
         mask = to_column(upd.where, scope) if upd.where is not None else F.lit(True)
-        n = df.filter(mask).count()
         sink = self.sinks.get(upd.table.lower())
         assignments: dict[str, SparkColumn] = {}
         for cname, node in upd.values.items():
@@ -3863,14 +3863,18 @@ class Engine:
             # pushed into the table format (transactional UPDATE WHERE).
             # COW-capable sinks also get the pushable WHERE conjuncts so
             # they rewrite only the files whose stats could match and
-            # hardlink the rest (O(changed files), not O(table))
+            # hardlink the rest (O(changed files), not O(table)) — and
+            # they measure the affected count ON the rewrite job
+            # (df.observe), so no separate count scan runs per statement
             if hasattr(sink, "_cow_split"):
-                sink.update_where(
+                r = sink.update_where(
                     mask, assignments, conjuncts=self._dml_conjuncts(upd.table, upd.where)
                 )
-            else:
-                sink.update_where(mask, assignments)
+                return int(r) if r is not None else df.filter(mask).count()
+            n = df.filter(mask).count()
+            sink.update_where(mask, assignments)
             return n
+        n = df.filter(mask).count()
         for cname, newv in assignments.items():
             df = df.withColumn(cname, F.when(mask, newv).otherwise(F.col(cname)))
         self.register_df(upd.table, df)
@@ -3881,21 +3885,32 @@ class Engine:
         scope = Scope({d.table: df}, includes=self.includes)
         sink = self.sinks.get(d.table.lower())
         if d.where is None:
-            n = df.count()
             if sink is not None:
+                if hasattr(sink, "_cow_split"):
+                    r = sink.delete_where(None)
+                    if r is not None:
+                        return int(r)
+                    return df.count()
+                # non-counting sinks (e.g. Delta) mutate in place: count
+                # BEFORE the delete, or the lazy frame would read 0
+                n = df.count()
                 sink.delete_where(None)
-            else:
-                self.register_df(d.table, df.limit(0))
+                return n
+            n = df.count()
+            self.register_df(d.table, df.limit(0))
             return n
         mask = to_column(d.where, scope)
-        n = df.filter(mask).count()
         if sink is not None:
-            # ConnDeletion.DeleteExpression parity: predicate pushed down
+            # ConnDeletion.DeleteExpression parity: predicate pushed down.
+            # COW sinks measure the deleted count ON the rewrite job
+            # (df.observe) — no separate count scan per statement
             if hasattr(sink, "_cow_split"):
-                sink.delete_where(mask, conjuncts=self._dml_conjuncts(d.table, d.where))
-            else:
-                sink.delete_where(mask)
+                r = sink.delete_where(mask, conjuncts=self._dml_conjuncts(d.table, d.where))
+                return int(r) if r is not None else df.filter(mask).count()
+            n = df.filter(mask).count()
+            sink.delete_where(mask)
             return n
+        n = df.filter(mask).count()
         self.register_df(d.table, df.filter(~mask | mask.isNull()))
         return n
 
@@ -4627,7 +4642,9 @@ class Engine:
         parquet min/max stats prune scans on ANY of them (the multi-
         column data-skipping story at 100 TB — see datapipe/zorder.py).
         Delta sinks route to the native incremental OPTIMIZE; parquet
-        sinks rewrite the snapshot as a new commit. Returns a one-row
+        sinks compact incrementally too — only under-target files are
+        rewritten, right-sized files hardlink through (ZORDER stays a
+        full rewrite: clustering re-sorts every row). Returns a one-row
         metrics frame (Delta-style). File sizing: session var
         ``optimize.target_file_mb`` (default 128)."""
         sink = self.sinks.get(o.table.lower())
@@ -4640,7 +4657,7 @@ class Engine:
             bad = [c for c in o.zorder if c.lower() not in cols]
             if bad:
                 raise ExecError(f"OPTIMIZE ZORDER BY references unknown columns: {bad}")
-        target_mb = int(self.session_vars.get("optimize.target_file_mb", 128))
+        target_mb = float(self.session_vars.get("optimize.target_file_mb", 128))
         curve = str(self.session_vars.get("optimize.curve", "morton")).lower()
         if curve not in ("morton", "hilbert"):
             raise ExecError(f"optimize.curve must be 'morton' or 'hilbert', got {curve!r}")

@@ -864,6 +864,18 @@ class ParquetMergeSink:
         if not kept:
             kept = [all_files[0]]
         self.last_scan = {"files_total": total, "files_read": len(kept), "version": v}
+        if self.partition_by:
+            # hive layouts: partition-dir grain alongside the file grain.
+            # Partition values prune through the same sidecar machinery
+            # (constant min=max entries derived from the col=value path at
+            # commit time — skipping._partition_entries), and the explicit
+            # file list below means non-matching partition dirs are never
+            # even LISTED, let alone opened.
+            import os as _os
+
+            pdirs = lambda rels: {_os.path.dirname(r) for r in rels if _os.sep in r}  # noqa: E731
+            self.last_scan["partitions_total"] = len(pdirs(all_files))
+            self.last_scan["partitions_read"] = len(pdirs(kept))
         return self._read_files(vdir, kept)
 
     def versions(self) -> list[int]:
@@ -1192,32 +1204,76 @@ class ParquetMergeSink:
         return n, total
 
     def optimize(self, zorder_by: list[str] | None = None,
-                 target_file_mb: int = 128, bits_per_col: int = 8,
+                 target_file_mb: float = 128, bits_per_col: int = 8,
                  curve: str = "morton") -> dict:
         """Compact (and optionally Z-order cluster) the CURRENT snapshot
         as a new commit — the engine's ``OPTIMIZE t [ZORDER BY ...]``.
 
-        After many MERGE/append commits a snapshot accumulates small
-        files; this rewrites it at ~``target_file_mb`` per file, and with
+        Plain compaction (no ``zorder_by``) is INCREMENTAL, Delta-parity:
+        only files under ``target_file_mb`` are read and rewritten into
+        ~target-sized files; every already-right-sized file HARDLINKS
+        into the new snapshot unchanged (the _commit_cow machinery — at
+        100 TB, fixing 2 GB of small CDC files costs 2 GB of I/O, not an
+        O(table) snapshot rewrite). With nothing to compact (fewer than
+        two small files) this is a metadata no-op: no commit at all.
+
         ``zorder_by`` lays rows on the Morton (default) or Hilbert
         (``curve='hilbert'``) curve of those columns so parquet min/max
         stats prune scans filtered on ANY of them (see
-        datapipe/zorder.py). Snapshot-sink honesty: this is an O(table)
-        rewrite, the same cost class as any other commit here;
-        DeltaMergeSink routes to Delta's incremental native OPTIMIZE.
-        Old versions stay time-travelable until vacuum."""
+        datapipe/zorder.py) — clustering by definition re-sorts every
+        row, so it stays a full rewrite. Old versions stay
+        time-travelable until vacuum."""
+        import os
+
         from .datapipe.zorder import cluster_frame, estimate_num_files
 
         cur = self._version()
         if cur < 0:
             raise ValueError("optimize: sink has no committed data yet")
         files_before, data_bytes = self._snapshot_stats(cur)
-        n_files = estimate_num_files(data_bytes, target_file_mb)
-        self._commit(
-            cluster_frame(self.scan(self.spark, cur), zorder_by, n_files, bits_per_col, curve=curve),
-            changes="none",  # layout-only: the feed records a logical no-op
-            base=cur,  # a concurrent commit must not be clobbered by a layout rewrite
-        )
+        if not zorder_by:
+            # incremental small-file compaction: bin-pack ONLY the
+            # under-target files; link the rest
+            vdir = self._data_dir(cur)
+            rels = self._data_rels(cur)
+            thresh = int(target_file_mb * (1 << 20))
+            small = [
+                r for r in rels if os.path.getsize(os.path.join(vdir, r)) < thresh
+            ]
+            if len(small) < 2:
+                # nothing worth compacting — no commit, version unchanged
+                self.last_commit = {
+                    "mode": "noop",
+                    "files_linked": files_before,
+                    "files_rewritten": 0,
+                }
+                return {
+                    "version": cur,
+                    "files_before": files_before,
+                    "files_after": files_before,
+                    "zorder_by": [],
+                }
+            link = [r for r in rels if r not in set(small)]
+            small_bytes = sum(os.path.getsize(os.path.join(vdir, r)) for r in small)
+            n_files = estimate_num_files(small_bytes, target_file_mb)
+            self._commit_cow(
+                cluster_frame(self._read_files(vdir, small), None, n_files),
+                link,
+                changes="none",  # layout-only: the feed records a logical no-op
+                base=cur,  # a concurrent commit must not be clobbered
+            )
+            self.last_commit = {
+                "mode": "cow",
+                "files_linked": len(link),
+                "files_rewritten": len(small),
+            }
+        else:
+            n_files = estimate_num_files(data_bytes, target_file_mb)
+            self._commit(
+                cluster_frame(self.scan(self.spark, cur), zorder_by, n_files, bits_per_col, curve=curve),
+                changes="none",  # layout-only: the feed records a logical no-op
+                base=cur,  # a concurrent commit must not be clobbered by a layout rewrite
+            )
         files_after, _ = self._snapshot_stats(self._version())
         return {
             "version": self._version(),
@@ -1286,13 +1342,20 @@ class ParquetMergeSink:
 
     def update_where(
         self, cond: Column, assignments: dict[str, Column], conjuncts=None
-    ) -> None:
+    ) -> int:
+        """Returns the number of condition-matching rows, measured ON the
+        rewrite job itself (``df.observe`` CollectMetrics — no separate
+        count scan: at 100 TB an extra full pass per statement just to
+        report the affected count is the difference between one pruned
+        rewrite and an O(table) read)."""
         from functools import reduce
 
+        from pyspark.sql import Observation
         from pyspark.sql import functions as F
 
         basev = self._version()
         split = self._cow_split(conjuncts, base=basev)
+        empty_rewrite = False
         if split is not None:
             # file-pruned UPDATE: only files whose stats could match the
             # predicate are read and rewritten; the rest hardlink into the
@@ -1305,6 +1368,7 @@ class ParquetMergeSink:
                 if rewrite
                 else base.limit(0)
             )
+            empty_rewrite = not rewrite
             self.last_commit = {
                 "mode": "cow",
                 "files_linked": len(link),
@@ -1312,7 +1376,18 @@ class ParquetMergeSink:
             }
         else:
             df, link = self.scan(self.spark, basev), None
-        out = df.withColumns({c: F.when(cond, v).otherwise(F.col(c)) for c, v in assignments.items()})
+        # affected count piggybacks on the staging write (one job). The
+        # COW-linked files provably hold no cond-matching row, so counting
+        # the rewrite subset IS the global count. Observed on a branch the
+        # change-recording frame does NOT share — Observation supports one
+        # action. An empty rewrite subset skips the metric (the optimizer
+        # folds empty relations, which would drop the CollectMetrics
+        # node): its count is provably 0.
+        obs = Observation()
+        src = df if empty_rewrite else df.observe(
+            obs, F.sum(F.when(cond, 1).otherwise(0)).alias("n")
+        )
+        out = src.withColumns({c: F.when(cond, v).otherwise(F.col(c)) for c, v in assignments.items()})
         # recorded changes: rows the condition touches AND whose assigned
         # values actually differ — matching the snapshot-diff semantics
         # (an x = x update emits nothing there either). Under COW the
@@ -1331,44 +1406,64 @@ class ParquetMergeSink:
             self._commit_cow(out, link, changes=rec, base=basev)
         else:
             self._commit(out, changes=rec, base=basev)
+        return 0 if empty_rewrite else int(obs.get["n"] or 0)
 
-    def delete_where(self, cond: Column | None, conjuncts=None) -> None:
+    def delete_where(self, cond: Column | None, conjuncts=None) -> int:
+        """Returns the number of deleted rows, measured on the rewrite
+        job via ``df.observe`` (no separate count scan — see
+        update_where). A full-table DELETE (cond None) counts the rows it
+        removes with one scan (its change recording reads them anyway)."""
+        from pyspark.sql import Observation
         from pyspark.sql import functions as F
 
         basev = self._version()
         if cond is None:
             cur = self.scan(self.spark, basev)
+            n = cur.count()
             self._commit(
                 cur.limit(0),
                 changes=cur.withColumn("_change_type", F.lit("delete")),
                 base=basev,
             )
-            return
+            return n
         split = self._cow_split(conjuncts, base=basev)
         if split is not None:
             rewrite, link = split
             vdir = self._data_dir(basev)
             base = self.scan(self.spark, basev)
-            cur = (
-                self._read_files(vdir, rewrite)
-                if rewrite
-                else base.limit(0)
-            )
             self.last_commit = {
                 "mode": "cow",
                 "files_linked": len(link),
                 "files_rewritten": len(rewrite),
             }
+            if not rewrite:
+                # no file can hold a matching row: deleted count is
+                # provably 0 (and an observed empty relation would lose
+                # its CollectMetrics node to the optimizer)
+                cur = base.limit(0)
+                self._commit_cow(
+                    cur,
+                    link,
+                    changes=cur.filter(cond).withColumn("_change_type", F.lit("delete")),
+                    base=basev,
+                )
+                return 0
+            cur = self._read_files(vdir, rewrite)
+            obs = Observation()
+            src = cur.observe(obs, F.sum(F.when(cond, 1).otherwise(0)).alias("n"))
             self._commit_cow(
-                cur.filter(~cond | cond.isNull()),
+                src.filter(~cond | cond.isNull()),
                 link,
                 changes=cur.filter(cond).withColumn("_change_type", F.lit("delete")),
                 base=basev,
             )
-            return
+            return int(obs.get["n"] or 0)
         cur = self.scan(self.spark, basev)
+        obs = Observation()
+        src = cur.observe(obs, F.sum(F.when(cond, 1).otherwise(0)).alias("n"))
         self._commit(
-            cur.filter(~cond | cond.isNull()),
+            src.filter(~cond | cond.isNull()),
             changes=cur.filter(cond).withColumn("_change_type", F.lit("delete")),
             base=basev,
         )
+        return int(obs.get["n"] or 0)

