@@ -4059,7 +4059,10 @@ class Engine:
                 f.name: f.dataType for f in self._select_any(c.select).schema.fields
             }
             base_df = sink.scan(self.spark, version=mv.base_version)
-            mv.internal = persist_state(mv, state_frame(self, mv, base_df, F.lit(1)))
+            # the delete-repair flag is delta-only state; never persisted
+            mv.internal = persist_state(
+                mv, state_frame(self, mv, base_df, F.lit(1)).drop("__mv_neg")
+            )
         else:
             mv.internal = persist_state(mv, self._select_any(c.select))
         self.mat_views[lname] = mv
@@ -4074,7 +4077,13 @@ class Engine:
         the view isn't incrementally maintainable, or the change feed has
         a vacuumed gap. Returns a one-row report naming the mode that
         actually ran."""
-        from .matview import exposed_frame, merge_state, persist_state, state_frame
+        from .matview import (
+            exposed_frame,
+            merge_state,
+            persist_state,
+            repair_extrema,
+            state_frame,
+        )
 
         lname = r.view.lower()
         mv = self.mat_views.get(lname)
@@ -4100,14 +4109,21 @@ class Engine:
                         F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
                     ).otherwise(F.lit(-1))
                     delta = state_frame(self, mv, changes, w)
-                    mv.internal = persist_state(mv, merge_state(mv, mv.internal, delta))
+                    merged = merge_state(mv, mv.internal, delta)
+                    if mv.has_extrema:
+                        # min/max don't fold under deletes; re-aggregate
+                        # exactly the delete-touched groups from the base
+                        merged = repair_extrema(self, mv, merged, cur)
+                    mv.internal = persist_state(mv, merged)
                     mv.base_version = cur
         if mode == "full":
             if mv.incremental:
                 sink = self.sinks[mv.base]
                 mv.base_version = max(sink.versions())
                 base_df = sink.scan(self.spark, version=mv.base_version)
-                mv.internal = persist_state(mv, state_frame(self, mv, base_df, F.lit(1)))
+                mv.internal = persist_state(
+                    mv, state_frame(self, mv, base_df, F.lit(1)).drop("__mv_neg")
+                )
             else:
                 mv.internal = persist_state(mv, self._select_any(mv.select))
         if mode != "noop":

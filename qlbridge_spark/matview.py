@@ -74,15 +74,24 @@ from .nodes import (
 from .rel import Column, FromSource, SqlSelect
 
 _INCREMENTAL_AGGS = {"sum", "count", "avg"}
+#: extrema fold under inserts (min of mins) but not deletes — a delete
+#: may remove the reigning extremum. The change feed names exactly which
+#: groups a delete touched, so REFRESH re-aggregates ONLY those groups'
+#: base rows (repair_extrema) instead of the whole table.
+_EXTREMUM_AGGS = {"min", "max"}
+#: per-group "a negative-weight row hit this group" flag (delta only;
+#: never persisted in the stored state)
+NEG_FLAG = "__mv_neg"
 
 
 @dataclass
 class AggSpec:
-    kind: str  # 'count_star' | 'count' | 'sum' | 'avg'
+    kind: str  # 'count_star' | 'count' | 'sum' | 'avg' | 'min' | 'max'
     arg: Node | None  # None for count(*)
     out: str  # exposed column name
     s_col: str | None = None  # internal sum-state column (sum/avg)
     c_col: str | None = None  # internal non-null-count state (count/sum/avg)
+    m_col: str | None = None  # internal extremum state column (min/max)
 
 
 @dataclass
@@ -95,6 +104,9 @@ class MatView:
     key_nodes: list = field(default_factory=list)  # group-key expr Nodes
     key_cols: list[str] = field(default_factory=list)  # exposed key names
     aggs: list[AggSpec] | None = None  # None → full-recompute-only
+    #: filter-only views: state is a multiset (whole projected row →
+    #: signed count); exposing it re-expands each row count times
+    expand: bool = False
     internal: DataFrame | None = None  # state frame (or the full result)
     exposed_types: dict | None = None  # exposed name → Spark DataType
     state_sink: object | None = None  # durable state store (WITH {"path"})
@@ -102,6 +114,10 @@ class MatView:
     @property
     def incremental(self) -> bool:
         return self.aggs is not None
+
+    @property
+    def has_extrema(self) -> bool:
+        return bool(self.aggs) and any(a.kind in _EXTREMUM_AGGS for a in self.aggs)
 
 
 def _row_local(node: Node) -> bool:
@@ -171,6 +187,15 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
     if not select.columns:
         return None
 
+    from . import functions as funcs
+
+    # filter-only mode (no GROUP BY, no aggregate anywhere): the state is
+    # a MULTISET of projected rows (whole row → signed count); exposing it
+    # re-expands each row count times. A DELETE just decrements.
+    filter_only = not select.group_by and not any(
+        funcs.is_agg_tree(c.expr) for c in select.columns if not c.is_star
+    )
+
     keys_remaining = list(select.group_by)
     key_nodes: list = []
     key_cols: list[str] = []
@@ -179,21 +204,23 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
         if col.is_star or col.guard is not None or col.exclude or col.replace:
             return None
         e = col.expr
-        if e in keys_remaining:
-            # a group key; needs a stable exposed name
+        if e in keys_remaining or filter_only:
+            # a group key (or a filter-only projection column, which the
+            # multiset state treats as a key); needs a stable exposed name
             if col.alias:
                 name = col.alias
             elif isinstance(e, IdentityNode):
                 name = e.parts[-1]
             else:
                 return None  # unaliased computed key: name undefined
-            if not _row_local(e):
+            if not _row_local(e) or name in key_cols:
                 return None
-            keys_remaining.remove(e)
+            if e in keys_remaining:
+                keys_remaining.remove(e)
             key_nodes.append(e)
             key_cols.append(name)
             continue
-        if not isinstance(e, FuncNode) or e.name not in _INCREMENTAL_AGGS:
+        if not isinstance(e, FuncNode) or e.name not in _INCREMENTAL_AGGS | _EXTREMUM_AGGS:
             return None
         if e.filter_where is not None or e.agg_order or e.ignore_nulls or len(e.args) != 1:
             return None
@@ -210,8 +237,10 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
         aggs.append(AggSpec(e.name, arg, col.alias))
     if keys_remaining:
         return None  # GROUP BY key not exposed in the select list
-    if not aggs:
-        return None  # pure projection: nothing the delta algebra maintains
+    if not aggs and not filter_only and not select.group_by:
+        return None  # unreachable guard: nothing the delta algebra maintains
+    if not key_cols and not aggs:
+        return None
 
     i = 0
     for a in aggs:
@@ -219,9 +248,17 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
             a.s_col, a.c_col = f"__mv_s{i}", f"__mv_c{i}"
         elif a.kind == "count":
             a.c_col = f"__mv_c{i}"
+        elif a.kind in _EXTREMUM_AGGS:
+            a.m_col = f"__mv_m{i}"
         i += 1
     return MatView(
-        name="", select=select, base=nm, key_nodes=key_nodes, key_cols=key_cols, aggs=aggs
+        name="",
+        select=select,
+        base=nm,
+        key_nodes=key_nodes,
+        key_cols=key_cols,
+        aggs=aggs,
+        expand=filter_only,
     )
 
 
@@ -242,6 +279,16 @@ def _state_select(mv: MatView, tmp_table: str, src_ref: str | None) -> SqlSelect
             default=_W,
         )
 
+    def pos_only(arg: Node) -> Node:
+        # CASE WHEN __w > 0 THEN arg END — extrema fold over the
+        # INSERT-side rows only; delete-side rows set the group's repair
+        # flag instead (a removed row can't lower a min by folding)
+        return CaseNode(
+            operand=None,
+            whens=[(BinaryNode(op=">", left=_W, right=NumberNode("0")), arg)],
+            default=None,
+        )
+
     cols = [
         Column(expr=k, alias=name) for k, name in zip(mv.key_nodes, mv.key_cols)
     ]
@@ -256,6 +303,32 @@ def _state_select(mv: MatView, tmp_table: str, src_ref: str | None) -> SqlSelect
             )
         if a.c_col:
             cols.append(Column(expr=FuncNode(name="sum", args=[nn_count(a.arg)]), alias=a.c_col))
+        if a.m_col:
+            cols.append(
+                Column(expr=FuncNode(name=a.kind, args=[pos_only(a.arg)]), alias=a.m_col)
+            )
+    if mv.has_extrema:
+        # per-group delete marker: max(CASE WHEN __w < 0 THEN 1 ELSE 0 END)
+        cols.append(
+            Column(
+                expr=FuncNode(
+                    name="max",
+                    args=[
+                        CaseNode(
+                            operand=None,
+                            whens=[
+                                (
+                                    BinaryNode(op="<", left=_W, right=NumberNode("0")),
+                                    NumberNode("1"),
+                                )
+                            ],
+                            default=NumberNode("0"),
+                        )
+                    ],
+                ),
+                alias=NEG_FLAG,
+            )
+        )
     return SqlSelect(
         columns=cols,
         from_=[FromSource(name=tmp_table, alias=src_ref)],
@@ -287,11 +360,20 @@ def merge_state(mv: MatView, internal: DataFrame, delta: DataFrame) -> DataFrame
     """Fold a signed delta into the stored state: union + ONE hash
     aggregation on the keys. Vanished groups (row count 0) drop out —
     unless the view is a global aggregate, whose single row is kept
-    (ANSI: a global agg over an empty relation still returns one row)."""
+    (ANSI: a global agg over an empty relation still returns one row).
+    Sum-shaped state folds with sum; extremum state folds with min/max
+    over the insert-side candidates, carrying the delta's per-group
+    delete flag forward so repair_extrema can re-aggregate exactly the
+    groups whose stored extremum may have been removed."""
     states = _STATE_COLS(mv)
-    merged = internal.unionByName(delta).groupBy(*[F.col(k) for k in mv.key_cols]).agg(
-        *[F.sum(c).alias(c) for c in states]
-    )
+    folds = [F.sum(c).alias(c) for c in states]
+    for a in mv.aggs:
+        if a.m_col:
+            folds.append((F.min if a.kind == "min" else F.max)(a.m_col).alias(a.m_col))
+    if mv.has_extrema:
+        internal = internal.withColumn(NEG_FLAG, F.lit(0))
+        folds.append(F.max(NEG_FLAG).alias(NEG_FLAG))
+    merged = internal.unionByName(delta).groupBy(*[F.col(k) for k in mv.key_cols]).agg(*folds)
     if mv.key_cols:
         merged = merged.filter(F.col("__mv_n") > 0)
     else:
@@ -300,11 +382,70 @@ def merge_state(mv: MatView, internal: DataFrame, delta: DataFrame) -> DataFrame
     return merged
 
 
+def repair_extrema(engine, mv: MatView, merged: DataFrame, base_version: int) -> DataFrame:
+    """Re-aggregate the groups a delete touched (their stored min/max is
+    non-foldable: the reigning extremum may be the removed row) from the
+    base snapshot, and graft the fresh state over the folded one. The
+    change feed names EXACTLY which groups — the base read is a
+    key-semi-joined scan, O(affected groups' rows), never O(base) unless
+    the view is a global aggregate (one group = the whole table; that
+    recompute cost is inherent, and only paid when a delete occurred)."""
+    from .translate import Scope, to_column
+
+    clean = merged.filter(F.col(NEG_FLAG) == 0).drop(NEG_FLAG)
+    stale_keys = merged.filter(F.col(NEG_FLAG) > 0).select(*mv.key_cols)
+    if not stale_keys.limit(1).count():
+        return clean  # no delete touched any surviving group
+    base = engine.sinks[mv.base].scan(engine.spark, version=base_version)
+    if mv.key_cols:
+        src = mv.select.from_[0]
+        ref = src.alias or src.name
+        scope = Scope({ref: base}, includes=engine.includes)
+        probe = base
+        conds = []
+        for k, name in zip(mv.key_nodes, mv.key_cols):
+            probe = probe.withColumn(f"__mv_k_{name}", to_column(k, scope))
+            conds.append(F.col(f"__mv_k_{name}").eqNullSafe(F.col(f"__sk.{name}")))
+        from functools import reduce
+
+        probe = probe.join(
+            F.broadcast(stale_keys.alias("__sk")),
+            on=reduce(lambda a, b: a & b, conds),
+            how="left_semi",
+        ).drop(*[f"__mv_k_{n}" for n in mv.key_cols])
+        base = probe
+    fresh = state_frame(engine, mv, base, F.lit(1)).drop(NEG_FLAG)
+    if not mv.key_cols:
+        return fresh  # global aggregate: the one group IS the recompute
+    return clean.unionByName(fresh)
+
+
 def exposed_frame(mv: MatView) -> DataFrame:
     """Project the internal state to the view's declared columns, cast to
     the exact dtypes of the original query."""
     if not mv.incremental:
         return mv.internal
+    if mv.expand:
+        # multiset state → rows: each distinct projected tuple repeats
+        # its signed-count times (O(|view|) generate, no shuffle)
+        n = F.greatest(F.col("__mv_n"), F.lit(0)).cast("int")
+        df = (
+            mv.internal.select(
+                F.explode(
+                    F.array_repeat(F.struct(*[F.col(k) for k in mv.key_cols]), n)
+                ).alias("__mv_r")
+            ).select("__mv_r.*")
+        )
+        if mv.exposed_types:
+            df = df.select(
+                *[
+                    F.col(c).cast(mv.exposed_types[c]).alias(c)
+                    if c in mv.exposed_types
+                    else F.col(c)
+                    for c in df.columns
+                ]
+            )
+        return df
     out = []
     for k in mv.key_cols:
         out.append(F.col(k).alias(k))
@@ -315,6 +456,8 @@ def exposed_frame(mv: MatView) -> DataFrame:
             c = F.coalesce(F.col(a.c_col), F.lit(0))
         elif a.kind == "sum":
             c = F.when(F.col(a.c_col) > 0, F.col(a.s_col))
+        elif a.kind in _EXTREMUM_AGGS:
+            c = F.col(a.m_col)
         else:  # avg
             c = F.when(F.col(a.c_col) > 0, F.col(a.s_col) / F.col(a.c_col))
         out.append(c.alias(a.out))
