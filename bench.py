@@ -513,6 +513,32 @@ def main() -> int:
                 cdc_info["mutation_commit_sec"] = min(commit_runs)
                 cdc_info["stream_consume_sec"] = min(consume_runs)
                 cdc_info["rows_consumed"] = row_runs[consume_runs.index(min(consume_runs))]
+                # the per-micro-batch FLOOR: a caught-up drain moves zero
+                # rows, so its cost is pure Structured-Streaming machinery
+                # (offset log, planning, Python source round-trips). If
+                # stream_consume_sec ≈ empty_batch_sec the consume cost is
+                # all fixed overhead, not data.
+                floor_runs = []
+                for _ in range(3):
+                    t0 = time.time()
+                    q.processAllAvailable()
+                    floor_runs.append(round(time.time() - t0, 3))
+                cdc_info["empty_batch_sec"] = min(floor_runs)
+                # backlog drain: N tiny commits accumulate, ONE micro-batch
+                # consumes them all. Change files are packed into
+                # size-bounded input partitions (cdf_source), so the
+                # backlog costs ~one task, not one Python worker per file.
+                n_backlog = 8
+                for k in range(n_backlog):
+                    _ec.execute(
+                        f"UPDATE li SET l_quantity = l_quantity + 1 WHERE l_rid % 997 = {k}"
+                    )
+                consumed["rows"] = 0
+                t0 = time.time()
+                q.processAllAvailable()
+                cdc_info["backlog_commits"] = n_backlog
+                cdc_info["backlog_consume_sec"] = round(time.time() - t0, 3)
+                cdc_info["backlog_rows"] = consumed["rows"]
             finally:
                 q.stop()
             t0 = time.time()

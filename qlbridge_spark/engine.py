@@ -4677,16 +4677,37 @@ class Engine:
         curve = str(self.session_vars.get("optimize.curve", "morton")).lower()
         if curve not in ("morton", "hilbert"):
             raise ExecError(f"optimize.curve must be 'morton' or 'hilbert', got {curve!r}")
-        try:
-            m = sink.optimize(zorder_by=o.zorder or None, target_file_mb=target_mb, curve=curve)
-        except TypeError:
+        scope = None
+        if o.where is not None:
+            # the WHERE scopes WHICH FILES rewrite (rows are never
+            # filtered): it must reduce to pushable conjuncts, else the
+            # scope would silently mean "the whole table"
+            scope = self._dml_conjuncts(o.table, o.where)
+            if not scope:
+                raise ExecError(
+                    "OPTIMIZE WHERE must be a pushable predicate over the "
+                    "table's columns (partition / stats pruning conjuncts); "
+                    "drop the WHERE to optimize the whole table"
+                )
+        kwargs = {"zorder_by": o.zorder or None, "target_file_mb": target_mb}
+        import inspect as _inspect
+
+        params = set(_inspect.signature(sink.optimize).parameters)
+        if scope is not None:
+            if "scope_conjuncts" not in params:
+                raise ExecError(
+                    f"sink for {o.table!r} does not support OPTIMIZE WHERE"
+                )
+            kwargs["scope_conjuncts"] = scope
+        if "curve" in params:
+            kwargs["curve"] = curve
+        elif curve != "morton":
             # sink without a curve knob (e.g. Delta's native OPTIMIZE
             # chooses its own layout): only the default passes through
-            if curve != "morton":
-                raise ExecError(
-                    f"sink for {o.table!r} does not support optimize.curve={curve!r}"
-                ) from None
-            m = sink.optimize(zorder_by=o.zorder or None, target_file_mb=target_mb)
+            raise ExecError(
+                f"sink for {o.table!r} does not support optimize.curve={curve!r}"
+            )
+        m = sink.optimize(**kwargs)
         return self.spark.createDataFrame(
             [
                 {

@@ -327,14 +327,18 @@ class SqlRefresh:
 
 @dataclass
 class SqlOptimize:
-    """``OPTIMIZE <sink table> [ZORDER BY (c1, c2, ...)]`` — compact a
-    versioned sink's small files into ~target-size files and optionally
-    Z-order-cluster them on the listed columns for multi-column
-    data-skipping (Delta-parity layout maintenance; routes to Delta's
-    native OPTIMIZE on Delta sinks, snapshot rewrite on parquet sinks)."""
+    """``OPTIMIZE <sink table> [WHERE <pred>] [ZORDER BY (c1, c2, ...)]``
+    — compact a versioned sink's small files into ~target-size files and
+    optionally Z-order-cluster them on the listed columns for
+    multi-column data-skipping (Delta-parity layout maintenance).
+    ``WHERE`` scopes the rewrite to the files whose statistics could
+    match (partition predicates map exactly to partition dirs) — at
+    100 TB this is what lets yesterday's partition compact or cluster
+    without touching three years of data."""
 
     table: str = ""
     zorder: list[str] = field(default_factory=list)
+    where: object = None  # Node | None — pushable scope predicate
 
 
 @dataclass
@@ -439,6 +443,8 @@ class SqlParser(ExprParser):
         if kw == "OPTIMIZE":
             self.advance()
             o = SqlOptimize(table=self.expect(IDENT).val)
+            if self.eat_kw("WHERE"):
+                o.where = self.parse_expr()
             if self.eat_kw("ZORDER"):
                 self.expect(IDENT, "BY")
                 parens = self.cur().kind == LPAREN

@@ -1205,9 +1205,10 @@ class ParquetMergeSink:
 
     def optimize(self, zorder_by: list[str] | None = None,
                  target_file_mb: float = 128, bits_per_col: int = 8,
-                 curve: str = "morton") -> dict:
+                 curve: str = "morton", scope_conjuncts: list | None = None) -> dict:
         """Compact (and optionally Z-order cluster) the CURRENT snapshot
-        as a new commit — the engine's ``OPTIMIZE t [ZORDER BY ...]``.
+        as a new commit — the engine's ``OPTIMIZE t [WHERE ...]
+        [ZORDER BY ...]``.
 
         Plain compaction (no ``zorder_by``) is INCREMENTAL, Delta-parity:
         only files under ``target_file_mb`` are read and rewritten into
@@ -1217,42 +1218,65 @@ class ParquetMergeSink:
         O(table) snapshot rewrite). With nothing to compact (fewer than
         two small files) this is a metadata no-op: no commit at all.
 
+        ``scope_conjuncts`` (the engine's ``WHERE``) restricts the
+        candidate set to files whose stats sidecar says could hold a
+        matching row — partition predicates map exactly to partition
+        dirs. Row content is never filtered: whole candidate files
+        rewrite, everything else links, so the table is byte-identical.
+        With a scope, ZORDER becomes incremental too: cluster ONE
+        partition's files and hardlink the other three years'.
+
         ``zorder_by`` lays rows on the Morton (default) or Hilbert
         (``curve='hilbert'``) curve of those columns so parquet min/max
         stats prune scans filtered on ANY of them (see
-        datapipe/zorder.py) — clustering by definition re-sorts every
-        row, so it stays a full rewrite. Old versions stay
-        time-travelable until vacuum."""
+        datapipe/zorder.py) — unscoped clustering re-sorts every row, so
+        it stays a full rewrite. Old versions stay time-travelable until
+        vacuum."""
         import os
 
         from .datapipe.zorder import cluster_frame, estimate_num_files
+        from .skipping import load_stats_sidecar, prune_files
 
         cur = self._version()
         if cur < 0:
             raise ValueError("optimize: sink has no committed data yet")
         files_before, data_bytes = self._snapshot_stats(cur)
+        vdir = self._data_dir(cur)
+        rels = self._data_rels(cur)
+        candidates = rels
+        if scope_conjuncts:
+            stats = load_stats_sidecar(vdir)
+            if stats is None or not set(rels) <= set(stats.get("files") or {}):
+                raise ValueError(
+                    "OPTIMIZE WHERE needs the stats sidecar to scope files; "
+                    "this snapshot predates it — run an unscoped OPTIMIZE first"
+                )
+            kept, _total = prune_files(stats, scope_conjuncts)
+            candidates = [r for r in rels if r in set(kept)]
+
+        def _noop() -> dict:
+            self.last_commit = {
+                "mode": "noop",
+                "files_linked": files_before,
+                "files_rewritten": 0,
+            }
+            return {
+                "version": cur,
+                "files_before": files_before,
+                "files_after": files_before,
+                "zorder_by": list(zorder_by or []),
+            }
+
         if not zorder_by:
             # incremental small-file compaction: bin-pack ONLY the
-            # under-target files; link the rest
-            vdir = self._data_dir(cur)
-            rels = self._data_rels(cur)
+            # under-target candidate files; link the rest
             thresh = int(target_file_mb * (1 << 20))
             small = [
-                r for r in rels if os.path.getsize(os.path.join(vdir, r)) < thresh
+                r for r in candidates
+                if os.path.getsize(os.path.join(vdir, r)) < thresh
             ]
             if len(small) < 2:
-                # nothing worth compacting — no commit, version unchanged
-                self.last_commit = {
-                    "mode": "noop",
-                    "files_linked": files_before,
-                    "files_rewritten": 0,
-                }
-                return {
-                    "version": cur,
-                    "files_before": files_before,
-                    "files_after": files_before,
-                    "zorder_by": [],
-                }
+                return _noop()  # nothing worth compacting — no commit
             link = [r for r in rels if r not in set(small)]
             small_bytes = sum(os.path.getsize(os.path.join(vdir, r)) for r in small)
             n_files = estimate_num_files(small_bytes, target_file_mb)
@@ -1266,6 +1290,28 @@ class ParquetMergeSink:
                 "mode": "cow",
                 "files_linked": len(link),
                 "files_rewritten": len(small),
+            }
+        elif scope_conjuncts:
+            # scoped clustering: re-sort ONLY the candidate files; the
+            # rest of the table hardlinks through untouched
+            if not candidates:
+                return _noop()
+            link = [r for r in rels if r not in set(candidates)]
+            cand_bytes = sum(os.path.getsize(os.path.join(vdir, r)) for r in candidates)
+            n_files = estimate_num_files(cand_bytes, target_file_mb)
+            self._commit_cow(
+                cluster_frame(
+                    self._read_files(vdir, candidates), zorder_by, n_files,
+                    bits_per_col, curve=curve,
+                ),
+                link,
+                changes="none",
+                base=cur,
+            )
+            self.last_commit = {
+                "mode": "cow",
+                "files_linked": len(link),
+                "files_rewritten": len(candidates),
             }
         else:
             n_files = estimate_num_files(data_bytes, target_file_mb)

@@ -621,3 +621,98 @@ class TestIncrementalOptimize:
             assert spark.sql("SELECT count(*) c FROM inc_opt_cdf").collect()[0].c == 0
         finally:
             q.stop()
+
+
+class TestScopedOptimize:
+    """``OPTIMIZE t WHERE <pred> [ZORDER BY ...]`` — Delta-parity scoped
+    layout maintenance: the WHERE selects which FILES rewrite (via the
+    stats sidecar; partition predicates map exactly to partition dirs);
+    rows are never filtered, so the table stays byte-identical. With a
+    scope, ZORDER is incremental: cluster one partition, hardlink the
+    rest — at 100 TB that's yesterday's data, not three years'."""
+
+    def _psink(self, spark, tmp_path, name):
+        sink = ParquetMergeSink(
+            spark, str(tmp_path / name), key="id", partition_by=["p"]
+        )
+        df = spark.createDataFrame(
+            [(i, i % 3, i % 17, float(i % 11)) for i in range(3000)],
+            "id long, p int, a int, b double",
+        ).repartition(4)
+        sink.ensure(df)
+        eng = Engine(spark, f"scoped-{name}")
+        eng.register_sink("t", sink)
+        return eng, sink
+
+    def _inodes(self, sink, v):
+        import os as _os
+
+        vdir = sink._data_dir(v)
+        return {
+            r: _os.stat(_os.path.join(vdir, r)).st_ino for r in sink._data_rels(v)
+        }
+
+    def test_scoped_zorder_rewrites_one_partition(self, spark, tmp_path):
+        eng, sink = self._psink(spark, tmp_path, "sz")
+        v0 = sink._version()
+        before = self._inodes(sink, v0)
+        want = sorted(tuple(r) for r in sink.scan(spark, v0).collect())
+        eng.execute("SET optimize.target_file_mb = 1")
+        out = eng.sql("OPTIMIZE t WHERE p = 1 ZORDER BY (a, b)").collect()[0]
+        assert out["zorder_by"] == "a,b"
+        lc = sink.last_commit
+        assert lc["mode"] == "cow" and lc["files_rewritten"] > 0
+        after = self._inodes(sink, out["version"])
+        # every p=0 / p=2 file is the SAME inode (hardlinked)
+        untouched_before = {r: i for r, i in before.items() if "p=1" not in r}
+        untouched_after = {r: i for r, i in after.items() if "p=1" not in r}
+        assert untouched_before == untouched_after
+        # p=1 files are fresh (clustered rewrite)
+        assert not (
+            {i for r, i in after.items() if "p=1" in r}
+            & {i for r, i in before.items() if "p=1" in r}
+        )
+        # content identical; layout-only commit emits no change rows
+        got = sorted(tuple(r) for r in sink.scan(spark).collect())
+        assert got == want
+        assert eng.sql(
+            f"SELECT * FROM TABLE_CHANGES('t', {out['version']}, {out['version']})"
+        ).count() == 0
+
+    def test_scoped_compaction_only_in_scope(self, spark, tmp_path):
+        eng, sink = self._psink(spark, tmp_path, "sc")
+        # fragment BOTH partitions 0 and 2 with tiny appends
+        for i in range(3):
+            sink.insert_append(
+                spark.createDataFrame(
+                    [(9000 + 2 * i, 0, 1, 1.0), (9001 + 2 * i, 2, 1, 1.0)],
+                    "id long, p int, a int, b double",
+                )
+            )
+        v0 = sink._version()
+        small_before = {
+            r for r, i in self._inodes(sink, v0).items()
+        }
+        eng.execute("SET optimize.target_file_mb = 1")
+        out = eng.sql("OPTIMIZE t WHERE p = 0").collect()[0]
+        lc = sink.last_commit
+        assert lc["mode"] == "cow"
+        after = self._inodes(sink, out["version"])
+        # p=2's tiny files survive untouched (out of scope)...
+        assert {r for r in after if "p=2" in r} == {r for r in small_before if "p=2" in r}
+        # ...while p=0's compacted (fewer files than before)
+        assert len({r for r in after if "p=0" in r}) < len(
+            {r for r in small_before if "p=0" in r}
+        )
+        assert sink.scan(spark).count() == 3000 + 6
+
+    def test_unpushable_scope_errors(self, spark, tmp_path):
+        eng, sink = self._psink(spark, tmp_path, "se")
+        with pytest.raises(ExecError, match="pushable"):
+            eng.execute("OPTIMIZE t WHERE upper(cast(p AS string)) = '1'")
+
+    def test_scope_matching_nothing_is_noop(self, spark, tmp_path):
+        eng, sink = self._psink(spark, tmp_path, "sn")
+        v0 = sink._version()
+        out = eng.sql("OPTIMIZE t WHERE p = 999 ZORDER BY (a)").collect()[0]
+        assert out["version"] == v0 and sink.last_commit["mode"] == "noop"
