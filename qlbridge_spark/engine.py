@@ -1060,14 +1060,31 @@ class Engine:
                 f"TABLE_CHANGES: version {v_to} of {tname!r} is not on disk "
                 f"(vacuumed or never committed; have {have})"
             )
-        recorded: dict[int, DataFrame | None] = {
-            v: (sink.recorded_changes(self.spark, v) if hasattr(sink, "recorded_changes") else None)
-            for v in range(v_from, v_to + 1)
-        }
+        # recording KIND per version from driver-side path checks only —
+        # an N-commit backlog must not pay N schema-inference jobs just to
+        # plan the feed (every 'files' version below batches into ONE read)
+        has_kind = hasattr(sink, "recording_kind")
+        if has_kind:
+            kinds = {v: sink.recording_kind(v) for v in range(v_from, v_to + 1)}
+            recorded: dict[int, DataFrame | None] = {}
+        else:
+            kinds = {}
+            recorded = {
+                v: (
+                    sink.recorded_changes(self.spark, v)
+                    if hasattr(sink, "recorded_changes")
+                    else None
+                )
+                for v in range(v_from, v_to + 1)
+            }
+
+        def _has_recording(v: int) -> bool:
+            return kinds[v] != "none" if has_kind else recorded[v] is not None
+
         missing = [
             v
             for v in range(v_from, v_to + 1)
-            if recorded[v] is None and not (v in have and (v == 0 or v - 1 in have))
+            if not _has_recording(v) and not (v in have and (v == 0 or v - 1 in have))
         ]
         if missing:
             raise ExecError(
@@ -1088,8 +1105,25 @@ class Engine:
         commit_ts = {v: _ct(v) for v in range(v_from, v_to + 1)}
         cols = sink.scan(self.spark, version=v_to).columns
         steps = []
+        batch_dirs: list[tuple[int, str]] = []  # 'files' recordings → ONE read
         for v in range(v_from, v_to + 1):
-            if recorded[v] is not None:
+            if has_kind and kinds[v] != "none":
+                k = kinds[v]
+                if k == "no_changes":
+                    continue  # layout-only commit: zero change rows
+                if k == "all_insert":
+                    steps.append(
+                        sink.scan(self.spark, version=v).select(
+                            *cols,
+                            F.lit("insert").alias("_change_type"),
+                            F.lit(v).cast("long").alias("_commit_version"),
+                            F.lit(commit_ts.get(v)).cast("timestamp").alias("_commit_timestamp"),
+                        )
+                    )
+                else:  # 'files'
+                    batch_dirs.append((v, sink._changes_dir(v)))
+                continue
+            if not has_kind and recorded[v] is not None:
                 steps.append(
                     recorded[v].select(
                         *cols,
@@ -1133,6 +1167,43 @@ class Engine:
                     F.col("_e._ct").alias("_change_type"),
                     F.lit(v).cast("long").alias("_commit_version"),
                     F.lit(commit_ts.get(v)).cast("timestamp").alias("_commit_timestamp"),
+                )
+            )
+        if batch_dirs:
+            # ALL recorded-files commits in ONE parquet read (mergeSchema
+            # tolerates schema-widening commits); the commit version is
+            # derived from each file's c<N> path component, the timestamp
+            # looked up from a literal map — O(backlog) stat calls + one
+            # schema job, not one read per version
+            df = self.spark.read.option("mergeSchema", "true").parquet(
+                *[d for _, d in batch_dirs]
+            )
+            vcol = F.regexp_extract(F.input_file_name(), r"[/\\]c(\d+)[/\\]", 1).cast("long")
+            map_items: list = []
+            for v, _ in batch_dirs:
+                map_items += [
+                    F.lit(v).cast("long"),
+                    F.lit(commit_ts.get(v)).cast("timestamp"),
+                ]
+            ts_expr = F.element_at(F.create_map(*map_items), F.col("_commit_version"))
+            steps.append(
+                df.withColumn("_commit_version", vcol).select(
+                    *cols,
+                    F.col("_change_type"),
+                    F.col("_commit_version"),
+                    ts_expr.alias("_commit_timestamp"),
+                )
+            )
+        if not steps:
+            # every requested commit was layout-only: empty feed, full schema
+            return (
+                sink.scan(self.spark, version=v_to)
+                .limit(0)
+                .select(
+                    *cols,
+                    F.lit("").alias("_change_type"),
+                    F.lit(0).cast("long").alias("_commit_version"),
+                    F.lit(None).cast("timestamp").alias("_commit_timestamp"),
                 )
             )
         out = steps[0]

@@ -430,6 +430,25 @@ class ParquetMergeSink:
             if staging is not None:
                 shutil.rmtree(staging, ignore_errors=True)
 
+    def recording_kind(self, version: int) -> str:
+        """``'none' | 'no_changes' | 'all_insert' | 'files'`` — what kind
+        of commit-time change recording ``version`` has, from driver-side
+        path checks ONLY (no Spark read). Feed planning over an N-commit
+        backlog costs N stat calls, not N schema-inference jobs: the
+        engine batches every ``'files'`` version into ONE parquet read."""
+        import os
+
+        d = self._changes_dir(version)
+        if not os.path.isdir(d):
+            return "none"
+        if os.path.exists(os.path.join(d, "_NO_CHANGES")):
+            return "no_changes"
+        if os.path.exists(os.path.join(d, "_ALL_INSERT")):
+            return "all_insert"
+        if any(n.endswith(".parquet") for n in os.listdir(d)):
+            return "files"
+        return "none"  # torn recording → diff fallback
+
     def recorded_changes(self, spark: SparkSession, version: int):
         """Change rows recorded at commit time for ``version`` (base
         columns + ``_change_type``), or None when this commit has no

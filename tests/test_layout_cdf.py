@@ -716,3 +716,51 @@ class TestScopedOptimize:
         v0 = sink._version()
         out = eng.sql("OPTIMIZE t WHERE p = 999 ZORDER BY (a)").collect()[0]
         assert out["version"] == v0 and sink.last_commit["mode"] == "noop"
+
+
+class TestBatchedFeedPlanning:
+    """Feed planning is O(1) Spark jobs in the backlog length: every
+    recorded-files commit reads in ONE batched parquet read (version
+    derived from the c<N> path component), and recording KINDS come from
+    driver-side stat calls — not one schema-inference job per version."""
+
+    def test_backlog_feed_job_count_is_constant(self, spark, tmp_path):
+        eng = Engine(spark, "tc-jobs")
+        sink = ParquetMergeSink(spark, str(tmp_path / "tj"), key="id")
+        sink.ensure(
+            spark.createDataFrame([(i, 0) for i in range(500)], "id long, v long")
+            .repartitionByRange(4, "id")
+        )
+        eng.register_sink("t", sink)
+        for k in range(12):
+            eng.execute(f"UPDATE t SET v = {k + 1} WHERE id % 40 = {k}")
+        sc = spark.sparkContext
+        sc.setJobGroup("tc-jobs-g", "tc-jobs-g")
+        try:
+            rows = eng.sql("SELECT * FROM TABLE_CHANGES('t', 1)").collect()
+        finally:
+            sc.setJobGroup(None, None)
+        jobs = len(sc.statusTracker().getJobIdsForGroup("tc-jobs-g"))
+        # one schema job for the batched read + the collect (+1 slack);
+        # the pre-batching path paid ~1 job PER commit
+        assert jobs <= 4, jobs
+        byv = {}
+        for r in rows:
+            byv.setdefault(r._commit_version, 0)
+            byv[r._commit_version] += 1
+        assert set(byv) == set(range(1, 13))
+        assert all(n > 0 and n % 2 == 0 for n in byv.values())  # pre+post pairs
+        assert all(r._commit_timestamp is not None for r in rows)
+
+    def test_layout_only_range_returns_empty_with_schema(self, spark, tmp_path):
+        eng = Engine(spark, "tc-noop")
+        sink = ParquetMergeSink(spark, str(tmp_path / "tn"), key="id")
+        sink.ensure(spark.createDataFrame([(1, 0)], "id long, v long"))
+        eng.register_sink("t", sink)
+        eng.execute("OPTIMIZE t")  # may be a metadata no-op (1 file)
+        sink.optimize(zorder_by=["id"])  # forces a layout commit
+        v = sink._version()
+        assert v >= 1
+        out = eng.sql(f"SELECT * FROM TABLE_CHANGES('t', {v}, {v})")
+        assert out.count() == 0
+        assert {"_change_type", "_commit_version", "_commit_timestamp"} <= set(out.columns)
