@@ -428,19 +428,33 @@ def main() -> int:
             )
             mv_info["create_sec"] = round(time.time() - t0, 3)
             mv_info["base_rows"] = _skm.scan(spark).count()
-            # ~1 % mutation batch (recorded change feed)
-            _em.execute("DELETE FROM li WHERE l_rid % 100 = 7")
-            _em.execute("UPDATE li SET l_quantity = l_quantity + 1 WHERE l_rid % 100 = 11")
-            t0 = time.time()
-            rep = _em.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
-            _em.sql("SELECT * FROM mv").collect()
-            mv_info["incremental_refresh_sec"] = round(time.time() - t0, 3)
-            mv_info["incremental_mode"] = rep["mode"]
-            _em.execute("DELETE FROM li WHERE l_rid % 100 = 23")
-            t0 = time.time()
-            _em.sql("REFRESH MATERIALIZED VIEW mv FULL").collect()
-            _em.sql("SELECT * FROM mv").collect()
-            mv_info["full_refresh_sec"] = round(time.time() - t0, 3)
+            # min-of-2 mutate+refresh cycles per mode — the same
+            # steady-state convention the headline uses (the first
+            # refresh pays one-time plan/JVM costs that previously made
+            # incremental look ~2.5× its warm cost)
+            inc_runs, modes = [], []
+            for mod in (7, 11):
+                _em.execute(f"DELETE FROM li WHERE l_rid % 100 = {mod}")
+                _em.execute(
+                    f"UPDATE li SET l_quantity = l_quantity + 1 WHERE l_rid % 200 = {mod}"
+                )
+                t0 = time.time()
+                rep = _em.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+                _em.sql("SELECT * FROM mv").collect()
+                inc_runs.append(round(time.time() - t0, 3))
+                modes.append(rep["mode"])
+            mv_info["incremental_refresh_sec"] = min(inc_runs)
+            mv_info["incremental_refresh_runs"] = inc_runs
+            mv_info["incremental_mode"] = modes[-1]
+            full_runs = []
+            for mod in (23, 37):
+                _em.execute(f"DELETE FROM li WHERE l_rid % 100 = {mod}")
+                t0 = time.time()
+                _em.sql("REFRESH MATERIALIZED VIEW mv FULL").collect()
+                _em.sql("SELECT * FROM mv").collect()
+                full_runs.append(round(time.time() - t0, 3))
+            mv_info["full_refresh_sec"] = min(full_runs)
+            mv_info["full_refresh_runs"] = full_runs
         finally:
             shutil.rmtree(mv_dir, ignore_errors=True)
     except Exception as e:

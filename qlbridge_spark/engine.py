@@ -1103,7 +1103,11 @@ class Engine:
                 return None
 
         commit_ts = {v: _ct(v) for v in range(v_from, v_to + 1)}
-        cols = sink.scan(self.spark, version=v_to).columns
+        # column list from the sidecar when possible (driver-side) — a
+        # feed build must not pay a Spark schema job just to learn names
+        cols = sink.snapshot_columns(v_to) if hasattr(sink, "snapshot_columns") else None
+        if cols is None:
+            cols = sink.scan(self.spark, version=v_to).columns
         steps = []
         batch_dirs: list[tuple[int, str]] = []  # 'files' recordings → ONE read
         for v in range(v_from, v_to + 1):

@@ -430,6 +430,25 @@ class ParquetMergeSink:
             if staging is not None:
                 shutil.rmtree(staging, ignore_errors=True)
 
+    def snapshot_columns(self, version: int) -> list[str] | None:
+        """Committed column names of one snapshot, from the stats
+        sidecar's stored schema — a driver-side file read, NOT a Spark
+        schema-inference job. None when the snapshot predates the
+        sidecar (callers fall back to a real scan)."""
+        import json
+
+        from .skipping import load_stats_sidecar
+
+        sj = (load_stats_sidecar(self._data_dir(version)) or {}).get("schema")
+        if not sj:
+            return None
+        try:
+            fields = json.loads(sj).get("fields") or []
+        except ValueError:
+            return None
+        names = [f.get("name") for f in fields]
+        return names if names and all(names) else None
+
     def recording_kind(self, version: int) -> str:
         """``'none' | 'no_changes' | 'all_insert' | 'files'`` — what kind
         of commit-time change recording ``version`` has, from driver-side
