@@ -3899,6 +3899,7 @@ class Engine:
                 sink.merge_upsert(new, key)
             else:
                 sink.insert_append(new)
+            self._maybe_auto_compact(sink)
             return n
         merged = base.unionByName(new, allowMissingColumns=True)
         if ins.upsert:
@@ -3906,6 +3907,48 @@ class Engine:
             merged = old_only.unionByName(new, allowMissingColumns=True)
         self.register_df(ins.table, merged)
         return n
+
+    def _maybe_auto_compact(self, sink) -> None:
+        """Delta-``autoCompact``-parity: after a DML commit, when
+        ``SET optimize.auto_compact = true`` and the new snapshot holds
+        at least ``optimize.auto_compact_min_files`` (default 16) files
+        under ``optimize.target_file_mb``, run the INCREMENTAL
+        compaction (rewrite only the small files, hardlink the rest) as
+        a follow-up layout-only commit. Streaming CDC appends/merges
+        fragment a table one tiny file per batch; this keeps the file
+        count bounded without an operator remembering to OPTIMIZE.
+        Driver-side size check only; losing a commit race just defers
+        compaction to the next statement."""
+        if not self.session_vars.get("optimize.auto_compact"):
+            return
+        if not (hasattr(sink, "optimize") and hasattr(sink, "_data_rels")):
+            return
+        import os
+
+        from .sinks import ConcurrentWriteError
+
+        target_mb = float(self.session_vars.get("optimize.target_file_mb", 128))
+        min_files = int(self.session_vars.get("optimize.auto_compact_min_files", 16))
+        cur = sink._version()
+        if cur < 0:
+            return
+        vdir = sink._data_dir(cur)
+        thresh = int(target_mb * (1 << 20))
+        small = 0
+        for r in sink._data_rels(cur):
+            try:
+                if os.path.getsize(os.path.join(vdir, r)) < thresh:
+                    small += 1
+            except OSError:
+                return  # concurrent vacuum/commit mid-listing: skip this round
+            if small >= min_files:
+                break
+        if small < min_files:
+            return
+        try:
+            sink.optimize(target_file_mb=target_mb)
+        except ConcurrentWriteError:
+            pass  # another writer committed first — next DML re-checks
 
     def _dml_conjuncts(self, table: str, where) -> list:
         """Pushable WHERE conjuncts of a single-table DML statement, for
@@ -3945,6 +3988,7 @@ class Engine:
                 r = sink.update_where(
                     mask, assignments, conjuncts=self._dml_conjuncts(upd.table, upd.where)
                 )
+                self._maybe_auto_compact(sink)
                 return int(r) if r is not None else df.filter(mask).count()
             n = df.filter(mask).count()
             sink.update_where(mask, assignments)
@@ -3981,6 +4025,7 @@ class Engine:
             # (df.observe) — no separate count scan per statement
             if hasattr(sink, "_cow_split"):
                 r = sink.delete_where(mask, conjuncts=self._dml_conjuncts(d.table, d.where))
+                self._maybe_auto_compact(sink)
                 return int(r) if r is not None else df.filter(mask).count()
             n = df.filter(mask).count()
             sink.delete_where(mask)
@@ -4675,6 +4720,7 @@ class Engine:
                     # final frame, never just the rewritten region
                     assert cow is None
                     sink.overwrite(final)
+                self._maybe_auto_compact(sink)
             else:
                 # materialize through the cache before it is released: the
                 # registered result must not re-execute the full-outer join

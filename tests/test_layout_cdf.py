@@ -764,3 +764,50 @@ class TestBatchedFeedPlanning:
         out = eng.sql(f"SELECT * FROM TABLE_CHANGES('t', {v}, {v})")
         assert out.count() == 0
         assert {"_change_type", "_commit_version", "_commit_timestamp"} <= set(out.columns)
+
+
+class TestAutoCompact:
+    """``SET optimize.auto_compact = true`` — Delta autoCompact parity:
+    after a DML commit, when the snapshot accumulates at least
+    ``optimize.auto_compact_min_files`` under-target files, the engine
+    runs the INCREMENTAL compaction as a follow-up layout-only commit.
+    A streaming CDC table stays at a bounded file count without anyone
+    remembering to OPTIMIZE."""
+
+    def _mk(self, spark, tmp_path, name):
+        eng = Engine(spark, f"ac-{name}")
+        sink = ParquetMergeSink(spark, str(tmp_path / name), key="id")
+        sink.ensure(
+            spark.createDataFrame([(i, 0) for i in range(50)], "id long, v long")
+        )
+        eng.register_sink("t", sink)
+        return eng, sink
+
+    def test_file_count_stays_bounded(self, spark, tmp_path):
+        eng, sink = self._mk(spark, tmp_path, "b")
+        eng.execute("SET optimize.auto_compact = true")
+        eng.execute("SET optimize.auto_compact_min_files = 6")
+        for i in range(10):  # tiny appends fragment the table
+            eng.execute(f"INSERT INTO t (id, v) VALUES ({100 + i}, {i})")
+        n_files, _ = sink._snapshot_stats(sink._version())
+        assert n_files <= 6, n_files  # compaction kept the count bounded
+        # all rows survive every compaction
+        assert sink.scan(spark).count() == 60
+        # compaction commits are layout-only: the change feed replays to
+        # exactly the logical mutations
+        rows = eng.sql(f"SELECT * FROM TABLE_CHANGES('t', 0, {sink._version()})").collect()
+        state = {}
+        for r in sorted(rows, key=lambda r: r._commit_version):
+            if r._change_type in ("insert", "update_postimage"):
+                state[r.id] = r.v
+            elif r._change_type == "delete":
+                state.pop(r.id, None)
+        assert state == {r.id: r.v for r in sink.scan(spark).collect()}
+
+    def test_off_by_default_accumulates(self, spark, tmp_path):
+        eng, sink = self._mk(spark, tmp_path, "off")
+        for i in range(8):
+            eng.execute(f"INSERT INTO t (id, v) VALUES ({100 + i}, {i})")
+        n_files, _ = sink._snapshot_stats(sink._version())
+        assert n_files >= 8  # no surprise commits without opt-in
+        assert sink._version() == 8  # exactly one commit per INSERT
