@@ -3842,6 +3842,7 @@ class Engine:
                     "neither commit_time() (durable timestamps) nor _data_dir() "
                     "(mtime fallback)"
                 )
+            has_info = hasattr(sink, "commit_info")
             rows = []
             for v in sink.versions():
                 if has_ct:
@@ -3851,15 +3852,20 @@ class Engine:
                     ts = datetime.datetime.fromtimestamp(
                         os.path.getmtime(sink._data_dir(v)), datetime.timezone.utc
                     )
+                info = (sink.commit_info(v) or {}) if has_info else {}
                 rows.append(
                     {
                         "version": v,
+                        "operation": info.get("op"),  # NULL for legacy versions
+                        "mode": info.get("mode"),
                         "committed_at": ts.replace(tzinfo=None),
                         "is_current": v == sink._version(),
                     }
                 )
             return self.spark.createDataFrame(
-                rows, schema="version long, committed_at timestamp, is_current boolean"
+                rows,
+                schema="version long, operation string, mode string, "
+                "committed_at timestamp, is_current boolean",
             )
         return self._schema_df(d.ident)
 
@@ -4710,7 +4716,10 @@ class Engine:
                             final, cow[2], changes=ch, base=cow[0], files_rewritten=len(cow[1])
                         )
                     elif "base" in ow_params and basev is not None:
-                        sink.overwrite(final, changes=ch, base=basev)
+                        if "op" in ow_params:
+                            sink.overwrite(final, changes=ch, base=basev, op="MERGE")
+                        else:
+                            sink.overwrite(final, changes=ch, base=basev)
                     else:
                         sink.overwrite(final, changes=ch)
                 else:

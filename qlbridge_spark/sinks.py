@@ -468,6 +468,32 @@ class ParquetMergeSink:
             return "files"
         return "none"  # torn recording → diff fallback
 
+    def _write_commit_info(self, staging: str, op: str, mode: str, **extra) -> None:
+        """Stamp the commit's OPERATION into the staging dir (Delta
+        history-parity: DESCRIBE HISTORY shows what each version was —
+        MERGE vs OPTIMIZE vs UPDATE — not just when). Best-effort; an
+        absent file renders as NULL operation for legacy versions."""
+        import json
+        import os
+
+        try:
+            with open(os.path.join(staging, "_commit_info"), "w") as f:
+                json.dump(dict({"op": op, "mode": mode}, **extra), f)
+        except OSError:
+            pass
+
+    def commit_info(self, version: int) -> dict | None:
+        """The ``_commit_info`` stamp of one retained version, or None
+        (legacy / vacuumed)."""
+        import json
+        import os
+
+        try:
+            with open(os.path.join(self._data_dir(version), "_commit_info")) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return None
+
     def recorded_changes(self, spark: SparkSession, version: int):
         """Change rows recorded at commit time for ``version`` (base
         columns + ``_change_type``), or None when this commit has no
@@ -491,7 +517,8 @@ class ParquetMergeSink:
             return None  # torn recording → diff fallback
         return spark.read.parquet(d)
 
-    def _commit(self, df: DataFrame, changes=None, base: int | None = None) -> None:
+    def _commit(self, df: DataFrame, changes=None, base: int | None = None,
+                op: str = "WRITE") -> None:
         """Write ``df`` to a staging dir, promote it to the next version,
         record the commit timestamp, then atomically advance the pointer.
         ``changes`` optionally records the commit's change rows for
@@ -509,6 +536,7 @@ class ParquetMergeSink:
         nxt = (self._version() if base is None else base) + 1
         staging = os.path.join(self.path, f".staging-{uuid.uuid4().hex}")
         self._write_staging(df, staging)
+        self._write_commit_info(staging, op, "full")
         try:
             # data-skipping sidecar: per-file min/max/null-count stats from
             # the just-written parquet FOOTERS (driver-side metadata read).
@@ -664,7 +692,8 @@ class ParquetMergeSink:
         return sorted(out)
 
     def _commit_cow(
-        self, new_df: DataFrame, link_rels: list[str], changes=None, base: int | None = None
+        self, new_df: DataFrame, link_rels: list[str], changes=None,
+        base: int | None = None, op: str = "WRITE",
     ) -> None:
         """Copy-on-write commit: write ONLY ``new_df`` as fresh parquet
         files and HARDLINK the unchanged ``link_rels`` from the current
@@ -687,6 +716,7 @@ class ParquetMergeSink:
         nxt = cur + 1
         staging = os.path.join(self.path, f".staging-{uuid.uuid4().hex}")
         self._write_staging(new_df, staging)
+        self._write_commit_info(staging, op, "cow", files_linked=len(link_rels))
         try:
             stats = collect_file_stats(staging, schema_json=new_df.schema.json())
         except Exception:
@@ -975,7 +1005,7 @@ class ParquetMergeSink:
         contract (the table exists) — no error."""
         if self._version() < 0:
             try:
-                self._commit(df, changes="all_insert", base=-1)
+                self._commit(df, changes="all_insert", base=-1, op="CREATE TABLE")
             except ConcurrentWriteError:
                 if self._version() < 0:
                     raise
@@ -1015,7 +1045,7 @@ class ParquetMergeSink:
                     # unchanged; only the new rows are written — O(|new|)
                     link = self._data_rels(basev)
                     if link:
-                        self._commit_cow(aligned, link, changes=rec, base=basev)
+                        self._commit_cow(aligned, link, changes=rec, base=basev, op="WRITE")
                         self.last_commit = {
                             "mode": "cow",
                             "files_linked": len(link),
@@ -1025,7 +1055,8 @@ class ParquetMergeSink:
                 # schema-widening append (new columns) keeps the full
                 # rewrite so every data file carries the merged schema
                 self._commit(
-                    cur.unionByName(new, allowMissingColumns=True), changes=rec, base=basev
+                    cur.unionByName(new, allowMissingColumns=True), changes=rec,
+                    base=basev, op="WRITE",
                 )
                 return
             except ConcurrentWriteError as e:
@@ -1059,7 +1090,7 @@ class ParquetMergeSink:
             basev = self._version()
             try:
                 if basev < 0:
-                    self._commit(new, changes="all_insert", base=-1)
+                    self._commit(new, changes="all_insert", base=-1, op="MERGE")
                     return
                 split = self._upsert_cow_split(new, k, basev)
                 if split is not None:
@@ -1075,7 +1106,7 @@ class ParquetMergeSink:
                         out = kept.unionByName(aligned)
                     else:
                         out = aligned
-                    self._commit_cow(out, link, base=basev)
+                    self._commit_cow(out, link, base=basev, op="MERGE")
                     self.last_commit = {
                         "mode": "cow",
                         "files_linked": len(link),
@@ -1084,7 +1115,7 @@ class ParquetMergeSink:
                     return
                 cur = self.scan(self.spark, basev)
                 kept = cur.join(new.select(k).distinct(), on=k, how="left_anti")
-                self._commit(kept.unionByName(new, allowMissingColumns=True), base=basev)
+                self._commit(kept.unionByName(new, allowMissingColumns=True), base=basev, op="MERGE")
                 return
             except ConcurrentWriteError as e:
                 last = e
@@ -1194,14 +1225,15 @@ class ParquetMergeSink:
         new content of the rewritten region only; ``link_rels`` hardlink
         unchanged from the base snapshot. Read-dependent — a lost commit
         race raises ConcurrentWriteError (nothing written)."""
-        self._commit_cow(df, link_rels, changes=changes, base=base)
+        self._commit_cow(df, link_rels, changes=changes, base=base, op="MERGE")
         self.last_commit = {
             "mode": "cow",
             "files_linked": len(link_rels),
             "files_rewritten": files_rewritten if files_rewritten is not None else 0,
         }
 
-    def overwrite(self, df: DataFrame, changes=None, base: int | None = None) -> None:
+    def overwrite(self, df: DataFrame, changes=None, base: int | None = None,
+                  op: str = "OVERWRITE") -> None:
         """Replace the table contents as a NEW committed version (engine
         MERGE INTO commit path; old snapshots stay time-travelable).
         ``changes`` optionally records the commit's change rows (the
@@ -1214,12 +1246,12 @@ class ParquetMergeSink:
         loses the race loudly instead of being silently clobbered. A bare
         overwrite is blind and retries."""
         if changes is not None or base is not None:
-            self._commit(df, changes=changes, base=base)
+            self._commit(df, changes=changes, base=base, op=op)
             return
         last = None
         for _ in range(self._OCC_RETRIES):
             try:
-                self._commit(df)
+                self._commit(df, op=op)
                 return
             except ConcurrentWriteError as e:
                 last = e
@@ -1323,6 +1355,7 @@ class ParquetMergeSink:
                 link,
                 changes="none",  # layout-only: the feed records a logical no-op
                 base=cur,  # a concurrent commit must not be clobbered
+                op="OPTIMIZE",
             )
             self.last_commit = {
                 "mode": "cow",
@@ -1345,6 +1378,7 @@ class ParquetMergeSink:
                 link,
                 changes="none",
                 base=cur,
+                op="OPTIMIZE ZORDER BY (" + ", ".join(zorder_by) + ")",
             )
             self.last_commit = {
                 "mode": "cow",
@@ -1357,6 +1391,7 @@ class ParquetMergeSink:
                 cluster_frame(self.scan(self.spark, cur), zorder_by, n_files, bits_per_col, curve=curve),
                 changes="none",  # layout-only: the feed records a logical no-op
                 base=cur,  # a concurrent commit must not be clobbered by a layout rewrite
+                op="OPTIMIZE ZORDER BY (" + ", ".join(zorder_by) + ")",
             )
         files_after, _ = self._snapshot_stats(self._version())
         return {
@@ -1408,6 +1443,7 @@ class ParquetMergeSink:
                 sc = os.path.join(src_dir, STATS_FILE)
                 if os.path.exists(sc):
                     shutil.copy2(sc, os.path.join(staging, STATS_FILE))
+                self._write_commit_info(staging, f"RESTORE (to v{v})", "cow")
             except Exception:
                 shutil.rmtree(staging, ignore_errors=True)
                 raise
@@ -1421,7 +1457,7 @@ class ParquetMergeSink:
                 ) from None
             self.last_commit = {"mode": "cow", "files_linked": len(rels), "files_rewritten": 0}
         else:
-            self._commit(self.scan(self.spark, v), base=cur)
+            self._commit(self.scan(self.spark, v), base=cur, op=f"RESTORE (to v{v})")
         return self._version()
 
     def update_where(
@@ -1487,9 +1523,9 @@ class ParquetMergeSink:
             )
         )
         if link is not None:
-            self._commit_cow(out, link, changes=rec, base=basev)
+            self._commit_cow(out, link, changes=rec, base=basev, op="UPDATE")
         else:
-            self._commit(out, changes=rec, base=basev)
+            self._commit(out, changes=rec, base=basev, op="UPDATE")
         return 0 if empty_rewrite else int(obs.get["n"] or 0)
 
     def delete_where(self, cond: Column | None, conjuncts=None) -> int:
@@ -1508,6 +1544,7 @@ class ParquetMergeSink:
                 cur.limit(0),
                 changes=cur.withColumn("_change_type", F.lit("delete")),
                 base=basev,
+                op="DELETE",
             )
             return n
         split = self._cow_split(conjuncts, base=basev)
@@ -1530,6 +1567,7 @@ class ParquetMergeSink:
                     link,
                     changes=cur.filter(cond).withColumn("_change_type", F.lit("delete")),
                     base=basev,
+                    op="DELETE",
                 )
                 return 0
             cur = self._read_files(vdir, rewrite)
@@ -1540,6 +1578,7 @@ class ParquetMergeSink:
                 link,
                 changes=cur.filter(cond).withColumn("_change_type", F.lit("delete")),
                 base=basev,
+                op="DELETE",
             )
             return int(obs.get["n"] or 0)
         cur = self.scan(self.spark, basev)
@@ -1549,5 +1588,6 @@ class ParquetMergeSink:
             src.filter(~cond | cond.isNull()),
             changes=cur.filter(cond).withColumn("_change_type", F.lit("delete")),
             base=basev,
+            op="DELETE",
         )
         return int(obs.get["n"] or 0)

@@ -52,13 +52,13 @@ class TestMergeBasePinned:
         orig = sink._commit
         state = {"fired": False}
 
-        def commit_late_rival(df, changes=None, base=None):
+        def commit_late_rival(df, *args, **kwargs):
             if not state["fired"]:
                 state["fired"] = True
                 rival.insert_append(
                     spark.createDataFrame([(7000, 0)], "id long, v long")
                 )
-            return orig(df, changes=changes, base=base)
+            return orig(df, *args, **kwargs)
 
         sink._commit = commit_late_rival
         # source keys span every range file so the stats split keeps all

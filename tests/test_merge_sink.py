@@ -986,3 +986,44 @@ class TestVacuumCacheEdgeCases:
         sink.ensure(spark.createDataFrame([(1, "a")], "id long, v string"))
         with pytest.raises(ValueError, match="not both"):
             sink.vacuum(keep=5, retention_hours=1)
+
+
+class TestHistoryOperations:
+    """DESCRIBE HISTORY shows WHAT each version was (Delta history
+    parity: operation + commit mode), stamped into the snapshot dir at
+    commit time (`_commit_info`). Legacy versions render NULL."""
+
+    def test_operations_recorded_per_statement(self, spark, tmp_path):
+        from qlbridge_spark.sinks import ParquetMergeSink
+
+        e = Engine(spark, "hist-ops")
+        sink = ParquetMergeSink(spark, str(tmp_path / "ho"), key="id")
+        sink.ensure(
+            spark.createDataFrame([(i, 0) for i in range(100)], "id long, v long")
+            .repartitionByRange(4, "id")
+        )
+        e.register_sink("t", sink)
+        e.execute("INSERT INTO t (id, v) VALUES (200, 1)")
+        e.execute("UPDATE t SET v = 2 WHERE id < 3")
+        e.execute("DELETE FROM t WHERE id = 5")
+        e.register_df("src", spark.createDataFrame([(1, 9)], "id long, v long"))
+        e.execute(
+            "MERGE INTO t USING src ON t.id = src.id "
+            "WHEN MATCHED THEN UPDATE SET v = src.v"
+        )
+        e.execute("OPTIMIZE t ZORDER BY (id)")
+        e.execute("RESTORE TABLE t TO VERSION AS OF 2")
+        hist = {r["version"]: r for r in e.sql("DESCRIBE HISTORY t").collect()}
+        assert hist[0]["operation"] == "CREATE TABLE"
+        assert hist[1]["operation"] == "WRITE" and hist[1]["mode"] == "cow"
+        assert hist[2]["operation"] == "UPDATE"
+        assert hist[3]["operation"] == "DELETE"
+        assert hist[4]["operation"] == "MERGE"
+        assert hist[5]["operation"] == "OPTIMIZE ZORDER BY (id)"
+        assert hist[6]["operation"].startswith("RESTORE")
+        # legacy version without a stamp renders NULL, everything intact
+        import os
+
+        os.remove(os.path.join(sink._data_dir(2), "_commit_info"))
+        hist2 = {r["version"]: r for r in e.sql("DESCRIBE HISTORY t").collect()}
+        assert hist2[2]["operation"] is None and hist2[4]["operation"] == "MERGE"
