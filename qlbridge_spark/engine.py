@@ -1182,7 +1182,12 @@ class Engine:
             df = self.spark.read.option("mergeSchema", "true").parquet(
                 *[d for _, d in batch_dirs]
             )
-            vcol = F.regexp_extract(F.input_file_name(), r"[/\\]c(\d+)[/\\]", 1).cast("long")
+            # anchor to the file's IMMEDIATE parent dir (recordings are
+            # flat): a first-match regex would mis-tag every commit when
+            # the warehouse path itself contains a c<N> segment
+            vcol = F.regexp_extract(
+                F.input_file_name(), r"[/\\]c(\d+)[/\\][^/\\]+$", 1
+            ).cast("long")
             map_items: list = []
             for v, _ in batch_dirs:
                 map_items += [

@@ -811,3 +811,22 @@ class TestAutoCompact:
         n_files, _ = sink._snapshot_stats(sink._version())
         assert n_files >= 8  # no surprise commits without opt-in
         assert sink._version() == 8  # exactly one commit per INSERT
+
+
+class TestFeedVersionAnchoring:
+    def test_warehouse_path_containing_cN_segment(self, spark, tmp_path):
+        """The batched feed derives versions from the file path — the
+        regex must anchor to the file's immediate parent dir, or a
+        warehouse rooted under .../c5/... would mis-tag every commit."""
+        import os as _os
+
+        d = tmp_path / "c5" / "wh"
+        d.mkdir(parents=True)
+        eng = Engine(spark, "tc-anchor")
+        sink = ParquetMergeSink(spark, str(d / "t"), key="id")
+        sink.ensure(spark.createDataFrame([(i, 0) for i in range(20)], "id long, v long"))
+        eng.register_sink("t", sink)
+        eng.execute("UPDATE t SET v = 1 WHERE id < 3")
+        eng.execute("DELETE FROM t WHERE id = 9")
+        rows = eng.sql("SELECT * FROM TABLE_CHANGES('t', 1)").collect()
+        assert sorted({r._commit_version for r in rows}) == [1, 2]
