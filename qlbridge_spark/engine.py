@@ -1042,6 +1042,48 @@ class Engine:
         have = sorted(sink.versions())
         if not have:
             raise ExecError(f"TABLE_CHANGES: {tname!r} has no committed versions")
+        if isinstance(v_from, str) or isinstance(v_to, str):
+            # Delta startingTimestamp/endingTimestamp parity: a string
+            # start bound resolves to the FIRST commit at or after it, a
+            # string end bound to the LAST commit at or before it —
+            # against the durable commit-time sidecar, failing loudly
+            # when the bound falls outside the retained history
+            if not hasattr(sink, "commit_time"):
+                raise ExecError(
+                    f"TABLE_CHANGES: sink for {tname!r} has no commit timestamps; "
+                    "use version-number bounds"
+                )
+            import datetime as _dt
+
+            def _want(bound: str):
+                try:
+                    w = _dt.datetime.fromisoformat(bound)
+                except ValueError:
+                    raise ExecError(
+                        f"TABLE_CHANGES: {bound!r} is neither a version number "
+                        "nor an ISO timestamp"
+                    ) from None
+                return w.replace(tzinfo=_dt.timezone.utc) if w.tzinfo is None else w
+
+            times = {v: sink.commit_time(v) for v in have}
+            if isinstance(v_from, str):
+                w = _want(v_from)
+                later = [v for v in have if times[v] >= w]
+                if not later:
+                    raise ExecError(
+                        f"TABLE_CHANGES: no commit of {tname!r} at or after "
+                        f"{v_from!r} (latest: {times[max(have)].isoformat()})"
+                    )
+                v_from = min(later)
+            if isinstance(v_to, str):
+                w = _want(v_to)
+                earlier = [v for v in have if times[v] <= w]
+                if not earlier:
+                    raise ExecError(
+                        f"TABLE_CHANGES: no commit of {tname!r} at or before "
+                        f"{v_to!r} (earliest retained: {times[min(have)].isoformat()})"
+                    )
+                v_to = max(earlier)
         v_to = max(have) if v_to is None else int(v_to)
         v_from = int(v_from)
         if v_from < 0:
@@ -1270,6 +1312,32 @@ class Engine:
             raise ExecError(f"stream_changes requires a versioned sink table; {table!r} is not one")
         if not getattr(sink, "path", None):
             raise ExecError(f"stream_changes: sink {table!r} has no filesystem path")
+        sv = str(starting_version)
+        if sv.lower() != "latest" and not sv.lstrip("-").isdigit():
+            # Delta startingTimestamp parity: an ISO timestamp resolves to
+            # the first commit at or after it (durable sidecar times)
+            import datetime as _dt
+
+            try:
+                w = _dt.datetime.fromisoformat(sv)
+            except ValueError:
+                raise ExecError(
+                    f"stream_changes: startingVersion {sv!r} is neither a "
+                    "version number, 'latest', nor an ISO timestamp"
+                ) from None
+            if w.tzinfo is None:
+                w = w.replace(tzinfo=_dt.timezone.utc)
+            if not hasattr(sink, "commit_time"):
+                raise ExecError(
+                    f"stream_changes: sink {table!r} has no commit timestamps; "
+                    "use a version-number startingVersion"
+                )
+            later = [v for v in sorted(sink.versions()) if sink.commit_time(v) >= w]
+            if not later:
+                raise ExecError(
+                    f"stream_changes: no commit of {table!r} at or after {sv!r}"
+                )
+            starting_version = min(later)
         from .streaming import cdf_source
 
         cdf_source.register(self.spark)

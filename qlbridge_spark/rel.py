@@ -1017,18 +1017,34 @@ class SqlParser(ExprParser):
             src = FromSource(subquery=sub)
         elif t.kind == IDENT and t.upper == "TABLE_CHANGES" and self.peek().kind == LPAREN:
             # TABLE_CHANGES('t', v_from[, v_to]) — Delta-style change data
-            # feed over a versioned sink (superset; pairs with VERSION AS OF)
+            # feed over a versioned sink (superset; pairs with VERSION AS OF).
+            # Bounds may be version NUMBERS or quoted TIMESTAMP strings
+            # (Delta startingTimestamp/endingTimestamp parity): a string
+            # start resolves to the first commit AT OR AFTER it, a string
+            # end to the last commit AT OR BEFORE it.
             self.advance()
             self.advance()  # (
             tname = self.advance()
             if tname.kind != STRING:
                 raise ParseError(f"TABLE_CHANGES expects a quoted table name, got {tname!r}")
             self.expect(COMMA)
-            v_from = self._int_literal(self.expect(NUMBER).val, "TABLE_CHANGES start version")
+
+            def bound(which: str):
+                tok = self.advance()
+                if tok.kind == NUMBER:
+                    return self._int_literal(tok.val, f"TABLE_CHANGES {which}")
+                if tok.kind == STRING:
+                    return tok.val  # ISO timestamp, resolved at exec time
+                raise ParseError(
+                    f"TABLE_CHANGES {which} must be a version number or a "
+                    f"quoted timestamp, got {tok!r}"
+                )
+
+            v_from = bound("start bound")
             v_to = None
             if self.cur().kind == COMMA:
                 self.advance()
-                v_to = self._int_literal(self.expect(NUMBER).val, "TABLE_CHANGES end version")
+                v_to = bound("end bound")
             self.expect(RPAREN)
             src = FromSource(table_changes=(tname.val, v_from, v_to), alias="table_changes")
         elif t.kind == IDENT and t.upper == "UNNEST" and self.peek().kind == LPAREN:

@@ -830,3 +830,62 @@ class TestFeedVersionAnchoring:
         eng.execute("DELETE FROM t WHERE id = 9")
         rows = eng.sql("SELECT * FROM TABLE_CHANGES('t', 1)").collect()
         assert sorted({r._commit_version for r in rows}) == [1, 2]
+
+
+class TestTimestampBounds:
+    """Delta startingTimestamp/endingTimestamp parity: TABLE_CHANGES
+    bounds (and stream_changes startingVersion) accept ISO timestamps —
+    a string start resolves to the first commit AT OR AFTER it, a string
+    end to the last commit AT OR BEFORE it, against the durable commit
+    sidecar; out-of-history bounds fail loudly."""
+
+    def _mk(self, spark, tmp_path):
+        import time as _time
+
+        eng = Engine(spark, "tc-tsb")
+        sink = ParquetMergeSink(spark, str(tmp_path / "tsb"), key="id")
+        sink.ensure(spark.createDataFrame([(i, 0) for i in range(20)], "id long, v long"))
+        eng.register_sink("t", sink)
+        eng.execute("UPDATE t SET v = 1 WHERE id = 1")  # v1
+        _time.sleep(1.1)
+        import datetime
+
+        mid = datetime.datetime.now(datetime.timezone.utc).isoformat()
+        _time.sleep(1.1)
+        eng.execute("UPDATE t SET v = 2 WHERE id = 2")  # v2
+        eng.execute("DELETE FROM t WHERE id = 3")  # v3
+        return eng, sink, mid
+
+    def test_start_and_end_timestamp_bounds(self, spark, tmp_path):
+        eng, sink, mid = self._mk(spark, tmp_path)
+        rows = eng.sql(f"SELECT * FROM TABLE_CHANGES('t', '{mid}')").collect()
+        assert sorted({r._commit_version for r in rows}) == [2, 3]
+        rows = eng.sql(f"SELECT * FROM TABLE_CHANGES('t', 1, '{mid}')").collect()
+        assert sorted({r._commit_version for r in rows}) == [1]
+
+    def test_out_of_history_bounds_error(self, spark, tmp_path):
+        eng, sink, mid = self._mk(spark, tmp_path)
+        with pytest.raises(ExecError, match="at or after"):
+            eng.sql("SELECT * FROM TABLE_CHANGES('t', '2099-01-01')").collect()
+        with pytest.raises(ExecError, match="at or before"):
+            eng.sql("SELECT * FROM TABLE_CHANGES('t', 0, '1999-01-01')").collect()
+        with pytest.raises(ExecError, match="neither"):
+            eng.sql("SELECT * FROM TABLE_CHANGES('t', 'not-a-time')").collect()
+
+    def test_stream_starting_timestamp(self, spark, tmp_path):
+        eng, sink, mid = self._mk(spark, tmp_path)
+        q = (
+            eng.stream_changes("t", starting_version=mid)
+            .writeStream.format("memory")
+            .queryName("tc_tsb_stream")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            vs = sorted(
+                {r._commit_version for r in spark.sql("SELECT * FROM tc_tsb_stream").collect()}
+            )
+            assert vs == [2, 3]
+        finally:
+            q.stop()
