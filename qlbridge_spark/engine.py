@@ -3890,12 +3890,15 @@ class Engine:
                         "size_bytes": size_bytes,
                         "committed_at": ts,
                         "retained_versions": len(sink.versions()),
+                        "partition_by": ",".join(getattr(sink, "partition_by", []) or []),
+                        "cluster_by": ",".join(getattr(sink, "cluster_by", []) or []),
                     }
                 ],
                 schema=(
                     "name string, format string, location string, key string, "
                     "version long, num_files long, size_bytes long, "
-                    "committed_at timestamp, retained_versions long"
+                    "committed_at timestamp, retained_versions long, "
+                    "partition_by string, cluster_by string"
                 ),
             )
         if ident.lower().startswith("history "):
@@ -4162,23 +4165,31 @@ class Engine:
                 part = with_cfg.get("partition_by") or []
                 if isinstance(part, str):
                     part = [part]
+                clus = with_cfg.get("cluster_by") or []
+                if isinstance(clus, str):
+                    clus = [clus]
                 if c.select is not None:
                     df = self._select_any(c.select)
                 else:
                     fields = [T.StructField(n, _ddl_type(ty), True) for n, ty in c.cols]
                     df = self.spark.createDataFrame([], T.StructType(fields))
-                bad = [p for p in part if p not in df.columns]
-                if bad:
-                    raise ExecError(
-                        f"CREATE TABLE {c.ident}: partition_by columns {bad} "
-                        f"not in the table's columns {df.columns}"
-                    )
+                for kind, cols_ in (("partition_by", part), ("cluster_by", clus)):
+                    bad = [p for p in cols_ if p not in df.columns]
+                    if bad:
+                        raise ExecError(
+                            f"CREATE TABLE {c.ident}: {kind} columns {bad} "
+                            f"not in the table's columns {df.columns}"
+                        )
                 key = with_cfg.get("key") or (df.columns[0] if df.columns else "id")
                 try:
                     sink = ParquetMergeSink(
-                        self.spark, str(path), key=str(key), partition_by=[str(p) for p in part]
+                        self.spark,
+                        str(path),
+                        key=str(key),
+                        partition_by=[str(p) for p in part],
+                        cluster_by=[str(p) for p in clus],
                     )
-                except ValueError as e:  # reopen with conflicting partitioning
+                except ValueError as e:  # reopen with conflicting layout spec
                     raise ExecError(str(e)) from None
                 existed = sink._version() >= 0
                 if existed and c.if_not_exists:

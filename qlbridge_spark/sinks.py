@@ -265,6 +265,7 @@ class ParquetMergeSink:
         path: str,
         key: str,
         partition_by: list[str] | None = None,
+        cluster_by: list[str] | None = None,
     ):
         import json
         import os
@@ -280,10 +281,10 @@ class ParquetMergeSink:
         #: 'full'|'cow'[, files_linked, files_rewritten]}
         self.last_commit: dict | None = None
         os.makedirs(path, exist_ok=True)
-        # hive partitioning is a TABLE property, not a handle property:
-        # it's persisted in _meta.json at creation and re-opened handles
-        # inherit it (a conflicting explicit spec is an error, not a
-        # silent layout change)
+        # hive partitioning and clustering are TABLE properties, not
+        # handle properties: persisted in _meta.json at creation and
+        # inherited by re-opened handles (a conflicting explicit spec is
+        # an error, not a silent layout change)
         meta = None
         try:
             with open(os.path.join(path, "_meta.json")) as f:
@@ -298,12 +299,27 @@ class ParquetMergeSink:
                     f"partition_by={list(partition_by)}"
                 )
             self.partition_by = stored
+            stored_cl = list(meta.get("cluster_by") or [])
+            if cluster_by is not None and list(cluster_by) != stored_cl:
+                raise ValueError(
+                    f"{path} is clustered by {stored_cl}; cannot reopen with "
+                    f"cluster_by={list(cluster_by)}"
+                )
+            self.cluster_by = stored_cl
         else:
             self.partition_by = list(partition_by or [])
-            if self.partition_by:
+            self.cluster_by = list(cluster_by or [])
+            if self.partition_by or self.cluster_by:
                 tmp = os.path.join(path, "_meta.json.tmp")
                 with open(tmp, "w") as f:
-                    json.dump({"partition_by": self.partition_by, "key": key}, f)
+                    json.dump(
+                        {
+                            "partition_by": self.partition_by,
+                            "cluster_by": self.cluster_by,
+                            "key": key,
+                        },
+                        f,
+                    )
                 os.replace(tmp, os.path.join(path, "_meta.json"))
 
     # -- version bookkeeping -------------------------------------------
@@ -1339,7 +1355,12 @@ class ParquetMergeSink:
 
         if not zorder_by:
             # incremental small-file compaction: bin-pack ONLY the
-            # under-target candidate files; link the rest
+            # under-target candidate files; link the rest. A table
+            # declared with ``cluster_by`` (liquid-clustering parity)
+            # also lays the REWRITTEN rows on its clustering curve — new
+            # CDC data gets incrementally clustered as it compacts while
+            # already-right-sized files stay untouched; an explicit
+            # ZORDER BY remains the full re-cluster.
             thresh = int(target_file_mb * (1 << 20))
             small = [
                 r for r in candidates
@@ -1351,11 +1372,17 @@ class ParquetMergeSink:
             small_bytes = sum(os.path.getsize(os.path.join(vdir, r)) for r in small)
             n_files = estimate_num_files(small_bytes, target_file_mb)
             self._commit_cow(
-                cluster_frame(self._read_files(vdir, small), None, n_files),
+                cluster_frame(
+                    self._read_files(vdir, small),
+                    self.cluster_by or None,
+                    n_files,
+                    bits_per_col,
+                    curve=curve,
+                ),
                 link,
                 changes="none",  # layout-only: the feed records a logical no-op
                 base=cur,  # a concurrent commit must not be clobbered
-                op="OPTIMIZE",
+                op="OPTIMIZE (clustered)" if self.cluster_by else "OPTIMIZE",
             )
             self.last_commit = {
                 "mode": "cow",

@@ -889,3 +889,63 @@ class TestTimestampBounds:
             assert vs == [2, 3]
         finally:
             q.stop()
+
+
+class TestClusterBy:
+    """Declared clustering (``WITH {"cluster_by": [...]}`` — liquid-
+    clustering parity): plain OPTIMIZE and auto-compaction lay the
+    REWRITTEN (small/new) files on the table's clustering curve while
+    right-sized files hardlink through — new CDC data gets incrementally
+    clustered without anyone naming ZORDER columns."""
+
+    def test_declared_clustering_applied_on_compaction(self, spark, tmp_path):
+        eng = Engine(spark, "cb1")
+        path = tmp_path / "cb1"
+        eng.execute(
+            f"CREATE TABLE ct (id BIGINT, a BIGINT, b DOUBLE) "
+            f'WITH {{"path": "{path}", "key": "id", "cluster_by": ["a", "b"]}}'
+        )
+        sink = eng.sinks["ct"]
+        assert sink.cluster_by == ["a", "b"]
+        # fragment with unclustered inserts
+        df = spark.range(40000).selectExpr(
+            "id", "id % 97 AS a", "cast(id * 7919 % 1009 AS double) AS b"
+        ).repartition(6)
+        sink.insert_append(df)
+        eng.execute("SET optimize.target_file_mb = 0.05")  # multi-file output
+        out = eng.sql("OPTIMIZE ct").collect()[0]
+        assert out["zorder_by"] == ""  # plain OPTIMIZE — clustering is implicit
+        hist = {r["version"]: r["operation"] for r in eng.sql("DESCRIBE HISTORY ct").collect()}
+        assert hist[out["version"]] == "OPTIMIZE (clustered)"
+        # per-file ranges of BOTH clustering columns are narrow
+        cur = sink.scan(spark).withColumn("f", F.input_file_name())
+        stats = (
+            cur.groupBy("f")
+            .agg((F.max("a") - F.min("a")).alias("ar"), (F.max("b") - F.min("b")).alias("br"))
+            .collect()
+        )
+        assert len(stats) >= 2
+        assert sum(r["ar"] for r in stats) / len(stats) < 96 * 0.8
+        assert sum(r["br"] for r in stats) / len(stats) < 1008 * 0.8
+        # rows preserved
+        assert sink.scan(spark).count() == 40000
+        # DESCRIBE DETAIL reports the declared clustering
+        det = eng.sql("DESCRIBE DETAIL ct").collect()[0]
+        assert det["cluster_by"] == "a,b"
+
+    def test_reopen_with_conflicting_clustering_errors(self, spark, tmp_path):
+        p = str(tmp_path / "cb2")
+        s1 = ParquetMergeSink(spark, p, key="id", cluster_by=["a"])
+        s1.ensure(spark.createDataFrame([(1, 2)], "id long, a long"))
+        s2 = ParquetMergeSink(spark, p, key="id")  # inherit silently
+        assert s2.cluster_by == ["a"]
+        with pytest.raises(ValueError, match="clustered by"):
+            ParquetMergeSink(spark, p, key="id", cluster_by=["id"])
+
+    def test_unknown_cluster_column_rejected(self, spark, tmp_path):
+        eng = Engine(spark, "cb3")
+        with pytest.raises(ExecError, match="cluster_by columns"):
+            eng.execute(
+                f"CREATE TABLE bad (id BIGINT) "
+                f'WITH {{"path": "{tmp_path / "cb3"}", "cluster_by": ["nope"]}}'
+            )
