@@ -4844,12 +4844,27 @@ class Engine:
             raise ExecError("VACUUM RETAIN must keep at least 1 version")
         from .sinks import SinkCapabilityError
 
+        kwargs: dict = {}
+        if v.retain_hours is not None:
+            kwargs["retention_hours"] = float(v.retain_hours)
+        elif v.retain is not None:
+            kwargs["keep"] = int(v.retain)
+        if v.dry_run:
+            # Delta VACUUM ... DRY RUN parity: report the victims, delete
+            # nothing — the audit step before an irreversible prune
+            import inspect as _inspect
+
+            if "dry_run" not in _inspect.signature(sink.vacuum).parameters:
+                raise ExecError(
+                    f"sink for {v.table!r} does not support VACUUM DRY RUN"
+                )
+            victims = sink.vacuum(dry_run=True, **kwargs)
+            return self.spark.createDataFrame(
+                victims or [],
+                schema="version long, files long, bytes long",
+            )
         try:
-            if v.retain_hours is not None:
-                return sink.vacuum(retention_hours=float(v.retain_hours))
-            if v.retain is not None:
-                return sink.vacuum(keep=int(v.retain))
-            return sink.vacuum()
+            return sink.vacuum(**kwargs)
         except SinkCapabilityError as e:  # e.g. Delta cannot do RETAIN VERSIONS
             raise ExecError(str(e)) from e
 

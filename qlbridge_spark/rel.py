@@ -312,6 +312,7 @@ class SqlVacuum:
     table: str = ""
     retain: int | None = None
     retain_hours: float | None = None
+    dry_run: bool = False  # DRY RUN: report victims, delete nothing
 
 
 @dataclass
@@ -478,6 +479,9 @@ class SqlParser(ExprParser):
                     v.retain_hours = float(num)
                 else:
                     raise ParseError(f"VACUUM RETAIN takes VERSIONS or HOURS, got {unit!r}")
+            if self.eat_kw("DRY"):
+                self.expect(IDENT, "RUN")
+                v.dry_run = True
             return v
         if kw == "RESTORE":
             self.advance()

@@ -816,14 +816,19 @@ class ParquetMergeSink:
             return None
         return sorted(kept_set), link
 
-    def vacuum(self, keep: int = 1, retention_hours: float | None = None) -> int:
+    def vacuum(
+        self, keep: int = 1, retention_hours: float | None = None, dry_run: bool = False
+    ) -> int | list[dict]:
         """Drop old committed versions; returns the number removed.
 
         ``keep`` retains the newest N versions (count-based).
         ``retention_hours`` instead drops every non-current version whose
         commit time (sidecar) is older than now−hours — the Delta-style
         time-based model, resolvable here thanks to the durable
-        ``_commits`` timestamps; the CURRENT version is never dropped."""
+        ``_commits`` timestamps; the CURRENT version is never dropped.
+        ``dry_run`` (Delta ``VACUUM ... DRY RUN`` parity) deletes NOTHING
+        and instead returns the would-be victims as ``[{version, files,
+        bytes}]`` — the audit step before an irreversible prune."""
         import datetime
         import os
         import re
@@ -844,6 +849,12 @@ class ParquetMergeSink:
             }
         else:
             victims = {v for v in self.versions() if v <= cur - keep}
+        if dry_run:
+            out = []
+            for v in sorted(victims):
+                n, b = self._snapshot_stats(v)
+                out.append({"version": v, "files": n, "bytes": b})
+            return out
         removed = 0
         dropped = []
         for name in os.listdir(self.path):

@@ -1027,3 +1027,30 @@ class TestHistoryOperations:
         os.remove(os.path.join(sink._data_dir(2), "_commit_info"))
         hist2 = {r["version"]: r for r in e.sql("DESCRIBE HISTORY t").collect()}
         assert hist2[2]["operation"] is None and hist2[4]["operation"] == "MERGE"
+
+
+class TestVacuumDryRun:
+    """``VACUUM t [RETAIN ...] DRY RUN`` — report would-be victims
+    (version / file count / bytes), delete NOTHING (Delta parity: the
+    audit step before an irreversible prune)."""
+
+    def test_dry_run_reports_without_deleting(self, spark, tmp_path):
+        from qlbridge_spark.sinks import ParquetMergeSink
+
+        e = Engine(spark, "vac-dry")
+        sink = ParquetMergeSink(spark, str(tmp_path / "vd"), key="id")
+        sink.ensure(spark.createDataFrame([(1, 0)], "id long, v long"))
+        e.register_sink("t", sink)
+        e.execute("UPDATE t SET v = 1 WHERE id = 1")  # v1
+        e.execute("UPDATE t SET v = 2 WHERE id = 1")  # v2
+        rows = e.sql("VACUUM t RETAIN 1 VERSIONS DRY RUN").collect()
+        assert [r["version"] for r in rows] == [0, 1]
+        assert all(r["files"] >= 1 and r["bytes"] > 0 for r in rows)
+        # nothing was deleted
+        assert sink.versions() == [0, 1, 2]
+        # the real vacuum then removes exactly what the dry run named
+        assert e.execute("VACUUM t RETAIN 1 VERSIONS") == 2
+        assert sink.versions() == [2]
+        # caught-up dry run reports empty with the schema intact
+        out = e.sql("VACUUM t DRY RUN")
+        assert out.count() == 0 and out.columns == ["version", "files", "bytes"]
