@@ -4262,6 +4262,8 @@ class Engine:
         if mv.incremental:
             sink = self.sinks[mv.base]
             mv.base_version = max(sink.versions())
+            if mv.dim:
+                mv.dim_version = max(self.sinks[mv.dim].versions())
             # exposed dtypes from the ORIGINAL query's analyzed schema
             # (analysis only — no job): incremental refreshes cast back to
             # these, so the view stays schema-identical to a recompute
@@ -4301,7 +4303,15 @@ class Engine:
             raise ExecError(f"REFRESH MATERIALIZED VIEW: unknown materialized view {r.view!r}")
         mode = "full"
         v_from = mv.base_version
-        if mv.incremental and not r.full:
+        dim_moved = False
+        if mv.dim:
+            dsink = self.sinks.get(mv.dim)
+            if dsink is None:
+                raise ExecError(
+                    f"materialized view {r.view!r}: dim {mv.dim!r} is no longer a registered sink"
+                )
+            dim_moved = max(dsink.versions()) != mv.dim_version
+        if mv.incremental and not r.full and not dim_moved:
             if self.sinks.get(mv.base) is None:
                 raise ExecError(
                     f"materialized view {r.view!r}: base {mv.base!r} is no longer a registered sink"
@@ -4330,6 +4340,9 @@ class Engine:
             if mv.incremental:
                 sink = self.sinks[mv.base]
                 mv.base_version = max(sink.versions())
+                if mv.dim:
+                    # a dim commit forced this full recompute; re-pin it
+                    mv.dim_version = max(self.sinks[mv.dim].versions())
                 base_df = sink.scan(self.spark, version=mv.base_version)
                 mv.internal = persist_state(
                     mv, state_frame(self, mv, base_df, F.lit(1)).drop("__mv_neg")

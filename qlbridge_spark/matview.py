@@ -101,6 +101,12 @@ class MatView:
     #: versioned-sink base table when incrementally maintainable
     base: str | None = None
     base_version: int | None = None
+    #: fact-incremental JOIN views: the static dimension table (itself a
+    #: versioned sink so drift is DETECTABLE — a dim commit forces full
+    #: recompute; fact deltas join the dim row-locally: Δ(F ⋈ D) = ΔF ⋈ D
+    #: when D is unchanged, for INNER/LEFT joins)
+    dim: str | None = None
+    dim_version: int | None = None
     key_nodes: list = field(default_factory=list)  # group-key expr Nodes
     key_cols: list[str] = field(default_factory=list)  # exposed key names
     aggs: list[AggSpec] | None = None  # None → full-recompute-only
@@ -143,26 +149,51 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
     """Incremental-maintenance analysis. Returns a MatView skeleton
     (keys + agg specs, no frames) when the query fits the signed-delta
     algebra over a versioned-sink base; None → full-recompute MV."""
-    if len(select.from_) != 1:
+    if len(select.from_) not in (1, 2):
         return None
+
+    def _plain_table(s: FromSource) -> bool:
+        return not (
+            s.name is None
+            or s.subquery is not None
+            or s.pivot is not None
+            or s.unpivot is not None
+            or s.sample is not None
+            or s.unnest is not None
+            or s.values_rows is not None
+            or s.table_changes is not None
+            or s.version is not None
+            or s.as_of_ts is not None
+        )
+
     src = select.from_[0]
-    if (
-        src.name is None
-        or src.subquery is not None
-        or src.pivot is not None
-        or src.unpivot is not None
-        or src.sample is not None
-        or src.unnest is not None
-        or src.values_rows is not None
-        or src.table_changes is not None
-        or src.version is not None
-        or src.as_of_ts is not None
-    ):
+    if not _plain_table(src):
         return None
     nm = src.name.lower()
     sink = engine.sinks.get(nm)
     if sink is None or not hasattr(sink, "versions") or nm in engine.tables:
         return None
+    dim_name = None
+    if len(select.from_) == 2:
+        # fact-incremental JOIN view: Δ(F ⋈ D) = ΔF ⋈ D holds when the
+        # dim is unchanged and the join is INNER/LEFT (each fact row
+        # contributes exactly its own joined rows — row-local in the
+        # fact). The dim must be a versioned sink so drift is
+        # DETECTABLE: a dim commit forces the full-recompute path.
+        d = select.from_[1]
+        if not _plain_table(d):
+            return None
+        if d.join_type not in ("INNER", "LEFT", "LEFT OUTER"):
+            return None
+        if d.join_expr is None or not _row_local(d.join_expr):
+            return None
+        dn = d.name.lower()
+        if dn == nm:
+            return None  # self-join: both sides change — cross terms
+        dim_sink = engine.sinks.get(dn)
+        if dim_sink is None or not hasattr(dim_sink, "versions") or dn in engine.tables:
+            return None  # drift-undetectable dim → full recompute
+        dim_name = dn
     if (
         select.distinct
         or select.distinct_on
@@ -242,6 +273,11 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
     if not key_cols and not aggs:
         return None
 
+    if dim_name and any(a.kind in _EXTREMUM_AGGS for a in aggs):
+        # extrema repair probes key exprs on the FACT frame alone; a
+        # joined view's keys may reference dim columns — full recompute
+        return None
+
     i = 0
     for a in aggs:
         if a.kind in ("sum", "avg"):
@@ -255,6 +291,7 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
         name="",
         select=select,
         base=nm,
+        dim=dim_name,
         key_nodes=key_nodes,
         key_cols=key_cols,
         aggs=aggs,
@@ -329,9 +366,15 @@ def _state_select(mv: MatView, tmp_table: str, src_ref: str | None) -> SqlSelect
                 alias=NEG_FLAG,
             )
         )
+    from_list = [FromSource(name=tmp_table, alias=src_ref)]
+    if len(mv.select.from_) > 1:
+        # fact-incremental JOIN view: the dim FromSource (name, join
+        # type, ON expr) is reused VERBATIM — the fact's temp frame is
+        # aliased back to the original ref so the ON keeps resolving
+        from_list.append(mv.select.from_[1])
     return SqlSelect(
         columns=cols,
-        from_=[FromSource(name=tmp_table, alias=src_ref)],
+        from_=from_list,
         where=mv.select.where,
         group_by=list(mv.key_nodes),
     )

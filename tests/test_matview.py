@@ -351,3 +351,114 @@ class TestExtremaAndFilterOnly:
                             assert abs(gv - wv) < 1e-6, (round_, name, gr, wr)
                         else:
                             assert gv == wv, (round_, name, gr, wr)
+
+
+class TestJoinMatViews:
+    """Fact-incremental JOIN views: Δ(F ⋈ D) = ΔF ⋈ D for INNER/LEFT
+    joins while the dim is unchanged — fact deltas fold through the
+    join; a DIM commit is detected by its pinned sink version and forces
+    the full-recompute path (then re-pins). Self-joins, non-sink dims,
+    RIGHT/FULL joins, and extrema-with-join stay full-recompute."""
+
+    def _mk(self, spark, tmp_path, name):
+        from qlbridge_spark.sinks import ParquetMergeSink
+
+        eng = Engine(spark, f"mvj-{name}")
+        fact = ParquetMergeSink(spark, str(tmp_path / f"{name}_f"), key="id")
+        fact.ensure(
+            spark.createDataFrame(
+                [(i, i % 5, float(i)) for i in range(60)], "id long, dk int, x double"
+            )
+        )
+        dim = ParquetMergeSink(spark, str(tmp_path / f"{name}_d"), key="dk")
+        dim.ensure(
+            spark.createDataFrame([(k, f"n{k}") for k in range(4)], "dk int, dname string")
+        )
+        eng.register_sink("f", fact)
+        eng.register_sink("d", dim)
+        return eng, fact, dim
+
+    Q = (
+        "SELECT d.dname AS g, sum(f.x) AS s, count(*) AS n "
+        "FROM f JOIN d ON f.dk = d.dk WHERE f.x > 2 GROUP BY d.dname"
+    )
+
+    def test_fact_deltas_fold_through_the_join(self, spark, tmp_path):
+        eng, fact, dim = self._mk(spark, tmp_path, "a")
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {self.Q}")
+        mv = eng.mat_views["mv"]
+        assert mv.incremental and mv.dim == "d"
+        eng.execute("INSERT INTO f (id, dk, x) VALUES (100, 1, 50.0), (101, 0, 1.0)")
+        eng.execute("UPDATE f SET x = 99.0 WHERE id = 7")
+        eng.execute("DELETE FROM f WHERE id = 3")
+        rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+        assert rep["mode"] == "incremental"
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, self.Q)
+
+    def test_left_join_unmatched_facts(self, spark, tmp_path):
+        eng, fact, dim = self._mk(spark, tmp_path, "b")
+        q = "SELECT f.dk AS k, count(*) AS n, sum(f.x) AS s FROM f LEFT JOIN d ON f.dk = d.dk GROUP BY f.dk"
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
+        assert eng.mat_views["mv"].incremental
+        eng.execute("INSERT INTO f (id, dk, x) VALUES (200, 4, 7.0)")  # dk=4 has no dim row
+        rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+        assert rep["mode"] == "incremental"
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
+
+    def test_dim_commit_forces_full_then_repins(self, spark, tmp_path):
+        eng, fact, dim = self._mk(spark, tmp_path, "c")
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {self.Q}")
+        eng.execute("UPDATE d SET dname = 'renamed' WHERE dk = 1")
+        rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+        assert rep["mode"] == "full"
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, self.Q)
+        eng.execute("DELETE FROM f WHERE id = 10")
+        rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+        assert rep["mode"] == "incremental"  # re-pinned after the full
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, self.Q)
+
+    def test_ineligible_join_shapes_stay_full(self, spark, tmp_path):
+        eng, fact, dim = self._mk(spark, tmp_path, "e")
+        for q in (
+            # extrema + join (repair probes keys on the fact alone)
+            "SELECT d.dname AS g, min(f.x) AS lo FROM f JOIN d ON f.dk = d.dk GROUP BY d.dname",
+            # self-join: both sides change
+            "SELECT f.dk AS k, count(*) AS n FROM f JOIN f g ON f.id = g.id GROUP BY f.dk",
+            # RIGHT join: dim-only rows depend on absence of fact matches
+            "SELECT d.dname AS g, count(*) AS n FROM f RIGHT JOIN d ON f.dk = d.dk GROUP BY d.dname",
+        ):
+            eng.execute(f"CREATE OR REPLACE MATERIALIZED VIEW mvx AS {q}")
+            assert not eng.mat_views["mvx"].incremental, q
+            assert _rows(eng, "SELECT * FROM mvx") == _rows(eng, q)
+
+    def test_randomized_fact_mutations(self, spark, tmp_path):
+        import random
+
+        rng = random.Random(20260816)
+        eng, fact, dim = self._mk(spark, tmp_path, "r")
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {self.Q}")
+        next_id = 60
+        for round_ in range(4):
+            for _ in range(rng.randint(1, 3)):
+                op = rng.choice(["ins", "upd", "del"])
+                if op == "ins":
+                    vals = ", ".join(
+                        f"({next_id + k}, {rng.randint(0, 5)}, {float(rng.randint(0, 40))})"
+                        for k in range(rng.randint(1, 3))
+                    )
+                    next_id += 3
+                    eng.execute(f"INSERT INTO f (id, dk, x) VALUES {vals}")
+                elif op == "upd":
+                    eng.execute(
+                        f"UPDATE f SET x = {float(rng.randint(0, 40))} "
+                        f"WHERE id % {rng.randint(2, 7)} = 0"
+                    )
+                else:
+                    eng.execute(f"DELETE FROM f WHERE id % {rng.randint(5, 11)} = 1")
+            rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+            assert rep["mode"] in ("incremental", "noop"), round_
+            got, want = _rows(eng, "SELECT * FROM mv"), _rows(eng, self.Q)
+            assert len(got) == len(want), round_
+            for gr, wr in zip(got, want):
+                assert gr[0] == wr[0] and gr[2] == wr[2], (round_, gr, wr)
+                assert abs(gr[1] - wr[1]) < 1e-6, (round_, gr, wr)
