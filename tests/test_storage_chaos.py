@@ -44,15 +44,19 @@ def _replay(eng, upto):
     return state
 
 
-@pytest.mark.parametrize("partitioned,auto_compact", [(False, False), (True, True)])
-def test_randomized_storage_chaos(spark, tmp_path, partitioned, auto_compact):
-    rng = random.Random(20260815 + int(partitioned))
-    name = f"chaos_{int(partitioned)}_{int(auto_compact)}"
+@pytest.mark.parametrize(
+    "partitioned,auto_compact,clustered",
+    [(False, False, False), (True, True, False), (False, True, True)],
+)
+def test_randomized_storage_chaos(spark, tmp_path, partitioned, auto_compact, clustered):
+    rng = random.Random(20260815 + int(partitioned) + 2 * int(clustered))
+    name = f"chaos_{int(partitioned)}_{int(auto_compact)}_{int(clustered)}"
     sink = ParquetMergeSink(
         spark,
         str(tmp_path / name),
         key="id",
         partition_by=["p"] if partitioned else None,
+        cluster_by=["id", "v"] if clustered else None,
     )
     rows = [(i, i % 3, float(i)) for i in range(200)]
     sink.ensure(
