@@ -82,7 +82,10 @@ def main() -> int:
     # methodology): single-shot timings at this scale showed up to 2× run-
     # to-run variance (GC, code-cache, OS noise), which made round-over-
     # round comparison mostly noise. The full spread is reported alongside.
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    # Default raised 3→5 (r11 judge directive #6): driver boxes can be
+    # cold for the first 1-2 reps (q05/q06 spreads were monotone-falling
+    # across 3 reps two rounds running); 5 reps lets the min settle.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
     times: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     for name in bench_names:
@@ -583,6 +586,12 @@ def main() -> int:
     except OSError:
         pass
     print(json.dumps(full))
+    # The driver's stdout capture keeps the TAIL of output (last ~2000
+    # chars); the full record above is >2000 chars, so if it is the last
+    # line the headline keys are truncated away and the scoreboard
+    # records parsed:null (observed r10 and r11). Re-print the compact
+    # headline as the VERY LAST line so tail capture always parses it.
+    print(json.dumps(headline), flush=True)
     return 0
 
 

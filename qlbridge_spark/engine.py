@@ -4001,7 +4001,14 @@ class Engine:
         count bounded without an operator remembering to OPTIMIZE.
         Driver-side size check only; losing a commit race just defers
         compaction to the next statement."""
-        if not self.session_vars.get("optimize.auto_compact"):
+        # normalize the flag: SET arrives as whatever the statement's
+        # literal evaluated to (bool, int, or string) — only explicit
+        # true-ish spellings enable; 'false'/'off'/'0' must DISABLE
+        # (raw truthiness would treat any non-empty string as enabled)
+        flag = self.session_vars.get("optimize.auto_compact")
+        if isinstance(flag, str):
+            flag = flag.strip().lower() in ("true", "1", "on", "yes")
+        if not flag:
             return
         if not (hasattr(sink, "optimize") and hasattr(sink, "_data_rels")):
             return

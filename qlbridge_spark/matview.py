@@ -11,14 +11,17 @@ stored aggregation state. The aggregation work is O(|changes| +
 |view|), never O(|base|) — at 100 TB, re-aggregating a table because
 0.1 % of it changed is the difference between seconds and hours.
 Scale honesty on the feed itself: the feed's cost is the SINK's —
-Delta's native CDF reads only changed files (true O(|changes|) I/O),
-while ParquetMergeSink reconstructs changes by diffing adjacent
-snapshots (O(|base|) I/O for the diff, though the expensive
-aggregation+merge shuffle still only sees |changes| + |view| rows).
-At 100 TB put the base on a CDF-native sink. Anything the
-incremental algebra can't express (joins, min/max, DISTINCT, HAVING,
-windows, subqueries) still works as a materialized view — it just
-refreshes by full recompute, and the refresh report says so.
+Delta's native CDF reads only changed files, and ParquetMergeSink
+records change rows AT COMMIT TIME for every DML/MERGE commit (the
+c<N> recordings; engine reads an N-commit backlog in ONE batched
+scan), so its feed is O(|changes|) I/O too. Only commits without a
+recording (pre-recording warehouses, torn recordings) fall back to
+the O(|base|) adjacent-snapshot diff. min/max (extrema repair via
+delete-touched-group re-agg), filter-only multisets, and fact-JOIN-dim
+shapes also maintain incrementally; anything beyond the algebra
+(DISTINCT, HAVING, windows, subqueries, RIGHT/FULL joins) still works
+as a materialized view — it just refreshes by full recompute, and the
+refresh report says so.
 
 Superset: the reference has no materialized views (its closest notion
 is the continuously-evaluated view, which the engine maps to Structured

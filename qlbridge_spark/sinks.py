@@ -480,7 +480,14 @@ class ParquetMergeSink:
             return "no_changes"
         if os.path.exists(os.path.join(d, "_ALL_INSERT")):
             return "all_insert"
-        if any(n.endswith(".parquet") for n in os.listdir(d)):
+        # same visibility filter as recorded_changes: hidden/underscore
+        # artifacts (_SUCCESS-style markers, dot-tempfiles) are not data,
+        # and a dir holding ONLY those must plan as 'none' (diff
+        # fallback), not as an empty 'files' recording
+        if any(
+            n.endswith(".parquet") and not n.startswith((".", "_"))
+            for n in os.listdir(d)
+        ):
             return "files"
         return "none"  # torn recording → diff fallback
 
@@ -529,8 +536,14 @@ class ParquetMergeSink:
             from pyspark.sql import functions as F
 
             return base_cols_frame().withColumn("_change_type", F.lit("insert"))
-        if not any(n.endswith(".parquet") for n in os.listdir(d)):
-            return None  # torn recording → diff fallback
+        if not any(
+            n.endswith(".parquet") and not n.startswith((".", "_"))
+            for n in os.listdir(d)
+        ):
+            # no VISIBLE data files (hidden/underscore artifacts don't
+            # count — spark.read.parquet skips them): torn recording →
+            # diff fallback, matching recording_kind's 'none'
+            return None
         return spark.read.parquet(d)
 
     def _commit(self, df: DataFrame, changes=None, base: int | None = None,
@@ -1297,7 +1310,10 @@ class ParquetMergeSink:
                 if fn.startswith(("_", ".")):
                     continue
                 n += 1
-                total += os.path.getsize(os.path.join(root, fn))
+                try:
+                    total += os.path.getsize(os.path.join(root, fn))
+                except OSError:
+                    pass  # concurrent VACUUM between walk and stat
         return n, total
 
     def optimize(self, zorder_by: list[str] | None = None,
@@ -1373,14 +1389,23 @@ class ParquetMergeSink:
             # already-right-sized files stay untouched; an explicit
             # ZORDER BY remains the full re-cluster.
             thresh = int(target_file_mb * (1 << 20))
-            small = [
-                r for r in candidates
-                if os.path.getsize(os.path.join(vdir, r)) < thresh
-            ]
+
+            def _size(rel: str) -> int:
+                # a concurrent VACUUM can remove this snapshot between
+                # the listing and the stat; treat a vanished file as
+                # size 0 here and let the COW commit's base check (OCC)
+                # or the read raise the coherent error instead of a raw
+                # OSError out of a size probe
+                try:
+                    return os.path.getsize(os.path.join(vdir, rel))
+                except OSError:
+                    return 0
+
+            small = [r for r in candidates if _size(r) < thresh]
             if len(small) < 2:
                 return _noop()  # nothing worth compacting — no commit
             link = [r for r in rels if r not in set(small)]
-            small_bytes = sum(os.path.getsize(os.path.join(vdir, r)) for r in small)
+            small_bytes = sum(_size(r) for r in small)
             n_files = estimate_num_files(small_bytes, target_file_mb)
             self._commit_cow(
                 cluster_frame(
@@ -1406,7 +1431,12 @@ class ParquetMergeSink:
             if not candidates:
                 return _noop()
             link = [r for r in rels if r not in set(candidates)]
-            cand_bytes = sum(os.path.getsize(os.path.join(vdir, r)) for r in candidates)
+            cand_bytes = 0
+            for r in candidates:
+                try:
+                    cand_bytes += os.path.getsize(os.path.join(vdir, r))
+                except OSError:
+                    pass  # concurrent VACUUM; OCC base check decides
             n_files = estimate_num_files(cand_bytes, target_file_mb)
             self._commit_cow(
                 cluster_frame(
