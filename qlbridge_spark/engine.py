@@ -1123,10 +1123,18 @@ class Engine:
         def _has_recording(v: int) -> bool:
             return kinds[v] != "none" if has_kind else recorded[v] is not None
 
+        def _needs_endpoints(v: int) -> bool:
+            # an 'overwrite' marker derives its rows from BOTH flanking
+            # snapshots (delete-all v-1 + insert-all v), same on-disk
+            # needs as the diff fallback; other recordings stand alone
+            if not _has_recording(v):
+                return True
+            return has_kind and kinds[v] == "overwrite"
+
         missing = [
             v
             for v in range(v_from, v_to + 1)
-            if not _has_recording(v) and not (v in have and (v == 0 or v - 1 in have))
+            if _needs_endpoints(v) and not (v in have and (v == 0 or v - 1 in have))
         ]
         if missing:
             raise ExecError(
@@ -1166,6 +1174,25 @@ class Engine:
                             F.lit(commit_ts.get(v)).cast("timestamp").alias("_commit_timestamp"),
                         )
                     )
+                elif k == "overwrite":
+                    # delete-all(v-1) + insert-all(v): two plain scans, no
+                    # join/shuffle — cheaper than the full-outer diff and
+                    # exactly Delta's CDF semantics for a replace commit
+                    def _ow_side(vv: int, ct: str):
+                        d = sink.scan(self.spark, version=vv)
+                        picked = [
+                            (F.col(c) if c in d.columns else F.lit(None)).alias(c)
+                            for c in cols
+                        ]
+                        return d.select(
+                            *picked,
+                            F.lit(ct).alias("_change_type"),
+                            F.lit(v).cast("long").alias("_commit_version"),
+                            F.lit(commit_ts.get(v)).cast("timestamp").alias("_commit_timestamp"),
+                        )
+
+                    steps.append(_ow_side(v - 1, "delete"))
+                    steps.append(_ow_side(v, "insert"))
                 else:  # 'files'
                     batch_dirs.append((v, sink._changes_dir(v)))
                 continue
@@ -3952,9 +3979,18 @@ class Engine:
     # ------------------------------------------------------------------
     def _insert(self, ins: SqlInsert) -> int:
         base = self.table(ins.table)
+        # ANSI: no column list = positional against the table's columns
+        # (INSERT INTO t VALUES (...) / INSERT INTO t SELECT ...)
+        cols_target = ins.columns or list(base.columns)
         if ins.select is not None:
             sel_df = self._select_any(ins.select)
-            new = sel_df.toDF(*ins.columns) if ins.columns else sel_df
+            if len(sel_df.columns) != len(cols_target):
+                raise ExecError(
+                    f"INSERT INTO {ins.table}: SELECT produces "
+                    f"{len(sel_df.columns)} columns, target expects "
+                    f"{len(cols_target)} ({', '.join(cols_target)})"
+                )
+            new = sel_df.toDF(*cols_target)
         else:
             # VALUES may contain expressions — uuid(), now(), todate(...)
             # (exec/exec_test.go INSERT/UPSERT cases) — translate each row
@@ -3962,7 +3998,13 @@ class Engine:
             scope = Scope({}, includes=self.includes, params=self._scope_params())
             row_dfs = []
             for r in ins.rows:
-                cols = [to_column(node, scope).alias(cname) for cname, node in zip(ins.columns, r)]
+                if len(r) != len(cols_target):
+                    raise ExecError(
+                        f"INSERT INTO {ins.table}: VALUES row has {len(r)} "
+                        f"values, expected {len(cols_target)} "
+                        f"({', '.join(cols_target)})"
+                    )
+                cols = [to_column(node, scope).alias(cname) for cname, node in zip(cols_target, r)]
                 row_dfs.append(self.spark.range(1).select(*cols))
             new = row_dfs[0]
             for d in row_dfs[1:]:
@@ -3973,7 +4015,7 @@ class Engine:
         n = new.count()
         # upsert key: the table's DECLARED key when registered
         # (datasource/key.go KeyCol); fallback = first insert column
-        key = self.table_keys.get(ins.table.lower()) or (ins.columns[0] if ins.columns else base.columns[0])
+        key = self.table_keys.get(ins.table.lower()) or cols_target[0]
         sink = self.sinks.get(ins.table.lower())
         if sink is not None:
             # cluster write path: append / MERGE INTO on the sink table

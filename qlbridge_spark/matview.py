@@ -12,11 +12,13 @@ stored aggregation state. The aggregation work is O(|changes| +
 0.1 % of it changed is the difference between seconds and hours.
 Scale honesty on the feed itself: the feed's cost is the SINK's —
 Delta's native CDF reads only changed files, and ParquetMergeSink
-records change rows AT COMMIT TIME for every DML/MERGE commit (the
-c<N> recordings; engine reads an N-commit backlog in ONE batched
-scan), so its feed is O(|changes|) I/O too. Only commits without a
-recording (pre-recording warehouses, torn recordings) fall back to
-the O(|base|) adjacent-snapshot diff. min/max (extrema repair via
+records change rows AT COMMIT TIME for EVERY commit class — DML/MERGE
+(the c<N> recordings; engine reads an N-commit backlog in ONE batched
+scan), bare overwrite (an O(1) delete-all+insert-all marker), and
+RESTORE (the window's recordings inverted, O(|window changes|)) — so
+its feed is O(|changes|) I/O universally. Only pre-recording
+warehouses and torn recordings fall back to the O(|base|)
+adjacent-snapshot diff. min/max (extrema repair via
 delete-touched-group re-agg), filter-only multisets, and fact-JOIN-dim
 shapes also maintain incrementally; anything beyond the algebra
 (DISTINCT, HAVING, windows, subqueries, RIGHT/FULL joins) still works

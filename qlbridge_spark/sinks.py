@@ -430,7 +430,14 @@ class ParquetMergeSink:
         try:
             if isinstance(changes, str):
                 os.makedirs(d, exist_ok=True)
-                marker = "_ALL_INSERT" if changes == "all_insert" else "_NO_CHANGES"
+                marker = {
+                    "all_insert": "_ALL_INSERT",
+                    # delete-all(v-1) + insert-all(v), Delta CDF-for-
+                    # overwrite semantics — the feed derives both sides
+                    # from the flanking snapshots, so recording is O(1)
+                    # driver-side and never duplicates table data
+                    "overwrite": "_OVERWRITE",
+                }.get(changes, "_NO_CHANGES")
                 open(os.path.join(d, marker), "w").close()
                 return
             staging = os.path.join(self.path, f".cstaging-{uuid.uuid4().hex}")
@@ -466,11 +473,14 @@ class ParquetMergeSink:
         return names if names and all(names) else None
 
     def recording_kind(self, version: int) -> str:
-        """``'none' | 'no_changes' | 'all_insert' | 'files'`` — what kind
-        of commit-time change recording ``version`` has, from driver-side
-        path checks ONLY (no Spark read). Feed planning over an N-commit
-        backlog costs N stat calls, not N schema-inference jobs: the
-        engine batches every ``'files'`` version into ONE parquet read."""
+        """``'none' | 'no_changes' | 'all_insert' | 'overwrite' |
+        'files'`` — what kind of commit-time change recording ``version``
+        has, from driver-side path checks ONLY (no Spark read). Feed
+        planning over an N-commit backlog costs N stat calls, not N
+        schema-inference jobs: the engine batches every ``'files'``
+        version into ONE parquet read. ``'overwrite'`` means delete-all
+        of version−1 plus insert-all of this version (both flanking
+        snapshots must still be on disk to read it)."""
         import os
 
         d = self._changes_dir(version)
@@ -480,6 +490,8 @@ class ParquetMergeSink:
             return "no_changes"
         if os.path.exists(os.path.join(d, "_ALL_INSERT")):
             return "all_insert"
+        if os.path.exists(os.path.join(d, "_OVERWRITE")):
+            return "overwrite"
         # same visibility filter as recorded_changes: hidden/underscore
         # artifacts (_SUCCESS-style markers, dot-tempfiles) are not data,
         # and a dir holding ONLY those must plan as 'none' (diff
@@ -536,6 +548,19 @@ class ParquetMergeSink:
             from pyspark.sql import functions as F
 
             return base_cols_frame().withColumn("_change_type", F.lit("insert"))
+        if os.path.exists(os.path.join(d, "_OVERWRITE")):
+            # delete-all of the previous snapshot + insert-all of this one
+            # (Delta CDF-for-overwrite semantics): two plain scans, no
+            # join, no shuffle — the recording itself is one marker file
+            from pyspark.sql import functions as F
+
+            prev = self.scan(spark, version - 1).withColumn(
+                "_change_type", F.lit("delete")
+            )
+            return prev.unionByName(
+                base_cols_frame().withColumn("_change_type", F.lit("insert")),
+                allowMissingColumns=True,
+            )
         if not any(
             n.endswith(".parquet") and not n.startswith((".", "_"))
             for n in os.listdir(d)
@@ -1284,14 +1309,19 @@ class ParquetMergeSink:
         COMPUTED FROM — the promote CAS targets base+1, so a concurrent
         commit landing anywhere in the (multi-second) scan→commit window
         loses the race loudly instead of being silently clobbered. A bare
-        overwrite is blind and retries."""
+        overwrite is blind and retries. A bare overwrite still RECORDS
+        its changes as the O(1) ``'overwrite'`` marker (delete-all of the
+        previous snapshot + insert-all of this one — Delta's CDF
+        semantics for overwrite), so the change feed never degrades to
+        the snapshot-diff fallback for replace commits."""
         if changes is not None or base is not None:
             self._commit(df, changes=changes, base=base, op=op)
             return
         last = None
         for _ in range(self._OCC_RETRIES):
             try:
-                self._commit(df, op=op)
+                marker = "overwrite" if self._version() >= 0 else "all_insert"
+                self._commit(df, changes=marker, op=op)
                 return
             except ConcurrentWriteError as e:
                 last = e
@@ -1469,12 +1499,116 @@ class ParquetMergeSink:
             "zorder_by": list(zorder_by or []),
         }
 
+    def _restore_changes(self, v_target: int, cur: int):
+        """Change rows for a RESTORE commit (cur → v_target), computed by
+        INVERTING the recorded changes of the window (v_target, cur] —
+        O(|window changes|), never O(|base|): per key, the first recorded
+        event's preimage is the key's state AT v_target and the last
+        event's postimage its state AT cur; the restore emits the
+        transition back. Returns a DataFrame of base cols +
+        ``_change_type``, the string ``"none"`` for an empty window, or
+        None when any window commit lacks a recording (the feed's
+        snapshot-diff fallback handles it, as before this optimization).
+        Requires the sink's keyed contract (one row per key per
+        snapshot) — the same invariant the diff fallback's key join
+        already assumes."""
+        from pyspark.sql import functions as F
+
+        if v_target >= cur:
+            return "none"
+        window = list(range(v_target + 1, cur + 1))
+        kinds = {w: self.recording_kind(w) for w in window}
+        if any(k == "none" for k in kinds.values()):
+            return None
+        cols = self.snapshot_columns(v_target)
+        if cols is None:
+            cols = self.scan(self.spark, v_target).columns
+
+        def _sel(df, ctype=None):
+            picked = [
+                (F.col(c) if c in df.columns else F.lit(None)).alias(c) for c in cols
+            ]
+            ct = F.lit(ctype) if ctype else F.col("_change_type")
+            return df.select(*picked, ct.alias("_change_type"))
+
+        parts = []
+        try:
+            for w in window:
+                k = kinds[w]
+                if k == "no_changes":
+                    continue
+                if k == "all_insert":
+                    parts.append((w, _sel(self.scan(self.spark, w), "insert")))
+                elif k == "overwrite":
+                    parts.append((w, _sel(self.scan(self.spark, w - 1), "delete")))
+                    parts.append((w, _sel(self.scan(self.spark, w), "insert")))
+                else:  # files
+                    parts.append(
+                        (w, _sel(self.spark.read.parquet(self._changes_dir(w))))
+                    )
+        except Exception:
+            return None  # vacuumed endpoint mid-window → diff fallback
+        if not parts:
+            return "none"
+        union = None
+        for w, df in parts:
+            step = df.withColumn("_commit_version", F.lit(w).cast("long"))
+            union = step if union is None else union.unionByName(
+                step, allowMissingColumns=True
+            )
+        # per key: first event = state at v_target side, last = state at
+        # cur side. Intra-commit order: preimage/delete (the "before"
+        # row) sorts before insert/postimage (the "after" row).
+        rank = (
+            F.when(F.col("_change_type").isin("update_preimage", "delete"), F.lit(0))
+            .otherwise(F.lit(1))
+        )
+        ev = union.select(
+            F.col(self.key).alias("_k"),
+            F.struct(
+                F.col("_commit_version").alias("_v"),
+                rank.alias("_r"),
+                F.col("_change_type").alias("_t"),
+                F.struct(*[F.col(c).alias(c) for c in cols]).alias("_row"),
+            ).alias("_e"),
+        )
+        agg = ev.groupBy("_k").agg(F.min("_e").alias("_f"), F.max("_e").alias("_l"))
+        # state at v_target exists unless the key's first event created it
+        before_present = F.col("_f._t") != F.lit("insert")
+        # state at cur exists unless the key's last event deleted it
+        after_present = F.col("_l._t") != F.lit("delete")
+        before_row, after_row = F.col("_f._row"), F.col("_l._row")
+        changed = before_present & after_present & ~before_row.eqNullSafe(after_row)
+        rec = lambda ct, row: F.struct(  # noqa: E731
+            F.lit(ct).alias("_ct"), row.alias("_row")
+        )
+        pairs = F.array(
+            F.when(after_present & ~before_present, rec("delete", after_row)).when(
+                changed, rec("update_preimage", after_row)
+            ),
+            F.when(before_present & ~after_present, rec("insert", before_row)).when(
+                changed, rec("update_postimage", before_row)
+            ),
+        )
+        return (
+            agg.select(F.explode(pairs).alias("_e"))
+            .filter(F.col("_e").isNotNull())
+            .select(
+                *[F.col(f"_e._row.{c}").alias(c) for c in cols],
+                F.col("_e._ct").alias("_change_type"),
+            )
+        )
+
     def restore(self, version: int | None = None, timestamp: str | None = None) -> int:
         """Roll back to a past snapshot by committing it as the NEW
         current version (engine ``RESTORE TABLE``; Delta-parity). History
         is preserved — the restore itself is a commit that can be
-        time-traveled past or vacuumed like any other. Returns the new
-        current version number."""
+        time-traveled past or vacuumed like any other. The restore's NET
+        change rows (keys whose state differs between the current and
+        restored snapshots) are recorded at commit time by inverting the
+        window's recordings — O(|window changes|) — so the change feed
+        replays restores without the O(|base|) snapshot diff. Returns the
+        new current version number."""
         if (version is None) == (timestamp is None):
             raise ValueError("restore takes exactly one of version= or timestamp=")
         v = int(version) if version is not None else self.version_at(timestamp)
@@ -1488,6 +1622,7 @@ class ParquetMergeSink:
                 f"version {v} of {self.path} is not available "
                 f"(current {cur}, retained: {self.versions()})"
             )
+        restore_rec = self._restore_changes(v, cur)
         rels = self._data_rels(v)
         if rels:
             # pure metadata restore: hardlink every data file of the target
@@ -1516,7 +1651,7 @@ class ParquetMergeSink:
                 shutil.rmtree(staging, ignore_errors=True)
                 raise
             try:
-                self._promote(cur + 1, staging, None)
+                self._promote(cur + 1, staging, restore_rec)
             except _CommitConflict as c:
                 shutil.rmtree(staging, ignore_errors=True)
                 raise ConcurrentWriteError(
@@ -1525,7 +1660,12 @@ class ParquetMergeSink:
                 ) from None
             self.last_commit = {"mode": "cow", "files_linked": len(rels), "files_rewritten": 0}
         else:
-            self._commit(self.scan(self.spark, v), base=cur, op=f"RESTORE (to v{v})")
+            self._commit(
+                self.scan(self.spark, v),
+                changes=restore_rec,
+                base=cur,
+                op=f"RESTORE (to v{v})",
+            )
         return self._version()
 
     def update_where(

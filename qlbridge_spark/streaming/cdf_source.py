@@ -157,6 +157,21 @@ class TableChangesStreamReader(DataSourceStreamReader):
                     # them under col=value dirs; root lets read() inject
                     # the partition-column values the files don't store
                     files, tag, root = _parquet_files(vdir), "insert", vdir
+                elif os.path.exists(os.path.join(cdir, "_OVERWRITE")):
+                    # replace commit: delete-all of v-1 + insert-all of v
+                    # (Delta CDF-for-overwrite semantics); needs the
+                    # previous snapshot still on disk for the preimages
+                    pdir = os.path.join(self.path, f"v{v - 1}")
+                    if not os.path.isdir(pdir):
+                        raise RuntimeError(
+                            f"streaming TABLE_CHANGES: commit {v} of {self.path} is an "
+                            "overwrite whose previous snapshot was vacuumed; consume "
+                            "via batch TABLE_CHANGES or re-seed the stream."
+                        )
+                    items.extend(
+                        (f, v, "delete", ts, pdir) for f in _parquet_files(pdir)
+                    )
+                    files, tag, root = _parquet_files(vdir), "insert", vdir
                 else:
                     files, tag, root = _parquet_files(cdir), None, None
                     if not files:  # torn recording

@@ -352,6 +352,32 @@ class TestExecTestParity:
         assert all(r["date"] is not None for r in rows)
         engine.execute("DROP TABLE user_event2")
 
+    def test_insert_without_column_list_is_positional(self, engine, spark):
+        # ANSI: INSERT INTO t VALUES (...) with no column list maps the
+        # values positionally onto the table's columns. Regression: this
+        # used to zip against the EMPTY parsed column list and append
+        # all-NULL rows (verify-session find, r12).
+        from qlbridge_spark.engine import ExecError
+
+        engine.register_df(
+            "poslist", spark.createDataFrame([(1, "a")], "k long, s string")
+        )
+        n = engine.execute("INSERT INTO poslist VALUES (2, 'b'), (3, 'c')")
+        assert n == 2
+        rows = sorted((r["k"], r["s"]) for r in engine.table("poslist").collect())
+        assert rows == [(1, "a"), (2, "b"), (3, "c")]
+        # INSERT ... SELECT with no column list is positional too (the
+        # SELECT's own aliases must not leak into the target)
+        engine.execute("INSERT INTO poslist SELECT k + 10 AS x, upper(s) AS y FROM poslist")
+        assert engine.table("poslist").count() == 6
+        assert set(engine.table("poslist").columns) == {"k", "s"}
+        # arity mismatches raise instead of silently truncating
+        with pytest.raises(ExecError, match="3 values, expected 2"):
+            engine.execute("INSERT INTO poslist VALUES (9, 'z', 0)")
+        with pytest.raises(ExecError, match="expects 2"):
+            engine.execute("INSERT INTO poslist SELECT k, s, k FROM poslist")
+        engine.execute("DROP TABLE poslist")
+
     def test_upsert_changes_date(self, engine, spark):
         # TestExecUpsert: same key re-upserted with a new todate()
         import pyspark.sql.types as T

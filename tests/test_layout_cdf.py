@@ -283,10 +283,22 @@ class TestTableChanges:
         ).collect()[0]["n"]
         assert n == 3
 
-    def test_no_op_commit_produces_no_rows(self, cdc, spark):
+    def test_overwrite_commit_is_delete_all_insert_all(self, cdc, spark):
+        # Delta CDF parity: a replace commit emits delete-all of the
+        # previous snapshot + insert-all of the new one, even when the
+        # contents are identical (it's recorded as an O(1) marker, never
+        # diffed). Replay still converges to the table. Before the
+        # 'overwrite' recording this surfaced as 0 rows via the snapshot
+        # diff — that fallback no longer fires for overwrite commits.
         e, sink = cdc
         sink.overwrite(sink.scan(spark))  # v3: identical contents
-        assert e.sql("SELECT * FROM TABLE_CHANGES('cdfwh', 3, 3)").count() == 0
+        assert sink.recording_kind(3) == "overwrite"
+        rows = e.sql("SELECT * FROM TABLE_CHANGES('cdfwh', 3, 3)").collect()
+        by_type = {}
+        for r in rows:
+            by_type.setdefault(r["_change_type"], []).append(r["id"])
+        assert sorted(by_type) == ["delete", "insert"]
+        assert sorted(by_type["delete"]) == sorted(by_type["insert"])
 
     def test_errors(self, cdc, spark):
         e, _ = cdc

@@ -2,8 +2,8 @@
 
 Randomized interleaving of every mutation class the versioned sink
 supports — INSERT / UPDATE / DELETE / MERGE / OPTIMIZE (plain, scoped,
-ZORDER) / RESTORE, with auto-compaction enabled half the time — against
-a driver-side Python model. After EVERY step:
+ZORDER) / RESTORE / bare OVERWRITE, with auto-compaction enabled half
+the time — against a driver-side Python model. After EVERY step:
 
 1. the table equals the model (content correctness under any commit
    interleaving, COW or full);
@@ -81,7 +81,9 @@ def test_randomized_storage_chaos(spark, tmp_path, partitioned, auto_compact, cl
 
     next_id = 1000
     for step in range(14):
-        op = rng.choice(["ins", "upd", "del", "merge", "opt", "opt_scoped", "restore"])
+        op = rng.choice(
+            ["ins", "upd", "del", "merge", "opt", "opt_scoped", "restore", "ow"]
+        )
         if op == "ins":
             k = rng.randint(1, 4)
             vals = ", ".join(
@@ -128,11 +130,25 @@ def test_randomized_storage_chaos(spark, tmp_path, partitioned, auto_compact, cl
         elif op == "opt_scoped":
             eng.execute("SET optimize.target_file_mb = 1")
             eng.execute("OPTIMIZE t WHERE p = 1 ZORDER BY (id)")
-        else:  # restore
+        elif op == "restore":
             cur = sink._version()
             target = rng.randint(0, cur)
             eng.execute(f"RESTORE TABLE t TO VERSION AS OF {target}")
             model = dict(history[target])
+        else:  # ow: bare overwrite (CREATE OR REPLACE path) — keeps a
+            # random half of the current rows, perturbs their values
+            keep = {
+                i: (pp, vv + 1000.0)
+                for i, (pp, vv) in model.items()
+                if rng.random() < 0.5
+            } or {0: (0, 0.0)}
+            sink.overwrite(
+                spark.createDataFrame(
+                    [(i, pp, vv) for i, (pp, vv) in keep.items()],
+                    "id long, p int, v double",
+                )
+            )
+            model = dict(keep)
         snap_all_versions()
 
         # 1. table equals the model
@@ -143,3 +159,9 @@ def test_randomized_storage_chaos(spark, tmp_path, partitioned, auto_compact, cl
         # 3. a random earlier version still reads its frozen content
         v = rng.randint(0, sink._version())
         assert _table_state(sink.scan(spark, version=v)) == history[v], (step, op, v)
+
+    # 4. the feed is universally O(changes): EVERY commit in this run —
+    # DML, MERGE, OPTIMIZE, auto-compact, overwrite, restore — left a
+    # change recording; the O(|base|) snapshot-diff fallback never fires
+    kinds = {v: sink.recording_kind(v) for v in range(0, sink._version() + 1)}
+    assert all(k != "none" for k in kinds.values()), kinds
