@@ -4353,6 +4353,7 @@ class Engine:
         mode = "full"
         v_from = mv.base_version
         dim_moved = False
+        dsink = None
         if mv.dim:
             dsink = self.sinks.get(mv.dim)
             if dsink is None:
@@ -4360,30 +4361,118 @@ class Engine:
                     f"materialized view {r.view!r}: dim {mv.dim!r} is no longer a registered sink"
                 )
             dim_moved = max(dsink.versions()) != mv.dim_version
-        if mv.incremental and not r.full and not dim_moved:
+        # a dim commit on a LEFT join forces full recompute: the
+        # NULL-extension term isn't bilinear (a new dim row flips fact
+        # rows from null-extended to matched — not expressible as a
+        # signed join delta). INNER joins maintain via the higher-order
+        # identity below.
+        dim_incrementable = not dim_moved or (
+            mv.select.from_[1].join_type == "INNER"
+            if len(mv.select.from_) > 1
+            else False
+        )
+        if mv.incremental and not r.full and dim_incrementable:
             if self.sinks.get(mv.base) is None:
                 raise ExecError(
                     f"materialized view {r.view!r}: base {mv.base!r} is no longer a registered sink"
                 )
             try:
                 changes, cur = self.changes_since(mv.base, mv.base_version)
+                dim_changes = d_cur = None
+                if dim_moved:
+                    dim_changes, d_cur = self.changes_since(mv.dim, mv.dim_version)
+                    if mv.base_version not in self.sinks[mv.base].versions():
+                        # the F_old ⋈ ΔD term needs the fact's OLD
+                        # snapshot; vacuumed → full recompute
+                        changes = None
             except ExecError:
                 changes = None  # vacuumed gap / stale checkpoint → full recompute
             if changes is not None:
-                if cur == mv.base_version:
+                if cur == mv.base_version and not dim_moved:
                     mode = "noop"
                 else:
                     mode = "incremental"
                     w = F.when(
                         F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
                     ).otherwise(F.lit(-1))
-                    delta = state_frame(self, mv, changes, w)
-                    merged = merge_state(mv, mv.internal, delta)
-                    if mv.has_extrema:
-                        # min/max don't fold under deletes; re-aggregate
-                        # exactly the delete-touched groups from the base
-                        merged = repair_extrema(self, mv, merged, cur)
-                    mv.internal = persist_state(mv, merged)
+                    if not dim_moved:
+                        delta = state_frame(self, mv, changes, w)
+                        merged = merge_state(mv, mv.internal, delta)
+                        if mv.has_extrema:
+                            # min/max don't fold under deletes; re-aggregate
+                            # exactly the delete-touched groups from the base
+                            merged = repair_extrema(self, mv, merged, cur)
+                        mv.internal = persist_state(mv, merged)
+                    else:
+                        # higher-order join maintenance (both sides moved):
+                        #   Δ(F ⋈ D) = ΔF ⋈ D_new  ∪  F_old ⋈ ΔD
+                        # (bilinearity of INNER join over signed multiset
+                        # union: F_new⋈D_new − F_old⋈D_old
+                        #   = ΔF⋈(D_old+ΔD) + F_old⋈ΔD). Term A reuses the
+                        # ordinary fact-delta path with the dim PINNED at
+                        # its new version; term B substitutes the signed
+                        # dim delta for the dim relation, so only fact
+                        # rows matching CHANGED dim rows flow (one fact
+                        # scan, join prunes the rest) — never a recompute
+                        # of the whole view.
+                        from .matview import _UNSET
+
+                        d_new = dsink.scan(self.spark, version=d_cur)
+                        dw = F.when(
+                            F.col("_change_type").isin("insert", "update_postimage"),
+                            F.lit(1),
+                        ).otherwise(F.lit(-1))
+                        keep = [c for c in dim_changes.columns if c in set(d_new.columns)]
+                        d_delta = dim_changes.select(*keep, dw.alias("__dw"))
+                        f_old = self.sinks[mv.base].scan(
+                            self.spark, version=mv.base_version
+                        )
+                        # plain equi-join: pre-filter the fact scan to
+                        # join keys the dim delta actually touched — the
+                        # IN-list pushes to the parquet scan (file /
+                        # row-group skipping), so term B reads O(matching
+                        # fact rows), not the whole fact. Bounded
+                        # plan-time collect; >1000 distinct keys → skip
+                        # the prune and let the broadcast join filter.
+                        from .matview import equi_join_prune_cols
+
+                        pj = equi_join_prune_cols(
+                            mv,
+                            {c.lower() for c in f_old.columns},
+                            {c.lower() for c in d_new.columns},
+                        )
+                        if pj is not None:
+                            fact_col, dim_col = pj
+                            dkeys = [
+                                row[0]
+                                for row in d_delta.select(dim_col)
+                                .distinct()
+                                .limit(1001)
+                                .collect()
+                                if row[0] is not None  # NULL never equi-joins
+                            ]
+                            if len(dkeys) <= 1000:
+                                f_old = f_old.filter(F.col(fact_col).isin(dkeys))
+                        saved = self.tables.get(mv.dim, _UNSET)
+                        self.tables[mv.dim] = d_new
+                        try:
+                            term_a = state_frame(self, mv, changes, w)
+                            term_b = state_frame(
+                                self, mv, f_old, F.lit(1),
+                                dim_df=d_delta, dim_weighted=True,
+                            )
+                            merged = merge_state(
+                                mv, mv.internal, term_a.unionByName(term_b)
+                            )
+                            if mv.has_extrema:
+                                merged = repair_extrema(self, mv, merged, cur)
+                            mv.internal = persist_state(mv, merged)
+                        finally:
+                            if saved is _UNSET:
+                                self.tables.pop(mv.dim, None)
+                            else:
+                                self.tables[mv.dim] = saved
+                        mv.dim_version = d_cur
                     mv.base_version = cur
         if mode == "full":
             if mv.incremental:

@@ -106,10 +106,13 @@ class MatView:
     #: versioned-sink base table when incrementally maintainable
     base: str | None = None
     base_version: int | None = None
-    #: fact-incremental JOIN views: the static dimension table (itself a
-    #: versioned sink so drift is DETECTABLE — a dim commit forces full
-    #: recompute; fact deltas join the dim row-locally: Δ(F ⋈ D) = ΔF ⋈ D
-    #: when D is unchanged, for INNER/LEFT joins)
+    #: incremental JOIN views: the dimension table (itself a versioned
+    #: sink so its commits are DETECTABLE). Fact deltas join the dim
+    #: row-locally: Δ(F ⋈ D) = ΔF ⋈ D when D is unchanged (INNER/LEFT).
+    #: When the dim ALSO moved, INNER joins maintain via the bilinear
+    #: higher-order identity Δ(F ⋈ D) = ΔF ⋈ D_new ∪ F_old ⋈ ΔD (the
+    #: engine's refresh computes both terms); LEFT joins fall back to
+    #: full recompute there — the NULL-extension term isn't bilinear.
     dim: str | None = None
     dim_version: int | None = None
     key_nodes: list = field(default_factory=list)  # group-key expr Nodes
@@ -180,11 +183,12 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
         return None
     dim_name = None
     if len(select.from_) == 2:
-        # fact-incremental JOIN view: Δ(F ⋈ D) = ΔF ⋈ D holds when the
-        # dim is unchanged and the join is INNER/LEFT (each fact row
-        # contributes exactly its own joined rows — row-local in the
-        # fact). The dim must be a versioned sink so drift is
-        # DETECTABLE: a dim commit forces the full-recompute path.
+        # incremental JOIN view: Δ(F ⋈ D) = ΔF ⋈ D holds when the dim is
+        # unchanged and the join is INNER/LEFT (each fact row contributes
+        # exactly its own joined rows — row-local in the fact). When the
+        # dim also moved, INNER joins still maintain incrementally via
+        # ΔF ⋈ D_new ∪ F_old ⋈ ΔD (see engine._refresh). The dim must be
+        # a versioned sink so its commits are DETECTABLE.
         d = select.from_[1]
         if not _plain_table(d):
             return None
@@ -279,9 +283,44 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
         return None
 
     if dim_name and any(a.kind in _EXTREMUM_AGGS for a in aggs):
-        # extrema repair probes key exprs on the FACT frame alone; a
-        # joined view's keys may reference dim columns — full recompute
-        return None
+        # extrema repair probes group-key exprs on the FACT frame alone
+        # (the semi-join that names which base rows to re-aggregate), so
+        # a joined extrema view maintains incrementally exactly when
+        # every group key is fact-side-evaluable: qualified idents must
+        # name the fact ref, unqualified ones must resolve unambiguously
+        # to a fact column. The extremum ARG may live on either side —
+        # the repair re-runs the full join over the pruned fact rows.
+        d = select.from_[1]
+        fact_refs = {nm, (src.alias or "").lower()} - {""}
+        dim_refs = {dim_name, (d.alias or "").lower()} - {""}
+
+        def _snapshot_cols(s) -> set[str]:
+            cols = None
+            if hasattr(s, "snapshot_columns") and hasattr(s, "versions"):
+                try:
+                    cols = s.snapshot_columns(max(s.versions()))
+                except Exception:
+                    cols = None
+            if cols is None:
+                cols = s.scan(engine.spark).columns
+            return {c.lower() for c in cols}
+
+        fact_cols = _snapshot_cols(sink)
+        dim_cols = _snapshot_cols(engine.sinks[dim_name])
+
+        def _fact_side(node: Node) -> bool:
+            for n in node.walk():
+                if isinstance(n, IdentityNode):
+                    parts = [p.lower() for p in n.parts]
+                    if len(parts) > 1:
+                        if parts[0] not in fact_refs:
+                            return False
+                    elif parts[0] not in fact_cols or parts[0] in dim_cols:
+                        return False  # dim-side or ambiguous name
+            return True
+
+        if not all(_fact_side(k) for k in key_nodes):
+            return None
 
     i = 0
     for a in aggs:
@@ -307,39 +346,44 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
 _W = IdentityNode(("__w",))
 
 
-def _state_select(mv: MatView, tmp_table: str, src_ref: str | None) -> SqlSelect:
+def _state_select(
+    mv: MatView, tmp_table: str, src_ref: str | None, weight: Node = _W
+) -> SqlSelect:
     """The state-form SELECT over ``tmp_table`` (which must carry the base
     columns plus a signed ``__w`` weight). Reuses the original parsed
     subtrees; aliased back to the original source ref so qualified
-    identifiers in keys/args/WHERE keep resolving."""
+    identifiers in keys/args/WHERE keep resolving. ``weight`` is the
+    effective per-joined-row weight expression — ``__w`` normally,
+    ``__w * __dw`` when the DIM side of a join view carries its own
+    signed weight (the F ⋈ ΔD term of higher-order join maintenance)."""
 
     def nn_count(arg: Node) -> Node:
-        # CASE WHEN arg IS NULL THEN 0 ELSE __w END
+        # CASE WHEN arg IS NULL THEN 0 ELSE <weight> END
         return CaseNode(
             operand=None,
             whens=[(BinaryNode(op="IS", left=arg, right=NullNode()), NumberNode("0"))],
-            default=_W,
+            default=weight,
         )
 
     def pos_only(arg: Node) -> Node:
-        # CASE WHEN __w > 0 THEN arg END — extrema fold over the
+        # CASE WHEN <weight> > 0 THEN arg END — extrema fold over the
         # INSERT-side rows only; delete-side rows set the group's repair
         # flag instead (a removed row can't lower a min by folding)
         return CaseNode(
             operand=None,
-            whens=[(BinaryNode(op=">", left=_W, right=NumberNode("0")), arg)],
+            whens=[(BinaryNode(op=">", left=weight, right=NumberNode("0")), arg)],
             default=None,
         )
 
     cols = [
         Column(expr=k, alias=name) for k, name in zip(mv.key_nodes, mv.key_cols)
     ]
-    cols.append(Column(expr=FuncNode(name="sum", args=[_W]), alias="__mv_n"))
+    cols.append(Column(expr=FuncNode(name="sum", args=[weight]), alias="__mv_n"))
     for a in mv.aggs:
         if a.s_col:
             cols.append(
                 Column(
-                    expr=FuncNode(name="sum", args=[BinaryNode(op="*", left=_W, right=a.arg)]),
+                    expr=FuncNode(name="sum", args=[BinaryNode(op="*", left=weight, right=a.arg)]),
                     alias=a.s_col,
                 )
             )
@@ -350,7 +394,7 @@ def _state_select(mv: MatView, tmp_table: str, src_ref: str | None) -> SqlSelect
                 Column(expr=FuncNode(name=a.kind, args=[pos_only(a.arg)]), alias=a.m_col)
             )
     if mv.has_extrema:
-        # per-group delete marker: max(CASE WHEN __w < 0 THEN 1 ELSE 0 END)
+        # per-group delete marker: max(CASE WHEN <weight> < 0 THEN 1 ELSE 0 END)
         cols.append(
             Column(
                 expr=FuncNode(
@@ -360,7 +404,7 @@ def _state_select(mv: MatView, tmp_table: str, src_ref: str | None) -> SqlSelect
                             operand=None,
                             whens=[
                                 (
-                                    BinaryNode(op="<", left=_W, right=NumberNode("0")),
+                                    BinaryNode(op="<", left=weight, right=NumberNode("0")),
                                     NumberNode("1"),
                                 )
                             ],
@@ -385,18 +429,90 @@ def _state_select(mv: MatView, tmp_table: str, src_ref: str | None) -> SqlSelect
     )
 
 
-def state_frame(engine, mv: MatView, base_df: DataFrame, weight) -> DataFrame:
+_UNSET = object()
+
+
+def equi_join_prune_cols(mv: MatView, fact_cols: set, dim_cols: set):
+    """``(fact_col, dim_col)`` when the view's join ON is a single
+    equality between a plain fact column and a plain dim column, else
+    None. Used by the F_old ⋈ ΔD maintenance term to pre-filter the
+    fact scan to rows whose join key appears in the dim delta — at
+    100 TB that turns a full fact pass into a stats/row-group-skipped
+    read (the IN-list pushes to the parquet scan), since a dim commit
+    typically touches a handful of keys."""
+    if len(mv.select.from_) < 2:
+        return None
+    src, d = mv.select.from_[0], mv.select.from_[1]
+    je = d.join_expr
+    if not isinstance(je, BinaryNode) or je.op not in ("=", "=="):
+        return None
+    fact_refs = {mv.base, (src.alias or "").lower()} - {""}
+    dim_refs = {mv.dim, (d.alias or "").lower()} - {""}
+
+    def _side(n):
+        if not isinstance(n, IdentityNode) or getattr(n, "is_star", False):
+            return None
+        parts = [p.lower() for p in n.parts]
+        col = parts[-1]
+        if len(parts) > 1:
+            if parts[0] in fact_refs and col in fact_cols:
+                return ("f", n.parts[-1])
+            if parts[0] in dim_refs and col in dim_cols:
+                return ("d", n.parts[-1])
+            return None
+        if col in fact_cols and col not in dim_cols:
+            return ("f", n.parts[-1])
+        if col in dim_cols and col not in fact_cols:
+            return ("d", n.parts[-1])
+        return None
+
+    lhs, rhs = _side(je.left), _side(je.right)
+    if not lhs or not rhs or lhs[0] == rhs[0]:
+        return None
+    return (lhs[1], rhs[1]) if lhs[0] == "f" else (rhs[1], lhs[1])
+
+
+def state_frame(
+    engine,
+    mv: MatView,
+    base_df: DataFrame,
+    weight,
+    dim_df: DataFrame | None = None,
+    dim_weighted: bool = False,
+) -> DataFrame:
     """Run the state select over ``base_df`` (+ a ``__w`` column). The
     frame registers under a reserved temp name for the duration of the
-    engine select — same pipeline, same semantics as the original query."""
+    engine select — same pipeline, same semantics as the original query.
+
+    Join views: ``dim_df`` temporarily overrides what the dim table name
+    resolves to (``engine.tables`` wins over sinks) — used to PIN the dim
+    snapshot during a refresh, and to substitute the dim DELTA for the
+    F ⋈ ΔD term of higher-order maintenance. With ``dim_weighted`` the
+    dim frame must carry a signed ``__dw`` column and the effective row
+    weight becomes ``__w * __dw`` (a dim delete joined to a +1 fact row
+    nets −1, exactly the signed-multiset algebra)."""
     src = mv.select.from_[0]
     tmp = f"__mv_src_{id(mv) & 0xFFFFFF:x}"
-    stmt = _state_select(mv, tmp, src.alias or src.name)
+    w_node = (
+        BinaryNode(op="*", left=_W, right=IdentityNode(("__dw",)))
+        if dim_weighted
+        else _W
+    )
+    stmt = _state_select(mv, tmp, src.alias or src.name, weight=w_node)
     engine.tables[tmp] = base_df.withColumn("__w", weight)
+    saved = _UNSET
+    if dim_df is not None:
+        saved = engine.tables.get(mv.dim, _UNSET)
+        engine.tables[mv.dim] = dim_df
     try:
         return engine._select_any(stmt)
     finally:
         engine.tables.pop(tmp, None)
+        if dim_df is not None:
+            if saved is _UNSET:
+                engine.tables.pop(mv.dim, None)
+            else:
+                engine.tables[mv.dim] = saved
 
 
 _STATE_COLS = lambda mv: ["__mv_n"] + [  # noqa: E731

@@ -354,11 +354,15 @@ class TestExtremaAndFilterOnly:
 
 
 class TestJoinMatViews:
-    """Fact-incremental JOIN views: Δ(F ⋈ D) = ΔF ⋈ D for INNER/LEFT
-    joins while the dim is unchanged — fact deltas fold through the
-    join; a DIM commit is detected by its pinned sink version and forces
-    the full-recompute path (then re-pins). Self-joins, non-sink dims,
-    RIGHT/FULL joins, and extrema-with-join stay full-recompute."""
+    """Incremental JOIN views. While the dim is unchanged:
+    Δ(F ⋈ D) = ΔF ⋈ D for INNER/LEFT joins — fact deltas fold through
+    the join. When the dim ALSO moved (detected by its pinned sink
+    version), INNER joins maintain via the bilinear higher-order
+    identity Δ(F ⋈ D) = ΔF ⋈ D_new ∪ F_old ⋈ ΔD; LEFT joins fall back
+    to full recompute there (NULL-extension isn't bilinear). Self-joins,
+    non-sink dims, RIGHT/FULL joins, and extrema whose group keys touch
+    dim columns stay full-recompute; extrema with fact-side keys repair
+    incrementally."""
 
     def _mk(self, spark, tmp_path, name):
         from qlbridge_spark.sinks import ParquetMergeSink
@@ -405,22 +409,87 @@ class TestJoinMatViews:
         assert rep["mode"] == "incremental"
         assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
 
-    def test_dim_commit_forces_full_then_repins(self, spark, tmp_path):
+    def test_dim_commit_maintains_inner_join_incrementally(self, spark, tmp_path):
+        # higher-order maintenance: a dim-only commit folds via the
+        # F_old ⋈ ΔD term (group renamed → old group retracted, new
+        # group inserted), and the dim version re-pins
         eng, fact, dim = self._mk(spark, tmp_path, "c")
         eng.execute(f"CREATE MATERIALIZED VIEW mv AS {self.Q}")
         eng.execute("UPDATE d SET dname = 'renamed' WHERE dk = 1")
         rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
-        assert rep["mode"] == "full"
+        assert rep["mode"] == "incremental"
         assert _rows(eng, "SELECT * FROM mv") == _rows(eng, self.Q)
+        assert eng.mat_views["mv"].dim_version == max(dim.versions())
+        eng.execute("DELETE FROM f WHERE id = 10")
+        rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+        assert rep["mode"] == "incremental"
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, self.Q)
+
+    def test_both_sides_mutating_in_one_window(self, spark, tmp_path):
+        # ΔF ⋈ D_new ∪ F_old ⋈ ΔD with BOTH terms non-empty, including
+        # the cross case (new fact rows joining new dim rows — covered
+        # by ΔF ⋈ D_new) and a dim DELETE dropping a whole group
+        eng, fact, dim = self._mk(spark, tmp_path, "hb")
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {self.Q}")
+        eng.execute("INSERT INTO d (dk, dname) VALUES (4, 'n4')")  # dim insert
+        eng.execute("UPDATE d SET dname = 'zz' WHERE dk = 0")  # dim update
+        eng.execute("DELETE FROM d WHERE dk = 2")  # dim delete: group vanishes
+        eng.execute("INSERT INTO f (id, dk, x) VALUES (300, 4, 9.0), (301, 2, 8.0)")
+        eng.execute("UPDATE f SET x = 77.0 WHERE id = 6")
+        eng.execute("DELETE FROM f WHERE id = 11")
+        rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+        assert rep["mode"] == "incremental"
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, self.Q)
+        assert eng.sql("SELECT * FROM mv").schema == eng.sql(self.Q).schema
+
+    def test_dim_commit_on_left_join_forces_full_then_repins(self, spark, tmp_path):
+        # LEFT join: a dim change can flip fact rows between null-extended
+        # and matched — not a signed join delta; full recompute, re-pin
+        eng, fact, dim = self._mk(spark, tmp_path, "lj")
+        q = (
+            "SELECT f.dk AS k, count(*) AS n, sum(f.x) AS s "
+            "FROM f LEFT JOIN d ON f.dk = d.dk GROUP BY f.dk"
+        )
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
+        eng.execute("DELETE FROM d WHERE dk = 3")
+        rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+        assert rep["mode"] == "full"
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
         eng.execute("DELETE FROM f WHERE id = 10")
         rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
         assert rep["mode"] == "incremental"  # re-pinned after the full
-        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, self.Q)
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
+
+    def test_extrema_with_fact_side_keys_repairs_incrementally(self, spark, tmp_path):
+        # directive: min/max with a join maintains when the GROUP keys
+        # are fact-side-evaluable (the repair probe runs on the fact
+        # frame alone; the re-agg re-runs the join over pruned rows).
+        # The extremum arg may live on either side.
+        eng, fact, dim = self._mk(spark, tmp_path, "xk")
+        q = (
+            "SELECT f.dk AS k, min(f.x) AS lo, max(f.x) AS hi, count(*) AS n "
+            "FROM f JOIN d ON f.dk = d.dk GROUP BY f.dk"
+        )
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
+        assert eng.mat_views["mv"].incremental
+        eng.execute("INSERT INTO f (id, dk, x) VALUES (400, 1, -5.0)")  # new min
+        eng.execute("DELETE FROM f WHERE id = 4")  # removes a reigning extremum candidate
+        eng.execute("UPDATE f SET x = 200.0 WHERE id = 9")  # new max
+        rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+        assert rep["mode"] == "incremental"
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
+        # and under a concurrent dim mutation (higher-order + repair)
+        eng.execute("DELETE FROM d WHERE dk = 0")  # group vanishes via the dim
+        eng.execute("INSERT INTO f (id, dk, x) VALUES (401, 2, -9.0)")
+        rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+        assert rep["mode"] == "incremental"
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
 
     def test_ineligible_join_shapes_stay_full(self, spark, tmp_path):
         eng, fact, dim = self._mk(spark, tmp_path, "e")
         for q in (
-            # extrema + join (repair probes keys on the fact alone)
+            # extrema + join with a DIM-SIDE group key (the repair probe
+            # runs on the fact frame alone, so dim keys force full)
             "SELECT d.dname AS g, min(f.x) AS lo FROM f JOIN d ON f.dk = d.dk GROUP BY d.dname",
             # self-join: both sides change
             "SELECT f.dk AS k, count(*) AS n FROM f JOIN f g ON f.id = g.id GROUP BY f.dk",
@@ -462,3 +531,98 @@ class TestJoinMatViews:
             for gr, wr in zip(got, want):
                 assert gr[0] == wr[0] and gr[2] == wr[2], (round_, gr, wr)
                 assert abs(gr[1] - wr[1]) < 1e-6, (round_, gr, wr)
+
+    def test_equi_join_prune_cols_extraction(self, spark, tmp_path):
+        # the F_old ⋈ ΔD term pre-filters the fact scan by the dim
+        # delta's join keys only when the ON is a plain fact-col =
+        # dim-col equality; qualified, unqualified-unambiguous, and
+        # reversed spellings all extract, compound ONs do not
+        from qlbridge_spark.matview import equi_join_prune_cols
+
+        eng, fact, dim = self._mk(spark, tmp_path, "pj")
+        fcols, dcols = {"id", "dk", "x"}, {"dk", "dname"}
+        for q, want in [
+            (self.Q, ("dk", "dk")),
+            ("SELECT f.dk AS k, sum(x) AS s FROM f JOIN d ON d.dk = f.dk GROUP BY f.dk", ("dk", "dk")),
+            ("SELECT f.dk AS k, sum(x) AS s FROM f JOIN d ON f.dk = d.dk AND f.x > 0 GROUP BY f.dk", None),
+        ]:
+            eng.execute(f"CREATE OR REPLACE MATERIALIZED VIEW mvp AS {q}")
+            mv = eng.mat_views["mvp"]
+            if mv.dim is None:
+                assert want is None  # compound ON may not even be row-analyzable
+                continue
+            assert equi_join_prune_cols(mv, fcols, dcols) == want, q
+
+    @pytest.mark.parametrize(
+        "qname,q",
+        [
+            (
+                "sums",
+                "SELECT d.dname AS g, sum(f.x) AS s, count(*) AS n "
+                "FROM f JOIN d ON f.dk = d.dk WHERE f.x > 2 GROUP BY d.dname",
+            ),
+            (
+                "extrema",
+                "SELECT f.dk AS k, min(f.x) AS lo, max(f.x) AS hi, "
+                "count(*) AS n FROM f JOIN d ON f.dk = d.dk GROUP BY f.dk",
+            ),
+        ],
+    )
+    def test_randomized_concurrent_fact_and_dim_mutations(
+        self, spark, tmp_path, qname, q
+    ):
+        """Higher-order differential: BOTH sides mutate between refreshes
+        (random interleavings of fact ins/upd/del with dim ins/upd/del),
+        every refresh must report `incremental` and equal a recompute —
+        for the sum/count shape AND the extrema-repair shape."""
+        import random
+
+        rng = random.Random(hash(qname) & 0xFFFF | 20260817)
+        eng, fact, dim = self._mk(spark, tmp_path, f"rc-{qname}")
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
+        assert eng.mat_views["mv"].incremental
+        next_id, next_dk = 60, 6
+        for round_ in range(5):
+            for _ in range(rng.randint(1, 4)):
+                op = rng.choice(
+                    ["ins", "upd", "del", "dim_ins", "dim_upd", "dim_del"]
+                )
+                if op == "ins":
+                    vals = ", ".join(
+                        f"({next_id + k}, {rng.randint(0, next_dk)}, "
+                        f"{float(rng.randint(-10, 40))})"
+                        for k in range(rng.randint(1, 3))
+                    )
+                    next_id += 3
+                    eng.execute(f"INSERT INTO f (id, dk, x) VALUES {vals}")
+                elif op == "upd":
+                    eng.execute(
+                        f"UPDATE f SET x = {float(rng.randint(-10, 40))} "
+                        f"WHERE id % {rng.randint(2, 7)} = 0"
+                    )
+                elif op == "del":
+                    eng.execute(f"DELETE FROM f WHERE id % {rng.randint(5, 11)} = 1")
+                elif op == "dim_ins":
+                    eng.execute(
+                        f"INSERT INTO d (dk, dname) VALUES ({next_dk}, 'n{next_dk}')"
+                    )
+                    next_dk += 1
+                elif op == "dim_upd":
+                    eng.execute(
+                        f"UPDATE d SET dname = 'r{round_}-{rng.randint(0, 99)}' "
+                        f"WHERE dk = {rng.randint(0, next_dk)}"
+                    )
+                else:
+                    eng.execute(f"DELETE FROM d WHERE dk = {rng.randint(0, next_dk)}")
+            rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+            assert rep["mode"] in ("incremental", "noop"), (qname, round_)
+            got, want = _rows(eng, "SELECT * FROM mv"), _rows(eng, q)
+            assert len(got) == len(want), (qname, round_, got, want)
+            for gr, wr in zip(got, want):
+                for gv, wv in zip(gr, wr):
+                    if isinstance(gv, float):
+                        assert abs(gv - wv) < 1e-6, (qname, round_, gr, wr)
+                    else:
+                        assert gv == wv, (qname, round_, gr, wr)
+            # the dim checkpoint tracked every dim commit
+            assert eng.mat_views["mv"].dim_version == max(dim.versions())
