@@ -4064,9 +4064,26 @@ class Engine:
         if cur < 0:
             return
         vdir = sink._data_dir(cur)
+        rels = sink._data_rels(cur)
+        # hive-partitioned sinks: scope to the partitions the triggering
+        # DML actually touched. A COW commit hardlinks unchanged files
+        # under their SAME relative paths, so this commit's fresh files
+        # are exactly rels(cur) − rels(cur−1); their partition dirs are
+        # the touched set. Steady-state CDC into one hot partition then
+        # never re-reads (or recompacts) cold partitions' small-file
+        # survivors — at 100 TB the candidate set is O(hot partition),
+        # not O(table).
+        scope_dirs = None
+        if getattr(sink, "partition_by", None):
+            prev = set(sink._data_rels(cur - 1)) if cur > 0 else set()
+            touched = {os.path.dirname(r) for r in rels if r not in prev}
+            if not touched:
+                return  # layout-only / no-op commit: nothing new to compact
+            scope_dirs = sorted(touched)
+            rels = [r for r in rels if os.path.dirname(r) in touched]
         thresh = int(target_mb * (1 << 20))
         small = 0
-        for r in sink._data_rels(cur):
+        for r in rels:
             try:
                 if os.path.getsize(os.path.join(vdir, r)) < thresh:
                     small += 1
@@ -4077,7 +4094,7 @@ class Engine:
         if small < min_files:
             return
         try:
-            sink.optimize(target_file_mb=target_mb)
+            sink.optimize(target_file_mb=target_mb, scope_dirs=scope_dirs)
         except ConcurrentWriteError:
             pass  # another writer committed first — next DML re-checks
 

@@ -1348,7 +1348,8 @@ class ParquetMergeSink:
 
     def optimize(self, zorder_by: list[str] | None = None,
                  target_file_mb: float = 128, bits_per_col: int = 8,
-                 curve: str = "morton", scope_conjuncts: list | None = None) -> dict:
+                 curve: str = "morton", scope_conjuncts: list | None = None,
+                 scope_dirs: list[str] | None = None) -> dict:
         """Compact (and optionally Z-order cluster) the CURRENT snapshot
         as a new commit — the engine's ``OPTIMIZE t [WHERE ...]
         [ZORDER BY ...]``.
@@ -1374,7 +1375,15 @@ class ParquetMergeSink:
         stats prune scans filtered on ANY of them (see
         datapipe/zorder.py) — unscoped clustering re-sorts every row, so
         it stays a full rewrite. Old versions stay time-travelable until
-        vacuum."""
+        vacuum.
+
+        ``scope_dirs`` (internal; engine auto-compaction) restricts the
+        candidate set to files inside the given snapshot-relative
+        partition directories — on a hive-partitioned table, steady-state
+        CDC compaction then never re-reads cold partitions' small-file
+        survivors; only the partitions the triggering DML touched are
+        considered. No sidecar needed: the dirs come straight off the
+        commit's own file listing."""
         import os
 
         from .datapipe.zorder import cluster_frame, estimate_num_files
@@ -1396,6 +1405,9 @@ class ParquetMergeSink:
                 )
             kept, _total = prune_files(stats, scope_conjuncts)
             candidates = [r for r in rels if r in set(kept)]
+        if scope_dirs is not None:
+            sd = set(scope_dirs)
+            candidates = [r for r in candidates if os.path.dirname(r) in sd]
 
         def _noop() -> dict:
             self.last_commit = {

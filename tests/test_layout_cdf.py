@@ -816,6 +816,56 @@ class TestAutoCompact:
                 state.pop(r.id, None)
         assert state == {r.id: r.v for r in sink.scan(spark).collect()}
 
+    def test_partition_scoped_never_rewrites_cold_partition(self, spark, tmp_path):
+        """On a hive-partitioned sink, auto-compaction scopes to the
+        partitions the triggering DML touched: steady CDC into partition
+        p=0 must NEVER rewrite (or even consider) p=1's small-file
+        survivors — inode-pinned."""
+        import os as _os
+
+        eng = Engine(spark, "ac-scope")
+        sink = ParquetMergeSink(
+            spark, str(tmp_path / "acs"), key="id", partition_by=["p"]
+        )
+        sink.ensure(
+            spark.createDataFrame(
+                [(i, i % 2, 0) for i in range(40)], "id long, p int, v long"
+            )
+        )
+        eng.register_sink("t", sink)
+        # fragment BOTH partitions while auto-compact is off
+        for i in range(4):
+            eng.execute(f"INSERT INTO t (id, p, v) VALUES ({100 + i}, 0, {i})")
+            eng.execute(f"INSERT INTO t (id, p, v) VALUES ({200 + i}, 1, {i})")
+
+        def _inodes(dirname):
+            v = sink._data_dir(sink._version())
+            return {
+                r: _os.stat(_os.path.join(v, r)).st_ino
+                for r in sink._data_rels(sink._version())
+                if _os.path.dirname(r) == dirname
+            }
+
+        cold_before = _inodes("p=1")
+        assert len(cold_before) >= 5  # genuinely fragmented
+        eng.execute("SET optimize.auto_compact = true")
+        eng.execute("SET optimize.auto_compact_min_files = 4")
+        # hot DML in p=0 only → compaction fires, scoped to p=0
+        eng.execute("INSERT INTO t (id, p, v) VALUES (300, 0, 9)")
+        hot_files = [
+            r
+            for r in sink._data_rels(sink._version())
+            if _os.path.dirname(r) == "p=0"
+        ]
+        assert len(hot_files) <= 4  # the hot partition DID compact
+        cold_after = _inodes("p=1")
+        # every cold file survived as the SAME inode (hardlinked through
+        # both the DML commit and the auto-compact commit)
+        assert cold_after == cold_before
+        # content intact across the scoped compaction
+        assert sink.scan(spark).count() == 49
+        assert sink.scan(spark).filter("p = 1").count() == 24
+
     def test_off_by_default_accumulates(self, spark, tmp_path):
         eng, sink = self._mk(spark, tmp_path, "off")
         for i in range(8):
