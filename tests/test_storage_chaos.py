@@ -165,3 +165,146 @@ def test_randomized_storage_chaos(spark, tmp_path, partitioned, auto_compact, cl
     # change recording; the O(|base|) snapshot-diff fallback never fires
     kinds = {v: sink.recording_kind(v) for v in range(0, sink._version() + 1)}
     assert all(k != "none" for k in kinds.values()), kinds
+
+
+_MERGE_WORKER = r"""
+import json, os, sys, time
+path, n_commits, go_file = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[2]")
+         .config("spark.sql.shuffle.partitions", "4")
+         .config("spark.ui.enabled", "false")
+         .appName("chaos-merge-worker").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+from qlbridge_spark import Engine
+from qlbridge_spark.sinks import ConcurrentWriteError, ParquetMergeSink
+eng = Engine(spark, "chaos-w")
+sink = ParquetMergeSink(spark, path, key="id")
+eng.register_sink("t", sink)
+print("READY", flush=True)
+while not os.path.exists(go_file):
+    time.sleep(0.02)
+retries = 0
+for i in range(n_commits):
+    lo = (i * 37) % 150  # overlaps the chaos loop's id range
+    src = spark.createDataFrame(
+        [(k, k % 3, float(-100 - i)) for k in range(lo, lo + 20)],
+        "id long, p int, v double",
+    )
+    eng.register_df("src", src)
+    stmt = ("MERGE INTO t USING src ON t.id = src.id "
+            "WHEN MATCHED THEN UPDATE SET v = src.v "
+            "WHEN NOT MATCHED THEN INSERT *")
+    while True:
+        try:
+            eng.execute(stmt)
+            break
+        except ConcurrentWriteError:
+            retries += 1
+print(json.dumps({"retries": retries}), flush=True)
+spark.stop()
+"""
+
+
+def test_concurrent_writer_storage_chaos(spark, tmp_path):
+    """Directive: compose the chaos loop with a SECOND PROCESS issuing
+    MERGEs against the same warehouse. No driver-side model is possible
+    (the interleaving is nondeterministic), so the assertions are the
+    serializability invariants themselves:
+
+    1. every commit is base-pinned, so folding the change feed up to ANY
+       retained version reproduces that version's snapshot exactly — the
+       history equals a serial order at every prefix;
+    2. every commit left a change recording (the loud-CDF contract held
+       under cross-process contention, including RESTORE's inverted-
+       window recording racing foreign commits);
+    3. both processes complete every statement exactly once (version
+       arithmetic: each committed statement bumps by exactly 1)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from qlbridge_spark.sinks import ConcurrentWriteError
+
+    rng = random.Random(20260818)
+    path = str(tmp_path / "chaos_mp")
+    sink = ParquetMergeSink(spark, path, key="id")
+    sink.ensure(
+        spark.createDataFrame(
+            [(i, i % 3, float(i)) for i in range(150)], "id long, p int, v double"
+        ).repartitionByRange(4, "id")
+    )
+    eng = Engine(spark, "chaos-mp")
+    eng.register_sink("t", sink)
+
+    n_worker = 8
+    script = tmp_path / "merge_worker.py"
+    script.write_text(_MERGE_WORKER)
+    go = str(tmp_path / "GO")
+    env = dict(os.environ, PYTHONPATH=os.getcwd())
+    proc = subprocess.Popen(
+        [sys.executable, str(script), path, str(n_worker), go],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        text=True,
+        env=env,
+    )
+    assert proc.stdout.readline().strip() == "READY"
+    open(go, "w").close()
+
+    next_id, main_commits, main_retries = 2000, 0, 0
+    for step in range(10):
+        op = rng.choice(["ins", "upd", "del", "opt", "restore"])
+        if op == "ins":
+            stmt = f"INSERT INTO t (id, p, v) VALUES ({next_id}, {next_id % 3}, 7.0)"
+            next_id += 1
+        elif op == "upd":
+            stmt = f"UPDATE t SET v = {float(step)} WHERE id % {rng.randint(3, 7)} = 0"
+        elif op == "del":
+            stmt = f"DELETE FROM t WHERE id % {rng.randint(8, 13)} = 3"
+        elif op == "opt":
+            eng.execute("SET optimize.target_file_mb = 1")
+            stmt = "OPTIMIZE t" if rng.random() < 0.5 else "OPTIMIZE t ZORDER BY (id)"
+        else:
+            stmt = f"RESTORE TABLE t TO VERSION AS OF {rng.randint(0, sink._version())}"
+        while True:
+            try:
+                eng.execute(stmt)
+                break
+            except ConcurrentWriteError:
+                main_retries += 1
+        if op != "opt" or sink.last_commit.get("mode") != "noop":
+            main_commits += 1
+
+    out, _ = proc.communicate(timeout=600)
+    assert proc.returncode == 0, out
+    worker = json.loads(out.strip().splitlines()[-1])
+
+    # 3. exactly-once: every committed statement bumped by exactly 1.
+    # (an OPTIMIZE losing a race retries into a later base — it may then
+    # find nothing to compact and no-op, so allow that slack)
+    assert sink._version() <= main_commits + n_worker
+    assert sink._version() >= n_worker
+
+    # 2. every commit recorded its changes — the feed never needs the
+    # O(base) snapshot-diff fallback, even for restores under contention
+    kinds = {v: sink.recording_kind(v) for v in range(0, sink._version() + 1)}
+    assert all(k != "none" for k in kinds.values()), kinds
+
+    # 1. serial-order equality at EVERY retained prefix: fold the feed
+    # up to v and compare against the snapshot at v
+    final_v = sink._version()
+    rows = eng.sql(f"SELECT * FROM TABLE_CHANGES('t', 0, {final_v})").collect()
+    state: dict = {}
+    by_version: dict[int, list] = {}
+    for r in rows:
+        by_version.setdefault(r._commit_version, []).append(r)
+    for v in range(0, final_v + 1):
+        for r in by_version.get(v, []):
+            if r._change_type in ("insert", "update_postimage"):
+                state[r.id] = (r.p, r.v)
+            elif r._change_type == "delete":
+                state.pop(r.id, None)
+        if v in (0, final_v) or v % 3 == 0:  # spot prefixes + endpoints
+            assert state == _table_state(sink.scan(spark, version=v)), v
