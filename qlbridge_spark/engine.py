@@ -1330,10 +1330,12 @@ class Engine:
         across executors as Arrow batches — see
         ``streaming/cdf_source.py``). ``starting_version`` may be a
         version number (0 = full history incl. the initial load) or
-        ``'latest'`` (tail only). Unrecorded commits (merge_upsert /
-        overwrite / restore, or recordings vacuumed past the stream's
-        lag) fail the stream loudly rather than degrading to an
-        O(table) snapshot diff inside a micro-batch."""
+        ``'latest'`` (tail only). Every commit class records its changes
+        (DML/MERGE/upsert as change rows, overwrite as an O(1) marker,
+        restore by inverting its window), so only legacy pre-recording
+        commits or recordings vacuumed past the stream's lag are
+        unrecorded — and those fail the stream loudly rather than
+        degrading to an O(table) snapshot diff inside a micro-batch."""
         sink = self.sinks.get(table.lower())
         if sink is None or not hasattr(sink, "versions"):
             raise ExecError(f"stream_changes requires a versioned sink table; {table!r} is not one")

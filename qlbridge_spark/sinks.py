@@ -1143,13 +1143,66 @@ class ParquetMergeSink:
         table. Falls back to the full rewrite when stats are missing,
         keys aren't prunable literals, or the batch widens the schema.
 
-        No change recording: with duplicate keys on either side the
-        pre/post pairing is ambiguous, so the feed uses the exact
-        snapshot diff for these commits. A lost commit race rebases (the
+        Changes are RECORDED at commit time like every other commit
+        class (under the sink's keyed contract — one row per key per
+        snapshot — the pre/post pairing is well-defined): matched keys
+        whose row actually changed emit update_preimage/postimage (an
+        x = x upsert emits nothing, matching the engine MERGE and the
+        snapshot-diff semantics), unmatched keys emit insert. The
+        preimage read is bounded by the OVERLAPPING files — pruned files
+        provably hold no matched key, so the recording costs O(touched
+        files + batch), never O(table). A lost commit race rebases (the
         full upsert recomputes against the new snapshot — serializable,
         and what the streaming upsert sink wants under a concurrent
         batch writer)."""
+        from pyspark.sql import functions as F
+
         k = key or self.key
+
+        def _changes(old_scope: DataFrame, aligned: DataFrame):
+            """insert / changed-only update pre+post rows for upserting
+            ``aligned`` into ``old_scope`` (the rows that could match —
+            the overlapping files in the COW path, the snapshot in the
+            full path)."""
+            cols = aligned.columns
+            others = [c for c in cols if c != k]
+            # widening batch: conform the old side to the new columns and
+            # dtypes (absent old values are NULL; a union-coerced dtype
+            # must match on both sides or the struct compare won't analyze)
+            old_scope = old_scope.select(
+                *[
+                    (
+                        F.col(c).cast(aligned.schema[c].dataType)
+                        if c in old_scope.columns
+                        else F.lit(None).cast(aligned.schema[c].dataType)
+                    ).alias(c)
+                    for c in cols
+                ]
+            )
+            o2 = old_scope.select(
+                F.col(k), F.struct(*[F.col(c) for c in others]).alias("__oldr")
+            )
+            n2 = aligned.select(
+                F.col(k), F.struct(*[F.col(c) for c in others]).alias("__newr")
+            )
+            diff = o2.join(n2, on=k, how="inner").filter(
+                ~F.col("__oldr").eqNullSafe(F.col("__newr"))
+            )
+            pre = diff.select(
+                F.col(k), *[F.col(f"__oldr.{c}").alias(c) for c in others]
+            ).withColumn("_change_type", F.lit("update_preimage"))
+            post = diff.select(
+                F.col(k), *[F.col(f"__newr.{c}").alias(c) for c in others]
+            ).withColumn("_change_type", F.lit("update_postimage"))
+            ins = aligned.join(old_scope.select(k), on=k, how="left_anti").withColumn(
+                "_change_type", F.lit("insert")
+            )
+            return (
+                pre.unionByName(post, allowMissingColumns=True)
+                .unionByName(ins, allowMissingColumns=True)
+                .select(*cols, "_change_type")
+            )
+
         last = None
         for _ in range(self._OCC_RETRIES):
             basev = self._version()
@@ -1169,9 +1222,13 @@ class ParquetMergeSink:
                         hit = self._read_files(self._data_dir(basev), rewrite)
                         kept = hit.join(new.select(k).distinct(), on=k, how="left_anti")
                         out = kept.unionByName(aligned)
+                        # pruned files provably hold no matched key, so
+                        # the overlapping files ARE the preimage scope
+                        ch = _changes(hit, aligned)
                     else:
                         out = aligned
-                    self._commit_cow(out, link, base=basev, op="MERGE")
+                        ch = aligned.withColumn("_change_type", F.lit("insert"))
+                    self._commit_cow(out, link, changes=ch, base=basev, op="MERGE")
                     self.last_commit = {
                         "mode": "cow",
                         "files_linked": len(link),
@@ -1179,8 +1236,14 @@ class ParquetMergeSink:
                     }
                     return
                 cur = self.scan(self.spark, basev)
+                aligned = cur.limit(0).unionByName(new, allowMissingColumns=True)
                 kept = cur.join(new.select(k).distinct(), on=k, how="left_anti")
-                self._commit(kept.unionByName(new, allowMissingColumns=True), base=basev, op="MERGE")
+                self._commit(
+                    kept.unionByName(aligned, allowMissingColumns=True),
+                    changes=_changes(cur, aligned),
+                    base=basev,
+                    op="MERGE",
+                )
                 return
             except ConcurrentWriteError as e:
                 last = e

@@ -283,6 +283,28 @@ class TestTableChanges:
         ).collect()[0]["n"]
         assert n == 3
 
+    def test_upsert_commit_records_changes(self, cdc, spark):
+        # merge_upsert (the engine's UPSERT path) records change rows at
+        # commit time like every other commit class: changed keys emit
+        # update pre/post, an x = x upsert emits NOTHING, new keys emit
+        # insert — and the preimage scope is the overlapping files only
+        e, sink = cdc  # table is {2: 'B', 3: 'c'} after the fixture
+        src = spark.createDataFrame(
+            [(2, "B"), (3, "C"), (4, "d")], "id long, v string"
+        )
+        sink.merge_upsert(src)  # 2 unchanged, 3 updated, 4 inserted
+        v = sink._version()
+        assert sink.recording_kind(v) == "files"
+        rows = e.sql(
+            f"SELECT id, v, _change_type FROM TABLE_CHANGES('cdfwh', {v}, {v})"
+        ).collect()
+        got = sorted((r["id"], r["v"], r["_change_type"]) for r in rows)
+        assert got == [
+            (3, "C", "update_postimage"),
+            (3, "c", "update_preimage"),
+            (4, "d", "insert"),
+        ]
+
     def test_overwrite_commit_is_delete_all_insert_all(self, cdc, spark):
         # Delta CDF parity: a replace commit emits delete-all of the
         # previous snapshot + insert-all of the new one, even when the

@@ -82,7 +82,7 @@ def test_randomized_storage_chaos(spark, tmp_path, partitioned, auto_compact, cl
     next_id = 1000
     for step in range(14):
         op = rng.choice(
-            ["ins", "upd", "del", "merge", "opt", "opt_scoped", "restore", "ow"]
+            ["ins", "upd", "del", "merge", "ups", "opt", "opt_scoped", "restore", "ow"]
         )
         if op == "ins":
             k = rng.randint(1, 4)
@@ -120,6 +120,21 @@ def test_randomized_storage_chaos(spark, tmp_path, partitioned, auto_compact, cl
             )
             for i in ids:
                 model[i] = (i % 3, -1.0)
+            next_id += 1
+        elif op == "ups":
+            # UPSERT statement → sink.merge_upsert (whole-row replace /
+            # insert; x = x upserts must emit NO change rows)
+            existing = rng.sample(sorted(model), k=min(2, len(model)))
+            same = existing[0] if existing else None  # re-upsert unchanged
+            writes = {}
+            for i in existing:
+                pp = model[i][0]
+                vv = model[i][1] if i == same else float(step + 50)
+                writes[i] = (pp, vv)
+            writes[next_id] = (next_id % 3, float(step + 50))
+            vals = ", ".join(f"({i}, {pp}, {vv})" for i, (pp, vv) in writes.items())
+            eng.execute(f"UPSERT INTO t (id, p, v) VALUES {vals}")
+            model.update(writes)
             next_id += 1
         elif op == "opt":
             eng.execute("SET optimize.target_file_mb = 1")

@@ -130,15 +130,38 @@ class TestStreamChanges:
         finally:
             q.stop()
 
-    def test_unrecorded_commit_fails_loudly(self, spark, tmp_path):
-        """merge_upsert commits have no recording; the stream must error,
-        not silently skip or fall back to an O(table) diff."""
+    def test_upsert_commit_streams_its_change_rows(self, spark, tmp_path):
+        """merge_upsert commits record change rows at commit time (like
+        every commit class), so the stream consumes them incrementally —
+        changed rows as update pre/post, new keys as inserts."""
         eng, sink = _mk(spark, tmp_path, name="t6")
-        q = _drain(eng.stream_changes("t6", starting_version="latest"), "cdf_unrec")
+        q = _drain(eng.stream_changes("t6", starting_version="latest"), "cdf_ups")
         try:
             sink.merge_upsert(
-                spark.createDataFrame([(1, 123)], "id long, v long"), "id"
+                spark.createDataFrame([(1, 123), (999, 9)], "id long, v long"), "id"
             )
+            q.processAllAvailable()
+            rows = spark.sql("SELECT * FROM cdf_ups").collect()
+            got = sorted((r.id, r.v, r._change_type) for r in rows)
+            assert got == [
+                (1, 2, "update_preimage"),  # ensure() seeded v = id * 2
+                (1, 123, "update_postimage"),
+                (999, 9, "insert"),
+            ]
+        finally:
+            q.stop()
+
+    def test_unrecorded_commit_fails_loudly(self, spark, tmp_path):
+        """A commit whose recording is missing (torn recording, manual
+        deletion) must error the stream — never silently skip or fall
+        back to an O(table) diff inside a micro-batch."""
+        import shutil
+
+        eng, sink = _mk(spark, tmp_path, name="t6b")
+        q = _drain(eng.stream_changes("t6b", starting_version="latest"), "cdf_unrec")
+        try:
+            eng.execute("UPDATE t6b SET v = 5 WHERE id = 1")
+            shutil.rmtree(os.path.join(sink.path, f"c{sink._version()}"))
             with pytest.raises(Exception, match="no change recording"):
                 q.processAllAvailable()
         finally:
