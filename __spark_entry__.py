@@ -118,7 +118,9 @@ _Q = {
     # within the driver's 50-entry scoring window.
     "q07_count_distinct": """
         SELECT count(distinct(c_mktsegment)) AS segs,
-               count(distinct(c_nationkey)) AS nations
+               count(distinct(c_nationkey)) AS nations,
+               sum(DISTINCT c_nationkey) AS sum_nations,
+               avg(DISTINCT c_nationkey) AS avg_nations
         FROM customer""",
     # §2.4 HAVING (post-agg filter, exec/where.go:24)
     "q09_having": """
@@ -850,7 +852,9 @@ def oracle_sql() -> dict[str, str]:
                   AND l_shipdate < TIMESTAMP '1998-01-01'""",
         "q07_count_distinct": """
             SELECT count(DISTINCT c_mktsegment) AS segs,
-                   count(DISTINCT c_nationkey) AS nations
+                   count(DISTINCT c_nationkey) AS nations,
+                   CAST(sum(DISTINCT c_nationkey) AS BIGINT) AS sum_nations,
+                   CAST(avg(DISTINCT c_nationkey) AS DOUBLE) AS avg_nations
             FROM customer""",
         "q09_having": """
             SELECT o_custkey, count(*) AS n FROM orders

@@ -4321,6 +4321,11 @@ class Engine:
         with_cfg = dict(getattr(c.select, "with_", None) or {})
         with_cfg.update(c.with_ or {})
         path = with_cfg.get("path")
+        if path and mv.incremental and mv.has_distinct:
+            # durable substate storage isn't wired up; a DISTINCT view
+            # with WITH {"path"} stays a full-recompute MV (correct —
+            # the refresh report says `full`)
+            mv = MatView(name=lname, select=c.select)
         if path:
             from .sinks import ParquetMergeSink
 
@@ -4328,6 +4333,8 @@ class Engine:
                 self.spark, str(path), key=mv.key_cols[0] if mv.key_cols else "__mv_n"
             )
         if mv.incremental:
+            from .matview import sub_state_frames
+
             sink = self.sinks[mv.base]
             mv.base_version = max(sink.versions())
             if mv.dim:
@@ -4343,6 +4350,11 @@ class Engine:
             mv.internal = persist_state(
                 mv, state_frame(self, mv, base_df, F.lit(1)).drop("__mv_neg")
             )
+            if mv.has_distinct:
+                mv.substates = [
+                    s.localCheckpoint(eager=True)
+                    for s in sub_state_frames(self, mv, base_df, F.lit(1))
+                ]
         else:
             mv.internal = persist_state(mv, self._select_any(c.select))
         self.mat_views[lname] = mv
@@ -4360,10 +4372,18 @@ class Engine:
         from .matview import (
             exposed_frame,
             merge_state,
+            merge_substates,
             persist_state,
             repair_extrema,
             state_frame,
+            sub_state_frames,
         )
+
+        def _fold_substates(mv, deltas):
+            mv.substates = [
+                s.localCheckpoint(eager=True)
+                for s in merge_substates(mv, mv.substates, deltas)
+            ]
 
         lname = r.view.lower()
         mv = self.mat_views.get(lname)
@@ -4422,6 +4442,10 @@ class Engine:
                             # exactly the delete-touched groups from the base
                             merged = repair_extrema(self, mv, merged, cur)
                         mv.internal = persist_state(mv, merged)
+                        if mv.has_distinct:
+                            _fold_substates(
+                                mv, sub_state_frames(self, mv, changes, w)
+                            )
                     else:
                         # higher-order join maintenance (both sides moved):
                         #   Δ(F ⋈ D) = ΔF ⋈ D_new  ∪  F_old ⋈ ΔD
@@ -4486,6 +4510,19 @@ class Engine:
                             if mv.has_extrema:
                                 merged = repair_extrema(self, mv, merged, cur)
                             mv.internal = persist_state(mv, merged)
+                            if mv.has_distinct:
+                                sub_a = sub_state_frames(self, mv, changes, w)
+                                sub_b = sub_state_frames(
+                                    self, mv, f_old, F.lit(1),
+                                    dim_df=d_delta, dim_weighted=True,
+                                )
+                                _fold_substates(
+                                    mv,
+                                    [
+                                        x.unionByName(y)
+                                        for x, y in zip(sub_a, sub_b)
+                                    ],
+                                )
                         finally:
                             if saved is _UNSET:
                                 self.tables.pop(mv.dim, None)
@@ -4504,6 +4541,11 @@ class Engine:
                 mv.internal = persist_state(
                     mv, state_frame(self, mv, base_df, F.lit(1)).drop("__mv_neg")
                 )
+                if mv.has_distinct:
+                    mv.substates = [
+                        s.localCheckpoint(eager=True)
+                        for s in sub_state_frames(self, mv, base_df, F.lit(1))
+                    ]
             else:
                 mv.internal = persist_state(mv, self._select_any(mv.select))
         if mode != "noop":

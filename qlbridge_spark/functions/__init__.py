@@ -239,25 +239,45 @@ def _count(n, s):
     return F.count(to_column(a, s))
 
 
+def _distinct_arg(n: FuncNode):
+    """The inner arg when the aggregate is ``agg(DISTINCT x)`` (parsed as
+    ``agg(distinct(x))``), else None."""
+    a = n.args[0] if n.args else None
+    if isinstance(a, FuncNode) and a.name == "distinct" and len(a.args) == 1:
+        return a.args[0]
+    return None
+
+
 @_reg("avg", is_agg=True, return_type=T.DoubleType())
 def _avg(n, s):
+    d = _distinct_arg(n)
+    if d is not None:
+        # ANSI avg(DISTINCT x): mean over the distinct non-null values
+        # (Spark has no avg_distinct builtin; sum/count distinct compose)
+        c = to_column(d, s).cast("double")
+        return F.sum_distinct(c) / F.count_distinct(c)
     return F.avg(_c(n, s).cast("double"))
 
 
 @_reg("sum", is_agg=True, return_type=T.DoubleType())
 def _sum(n, s):
+    d = _distinct_arg(n)
+    if d is not None:
+        return F.sum_distinct(to_column(d, s))
     return F.sum(_c(n, s))
 
 
 # supersets the reference (exec/groupby.go:461-469 errors on these)
 @_reg("min", is_agg=True)
 def _min(n, s):
-    return F.min(_c(n, s))
+    d = _distinct_arg(n)  # min(DISTINCT x) ≡ min(x)
+    return F.min(to_column(d, s) if d is not None else _c(n, s))
 
 
 @_reg("max", is_agg=True)
 def _max(n, s):
-    return F.max(_c(n, s))
+    d = _distinct_arg(n)
+    return F.max(to_column(d, s) if d is not None else _c(n, s))
 
 
 @_reg("stddev", is_agg=True, return_type=T.DoubleType())

@@ -19,10 +19,15 @@ RESTORE (the window's recordings inverted, O(|window changes|)) — so
 its feed is O(|changes|) I/O universally. Only pre-recording
 warehouses and torn recordings fall back to the O(|base|)
 adjacent-snapshot diff. min/max (extrema repair via
-delete-touched-group re-agg), filter-only multisets, and fact-JOIN-dim
-shapes also maintain incrementally; anything beyond the algebra
-(DISTINCT, HAVING, windows, subqueries, RIGHT/FULL joins) still works
-as a materialized view — it just refreshes by full recompute, and the
+delete-touched-group re-agg), count/sum/avg(DISTINCT x) (two-level
+state: a (keys, value) → signed-occurrence-count substate, exposed by
+re-aggregating the O(|distinct values|) substate), filter-only
+multisets, and JOIN shapes also maintain incrementally — including
+BOTH sides of a fact-JOIN-dim view mutating (INNER joins fold
+ΔF ⋈ D_new ∪ F_old ⋈ ΔD; the F_old scan is IN-list-pruned to the dim
+delta's join keys). Anything beyond the algebra (HAVING, windows,
+subqueries, RIGHT/FULL joins, dim-moved LEFT joins) still works as a
+materialized view — it just refreshes by full recompute, and the
 refresh report says so.
 
 Superset: the reference has no materialized views (its closest notion
@@ -79,6 +84,13 @@ from .nodes import (
 from .rel import Column, FromSource, SqlSelect
 
 _INCREMENTAL_AGGS = {"sum", "count", "avg"}
+#: DISTINCT aggregates maintain through a TWO-LEVEL state: a per-view
+#: substate frame grained by (group keys, value) holding a signed
+#: occurrence count — deltas fold into it exactly like the main state,
+#: and the exposed count/sum/avg re-aggregates the O(|distinct values|)
+#: substate (never the base). This is the classic DBSP/Materialize
+#: answer to the "COUNT(DISTINCT) isn't distributive" problem.
+_DISTINCT_AGGS = {"count_distinct", "sum_distinct", "avg_distinct"}
 #: extrema fold under inserts (min of mins) but not deletes — a delete
 #: may remove the reigning extremum. The change feed names exactly which
 #: groups a delete touched, so REFRESH re-aggregates ONLY those groups'
@@ -92,11 +104,13 @@ NEG_FLAG = "__mv_neg"
 @dataclass
 class AggSpec:
     kind: str  # 'count_star' | 'count' | 'sum' | 'avg' | 'min' | 'max'
-    arg: Node | None  # None for count(*)
+    #      | 'count_distinct' | 'sum_distinct' | 'avg_distinct'
+    arg: Node | None  # None for count(*); the INNER arg for DISTINCT aggs
     out: str  # exposed column name
-    s_col: str | None = None  # internal sum-state column (sum/avg)
+    s_col: str | None = None  # internal sum-state state column (sum/avg)
     c_col: str | None = None  # internal non-null-count state (count/sum/avg)
     m_col: str | None = None  # internal extremum state column (min/max)
+    d_idx: int | None = None  # index into MatView.substates (DISTINCT aggs)
 
 
 @dataclass
@@ -122,6 +136,10 @@ class MatView:
     #: signed count); exposing it re-expands each row count times
     expand: bool = False
     internal: DataFrame | None = None  # state frame (or the full result)
+    #: one (keys, __mv_dv, __mv_dn) frame per DISTINCT agg (AggSpec.d_idx)
+    substates: list = field(default_factory=list)
+    #: exposed column names in the ORIGINAL select order
+    out_order: list = field(default_factory=list)
     exposed_types: dict | None = None  # exposed name → Spark DataType
     state_sink: object | None = None  # durable state store (WITH {"path"})
 
@@ -132,6 +150,10 @@ class MatView:
     @property
     def has_extrema(self) -> bool:
         return bool(self.aggs) and any(a.kind in _EXTREMUM_AGGS for a in self.aggs)
+
+    @property
+    def has_distinct(self) -> bool:
+        return bool(self.aggs) and any(a.kind in _DISTINCT_AGGS for a in self.aggs)
 
 
 def _row_local(node: Node) -> bool:
@@ -240,6 +262,7 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
     key_nodes: list = []
     key_cols: list[str] = []
     aggs: list[AggSpec] = []
+    out_order: list[str] = []
     for col in select.columns:
         if col.is_star or col.guard is not None or col.exclude or col.replace:
             return None
@@ -259,6 +282,7 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
                 keys_remaining.remove(e)
             key_nodes.append(e)
             key_cols.append(name)
+            out_order.append(name)
             continue
         if not isinstance(e, FuncNode) or e.name not in _INCREMENTAL_AGGS | _EXTREMUM_AGGS:
             return None
@@ -271,10 +295,26 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
             if e.name != "count":
                 return None
             aggs.append(AggSpec("count_star", None, col.alias))
+            out_order.append(col.alias)
+            continue
+        if isinstance(arg, FuncNode) and arg.name == "distinct":
+            # count/sum/avg(DISTINCT x): two-level state (see
+            # _DISTINCT_AGGS); min/max(DISTINCT x) ≡ min/max(x)
+            if len(arg.args) != 1:
+                return None
+            inner = arg.args[0]
+            if _contains_distinct(inner) or not _row_local(inner):
+                return None
+            if e.name in _EXTREMUM_AGGS:
+                aggs.append(AggSpec(e.name, inner, col.alias))
+            else:
+                aggs.append(AggSpec(f"{e.name}_distinct", inner, col.alias))
+            out_order.append(col.alias)
             continue
         if _contains_distinct(arg) or not _row_local(arg):
             return None
         aggs.append(AggSpec(e.name, arg, col.alias))
+        out_order.append(col.alias)
     if keys_remaining:
         return None  # GROUP BY key not exposed in the select list
     if not aggs and not filter_only and not select.group_by:
@@ -323,6 +363,7 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
             return None
 
     i = 0
+    di = 0
     for a in aggs:
         if a.kind in ("sum", "avg"):
             a.s_col, a.c_col = f"__mv_s{i}", f"__mv_c{i}"
@@ -330,6 +371,9 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
             a.c_col = f"__mv_c{i}"
         elif a.kind in _EXTREMUM_AGGS:
             a.m_col = f"__mv_m{i}"
+        elif a.kind in _DISTINCT_AGGS:
+            a.d_idx = di
+            di += 1
         i += 1
     return MatView(
         name="",
@@ -340,6 +384,7 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
         key_cols=key_cols,
         aggs=aggs,
         expand=filter_only,
+        out_order=out_order,
     )
 
 
@@ -515,6 +560,86 @@ def state_frame(
                 engine.tables[mv.dim] = saved
 
 
+def _sub_select(
+    mv: MatView, a: AggSpec, tmp_table: str, src_ref: str | None, weight: Node = _W
+) -> SqlSelect:
+    """The substate SELECT for one DISTINCT agg: (group keys, value) →
+    signed occurrence count. Shares the view's FROM/WHERE (and join)
+    verbatim, so it runs through the same pipeline as the main state."""
+    cols = [
+        Column(expr=k, alias=name) for k, name in zip(mv.key_nodes, mv.key_cols)
+    ]
+    cols.append(Column(expr=a.arg, alias="__mv_dv"))
+    cols.append(Column(expr=FuncNode(name="sum", args=[weight]), alias="__mv_dn"))
+    from_list = [FromSource(name=tmp_table, alias=src_ref)]
+    if len(mv.select.from_) > 1:
+        from_list.append(mv.select.from_[1])
+    return SqlSelect(
+        columns=cols,
+        from_=from_list,
+        where=mv.select.where,
+        group_by=list(mv.key_nodes) + [a.arg],
+    )
+
+
+def sub_state_frames(
+    engine,
+    mv: MatView,
+    base_df: DataFrame,
+    weight,
+    dim_df: DataFrame | None = None,
+    dim_weighted: bool = False,
+) -> list[DataFrame]:
+    """One substate frame per DISTINCT agg over ``base_df`` (+ ``__w``),
+    in ``AggSpec.d_idx`` order. Same source/dim plumbing as
+    :func:`state_frame`."""
+    src = mv.select.from_[0]
+    tmp = f"__mv_src_{id(mv) & 0xFFFFFF:x}"
+    w_node = (
+        BinaryNode(op="*", left=_W, right=IdentityNode(("__dw",)))
+        if dim_weighted
+        else _W
+    )
+    engine.tables[tmp] = base_df.withColumn("__w", weight)
+    saved = _UNSET
+    if dim_df is not None:
+        saved = engine.tables.get(mv.dim, _UNSET)
+        engine.tables[mv.dim] = dim_df
+    try:
+        return [
+            engine._select_any(
+                _sub_select(mv, a, tmp, src.alias or src.name, weight=w_node)
+            )
+            for a in mv.aggs
+            if a.kind in _DISTINCT_AGGS
+        ]
+    finally:
+        engine.tables.pop(tmp, None)
+        if dim_df is not None:
+            if saved is _UNSET:
+                engine.tables.pop(mv.dim, None)
+            else:
+                engine.tables[mv.dim] = saved
+
+
+def merge_substates(
+    mv: MatView, substates: list[DataFrame], deltas: list[DataFrame]
+) -> list[DataFrame]:
+    """Fold signed substate deltas: one union + hash agg per DISTINCT
+    agg, grained by (keys, value); values whose occurrence count reaches
+    zero drop out — O(|substate| + |delta|), never the base."""
+    out = []
+    for old, delta in zip(substates, deltas):
+        merged = (
+            old.unionByName(delta)
+            .groupBy(*mv.key_cols, "__mv_dv")
+            .agg(F.sum("__mv_dn").alias("__mv_dn"))
+            .filter(F.col("__mv_dn") > 0)
+        )
+        out.append(merged)
+    return out
+
+
 _STATE_COLS = lambda mv: ["__mv_n"] + [  # noqa: E731
     c for a in mv.aggs for c in (a.s_col, a.c_col) if c
 ]
@@ -613,6 +738,7 @@ def exposed_frame(mv: MatView) -> DataFrame:
     out = []
     for k in mv.key_cols:
         out.append(F.col(k).alias(k))
+    distinct_aggs = []
     for a in mv.aggs:
         if a.kind == "count_star":
             c = F.coalesce(F.col("__mv_n"), F.lit(0))
@@ -622,10 +748,42 @@ def exposed_frame(mv: MatView) -> DataFrame:
             c = F.when(F.col(a.c_col) > 0, F.col(a.s_col))
         elif a.kind in _EXTREMUM_AGGS:
             c = F.col(a.m_col)
+        elif a.kind in _DISTINCT_AGGS:
+            distinct_aggs.append(a)
+            continue  # joined in from the substate below
         else:  # avg
             c = F.when(F.col(a.c_col) > 0, F.col(a.s_col) / F.col(a.c_col))
         out.append(c.alias(a.out))
     df = mv.internal.select(*out)
+    for a in distinct_aggs:
+        # re-aggregate the O(|distinct values|) substate and graft the
+        # column in: per-group |view|-sized join, never a base read.
+        # NULL values don't count/sum (ANSI DISTINCT-agg semantics);
+        # NULL group keys join null-safely (a NULL key IS a group).
+        sub = mv.substates[a.d_idx].filter(F.col("__mv_dv").isNotNull())
+        if a.kind == "count_distinct":
+            agg_c = F.count(F.lit(1))
+        elif a.kind == "sum_distinct":
+            agg_c = F.sum("__mv_dv")
+        else:  # avg_distinct
+            agg_c = F.avg("__mv_dv")
+        cf = sub.groupBy(*[F.col(k) for k in mv.key_cols]).agg(agg_c.alias(a.out))
+        if mv.key_cols:
+            cfa = cf.select(
+                *[F.col(k).alias(f"__mvd_{k}") for k in mv.key_cols], F.col(a.out)
+            )
+            cond = None
+            for k in mv.key_cols:
+                c = df[k].eqNullSafe(cfa[f"__mvd_{k}"])
+                cond = c if cond is None else (cond & c)
+            df = df.join(cfa, cond, "left").drop(*[f"__mvd_{k}" for k in mv.key_cols])
+        else:
+            # global aggregate: both sides are single-row
+            df = df.crossJoin(cf) if cf.columns else df
+        if a.kind == "count_distinct":
+            df = df.withColumn(a.out, F.coalesce(F.col(a.out), F.lit(0)))
+    if mv.out_order and set(mv.out_order) == set(df.columns):
+        df = df.select(*mv.out_order)  # original SELECT column order
     if mv.exposed_types:
         df = df.select(
             *[

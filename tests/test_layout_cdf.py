@@ -443,25 +443,42 @@ class TestChangeRecording:
             (1, "update_preimage", 2),
             (2, "delete", 3),
         ]
-        # an UNRECORDED step with a vacuumed endpoint still errors
-        sink.merge_upsert(spark.createDataFrame([(9, "z")], "id long, v string"))  # v4, no rec
+        # an UNRECORDED step (torn/stripped recording) with a vacuumed
+        # endpoint still errors
+        import shutil
+
+        sink.merge_upsert(spark.createDataFrame([(9, "z")], "id long, v string"))  # v4
+        shutil.rmtree(str(tmp_path / "vac" / "c4"))  # strip its recording
         sink.vacuum(keep=1)  # only v4 retained; step 4 diff needs v3
         e.clear_plan_cache()
         with pytest.raises(ExecError, match="neither a change recording nor both"):
             e.changes_since("t", 3)
 
-    def test_merge_upsert_commit_falls_back_to_diff(self, spark, tmp_path):
+    def test_merge_upsert_commit_records_changes(self, spark, tmp_path):
+        # upsert commits record at commit time (keyed contract makes the
+        # pre/post pairing well-defined); with the recording STRIPPED the
+        # feed falls back to the snapshot diff and agrees exactly
         e = Engine(spark, "cdcrec-ups")
         sink = ParquetMergeSink(spark, str(tmp_path / "ups"), key="id")
         sink.ensure(spark.createDataFrame([(1, "a")], "id long, v string"))
         e.register_sink("t", sink)
         sink.merge_upsert(spark.createDataFrame([(1, "A"), (2, "b")], "id long, v string"))
-        assert not os.path.isdir(str(tmp_path / "ups" / "c1"))  # no recording
+        assert sink.recording_kind(1) == "files"
+        want = [(1, "update_postimage"), (1, "update_preimage"), (2, "insert")]
         got = sorted(
             (r["id"], r["_change_type"])
             for r in e.sql("SELECT * FROM TABLE_CHANGES('t', 1, 1)").collect()
         )
-        assert got == [(1, "update_postimage"), (1, "update_preimage"), (2, "insert")]
+        assert got == want
+        import shutil
+
+        shutil.rmtree(str(tmp_path / "ups" / "c1"))
+        e.clear_plan_cache()
+        got = sorted(
+            (r["id"], r["_change_type"])
+            for r in e.sql("SELECT * FROM TABLE_CHANGES('t', 1, 1)").collect()
+        )
+        assert got == want  # diff fallback agrees with the recording
 
     def test_incremental_mv_refresh_over_recorded_changes(self, spark, tmp_path):
         """The consumer this was built for: MV refresh folds the recorded

@@ -186,7 +186,9 @@ class TestEligibility:
         "q",
         [
             "SELECT g, stddev(x) AS m FROM t GROUP BY g",  # non-distributive agg
-            "SELECT g, count(DISTINCT x) AS d FROM t GROUP BY g",  # distinct
+            # DISTINCT-agg views are incremental since r12; a FILTER
+            # clause still forces full recompute
+            "SELECT g, count(DISTINCT x) FILTER (WHERE id > 2) AS d FROM t GROUP BY g",
             "SELECT g, count(*) AS n FROM t GROUP BY g HAVING n > 1",  # having
             "SELECT t.g, count(*) AS n FROM t JOIN t u ON t.id = u.id GROUP BY t.g",  # join
             "SELECT upper(g) AS u, count(*) AS n FROM t GROUP BY g",  # key not exposed
@@ -351,6 +353,159 @@ class TestExtremaAndFilterOnly:
                             assert abs(gv - wv) < 1e-6, (round_, name, gr, wr)
                         else:
                             assert gv == wv, (round_, name, gr, wr)
+
+
+class TestDistinctAggMatViews:
+    """count/sum/avg(DISTINCT x) maintain through a TWO-LEVEL state: a
+    (group keys, value) → signed-occurrence-count substate folds deltas
+    exactly like the main state; the exposed value re-aggregates the
+    O(|distinct values|) substate — never the base. min/max(DISTINCT x)
+    is just min/max(x)."""
+
+    Q = (
+        "SELECT g, count(DISTINCT x) AS dx, sum(DISTINCT x) AS sx, "
+        "count(*) AS n FROM t GROUP BY g"
+    )
+
+    def test_insert_update_delete_parity(self, spark, tmp_path):
+        eng, _ = _mk(spark, tmp_path, "dq1", BASE)
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {self.Q}")
+        mv = eng.mat_views["mv"]
+        assert mv.incremental and mv.has_distinct
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, self.Q)
+        # duplicate value lands (count distinct must NOT grow), a value
+        # vanishes (its last occurrence deleted), a null arrives
+        eng.execute(
+            "INSERT INTO t (id, g, x) VALUES (6, 'a', 10.0), (7, 'a', 99.0), (8, 'c', NULL)"
+        )
+        eng.execute("UPDATE t SET x = 20.0 WHERE id = 1")  # a: 10 now unique to id=6
+        eng.execute("DELETE FROM t WHERE id = 5")  # c loses x=7 entirely
+        rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+        assert rep["mode"] == "incremental"
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, self.Q)
+        assert eng.sql("SELECT * FROM mv").schema == eng.sql(self.Q).schema
+
+    def test_distinct_value_refcounting(self, spark, tmp_path):
+        # two rows share x=5.0 in group 'b'; deleting ONE keeps the
+        # distinct count, deleting BOTH drops it
+        eng, _ = _mk(
+            spark, tmp_path, "dq2",
+            [(1, "b", 5.0), (2, "b", 5.0), (3, "b", 8.0)],
+        )
+        q = "SELECT g, count(DISTINCT x) AS dx FROM t GROUP BY g"
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
+        eng.execute("DELETE FROM t WHERE id = 1")
+        eng.sql("REFRESH MATERIALIZED VIEW mv").collect()
+        assert _rows(eng, "SELECT * FROM mv") == [("b", 2)]
+        eng.execute("DELETE FROM t WHERE id = 2")
+        eng.sql("REFRESH MATERIALIZED VIEW mv").collect()
+        assert _rows(eng, "SELECT * FROM mv") == [("b", 1)]
+
+    def test_global_distinct_and_avg(self, spark, tmp_path):
+        eng, _ = _mk(spark, tmp_path, "dq3", BASE)
+        q = "SELECT count(DISTINCT g) AS dg, avg(DISTINCT x) AS ax FROM t"
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
+        assert eng.mat_views["mv"].incremental
+        eng.execute("DELETE FROM t WHERE g = 'c'")  # a whole group label vanishes
+        eng.execute("INSERT INTO t (id, g, x) VALUES (9, 'zz', 10.0)")  # dup value 10.0
+        rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+        assert rep["mode"] == "incremental"
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
+
+    def test_min_distinct_is_plain_extremum(self, spark, tmp_path):
+        eng, _ = _mk(spark, tmp_path, "dq4", BASE)
+        q = "SELECT g, min(DISTINCT x) AS lo FROM t GROUP BY g"
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
+        mv = eng.mat_views["mv"]
+        assert mv.incremental and mv.has_extrema and not mv.has_distinct
+        eng.execute("DELETE FROM t WHERE id = 4")  # removes b's minimum
+        rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+        assert rep["mode"] == "incremental"
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
+
+    def test_agg_before_key_column_order(self, spark, tmp_path):
+        # exposed column ORDER follows the original SELECT, not
+        # keys-first (regression: out_order)
+        eng, _ = _mk(spark, tmp_path, "dq5", BASE)
+        q = "SELECT sum(x) AS s, g, count(DISTINCT x) AS dx FROM t GROUP BY g"
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
+        assert eng.sql("SELECT * FROM mv").columns == ["s", "g", "dx"]
+        eng.execute("INSERT INTO t (id, g, x) VALUES (10, 'a', 1.0)")
+        eng.sql("REFRESH MATERIALIZED VIEW mv").collect()
+        assert eng.sql("SELECT * FROM mv").columns == ["s", "g", "dx"]
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
+
+    def test_join_view_with_distinct_and_dim_mutation(self, spark, tmp_path):
+        from qlbridge_spark.sinks import ParquetMergeSink
+
+        eng = Engine(spark, "mv-dj")
+        fact = ParquetMergeSink(spark, str(tmp_path / "djf"), key="id")
+        fact.ensure(
+            spark.createDataFrame(
+                [(i, i % 4, float(i % 7)) for i in range(40)],
+                "id long, dk int, x double",
+            )
+        )
+        dim = ParquetMergeSink(spark, str(tmp_path / "djd"), key="dk")
+        dim.ensure(
+            spark.createDataFrame([(k, f"n{k}") for k in range(4)], "dk int, dname string")
+        )
+        eng.register_sink("f", fact)
+        eng.register_sink("d", dim)
+        q = (
+            "SELECT d.dname AS g, count(DISTINCT f.x) AS dx, count(*) AS n "
+            "FROM f JOIN d ON f.dk = d.dk GROUP BY d.dname"
+        )
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
+        assert eng.mat_views["mv"].incremental
+        eng.execute("UPDATE d SET dname = 'renamed' WHERE dk = 1")  # dim moved
+        eng.execute("INSERT INTO f (id, dk, x) VALUES (100, 1, 3.0), (101, 2, 50.0)")
+        eng.execute("DELETE FROM f WHERE id = 2")
+        rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+        assert rep["mode"] == "incremental"
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
+
+    def test_durable_path_downgrades_to_full(self, spark, tmp_path):
+        eng, _ = _mk(spark, tmp_path, "dq6", BASE)
+        q = "SELECT g, count(DISTINCT x) AS dx FROM t GROUP BY g"
+        eng.execute(
+            f'CREATE MATERIALIZED VIEW mv AS {q} WITH {{"path": "{tmp_path / "dq6_state"}"}}'
+        )
+        assert not eng.mat_views["mv"].incremental  # documented downgrade
+        eng.execute("INSERT INTO t (id, g, x) VALUES (11, 'a', 1.0)")
+        rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+        assert rep["mode"] == "full"
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
+
+    def test_randomized_mutations_with_distinct(self, spark, tmp_path):
+        rng = random.Random(20260819)
+        eng, _ = _mk(
+            spark, tmp_path, "dqr",
+            [(i, "g" + str(i % 4), float(i % 9)) for i in range(60)],
+        )
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {self.Q}")
+        next_id = 60
+        for round_ in range(5):
+            for _ in range(rng.randint(1, 3)):
+                op = rng.choice(["ins", "upd", "del"])
+                if op == "ins":
+                    g = "g" + str(rng.randint(0, 5))
+                    x = rng.choice([f"{float(rng.randint(0, 8))}", "NULL"])
+                    eng.execute(
+                        f"INSERT INTO t (id, g, x) VALUES ({next_id}, '{g}', {x})"
+                    )
+                    next_id += 1
+                elif op == "upd":
+                    eng.execute(
+                        f"UPDATE t SET x = {float(rng.randint(0, 8))} "
+                        f"WHERE id % {rng.randint(2, 6)} = 0"
+                    )
+                else:
+                    eng.execute(f"DELETE FROM t WHERE id % {rng.randint(5, 11)} = 1")
+            rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+            assert rep["mode"] in ("incremental", "noop"), round_
+            got, want = _rows(eng, "SELECT * FROM mv"), _rows(eng, self.Q)
+            assert got == want, (round_, got, want)
 
 
 class TestJoinMatViews:
