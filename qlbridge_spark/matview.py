@@ -25,10 +25,13 @@ re-aggregating the O(|distinct values|) substate), filter-only
 multisets, and JOIN shapes also maintain incrementally — including
 BOTH sides of a fact-JOIN-dim view mutating (INNER joins fold
 ΔF ⋈ D_new ∪ F_old ⋈ ΔD; the F_old scan is IN-list-pruned to the dim
-delta's join keys). Anything beyond the algebra (HAVING, windows,
-subqueries, RIGHT/FULL joins, dim-moved LEFT joins) still works as a
-materialized view — it just refreshes by full recompute, and the
-refresh report says so.
+delta's join keys). HAVING applies at EXPOSE time over the aggregated
+state (aggs referenced only by HAVING become hidden state columns), so
+filtered-out groups re-appear the moment a delta makes them qualify.
+Anything beyond the algebra (windows, subqueries, RIGHT/FULL joins,
+dim-moved LEFT joins, FILTER clauses, non-distributive aggs) still
+works as a materialized view — it just refreshes by full recompute,
+and the refresh report says so.
 
 Superset: the reference has no materialized views (its closest notion
 is the continuously-evaluated view, which the engine maps to Structured
@@ -140,6 +143,10 @@ class MatView:
     substates: list = field(default_factory=list)
     #: exposed column names in the ORIGINAL select order
     out_order: list = field(default_factory=list)
+    #: HAVING predicate REWRITTEN over exposed/hidden agg columns —
+    #: applied at expose time (state keeps every group: a group filtered
+    #: out today may satisfy the predicate after the next delta)
+    having: Node | None = None
     exposed_types: dict | None = None  # exposed name → Spark DataType
     state_sink: object | None = None  # durable state store (WITH {"path"})
 
@@ -173,6 +180,65 @@ def _row_local(node: Node) -> bool:
 
 def _contains_distinct(node: Node) -> bool:
     return any(isinstance(n, FuncNode) and n.name == "distinct" for n in node.walk())
+
+
+def _parse_agg(e: Node):
+    """``(kind, arg)`` when ``e`` is an aggregate call the signed-delta
+    algebra maintains (the AggSpec vocabulary), else None."""
+    if not isinstance(e, FuncNode) or e.name not in _INCREMENTAL_AGGS | _EXTREMUM_AGGS:
+        return None
+    if e.filter_where is not None or e.agg_order or e.ignore_nulls or len(e.args) != 1:
+        return None
+    arg = e.args[0]
+    if isinstance(arg, IdentityNode) and arg.is_star:
+        return ("count_star", None) if e.name == "count" else None
+    if isinstance(arg, FuncNode) and arg.name == "distinct":
+        # count/sum/avg(DISTINCT x); min/max(DISTINCT x) ≡ min/max(x)
+        if len(arg.args) != 1:
+            return None
+        inner = arg.args[0]
+        if _contains_distinct(inner) or not _row_local(inner):
+            return None
+        if e.name in _EXTREMUM_AGGS:
+            return (e.name, inner)
+        return (f"{e.name}_distinct", inner)
+    if _contains_distinct(arg) or not _row_local(arg):
+        return None
+    return (e.name, arg)
+
+
+def _subst(node: Node, pairs: list) -> Node:
+    """Structural find-replace over a Node tree: every subtree equal to a
+    ``pairs`` key is replaced by its value (dataclass rebuild; CASE
+    whens-tuples handled)."""
+    import dataclasses
+
+    for k, v in pairs:
+        if node == k:
+            return v
+    if not dataclasses.is_dataclass(node):
+        return node
+    kwargs = {}
+    for f in dataclasses.fields(node):
+        val = getattr(node, f.name)
+        if isinstance(val, Node):
+            kwargs[f.name] = _subst(val, pairs)
+        elif isinstance(val, (list, tuple)):
+            items = []
+            for it in val:
+                if isinstance(it, Node):
+                    items.append(_subst(it, pairs))
+                elif isinstance(it, tuple):
+                    items.append(
+                        tuple(
+                            _subst(x, pairs) if isinstance(x, Node) else x
+                            for x in it
+                        )
+                    )
+                else:
+                    items.append(it)
+            kwargs[f.name] = type(val)(items)
+    return dataclasses.replace(node, **kwargs) if kwargs else node
 
 
 def analyze(engine, select: SqlSelect) -> MatView | None:
@@ -230,7 +296,6 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
         or select.distinct_on
         or select.group_mode
         or select.grouping_sets
-        or select.having is not None
         or select.qualify is not None
         or select.windows
         or select.order_by
@@ -284,36 +349,12 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
             key_cols.append(name)
             out_order.append(name)
             continue
-        if not isinstance(e, FuncNode) or e.name not in _INCREMENTAL_AGGS | _EXTREMUM_AGGS:
-            return None
-        if e.filter_where is not None or e.agg_order or e.ignore_nulls or len(e.args) != 1:
-            return None
         if col.alias is None:
             return None  # exposed agg name undefined without an alias
-        arg = e.args[0]
-        if isinstance(arg, IdentityNode) and arg.is_star:
-            if e.name != "count":
-                return None
-            aggs.append(AggSpec("count_star", None, col.alias))
-            out_order.append(col.alias)
-            continue
-        if isinstance(arg, FuncNode) and arg.name == "distinct":
-            # count/sum/avg(DISTINCT x): two-level state (see
-            # _DISTINCT_AGGS); min/max(DISTINCT x) ≡ min/max(x)
-            if len(arg.args) != 1:
-                return None
-            inner = arg.args[0]
-            if _contains_distinct(inner) or not _row_local(inner):
-                return None
-            if e.name in _EXTREMUM_AGGS:
-                aggs.append(AggSpec(e.name, inner, col.alias))
-            else:
-                aggs.append(AggSpec(f"{e.name}_distinct", inner, col.alias))
-            out_order.append(col.alias)
-            continue
-        if _contains_distinct(arg) or not _row_local(arg):
+        parsed = _parse_agg(e)
+        if parsed is None:
             return None
-        aggs.append(AggSpec(e.name, arg, col.alias))
+        aggs.append(AggSpec(parsed[0], parsed[1], col.alias))
         out_order.append(col.alias)
     if keys_remaining:
         return None  # GROUP BY key not exposed in the select list
@@ -321,6 +362,49 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
         return None  # unreachable guard: nothing the delta algebra maintains
     if not key_cols and not aggs:
         return None
+
+    having_expr = None
+    if select.having is not None:
+        # HAVING is a filter over the AGGREGATED result, so it applies at
+        # EXPOSE time — the state keeps every group (one filtered out
+        # today may satisfy the predicate after the next delta). Rewrite
+        # each aggregate call in the predicate to the matching exposed
+        # column; aggs referenced only by HAVING become HIDDEN AggSpecs
+        # (maintained in state, dropped from the exposed projection).
+        if filter_only:
+            return None  # HAVING without aggregation: engine edge, stay full
+        roots = [
+            n
+            for n in select.having.walk()
+            if isinstance(n, FuncNode) and funcs.is_agg_func(n.name) and n.name != "distinct"
+        ]
+        contained = {id(d) for r in roots for d in r.walk() if d is not r}
+        roots = [r for r in roots if id(r) not in contained]
+        pairs = []
+        hidden = 0
+        for r in roots:
+            parsed = _parse_agg(r)
+            if parsed is None:
+                return None  # e.g. HAVING stddev(x) > 0 — not maintainable
+            kind, arg = parsed
+            match = next(
+                (a for a in aggs if a.kind == kind and a.arg == arg), None
+            )
+            if match is None:
+                match = AggSpec(kind, arg, f"__mv_h{hidden}")
+                hidden += 1
+                aggs.append(match)
+            pairs.append((r, IdentityNode((match.out,))))
+        having_expr = _subst(select.having, pairs)
+        exposed = set(key_cols) | {a.out for a in aggs}
+        if not _row_local(having_expr):
+            return None
+        for n in having_expr.walk():
+            if isinstance(n, IdentityNode):
+                if getattr(n, "is_star", False) or len(n.parts) != 1:
+                    return None
+                if n.parts[0] not in exposed:
+                    return None  # unknown name (or un-rewritten agg ref)
 
     if dim_name and any(a.kind in _EXTREMUM_AGGS for a in aggs):
         # extrema repair probes group-key exprs on the FACT frame alone
@@ -385,6 +469,7 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
         aggs=aggs,
         expand=filter_only,
         out_order=out_order,
+        having=having_expr,
     )
 
 
@@ -782,8 +867,15 @@ def exposed_frame(mv: MatView) -> DataFrame:
             df = df.crossJoin(cf) if cf.columns else df
         if a.kind == "count_distinct":
             df = df.withColumn(a.out, F.coalesce(F.col(a.out), F.lit(0)))
-    if mv.out_order and set(mv.out_order) == set(df.columns):
-        df = df.select(*mv.out_order)  # original SELECT column order
+    if mv.having is not None:
+        # post-aggregation filter over exposed + hidden agg columns
+        from .translate import Scope, to_column
+
+        df = df.filter(to_column(mv.having, Scope({"__mv_view": df})))
+    if mv.out_order and set(mv.out_order) <= set(df.columns):
+        # original SELECT column order; also drops HIDDEN (HAVING-only)
+        # agg columns from the exposed projection
+        df = df.select(*mv.out_order)
     if mv.exposed_types:
         df = df.select(
             *[

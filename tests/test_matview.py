@@ -189,7 +189,9 @@ class TestEligibility:
             # DISTINCT-agg views are incremental since r12; a FILTER
             # clause still forces full recompute
             "SELECT g, count(DISTINCT x) FILTER (WHERE id > 2) AS d FROM t GROUP BY g",
-            "SELECT g, count(*) AS n FROM t GROUP BY g HAVING n > 1",  # having
+            # HAVING is incremental since r12 — unless it references an
+            # agg the algebra can't maintain
+            "SELECT g, count(*) AS n FROM t GROUP BY g HAVING stddev(x) > 0",
             "SELECT t.g, count(*) AS n FROM t JOIN t u ON t.id = u.id GROUP BY t.g",  # join
             "SELECT upper(g) AS u, count(*) AS n FROM t GROUP BY g",  # key not exposed
             "SELECT g, count(*) AS n FROM t GROUP BY g ORDER BY n",  # order by
@@ -353,6 +355,95 @@ class TestExtremaAndFilterOnly:
                             assert abs(gv - wv) < 1e-6, (round_, name, gr, wr)
                         else:
                             assert gv == wv, (round_, name, gr, wr)
+
+
+class TestHavingMatViews:
+    """HAVING applies at EXPOSE time over the aggregated state: groups
+    stay in state while filtered out, so a later delta can bring them
+    back; aggs referenced only by HAVING are maintained as hidden state
+    columns and never exposed."""
+
+    def test_having_on_alias_and_raw_agg(self, spark, tmp_path):
+        eng, _ = _mk(spark, tmp_path, "hv1", BASE)
+        q = "SELECT g, count(*) AS n, sum(x) AS s FROM t GROUP BY g HAVING n > 1"
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
+        assert eng.mat_views["mv"].incremental
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
+        # raw agg spelling too
+        q2 = "SELECT g, sum(x) AS s FROM t GROUP BY g HAVING count(*) > 1 AND sum(x) > 10"
+        eng.execute(f"CREATE OR REPLACE MATERIALIZED VIEW mv2 AS {q2}")
+        mv2 = eng.mat_views["mv2"]
+        assert mv2.incremental
+        # count(*) is HAVING-only → hidden; sum(x) reuses the exposed spec
+        assert [a.out for a in mv2.aggs] == ["s", "__mv_h0"]
+        assert eng.sql("SELECT * FROM mv2").columns == ["g", "s"]
+        assert _rows(eng, "SELECT * FROM mv2") == _rows(eng, q2)
+
+    def test_group_crosses_having_boundary_both_ways(self, spark, tmp_path):
+        eng, _ = _mk(spark, tmp_path, "hv2", BASE)
+        q = "SELECT g, count(*) AS n FROM t GROUP BY g HAVING n >= 2"
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
+        assert _rows(eng, "SELECT * FROM mv") == [("a", 2), ("b", 2)]
+        # 'c' (1 row) joins the view when a second row lands
+        eng.execute("INSERT INTO t (id, g, x) VALUES (6, 'c', 1.0)")
+        eng.sql("REFRESH MATERIALIZED VIEW mv").collect()
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
+        assert ("c", 2) in _rows(eng, "SELECT * FROM mv")
+        # and drops back out when it shrinks below the bar
+        eng.execute("DELETE FROM t WHERE id = 6")
+        rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+        assert rep["mode"] == "incremental"
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
+        assert all(g != "c" or n >= 2 for g, n in _rows(eng, "SELECT * FROM mv"))
+
+    def test_having_with_distinct_and_extrema(self, spark, tmp_path):
+        eng, _ = _mk(spark, tmp_path, "hv3", BASE)
+        q = (
+            "SELECT g, count(DISTINCT x) AS dx, min(x) AS lo "
+            "FROM t GROUP BY g HAVING max(x) > 5"
+        )
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
+        mv = eng.mat_views["mv"]
+        assert mv.incremental and mv.has_distinct and mv.has_extrema
+        eng.execute("DELETE FROM t WHERE id = 2")  # removes a's max (20)
+        eng.execute("INSERT INTO t (id, g, x) VALUES (7, 'b', 100.0)")
+        rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+        assert rep["mode"] == "incremental"
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
+        assert eng.sql("SELECT * FROM mv").schema == eng.sql(q).schema
+
+    def test_having_randomized_parity(self, spark, tmp_path):
+        rng = random.Random(20260820)
+        eng, _ = _mk(
+            spark, tmp_path, "hvr",
+            [(i, "g" + str(i % 5), float(i % 11)) for i in range(50)],
+        )
+        q = (
+            "SELECT g, sum(x) AS s, count(*) AS n FROM t WHERE id > 1 "
+            "GROUP BY g HAVING count(*) > 3 AND s < 400"
+        )
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
+        assert eng.mat_views["mv"].incremental
+        next_id = 50
+        for round_ in range(4):
+            for _ in range(rng.randint(1, 3)):
+                op = rng.choice(["ins", "upd", "del"])
+                if op == "ins":
+                    eng.execute(
+                        f"INSERT INTO t (id, g, x) VALUES "
+                        f"({next_id}, 'g{rng.randint(0, 6)}', {float(rng.randint(0, 30))})"
+                    )
+                    next_id += 1
+                elif op == "upd":
+                    eng.execute(
+                        f"UPDATE t SET x = {float(rng.randint(0, 30))} "
+                        f"WHERE id % {rng.randint(2, 6)} = 0"
+                    )
+                else:
+                    eng.execute(f"DELETE FROM t WHERE id % {rng.randint(4, 9)} = 1")
+            rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+            assert rep["mode"] in ("incremental", "noop"), round_
+            assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q), round_
 
 
 class TestDistinctAggMatViews:
