@@ -147,6 +147,11 @@ class MatView:
     #: applied at expose time (state keeps every group: a group filtered
     #: out today may satisfy the predicate after the next delta)
     having: Node | None = None
+    #: top-k views: ORDER BY keys (rewritten like `having`) + LIMIT /
+    #: OFFSET, applied at expose time over the full state
+    order_exprs: list = field(default_factory=list)
+    limit: int | None = None
+    offset: int | None = None
     exposed_types: dict | None = None  # exposed name → Spark DataType
     state_sink: object | None = None  # durable state store (WITH {"path"})
 
@@ -298,11 +303,8 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
         or select.grouping_sets
         or select.qualify is not None
         or select.windows
-        or select.order_by
         or select.group_all
         or select.order_all
-        or select.limit is not None
-        or select.offset is not None
         or select.into
     ):
         # NOTE: select.with_ is the reference's trailing config map (not
@@ -363,48 +365,74 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
     if not key_cols and not aggs:
         return None
 
-    having_expr = None
-    if select.having is not None:
-        # HAVING is a filter over the AGGREGATED result, so it applies at
-        # EXPOSE time — the state keeps every group (one filtered out
-        # today may satisfy the predicate after the next delta). Rewrite
-        # each aggregate call in the predicate to the matching exposed
-        # column; aggs referenced only by HAVING become HIDDEN AggSpecs
-        # (maintained in state, dropped from the exposed projection).
-        if filter_only:
-            return None  # HAVING without aggregation: engine edge, stay full
+    hidden_n = [0]
+
+    def _post_agg(node: Node):
+        """Rewrite a POST-aggregation expression (HAVING predicate, ORDER
+        BY key) over the exposed columns: each aggregate call becomes the
+        matching exposed column — aggs referenced only here become HIDDEN
+        AggSpecs (maintained in state, dropped from the exposed
+        projection). None when not maintainable."""
         roots = [
             n
-            for n in select.having.walk()
+            for n in node.walk()
             if isinstance(n, FuncNode) and funcs.is_agg_func(n.name) and n.name != "distinct"
         ]
         contained = {id(d) for r in roots for d in r.walk() if d is not r}
         roots = [r for r in roots if id(r) not in contained]
         pairs = []
-        hidden = 0
         for r in roots:
             parsed = _parse_agg(r)
             if parsed is None:
-                return None  # e.g. HAVING stddev(x) > 0 — not maintainable
+                return None  # e.g. stddev(x) — not maintainable
             kind, arg = parsed
             match = next(
                 (a for a in aggs if a.kind == kind and a.arg == arg), None
             )
             if match is None:
-                match = AggSpec(kind, arg, f"__mv_h{hidden}")
-                hidden += 1
+                match = AggSpec(kind, arg, f"__mv_h{hidden_n[0]}")
+                hidden_n[0] += 1
                 aggs.append(match)
             pairs.append((r, IdentityNode((match.out,))))
-        having_expr = _subst(select.having, pairs)
-        exposed = set(key_cols) | {a.out for a in aggs}
-        if not _row_local(having_expr):
+        out = _subst(node, pairs)
+        if not _row_local(out):
             return None
-        for n in having_expr.walk():
+        exposed = set(key_cols) | {a.out for a in aggs}
+        for n in out.walk():
             if isinstance(n, IdentityNode):
                 if getattr(n, "is_star", False) or len(n.parts) != 1:
                     return None
                 if n.parts[0] not in exposed:
                     return None  # unknown name (or un-rewritten agg ref)
+        return out
+
+    having_expr = None
+    if select.having is not None:
+        # HAVING filters the AGGREGATED result, so it applies at EXPOSE
+        # time — the state keeps every group (one filtered out today may
+        # satisfy the predicate after the next delta).
+        if filter_only:
+            return None  # HAVING without aggregation: engine edge, stay full
+        having_expr = _post_agg(select.having)
+        if having_expr is None:
+            return None
+
+    order_exprs: list = []
+    if select.order_by or select.limit is not None or select.offset is not None:
+        # top-k views: ORDER BY (presentation) and ORDER BY + LIMIT /
+        # OFFSET (content!) apply at EXPOSE time over the full state —
+        # a group entering or leaving the top k needs no special
+        # maintenance, the state always holds every group. LIMIT without
+        # a total order would be nondeterministic content → full MV.
+        if filter_only:
+            return None
+        if (select.limit is not None or select.offset is not None) and not select.order_by:
+            return None
+        for e, direction in select.order_by:
+            oe = _post_agg(e)
+            if oe is None:
+                return None
+            order_exprs.append((oe, direction))
 
     if dim_name and any(a.kind in _EXTREMUM_AGGS for a in aggs):
         # extrema repair probes group-key exprs on the FACT frame alone
@@ -470,6 +498,9 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
         expand=filter_only,
         out_order=out_order,
         having=having_expr,
+        order_exprs=order_exprs,
+        limit=select.limit,
+        offset=select.offset,
     )
 
 
@@ -867,11 +898,31 @@ def exposed_frame(mv: MatView) -> DataFrame:
             df = df.crossJoin(cf) if cf.columns else df
         if a.kind == "count_distinct":
             df = df.withColumn(a.out, F.coalesce(F.col(a.out), F.lit(0)))
-    if mv.having is not None:
-        # post-aggregation filter over exposed + hidden agg columns
+    if mv.having is not None or mv.order_exprs:
         from .translate import Scope, to_column
 
-        df = df.filter(to_column(mv.having, Scope({"__mv_view": df})))
+        scope = Scope({"__mv_view": df})
+        if mv.having is not None:
+            # post-aggregation filter over exposed + hidden agg columns
+            df = df.filter(to_column(mv.having, scope))
+            scope = Scope({"__mv_view": df})
+        if mv.order_exprs:
+            # top-k exposure: sort (and LIMIT/OFFSET) over the FULL
+            # state — groups enter/leave the k without extra maintenance.
+            # Ties resolve arbitrarily, exactly like running the query.
+            from .engine import Engine
+
+            df = df.orderBy(
+                *[
+                    d
+                    for e, direction in mv.order_exprs
+                    for d in Engine._directional(to_column(e, scope), direction)
+                ]
+            )
+            if mv.offset:
+                df = df.offset(int(mv.offset))
+            if mv.limit is not None:
+                df = df.limit(int(mv.limit))
     if mv.out_order and set(mv.out_order) <= set(df.columns):
         # original SELECT column order; also drops HIDDEN (HAVING-only)
         # agg columns from the exposed projection

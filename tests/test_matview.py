@@ -194,7 +194,9 @@ class TestEligibility:
             "SELECT g, count(*) AS n FROM t GROUP BY g HAVING stddev(x) > 0",
             "SELECT t.g, count(*) AS n FROM t JOIN t u ON t.id = u.id GROUP BY t.g",  # join
             "SELECT upper(g) AS u, count(*) AS n FROM t GROUP BY g",  # key not exposed
-            "SELECT g, count(*) AS n FROM t GROUP BY g ORDER BY n",  # order by
+            # ORDER BY [+LIMIT] is incremental since r12 (top-k views);
+            # LIMIT without a total order is nondeterministic content
+            "SELECT g, count(*) AS n FROM t GROUP BY g LIMIT 2",
             "SELECT DISTINCT g FROM t",  # no aggregate
         ],
     )
@@ -444,6 +446,84 @@ class TestHavingMatViews:
             rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
             assert rep["mode"] in ("incremental", "noop"), round_
             assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q), round_
+
+
+class TestTopKMatViews:
+    """ORDER BY [+ LIMIT/OFFSET] views maintain incrementally: the state
+    always holds EVERY group; the sort and cut apply at expose time, so
+    a group entering or leaving the top k needs no special handling."""
+
+    def test_order_by_only_is_presentation(self, spark, tmp_path):
+        eng, _ = _mk(spark, tmp_path, "tk1", BASE)
+        q = "SELECT g, sum(x) AS s FROM t GROUP BY g ORDER BY g DESC"
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
+        assert eng.mat_views["mv"].incremental
+        eng.execute("INSERT INTO t (id, g, x) VALUES (6, 'd', 4.0)")
+        eng.sql("REFRESH MATERIALIZED VIEW mv").collect()
+        got = [tuple(r) for r in eng.sql("SELECT * FROM mv").collect()]
+        want = [tuple(r) for r in eng.sql(q).collect()]
+        assert got == want  # ORDER PRESERVED, not just same multiset
+
+    def test_topk_groups_enter_and_leave(self, spark, tmp_path):
+        eng, _ = _mk(spark, tmp_path, "tk2", BASE)
+        # unique sums (no ties): a=30, b=5(null+5), c=7 → top2 = a, c
+        q = "SELECT g, sum(x) AS s FROM t GROUP BY g ORDER BY s DESC NULLS LAST, g LIMIT 2"
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
+        mv = eng.mat_views["mv"]
+        assert mv.incremental and mv.limit == 2
+        assert [tuple(r) for r in eng.sql("SELECT * FROM mv").collect()] == [
+            ("a", 30.0),
+            ("c", 7.0),
+        ]
+        # 'b' surges into the top 2, evicting 'c' — no special handling
+        eng.execute("INSERT INTO t (id, g, x) VALUES (6, 'b', 100.0)")
+        rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+        assert rep["mode"] == "incremental"
+        assert [tuple(r) for r in eng.sql("SELECT * FROM mv").collect()] == [
+            ("b", 105.0),
+            ("a", 30.0),
+        ]
+        # and drops back out when its rows delete — the evicted group
+        # re-appears from state (a LIMIT-k cache could never do this)
+        eng.execute("DELETE FROM t WHERE id = 6")
+        eng.sql("REFRESH MATERIALIZED VIEW mv").collect()
+        got = [tuple(r) for r in eng.sql("SELECT * FROM mv").collect()]
+        assert got == [tuple(r) for r in eng.sql(q).collect()] == [
+            ("a", 30.0),
+            ("c", 7.0),
+        ]
+
+    def test_order_by_raw_agg_with_offset_and_having(self, spark, tmp_path):
+        eng, _ = _mk(
+            spark, tmp_path, "tk3",
+            [(i, "g" + str(i % 6), float(i)) for i in range(36)],
+        )
+        # NOTE: ORDER BY over a raw (non-projected) aggregate is not
+        # supported by the engine's own SELECT pipeline either; the
+        # post-agg sort keys resolve against the aggregated output, so
+        # we order on the exposed alias and keep the raw agg in HAVING
+        q = (
+            "SELECT g, count(*) AS n FROM t GROUP BY g "
+            "HAVING sum(x) > 50 ORDER BY n DESC, g LIMIT 3 OFFSET 1"
+        )
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
+        mv = eng.mat_views["mv"]
+        assert mv.incremental
+        # sum(x) is referenced only post-agg → ONE hidden spec shared by
+        # HAVING and ORDER BY
+        assert [a.out for a in mv.aggs] == ["n", "__mv_h0"]
+        assert eng.sql("SELECT * FROM mv").columns == ["g", "n"]
+        for stmt in (
+            "DELETE FROM t WHERE id % 7 = 2",
+            "INSERT INTO t (id, g, x) VALUES (100, 'g1', 500.0)",
+            "UPDATE t SET x = 0.0 WHERE g = 'g3'",
+        ):
+            eng.execute(stmt)
+            rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+            assert rep["mode"] == "incremental"
+            got = [tuple(r) for r in eng.sql("SELECT * FROM mv").collect()]
+            want = [tuple(r) for r in eng.sql(q).collect()]
+            assert got == want, stmt
 
 
 class TestDistinctAggMatViews:
