@@ -4400,13 +4400,16 @@ class Engine:
                     f"materialized view {r.view!r}: dim {mv.dim!r} is no longer a registered sink"
                 )
             dim_moved = max(dsink.versions()) != mv.dim_version
-        # a dim commit on a LEFT join forces full recompute: the
-        # NULL-extension term isn't bilinear (a new dim row flips fact
-        # rows from null-extended to matched — not expressible as a
-        # signed join delta). INNER joins maintain via the higher-order
-        # identity below.
+        # a dim commit maintains incrementally for INNER joins (bilinear
+        # higher-order identity) and for LEFT joins over a plain
+        # equi-join ON (the NULL-extension term isn't bilinear, but with
+        # a single-equality key the flip set is computable: a fact row's
+        # null-extended row flips exactly when its key's dim match count
+        # crosses 0↔1 — see the null-flip term below). LEFT joins with a
+        # compound/non-equi ON fall back to full recompute inside the
+        # branch once the ON shape is known.
         dim_incrementable = not dim_moved or (
-            mv.select.from_[1].join_type == "INNER"
+            mv.select.from_[1].join_type in ("INNER", "LEFT", "LEFT OUTER")
             if len(mv.select.from_) > 1
             else False
         )
@@ -4458,7 +4461,15 @@ class Engine:
                         # rows matching CHANGED dim rows flow (one fact
                         # scan, join prunes the rest) — never a recompute
                         # of the whole view.
-                        from .matview import _UNSET
+                        #
+                        # LEFT joins add the NULL-EXTENSION flip term: a
+                        # fact row's null-extended row appears/disappears
+                        # exactly when its join key's dim match count
+                        # crosses 0↔1 — computable per KEY from the two
+                        # dim snapshots restricted to the delta's keys
+                        # (requires a plain equi-join ON; compound ONs
+                        # fall back to full recompute).
+                        from .matview import _UNSET, equi_join_prune_cols
 
                         d_new = dsink.scan(self.spark, version=d_cur)
                         dw = F.when(
@@ -4470,66 +4481,163 @@ class Engine:
                         f_old = self.sinks[mv.base].scan(
                             self.spark, version=mv.base_version
                         )
-                        # plain equi-join: pre-filter the fact scan to
-                        # join keys the dim delta actually touched — the
-                        # IN-list pushes to the parquet scan (file /
-                        # row-group skipping), so term B reads O(matching
-                        # fact rows), not the whole fact. Bounded
-                        # plan-time collect; >1000 distinct keys → skip
-                        # the prune and let the broadcast join filter.
-                        from .matview import equi_join_prune_cols
-
                         pj = equi_join_prune_cols(
                             mv,
                             {c.lower() for c in f_old.columns},
                             {c.lower() for c in d_new.columns},
                         )
-                        if pj is not None:
-                            fact_col, dim_col = pj
-                            dkeys = [
-                                row[0]
-                                for row in d_delta.select(dim_col)
-                                .distinct()
-                                .limit(1001)
-                                .collect()
-                                if row[0] is not None  # NULL never equi-joins
-                            ]
-                            if len(dkeys) <= 1000:
-                                f_old = f_old.filter(F.col(fact_col).isin(dkeys))
-                        saved = self.tables.get(mv.dim, _UNSET)
-                        self.tables[mv.dim] = d_new
-                        try:
-                            term_a = state_frame(self, mv, changes, w)
-                            term_b = state_frame(
-                                self, mv, f_old, F.lit(1),
-                                dim_df=d_delta, dim_weighted=True,
-                            )
-                            merged = merge_state(
-                                mv, mv.internal, term_a.unionByName(term_b)
-                            )
-                            if mv.has_extrema:
-                                merged = repair_extrema(self, mv, merged, cur)
-                            mv.internal = persist_state(mv, merged)
-                            if mv.has_distinct:
-                                sub_a = sub_state_frames(self, mv, changes, w)
-                                sub_b = sub_state_frames(
-                                    self, mv, f_old, F.lit(1),
-                                    dim_df=d_delta, dim_weighted=True,
+                        left = mv.select.from_[1].join_type != "INNER"
+                        if left and pj is None:
+                            mode = "full"  # non-equi LEFT ON: flip set unknowable
+                        else:
+                            flips = None
+                            if pj is not None:
+                                fact_col, dim_col = pj
+                                # the delta's distinct join keys: the exact
+                                # affected-fact filter (semi below) and a
+                                # pushdown IN-list when small enough
+                                dkeys_df = (
+                                    d_delta.filter(F.col(dim_col).isNotNull())
+                                    .select(F.col(dim_col).alias("__mv_dk"))
+                                    .distinct()
                                 )
-                                _fold_substates(
-                                    mv,
-                                    [
-                                        x.unionByName(y)
-                                        for x, y in zip(sub_a, sub_b)
-                                    ],
+                                dkeys = [
+                                    row[0]
+                                    for row in dkeys_df.limit(1001).collect()
+                                ]
+                                if len(dkeys) <= 1000:
+                                    # IN-list pushes to the parquet scan
+                                    # (file/row-group skipping)
+                                    f_old = f_old.filter(F.col(fact_col).isin(dkeys))
+                                if left:
+                                    # exact affected set: LEFT term B must
+                                    # only see facts matching ≥1 delta row
+                                    # (a non-match would fabricate a
+                                    # null-extended delta row)
+                                    f_old = f_old.join(
+                                        F.broadcast(dkeys_df),
+                                        f_old[fact_col] == dkeys_df["__mv_dk"],
+                                        "left_semi",
+                                    )
+                                    # per-key dim match counts before/after:
+                                    # flip keys cross 0↔1
+                                    d_old_snap = dsink.scan(
+                                        self.spark, version=mv.dim_version
+                                    )
+
+                                    def _key_counts(ddf, out):
+                                        return (
+                                            ddf.join(
+                                                F.broadcast(dkeys_df),
+                                                ddf[dim_col] == dkeys_df["__mv_dk"],
+                                                "left_semi",
+                                            )
+                                            .groupBy(F.col(dim_col).alias("__mv_dk"))
+                                            .agg(F.count(F.lit(1)).alias(out))
+                                        )
+
+                                    flips = (
+                                        dkeys_df.join(
+                                            _key_counts(d_old_snap, "__mv_mo"),
+                                            "__mv_dk",
+                                            "left",
+                                        )
+                                        .join(
+                                            _key_counts(d_new, "__mv_mn"),
+                                            "__mv_dk",
+                                            "left",
+                                        )
+                                        .select(
+                                            "__mv_dk",
+                                            F.coalesce("__mv_mo", F.lit(0)).alias("__mv_mo"),
+                                            F.coalesce("__mv_mn", F.lit(0)).alias("__mv_mn"),
+                                        )
+                                        .filter(
+                                            (F.col("__mv_mo") == 0)
+                                            != (F.col("__mv_mn") == 0)
+                                        )
+                                        # key gained matches → its facts'
+                                        # null-extended rows RETRACT (−1);
+                                        # key lost all matches → they
+                                        # re-appear (+1)
+                                        .withColumn(
+                                            "__mv_fw",
+                                            F.when(
+                                                F.col("__mv_mn") == 0, F.lit(1)
+                                            ).otherwise(F.lit(-1)),
+                                        )
+                                        .select("__mv_dk", "__mv_fw")
+                                    )
+                            saved = self.tables.get(mv.dim, _UNSET)
+                            self.tables[mv.dim] = d_new
+                            try:
+                                f_flip = None
+                                if left and flips is not None:
+                                    f_base = self.sinks[mv.base].scan(
+                                        self.spark, version=mv.base_version
+                                    )
+                                    f_flip = f_base.join(
+                                        F.broadcast(flips),
+                                        f_base[fact_col] == flips["__mv_dk"],
+                                        "inner",
+                                    ).drop("__mv_dk")
+
+                                def _terms(frames_fn):
+                                    a = frames_fn(changes, w, None, False)
+                                    b = frames_fn(
+                                        f_old, F.lit(1), d_delta, True
+                                    )
+                                    out = (a, b)
+                                    if f_flip is not None:
+                                        # null-extension flips: run the
+                                        # affected facts against an EMPTY
+                                        # dim — the LEFT join null-extends
+                                        # every row, weight ±1 per flip
+                                        out = out + (
+                                            frames_fn(
+                                                f_flip,
+                                                F.col("__mv_fw"),
+                                                d_new.limit(0),
+                                                False,
+                                            ),
+                                        )
+                                    return out
+
+                                terms = _terms(
+                                    lambda df, wt, dd, dwt: state_frame(
+                                        self, mv, df, wt,
+                                        dim_df=dd, dim_weighted=dwt,
+                                    )
                                 )
-                        finally:
-                            if saved is _UNSET:
-                                self.tables.pop(mv.dim, None)
-                            else:
-                                self.tables[mv.dim] = saved
-                        mv.dim_version = d_cur
-                    mv.base_version = cur
+                                delta = terms[0]
+                                for t in terms[1:]:
+                                    delta = delta.unionByName(t)
+                                merged = merge_state(mv, mv.internal, delta)
+                                if mv.has_extrema:
+                                    merged = repair_extrema(self, mv, merged, cur)
+                                mv.internal = persist_state(mv, merged)
+                                if mv.has_distinct:
+                                    sub_terms = _terms(
+                                        lambda df, wt, dd, dwt: sub_state_frames(
+                                            self, mv, df, wt,
+                                            dim_df=dd, dim_weighted=dwt,
+                                        )
+                                    )
+                                    deltas = []
+                                    for i in range(len(sub_terms[0])):
+                                        u = sub_terms[0][i]
+                                        for t in sub_terms[1:]:
+                                            u = u.unionByName(t[i])
+                                        deltas.append(u)
+                                    _fold_substates(mv, deltas)
+                            finally:
+                                if saved is _UNSET:
+                                    self.tables.pop(mv.dim, None)
+                                else:
+                                    self.tables[mv.dim] = saved
+                            mv.dim_version = d_cur
+                    if mode == "incremental":
+                        mv.base_version = cur
         if mode == "full":
             if mv.incremental:
                 sink = self.sinks[mv.base]

@@ -25,13 +25,17 @@ re-aggregating the O(|distinct values|) substate), filter-only
 multisets, and JOIN shapes also maintain incrementally — including
 BOTH sides of a fact-JOIN-dim view mutating (INNER joins fold
 ΔF ⋈ D_new ∪ F_old ⋈ ΔD; the F_old scan is IN-list-pruned to the dim
-delta's join keys). HAVING applies at EXPOSE time over the aggregated
+delta's join keys; LEFT joins over a plain equi key additionally fold
+the NULL-EXTENSION flip term — a fact row's null-extended row
+appears/disappears exactly when its key's dim match count crosses
+0↔1, computed per key from the two dim snapshots restricted to the
+delta's keys). HAVING applies at EXPOSE time over the aggregated
 state (aggs referenced only by HAVING become hidden state columns), so
 filtered-out groups re-appear the moment a delta makes them qualify.
 Anything beyond the algebra (windows, subqueries, RIGHT/FULL joins,
-dim-moved LEFT joins, FILTER clauses, non-distributive aggs) still
-works as a materialized view — it just refreshes by full recompute,
-and the refresh report says so.
+dim-moved LEFT joins with compound ONs, FILTER clauses,
+non-distributive aggs) still works as a materialized view — it just
+refreshes by full recompute, and the refresh report says so.
 
 Superset: the reference has no materialized views (its closest notion
 is the continuously-evaluated view, which the engine maps to Structured

@@ -768,16 +768,75 @@ class TestJoinMatViews:
         assert _rows(eng, "SELECT * FROM mv") == _rows(eng, self.Q)
         assert eng.sql("SELECT * FROM mv").schema == eng.sql(self.Q).schema
 
-    def test_dim_commit_on_left_join_forces_full_then_repins(self, spark, tmp_path):
-        # LEFT join: a dim change can flip fact rows between null-extended
-        # and matched — not a signed join delta; full recompute, re-pin
+    def test_dim_commit_on_left_join_maintains_via_null_flips(self, spark, tmp_path):
+        # LEFT join + dim mutation: the null-extension term flips exactly
+        # when a key's dim match count crosses 0↔1 — a dim DELETE turns
+        # dk=3's facts into null-extended rows, a dim INSERT re-matches
+        # them; count(*) is invariant here but count(d.dname) is not
         eng, fact, dim = self._mk(spark, tmp_path, "lj")
         q = (
-            "SELECT f.dk AS k, count(*) AS n, sum(f.x) AS s "
+            "SELECT f.dk AS k, count(*) AS n, count(d.dname) AS nd, sum(f.x) AS s "
             "FROM f LEFT JOIN d ON f.dk = d.dk GROUP BY f.dk"
         )
         eng.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
-        eng.execute("DELETE FROM d WHERE dk = 3")
+        eng.execute("DELETE FROM d WHERE dk = 3")  # dk=3 facts flip to null-ext
+        rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+        assert rep["mode"] == "incremental"
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
+        eng.execute("INSERT INTO d (dk, dname) VALUES (3, 'back'), (4, 'new')")
+        eng.execute("DELETE FROM f WHERE id = 10")  # fact delta in same window
+        rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+        assert rep["mode"] == "incremental"
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
+
+    def test_left_join_multi_match_dim_counts(self, spark, tmp_path):
+        # dim with DUPLICATE join keys (surrogate-keyed sink): m 2→1
+        # keeps the fact matched (no flip), m 1→0 flips to null-extended,
+        # m 0→1 flips back — only the 0-crossings touch the null term
+        from qlbridge_spark.sinks import ParquetMergeSink
+
+        eng = Engine(spark, "mvj-mm")
+        fact = ParquetMergeSink(spark, str(tmp_path / "mmf"), key="id")
+        fact.ensure(
+            spark.createDataFrame(
+                [(i, i % 3, float(i)) for i in range(12)], "id long, dk int, x double"
+            )
+        )
+        dim = ParquetMergeSink(spark, str(tmp_path / "mmd"), key="rid")
+        dim.ensure(
+            spark.createDataFrame(
+                [(0, 0, "a0"), (1, 0, "a1"), (2, 1, "b0")],  # dk=0 matches TWICE
+                "rid long, dk int, dname string",
+            )
+        )
+        eng.register_sink("f", fact)
+        eng.register_sink("d", dim)
+        q = (
+            "SELECT f.dk AS k, count(*) AS n, count(d.dname) AS nd "
+            "FROM f LEFT JOIN d ON f.dk = d.dk GROUP BY f.dk"
+        )
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
+        for stmt in (
+            "DELETE FROM d WHERE rid = 1",  # dk=0: m 2→1, no flip
+            "DELETE FROM d WHERE rid = 0",  # dk=0: m 1→0, facts flip to null-ext
+            "INSERT INTO d (rid, dk, dname) VALUES (5, 2, 'c0'), (6, 2, 'c1')",  # dk=2: m 0→2
+        ):
+            eng.execute(stmt)
+            rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+            assert rep["mode"] == "incremental", stmt
+            assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q), stmt
+
+    def test_dim_commit_on_left_join_compound_on_forces_full(self, spark, tmp_path):
+        # compound ON: the flip set isn't computable from a single key —
+        # full recompute, then re-pin
+        eng, fact, dim = self._mk(spark, tmp_path, "ljc")
+        q = (
+            "SELECT f.dk AS k, count(*) AS n "
+            "FROM f LEFT JOIN d ON f.dk = d.dk AND f.x > 5 GROUP BY f.dk"
+        )
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
+        assert eng.mat_views["mv"].incremental
+        eng.execute("DELETE FROM d WHERE dk = 2")
         rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
         assert rep["mode"] == "full"
         assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
@@ -891,6 +950,11 @@ class TestJoinMatViews:
                 "extrema",
                 "SELECT f.dk AS k, min(f.x) AS lo, max(f.x) AS hi, "
                 "count(*) AS n FROM f JOIN d ON f.dk = d.dk GROUP BY f.dk",
+            ),
+            (
+                "left",
+                "SELECT f.dk AS k, count(*) AS n, count(d.dname) AS nd, "
+                "sum(f.x) AS s FROM f LEFT JOIN d ON f.dk = d.dk GROUP BY f.dk",
             ),
         ],
     )
