@@ -4408,10 +4408,18 @@ class Engine:
         # crosses 0↔1 — see the null-flip term below). LEFT joins with a
         # compound/non-equi ON fall back to full recompute inside the
         # branch once the ON shape is known.
-        dim_incrementable = not dim_moved or (
-            mv.select.from_[1].join_type in ("INNER", "LEFT", "LEFT OUTER")
-            if len(mv.select.from_) > 1
-            else False
+        jt = mv.select.from_[1].join_type if len(mv.select.from_) > 1 else None
+        # dim-preserved outer joins need the match-count terms on EVERY
+        # refresh (a fact-only delta can flip a dim row's null extension)
+        right_like = jt in ("RIGHT", "RIGHT OUTER", "FULL", "FULL OUTER")
+        dim_incrementable = not dim_moved or jt in (
+            "INNER",
+            "LEFT",
+            "LEFT OUTER",
+            "RIGHT",
+            "RIGHT OUTER",
+            "FULL",
+            "FULL OUTER",
         )
         if mv.incremental and not r.full and dim_incrementable:
             if self.sinks.get(mv.base) is None:
@@ -4421,11 +4429,11 @@ class Engine:
             try:
                 changes, cur = self.changes_since(mv.base, mv.base_version)
                 dim_changes = d_cur = None
-                if dim_moved:
+                if dim_moved or (right_like and cur != mv.base_version):
                     dim_changes, d_cur = self.changes_since(mv.dim, mv.dim_version)
                     if mv.base_version not in self.sinks[mv.base].versions():
-                        # the F_old ⋈ ΔD term needs the fact's OLD
-                        # snapshot; vacuumed → full recompute
+                        # the F_old ⋈ ΔD / match-count terms need the
+                        # fact's OLD snapshot; vacuumed → full recompute
                         changes = None
             except ExecError:
                 changes = None  # vacuumed gap / stale checkpoint → full recompute
@@ -4437,7 +4445,7 @@ class Engine:
                     w = F.when(
                         F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
                     ).otherwise(F.lit(-1))
-                    if not dim_moved:
+                    if not dim_moved and not right_like:
                         delta = state_frame(self, mv, changes, w)
                         merged = merge_state(mv, mv.internal, delta)
                         if mv.has_extrema:
@@ -4450,52 +4458,67 @@ class Engine:
                                 mv, sub_state_frames(self, mv, changes, w)
                             )
                     else:
-                        # higher-order join maintenance (both sides moved):
-                        #   Δ(F ⋈ D) = ΔF ⋈ D_new  ∪  F_old ⋈ ΔD
+                        # higher-order join maintenance. Matched part
                         # (bilinearity of INNER join over signed multiset
                         # union: F_new⋈D_new − F_old⋈D_old
-                        #   = ΔF⋈(D_old+ΔD) + F_old⋈ΔD). Term A reuses the
-                        # ordinary fact-delta path with the dim PINNED at
-                        # its new version; term B substitutes the signed
-                        # dim delta for the dim relation, so only fact
-                        # rows matching CHANGED dim rows flow (one fact
-                        # scan, join prunes the rest) — never a recompute
-                        # of the whole view.
-                        #
-                        # LEFT joins add the NULL-EXTENSION flip term: a
-                        # fact row's null-extended row appears/disappears
-                        # exactly when its join key's dim match count
-                        # crosses 0↔1 — computable per KEY from the two
-                        # dim snapshots restricted to the delta's keys
-                        # (requires a plain equi-join ON; compound ONs
-                        # fall back to full recompute).
+                        #   = ΔF⋈(D_old+ΔD) + F_old⋈ΔD):
+                        #   T1 = ΔF ⋈ D_new   (dim PINNED at its new version)
+                        #   T2 = F_old ⋈ ΔD   (signed dim delta substituted
+                        #        for the dim relation; INNER semantics)
+                        # Null-extension parts (plain equi key required —
+                        # a side's null-extended row flips exactly when
+                        # its key's match count on the OTHER side crosses
+                        # 0↔1, computable per key from two snapshots
+                        # restricted to the delta's keys):
+                        #   LEFT/FULL:  T3 = ΔF rows unmatched in D_new
+                        #               T4 = F_old rows whose key's dim
+                        #                    match count crossed (ΔD)
+                        #   RIGHT/FULL: T5 = ΔD rows unmatched in F_old
+                        #               T6 = D_new rows whose key's fact
+                        #                    match count crossed (ΔF)
+                        # (for LEFT, T1 runs the view's own LEFT join, so
+                        # T3 is folded into it; RIGHT/FULL T1 must run
+                        # INNER — a dim-preserved join of a fact DELTA
+                        # would drag in every unmatched dim row.)
                         from .matview import _UNSET, equi_join_prune_cols
 
+                        left_like = jt in ("LEFT", "LEFT OUTER", "FULL", "FULL OUTER")
+                        full_join = jt in ("FULL", "FULL OUTER")
+                        d_cur = d_cur if d_cur is not None else mv.dim_version
                         d_new = dsink.scan(self.spark, version=d_cur)
                         dw = F.when(
                             F.col("_change_type").isin("insert", "update_postimage"),
                             F.lit(1),
                         ).otherwise(F.lit(-1))
-                        keep = [c for c in dim_changes.columns if c in set(d_new.columns)]
-                        d_delta = dim_changes.select(*keep, dw.alias("__dw"))
-                        f_old = self.sinks[mv.base].scan(
+                        if dim_changes is not None:
+                            keep = [
+                                c
+                                for c in dim_changes.columns
+                                if c in set(d_new.columns)
+                            ]
+                            d_delta = dim_changes.select(*keep, dw.alias("__dw"))
+                        else:
+                            d_delta = None
+                        f_old_full = self.sinks[mv.base].scan(
                             self.spark, version=mv.base_version
                         )
+                        f_old = f_old_full
                         pj = equi_join_prune_cols(
                             mv,
                             {c.lower() for c in f_old.columns},
                             {c.lower() for c in d_new.columns},
                         )
-                        left = mv.select.from_[1].join_type != "INNER"
-                        if left and pj is None:
-                            mode = "full"  # non-equi LEFT ON: flip set unknowable
+                        if (left_like or right_like) and pj is None:
+                            mode = "full"  # non-equi outer ON: flips unknowable
                         else:
-                            flips = None
+                            fact_col = dim_col = None
+                            dkeys_df = None
                             if pj is not None:
                                 fact_col, dim_col = pj
-                                # the delta's distinct join keys: the exact
-                                # affected-fact filter (semi below) and a
-                                # pushdown IN-list when small enough
+                            if pj is not None and d_delta is not None:
+                                # the dim delta's distinct join keys: the
+                                # affected-fact filter; IN-list pushdown
+                                # (file/row-group skipping) when small
                                 dkeys_df = (
                                     d_delta.filter(F.col(dim_col).isNotNull())
                                     .select(F.col(dim_col).alias("__mv_dk"))
@@ -4506,26 +4529,68 @@ class Engine:
                                     for row in dkeys_df.limit(1001).collect()
                                 ]
                                 if len(dkeys) <= 1000:
-                                    # IN-list pushes to the parquet scan
-                                    # (file/row-group skipping)
-                                    f_old = f_old.filter(F.col(fact_col).isin(dkeys))
-                                if left:
-                                    # exact affected set: LEFT term B must
-                                    # only see facts matching ≥1 delta row
-                                    # (a non-match would fabricate a
-                                    # null-extended delta row)
-                                    f_old = f_old.join(
-                                        F.broadcast(dkeys_df),
-                                        f_old[fact_col] == dkeys_df["__mv_dk"],
-                                        "left_semi",
+                                    # matched-part rows require a non-null
+                                    # key in this set; empty set → no rows
+                                    f_old = f_old.filter(
+                                        F.col(fact_col).isin(dkeys)
+                                        if dkeys
+                                        else F.lit(False)
                                     )
-                                    # per-key dim match counts before/after:
-                                    # flip keys cross 0↔1
+                            saved = self.tables.get(mv.dim, _UNSET)
+                            self.tables[mv.dim] = d_new
+                            try:
+                                terms = []
+                                sub_specs = []  # (df, weight, dim_df, mode, override)
+
+                                def _add(df, wt, dd=None, wmode=None, jo=None):
+                                    terms.append(
+                                        state_frame(
+                                            self, mv, df, wt, dim_df=dd,
+                                            weight_mode=wmode, join_override=jo,
+                                        )
+                                    )
+                                    sub_specs.append((df, wt, dd, wmode, jo))
+
+                                # T1 (+ T3 folded in for LEFT; explicit for FULL)
+                                _add(changes, w, jo="INNER" if right_like else None)
+                                if full_join:
+                                    fkeys1 = (
+                                        changes.filter(F.col(fact_col).isNotNull())
+                                        .select(F.col(fact_col).alias("__mv_fk"))
+                                        .distinct()
+                                    )
+                                    c3 = (
+                                        d_new.join(
+                                            F.broadcast(fkeys1),
+                                            d_new[dim_col] == fkeys1["__mv_fk"],
+                                            "left_semi",
+                                        )
+                                        .groupBy(F.col(dim_col).alias("__mv_fk"))
+                                        .agg(F.count(F.lit(1)).alias("__mv_c3"))
+                                    )
+                                    f3 = (
+                                        changes.join(
+                                            F.broadcast(c3),
+                                            changes[fact_col] == c3["__mv_fk"],
+                                            "left",
+                                        )
+                                        .filter(F.col("__mv_c3").isNull())
+                                        .drop("__mv_fk", "__mv_c3")
+                                    )
+                                    _add(f3, w, dd=d_new.limit(0))
+                                # T2 — matched part of the dim delta
+                                if d_delta is not None:
+                                    _add(
+                                        f_old, F.lit(1), dd=d_delta,
+                                        wmode="product", jo="INNER",
+                                    )
+                                # T4 — fact-side null-extension flips (ΔD)
+                                if left_like and dkeys_df is not None:
                                     d_old_snap = dsink.scan(
                                         self.spark, version=mv.dim_version
                                     )
 
-                                    def _key_counts(ddf, out):
+                                    def _dkc(ddf, out):
                                         return (
                                             ddf.join(
                                                 F.broadcast(dkeys_df),
@@ -4538,15 +4603,9 @@ class Engine:
 
                                     flips = (
                                         dkeys_df.join(
-                                            _key_counts(d_old_snap, "__mv_mo"),
-                                            "__mv_dk",
-                                            "left",
+                                            _dkc(d_old_snap, "__mv_mo"), "__mv_dk", "left"
                                         )
-                                        .join(
-                                            _key_counts(d_new, "__mv_mn"),
-                                            "__mv_dk",
-                                            "left",
-                                        )
+                                        .join(_dkc(d_new, "__mv_mn"), "__mv_dk", "left")
                                         .select(
                                             "__mv_dk",
                                             F.coalesce("__mv_mo", F.lit(0)).alias("__mv_mo"),
@@ -4556,10 +4615,8 @@ class Engine:
                                             (F.col("__mv_mo") == 0)
                                             != (F.col("__mv_mn") == 0)
                                         )
-                                        # key gained matches → its facts'
-                                        # null-extended rows RETRACT (−1);
-                                        # key lost all matches → they
-                                        # re-appear (+1)
+                                        # key gained matches → null-extended
+                                        # rows RETRACT (−1); lost all → +1
                                         .withColumn(
                                             "__mv_fw",
                                             F.when(
@@ -4568,47 +4625,94 @@ class Engine:
                                         )
                                         .select("__mv_dk", "__mv_fw")
                                     )
-                            saved = self.tables.get(mv.dim, _UNSET)
-                            self.tables[mv.dim] = d_new
-                            try:
-                                f_flip = None
-                                if left and flips is not None:
-                                    f_base = self.sinks[mv.base].scan(
-                                        self.spark, version=mv.base_version
-                                    )
-                                    f_flip = f_base.join(
+                                    f_flip = f_old_full.join(
                                         F.broadcast(flips),
-                                        f_base[fact_col] == flips["__mv_dk"],
+                                        f_old_full[fact_col] == flips["__mv_dk"],
                                         "inner",
                                     ).drop("__mv_dk")
-
-                                def _terms(frames_fn):
-                                    a = frames_fn(changes, w, None, False)
-                                    b = frames_fn(
-                                        f_old, F.lit(1), d_delta, True
+                                    _add(
+                                        f_flip, F.col("__mv_fw"),
+                                        dd=d_new.limit(0),
                                     )
-                                    out = (a, b)
-                                    if f_flip is not None:
-                                        # null-extension flips: run the
-                                        # affected facts against an EMPTY
-                                        # dim — the LEFT join null-extends
-                                        # every row, weight ±1 per flip
-                                        out = out + (
-                                            frames_fn(
-                                                f_flip,
-                                                F.col("__mv_fw"),
-                                                d_new.limit(0),
-                                                False,
-                                            ),
+                                # T5 — dim-side null extensions of ΔD at F_old
+                                if right_like and d_delta is not None:
+                                    mo5 = (
+                                        f_old_full.join(
+                                            F.broadcast(dkeys_df),
+                                            f_old_full[fact_col] == dkeys_df["__mv_dk"],
+                                            "left_semi",
                                         )
-                                    return out
-
-                                terms = _terms(
-                                    lambda df, wt, dd, dwt: state_frame(
-                                        self, mv, df, wt,
-                                        dim_df=dd, dim_weighted=dwt,
+                                        .groupBy(F.col(fact_col).alias("__mv_dk"))
+                                        .agg(F.count(F.lit(1)).alias("__mv_m5"))
                                     )
-                                )
+                                    d5 = (
+                                        d_delta.join(
+                                            F.broadcast(mo5),
+                                            d_delta[dim_col] == mo5["__mv_dk"],
+                                            "left",
+                                        )
+                                        .filter(F.col("__mv_m5").isNull())
+                                        .drop("__mv_dk", "__mv_m5")
+                                    )
+                                    _add(
+                                        f_old_full.limit(0), F.lit(1),
+                                        dd=d5, wmode="dim",
+                                    )
+                                # T6 — dim rows whose fact match count
+                                # crossed 0↔1 via ΔF
+                                if right_like and cur != mv.base_version:
+                                    fkeys6 = (
+                                        changes.filter(F.col(fact_col).isNotNull())
+                                        .select(F.col(fact_col).alias("__mv_fk"))
+                                        .distinct()
+                                    )
+                                    f_new_full = self.sinks[mv.base].scan(
+                                        self.spark, version=cur
+                                    )
+
+                                    def _fkc(fdf, out):
+                                        return (
+                                            fdf.join(
+                                                F.broadcast(fkeys6),
+                                                fdf[fact_col] == fkeys6["__mv_fk"],
+                                                "left_semi",
+                                            )
+                                            .groupBy(F.col(fact_col).alias("__mv_fk"))
+                                            .agg(F.count(F.lit(1)).alias(out))
+                                        )
+
+                                    fflips = (
+                                        fkeys6.join(
+                                            _fkc(f_old_full, "__mv_mo"), "__mv_fk", "left"
+                                        )
+                                        .join(_fkc(f_new_full, "__mv_mn"), "__mv_fk", "left")
+                                        .select(
+                                            "__mv_fk",
+                                            F.coalesce("__mv_mo", F.lit(0)).alias("__mv_mo"),
+                                            F.coalesce("__mv_mn", F.lit(0)).alias("__mv_mn"),
+                                        )
+                                        .filter(
+                                            (F.col("__mv_mo") == 0)
+                                            != (F.col("__mv_mn") == 0)
+                                        )
+                                        .withColumn(
+                                            "__dw",
+                                            F.when(
+                                                F.col("__mv_mn") == 0, F.lit(1)
+                                            ).otherwise(F.lit(-1)),
+                                        )
+                                        .select("__mv_fk", "__dw")
+                                    )
+                                    d6 = d_new.join(
+                                        F.broadcast(fflips),
+                                        d_new[dim_col] == fflips["__mv_fk"],
+                                        "inner",
+                                    ).drop("__mv_fk")
+                                    _add(
+                                        f_old_full.limit(0), F.lit(1),
+                                        dd=d6, wmode="dim",
+                                    )
+
                                 delta = terms[0]
                                 for t in terms[1:]:
                                     delta = delta.unionByName(t)
@@ -4617,12 +4721,14 @@ class Engine:
                                     merged = repair_extrema(self, mv, merged, cur)
                                 mv.internal = persist_state(mv, merged)
                                 if mv.has_distinct:
-                                    sub_terms = _terms(
-                                        lambda df, wt, dd, dwt: sub_state_frames(
-                                            self, mv, df, wt,
-                                            dim_df=dd, dim_weighted=dwt,
+                                    sub_terms = [
+                                        sub_state_frames(
+                                            self, mv, df, wt, dim_df=dd,
+                                            dim_weighted=(wmode == "product"),
+                                            join_override=jo,
                                         )
-                                    )
+                                        for df, wt, dd, wmode, jo in sub_specs
+                                    ]
                                     deltas = []
                                     for i in range(len(sub_terms[0])):
                                         u = sub_terms[0][i]

@@ -25,17 +25,22 @@ re-aggregating the O(|distinct values|) substate), filter-only
 multisets, and JOIN shapes also maintain incrementally — including
 BOTH sides of a fact-JOIN-dim view mutating (INNER joins fold
 ΔF ⋈ D_new ∪ F_old ⋈ ΔD; the F_old scan is IN-list-pruned to the dim
-delta's join keys; LEFT joins over a plain equi key additionally fold
-the NULL-EXTENSION flip term — a fact row's null-extended row
-appears/disappears exactly when its key's dim match count crosses
-0↔1, computed per key from the two dim snapshots restricted to the
-delta's keys). HAVING applies at EXPOSE time over the aggregated
-state (aggs referenced only by HAVING become hidden state columns), so
+delta's join keys). OUTER joins over a plain equi key fold their
+NULL-EXTENSION flip terms too — a side's null-extended row
+appears/disappears exactly when its key's match count on the OTHER
+side crosses 0↔1, computed per key from two snapshots restricted to
+the delta's keys. The full join matrix maintains incrementally:
+INNER/LEFT for any row-local ON, LEFT-with-dim-deltas / RIGHT / FULL
+for single-equality ONs (RIGHT/FULL run the match-count terms on every
+refresh — a fact-only delta can flip a dim row's extension). HAVING
+and ORDER BY [+LIMIT/OFFSET] apply at EXPOSE time over the aggregated
+state (aggs referenced only there become hidden state columns), so
 filtered-out groups re-appear the moment a delta makes them qualify.
-Anything beyond the algebra (windows, subqueries, RIGHT/FULL joins,
-dim-moved LEFT joins with compound ONs, FILTER clauses,
-non-distributive aggs) still works as a materialized view — it just
-refreshes by full recompute, and the refresh report says so.
+Anything beyond the algebra (windows, subqueries, compound-ON outer
+joins under the flip terms, FILTER clauses, non-distributive aggs,
+extrema/DISTINCT on dim-preserved joins) still works as a materialized
+view — it just refreshes by full recompute, and the refresh report
+says so.
 
 Superset: the reference has no materialized views (its closest notion
 is the continuously-evaluated view, which the engine maps to Structured
@@ -191,6 +196,20 @@ def _contains_distinct(node: Node) -> bool:
     return any(isinstance(n, FuncNode) and n.name == "distinct" for n in node.walk())
 
 
+def _snapshot_cols(engine, s) -> set[str]:
+    """Lower-cased column names of a sink's current snapshot (driver-side
+    sidecar when available, else a schema-only scan)."""
+    cols = None
+    if hasattr(s, "snapshot_columns") and hasattr(s, "versions"):
+        try:
+            cols = s.snapshot_columns(max(s.versions()))
+        except Exception:
+            cols = None
+    if cols is None:
+        cols = s.scan(engine.spark).columns
+    return {c.lower() for c in cols}
+
+
 def _parse_agg(e: Node):
     """``(kind, arg)`` when ``e`` is an aggregate call the signed-delta
     algebra maintains (the AggSpec vocabulary), else None."""
@@ -289,7 +308,15 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
         d = select.from_[1]
         if not _plain_table(d):
             return None
-        if d.join_type not in ("INNER", "LEFT", "LEFT OUTER"):
+        if d.join_type not in (
+            "INNER",
+            "LEFT",
+            "LEFT OUTER",
+            "RIGHT",
+            "RIGHT OUTER",
+            "FULL",
+            "FULL OUTER",
+        ):
             return None
         if d.join_expr is None or not _row_local(d.join_expr):
             return None
@@ -448,21 +475,8 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
         # the repair re-runs the full join over the pruned fact rows.
         d = select.from_[1]
         fact_refs = {nm, (src.alias or "").lower()} - {""}
-        dim_refs = {dim_name, (d.alias or "").lower()} - {""}
-
-        def _snapshot_cols(s) -> set[str]:
-            cols = None
-            if hasattr(s, "snapshot_columns") and hasattr(s, "versions"):
-                try:
-                    cols = s.snapshot_columns(max(s.versions()))
-                except Exception:
-                    cols = None
-            if cols is None:
-                cols = s.scan(engine.spark).columns
-            return {c.lower() for c in cols}
-
-        fact_cols = _snapshot_cols(sink)
-        dim_cols = _snapshot_cols(engine.sinks[dim_name])
+        fact_cols = _snapshot_cols(engine, sink)
+        dim_cols = _snapshot_cols(engine, engine.sinks[dim_name])
 
         def _fact_side(node: Node) -> bool:
             for n in node.walk():
@@ -476,6 +490,30 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
             return True
 
         if not all(_fact_side(k) for k in key_nodes):
+            return None
+
+    if dim_name and select.from_[1].join_type in (
+        "RIGHT",
+        "RIGHT OUTER",
+        "FULL",
+        "FULL OUTER",
+    ):
+        # dim-preserved outer joins: EVERY refresh (fact-only included)
+        # needs per-key match-count bookkeeping for the dim side's null
+        # extensions, so the ON must be a single fact-col = dim-col
+        # equality. Extrema repair and DISTINCT substates assume
+        # fact-preserved semantics — full recompute for those.
+        if any(a.kind in _EXTREMUM_AGGS | _DISTINCT_AGGS for a in aggs):
+            return None
+        probe = MatView(name="", select=select, base=nm, dim=dim_name)
+        if (
+            equi_join_prune_cols(
+                probe,
+                _snapshot_cols(engine, sink),
+                _snapshot_cols(engine, engine.sinks[dim_name]),
+            )
+            is None
+        ):
             return None
 
     i = 0
@@ -512,7 +550,11 @@ _W = IdentityNode(("__w",))
 
 
 def _state_select(
-    mv: MatView, tmp_table: str, src_ref: str | None, weight: Node = _W
+    mv: MatView,
+    tmp_table: str,
+    src_ref: str | None,
+    weight: Node = _W,
+    join_override: str | None = None,
 ) -> SqlSelect:
     """The state-form SELECT over ``tmp_table`` (which must carry the base
     columns plus a signed ``__w`` weight). Reuses the original parsed
@@ -520,7 +562,11 @@ def _state_select(
     identifiers in keys/args/WHERE keep resolving. ``weight`` is the
     effective per-joined-row weight expression — ``__w`` normally,
     ``__w * __dw`` when the DIM side of a join view carries its own
-    signed weight (the F ⋈ ΔD term of higher-order join maintenance)."""
+    signed weight (the F ⋈ ΔD term of higher-order join maintenance),
+    or bare ``__dw`` for dim-side-only terms (RIGHT/FULL null
+    extensions, where the fact side is empty). ``join_override``
+    replaces the view's join type for this one select — the matched-part
+    terms of an outer-join view evaluate under INNER semantics."""
 
     def nn_count(arg: Node) -> Node:
         # CASE WHEN arg IS NULL THEN 0 ELSE <weight> END
@@ -580,12 +626,18 @@ def _state_select(
                 alias=NEG_FLAG,
             )
         )
+    import dataclasses
+
     from_list = [FromSource(name=tmp_table, alias=src_ref)]
     if len(mv.select.from_) > 1:
-        # fact-incremental JOIN view: the dim FromSource (name, join
-        # type, ON expr) is reused VERBATIM — the fact's temp frame is
-        # aliased back to the original ref so the ON keeps resolving
-        from_list.append(mv.select.from_[1])
+        # incremental JOIN view: the dim FromSource (name, join type, ON
+        # expr) is reused VERBATIM — the fact's temp frame is aliased
+        # back to the original ref so the ON keeps resolving. A
+        # join_override swaps the join type for this one select.
+        d = mv.select.from_[1]
+        if join_override is not None and d.join_type != join_override:
+            d = dataclasses.replace(d, join_type=join_override)
+        from_list.append(d)
     return SqlSelect(
         columns=cols,
         from_=from_list,
@@ -637,6 +689,15 @@ def equi_join_prune_cols(mv: MatView, fact_cols: set, dim_cols: set):
     return (lhs[1], rhs[1]) if lhs[0] == "f" else (rhs[1], lhs[1])
 
 
+def _weight_node(dim_weighted: bool, weight_mode: str | None) -> Node:
+    mode = weight_mode or ("product" if dim_weighted else None)
+    if mode == "product":
+        return BinaryNode(op="*", left=_W, right=IdentityNode(("__dw",)))
+    if mode == "dim":
+        return IdentityNode(("__dw",))
+    return _W
+
+
 def state_frame(
     engine,
     mv: MatView,
@@ -644,6 +705,8 @@ def state_frame(
     weight,
     dim_df: DataFrame | None = None,
     dim_weighted: bool = False,
+    weight_mode: str | None = None,
+    join_override: str | None = None,
 ) -> DataFrame:
     """Run the state select over ``base_df`` (+ a ``__w`` column). The
     frame registers under a reserved temp name for the duration of the
@@ -652,18 +715,21 @@ def state_frame(
     Join views: ``dim_df`` temporarily overrides what the dim table name
     resolves to (``engine.tables`` wins over sinks) — used to PIN the dim
     snapshot during a refresh, and to substitute the dim DELTA for the
-    F ⋈ ΔD term of higher-order maintenance. With ``dim_weighted`` the
-    dim frame must carry a signed ``__dw`` column and the effective row
-    weight becomes ``__w * __dw`` (a dim delete joined to a +1 fact row
-    nets −1, exactly the signed-multiset algebra)."""
+    F ⋈ ΔD term of higher-order maintenance. With ``dim_weighted`` (or
+    ``weight_mode='product'``) the dim frame must carry a signed
+    ``__dw`` column and the effective row weight becomes ``__w * __dw``
+    (a dim delete joined to a +1 fact row nets −1, exactly the
+    signed-multiset algebra); ``weight_mode='dim'`` uses bare ``__dw``
+    for dim-side-only terms where the fact side is empty (RIGHT/FULL
+    null extensions). ``join_override`` evaluates this one select under
+    a different join type (the matched-part terms of outer-join views
+    run INNER)."""
     src = mv.select.from_[0]
     tmp = f"__mv_src_{id(mv) & 0xFFFFFF:x}"
-    w_node = (
-        BinaryNode(op="*", left=_W, right=IdentityNode(("__dw",)))
-        if dim_weighted
-        else _W
+    w_node = _weight_node(dim_weighted, weight_mode)
+    stmt = _state_select(
+        mv, tmp, src.alias or src.name, weight=w_node, join_override=join_override
     )
-    stmt = _state_select(mv, tmp, src.alias or src.name, weight=w_node)
     engine.tables[tmp] = base_df.withColumn("__w", weight)
     saved = _UNSET
     if dim_df is not None:
@@ -681,11 +747,18 @@ def state_frame(
 
 
 def _sub_select(
-    mv: MatView, a: AggSpec, tmp_table: str, src_ref: str | None, weight: Node = _W
+    mv: MatView,
+    a: AggSpec,
+    tmp_table: str,
+    src_ref: str | None,
+    weight: Node = _W,
+    join_override: str | None = None,
 ) -> SqlSelect:
     """The substate SELECT for one DISTINCT agg: (group keys, value) →
     signed occurrence count. Shares the view's FROM/WHERE (and join)
     verbatim, so it runs through the same pipeline as the main state."""
+    import dataclasses
+
     cols = [
         Column(expr=k, alias=name) for k, name in zip(mv.key_nodes, mv.key_cols)
     ]
@@ -693,7 +766,10 @@ def _sub_select(
     cols.append(Column(expr=FuncNode(name="sum", args=[weight]), alias="__mv_dn"))
     from_list = [FromSource(name=tmp_table, alias=src_ref)]
     if len(mv.select.from_) > 1:
-        from_list.append(mv.select.from_[1])
+        d = mv.select.from_[1]
+        if join_override is not None and d.join_type != join_override:
+            d = dataclasses.replace(d, join_type=join_override)
+        from_list.append(d)
     return SqlSelect(
         columns=cols,
         from_=from_list,
@@ -709,17 +785,15 @@ def sub_state_frames(
     weight,
     dim_df: DataFrame | None = None,
     dim_weighted: bool = False,
+    weight_mode: str | None = None,
+    join_override: str | None = None,
 ) -> list[DataFrame]:
     """One substate frame per DISTINCT agg over ``base_df`` (+ ``__w``),
-    in ``AggSpec.d_idx`` order. Same source/dim plumbing as
+    in ``AggSpec.d_idx`` order. Same source/dim/weight/join plumbing as
     :func:`state_frame`."""
     src = mv.select.from_[0]
     tmp = f"__mv_src_{id(mv) & 0xFFFFFF:x}"
-    w_node = (
-        BinaryNode(op="*", left=_W, right=IdentityNode(("__dw",)))
-        if dim_weighted
-        else _W
-    )
+    w_node = _weight_node(dim_weighted, weight_mode)
     engine.tables[tmp] = base_df.withColumn("__w", weight)
     saved = _UNSET
     if dim_df is not None:
@@ -728,7 +802,10 @@ def sub_state_frames(
     try:
         return [
             engine._select_any(
-                _sub_select(mv, a, tmp, src.alias or src.name, weight=w_node)
+                _sub_select(
+                    mv, a, tmp, src.alias or src.name,
+                    weight=w_node, join_override=join_override,
+                )
             )
             for a in mv.aggs
             if a.kind in _DISTINCT_AGGS

@@ -870,6 +870,69 @@ class TestJoinMatViews:
         assert rep["mode"] == "incremental"
         assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
 
+    def test_right_join_fact_deltas_flip_dim_null_extensions(self, spark, tmp_path):
+        # RIGHT join preserves DIM rows: a fact-only delta can flip a dim
+        # row between matched and null-extended — every refresh runs the
+        # match-count terms (T6), not just dim-moved ones
+        eng, fact, dim = self._mk(spark, tmp_path, "rj")
+        q = (
+            "SELECT d.dname AS g, count(*) AS n, count(f.x) AS nf, sum(f.x) AS s "
+            "FROM f RIGHT JOIN d ON f.dk = d.dk GROUP BY d.dname"
+        )
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
+        assert eng.mat_views["mv"].incremental
+        # dk=1's facts all vanish → dim row n1 becomes null-extended
+        eng.execute("DELETE FROM f WHERE dk = 1")
+        rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+        assert rep["mode"] == "incremental"
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
+        assert ("n1", 1, 0, None) in _rows(eng, "SELECT * FROM mv")
+        # and re-matches when a fact returns
+        eng.execute("INSERT INTO f (id, dk, x) VALUES (500, 1, 9.0), (501, 1, 2.0)")
+        rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+        assert rep["mode"] == "incremental"
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
+
+    def test_right_join_dim_deltas(self, spark, tmp_path):
+        eng, fact, dim = self._mk(spark, tmp_path, "rjd")
+        q = (
+            "SELECT d.dk AS k, count(*) AS n, sum(f.x) AS s "
+            "FROM f RIGHT JOIN d ON f.dk = d.dk GROUP BY d.dk"
+        )
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
+        # unmatched dim insert (dk=9: no facts → null-extended group),
+        # matched dim delete, plus fact churn in the same window
+        eng.execute("INSERT INTO d (dk, dname) VALUES (9, 'lonely')")
+        eng.execute("DELETE FROM d WHERE dk = 0")
+        eng.execute("UPDATE f SET x = -1.0 WHERE id % 4 = 2")
+        eng.execute("DELETE FROM f WHERE dk = 3")  # dim 3 flips to null-ext
+        rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+        assert rep["mode"] == "incremental"
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
+        assert (9, 1, None) in _rows(eng, "SELECT * FROM mv")
+
+    def test_full_join_both_null_sides(self, spark, tmp_path):
+        eng, fact, dim = self._mk(spark, tmp_path, "fj")
+        q = (
+            "SELECT coalesce(f.dk, d.dk) AS k, count(*) AS n, "
+            "count(f.x) AS nf, count(d.dname) AS nd "
+            "FROM f FULL OUTER JOIN d ON f.dk = d.dk GROUP BY coalesce(f.dk, d.dk)"
+        )
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
+        assert eng.mat_views["mv"].incremental
+        # fact side: dk=4 facts are null-extended from the start; insert
+        # a dim row for them (they re-match), delete dim dk=2 (its facts
+        # flip to null-extended), insert an unmatched dim (dim null-ext),
+        # plus fact churn — every null term fires in one window
+        eng.execute("INSERT INTO d (dk, dname) VALUES (4, 'now-matched'), (11, 'lonely')")
+        eng.execute("DELETE FROM d WHERE dk = 2")
+        eng.execute("INSERT INTO f (id, dk, x) VALUES (600, 11, 1.0), (601, 77, 2.0)")
+        eng.execute("DELETE FROM f WHERE id % 5 = 3")
+        rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+        assert rep["mode"] == "incremental"
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
+        assert eng.sql("SELECT * FROM mv").schema == eng.sql(q).schema
+
     def test_ineligible_join_shapes_stay_full(self, spark, tmp_path):
         eng, fact, dim = self._mk(spark, tmp_path, "e")
         for q in (
@@ -878,8 +941,12 @@ class TestJoinMatViews:
             "SELECT d.dname AS g, min(f.x) AS lo FROM f JOIN d ON f.dk = d.dk GROUP BY d.dname",
             # self-join: both sides change
             "SELECT f.dk AS k, count(*) AS n FROM f JOIN f g ON f.id = g.id GROUP BY f.dk",
-            # RIGHT join: dim-only rows depend on absence of fact matches
-            "SELECT d.dname AS g, count(*) AS n FROM f RIGHT JOIN d ON f.dk = d.dk GROUP BY d.dname",
+            # RIGHT join + extrema: repair assumes fact-preserved semantics
+            "SELECT d.dname AS g, min(f.x) AS lo FROM f RIGHT JOIN d ON f.dk = d.dk GROUP BY d.dname",
+            # RIGHT join + DISTINCT agg: substates assume fact-preserved
+            "SELECT d.dname AS g, count(DISTINCT f.x) AS dx FROM f RIGHT JOIN d ON f.dk = d.dk GROUP BY d.dname",
+            # RIGHT join with a compound ON: flip set unknowable per key
+            "SELECT d.dname AS g, count(*) AS n FROM f RIGHT JOIN d ON f.dk = d.dk AND f.x > 5 GROUP BY d.dname",
         ):
             eng.execute(f"CREATE OR REPLACE MATERIALIZED VIEW mvx AS {q}")
             assert not eng.mat_views["mvx"].incremental, q
@@ -955,6 +1022,18 @@ class TestJoinMatViews:
                 "left",
                 "SELECT f.dk AS k, count(*) AS n, count(d.dname) AS nd, "
                 "sum(f.x) AS s FROM f LEFT JOIN d ON f.dk = d.dk GROUP BY f.dk",
+            ),
+            (
+                "right",
+                "SELECT d.dname AS g, count(*) AS n, count(f.x) AS nf, "
+                "sum(f.x) AS s FROM f RIGHT JOIN d ON f.dk = d.dk GROUP BY d.dname",
+            ),
+            (
+                "full",
+                "SELECT coalesce(f.dk, d.dk) AS k, count(*) AS n, "
+                "count(f.x) AS nf, count(d.dname) AS nd "
+                "FROM f FULL OUTER JOIN d ON f.dk = d.dk "
+                "GROUP BY coalesce(f.dk, d.dk)",
             ),
         ],
     )
