@@ -4321,19 +4321,23 @@ class Engine:
         with_cfg = dict(getattr(c.select, "with_", None) or {})
         with_cfg.update(c.with_ or {})
         path = with_cfg.get("path")
-        if path and mv.incremental and mv.has_distinct:
-            # durable substate storage isn't wired up; a DISTINCT view
-            # with WITH {"path"} stays a full-recompute MV (correct —
-            # the refresh report says `full`)
-            mv = MatView(name=lname, select=c.select)
         if path:
             from .sinks import ParquetMergeSink
 
             mv.state_sink = ParquetMergeSink(
                 self.spark, str(path), key=mv.key_cols[0] if mv.key_cols else "__mv_n"
             )
+            if mv.incremental and mv.has_distinct:
+                # durable substates: one sibling sink per DISTINCT agg
+                mv.sub_sinks = [
+                    ParquetMergeSink(
+                        self.spark, f"{path}__d{a.d_idx}", key="__mv_dv"
+                    )
+                    for a in mv.aggs
+                    if a.d_idx is not None
+                ]
         if mv.incremental:
-            from .matview import sub_state_frames
+            from .matview import persist_substates, sub_state_frames
 
             sink = self.sinks[mv.base]
             mv.base_version = max(sink.versions())
@@ -4351,10 +4355,9 @@ class Engine:
                 mv, state_frame(self, mv, base_df, F.lit(1)).drop("__mv_neg")
             )
             if mv.has_distinct:
-                mv.substates = [
-                    s.localCheckpoint(eager=True)
-                    for s in sub_state_frames(self, mv, base_df, F.lit(1))
-                ]
+                mv.substates = persist_substates(
+                    mv, sub_state_frames(self, mv, base_df, F.lit(1))
+                )
         else:
             mv.internal = persist_state(mv, self._select_any(c.select))
         self.mat_views[lname] = mv
@@ -4374,16 +4377,16 @@ class Engine:
             merge_state,
             merge_substates,
             persist_state,
+            persist_substates,
             repair_extrema,
             state_frame,
             sub_state_frames,
         )
 
         def _fold_substates(mv, deltas):
-            mv.substates = [
-                s.localCheckpoint(eager=True)
-                for s in merge_substates(mv, mv.substates, deltas)
-            ]
+            mv.substates = persist_substates(
+                mv, merge_substates(mv, mv.substates, deltas)
+            )
 
         lname = r.view.lower()
         mv = self.mat_views.get(lname)
@@ -4756,10 +4759,9 @@ class Engine:
                     mv, state_frame(self, mv, base_df, F.lit(1)).drop("__mv_neg")
                 )
                 if mv.has_distinct:
-                    mv.substates = [
-                        s.localCheckpoint(eager=True)
-                        for s in sub_state_frames(self, mv, base_df, F.lit(1))
-                    ]
+                    mv.substates = persist_substates(
+                        mv, sub_state_frames(self, mv, base_df, F.lit(1))
+                    )
             else:
                 mv.internal = persist_state(mv, self._select_any(mv.select))
         if mode != "noop":

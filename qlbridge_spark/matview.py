@@ -32,7 +32,8 @@ side crosses 0↔1, computed per key from two snapshots restricted to
 the delta's keys. The full join matrix maintains incrementally:
 INNER/LEFT for any row-local ON, LEFT-with-dim-deltas / RIGHT / FULL
 for single-equality ONs (RIGHT/FULL run the match-count terms on every
-refresh — a fact-only delta can flip a dim row's extension). HAVING
+refresh — a fact-only delta can flip a dim row's extension), and INNER
+self-joins (the bilinear identity with F = D). HAVING
 and ORDER BY [+LIMIT/OFFSET] apply at EXPOSE time over the aggregated
 state (aggs referenced only there become hidden state columns), so
 filtered-out groups re-appear the moment a delta makes them qualify.
@@ -163,6 +164,9 @@ class MatView:
     offset: int | None = None
     exposed_types: dict | None = None  # exposed name → Spark DataType
     state_sink: object | None = None  # durable state store (WITH {"path"})
+    #: durable substate stores, parallel to the DISTINCT aggs (d_idx
+    #: order); sibling sinks at "<path>__d<i>" when WITH {"path"} is set
+    sub_sinks: list = field(default_factory=list)
 
     @property
     def incremental(self) -> bool:
@@ -321,8 +325,15 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
         if d.join_expr is None or not _row_local(d.join_expr):
             return None
         dn = d.name.lower()
-        if dn == nm:
-            return None  # self-join: both sides change — cross terms
+        if dn == nm and d.join_type != "INNER":
+            return None  # outer self-join: null terms entangle both sides
+        # INNER self-joins maintain via the SAME bilinear identity with
+        # F = D: Δ(F⋈F) = ΔF⋈F_new ∪ F_old⋈ΔF — both refresh terms read
+        # the one table's delta/snapshots (the dim side resolves by
+        # table NAME, the fact side by the reserved temp frame, so the
+        # pin/substitute machinery works unchanged). Extrema/DISTINCT
+        # are excluded below — their repair/substates assume an
+        # independent dim.
         dim_sink = engine.sinks.get(dn)
         if dim_sink is None or not hasattr(dim_sink, "versions") or dn in engine.tables:
             return None  # drift-undetectable dim → full recompute
@@ -464,6 +475,12 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
             if oe is None:
                 return None
             order_exprs.append((oe, direction))
+
+    if dim_name == nm and any(
+        a.kind in _EXTREMUM_AGGS | _DISTINCT_AGGS for a in aggs
+    ):
+        return None  # self-join extrema/DISTINCT: repair/substates assume
+        # an independent dim side
 
     if dim_name and any(a.kind in _EXTREMUM_AGGS for a in aggs):
         # extrema repair probes group-key exprs on the FACT frame alone
@@ -1030,3 +1047,20 @@ def persist_state(mv: MatView, state: DataFrame) -> DataFrame:
             mv.state_sink.overwrite(state)
         return mv.state_sink.scan(mv.state_sink.spark)
     return state.localCheckpoint(eager=True)
+
+
+def persist_substates(mv: MatView, frames: list[DataFrame]) -> list[DataFrame]:
+    """Durably store the DISTINCT-agg substates (sibling sinks when the
+    view was created WITH {"path"}, else localCheckpoints) and return
+    the frames to read them back from — mirror of :func:`persist_state`
+    for the two-level state."""
+    if not mv.sub_sinks:
+        return [f.localCheckpoint(eager=True) for f in frames]
+    out = []
+    for sink, f in zip(mv.sub_sinks, frames):
+        if getattr(sink, "_version", lambda: -1)() < 0:
+            sink.ensure(f)
+        else:
+            sink.overwrite(f)
+        out.append(sink.scan(sink.spark))
+    return out

@@ -636,17 +636,24 @@ class TestDistinctAggMatViews:
         assert rep["mode"] == "incremental"
         assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
 
-    def test_durable_path_downgrades_to_full(self, spark, tmp_path):
+    def test_durable_path_persists_substates(self, spark, tmp_path):
+        import os
+
         eng, _ = _mk(spark, tmp_path, "dq6", BASE)
-        q = "SELECT g, count(DISTINCT x) AS dx FROM t GROUP BY g"
-        eng.execute(
-            f'CREATE MATERIALIZED VIEW mv AS {q} WITH {{"path": "{tmp_path / "dq6_state"}"}}'
-        )
-        assert not eng.mat_views["mv"].incremental  # documented downgrade
-        eng.execute("INSERT INTO t (id, g, x) VALUES (11, 'a', 1.0)")
+        q = "SELECT g, count(DISTINCT x) AS dx, sum(x) AS s FROM t GROUP BY g"
+        state = tmp_path / "dq6_state"
+        eng.execute(f'CREATE MATERIALIZED VIEW mv AS {q} WITH {{"path": "{state}"}}')
+        mv = eng.mat_views["mv"]
+        assert mv.incremental and len(mv.sub_sinks) == 1
+        assert os.path.isdir(f"{state}__d0")  # durable substate sibling
+        eng.execute("INSERT INTO t (id, g, x) VALUES (11, 'a', 1.0), (12, 'a', 10.0)")
+        eng.execute("DELETE FROM t WHERE id = 5")
         rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
-        assert rep["mode"] == "full"
+        assert rep["mode"] == "incremental"
         assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
+        # each refresh commits a new substate version (time-travelable
+        # like the main state)
+        assert mv.sub_sinks[0]._version() >= 1
 
     def test_randomized_mutations_with_distinct(self, spark, tmp_path):
         rng = random.Random(20260819)
@@ -933,14 +940,40 @@ class TestJoinMatViews:
         assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
         assert eng.sql("SELECT * FROM mv").schema == eng.sql(q).schema
 
+    def test_inner_self_join_maintains_incrementally(self, spark, tmp_path):
+        # Δ(F⋈F) = ΔF⋈F_new ∪ F_old⋈ΔF — same bilinear identity with
+        # F = D. Many-to-many on dk (per-key SQUARED counts) is the
+        # adversarial case: one inserted row changes the group's pair
+        # count by 2m+1
+        eng, fact, dim = self._mk(spark, tmp_path, "sj")
+        q = (
+            "SELECT f.dk AS k, count(*) AS pairs, sum(g.x) AS sx "
+            "FROM f JOIN f g ON f.dk = g.dk GROUP BY f.dk"
+        )
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
+        mv = eng.mat_views["mv"]
+        assert mv.incremental and mv.dim == "f"
+        for stmt in (
+            "INSERT INTO f (id, dk, x) VALUES (700, 1, 3.0), (701, 1, 4.0)",
+            "DELETE FROM f WHERE id % 6 = 2",
+            "UPDATE f SET x = 50.0 WHERE id % 7 = 0",
+            "UPDATE f SET dk = 0 WHERE id = 9",  # row MOVES between groups
+        ):
+            eng.execute(stmt)
+            rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+            assert rep["mode"] == "incremental", stmt
+            assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q), stmt
+
     def test_ineligible_join_shapes_stay_full(self, spark, tmp_path):
         eng, fact, dim = self._mk(spark, tmp_path, "e")
         for q in (
             # extrema + join with a DIM-SIDE group key (the repair probe
             # runs on the fact frame alone, so dim keys force full)
             "SELECT d.dname AS g, min(f.x) AS lo FROM f JOIN d ON f.dk = d.dk GROUP BY d.dname",
-            # self-join: both sides change
-            "SELECT f.dk AS k, count(*) AS n FROM f JOIN f g ON f.id = g.id GROUP BY f.dk",
+            # INNER self-joins are incremental since r12; OUTER ones and
+            # self-join extrema are not (null terms / repair entangle)
+            "SELECT f.dk AS k, count(*) AS n FROM f LEFT JOIN f g ON f.id = g.id GROUP BY f.dk",
+            "SELECT f.dk AS k, min(g.x) AS lo FROM f JOIN f g ON f.dk = g.dk GROUP BY f.dk",
             # RIGHT join + extrema: repair assumes fact-preserved semantics
             "SELECT d.dname AS g, min(f.x) AS lo FROM f RIGHT JOIN d ON f.dk = d.dk GROUP BY d.dname",
             # RIGHT join + DISTINCT agg: substates assume fact-preserved
