@@ -285,6 +285,31 @@ def _stddev(n, s):
     return F.stddev(_c(n, s))
 
 
+@_reg("stddev_samp", is_agg=True, return_type=T.DoubleType())
+def _stddev_samp(n, s):
+    return F.stddev_samp(_c(n, s))
+
+
+@_reg("stddev_pop", is_agg=True, return_type=T.DoubleType())
+def _stddev_pop(n, s):
+    return F.stddev_pop(_c(n, s))
+
+
+@_reg("variance", is_agg=True, return_type=T.DoubleType())
+def _variance(n, s):
+    return F.var_samp(_c(n, s))
+
+
+@_reg("var_samp", is_agg=True, return_type=T.DoubleType())
+def _var_samp(n, s):
+    return F.var_samp(_c(n, s))
+
+
+@_reg("var_pop", is_agg=True, return_type=T.DoubleType())
+def _var_pop(n, s):
+    return F.var_pop(_c(n, s))
+
+
 @_reg("median", is_agg=True, return_type=T.DoubleType())
 def _median(n, s):
     # EXACT median (Spark's Median expression — sort-based, not the

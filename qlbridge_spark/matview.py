@@ -37,11 +37,12 @@ self-joins (the bilinear identity with F = D). HAVING
 and ORDER BY [+LIMIT/OFFSET] apply at EXPOSE time over the aggregated
 state (aggs referenced only there become hidden state columns), so
 filtered-out groups re-appear the moment a delta makes them qualify.
-Anything beyond the algebra (windows, subqueries, compound-ON outer
-joins under the flip terms, FILTER clauses, non-distributive aggs,
-extrema/DISTINCT on dim-preserved joins) still works as a materialized
-view — it just refreshes by full recompute, and the refresh report
-says so.
+The variance family (stddev/variance, sample and population) is
+algebraic — (Σx, Σx², n) state. Anything beyond the algebra (windows,
+subqueries, compound-ON outer joins under the flip terms, FILTER
+clauses, sort-based aggs like median, extrema/DISTINCT on
+dim-preserved or self joins) still works as a materialized view — it
+just refreshes by full recompute, and the refresh report says so.
 
 Superset: the reference has no materialized views (its closest notion
 is the continuously-evaluated view, which the engine maps to Structured
@@ -97,6 +98,19 @@ from .nodes import (
 from .rel import Column, FromSource, SqlSelect
 
 _INCREMENTAL_AGGS = {"sum", "count", "avg"}
+#: the variance family is ALGEBRAIC: (Σwx, Σwx², non-null count) folds
+#: under signed deltas and exposes var = (Σx² − (Σx)²/n)/denominator.
+#: Values may differ from Spark's central-moments accumulation in the
+#: last ulps (the two summation orders round differently) — same class
+#: of drift as any re-aggregation.
+_VARIANCE_AGGS = {
+    "stddev",
+    "stddev_samp",
+    "stddev_pop",
+    "variance",
+    "var_samp",
+    "var_pop",
+}
 #: DISTINCT aggregates maintain through a TWO-LEVEL state: a per-view
 #: substate frame grained by (group keys, value) holding a signed
 #: occurrence count — deltas fold into it exactly like the main state,
@@ -120,10 +134,11 @@ class AggSpec:
     #      | 'count_distinct' | 'sum_distinct' | 'avg_distinct'
     arg: Node | None  # None for count(*); the INNER arg for DISTINCT aggs
     out: str  # exposed column name
-    s_col: str | None = None  # internal sum-state state column (sum/avg)
+    s_col: str | None = None  # internal sum-state column (sum/avg/variance)
     c_col: str | None = None  # internal non-null-count state (count/sum/avg)
     m_col: str | None = None  # internal extremum state column (min/max)
     d_idx: int | None = None  # index into MatView.substates (DISTINCT aggs)
+    q_col: str | None = None  # internal sum-of-squares state (variance family)
 
 
 @dataclass
@@ -217,7 +232,10 @@ def _snapshot_cols(engine, s) -> set[str]:
 def _parse_agg(e: Node):
     """``(kind, arg)`` when ``e`` is an aggregate call the signed-delta
     algebra maintains (the AggSpec vocabulary), else None."""
-    if not isinstance(e, FuncNode) or e.name not in _INCREMENTAL_AGGS | _EXTREMUM_AGGS:
+    if (
+        not isinstance(e, FuncNode)
+        or e.name not in _INCREMENTAL_AGGS | _EXTREMUM_AGGS | _VARIANCE_AGGS
+    ):
         return None
     if e.filter_where is not None or e.agg_order or e.ignore_nulls or len(e.args) != 1:
         return None
@@ -225,8 +243,9 @@ def _parse_agg(e: Node):
     if isinstance(arg, IdentityNode) and arg.is_star:
         return ("count_star", None) if e.name == "count" else None
     if isinstance(arg, FuncNode) and arg.name == "distinct":
-        # count/sum/avg(DISTINCT x); min/max(DISTINCT x) ≡ min/max(x)
-        if len(arg.args) != 1:
+        # count/sum/avg(DISTINCT x); min/max(DISTINCT x) ≡ min/max(x);
+        # variance(DISTINCT x) is NOT maintained (no substate algebra)
+        if len(arg.args) != 1 or e.name in _VARIANCE_AGGS:
             return None
         inner = arg.args[0]
         if _contains_distinct(inner) or not _row_local(inner):
@@ -540,6 +559,8 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
             a.s_col, a.c_col = f"__mv_s{i}", f"__mv_c{i}"
         elif a.kind == "count":
             a.c_col = f"__mv_c{i}"
+        elif a.kind in _VARIANCE_AGGS:
+            a.s_col, a.c_col, a.q_col = f"__mv_s{i}", f"__mv_c{i}", f"__mv_q{i}"
         elif a.kind in _EXTREMUM_AGGS:
             a.m_col = f"__mv_m{i}"
         elif a.kind in _DISTINCT_AGGS:
@@ -613,6 +634,23 @@ def _state_select(
                 Column(
                     expr=FuncNode(name="sum", args=[BinaryNode(op="*", left=weight, right=a.arg)]),
                     alias=a.s_col,
+                )
+            )
+        if a.q_col:
+            # variance family: Σ weight·x² rides alongside Σ weight·x
+            cols.append(
+                Column(
+                    expr=FuncNode(
+                        name="sum",
+                        args=[
+                            BinaryNode(
+                                op="*",
+                                left=weight,
+                                right=BinaryNode(op="*", left=a.arg, right=a.arg),
+                            )
+                        ],
+                    ),
+                    alias=a.q_col,
                 )
             )
         if a.c_col:
@@ -855,7 +893,7 @@ def merge_substates(
 
 
 _STATE_COLS = lambda mv: ["__mv_n"] + [  # noqa: E731
-    c for a in mv.aggs for c in (a.s_col, a.c_col) if c
+    c for a in mv.aggs for c in (a.s_col, a.q_col, a.c_col) if c
 ]
 
 
@@ -965,6 +1003,19 @@ def exposed_frame(mv: MatView) -> DataFrame:
         elif a.kind in _DISTINCT_AGGS:
             distinct_aggs.append(a)
             continue  # joined in from the substate below
+        elif a.kind in _VARIANCE_AGGS:
+            # algebraic: m2 = Σx² − (Σx)²/n, clamped ≥ 0 against ulp
+            # drift; sample variants need n ≥ 2, population n ≥ 1
+            n_ = F.col(a.c_col).cast("double")
+            s_ = F.col(a.s_col).cast("double")
+            q_ = F.col(a.q_col).cast("double")
+            m2 = F.greatest(q_ - (s_ * s_) / n_, F.lit(0.0))
+            if a.kind in ("var_pop", "stddev_pop"):
+                c = F.when(n_ > 0, m2 / n_)
+            else:
+                c = F.when(n_ > 1, m2 / (n_ - 1))
+            if a.kind.startswith("stddev"):
+                c = F.sqrt(c)
         else:  # avg
             c = F.when(F.col(a.c_col) > 0, F.col(a.s_col) / F.col(a.c_col))
         out.append(c.alias(a.out))

@@ -185,14 +185,15 @@ class TestEligibility:
     @pytest.mark.parametrize(
         "q",
         [
-            "SELECT g, stddev(x) AS m FROM t GROUP BY g",  # non-distributive agg
+            "SELECT g, median(x) AS m FROM t GROUP BY g",  # non-algebraic agg
             # DISTINCT-agg views are incremental since r12; a FILTER
             # clause still forces full recompute
             "SELECT g, count(DISTINCT x) FILTER (WHERE id > 2) AS d FROM t GROUP BY g",
             # HAVING is incremental since r12 — unless it references an
             # agg the algebra can't maintain
-            "SELECT g, count(*) AS n FROM t GROUP BY g HAVING stddev(x) > 0",
-            "SELECT t.g, count(*) AS n FROM t JOIN t u ON t.id = u.id GROUP BY t.g",  # join
+            "SELECT g, count(*) AS n FROM t GROUP BY g HAVING median(x) > 0",
+            # INNER self-joins are incremental since r12; OUTER self-joins not
+            "SELECT t.g, count(*) AS n FROM t LEFT JOIN t u ON t.id = u.id GROUP BY t.g",
             "SELECT upper(g) AS u, count(*) AS n FROM t GROUP BY g",  # key not exposed
             # ORDER BY [+LIMIT] is incremental since r12 (top-k views);
             # LIMIT without a total order is nondeterministic content
@@ -357,6 +358,100 @@ class TestExtremaAndFilterOnly:
                             assert abs(gv - wv) < 1e-6, (round_, name, gr, wr)
                         else:
                             assert gv == wv, (round_, name, gr, wr)
+
+
+class TestVarianceMatViews:
+    """The variance family is algebraic — (Σx, Σx², n) folds under
+    signed deltas; exposure computes m2 = Σx² − (Σx)²/n. Values can
+    differ from Spark's central-moments accumulation in the last ulps,
+    so comparisons are approximate."""
+
+    Q = (
+        "SELECT g, stddev(x) AS sd, var_pop(x) AS vp, variance(x) AS vs, "
+        "count(*) AS n FROM t GROUP BY g"
+    )
+
+    @staticmethod
+    def _approx(got, want):
+        assert len(got) == len(want), (got, want)
+        for gr, wr in zip(got, want):
+            for gv, wv in zip(gr, wr):
+                if isinstance(gv, float) and isinstance(wv, float):
+                    assert abs(gv - wv) <= 1e-9 * max(1.0, abs(wv)), (gr, wr)
+                else:
+                    assert gv == wv, (gr, wr)
+
+    def test_variance_family_parity(self, spark, tmp_path):
+        eng, _ = _mk(
+            spark, tmp_path, "vq1",
+            [(i, "g" + str(i % 3), float(i % 13)) for i in range(40)]
+            + [(100, "g0", None)],
+        )
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {self.Q}")
+        mv = eng.mat_views["mv"]
+        assert mv.incremental
+        self._approx(_rows(eng, "SELECT * FROM mv"), _rows(eng, self.Q))
+        eng.execute("INSERT INTO t (id, g, x) VALUES (101, 'g1', 5.0), (102, 'g3', 2.0)")
+        eng.execute("UPDATE t SET x = 9.0 WHERE id % 4 = 1")
+        eng.execute("DELETE FROM t WHERE id % 7 = 3")
+        rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+        assert rep["mode"] == "incremental"
+        self._approx(_rows(eng, "SELECT * FROM mv"), _rows(eng, self.Q))
+        assert eng.sql("SELECT * FROM mv").schema == eng.sql(self.Q).schema
+
+    def test_single_row_and_vanishing_groups(self, spark, tmp_path):
+        # n=1: sample variants NULL, population 0.0; a group shrinking to
+        # one row must flip its sample stddev back to NULL
+        eng, _ = _mk(spark, tmp_path, "vq2", [(1, "a", 3.0), (2, "a", 7.0), (3, "b", 1.0)])
+        q = "SELECT g, stddev(x) AS sd, stddev_pop(x) AS sp FROM t GROUP BY g"
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
+        eng.execute("DELETE FROM t WHERE id = 2")  # 'a' shrinks to one row
+        eng.sql("REFRESH MATERIALIZED VIEW mv").collect()
+        self._approx(_rows(eng, "SELECT * FROM mv"), _rows(eng, q))
+        got = dict((r[0], (r[1], r[2])) for r in _rows(eng, "SELECT * FROM mv"))
+        assert got["a"] == (None, 0.0)
+
+    def test_variance_in_having_and_randomized(self, spark, tmp_path):
+        rng = random.Random(20260821)
+        eng, _ = _mk(
+            spark, tmp_path, "vqr",
+            [(i, "g" + str(i % 4), float(i % 9)) for i in range(50)],
+        )
+        q = (
+            "SELECT g, sum(x) AS s, count(*) AS n FROM t "
+            "GROUP BY g HAVING var_pop(x) > 1.0"
+        )
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
+        assert eng.mat_views["mv"].incremental
+        next_id = 200
+        for round_ in range(4):
+            for _ in range(rng.randint(1, 3)):
+                op = rng.choice(["ins", "upd", "del"])
+                if op == "ins":
+                    eng.execute(
+                        f"INSERT INTO t (id, g, x) VALUES "
+                        f"({next_id}, 'g{rng.randint(0, 4)}', {float(rng.randint(0, 20))})"
+                    )
+                    next_id += 1
+                elif op == "upd":
+                    eng.execute(
+                        f"UPDATE t SET x = {float(rng.randint(0, 20))} "
+                        f"WHERE id % {rng.randint(2, 6)} = 0"
+                    )
+                else:
+                    eng.execute(f"DELETE FROM t WHERE id % {rng.randint(4, 9)} = 1")
+            rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+            assert rep["mode"] in ("incremental", "noop"), round_
+            self._approx(_rows(eng, "SELECT * FROM mv"), _rows(eng, q))
+
+    def test_distinct_variance_not_in_the_vocabulary(self):
+        # stddev(DISTINCT x) has no substate algebra (and no engine
+        # execution path either) — the agg parser must reject it
+        from qlbridge_spark.matview import _parse_agg
+        from qlbridge_spark.rel import parse_sql
+
+        sel = parse_sql("SELECT stddev(DISTINCT x) AS sd FROM t")
+        assert _parse_agg(sel.columns[0].expr) is None
 
 
 class TestHavingMatViews:
