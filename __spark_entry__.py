@@ -258,6 +258,9 @@ _Q = {
         SELECT c_mktsegment, round(min(c_acctbal), 2) AS lo,
                round(max(c_acctbal), 2) AS hi,
                round(stddev(c_acctbal), 2) AS sd,
+               round(stddev_pop(c_acctbal), 2) AS sdp,
+               round(var_pop(c_acctbal), 2) AS vp,
+               round(variance(c_acctbal), 2) AS vs,
                median(c_nationkey) AS med_nk,
                percentile_cont(c_nationkey, 0.25) AS p25_nk
         FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
@@ -933,6 +936,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_mktsegment, round(min(c_acctbal), 2) AS lo,
                    round(max(c_acctbal), 2) AS hi,
                    round(stddev_samp(c_acctbal), 2) AS sd,
+                   round(stddev_pop(c_acctbal), 2) AS sdp,
+                   round(var_pop(c_acctbal), 2) AS vp,
+                   round(var_samp(c_acctbal), 2) AS vs,
                    median(c_nationkey) AS med_nk,
                    quantile_cont(c_nationkey, 0.25) AS p25_nk
             FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
