@@ -928,6 +928,29 @@ class TestJoinMatViews:
             assert rep["mode"] == "incremental", stmt
             assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q), stmt
 
+    def test_left_join_extrema_with_dim_deltas(self, spark, tmp_path):
+        # extrema + LEFT join + dim mutation: flip-term retractions set
+        # the repair flag; the repair re-aggregates the touched groups
+        # through the view's own LEFT join (null-extended rows included)
+        eng, fact, dim = self._mk(spark, tmp_path, "lx")
+        q = (
+            "SELECT f.dk AS k, min(f.x) AS lo, max(f.x) AS hi, count(*) AS n "
+            "FROM f LEFT JOIN d ON f.dk = d.dk GROUP BY f.dk"
+        )
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
+        mv = eng.mat_views["mv"]
+        assert mv.incremental and mv.has_extrema
+        eng.execute("DELETE FROM d WHERE dk = 1")  # dk=1 facts flip to null-ext
+        eng.execute("DELETE FROM f WHERE id = 6")  # and lose an extremum candidate
+        rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+        assert rep["mode"] == "incremental"
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
+        eng.execute("INSERT INTO d (dk, dname) VALUES (4, 'late')")  # dk=4 re-matches
+        eng.execute("INSERT INTO f (id, dk, x) VALUES (800, 4, -3.0)")  # new min
+        rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+        assert rep["mode"] == "incremental"
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
+
     def test_dim_commit_on_left_join_compound_on_forces_full(self, spark, tmp_path):
         # compound ON: the flip set isn't computable from a single key —
         # full recompute, then re-pin
