@@ -458,6 +458,38 @@ def main() -> int:
                 full_runs.append(round(time.time() - t0, 3))
             mv_info["full_refresh_sec"] = min(full_runs)
             mv_info["full_refresh_runs"] = full_runs
+            # fact-JOIN-dim view with BOTH sides mutating per cycle — the
+            # round-12 higher-order terms (ΔF⋈D_new ∪ F_old⋈ΔD, with the
+            # F_old scan IN-pruned to the dim delta's join keys). Same
+            # min-of-2 steady-state convention.
+            _ordm = _rpm(spark, os.path.join(sf_dir, "orders.parquet"))
+            _dkm = _PMSM(spark, os.path.join(mv_dir, "cust"), key="c_custkey")
+            _dkm.ensure(
+                _rpm(spark, os.path.join(sf_dir, "customer.parquet"))
+            )
+            _skm2 = _PMSM(spark, os.path.join(mv_dir, "ord"), key="o_orderkey")
+            _skm2.ensure(_ordm.repartition(16))
+            _em.register_sink("o", _skm2)
+            _em.register_sink("c", _dkm)
+            _em.execute(
+                "CREATE MATERIALIZED VIEW mvj AS SELECT c.c_mktsegment AS seg, "
+                "count(*) AS n, sum(o.o_totalprice) AS rev "
+                "FROM o JOIN c ON o.o_custkey = c.c_custkey GROUP BY c.c_mktsegment"
+            )
+            join_runs, jmodes = [], []
+            for mod in (13, 17):
+                _em.execute(f"DELETE FROM o WHERE o_orderkey % 100 = {mod}")
+                _em.execute(
+                    f"UPDATE c SET c_mktsegment = 'MOVED{mod}' WHERE c_custkey % 50 = {mod}"
+                )  # 2 % of customers change segment: groups genuinely move
+                t0 = time.time()
+                rep = _em.sql("REFRESH MATERIALIZED VIEW mvj").collect()[0]
+                _em.sql("SELECT * FROM mvj").collect()
+                join_runs.append(round(time.time() - t0, 3))
+                jmodes.append(rep["mode"])
+            mv_info["join_both_sides_refresh_sec"] = min(join_runs)
+            mv_info["join_both_sides_refresh_runs"] = join_runs
+            mv_info["join_both_sides_mode"] = jmodes[-1]
         finally:
             shutil.rmtree(mv_dir, ignore_errors=True)
     except Exception as e:
