@@ -4727,7 +4727,7 @@ class Engine:
                                     sub_terms = [
                                         sub_state_frames(
                                             self, mv, df, wt, dim_df=dd,
-                                            dim_weighted=(wmode == "product"),
+                                            weight_mode=wmode,
                                             join_override=jo,
                                         )
                                         for df, wt, dd, wmode, jo in sub_specs

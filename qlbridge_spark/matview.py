@@ -38,11 +38,12 @@ and ORDER BY [+LIMIT/OFFSET] apply at EXPOSE time over the aggregated
 state (aggs referenced only there become hidden state columns), so
 filtered-out groups re-appear the moment a delta makes them qualify.
 The variance family (stddev/variance, sample and population) is
-algebraic — (Σx, Σx², n) state. Anything beyond the algebra (windows,
-subqueries, compound-ON outer joins under the flip terms, FILTER
-clauses, sort-based aggs like median, extrema/DISTINCT on
-dim-preserved or self joins) still works as a materialized view — it
-just refreshes by full recompute, and the refresh report says so.
+algebraic — (Σx, Σx², n) state. DISTINCT substates fold through every
+join shape (pure signed counting). Anything beyond the algebra
+(windows, subqueries, compound-ON outer joins under the flip terms,
+FILTER clauses, sort-based aggs like median, extrema on dim-preserved
+or self joins) still works as a materialized view — it just refreshes
+by full recompute, and the refresh report says so.
 
 Superset: the reference has no materialized views (its closest notion
 is the continuously-evaluated view, which the engine maps to Structured
@@ -495,11 +496,10 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
                 return None
             order_exprs.append((oe, direction))
 
-    if dim_name == nm and any(
-        a.kind in _EXTREMUM_AGGS | _DISTINCT_AGGS for a in aggs
-    ):
-        return None  # self-join extrema/DISTINCT: repair/substates assume
-        # an independent dim side
+    if dim_name == nm and any(a.kind in _EXTREMUM_AGGS for a in aggs):
+        return None  # self-join extrema: the delete-repair probe assumes
+        # an independent dim side (DISTINCT is fine — substates are pure
+        # signed counting through the same terms)
 
     if dim_name and any(a.kind in _EXTREMUM_AGGS for a in aggs):
         # extrema repair probes group-key exprs on the FACT frame alone
@@ -537,9 +537,10 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
         # dim-preserved outer joins: EVERY refresh (fact-only included)
         # needs per-key match-count bookkeeping for the dim side's null
         # extensions, so the ON must be a single fact-col = dim-col
-        # equality. Extrema repair and DISTINCT substates assume
-        # fact-preserved semantics — full recompute for those.
-        if any(a.kind in _EXTREMUM_AGGS | _DISTINCT_AGGS for a in aggs):
+        # equality. Extrema repair assumes fact-preserved semantics —
+        # full recompute there (DISTINCT is fine: substates are pure
+        # signed counting and fold through the same six terms).
+        if any(a.kind in _EXTREMUM_AGGS for a in aggs):
             return None
         probe = MatView(name="", select=select, base=nm, dim=dim_name)
         if (

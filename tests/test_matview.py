@@ -1082,6 +1082,35 @@ class TestJoinMatViews:
             assert rep["mode"] == "incremental", stmt
             assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q), stmt
 
+    def test_distinct_on_dim_preserved_and_self_joins(self, spark, tmp_path):
+        # DISTINCT substates are pure signed counting — they fold through
+        # the same terms as the main state on RIGHT joins and self-joins
+        eng, fact, dim = self._mk(spark, tmp_path, "dsj")
+        qr = (
+            "SELECT d.dname AS g, count(DISTINCT f.x) AS dx, count(*) AS n "
+            "FROM f RIGHT JOIN d ON f.dk = d.dk GROUP BY d.dname"
+        )
+        eng.execute(f"CREATE MATERIALIZED VIEW mvr AS {qr}")
+        assert eng.mat_views["mvr"].incremental
+        eng.execute("DELETE FROM f WHERE dk = 1")  # dim 1 flips to null-ext
+        eng.execute("INSERT INTO d (dk, dname) VALUES (9, 'lonely')")
+        eng.execute("UPDATE f SET x = 3.0 WHERE id % 5 = 0")
+        rep = eng.sql("REFRESH MATERIALIZED VIEW mvr").collect()[0]
+        assert rep["mode"] == "incremental"
+        assert _rows(eng, "SELECT * FROM mvr") == _rows(eng, qr)
+
+        qs = (
+            "SELECT f.dk AS k, count(DISTINCT g.x) AS dx "
+            "FROM f JOIN f g ON f.dk = g.dk GROUP BY f.dk"
+        )
+        eng.execute(f"CREATE MATERIALIZED VIEW mvs AS {qs}")
+        assert eng.mat_views["mvs"].incremental
+        eng.execute("INSERT INTO f (id, dk, x) VALUES (900, 2, 3.0), (901, 2, 3.0)")
+        eng.execute("DELETE FROM f WHERE id % 9 = 4")
+        rep = eng.sql("REFRESH MATERIALIZED VIEW mvs").collect()[0]
+        assert rep["mode"] == "incremental"
+        assert _rows(eng, "SELECT * FROM mvs") == _rows(eng, qs)
+
     def test_ineligible_join_shapes_stay_full(self, spark, tmp_path):
         eng, fact, dim = self._mk(spark, tmp_path, "e")
         for q in (
@@ -1094,8 +1123,6 @@ class TestJoinMatViews:
             "SELECT f.dk AS k, min(g.x) AS lo FROM f JOIN f g ON f.dk = g.dk GROUP BY f.dk",
             # RIGHT join + extrema: repair assumes fact-preserved semantics
             "SELECT d.dname AS g, min(f.x) AS lo FROM f RIGHT JOIN d ON f.dk = d.dk GROUP BY d.dname",
-            # RIGHT join + DISTINCT agg: substates assume fact-preserved
-            "SELECT d.dname AS g, count(DISTINCT f.x) AS dx FROM f RIGHT JOIN d ON f.dk = d.dk GROUP BY d.dname",
             # RIGHT join with a compound ON: flip set unknowable per key
             "SELECT d.dname AS g, count(*) AS n FROM f RIGHT JOIN d ON f.dk = d.dk AND f.x > 5 GROUP BY d.dname",
         ):
