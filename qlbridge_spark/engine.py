@@ -4352,11 +4352,11 @@ class Engine:
             base_df = sink.scan(self.spark, version=mv.base_version)
             # the delete-repair flag is delta-only state; never persisted
             mv.internal = persist_state(
-                mv, state_frame(self, mv, base_df, F.lit(1)).drop("__mv_neg")
+                mv, state_frame(self, mv, base_df, F.lit(1), weight_mode="one").drop("__mv_neg")
             )
             if mv.has_distinct:
                 mv.substates = persist_substates(
-                    mv, sub_state_frames(self, mv, base_df, F.lit(1))
+                    mv, sub_state_frames(self, mv, base_df, F.lit(1), weight_mode="one")
                 )
         else:
             mv.internal = persist_state(mv, self._select_any(c.select))
@@ -4454,7 +4454,7 @@ class Engine:
                         if mv.has_extrema:
                             # min/max don't fold under deletes; re-aggregate
                             # exactly the delete-touched groups from the base
-                            merged = repair_extrema(self, mv, merged, cur)
+                            merged = repair_extrema(self, mv, merged, cur, dim_version=mv.dim_version)
                         mv.internal = persist_state(mv, merged)
                         if mv.has_distinct:
                             _fold_substates(
@@ -4721,7 +4721,7 @@ class Engine:
                                     delta = delta.unionByName(t)
                                 merged = merge_state(mv, mv.internal, delta)
                                 if mv.has_extrema:
-                                    merged = repair_extrema(self, mv, merged, cur)
+                                    merged = repair_extrema(self, mv, merged, cur, dim_version=d_cur)
                                 mv.internal = persist_state(mv, merged)
                                 if mv.has_distinct:
                                     sub_terms = [
@@ -4756,11 +4756,11 @@ class Engine:
                     mv.dim_version = max(self.sinks[mv.dim].versions())
                 base_df = sink.scan(self.spark, version=mv.base_version)
                 mv.internal = persist_state(
-                    mv, state_frame(self, mv, base_df, F.lit(1)).drop("__mv_neg")
+                    mv, state_frame(self, mv, base_df, F.lit(1), weight_mode="one").drop("__mv_neg")
                 )
                 if mv.has_distinct:
                     mv.substates = persist_substates(
-                        mv, sub_state_frames(self, mv, base_df, F.lit(1))
+                        mv, sub_state_frames(self, mv, base_df, F.lit(1), weight_mode="one")
                     )
             else:
                 mv.internal = persist_state(mv, self._select_any(mv.select))

@@ -183,6 +183,9 @@ class MatView:
     #: durable substate stores, parallel to the DISTINCT aggs (d_idx
     #: order); sibling sinks at "<path>__d<i>" when WITH {"path"} is set
     sub_sinks: list = field(default_factory=list)
+    #: which relation the extrema delete-repair probes by group key:
+    #: 'fact' (default) or 'dim' (INNER/RIGHT views with dim-side keys)
+    extrema_side: str = "fact"
 
     @property
     def incremental(self) -> bool:
@@ -501,31 +504,52 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
         # an independent dim side (DISTINCT is fine — substates are pure
         # signed counting through the same terms)
 
+    extrema_side = "fact"
     if dim_name and any(a.kind in _EXTREMUM_AGGS for a in aggs):
-        # extrema repair probes group-key exprs on the FACT frame alone
-        # (the semi-join that names which base rows to re-aggregate), so
-        # a joined extrema view maintains incrementally exactly when
-        # every group key is fact-side-evaluable: qualified idents must
-        # name the fact ref, unqualified ones must resolve unambiguously
-        # to a fact column. The extremum ARG may live on either side —
-        # the repair re-runs the full join over the pruned fact rows.
+        # extrema repair probes group-key exprs on ONE side alone (the
+        # semi-join that names which rows to re-aggregate), so a joined
+        # extrema view maintains incrementally exactly when every group
+        # key is evaluable on a single side. Which sides are sound:
+        #   fact probe — INNER/LEFT (fact-preserved: every group's rows
+        #     trace to a fact row; the repair re-runs the join over the
+        #     pruned facts);
+        #   dim probe — INNER/RIGHT (the pruned dim substituted into the
+        #     join yields exactly the stale groups' rows, null-extended
+        #     dim rows included for RIGHT).
+        # LEFT with dim-side keys and FULL are out: the fact-origin
+        # null-extension group (dim cols NULL) has no probe-able row on
+        # the dim side. The extremum ARG may live on either side.
         d = select.from_[1]
+        jt = d.join_type
         fact_refs = {nm, (src.alias or "").lower()} - {""}
+        dim_refs = {dim_name, (d.alias or "").lower()} - {""}
         fact_cols = _snapshot_cols(engine, sink)
         dim_cols = _snapshot_cols(engine, engine.sinks[dim_name])
 
-        def _fact_side(node: Node) -> bool:
+        def _on_side(node: Node, refs: set, cols: set, other_cols: set) -> bool:
             for n in node.walk():
                 if isinstance(n, IdentityNode):
                     parts = [p.lower() for p in n.parts]
                     if len(parts) > 1:
-                        if parts[0] not in fact_refs:
+                        if parts[0] not in refs:
                             return False
-                    elif parts[0] not in fact_cols or parts[0] in dim_cols:
-                        return False  # dim-side or ambiguous name
+                    elif parts[0] not in cols or parts[0] in other_cols:
+                        return False  # other-side or ambiguous name
             return True
 
-        if not all(_fact_side(k) for k in key_nodes):
+        fact_ok = all(
+            _on_side(k, fact_refs, fact_cols, dim_cols) for k in key_nodes
+        )
+        dim_ok = all(_on_side(k, dim_refs, dim_cols, fact_cols) for k in key_nodes)
+        if jt in ("INNER",) and dim_name != nm:
+            extrema_side = "fact" if fact_ok else ("dim" if dim_ok else None)
+        elif jt in ("LEFT", "LEFT OUTER"):
+            extrema_side = "fact" if fact_ok else None
+        elif jt in ("RIGHT", "RIGHT OUTER"):
+            extrema_side = "dim" if dim_ok else None
+        else:  # FULL, or self-join (probe side ambiguous)
+            extrema_side = None
+        if extrema_side is None:
             return None
 
     if dim_name and select.from_[1].join_type in (
@@ -537,11 +561,9 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
         # dim-preserved outer joins: EVERY refresh (fact-only included)
         # needs per-key match-count bookkeeping for the dim side's null
         # extensions, so the ON must be a single fact-col = dim-col
-        # equality. Extrema repair assumes fact-preserved semantics —
-        # full recompute there (DISTINCT is fine: substates are pure
-        # signed counting and fold through the same six terms).
-        if any(a.kind in _EXTREMUM_AGGS for a in aggs):
-            return None
+        # equality. (DISTINCT is fine: substates are pure signed
+        # counting and fold through the same six terms; extrema need a
+        # dim-side probe, deduced above.)
         probe = MatView(name="", select=select, base=nm, dim=dim_name)
         if (
             equi_join_prune_cols(
@@ -582,6 +604,7 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
         order_exprs=order_exprs,
         limit=select.limit,
         offset=select.offset,
+        extrema_side=extrema_side,
     )
 
 
@@ -751,6 +774,11 @@ def _weight_node(dim_weighted: bool, weight_mode: str | None) -> Node:
         return BinaryNode(op="*", left=_W, right=IdentityNode(("__dw",)))
     if mode == "dim":
         return IdentityNode(("__dw",))
+    if mode == "one":
+        # full-side evaluation (initial build / full rebuild / extrema
+        # repair): every OUTPUT row weighs 1 — a fact-side __w column
+        # would be NULL on a dim-preserved join's null-extended rows
+        return NumberNode("1")
     return _W
 
 
@@ -924,39 +952,80 @@ def merge_state(mv: MatView, internal: DataFrame, delta: DataFrame) -> DataFrame
     return merged
 
 
-def repair_extrema(engine, mv: MatView, merged: DataFrame, base_version: int) -> DataFrame:
+def _semi_by_keys(engine, frame: DataFrame, ref: str, mv: MatView, stale_keys):
+    """Rows of ``frame`` (aliased ``ref``) whose group-key exprs match a
+    stale key (null-safe — a NULL key IS a group)."""
+    from functools import reduce
+
+    from .translate import Scope, to_column
+
+    scope = Scope({ref: frame}, includes=engine.includes)
+    probe = frame
+    conds = []
+    for k, name in zip(mv.key_nodes, mv.key_cols):
+        probe = probe.withColumn(f"__mv_k_{name}", to_column(k, scope))
+        conds.append(F.col(f"__mv_k_{name}").eqNullSafe(F.col(f"__sk.{name}")))
+    return probe.join(
+        F.broadcast(stale_keys.alias("__sk")),
+        on=reduce(lambda a, b: a & b, conds),
+        how="left_semi",
+    ).drop(*[f"__mv_k_{n}" for n in mv.key_cols])
+
+
+def repair_extrema(
+    engine,
+    mv: MatView,
+    merged: DataFrame,
+    base_version: int,
+    dim_version: int | None = None,
+) -> DataFrame:
     """Re-aggregate the groups a delete touched (their stored min/max is
     non-foldable: the reigning extremum may be the removed row) from the
     base snapshot, and graft the fresh state over the folded one. The
     change feed names EXACTLY which groups — the base read is a
     key-semi-joined scan, O(affected groups' rows), never O(base) unless
     the view is a global aggregate (one group = the whole table; that
-    recompute cost is inherent, and only paid when a delete occurred)."""
-    from .translate import Scope, to_column
+    recompute cost is inherent, and only paid when a delete occurred).
 
+    ``extrema_side`` picks the probe relation: ``'fact'`` (default)
+    semi-joins stale group keys against the fact snapshot and re-runs
+    the view's join over the pruned facts; ``'dim'`` (INNER/RIGHT views
+    whose group keys live on the dim side) prunes the DIM rows instead
+    and re-runs the join with the dim SUBSTITUTED — correct because on
+    a dim-preserved or inner join, the pruned dim's output is exactly
+    the stale groups' rows. With a plain equi key the fact scan is
+    additionally semi-pruned to the stale dim rows' join keys."""
     clean = merged.filter(F.col(NEG_FLAG) == 0).drop(NEG_FLAG)
     stale_keys = merged.filter(F.col(NEG_FLAG) > 0).select(*mv.key_cols)
     if not stale_keys.limit(1).count():
         return clean  # no delete touched any surviving group
     base = engine.sinks[mv.base].scan(engine.spark, version=base_version)
-    if mv.key_cols:
+    dim_df = None
+    if mv.key_cols and mv.extrema_side == "dim":
+        dsink = engine.sinks[mv.dim]
+        dim_frame = dsink.scan(
+            engine.spark,
+            version=dim_version if dim_version is not None else max(dsink.versions()),
+        )
+        d = mv.select.from_[1]
+        dim_df = _semi_by_keys(engine, dim_frame, d.alias or d.name, mv, stale_keys)
+        pj = equi_join_prune_cols(
+            mv,
+            {c.lower() for c in base.columns},
+            {c.lower() for c in dim_frame.columns},
+        )
+        if pj is not None:
+            fact_col, dim_col = pj
+            jk = dim_df.select(F.col(dim_col).alias("__mv_jk")).distinct()
+            base = base.join(
+                F.broadcast(jk), base[fact_col] == jk["__mv_jk"], "left_semi"
+            )
+    elif mv.key_cols:
         src = mv.select.from_[0]
-        ref = src.alias or src.name
-        scope = Scope({ref: base}, includes=engine.includes)
-        probe = base
-        conds = []
-        for k, name in zip(mv.key_nodes, mv.key_cols):
-            probe = probe.withColumn(f"__mv_k_{name}", to_column(k, scope))
-            conds.append(F.col(f"__mv_k_{name}").eqNullSafe(F.col(f"__sk.{name}")))
-        from functools import reduce
-
-        probe = probe.join(
-            F.broadcast(stale_keys.alias("__sk")),
-            on=reduce(lambda a, b: a & b, conds),
-            how="left_semi",
-        ).drop(*[f"__mv_k_{n}" for n in mv.key_cols])
-        base = probe
-    fresh = state_frame(engine, mv, base, F.lit(1)).drop(NEG_FLAG)
+        base = _semi_by_keys(engine, base, src.alias or src.name, mv, stale_keys)
+    fresh = state_frame(
+        engine, mv, base, F.lit(1), dim_df=dim_df, weight_mode="one"
+    ).drop(NEG_FLAG)
     if not mv.key_cols:
         return fresh  # global aggregate: the one group IS the recompute
     return clean.unionByName(fresh)

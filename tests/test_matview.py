@@ -32,7 +32,11 @@ MV_SQL = (
 
 
 def _rows(eng, sql):
-    return sorted(tuple(r) for r in eng.sql(sql).collect())
+    # None-safe sort (FULL-join views expose NULL group keys)
+    return sorted(
+        (tuple(r) for r in eng.sql(sql).collect()),
+        key=lambda t: tuple((v is None, str(type(v)), v) for v in t),
+    )
 
 
 class TestIncrementalRefresh:
@@ -1082,6 +1086,37 @@ class TestJoinMatViews:
             assert rep["mode"] == "incremental", stmt
             assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q), stmt
 
+    def test_extrema_with_dim_side_keys(self, spark, tmp_path):
+        # the repair probe runs on the DIM side when the group keys live
+        # there: INNER prunes dim rows and re-joins; RIGHT additionally
+        # carries the null-extended dim rows (min over an empty match
+        # set = NULL) — fact deletes that remove a reigning extremum
+        # repair through the dim probe in both shapes
+        eng, fact, dim = self._mk(spark, tmp_path, "xd")
+        qi = (
+            "SELECT d.dname AS g, min(f.x) AS lo, max(f.x) AS hi, count(*) AS n "
+            "FROM f JOIN d ON f.dk = d.dk GROUP BY d.dname"
+        )
+        qr = qi.replace("JOIN d", "RIGHT JOIN d", 1).replace("RIGHT RIGHT", "RIGHT")
+        eng.execute(f"CREATE MATERIALIZED VIEW mvi AS {qi}")
+        eng.execute(f"CREATE MATERIALIZED VIEW mvr AS {qr}")
+        assert eng.mat_views["mvi"].incremental
+        assert eng.mat_views["mvi"].extrema_side == "dim"
+        assert eng.mat_views["mvr"].incremental
+        assert eng.mat_views["mvr"].extrema_side == "dim"
+        for stmt in (
+            "DELETE FROM f WHERE id = 56",  # removes a max candidate
+            "INSERT INTO f (id, dk, x) VALUES (950, 2, -8.0)",  # new min
+            "DELETE FROM f WHERE dk = 1",  # RIGHT: group flips to null-ext
+            "UPDATE d SET dname = 'renamed' WHERE dk = 3",  # dim moves too
+            "INSERT INTO d (dk, dname) VALUES (12, 'lonely')",
+        ):
+            eng.execute(stmt)
+            for v, q in (("mvi", qi), ("mvr", qr)):
+                rep = eng.sql(f"REFRESH MATERIALIZED VIEW {v}").collect()[0]
+                assert rep["mode"] == "incremental", (v, stmt)
+                assert _rows(eng, f"SELECT * FROM {v}") == _rows(eng, q), (v, stmt)
+
     def test_distinct_on_dim_preserved_and_self_joins(self, spark, tmp_path):
         # DISTINCT substates are pure signed counting — they fold through
         # the same terms as the main state on RIGHT joins and self-joins
@@ -1114,15 +1149,16 @@ class TestJoinMatViews:
     def test_ineligible_join_shapes_stay_full(self, spark, tmp_path):
         eng, fact, dim = self._mk(spark, tmp_path, "e")
         for q in (
-            # extrema + join with a DIM-SIDE group key (the repair probe
-            # runs on the fact frame alone, so dim keys force full)
-            "SELECT d.dname AS g, min(f.x) AS lo FROM f JOIN d ON f.dk = d.dk GROUP BY d.dname",
+            # FULL join + extrema: the fact-origin null-extension group
+            # has no probe-able row on either single side
+            "SELECT d.dname AS g, min(f.x) AS lo FROM f FULL OUTER JOIN d ON f.dk = d.dk GROUP BY d.dname",
+            # LEFT join + DIM-SIDE keys: null-extended fact rows form a
+            # NULL group no dim-side probe can name
+            "SELECT d.dname AS g, min(f.x) AS lo FROM f LEFT JOIN d ON f.dk = d.dk GROUP BY d.dname",
             # INNER self-joins are incremental since r12; OUTER ones and
             # self-join extrema are not (null terms / repair entangle)
             "SELECT f.dk AS k, count(*) AS n FROM f LEFT JOIN f g ON f.id = g.id GROUP BY f.dk",
             "SELECT f.dk AS k, min(g.x) AS lo FROM f JOIN f g ON f.dk = g.dk GROUP BY f.dk",
-            # RIGHT join + extrema: repair assumes fact-preserved semantics
-            "SELECT d.dname AS g, min(f.x) AS lo FROM f RIGHT JOIN d ON f.dk = d.dk GROUP BY d.dname",
             # RIGHT join with a compound ON: flip set unknowable per key
             "SELECT d.dname AS g, count(*) AS n FROM f RIGHT JOIN d ON f.dk = d.dk AND f.x > 5 GROUP BY d.dname",
         ):
