@@ -4438,6 +4438,11 @@ class Engine:
                         # the F_old ⋈ ΔD / match-count terms need the
                         # fact's OLD snapshot; vacuumed → full recompute
                         changes = None
+                    elif dsink is not None and mv.dim_version not in dsink.versions():
+                        # the null-flip / match-count terms (T4/T5) scan the
+                        # dim's OLD snapshot; recordings can outlive a
+                        # vacuumed version, so guard symmetrically
+                        changes = None
             except ExecError:
                 changes = None  # vacuumed gap / stale checkpoint → full recompute
             if changes is not None:

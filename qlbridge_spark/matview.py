@@ -99,11 +99,22 @@ from .nodes import (
 from .rel import Column, FromSource, SqlSelect
 
 _INCREMENTAL_AGGS = {"sum", "count", "avg"}
-#: the variance family is ALGEBRAIC: (Σwx, Σwx², non-null count) folds
-#: under signed deltas and exposes var = (Σx² − (Σx)²/n)/denominator.
-#: Values may differ from Spark's central-moments accumulation in the
-#: last ulps (the two summation orders round differently) — same class
-#: of drift as any re-aggregation.
+#: the variance family is ALGEBRAIC — but raw power sums (Σwx, Σwx²)
+#: suffer catastrophic cancellation for large-magnitude low-variance
+#: columns (epoch-millis: x² ≈ 3e24, ulp ≈ 3e8, so q − s²/n can lose
+#: EVERY significant digit and the ≥0 clamp would silently report 0).
+#: The state therefore stores CENTERED moments around a per-group shift
+#: z (the group's min, captured when the group is first built):
+#: s = Σw(x−z), q = Σw(x−z)². Deltas center around their own shift and
+#: merge_state re-centers to the common min before folding
+#: (Σw(x−Z) = s + (z−Z)·c; Σw(x−Z)² = q + 2(z−Z)s + (z−Z)²c) — exact
+#: algebra, and |x−z| is bounded by the group's data RANGE, so the
+#: exposed var = (q − s²/n)/denominator is well-conditioned whenever
+#: the range is within ~8 orders of magnitude of σ. A NULL shift means
+#: raw sums (shift 0) — the legacy state encoding folds unchanged.
+#: Residual drift vs Spark's central-moments accumulation stays in the
+#: last ulps (different summation order), same class as any
+#: re-aggregation.
 _VARIANCE_AGGS = {
     "stddev",
     "stddev_samp",
@@ -140,6 +151,11 @@ class AggSpec:
     m_col: str | None = None  # internal extremum state column (min/max)
     d_idx: int | None = None  # index into MatView.substates (DISTINCT aggs)
     q_col: str | None = None  # internal sum-of-squares state (variance family)
+    #: per-group centering shift (variance family): the group's observed
+    #: min, captured when the group's state is first built. s/q store
+    #: CENTERED moments Σw(x−z) / Σw(x−z)² — see _VARIANCE_AGGS note.
+    #: NULL shift ⇒ raw (shift 0), which is also the legacy encoding.
+    z_col: str | None = None
 
 
 @dataclass
@@ -198,6 +214,10 @@ class MatView:
     @property
     def has_distinct(self) -> bool:
         return bool(self.aggs) and any(a.kind in _DISTINCT_AGGS for a in self.aggs)
+
+    @property
+    def has_variance(self) -> bool:
+        return bool(self.aggs) and any(a.kind in _VARIANCE_AGGS for a in self.aggs)
 
 
 def _row_local(node: Node) -> bool:
@@ -354,9 +374,10 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
         # F = D: Δ(F⋈F) = ΔF⋈F_new ∪ F_old⋈ΔF — both refresh terms read
         # the one table's delta/snapshots (the dim side resolves by
         # table NAME, the fact side by the reserved temp frame, so the
-        # pin/substitute machinery works unchanged). Extrema/DISTINCT
-        # are excluded below — their repair/substates assume an
-        # independent dim.
+        # pin/substitute machinery works unchanged). Only EXTREMA are
+        # excluded below — their repair probe assumes an independent
+        # dim; DISTINCT substates DO maintain on self-joins (pinned by
+        # test_distinct_on_dim_preserved_and_self_joins).
         dim_sink = engine.sinks.get(dn)
         if dim_sink is None or not hasattr(dim_sink, "versions") or dn in engine.tables:
             return None  # drift-undetectable dim → full recompute
@@ -583,7 +604,9 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
         elif a.kind == "count":
             a.c_col = f"__mv_c{i}"
         elif a.kind in _VARIANCE_AGGS:
-            a.s_col, a.c_col, a.q_col = f"__mv_s{i}", f"__mv_c{i}", f"__mv_q{i}"
+            a.s_col, a.c_col, a.q_col, a.z_col = (
+                f"__mv_s{i}", f"__mv_c{i}", f"__mv_q{i}", f"__mv_z{i}",
+            )
         elif a.kind in _EXTREMUM_AGGS:
             a.m_col = f"__mv_m{i}"
         elif a.kind in _DISTINCT_AGGS:
@@ -653,30 +676,17 @@ def _state_select(
     ]
     cols.append(Column(expr=FuncNode(name="sum", args=[weight]), alias="__mv_n"))
     for a in mv.aggs:
-        if a.s_col:
+        if a.s_col and not a.z_col:
             cols.append(
                 Column(
                     expr=FuncNode(name="sum", args=[BinaryNode(op="*", left=weight, right=a.arg)]),
                     alias=a.s_col,
                 )
             )
-        if a.q_col:
-            # variance family: Σ weight·x² rides alongside Σ weight·x
-            cols.append(
-                Column(
-                    expr=FuncNode(
-                        name="sum",
-                        args=[
-                            BinaryNode(
-                                op="*",
-                                left=weight,
-                                right=BinaryNode(op="*", left=a.arg, right=a.arg),
-                            )
-                        ],
-                    ),
-                    alias=a.q_col,
-                )
-            )
+        # variance family (z_col set): s/q are NOT computed here — raw
+        # power sums cancel catastrophically at large magnitudes. The
+        # centered (s, q, z) columns are grafted on by the second
+        # row-level pass in state_frame (see _variance_overlay).
         if a.c_col:
             cols.append(Column(expr=FuncNode(name="sum", args=[nn_count(a.arg)]), alias=a.c_col))
         if a.m_col:
@@ -782,6 +792,81 @@ def _weight_node(dim_weighted: bool, weight_mode: str | None) -> Node:
     return _W
 
 
+def _variance_row_select(
+    mv: MatView,
+    tmp_table: str,
+    src_ref: str | None,
+    weight: Node,
+    join_override: str | None,
+) -> SqlSelect:
+    """Row-level (no GROUP BY) companion to :func:`_state_select` for
+    the variance family: projects the group keys, the effective weight,
+    and each variance agg's argument through the SAME FROM/WHERE/join,
+    so the centered second pass sees exactly the rows the aggregated
+    pass aggregates."""
+    import dataclasses
+
+    cols = [
+        Column(expr=k, alias=name) for k, name in zip(mv.key_nodes, mv.key_cols)
+    ]
+    cols.append(Column(expr=weight, alias="__mv_vw"))
+    for a in mv.aggs:
+        if a.z_col:
+            cols.append(Column(expr=a.arg, alias=f"__mv_vx_{a.z_col}"))
+    from_list = [FromSource(name=tmp_table, alias=src_ref)]
+    if len(mv.select.from_) > 1:
+        d = mv.select.from_[1]
+        if join_override is not None and d.join_type != join_override:
+            d = dataclasses.replace(d, join_type=join_override)
+        from_list.append(d)
+    return SqlSelect(columns=cols, from_=from_list, where=mv.select.where)
+
+
+def _apply_variance_overlay(engine, mv: MatView, out: DataFrame, rowsel: SqlSelect) -> DataFrame:
+    """Graft centered variance state (s = Σw(x−z), q = Σw(x−z)², z =
+    the group's min x) onto the aggregated state frame ``out``. The
+    shift is subtracted BEFORE squaring — the whole point: x² at
+    epoch-millis magnitude has ulp ≈ 3e8, so raw power sums cannot be
+    repaired after the fact. One window + one hash agg over the same
+    keys (Catalyst reuses the partitioning), only paid by variance
+    views, only over the delta."""
+    from functools import reduce
+
+    from pyspark.sql.window import Window
+
+    rows = engine._select_any(rowsel)
+    vaggs = [a for a in mv.aggs if a.z_col]
+    keys = [F.col(k) for k in mv.key_cols]
+    win = Window.partitionBy(*keys) if mv.key_cols else Window.partitionBy(F.lit(1))
+    aggexprs = []
+    for a in vaggs:
+        x = F.col(f"__mv_vx_{a.z_col}")
+        z = F.min(x).over(win)
+        d = (x - z).cast("double")
+        w_ = F.col("__mv_vw").cast("double")
+        rows = rows.withColumn(f"__mv_ts_{a.z_col}", w_ * d).withColumn(
+            f"__mv_tq_{a.z_col}", w_ * d * d
+        )
+        aggexprs += [
+            F.sum(f"__mv_ts_{a.z_col}").alias(a.s_col),
+            F.sum(f"__mv_tq_{a.z_col}").alias(a.q_col),
+            F.min(x).cast("double").alias(a.z_col),
+        ]
+    vf = rows.groupBy(*keys).agg(*aggexprs) if mv.key_cols else rows.groupBy().agg(*aggexprs)
+    if not mv.key_cols:
+        return out.crossJoin(vf)
+    renamed = vf.select(
+        *[F.col(k).alias(f"__mvv_{k}") for k in mv.key_cols],
+        *[F.col(c) for a in vaggs for c in (a.s_col, a.q_col, a.z_col)],
+    )
+    cond = reduce(
+        lambda acc, k: acc & F.col(k).eqNullSafe(F.col(f"__mvv_{k}")),
+        mv.key_cols[1:],
+        F.col(mv.key_cols[0]).eqNullSafe(F.col(f"__mvv_{mv.key_cols[0]}")),
+    )
+    return out.join(renamed, cond, "left").drop(*[f"__mvv_{k}" for k in mv.key_cols])
+
+
 def state_frame(
     engine,
     mv: MatView,
@@ -820,7 +905,17 @@ def state_frame(
         saved = engine.tables.get(mv.dim, _UNSET)
         engine.tables[mv.dim] = dim_df
     try:
-        return engine._select_any(stmt)
+        out = engine._select_any(stmt)
+        if any(a.z_col for a in (mv.aggs or [])):
+            out = _apply_variance_overlay(
+                engine,
+                mv,
+                out,
+                _variance_row_select(
+                    mv, tmp, src.alias or src.name, w_node, join_override
+                ),
+            )
+        return out
     finally:
         engine.tables.pop(tmp, None)
         if dim_df is not None:
@@ -943,7 +1038,48 @@ def merge_state(mv: MatView, internal: DataFrame, delta: DataFrame) -> DataFrame
     if mv.has_extrema:
         internal = internal.withColumn(NEG_FLAG, F.lit(0))
         folds.append(F.max(NEG_FLAG).alias(NEG_FLAG))
-    merged = internal.unionByName(delta).groupBy(*[F.col(k) for k in mv.key_cols]).agg(*folds)
+    vaggs = [a for a in mv.aggs if a.z_col]
+    for a in vaggs:
+        # a state persisted before the centered encoding lacks z — a
+        # NULL shift reads as raw sums (shift 0), which is exact
+        if a.z_col not in internal.columns:
+            internal = internal.withColumn(a.z_col, F.lit(None).cast("double"))
+        if a.z_col not in delta.columns:
+            delta = delta.withColumn(a.z_col, F.lit(None).cast("double"))
+        folds.append(F.min(a.z_col).alias(a.z_col))
+    u = internal.unionByName(delta)
+    if vaggs:
+        # re-center every contribution to the group's common shift
+        # Z = min over contributing shifts BEFORE the additive fold:
+        # Σw(x−Z) = s + (z−Z)·c, Σw(x−Z)² = q + 2(z−Z)·s + (z−Z)²·c —
+        # exact algebra (c is the signed non-null count, so net-zero
+        # groups re-center correctly too). Window + groupBy share the
+        # key partitioning: one shuffle. A row "has data" iff s is
+        # non-null (all-NULL-arg groups contribute nothing).
+        from pyspark.sql.window import Window
+
+        win = (
+            Window.partitionBy(*[F.col(k) for k in mv.key_cols])
+            if mv.key_cols
+            else Window.partitionBy(F.lit(1))
+        )
+        for a in vaggs:
+            data = F.col(a.s_col).isNotNull()
+            zeff = F.coalesce(F.col(a.z_col), F.lit(0.0))
+            big_z = F.min(F.when(data, zeff)).over(win)
+            d = zeff - big_z
+            c_ = F.coalesce(F.col(a.c_col), F.lit(0)).cast("double")
+            s_ = F.col(a.s_col)
+            q_ = F.col(a.q_col)
+            u = (
+                u.withColumn("__mv_tq", q_ + 2.0 * d * s_ + d * d * c_)
+                .withColumn("__mv_ts", s_ + d * c_)
+                .withColumn(a.s_col, F.when(data, F.col("__mv_ts")))
+                .withColumn(a.q_col, F.when(data, F.col("__mv_tq")))
+                .withColumn(a.z_col, F.when(data, big_z))
+                .drop("__mv_ts", "__mv_tq")
+            )
+    merged = u.groupBy(*[F.col(k) for k in mv.key_cols]).agg(*folds)
     if mv.key_cols:
         merged = merged.filter(F.col("__mv_n") > 0)
     else:
@@ -1074,7 +1210,8 @@ def exposed_frame(mv: MatView) -> DataFrame:
             distinct_aggs.append(a)
             continue  # joined in from the substate below
         elif a.kind in _VARIANCE_AGGS:
-            # algebraic: m2 = Σx² − (Σx)²/n, clamped ≥ 0 against ulp
+            # algebraic over CENTERED moments (shift-invariant):
+            # m2 = Σ(x−z)² − (Σ(x−z))²/n, clamped ≥ 0 against ulp
             # drift; sample variants need n ≥ 2, population n ≥ 1
             n_ = F.col(a.c_col).cast("double")
             s_ = F.col(a.s_col).cast("double")

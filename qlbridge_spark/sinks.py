@@ -1158,6 +1158,23 @@ class ParquetMergeSink:
         from pyspark.sql import functions as F
 
         k = key or self.key
+        # ANSI MERGE cardinality rule: a source batch with duplicate
+        # (non-null) keys is rejected — otherwise the inner join in
+        # _changes would emit cross-product pre/post pairs AND the table
+        # would gain duplicate key rows, breaking the keyed contract the
+        # change feed folds under. One bounded agg job over the batch;
+        # NULL keys never match a merge join, so duplicates there are
+        # plain multi-row inserts and stay allowed.
+        card = new.agg(
+            F.count(F.col(k)).alias("__n"),
+            F.countDistinct(F.col(k)).alias("__d"),
+        ).first()
+        if card["__n"] != card["__d"]:
+            raise SinkCapabilityError(
+                f"MERGE source batch has duplicate values in key column {k!r} "
+                f"({card['__n']} non-null rows, {card['__d']} distinct keys); "
+                "deduplicate the batch (e.g. keep the newest row per key) first"
+            )
 
         def _changes(old_scope: DataFrame, aligned: DataFrame):
             """insert / changed-only update pre+post rows for upserting
