@@ -1,13 +1,28 @@
-"""Matview shape fuzzer: random view shapes drawn from the ENTIRE
-supported vocabulary × random mutation interleavings, every refresh
-asserted `incremental` and equal (approximately, for variance columns)
-to recomputing the query — the single test that sweeps the cross
-products the per-feature differentials can't enumerate (DISTINCT ×
-HAVING × top-k × join type × extrema side × dim churn...).
+"""Matview shape fuzzer over the FULL supported vocabulary × random
+mutation interleavings — the single test that sweeps the cross products
+the per-feature differentials can't enumerate (DISTINCT × HAVING ×
+top-k × join type × key side × extrema side × durable state × WHERE ×
+dim churn).
 
-Seeded and deterministic; shapes that analyze() rejects are asserted to
-STILL work via full recompute (eligibility can shrink silently
-otherwise)."""
+Every seed walks a stratified worklist that guarantees each ELIGIBILITY
+CLASS appears at least once (asserted against a census, printed per
+seed), while the concrete aggs/extras/mutations stay seed-random:
+
+- key side: fact (`f.dk`), dim (`d.dname`), compound (both)
+- join: none / INNER / LEFT / RIGHT / FULL OUTER / INNER self-join
+- extrema probe sides: fact (INNER/LEFT + fact keys), dim
+  (INNER/RIGHT + dim keys)
+- expected-FULL fallbacks, asserted to (a) analyze as non-incremental
+  AND (b) still compute correctly: FULL+extrema, LEFT+dim-key extrema,
+  RIGHT/FULL+fact-key extrema, compound-key extrema, self-join extrema
+  — eligibility regressions in EITHER direction are the failure mode
+- extras rotated across slots per seed: HAVING, top-k, durable
+  `WITH {"path"}` state, alternate WHERE predicates, DISTINCT aggs,
+  variance aggs
+- RIGHT/FULL slots get forced dim churn (the six-term matrix);
+  every joined slot sees at least one dim mutation
+
+Seeded and deterministic."""
 
 import random
 
@@ -37,60 +52,131 @@ def _approx_eq(got, want):
     return True
 
 
-AGGS = [
-    "count(*) AS n",
-    "sum(f.x) AS s",
-    "avg(f.x) AS a",
-    "count(f.x) AS cx",
-    "min(f.x) AS lo",
-    "max(f.x) AS hi",
-    "count(DISTINCT f.x) AS dx",
-    "sum(DISTINCT f.x) AS sx",
-    "stddev(f.x) AS sd",
-    "var_pop(f.x) AS vp",
+#: one entry per eligibility class the census must cover (per seed)
+REQUIRED = {
+    "key_fact", "key_dim", "key_compound",
+    "join_none", "join_inner", "join_left", "join_right", "join_full",
+    "join_self",
+    "agg_distinct", "agg_variance", "agg_extrema",
+    "extrema_fact_probe", "extrema_dim_probe",
+    "fallback_full_extrema", "fallback_left_dimkey_extrema",
+    "fallback_rightfull_factkey_extrema", "fallback_compoundkey_extrema",
+    "fallback_self_extrema",
+    "having", "topk", "durable_state", "where_alt",
+    "dim_churn", "dim_churn_right_full",
+}
+
+#: (join, key, extrema?, eligible?) — the stratified slots every seed
+#: walks; `extras` rotate over them per seed. `rounds` trims the
+#: expected-FULL fallbacks to one mutate+refresh window (they only pin
+#: eligibility + correctness, not fold algebra).
+SLOTS = [
+    dict(join=None, key="fact", extrema=False, eligible=True, rounds=2),
+    dict(join="INNER", key="compound", extrema=False, eligible=True, rounds=2),
+    dict(join="LEFT", key="fact", extrema=True, eligible=True, rounds=2),
+    dict(join="RIGHT", key="dim", extrema=True, eligible=True, rounds=2),
+    dict(join="FULL OUTER", key=None, extrema=False, eligible=True, rounds=2),
+    dict(join="SELF", key="fact", extrema=False, eligible=True, rounds=2),
+    dict(join="FULL OUTER", key="fact", extrema=True, eligible=False, rounds=1),
+    dict(join="LEFT", key="dim", extrema=True, eligible=False, rounds=1),
+    dict(join="RIGHT", key="fact", extrema=True, eligible=False, rounds=1),
+    dict(join="INNER", key="compound", extrema=True, eligible=False, rounds=1),
+    dict(join="SELF", key="fact", extrema=True, eligible=False, rounds=1),
 ]
-#: shapes whose repair/substates constrain join choice
-EXTREMA = {"min(f.x) AS lo", "max(f.x) AS hi"}
 
-JOINS = [None, "INNER", "LEFT", "RIGHT", "FULL OUTER"]
-HAVINGS = [None, "HAVING n > 1", "HAVING count(*) > 1 AND sum(f.x) > 5"]
-ORDERS = [None, "ORDER BY k NULLS LAST", "ORDER BY n DESC, k NULLS LAST LIMIT 4"]
+EXTRAS = ["having", "topk", "durable", "where_alt", "distinct", "variance"]
 
 
-def _mk_shape(rng):
-    join = rng.choice(JOINS)
-    n_aggs = rng.randint(1, 3)
-    aggs = rng.sample(AGGS, n_aggs)
-    if join in ("RIGHT", "FULL OUTER") and any(a in EXTREMA for a in aggs):
-        # fact-side keys + dim-preserved extrema → ineligible; keep the
-        # fuzzer on the incremental path (full-recompute is covered by
-        # the odd shapes the generator still produces via HAVING combos)
-        aggs = [a for a in aggs if a not in EXTREMA] or ["count(*) AS n"]
-    having = rng.choice(HAVINGS)
-    order = rng.choice(ORDERS)
-    needs_n = (having and "n > 1" in having) or (order and "n DESC" in order)
-    if needs_n and "count(*) AS n" not in aggs:
-        aggs[0] = "count(*) AS n"
-    key = "f.dk AS k"
-    sel = f"SELECT {key}, {', '.join(aggs)} FROM f"
-    if join:
-        sel += f" {join} JOIN d ON f.dk = d.dk" if join != "INNER" else " JOIN d ON f.dk = d.dk"
-    sel += " WHERE f.id > 1 GROUP BY f.dk"
-    if having:
-        sel += f" {having}"
-    if order:
-        sel += f" {order}"
-    return sel, join
+def _mk_sql(rng, slot, extra, state_path):
+    join, key = slot["join"], slot["key"]
+    if key is None:
+        key = rng.choice(["fact", "dim", "compound"])
+    self_join = join == "SELF"
+    keys = {
+        "fact": [("f.dk", "k")],
+        "dim": [("d.dname", "g")],
+        "compound": [("f.dk", "k"), ("d.dname", "g")],
+    }[key]
+    classes = {f"key_{key}"}
+    classes.add(
+        "join_none" if join is None
+        else "join_self" if self_join
+        else f"join_{join.split()[0].lower()}"
+    )
+
+    aggs = ["count(*) AS n"]
+    plain = ["sum(f.x) AS s", "avg(f.x) AS a", "count(f.x) AS cx"]
+    if self_join:
+        plain.append("sum(g.x) AS gs")
+    elif join is not None:
+        plain.append("count(d.dname) AS cd")
+    aggs += rng.sample(plain, rng.randint(1, 2))
+    if slot["extrema"]:
+        classes.add("agg_extrema")
+        pool = ["min(f.x) AS lo", "max(f.x) AS hi"]
+        if join is not None and not self_join and rng.random() < 0.5:
+            pool.append("min(d.dname) AS dlo")
+        aggs.append(rng.choice(pool))
+    if extra == "distinct":
+        classes.add("agg_distinct")
+        aggs.append(
+            "count(DISTINCT g.x) AS dx" if self_join
+            else rng.choice(["count(DISTINCT f.x) AS dx", "sum(DISTINCT f.x) AS sx"])
+        )
+    elif extra == "variance":
+        classes.add("agg_variance")
+        aggs.append(rng.choice(["stddev(f.x) AS sd", "var_pop(f.x) AS vp"]))
+
+    where = "f.id > 1"
+    if extra == "where_alt":
+        classes.add("where_alt")
+        where = rng.choice(["f.x IS NOT NULL", "f.id > 1 AND f.dk < 6"])
+
+    sel = f"SELECT {', '.join(f'{e} AS {a}' for e, a in keys)}, {', '.join(aggs)} FROM f"
+    if self_join:
+        sel += " JOIN f g ON f.dk = g.dk"
+    elif join == "INNER":
+        sel += " JOIN d ON f.dk = d.dk"
+    elif join is not None:
+        sel += f" {join} JOIN d ON f.dk = d.dk"
+    sel += f" WHERE {where} GROUP BY {', '.join(e for e, _ in keys)}"
+    if extra == "having":
+        classes.add("having")
+        sel += " HAVING n > 1"
+    elif extra == "topk":
+        classes.add("topk")
+        sel += f" ORDER BY n DESC, {keys[0][1]} NULLS LAST LIMIT 4"
+    if extra == "durable":
+        classes.add("durable_state")
+        sel += f' WITH {{"path": "{state_path}"}}'
+
+    # classify expected-FULL fallbacks (eligibility pins)
+    if slot["extrema"] and not slot["eligible"]:
+        if self_join:
+            classes.add("fallback_self_extrema")
+        elif join == "FULL OUTER":
+            classes.add("fallback_full_extrema")
+        elif join == "LEFT" and key == "dim":
+            classes.add("fallback_left_dimkey_extrema")
+        elif join in ("RIGHT", "FULL OUTER") and key == "fact":
+            classes.add("fallback_rightfull_factkey_extrema")
+        elif key == "compound":
+            classes.add("fallback_compoundkey_extrema")
+    if slot["extrema"] and slot["eligible"] and join in (None, "INNER", "LEFT") and key == "fact":
+        classes.add("extrema_fact_probe")
+    if slot["extrema"] and slot["eligible"] and join in ("INNER", "RIGHT") and key == "dim":
+        classes.add("extrema_dim_probe")
+    return sel, join, classes
 
 
-@pytest.mark.parametrize("seed", [20260822, 20260823])
+@pytest.mark.parametrize("seed", [20260824, 20260825, 20260826, 20260827])
 def test_matview_shape_fuzz(spark, tmp_path, seed):
     rng = random.Random(seed)
     eng = Engine(spark, f"mvfz-{seed}")
     fact = ParquetMergeSink(spark, str(tmp_path / "fz_f"), key="id")
     fact.ensure(
         spark.createDataFrame(
-            [(i, i % 5, float(i % 9) if i % 11 else None) for i in range(80)],
+            [(i, i % 5, float(i % 9) if i % 11 else None) for i in range(60)],
             "id long, dk int, x double",
         )
     )
@@ -101,18 +187,31 @@ def test_matview_shape_fuzz(spark, tmp_path, seed):
     eng.register_sink("f", fact)
     eng.register_sink("d", dim)
 
-    next_id, next_dk = 80, 6
-    for shape_i in range(4):
-        q, join = _mk_shape(rng)
+    extras = EXTRAS + [None] * (len(SLOTS) - len(EXTRAS))
+    rng.shuffle(extras)
+    slots = list(SLOTS)
+    rng.shuffle(slots)
+
+    census = {}
+    next_id, next_dk = 60, 6
+    for slot_i, (slot, extra) in enumerate(zip(slots, extras)):
+        q, join, classes = _mk_sql(rng, slot, extra, tmp_path / f"state{slot_i}")
         eng.execute(f"CREATE OR REPLACE MATERIALIZED VIEW mv AS {q}")
         mv = eng.mat_views["mv"]
-        # the whole generated vocabulary must be incremental — a shape
-        # silently falling to full recompute is an eligibility regression
-        assert mv.incremental, q
+        # eligibility must match the slot's expectation IN BOTH
+        # DIRECTIONS: silently falling to full recompute hides a lost
+        # capability; silently becoming "incremental" on an unsupported
+        # shape would corrupt results
+        assert mv.incremental == slot["eligible"], q
         assert _approx_eq(_rows(eng, "SELECT * FROM mv"), _rows(eng, q)), q
-        for round_ in range(2):
-            for _ in range(rng.randint(1, 3)):
-                op = rng.choice(["ins", "upd", "del", "dins", "dupd", "ddel"])
+
+        dim_churned = False
+        for round_ in range(slot["rounds"]):
+            ops = ["ins", "upd", "del"]
+            if join is not None and join != "SELF":
+                ops += ["dins", "dupd", "ddel"]
+            for _ in range(rng.randint(1, 2)):
+                op = rng.choice(ops)
                 if op == "ins":
                     x = rng.choice([str(float(rng.randint(0, 9))), "NULL"])
                     eng.execute(
@@ -127,20 +226,47 @@ def test_matview_shape_fuzz(spark, tmp_path, seed):
                     )
                 elif op == "del":
                     eng.execute(f"DELETE FROM f WHERE id % {rng.randint(5, 11)} = 1")
-                elif op == "dins" and join:
+                elif op == "dins":
                     eng.execute(
                         f"INSERT INTO d (dk, dname) VALUES ({next_dk}, 'n{next_dk}')"
                     )
                     next_dk += 1
-                elif op == "dupd" and join:
+                    dim_churned = True
+                elif op == "dupd":
                     eng.execute(
                         f"UPDATE d SET dname = 'r{rng.randint(0, 99)}' "
                         f"WHERE dk = {rng.randint(0, next_dk)}"
                     )
-                elif op == "ddel" and join:
+                    dim_churned = True
+                elif op == "ddel":
                     eng.execute(f"DELETE FROM d WHERE dk = {rng.randint(0, next_dk)}")
+                    dim_churned = True
+            if (
+                join is not None
+                and join != "SELF"
+                and not dim_churned
+                and round_ == slot["rounds"] - 1
+            ):
+                # every joined slot must see dim churn at least once
+                eng.execute(
+                    f"UPDATE d SET dname = 'forced{slot_i}' WHERE dk = {rng.randint(0, 3)}"
+                )
+                dim_churned = True
             rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
-            assert rep["mode"] in ("incremental", "noop"), (q, round_)
+            if slot["eligible"]:
+                assert rep["mode"] in ("incremental", "noop"), (q, round_, rep["mode"])
+            else:
+                assert rep["mode"] == "full", (q, round_, rep["mode"])
             got, want = _rows(eng, "SELECT * FROM mv"), _rows(eng, q)
             assert _approx_eq(got, want), (q, round_, got, want)
+        if dim_churned:
+            classes.add("dim_churn")
+            if join in ("RIGHT", "FULL OUTER"):
+                classes.add("dim_churn_right_full")
+        for c in classes:
+            census[c] = census.get(c, 0) + 1
         eng.execute("DROP MATERIALIZED VIEW mv")
+
+    print(f"census[{seed}]:", dict(sorted(census.items())))
+    missing = REQUIRED - set(census)
+    assert not missing, f"eligibility classes never exercised: {sorted(missing)}"
