@@ -4026,6 +4026,7 @@ class Engine:
             else:
                 sink.insert_append(new)
             self._maybe_auto_compact(sink)
+            self._maybe_auto_refresh(ins.table)
             return n
         merged = base.unionByName(new, allowMissingColumns=True)
         if ins.upsert:
@@ -4139,6 +4140,7 @@ class Engine:
                     mask, assignments, conjuncts=self._dml_conjuncts(upd.table, upd.where)
                 )
                 self._maybe_auto_compact(sink)
+                self._maybe_auto_refresh(upd.table)
                 return int(r) if r is not None else df.filter(mask).count()
             n = df.filter(mask).count()
             sink.update_where(mask, assignments)
@@ -4176,6 +4178,7 @@ class Engine:
             if hasattr(sink, "_cow_split"):
                 r = sink.delete_where(mask, conjuncts=self._dml_conjuncts(d.table, d.where))
                 self._maybe_auto_compact(sink)
+                self._maybe_auto_refresh(d.table)
                 return int(r) if r is not None else df.filter(mask).count()
             n = df.filter(mask).count()
             sink.delete_where(mask)
@@ -4364,13 +4367,89 @@ class Engine:
         self.register_df(lname, exposed_frame(mv))
         return None
 
+    _REFRESH_REPORT_SCHEMA = "view string, mode string, from_version long, to_version long"
+
     def _refresh(self, r: SqlRefresh) -> DataFrame:
-        """REFRESH MATERIALIZED VIEW — incremental when possible: fold the
+        """REFRESH [ALL] MATERIALIZED VIEW[S] — incremental when possible;
+        one report row per refreshed view naming the mode that ran. ALL
+        refreshes every registered view through a shared feed cache, so N
+        views over one base plan (and read) that base's backlog ONCE."""
+        if r.all_views:
+            rows = self._refresh_views(list(self.mat_views), full=r.full)
+            return self.spark.createDataFrame(rows, self._REFRESH_REPORT_SCHEMA)
+        return self.spark.createDataFrame(
+            [self._refresh_one(r.view, r.full, None)], self._REFRESH_REPORT_SCHEMA
+        )
+
+    def _refresh_views(self, names: list, full: bool = False) -> list:
+        """Refresh ``names`` in order, planning each base/dim table's
+        change backlog ONCE: the feed cache keys on (table, checkpoint
+        version), and a feed that more than one view will fold is
+        materialized (localCheckpoint) so the second consumer reads the
+        captured delta instead of re-reading the recordings. Returns the
+        report rows."""
+        from collections import Counter
+
+        shared: Counter = Counter()
+        for n in names:
+            mv = self.mat_views.get(n)
+            if mv is not None and mv.incremental and not full:
+                shared[(mv.base, mv.base_version)] += 1
+                if mv.dim:
+                    shared[(mv.dim, mv.dim_version)] += 1
+        cache = {"shared": {k for k, c in shared.items() if c > 1}, "feeds": {}}
+        return [self._refresh_one(n, full, cache) for n in names]
+
+    def _changes_since_cached(self, cache, table: str, after: int):
+        """changes_since through the shared multi-view feed cache (None →
+        direct). Cached per (table, checkpoint); feeds expected by more
+        than one view are materialized once, caught-up (empty) feeds are
+        not worth a checkpoint job."""
+        if cache is None:
+            return self.changes_since(table, after)
+        key = (table, after)
+        hit = cache["feeds"].get(key)
+        if hit is None:
+            changes, cur = self.changes_since(table, after)
+            if key in cache["shared"] and cur != after:
+                changes = changes.localCheckpoint(eager=True)
+            hit = cache["feeds"][key] = (changes, cur)
+        return hit
+
+    def _maybe_auto_refresh(self, table: str) -> None:
+        """ON-COMMIT materialized-view maintenance: after a DML commit on
+        a versioned sink, when ``SET matview.auto_refresh = true``, fold
+        the commit's delta into every registered view whose base OR dim
+        is that table — the per-commit delta is tiny (O(changes)), so the
+        views stay query-consistent with no explicit REFRESH. Views
+        sharing the table plan the backlog once (shared feed cache). The
+        refresh reads a pinned version window, so a concurrent writer
+        committing mid-refresh just leaves a later delta for the next
+        hook invocation."""
+        flag = self.session_vars.get("matview.auto_refresh")
+        if isinstance(flag, str):
+            flag = flag.strip().lower() in ("true", "1", "on", "yes")
+        if not flag or getattr(self, "_auto_refreshing", False):
+            return
+        t = table.lower()
+        names = [
+            n for n, mv in self.mat_views.items() if t in (mv.base, mv.dim)
+        ]
+        if not names:
+            return
+        self._auto_refreshing = True
+        try:
+            self._refresh_views(names)
+        finally:
+            self._auto_refreshing = False
+
+    def _refresh_one(self, view: str, full: bool, cache) -> tuple:
+        """One view's refresh — incremental when possible: fold the
         base sink's commits since the last refresh (changes_since CDF)
         into the stored aggregation state; O(|changes| + |view|), never a
         base rescan. Falls back to full recompute when FULL is forced,
         the view isn't incrementally maintainable, or the change feed has
-        a vacuumed gap. Returns a one-row report naming the mode that
+        a vacuumed gap. Returns the report row naming the mode that
         actually ran."""
         from .matview import (
             exposed_frame,
@@ -4388,10 +4467,10 @@ class Engine:
                 mv, merge_substates(mv, mv.substates, deltas)
             )
 
-        lname = r.view.lower()
+        lname = view.lower()
         mv = self.mat_views.get(lname)
         if mv is None:
-            raise ExecError(f"REFRESH MATERIALIZED VIEW: unknown materialized view {r.view!r}")
+            raise ExecError(f"REFRESH MATERIALIZED VIEW: unknown materialized view {view!r}")
         mode = "full"
         v_from = mv.base_version
         dim_moved = False
@@ -4400,7 +4479,7 @@ class Engine:
             dsink = self.sinks.get(mv.dim)
             if dsink is None:
                 raise ExecError(
-                    f"materialized view {r.view!r}: dim {mv.dim!r} is no longer a registered sink"
+                    f"materialized view {view!r}: dim {mv.dim!r} is no longer a registered sink"
                 )
             dim_moved = max(dsink.versions()) != mv.dim_version
         # a dim commit maintains incrementally for INNER joins (bilinear
@@ -4424,16 +4503,16 @@ class Engine:
             "FULL",
             "FULL OUTER",
         )
-        if mv.incremental and not r.full and dim_incrementable:
+        if mv.incremental and not full and dim_incrementable:
             if self.sinks.get(mv.base) is None:
                 raise ExecError(
-                    f"materialized view {r.view!r}: base {mv.base!r} is no longer a registered sink"
+                    f"materialized view {view!r}: base {mv.base!r} is no longer a registered sink"
                 )
             try:
-                changes, cur = self.changes_since(mv.base, mv.base_version)
+                changes, cur = self._changes_since_cached(cache, mv.base, mv.base_version)
                 dim_changes = d_cur = None
                 if dim_moved or (right_like and cur != mv.base_version):
-                    dim_changes, d_cur = self.changes_since(mv.dim, mv.dim_version)
+                    dim_changes, d_cur = self._changes_since_cached(cache, mv.dim, mv.dim_version)
                     if mv.base_version not in self.sinks[mv.base].versions():
                         # the F_old ⋈ ΔD / match-count terms need the
                         # fact's OLD snapshot; vacuumed → full recompute
@@ -4771,10 +4850,7 @@ class Engine:
                 mv.internal = persist_state(mv, self._select_any(mv.select))
         if mode != "noop":
             self.register_df(lname, exposed_frame(mv))
-        return self.spark.createDataFrame(
-            [(r.view, mode, v_from, mv.base_version)],
-            "view string, mode string, from_version long, to_version long",
-        )
+        return (view, mode, v_from, mv.base_version)
 
     def _command(self, cmd: SqlCommand):
         if cmd.kw == "SET":
@@ -5247,6 +5323,7 @@ class Engine:
                     assert cow is None
                     sink.overwrite(final)
                 self._maybe_auto_compact(sink)
+                self._maybe_auto_refresh(m.target)
             else:
                 # materialize through the cache before it is released: the
                 # registered result must not re-execute the full-outer join

@@ -320,10 +320,16 @@ class SqlRefresh:
     """``REFRESH MATERIALIZED VIEW <name> [FULL]`` — bring a materialized
     view up to date. Incremental (change-feed fold) when the view's
     query supports it and FULL was not forced; the returned report row
-    records which mode actually ran (matview.py)."""
+    records which mode actually ran (matview.py).
+
+    ``REFRESH ALL MATERIALIZED VIEWS [FULL]`` refreshes every registered
+    view, planning each base/dim table's change backlog ONCE and folding
+    all views of that table from the shared delta frame — one report row
+    per view."""
 
     view: str = ""
     full: bool = False
+    all_views: bool = False
 
 
 @dataclass
@@ -460,9 +466,14 @@ class SqlParser(ExprParser):
             return o
         if kw == "REFRESH":
             self.advance()
-            self.expect(IDENT, "MATERIALIZED")
-            self.expect(IDENT, "VIEW")
-            r = SqlRefresh(view=self.expect(IDENT).val)
+            if self.eat_kw("ALL"):
+                self.expect(IDENT, "MATERIALIZED")
+                self.expect(IDENT, "VIEWS")
+                r = SqlRefresh(all_views=True)
+            else:
+                self.expect(IDENT, "MATERIALIZED")
+                self.expect(IDENT, "VIEW")
+                r = SqlRefresh(view=self.expect(IDENT).val)
             if self.eat_kw("FULL"):
                 r.full = True
             return r
