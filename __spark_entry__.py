@@ -345,12 +345,20 @@ _Q = {
     # filter without the subquery wrapper (alias rnk keeps its pre-filter
     # numbering; the engine computes the predicate alongside the
     # projection and Catalyst CSEs the duplicated window spec)
+    # r13: extended with a GROUPED projection window — rank() OVER
+    # (ORDER BY sum(...)) evaluates AFTER the aggregation (ANSI), and
+    # QUALIFY references the window alias; the inner block keeps the
+    # original per-customer row_number + window-alias WHERE coverage
     "q23_window_rank": """
-        SELECT c_mktsegment, c_custkey, round(c_acctbal, 2) AS bal,
-               row_number() OVER (PARTITION BY c_mktsegment
-                                  ORDER BY c_acctbal DESC, c_custkey) AS rnk
-        FROM customer
-        QUALIFY rnk <= 3""",
+        SELECT c_mktsegment, count(*) AS n_top, round(sum(c_acctbal), 2) AS top_bal,
+               rank() OVER (ORDER BY sum(c_acctbal) DESC, c_mktsegment) AS seg_rank
+        FROM (SELECT c_mktsegment, c_custkey, c_acctbal,
+                     row_number() OVER (PARTITION BY c_mktsegment
+                                        ORDER BY c_acctbal DESC, c_custkey) AS rnk
+              FROM customer) t
+        WHERE rnk <= 3
+        GROUP BY c_mktsegment
+        QUALIFY seg_rank <= 5""",
     # lag + moving-frame aggregate over event time per user (telemetry
     # shape); integer-cent domain so the moving sum is exact cross-engine.
     # Named WINDOW specs (w / w3) — same clause the DuckDB oracle uses
@@ -1014,11 +1022,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'any' AS src, nk AS k FROM
               (SELECT c_nationkey AS nk FROM customer UNION SELECT s_nationkey FROM supplier)""",
         "q23_window_rank": """
-            SELECT c_mktsegment, c_custkey, round(c_acctbal, 2) AS bal, rnk
+            SELECT c_mktsegment, count(*) AS n_top, round(sum(c_acctbal), 2) AS top_bal,
+                   rank() OVER (ORDER BY sum(c_acctbal) DESC, c_mktsegment) AS seg_rank
             FROM (SELECT c_mktsegment, c_custkey, c_acctbal,
-                         row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rnk
-                  FROM customer)
-            WHERE rnk <= 3""",
+                         row_number() OVER (PARTITION BY c_mktsegment
+                                            ORDER BY c_acctbal DESC, c_custkey) AS rnk
+                  FROM customer) t
+            WHERE rnk <= 3
+            GROUP BY c_mktsegment
+            QUALIFY seg_rank <= 5""",
         "dp01_exact_dedup": """
             WITH deduped AS (
               SELECT doc_id, lang, n_chars, text FROM (

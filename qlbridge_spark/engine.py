@@ -1984,10 +1984,24 @@ class Engine:
 
         agg_cols: list[SparkColumn] = []
         out_names: list[str] = []
+        hidden: list[SparkColumn] = []
+        #: (output name, post-agg expr) — ANSI: window functions in the
+        #: projection evaluate AFTER grouping and HAVING; their group-agg
+        #: subtrees become hidden agg columns and the window itself runs
+        #: over the aggregated frame (rank() OVER (ORDER BY sum(x)) ranks
+        #: the GROUPS — lowering it inside the aggregation would be
+        #: Spark's "window inside aggregate" error)
+        win_proj: list[tuple[str, Node]] = []
         for c in sel.columns:
             if c.is_star:
                 raise ExecError("SELECT * with GROUP BY not supported")
             name = c.output_name
+            if any(isinstance(n, WindowNode) for n in c.expr.walk()):
+                wnode, wextra = self._rewrite_having(c.expr, scope)
+                hidden.extend(wextra)
+                win_proj.append((name, wnode))
+                out_names.append(name)
+                continue
             if funcs.is_agg_tree(c.expr):
                 col = to_column(c.expr, scope)
                 if c.guard is not None:
@@ -2006,7 +2020,6 @@ class Engine:
         # HAVING may reference aggregates not in the select list — compute
         # them as hidden agg columns (exec/where.go HAVING = post-agg filter)
         having_node = sel.having
-        hidden: list[SparkColumn] = []
         if having_node is not None:
             having_node, extra = self._rewrite_having(having_node, scope)
             hidden.extend(extra)
@@ -2076,6 +2089,15 @@ class Engine:
                 # references via _rewrite_having)
                 agged, having_node = self._lower_having_subqueries(agged, hscope, having_node)
             agged = agged.filter(to_column(having_node, hscope))
+        for wname, wnode in win_proj:
+            # after HAVING (ANSI): projection windows see the surviving
+            # groups; computed in SELECT order so a later window can
+            # reference an earlier window column's alias
+            wscope = Scope({"_": agged}, includes=self.includes, params=self._scope_params())
+            agged_types = {f_.name: f_.dataType for f_ in agged.schema.fields}
+            for qual, out_name in qualified_group_keys:
+                wscope._fields.setdefault(qual, ("_", T.StructField(out_name, agged_types[out_name])))
+            agged = agged.withColumn(wname, to_column(wnode, wscope))
         if qualify_node is not None:
             # after HAVING (ANSI order): windows see the post-HAVING groups.
             # Window exprs can't appear in a Filter directly — project the

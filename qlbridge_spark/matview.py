@@ -95,6 +95,7 @@ from .nodes import (
     Node,
     NullNode,
     NumberNode,
+    WindowNode,
 )
 from .rel import Column, FromSource, SqlSelect
 
@@ -202,6 +203,13 @@ class MatView:
     #: which relation the extrema delete-repair probes by group key:
     #: 'fact' (default) or 'dim' (INNER/RIGHT views with dim-side keys)
     extrema_side: str = "fact"
+    #: projection window columns, evaluated at EXPOSE time over the
+    #: aggregated state (ANSI: windows run after grouping/HAVING) —
+    #: (output name, expr rewritten over exposed/hidden agg columns)
+    win_cols: list = field(default_factory=list)
+    #: QUALIFY predicate (rewritten like `having`), applied at expose
+    #: time AFTER the window columns — the state keeps every group
+    qualify: Node | None = None
 
     @property
     def incremental(self) -> bool:
@@ -255,17 +263,37 @@ def _snapshot_cols(engine, s) -> set[str]:
 
 def _parse_agg(e: Node):
     """``(kind, arg)`` when ``e`` is an aggregate call the signed-delta
-    algebra maintains (the AggSpec vocabulary), else None."""
+    algebra maintains (the AggSpec vocabulary), else None.
+
+    ``agg(x) FILTER (WHERE p)`` folds into the ARG: every agg in the
+    vocabulary ignores NULL inputs, so guarding the argument with
+    ``CASE WHEN p THEN x END`` makes the existing state algebra compute
+    the filtered aggregate exactly — count(*) FILTER becomes a plain
+    count over a guarded 1, DISTINCT substates group the guarded value
+    (non-qualifying rows land on the NULL value, dropped at expose)."""
     if (
         not isinstance(e, FuncNode)
         or e.name not in _INCREMENTAL_AGGS | _EXTREMUM_AGGS | _VARIANCE_AGGS
     ):
         return None
-    if e.filter_where is not None or e.agg_order or e.ignore_nulls or len(e.args) != 1:
+    if e.agg_order or e.ignore_nulls or len(e.args) != 1:
         return None
+    filt = e.filter_where
+    if filt is not None and not _row_local(filt):
+        return None
+
+    def guard(a: Node) -> Node:
+        if filt is None:
+            return a
+        return CaseNode(operand=None, whens=[(filt, a)], default=None)
+
     arg = e.args[0]
     if isinstance(arg, IdentityNode) and arg.is_star:
-        return ("count_star", None) if e.name == "count" else None
+        if e.name != "count":
+            return None
+        if filt is not None:
+            return ("count", guard(NumberNode("1")))
+        return ("count_star", None)
     if isinstance(arg, FuncNode) and arg.name == "distinct":
         # count/sum/avg(DISTINCT x); min/max(DISTINCT x) ≡ min/max(x);
         # variance(DISTINCT x) is NOT maintained (no substate algebra)
@@ -275,11 +303,11 @@ def _parse_agg(e: Node):
         if _contains_distinct(inner) or not _row_local(inner):
             return None
         if e.name in _EXTREMUM_AGGS:
-            return (e.name, inner)
-        return (f"{e.name}_distinct", inner)
+            return (e.name, guard(inner))
+        return (f"{e.name}_distinct", guard(inner))
     if _contains_distinct(arg) or not _row_local(arg):
         return None
-    return (e.name, arg)
+    return (e.name, guard(arg))
 
 
 def _subst(node: Node, pairs: list) -> Node:
@@ -387,7 +415,9 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
         or select.distinct_on
         or select.group_mode
         or select.grouping_sets
-        or select.qualify is not None
+        # QUALIFY and inline OVER(...) windows maintain (expose-time
+        # evaluation, below); a named WINDOW w AS (...) clause stays
+        # full-recompute (the engine resolves refs pre-translate)
         or select.windows
         or select.group_all
         or select.order_all
@@ -416,10 +446,20 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
     key_cols: list[str] = []
     aggs: list[AggSpec] = []
     out_order: list[str] = []
+    raw_win_cols: list = []  # (alias, raw expr) — rewritten after the loop
     for col in select.columns:
         if col.is_star or col.guard is not None or col.exclude or col.replace:
             return None
         e = col.expr
+        if any(isinstance(n, WindowNode) for n in e.walk()):
+            # projection window column: evaluated at EXPOSE time over the
+            # aggregated state (its group-agg subtrees rewrite to
+            # exposed/hidden agg columns below, once all aggs are known)
+            if filter_only or col.alias is None:
+                return None
+            raw_win_cols.append((col.alias, e))
+            out_order.append(col.alias)
+            continue
         if e in keys_remaining or filter_only:
             # a group key (or a filter-only projection column, which the
             # multiset state treats as a key); needs a stable exposed name
@@ -453,12 +493,13 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
 
     hidden_n = [0]
 
-    def _post_agg(node: Node):
+    def _post_agg(node: Node, extra=()):
         """Rewrite a POST-aggregation expression (HAVING predicate, ORDER
         BY key) over the exposed columns: each aggregate call becomes the
         matching exposed column — aggs referenced only here become HIDDEN
         AggSpecs (maintained in state, dropped from the exposed
-        projection). None when not maintainable."""
+        projection). ``extra`` allows additional names (window column
+        aliases for QUALIFY/ORDER BY). None when not maintainable."""
         roots = [
             n
             for n in node.walk()
@@ -480,10 +521,15 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
                 hidden_n[0] += 1
                 aggs.append(match)
             pairs.append((r, IdentityNode((match.out,))))
+        # raw group-key exprs (possibly qualified, e.g. d.dname) rewrite
+        # to their exposed aliases — post-agg frames only carry those
+        pairs += [
+            (k, IdentityNode((name,))) for k, name in zip(key_nodes, key_cols)
+        ]
         out = _subst(node, pairs)
         if not _row_local(out):
             return None
-        exposed = set(key_cols) | {a.out for a in aggs}
+        exposed = set(key_cols) | {a.out for a in aggs} | set(extra)
         for n in out.walk():
             if isinstance(n, IdentityNode):
                 if getattr(n, "is_star", False) or len(n.parts) != 1:
@@ -491,6 +537,106 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
                 if n.parts[0] not in exposed:
                     return None  # unknown name (or un-rewritten agg ref)
         return out
+
+    def _post_any(node: Node, extra=()):
+        """:func:`_post_agg` over trees that may CONTAIN WindowNodes: the
+        window call itself survives to expose time (it runs over the
+        aggregated frame there), while its arguments / PARTITION BY /
+        ORDER BY — and every windowless part of the tree — rewrite via
+        _post_agg. None when not maintainable."""
+        import dataclasses
+
+        if isinstance(node, WindowNode):
+            if node.ref is not None:
+                return None  # named WINDOW spec: engine resolves pre-translate
+            new_args = []
+            for a in node.func.args:
+                ra = _post_any(a, extra)
+                if ra is None:
+                    return None
+                new_args.append(ra)
+            rp = []
+            for p in node.partition_by:
+                r = _post_any(p, extra)
+                if r is None:
+                    return None
+                rp.append(r)
+            ro = []
+            for oe, d in node.order_by:
+                r = _post_any(oe, extra)
+                if r is None:
+                    return None
+                ro.append((r, d))
+            return dataclasses.replace(
+                node,
+                func=dataclasses.replace(node.func, args=new_args),
+                partition_by=rp,
+                order_by=ro,
+            )
+        if not any(isinstance(n, WindowNode) for n in node.walk()):
+            return _post_agg(node, extra)
+        # mixed tree (e.g. rank() OVER (...) + 1): rebuild children,
+        # recursing into the window-bearing parts
+        if not dataclasses.is_dataclass(node):
+            return node
+        kwargs = {}
+        for fld in dataclasses.fields(node):
+            val = getattr(node, fld.name)
+            if isinstance(val, Node):
+                r = _post_any(val, extra)
+                if r is None:
+                    return None
+                kwargs[fld.name] = r
+            elif isinstance(val, list) and val and all(isinstance(v, Node) for v in val):
+                rl = []
+                for v in val:
+                    r = _post_any(v, extra)
+                    if r is None:
+                        return None
+                    rl.append(r)
+                kwargs[fld.name] = rl
+            elif (
+                isinstance(val, list)
+                and val
+                and all(isinstance(v, tuple) and v and isinstance(v[0], Node) for v in val)
+            ):
+                # tuple lists: CASE whens (Node, Node), ORDER BY (Node, str)
+                rl = []
+                for v in val:
+                    parts = []
+                    for x in v:
+                        if isinstance(x, Node):
+                            r = _post_any(x, extra)
+                            if r is None:
+                                return None
+                            parts.append(r)
+                        else:
+                            parts.append(x)
+                    rl.append(tuple(parts))
+                kwargs[fld.name] = rl
+        return dataclasses.replace(node, **kwargs)
+
+    win_cols: list = []
+    if raw_win_cols:
+        win_names: list = []
+        for alias, raw in raw_win_cols:
+            rewritten = _post_any(raw, tuple(win_names))
+            if rewritten is None:
+                return None
+            win_cols.append((alias, rewritten))
+            win_names.append(alias)
+
+    qualify_expr = None
+    if select.qualify is not None:
+        # QUALIFY filters AFTER the window columns (ANSI) — expose-time,
+        # over exposed + hidden aggs + window column aliases
+        if filter_only:
+            return None
+        qualify_expr = _post_any(
+            select.qualify, tuple(n for n, _ in win_cols)
+        )
+        if qualify_expr is None:
+            return None
 
     having_expr = None
     if select.having is not None:
@@ -515,7 +661,7 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
         if (select.limit is not None or select.offset is not None) and not select.order_by:
             return None
         for e, direction in select.order_by:
-            oe = _post_agg(e)
+            oe = _post_any(e, tuple(n for n, _ in win_cols))
             if oe is None:
                 return None
             order_exprs.append((oe, direction))
@@ -628,6 +774,8 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
         limit=select.limit,
         offset=select.offset,
         extrema_side=extrema_side,
+        win_cols=win_cols,
+        qualify=qualify_expr,
     )
 
 
@@ -1254,13 +1402,28 @@ def exposed_frame(mv: MatView) -> DataFrame:
             df = df.crossJoin(cf) if cf.columns else df
         if a.kind == "count_distinct":
             df = df.withColumn(a.out, F.coalesce(F.col(a.out), F.lit(0)))
-    if mv.having is not None or mv.order_exprs:
+    if mv.having is not None or mv.order_exprs or mv.win_cols or mv.qualify is not None:
         from .translate import Scope, to_column
 
         scope = Scope({"__mv_view": df})
         if mv.having is not None:
             # post-aggregation filter over exposed + hidden agg columns
             df = df.filter(to_column(mv.having, scope))
+            scope = Scope({"__mv_view": df})
+        for wname, wnode in mv.win_cols:
+            # ANSI order: projection windows run AFTER HAVING, over the
+            # surviving groups; in SELECT order so a later window can
+            # reference an earlier one's alias
+            df = df.withColumn(wname, to_column(wnode, scope))
+            scope = Scope({"__mv_view": df})
+        if mv.qualify is not None:
+            # QUALIFY filters after the windows; window exprs can't sit
+            # in a Filter directly — project the predicate, then filter
+            df = (
+                df.withColumn("__mv_qual", to_column(mv.qualify, scope).cast("boolean"))
+                .filter(F.col("__mv_qual"))
+                .drop("__mv_qual")
+            )
             scope = Scope({"__mv_view": df})
         if mv.order_exprs:
             # top-k exposure: sort (and LIMIT/OFFSET) over the FULL

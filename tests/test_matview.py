@@ -190,9 +190,9 @@ class TestEligibility:
         "q",
         [
             "SELECT g, median(x) AS m FROM t GROUP BY g",  # non-algebraic agg
-            # DISTINCT-agg views are incremental since r12; a FILTER
-            # clause still forces full recompute
-            "SELECT g, count(DISTINCT x) FILTER (WHERE id > 2) AS d FROM t GROUP BY g",
+            # FILTER (WHERE …) is incremental since r13 (guarded-arg
+            # fold) — but not on an agg outside the vocabulary
+            "SELECT g, median(x) FILTER (WHERE id > 2) AS d FROM t GROUP BY g",
             # HAVING is incremental since r12 — unless it references an
             # agg the algebra can't maintain
             "SELECT g, count(*) AS n FROM t GROUP BY g HAVING median(x) > 0",

@@ -63,6 +63,7 @@ REQUIRED = {
     "fallback_rightfull_factkey_extrema", "fallback_compoundkey_extrema",
     "fallback_self_extrema",
     "having", "topk", "durable_state", "where_alt",
+    "agg_filter", "window_col", "qualify",
     "dim_churn", "dim_churn_right_full",
 }
 
@@ -84,7 +85,10 @@ SLOTS = [
     dict(join="SELF", key="fact", extrema=True, eligible=False, rounds=1),
 ]
 
-EXTRAS = ["having", "topk", "durable", "where_alt", "distinct", "variance"]
+EXTRAS = [
+    "having", "topk", "durable", "where_alt", "distinct", "variance",
+    "filter_agg", "window", "qualify",
+]
 
 
 def _mk_sql(rng, slot, extra, state_path):
@@ -126,6 +130,21 @@ def _mk_sql(rng, slot, extra, state_path):
     elif extra == "variance":
         classes.add("agg_variance")
         aggs.append(rng.choice(["stddev(f.x) AS sd", "var_pop(f.x) AS vp"]))
+    elif extra == "filter_agg":
+        classes.add("agg_filter")
+        aggs.append(
+            rng.choice(
+                [
+                    "sum(f.x) FILTER (WHERE f.x > 3) AS sf",
+                    "count(*) FILTER (WHERE f.x > 3) AS nf",
+                    "count(DISTINCT f.x) FILTER (WHERE f.dk < 4) AS dff",
+                ]
+            )
+        )
+    elif extra == "window":
+        # deterministic: ties broken by the (unique) group key alias
+        classes.add("window_col")
+        aggs.append(f"rank() OVER (ORDER BY n DESC, {keys[0][1]}) AS rw")
 
     where = "f.id > 1"
     if extra == "where_alt":
@@ -146,6 +165,9 @@ def _mk_sql(rng, slot, extra, state_path):
     elif extra == "topk":
         classes.add("topk")
         sel += f" ORDER BY n DESC, {keys[0][1]} NULLS LAST LIMIT 4"
+    elif extra == "qualify":
+        classes.add("qualify")
+        sel += f" QUALIFY rank() OVER (ORDER BY n DESC, {keys[0][1]}) <= 3"
     if extra == "durable":
         classes.add("durable_state")
         sel += f' WITH {{"path": "{state_path}"}}'
