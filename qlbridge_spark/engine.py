@@ -1677,6 +1677,147 @@ class Engine:
         frames[ref] = joined.select(*[F.col(p).alias(nm) for nm, p in out_phys]).alias(ref)
         return joined
 
+    @staticmethod
+    def _source_bytes(df: DataFrame):
+        """On-disk bytes of a file-backed frame (None when unknown) — the
+        plan-time size signal the join reorderer ranks by. Driver-side
+        metadata only; no job runs."""
+        import os
+
+        try:
+            files = df.inputFiles()
+        except Exception:
+            return None
+        if not files:
+            return None
+        total = 0
+        for f in files:
+            p = f
+            if p.startswith("file://"):
+                p = p[7:]
+            elif p.startswith("file:"):
+                p = p[5:]
+            try:
+                total += os.path.getsize(p)
+            except OSError:
+                return None
+        return total
+
+    def _reorder_inner_joins(self, first, joins, sel, resolved):
+        """Star-schema join reorder: hoist SMALL inner-joined relations
+        (dims, by on-disk size) ahead of big fact-fact joins whenever the
+        ON keys are already available — smallest-satisfiable-first greedy.
+
+        Catalyst does not reorder DataFrame inner joins without CBO table
+        stats, so a FROM written fact-first (customer ⋈ orders ⋈ lineitem
+        ⋈ nation ⋈ region WHERE r_name = …) pays the big shuffles BEFORE
+        the selective dim filter trims anything. Hoisting the dim chain
+        (broadcast-sized, filter pushed to its scan) in front shrinks the
+        fact shuffles by the dims' selectivity — at 100 TB that is the
+        difference between shuffling the table and shuffling the slice.
+
+        Inner equi-joins commute, so this is safe exactly when EVERY join
+        in the FROM is a plain INNER with an ON expression; anything else
+        (outer/cross, unnest/lateral/pivot/sample/VALUES/feeds) keeps the
+        written order, as does a SELECT * (star column order follows the
+        join order) or any bare ON column name owned by more than one
+        source (reordering could re-bind it). Disable with
+        ``SET planner.join_reorder = false``."""
+        flag = self.session_vars.get("planner.join_reorder", True)
+        if isinstance(flag, str):
+            flag = flag.strip().lower() not in ("false", "0", "off", "no")
+        if not flag or len(joins) < 2:
+            return joins
+        if any(c.is_star for c in sel.columns):
+            return joins
+        for src in joins:
+            if (
+                src.unnest is not None
+                or getattr(src, "lateral", False)
+                or src.values_rows is not None
+                or src.pivot is not None
+                or src.unpivot is not None
+                or src.sample is not None
+                or src.table_changes is not None
+                or src.join_type not in ("", "INNER")
+                or src.join_expr is None
+            ):
+                return joins
+        # column ownership across ALL sources (for bare ON names)
+        sources = [first] + joins
+        cols_of: dict[str, set] = {}
+        try:
+            for src in sources:
+                d = resolved.get(id(src))
+                if d is None:
+                    d = self._resolve_source(src, sel)
+                    resolved[id(src)] = d
+                cols_of[src.ref.lower()] = {c.lower() for c in d.columns}
+        except (ExecError, TranslateError):
+            return joins
+        owner: dict[str, str | None] = {}
+        for ref, cols in cols_of.items():
+            for c in cols:
+                owner[c] = None if c in owner else ref
+        refs = {s.ref.lower() for s in sources}
+
+        def needs(src) -> set | None:
+            """Source refs the ON expression touches, or None → bail."""
+            out = set()
+            for n in src.join_expr.walk():
+                if isinstance(n, IdentityNode) and not getattr(n, "is_star", False):
+                    parts = [p.lower() for p in n.parts]
+                    if len(parts) > 1:
+                        if parts[0] not in refs:
+                            return None
+                        out.add(parts[0])
+                    else:
+                        o = owner.get(parts[0], "__missing__")
+                        if o is None or o == "__missing__":
+                            return None  # ambiguous or unknown bare name
+                        out.add(o)
+            return out
+
+        need = {}
+        for src in joins:
+            n = needs(src)
+            if n is None:
+                return joins
+            need[id(src)] = n
+        # only DIM-SMALL sources hoist: anything at or under the broadcast
+        # threshold joins as a BHJ wherever it lands, so pulling it ahead
+        # of the fact joins is free — and its (pushed-down) filters trim
+        # the fact side BEFORE the big shuffles. Mid-size sources keep
+        # their written position: promoting them (e.g. a 12 MB orders in
+        # front of lineitem) makes AQE broadcast-build a fact, trading a
+        # cheap stream for an expensive broadcast.
+        try:
+            thresh = int(self.spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760"))
+        except (TypeError, ValueError):
+            thresh = 10 << 20
+        if thresh <= 0:
+            return joins
+
+        def small(s) -> bool:
+            sz = self._source_bytes(resolved[id(s)])
+            return sz is not None and sz <= thresh
+
+        avail = {first.ref.lower()}
+        order: list = []
+        remaining = list(joins)
+        while remaining:
+            sat = [
+                s for s in remaining if need[id(s)] <= avail | {s.ref.lower()}
+            ]
+            if not sat:
+                return joins  # ON references a later source: keep written order
+            sm = [s for s in sat if small(s)]
+            pick = min(sm or sat, key=joins.index)
+            order.append(pick)
+            avail.add(pick.ref.lower())
+            remaining.remove(pick)
+        return order
+
     def _build_from(self, sel: SqlSelect) -> tuple[DataFrame, Scope]:
         frames: dict[str, DataFrame] = {}
         physical: dict[str, str] = {}
@@ -1686,14 +1827,17 @@ class Engine:
         df = self._resolve_source(first, sel)
         frames[first.ref] = df
         joined = df
-        for src in sel.from_[1:]:
+        resolved: dict[int, DataFrame] = {id(first): df}
+        for src in self._reorder_inner_joins(first, list(sel.from_[1:]), sel, resolved):
             if src.unnest is not None:
                 joined = self._apply_unnest(joined, src, frames, physical)
                 continue
             if getattr(src, "lateral", False) and src.subquery is not None:
                 joined = self._apply_lateral(joined, src, frames, physical)
                 continue
-            other = self._resolve_source(src, sel)
+            other = resolved.get(id(src))
+            if other is None:
+                other = self._resolve_source(src, sel)
             frames[src.ref] = other
             scope = Scope(dict(frames), includes=self.includes, params=self._scope_params(), physical=dict(physical))
             how = {

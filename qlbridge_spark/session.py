@@ -26,10 +26,14 @@ RECOMMENDED_CONF = {
 # sizing knobs that depend on the deployment — applied only when the
 # session is still on Spark's defaults (never clobber launch-time tuning):
 # scan parallelism (one task per ~128MB at scale; lower for tiny local
-# inputs) and the broadcast threshold for dimension tables.
+# inputs). The broadcast threshold deliberately stays at Spark's 10MB
+# default: dimension tables get EXPLICIT broadcast hints at registration
+# (load_parquet_dir) and AQE upgrades any runtime-small side, while a
+# raised static threshold promotes mid-size FACTS into broadcast builds —
+# measured at sf1, a 64MB threshold made q05 broadcast-build the pruned
+# 6M-row lineitem (~3s per run, and at 1000 executors a multi-GB fanout).
 SIZING_CONF = {
     "spark.sql.files.maxPartitionBytes": (str(128 << 20), "134217728b"),
-    "spark.sql.autoBroadcastJoinThreshold": (str(64 << 20), "10485760b"),
 }
 
 
