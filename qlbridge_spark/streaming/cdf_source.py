@@ -126,6 +126,15 @@ class TableChangesStreamReader(DataSourceStreamReader):
             raise ValueError(f"format {FORMAT_NAME!r} requires .option('path', <sink root>)")
         self.schema = schema  # full CDF schema (base + meta cols)
         self.starting = str(options.get("startingversion", "0"))
+        # Spark→Arrow schema conversion happens HERE, on the driver: the
+        # converter lives in pyspark.sql.pandas.types, whose import drags
+        # pandas into the process — paid once per micro-batch in a fresh
+        # executor Python worker if left inside read() (profiled: the
+        # dominant share of the per-batch consume floor). pa.Schema
+        # pickles with the reader, so workers get it for free.
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        self._arrow_schema = to_arrow_schema(schema)
 
     # -- offsets (driver-side, metadata-only) ---------------------------
     def initialOffset(self) -> dict:
@@ -218,9 +227,7 @@ class TableChangesStreamReader(DataSourceStreamReader):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        from pyspark.sql.pandas.types import to_arrow_schema
-
-        target = to_arrow_schema(self.schema)
+        target = self._arrow_schema
         for file, version, change_type, commit_ts, root in partition.items:
             tbl = pq.read_table(file)
             n = tbl.num_rows
