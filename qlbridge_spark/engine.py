@@ -67,12 +67,12 @@ from .rel import (
     parse_sql,
 )
 from .translate import Scope, TranslateError, to_column
+from .errors import ExecError
+from .engine_dml import DmlMixin
+from .engine_matview import MatViewMixin
+from .engine_subquery import SubqueryMixin
 
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings")
-
-
-class ExecError(ValueError):
-    pass
 
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
@@ -102,7 +102,7 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
-class Engine:
+class Engine(SubqueryMixin, DmlMixin, MatViewMixin):
     """The user-facing engine — ≈ the reference's schema registry +
     BuildSqlJob (exec/executor.go:46) + database/sql driver ergonomics
     (exec/sqldriver.go)."""
@@ -1954,132 +1954,6 @@ class Engine:
         # stay valid: filter/semi-join preserve the aliased lineage.
         return df, scope
 
-    @staticmethod
-    def _qualify_identities(node: Node, scope: Scope) -> Node:
-        """Rewrite single-part identities to their ``alias.column`` form
-        using ``scope``'s resolution — pins outer-context expressions to
-        outer frames before they are moved into a subquery's WHERE."""
-
-        def fn(n: Node) -> Node:
-            if isinstance(n, IdentityNode) and len(n.parts) == 1 and not n.is_star:
-                hit = scope._fields.get(n.parts[0].lower())
-                if hit is not None and n.parts[0].lower() not in scope._ambiguous:
-                    alias, fld = hit
-                    return IdentityNode((alias, fld.name))
-            return n
-
-        return transform(node, fn)
-
-    @staticmethod
-    def _as_exists_subquery(node: Node):
-        """EXISTS (SELECT …) [under NOT] as a WHERE conjunct →
-        (select, anti) or None."""
-        anti = False
-        while isinstance(node, UnaryNode) and node.op == "NOT":
-            node = node.child
-            anti = not anti
-        if isinstance(node, UnaryNode) and node.op == "EXISTS" and isinstance(node.child, SubqueryNode):
-            return node.child.select, anti
-        return None
-
-    def _correlated_exists_join(self, df: DataFrame, scope: Scope, sub_sel, anti: bool) -> DataFrame:
-        """Decorrelate ``EXISTS (SELECT … WHERE inner-and-outer preds)``
-        into a LEFT SEMI (ANTI under NOT) join — the only plan that runs
-        this distributed: the correlated re-execution a tuple-at-a-time
-        engine would do is O(rows × subquery).
-
-        Inner-only conjuncts stay filters on the inner frame (pushed to
-        its scan); conjuncts referencing outer columns — equality or not
-        (``o.ts < u.ts`` works) — become the join condition, translated
-        against a combined inner+outer scope. All sources are
-        ``.alias()``-ed, so cross-frame references resolve by name.
-
-        SINGLE-RANGE shapes first reduce to a per-key extremum:
-        ``EXISTS(… r.k = o.k AND r.ts <= o.ts)`` holds iff
-        ``min(r.ts) per k <= o.ts``, so the semi/anti join runs against a
-        one-row-per-key aggregate (broadcastable) instead of range-joining
-        the full inner relation — O(|keys|) join input, no hot-key pair
-        explosion."""
-        if isinstance(sub_sel, SqlSetOp) or sub_sel.group_by or sub_sel.having is not None:
-            raise ExecError("correlated EXISTS supports a plain inner SELECT (no set-ops/GROUP BY/HAVING)")
-        reduced = self._exists_range_extremum_join(df, scope, sub_sel, anti)
-        if reduced is not None:
-            return reduced
-        inner_df, inner_scope = self._build_from(sub_sel)
-        overlap = set(inner_scope.frames) & set(scope.frames)
-        if overlap:
-            raise ExecError(
-                f"correlated EXISTS: alias {sorted(overlap)} names both an outer and an inner table; "
-                "alias one side (… FROM orders AS o)"
-            )
-        combined = Scope({**scope.frames, **inner_scope.frames}, includes=self.includes, params=self._scope_params())
-        inner_preds: list[Node] = []
-        join_conds: list[SparkColumn] = []
-        for c in self._conjuncts(sub_sel.where) if sub_sel.where is not None else []:
-            try:
-                inner_preds.append(to_column(c, inner_scope))
-                continue
-            except TranslateError:
-                pass
-            join_conds.append(to_column(c, combined))
-        if not join_conds:
-            raise ExecError("EXISTS subquery is uncorrelated here; this path needs an outer-column reference")
-        for p in inner_preds:
-            inner_df = inner_df.filter(p)
-        on = join_conds[0]
-        for c in join_conds[1:]:
-            on = on & c
-        return df.join(inner_df, on=on, how="left_anti" if anti else "left_semi")
-
-    def _exists_range_extremum_join(self, df: DataFrame, scope: Scope, sub_sel, anti: bool) -> DataFrame | None:
-        """Reduce a single-range correlated EXISTS to a per-key extremum
-        semi/anti join (see _correlated_exists_join). Returns None when
-        the shape doesn't fit (no/multiple ranges, non-binary correlation
-        conjuncts, != range) — callers fall back to the generic join.
-        NULL inner operands drop out of min/max exactly as ANSI wants
-        (NULL <op> x is UNKNOWN, never a witness); an empty/absent key
-        gives no aggregate row, so the semi join rejects and the anti
-        join keeps — NOT EXISTS over the empty set is TRUE."""
-        import dataclasses
-
-        one = dataclasses.replace(sub_sel, columns=[Column(expr=NumberNode("1"))], order_by=[], limit=None)
-        try:
-            inner_df, inner_scope, pairs, ranges = self._correlation_split(scope, one, "EXISTS", allow_range=True)
-        except (ExecError, TranslateError):
-            return None
-        if len(ranges) != 1 or not pairs:
-            return None
-        op, r_ic, r_oc = ranges[0]
-        if op not in ("<", "<=", ">", ">="):
-            return None
-        self._subq_n = getattr(self, "_subq_n", 0) + 1
-        p = f"__exr{self._subq_n}"
-        key_names = [f"{p}_k{i}" for i in range(len(pairs))]
-        ext = F.min if op in ("<", "<=") else F.max
-        agg = inner_df.groupBy(*[ic.alias(kn) for (ic, _), kn in zip(pairs, key_names)]).agg(
-            ext(r_ic).alias(f"{p}_ext")
-        )
-        cmp = {
-            "<": agg[f"{p}_ext"] < r_oc,
-            "<=": agg[f"{p}_ext"] <= r_oc,
-            ">": agg[f"{p}_ext"] > r_oc,
-            ">=": agg[f"{p}_ext"] >= r_oc,
-        }[op]
-        on = cmp
-        for i, ((_, oc), kn) in enumerate(zip(pairs, key_names)):
-            on = self._pair_cond(pairs, i, agg[kn], oc) & on
-        return df.join(agg, on=on, how="left_anti" if anti else "left_semi")
-
-    @staticmethod
-    def _as_subquery_in(node: Node):
-        if isinstance(node, BinaryNode) and node.op == "IN" and isinstance(node.right, SubqueryNode):
-            return node.left, node.right.select, node.negated
-        if isinstance(node, UnaryNode) and node.op == "NOT":
-            inner = Engine._as_subquery_in(node.child)
-            if inner is not None:
-                return inner[0], inner[1], not inner[2]
-        return None
-
     # -- aggregation -------------------------------------------------------
     def _aggregate(self, df: DataFrame, scope: Scope, sel: SqlSelect) -> DataFrame:
         group_cols: list[SparkColumn] = []
@@ -2266,1496 +2140,6 @@ class Engine:
 
         # order output columns as selected
         return agged.select(*out_names)
-
-    def _materialize_scalar(self, sub_select) -> Node:
-        """Run an UNCORRELATED scalar subquery once at plan time and return
-        its value as a literal node (a bounded driver action — Spark's own
-        uncorrelated-scalar-subquery execution is likewise a separate job).
-        One column, at most one row (ANSI). Raises ``TranslateError``
-        through if the inner select references outer columns (correlated) —
-        callers decide whether to decorrelate or error."""
-        from .nodes import SparkColNode
-
-        key = self._fold_key("scalar", sub_select)
-        hit = self._fold_cache.get(key) if key else None
-        if hit is not None:
-            self.plan_cache_stats["fold_hits"] += 1
-            val, dtype = hit
-            return SparkColNode(col=F.lit(val), dtype=dtype)
-        sub_df = self._select_any(sub_select)
-        if len(sub_df.columns) != 1:
-            raise ExecError(f"scalar subquery must return one column, got {len(sub_df.columns)}")
-        rows = sub_df.limit(2).collect()
-        if len(rows) > 1:
-            raise ExecError("scalar subquery returned more than one row")
-        val = rows[0][0] if rows else None
-        dtype = sub_df.schema.fields[0].dataType
-        if key:
-            self.plan_cache_stats["fold_misses"] += 1
-            self._fold_cache[key] = (val, dtype)
-        return SparkColNode(col=F.lit(val), dtype=dtype)
-
-    def _fold_key(self, kind: str, sub_select):
-        """Cache key for a plan-time subquery fold: the sub-AST's dataclass
-        repr (deterministic for pure parsed nodes) + the cache epoch; binds
-        join the key only when the subquery actually references a ``?N``/
-        ``@var`` parameter, so parameter-free folds are shared across
-        prepared-statement executions."""
-        # context hazards: (a) CTE bindings shadow table names for the
-        # statement's duration WITHOUT an epoch bump — the same sub-AST
-        # repr can mean different data inside vs outside the binding;
-        # (b) planner sources re-scan external state per call. No fold
-        # caching in either situation. Versioned sinks join the KEY
-        # instead (round 9, mirroring the plan cache): a fold stays
-        # reusable while every sink's version is unchanged, and a direct
-        # sink commit changes the key; unversioned sinks disable.
-        if getattr(self, "_cte_binding_depth", 0) or self.planner_sources:
-            return None
-        sink_fp = self._stmt_sink_fp if self._stmt_depth > 0 else self._sink_version_key()
-        if sink_fp is None:
-            return None
-        try:
-            text = repr(sub_select)
-        except Exception:  # pragma: no cover - dataclass reprs don't raise
-            return None
-        if "SparkColNode" in text:  # rewritten nodes carry live Columns
-            return None
-        key = (kind, text, self._cache_epoch, sink_fp)
-        params = self._scope_params()
-        if params and any(f"'{p}'" in text or f'"{p}"' in text for p in params):
-            key = key + (tuple(sorted((k, repr(v)) for k, v in params.items())),)
-        return key
-
-    def _lazy_scalar(self, df: DataFrame, sub_select) -> tuple[Node, DataFrame]:
-        """UNCORRELATED scalar subquery as a LAZY 1-row broadcast cross
-        join (no plan-time collect — the whole statement stays one Spark
-        job): ``limit(2)`` bounds the inner work, the aggregate yields
-        (first value, row count), and the >1-row ANSI violation raises at
-        RUNTIME via ``raise_error``. Raises ``TranslateError`` through
-        when the inner select references outer columns (correlated)."""
-        from .nodes import SparkColNode
-
-        sub_df = self._select_any(sub_select)
-        if len(sub_df.columns) != 1:
-            raise ExecError(f"scalar subquery must return one column, got {len(sub_df.columns)}")
-        self._subq_n = getattr(self, "_subq_n", 0) + 1
-        p = f"__usub{self._subq_n}"
-        lim = sub_df.limit(2)
-        c = lim[lim.columns[0]]
-        stats = lim.agg(F.first(c).alias(f"{p}_val"), F.count(F.lit(1)).alias(f"{p}_cnt"))
-        out = df.crossJoin(F.broadcast(stats))
-        val = F.when(
-            F.col(f"{p}_cnt") > 1,
-            F.raise_error(F.lit("scalar subquery returned more than one row")),
-        ).otherwise(F.col(f"{p}_val"))
-        return SparkColNode(col=val, dtype=sub_df.schema.fields[0].dataType), out
-
-    def _lazy_quantified(self, df: DataFrame, x: SparkColumn, sub_select, base: str, quant: str) -> tuple[Node, DataFrame]:
-        """UNCORRELATED quantified comparison, lazily: the inner column's
-        (count, non-null, min, max) ride along as a 1-row broadcast frame
-        and the min/max rewrite reads them as columns — zero plan-time
-        jobs, same three-valued semantics."""
-        from .nodes import SparkColNode
-
-        sub_df = self._select_any(sub_select)
-        if len(sub_df.columns) != 1:
-            raise ExecError(f"quantified subquery must return one column, got {len(sub_df.columns)}")
-        c = sub_df[sub_df.columns[0]]
-        self._subq_n = getattr(self, "_subq_n", 0) + 1
-        p = f"__usub{self._subq_n}"
-        stats = sub_df.agg(
-            F.count(F.lit(1)).alias(f"{p}_t"),
-            F.count(c).alias(f"{p}_nn"),
-            F.min(c).alias(f"{p}_mn"),
-            F.max(c).alias(f"{p}_mx"),
-        )
-        out = df.crossJoin(F.broadcast(stats))
-        col = self._quantified_expr(
-            x,
-            base,
-            quant,
-            F.col(f"{p}_t"),
-            F.col(f"{p}_nn"),
-            F.col(f"{p}_t") - F.col(f"{p}_nn"),
-            F.col(f"{p}_mn"),
-            F.col(f"{p}_mx"),
-        )
-        return SparkColNode(col=col, dtype=T.BooleanType(), text=f"(x {base} {quant} subquery)"), out
-
-    def _rewrite_subqueries(
-        self, df: DataFrame, scope: Scope, sel: SqlSelect, include_qualify: bool = False
-    ) -> tuple[DataFrame, SqlSelect]:
-        """Lower select-list / WHERE scalar subqueries against the built
-        FROM frame.
-
-        - UNCORRELATED ``(SELECT max(x) FROM t)`` → in the SELECT LIST a
-          LAZY 1-row broadcast cross join via ``_lazy_scalar`` (no
-          plan-time job); in WHERE the eager ``_materialize_scalar``
-          literal fold, which keeps the predicate pushable to the scan.
-          FROM-less and HAVING/QUALIFY positions are eager too (no frame
-          to join onto).
-        - CORRELATED ``(SELECT max(x) FROM t WHERE t.k = o.k)`` →
-          decorrelated: the inner select is aggregated by its correlation
-          keys once, then LEFT-JOINed onto the outer frame — a single
-          distributed join instead of the O(outer-rows × subquery)
-          re-execution a tuple-at-a-time engine would do. Superset: the
-          reference refuses every WHERE subquery
-          (/root/reference/plan/planner_select.go:94-98).
-
-        Returns the (possibly join-extended) frame and the rewritten
-        select; injected ``__csub*`` columns disappear at projection.
-        ``include_qualify``: non-aggregated QUALIFY predicates lower here
-        too (the joined columns ride to the post-window filter);
-        aggregated QUALIFY lowers in _aggregate instead."""
-        fields = ("columns", "where") + (("qualify",) if include_qualify else ())
-        if not self._has_scalar_subquery(sel, fields, include_in=True):
-            return df, sel
-
-        holder = {"df": df}
-
-        def make_scalar_fn(lazy: bool):
-            def scalar_fn(sub: SubqueryNode) -> Node:
-                try:
-                    if lazy:
-                        node, holder["df"] = self._lazy_scalar(holder["df"], sub.select)
-                        return node
-                    # WHERE position: the EAGER literal fold keeps the
-                    # predicate PUSHABLE to the scan (price >= lit(42)
-                    # reaches PushedFilters; a joined column never does —
-                    # at scale the scan pruning beats saving one bounded
-                    # job, which is also how Spark itself runs uncorrelated
-                    # scalar subqueries)
-                    return self._materialize_scalar(sub.select)
-                except TranslateError:
-                    pass  # inner references outer columns → decorrelate
-                node, holder["df"] = self._decorrelate_scalar(holder["df"], scope, sub.select)
-                return node
-
-            return scalar_fn
-
-        def make_quant_fn(lazy: bool):
-            def quant_fn(left_node: Node, sub: SubqueryNode, base: str, quant: str) -> Node:
-                x = to_column(left_node, scope)
-                try:
-                    if lazy:
-                        node, holder["df"] = self._lazy_quantified(holder["df"], x, sub.select, base, quant)
-                        return node
-                    return self._materialize_quantified(x, sub.select, base, quant)
-                except TranslateError:
-                    pass  # correlated → decorrelate
-                node, holder["df"] = self._decorrelate_quantified(holder["df"], scope, x, sub.select, base, quant)
-                return node
-
-            return quant_fn
-
-        def in_fn(left_node: Node, sub: SubqueryNode, negated: bool) -> Node:
-            # membership as a BOOLEAN COLUMN (select list / disjunctions —
-            # positions the semi-join can't serve); ANSI three-valued
-            x = to_column(left_node, scope)
-            node, holder["df"] = self._lower_in_membership(holder["df"], x, sub.select, negated, scope)
-            return node
-
-        def exists_fn(sub: SubqueryNode) -> Node:
-            node, holder["df"] = self._lower_exists_mark(holder["df"], scope, sub.select)
-            return node
-
-        import dataclasses
-
-        # SUBQUERY COALESCING: scalar aggregates sharing (FROM, WHERE) —
-        # i.e. the same inner relation and correlation — merge into ONE
-        # per-key aggregate + ONE join carrying every value column,
-        # instead of a join per subquery (q38's three bare aggregates
-        # over `orders WHERE o_custkey = c_custkey` become one)
-        coalesced = self._coalesce_scalar_subqueries(holder, scope, sel, include_qualify)
-
-        def wrap_scalar(lazy):
-            base = make_scalar_fn(lazy)
-
-            def fn(sub: SubqueryNode) -> Node:
-                hit = coalesced.get(id(sub))
-                return hit() if hit is not None else base(sub)
-
-            return fn
-
-        # select list: LAZY (saves a job, nothing pushable at stake);
-        # WHERE: EAGER literal fold (keeps scan pushdown)
-        walk_cols = lambda n: self._walk_subqueries(n, wrap_scalar(True), make_quant_fn(True), in_fn, exists_fn)  # noqa: E731
-        walk_where = lambda n: self._walk_subqueries(n, wrap_scalar(False), make_quant_fn(False), in_fn, exists_fn)  # noqa: E731
-        repl = dict(
-            columns=[dataclasses.replace(c, expr=walk_cols(c.expr), guard=walk_cols(c.guard)) for c in sel.columns],
-            where=self._walk_where_protected(sel.where, walk_where),
-        )
-        if include_qualify and sel.qualify is not None:
-            repl["qualify"] = walk_cols(sel.qualify)
-        sel = dataclasses.replace(sel, **repl)
-        return holder["df"], sel
-
-    def _coalesce_scalar_subqueries(self, holder, scope: Scope, sel: SqlSelect, include_qualify: bool = True):
-        """Group SELECT-LIST scalar-aggregate subqueries by their
-        (FROM, WHERE) text; each group of ≥2 lowers as ONE per-key
-        aggregate carrying every member's value column + ONE left join —
-        the classic subquery-coalescing optimization (a join per
-        subquery otherwise). WHERE-position subqueries are never
-        coalesced (they fold to pushable literals instead). Returns
-        {id(SubqueryNode): thunk → replacement node}; groups whose
-        correlation is absent, ranged, or unsplittable silently fall
-        back to the per-subquery paths."""
-        from .nodes import SparkColNode
-
-        def candidates(n: Node | None, out):
-            if n is None:
-                return
-            if isinstance(n, SubqueryNode):
-                ss = n.select
-                if (
-                    not isinstance(ss, SqlSetOp)
-                    and len(ss.columns) == 1
-                    and not ss.columns[0].is_star
-                    and funcs.is_agg_tree(ss.columns[0].expr)
-                    and not ss.group_by
-                    and ss.having is None
-                    and not ss.order_by
-                    and ss.limit is None
-                    and not ss.distinct
-                    and ss.from_
-                    and all(s.subquery is None for s in ss.from_)
-                ):
-                    sig = (
-                        "|".join(
-                            f"{s.name}:{s.alias}:{s.join_type}:{s.join_expr.sql() if s.join_expr else ''}"
-                            for s in ss.from_
-                        ),
-                        ss.where.sql() if ss.where is not None else "",
-                    )
-                    out.setdefault(sig, []).append(n)
-                return  # don't descend into the subquery's own tree
-            for c in n.children():
-                candidates(c, out)
-
-        groups: dict = {}
-        for c in sel.columns:
-            candidates(c.expr, groups)
-            candidates(c.guard, groups)
-        if include_qualify:
-            candidates(sel.qualify, groups)
-
-        mapping: dict[int, object] = {}
-        for members in groups.values():
-            if len(members) < 2:
-                continue
-            try:
-                self._select_any(members[0].select)
-                continue  # uncorrelated → lazy/eager paths handle it
-            except TranslateError:
-                pass
-            try:
-                inner_df, inner_scope, pairs, ranges = self._correlation_split(
-                    scope, members[0].select, "scalar", allow_range=True
-                )
-            except ExecError:
-                continue
-            if ranges or not pairs:
-                continue  # range shapes keep the window/probe lowering
-            self._subq_n = getattr(self, "_subq_n", 0) + 1
-            prefix = f"__csub{self._subq_n}"
-            exprs = [m.select.columns[0].expr for m in members]
-            shapes = [self._count_shape(e) for e in exprs]
-
-            def build(key_cols, p, _inner=inner_df, _scope=inner_scope, _exprs=exprs, _shapes=shapes):
-                aggs = [to_column(e, _scope).alias(f"{p}_v{i}") for i, e in enumerate(_exprs)]
-                if any(s == "composite" for s in _shapes):
-                    aggs.append(F.count(F.lit(1)).alias(f"{p}_cnt"))
-                return _inner.groupBy(*key_cols).agg(*aggs)
-
-            holder["df"], p = self._decorrelate_join(holder["df"], pairs, build)
-            for i, (m, shape, e) in enumerate(zip(members, shapes, exprs)):
-                val = F.col(f"{p}_v{i}")
-                if shape == "bare":
-                    val = F.coalesce(val, F.lit(0))
-                elif shape == "composite":
-                    ev = self._empty_agg_value(inner_df, to_column(e, inner_scope))
-                    val = F.when(F.col(f"{p}_cnt").isNull(), F.lit(ev)).otherwise(val)
-                node = SparkColNode(col=val, dtype=None, text="(coalesced correlated subquery)")
-                mapping[id(m)] = (lambda n=node: n)
-        return mapping
-
-    @staticmethod
-    def _node_has_subquery(n: Node | None) -> bool:
-        if n is None:
-            return False
-        if isinstance(n, SubqueryNode):
-            return True
-        return any(Engine._node_has_subquery(c) for c in n.children())
-
-    def _lower_having_subqueries(self, agged: DataFrame, hscope: Scope, having_node: Node):
-        """Lower HAVING-position subqueries against the AGGREGATED frame:
-        uncorrelated → bounded plan-time job; correlated (on group keys) →
-        per-key aggregate + left join; IN (SELECT) → membership column
-        (a semi-join can't carry the rest of the predicate here)."""
-        holder = {"df": agged}
-
-        def scalar_fn(sub: SubqueryNode) -> Node:
-            try:
-                return self._materialize_scalar(sub.select)
-            except TranslateError:
-                pass
-            node, holder["df"] = self._decorrelate_scalar(holder["df"], hscope, sub.select)
-            return node
-
-        def quant_fn(left_node: Node, sub: SubqueryNode, base: str, quant: str) -> Node:
-            x = to_column(left_node, hscope)
-            try:
-                return self._materialize_quantified(x, sub.select, base, quant)
-            except TranslateError:
-                pass
-            node, holder["df"] = self._decorrelate_quantified(holder["df"], hscope, x, sub.select, base, quant)
-            return node
-
-        def in_fn(left_node: Node, sub: SubqueryNode, negated: bool) -> Node:
-            x = to_column(left_node, hscope)
-            node, holder["df"] = self._lower_in_membership(holder["df"], x, sub.select, negated, hscope)
-            return node
-
-        def exists_fn(sub: SubqueryNode) -> Node:
-            node, holder["df"] = self._lower_exists_mark(holder["df"], hscope, sub.select)
-            return node
-
-        new_node = self._walk_subqueries(having_node, scalar_fn, quant_fn, in_fn, exists_fn)
-        return holder["df"], new_node
-
-    def _walk_where_protected(self, where: Node | None, walk) -> Node | None:
-        """Walk a WHERE tree, PRESERVING top-level ``IN (SELECT)`` and
-        ``EXISTS`` conjuncts — `_apply_where` lowers those to semi/anti
-        joins, strictly better plans than a membership-marker join (no
-        NULL-handling columns, AQE-broadcastable). Everything else —
-        disjunctive INs, scalar/quantified subqueries — lowers here."""
-        if where is None:
-            return None
-        out: Node | None = None
-        for c in self._conjuncts(where):
-            # = ANY / != ALL conjuncts are IN / NOT IN — normalize so the
-            # semi/anti-join path claims them too
-            if isinstance(c, BinaryNode) and isinstance(c.right, SubqueryNode):
-                if c.op == "= ANY":
-                    c = BinaryNode("IN", c.left, c.right, c.negated)
-                elif c.op == "!= ALL":
-                    c = BinaryNode("IN", c.left, c.right, not c.negated)
-            if self._as_subquery_in(c) is not None or self._as_exists_subquery(c) is not None:
-                # semi/anti-join path claims conjunct INs and conjunct
-                # [NOT] EXISTS — strictly better plans than a mark column
-                lowered = c
-            else:
-                # everything else walks — disjunctive/select-list EXISTS
-                # lowers to a boolean mark column here
-                lowered = walk(c)
-            out = lowered if out is None else BinaryNode("AND", out, lowered)
-        return out
-
-    @staticmethod
-    def _membership_flag(x: SparkColumn, t: SparkColumn, nn: SparkColumn, matched: SparkColumn, negated: bool) -> SparkColumn:
-        """ANSI three-valued membership from per-row set statistics:
-        FALSE on empty set, UNKNOWN when x is NULL (non-empty set) or when
-        unmatched against a set containing NULL, else matched."""
-        null_b = F.lit(None).cast("boolean")
-        flag = (
-            F.when(t == 0, F.lit(False))
-            .when(x.isNull(), null_b)
-            .when(matched, F.lit(True))
-            .when(t - nn > 0, null_b)
-            .otherwise(F.lit(False))
-        )
-        return ~flag if negated else flag  # three-valued NOT: NULL stays NULL
-
-    def _lower_in_membership(self, df: DataFrame, x: SparkColumn, sub_sel, negated: bool, scope: Scope | None = None):
-        """``x IN (SELECT …)`` as a BOOLEAN COLUMN (select list /
-        disjunctive WHERE — positions a semi-join can't serve): LEFT JOIN
-        the distinct non-null inner values with a match marker, then fold
-        ANSI three-valued membership — FALSE on empty set, UNKNOWN when
-        unmatched against a set containing NULL (or when x is NULL).
-
-        Fully LAZY: the inner set's (size, null-count) ride along as a
-        1-row broadcast frame instead of a plan-time collect, so the whole
-        statement stays one job. CORRELATED inner selects (equality
-        correlation) decorrelate via per-correlation-key statistics +
-        per-(key, value) match join — see ``_lower_in_membership_corr``."""
-        from .nodes import SparkColNode
-
-        try:
-            sub_df = self._select_any(sub_sel)
-        except TranslateError as exc:
-            if scope is not None:
-                return self._lower_in_membership_corr(df, scope, x, sub_sel, negated)
-            raise ExecError(
-                "correlated IN (SELECT …) is supported only as a top-level WHERE conjunct "
-                f"(semi/anti-join); in this position the inner select must be self-contained: {exc}"
-            ) from None
-        if len(sub_df.columns) != 1:
-            raise ExecError(f"IN subquery must return one column, got {len(sub_df.columns)}")
-        c = sub_df[sub_df.columns[0]]
-        self._subq_n = getattr(self, "_subq_n", 0) + 1
-        n = self._subq_n
-        key, mark, tcol, nncol = f"__inq{n}_k", f"__inq{n}_m", f"__inq{n}_t", f"__inq{n}_nn"
-        stats = sub_df.agg(F.count(F.lit(1)).alias(tcol), F.count(c).alias(nncol))
-        vals = sub_df.select(c.alias(key)).where(c.isNotNull()).distinct().withColumn(mark, F.lit(True))
-        # 1-row broadcast cross join carries (size, null-count) per row;
-        # the __inq* stat/mark columns vanish at the final projection
-        out = df.crossJoin(F.broadcast(stats)).join(F.broadcast(vals), on=x == F.col(key), how="left").drop(key)
-        flag = self._membership_flag(x, F.col(tcol), F.col(nncol), F.col(mark).isNotNull(), negated)
-        return SparkColNode(col=flag, dtype=T.BooleanType(), text="(x IN subquery)"), out
-
-    def _lower_exists_mark(self, df: DataFrame, scope: Scope, sub_sel):
-        """CORRELATED ``EXISTS (SELECT …)`` as a BOOLEAN COLUMN (select
-        list / disjunctive WHERE — top-level conjuncts keep the strictly
-        better semi/anti-join). One per-correlation-key TRUE marker +
-        LEFT JOIN; EXISTS is two-valued, so unmatched keys coalesce to
-        FALSE. The select list of the inner query is irrelevant to EXISTS
-        (ANSI) — normalized to ``SELECT 1`` before the split so ``SELECT
-        *`` inner selects work. Superset: the reference refuses every
-        WHERE subquery (/root/reference/plan/planner_select.go:94-98)."""
-        import dataclasses
-
-        from .nodes import SparkColNode
-
-        if isinstance(sub_sel, SqlSetOp):
-            raise ExecError("correlated EXISTS subquery must be a plain SELECT (no set-ops)")
-        one = dataclasses.replace(sub_sel, columns=[Column(expr=NumberNode("1"))], order_by=[], limit=None)
-        inner_df, inner_scope, pairs, ranges = self._correlation_split(scope, one, "EXISTS", allow_range=True)
-        if len(ranges) > 1 or (ranges and (ranges[0][0] not in ("<", "<=", ">", ">=") or not pairs)):
-            raise ExecError(
-                "correlated EXISTS column supports equality correlation plus at most one <,<=,>,>= conjunct"
-            )
-        if ranges:
-            # per-key extremum: EXISTS(r.ts <= o.ts …) ⇔ min(r.ts) <= o.ts
-            # (max for >/>=); missing keys coalesce to FALSE
-            op, r_ic, r_oc = ranges[0]
-            ext = F.min if op in ("<", "<=") else F.max
-
-            def build(key_cols, prefix):
-                return inner_df.groupBy(*key_cols).agg(ext(r_ic).alias(f"{prefix}_ex"))
-
-            out, p = self._decorrelate_join(df, pairs, build)
-            e = F.col(f"{p}_ex")
-            cmp = {"<": e < r_oc, "<=": e <= r_oc, ">": e > r_oc, ">=": e >= r_oc}[op]
-            flag = F.coalesce(cmp, F.lit(False))
-            return SparkColNode(col=flag, dtype=T.BooleanType(), text="EXISTS(range-correlated)"), out
-
-        def build(key_cols, prefix):
-            return inner_df.groupBy(*key_cols).agg(F.lit(True).alias(f"{prefix}_ex"))
-
-        out, p = self._decorrelate_join(df, pairs, build)
-        flag = F.coalesce(F.col(f"{p}_ex"), F.lit(False))
-        return SparkColNode(col=flag, dtype=T.BooleanType(), text="EXISTS(correlated)"), out
-
-    def _lower_in_membership_corr(self, df: DataFrame, scope: Scope, x: SparkColumn, sub_sel, negated: bool):
-        """CORRELATED membership column — ``x IN (SELECT v FROM t WHERE
-        t.k = o.k)`` in the select list or a disjunction. Decorrelated to
-        two equality joins, both AQE-broadcastable when the inner side is
-        small:
-
-          stats = inner groupBy correlation keys → (count, non-null count)
-          match = distinct (keys, value) LEFT-JOINed on keys AND value = x
-
-        Outer rows with no key match see an empty set (counts coalesce to
-        0 → FALSE, or TRUE→FALSE under NOT IN), matching ANSI. RANGE
-        correlation (``t.ts < o.ts`` conjuncts) routes through a distinct
-        probe-tuple aggregation instead — see the branch below. Superset:
-        the reference refuses every WHERE subquery
-        (/root/reference/plan/planner_select.go:94-98)."""
-        from .nodes import SparkColNode
-
-        inner_df, inner_scope, pairs, ranges = self._correlation_split(scope, sub_sel, "IN", allow_range=True)
-        val = to_column(sub_sel.columns[0].expr, inner_scope)
-        if ranges:
-            return self._lower_in_membership_range(df, x, inner_df, val, pairs, ranges, negated)
-
-        def build(key_cols, prefix):
-            return inner_df.groupBy(*key_cols).agg(
-                F.count(F.lit(1)).alias(f"{prefix}_t"), F.count(val).alias(f"{prefix}_nn")
-            )
-
-        out, p = self._decorrelate_join(df, pairs, build)
-        self._subq_n = getattr(self, "_subq_n", 0) + 1
-        m = self._subq_n
-        key_names = [f"__inq{m}_k{i}" for i in range(len(pairs))]
-        vkey, mark = f"__inq{m}_v", f"__inq{m}_m"
-        vals = (
-            inner_df.where(val.isNotNull())
-            .select(*[ic.alias(kn) for (ic, _), kn in zip(pairs, key_names)], val.alias(vkey))
-            .distinct()
-            .withColumn(mark, F.lit(True))
-        )
-        on = vals[vkey] == x
-        for i, ((_, oc), kn) in enumerate(zip(pairs, key_names)):
-            on = on & self._pair_cond(pairs, i, vals[kn], oc)
-        out = out.join(vals, on=on, how="left").drop(vkey, *key_names)
-        flag = self._membership_flag(
-            x,
-            F.coalesce(F.col(f"{p}_t"), F.lit(0)),
-            F.coalesce(F.col(f"{p}_nn"), F.lit(0)),
-            F.col(mark).isNotNull(),
-            negated,
-        )
-        return SparkColNode(col=flag, dtype=T.BooleanType(), text="(x IN correlated subquery)"), out
-
-    def _lower_in_membership_range(self, df, x, inner_df, val, pairs, ranges, negated):
-        """RANGE-correlated membership column — ``x IN (SELECT v FROM t
-        WHERE t.k = o.k AND t.ts < o.ts)``. The per-key stats of the
-        equality path can't serve a range predicate, so aggregate per
-        distinct PROBE tuple (eq keys + range operands + x itself):
-
-          probes  = distinct outer (keys, operands, x)        [1 shuffle]
-          matched = probes ⋈ inner: eq keys + range residual
-          stats   = matched groupBy probe → (count, non-null, any v = x)
-          out     = outer LEFT JOIN stats on probe tuple      [equi]
-
-        Folding the match marker into the same aggregate (``x`` rides in
-        the probe tuple) keeps this ONE join instead of the equality
-        path's two. The ``x`` join-back component is null-safe: an x-NULL
-        outer row must still see the true set size (ANSI: NULL IN
-        non-empty-set is UNKNOWN, not FALSE). NULL eq keys/operands match
-        nothing → empty set → FALSE, via the plain == components."""
-        from .nodes import SparkColNode
-
-        self._subq_n = getattr(self, "_subq_n", 0) + 1
-        prefix = f"__inq{self._subq_n}"
-        probe_specs = [
-            (f"{prefix}_k{i}", oc, ic, "<=>" if i in getattr(pairs, "nullsafe", ()) else "=")
-            for i, (ic, oc) in enumerate(pairs)
-        ]
-        probe_specs += [(f"{prefix}_r{j}", oc, ic, op) for j, (op, ic, oc) in enumerate(ranges)]
-        xn = f"{prefix}_x"
-        names = [nm for nm, _, _, _ in probe_specs]
-        probes = df.select(*[oc.alias(nm) for nm, oc, _, _ in probe_specs], x.alias(xn)).distinct()
-        cond = None
-        for nm, _, ic, op in probe_specs:
-            pc = probes[nm]
-            c = {"=": ic == pc, "<=>": ic.eqNullSafe(pc), "<": ic < pc, "<=": ic <= pc, ">": ic > pc, ">=": ic >= pc, "!=": ic != pc}[op]
-            cond = c if cond is None else cond & c
-        matched = probes.join(inner_df, on=cond, how="inner")
-        t, nn, m = f"{prefix}_t", f"{prefix}_nn", f"{prefix}_m"
-        stats = matched.groupBy(*names, xn).agg(
-            F.count(F.lit(1)).alias(t),
-            F.count(val).alias(nn),
-            F.max(F.when(val == F.col(xn), F.lit(True))).alias(m),
-        )
-        on = stats[xn].eqNullSafe(x)
-        for nm, oc, _, _ in probe_specs:
-            on = on & stats[nm].eqNullSafe(oc)
-        out = df.join(stats, on=on, how="left").drop(xn, *names)
-        flag = self._membership_flag(
-            x,
-            F.coalesce(F.col(t), F.lit(0)),
-            F.coalesce(F.col(nn), F.lit(0)),
-            F.coalesce(F.col(m), F.lit(False)),
-            negated,
-        )
-        return SparkColNode(col=flag, dtype=T.BooleanType(), text="(x IN range-correlated subquery)"), out
-
-    _RANGE_FLIP = {"<": ">", "<=": ">=", ">": "<", ">=": "<=", "!=": "!="}
-
-    class _CorrPairs(list):
-        """Equality-correlation pairs; ``nullsafe`` holds the indexes of
-        ``IS NOT DISTINCT FROM`` conjuncts (join with eqNullSafe — a NULL
-        outer key MATCHES the inner NULL group, unlike ANSI ``=``)."""
-
-        nullsafe: frozenset = frozenset()
-
-    @staticmethod
-    def _pair_cond(pairs, i: int, key_col, outer_col):
-        """Join condition for correlation pair ``i``: null-safe pairs use
-        eqNullSafe; plain ``=`` pairs keep ANSI semantics (a NULL outer
-        key matches nothing, so the subquery is empty there)."""
-        if i in getattr(pairs, "nullsafe", ()):
-            return key_col.eqNullSafe(outer_col)
-        return key_col == outer_col
-
-    def _correlation_split(self, scope: Scope, sub_sel, kind: str, allow_range: bool = False, allow_group: bool = False):
-        """Shared decorrelation front-end: build the inner frame, split the
-        inner WHERE into inner-only filters (applied, stay pushed to the
-        inner scan), EQUALITY correlation conjuncts, and (when
-        ``allow_range``) NON-EQUALITY correlation conjuncts.
-
-        Returns ``(inner_df, inner_scope, pairs, ranges)`` with pairs as
-        (inner key Column, outer key Column) and ranges as
-        (op, inner Column, outer Column) normalized so the predicate reads
-        ``inner <op> outer``. Without ``allow_range`` a non-equality
-        correlated conjunct raises (ranges is then always empty)."""
-        if isinstance(sub_sel, SqlSetOp):
-            raise ExecError(f"correlated {kind} subquery must be a plain SELECT (no set-ops)")
-        if not allow_group and (len(sub_sel.columns) != 1 or sub_sel.columns[0].is_star):
-            raise ExecError(f"{kind} subquery must return exactly one column")
-        if not allow_group and (sub_sel.group_by or sub_sel.having is not None):
-            raise ExecError(f"correlated {kind} subquery cannot use GROUP BY/HAVING")
-        if allow_group and sub_sel.having is not None:
-            raise ExecError(f"correlated {kind} subquery cannot use HAVING")
-        if not sub_sel.from_:
-            raise ExecError(f"correlated {kind} subquery needs a FROM clause")
-        inner_df, inner_scope = self._build_from(sub_sel)
-        overlap = set(inner_scope.frames) & set(scope.frames)
-        if overlap:
-            raise ExecError(
-                f"correlated {kind} subquery: alias {sorted(overlap)} names both an outer and an inner "
-                "table; alias one side (… FROM orders AS o)"
-            )
-        inner_filters: list[SparkColumn] = []
-        pairs = self._CorrPairs()  # (inner key, outer key)
-        nullsafe: set[int] = set()
-        ranges: list[tuple[str, SparkColumn, SparkColumn]] = []  # (op, inner, outer)
-        range_ops = set(self._RANGE_FLIP) if allow_range else set()
-        for c in self._conjuncts(sub_sel.where) if sub_sel.where is not None else []:
-            try:
-                inner_filters.append(to_column(c, inner_scope))
-                continue
-            except TranslateError:
-                pass
-            # `x IS NOT DISTINCT FROM y` is NULL-SAFE equality — decorrelates
-            # like `=` but the join must match NULL keys (eqNullSafe)
-            ns = isinstance(c, BinaryNode) and c.op == "IS DISTINCT FROM" and c.negated
-            if not ns and not (
-                isinstance(c, BinaryNode) and not c.negated and (c.op == "=" or c.op in range_ops)
-            ):
-                raise ExecError(
-                    f"correlated {kind} subquery: only equality{'/range' if allow_range else ''} "
-                    f"correlation decorrelates to a join (got {c.sql()})"
-                )
-            sides = []
-            for side in (c.left, c.right):
-                try:
-                    sides.append(("inner", to_column(side, inner_scope)))
-                except TranslateError:
-                    # not inner-resolvable → must be outer; a genuine
-                    # translation error (unknown column/function) raises
-                    # here with its original message
-                    sides.append(("outer", to_column(side, scope)))
-            kinds = [k for k, _ in sides]
-            if kinds == ["inner", "outer"]:
-                inner_col, outer_col, op = sides[0][1], sides[1][1], c.op
-            elif kinds == ["outer", "inner"]:
-                inner_col, outer_col, op = sides[1][1], sides[0][1], self._RANGE_FLIP.get(c.op, c.op)
-            else:
-                raise ExecError("correlation conjunct must compare an inner column to an outer column")
-            if op == "=" or ns:
-                if ns:
-                    nullsafe.add(len(pairs))
-                pairs.append((inner_col, outer_col))
-            else:
-                ranges.append((op, inner_col, outer_col))
-        pairs.nullsafe = frozenset(nullsafe)
-        if not pairs and not ranges:
-            # nothing correlated after all — the earlier TranslateError was
-            # a genuine failure; re-run the inner select to surface it
-            self._select_any(sub_sel)
-            raise ExecError(f"{kind} subquery resolution failed")  # pragma: no cover
-        for p in inner_filters:
-            inner_df = inner_df.filter(p)
-        return inner_df, inner_scope, pairs, ranges
-
-    def _decorrelate_join(self, df: DataFrame, pairs, agg_df_builder):
-        """Back-end: groupBy the correlation keys with the caller's
-        aggregates, LEFT-JOIN the 1-row-per-key frame onto the outer.
-        ``agg_df_builder(grouped_key_cols) -> aggregated DataFrame`` keyed
-        by ``key_names``. Returns (joined df, unique name prefix)."""
-        self._subq_n = getattr(self, "_subq_n", 0) + 1
-        n = self._subq_n
-        key_names = [f"__csub{n}_k{i}" for i in range(len(pairs))]
-        agg_df = agg_df_builder([ic.alias(kn) for (ic, _), kn in zip(pairs, key_names)], f"__csub{n}")
-        on = None
-        for i, ((_, oc), kn) in enumerate(zip(pairs, key_names)):
-            # plain `=` pairs keep ANSI semantics (NULL outer key matches
-            # nothing); IS NOT DISTINCT FROM pairs join null-safely
-            cond = self._pair_cond(pairs, i, agg_df[kn], oc)
-            on = cond if on is None else (on & cond)
-        return df.join(agg_df, on=on, how="left").drop(*key_names), f"__csub{n}"
-
-    @staticmethod
-    def _count_shape(expr) -> str:
-        """'bare' (a count-family call IS the whole expression → coalesce
-        its NULL-on-empty to 0), 'composite' (a count is buried in a larger
-        expression, e.g. ``count(*)+1`` → needs the full empty-relation
-        value), or 'none'. The classic count-bug: COUNT over an empty
-        correlated set is 0/defined, not the NULL a left join produces."""
-        names = {"count", "count_distinct", "approx_count_distinct"}
-        if isinstance(expr, FuncNode) and expr.name.lower() in names:
-            return "bare"
-
-        def has(n: Node) -> bool:
-            if isinstance(n, FuncNode) and n.name.lower() in names:
-                return True
-            return any(has(c) for c in n.children())
-
-        return "composite" if has(expr) else "none"
-
-    def _empty_agg_value(self, inner_df: DataFrame, val_col: SparkColumn):
-        """Evaluate the aggregate expression over the EMPTY relation — the
-        ANSI value a scalar subquery takes for outer rows with no matching
-        inner rows (``count(*)+1`` → 1, ``2*count(x)`` → 0, ``max(x)`` →
-        NULL). One bounded plan-time job Catalyst folds to a LocalRelation
-        (PropagateEmptyRelation), so no cluster work."""
-        return inner_df.where(F.lit(False)).agg(val_col.alias("__empty")).collect()[0][0]
-
-    def _scalar_val_expr(self, prefix: str, is_agg: bool, count_shape: str, top1: bool, limit1_any: bool, empty_val):
-        """Post-join value expression for a decorrelated scalar subquery.
-        ``empty_val`` is a lazy callable giving the empty-set value for
-        composite count expressions (only invoked for that shape)."""
-        val = F.col(f"{prefix}_val")
-        if not is_agg and not top1 and not limit1_any:
-            val = F.when(
-                F.col(f"{prefix}_cnt") > 1,
-                F.raise_error(F.lit("scalar subquery returned more than one row")),
-            ).otherwise(val)
-        elif count_shape == "bare":
-            val = F.coalesce(val, F.lit(0))
-        elif count_shape == "composite":
-            val = F.when(F.col(f"{prefix}_cnt").isNull(), F.lit(empty_val())).otherwise(val)
-        return val
-
-    #: window aggregates for the single-range fast path
-    _RANGE_WINDOW_AGGS = ("count", "sum", "min", "max", "avg")
-
-    def _range_window_aggd(
-        self, expr, inner_df, inner_scope, pairs, ranges, probes, prefix, is_agg, count_shape, order_by=None, top1=False
-    ):
-        """Running-window lowering for a SINGLE-range correlated aggregate
-        (the as-of shape, ``(SELECT max(y) FROM t WHERE t.k=o.k AND
-        t.ts <= o.ts)``): union the distinct probe tuples with the inner
-        rows, sort each equality-key partition by the range operand, and
-        read the running aggregate at each probe row.
-
-        Why this beats the probe-join path: the join materializes
-        |matching probes| × |inner| intermediate rows per equality key
-        (quadratic on hot keys) and then aggregates them away; the window
-        touches each union row ONCE — linear, skew-tolerant, and one
-        fewer shuffle (no matched/groupBy pair). Strict and inclusive
-        bounds are exact via a tie-break sort on the probe/inner tag, so
-        ties never depend on row order. Returns the aggregated frame
-        keyed by the probe-tuple names, or None when ineligible (multiple
-        ranges, no equality key, non-whitelisted aggregate, composite
-        count, DISTINCT agg, probe/inner type mismatch)."""
-        if count_shape == "composite" or len(ranges) != 1 or not pairs:
-            return None
-        op, r_ic, _ = ranges[0]
-        if op not in ("<", "<=", ">", ">="):
-            return None
-        pick = None  # top-1: F.first / F.last over the running frame
-        if top1:
-            # as-of lookup `(SELECT v … AND t.ts <= o.ts ORDER BY t.ts
-            # [DESC] LIMIT 1)`: valid only when the ORDER BY key IS the
-            # range operand — then "latest before" is the last non-null
-            # value in the running frame (LOCF), "earliest" the first
-            if is_agg or order_by is None or len(order_by) != 1:
-                return None
-            okey, direction = order_by[0]
-            if str(to_column(okey, inner_scope)) != str(r_ic):
-                return None
-            want_latest = direction.upper().startswith("DESC")
-            asc_window = op in ("<", "<=")
-            pick = F.last if (asc_window == want_latest) else F.first
-            # struct wrapper: a top-1 row whose VALUE is NULL must still
-            # win (ignorenulls may only skip probe rows, not inner rows)
-            pval = F.struct(F.lit(1).alias("m"), to_column(expr, inner_scope).alias("v"))
-        elif not is_agg:
-            return None
-        elif not isinstance(expr, FuncNode) or expr.filter_where is not None:
-            return None
-        else:
-            fname = expr.name.lower()
-            if fname not in self._RANGE_WINDOW_AGGS:
-                return None
-            if fname == "count":
-                a = expr.args[0]
-                if isinstance(a, IdentityNode) and a.is_star:
-                    pval = F.lit(1)
-                elif isinstance(a, FuncNode) and a.name == "distinct":
-                    return None  # DISTINCT not window-expressible
-                else:
-                    pval = to_column(a, inner_scope)
-            else:
-                pval = to_column(expr.args[0], inner_scope)
-                if fname == "avg":
-                    pval = pval.cast("double")
-        from pyspark.sql.window import Window
-
-        k_names = [f"{prefix}_k{i}" for i in range(len(pairs))]
-        r_name = f"{prefix}_r0"
-        tag = f"{prefix}_tag"
-        vname = f"{prefix}_pv"
-        # rows whose correlation predicate is UNKNOWN (NULL key/operand)
-        # can never match — drop them so NULL grouping can't leak them in.
-        # EXCEPT null-safe pairs (IS NOT DISTINCT FROM): there the NULL
-        # group is a real match target, and partitionBy's NULL grouping
-        # gives exactly the null-safe semantics
-        keep = r_ic.isNotNull()
-        for i, (ic, _) in enumerate(pairs):
-            if i not in getattr(pairs, "nullsafe", ()):
-                keep = keep & ic.isNotNull()
-        inner_side = inner_df.where(keep).select(
-            *[ic.alias(kn) for (ic, _), kn in zip(pairs, k_names)],
-            r_ic.alias(r_name),
-            pval.alias(vname),
-            F.lit(1).alias(tag),
-        )
-        vtype = inner_side.schema[vname].dataType
-        probe_side = probes.select(*k_names, r_name, F.lit(None).cast(vtype).alias(vname), F.lit(0).alias(tag))
-        # the union compares probe operands against inner columns by
-        # POSITION — identical types only (the join path coerces; here a
-        # silent cross-type sort would reorder, so bail to the join path)
-        if [f.dataType for f in probe_side.schema.fields] != [f.dataType for f in inner_side.schema.fields]:
-            return None
-        unioned = probe_side.union(inner_side)
-        rv = F.col(r_name)
-        # inclusive ops sort tied inner rows BEFORE the probe (frame
-        # includes them); strict ops sort them after (frame excludes).
-        # NULL probe operands sort first → empty frame → ANSI empty set.
-        ordering = {
-            "<=": [rv.asc_nulls_first(), F.col(tag).desc()],
-            "<": [rv.asc_nulls_first(), F.col(tag).asc()],
-            ">=": [rv.desc_nulls_first(), F.col(tag).desc()],
-            ">": [rv.desc_nulls_first(), F.col(tag).asc()],
-        }[op]
-        w = (
-            Window.partitionBy(*k_names)
-            .orderBy(*ordering)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        if pick is not None:
-            win_col = pick(F.col(vname), ignorenulls=True).over(w).getField("v")
-        else:
-            agg = {"count": F.count, "sum": F.sum, "min": F.min, "max": F.max, "avg": F.avg}[fname](F.col(vname))
-            win_col = agg.over(w)
-        return (
-            unioned.withColumn(f"{prefix}_val", win_col)
-            .where(F.col(tag) == 0)
-            .select(*k_names, r_name, f"{prefix}_val")
-        )
-
-    def _decorrelate_scalar_range(
-        self,
-        df,
-        expr,
-        inner_df,
-        inner_scope,
-        pairs,
-        ranges,
-        is_agg,
-        count_shape,
-        agg_exprs,
-        top1,
-        top1_window_frame,
-        limit1_any,
-        order_by=None,
-    ):
-        """RANGE-correlated scalar subquery — ``(SELECT max(y) FROM t WHERE
-        t.k = o.k AND t.ts <= o.ts)``, the latest-value-before lookup. A
-        per-key pre-aggregate can't serve a non-equality predicate, so
-        aggregate per distinct PROBE tuple instead:
-
-          probes  = distinct outer (eq keys + range operands)  [1 shuffle]
-          matched = probes ⋈ inner: eq keys + range residual   [equi-join]
-          aggd    = matched groupBy probe tuple                [1 shuffle]
-          out     = outer LEFT JOIN aggd on probe tuple        [equi, AQE-broadcastable]
-
-        Scale: both shuffles key on the probe tuple (≤ outer cardinality,
-        usually far less after distinct); the equality keys keep the middle
-        join an equi-join with the range as a residual condition — never a
-        cartesian (when only range conjuncts exist it degrades to a
-        broadcast-nested-loop against the distinct probes, still bounded by
-        |probes| × |inner-after-filters|). NULL probe operands match
-        nothing → empty set (ANSI: the correlation predicate is UNKNOWN).
-        Superset: the reference refuses every WHERE subquery
-        (/root/reference/plan/planner_select.go:94-98)."""
-        self._subq_n = getattr(self, "_subq_n", 0) + 1
-        prefix = f"__csub{self._subq_n}"
-        probe_specs = []  # (name, outer Column, inner Column, op)
-        for i, (ic, oc) in enumerate(pairs):
-            probe_specs.append(
-                (f"{prefix}_k{i}", oc, ic, "<=>" if i in getattr(pairs, "nullsafe", ()) else "=")
-            )
-        for j, (op, ic, oc) in enumerate(ranges):
-            probe_specs.append((f"{prefix}_r{j}", oc, ic, op))
-        names = [nm for nm, _, _, _ in probe_specs]
-        probes = df.select(*[oc.alias(nm) for nm, oc, _, _ in probe_specs]).distinct()
-        aggd = self._range_window_aggd(
-            expr, inner_df, inner_scope, pairs, ranges, probes, prefix, is_agg, count_shape, order_by, top1
-        )
-        if aggd is None:
-            # general fallback: range join against the distinct probes
-            cond = None
-            for nm, _, ic, op in probe_specs:
-                pc = probes[nm]
-                c = {"=": ic == pc, "<=>": ic.eqNullSafe(pc), "<": ic < pc, "<=": ic <= pc, ">": ic > pc, ">=": ic >= pc, "!=": ic != pc}[op]
-                cond = c if cond is None else cond & c
-            matched = probes.join(inner_df, on=cond, how="inner")
-            aggs = agg_exprs(prefix, names)
-            aggd = top1_window_frame(matched, prefix, names) if aggs is None else matched.groupBy(*names).agg(*aggs)
-        on = None
-        for nm, oc, _, _ in probe_specs:
-            # null-safe join-back: the probe tuple came from the OUTER frame
-            # verbatim, so <=> is exact — for plain `=` components a NULL
-            # probe never produced an aggd row (ANSI empty-set), and for
-            # IS NOT DISTINCT FROM components the NULL probe's row matches
-            c = aggd[nm].eqNullSafe(oc)
-            on = c if on is None else on & c
-        out = df.join(aggd, on=on, how="left").drop(*names)
-        val = self._scalar_val_expr(
-            prefix,
-            is_agg,
-            count_shape,
-            top1,
-            limit1_any,
-            lambda: self._empty_agg_value(inner_df, to_column(expr, inner_scope)),
-        )
-        return val, out
-
-    def _decorrelate_scalar_grouped(self, df: DataFrame, scope: Scope, sub_sel, expr, is_agg) -> tuple[Node, DataFrame]:
-        """Correlated scalar whose FROM is a GROUPED derived table —
-        ``(SELECT max(s) FROM (SELECT sum(x) AS s FROM t WHERE t.k = o.k
-        GROUP BY t.g) q)`` — the max-per-group-per-key lookup (max daily
-        spend per customer, busiest hour per host, …).
-
-        Two-level decorrelation, both levels one distributed aggregate:
-        the derived table re-aggregates by (correlation keys + its own
-        GROUP BY), the outer aggregate collapses that to one row per
-        correlation key, and the standard LEFT JOIN carries the value
-        back. A tuple-at-a-time engine re-runs the whole grouped query
-        per outer row. Equality correlation only (a range conjunct would
-        need the probe machinery threaded through both levels)."""
-        from .nodes import SparkColNode
-
-        if not is_agg:
-            raise ExecError(
-                "correlated scalar over a grouped derived table must aggregate "
-                "(the derived table has one row per group, not per outer row)"
-            )
-        src = sub_sel.from_[0]
-        q_sel = src.subquery
-        if any(c.is_star for c in q_sel.columns):
-            raise ExecError("correlated grouped derived table cannot use *")
-        inner_df, inner_scope, pairs, _ = self._correlation_split(scope, q_sel, "scalar", allow_group=True)
-        self._subq_n = getattr(self, "_subq_n", 0) + 1
-        prefix = f"__csub{self._subq_n}"
-        key_names = [f"{prefix}_k{i}" for i in range(len(pairs))]
-        g_names = [f"{prefix}_g{j}" for j in range(len(q_sel.group_by))]
-        g_sqls = [g.sql() for g in q_sel.group_by]
-        group_cols = [to_column(g, inner_scope).alias(gn) for g, gn in zip(q_sel.group_by, g_names)]
-        aggs: list[SparkColumn] = []
-        post: list[SparkColumn] = []  # output columns of the derived table
-        for c in q_sel.columns:
-            name = c.output_name
-            if funcs.is_agg_tree(c.expr):
-                aggs.append(to_column(c.expr, inner_scope).alias(name))
-                post.append(F.col(name))
-            else:
-                try:
-                    j = g_sqls.index(c.expr.sql())
-                except ValueError:
-                    raise ExecError(
-                        f"derived-table column {c.expr.sql()} is neither an aggregate nor a GROUP BY key"
-                    ) from None
-                post.append(F.col(g_names[j]).alias(name))
-        qprime = (
-            inner_df.groupBy(*[ic.alias(kn) for (ic, _), kn in zip(pairs, key_names)], *group_cols)
-            .agg(*aggs)
-            .select(*key_names, *post)
-            .alias(src.ref)
-        )
-        # the OUTER level evaluates against the derived table's columns
-        qscope = Scope({src.ref: qprime}, includes=self.includes, params=self._scope_params())
-        for conj in self._conjuncts(sub_sel.where) if sub_sel.where is not None else []:
-            qprime = qprime.filter(to_column(conj, qscope))
-        count_shape = self._count_shape(expr)
-        out_aggs = [to_column(expr, qscope).alias(f"{prefix}_val")]
-        if count_shape == "composite":
-            out_aggs.append(F.count(F.lit(1)).alias(f"{prefix}_cnt"))
-        agg_df = qprime.groupBy(*key_names).agg(*out_aggs)
-        on = None
-        for i, ((_, oc), kn) in enumerate(zip(pairs, key_names)):
-            c = self._pair_cond(pairs, i, agg_df[kn], oc)
-            on = c if on is None else (on & c)
-        out = df.join(agg_df, on=on, how="left").drop(*key_names)
-        val = self._scalar_val_expr(
-            prefix,
-            True,
-            count_shape,
-            False,
-            False,
-            lambda: self._empty_agg_value(qprime, to_column(expr, qscope)),
-        )
-        return SparkColNode(col=val, dtype=None, text="(grouped correlated subquery)"), out
-
-    def _decorrelate_scalar(self, df: DataFrame, scope: Scope, sub_sel) -> tuple[Node, DataFrame]:
-        """Decorrelate one correlated scalar subquery: aggregate the inner
-        relation by its correlation keys, LEFT-JOIN the 1-row-per-key frame
-        onto the outer, and return (value node, joined frame).
-
-        Requirements (ANSI ≤1-row-per-outer-row guarantee by construction):
-        a plain single-column aggregate SELECT, correlation via equality
-        conjuncts. Inner-only conjuncts stay filters on the inner frame
-        (pushed to its scan). COUNT over an empty correlated set is 0, not
-        NULL (the classic count-bug) → coalesced."""
-        from .nodes import SparkColNode
-
-        if not isinstance(sub_sel, SqlSetOp) and sub_sel.columns and not sub_sel.columns[0].is_star:
-            expr = sub_sel.columns[0].expr
-        else:
-            raise ExecError("scalar subquery must return exactly one column")
-        is_agg = funcs.is_agg_tree(expr)
-        if (
-            len(sub_sel.from_) == 1
-            and sub_sel.from_[0].subquery is not None
-            and not isinstance(sub_sel.from_[0].subquery, SqlSetOp)
-            and sub_sel.from_[0].subquery.group_by
-        ):
-            # aggregate-over-grouped-correlated-derived-table, e.g.
-            # (SELECT max(s) FROM (SELECT sum(x) AS s FROM t
-            #  WHERE t.k = o.k GROUP BY t.g) q)
-            return self._decorrelate_scalar_grouped(df, scope, sub_sel, expr, is_agg)
-        if getattr(sub_sel, "group_by", None):
-            # direct GROUP BY inside the correlated scalar: legal exactly
-            # when the group keys are a subset of the correlation equality
-            # keys — then every outer row sees at most ONE group (the
-            # WHERE pins all keys), and an EMPTY set yields no group row
-            # → NULL, NOT the count-bug 0 (no coalesce here; that is the
-            # ANSI difference from the ungrouped form)
-            if not is_agg:
-                raise ExecError("correlated scalar subquery with GROUP BY must select an aggregate")
-            if len(sub_sel.columns) != 1:
-                raise ExecError(f"scalar subquery must return one column, got {len(sub_sel.columns)}")
-            import dataclasses
-
-            having = sub_sel.having
-            if having is not None and not funcs.is_agg_tree(having):
-                raise ExecError(
-                    "correlated scalar HAVING must be an aggregate predicate (e.g. count(*) > 2)"
-                )
-            inner_df, inner_scope, pairs, ranges = self._correlation_split(
-                scope, dataclasses.replace(sub_sel, having=None), "scalar",
-                allow_range=False, allow_group=True,
-            )
-            pair_strs = {str(ic) for ic, _ in pairs}
-            for g in sub_sel.group_by:
-                if str(to_column(g, inner_scope)) not in pair_strs:
-                    raise ExecError(
-                        f"correlated scalar GROUP BY key {g.sql()} must be one of the "
-                        "correlation equality keys (anything else can return more than "
-                        "one row per outer row)"
-                    )
-
-            def build_grouped(key_cols, prefix):
-                aggs = [to_column(expr, inner_scope).alias(f"{prefix}_val")]
-                if having is not None:
-                    # HAVING filters the (single) group: a filtered-out
-                    # group joins nothing → NULL, same as an empty group
-                    aggs.append(to_column(having, inner_scope).cast("boolean").alias(f"{prefix}_hav"))
-                g = inner_df.groupBy(*key_cols).agg(*aggs)
-                if having is not None:
-                    g = g.where(F.col(f"{prefix}_hav")).drop(f"{prefix}_hav")
-                return g
-
-            out, prefix = self._decorrelate_join(df, pairs, build_grouped)
-            return (
-                SparkColNode(col=F.col(f"{prefix}_val"), dtype=None, text="(grouped correlated scalar)"),
-                out,
-            )
-        inner_df, inner_scope, pairs, ranges = self._correlation_split(scope, sub_sel, "scalar", allow_range=True)
-
-        order_keys = [ok for ok in sub_sel.order_by if not isinstance(ok[0], NumberNode)]
-        top1 = not is_agg and sub_sel.limit == 1 and sub_sel.order_by and len(order_keys) == len(sub_sel.order_by)
-        # LIMIT 1 with no ORDER BY: any row is a valid answer (the limit
-        # itself is nondeterministic) — first() without the >1-row error
-        limit1_any = not is_agg and sub_sel.limit == 1 and not top1
-        count_shape = self._count_shape(expr) if is_agg else "none"
-
-        def agg_exprs(prefix, key_names):
-            """Aggregate list for one correlation group; or None when the
-            top-1 lowering needs a window (multi-key ORDER BY)."""
-            val_col = to_column(expr, inner_scope)
-            if is_agg:
-                aggs = [val_col.alias(f"{prefix}_val")]
-                if count_shape == "composite":
-                    # composite count expr (count(*)+1): need a matched
-                    # marker so the empty-set value can be substituted
-                    aggs.append(F.count(F.lit(1)).alias(f"{prefix}_cnt"))
-                return aggs
-            if top1 and len(order_keys) == 1:
-                # `… ORDER BY y [DESC] LIMIT 1` — the latest/first-value
-                # lookup: exactly one row per key by construction, lowered
-                # to max_by/min_by (single partial-aggregable pass; ties
-                # nondeterministic, same as LIMIT 1 itself)
-                okey, direction = sub_sel.order_by[0]
-                ocol = to_column(okey, inner_scope)
-                fn = F.max_by if direction.upper().startswith("DESC") else F.min_by
-                return [fn(val_col, ocol).alias(f"{prefix}_val")]
-            if top1:
-                return None  # multi-key ORDER BY → windowed top-1
-            if limit1_any:
-                return [F.first(val_col).alias(f"{prefix}_val")]
-            # NON-AGGREGATE inner select (the lookup-join pattern,
-            # `(SELECT c_name FROM customer WHERE c_custkey = o_custkey)`):
-            # ANSI demands ≤1 inner row PER MATCHED outer row — enforced
-            # distributed via a per-key count + raise_error, evaluated only
-            # for keys an outer row actually joins (unmatched multi-row
-            # keys don't error, per ANSI)
-            return [
-                F.first(val_col).alias(f"{prefix}_val"),
-                F.count(F.lit(1)).alias(f"{prefix}_cnt"),
-            ]
-
-        def top1_window_frame(keyed_df, prefix, key_names):
-            """Multi-key (possibly mixed-direction) ORDER BY … LIMIT 1:
-            row_number over the correlation keys; NULLS LAST both ways for
-            parity with the max_by/min_by single-key path (which ignores
-            NULL ordering values)."""
-            from pyspark.sql.window import Window
-
-            val_col = to_column(expr, inner_scope)
-            osel = [to_column(k, inner_scope).alias(f"{prefix}_o{i}") for i, (k, _) in enumerate(sub_sel.order_by)]
-            sel = keyed_df.select(*key_names, val_col.alias(f"{prefix}_val"), *osel) if isinstance(key_names[0], str) else None
-            ordered = [
-                F.col(f"{prefix}_o{i}").desc_nulls_last()
-                if d.upper().startswith("DESC")
-                else F.col(f"{prefix}_o{i}").asc_nulls_last()
-                for i, (_, d) in enumerate(sub_sel.order_by)
-            ]
-            w = Window.partitionBy(*key_names).orderBy(*ordered)
-            rn = f"{prefix}_rn"
-            return (
-                sel.withColumn(rn, F.row_number().over(w))
-                .where(F.col(rn) == 1)
-                .select(*key_names, f"{prefix}_val")
-            )
-
-        if ranges:
-            # NON-EQUALITY correlation (`t.ts <= o.ts`): the per-key
-            # pre-aggregate can't serve — lower through a distinct PROBE
-            # frame instead (see _decorrelate_scalar_range)
-            val, out = self._decorrelate_scalar_range(
-                df,
-                expr,
-                inner_df,
-                inner_scope,
-                pairs,
-                ranges,
-                is_agg,
-                count_shape,
-                agg_exprs,
-                top1,
-                top1_window_frame,
-                limit1_any,
-                order_by=sub_sel.order_by,
-            )
-            from .nodes import SparkColNode as _SCN
-
-            return _SCN(col=val, dtype=None, text="(range-correlated subquery)"), out
-
-        def build(key_cols, prefix):
-            key_names = [f"{prefix}_k{i}" for i in range(len(key_cols))]
-            aggs = agg_exprs(prefix, key_names)
-            if aggs is None:
-                # aliased keys + original inner columns so the window frame
-                # can resolve both by name and by expression id
-                return top1_window_frame(inner_df.select(*key_cols, *inner_df.columns), prefix, key_names)
-            return inner_df.groupBy(*key_cols).agg(*aggs)
-
-        out, prefix = self._decorrelate_join(df, pairs, build)
-        val = self._scalar_val_expr(
-            prefix,
-            is_agg,
-            count_shape,
-            top1,
-            limit1_any,
-            lambda: self._empty_agg_value(inner_df, to_column(expr, inner_scope)),
-        )
-        return SparkColNode(col=val, dtype=None, text=f"({sub_sel.sql() if hasattr(sub_sel, 'sql') else 'correlated subquery'})"), out
-
-    # quantified comparison (x <op> ANY/ALL (SELECT …)) lowering ---------
-    @staticmethod
-    def _quantified_expr(x: SparkColumn, base: str, quant: str, total, n_nn, n_null, mn, mx) -> SparkColumn:
-        """ANSI three-valued quantified comparison from the inner column's
-        (count, non-null count, null count, min, max) — the min/max rewrite
-        every distributed engine uses (a literal per-row probe would be
-        O(outer×inner)). Empty set: ALL → TRUE, ANY → FALSE; NULLs in the
-        inner set poison only the otherwise-deciding branch (UNKNOWN)."""
-        null_b = F.lit(None).cast("boolean")
-        if base in ("<", "<=", ">", ">="):
-            if quant == "ALL":
-                viol = {">": x <= mx, ">=": x < mx, "<": x >= mn, "<=": x > mn}[base]
-                return (
-                    F.when(total == 0, F.lit(True))
-                    .when(x.isNull(), null_b)
-                    .when((n_nn > 0) & viol, F.lit(False))
-                    .when(n_null > 0, null_b)
-                    .otherwise(F.lit(True))
-                )
-            sat = {">": x > mn, ">=": x >= mn, "<": x < mx, "<=": x <= mx}[base]
-            return (
-                F.when(total == 0, F.lit(False))
-                .when(x.isNull(), null_b)
-                .when((n_nn > 0) & sat, F.lit(True))
-                .when(n_null > 0, null_b)
-                .otherwise(F.lit(False))
-            )
-        if base == "=" and quant == "ALL":
-            viol = (mn != x) | (mx != x)
-            return (
-                F.when(total == 0, F.lit(True))
-                .when(x.isNull(), null_b)
-                .when((n_nn > 0) & viol, F.lit(False))
-                .when(n_null > 0, null_b)
-                .otherwise(F.lit(True))
-            )
-        if base == "!=" and quant == "ANY":
-            sat = (mn != x) | (mx != x)
-            return (
-                F.when(total == 0, F.lit(False))
-                .when(x.isNull(), null_b)
-                .when((n_nn > 0) & sat, F.lit(True))
-                .when(n_null > 0, null_b)
-                .otherwise(F.lit(False))
-            )
-        raise ExecError(f"unsupported quantified comparison {base} {quant}")  # pragma: no cover
-
-    def _materialize_quantified(self, x: SparkColumn, sub_select, base: str, quant: str) -> Node:
-        """UNCORRELATED quantified comparison: one bounded plan-time job
-        computes (count, non-null, min, max) of the inner column; the
-        comparison folds to a literal-threshold expression."""
-        from .nodes import SparkColNode
-
-        key = self._fold_key("quant", sub_select)
-        hit = self._fold_cache.get(key) if key else None
-        if hit is not None:
-            self.plan_cache_stats["fold_hits"] += 1
-            total, n_nn, mn, mx = hit
-            col = self._quantified_expr(
-                x, base, quant, F.lit(total), F.lit(n_nn), F.lit(total - n_nn), F.lit(mn), F.lit(mx)
-            )
-            return SparkColNode(col=col, dtype=T.BooleanType(), text=f"(x {base} {quant} subquery)")
-        sub_df = self._select_any(sub_select)
-        if len(sub_df.columns) != 1:
-            raise ExecError(f"quantified subquery must return one column, got {len(sub_df.columns)}")
-        c = sub_df[sub_df.columns[0]]
-        row = sub_df.agg(
-            F.count(F.lit(1)).alias("t"), F.count(c).alias("nn"), F.min(c).alias("mn"), F.max(c).alias("mx")
-        ).collect()[0]
-        total, n_nn = row["t"], row["nn"]
-        if key:
-            self.plan_cache_stats["fold_misses"] += 1
-            self._fold_cache[key] = (total, n_nn, row["mn"], row["mx"])
-        col = self._quantified_expr(
-            x, base, quant, F.lit(total), F.lit(n_nn), F.lit(total - n_nn), F.lit(row["mn"]), F.lit(row["mx"])
-        )
-        return SparkColNode(col=col, dtype=T.BooleanType(), text=f"(x {base} {quant} subquery)")
-
-    def _decorrelate_quantified(self, df: DataFrame, scope: Scope, x: SparkColumn, sub_sel, base: str, quant: str):
-        """CORRELATED quantified comparison: the per-correlation-key
-        (count, non-null, min, max) frame joins on like the scalar case;
-        outer rows with no matching key see an empty inner set (left-join
-        NULLs → counts coalesced to 0). RANGE correlation aggregates the
-        same statistics per distinct PROBE tuple instead (the
-        _decorrelate_scalar_range strategy)."""
-        from .nodes import SparkColNode
-
-        inner_df, inner_scope, pairs, ranges = self._correlation_split(scope, sub_sel, "quantified", allow_range=True)
-        val = to_column(sub_sel.columns[0].expr, inner_scope)
-
-        def stat_aggs(prefix):
-            return [
-                F.count(F.lit(1)).alias(f"{prefix}_t"),
-                F.count(val).alias(f"{prefix}_nn"),
-                F.min(val).alias(f"{prefix}_mn"),
-                F.max(val).alias(f"{prefix}_mx"),
-            ]
-
-        if ranges:
-            self._subq_n = getattr(self, "_subq_n", 0) + 1
-            p = f"__csub{self._subq_n}"
-            probe_specs = [
-            (f"{p}_k{i}", oc, ic, "<=>" if i in getattr(pairs, "nullsafe", ()) else "=")
-            for i, (ic, oc) in enumerate(pairs)
-        ]
-            probe_specs += [(f"{p}_r{j}", oc, ic, op) for j, (op, ic, oc) in enumerate(ranges)]
-            names = [nm for nm, _, _, _ in probe_specs]
-            probes = df.select(*[oc.alias(nm) for nm, oc, _, _ in probe_specs]).distinct()
-            cond = None
-            for nm, _, ic, op in probe_specs:
-                pc = probes[nm]
-                c = {"=": ic == pc, "<=>": ic.eqNullSafe(pc), "<": ic < pc, "<=": ic <= pc, ">": ic > pc, ">=": ic >= pc, "!=": ic != pc}[op]
-                cond = c if cond is None else cond & c
-            stats = probes.join(inner_df, on=cond, how="inner").groupBy(*names).agg(*stat_aggs(p))
-            on = None
-            for nm, oc, _, _ in probe_specs:
-                c = stats[nm].eqNullSafe(oc)
-                on = c if on is None else on & c
-            out = df.join(stats, on=on, how="left").drop(*names)
-        else:
-
-            def build(key_cols, prefix):
-                return inner_df.groupBy(*key_cols).agg(*stat_aggs(prefix))
-
-            out, p = self._decorrelate_join(df, pairs, build)
-        col = self._quantified_expr(
-            x,
-            base,
-            quant,
-            F.coalesce(F.col(f"{p}_t"), F.lit(0)),
-            F.coalesce(F.col(f"{p}_nn"), F.lit(0)),
-            F.coalesce(F.col(f"{p}_t") - F.col(f"{p}_nn"), F.lit(0)),
-            F.col(f"{p}_mn"),
-            F.col(f"{p}_mx"),
-        )
-        return SparkColNode(col=col, dtype=T.BooleanType(), text=f"(x {base} {quant} correlated subquery)"), out
-
-    def _resolve_scalar_subqueries(
-        self,
-        sel: SqlSelect,
-        fields: tuple[str, ...] = ("columns", "where", "having", "qualify"),
-        scalar_fn=None,
-        quant_fn=None,
-    ) -> SqlSelect:
-        """Rewrite scalar-subquery positions — ``(SELECT max(x) FROM t)``
-        in a comparison / select position, ``EXISTS (SELECT …)`` — through
-        ``scalar_fn`` (default: eager uncorrelated materialization via
-        ``_materialize_scalar``; correlated errors).
-
-        The eager default is used where a join-based lowering is
-        impossible: FROM-less selects (no outer frame to join onto) and
-        HAVING/QUALIFY (post-aggregation positions where a joined column
-        would not survive the groupBy). Select-list + WHERE positions go
-        through ``_rewrite_subqueries``, which passes a ``scalar_fn`` that
-        decorrelates. ``IN (SELECT …)`` is NOT handled here — the WHERE
-        path lowers it to a semi/anti-join."""
-        import dataclasses
-
-        from .nodes import SparkColNode
-
-        def scalar(sub: SubqueryNode) -> Node:
-            try:
-                return self._materialize_scalar(sub.select)
-            except TranslateError as exc:
-                raise ExecError(
-                    f"correlated scalar subqueries are supported in the select list and WHERE only "
-                    f"(this position aggregates before the decorrelating join could apply; inner resolution failed: {exc})"
-                ) from exc
-
-        def quant_default(left_node: Node, sub: SubqueryNode, base: str, quant: str) -> Node:
-            raise ExecError(
-                f"quantified subquery comparison ({base} {quant} (SELECT …)) is supported "
-                "in the select list and WHERE only"
-            )
-
-        if scalar_fn is None:
-            scalar_fn = scalar
-        if quant_fn is None:
-            quant_fn = quant_default
-
-        def walk(n):
-            return self._walk_subqueries(n, scalar_fn, quant_fn, None)
-
-        if not self._has_scalar_subquery(sel, fields):
-            return sel
-        repl: dict[str, object] = {}
-        if "columns" in fields:
-            repl["columns"] = [dataclasses.replace(c, expr=walk(c.expr), guard=walk(c.guard)) for c in sel.columns]
-        if "where" in fields:
-            repl["where"] = walk(sel.where)
-        if "having" in fields:
-            repl["having"] = walk(sel.having)
-        if "qualify" in fields:
-            repl["qualify"] = walk(sel.qualify)
-        return dataclasses.replace(sel, **repl)
-
-    def _walk_subqueries(self, n: Node | None, scalar_fn, quant_fn, in_fn=None, exists_fn=None) -> Node | None:
-        """Bottom-up subquery lowering over one expression tree. ``in_fn``
-        of None PRESERVES ``IN (SELECT)`` nodes (the WHERE semi-join path
-        claims them); a callable lowers them to a membership column.
-        ``exists_fn`` likewise: None preserves correlated EXISTS for the
-        semi-join; a callable lowers it to a boolean mark column
-        (select-list / disjunctive positions)."""
-        import dataclasses
-
-        from .nodes import ArrayNode, SparkColNode, TriNode
-
-        def walk(node: Node | None) -> Node | None:
-            return self._walk_subqueries(node, scalar_fn, quant_fn, in_fn, exists_fn)
-
-        if n is None:
-            return None
-        if isinstance(n, SubqueryNode):
-            return scalar_fn(n)
-        if isinstance(n, UnaryNode):
-            if n.op == "EXISTS" and isinstance(n.child, SubqueryNode):
-                try:
-                    inner = self._select_any(n.child.select)
-                except TranslateError:
-                    # inner references outer columns → CORRELATED; mark
-                    # column when the position allows it, else left intact
-                    # for _apply_where's semi-join rewrite
-                    return n if exists_fn is None else exists_fn(n.child)
-                return SparkColNode(col=F.lit(inner.limit(1).count() > 0), dtype=None, text="EXISTS(...)")
-            return UnaryNode(n.op, walk(n.child))
-        if isinstance(n, BinaryNode):
-            if n.op == "IN" and isinstance(n.right, SubqueryNode):
-                if in_fn is None:
-                    return BinaryNode(n.op, walk(n.left), n.right, n.negated)  # semi-join path
-                return in_fn(walk(n.left), n.right, n.negated)
-            if (n.op.endswith(" ANY") or n.op.endswith(" ALL")) and isinstance(n.right, SubqueryNode):
-                base, _, quant = n.op.partition(" ")
-                # = ANY ≡ IN and != ALL ≡ NOT IN — membership tests the
-                # min/max rewrite can't express; route to the semi/anti
-                # join path (NOT IN's anti-join shortcut documented)
-                if base == "=" and quant == "ANY":
-                    inner = BinaryNode("IN", walk(n.left), n.right, n.negated)
-                    return inner if in_fn is None else in_fn(inner.left, n.right, n.negated)
-                if base == "!=" and quant == "ALL":
-                    inner = BinaryNode("IN", walk(n.left), n.right, not n.negated)
-                    return inner if in_fn is None else in_fn(inner.left, n.right, not n.negated)
-                return quant_fn(walk(n.left), n.right, base, quant)
-            return BinaryNode(n.op, walk(n.left), walk(n.right), n.negated)
-        if isinstance(n, BooleanNode):
-            return BooleanNode(n.op, [walk(a) for a in n.args], n.negated)
-        if isinstance(n, FuncNode):
-            return dataclasses.replace(n, args=[walk(a) for a in n.args])
-        if isinstance(n, WindowNode):
-            return dataclasses.replace(
-                n,
-                func=dataclasses.replace(n.func, args=[walk(a) for a in n.func.args]),
-                partition_by=[walk(e) for e in n.partition_by],
-                order_by=[(walk(e), d) for e, d in n.order_by],
-            )
-        if isinstance(n, TriNode):
-            return dataclasses.replace(n, args=[walk(a) for a in n.args])
-        if isinstance(n, ArrayNode):
-            return dataclasses.replace(n, items=[walk(i) for i in n.items])
-        return n
-
-    @staticmethod
-    def _has_scalar_subquery(
-        sel: SqlSelect,
-        fields: tuple[str, ...] = ("columns", "where", "having", "qualify"),
-        include_in: bool = False,
-    ) -> bool:
-        """``include_in`` also counts ``IN (SELECT …)`` nodes — used by
-        `_rewrite_subqueries`, whose walk lowers select-list/disjunctive
-        INs (top-level WHERE conjunct INs stay with the semi-join path)."""
-
-        def scan(n: Node | None) -> bool:
-            if n is None:
-                return False
-            if isinstance(n, SubqueryNode):
-                return True
-            if isinstance(n, BinaryNode) and n.op == "IN" and isinstance(n.right, SubqueryNode):
-                return include_in or scan(n.left)
-            return any(scan(c) for c in n.children())
-
-        hit = False
-        if "columns" in fields:
-            hit = any(scan(c.expr) or scan(c.guard) for c in sel.columns)
-        if "where" in fields:
-            hit = hit or scan(sel.where)
-        if "having" in fields:
-            hit = hit or scan(sel.having)
-        if "qualify" in fields:
-            hit = hit or scan(sel.qualify)
-        return hit
 
     @staticmethod
     def _resolve_named_windows(sel: SqlSelect) -> SqlSelect:
@@ -4141,219 +2525,6 @@ class Engine:
         return self._schema_df(d.ident)
 
     # ------------------------------------------------------------------
-    # DML — in-memory/registered tables (≈ exec/mutations.go over membtree)
-    # at 100 TB scale the same statements route to Delta-style sinks; here
-    # the registry swap keeps DataFrame lineage (no collect of data rows)
-    # ------------------------------------------------------------------
-    def _insert(self, ins: SqlInsert) -> int:
-        base = self.table(ins.table)
-        # ANSI: no column list = positional against the table's columns
-        # (INSERT INTO t VALUES (...) / INSERT INTO t SELECT ...)
-        cols_target = ins.columns or list(base.columns)
-        if ins.select is not None:
-            sel_df = self._select_any(ins.select)
-            if len(sel_df.columns) != len(cols_target):
-                raise ExecError(
-                    f"INSERT INTO {ins.table}: SELECT produces "
-                    f"{len(sel_df.columns)} columns, target expects "
-                    f"{len(cols_target)} ({', '.join(cols_target)})"
-                )
-            new = sel_df.toDF(*cols_target)
-        else:
-            # VALUES may contain expressions — uuid(), now(), todate(...)
-            # (exec/exec_test.go INSERT/UPSERT cases) — translate each row
-            # as a 1-row projection and union
-            scope = Scope({}, includes=self.includes, params=self._scope_params())
-            row_dfs = []
-            for r in ins.rows:
-                if len(r) != len(cols_target):
-                    raise ExecError(
-                        f"INSERT INTO {ins.table}: VALUES row has {len(r)} "
-                        f"values, expected {len(cols_target)} "
-                        f"({', '.join(cols_target)})"
-                    )
-                cols = [to_column(node, scope).alias(cname) for cname, node in zip(cols_target, r)]
-                row_dfs.append(self.spark.range(1).select(*cols))
-            new = row_dfs[0]
-            for d in row_dfs[1:]:
-                new = new.unionByName(d)
-            for f in base.schema.fields:
-                if f.name in new.columns:
-                    new = new.withColumn(f.name, F.col(f.name).cast(f.dataType))
-        n = new.count()
-        # upsert key: the table's DECLARED key when registered
-        # (datasource/key.go KeyCol); fallback = first insert column
-        key = self.table_keys.get(ins.table.lower()) or cols_target[0]
-        sink = self.sinks.get(ins.table.lower())
-        if sink is not None:
-            # cluster write path: append / MERGE INTO on the sink table
-            if ins.upsert:
-                sink.merge_upsert(new, key)
-            else:
-                sink.insert_append(new)
-            self._maybe_auto_compact(sink)
-            self._maybe_auto_refresh(ins.table)
-            return n
-        merged = base.unionByName(new, allowMissingColumns=True)
-        if ins.upsert:
-            old_only = base.join(new.select(key), on=key, how="left_anti")
-            merged = old_only.unionByName(new, allowMissingColumns=True)
-        self.register_df(ins.table, merged)
-        return n
-
-    def _maybe_auto_compact(self, sink) -> None:
-        """Delta-``autoCompact``-parity: after a DML commit, when
-        ``SET optimize.auto_compact = true`` and the new snapshot holds
-        at least ``optimize.auto_compact_min_files`` (default 16) files
-        under ``optimize.target_file_mb``, run the INCREMENTAL
-        compaction (rewrite only the small files, hardlink the rest) as
-        a follow-up layout-only commit. Streaming CDC appends/merges
-        fragment a table one tiny file per batch; this keeps the file
-        count bounded without an operator remembering to OPTIMIZE.
-        Driver-side size check only; losing a commit race just defers
-        compaction to the next statement."""
-        # normalize the flag: SET arrives as whatever the statement's
-        # literal evaluated to (bool, int, or string) — only explicit
-        # true-ish spellings enable; 'false'/'off'/'0' must DISABLE
-        # (raw truthiness would treat any non-empty string as enabled)
-        flag = self.session_vars.get("optimize.auto_compact")
-        if isinstance(flag, str):
-            flag = flag.strip().lower() in ("true", "1", "on", "yes")
-        if not flag:
-            return
-        if not (hasattr(sink, "optimize") and hasattr(sink, "_data_rels")):
-            return
-        import os
-
-        from .sinks import ConcurrentWriteError
-
-        target_mb = float(self.session_vars.get("optimize.target_file_mb", 128))
-        min_files = int(self.session_vars.get("optimize.auto_compact_min_files", 16))
-        cur = sink._version()
-        if cur < 0:
-            return
-        vdir = sink._data_dir(cur)
-        rels = sink._data_rels(cur)
-        # hive-partitioned sinks: scope to the partitions the triggering
-        # DML actually touched. A COW commit hardlinks unchanged files
-        # under their SAME relative paths, so this commit's fresh files
-        # are exactly rels(cur) − rels(cur−1); their partition dirs are
-        # the touched set. Steady-state CDC into one hot partition then
-        # never re-reads (or recompacts) cold partitions' small-file
-        # survivors — at 100 TB the candidate set is O(hot partition),
-        # not O(table).
-        scope_dirs = None
-        if getattr(sink, "partition_by", None):
-            prev = set(sink._data_rels(cur - 1)) if cur > 0 else set()
-            touched = {os.path.dirname(r) for r in rels if r not in prev}
-            if not touched:
-                return  # layout-only / no-op commit: nothing new to compact
-            scope_dirs = sorted(touched)
-            rels = [r for r in rels if os.path.dirname(r) in touched]
-        thresh = int(target_mb * (1 << 20))
-        small = 0
-        for r in rels:
-            try:
-                if os.path.getsize(os.path.join(vdir, r)) < thresh:
-                    small += 1
-            except OSError:
-                return  # concurrent vacuum/commit mid-listing: skip this round
-            if small >= min_files:
-                break
-        if small < min_files:
-            return
-        try:
-            sink.optimize(target_file_mb=target_mb, scope_dirs=scope_dirs)
-        except ConcurrentWriteError:
-            pass  # another writer committed first — next DML re-checks
-
-    def _dml_conjuncts(self, table: str, where) -> list:
-        """Pushable WHERE conjuncts of a single-table DML statement, for
-        the sink's file-pruned (copy-on-write) rewrite path. Best-effort:
-        an unextractable predicate just means a full rewrite."""
-        if where is None:
-            return []
-        try:
-            from .skipping import extract_conjuncts
-
-            return extract_conjuncts(where, {table.lower()}, allow_bare=True)
-        except Exception:
-            return []
-
-    def _update(self, upd: SqlUpdate) -> int:
-        df = self.table(upd.table)
-        scope = Scope({upd.table: df}, includes=self.includes)
-        mask = to_column(upd.where, scope) if upd.where is not None else F.lit(True)
-        sink = self.sinks.get(upd.table.lower())
-        assignments: dict[str, SparkColumn] = {}
-        for cname, node in upd.values.items():
-            newv = to_column(node, scope)
-            fld = next((f for f in df.schema.fields if f.name.lower() == cname.lower()), None)
-            if fld is not None:
-                newv = newv.cast(fld.dataType)
-                cname = fld.name
-            assignments[cname] = newv
-        if sink is not None:
-            # ConnPatchWhere.PatchWhere parity: predicate + assignments
-            # pushed into the table format (transactional UPDATE WHERE).
-            # COW-capable sinks also get the pushable WHERE conjuncts so
-            # they rewrite only the files whose stats could match and
-            # hardlink the rest (O(changed files), not O(table)) — and
-            # they measure the affected count ON the rewrite job
-            # (df.observe), so no separate count scan runs per statement
-            if hasattr(sink, "_cow_split"):
-                r = sink.update_where(
-                    mask, assignments, conjuncts=self._dml_conjuncts(upd.table, upd.where)
-                )
-                self._maybe_auto_compact(sink)
-                self._maybe_auto_refresh(upd.table)
-                return int(r) if r is not None else df.filter(mask).count()
-            n = df.filter(mask).count()
-            sink.update_where(mask, assignments)
-            return n
-        n = df.filter(mask).count()
-        for cname, newv in assignments.items():
-            df = df.withColumn(cname, F.when(mask, newv).otherwise(F.col(cname)))
-        self.register_df(upd.table, df)
-        return n
-
-    def _delete(self, d: SqlDelete) -> int:
-        df = self.table(d.table)
-        scope = Scope({d.table: df}, includes=self.includes)
-        sink = self.sinks.get(d.table.lower())
-        if d.where is None:
-            if sink is not None:
-                if hasattr(sink, "_cow_split"):
-                    r = sink.delete_where(None)
-                    if r is not None:
-                        return int(r)
-                    return df.count()
-                # non-counting sinks (e.g. Delta) mutate in place: count
-                # BEFORE the delete, or the lazy frame would read 0
-                n = df.count()
-                sink.delete_where(None)
-                return n
-            n = df.count()
-            self.register_df(d.table, df.limit(0))
-            return n
-        mask = to_column(d.where, scope)
-        if sink is not None:
-            # ConnDeletion.DeleteExpression parity: predicate pushed down.
-            # COW sinks measure the deleted count ON the rewrite job
-            # (df.observe) — no separate count scan per statement
-            if hasattr(sink, "_cow_split"):
-                r = sink.delete_where(mask, conjuncts=self._dml_conjuncts(d.table, d.where))
-                self._maybe_auto_compact(sink)
-                self._maybe_auto_refresh(d.table)
-                return int(r) if r is not None else df.filter(mask).count()
-            n = df.filter(mask).count()
-            sink.delete_where(mask)
-            return n
-        n = df.filter(mask).count()
-        self.register_df(d.table, df.filter(~mask | mask.isNull()))
-        return n
-
-    # ------------------------------------------------------------------
     # DDL (exec/ddl.go:54-134)
     # ------------------------------------------------------------------
     def _create(self, c: SqlCreate):
@@ -4467,557 +2638,6 @@ class Engine:
             raise ExecError(f"cannot drop unknown {d.ident}")
         return None
 
-    def _create_matview(self, c: SqlCreate):
-        """CREATE MATERIALIZED VIEW — materialize the query and, when it
-        fits the signed-delta algebra over a versioned-sink base
-        (matview.analyze), store it in incremental STATE form so REFRESH
-        consumes only the change feed. ``WITH {"path": "..."}`` persists
-        the state in a ParquetMergeSink (durable + versioned) instead of
-        a localCheckpoint."""
-        from .matview import MatView, analyze, exposed_frame, persist_state, state_frame
-
-        if c.select is None:
-            raise ExecError("CREATE MATERIALIZED VIEW requires AS SELECT")
-        lname = c.ident.lower()
-        if c.if_not_exists and lname in self.mat_views:
-            return None
-        mv = analyze(self, c.select) if isinstance(c.select, SqlSelect) else None
-        if mv is None:
-            mv = MatView(name=lname, select=c.select)
-        mv.name = lname
-        # the trailing WITH {...} config map parses onto the SELECT itself
-        # (reference grammar); accept it from either position
-        with_cfg = dict(getattr(c.select, "with_", None) or {})
-        with_cfg.update(c.with_ or {})
-        path = with_cfg.get("path")
-        if path:
-            from .sinks import ParquetMergeSink
-
-            mv.state_sink = ParquetMergeSink(
-                self.spark, str(path), key=mv.key_cols[0] if mv.key_cols else "__mv_n"
-            )
-            if mv.incremental and mv.has_distinct:
-                # durable substates: one sibling sink per DISTINCT agg
-                mv.sub_sinks = [
-                    ParquetMergeSink(
-                        self.spark, f"{path}__d{a.d_idx}", key="__mv_dv"
-                    )
-                    for a in mv.aggs
-                    if a.d_idx is not None
-                ]
-        if mv.incremental:
-            from .matview import persist_substates, sub_state_frames
-
-            sink = self.sinks[mv.base]
-            mv.base_version = max(sink.versions())
-            if mv.dim:
-                mv.dim_version = max(self.sinks[mv.dim].versions())
-            # exposed dtypes from the ORIGINAL query's analyzed schema
-            # (analysis only — no job): incremental refreshes cast back to
-            # these, so the view stays schema-identical to a recompute
-            mv.exposed_types = {
-                f.name: f.dataType for f in self._select_any(c.select).schema.fields
-            }
-            base_df = sink.scan(self.spark, version=mv.base_version)
-            # the delete-repair flag is delta-only state; never persisted
-            mv.internal = persist_state(
-                mv, state_frame(self, mv, base_df, F.lit(1), weight_mode="one").drop("__mv_neg")
-            )
-            if mv.has_distinct:
-                mv.substates = persist_substates(
-                    mv, sub_state_frames(self, mv, base_df, F.lit(1), weight_mode="one")
-                )
-        else:
-            mv.internal = persist_state(mv, self._select_any(c.select))
-        self.mat_views[lname] = mv
-        self.register_df(lname, exposed_frame(mv))
-        return None
-
-    _REFRESH_REPORT_SCHEMA = "view string, mode string, from_version long, to_version long"
-
-    def _refresh(self, r: SqlRefresh) -> DataFrame:
-        """REFRESH [ALL] MATERIALIZED VIEW[S] — incremental when possible;
-        one report row per refreshed view naming the mode that ran. ALL
-        refreshes every registered view through a shared feed cache, so N
-        views over one base plan (and read) that base's backlog ONCE."""
-        if r.all_views:
-            rows = self._refresh_views(list(self.mat_views), full=r.full)
-            return self.spark.createDataFrame(rows, self._REFRESH_REPORT_SCHEMA)
-        return self.spark.createDataFrame(
-            [self._refresh_one(r.view, r.full, None)], self._REFRESH_REPORT_SCHEMA
-        )
-
-    def _refresh_views(self, names: list, full: bool = False) -> list:
-        """Refresh ``names`` in order, planning each base/dim table's
-        change backlog ONCE: the feed cache keys on (table, checkpoint
-        version), and a feed that more than one view will fold is
-        materialized (localCheckpoint) so the second consumer reads the
-        captured delta instead of re-reading the recordings. Returns the
-        report rows."""
-        from collections import Counter
-
-        shared: Counter = Counter()
-        for n in names:
-            mv = self.mat_views.get(n)
-            if mv is not None and mv.incremental and not full:
-                shared[(mv.base, mv.base_version)] += 1
-                if mv.dim:
-                    shared[(mv.dim, mv.dim_version)] += 1
-        cache = {"shared": {k for k, c in shared.items() if c > 1}, "feeds": {}}
-        return [self._refresh_one(n, full, cache) for n in names]
-
-    def _changes_since_cached(self, cache, table: str, after: int):
-        """changes_since through the shared multi-view feed cache (None →
-        direct). Cached per (table, checkpoint); feeds expected by more
-        than one view are materialized once, caught-up (empty) feeds are
-        not worth a checkpoint job."""
-        if cache is None:
-            return self.changes_since(table, after)
-        key = (table, after)
-        hit = cache["feeds"].get(key)
-        if hit is None:
-            changes, cur = self.changes_since(table, after)
-            if key in cache["shared"] and cur != after:
-                changes = changes.localCheckpoint(eager=True)
-            hit = cache["feeds"][key] = (changes, cur)
-        return hit
-
-    def _maybe_auto_refresh(self, table: str) -> None:
-        """ON-COMMIT materialized-view maintenance: after a DML commit on
-        a versioned sink, when ``SET matview.auto_refresh = true``, fold
-        the commit's delta into every registered view whose base OR dim
-        is that table — the per-commit delta is tiny (O(changes)), so the
-        views stay query-consistent with no explicit REFRESH. Views
-        sharing the table plan the backlog once (shared feed cache). The
-        refresh reads a pinned version window, so a concurrent writer
-        committing mid-refresh just leaves a later delta for the next
-        hook invocation."""
-        flag = self.session_vars.get("matview.auto_refresh")
-        if isinstance(flag, str):
-            flag = flag.strip().lower() in ("true", "1", "on", "yes")
-        if not flag or getattr(self, "_auto_refreshing", False):
-            return
-        t = table.lower()
-        names = [
-            n for n, mv in self.mat_views.items() if t in (mv.base, mv.dim)
-        ]
-        if not names:
-            return
-        self._auto_refreshing = True
-        try:
-            self._refresh_views(names)
-        finally:
-            self._auto_refreshing = False
-
-    def _refresh_one(self, view: str, full: bool, cache) -> tuple:
-        """One view's refresh — incremental when possible: fold the
-        base sink's commits since the last refresh (changes_since CDF)
-        into the stored aggregation state; O(|changes| + |view|), never a
-        base rescan. Falls back to full recompute when FULL is forced,
-        the view isn't incrementally maintainable, or the change feed has
-        a vacuumed gap. Returns the report row naming the mode that
-        actually ran."""
-        from .matview import (
-            exposed_frame,
-            merge_state,
-            merge_substates,
-            persist_state,
-            persist_substates,
-            repair_extrema,
-            state_frame,
-            sub_state_frames,
-        )
-
-        def _fold_substates(mv, deltas):
-            mv.substates = persist_substates(
-                mv, merge_substates(mv, mv.substates, deltas)
-            )
-
-        lname = view.lower()
-        mv = self.mat_views.get(lname)
-        if mv is None:
-            raise ExecError(f"REFRESH MATERIALIZED VIEW: unknown materialized view {view!r}")
-        mode = "full"
-        v_from = mv.base_version
-        dim_moved = False
-        dsink = None
-        if mv.dim:
-            dsink = self.sinks.get(mv.dim)
-            if dsink is None:
-                raise ExecError(
-                    f"materialized view {view!r}: dim {mv.dim!r} is no longer a registered sink"
-                )
-            dim_moved = max(dsink.versions()) != mv.dim_version
-        # a dim commit maintains incrementally for INNER joins (bilinear
-        # higher-order identity) and for LEFT joins over a plain
-        # equi-join ON (the NULL-extension term isn't bilinear, but with
-        # a single-equality key the flip set is computable: a fact row's
-        # null-extended row flips exactly when its key's dim match count
-        # crosses 0↔1 — see the null-flip term below). LEFT joins with a
-        # compound/non-equi ON fall back to full recompute inside the
-        # branch once the ON shape is known.
-        jt = mv.select.from_[1].join_type if len(mv.select.from_) > 1 else None
-        # dim-preserved outer joins need the match-count terms on EVERY
-        # refresh (a fact-only delta can flip a dim row's null extension)
-        right_like = jt in ("RIGHT", "RIGHT OUTER", "FULL", "FULL OUTER")
-        dim_incrementable = not dim_moved or jt in (
-            "INNER",
-            "LEFT",
-            "LEFT OUTER",
-            "RIGHT",
-            "RIGHT OUTER",
-            "FULL",
-            "FULL OUTER",
-        )
-        if mv.incremental and not full and dim_incrementable:
-            if self.sinks.get(mv.base) is None:
-                raise ExecError(
-                    f"materialized view {view!r}: base {mv.base!r} is no longer a registered sink"
-                )
-            try:
-                changes, cur = self._changes_since_cached(cache, mv.base, mv.base_version)
-                dim_changes = d_cur = None
-                if dim_moved or (right_like and cur != mv.base_version):
-                    dim_changes, d_cur = self._changes_since_cached(cache, mv.dim, mv.dim_version)
-                    if mv.base_version not in self.sinks[mv.base].versions():
-                        # the F_old ⋈ ΔD / match-count terms need the
-                        # fact's OLD snapshot; vacuumed → full recompute
-                        changes = None
-                    elif dsink is not None and mv.dim_version not in dsink.versions():
-                        # the null-flip / match-count terms (T4/T5) scan the
-                        # dim's OLD snapshot; recordings can outlive a
-                        # vacuumed version, so guard symmetrically
-                        changes = None
-            except ExecError:
-                changes = None  # vacuumed gap / stale checkpoint → full recompute
-            if changes is not None:
-                if cur == mv.base_version and not dim_moved:
-                    mode = "noop"
-                else:
-                    mode = "incremental"
-                    w = F.when(
-                        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
-                    ).otherwise(F.lit(-1))
-                    if not dim_moved and not right_like:
-                        delta = state_frame(self, mv, changes, w)
-                        merged = merge_state(mv, mv.internal, delta)
-                        if mv.has_extrema:
-                            # min/max don't fold under deletes; re-aggregate
-                            # exactly the delete-touched groups from the base
-                            merged = repair_extrema(self, mv, merged, cur, dim_version=mv.dim_version)
-                        mv.internal = persist_state(mv, merged)
-                        if mv.has_distinct:
-                            _fold_substates(
-                                mv, sub_state_frames(self, mv, changes, w)
-                            )
-                    else:
-                        # higher-order join maintenance. Matched part
-                        # (bilinearity of INNER join over signed multiset
-                        # union: F_new⋈D_new − F_old⋈D_old
-                        #   = ΔF⋈(D_old+ΔD) + F_old⋈ΔD):
-                        #   T1 = ΔF ⋈ D_new   (dim PINNED at its new version)
-                        #   T2 = F_old ⋈ ΔD   (signed dim delta substituted
-                        #        for the dim relation; INNER semantics)
-                        # Null-extension parts (plain equi key required —
-                        # a side's null-extended row flips exactly when
-                        # its key's match count on the OTHER side crosses
-                        # 0↔1, computable per key from two snapshots
-                        # restricted to the delta's keys):
-                        #   LEFT/FULL:  T3 = ΔF rows unmatched in D_new
-                        #               T4 = F_old rows whose key's dim
-                        #                    match count crossed (ΔD)
-                        #   RIGHT/FULL: T5 = ΔD rows unmatched in F_old
-                        #               T6 = D_new rows whose key's fact
-                        #                    match count crossed (ΔF)
-                        # (for LEFT, T1 runs the view's own LEFT join, so
-                        # T3 is folded into it; RIGHT/FULL T1 must run
-                        # INNER — a dim-preserved join of a fact DELTA
-                        # would drag in every unmatched dim row.)
-                        from .matview import _UNSET, equi_join_prune_cols
-
-                        left_like = jt in ("LEFT", "LEFT OUTER", "FULL", "FULL OUTER")
-                        full_join = jt in ("FULL", "FULL OUTER")
-                        d_cur = d_cur if d_cur is not None else mv.dim_version
-                        d_new = dsink.scan(self.spark, version=d_cur)
-                        dw = F.when(
-                            F.col("_change_type").isin("insert", "update_postimage"),
-                            F.lit(1),
-                        ).otherwise(F.lit(-1))
-                        if dim_changes is not None:
-                            keep = [
-                                c
-                                for c in dim_changes.columns
-                                if c in set(d_new.columns)
-                            ]
-                            d_delta = dim_changes.select(*keep, dw.alias("__dw"))
-                        else:
-                            d_delta = None
-                        f_old_full = self.sinks[mv.base].scan(
-                            self.spark, version=mv.base_version
-                        )
-                        f_old = f_old_full
-                        pj = equi_join_prune_cols(
-                            mv,
-                            {c.lower() for c in f_old.columns},
-                            {c.lower() for c in d_new.columns},
-                        )
-                        if (left_like or right_like) and pj is None:
-                            mode = "full"  # non-equi outer ON: flips unknowable
-                        else:
-                            fact_col = dim_col = None
-                            dkeys_df = None
-                            if pj is not None:
-                                fact_col, dim_col = pj
-                            if pj is not None and d_delta is not None:
-                                # the dim delta's distinct join keys: the
-                                # affected-fact filter; IN-list pushdown
-                                # (file/row-group skipping) when small
-                                dkeys_df = (
-                                    d_delta.filter(F.col(dim_col).isNotNull())
-                                    .select(F.col(dim_col).alias("__mv_dk"))
-                                    .distinct()
-                                )
-                                dkeys = [
-                                    row[0]
-                                    for row in dkeys_df.limit(1001).collect()
-                                ]
-                                if len(dkeys) <= 1000:
-                                    # matched-part rows require a non-null
-                                    # key in this set; empty set → no rows
-                                    f_old = f_old.filter(
-                                        F.col(fact_col).isin(dkeys)
-                                        if dkeys
-                                        else F.lit(False)
-                                    )
-                            saved = self.tables.get(mv.dim, _UNSET)
-                            self.tables[mv.dim] = d_new
-                            try:
-                                terms = []
-                                sub_specs = []  # (df, weight, dim_df, mode, override)
-
-                                def _add(df, wt, dd=None, wmode=None, jo=None):
-                                    terms.append(
-                                        state_frame(
-                                            self, mv, df, wt, dim_df=dd,
-                                            weight_mode=wmode, join_override=jo,
-                                        )
-                                    )
-                                    sub_specs.append((df, wt, dd, wmode, jo))
-
-                                # T1 (+ T3 folded in for LEFT; explicit for FULL)
-                                _add(changes, w, jo="INNER" if right_like else None)
-                                if full_join:
-                                    fkeys1 = (
-                                        changes.filter(F.col(fact_col).isNotNull())
-                                        .select(F.col(fact_col).alias("__mv_fk"))
-                                        .distinct()
-                                    )
-                                    c3 = (
-                                        d_new.join(
-                                            F.broadcast(fkeys1),
-                                            d_new[dim_col] == fkeys1["__mv_fk"],
-                                            "left_semi",
-                                        )
-                                        .groupBy(F.col(dim_col).alias("__mv_fk"))
-                                        .agg(F.count(F.lit(1)).alias("__mv_c3"))
-                                    )
-                                    f3 = (
-                                        changes.join(
-                                            F.broadcast(c3),
-                                            changes[fact_col] == c3["__mv_fk"],
-                                            "left",
-                                        )
-                                        .filter(F.col("__mv_c3").isNull())
-                                        .drop("__mv_fk", "__mv_c3")
-                                    )
-                                    _add(f3, w, dd=d_new.limit(0))
-                                # T2 — matched part of the dim delta
-                                if d_delta is not None:
-                                    _add(
-                                        f_old, F.lit(1), dd=d_delta,
-                                        wmode="product", jo="INNER",
-                                    )
-                                # T4 — fact-side null-extension flips (ΔD)
-                                if left_like and dkeys_df is not None:
-                                    d_old_snap = dsink.scan(
-                                        self.spark, version=mv.dim_version
-                                    )
-
-                                    def _dkc(ddf, out):
-                                        return (
-                                            ddf.join(
-                                                F.broadcast(dkeys_df),
-                                                ddf[dim_col] == dkeys_df["__mv_dk"],
-                                                "left_semi",
-                                            )
-                                            .groupBy(F.col(dim_col).alias("__mv_dk"))
-                                            .agg(F.count(F.lit(1)).alias(out))
-                                        )
-
-                                    flips = (
-                                        dkeys_df.join(
-                                            _dkc(d_old_snap, "__mv_mo"), "__mv_dk", "left"
-                                        )
-                                        .join(_dkc(d_new, "__mv_mn"), "__mv_dk", "left")
-                                        .select(
-                                            "__mv_dk",
-                                            F.coalesce("__mv_mo", F.lit(0)).alias("__mv_mo"),
-                                            F.coalesce("__mv_mn", F.lit(0)).alias("__mv_mn"),
-                                        )
-                                        .filter(
-                                            (F.col("__mv_mo") == 0)
-                                            != (F.col("__mv_mn") == 0)
-                                        )
-                                        # key gained matches → null-extended
-                                        # rows RETRACT (−1); lost all → +1
-                                        .withColumn(
-                                            "__mv_fw",
-                                            F.when(
-                                                F.col("__mv_mn") == 0, F.lit(1)
-                                            ).otherwise(F.lit(-1)),
-                                        )
-                                        .select("__mv_dk", "__mv_fw")
-                                    )
-                                    f_flip = f_old_full.join(
-                                        F.broadcast(flips),
-                                        f_old_full[fact_col] == flips["__mv_dk"],
-                                        "inner",
-                                    ).drop("__mv_dk")
-                                    _add(
-                                        f_flip, F.col("__mv_fw"),
-                                        dd=d_new.limit(0),
-                                    )
-                                # T5 — dim-side null extensions of ΔD at F_old
-                                if right_like and d_delta is not None:
-                                    mo5 = (
-                                        f_old_full.join(
-                                            F.broadcast(dkeys_df),
-                                            f_old_full[fact_col] == dkeys_df["__mv_dk"],
-                                            "left_semi",
-                                        )
-                                        .groupBy(F.col(fact_col).alias("__mv_dk"))
-                                        .agg(F.count(F.lit(1)).alias("__mv_m5"))
-                                    )
-                                    d5 = (
-                                        d_delta.join(
-                                            F.broadcast(mo5),
-                                            d_delta[dim_col] == mo5["__mv_dk"],
-                                            "left",
-                                        )
-                                        .filter(F.col("__mv_m5").isNull())
-                                        .drop("__mv_dk", "__mv_m5")
-                                    )
-                                    _add(
-                                        f_old_full.limit(0), F.lit(1),
-                                        dd=d5, wmode="dim",
-                                    )
-                                # T6 — dim rows whose fact match count
-                                # crossed 0↔1 via ΔF
-                                if right_like and cur != mv.base_version:
-                                    fkeys6 = (
-                                        changes.filter(F.col(fact_col).isNotNull())
-                                        .select(F.col(fact_col).alias("__mv_fk"))
-                                        .distinct()
-                                    )
-                                    f_new_full = self.sinks[mv.base].scan(
-                                        self.spark, version=cur
-                                    )
-
-                                    def _fkc(fdf, out):
-                                        return (
-                                            fdf.join(
-                                                F.broadcast(fkeys6),
-                                                fdf[fact_col] == fkeys6["__mv_fk"],
-                                                "left_semi",
-                                            )
-                                            .groupBy(F.col(fact_col).alias("__mv_fk"))
-                                            .agg(F.count(F.lit(1)).alias(out))
-                                        )
-
-                                    fflips = (
-                                        fkeys6.join(
-                                            _fkc(f_old_full, "__mv_mo"), "__mv_fk", "left"
-                                        )
-                                        .join(_fkc(f_new_full, "__mv_mn"), "__mv_fk", "left")
-                                        .select(
-                                            "__mv_fk",
-                                            F.coalesce("__mv_mo", F.lit(0)).alias("__mv_mo"),
-                                            F.coalesce("__mv_mn", F.lit(0)).alias("__mv_mn"),
-                                        )
-                                        .filter(
-                                            (F.col("__mv_mo") == 0)
-                                            != (F.col("__mv_mn") == 0)
-                                        )
-                                        .withColumn(
-                                            "__dw",
-                                            F.when(
-                                                F.col("__mv_mn") == 0, F.lit(1)
-                                            ).otherwise(F.lit(-1)),
-                                        )
-                                        .select("__mv_fk", "__dw")
-                                    )
-                                    d6 = d_new.join(
-                                        F.broadcast(fflips),
-                                        d_new[dim_col] == fflips["__mv_fk"],
-                                        "inner",
-                                    ).drop("__mv_fk")
-                                    _add(
-                                        f_old_full.limit(0), F.lit(1),
-                                        dd=d6, wmode="dim",
-                                    )
-
-                                delta = terms[0]
-                                for t in terms[1:]:
-                                    delta = delta.unionByName(t)
-                                merged = merge_state(mv, mv.internal, delta)
-                                if mv.has_extrema:
-                                    merged = repair_extrema(self, mv, merged, cur, dim_version=d_cur)
-                                mv.internal = persist_state(mv, merged)
-                                if mv.has_distinct:
-                                    sub_terms = [
-                                        sub_state_frames(
-                                            self, mv, df, wt, dim_df=dd,
-                                            weight_mode=wmode,
-                                            join_override=jo,
-                                        )
-                                        for df, wt, dd, wmode, jo in sub_specs
-                                    ]
-                                    deltas = []
-                                    for i in range(len(sub_terms[0])):
-                                        u = sub_terms[0][i]
-                                        for t in sub_terms[1:]:
-                                            u = u.unionByName(t[i])
-                                        deltas.append(u)
-                                    _fold_substates(mv, deltas)
-                            finally:
-                                if saved is _UNSET:
-                                    self.tables.pop(mv.dim, None)
-                                else:
-                                    self.tables[mv.dim] = saved
-                            mv.dim_version = d_cur
-                    if mode == "incremental":
-                        mv.base_version = cur
-        if mode == "full":
-            if mv.incremental:
-                sink = self.sinks[mv.base]
-                mv.base_version = max(sink.versions())
-                if mv.dim:
-                    # a dim commit forced this full recompute; re-pin it
-                    mv.dim_version = max(self.sinks[mv.dim].versions())
-                base_df = sink.scan(self.spark, version=mv.base_version)
-                mv.internal = persist_state(
-                    mv, state_frame(self, mv, base_df, F.lit(1), weight_mode="one").drop("__mv_neg")
-                )
-                if mv.has_distinct:
-                    mv.substates = persist_substates(
-                        mv, sub_state_frames(self, mv, base_df, F.lit(1), weight_mode="one")
-                    )
-            else:
-                mv.internal = persist_state(mv, self._select_any(mv.select))
-        if mode != "noop":
-            self.register_df(lname, exposed_frame(mv))
-        return (view, mode, v_from, mv.base_version)
-
     def _command(self, cmd: SqlCommand):
         if cmd.kw == "SET":
             self.session_vars[cmd.ident] = _literal_value(cmd.value) if cmd.value is not None else None
@@ -5026,661 +2646,6 @@ class Engine:
             self.name = cmd.ident
             return None
         return None  # ROLLBACK/COMMIT are parse-only no-ops (lex/dialect_sql.go:203-210)
-
-    # ------------------------------------------------------------------
-    # MERGE INTO — ANSI conditional upsert/delete (superset: the
-    # reference only exposes sink-level whole-row upsert)
-    # ------------------------------------------------------------------
-    @staticmethod
-    def _normalize_merge_sets(m: SqlMerge, t_ref: str, tcols: list) -> None:
-        """Normalize UPDATE SET keys in place: strip a leading target
-        alias/name qualifier (the lexer folds ``t.v`` into one IDENT),
-        case-fold to the target column's spelling, and reject keys that
-        resolve to no target column (silently dropping an assignment
-        would corrupt data while still counting the row as affected).
-        Idempotent, so prepared statements re-running the same parsed
-        tree are safe."""
-        by_lower = {c.lower(): c for c in tcols}
-        prefixes = (f"{t_ref.lower()}.", f"{m.target.lower()}.")
-        for cl in m.clauses:
-            if cl.action != "update" or cl.set_values == "*":
-                continue
-            norm = {}
-            for k, v in cl.set_values.items():
-                kl = k.lower()
-                for p in prefixes:
-                    if kl.startswith(p):
-                        kl = kl[len(p):]
-                        break
-                col = by_lower.get(kl)
-                if col is None:
-                    raise ExecError(
-                        f"MERGE UPDATE SET references unknown target column {k!r} "
-                        f"(target columns: {tcols})"
-                    )
-                norm[col] = v
-            cl.set_values = norm
-
-    # expression constructs whose qlbridge semantics MATCH Spark SQL's —
-    # only these may be lowered verbatim onto a native sink merge builder.
-    # Deliberately excluded (engine semantics diverge): BETWEEN (exclusive
-    # bounds), LIKE (glob), CONTAINS/INTERSECTS/IN, `/` and `%` (div-by-
-    # zero / float-mod shims), qlbridge-only builtins, @var params.
-    _ANSI_SAFE_OPS = frozenset({"+", "-", "*", "=", "==", "!=", "<>", "<", "<=", ">", ">=", "AND", "OR"})
-    _ANSI_SAFE_FUNCS = frozenset({
-        "coalesce", "upper", "lower", "abs", "length", "trim", "ltrim", "rtrim",
-        "concat", "greatest", "least", "nullif", "floor", "ceil", "round", "substring",
-    })
-
-    @classmethod
-    def _render_ansi(cls, node) -> str:
-        """Render an expression tree as Spark SQL, raising ExecError on any
-        construct the engine evaluates differently from Spark — the MERGE
-        native-lowering path falls back to the (semantics-authoritative)
-        translated full-outer-join plan for those."""
-        from .nodes import BoolNode, BooleanNode, NullNode, UnaryNode
-
-        if isinstance(node, NumberNode):
-            # float literals get the D suffix: Spark parses bare decimals
-            # as DECIMAL, the engine's NumberNode floats are doubles
-            return node.text if node.is_int else f"{node.text}D"
-        if isinstance(node, StringNode):
-            # NOT node.sql(): the lexer already decoded escapes, and Spark
-            # SQL's default parser re-interprets C-style escapes inside
-            # string literals — render for SPARK's escaping rules ('a\b'
-            # must not become 'a<backspace>' on the native merge path)
-            v = (
-                node.value.replace("\\", "\\\\")
-                .replace("'", "\\'")
-                .replace("\n", "\\n")
-                .replace("\r", "\\r")
-                .replace("\t", "\\t")
-                .replace("\0", "\\0")
-            )
-            return f"'{v}'"
-        if isinstance(node, NullNode):
-            return node.sql()
-        if isinstance(node, BoolNode):
-            return "true" if node.value else "false"
-        if isinstance(node, IdentityNode):
-            if node.is_star or any(p[:1] in "@?" for p in node.parts):
-                raise ExecError("merge-native: star/param identity")
-            return node.sql()
-        if isinstance(node, BinaryNode):
-            if node.op not in cls._ANSI_SAFE_OPS or node.negated:
-                raise ExecError(f"merge-native: operator {node.op} diverges")
-            op = "=" if node.op == "==" else node.op
-            return f"({cls._render_ansi(node.left)} {op} {cls._render_ansi(node.right)})"
-        if isinstance(node, UnaryNode) and node.op in ("-", "NOT"):
-            return f"({node.op} ({cls._render_ansi(node.child)}))"
-        if isinstance(node, BooleanNode) and not node.negated:
-            return "(" + f" {node.op} ".join(cls._render_ansi(a) for a in node.args) + ")"
-        if (
-            isinstance(node, FuncNode)
-            and node.name in cls._ANSI_SAFE_FUNCS
-            and node.filter_where is None
-            and not node.agg_order
-            and not node.ignore_nulls
-        ):
-            return f"{node.name}({', '.join(cls._render_ansi(a) for a in node.args)})"
-        raise ExecError(f"merge-native: {type(node).__name__} not ANSI-renderable")
-
-    def _merge_native(self, m: SqlMerge, sink, src: DataFrame, t_ref: str, s_ref: str, tcols: list):
-        """Lower the when-chains to the sink's native merge builder
-        (``merge_when`` — Delta: file-pruned incremental MERGE, no
-        full-table rewrite). Expressions are rendered by the conservative
-        ``_render_ansi`` walker BEFORE the sink is touched; any refused
-        construct returns None and the caller falls back to the generic
-        full-outer-join path. Once ``merge_when`` starts, errors propagate
-        (the sink is transactional — nothing partial to unwind)."""
-        # '*' clauses: native builders (Delta whenMatchedUpdateAll /
-        # whenNotMatchedInsertAll) REQUIRE the source to cover the target
-        # columns; the generic path instead keeps target values (update)
-        # or NULL-fills (insert) for columns missing from the source. Only
-        # lower '*' natively when the semantics coincide — source covers
-        # target case-insensitively — else take the generic fallback.
-        if any(
-            (cl.action == "update" and cl.set_values == "*")
-            or (cl.action == "insert" and cl.insert_values == "*")
-            for cl in m.clauses
-        ):
-            if not {c.lower() for c in tcols} <= {c.lower() for c in src.columns}:
-                return None
-        try:
-            render = self._render_ansi
-            on_sql = render(m.on)
-            clauses = []
-            for cl in m.clauses:
-                d = {
-                    "matched": cl.matched,
-                    "action": cl.action,
-                    "cond": render(cl.cond) if cl.cond is not None else None,
-                }
-                if cl.action == "update":
-                    d["set"] = (
-                        "*" if cl.set_values == "*"
-                        else {c: render(n) for c, n in cl.set_values.items()}
-                    )
-                elif cl.action == "insert":
-                    if cl.insert_values == "*":
-                        d["values"] = "*"
-                    else:
-                        cols = cl.insert_cols or tcols[: len(cl.insert_values)]
-                        d["values"] = {
-                            cols[i]: render(n) for i, n in enumerate(cl.insert_values)
-                        }
-                clauses.append(d)
-        except ExecError:
-            return None  # not ANSI-renderable → generic path
-        return sink.merge_when(src, on_sql, clauses, t_alias=t_ref, s_alias=s_ref)
-
-    @staticmethod
-    def _merge_equi_pairs(on, t_ref: str, s_ref: str, src_cols: list) -> list:
-        """(target col, source col actual-case) for every plain
-        ``t.col = s.col`` equi-conjunct of the MERGE ON condition. Only
-        qualified bare-column refs on both sides count; null-safe
-        equality (``IS NOT DISTINCT FROM``) is deliberately excluded —
-        its NULL=NULL matches would break null-rejecting file pruning."""
-        from .nodes import BinaryNode, BooleanNode, IdentityNode
-
-        srcmap = {c.lower(): c for c in src_cols}
-        tl, sl = t_ref.lower(), s_ref.lower()
-        pairs = []
-        stack = [on]
-        while stack:
-            n = stack.pop()
-            if isinstance(n, BinaryNode) and n.op == "AND" and not n.negated:
-                stack.extend((n.left, n.right))
-                continue
-            if isinstance(n, BooleanNode) and n.op == "AND" and not n.negated:
-                stack.extend(n.args)
-                continue
-            if not (isinstance(n, BinaryNode) and n.op == "=" and not n.negated):
-                continue
-            sides = {}
-            for node in (n.left, n.right):
-                if isinstance(node, IdentityNode) and len(node.parts) == 2:
-                    sides[node.parts[0].lower()] = node.parts[1]
-            if tl in sides and sl in sides and sides[sl].lower() in srcmap:
-                pairs.append((sides[tl].lower(), srcmap[sides[sl].lower()]))
-        return pairs
-
-    def _merge_cow_split(
-        self, m: SqlMerge, sink, src: DataFrame, t_ref: str, s_ref: str,
-        base: int | None = None,
-    ):
-        """(base version, files to rewrite, files to link) when the MERGE
-        ON condition lets file statistics prove which target files cannot
-        hold a matching row, else None. Sound because this MERGE dialect
-        has no NOT MATCHED BY SOURCE arm: a target row with no source
-        match passes through unchanged, so a file provably containing
-        only such rows can hardlink into the new snapshot untouched.
-        Conjuncts: literal comparisons on the target side of ON prune
-        directly; ONE ``t.col = s.col`` equi-pair adds the source batch's
-        key summary (IN-set / min-max range — one bounded job)."""
-        import dataclasses
-
-        from .sinks import _ALL_NULL_KEYS
-        from .skipping import extract_conjuncts, load_stats_sidecar, prune_files
-
-        basev = sink._version() if base is None else base
-        if basev < 0:
-            return None
-        stats = load_stats_sidecar(sink._data_dir(basev))
-        if stats is None:
-            return None
-        actual = sink._data_rels(basev)
-        if not actual or not set(actual) <= set(stats.get("files") or {}):
-            return None
-        conjs = extract_conjuncts(m.on, {t_ref.lower()}, allow_bare=False)
-        for tcol, scol in self._merge_equi_pairs(m.on, t_ref, s_ref, list(src.columns)):
-            c = sink.batch_key_conjunct(src, scol)
-            if c is _ALL_NULL_KEYS:
-                # every source key NULL: equality can match no target row,
-                # the whole table links (only insert arms can fire)
-                return basev, [], list(actual)
-            if c is not None:
-                conjs.append(dataclasses.replace(c, col=tcol))
-                break  # one key-summary job is enough
-        if not conjs:
-            return None
-        kept, _total = prune_files(stats, conjs)
-        ks = set(kept)
-        rewrite = [r for r in actual if r in ks]
-        link = [r for r in actual if r not in ks]
-        if not link:
-            return None  # nothing provably untouched — full path
-        return basev, rewrite, link
-
-    def _merge(self, m: SqlMerge) -> int:
-        """One-pass plan: target FULL OUTER JOIN source on the merge
-        condition; a first-match-wins when-chain picks the acting clause
-        per row; every target column is rebuilt with per-clause value
-        chains; kept rows = non-deleted target rows + inserted
-        source-only rows. Cardinality rule enforced like ANSI/Delta,
-        CONDITION-AWARE: a target row is an error only when more than one
-        source row's first-matching arm would UPDATE or DELETE it
-        (matching rows whose conditions route them to no arm don't
-        count), checked with one bounded agg; the acting row then wins
-        the per-target-id reduction.
-
-        Scale path: the full-outer join is persisted and executed ONCE
-        (cardinality check, affected count, and both output branches all
-        read the cache — previously up to 4 executions per statement),
-        and sinks exposing ``merge_when`` (DeltaMergeSink) get the
-        when-chains lowered to their native merge builder instead of a
-        full-table overwrite."""
-        t_ref = m.target_alias or m.target
-        s_ref = m.source_alias or m.source or "__src"
-        if t_ref == s_ref:
-            raise ExecError("MERGE target and source need distinct names/aliases")
-        sink = self.sinks.get(m.target.lower())
-        # base-pin versioned sinks for the WHOLE statement: the snapshot
-        # we scan is the version the commit CAS targets +1, so a
-        # concurrent commit landing anywhere inside the (multi-second)
-        # scan→join→commit window raises ConcurrentWriteError instead of
-        # being silently clobbered (Serializable, matching
-        # update_where/delete_where/optimize/restore)
-        basev: int | None = None
-        if sink is not None and hasattr(sink, "_version"):
-            v = sink._version()
-            if v >= 0:
-                basev = v
-        if sink is None:
-            target = self.table(m.target)
-        elif basev is not None:
-            target = sink.scan(self.spark, basev)
-        else:
-            target = sink.scan(self.spark)
-        src = self._select_any(m.source_query) if m.source_query is not None else self.table(m.source)
-        self._normalize_merge_sets(m, t_ref, list(target.columns))
-        if sink is not None and hasattr(sink, "merge_when"):
-            n = self._merge_native(m, sink, src, t_ref, s_ref, list(target.columns))
-            if n is not None:
-                return n
-        import inspect as _inspect
-
-        ow_params = (
-            set(_inspect.signature(sink.overwrite).parameters)
-            if sink is not None and hasattr(sink, "overwrite")
-            else set()
-        )
-        # file-pruned COW over versioned parquet sinks (Delta's MERGE
-        # economics on the generic path): files whose stats PROVE no ON
-        # match hardlink through; the join below runs over the rewritten
-        # region only. At 100 TB a CDC batch touching one day of a
-        # date-clustered table joins against that day, not the table.
-        # Only when the changes-capable commit branch will consume it: a
-        # duck-typed sink exposing overwrite_cow but a legacy overwrite
-        # signature would otherwise commit just the rewritten region as
-        # the full table (silent data loss on the linked files' rows).
-        cow = None
-        if sink is not None and hasattr(sink, "overwrite_cow") and "changes" in ow_params:
-            cow = self._merge_cow_split(m, sink, src, t_ref, s_ref, base=basev)
-            if cow is not None:
-                basev, rewrite, _link = cow
-                target = (
-                    sink._read_files(sink._data_dir(basev), rewrite)
-                    if rewrite
-                    else sink.scan(self.spark, basev).limit(0)
-                )
-        TID, SM = "__merge_tid", "__merge_smatch"
-        t = target.withColumn(TID, F.monotonically_increasing_id()).alias(t_ref)
-        s = src.withColumn(SM, F.lit(1)).alias(s_ref)
-        scope = Scope({t_ref: t, s_ref: s}, includes=self.includes, params=self._scope_params())
-        # persist: the cardinality check, the affected count, and both
-        # output branches below all read this ONE materialization instead
-        # of re-executing the full-outer join (at 100 TB, 4 scans → 1)
-        joined = t.join(s, on=to_column(m.on, scope), how="full_outer").persist()
-
-        matched = F.col(TID).isNotNull() & F.col(SM).isNotNull()
-        not_matched = F.col(TID).isNull()
-        try:
-            # first-match-wins clause selection
-            action = None
-            for i, cl in enumerate(m.clauses):
-                base = matched if cl.matched else not_matched
-                if cl.cond is not None:
-                    base = base & to_column(cl.cond, scope)
-                action = F.when(base, F.lit(f"a{i}")) if action is None else action.when(base, F.lit(f"a{i}"))
-            act = F.coalesce(action, F.lit(""))
-
-            # ANSI/Delta cardinality rule, CONDITION-AWARE (round 9 — the
-            # earlier raw-match check errored even when WHEN conditions
-            # disambiguated which source row acts): a target row is in
-            # violation only when MORE THAN ONE source row's first-matching
-            # arm would UPDATE or DELETE it.
-            mids = [f"a{i}" for i, cl in enumerate(m.clauses) if cl.matched]
-            if mids:
-                dups = (
-                    joined.filter(F.col(TID).isNotNull() & act.isin(mids))
-                    .groupBy(TID)
-                    .agg(F.count(F.lit(1)).alias("__n"))
-                    .filter(F.col("__n") > 1)
-                    .limit(1)
-                    .count()
-                )
-                if dups:
-                    raise ExecError(
-                        "MERGE cardinality violation: multiple source rows attempted "
-                        "to update or delete the same target row"
-                    )
-
-            tcols = list(target.columns)
-            scols = set(src.columns)
-            val_exprs: list = []  # (col, unaliased value expr) — reused for CDF recording
-            for c in tcols:
-                dtype = target.schema[c].dataType
-                e = F.col(f"{t_ref}.{c}")
-                for i, cl in enumerate(m.clauses):
-                    sub = None
-                    if cl.action == "update":
-                        if cl.set_values == "*":
-                            if c in scols:
-                                sub = F.col(f"{s_ref}.{c}")
-                        elif c in cl.set_values:
-                            sub = to_column(cl.set_values[c], scope)
-                    elif cl.action == "insert":
-                        if cl.insert_values == "*":
-                            sub = F.col(f"{s_ref}.{c}") if c in scols else F.lit(None)
-                        else:
-                            cols = cl.insert_cols or tcols[: len(cl.insert_values)]
-                            low = [x.lower() for x in cols]
-                            sub = (
-                                to_column(cl.insert_values[low.index(c.lower())], scope)
-                                if c.lower() in low
-                                else F.lit(None)
-                            )
-                    if sub is not None:
-                        e = F.when(act == f"a{i}", sub.cast(dtype)).otherwise(e)
-                val_exprs.append((c, e))
-            exprs = [e.alias(c) for c, e in val_exprs]
-
-            del_ids = [f"a{i}" for i, cl in enumerate(m.clauses) if cl.action == "delete"]
-            ins_ids = [f"a{i}" for i, cl in enumerate(m.clauses) if cl.action == "insert"]
-            ins_pred = act.isin(ins_ids) if ins_ids else F.lit(False)
-            # target side reduced to ONE row per target id, preferring the
-            # ACTING joined row: under the condition-aware cardinality rule
-            # a target row may join several source rows of which at most one
-            # acts (checked above) — the acting row carries the update (or
-            # marks the delete), the non-acting duplicates carry the old
-            # values and must not survive alongside it. Window over the
-            # persisted join; same single shuffle the old dropDuplicates did.
-            from pyspark.sql import Window as _W
-
-            # sole order key: acting row first. Ties among NON-acting
-            # duplicates are value-identical in the selected exprs (they
-            # differ only in unselected source columns), so no further
-            # tie-break is needed (and TID would be a no-op — it is the
-            # partition column).
-            pick = F.row_number().over(
-                _W.partitionBy(TID).orderBy(F.col("__merge_acted").desc())
-            )
-            t_part = (
-                joined.filter(F.col(TID).isNotNull())
-                .select(F.col(TID), act.alias("__merge_act"), (act != "").alias("__merge_acted"), *exprs)
-                .withColumn("__merge_rn", pick)
-                .filter(
-                    (F.col("__merge_rn") == 1)
-                    & ~F.col("__merge_act").isin(del_ids if del_ids else ["__none"])
-                )
-                .drop(TID, "__merge_act", "__merge_acted", "__merge_rn")
-            )
-            s_part = joined.filter(F.col(TID).isNull() & ins_pred).select(*exprs)
-            final = t_part.unionByName(s_part)
-            n_affected = joined.filter(act != "").count()
-            if sink is not None:
-                if not hasattr(sink, "overwrite"):
-                    raise ExecError(f"sink for {m.target!r} does not support MERGE (needs overwrite())")
-                if "changes" in ow_params:
-                    # CDF recording: the merge knows its change rows exactly
-                    # (the persisted join is re-read from cache, not
-                    # re-executed). Update rows are recorded only when a
-                    # value actually changed — matching snapshot-diff
-                    # semantics, where an x = x update emits nothing.
-                    upd_ids = [f"a{i}" for i, cl in enumerate(m.clauses) if cl.action == "update"]
-                    old_cols = [F.col(f"{t_ref}.{c}").alias(c) for c in tcols]
-                    pieces = []
-                    if upd_ids:
-                        differs = None
-                        for c, e in val_exprs:
-                            ne = ~e.eqNullSafe(F.col(f"{t_ref}.{c}"))
-                            differs = ne if differs is None else (differs | ne)
-                        upd = joined.filter(
-                            F.col(TID).isNotNull() & act.isin(upd_ids) & differs
-                        )
-                        pieces.append(
-                            upd.select(*old_cols).withColumn(
-                                "_change_type", F.lit("update_preimage")
-                            )
-                        )
-                        pieces.append(
-                            upd.select(*exprs).withColumn(
-                                "_change_type", F.lit("update_postimage")
-                            )
-                        )
-                    if del_ids:
-                        pieces.append(
-                            joined.filter(F.col(TID).isNotNull() & act.isin(del_ids))
-                            .select(*old_cols)
-                            .withColumn("_change_type", F.lit("delete"))
-                        )
-                    if ins_ids:
-                        pieces.append(s_part.withColumn("_change_type", F.lit("insert")))
-                    ch = pieces[0]
-                    for p in pieces[1:]:
-                        ch = ch.unionByName(p)
-                    if cow is not None:
-                        sink.overwrite_cow(
-                            final, cow[2], changes=ch, base=cow[0], files_rewritten=len(cow[1])
-                        )
-                    elif "base" in ow_params and basev is not None:
-                        if "op" in ow_params:
-                            sink.overwrite(final, changes=ch, base=basev, op="MERGE")
-                        else:
-                            sink.overwrite(final, changes=ch, base=basev)
-                    else:
-                        sink.overwrite(final, changes=ch)
-                else:
-                    # cow is None here by construction (COW is only
-                    # computed when the changes-capable branch above will
-                    # commit it) — a legacy overwrite always gets the FULL
-                    # final frame, never just the rewritten region
-                    assert cow is None
-                    sink.overwrite(final)
-                self._maybe_auto_compact(sink)
-                self._maybe_auto_refresh(m.target)
-            else:
-                # materialize through the cache before it is released: the
-                # registered result must not re-execute the full-outer join
-                # on every later read (and chained MERGEs must not build an
-                # O(n²) lineage of nested joins)
-                self.register_df(m.target, final.localCheckpoint(eager=True))
-            return n_affected
-        finally:
-            joined.unpersist()
-
-    def _vacuum(self, v: SqlVacuum) -> int:
-        """``VACUUM t [RETAIN n VERSIONS | RETAIN h HOURS]`` — lifecycle
-        statement for the versioned MERGE sinks (Delta-parity; the
-        reference has no versioned storage). Returns the number of
-        snapshot versions dropped. VERSIONS is count-based
-        (ParquetMergeSink; Delta rejects it — its retention is
-        time-based); HOURS drops non-current snapshots older than
-        now−h (both sinks). Classed as mutating so cached plans pinned
-        to old version dirs (VERSION AS OF reads) are invalidated."""
-        sink = self.sinks.get(v.table.lower())
-        if sink is None or not hasattr(sink, "vacuum"):
-            raise ExecError(
-                f"VACUUM requires a versioned sink table; {v.table!r} is not one"
-            )
-        if v.retain_hours is not None and v.retain_hours < 0:
-            raise ExecError("VACUUM RETAIN HOURS must be >= 0")
-        if v.retain is not None and v.retain < 1:
-            raise ExecError("VACUUM RETAIN must keep at least 1 version")
-        from .sinks import SinkCapabilityError
-
-        kwargs: dict = {}
-        if v.retain_hours is not None:
-            kwargs["retention_hours"] = float(v.retain_hours)
-        elif v.retain is not None:
-            kwargs["keep"] = int(v.retain)
-        if v.dry_run:
-            # Delta VACUUM ... DRY RUN parity: report the victims, delete
-            # nothing — the audit step before an irreversible prune
-            import inspect as _inspect
-
-            if "dry_run" not in _inspect.signature(sink.vacuum).parameters:
-                raise ExecError(
-                    f"sink for {v.table!r} does not support VACUUM DRY RUN"
-                )
-            victims = sink.vacuum(dry_run=True, **kwargs)
-            return self.spark.createDataFrame(
-                victims or [],
-                schema="version long, files long, bytes long",
-            )
-        try:
-            return sink.vacuum(**kwargs)
-        except SinkCapabilityError as e:  # e.g. Delta cannot do RETAIN VERSIONS
-            raise ExecError(str(e)) from e
-
-    def _restore(self, r: SqlRestore) -> int:
-        """``RESTORE [TABLE] t TO VERSION AS OF n | TO TIMESTAMP AS OF
-        '<ts>'`` — roll a versioned sink back to a past snapshot by
-        committing it as the NEW current version (history preserved;
-        Delta-parity). Returns the new current version number."""
-        sink = self.sinks.get(r.table.lower())
-        if sink is None or not hasattr(sink, "restore"):
-            raise ExecError(
-                f"RESTORE requires a versioned sink table; {r.table!r} is not one"
-            )
-        return sink.restore(version=r.version, timestamp=r.timestamp)
-
-    def _optimize(self, o: "SqlOptimize") -> DataFrame:
-        """``OPTIMIZE t [ZORDER BY (...)]`` — layout maintenance on a
-        versioned sink: compact small files accumulated by MERGE/append
-        commits and optionally Z-order-cluster on the listed columns so
-        parquet min/max stats prune scans on ANY of them (the multi-
-        column data-skipping story at 100 TB — see datapipe/zorder.py).
-        Delta sinks route to the native incremental OPTIMIZE; parquet
-        sinks compact incrementally too — only under-target files are
-        rewritten, right-sized files hardlink through (ZORDER stays a
-        full rewrite: clustering re-sorts every row). Returns a one-row
-        metrics frame (Delta-style). File sizing: session var
-        ``optimize.target_file_mb`` (default 128)."""
-        sink = self.sinks.get(o.table.lower())
-        if sink is None or not hasattr(sink, "optimize"):
-            raise ExecError(
-                f"OPTIMIZE requires a versioned sink table; {o.table!r} is not one"
-            )
-        if o.zorder:
-            cols = {c.lower() for c in sink.scan(self.spark).columns}
-            bad = [c for c in o.zorder if c.lower() not in cols]
-            if bad:
-                raise ExecError(f"OPTIMIZE ZORDER BY references unknown columns: {bad}")
-        target_mb = float(self.session_vars.get("optimize.target_file_mb", 128))
-        curve = str(self.session_vars.get("optimize.curve", "morton")).lower()
-        if curve not in ("morton", "hilbert"):
-            raise ExecError(f"optimize.curve must be 'morton' or 'hilbert', got {curve!r}")
-        scope = None
-        if o.where is not None:
-            # the WHERE scopes WHICH FILES rewrite (rows are never
-            # filtered): it must reduce to pushable conjuncts, else the
-            # scope would silently mean "the whole table"
-            scope = self._dml_conjuncts(o.table, o.where)
-            if not scope:
-                raise ExecError(
-                    "OPTIMIZE WHERE must be a pushable predicate over the "
-                    "table's columns (partition / stats pruning conjuncts); "
-                    "drop the WHERE to optimize the whole table"
-                )
-        kwargs = {"zorder_by": o.zorder or None, "target_file_mb": target_mb}
-        import inspect as _inspect
-
-        params = set(_inspect.signature(sink.optimize).parameters)
-        if scope is not None:
-            if "scope_conjuncts" not in params:
-                raise ExecError(
-                    f"sink for {o.table!r} does not support OPTIMIZE WHERE"
-                )
-            kwargs["scope_conjuncts"] = scope
-        if "curve" in params:
-            kwargs["curve"] = curve
-        elif curve != "morton":
-            # sink without a curve knob (e.g. Delta's native OPTIMIZE
-            # chooses its own layout): only the default passes through
-            raise ExecError(
-                f"sink for {o.table!r} does not support optimize.curve={curve!r}"
-            )
-        m = sink.optimize(**kwargs)
-        return self.spark.createDataFrame(
-            [
-                {
-                    "table": o.table,
-                    "version": m.get("version"),
-                    "files_before": m.get("files_before"),
-                    "files_after": m.get("files_after"),
-                    "zorder_by": ",".join(m.get("zorder_by") or []),
-                }
-            ],
-            schema="table string, version long, files_before long, files_after long, zorder_by string",
-        )
-
-    # ------------------------------------------------------------------
-    # COPY — bulk I/O (DuckDB-style superset; executor-parallel writes)
-    # ------------------------------------------------------------------
-    _COPY_FORMATS = {"parquet", "csv", "json", "jsonl", "orc", "text"}
-
-    def _copy(self, c: SqlCopy) -> int:
-        fmt = str(c.options.get("format", "parquet")).lower()
-        if fmt == "jsonl":
-            fmt = "json"  # Spark's json source IS json-lines
-        if fmt not in self._COPY_FORMATS:
-            raise ExecError(f"COPY format {fmt!r} not supported (one of {sorted(self._COPY_FORMATS)})")
-        if c.direction == "TO":
-            from pyspark.sql import Observation
-
-            df = self._select_any(c.query) if c.query is not None else self.table(c.table)
-            # row count piggybacks on the write job itself (Observation):
-            # no re-read of the output — previously a full data re-scan
-            # for csv/json, and the csv re-read miscounted under
-            # HEADER false / custom DELIMITER
-            obs = Observation()
-            df = df.observe(obs, F.count(F.lit(1)).alias("n"))
-            writer = df.write.format(fmt)
-            if c.options.get("overwrite"):
-                writer = writer.mode("overwrite")
-            if fmt == "csv":
-                writer = writer.option("header", str(c.options.get("header", True)).lower())
-                if "delimiter" in c.options:
-                    writer = writer.option("sep", str(c.options["delimiter"]))
-            if "compression" in c.options:
-                writer = writer.option("compression", str(c.options["compression"]))
-            part = c.options.get("partition_by")
-            if part:
-                writer = writer.partitionBy(*part)
-            writer.save(c.path)
-            return int(obs.get["n"])
-        # COPY <table> FROM '<path>': append into the registered table /
-        # sink (DuckDB semantics — the table must exist)
-        reader = self.spark.read.format(fmt)
-        if fmt == "csv":
-            reader = reader.option("header", str(c.options.get("header", True)).lower()).option(
-                "inferSchema", "true"
-            )
-            if "delimiter" in c.options:
-                reader = reader.option("sep", str(c.options["delimiter"]))
-        new = reader.load(c.path)
-        n = new.count()
-        tname = c.table.lower()
-        sink = self.sinks.get(tname)
-        if sink is not None and hasattr(sink, "insert_append"):
-            sink.insert_append(new)
-            return n
-        base = self.table(c.table)
-        self.register_df(c.table, base.unionByName(new, allowMissingColumns=True))
-        return n
-
 
 def _literal_value(node: Node):
     if isinstance(node, NumberNode):

@@ -1,0 +1,601 @@
+"""Materialized-view statements (split verbatim from engine.py).
+
+CREATE MATERIALIZED VIEW, REFRESH [ALL], the shared multi-view feed
+cache, and the ON-COMMIT auto-refresh hook; the incremental algebra
+itself lives in matview.py. Mixed into Engine; see engine.py for the
+statement pipeline."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column as SparkColumn
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import functions as funcs
+from .errors import ExecError
+from .nodes import (
+    BinaryNode,
+    BooleanNode,
+    BoolNode,
+    FuncNode,
+    IdentityNode,
+    Node,
+    NumberNode,
+    StringNode,
+    UnaryNode,
+    WindowNode,
+    transform,
+)
+from .rel import (
+    Column,
+    FromSource,
+    SqlCreate,
+    SqlDelete,
+    SqlInsert,
+    SqlMerge,
+    SqlOptimize,
+    SqlRefresh,
+    SqlRestore,
+    SqlSelect,
+    SqlSetOp,
+    SqlUpdate,
+    SqlVacuum,
+    SqlCopy,
+    SubqueryNode,
+    parse_sql,
+)
+from .translate import Scope, TranslateError, to_column
+
+
+class MatViewMixin:
+    def _create_matview(self, c: SqlCreate):
+        """CREATE MATERIALIZED VIEW — materialize the query and, when it
+        fits the signed-delta algebra over a versioned-sink base
+        (matview.analyze), store it in incremental STATE form so REFRESH
+        consumes only the change feed. ``WITH {"path": "..."}`` persists
+        the state in a ParquetMergeSink (durable + versioned) instead of
+        a localCheckpoint."""
+        from .matview import MatView, analyze, exposed_frame, persist_state, state_frame
+
+        if c.select is None:
+            raise ExecError("CREATE MATERIALIZED VIEW requires AS SELECT")
+        lname = c.ident.lower()
+        if c.if_not_exists and lname in self.mat_views:
+            return None
+        mv = analyze(self, c.select) if isinstance(c.select, SqlSelect) else None
+        if mv is None:
+            mv = MatView(name=lname, select=c.select)
+        mv.name = lname
+        # the trailing WITH {...} config map parses onto the SELECT itself
+        # (reference grammar); accept it from either position
+        with_cfg = dict(getattr(c.select, "with_", None) or {})
+        with_cfg.update(c.with_ or {})
+        path = with_cfg.get("path")
+        if path:
+            from .sinks import ParquetMergeSink
+
+            mv.state_sink = ParquetMergeSink(
+                self.spark, str(path), key=mv.key_cols[0] if mv.key_cols else "__mv_n"
+            )
+            if mv.incremental and mv.has_distinct:
+                # durable substates: one sibling sink per DISTINCT agg
+                mv.sub_sinks = [
+                    ParquetMergeSink(
+                        self.spark, f"{path}__d{a.d_idx}", key="__mv_dv"
+                    )
+                    for a in mv.aggs
+                    if a.d_idx is not None
+                ]
+        if mv.incremental:
+            from .matview import persist_substates, sub_state_frames
+
+            sink = self.sinks[mv.base]
+            mv.base_version = max(sink.versions())
+            if mv.dim:
+                mv.dim_version = max(self.sinks[mv.dim].versions())
+            # exposed dtypes from the ORIGINAL query's analyzed schema
+            # (analysis only — no job): incremental refreshes cast back to
+            # these, so the view stays schema-identical to a recompute
+            mv.exposed_types = {
+                f.name: f.dataType for f in self._select_any(c.select).schema.fields
+            }
+            base_df = sink.scan(self.spark, version=mv.base_version)
+            # the delete-repair flag is delta-only state; never persisted
+            mv.internal = persist_state(
+                mv, state_frame(self, mv, base_df, F.lit(1), weight_mode="one").drop("__mv_neg")
+            )
+            if mv.has_distinct:
+                mv.substates = persist_substates(
+                    mv, sub_state_frames(self, mv, base_df, F.lit(1), weight_mode="one")
+                )
+        else:
+            mv.internal = persist_state(mv, self._select_any(c.select))
+        self.mat_views[lname] = mv
+        self.register_df(lname, exposed_frame(mv))
+        return None
+
+    _REFRESH_REPORT_SCHEMA = "view string, mode string, from_version long, to_version long"
+
+    def _refresh(self, r: SqlRefresh) -> DataFrame:
+        """REFRESH [ALL] MATERIALIZED VIEW[S] — incremental when possible;
+        one report row per refreshed view naming the mode that ran. ALL
+        refreshes every registered view through a shared feed cache, so N
+        views over one base plan (and read) that base's backlog ONCE."""
+        if r.all_views:
+            rows = self._refresh_views(list(self.mat_views), full=r.full)
+            return self.spark.createDataFrame(rows, self._REFRESH_REPORT_SCHEMA)
+        return self.spark.createDataFrame(
+            [self._refresh_one(r.view, r.full, None)], self._REFRESH_REPORT_SCHEMA
+        )
+
+    def _refresh_views(self, names: list, full: bool = False) -> list:
+        """Refresh ``names`` in order, planning each base/dim table's
+        change backlog ONCE: the feed cache keys on (table, checkpoint
+        version), and a feed that more than one view will fold is
+        materialized (localCheckpoint) so the second consumer reads the
+        captured delta instead of re-reading the recordings. Returns the
+        report rows."""
+        from collections import Counter
+
+        shared: Counter = Counter()
+        for n in names:
+            mv = self.mat_views.get(n)
+            if mv is not None and mv.incremental and not full:
+                shared[(mv.base, mv.base_version)] += 1
+                if mv.dim:
+                    shared[(mv.dim, mv.dim_version)] += 1
+        cache = {"shared": {k for k, c in shared.items() if c > 1}, "feeds": {}}
+        return [self._refresh_one(n, full, cache) for n in names]
+
+    def _changes_since_cached(self, cache, table: str, after: int):
+        """changes_since through the shared multi-view feed cache (None →
+        direct). Cached per (table, checkpoint); feeds expected by more
+        than one view are materialized once, caught-up (empty) feeds are
+        not worth a checkpoint job."""
+        if cache is None:
+            return self.changes_since(table, after)
+        key = (table, after)
+        hit = cache["feeds"].get(key)
+        if hit is None:
+            changes, cur = self.changes_since(table, after)
+            if key in cache["shared"] and cur != after:
+                changes = changes.localCheckpoint(eager=True)
+            hit = cache["feeds"][key] = (changes, cur)
+        return hit
+
+    def _maybe_auto_refresh(self, table: str) -> None:
+        """ON-COMMIT materialized-view maintenance: after a DML commit on
+        a versioned sink, when ``SET matview.auto_refresh = true``, fold
+        the commit's delta into every registered view whose base OR dim
+        is that table — the per-commit delta is tiny (O(changes)), so the
+        views stay query-consistent with no explicit REFRESH. Views
+        sharing the table plan the backlog once (shared feed cache). The
+        refresh reads a pinned version window, so a concurrent writer
+        committing mid-refresh just leaves a later delta for the next
+        hook invocation."""
+        flag = self.session_vars.get("matview.auto_refresh")
+        if isinstance(flag, str):
+            flag = flag.strip().lower() in ("true", "1", "on", "yes")
+        if not flag or getattr(self, "_auto_refreshing", False):
+            return
+        t = table.lower()
+        names = [
+            n for n, mv in self.mat_views.items() if t in (mv.base, mv.dim)
+        ]
+        if not names:
+            return
+        self._auto_refreshing = True
+        try:
+            self._refresh_views(names)
+        finally:
+            self._auto_refreshing = False
+
+    def _refresh_one(self, view: str, full: bool, cache) -> tuple:
+        """One view's refresh — incremental when possible: fold the
+        base sink's commits since the last refresh (changes_since CDF)
+        into the stored aggregation state; O(|changes| + |view|), never a
+        base rescan. Falls back to full recompute when FULL is forced,
+        the view isn't incrementally maintainable, or the change feed has
+        a vacuumed gap. Returns the report row naming the mode that
+        actually ran."""
+        from .matview import (
+            exposed_frame,
+            merge_state,
+            merge_substates,
+            persist_state,
+            persist_substates,
+            repair_extrema,
+            state_frame,
+            sub_state_frames,
+        )
+
+        def _fold_substates(mv, deltas):
+            mv.substates = persist_substates(
+                mv, merge_substates(mv, mv.substates, deltas)
+            )
+
+        lname = view.lower()
+        mv = self.mat_views.get(lname)
+        if mv is None:
+            raise ExecError(f"REFRESH MATERIALIZED VIEW: unknown materialized view {view!r}")
+        mode = "full"
+        v_from = mv.base_version
+        dim_moved = False
+        dsink = None
+        if mv.dim:
+            dsink = self.sinks.get(mv.dim)
+            if dsink is None:
+                raise ExecError(
+                    f"materialized view {view!r}: dim {mv.dim!r} is no longer a registered sink"
+                )
+            dim_moved = max(dsink.versions()) != mv.dim_version
+        # a dim commit maintains incrementally for INNER joins (bilinear
+        # higher-order identity) and for LEFT joins over a plain
+        # equi-join ON (the NULL-extension term isn't bilinear, but with
+        # a single-equality key the flip set is computable: a fact row's
+        # null-extended row flips exactly when its key's dim match count
+        # crosses 0↔1 — see the null-flip term below). LEFT joins with a
+        # compound/non-equi ON fall back to full recompute inside the
+        # branch once the ON shape is known.
+        jt = mv.select.from_[1].join_type if len(mv.select.from_) > 1 else None
+        # dim-preserved outer joins need the match-count terms on EVERY
+        # refresh (a fact-only delta can flip a dim row's null extension)
+        right_like = jt in ("RIGHT", "RIGHT OUTER", "FULL", "FULL OUTER")
+        dim_incrementable = not dim_moved or jt in (
+            "INNER",
+            "LEFT",
+            "LEFT OUTER",
+            "RIGHT",
+            "RIGHT OUTER",
+            "FULL",
+            "FULL OUTER",
+        )
+        if mv.incremental and not full and dim_incrementable:
+            if self.sinks.get(mv.base) is None:
+                raise ExecError(
+                    f"materialized view {view!r}: base {mv.base!r} is no longer a registered sink"
+                )
+            try:
+                changes, cur = self._changes_since_cached(cache, mv.base, mv.base_version)
+                dim_changes = d_cur = None
+                if dim_moved or (right_like and cur != mv.base_version):
+                    dim_changes, d_cur = self._changes_since_cached(cache, mv.dim, mv.dim_version)
+                    if mv.base_version not in self.sinks[mv.base].versions():
+                        # the F_old ⋈ ΔD / match-count terms need the
+                        # fact's OLD snapshot; vacuumed → full recompute
+                        changes = None
+                    elif dsink is not None and mv.dim_version not in dsink.versions():
+                        # the null-flip / match-count terms (T4/T5) scan the
+                        # dim's OLD snapshot; recordings can outlive a
+                        # vacuumed version, so guard symmetrically
+                        changes = None
+            except ExecError:
+                changes = None  # vacuumed gap / stale checkpoint → full recompute
+            if changes is not None:
+                if cur == mv.base_version and not dim_moved:
+                    mode = "noop"
+                else:
+                    mode = "incremental"
+                    w = F.when(
+                        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+                    ).otherwise(F.lit(-1))
+                    if not dim_moved and not right_like:
+                        delta = state_frame(self, mv, changes, w)
+                        merged = merge_state(mv, mv.internal, delta)
+                        if mv.has_extrema:
+                            # min/max don't fold under deletes; re-aggregate
+                            # exactly the delete-touched groups from the base
+                            merged = repair_extrema(self, mv, merged, cur, dim_version=mv.dim_version)
+                        mv.internal = persist_state(mv, merged)
+                        if mv.has_distinct:
+                            _fold_substates(
+                                mv, sub_state_frames(self, mv, changes, w)
+                            )
+                    else:
+                        # higher-order join maintenance. Matched part
+                        # (bilinearity of INNER join over signed multiset
+                        # union: F_new⋈D_new − F_old⋈D_old
+                        #   = ΔF⋈(D_old+ΔD) + F_old⋈ΔD):
+                        #   T1 = ΔF ⋈ D_new   (dim PINNED at its new version)
+                        #   T2 = F_old ⋈ ΔD   (signed dim delta substituted
+                        #        for the dim relation; INNER semantics)
+                        # Null-extension parts (plain equi key required —
+                        # a side's null-extended row flips exactly when
+                        # its key's match count on the OTHER side crosses
+                        # 0↔1, computable per key from two snapshots
+                        # restricted to the delta's keys):
+                        #   LEFT/FULL:  T3 = ΔF rows unmatched in D_new
+                        #               T4 = F_old rows whose key's dim
+                        #                    match count crossed (ΔD)
+                        #   RIGHT/FULL: T5 = ΔD rows unmatched in F_old
+                        #               T6 = D_new rows whose key's fact
+                        #                    match count crossed (ΔF)
+                        # (for LEFT, T1 runs the view's own LEFT join, so
+                        # T3 is folded into it; RIGHT/FULL T1 must run
+                        # INNER — a dim-preserved join of a fact DELTA
+                        # would drag in every unmatched dim row.)
+                        from .matview import _UNSET, equi_join_prune_cols
+
+                        left_like = jt in ("LEFT", "LEFT OUTER", "FULL", "FULL OUTER")
+                        full_join = jt in ("FULL", "FULL OUTER")
+                        d_cur = d_cur if d_cur is not None else mv.dim_version
+                        d_new = dsink.scan(self.spark, version=d_cur)
+                        dw = F.when(
+                            F.col("_change_type").isin("insert", "update_postimage"),
+                            F.lit(1),
+                        ).otherwise(F.lit(-1))
+                        if dim_changes is not None:
+                            keep = [
+                                c
+                                for c in dim_changes.columns
+                                if c in set(d_new.columns)
+                            ]
+                            d_delta = dim_changes.select(*keep, dw.alias("__dw"))
+                        else:
+                            d_delta = None
+                        f_old_full = self.sinks[mv.base].scan(
+                            self.spark, version=mv.base_version
+                        )
+                        f_old = f_old_full
+                        pj = equi_join_prune_cols(
+                            mv,
+                            {c.lower() for c in f_old.columns},
+                            {c.lower() for c in d_new.columns},
+                        )
+                        if (left_like or right_like) and pj is None:
+                            mode = "full"  # non-equi outer ON: flips unknowable
+                        else:
+                            fact_col = dim_col = None
+                            dkeys_df = None
+                            if pj is not None:
+                                fact_col, dim_col = pj
+                            if pj is not None and d_delta is not None:
+                                # the dim delta's distinct join keys: the
+                                # affected-fact filter; IN-list pushdown
+                                # (file/row-group skipping) when small
+                                dkeys_df = (
+                                    d_delta.filter(F.col(dim_col).isNotNull())
+                                    .select(F.col(dim_col).alias("__mv_dk"))
+                                    .distinct()
+                                )
+                                dkeys = [
+                                    row[0]
+                                    for row in dkeys_df.limit(1001).collect()
+                                ]
+                                if len(dkeys) <= 1000:
+                                    # matched-part rows require a non-null
+                                    # key in this set; empty set → no rows
+                                    f_old = f_old.filter(
+                                        F.col(fact_col).isin(dkeys)
+                                        if dkeys
+                                        else F.lit(False)
+                                    )
+                            saved = self.tables.get(mv.dim, _UNSET)
+                            self.tables[mv.dim] = d_new
+                            try:
+                                terms = []
+                                sub_specs = []  # (df, weight, dim_df, mode, override)
+
+                                def _add(df, wt, dd=None, wmode=None, jo=None):
+                                    terms.append(
+                                        state_frame(
+                                            self, mv, df, wt, dim_df=dd,
+                                            weight_mode=wmode, join_override=jo,
+                                        )
+                                    )
+                                    sub_specs.append((df, wt, dd, wmode, jo))
+
+                                # T1 (+ T3 folded in for LEFT; explicit for FULL)
+                                _add(changes, w, jo="INNER" if right_like else None)
+                                if full_join:
+                                    fkeys1 = (
+                                        changes.filter(F.col(fact_col).isNotNull())
+                                        .select(F.col(fact_col).alias("__mv_fk"))
+                                        .distinct()
+                                    )
+                                    c3 = (
+                                        d_new.join(
+                                            F.broadcast(fkeys1),
+                                            d_new[dim_col] == fkeys1["__mv_fk"],
+                                            "left_semi",
+                                        )
+                                        .groupBy(F.col(dim_col).alias("__mv_fk"))
+                                        .agg(F.count(F.lit(1)).alias("__mv_c3"))
+                                    )
+                                    f3 = (
+                                        changes.join(
+                                            F.broadcast(c3),
+                                            changes[fact_col] == c3["__mv_fk"],
+                                            "left",
+                                        )
+                                        .filter(F.col("__mv_c3").isNull())
+                                        .drop("__mv_fk", "__mv_c3")
+                                    )
+                                    _add(f3, w, dd=d_new.limit(0))
+                                # T2 — matched part of the dim delta
+                                if d_delta is not None:
+                                    _add(
+                                        f_old, F.lit(1), dd=d_delta,
+                                        wmode="product", jo="INNER",
+                                    )
+                                # T4 — fact-side null-extension flips (ΔD)
+                                if left_like and dkeys_df is not None:
+                                    d_old_snap = dsink.scan(
+                                        self.spark, version=mv.dim_version
+                                    )
+
+                                    def _dkc(ddf, out):
+                                        return (
+                                            ddf.join(
+                                                F.broadcast(dkeys_df),
+                                                ddf[dim_col] == dkeys_df["__mv_dk"],
+                                                "left_semi",
+                                            )
+                                            .groupBy(F.col(dim_col).alias("__mv_dk"))
+                                            .agg(F.count(F.lit(1)).alias(out))
+                                        )
+
+                                    flips = (
+                                        dkeys_df.join(
+                                            _dkc(d_old_snap, "__mv_mo"), "__mv_dk", "left"
+                                        )
+                                        .join(_dkc(d_new, "__mv_mn"), "__mv_dk", "left")
+                                        .select(
+                                            "__mv_dk",
+                                            F.coalesce("__mv_mo", F.lit(0)).alias("__mv_mo"),
+                                            F.coalesce("__mv_mn", F.lit(0)).alias("__mv_mn"),
+                                        )
+                                        .filter(
+                                            (F.col("__mv_mo") == 0)
+                                            != (F.col("__mv_mn") == 0)
+                                        )
+                                        # key gained matches → null-extended
+                                        # rows RETRACT (−1); lost all → +1
+                                        .withColumn(
+                                            "__mv_fw",
+                                            F.when(
+                                                F.col("__mv_mn") == 0, F.lit(1)
+                                            ).otherwise(F.lit(-1)),
+                                        )
+                                        .select("__mv_dk", "__mv_fw")
+                                    )
+                                    f_flip = f_old_full.join(
+                                        F.broadcast(flips),
+                                        f_old_full[fact_col] == flips["__mv_dk"],
+                                        "inner",
+                                    ).drop("__mv_dk")
+                                    _add(
+                                        f_flip, F.col("__mv_fw"),
+                                        dd=d_new.limit(0),
+                                    )
+                                # T5 — dim-side null extensions of ΔD at F_old
+                                if right_like and d_delta is not None:
+                                    mo5 = (
+                                        f_old_full.join(
+                                            F.broadcast(dkeys_df),
+                                            f_old_full[fact_col] == dkeys_df["__mv_dk"],
+                                            "left_semi",
+                                        )
+                                        .groupBy(F.col(fact_col).alias("__mv_dk"))
+                                        .agg(F.count(F.lit(1)).alias("__mv_m5"))
+                                    )
+                                    d5 = (
+                                        d_delta.join(
+                                            F.broadcast(mo5),
+                                            d_delta[dim_col] == mo5["__mv_dk"],
+                                            "left",
+                                        )
+                                        .filter(F.col("__mv_m5").isNull())
+                                        .drop("__mv_dk", "__mv_m5")
+                                    )
+                                    _add(
+                                        f_old_full.limit(0), F.lit(1),
+                                        dd=d5, wmode="dim",
+                                    )
+                                # T6 — dim rows whose fact match count
+                                # crossed 0↔1 via ΔF
+                                if right_like and cur != mv.base_version:
+                                    fkeys6 = (
+                                        changes.filter(F.col(fact_col).isNotNull())
+                                        .select(F.col(fact_col).alias("__mv_fk"))
+                                        .distinct()
+                                    )
+                                    f_new_full = self.sinks[mv.base].scan(
+                                        self.spark, version=cur
+                                    )
+
+                                    def _fkc(fdf, out):
+                                        return (
+                                            fdf.join(
+                                                F.broadcast(fkeys6),
+                                                fdf[fact_col] == fkeys6["__mv_fk"],
+                                                "left_semi",
+                                            )
+                                            .groupBy(F.col(fact_col).alias("__mv_fk"))
+                                            .agg(F.count(F.lit(1)).alias(out))
+                                        )
+
+                                    fflips = (
+                                        fkeys6.join(
+                                            _fkc(f_old_full, "__mv_mo"), "__mv_fk", "left"
+                                        )
+                                        .join(_fkc(f_new_full, "__mv_mn"), "__mv_fk", "left")
+                                        .select(
+                                            "__mv_fk",
+                                            F.coalesce("__mv_mo", F.lit(0)).alias("__mv_mo"),
+                                            F.coalesce("__mv_mn", F.lit(0)).alias("__mv_mn"),
+                                        )
+                                        .filter(
+                                            (F.col("__mv_mo") == 0)
+                                            != (F.col("__mv_mn") == 0)
+                                        )
+                                        .withColumn(
+                                            "__dw",
+                                            F.when(
+                                                F.col("__mv_mn") == 0, F.lit(1)
+                                            ).otherwise(F.lit(-1)),
+                                        )
+                                        .select("__mv_fk", "__dw")
+                                    )
+                                    d6 = d_new.join(
+                                        F.broadcast(fflips),
+                                        d_new[dim_col] == fflips["__mv_fk"],
+                                        "inner",
+                                    ).drop("__mv_fk")
+                                    _add(
+                                        f_old_full.limit(0), F.lit(1),
+                                        dd=d6, wmode="dim",
+                                    )
+
+                                delta = terms[0]
+                                for t in terms[1:]:
+                                    delta = delta.unionByName(t)
+                                merged = merge_state(mv, mv.internal, delta)
+                                if mv.has_extrema:
+                                    merged = repair_extrema(self, mv, merged, cur, dim_version=d_cur)
+                                mv.internal = persist_state(mv, merged)
+                                if mv.has_distinct:
+                                    sub_terms = [
+                                        sub_state_frames(
+                                            self, mv, df, wt, dim_df=dd,
+                                            weight_mode=wmode,
+                                            join_override=jo,
+                                        )
+                                        for df, wt, dd, wmode, jo in sub_specs
+                                    ]
+                                    deltas = []
+                                    for i in range(len(sub_terms[0])):
+                                        u = sub_terms[0][i]
+                                        for t in sub_terms[1:]:
+                                            u = u.unionByName(t[i])
+                                        deltas.append(u)
+                                    _fold_substates(mv, deltas)
+                            finally:
+                                if saved is _UNSET:
+                                    self.tables.pop(mv.dim, None)
+                                else:
+                                    self.tables[mv.dim] = saved
+                            mv.dim_version = d_cur
+                    if mode == "incremental":
+                        mv.base_version = cur
+        if mode == "full":
+            if mv.incremental:
+                sink = self.sinks[mv.base]
+                mv.base_version = max(sink.versions())
+                if mv.dim:
+                    # a dim commit forced this full recompute; re-pin it
+                    mv.dim_version = max(self.sinks[mv.dim].versions())
+                base_df = sink.scan(self.spark, version=mv.base_version)
+                mv.internal = persist_state(
+                    mv, state_frame(self, mv, base_df, F.lit(1), weight_mode="one").drop("__mv_neg")
+                )
+                if mv.has_distinct:
+                    mv.substates = persist_substates(
+                        mv, sub_state_frames(self, mv, base_df, F.lit(1), weight_mode="one")
+                    )
+            else:
+                mv.internal = persist_state(mv, self._select_any(mv.select))
+        if mode != "noop":
+            self.register_df(lname, exposed_frame(mv))
+        return (view, mode, v_from, mv.base_version)
