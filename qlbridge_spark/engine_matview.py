@@ -315,7 +315,7 @@ class MatViewMixin:
                         # T3 is folded into it; RIGHT/FULL T1 must run
                         # INNER — a dim-preserved join of a fact DELTA
                         # would drag in every unmatched dim row.)
-                        from .matview import _UNSET, equi_join_prune_cols
+                        from .matview import _UNSET, equi_join_pairs
 
                         left_like = jt in ("LEFT", "LEFT OUTER", "FULL", "FULL OUTER")
                         full_join = jt in ("FULL", "FULL OUTER")
@@ -338,7 +338,7 @@ class MatViewMixin:
                             self.spark, version=mv.base_version
                         )
                         f_old = f_old_full
-                        pj = equi_join_prune_cols(
+                        pj = equi_join_pairs(
                             mv,
                             {c.lower() for c in f_old.columns},
                             {c.lower() for c in d_new.columns},
@@ -346,30 +346,66 @@ class MatViewMixin:
                         if (left_like or right_like) and pj is None:
                             mode = "full"  # non-equi outer ON: flips unknowable
                         else:
-                            fact_col = dim_col = None
+                            # (possibly compound) join-key accessors: the
+                            # flip/match-count terms key on the FULL tuple.
+                            # Struct fields alias positionally so fact- and
+                            # dim-side tuples compare despite different
+                            # column names; SQL equality semantics carry
+                            # over (a NULL field poisons the comparison,
+                            # exactly like the per-conjunct ON).
+                            fact_key = dim_key = fact_nn = dim_nn = None
                             dkeys_df = None
                             if pj is not None:
-                                fact_col, dim_col = pj
+                                fcols = [f for f, _ in pj]
+                                dcols = [d_ for _, d_ in pj]
+
+                                def _key(df, cols):
+                                    if len(cols) == 1:
+                                        return df[cols[0]]
+                                    return F.struct(
+                                        *[df[c].alias(f"k{i}") for i, c in enumerate(cols)]
+                                    )
+
+                                def _nn(df, cols):
+                                    from functools import reduce
+
+                                    return reduce(
+                                        lambda a, b: a & b,
+                                        [df[c].isNotNull() for c in cols],
+                                    )
+
+                                fact_key = lambda df: _key(df, fcols)  # noqa: E731
+                                dim_key = lambda df: _key(df, dcols)  # noqa: E731
+                                fact_nn = lambda df: _nn(df, fcols)  # noqa: E731
+                                dim_nn = lambda df: _nn(df, dcols)  # noqa: E731
                             if pj is not None and d_delta is not None:
                                 # the dim delta's distinct join keys: the
                                 # affected-fact filter; IN-list pushdown
-                                # (file/row-group skipping) when small
+                                # (file/row-group skipping) for a single
+                                # key, broadcast semi-join for compound
                                 dkeys_df = (
-                                    d_delta.filter(F.col(dim_col).isNotNull())
-                                    .select(F.col(dim_col).alias("__mv_dk"))
+                                    d_delta.filter(dim_nn(d_delta))
+                                    .select(dim_key(d_delta).alias("__mv_dk"))
                                     .distinct()
                                 )
-                                dkeys = [
-                                    row[0]
-                                    for row in dkeys_df.limit(1001).collect()
-                                ]
-                                if len(dkeys) <= 1000:
-                                    # matched-part rows require a non-null
-                                    # key in this set; empty set → no rows
-                                    f_old = f_old.filter(
-                                        F.col(fact_col).isin(dkeys)
-                                        if dkeys
-                                        else F.lit(False)
+                                if len(pj) == 1:
+                                    dkeys = [
+                                        row[0]
+                                        for row in dkeys_df.limit(1001).collect()
+                                    ]
+                                    if len(dkeys) <= 1000:
+                                        # matched-part rows require a non-null
+                                        # key in this set; empty set → no rows
+                                        f_old = f_old.filter(
+                                            F.col(pj[0][0]).isin(dkeys)
+                                            if dkeys
+                                            else F.lit(False)
+                                        )
+                                else:
+                                    f_old = f_old.join(
+                                        F.broadcast(dkeys_df),
+                                        fact_key(f_old) == F.col("__mv_dk"),
+                                        "left_semi",
                                     )
                             saved = self.tables.get(mv.dim, _UNSET)
                             self.tables[mv.dim] = d_new
@@ -390,23 +426,23 @@ class MatViewMixin:
                                 _add(changes, w, jo="INNER" if right_like else None)
                                 if full_join:
                                     fkeys1 = (
-                                        changes.filter(F.col(fact_col).isNotNull())
-                                        .select(F.col(fact_col).alias("__mv_fk"))
+                                        changes.filter(fact_nn(changes))
+                                        .select(fact_key(changes).alias("__mv_fk"))
                                         .distinct()
                                     )
                                     c3 = (
                                         d_new.join(
                                             F.broadcast(fkeys1),
-                                            d_new[dim_col] == fkeys1["__mv_fk"],
+                                            dim_key(d_new) == fkeys1["__mv_fk"],
                                             "left_semi",
                                         )
-                                        .groupBy(F.col(dim_col).alias("__mv_fk"))
+                                        .groupBy(dim_key(d_new).alias("__mv_fk"))
                                         .agg(F.count(F.lit(1)).alias("__mv_c3"))
                                     )
                                     f3 = (
                                         changes.join(
                                             F.broadcast(c3),
-                                            changes[fact_col] == c3["__mv_fk"],
+                                            fact_key(changes) == c3["__mv_fk"],
                                             "left",
                                         )
                                         .filter(F.col("__mv_c3").isNull())
@@ -429,10 +465,10 @@ class MatViewMixin:
                                         return (
                                             ddf.join(
                                                 F.broadcast(dkeys_df),
-                                                ddf[dim_col] == dkeys_df["__mv_dk"],
+                                                dim_key(ddf) == dkeys_df["__mv_dk"],
                                                 "left_semi",
                                             )
-                                            .groupBy(F.col(dim_col).alias("__mv_dk"))
+                                            .groupBy(dim_key(ddf).alias("__mv_dk"))
                                             .agg(F.count(F.lit(1)).alias(out))
                                         )
 
@@ -462,7 +498,7 @@ class MatViewMixin:
                                     )
                                     f_flip = f_old_full.join(
                                         F.broadcast(flips),
-                                        f_old_full[fact_col] == flips["__mv_dk"],
+                                        fact_key(f_old_full) == flips["__mv_dk"],
                                         "inner",
                                     ).drop("__mv_dk")
                                     _add(
@@ -474,16 +510,16 @@ class MatViewMixin:
                                     mo5 = (
                                         f_old_full.join(
                                             F.broadcast(dkeys_df),
-                                            f_old_full[fact_col] == dkeys_df["__mv_dk"],
+                                            fact_key(f_old_full) == dkeys_df["__mv_dk"],
                                             "left_semi",
                                         )
-                                        .groupBy(F.col(fact_col).alias("__mv_dk"))
+                                        .groupBy(fact_key(f_old_full).alias("__mv_dk"))
                                         .agg(F.count(F.lit(1)).alias("__mv_m5"))
                                     )
                                     d5 = (
                                         d_delta.join(
                                             F.broadcast(mo5),
-                                            d_delta[dim_col] == mo5["__mv_dk"],
+                                            dim_key(d_delta) == mo5["__mv_dk"],
                                             "left",
                                         )
                                         .filter(F.col("__mv_m5").isNull())
@@ -497,8 +533,8 @@ class MatViewMixin:
                                 # crossed 0↔1 via ΔF
                                 if right_like and cur != mv.base_version:
                                     fkeys6 = (
-                                        changes.filter(F.col(fact_col).isNotNull())
-                                        .select(F.col(fact_col).alias("__mv_fk"))
+                                        changes.filter(fact_nn(changes))
+                                        .select(fact_key(changes).alias("__mv_fk"))
                                         .distinct()
                                     )
                                     f_new_full = self.sinks[mv.base].scan(
@@ -509,10 +545,10 @@ class MatViewMixin:
                                         return (
                                             fdf.join(
                                                 F.broadcast(fkeys6),
-                                                fdf[fact_col] == fkeys6["__mv_fk"],
+                                                fact_key(fdf) == fkeys6["__mv_fk"],
                                                 "left_semi",
                                             )
-                                            .groupBy(F.col(fact_col).alias("__mv_fk"))
+                                            .groupBy(fact_key(fdf).alias("__mv_fk"))
                                             .agg(F.count(F.lit(1)).alias(out))
                                         )
 
@@ -540,7 +576,7 @@ class MatViewMixin:
                                     )
                                     d6 = d_new.join(
                                         F.broadcast(fflips),
-                                        d_new[dim_col] == fflips["__mv_fk"],
+                                        dim_key(d_new) == fflips["__mv_fk"],
                                         "inner",
                                     ).drop("__mv_fk")
                                     _add(

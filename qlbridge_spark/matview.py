@@ -38,12 +38,15 @@ and ORDER BY [+LIMIT/OFFSET] apply at EXPOSE time over the aggregated
 state (aggs referenced only there become hidden state columns), so
 filtered-out groups re-appear the moment a delta makes them qualify.
 The variance family (stddev/variance, sample and population) is
-algebraic — (Σx, Σx², n) state. DISTINCT substates fold through every
-join shape (pure signed counting). Anything beyond the algebra
-(windows, subqueries, compound-ON outer joins under the flip terms,
-FILTER clauses, sort-based aggs like median, extrema on dim-preserved
-or self joins) still works as a materialized view — it just refreshes
-by full recompute, and the refresh report says so.
+algebraic — per-group CENTERED (Σw(x−z), Σw(x−z)², n) state. DISTINCT
+substates fold through every join shape (pure signed counting); FILTER
+(WHERE …) folds into a guarded argument; projection windows and QUALIFY
+evaluate at expose time; compound equality ONs key the flip terms on
+the full tuple. Anything beyond the algebra (named WINDOW specs,
+subqueries, non-equi/one-sided ON conjuncts under the flip terms,
+sort-based aggs like median, extrema on FULL or self joins) still works
+as a materialized view — it just refreshes by full recompute, and the
+refresh report says so.
 
 Superset: the reference has no materialized views (its closest notion
 is the continuously-evaluated view, which the engine maps to Structured
@@ -89,6 +92,7 @@ from pyspark.sql import functions as F
 
 from .nodes import (
     BinaryNode,
+    BooleanNode,
     CaseNode,
     FuncNode,
     IdentityNode,
@@ -727,13 +731,14 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
     ):
         # dim-preserved outer joins: EVERY refresh (fact-only included)
         # needs per-key match-count bookkeeping for the dim side's null
-        # extensions, so the ON must be a single fact-col = dim-col
-        # equality. (DISTINCT is fine: substates are pure signed
-        # counting and fold through the same six terms; extrema need a
-        # dim-side probe, deduced above.)
+        # extensions, so the ON must be a conjunction of plain
+        # fact-col = dim-col equalities — the flip terms key on the
+        # (possibly compound) tuple. (DISTINCT is fine: substates are
+        # pure signed counting and fold through the same six terms;
+        # extrema need a dim-side probe, deduced above.)
         probe = MatView(name="", select=select, base=nm, dim=dim_name)
         if (
-            equi_join_prune_cols(
+            equi_join_pairs(
                 probe,
                 _snapshot_cols(engine, sink),
                 _snapshot_cols(engine, engine.sinks[dim_name]),
@@ -886,20 +891,19 @@ def _state_select(
 _UNSET = object()
 
 
-def equi_join_prune_cols(mv: MatView, fact_cols: set, dim_cols: set):
-    """``(fact_col, dim_col)`` when the view's join ON is a single
-    equality between a plain fact column and a plain dim column, else
-    None. Used by the F_old ⋈ ΔD maintenance term to pre-filter the
-    fact scan to rows whose join key appears in the dim delta — at
-    100 TB that turns a full fact pass into a stats/row-group-skipped
-    read (the IN-list pushes to the parquet scan), since a dim commit
-    typically touches a handful of keys."""
+def equi_join_pairs(mv: MatView, fact_cols: set, dim_cols: set):
+    """``[(fact_col, dim_col), …]`` when the view's join ON is a
+    CONJUNCTION of plain fact-column = dim-column equalities (a single
+    equality is the one-element list), else None. Used by the F_old ⋈ ΔD
+    maintenance term to pre-filter the fact scan to rows whose join key
+    appears in the dim delta — at 100 TB that turns a full fact pass
+    into a stats/row-group-skipped read (single key: IN-list pushed to
+    the parquet scan; compound key: broadcast semi-join on the delta's
+    distinct key tuples) — and by the outer-join null-flip terms, whose
+    match counting groups by the (possibly compound) join key."""
     if len(mv.select.from_) < 2:
         return None
     src, d = mv.select.from_[0], mv.select.from_[1]
-    je = d.join_expr
-    if not isinstance(je, BinaryNode) or je.op not in ("=", "=="):
-        return None
     fact_refs = {mv.base, (src.alias or "").lower()} - {""}
     dim_refs = {mv.dim, (d.alias or "").lower()} - {""}
 
@@ -920,10 +924,33 @@ def equi_join_prune_cols(mv: MatView, fact_cols: set, dim_cols: set):
             return ("d", n.parts[-1])
         return None
 
-    lhs, rhs = _side(je.left), _side(je.right)
-    if not lhs or not rhs or lhs[0] == rhs[0]:
-        return None
-    return (lhs[1], rhs[1]) if lhs[0] == "f" else (rhs[1], lhs[1])
+    def _conj(node):
+        if isinstance(node, BinaryNode) and node.op == "AND":
+            return _conj(node.left) + _conj(node.right)
+        if isinstance(node, BooleanNode) and node.op == "AND" and not node.negated:
+            out = []
+            for a in node.args:
+                out.extend(_conj(a))
+            return out
+        return [node]
+
+    pairs = []
+    for eq in _conj(d.join_expr):
+        if not isinstance(eq, BinaryNode) or eq.op not in ("=", "==") or getattr(eq, "negated", False):
+            return None
+        lhs, rhs = _side(eq.left), _side(eq.right)
+        if not lhs or not rhs or lhs[0] == rhs[0]:
+            return None
+        pairs.append((lhs[1], rhs[1]) if lhs[0] == "f" else (rhs[1], lhs[1]))
+    return pairs or None
+
+
+def equi_join_prune_cols(mv: MatView, fact_cols: set, dim_cols: set):
+    """``(fact_col, dim_col)`` when the view's join ON is a SINGLE plain
+    equality — the shape whose prune can push down as an IN-list. See
+    :func:`equi_join_pairs` for the compound generalization."""
+    pairs = equi_join_pairs(mv, fact_cols, dim_cols)
+    return pairs[0] if pairs is not None and len(pairs) == 1 else None
 
 
 def _weight_node(dim_weighted: bool, weight_mode: str | None) -> Node:

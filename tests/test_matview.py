@@ -1309,3 +1309,132 @@ class TestJoinMatViews:
                         assert gv == wv, (qname, round_, gr, wr)
             # the dim checkpoint tracked every dim commit
             assert eng.mat_views["mv"].dim_version == max(dim.versions())
+
+
+class TestCompoundOnJoinMatViews:
+    """Compound equality ONs (f.a = d.a AND f.b = d.b) maintain under
+    dim deltas since r13: the null-flip / match-count terms key on the
+    full join-key TUPLE (positionally-aliased structs, so fact- and
+    dim-side tuples compare despite different column names), and the
+    F_old prune becomes a broadcast semi-join on the delta's distinct
+    tuples. One-sided conjuncts (f.x > 5) still force full recompute."""
+
+    def _mk(self, spark, tmp_path, name):
+        from qlbridge_spark.sinks import ParquetMergeSink
+
+        eng = Engine(spark, f"mvco-{name}")
+        fact = ParquetMergeSink(spark, str(tmp_path / f"{name}_f"), key="id")
+        fact.ensure(
+            spark.createDataFrame(
+                [(i, i % 4, i % 3, float(i)) for i in range(60)],
+                "id long, a int, b int, x double",
+            )
+        )
+        dim = ParquetMergeSink(spark, str(tmp_path / f"{name}_d"), key="did")
+        dim.ensure(
+            spark.createDataFrame(
+                [(10 * a + b, a, b, f"n{a}{b}") for a in range(3) for b in range(3)],
+                "did long, a int, b int, dname string",
+            )
+        )
+        eng.register_sink("f", fact)
+        eng.register_sink("d", dim)
+        return eng, fact, dim
+
+    Q_INNER = (
+        "SELECT d.dname AS g, count(*) AS n, sum(f.x) AS s "
+        "FROM f JOIN d ON f.a = d.a AND f.b = d.b GROUP BY d.dname"
+    )
+    Q_LEFT = (
+        "SELECT f.a AS k, count(*) AS n, count(d.dname) AS nd, sum(f.x) AS s "
+        "FROM f LEFT JOIN d ON f.a = d.a AND f.b = d.b GROUP BY f.a"
+    )
+    Q_FULL = (
+        "SELECT f.a AS k, count(*) AS n, count(d.dname) AS nd "
+        "FROM f FULL OUTER JOIN d ON f.a = d.a AND f.b = d.b GROUP BY f.a"
+    )
+
+    def _churn(self, eng, rng_seed=0):
+        # dim deletes/inserts/updates that flip tuple match counts, plus
+        # fact deltas in the same refresh window
+        eng.execute("DELETE FROM d WHERE a = 1 AND b = 2")  # tuple loses all matches
+        eng.execute("INSERT INTO d (did, a, b, dname) VALUES (33, 3, 0, 'new30')")
+        eng.execute("UPDATE d SET dname = 'renamed' WHERE a = 0 AND b = 0")
+        eng.execute("INSERT INTO f (id, a, b, x) VALUES (100, 3, 0, 9.0), (101, 1, 2, 4.0)")
+        eng.execute("DELETE FROM f WHERE id % 11 = 3")
+
+    @pytest.mark.parametrize("q", [Q_INNER, Q_LEFT, Q_FULL])
+    def test_compound_on_dim_churn_maintains(self, spark, tmp_path, q):
+        eng, fact, dim = self._mk(spark, tmp_path, f"c{abs(hash(q)) % 9999}")
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
+        assert eng.mat_views["mv"].incremental
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
+        self._churn(eng)
+        rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+        assert rep["mode"] == "incremental", q
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q), q
+        # second window: dim-only churn (pure flip terms)
+        eng.execute("DELETE FROM d WHERE a = 2")
+        rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+        assert rep["mode"] == "incremental", q
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q), q
+
+    def test_compound_on_with_null_key_rows(self, spark, tmp_path):
+        # a fact row with a NULL key part never matches (SQL equality) —
+        # the tuple machinery must not count or flip it
+        eng, fact, dim = self._mk(spark, tmp_path, "nul")
+        eng.execute("INSERT INTO f (id, a, b, x) VALUES (200, NULL, 1, 7.0), (201, 2, NULL, 8.0)")
+        q = self.Q_LEFT
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
+        self._churn(eng)
+        rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+        assert rep["mode"] == "incremental"
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
+
+    def test_one_sided_conjunct_still_full(self, spark, tmp_path):
+        eng, fact, dim = self._mk(spark, tmp_path, "osc")
+        q = (
+            "SELECT f.a AS k, count(*) AS n "
+            "FROM f LEFT JOIN d ON f.a = d.a AND f.x > 5 GROUP BY f.a"
+        )
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
+        eng.execute("DELETE FROM d WHERE a = 1")
+        rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+        assert rep["mode"] == "full"
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
+
+    def test_compound_on_randomized_parity(self, spark, tmp_path):
+        import random as _r
+
+        rng = _r.Random(20260831)
+        eng, fact, dim = self._mk(spark, tmp_path, "rand")
+        q = self.Q_LEFT
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
+        next_id, next_did = 300, 50
+        for round_ in range(4):
+            for _ in range(rng.randint(1, 3)):
+                op = rng.choice(["ins", "del", "dins", "ddel", "dupd"])
+                if op == "ins":
+                    eng.execute(
+                        f"INSERT INTO f (id, a, b, x) VALUES "
+                        f"({next_id}, {rng.randint(0, 4)}, {rng.randint(0, 3)}, {float(rng.randint(0, 9))})"
+                    )
+                    next_id += 1
+                elif op == "del":
+                    eng.execute(f"DELETE FROM f WHERE id % {rng.randint(5, 9)} = 1")
+                elif op == "dins":
+                    eng.execute(
+                        f"INSERT INTO d (did, a, b, dname) VALUES "
+                        f"({next_did}, {rng.randint(0, 4)}, {rng.randint(0, 3)}, 'r{next_did}')"
+                    )
+                    next_did += 1
+                elif op == "ddel":
+                    eng.execute(f"DELETE FROM d WHERE did % {rng.randint(3, 7)} = 1")
+                else:
+                    eng.execute(
+                        f"UPDATE d SET dname = 'u{rng.randint(0, 99)}' "
+                        f"WHERE a = {rng.randint(0, 4)}"
+                    )
+            rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+            assert rep["mode"] in ("incremental", "noop"), round_
+            assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q), round_
