@@ -42,11 +42,12 @@ algebraic — per-group CENTERED (Σw(x−z), Σw(x−z)², n) state. DISTINCT
 substates fold through every join shape (pure signed counting); FILTER
 (WHERE …) folds into a guarded argument; projection windows and QUALIFY
 evaluate at expose time; compound equality ONs key the flip terms on
-the full tuple. Anything beyond the algebra (named WINDOW specs,
-subqueries, non-equi/one-sided ON conjuncts under the flip terms,
-sort-based aggs like median, extrema on FULL or self joins) still works
-as a materialized view — it just refreshes by full recompute, and the
-refresh report says so.
+the full tuple; median maintains through the substate multiset with an
+exact weighted-percentile exposure. Anything beyond the algebra (named
+WINDOW specs, subqueries, non-equi/one-sided ON conjuncts under the
+flip terms, other holistic aggs like mode, extrema on FULL or self
+joins) still works as a materialized view — it just refreshes by full
+recompute, and the refresh report says so.
 
 Superset: the reference has no materialized views (its closest notion
 is the continuously-evaluated view, which the engine maps to Structured
@@ -135,6 +136,16 @@ _VARIANCE_AGGS = {
 #: substate (never the base). This is the classic DBSP/Materialize
 #: answer to the "COUNT(DISTINCT) isn't distributive" problem.
 _DISTINCT_AGGS = {"count_distinct", "sum_distinct", "avg_distinct"}
+#: sort-based aggregates ride the SAME two-level substate — the
+#: (keys, value) → signed-occurrence-count multiset IS the sorted-agg
+#: input, so deltas fold in O(|delta|) and the exposed value is a
+#: weighted interpolated percentile over the O(|distinct values|)
+#: substate (Spark/DuckDB median semantics: linear interpolation at
+#: index (N−1)/2 over the sorted multiset). State is O(distinct values
+#: per group) — the inherent cost of an exact holistic aggregate.
+_SORT_AGGS = {"median"}
+#: every agg kind maintained through a substate (AggSpec.d_idx)
+_SUBSTATE_AGGS = _DISTINCT_AGGS | _SORT_AGGS
 #: extrema fold under inserts (min of mins) but not deletes — a delete
 #: may remove the reigning extremum. The change feed names exactly which
 #: groups a delete touched, so REFRESH re-aggregates ONLY those groups'
@@ -225,7 +236,10 @@ class MatView:
 
     @property
     def has_distinct(self) -> bool:
-        return bool(self.aggs) and any(a.kind in _DISTINCT_AGGS for a in self.aggs)
+        """True when the view maintains any two-level SUBSTATE agg —
+        DISTINCT family or sort-based (median); the name predates the
+        sort aggs and gates the shared substate machinery."""
+        return bool(self.aggs) and any(a.kind in _SUBSTATE_AGGS for a in self.aggs)
 
     @property
     def has_variance(self) -> bool:
@@ -277,7 +291,7 @@ def _parse_agg(e: Node):
     (non-qualifying rows land on the NULL value, dropped at expose)."""
     if (
         not isinstance(e, FuncNode)
-        or e.name not in _INCREMENTAL_AGGS | _EXTREMUM_AGGS | _VARIANCE_AGGS
+        or e.name not in _INCREMENTAL_AGGS | _EXTREMUM_AGGS | _VARIANCE_AGGS | _SORT_AGGS
     ):
         return None
     if e.agg_order or e.ignore_nulls or len(e.args) != 1:
@@ -301,7 +315,7 @@ def _parse_agg(e: Node):
     if isinstance(arg, FuncNode) and arg.name == "distinct":
         # count/sum/avg(DISTINCT x); min/max(DISTINCT x) ≡ min/max(x);
         # variance(DISTINCT x) is NOT maintained (no substate algebra)
-        if len(arg.args) != 1 or e.name in _VARIANCE_AGGS:
+        if len(arg.args) != 1 or e.name in _VARIANCE_AGGS | _SORT_AGGS:
             return None
         inner = arg.args[0]
         if _contains_distinct(inner) or not _row_local(inner):
@@ -760,7 +774,7 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
             )
         elif a.kind in _EXTREMUM_AGGS:
             a.m_col = f"__mv_m{i}"
-        elif a.kind in _DISTINCT_AGGS:
+        elif a.kind in _SUBSTATE_AGGS:
             a.d_idx = di
             di += 1
         i += 1
@@ -1162,7 +1176,7 @@ def sub_state_frames(
                 )
             )
             for a in mv.aggs
-            if a.kind in _DISTINCT_AGGS
+            if a.kind in _SUBSTATE_AGGS
         ]
     finally:
         engine.tables.pop(tmp, None)
@@ -1381,7 +1395,7 @@ def exposed_frame(mv: MatView) -> DataFrame:
             c = F.when(F.col(a.c_col) > 0, F.col(a.s_col))
         elif a.kind in _EXTREMUM_AGGS:
             c = F.col(a.m_col)
-        elif a.kind in _DISTINCT_AGGS:
+        elif a.kind in _SUBSTATE_AGGS:
             distinct_aggs.append(a)
             continue  # joined in from the substate below
         elif a.kind in _VARIANCE_AGGS:
@@ -1408,13 +1422,57 @@ def exposed_frame(mv: MatView) -> DataFrame:
         # NULL values don't count/sum (ANSI DISTINCT-agg semantics);
         # NULL group keys join null-safely (a NULL key IS a group).
         sub = mv.substates[a.d_idx].filter(F.col("__mv_dv").isNotNull())
-        if a.kind == "count_distinct":
-            agg_c = F.count(F.lit(1))
-        elif a.kind == "sum_distinct":
-            agg_c = F.sum("__mv_dv")
-        else:  # avg_distinct
-            agg_c = F.avg("__mv_dv")
-        cf = sub.groupBy(*[F.col(k) for k in mv.key_cols]).agg(agg_c.alias(a.out))
+        if a.kind in _SORT_AGGS:
+            # exact weighted percentile over the (value, count) multiset
+            # with Spark/DuckDB linear interpolation: target index
+            # t = (N−1)·p over the sorted occurrences; value v_i with
+            # count c_i covers indices [cum_{i−1}, cum_i); the answer
+            # interpolates between the values covering ⌊t⌋ and ⌈t⌉.
+            # One window + one hash agg on the same keys (one shuffle).
+            from pyspark.sql.window import Window
+
+            keys = [F.col(k) for k in mv.key_cols]
+            w_part = Window.partitionBy(*keys) if mv.key_cols else Window.partitionBy(F.lit(1))
+            w_ord = w_part.orderBy(F.col("__mv_dv")).rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+            p = 0.5  # median
+            s2 = sub.withColumn("__mv_cum", F.sum("__mv_dn").over(w_ord)).withColumn(
+                "__mv_t",
+                (F.sum("__mv_dn").over(w_part) - F.lit(1)).cast("double") * F.lit(p),
+            )
+            grouped = s2.groupBy(*keys) if mv.key_cols else s2.groupBy()
+            cf = grouped.agg(
+                F.min(
+                    F.when(
+                        F.col("__mv_cum").cast("double") > F.floor(F.col("__mv_t")),
+                        F.col("__mv_dv").cast("double"),
+                    )
+                ).alias("__mv_vlo"),
+                F.min(
+                    F.when(
+                        F.col("__mv_cum").cast("double") > F.ceil(F.col("__mv_t")),
+                        F.col("__mv_dv").cast("double"),
+                    )
+                ).alias("__mv_vhi"),
+                F.first("__mv_t").alias("__mv_t"),
+            )
+            frac = F.col("__mv_t") - F.floor(F.col("__mv_t"))
+            cf = cf.select(
+                *[F.col(k) for k in mv.key_cols],
+                (
+                    F.col("__mv_vlo")
+                    + (F.coalesce(F.col("__mv_vhi"), F.col("__mv_vlo")) - F.col("__mv_vlo")) * frac
+                ).alias(a.out),
+            )
+        else:
+            if a.kind == "count_distinct":
+                agg_c = F.count(F.lit(1))
+            elif a.kind == "sum_distinct":
+                agg_c = F.sum("__mv_dv")
+            else:  # avg_distinct
+                agg_c = F.avg("__mv_dv")
+            cf = sub.groupBy(*[F.col(k) for k in mv.key_cols]).agg(agg_c.alias(a.out))
         if mv.key_cols:
             cfa = cf.select(
                 *[F.col(k).alias(f"__mvd_{k}") for k in mv.key_cols], F.col(a.out)

@@ -189,13 +189,15 @@ class TestEligibility:
     @pytest.mark.parametrize(
         "q",
         [
-            "SELECT g, median(x) AS m FROM t GROUP BY g",  # non-algebraic agg
+            # mode() has no signed-delta or substate algebra here
+            # (median DOES since r13 — exact multiset substate)
+            "SELECT g, mode(x) AS m FROM t GROUP BY g",
             # FILTER (WHERE …) is incremental since r13 (guarded-arg
             # fold) — but not on an agg outside the vocabulary
-            "SELECT g, median(x) FILTER (WHERE id > 2) AS d FROM t GROUP BY g",
+            "SELECT g, mode(x) FILTER (WHERE id > 2) AS d FROM t GROUP BY g",
             # HAVING is incremental since r12 — unless it references an
             # agg the algebra can't maintain
-            "SELECT g, count(*) AS n FROM t GROUP BY g HAVING median(x) > 0",
+            "SELECT g, count(*) AS n FROM t GROUP BY g HAVING mode(x) > 0",
             # INNER self-joins are incremental since r12; OUTER self-joins not
             "SELECT t.g, count(*) AS n FROM t LEFT JOIN t u ON t.id = u.id GROUP BY t.g",
             "SELECT upper(g) AS u, count(*) AS n FROM t GROUP BY g",  # key not exposed
@@ -1435,6 +1437,133 @@ class TestCompoundOnJoinMatViews:
                         f"UPDATE d SET dname = 'u{rng.randint(0, 99)}' "
                         f"WHERE a = {rng.randint(0, 4)}"
                     )
+            rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+            assert rep["mode"] in ("incremental", "noop"), round_
+            assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q), round_
+
+
+class TestMedianMatViews:
+    """Sort-based aggregates (median) maintain through the SAME two-level
+    substate as DISTINCT aggs — the (keys, value) → signed-occurrence
+    multiset IS the sorted input, folding in O(|delta|); exposure runs an
+    exact weighted percentile with Spark/DuckDB linear interpolation
+    (index (N−1)/2 over the sorted occurrences). State is O(distinct
+    values per group) — the inherent cost of an exact holistic agg."""
+
+    def test_median_insert_update_delete_parity(self, spark, tmp_path):
+        eng, _ = _mk(
+            spark, tmp_path, "md1",
+            [(i, "g" + str(i % 3), float(i % 7) if i % 5 else None) for i in range(40)],
+        )
+        q = "SELECT g, median(x) AS md, count(*) AS n FROM t GROUP BY g"
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
+        assert eng.mat_views["mv"].incremental
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
+        eng.execute("INSERT INTO t (id, g, x) VALUES (100, 'g1', 3.5), (101, 'g9', 2.0), (102, 'g0', NULL)")
+        eng.execute("UPDATE t SET x = 6.0 WHERE id % 4 = 2")
+        eng.execute("DELETE FROM t WHERE id % 9 = 3")
+        rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+        assert rep["mode"] == "incremental"
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
+        assert eng.sql("SELECT * FROM mv").schema == eng.sql(q).schema
+
+    def test_median_even_odd_interpolation(self, spark, tmp_path):
+        # exact hand-computable: {1,2,3,4} → 2.5; delete 4 → {1,2,3} → 2
+        eng, _ = _mk(
+            spark, tmp_path, "md2",
+            [(i, "a", float(i)) for i in (1, 2, 3, 4)],
+        )
+        q = "SELECT g, median(x) AS md FROM t GROUP BY g"
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
+        assert eng.sql("SELECT * FROM mv").collect()[0]["md"] == 2.5
+        eng.execute("DELETE FROM t WHERE id = 4")
+        eng.sql("REFRESH MATERIALIZED VIEW mv").collect()
+        assert eng.sql("SELECT * FROM mv").collect()[0]["md"] == 2.0
+        # duplicates weight the multiset: add two more 1s → {1,1,1,2,3} → 1
+        eng.execute("INSERT INTO t (id, g, x) VALUES (10, 'a', 1.0), (11, 'a', 1.0)")
+        eng.sql("REFRESH MATERIALIZED VIEW mv").collect()
+        assert eng.sql("SELECT * FROM mv").collect()[0]["md"] == 1.0
+
+    def test_median_with_filter_join_and_having(self, spark, tmp_path):
+        from qlbridge_spark.sinks import ParquetMergeSink
+
+        eng, _ = _mk(
+            spark, tmp_path, "md3",
+            [(i, "g" + str(i % 3), float(i % 11)) for i in range(50)],
+        )
+        q = (
+            "SELECT g, median(x) FILTER (WHERE id % 2 = 0) AS mf, sum(x) AS s "
+            "FROM t GROUP BY g HAVING median(x) > 1"
+        )
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
+        assert eng.mat_views["mv"].incremental
+        eng.execute("INSERT INTO t (id, g, x) VALUES (200, 'g0', 0.5), (201, 'g1', 9.0)")
+        eng.execute("DELETE FROM t WHERE id % 7 = 2")
+        rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+        assert rep["mode"] == "incremental"
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
+
+    def test_median_on_join_view_with_dim_churn(self, spark, tmp_path):
+        from qlbridge_spark.sinks import ParquetMergeSink
+
+        eng = Engine(spark, "mv-mdj")
+        fact = ParquetMergeSink(spark, str(tmp_path / "mdj_f"), key="id")
+        fact.ensure(
+            spark.createDataFrame(
+                [(i, i % 4, float(i % 9)) for i in range(60)], "id long, dk int, x double"
+            )
+        )
+        dim = ParquetMergeSink(spark, str(tmp_path / "mdj_d"), key="dk")
+        dim.ensure(
+            spark.createDataFrame([(k, f"n{k}") for k in range(4)], "dk int, dname string")
+        )
+        eng.register_sink("f", fact)
+        eng.register_sink("d", dim)
+        q = (
+            "SELECT d.dname AS g, median(f.x) AS md, count(*) AS n "
+            "FROM f JOIN d ON f.dk = d.dk GROUP BY d.dname"
+        )
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
+        assert eng.mat_views["mv"].incremental
+        eng.execute("UPDATE d SET dname = 'renamed' WHERE dk = 1")
+        eng.execute("INSERT INTO f (id, dk, x) VALUES (300, 2, 4.5)")
+        eng.execute("DELETE FROM f WHERE id % 8 = 1")
+        rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+        assert rep["mode"] == "incremental"
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
+
+    def test_median_distinct_rejected(self):
+        from qlbridge_spark.matview import _parse_agg
+        from qlbridge_spark.rel import parse_sql
+
+        sel = parse_sql("SELECT median(DISTINCT x) AS m FROM t")
+        assert _parse_agg(sel.columns[0].expr) is None
+
+    def test_median_randomized_parity(self, spark, tmp_path):
+        rng = random.Random(20260901)
+        eng, _ = _mk(
+            spark, tmp_path, "mdr",
+            [(i, "g" + str(i % 4), float(i % 13)) for i in range(60)],
+        )
+        q = "SELECT g, median(x) AS md, count(x) AS cx FROM t GROUP BY g"
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
+        next_id = 300
+        for round_ in range(4):
+            for _ in range(rng.randint(1, 3)):
+                op = rng.choice(["ins", "upd", "del"])
+                if op == "ins":
+                    x = rng.choice([str(float(rng.randint(0, 20))), "NULL"])
+                    eng.execute(
+                        f"INSERT INTO t (id, g, x) VALUES ({next_id}, 'g{rng.randint(0, 5)}', {x})"
+                    )
+                    next_id += 1
+                elif op == "upd":
+                    eng.execute(
+                        f"UPDATE t SET x = {float(rng.randint(0, 20))} "
+                        f"WHERE id % {rng.randint(2, 6)} = 0"
+                    )
+                else:
+                    eng.execute(f"DELETE FROM t WHERE id % {rng.randint(4, 9)} = 1")
             rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
             assert rep["mode"] in ("incremental", "noop"), round_
             assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q), round_

@@ -63,7 +63,7 @@ REQUIRED = {
     "fallback_rightfull_factkey_extrema", "fallback_compoundkey_extrema",
     "fallback_self_extrema",
     "having", "topk", "durable_state", "where_alt",
-    "agg_filter", "window_col", "qualify",
+    "agg_filter", "window_col", "qualify", "agg_median",
     "dim_churn", "dim_churn_right_full",
 }
 
@@ -87,7 +87,7 @@ SLOTS = [
 
 EXTRAS = [
     "having", "topk", "durable", "where_alt", "distinct", "variance",
-    "filter_agg", "window", "qualify",
+    "filter_agg", "window", "qualify", "median",
 ]
 
 
@@ -130,6 +130,9 @@ def _mk_sql(rng, slot, extra, state_path):
     elif extra == "variance":
         classes.add("agg_variance")
         aggs.append(rng.choice(["stddev(f.x) AS sd", "var_pop(f.x) AS vp"]))
+    elif extra == "median":
+        classes.add("agg_median")
+        aggs.append("median(g.x) AS md" if self_join else "median(f.x) AS md")
     elif extra == "filter_agg":
         classes.add("agg_filter")
         aggs.append(
