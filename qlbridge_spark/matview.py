@@ -143,7 +143,7 @@ _DISTINCT_AGGS = {"count_distinct", "sum_distinct", "avg_distinct"}
 #: substate (Spark/DuckDB median semantics: linear interpolation at
 #: index (N−1)/2 over the sorted multiset). State is O(distinct values
 #: per group) — the inherent cost of an exact holistic aggregate.
-_SORT_AGGS = {"median"}
+_SORT_AGGS = {"median", "percentile_cont"}
 #: every agg kind maintained through a substate (AggSpec.d_idx)
 _SUBSTATE_AGGS = _DISTINCT_AGGS | _SORT_AGGS
 #: extrema fold under inserts (min of mins) but not deletes — a delete
@@ -172,6 +172,8 @@ class AggSpec:
     #: CENTERED moments Σw(x−z) / Σw(x−z)² — see _VARIANCE_AGGS note.
     #: NULL shift ⇒ raw (shift 0), which is also the legacy encoding.
     z_col: str | None = None
+    #: percentile fraction (sort-agg family): median ≡ 0.5
+    p: float | None = None
 
 
 @dataclass
@@ -280,8 +282,9 @@ def _snapshot_cols(engine, s) -> set[str]:
 
 
 def _parse_agg(e: Node):
-    """``(kind, arg)`` when ``e`` is an aggregate call the signed-delta
-    algebra maintains (the AggSpec vocabulary), else None.
+    """``(kind, arg, p)`` when ``e`` is an aggregate call the signed-delta
+    algebra maintains (the AggSpec vocabulary), else None; ``p`` is the
+    percentile fraction for the sort-agg family (None otherwise).
 
     ``agg(x) FILTER (WHERE p)`` folds into the ARG: every agg in the
     vocabulary ignores NULL inputs, so guarding the argument with
@@ -294,7 +297,24 @@ def _parse_agg(e: Node):
         or e.name not in _INCREMENTAL_AGGS | _EXTREMUM_AGGS | _VARIANCE_AGGS | _SORT_AGGS
     ):
         return None
-    if e.agg_order or e.ignore_nulls or len(e.args) != 1:
+    if e.agg_order or e.ignore_nulls:
+        return None
+    p = None
+    if e.name == "percentile_cont":
+        # percentile_cont(x, p) — p must be a literal fraction (the
+        # substate exposure bakes it into the interpolation target)
+        if (
+            len(e.args) != 2
+            or not isinstance(e.args[1], NumberNode)
+            or not 0.0 <= float(e.args[1].value) <= 1.0
+        ):
+            return None
+        p = float(e.args[1].value)
+    elif e.name == "median":
+        if len(e.args) != 1:
+            return None
+        p = 0.5
+    elif len(e.args) != 1:
         return None
     filt = e.filter_where
     if filt is not None and not _row_local(filt):
@@ -310,8 +330,8 @@ def _parse_agg(e: Node):
         if e.name != "count":
             return None
         if filt is not None:
-            return ("count", guard(NumberNode("1")))
-        return ("count_star", None)
+            return ("count", guard(NumberNode("1")), None)
+        return ("count_star", None, None)
     if isinstance(arg, FuncNode) and arg.name == "distinct":
         # count/sum/avg(DISTINCT x); min/max(DISTINCT x) ≡ min/max(x);
         # variance(DISTINCT x) is NOT maintained (no substate algebra)
@@ -321,11 +341,11 @@ def _parse_agg(e: Node):
         if _contains_distinct(inner) or not _row_local(inner):
             return None
         if e.name in _EXTREMUM_AGGS:
-            return (e.name, guard(inner))
-        return (f"{e.name}_distinct", guard(inner))
+            return (e.name, guard(inner), None)
+        return (f"{e.name}_distinct", guard(inner), None)
     if _contains_distinct(arg) or not _row_local(arg):
         return None
-    return (e.name, guard(arg))
+    return (e.name, guard(arg), p)
 
 
 def _subst(node: Node, pairs: list) -> Node:
@@ -500,7 +520,7 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
         parsed = _parse_agg(e)
         if parsed is None:
             return None
-        aggs.append(AggSpec(parsed[0], parsed[1], col.alias))
+        aggs.append(AggSpec(parsed[0], parsed[1], col.alias, p=parsed[2]))
         out_order.append(col.alias)
     if keys_remaining:
         return None  # GROUP BY key not exposed in the select list
@@ -530,12 +550,13 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
             parsed = _parse_agg(r)
             if parsed is None:
                 return None  # e.g. stddev(x) — not maintainable
-            kind, arg = parsed
+            kind, arg, pfrac = parsed
             match = next(
-                (a for a in aggs if a.kind == kind and a.arg == arg), None
+                (a for a in aggs if a.kind == kind and a.arg == arg and a.p == pfrac),
+                None,
             )
             if match is None:
-                match = AggSpec(kind, arg, f"__mv_h{hidden_n[0]}")
+                match = AggSpec(kind, arg, f"__mv_h{hidden_n[0]}", p=pfrac)
                 hidden_n[0] += 1
                 aggs.append(match)
             pairs.append((r, IdentityNode((match.out,))))
@@ -1436,7 +1457,7 @@ def exposed_frame(mv: MatView) -> DataFrame:
             w_ord = w_part.orderBy(F.col("__mv_dv")).rowsBetween(
                 Window.unboundedPreceding, Window.currentRow
             )
-            p = 0.5  # median
+            p = a.p if a.p is not None else 0.5
             s2 = sub.withColumn("__mv_cum", F.sum("__mv_dn").over(w_ord)).withColumn(
                 "__mv_t",
                 (F.sum("__mv_dn").over(w_part) - F.lit(1)).cast("double") * F.lit(p),

@@ -1567,3 +1567,70 @@ class TestMedianMatViews:
             rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
             assert rep["mode"] in ("incremental", "noop"), round_
             assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q), round_
+
+
+class TestPercentileContMatViews:
+    """percentile_cont(x, p) with a LITERAL fraction rides the same
+    substate multiset as median (≡ percentile_cont(x, 0.5)); the
+    exposure interpolates at index (N−1)·p. A non-literal p is outside
+    the vocabulary."""
+
+    def test_quartiles_parity_under_mutations(self, spark, tmp_path):
+        eng, _ = _mk(
+            spark, tmp_path, "pc1",
+            [(i, "g" + str(i % 3), float(i % 11) if i % 6 else None) for i in range(50)],
+        )
+        q = (
+            "SELECT g, percentile_cont(x, 0.25) AS p25, "
+            "percentile_cont(x, 0.75) AS p75, median(x) AS md FROM t GROUP BY g"
+        )
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
+        assert eng.mat_views["mv"].incremental
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
+        eng.execute("INSERT INTO t (id, g, x) VALUES (100, 'g0', 7.5), (101, 'g4', 1.0)")
+        eng.execute("UPDATE t SET x = 9.0 WHERE id % 4 = 1")
+        eng.execute("DELETE FROM t WHERE id % 8 = 2")
+        rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+        assert rep["mode"] == "incremental"
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
+        assert eng.sql("SELECT * FROM mv").schema == eng.sql(q).schema
+
+    def test_exact_interpolation(self, spark, tmp_path):
+        # {10, 20, 30, 40}: p25 target (4−1)·0.25 = 0.75 → 10 + 0.75·10
+        eng, _ = _mk(spark, tmp_path, "pc2", [(i, "a", float(10 * i)) for i in (1, 2, 3, 4)])
+        q = "SELECT g, percentile_cont(x, 0.25) AS p25, percentile_cont(x, 1.0) AS p100 FROM t GROUP BY g"
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
+        r = eng.sql("SELECT * FROM mv").collect()[0]
+        assert r["p25"] == 17.5 and r["p100"] == 40.0
+        eng.execute("DELETE FROM t WHERE id = 4")
+        eng.sql("REFRESH MATERIALIZED VIEW mv").collect()
+        r = eng.sql("SELECT * FROM mv").collect()[0]
+        # {10,20,30}: target 0.5 → 15.0
+        assert r["p25"] == 15.0 and r["p100"] == 30.0
+
+    def test_distinct_fractions_are_distinct_aggs(self, spark, tmp_path):
+        # HAVING percentile_cont(x, 0.9) must NOT dedup against the
+        # exposed percentile_cont(x, 0.25) — p is part of the identity
+        eng, _ = _mk(
+            spark, tmp_path, "pc3",
+            [(i, "g" + str(i % 3), float(i % 9)) for i in range(40)],
+        )
+        q = (
+            "SELECT g, percentile_cont(x, 0.25) AS p25 FROM t GROUP BY g "
+            "HAVING percentile_cont(x, 0.9) > 2"
+        )
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
+        assert eng.mat_views["mv"].incremental
+        eng.execute("INSERT INTO t (id, g, x) VALUES (200, 'g1', 8.0)")
+        eng.execute("DELETE FROM t WHERE id % 5 = 3")
+        eng.sql("REFRESH MATERIALIZED VIEW mv").collect()
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
+
+    def test_non_literal_fraction_stays_full(self, spark, tmp_path):
+        from qlbridge_spark.matview import _parse_agg
+        from qlbridge_spark.rel import parse_sql
+
+        sel = parse_sql("SELECT percentile_cont(x, y) AS p FROM t")
+        assert _parse_agg(sel.columns[0].expr) is None
+        sel2 = parse_sql("SELECT percentile_cont(x, 1.5) AS p FROM t")
+        assert _parse_agg(sel2.columns[0].expr) is None
