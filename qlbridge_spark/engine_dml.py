@@ -230,10 +230,33 @@ class DmlMixin:
         df = self.table(d.table)
         scope = Scope({d.table: df}, includes=self.includes)
         sink = self.sinks.get(d.table.lower())
-        if d.where is None:
+        where = d.where
+        if where is not None and not any(
+            isinstance(n, IdentityNode) for n in where.walk()
+        ):
+            from .matview import _row_local
+
+            if _row_local(where):
+                # constant predicate (WHERE TRUE / 1 = 1): a literal-true
+                # filter constant-folds the kept relation to an empty
+                # LocalRelation, which silently drops the COW sink's
+                # observed CollectMetrics node (Observation.get then
+                # fails) — evaluate the constant ONCE driver-side and
+                # route TRUE to the full-table-delete path. FALSE/NULL
+                # constants keep every row, so the normal path is safe.
+                v = (
+                    self.spark.range(1)
+                    .select(to_column(where, scope).cast("boolean").alias("v"))
+                    .collect()[0][0]
+                )
+                if v:
+                    where = None
+        if where is None:
             if sink is not None:
                 if hasattr(sink, "_cow_split"):
                     r = sink.delete_where(None)
+                    self._maybe_auto_compact(sink)
+                    self._maybe_auto_refresh(d.table)
                     if r is not None:
                         return int(r)
                     return df.count()
@@ -241,6 +264,7 @@ class DmlMixin:
                 # BEFORE the delete, or the lazy frame would read 0
                 n = df.count()
                 sink.delete_where(None)
+                self._maybe_auto_refresh(d.table)
                 return n
             n = df.count()
             self.register_df(d.table, df.limit(0))

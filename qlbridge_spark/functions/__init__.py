@@ -1422,13 +1422,26 @@ def _trunc(n, s):
 for _aname in [
     "var_pop", "var_samp", "stddev_pop", "stddev_samp",
     "corr", "covar_pop", "covar_samp",
-    "bool_and", "bool_or", "any_value", "mode",
+    "bool_and", "bool_or", "any_value",
 ]:
 
     def _abuilder(n, s, _f=getattr(F, _aname), _nm=_aname):
         return _f(*[to_column(a, s) for a in n.args])
 
     func_add(_aname, _abuilder, is_agg=True)
+
+
+def _mode(n, s):
+    """mode(x) — most frequent value, ties broken to the SMALLEST value
+    (Spark's deterministic mode): stable across retries and
+    partitionings, and the contract the materialized-view substate
+    exposure reproduces (matview.exposed_frame)."""
+    if len(n.args) != 1:
+        raise TranslateError("mode(x) takes exactly one argument")
+    return F.mode(to_column(n.args[0], s), True)
+
+
+func_add("mode", _mode, is_agg=True)
 
 func_add("variance", registry["var_samp"].builder, is_agg=True)
 func_add("every", registry["bool_and"].builder, is_agg=True)

@@ -42,12 +42,17 @@ algebraic — per-group CENTERED (Σw(x−z), Σw(x−z)², n) state. DISTINCT
 substates fold through every join shape (pure signed counting); FILTER
 (WHERE …) folds into a guarded argument; projection windows and QUALIFY
 evaluate at expose time; compound equality ONs key the flip terms on
-the full tuple; median maintains through the substate multiset with an
-exact weighted-percentile exposure. Anything beyond the algebra (named
+the full tuple; median/percentile_cont and mode() maintain through the
+substate multiset (exact weighted-percentile / deterministic-argmax
+exposure). Extrema maintain on EVERY join shape: probe-able shapes
+(single-table, INNER/LEFT/RIGHT, INNER self-joins with single-side
+keys) keep O(1) scalar state + delete-repair; FULL joins and
+mixed-side-key self-joins ride the multiset substate instead, where
+deletes fold with no repair at all. Anything beyond the algebra (named
 WINDOW specs, subqueries, non-equi/one-sided ON conjuncts under the
-flip terms, other holistic aggs like mode, extrema on FULL or self
-joins) still works as a materialized view — it just refreshes by full
-recompute, and the refresh report says so.
+flip terms, other holistic aggs like corr) still works as a
+materialized view — it just refreshes by full recompute, and the
+refresh report says so.
 
 Superset: the reference has no materialized views (its closest notion
 is the continuously-evaluated view, which the engine maps to Structured
@@ -144,8 +149,19 @@ _DISTINCT_AGGS = {"count_distinct", "sum_distinct", "avg_distinct"}
 #: index (N−1)/2 over the sorted multiset). State is O(distinct values
 #: per group) — the inherent cost of an exact holistic aggregate.
 _SORT_AGGS = {"median", "percentile_cont"}
+#: mode() rides the SAME multiset: the exposed value is the argmax of
+#: the signed occurrence counts, ties to the smallest value — exactly
+#: Spark's deterministic mode, which the engine's mode() maps to.
+_HOLISTIC_AGGS = {"mode"}
+#: extrema SHAPES with no single-side repair probe (FULL joins,
+#: self-joins with mixed-side group keys) ride the multiset too:
+#: min/max over a signed (keys, value) multiset fold under deletes with
+#: no repair at all — the eligible value is just the multiset's edge.
+#: State is O(distinct values per group) instead of O(1), so the probe
+#: stays the default wherever a probe side exists.
+_SET_EXTREMA = {"min_set", "max_set"}
 #: every agg kind maintained through a substate (AggSpec.d_idx)
-_SUBSTATE_AGGS = _DISTINCT_AGGS | _SORT_AGGS
+_SUBSTATE_AGGS = _DISTINCT_AGGS | _SORT_AGGS | _HOLISTIC_AGGS | _SET_EXTREMA
 #: extrema fold under inserts (min of mins) but not deletes — a delete
 #: may remove the reigning extremum. The change feed names exactly which
 #: groups a delete touched, so REFRESH re-aggregates ONLY those groups'
@@ -294,7 +310,8 @@ def _parse_agg(e: Node):
     (non-qualifying rows land on the NULL value, dropped at expose)."""
     if (
         not isinstance(e, FuncNode)
-        or e.name not in _INCREMENTAL_AGGS | _EXTREMUM_AGGS | _VARIANCE_AGGS | _SORT_AGGS
+        or e.name
+        not in _INCREMENTAL_AGGS | _EXTREMUM_AGGS | _VARIANCE_AGGS | _SORT_AGGS | _HOLISTIC_AGGS
     ):
         return None
     if e.agg_order or e.ignore_nulls:
@@ -335,7 +352,7 @@ def _parse_agg(e: Node):
     if isinstance(arg, FuncNode) and arg.name == "distinct":
         # count/sum/avg(DISTINCT x); min/max(DISTINCT x) ≡ min/max(x);
         # variance(DISTINCT x) is NOT maintained (no substate algebra)
-        if len(arg.args) != 1 or e.name in _VARIANCE_AGGS | _SORT_AGGS:
+        if len(arg.args) != 1 or e.name in _VARIANCE_AGGS | _SORT_AGGS | _HOLISTIC_AGGS:
             return None
         inner = arg.args[0]
         if _contains_distinct(inner) or not _row_local(inner):
@@ -440,23 +457,28 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
         # F = D: Δ(F⋈F) = ΔF⋈F_new ∪ F_old⋈ΔF — both refresh terms read
         # the one table's delta/snapshots (the dim side resolves by
         # table NAME, the fact side by the reserved temp frame, so the
-        # pin/substitute machinery works unchanged). Only EXTREMA are
-        # excluded below — their repair probe assumes an independent
-        # dim; DISTINCT substates DO maintain on self-joins (pinned by
-        # test_distinct_on_dim_preserved_and_self_joins).
+        # pin/substitute machinery works unchanged). Extrema repair
+        # probes one OCCURRENCE when every group key is alias-qualified
+        # to a single side; mixed-side keys ride the multiset substate
+        # (deduced below). DISTINCT substates maintain unchanged
+        # (test_distinct_on_dim_preserved_and_self_joins).
         dim_sink = engine.sinks.get(dn)
         if dim_sink is None or not hasattr(dim_sink, "versions") or dn in engine.tables:
             return None  # drift-undetectable dim → full recompute
         dim_name = dn
+    if select.windows:
+        # named WINDOW w AS (...) specs: apply the SAME ref-resolution
+        # rewrite the engine runs pre-translate, so the expose-time
+        # window machinery below sees plain inline OVER (...) windows
+        # (the rewrite returns a copy with windows={})
+        from .engine import Engine
+
+        select = Engine._resolve_named_windows(select)
     if (
         select.distinct
         or select.distinct_on
         or select.group_mode
         or select.grouping_sets
-        # QUALIFY and inline OVER(...) windows maintain (expose-time
-        # evaluation, below); a named WINDOW w AS (...) clause stays
-        # full-recompute (the engine resolves refs pre-translate)
-        or select.windows
         or select.group_all
         or select.order_all
         or select.into
@@ -705,11 +727,6 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
                 return None
             order_exprs.append((oe, direction))
 
-    if dim_name == nm and any(a.kind in _EXTREMUM_AGGS for a in aggs):
-        return None  # self-join extrema: the delete-repair probe assumes
-        # an independent dim side (DISTINCT is fine — substates are pure
-        # signed counting through the same terms)
-
     extrema_side = "fact"
     if dim_name and any(a.kind in _EXTREMUM_AGGS for a in aggs):
         # extrema repair probes group-key exprs on ONE side alone (the
@@ -727,8 +744,18 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
         # the dim side. The extremum ARG may live on either side.
         d = select.from_[1]
         jt = d.join_type
-        fact_refs = {nm, (src.alias or "").lower()} - {""}
-        dim_refs = {dim_name, (d.alias or "").lower()} - {""}
+        if dim_name == nm:
+            # self-join: each occurrence is referenced by its own alias
+            # (or by the bare table name for the at-most-one occurrence
+            # NOT aliased away); identical refs would be ambiguous and
+            # yield no probe side
+            f_ref = (src.alias or nm).lower()
+            d_ref = (d.alias or nm).lower()
+            fact_refs = {f_ref} if f_ref != d_ref else set()
+            dim_refs = {d_ref} if f_ref != d_ref else set()
+        else:
+            fact_refs = {nm, (src.alias or "").lower()} - {""}
+            dim_refs = {dim_name, (d.alias or "").lower()} - {""}
         fact_cols = _snapshot_cols(engine, sink)
         dim_cols = _snapshot_cols(engine, engine.sinks[dim_name])
 
@@ -747,16 +774,26 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
             _on_side(k, fact_refs, fact_cols, dim_cols) for k in key_nodes
         )
         dim_ok = all(_on_side(k, dim_refs, dim_cols, fact_cols) for k in key_nodes)
-        if jt in ("INNER",) and dim_name != nm:
+        if jt in ("INNER",):
+            # incl. INNER self-joins: the probe prunes ONE occurrence by
+            # the stale group keys and re-runs the join against the
+            # other occurrence's full current snapshot
             extrema_side = "fact" if fact_ok else ("dim" if dim_ok else None)
         elif jt in ("LEFT", "LEFT OUTER"):
             extrema_side = "fact" if fact_ok else None
         elif jt in ("RIGHT", "RIGHT OUTER"):
             extrema_side = "dim" if dim_ok else None
-        else:  # FULL, or self-join (probe side ambiguous)
+        else:  # FULL: both sides null-extend — no probe-able side
             extrema_side = None
         if extrema_side is None:
-            return None
+            # no single-side repair probe exists (FULL joins; mixed-side
+            # or un-sided group keys): the extrema ride the substate
+            # MULTISET instead — min/max over a signed (keys, value)
+            # multiset fold under deletes with no repair at all
+            for a in aggs:
+                if a.kind in _EXTREMUM_AGGS:
+                    a.kind = f"{a.kind}_set"
+            extrema_side = "fact"  # unused: no probe-backed extrema remain
 
     if dim_name and select.from_[1].join_type in (
         "RIGHT",
@@ -1491,6 +1528,21 @@ def exposed_frame(mv: MatView) -> DataFrame:
                 agg_c = F.count(F.lit(1))
             elif a.kind == "sum_distinct":
                 agg_c = F.sum("__mv_dv")
+            elif a.kind in _SET_EXTREMA:
+                # multiset-backed extrema (FULL/self-join shapes): the
+                # exposed value is just the multiset's edge — deletes
+                # already folded out of the substate, no repair probe
+                agg_c = (F.min if a.kind == "min_set" else F.max)("__mv_dv")
+            elif a.kind == "mode":
+                # argmax of the occurrence counts, ties to the SMALLEST
+                # value — exactly Spark's deterministic mode (which the
+                # engine's mode() maps to): min over (−count, value)
+                agg_c = F.min_by(
+                    "__mv_dv",
+                    F.struct(
+                        (-F.col("__mv_dn")).alias("nc"), F.col("__mv_dv").alias("v")
+                    ),
+                )
             else:  # avg_distinct
                 agg_c = F.avg("__mv_dv")
             cf = sub.groupBy(*[F.col(k) for k in mv.key_cols]).agg(agg_c.alias(a.out))

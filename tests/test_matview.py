@@ -189,15 +189,16 @@ class TestEligibility:
     @pytest.mark.parametrize(
         "q",
         [
-            # mode() has no signed-delta or substate algebra here
-            # (median DOES since r13 — exact multiset substate)
-            "SELECT g, mode(x) AS m FROM t GROUP BY g",
+            # corr() (two-argument moment) has no signed-delta or
+            # substate algebra (mode/median DO since r13 — the exact
+            # multiset substate)
+            "SELECT g, corr(id, x) AS m FROM t GROUP BY g",
             # FILTER (WHERE …) is incremental since r13 (guarded-arg
             # fold) — but not on an agg outside the vocabulary
-            "SELECT g, mode(x) FILTER (WHERE id > 2) AS d FROM t GROUP BY g",
+            "SELECT g, corr(id, x) FILTER (WHERE id > 2) AS d FROM t GROUP BY g",
             # HAVING is incremental since r12 — unless it references an
             # agg the algebra can't maintain
-            "SELECT g, count(*) AS n FROM t GROUP BY g HAVING mode(x) > 0",
+            "SELECT g, count(*) AS n FROM t GROUP BY g HAVING corr(id, x) > 0",
             # INNER self-joins are incremental since r12; OUTER self-joins not
             "SELECT t.g, count(*) AS n FROM t LEFT JOIN t u ON t.id = u.id GROUP BY t.g",
             "SELECT upper(g) AS u, count(*) AS n FROM t GROUP BY g",  # key not exposed
@@ -1634,3 +1635,290 @@ class TestPercentileContMatViews:
         assert _parse_agg(sel.columns[0].expr) is None
         sel2 = parse_sql("SELECT percentile_cont(x, 1.5) AS p FROM t")
         assert _parse_agg(sel2.columns[0].expr) is None
+
+
+class TestModeMatViews:
+    """mode() rides the same multiset substate as median/DISTINCT: the
+    exposed value is the argmax of the signed occurrence counts, ties
+    broken to the SMALLEST value — exactly the engine's mode(), which
+    maps to Spark's deterministic mode."""
+
+    def test_mode_insert_update_delete_parity(self, spark, tmp_path):
+        eng, _ = _mk(
+            spark, tmp_path, "mo1",
+            [(i, "g" + str(i % 3), float(i % 5) if i % 7 else None) for i in range(40)],
+        )
+        q = "SELECT g, mode(x) AS m, count(*) AS n FROM t GROUP BY g"
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
+        assert eng.mat_views["mv"].incremental
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
+        eng.execute("INSERT INTO t (id, g, x) VALUES (100, 'g1', 2.0), (101, 'g9', 1.0), (102, 'g0', NULL)")
+        eng.execute("UPDATE t SET x = 4.0 WHERE id % 4 = 2")
+        eng.execute("DELETE FROM t WHERE id % 9 = 3")
+        rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+        assert rep["mode"] == "incremental"
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
+        assert eng.sql("SELECT * FROM mv").schema == eng.sql(q).schema
+
+    def test_mode_tie_breaks_to_smallest_and_tracks_deletes(self, spark, tmp_path):
+        # {3,3,1,1,2}: tie 3 vs 1 → 1 (deterministic smallest); delete
+        # one 1 → 3 wins outright; delete both 3s → {1,2} tie → 1
+        eng, _ = _mk(
+            spark, tmp_path, "mo2",
+            [(1, "a", 3.0), (2, "a", 3.0), (3, "a", 1.0), (4, "a", 1.0), (5, "a", 2.0)],
+        )
+        q = "SELECT g, mode(x) AS m FROM t GROUP BY g"
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
+        assert eng.sql("SELECT * FROM mv").collect()[0]["m"] == 1.0
+        eng.execute("DELETE FROM t WHERE id = 3")
+        eng.sql("REFRESH MATERIALIZED VIEW mv").collect()
+        assert eng.sql("SELECT * FROM mv").collect()[0]["m"] == 3.0
+        eng.execute("DELETE FROM t WHERE id IN (1, 2)")
+        eng.sql("REFRESH MATERIALIZED VIEW mv").collect()
+        assert eng.sql("SELECT * FROM mv").collect()[0]["m"] == 1.0
+        # parity with the engine's own mode() throughout
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
+
+    def test_mode_with_filter_having_and_global(self, spark, tmp_path):
+        eng, _ = _mk(
+            spark, tmp_path, "mo3",
+            [(i, "g" + str(i % 3), float(i % 4)) for i in range(30)],
+        )
+        q = (
+            "SELECT g, mode(x) FILTER (WHERE id % 2 = 0) AS mf, sum(x) AS s "
+            "FROM t GROUP BY g HAVING mode(x) >= 0"
+        )
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
+        assert eng.mat_views["mv"].incremental
+        eng.execute("INSERT INTO t (id, g, x) VALUES (200, 'g0', 0.5), (201, 'g1', 3.0)")
+        eng.execute("DELETE FROM t WHERE id % 7 = 2")
+        rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+        assert rep["mode"] == "incremental"
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
+        # global aggregate (no GROUP BY): one row survives an emptying base
+        qg = "SELECT mode(x) AS m, count(*) AS n FROM t"
+        eng.execute(f"CREATE MATERIALIZED VIEW mvg AS {qg}")
+        eng.execute("DELETE FROM t WHERE TRUE")
+        eng.sql("REFRESH MATERIALIZED VIEW mvg").collect()
+        assert _rows(eng, "SELECT * FROM mvg") == _rows(eng, qg) == [(None, 0)]
+
+
+class TestSetExtremaMatViews:
+    """Extrema shapes with no single-side repair probe (FULL joins,
+    self-joins with mixed-side group keys) maintain through the multiset
+    substate instead: min/max over a signed (keys, value) multiset fold
+    under deletes with NO repair — the exposed value is the multiset's
+    edge. State is O(distinct values per group); probe-able shapes keep
+    the O(1) scalar state + repair."""
+
+    def _mk_join(self, spark, tmp_path, name):
+        from qlbridge_spark.sinks import ParquetMergeSink
+
+        eng = Engine(spark, f"mvse-{name}")
+        fact = ParquetMergeSink(spark, str(tmp_path / f"{name}_f"), key="id")
+        fact.ensure(
+            spark.createDataFrame(
+                [(i, i % 5, float(i % 13)) for i in range(60)],
+                "id long, dk int, x double",
+            )
+        )
+        dim = ParquetMergeSink(spark, str(tmp_path / f"{name}_d"), key="dk")
+        dim.ensure(
+            spark.createDataFrame(
+                [(k, f"n{k}", float(k * 10)) for k in range(4)],
+                "dk int, dname string, w double",
+            )
+        )
+        eng.register_sink("f", fact)
+        eng.register_sink("d", dim)
+        return eng, fact, dim
+
+    FULL_Q = (
+        "SELECT d.dname AS g, min(f.x) AS mn, max(f.x) AS mx, count(*) AS n "
+        "FROM f FULL JOIN d ON f.dk = d.dk GROUP BY d.dname"
+    )
+
+    def test_full_join_extrema_maintain_via_multiset(self, spark, tmp_path):
+        eng, fact, dim = self._mk_join(spark, tmp_path, "fu")
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {self.FULL_Q}")
+        mv = eng.mat_views["mv"]
+        assert mv.incremental
+        assert {a.kind for a in mv.aggs} == {"min_set", "max_set", "count_star"}
+        assert not mv.has_extrema  # no scalar extremum state → no repair
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, self.FULL_Q)
+        # delete the reigning max of a group, flip null extensions on
+        # both sides, churn the dim — all in one window
+        eng.execute("DELETE FROM f WHERE x = 12.0")
+        eng.execute("INSERT INTO f (id, dk, x) VALUES (300, 9, 50.0), (301, 2, -1.0)")
+        eng.execute("UPDATE f SET x = 0.25 WHERE id = 7")
+        eng.execute("INSERT INTO d (dk, dname, w) VALUES (9, 'n9', 90.0)")
+        eng.execute("DELETE FROM d WHERE dk = 1")
+        rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+        assert rep["mode"] == "incremental"
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, self.FULL_Q)
+        assert eng.sql("SELECT * FROM mv").schema == eng.sql(self.FULL_Q).schema
+
+    def test_full_join_extrema_randomized_differential(self, spark, tmp_path):
+        rng = random.Random(53)
+        eng, fact, dim = self._mk_join(spark, tmp_path, "fz")
+        q = (
+            "SELECT d.dname AS g, max(f.x) AS mx, min(d.w) AS mw, count(*) AS n "
+            "FROM f FULL JOIN d ON f.dk = d.dk GROUP BY d.dname"
+        )
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
+        assert eng.mat_views["mv"].incremental
+        next_id = 1000
+        for round_ in range(4):
+            for _ in range(rng.randint(1, 3)):
+                op = rng.choice(["fi", "fu", "fd", "di", "du", "dd"])
+                if op == "fi":
+                    eng.execute(
+                        f"INSERT INTO f (id, dk, x) VALUES ({next_id}, {rng.randint(0, 6)}, {rng.uniform(-5, 20):.2f})"
+                    )
+                    next_id += 1
+                elif op == "fu":
+                    eng.execute(
+                        f"UPDATE f SET x = {rng.uniform(-5, 20):.2f} WHERE id % {rng.randint(3, 9)} = 1"
+                    )
+                elif op == "fd":
+                    eng.execute(f"DELETE FROM f WHERE id % {rng.randint(4, 11)} = 2")
+                elif op == "di":
+                    k = rng.randint(5, 9)
+                    eng.execute(
+                        f"INSERT INTO d (dk, dname, w) VALUES ({k}, 'n{k}', {k * 10.0})"
+                    )
+                elif op == "du":
+                    eng.execute(
+                        f"UPDATE d SET dname = 'r{round_}' WHERE dk = {rng.randint(0, 5)}"
+                    )
+                else:
+                    eng.execute(f"DELETE FROM d WHERE dk = {rng.randint(0, 9)}")
+            rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+            assert rep["mode"] in ("incremental", "noop"), (round_, rep)
+            assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q), round_
+
+    def test_mixed_side_keys_self_join_uses_multiset(self, spark, tmp_path):
+        eng, _ = _mk(
+            spark, tmp_path, "sjm",
+            [(i, "g" + str(i % 3), float(i % 7)) for i in range(30)],
+        )
+        q = (
+            "SELECT a.g AS ga, b.g AS gb, min(a.x) AS mn, count(*) AS n "
+            "FROM t a JOIN t b ON a.id = b.id GROUP BY a.g, b.g"
+        )
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
+        mv = eng.mat_views["mv"]
+        assert mv.incremental
+        assert any(a.kind == "min_set" for a in mv.aggs)
+        eng.execute("DELETE FROM t WHERE x = 6.0")  # reigning extremum out
+        eng.execute("INSERT INTO t (id, g, x) VALUES (100, 'g1', -3.0)")
+        rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+        assert rep["mode"] == "incremental"
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
+
+    def test_set_extrema_durable_state(self, spark, tmp_path):
+        eng, fact, dim = self._mk_join(spark, tmp_path, "du")
+        state = tmp_path / "se_state"
+        eng.execute(
+            f'CREATE MATERIALIZED VIEW mv AS {self.FULL_Q} WITH {{"path": "{state}"}}'
+        )
+        mv = eng.mat_views["mv"]
+        assert mv.sub_sinks  # multiset substates persist as sibling sinks
+        eng.execute("DELETE FROM f WHERE x = 12.0")
+        eng.execute("INSERT INTO f (id, dk, x) VALUES (400, 1, 99.0)")
+        rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+        assert rep["mode"] == "incremental"
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, self.FULL_Q)
+
+
+class TestSelfJoinExtrema:
+    """INNER self-join extrema maintain via the single-side repair probe
+    when every group key is alias-qualified to ONE occurrence: the probe
+    prunes that occurrence by the stale group keys and re-runs the join
+    against the other occurrence's full current snapshot."""
+
+    BASE_SJ = [(i, "g" + str(i % 3), float(i % 11), i % 4) for i in range(40)]
+
+    def _mk(self, spark, tmp_path, name):
+        return _mk(
+            spark, tmp_path, name, self.BASE_SJ,
+            schema="id long, g string, x double, k long",
+        )
+
+    def test_fact_side_keys_probe_left_occurrence(self, spark, tmp_path):
+        eng, _ = self._mk(spark, tmp_path, "sjf")
+        q = (
+            "SELECT a.g AS g, min(b.x) AS mn, max(a.x) AS mx, count(*) AS n "
+            "FROM t a JOIN t b ON a.k = b.k GROUP BY a.g"
+        )
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
+        mv = eng.mat_views["mv"]
+        assert mv.incremental and mv.extrema_side == "fact"
+        assert {a.kind for a in mv.aggs} == {"min", "max", "count_star"}
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
+        eng.execute("DELETE FROM t WHERE x = 10.0")  # reigning max out
+        eng.execute("INSERT INTO t (id, g, x, k) VALUES (100, 'g0', -2.0, 1)")
+        eng.execute("UPDATE t SET x = 55.0 WHERE id = 6")
+        rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+        assert rep["mode"] == "incremental"
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
+
+    def test_dim_side_keys_probe_right_occurrence(self, spark, tmp_path):
+        eng, _ = self._mk(spark, tmp_path, "sjd")
+        q = (
+            "SELECT b.g AS g, min(a.x) AS mn, count(*) AS n "
+            "FROM t a JOIN t b ON a.k = b.k GROUP BY b.g"
+        )
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
+        mv = eng.mat_views["mv"]
+        assert mv.incremental and mv.extrema_side == "dim"
+        eng.execute("DELETE FROM t WHERE x = 0.0")
+        eng.execute("INSERT INTO t (id, g, x, k) VALUES (200, 'g2', 33.0, 2)")
+        rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+        assert rep["mode"] == "incremental"
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
+
+    def test_mixed_expr_key_falls_to_multiset(self, spark, tmp_path):
+        # a group-key EXPRESSION referencing both occurrences has no
+        # probe side — the extrema ride the multiset
+        eng, _ = self._mk(spark, tmp_path, "sju")
+        q = (
+            "SELECT concat(a.g, b.g) AS gg, min(a.x) AS mn, count(*) AS n "
+            "FROM t a JOIN t b ON a.id = b.id GROUP BY concat(a.g, b.g)"
+        )
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
+        mv = eng.mat_views["mv"]
+        assert mv.incremental
+        assert any(a.kind == "min_set" for a in mv.aggs)
+        eng.execute("DELETE FROM t WHERE id % 5 = 0")
+        rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+        assert rep["mode"] == "incremental"
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
+
+    def test_randomized_self_join_extrema_differential(self, spark, tmp_path):
+        rng = random.Random(17)
+        eng, _ = self._mk(spark, tmp_path, "sjz")
+        q = (
+            "SELECT a.g AS g, max(b.x) AS mx, min(a.x) AS mn, sum(a.x) AS s, count(*) AS n "
+            "FROM t a JOIN t b ON a.k = b.k WHERE a.id % 2 = 0 GROUP BY a.g"
+        )
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
+        assert eng.mat_views["mv"].incremental
+        next_id = 500
+        for round_ in range(4):
+            for _ in range(rng.randint(1, 3)):
+                op = rng.choice(["ins", "upd", "del"])
+                if op == "ins":
+                    eng.execute(
+                        f"INSERT INTO t (id, g, x, k) VALUES ({next_id}, 'g{rng.randint(0, 4)}', {rng.uniform(-9, 30):.2f}, {rng.randint(0, 5)})"
+                    )
+                    next_id += 1
+                elif op == "upd":
+                    eng.execute(
+                        f"UPDATE t SET x = {rng.uniform(-9, 30):.2f} WHERE id % {rng.randint(3, 8)} = 1"
+                    )
+                else:
+                    eng.execute(f"DELETE FROM t WHERE id % {rng.randint(4, 10)} = 3")
+            rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+            assert rep["mode"] in ("incremental", "noop"), (round_, rep)
+            assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q), round_

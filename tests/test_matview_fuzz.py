@@ -10,15 +10,17 @@ seed), while the concrete aggs/extras/mutations stay seed-random:
 
 - key side: fact (`f.dk`), dim (`d.dname`), compound (both)
 - join: none / INNER / LEFT / RIGHT / FULL OUTER / INNER self-join
-- extrema probe sides: fact (INNER/LEFT + fact keys), dim
-  (INNER/RIGHT + dim keys)
+- extrema probe sides: fact (INNER/LEFT/self + fact keys), dim
+  (INNER/RIGHT + dim keys); probe-less extrema shapes (FULL joins,
+  LEFT+dim-key, RIGHT+fact-key, mixed compound keys) maintain via the
+  MULTISET substate since r13 — asserted to analyze as min_set/max_set
+  AND fold correctly under churn incl. extremum deletes
 - expected-FULL fallbacks, asserted to (a) analyze as non-incremental
-  AND (b) still compute correctly: FULL+extrema, LEFT+dim-key extrema,
-  RIGHT/FULL+fact-key extrema, compound-key extrema, self-join extrema
-  — eligibility regressions in EITHER direction are the failure mode
+  AND (b) still compute correctly: corr() (outside the vocabulary) —
+  eligibility regressions in EITHER direction are the failure mode
 - extras rotated across slots per seed: HAVING, top-k, durable
   `WITH {"path"}` state, alternate WHERE predicates, DISTINCT aggs,
-  variance aggs
+  variance aggs, FILTER, windows, QUALIFY, median, mode
 - RIGHT/FULL slots get forced dim churn (the six-term matrix);
   every joined slot sees at least one dim mutation
 
@@ -58,19 +60,20 @@ REQUIRED = {
     "join_none", "join_inner", "join_left", "join_right", "join_full",
     "join_self",
     "agg_distinct", "agg_variance", "agg_extrema",
-    "extrema_fact_probe", "extrema_dim_probe",
-    "fallback_full_extrema", "fallback_left_dimkey_extrema",
-    "fallback_rightfull_factkey_extrema", "fallback_compoundkey_extrema",
-    "fallback_self_extrema",
+    "extrema_fact_probe", "extrema_dim_probe", "extrema_self_probe",
+    "set_extrema_full", "set_extrema_left_dimkey",
+    "set_extrema_right_factkey", "set_extrema_compoundkey",
+    "fallback_corr",
     "having", "topk", "durable_state", "where_alt",
-    "agg_filter", "window_col", "qualify", "agg_median",
+    "agg_filter", "window_col", "qualify", "agg_median", "agg_mode",
     "dim_churn", "dim_churn_right_full",
 }
 
 #: (join, key, extrema?, eligible?) — the stratified slots every seed
 #: walks; `extras` rotate over them per seed. `rounds` trims the
 #: expected-FULL fallbacks to one mutate+refresh window (they only pin
-#: eligibility + correctness, not fold algebra).
+#: eligibility + correctness, not fold algebra). The probe-less extrema
+#: shapes (r12's fallbacks) are ELIGIBLE since r13 — multiset substate.
 SLOTS = [
     dict(join=None, key="fact", extrema=False, eligible=True, rounds=2),
     dict(join="INNER", key="compound", extrema=False, eligible=True, rounds=2),
@@ -78,16 +81,17 @@ SLOTS = [
     dict(join="RIGHT", key="dim", extrema=True, eligible=True, rounds=2),
     dict(join="FULL OUTER", key=None, extrema=False, eligible=True, rounds=2),
     dict(join="SELF", key="fact", extrema=False, eligible=True, rounds=2),
-    dict(join="FULL OUTER", key="fact", extrema=True, eligible=False, rounds=1),
-    dict(join="LEFT", key="dim", extrema=True, eligible=False, rounds=1),
-    dict(join="RIGHT", key="fact", extrema=True, eligible=False, rounds=1),
-    dict(join="INNER", key="compound", extrema=True, eligible=False, rounds=1),
-    dict(join="SELF", key="fact", extrema=True, eligible=False, rounds=1),
+    dict(join="FULL OUTER", key="fact", extrema=True, eligible=True, rounds=2),
+    dict(join="LEFT", key="dim", extrema=True, eligible=True, rounds=2),
+    dict(join="RIGHT", key="fact", extrema=True, eligible=True, rounds=2),
+    dict(join="INNER", key="compound", extrema=True, eligible=True, rounds=2),
+    dict(join="SELF", key="fact", extrema=True, eligible=True, rounds=2),
+    dict(join="INNER", key="fact", extrema=False, agg="corr", eligible=False, rounds=1),
 ]
 
 EXTRAS = [
     "having", "topk", "durable", "where_alt", "distinct", "variance",
-    "filter_agg", "window", "qualify", "median",
+    "filter_agg", "window", "qualify", "median", "mode",
 ]
 
 
@@ -121,6 +125,9 @@ def _mk_sql(rng, slot, extra, state_path):
         if join is not None and not self_join and rng.random() < 0.5:
             pool.append("min(d.dname) AS dlo")
         aggs.append(rng.choice(pool))
+    if slot.get("agg") == "corr":
+        classes.add("fallback_corr")
+        aggs.append("corr(f.id, f.x) AS cr")
     if extra == "distinct":
         classes.add("agg_distinct")
         aggs.append(
@@ -133,6 +140,9 @@ def _mk_sql(rng, slot, extra, state_path):
     elif extra == "median":
         classes.add("agg_median")
         aggs.append("median(g.x) AS md" if self_join else "median(f.x) AS md")
+    elif extra == "mode":
+        classes.add("agg_mode")
+        aggs.append("mode(g.x) AS mo" if self_join else "mode(f.x) AS mo")
     elif extra == "filter_agg":
         classes.add("agg_filter")
         aggs.append(
@@ -175,22 +185,23 @@ def _mk_sql(rng, slot, extra, state_path):
         classes.add("durable_state")
         sel += f' WITH {{"path": "{state_path}"}}'
 
-    # classify expected-FULL fallbacks (eligibility pins)
-    if slot["extrema"] and not slot["eligible"]:
+    # classify extrema shapes: probe-able sides vs multiset-backed
+    # (set_extrema_*) — the slot-level eligibility pin holds either way
+    if slot["extrema"]:
         if self_join:
-            classes.add("fallback_self_extrema")
+            classes.add("extrema_self_probe")  # fact keys → left occurrence
         elif join == "FULL OUTER":
-            classes.add("fallback_full_extrema")
+            classes.add("set_extrema_full")
         elif join == "LEFT" and key == "dim":
-            classes.add("fallback_left_dimkey_extrema")
-        elif join in ("RIGHT", "FULL OUTER") and key == "fact":
-            classes.add("fallback_rightfull_factkey_extrema")
-        elif key == "compound":
-            classes.add("fallback_compoundkey_extrema")
-    if slot["extrema"] and slot["eligible"] and join in (None, "INNER", "LEFT") and key == "fact":
-        classes.add("extrema_fact_probe")
-    if slot["extrema"] and slot["eligible"] and join in ("INNER", "RIGHT") and key == "dim":
-        classes.add("extrema_dim_probe")
+            classes.add("set_extrema_left_dimkey")
+        elif join == "RIGHT" and key == "fact":
+            classes.add("set_extrema_right_factkey")
+        elif join == "INNER" and key == "compound":
+            classes.add("set_extrema_compoundkey")
+        elif join in (None, "INNER", "LEFT") and key == "fact":
+            classes.add("extrema_fact_probe")
+        elif join in ("INNER", "RIGHT") and key == "dim":
+            classes.add("extrema_dim_probe")
     return sel, join, classes
 
 
@@ -228,6 +239,16 @@ def test_matview_shape_fuzz(spark, tmp_path, seed):
         # capability; silently becoming "incremental" on an unsupported
         # shape would corrupt results
         assert mv.incremental == slot["eligible"], q
+        if slot["extrema"] and mv.incremental:
+            # probe-able shapes must keep O(1) scalar extremum state;
+            # probe-less shapes must ride the multiset — a silent swap
+            # in either direction is a regression (state-size or repair
+            # machinery respectively)
+            kinds = {a.kind for a in mv.aggs}
+            if any(c.startswith("set_extrema") for c in classes):
+                assert kinds & {"min_set", "max_set"}, (q, kinds)
+            else:
+                assert kinds & {"min", "max"}, (q, kinds)
         assert _approx_eq(_rows(eng, "SELECT * FROM mv"), _rows(eng, q)), q
 
         dim_churned = False

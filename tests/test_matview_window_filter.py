@@ -175,17 +175,41 @@ class TestWindowAndQualifyMatViews:
         assert rep["mode"] == "incremental"
         assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
 
-    def test_named_window_spec_stays_full(self, spark, tmp_path):
+    def test_named_window_spec_maintains(self, spark, tmp_path):
+        # WINDOW w AS (...) resolves to an inline OVER (...) at analyze
+        # time (same rewrite the engine applies), so named-window views
+        # maintain exactly like inline-window views since r13
         eng = _mk(spark, tmp_path, "w6")
         q = (
             "SELECT g, sum(x) AS s, rank() OVER w AS r FROM t GROUP BY g "
             "WINDOW w AS (ORDER BY sum(x) DESC, g)"
         )
         eng.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
-        assert not eng.mat_views["mv"].incremental
+        assert eng.mat_views["mv"].incremental
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
+        for mut in MUTS:
+            eng.execute(mut)
+        rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+        assert rep["mode"] == "incremental"
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
+
+    def test_chained_named_window_with_qualify(self, spark, tmp_path):
+        # WINDOW w2 AS (w ...) chains resolve transitively; QUALIFY can
+        # reference an OVER w column through its alias
+        eng = _mk(spark, tmp_path, "w6c")
+        q = (
+            "SELECT g, count(*) AS n, rank() OVER w2 AS r FROM t GROUP BY g "
+            "QUALIFY r <= 3 WINDOW w AS (ORDER BY count(*) DESC, g), w2 AS (w)"
+        )
+        try:
+            eng.sql(q).collect()
+        except Exception:
+            pytest.skip("engine grammar: multiple named windows unsupported")
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
+        assert eng.mat_views["mv"].incremental
         eng.execute(MUTS[0])
         rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
-        assert rep["mode"] == "full"
+        assert rep["mode"] == "incremental"
         assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
 
     def test_randomized_window_filter_parity(self, spark, tmp_path):
