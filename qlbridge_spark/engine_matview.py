@@ -64,6 +64,17 @@ class MatViewMixin:
         if c.if_not_exists and lname in self.mat_views:
             return None
         mv = analyze(self, c.select) if isinstance(c.select, SqlSelect) else None
+        if mv is not None and mv.scalar_subs:
+            # freeze-and-verify: pin the uncorrelated scalar-subquery
+            # values now; every refresh re-evaluates (bounded single-row
+            # jobs) and folds incrementally only while they hold.
+            # Evaluation raising = correlated or non-scalar → full MV.
+            from .matview import apply_scalar_subs, eval_scalar_subs
+
+            try:
+                apply_scalar_subs(mv, eval_scalar_subs(self, mv))
+            except (ExecError, TranslateError):
+                mv = None
         if mv is None:
             mv = MatView(name=lname, select=c.select)
         mv.name = lname
@@ -231,12 +242,14 @@ class MatViewMixin:
                 )
             dim_moved = max(dsink.versions()) != mv.dim_version
         # a dim commit maintains incrementally for INNER joins (bilinear
-        # higher-order identity) and for LEFT joins over a plain
-        # equi-join ON (the NULL-extension term isn't bilinear, but with
-        # a single-equality key the flip set is computable: a fact row's
-        # null-extended row flips exactly when its key's dim match count
-        # crosses 0↔1 — see the null-flip term below). LEFT joins with a
-        # compound/non-equi ON fall back to full recompute inside the
+        # higher-order identity) and for LEFT joins whose ON decomposes
+        # into equality pairs + row-local single-side residuals (the
+        # NULL-extension term isn't bilinear, but the flip set is
+        # computable: a fact row's null-extended row flips exactly when
+        # its key's dim match count crosses 0↔1, counted over
+        # residual-filtered snapshots — see the null-flip term below).
+        # LEFT joins whose ON doesn't decompose (two-sided non-equi
+        # conjuncts, OR trees) fall back to full recompute inside the
         # branch once the ON shape is known.
         jt = mv.select.from_[1].join_type if len(mv.select.from_) > 1 else None
         # dim-preserved outer joins need the match-count terms on EVERY
@@ -251,7 +264,20 @@ class MatViewMixin:
             "FULL",
             "FULL OUTER",
         )
-        if mv.incremental and not full and dim_incrementable:
+        fresh_sv = None
+        subs_moved = False
+        if mv.incremental and mv.scalar_subs:
+            # freeze-and-verify: re-evaluate the frozen scalar
+            # subqueries (bounded single-row jobs); unchanged values →
+            # the folded WHERE still holds and deltas fold; a moved
+            # value forces a full state rebuild under the new values
+            from .matview import eval_scalar_subs
+
+            fresh_sv = eval_scalar_subs(self, mv)
+            subs_moved = [v for v, _ in fresh_sv] != [
+                v for v, _ in (mv.scalar_vals or [])
+            ]
+        if mv.incremental and not full and dim_incrementable and not subs_moved:
             if self.sinks.get(mv.base) is None:
                 raise ExecError(
                     f"materialized view {view!r}: base {mv.base!r} is no longer a registered sink"
@@ -315,7 +341,9 @@ class MatViewMixin:
                         # T3 is folded into it; RIGHT/FULL T1 must run
                         # INNER — a dim-preserved join of a fact DELTA
                         # would drag in every unmatched dim row.)
-                        from .matview import _UNSET, equi_join_pairs
+                        from functools import reduce
+
+                        from .matview import _UNSET, join_on_parts
 
                         left_like = jt in ("LEFT", "LEFT OUTER", "FULL", "FULL OUTER")
                         full_join = jt in ("FULL", "FULL OUTER")
@@ -338,11 +366,46 @@ class MatViewMixin:
                             self.spark, version=mv.base_version
                         )
                         f_old = f_old_full
-                        pj = equi_join_pairs(
+                        parts = join_on_parts(
                             mv,
                             {c.lower() for c in f_old.columns},
                             {c.lower() for c in d_new.columns},
                         )
+                        pj = parts[0] if parts is not None else None
+                        # single-side row-local residual conjuncts of the
+                        # ON (f.k = d.k AND d.x > 5): a row failing its
+                        # OWN side's residual never matches, so the
+                        # match-count/flip terms count over
+                        # residual-FILTERED snapshots and treat failing
+                        # rows as unconditionally unmatched. The
+                        # matched-part terms (T1/T2) re-run the view's
+                        # real ON, residuals included.
+                        fact_preds = parts[1] if parts is not None else []
+                        dim_preds = parts[2] if parts is not None else []
+                        _f_ref = mv.select.from_[0].alias or mv.base
+                        _d_ref = mv.select.from_[1].alias or mv.dim
+
+                        def _pred(df, preds, ref):
+                            scope = Scope({ref: df}, includes=self.includes)
+                            return reduce(
+                                lambda a, b: a & b,
+                                [to_column(p, scope).cast("boolean") for p in preds],
+                            )
+
+                        fpred = (
+                            (lambda df: _pred(df, fact_preds, _f_ref))
+                            if fact_preds
+                            else None
+                        )
+                        dpred = (
+                            (lambda df: _pred(df, dim_preds, _d_ref))
+                            if dim_preds
+                            else None
+                        )
+                        # snapshots restricted to match-ABLE rows — the
+                        # only rows whose key bookkeeping matters
+                        f_old_m = f_old_full.filter(fpred(f_old_full)) if fpred else f_old_full
+                        d_new_m = d_new.filter(dpred(d_new)) if dpred else d_new
                         if (left_like or right_like) and pj is None:
                             mode = "full"  # non-equi outer ON: flips unknowable
                         else:
@@ -382,9 +445,15 @@ class MatViewMixin:
                                 # the dim delta's distinct join keys: the
                                 # affected-fact filter; IN-list pushdown
                                 # (file/row-group skipping) for a single
-                                # key, broadcast semi-join for compound
+                                # key, broadcast semi-join for compound.
+                                # Residual-failing delta rows can't change
+                                # any key's match count — their own image
+                                # never matches — so they're excluded.
+                                dflt = dim_nn(d_delta)
+                                if dpred is not None:
+                                    dflt = dflt & dpred(d_delta)
                                 dkeys_df = (
-                                    d_delta.filter(dim_nn(d_delta))
+                                    d_delta.filter(dflt)
                                     .select(dim_key(d_delta).alias("__mv_dk"))
                                     .distinct()
                                 )
@@ -431,22 +500,31 @@ class MatViewMixin:
                                         .distinct()
                                     )
                                     c3 = (
-                                        d_new.join(
+                                        d_new_m.join(
                                             F.broadcast(fkeys1),
-                                            dim_key(d_new) == fkeys1["__mv_fk"],
+                                            dim_key(d_new_m) == fkeys1["__mv_fk"],
                                             "left_semi",
                                         )
-                                        .groupBy(dim_key(d_new).alias("__mv_fk"))
+                                        .groupBy(dim_key(d_new_m).alias("__mv_fk"))
                                         .agg(F.count(F.lit(1)).alias("__mv_c3"))
                                     )
+                                    ch3 = changes
+                                    unmatched3 = F.col("__mv_c3").isNull()
+                                    if fpred is not None:
+                                        # a ΔF row failing its own residual
+                                        # is unmatched no matter the keys
+                                        ch3 = ch3.withColumn("__mv_fpx", fpred(ch3))
+                                        unmatched3 = unmatched3 | ~F.coalesce(
+                                            F.col("__mv_fpx"), F.lit(False)
+                                        )
                                     f3 = (
-                                        changes.join(
+                                        ch3.join(
                                             F.broadcast(c3),
-                                            fact_key(changes) == c3["__mv_fk"],
+                                            fact_key(ch3) == c3["__mv_fk"],
                                             "left",
                                         )
-                                        .filter(F.col("__mv_c3").isNull())
-                                        .drop("__mv_fk", "__mv_c3")
+                                        .filter(unmatched3)
+                                        .drop("__mv_fk", "__mv_c3", "__mv_fpx")
                                     )
                                     _add(f3, w, dd=d_new.limit(0))
                                 # T2 — matched part of the dim delta
@@ -462,6 +540,10 @@ class MatViewMixin:
                                     )
 
                                     def _dkc(ddf, out):
+                                        if dpred is not None:
+                                            # only residual-passing dim
+                                            # rows count as matches
+                                            ddf = ddf.filter(dpred(ddf))
                                         return (
                                             ddf.join(
                                                 F.broadcast(dkeys_df),
@@ -496,9 +578,12 @@ class MatViewMixin:
                                         )
                                         .select("__mv_dk", "__mv_fw")
                                     )
-                                    f_flip = f_old_full.join(
+                                    # only match-ABLE fact rows flip; a
+                                    # residual-failing fact row is
+                                    # permanently null-extended
+                                    f_flip = f_old_m.join(
                                         F.broadcast(flips),
-                                        fact_key(f_old_full) == flips["__mv_dk"],
+                                        fact_key(f_old_m) == flips["__mv_dk"],
                                         "inner",
                                     ).drop("__mv_dk")
                                     _add(
@@ -508,22 +593,31 @@ class MatViewMixin:
                                 # T5 — dim-side null extensions of ΔD at F_old
                                 if right_like and d_delta is not None:
                                     mo5 = (
-                                        f_old_full.join(
+                                        f_old_m.join(
                                             F.broadcast(dkeys_df),
-                                            fact_key(f_old_full) == dkeys_df["__mv_dk"],
+                                            fact_key(f_old_m) == dkeys_df["__mv_dk"],
                                             "left_semi",
                                         )
-                                        .groupBy(fact_key(f_old_full).alias("__mv_dk"))
+                                        .groupBy(fact_key(f_old_m).alias("__mv_dk"))
                                         .agg(F.count(F.lit(1)).alias("__mv_m5"))
                                     )
+                                    dd5 = d_delta
+                                    unmatched5 = F.col("__mv_m5").isNull()
+                                    if dpred is not None:
+                                        # a ΔD row failing its own residual
+                                        # is unmatched no matter the keys
+                                        dd5 = dd5.withColumn("__mv_dpx", dpred(dd5))
+                                        unmatched5 = unmatched5 | ~F.coalesce(
+                                            F.col("__mv_dpx"), F.lit(False)
+                                        )
                                     d5 = (
-                                        d_delta.join(
+                                        dd5.join(
                                             F.broadcast(mo5),
-                                            dim_key(d_delta) == mo5["__mv_dk"],
+                                            dim_key(dd5) == mo5["__mv_dk"],
                                             "left",
                                         )
-                                        .filter(F.col("__mv_m5").isNull())
-                                        .drop("__mv_dk", "__mv_m5")
+                                        .filter(unmatched5)
+                                        .drop("__mv_dk", "__mv_m5", "__mv_dpx")
                                     )
                                     _add(
                                         f_old_full.limit(0), F.lit(1),
@@ -542,6 +636,10 @@ class MatViewMixin:
                                     )
 
                                     def _fkc(fdf, out):
+                                        if fpred is not None:
+                                            # only residual-passing fact
+                                            # rows count as matches
+                                            fdf = fdf.filter(fpred(fdf))
                                         return (
                                             fdf.join(
                                                 F.broadcast(fkeys6),
@@ -574,9 +672,12 @@ class MatViewMixin:
                                         )
                                         .select("__mv_fk", "__dw")
                                     )
-                                    d6 = d_new.join(
+                                    # only match-ABLE dim rows flip; a
+                                    # residual-failing dim row is
+                                    # permanently null-extended
+                                    d6 = d_new_m.join(
                                         F.broadcast(fflips),
-                                        dim_key(d_new) == fflips["__mv_fk"],
+                                        dim_key(d_new_m) == fflips["__mv_fk"],
                                         "inner",
                                     ).drop("__mv_fk")
                                     _add(
@@ -617,6 +718,11 @@ class MatViewMixin:
                         mv.base_version = cur
         if mode == "full":
             if mv.incremental:
+                if fresh_sv is not None:
+                    # rebuild under the CURRENT scalar-subquery values
+                    from .matview import apply_scalar_subs
+
+                    apply_scalar_subs(mv, fresh_sv)
                 sink = self.sinks[mv.base]
                 mv.base_version = max(sink.versions())
                 if mv.dim:

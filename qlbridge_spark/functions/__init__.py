@@ -1421,7 +1421,7 @@ def _trunc(n, s):
 # ---- ANSI aggregate batch (all JVM-native) --------------------------------
 for _aname in [
     "var_pop", "var_samp", "stddev_pop", "stddev_samp",
-    "corr", "covar_pop", "covar_samp",
+    "covar_pop", "covar_samp",
     "bool_and", "bool_or", "any_value",
 ]:
 
@@ -1429,6 +1429,21 @@ for _aname in [
         return _f(*[to_column(a, s) for a in n.args])
 
     func_add(_aname, _abuilder, is_agg=True)
+
+
+def _corr(n, s):
+    """corr(x, y) — Pearson correlation, NULL when either side has zero
+    variance (the DuckDB/Postgres convention; Spark's native corr
+    divides 0/0 and THROWS under ANSI mode). covar_samp/(sx*sy) equals
+    Spark's population-moment formulation on every defined input — the
+    (n−1) factors cancel."""
+    if len(n.args) != 2:
+        raise TranslateError("corr(x, y) takes exactly two arguments")
+    x, y = (to_column(a, s) for a in n.args)
+    return F.try_divide(F.covar_samp(x, y), F.stddev_samp(x) * F.stddev_samp(y))
+
+
+func_add("corr", _corr, is_agg=True)
 
 
 def _mode(n, s):

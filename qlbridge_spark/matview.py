@@ -48,8 +48,13 @@ exposure). Extrema maintain on EVERY join shape: probe-able shapes
 (single-table, INNER/LEFT/RIGHT, INNER self-joins with single-side
 keys) keep O(1) scalar state + delete-repair; FULL joins and
 mixed-side-key self-joins ride the multiset substate instead, where
-deletes fold with no repair at all. Anything beyond the algebra (named
-WINDOW specs, subqueries, non-equi/one-sided ON conjuncts under the
+deletes fold with no repair at all. Join ONs decompose into equality
+pairs + row-local SINGLE-SIDE residual conjuncts (f.k = d.k AND
+d.x > 5): residual-failing rows can never match, so the
+match-count/flip terms count over residual-filtered snapshots and
+treat failing rows as unconditionally unmatched. Named WINDOW specs
+resolve inline at analyze time. Anything beyond the algebra
+(subqueries, two-sided non-equi ON conjuncts, OR-tree ONs under the
 flip terms, other holistic aggs like corr) still works as a
 materialized view — it just refreshes by full recompute, and the
 refresh report says so.
@@ -105,6 +110,7 @@ from .nodes import (
     Node,
     NullNode,
     NumberNode,
+    UnaryNode,
     WindowNode,
 )
 from .rel import Column, FromSource, SqlSelect
@@ -243,6 +249,14 @@ class MatView:
     #: QUALIFY predicate (rewritten like `having`), applied at expose
     #: time AFTER the window columns — the state keeps every group
     qualify: Node | None = None
+    #: FROZEN uncorrelated scalar subqueries in the WHERE: evaluated
+    #: once per refresh (a bounded driver job each); while the values
+    #: are unchanged the WHERE is a row-local predicate with the values
+    #: folded as literals (`where_subst`) and deltas fold incrementally;
+    #: a moved value forces a full state rebuild under the new values.
+    scalar_subs: list = field(default_factory=list)
+    scalar_vals: list | None = None  # last-evaluated (value, dtype) pairs
+    where_subst: Node | None = None  # WHERE with the values folded in
 
     @property
     def incremental(self) -> bool:
@@ -487,8 +501,34 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
         # CTEs — those parse as CteQuery), so it does not block
         # incremental maintenance
         return None
+    scalar_subs: list = []
     if select.where is not None and not _row_local(select.where):
-        return None
+        # the ONE tolerated non-row-local WHERE shape: uncorrelated
+        # SCALAR subqueries (x > (SELECT avg(x) FROM other)) — frozen
+        # per refresh. Every SubqueryNode must sit in a scalar position
+        # (IN/EXISTS/ANY/ALL right-hand sides are set contexts — a
+        # literal substitution would be wrong) and the WHERE must be
+        # row-local once the subqueries are replaced by literals.
+        # Correlation is checked at CREATE: evaluation raises on an
+        # unbound outer reference and the view falls back to full MV.
+        from .rel import SubqueryNode
+
+        nonscalar: set = set()
+        for n in select.where.walk():
+            if isinstance(n, BinaryNode) and isinstance(n.right, SubqueryNode):
+                if n.op in ("IN", "NOT IN") or n.op.endswith(" ANY") or n.op.endswith(" ALL"):
+                    nonscalar.add(id(n.right))
+            if isinstance(n, UnaryNode) and isinstance(n.child, SubqueryNode):
+                if "EXISTS" in n.op.upper():
+                    nonscalar.add(id(n.child))
+        if nonscalar:
+            return None
+        scalar_subs = [
+            n for n in select.where.walk() if isinstance(n, SubqueryNode)
+        ]
+        probe = _subst(select.where, [(s, NumberNode("0")) for s in scalar_subs])
+        if not scalar_subs or not _row_local(probe):
+            return None
     if not select.columns:
         return None
 
@@ -803,11 +843,13 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
     ):
         # dim-preserved outer joins: EVERY refresh (fact-only included)
         # needs per-key match-count bookkeeping for the dim side's null
-        # extensions, so the ON must be a conjunction of plain
-        # fact-col = dim-col equalities — the flip terms key on the
-        # (possibly compound) tuple. (DISTINCT is fine: substates are
-        # pure signed counting and fold through the same six terms;
-        # extrema need a dim-side probe, deduced above.)
+        # extensions, so the ON must decompose into fact-col = dim-col
+        # equality pairs plus (optionally) row-local SINGLE-SIDE
+        # residual conjuncts — the flip terms key on the (possibly
+        # compound) tuple and count over residual-filtered snapshots.
+        # (DISTINCT is fine: substates are pure signed counting and fold
+        # through the same six terms; extrema ride the probe or the
+        # multiset, deduced above.)
         probe = MatView(name="", select=select, base=nm, dim=dim_name)
         if (
             equi_join_pairs(
@@ -853,10 +895,56 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
         extrema_side=extrema_side,
         win_cols=win_cols,
         qualify=qualify_expr,
+        scalar_subs=scalar_subs,
     )
 
 
 _W = IdentityNode(("__w",))
+
+
+def effective_where(mv: MatView):
+    """The view's WHERE with any frozen scalar-subquery values folded in
+    as literals (see ``MatView.scalar_subs``); the original WHERE
+    otherwise."""
+    return mv.where_subst if mv.scalar_subs else mv.select.where
+
+
+def eval_scalar_subs(engine, mv: MatView) -> list:
+    """Evaluate the view's frozen scalar subqueries — one bounded
+    single-row job each, the same contract as the engine's plan-time
+    scalar fold — returning (value, dtype) pairs. Raises through on a
+    correlated subquery (unbound outer identifier) or an ANSI violation;
+    CREATE demotes the view to a full-recompute MV on that."""
+    from .errors import ExecError
+
+    vals = []
+    for s in mv.scalar_subs:
+        sub_df = engine._select_any(s.select)
+        if len(sub_df.columns) != 1:
+            raise ExecError(
+                f"scalar subquery must return one column, got {len(sub_df.columns)}"
+            )
+        rows = sub_df.limit(2).collect()
+        if len(rows) > 1:
+            raise ExecError("scalar subquery returned more than one row")
+        vals.append((rows[0][0] if rows else None, sub_df.schema.fields[0].dataType))
+    return vals
+
+
+def apply_scalar_subs(mv: MatView, vals: list) -> None:
+    """Pin ``vals`` as the frozen scalar-subquery values: rebuilds
+    ``where_subst`` with each subquery replaced by its literal (cast to
+    the evaluated dtype, so comparisons keep the analyzed types)."""
+    from .nodes import SparkColNode
+
+    mv.scalar_vals = vals
+    mv.where_subst = _subst(
+        mv.select.where,
+        [
+            (s, SparkColNode(col=F.lit(v).cast(dt), dtype=dt, text="(SELECT ...)"))
+            for s, (v, dt) in zip(mv.scalar_subs, vals)
+        ],
+    )
 
 
 def _state_select(
@@ -955,7 +1043,7 @@ def _state_select(
     return SqlSelect(
         columns=cols,
         from_=from_list,
-        where=mv.select.where,
+        where=effective_where(mv),
         group_by=list(mv.key_nodes),
     )
 
@@ -963,21 +1051,40 @@ def _state_select(
 _UNSET = object()
 
 
-def equi_join_pairs(mv: MatView, fact_cols: set, dim_cols: set):
-    """``[(fact_col, dim_col), …]`` when the view's join ON is a
-    CONJUNCTION of plain fact-column = dim-column equalities (a single
-    equality is the one-element list), else None. Used by the F_old ⋈ ΔD
-    maintenance term to pre-filter the fact scan to rows whose join key
-    appears in the dim delta — at 100 TB that turns a full fact pass
-    into a stats/row-group-skipped read (single key: IN-list pushed to
-    the parquet scan; compound key: broadcast semi-join on the delta's
-    distinct key tuples) — and by the outer-join null-flip terms, whose
-    match counting groups by the (possibly compound) join key."""
+def join_on_parts(mv: MatView, fact_cols: set, dim_cols: set):
+    """Decompose the view's join ON into ``(pairs, fact_preds,
+    dim_preds)``: the plain fact-column = dim-column equality pairs plus
+    the row-local SINGLE-SIDE residual conjuncts (Node lists, possibly
+    empty). None when any conjunct is neither (a two-sided or non-equi
+    comparison, or not row-local), or when no equality pair exists.
+
+    Why residuals are fine for the outer-join flip terms: a row failing
+    its OWN side's residual can never match anything, so (a) match
+    counting runs over residual-filtered snapshots, and (b) a
+    residual-failing row is unconditionally unmatched (null-extended in
+    its side's outer shapes). The equality pairs alone drive the key
+    bookkeeping — exactly the terms the refresh already runs.
+
+    Used by the F_old ⋈ ΔD maintenance term to pre-filter the fact scan
+    to rows whose join key appears in the dim delta — at 100 TB that
+    turns a full fact pass into a stats/row-group-skipped read (single
+    key: IN-list pushed to the parquet scan; compound key: broadcast
+    semi-join on the delta's distinct key tuples) — and by the
+    outer-join null-flip terms, whose match counting groups by the
+    (possibly compound) join key."""
     if len(mv.select.from_) < 2:
         return None
     src, d = mv.select.from_[0], mv.select.from_[1]
-    fact_refs = {mv.base, (src.alias or "").lower()} - {""}
-    dim_refs = {mv.dim, (d.alias or "").lower()} - {""}
+    if mv.dim == mv.base:
+        # self-join: the bare table name refers to the occurrence NOT
+        # aliased away (both unaliased would be ambiguous — engine
+        # rejects); list it on the fact side first, mirroring how the
+        # engine resolves the name
+        fact_refs = {mv.base, (src.alias or "").lower()} - {""}
+        dim_refs = {(d.alias or "").lower()} - {""}
+    else:
+        fact_refs = {mv.base, (src.alias or "").lower()} - {""}
+        dim_refs = {mv.dim, (d.alias or "").lower()} - {""}
 
     def _side(n):
         if not isinstance(n, IdentityNode) or getattr(n, "is_star", False):
@@ -996,6 +1103,19 @@ def equi_join_pairs(mv: MatView, fact_cols: set, dim_cols: set):
             return ("d", n.parts[-1])
         return None
 
+    def _expr_side(node):
+        """'f' / 'd' when every identifier in ``node`` resolves to ONE
+        side, else None. NULL semantics carry over: the residual joins
+        as a conjunct, so only TRUE means match-able."""
+        side = None
+        for n in node.walk():
+            if isinstance(n, IdentityNode):
+                s = _side(n)
+                if s is None or (side is not None and s[0] != side):
+                    return None
+                side = s[0]
+        return side
+
     def _conj(node):
         if isinstance(node, BinaryNode) and node.op == "AND":
             return _conj(node.left) + _conj(node.right)
@@ -1007,20 +1127,48 @@ def equi_join_pairs(mv: MatView, fact_cols: set, dim_cols: set):
         return [node]
 
     pairs = []
+    fact_preds: list = []
+    dim_preds: list = []
     for eq in _conj(d.join_expr):
-        if not isinstance(eq, BinaryNode) or eq.op not in ("=", "==") or getattr(eq, "negated", False):
+        if (
+            isinstance(eq, BinaryNode)
+            and eq.op in ("=", "==")
+            and not getattr(eq, "negated", False)
+        ):
+            lhs, rhs = _side(eq.left), _side(eq.right)
+            if lhs and rhs and lhs[0] != rhs[0]:
+                pairs.append((lhs[1], rhs[1]) if lhs[0] == "f" else (rhs[1], lhs[1]))
+                continue
+        # not a clean cross-side equality: acceptable only as a
+        # row-local single-side residual
+        if not _row_local(eq):
             return None
-        lhs, rhs = _side(eq.left), _side(eq.right)
-        if not lhs or not rhs or lhs[0] == rhs[0]:
+        side = _expr_side(eq)
+        if side == "f":
+            fact_preds.append(eq)
+        elif side == "d":
+            dim_preds.append(eq)
+        else:
             return None
-        pairs.append((lhs[1], rhs[1]) if lhs[0] == "f" else (rhs[1], lhs[1]))
-    return pairs or None
+    if not pairs:
+        return None
+    return pairs, fact_preds, dim_preds
+
+
+def equi_join_pairs(mv: MatView, fact_cols: set, dim_cols: set):
+    """The equality pairs of :func:`join_on_parts` (None when the ON
+    doesn't decompose). Single-side residual conjuncts are tolerated —
+    every caller either enforces them through the real join (the
+    maintenance terms re-run the view's ON verbatim) or only uses the
+    pairs as a conservative prune."""
+    parts = join_on_parts(mv, fact_cols, dim_cols)
+    return parts[0] if parts is not None else None
 
 
 def equi_join_prune_cols(mv: MatView, fact_cols: set, dim_cols: set):
-    """``(fact_col, dim_col)`` when the view's join ON is a SINGLE plain
-    equality — the shape whose prune can push down as an IN-list. See
-    :func:`equi_join_pairs` for the compound generalization."""
+    """``(fact_col, dim_col)`` when the view's join ON has a SINGLE
+    equality pair — the shape whose prune can push down as an IN-list.
+    See :func:`join_on_parts` for the compound generalization."""
     pairs = equi_join_pairs(mv, fact_cols, dim_cols)
     return pairs[0] if pairs is not None and len(pairs) == 1 else None
 
@@ -1066,7 +1214,7 @@ def _variance_row_select(
         if join_override is not None and d.join_type != join_override:
             d = dataclasses.replace(d, join_type=join_override)
         from_list.append(d)
-    return SqlSelect(columns=cols, from_=from_list, where=mv.select.where)
+    return SqlSelect(columns=cols, from_=from_list, where=effective_where(mv))
 
 
 def _apply_variance_overlay(engine, mv: MatView, out: DataFrame, rowsel: SqlSelect) -> DataFrame:
@@ -1188,7 +1336,14 @@ def _sub_select(
     cols = [
         Column(expr=k, alias=name) for k, name in zip(mv.key_nodes, mv.key_cols)
     ]
-    cols.append(Column(expr=a.arg, alias="__mv_dv"))
+    # the value may BE a group key (min_set(d.dname) grouped by d.dname;
+    # count(DISTINCT g) grouped by g): grouping by the keys alone is
+    # then equivalent, and projecting the same expr under two aliases
+    # would collide (the engine names both after the key) — skip the
+    # value column here; sub_state_frames re-adds __mv_dv as a copy of
+    # the exposed key column.
+    if a.arg not in mv.key_nodes:
+        cols.append(Column(expr=a.arg, alias="__mv_dv"))
     cols.append(Column(expr=FuncNode(name="sum", args=[weight]), alias="__mv_dn"))
     from_list = [FromSource(name=tmp_table, alias=src_ref)]
     if len(mv.select.from_) > 1:
@@ -1196,11 +1351,14 @@ def _sub_select(
         if join_override is not None and d.join_type != join_override:
             d = dataclasses.replace(d, join_type=join_override)
         from_list.append(d)
+    group_by = list(mv.key_nodes)
+    if a.arg not in group_by:
+        group_by.append(a.arg)
     return SqlSelect(
         columns=cols,
         from_=from_list,
-        where=mv.select.where,
-        group_by=list(mv.key_nodes) + [a.arg],
+        where=effective_where(mv),
+        group_by=group_by,
     )
 
 
@@ -1226,16 +1384,24 @@ def sub_state_frames(
         saved = engine.tables.get(mv.dim, _UNSET)
         engine.tables[mv.dim] = dim_df
     try:
-        return [
-            engine._select_any(
+        out = []
+        for a in mv.aggs:
+            if a.kind not in _SUBSTATE_AGGS:
+                continue
+            f = engine._select_any(
                 _sub_select(
                     mv, a, tmp, src.alias or src.name,
                     weight=w_node, join_override=join_override,
                 )
             )
-            for a in mv.aggs
-            if a.kind in _SUBSTATE_AGGS
-        ]
+            if a.arg in mv.key_nodes:
+                # value == group key: _sub_select skipped the duplicate
+                # projection; re-add __mv_dv as a copy of the key column
+                f = f.withColumn(
+                    "__mv_dv", F.col(mv.key_cols[mv.key_nodes.index(a.arg)])
+                )
+            out.append(f)
+        return out
     finally:
         engine.tables.pop(tmp, None)
         if dim_df is not None:

@@ -958,13 +958,15 @@ class TestJoinMatViews:
         assert rep["mode"] == "incremental"
         assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
 
-    def test_dim_commit_on_left_join_compound_on_forces_full(self, spark, tmp_path):
-        # compound ON: the flip set isn't computable from a single key —
-        # full recompute, then re-pin
+    def test_dim_commit_on_left_join_nonequi_on_forces_full(self, spark, tmp_path):
+        # a TWO-SIDED non-equi conjunct: the flip set isn't computable
+        # from per-side key bookkeeping — full recompute, then re-pin.
+        # (A single-side residual like f.x > 5 maintains since r13 —
+        # TestResidualOnJoinMatViews.)
         eng, fact, dim = self._mk(spark, tmp_path, "ljc")
         q = (
             "SELECT f.dk AS k, count(*) AS n "
-            "FROM f LEFT JOIN d ON f.dk = d.dk AND f.x > 5 GROUP BY f.dk"
+            "FROM f LEFT JOIN d ON f.dk = d.dk AND f.x > d.dk GROUP BY f.dk"
         )
         eng.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
         assert eng.mat_views["mv"].incremental
@@ -1152,18 +1154,15 @@ class TestJoinMatViews:
     def test_ineligible_join_shapes_stay_full(self, spark, tmp_path):
         eng, fact, dim = self._mk(spark, tmp_path, "e")
         for q in (
-            # FULL join + extrema: the fact-origin null-extension group
-            # has no probe-able row on either single side
-            "SELECT d.dname AS g, min(f.x) AS lo FROM f FULL OUTER JOIN d ON f.dk = d.dk GROUP BY d.dname",
-            # LEFT join + DIM-SIDE keys: null-extended fact rows form a
-            # NULL group no dim-side probe can name
-            "SELECT d.dname AS g, min(f.x) AS lo FROM f LEFT JOIN d ON f.dk = d.dk GROUP BY d.dname",
-            # INNER self-joins are incremental since r12; OUTER ones and
-            # self-join extrema are not (null terms / repair entangle)
+            # OUTER self-joins: the null terms entangle both sides
             "SELECT f.dk AS k, count(*) AS n FROM f LEFT JOIN f g ON f.id = g.id GROUP BY f.dk",
-            "SELECT f.dk AS k, min(g.x) AS lo FROM f JOIN f g ON f.dk = g.dk GROUP BY f.dk",
-            # RIGHT join with a compound ON: flip set unknowable per key
-            "SELECT d.dname AS g, count(*) AS n FROM f RIGHT JOIN d ON f.dk = d.dk AND f.x > 5 GROUP BY d.dname",
+            # RIGHT join with a TWO-SIDED non-equi conjunct: the match
+            # counts aren't computable from per-side key bookkeeping
+            # (probe-less extrema, dim-key LEFT extrema, and single-side
+            # residual ONs all maintain since r13)
+            "SELECT d.dname AS g, count(*) AS n FROM f RIGHT JOIN d ON f.dk = d.dk AND f.x > d.dk GROUP BY d.dname",
+            # OR-tree ON under a dim-preserved join: no decomposition
+            "SELECT d.dname AS g, count(*) AS n FROM f RIGHT JOIN d ON f.dk = d.dk OR f.dk = d.dk GROUP BY d.dname",
         ):
             eng.execute(f"CREATE OR REPLACE MATERIALIZED VIEW mvx AS {q}")
             assert not eng.mat_views["mvx"].incremental, q
@@ -1203,9 +1202,10 @@ class TestJoinMatViews:
 
     def test_equi_join_prune_cols_extraction(self, spark, tmp_path):
         # the F_old ⋈ ΔD term pre-filters the fact scan by the dim
-        # delta's join keys only when the ON is a plain fact-col =
-        # dim-col equality; qualified, unqualified-unambiguous, and
-        # reversed spellings all extract, compound ONs do not
+        # delta's join keys when the ON decomposes into ONE equality
+        # pair (+ optional single-side residuals, since r13); qualified,
+        # unqualified-unambiguous, reversed, and residual spellings all
+        # extract; two-sided non-equi conjuncts do not
         from qlbridge_spark.matview import equi_join_prune_cols
 
         eng, fact, dim = self._mk(spark, tmp_path, "pj")
@@ -1213,7 +1213,8 @@ class TestJoinMatViews:
         for q, want in [
             (self.Q, ("dk", "dk")),
             ("SELECT f.dk AS k, sum(x) AS s FROM f JOIN d ON d.dk = f.dk GROUP BY f.dk", ("dk", "dk")),
-            ("SELECT f.dk AS k, sum(x) AS s FROM f JOIN d ON f.dk = d.dk AND f.x > 0 GROUP BY f.dk", None),
+            ("SELECT f.dk AS k, sum(x) AS s FROM f JOIN d ON f.dk = d.dk AND f.x > 0 GROUP BY f.dk", ("dk", "dk")),
+            ("SELECT f.dk AS k, sum(x) AS s FROM f JOIN d ON f.dk = d.dk AND f.x > d.dk GROUP BY f.dk", None),
         ]:
             eng.execute(f"CREATE OR REPLACE MATERIALIZED VIEW mvp AS {q}")
             mv = eng.mat_views["mvp"]
@@ -1320,7 +1321,10 @@ class TestCompoundOnJoinMatViews:
     full join-key TUPLE (positionally-aliased structs, so fact- and
     dim-side tuples compare despite different column names), and the
     F_old prune becomes a broadcast semi-join on the delta's distinct
-    tuples. One-sided conjuncts (f.x > 5) still force full recompute."""
+    tuples. Row-local SINGLE-SIDE residual conjuncts (f.x > 5) also
+    maintain since r13 — match counting runs over residual-filtered
+    snapshots; two-sided non-equi conjuncts (f.x > d.a) still force
+    full recompute under dim deltas."""
 
     def _mk(self, spark, tmp_path, name):
         from qlbridge_spark.sinks import ParquetMergeSink
@@ -1394,11 +1398,27 @@ class TestCompoundOnJoinMatViews:
         assert rep["mode"] == "incremental"
         assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
 
-    def test_one_sided_conjunct_still_full(self, spark, tmp_path):
+    def test_one_sided_conjunct_maintains(self, spark, tmp_path):
+        # f.x > 5 is a fact-local residual: rows failing it never match,
+        # so the null-flip terms count over the residual-filtered fact
         eng, fact, dim = self._mk(spark, tmp_path, "osc")
         q = (
-            "SELECT f.a AS k, count(*) AS n "
+            "SELECT f.a AS k, count(*) AS n, count(d.dname) AS nd "
             "FROM f LEFT JOIN d ON f.a = d.a AND f.x > 5 GROUP BY f.a"
+        )
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
+        eng.execute("DELETE FROM d WHERE a = 1")
+        rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+        assert rep["mode"] == "incremental"
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
+
+    def test_two_sided_nonequi_conjunct_still_full(self, spark, tmp_path):
+        # f.x > d.a mixes sides in one conjunct: the flip set isn't
+        # computable from per-side key bookkeeping → full under ΔD
+        eng, fact, dim = self._mk(spark, tmp_path, "nec")
+        q = (
+            "SELECT f.a AS k, count(*) AS n "
+            "FROM f LEFT JOIN d ON f.a = d.a AND f.x > d.a GROUP BY f.a"
         )
         eng.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
         eng.execute("DELETE FROM d WHERE a = 1")
@@ -1922,3 +1942,305 @@ class TestSelfJoinExtrema:
             rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
             assert rep["mode"] in ("incremental", "noop"), (round_, rep)
             assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q), round_
+
+
+class TestResidualOnJoinMatViews:
+    """Row-local SINGLE-SIDE residual conjuncts in the join ON
+    (f.k = d.k AND d.w > 1) maintain under dim deltas since r13: a row
+    failing its own side's residual can never match, so the
+    match-count/flip terms count over residual-filtered snapshots and
+    residual-failing rows are unconditionally unmatched. Exercises the
+    residual-boundary crossings (an UPDATE moving a row across the
+    residual) that make this the hard case."""
+
+    def _mk(self, spark, tmp_path, name):
+        from qlbridge_spark.sinks import ParquetMergeSink
+
+        eng = Engine(spark, f"mvro-{name}")
+        fact = ParquetMergeSink(spark, str(tmp_path / f"{name}_f"), key="id")
+        fact.ensure(
+            spark.createDataFrame(
+                [(i, i % 5, float(i % 9)) for i in range(50)],
+                "id long, dk int, x double",
+            )
+        )
+        dim = ParquetMergeSink(spark, str(tmp_path / f"{name}_d"), key="dk")
+        dim.ensure(
+            spark.createDataFrame(
+                [(k, f"n{k}", float(k)) for k in range(5)],
+                "dk int, dname string, w double",
+            )
+        )
+        eng.register_sink("f", fact)
+        eng.register_sink("d", dim)
+        return eng, fact, dim
+
+    QS = [
+        # dim-local residual on LEFT: fact rows flip when the matching
+        # dim rows cross d.w > 1 (not just when they appear/vanish)
+        "SELECT f.dk AS k, count(*) AS n, count(d.dname) AS nd, sum(f.x) AS s "
+        "FROM f LEFT JOIN d ON f.dk = d.dk AND d.w > 1 GROUP BY f.dk",
+        # fact-local residual on RIGHT: dim rows flip when their facts
+        # cross f.x > 2
+        "SELECT d.dname AS g, count(*) AS n, count(f.id) AS nf, sum(f.x) AS s "
+        "FROM f RIGHT JOIN d ON f.dk = d.dk AND f.x > 2 GROUP BY d.dname",
+        # residuals on BOTH sides of a FULL join + substate agg
+        "SELECT d.dname AS g, count(*) AS n, count(f.id) AS nf, "
+        "count(DISTINCT f.x) AS dx "
+        "FROM f FULL JOIN d ON f.dk = d.dk AND f.x > 2 AND d.w > 0 "
+        "GROUP BY d.dname",
+    ]
+
+    @pytest.mark.parametrize("qi", [0, 1, 2])
+    def test_residual_on_boundary_crossings(self, spark, tmp_path, qi):
+        eng, fact, dim = self._mk(spark, tmp_path, f"b{qi}")
+        q = self.QS[qi]
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
+        assert eng.mat_views["mv"].incremental
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
+        # crossings in BOTH directions on both sides + plain churn
+        eng.execute("UPDATE f SET x = 0.5 WHERE id % 9 = 3")  # x>2 downward
+        eng.execute("UPDATE f SET x = 7.0 WHERE id % 9 = 4")  # x>2 upward
+        eng.execute("UPDATE d SET w = 0.0 WHERE dk = 2")  # w>1/w>0 downward
+        eng.execute("UPDATE d SET w = 9.0 WHERE dk = 0")  # upward
+        eng.execute("INSERT INTO f (id, dk, x) VALUES (200, 1, 1.0), (201, 9, 5.0)")
+        eng.execute("INSERT INTO d (dk, dname, w) VALUES (9, 'n9', 0.5)")
+        eng.execute("DELETE FROM d WHERE dk = 3")
+        eng.execute("DELETE FROM f WHERE id % 13 = 5")
+        rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+        assert rep["mode"] == "incremental", rep
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
+        assert eng.sql("SELECT * FROM mv").schema == eng.sql(q).schema
+
+    def test_residual_on_randomized_parity(self, spark, tmp_path):
+        rng = random.Random(29)
+        eng, fact, dim = self._mk(spark, tmp_path, "rz")
+        q = (
+            "SELECT f.dk AS k, count(*) AS n, count(d.dname) AS nd, "
+            "sum(f.x) AS s FROM f LEFT JOIN d "
+            "ON f.dk = d.dk AND d.w > 1 AND f.x > 1 GROUP BY f.dk"
+        )
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
+        assert eng.mat_views["mv"].incremental
+        next_id = 500
+        for round_ in range(5):
+            for _ in range(rng.randint(1, 3)):
+                op = rng.choice(["fi", "fu", "fd", "di", "du", "dd"])
+                if op == "fi":
+                    eng.execute(
+                        f"INSERT INTO f (id, dk, x) VALUES ({next_id}, {rng.randint(0, 7)}, {rng.uniform(0, 9):.2f})"
+                    )
+                    next_id += 1
+                elif op == "fu":
+                    eng.execute(
+                        f"UPDATE f SET x = {rng.uniform(0, 9):.2f} WHERE id % {rng.randint(3, 8)} = 1"
+                    )
+                elif op == "fd":
+                    eng.execute(f"DELETE FROM f WHERE id % {rng.randint(5, 11)} = 2")
+                elif op == "di":
+                    k = rng.randint(5, 8)
+                    eng.execute(
+                        f"INSERT INTO d (dk, dname, w) VALUES ({k}, 'n{k}', {rng.uniform(0, 3):.2f})"
+                    )
+                elif op == "du":
+                    eng.execute(
+                        f"UPDATE d SET w = {rng.uniform(0, 3):.2f} WHERE dk = {rng.randint(0, 6)}"
+                    )
+                else:
+                    eng.execute(f"DELETE FROM d WHERE dk = {rng.randint(0, 8)}")
+            rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+            assert rep["mode"] in ("incremental", "noop"), (round_, rep)
+            assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q), round_
+
+
+class TestScalarSubqueryMatViews:
+    """Uncorrelated scalar subqueries in the WHERE maintain by
+    FREEZE-AND-VERIFY: the values pin at CREATE (folded into the WHERE
+    as literals), every refresh re-evaluates them (bounded single-row
+    jobs), deltas fold incrementally while they hold, and a moved value
+    forces one full rebuild under the new values. Correlated scalars and
+    set contexts (IN/EXISTS/ANY/ALL) stay full-recompute MVs."""
+
+    def _mk(self, spark, tmp_path, name):
+        from qlbridge_spark.sinks import ParquetMergeSink
+
+        eng = Engine(spark, f"mvss-{name}")
+        t = ParquetMergeSink(spark, str(tmp_path / f"{name}_t"), key="id")
+        t.ensure(
+            spark.createDataFrame(
+                [(i, "g" + str(i % 3), float(i % 7)) for i in range(30)],
+                "id long, g string, x double",
+            )
+        )
+        ref = ParquetMergeSink(spark, str(tmp_path / f"{name}_r"), key="k")
+        ref.ensure(spark.createDataFrame([(1, 3.0), (2, 8.0)], "k long, thr double"))
+        eng.register_sink("t", t)
+        eng.register_sink("ref", ref)
+        return eng, t, ref
+
+    Q = (
+        "SELECT g, count(*) AS n, sum(x) AS s FROM t "
+        "WHERE x > (SELECT min(thr) FROM ref) GROUP BY g"
+    )
+
+    def test_freeze_and_verify_lifecycle(self, spark, tmp_path):
+        eng, t, ref = self._mk(spark, tmp_path, "fv")
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {self.Q}")
+        mv = eng.mat_views["mv"]
+        assert mv.incremental and len(mv.scalar_subs) == 1
+        assert [v for v, _ in mv.scalar_vals] == [3.0]
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, self.Q)
+        # base churn with the subquery value UNCHANGED → incremental
+        eng.execute("INSERT INTO t (id, g, x) VALUES (100, 'g1', 9.0), (101, 'g0', 1.0)")
+        eng.execute("DELETE FROM t WHERE id % 7 = 2")
+        rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+        assert rep["mode"] == "incremental"
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, self.Q)
+        # the value MOVES → one full rebuild under the new value
+        eng.execute("UPDATE ref SET thr = 5.0 WHERE k = 1")
+        rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+        assert rep["mode"] == "full"
+        assert [v for v, _ in eng.mat_views["mv"].scalar_vals] == [5.0]
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, self.Q)
+        # further base churn folds under the NEW frozen value
+        eng.execute("INSERT INTO t (id, g, x) VALUES (102, 'g2', 6.5)")
+        rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+        assert rep["mode"] == "incremental"
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, self.Q)
+
+    def test_self_referential_subquery(self, spark, tmp_path):
+        # the subquery reads the BASE itself: every base commit moves the
+        # value (usually) → full rebuild, still row-correct; an
+        # unchanged-value commit folds incrementally
+        eng, t, ref = self._mk(spark, tmp_path, "sr")
+        q = (
+            "SELECT g, count(*) AS n FROM t "
+            "WHERE x >= (SELECT max(x) FROM t) - 1 GROUP BY g"
+        )
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
+        assert eng.mat_views["mv"].incremental
+        eng.execute("INSERT INTO t (id, g, x) VALUES (200, 'g0', 50.0)")  # max moves
+        rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+        assert rep["mode"] == "full"
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
+        eng.execute("DELETE FROM t WHERE id = 5")  # max(x)=50 unchanged
+        rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+        assert rep["mode"] == "incremental"
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
+
+    def test_composes_with_join_distinct_and_having(self, spark, tmp_path):
+        from qlbridge_spark.sinks import ParquetMergeSink
+
+        eng, t, ref = self._mk(spark, tmp_path, "cj")
+        d = ParquetMergeSink(spark, str(tmp_path / "cj_d"), key="g")
+        d.ensure(
+            spark.createDataFrame(
+                [("g0", "a"), ("g1", "b"), ("g2", "c")], "g string, dn string"
+            )
+        )
+        eng.register_sink("d", d)
+        q = (
+            "SELECT d.dn AS dn, count(*) AS n, count(DISTINCT t.x) AS dx "
+            "FROM t JOIN d ON t.g = d.g "
+            "WHERE t.x > (SELECT min(thr) FROM ref) "
+            "GROUP BY d.dn HAVING count(*) > 1"
+        )
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
+        assert eng.mat_views["mv"].incremental
+        eng.execute("INSERT INTO t (id, g, x) VALUES (300, 'g1', 6.0)")
+        eng.execute("UPDATE d SET dn = 'z' WHERE g = 'g0'")
+        rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+        assert rep["mode"] == "incremental"
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
+        eng.execute("UPDATE ref SET thr = 0.5 WHERE k = 1")  # value moves
+        rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+        assert rep["mode"] == "full"
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
+
+    @pytest.mark.parametrize(
+        "q",
+        [
+            # correlated scalar: evaluation raises at CREATE → full MV
+            "SELECT g, count(*) AS n FROM t "
+            "WHERE x > (SELECT avg(x) FROM t u WHERE u.g = t.g) GROUP BY g",
+            # set contexts: a literal substitution would be wrong
+            "SELECT g, count(*) AS n FROM t WHERE id IN (SELECT k FROM ref) GROUP BY g",
+            "SELECT g, count(*) AS n FROM t "
+            "WHERE EXISTS (SELECT 1 FROM ref WHERE thr > 100) GROUP BY g",
+        ],
+    )
+    def test_non_freezable_shapes_stay_full(self, spark, tmp_path, q):
+        eng, t, ref = self._mk(spark, tmp_path, f"nf{abs(hash(q)) % 9999}")
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
+        assert not eng.mat_views["mv"].incremental
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
+        eng.execute("DELETE FROM t WHERE id = 4")
+        rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+        assert rep["mode"] == "full"
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
+
+    def test_randomized_freeze_verify_parity(self, spark, tmp_path):
+        rng = random.Random(41)
+        eng, t, ref = self._mk(spark, tmp_path, "rz")
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {self.Q}")
+        next_id = 500
+        for round_ in range(5):
+            for _ in range(rng.randint(1, 3)):
+                op = rng.choice(["ins", "upd", "del", "thr"])
+                if op == "ins":
+                    eng.execute(
+                        f"INSERT INTO t (id, g, x) VALUES ({next_id}, 'g{rng.randint(0, 4)}', {rng.uniform(0, 9):.2f})"
+                    )
+                    next_id += 1
+                elif op == "upd":
+                    eng.execute(
+                        f"UPDATE t SET x = {rng.uniform(0, 9):.2f} WHERE id % {rng.randint(3, 8)} = 1"
+                    )
+                elif op == "del":
+                    eng.execute(f"DELETE FROM t WHERE id % {rng.randint(5, 11)} = 2")
+                else:
+                    eng.execute(f"UPDATE ref SET thr = {rng.uniform(0, 6):.2f} WHERE k = 1")
+            rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+            assert rep["mode"] in ("incremental", "noop", "full"), round_
+            assert _rows(eng, "SELECT * FROM mv") == _rows(eng, self.Q), round_
+
+
+class TestSubstateValueIsGroupKey:
+    """The substate VALUE expression may literally be a group key
+    (count(DISTINCT g) grouped by g; min/max riding the multiset with a
+    key-side arg). Projecting the same expr under two aliases collides
+    in the engine's aggregate — the substate select skips the duplicate
+    and re-adds __mv_dv as a key copy (found by the r13 shape fuzzer)."""
+
+    def test_count_distinct_of_key(self, spark, tmp_path):
+        eng, _ = _mk(spark, tmp_path, "vk1", BASE)
+        q = "SELECT g, count(DISTINCT g) AS dg, count(*) AS n FROM t GROUP BY g"
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
+        assert eng.mat_views["mv"].incremental
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
+        eng.execute("INSERT INTO t (id, g, x) VALUES (10, 'z', 1.0)")
+        eng.execute("DELETE FROM t WHERE g = 'b'")
+        rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+        assert rep["mode"] == "incremental"
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
+
+    def test_set_extremum_of_key_on_full_join(self, spark, tmp_path):
+        from qlbridge_spark.sinks import ParquetMergeSink
+
+        eng, _ = _mk(spark, tmp_path, "vk2", BASE)
+        d = ParquetMergeSink(spark, str(tmp_path / "vk2_d"), key="g")
+        d.ensure(spark.createDataFrame([("a", 1.0), ("b", 2.0)], "g string, w double"))
+        eng.register_sink("d", d)
+        q = (
+            "SELECT d.g AS g, min(d.g) AS mg, count(*) AS n "
+            "FROM t FULL JOIN d ON t.g = d.g GROUP BY d.g"
+        )
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
+        mv = eng.mat_views["mv"]
+        assert mv.incremental and any(a.kind == "min_set" for a in mv.aggs)
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
+        eng.execute("INSERT INTO d (g, w) VALUES ('c', 3.0)")
+        eng.execute("DELETE FROM t WHERE id IN (1, 2)")
+        rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+        assert rep["mode"] == "incremental"
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
