@@ -262,7 +262,10 @@ _Q = {
                round(var_pop(c_acctbal), 2) AS vp,
                round(variance(c_acctbal), 2) AS vs,
                median(c_nationkey) AS med_nk,
-               percentile_cont(c_nationkey, 0.25) AS p25_nk
+               percentile_cont(c_nationkey, 0.25) AS p25_nk,
+               mode(c_nationkey) AS mode_nk,
+               round(corr(c_acctbal, c_custkey), 4) AS cr,
+               corr(c_acctbal * 0, c_custkey) AS cr0
         FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     # §2.3 CROSS JOIN (comma form) + lateral UNNEST + (VALUES …) table
     # constructor + ANSI NULLS ordering + bracketed PIVOT/UNPIVOT (all
@@ -941,15 +944,30 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY l_returnflag, l_linestatus
             LIMIT 4 OFFSET 1""",
         "q26_minmax": """
-            SELECT c_mktsegment, round(min(c_acctbal), 2) AS lo,
-                   round(max(c_acctbal), 2) AS hi,
-                   round(stddev_samp(c_acctbal), 2) AS sd,
-                   round(stddev_pop(c_acctbal), 2) AS sdp,
-                   round(var_pop(c_acctbal), 2) AS vp,
-                   round(var_samp(c_acctbal), 2) AS vs,
-                   median(c_nationkey) AS med_nk,
-                   quantile_cont(c_nationkey, 0.25) AS p25_nk
-            FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+            WITH modes AS (
+              SELECT c_mktsegment, c_nationkey AS mode_nk
+              FROM (SELECT c_mktsegment, c_nationkey, count(*) AS c
+                    FROM customer GROUP BY 1, 2)
+              QUALIFY row_number() OVER (
+                PARTITION BY c_mktsegment
+                ORDER BY c DESC, c_nationkey) = 1
+            )
+            SELECT g.c_mktsegment, g.lo, g.hi, g.sd, g.sdp, g.vp, g.vs,
+                   g.med_nk, g.p25_nk, modes.mode_nk, g.cr, g.cr0
+            FROM (
+              SELECT c_mktsegment, round(min(c_acctbal), 2) AS lo,
+                     round(max(c_acctbal), 2) AS hi,
+                     round(stddev_samp(c_acctbal), 2) AS sd,
+                     round(stddev_pop(c_acctbal), 2) AS sdp,
+                     round(var_pop(c_acctbal), 2) AS vp,
+                     round(var_samp(c_acctbal), 2) AS vs,
+                     median(c_nationkey) AS med_nk,
+                     quantile_cont(c_nationkey, 0.25) AS p25_nk,
+                     round(corr(c_acctbal, c_custkey), 4) AS cr,
+                     corr(c_acctbal * 0, c_custkey) AS cr0
+              FROM customer GROUP BY c_mktsegment) g
+            JOIN modes USING (c_mktsegment)
+            ORDER BY g.c_mktsegment""",
         "q28_cross_join": """
             SELECT * FROM (
               SELECT v.grp, u.w AS word, count(*) AS n
