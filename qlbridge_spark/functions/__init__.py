@@ -1434,13 +1434,18 @@ for _aname in [
 def _corr(n, s):
     """corr(x, y) — Pearson correlation, NULL when either side has zero
     variance (the DuckDB/Postgres convention; Spark's native corr
-    divides 0/0 and THROWS under ANSI mode). covar_samp/(sx*sy) equals
-    Spark's population-moment formulation on every defined input — the
-    (n−1) factors cancel."""
+    divides 0/0 and THROWS under ANSI mode). All moments run over the
+    PAIRWISE-complete rows (a NULL in either argument drops the pair —
+    ANSI, and what Spark's native corr does), so both sides are guarded
+    before the marginal stddevs. covar_samp/(sx*sy) equals the
+    population-moment formulation on every defined input — the (n−1)
+    factors cancel."""
     if len(n.args) != 2:
         raise TranslateError("corr(x, y) takes exactly two arguments")
     x, y = (to_column(a, s) for a in n.args)
-    return F.try_divide(F.covar_samp(x, y), F.stddev_samp(x) * F.stddev_samp(y))
+    both = x.isNotNull() & y.isNotNull()
+    xg, yg = F.when(both, x), F.when(both, y)
+    return F.try_divide(F.covar_samp(xg, yg), F.stddev_samp(xg) * F.stddev_samp(yg))
 
 
 func_add("corr", _corr, is_agg=True)

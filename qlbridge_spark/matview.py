@@ -53,11 +53,13 @@ pairs + row-local SINGLE-SIDE residual conjuncts (f.k = d.k AND
 d.x > 5): residual-failing rows can never match, so the
 match-count/flip terms count over residual-filtered snapshots and
 treat failing rows as unconditionally unmatched. Named WINDOW specs
-resolve inline at analyze time. Anything beyond the algebra
-(subqueries, two-sided non-equi ON conjuncts, OR-tree ONs under the
-flip terms, other holistic aggs like corr) still works as a
-materialized view — it just refreshes by full recompute, and the
-refresh report says so.
+resolve inline at analyze time. The two-argument moment family
+(corr/covar_samp/covar_pop) maintains over centered CO-moments — the
+bivariate variance state (see _COVAR_AGGS). Anything beyond the
+algebra (set-context/correlated subqueries, two-sided non-equi ON
+conjuncts, OR-tree ONs under the flip terms, ordered-set aggregates)
+still works as a materialized view — it just refreshes by full
+recompute, and the refresh report says so.
 
 Superset: the reference has no materialized views (its closest notion
 is the continuously-evaluated view, which the engine maps to Structured
@@ -140,6 +142,17 @@ _VARIANCE_AGGS = {
     "var_samp",
     "var_pop",
 }
+#: two-argument moment family — algebraic over CENTERED co-moments,
+#: the bivariate generalization of the variance state: per group
+#: c = Σw over PAIRWISE-non-null rows (ANSI: a NULL in either argument
+#: drops the pair), sx = Σw(x−zx), sy = Σw(y−zy), qxy = Σw(x−zx)(y−zy),
+#: and for corr additionally qxx/qyy. Shifts zx/zy are the group's
+#: observed minima (same conditioning argument as the variance note
+#: above — raw power sums cancel catastrophically at epoch-millis
+#: magnitudes). Exposure: covar = (qxy − sx·sy/c)/denominator;
+#: corr = m_xy / sqrt(m_xx · m_yy), NULL when either variance is zero —
+#: exactly the engine's corr() (try_divide convention).
+_COVAR_AGGS = {"corr", "covar_samp", "covar_pop"}
 #: DISTINCT aggregates maintain through a TWO-LEVEL state: a per-view
 #: substate frame grained by (group keys, value) holding a signed
 #: occurrence count — deltas fold into it exactly like the main state,
@@ -196,6 +209,14 @@ class AggSpec:
     z_col: str | None = None
     #: percentile fraction (sort-agg family): median ≡ 0.5
     p: float | None = None
+    #: second argument (two-argument moment family: corr/covar)
+    arg2: Node | None = None
+    #: bivariate state columns (corr/covar): Σw(y−zy), Σw(y−zy)²
+    #: (corr only), the co-moment Σw(x−zx)(y−zy), and the y shift
+    s2_col: str | None = None
+    q2_col: str | None = None
+    qc_col: str | None = None
+    z2_col: str | None = None
 
 
 @dataclass
@@ -312,9 +333,11 @@ def _snapshot_cols(engine, s) -> set[str]:
 
 
 def _parse_agg(e: Node):
-    """``(kind, arg, p)`` when ``e`` is an aggregate call the signed-delta
-    algebra maintains (the AggSpec vocabulary), else None; ``p`` is the
-    percentile fraction for the sort-agg family (None otherwise).
+    """``(kind, arg, p, arg2)`` when ``e`` is an aggregate call the
+    signed-delta algebra maintains (the AggSpec vocabulary), else None;
+    ``p`` is the percentile fraction for the sort-agg family and
+    ``arg2`` the second argument of the corr/covar family (None
+    otherwise).
 
     ``agg(x) FILTER (WHERE p)`` folds into the ARG: every agg in the
     vocabulary ignores NULL inputs, so guarding the argument with
@@ -325,12 +348,32 @@ def _parse_agg(e: Node):
     if (
         not isinstance(e, FuncNode)
         or e.name
-        not in _INCREMENTAL_AGGS | _EXTREMUM_AGGS | _VARIANCE_AGGS | _SORT_AGGS | _HOLISTIC_AGGS
+        not in _INCREMENTAL_AGGS
+        | _EXTREMUM_AGGS
+        | _VARIANCE_AGGS
+        | _SORT_AGGS
+        | _HOLISTIC_AGGS
+        | _COVAR_AGGS
     ):
         return None
     if e.agg_order or e.ignore_nulls:
         return None
     p = None
+    if e.name in _COVAR_AGGS:
+        if len(e.args) != 2:
+            return None
+        x, y = e.args
+        if any(
+            _contains_distinct(a) or not _row_local(a) for a in (x, y)
+        ):
+            return None
+        filt = e.filter_where
+        if filt is not None and not _row_local(filt):
+            return None
+        if filt is not None:
+            guard_c = lambda a: CaseNode(operand=None, whens=[(filt, a)], default=None)  # noqa: E731
+            x, y = guard_c(x), guard_c(y)
+        return (e.name, x, None, y)
     if e.name == "percentile_cont":
         # percentile_cont(x, p) — p must be a literal fraction (the
         # substate exposure bakes it into the interpolation target)
@@ -361,8 +404,8 @@ def _parse_agg(e: Node):
         if e.name != "count":
             return None
         if filt is not None:
-            return ("count", guard(NumberNode("1")), None)
-        return ("count_star", None, None)
+            return ("count", guard(NumberNode("1")), None, None)
+        return ("count_star", None, None, None)
     if isinstance(arg, FuncNode) and arg.name == "distinct":
         # count/sum/avg(DISTINCT x); min/max(DISTINCT x) ≡ min/max(x);
         # variance(DISTINCT x) is NOT maintained (no substate algebra)
@@ -372,11 +415,11 @@ def _parse_agg(e: Node):
         if _contains_distinct(inner) or not _row_local(inner):
             return None
         if e.name in _EXTREMUM_AGGS:
-            return (e.name, guard(inner), None)
-        return (f"{e.name}_distinct", guard(inner), None)
+            return (e.name, guard(inner), None, None)
+        return (f"{e.name}_distinct", guard(inner), None, None)
     if _contains_distinct(arg) or not _row_local(arg):
         return None
-    return (e.name, guard(arg), p)
+    return (e.name, guard(arg), p, None)
 
 
 def _subst(node: Node, pairs: list) -> Node:
@@ -582,7 +625,9 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
         parsed = _parse_agg(e)
         if parsed is None:
             return None
-        aggs.append(AggSpec(parsed[0], parsed[1], col.alias, p=parsed[2]))
+        aggs.append(
+            AggSpec(parsed[0], parsed[1], col.alias, p=parsed[2], arg2=parsed[3])
+        )
         out_order.append(col.alias)
     if keys_remaining:
         return None  # GROUP BY key not exposed in the select list
@@ -612,13 +657,17 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
             parsed = _parse_agg(r)
             if parsed is None:
                 return None  # e.g. stddev(x) — not maintainable
-            kind, arg, pfrac = parsed
+            kind, arg, pfrac, arg2 = parsed
             match = next(
-                (a for a in aggs if a.kind == kind and a.arg == arg and a.p == pfrac),
+                (
+                    a
+                    for a in aggs
+                    if a.kind == kind and a.arg == arg and a.p == pfrac and a.arg2 == arg2
+                ),
                 None,
             )
             if match is None:
-                match = AggSpec(kind, arg, f"__mv_h{hidden_n[0]}", p=pfrac)
+                match = AggSpec(kind, arg, f"__mv_h{hidden_n[0]}", p=pfrac, arg2=arg2)
                 hidden_n[0] += 1
                 aggs.append(match)
             pairs.append((r, IdentityNode((match.out,))))
@@ -872,6 +921,13 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
             a.s_col, a.c_col, a.q_col, a.z_col = (
                 f"__mv_s{i}", f"__mv_c{i}", f"__mv_q{i}", f"__mv_z{i}",
             )
+        elif a.kind in _COVAR_AGGS:
+            a.s_col, a.c_col, a.z_col = f"__mv_s{i}", f"__mv_c{i}", f"__mv_z{i}"
+            a.s2_col, a.qc_col, a.z2_col = (
+                f"__mv_s2{i}", f"__mv_qc{i}", f"__mv_z2{i}",
+            )
+            if a.kind == "corr":
+                a.q_col, a.q2_col = f"__mv_q{i}", f"__mv_q2{i}"
         elif a.kind in _EXTREMUM_AGGS:
             a.m_col = f"__mv_m{i}"
         elif a.kind in _SUBSTATE_AGGS:
@@ -996,12 +1052,25 @@ def _state_select(
                     alias=a.s_col,
                 )
             )
-        # variance family (z_col set): s/q are NOT computed here — raw
-        # power sums cancel catastrophically at large magnitudes. The
-        # centered (s, q, z) columns are grafted on by the second
+        # variance/covar families (z_col set): s/q are NOT computed here
+        # — raw power sums cancel catastrophically at large magnitudes.
+        # The centered (s, q, z) columns are grafted on by the second
         # row-level pass in state_frame (see _variance_overlay).
         if a.c_col:
-            cols.append(Column(expr=FuncNode(name="sum", args=[nn_count(a.arg)]), alias=a.c_col))
+            if a.arg2 is not None:
+                # pairwise count (ANSI two-arg moments: a NULL in either
+                # argument drops the pair)
+                probe = CaseNode(
+                    operand=None,
+                    whens=[
+                        (BinaryNode(op="IS", left=a.arg, right=NullNode()), NullNode()),
+                        (BinaryNode(op="IS", left=a.arg2, right=NullNode()), NullNode()),
+                    ],
+                    default=NumberNode("1"),
+                )
+            else:
+                probe = a.arg
+            cols.append(Column(expr=FuncNode(name="sum", args=[nn_count(probe)]), alias=a.c_col))
         if a.m_col:
             cols.append(
                 Column(expr=FuncNode(name=a.kind, args=[pos_only(a.arg)]), alias=a.m_col)
@@ -1206,7 +1275,22 @@ def _variance_row_select(
     ]
     cols.append(Column(expr=weight, alias="__mv_vw"))
     for a in mv.aggs:
-        if a.z_col:
+        if a.z_col and a.arg2 is not None:
+            # two-arg moments: PAIRWISE-guarded projections (a NULL in
+            # either argument drops the pair from every sum)
+            xp = CaseNode(
+                operand=None,
+                whens=[(BinaryNode(op="IS", left=a.arg2, right=NullNode()), NullNode())],
+                default=a.arg,
+            )
+            yp = CaseNode(
+                operand=None,
+                whens=[(BinaryNode(op="IS", left=a.arg, right=NullNode()), NullNode())],
+                default=a.arg2,
+            )
+            cols.append(Column(expr=xp, alias=f"__mv_vx_{a.z_col}"))
+            cols.append(Column(expr=yp, alias=f"__mv_vy_{a.z_col}"))
+        elif a.z_col:
             cols.append(Column(expr=a.arg, alias=f"__mv_vx_{a.z_col}"))
     from_list = [FromSource(name=tmp_table, alias=src_ref)]
     if len(mv.select.from_) > 1:
@@ -1239,9 +1323,34 @@ def _apply_variance_overlay(engine, mv: MatView, out: DataFrame, rowsel: SqlSele
         z = F.min(x).over(win)
         d = (x - z).cast("double")
         w_ = F.col("__mv_vw").cast("double")
-        rows = rows.withColumn(f"__mv_ts_{a.z_col}", w_ * d).withColumn(
-            f"__mv_tq_{a.z_col}", w_ * d * d
-        )
+        rows = rows.withColumn(f"__mv_ts_{a.z_col}", w_ * d)
+        if a.arg2 is not None:
+            # bivariate centered sums: both args already pairwise-guarded
+            # in the row select, so every term is NULL (excluded from
+            # the sums) unless BOTH are present
+            y = F.col(f"__mv_vy_{a.z_col}")
+            zy = F.min(y).over(win)
+            dy = (y - zy).cast("double")
+            rows = rows.withColumn(f"__mv_ts2_{a.z_col}", w_ * dy).withColumn(
+                f"__mv_tqc_{a.z_col}", w_ * d * dy
+            )
+            aggexprs += [
+                F.sum(f"__mv_ts_{a.z_col}").alias(a.s_col),
+                F.sum(f"__mv_ts2_{a.z_col}").alias(a.s2_col),
+                F.sum(f"__mv_tqc_{a.z_col}").alias(a.qc_col),
+                F.min(x).cast("double").alias(a.z_col),
+                F.min(y).cast("double").alias(a.z2_col),
+            ]
+            if a.q_col:  # corr: per-side second moments too
+                rows = rows.withColumn(f"__mv_tq_{a.z_col}", w_ * d * d).withColumn(
+                    f"__mv_tq2_{a.z_col}", w_ * dy * dy
+                )
+                aggexprs += [
+                    F.sum(f"__mv_tq_{a.z_col}").alias(a.q_col),
+                    F.sum(f"__mv_tq2_{a.z_col}").alias(a.q2_col),
+                ]
+            continue
+        rows = rows.withColumn(f"__mv_tq_{a.z_col}", w_ * d * d)
         aggexprs += [
             F.sum(f"__mv_ts_{a.z_col}").alias(a.s_col),
             F.sum(f"__mv_tq_{a.z_col}").alias(a.q_col),
@@ -1252,7 +1361,12 @@ def _apply_variance_overlay(engine, mv: MatView, out: DataFrame, rowsel: SqlSele
         return out.crossJoin(vf)
     renamed = vf.select(
         *[F.col(k).alias(f"__mvv_{k}") for k in mv.key_cols],
-        *[F.col(c) for a in vaggs for c in (a.s_col, a.q_col, a.z_col)],
+        *[
+            F.col(c)
+            for a in vaggs
+            for c in (a.s_col, a.q_col, a.z_col, a.s2_col, a.q2_col, a.qc_col, a.z2_col)
+            if c
+        ],
     )
     cond = reduce(
         lambda acc, k: acc & F.col(k).eqNullSafe(F.col(f"__mvv_{k}")),
@@ -1430,7 +1544,10 @@ def merge_substates(
 
 
 _STATE_COLS = lambda mv: ["__mv_n"] + [  # noqa: E731
-    c for a in mv.aggs for c in (a.s_col, a.q_col, a.c_col) if c
+    c
+    for a in mv.aggs
+    for c in (a.s_col, a.q_col, a.c_col, a.s2_col, a.q2_col, a.qc_col)
+    if c
 ]
 
 
@@ -1460,6 +1577,8 @@ def merge_state(mv: MatView, internal: DataFrame, delta: DataFrame) -> DataFrame
         if a.z_col not in delta.columns:
             delta = delta.withColumn(a.z_col, F.lit(None).cast("double"))
         folds.append(F.min(a.z_col).alias(a.z_col))
+        if a.z2_col:
+            folds.append(F.min(a.z2_col).alias(a.z2_col))
     u = internal.unionByName(delta)
     if vaggs:
         # re-center every contribution to the group's common shift
@@ -1483,6 +1602,39 @@ def merge_state(mv: MatView, internal: DataFrame, delta: DataFrame) -> DataFrame
             d = zeff - big_z
             c_ = F.coalesce(F.col(a.c_col), F.lit(0)).cast("double")
             s_ = F.col(a.s_col)
+            if a.arg2 is not None:
+                # bivariate re-centering to the common shifts (Zx, Zy):
+                # Σw(x−Zx)(y−Zy) = qxy + dx·sy + dy·sx + dx·dy·c, with
+                # the per-side second moments re-centering exactly like
+                # the univariate case — all formulas use the ORIGINAL
+                # sx/sy, staged via temp columns before the overwrite
+                zeff2 = F.coalesce(F.col(a.z2_col), F.lit(0.0))
+                big_z2 = F.min(F.when(data, zeff2)).over(win)
+                d2 = zeff2 - big_z2
+                s2_ = F.col(a.s2_col)
+                u = u.withColumn(
+                    "__mv_tqc",
+                    F.col(a.qc_col) + d * s2_ + d2 * s_ + d * d2 * c_,
+                ).withColumn("__mv_ts", s_ + d * c_).withColumn(
+                    "__mv_ts2", s2_ + d2 * c_
+                )
+                if a.q_col:
+                    u = u.withColumn(
+                        "__mv_tq", F.col(a.q_col) + 2.0 * d * s_ + d * d * c_
+                    ).withColumn(
+                        "__mv_tq2", F.col(a.q2_col) + 2.0 * d2 * s2_ + d2 * d2 * c_
+                    ).withColumn(
+                        a.q_col, F.when(data, F.col("__mv_tq"))
+                    ).withColumn(a.q2_col, F.when(data, F.col("__mv_tq2")))
+                u = (
+                    u.withColumn(a.qc_col, F.when(data, F.col("__mv_tqc")))
+                    .withColumn(a.s_col, F.when(data, F.col("__mv_ts")))
+                    .withColumn(a.s2_col, F.when(data, F.col("__mv_ts2")))
+                    .withColumn(a.z_col, F.when(data, big_z))
+                    .withColumn(a.z2_col, F.when(data, big_z2))
+                    .drop("__mv_ts", "__mv_ts2", "__mv_tq", "__mv_tq2", "__mv_tqc")
+                )
+                continue
             q_ = F.col(a.q_col)
             u = (
                 u.withColumn("__mv_tq", q_ + 2.0 * d * s_ + d * d * c_)
@@ -1636,6 +1788,29 @@ def exposed_frame(mv: MatView) -> DataFrame:
                 c = F.when(n_ > 1, m2 / (n_ - 1))
             if a.kind.startswith("stddev"):
                 c = F.sqrt(c)
+        elif a.kind in _COVAR_AGGS:
+            # bivariate centered moments: m_xy = qxy − sx·sy/n over the
+            # pairwise-non-null count; corr = m_xy / sqrt(m_xx·m_yy),
+            # NULL when either variance is zero — the engine's corr()
+            # convention (try_divide), so exposure == recompute exactly
+            n_ = F.col(a.c_col).cast("double")
+            sx = F.col(a.s_col).cast("double")
+            sy = F.col(a.s2_col).cast("double")
+            mxy = F.col(a.qc_col).cast("double") - (sx * sy) / n_
+            if a.kind == "covar_samp":
+                c = F.when(n_ > 1, mxy / (n_ - 1))
+            elif a.kind == "covar_pop":
+                c = F.when(n_ > 0, mxy / n_)
+            else:  # corr
+                mxx = F.greatest(
+                    F.col(a.q_col).cast("double") - (sx * sx) / n_, F.lit(0.0)
+                )
+                myy = F.greatest(
+                    F.col(a.q2_col).cast("double") - (sy * sy) / n_, F.lit(0.0)
+                )
+                c = F.when(
+                    (n_ > 0) & (mxx > 0) & (myy > 0), mxy / F.sqrt(mxx * myy)
+                )
         else:  # avg
             c = F.when(F.col(a.c_col) > 0, F.col(a.s_col) / F.col(a.c_col))
         out.append(c.alias(a.out))

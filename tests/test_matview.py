@@ -189,16 +189,15 @@ class TestEligibility:
     @pytest.mark.parametrize(
         "q",
         [
-            # corr() (two-argument moment) has no signed-delta or
-            # substate algebra (mode/median DO since r13 — the exact
-            # multiset substate)
-            "SELECT g, corr(id, x) AS m FROM t GROUP BY g",
+            # ordered-set aggregates have no signed-delta or substate
+            # algebra (mode/median/corr/covar DO since r13)
+            "SELECT g, array_agg(x ORDER BY x) AS m FROM t GROUP BY g",
             # FILTER (WHERE …) is incremental since r13 (guarded-arg
             # fold) — but not on an agg outside the vocabulary
-            "SELECT g, corr(id, x) FILTER (WHERE id > 2) AS d FROM t GROUP BY g",
+            "SELECT g, bool_and(x > 0) FILTER (WHERE id > 2) AS d FROM t GROUP BY g",
             # HAVING is incremental since r12 — unless it references an
             # agg the algebra can't maintain
-            "SELECT g, count(*) AS n FROM t GROUP BY g HAVING corr(id, x) > 0",
+            "SELECT g, count(*) AS n FROM t GROUP BY g HAVING bool_and(x IS NULL OR x > 0)",
             # INNER self-joins are incremental since r12; OUTER self-joins not
             "SELECT t.g, count(*) AS n FROM t LEFT JOIN t u ON t.id = u.id GROUP BY t.g",
             "SELECT upper(g) AS u, count(*) AS n FROM t GROUP BY g",  # key not exposed
@@ -2244,3 +2243,197 @@ class TestSubstateValueIsGroupKey:
         rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
         assert rep["mode"] == "incremental"
         assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
+
+
+class TestCovarCorrMatViews:
+    """The two-argument moment family (corr / covar_samp / covar_pop)
+    maintains algebraically over CENTERED co-moments — the bivariate
+    generalization of the variance state: per group the pairwise count,
+    Σw(x−zx), Σw(y−zy), Σw(x−zx)(y−zy) (and per-side second moments for
+    corr), shifts re-centered to the common minima at merge. A NULL in
+    either argument drops the pair from every sum (ANSI)."""
+
+    ROWS = [
+        (i, "g" + str(i % 3), float(i % 7) if i % 5 else None,
+         float((i * 3) % 11) if i % 4 else None)
+        for i in range(40)
+    ]
+
+    def _mk(self, spark, tmp_path, name):
+        return _mk(
+            spark, tmp_path, name, self.ROWS,
+            schema="id long, g string, x double, y double",
+        )
+
+    def _approx(self, a, b, rtol=1e-9):
+        assert len(a) == len(b), (a, b)
+        for ra, rb in zip(a, b):
+            for va, vb in zip(ra, rb):
+                if isinstance(va, float) and isinstance(vb, float):
+                    assert abs(va - vb) <= rtol * max(1.0, abs(vb)), (a, b)
+                else:
+                    assert va == vb, (a, b)
+
+    def test_insert_update_delete_parity(self, spark, tmp_path):
+        eng, _ = self._mk(spark, tmp_path, "cv1")
+        q = (
+            "SELECT g, corr(x, y) AS cr, covar_samp(x, y) AS cs, "
+            "covar_pop(x, y) AS cp, count(*) AS n FROM t GROUP BY g"
+        )
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
+        mv = eng.mat_views["mv"]
+        assert mv.incremental and {a.kind for a in mv.aggs} == {
+            "corr", "covar_samp", "covar_pop", "count_star"
+        }
+        self._approx(_rows(eng, "SELECT * FROM mv"), _rows(eng, q))
+        # pairwise-null churn: NULL in one side drops the pair
+        eng.execute(
+            "INSERT INTO t (id, g, x, y) VALUES (100, 'g1', 3.0, 9.0), "
+            "(101, 'g0', NULL, 2.0), (102, 'g9', 1.0, 1.0)"
+        )
+        eng.execute("UPDATE t SET y = 5.5 WHERE id % 4 = 1")
+        eng.execute("DELETE FROM t WHERE id % 9 = 3")
+        rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+        assert rep["mode"] == "incremental"
+        self._approx(_rows(eng, "SELECT * FROM mv"), _rows(eng, q))
+        assert eng.sql("SELECT * FROM mv").schema == eng.sql(q).schema
+
+    def test_zero_variance_and_single_pair_expose_null(self, spark, tmp_path):
+        eng, _ = self._mk(spark, tmp_path, "cv2")
+        q = "SELECT g, corr(x, y) AS cr, covar_samp(x, y) AS cs FROM t GROUP BY g"
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
+        # zz: constant x → corr NULL (engine convention); single pair →
+        # covar_samp NULL too
+        eng.execute(
+            "INSERT INTO t (id, g, x, y) VALUES (200, 'zz', 4.0, 1.0), "
+            "(201, 'zz', 4.0, 2.0), (202, 'one', 1.0, 2.0)"
+        )
+        eng.sql("REFRESH MATERIALIZED VIEW mv").collect()
+        got = {r[0]: (r[1], r[2]) for r in eng.sql("SELECT * FROM mv").collect()}
+        want = {r[0]: (r[1], r[2]) for r in eng.sql(q).collect()}
+        assert got["zz"][0] is None and want["zz"][0] is None
+        assert got["one"] == want["one"] == (None, None)
+
+    def test_epoch_magnitude_centering_beats_single_pass(self, spark, tmp_path):
+        # at epoch-millis magnitude the exposure's CENTERED state is
+        # exact-by-construction; the engine's single-pass recompute
+        # carries ~1e-4 relative accumulation error there, so the
+        # differential is approximate BY THE RECOMPUTE's error, and the
+        # exposure must match the exact hand value tightly
+        import math
+
+        eng, _ = self._mk(spark, tmp_path, "cv3")
+        T0 = 1.755e12
+        q = f"SELECT g, corr(x + {T0}, y + {T0}) AS cr FROM t GROUP BY g"
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
+        eng.execute("INSERT INTO t (id, g, x, y) VALUES (300, 'g0', 6.0, 10.0)")
+        eng.execute("DELETE FROM t WHERE id = 7")
+        rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+        assert rep["mode"] == "incremental"
+        # exact hand value per group over the pairwise-complete rows
+        # (x+T0 quantizes to doubles first — replicate that exactly)
+        cur = [
+            (r["g"], float(r["x"] + T0), float(r["y"] + T0))
+            for r in eng.sql("SELECT * FROM t").collect()
+            if r["x"] is not None and r["y"] is not None
+        ]
+        import collections
+
+        groups = collections.defaultdict(list)
+        for g, x, y in cur:
+            groups[g].append((x, y))
+        exposed = {r["g"]: r["cr"] for r in eng.sql("SELECT * FROM mv").collect()}
+        for g, ps in groups.items():
+            n = len(ps)
+            if n < 2:
+                continue
+            mx = math.fsum(x for x, _ in ps) / n
+            my = math.fsum(y for _, y in ps) / n
+            num = math.fsum((x - mx) * (y - my) for x, y in ps)
+            den = math.sqrt(
+                math.fsum((x - mx) ** 2 for x, _ in ps)
+                * math.fsum((y - my) ** 2 for _, y in ps)
+            )
+            if den == 0:
+                continue
+            # 1e-6: the merge's re-centering is a different summation
+            # order (~1e-9 drift observed) — still 3+ orders tighter
+            # than the single-pass recompute's ~1e-4 error
+            assert abs(exposed[g] - num / den) < 1e-6, (g, exposed[g], num / den)
+        # and the engine recompute agrees within ITS accumulation error
+        self._approx(_rows(eng, "SELECT * FROM mv"), _rows(eng, q), rtol=5e-3)
+
+    def test_composes_with_join_filter_and_having(self, spark, tmp_path):
+        from qlbridge_spark.sinks import ParquetMergeSink
+
+        eng, _ = self._mk(spark, tmp_path, "cv4")
+        d = ParquetMergeSink(spark, str(tmp_path / "cv4_d"), key="g")
+        d.ensure(
+            spark.createDataFrame(
+                [("g0", "a"), ("g1", "b"), ("g2", "c")], "g string, dn string"
+            )
+        )
+        eng.register_sink("d", d)
+        q = (
+            "SELECT d.dn AS dn, covar_pop(t.x, t.y) FILTER (WHERE t.id % 2 = 0) AS cf, "
+            "count(*) AS n FROM t JOIN d ON t.g = d.g "
+            "GROUP BY d.dn HAVING corr(t.x, t.y) IS NOT NULL"
+        )
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
+        assert eng.mat_views["mv"].incremental
+        eng.execute("INSERT INTO t (id, g, x, y) VALUES (400, 'g1', 6.0, 2.0)")
+        eng.execute("UPDATE d SET dn = 'z' WHERE g = 'g0'")
+        eng.execute("DELETE FROM t WHERE id % 11 = 4")
+        rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+        assert rep["mode"] == "incremental"
+        self._approx(_rows(eng, "SELECT * FROM mv"), _rows(eng, q))
+
+    def test_global_and_durable(self, spark, tmp_path):
+        eng, _ = self._mk(spark, tmp_path, "cv5")
+        state = tmp_path / "cv5_state"
+        q = "SELECT corr(x, y) AS cr, covar_samp(x, y) AS cs, count(*) AS n FROM t"
+        eng.execute(f'CREATE MATERIALIZED VIEW mv AS {q} WITH {{"path": "{state}"}}')
+        assert eng.mat_views["mv"].incremental
+        eng.execute("INSERT INTO t (id, g, x, y) VALUES (500, 'g0', 2.0, 8.0)")
+        eng.execute("DELETE FROM t WHERE id % 6 = 1")
+        rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+        assert rep["mode"] == "incremental"
+        self._approx(_rows(eng, "SELECT * FROM mv"), _rows(eng, q))
+        # emptying the base keeps the global row (all NULL, n = 0)
+        eng.execute("DELETE FROM t WHERE id >= 0")
+        eng.sql("REFRESH MATERIALIZED VIEW mv").collect()
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q) == [(None, None, 0)]
+
+    def test_randomized_covar_parity(self, spark, tmp_path):
+        rng = random.Random(67)
+        eng, _ = self._mk(spark, tmp_path, "cvz")
+        q = (
+            "SELECT g, corr(x, y) AS cr, covar_samp(x, y) AS cs, sum(x) AS s, "
+            "count(*) AS n FROM t WHERE id % 2 = 0 GROUP BY g"
+        )
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
+        assert eng.mat_views["mv"].incremental
+        next_id = 600
+        for round_ in range(5):
+            for _ in range(rng.randint(1, 3)):
+                op = rng.choice(["ins", "updx", "updy", "del"])
+                if op == "ins":
+                    x = rng.choice([f"{rng.uniform(0, 9):.2f}", "NULL"])
+                    y = rng.choice([f"{rng.uniform(0, 9):.2f}", "NULL"])
+                    eng.execute(
+                        f"INSERT INTO t (id, g, x, y) VALUES ({next_id}, 'g{rng.randint(0, 4)}', {x}, {y})"
+                    )
+                    next_id += 1
+                elif op == "updx":
+                    eng.execute(
+                        f"UPDATE t SET x = {rng.uniform(0, 9):.2f} WHERE id % {rng.randint(3, 8)} = 1"
+                    )
+                elif op == "updy":
+                    eng.execute(
+                        f"UPDATE t SET y = {rng.uniform(0, 9):.2f} WHERE id % {rng.randint(3, 8)} = 2"
+                    )
+                else:
+                    eng.execute(f"DELETE FROM t WHERE id % {rng.randint(5, 11)} = 3")
+            rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+            assert rep["mode"] in ("incremental", "noop"), (round_, rep)
+            self._approx(_rows(eng, "SELECT * FROM mv"), _rows(eng, q))

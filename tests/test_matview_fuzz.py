@@ -16,11 +16,12 @@ seed), while the concrete aggs/extras/mutations stay seed-random:
   MULTISET substate since r13 — asserted to analyze as min_set/max_set
   AND fold correctly under churn incl. extremum deletes
 - expected-FULL fallbacks, asserted to (a) analyze as non-incremental
-  AND (b) still compute correctly: corr() (outside the vocabulary) —
-  eligibility regressions in EITHER direction are the failure mode
+  AND (b) still compute correctly: ordered-set aggregates (outside the
+  vocabulary) — eligibility regressions in EITHER direction are the
+  failure mode
 - extras rotated across slots per seed: HAVING, top-k, durable
   `WITH {"path"}` state, alternate WHERE predicates, DISTINCT aggs,
-  variance aggs, FILTER, windows, QUALIFY, median, mode
+  variance aggs, FILTER, windows, QUALIFY, median, mode, corr/covar
 - RIGHT/FULL slots get forced dim churn (the six-term matrix);
   every joined slot sees at least one dim mutation
 
@@ -63,9 +64,10 @@ REQUIRED = {
     "extrema_fact_probe", "extrema_dim_probe", "extrema_self_probe",
     "set_extrema_full", "set_extrema_left_dimkey",
     "set_extrema_right_factkey", "set_extrema_compoundkey",
-    "fallback_corr",
+    "fallback_ordered_agg",
     "having", "topk", "durable_state", "where_alt",
     "agg_filter", "window_col", "qualify", "agg_median", "agg_mode",
+    "agg_covar",
     "dim_churn", "dim_churn_right_full",
 }
 
@@ -86,12 +88,12 @@ SLOTS = [
     dict(join="RIGHT", key="fact", extrema=True, eligible=True, rounds=2),
     dict(join="INNER", key="compound", extrema=True, eligible=True, rounds=2),
     dict(join="SELF", key="fact", extrema=True, eligible=True, rounds=2),
-    dict(join="INNER", key="fact", extrema=False, agg="corr", eligible=False, rounds=1),
+    dict(join="INNER", key="fact", extrema=False, agg="ordered", eligible=False, rounds=1),
 ]
 
 EXTRAS = [
     "having", "topk", "durable", "where_alt", "distinct", "variance",
-    "filter_agg", "window", "qualify", "median", "mode",
+    "filter_agg", "window", "qualify", "median", "mode", "covar",
 ]
 
 
@@ -125,9 +127,9 @@ def _mk_sql(rng, slot, extra, state_path):
         if join is not None and not self_join and rng.random() < 0.5:
             pool.append("min(d.dname) AS dlo")
         aggs.append(rng.choice(pool))
-    if slot.get("agg") == "corr":
-        classes.add("fallback_corr")
-        aggs.append("corr(f.id, f.x) AS cr")
+    if slot.get("agg") == "ordered":
+        classes.add("fallback_ordered_agg")
+        aggs.append("array_agg(f.x ORDER BY f.x) AS aa")
     if extra == "distinct":
         classes.add("agg_distinct")
         aggs.append(
@@ -143,6 +145,15 @@ def _mk_sql(rng, slot, extra, state_path):
     elif extra == "mode":
         classes.add("agg_mode")
         aggs.append("mode(g.x) AS mo" if self_join else "mode(f.x) AS mo")
+    elif extra == "covar":
+        classes.add("agg_covar")
+        aggs.append(
+            "corr(f.id, g.x) AS cv" if self_join
+            else rng.choice(
+                ["corr(f.id, f.x) AS cv", "covar_samp(f.id, f.x) AS cv",
+                 "covar_pop(f.id, f.x) AS cv"]
+            )
+        )
     elif extra == "filter_agg":
         classes.add("agg_filter")
         aggs.append(
