@@ -2138,8 +2138,13 @@ class Engine(SubqueryMixin, DmlMixin, MatViewMixin):
         if drop_hidden:
             agged = agged.drop(*drop_hidden)
 
-        # order output columns as selected
-        return agged.select(*out_names)
+        # order output columns as selected. Backtick-quoted: an
+        # UNALIASED aggregate over a qualified column is named after its
+        # text ("min(d2.dk)"), and a bare name reference would parse the
+        # dot as a path separator.
+        return agged.select(
+            *[F.col("`" + n.replace("`", "``") + "`") for n in out_names]
+        )
 
     @staticmethod
     def _resolve_named_windows(sel: SqlSelect) -> SqlSelect:

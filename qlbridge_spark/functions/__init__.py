@@ -280,8 +280,30 @@ def _max(n, s):
     return F.max(to_column(d, s) if d is not None else _c(n, s))
 
 
+def _distinct_variance(d, s, samp: bool, std: bool):
+    """``variance-family(DISTINCT x)`` — Spark's Column API has no
+    isDistinct flag, so compute over ``collect_set`` (the distinct
+    non-null values) with CENTERED sums: shift by the set's min before
+    squaring, the same conditioning argument as the matview variance
+    state (raw power sums cancel catastrophically at epoch-millis
+    magnitudes). State is O(distinct values per group) in one row — the
+    inherent cost of the DISTINCT qualifier on a non-distributive agg."""
+    v = to_column(d, s).cast("double")
+    arr = F.collect_set(v)
+    nn = F.size(arr).cast("double")
+    z = F.array_min(arr)
+    s_ = F.aggregate(arr, F.lit(0.0), lambda a, x: a + (x - z))
+    q_ = F.aggregate(arr, F.lit(0.0), lambda a, x: a + (x - z) * (x - z))
+    m2 = F.greatest(q_ - s_ * s_ / nn, F.lit(0.0))
+    out = F.when(nn > 1, m2 / (nn - 1)) if samp else F.when(nn > 0, m2 / nn)
+    return F.sqrt(out) if std else out
+
+
 @_reg("stddev", is_agg=True, return_type=T.DoubleType())
 def _stddev(n, s):
+    d = _distinct_arg(n)
+    if d is not None:
+        return _distinct_variance(d, s, samp=True, std=True)
     return F.stddev(_c(n, s))
 
 
@@ -1420,7 +1442,6 @@ def _trunc(n, s):
 
 # ---- ANSI aggregate batch (all JVM-native) --------------------------------
 for _aname in [
-    "var_pop", "var_samp", "stddev_pop", "stddev_samp",
     "covar_pop", "covar_samp",
     "bool_and", "bool_or", "any_value",
 ]:
@@ -1429,6 +1450,20 @@ for _aname in [
         return _f(*[to_column(a, s) for a in n.args])
 
     func_add(_aname, _abuilder, is_agg=True)
+
+
+for _vname, _vsamp, _vstd in [
+    ("var_pop", False, False), ("var_samp", True, False),
+    ("stddev_pop", False, True), ("stddev_samp", True, True),
+]:
+
+    def _vbuilder(n, s, _f=getattr(F, _vname), _samp=_vsamp, _std=_vstd):
+        d = _distinct_arg(n)
+        if d is not None:
+            return _distinct_variance(d, s, samp=_samp, std=_std)
+        return _f(to_column(n.args[0], s))
+
+    func_add(_vname, _vbuilder, is_agg=True)
 
 
 def _corr(n, s):

@@ -57,7 +57,8 @@ resolve inline at analyze time. The two-argument moment family
 (corr/covar_samp/covar_pop) maintains over centered CO-moments — the
 bivariate variance state (see _COVAR_AGGS). Anything beyond the
 algebra (set-context/correlated subqueries, two-sided non-equi ON
-conjuncts, OR-tree ONs under the flip terms, ordered-set aggregates)
+conjuncts, OR-tree ONs under the flip terms, ordered-set aggregates —
+variance(DISTINCT) DOES maintain, via the substate's values)
 still works as a materialized view — it just refreshes by full
 recompute, and the refresh report says so.
 
@@ -179,8 +180,15 @@ _HOLISTIC_AGGS = {"mode"}
 #: State is O(distinct values per group) instead of O(1), so the probe
 #: stays the default wherever a probe side exists.
 _SET_EXTREMA = {"min_set", "max_set"}
+#: variance-family(DISTINCT x) rides the substate too: the distinct
+#: non-null values ARE the (keys, value) multiset's support, so the
+#: exposed value is just the plain variance over the substate's values
+#: (occurrence counts ignored — DISTINCT collapses them to 1).
+_VARIANCE_DISTINCT = {f"{k}_distinct" for k in _VARIANCE_AGGS}
 #: every agg kind maintained through a substate (AggSpec.d_idx)
-_SUBSTATE_AGGS = _DISTINCT_AGGS | _SORT_AGGS | _HOLISTIC_AGGS | _SET_EXTREMA
+_SUBSTATE_AGGS = (
+    _DISTINCT_AGGS | _SORT_AGGS | _HOLISTIC_AGGS | _SET_EXTREMA | _VARIANCE_DISTINCT
+)
 #: extrema fold under inserts (min of mins) but not deletes — a delete
 #: may remove the reigning extremum. The change feed names exactly which
 #: groups a delete touched, so REFRESH re-aggregates ONLY those groups'
@@ -408,8 +416,10 @@ def _parse_agg(e: Node):
         return ("count_star", None, None, None)
     if isinstance(arg, FuncNode) and arg.name == "distinct":
         # count/sum/avg(DISTINCT x); min/max(DISTINCT x) ≡ min/max(x);
-        # variance(DISTINCT x) is NOT maintained (no substate algebra)
-        if len(arg.args) != 1 or e.name in _VARIANCE_AGGS | _SORT_AGGS | _HOLISTIC_AGGS:
+        # the variance family rides the substate too (exposure = plain
+        # variance over the multiset's values). median/mode(DISTINCT)
+        # stay out — the engine has no execution for them either.
+        if len(arg.args) != 1 or e.name in _SORT_AGGS | _HOLISTIC_AGGS:
             return None
         inner = arg.args[0]
         if _contains_distinct(inner) or not _row_local(inner):
@@ -1884,6 +1894,18 @@ def exposed_frame(mv: MatView) -> DataFrame:
                         (-F.col("__mv_dn")).alias("nc"), F.col("__mv_dv").alias("v")
                     ),
                 )
+            elif a.kind in _VARIANCE_DISTINCT:
+                # plain variance over the substate's VALUES (the
+                # distinct non-null support; occurrence counts ignored)
+                base = a.kind[: -len("_distinct")]
+                agg_c = {
+                    "variance": F.var_samp,
+                    "var_samp": F.var_samp,
+                    "var_pop": F.var_pop,
+                    "stddev": F.stddev_samp,
+                    "stddev_samp": F.stddev_samp,
+                    "stddev_pop": F.stddev_pop,
+                }[base](F.col("__mv_dv").cast("double"))
             else:  # avg_distinct
                 agg_c = F.avg("__mv_dv")
             cf = sub.groupBy(*[F.col(k) for k in mv.key_cols]).agg(agg_c.alias(a.out))

@@ -627,3 +627,40 @@ class TestAnsiPortabilityBatch:
         df = e.execute("SELECT struct(a, b) AS s, struct(a + 1) AS t FROM sf")
         assert df.schema["s"].dataType.fieldNames() == ["a", "b"]
         assert df.schema["t"].dataType.fieldNames() == ["col0"]
+
+
+class TestVarianceDistinct:
+    def test_variance_family_distinct(self, spark):
+        from qlbridge_spark import Engine
+
+        e = Engine(spark)
+        e.register_df(
+            "vd",
+            spark.createDataFrame(
+                [(1, 1.0), (2, 1.0), (3, 2.0), (4, 5.0), (5, None)],
+                "id int, x double",
+            ),
+        )
+        r = e.execute(
+            "SELECT round(var_samp(DISTINCT x), 6) AS vs, round(var_pop(DISTINCT x), 6) AS vp,"
+            " round(stddev(DISTINCT x), 6) AS sd, round(stddev_pop(DISTINCT x), 6) AS sp"
+            " FROM vd"
+        ).collect()[0]
+        # distinct values {1, 2, 5}: mean 8/3, m2 = 26/3
+        assert r.vs == round(26 / 3 / 2, 6) and r.vp == round(26 / 9, 6)
+        assert r.sd == round((26 / 6) ** 0.5, 6) and r.sp == round((26 / 9) ** 0.5, 6)
+
+    def test_distinct_variance_large_magnitude(self, spark):
+        # centered sums: epoch-millis magnitude must not collapse to 0
+        from qlbridge_spark import Engine
+
+        e = Engine(spark)
+        T0 = 1.755e12
+        e.register_df(
+            "vm",
+            spark.createDataFrame(
+                [(1, T0 + 1.0), (2, T0 + 1.0), (3, T0 + 3.0)], "id int, x double"
+            ),
+        )
+        r = e.execute("SELECT var_samp(DISTINCT x) AS vs FROM vm").collect()[0]
+        assert abs(r.vs - 2.0) < 1e-6  # distinct {T0+1, T0+3}

@@ -450,14 +450,17 @@ class TestVarianceMatViews:
             assert rep["mode"] in ("incremental", "noop"), round_
             self._approx(_rows(eng, "SELECT * FROM mv"), _rows(eng, q))
 
-    def test_distinct_variance_not_in_the_vocabulary(self):
-        # stddev(DISTINCT x) has no substate algebra (and no engine
-        # execution path either) — the agg parser must reject it
+    def test_distinct_variance_rides_the_substate(self):
+        # stddev(DISTINCT x) maintains since r13 — the substate's values
+        # ARE the distinct support; median/mode(DISTINCT) stay out (no
+        # engine execution path for them either)
         from qlbridge_spark.matview import _parse_agg
         from qlbridge_spark.rel import parse_sql
 
         sel = parse_sql("SELECT stddev(DISTINCT x) AS sd FROM t")
-        assert _parse_agg(sel.columns[0].expr) is None
+        assert _parse_agg(sel.columns[0].expr)[0] == "stddev_distinct"
+        sel2 = parse_sql("SELECT median(DISTINCT x) AS md FROM t")
+        assert _parse_agg(sel2.columns[0].expr) is None
 
 
 class TestHavingMatViews:
@@ -2437,3 +2440,61 @@ class TestCovarCorrMatViews:
             rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
             assert rep["mode"] in ("incremental", "noop"), (round_, rep)
             self._approx(_rows(eng, "SELECT * FROM mv"), _rows(eng, q))
+
+
+class TestVarianceDistinctMatViews:
+    """variance-family(DISTINCT x) rides the substate: the distinct
+    non-null values are the multiset's support, so exposure is the
+    plain variance over the substate's VALUES (counts collapse to 1).
+    The engine side computes it over collect_set with centered sums
+    (Spark's Column API has no isDistinct flag)."""
+
+    def test_insert_update_delete_parity(self, spark, tmp_path):
+        eng, _ = _mk(
+            spark, tmp_path, "vd1",
+            [(i, "g" + str(i % 3), float(i % 6) if i % 5 else None) for i in range(30)],
+        )
+        q = (
+            "SELECT g, variance(DISTINCT x) AS vd, stddev_pop(DISTINCT x) AS spd, "
+            "var_pop(DISTINCT x) AS vpd, count(*) AS n FROM t GROUP BY g"
+        )
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
+        mv = eng.mat_views["mv"]
+        assert mv.incremental
+        assert {a.kind for a in mv.aggs} == {
+            "variance_distinct", "stddev_pop_distinct", "var_pop_distinct", "count_star"
+        }
+
+        def approx(a, b):
+            assert len(a) == len(b), (a, b)
+            for ra, rb in zip(a, b):
+                for va, vb in zip(ra, rb):
+                    if isinstance(va, float) and isinstance(vb, float):
+                        assert abs(va - vb) <= 1e-9 * max(1.0, abs(vb)), (a, b)
+                    else:
+                        assert va == vb, (a, b)
+
+        approx(_rows(eng, "SELECT * FROM mv"), _rows(eng, q))
+        eng.execute("INSERT INTO t (id, g, x) VALUES (100, 'g1', 17.0), (101, 'g0', NULL)")
+        eng.execute("UPDATE t SET x = 2.0 WHERE id % 4 = 1")
+        eng.execute("DELETE FROM t WHERE id % 7 = 2")
+        rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+        assert rep["mode"] == "incremental"
+        approx(_rows(eng, "SELECT * FROM mv"), _rows(eng, q))
+        assert eng.sql("SELECT * FROM mv").schema == eng.sql(q).schema
+
+    def test_single_distinct_value_semantics(self, spark, tmp_path):
+        # one distinct value → var_samp NULL (n−1 = 0), var_pop 0.0;
+        # duplicates of it don't change the DISTINCT set
+        eng, _ = _mk(
+            spark, tmp_path, "vd2",
+            [(1, "a", 4.0), (2, "a", 4.0), (3, "a", 4.0)],
+        )
+        q = "SELECT g, var_samp(DISTINCT x) AS vs, var_pop(DISTINCT x) AS vp FROM t GROUP BY g"
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q) == [("a", None, 0.0)]
+        eng.execute("INSERT INTO t (id, g, x) VALUES (10, 'a', 6.0)")
+        eng.sql("REFRESH MATERIALIZED VIEW mv").collect()
+        r = eng.sql("SELECT * FROM mv").collect()[0]
+        assert r["vs"] == 2.0 and r["vp"] == 1.0  # {4, 6}
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)

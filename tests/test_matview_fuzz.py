@@ -67,7 +67,7 @@ REQUIRED = {
     "fallback_ordered_agg",
     "having", "topk", "durable_state", "where_alt",
     "agg_filter", "window_col", "qualify", "agg_median", "agg_mode",
-    "agg_covar",
+    "agg_covar", "residual_on", "scalar_sub",
     "dim_churn", "dim_churn_right_full",
 }
 
@@ -89,11 +89,15 @@ SLOTS = [
     dict(join="INNER", key="compound", extrema=True, eligible=True, rounds=2),
     dict(join="SELF", key="fact", extrema=True, eligible=True, rounds=2),
     dict(join="INNER", key="fact", extrema=False, agg="ordered", eligible=False, rounds=1),
+    # residual ON conjunct (f.k = d.k AND <single-side residual>):
+    # match counting over residual-filtered snapshots (r13)
+    dict(join="RIGHT", key="dim", extrema=False, eligible=True, rounds=2, on_residual=True),
 ]
 
 EXTRAS = [
     "having", "topk", "durable", "where_alt", "distinct", "variance",
     "filter_agg", "window", "qualify", "median", "mode", "covar",
+    "scalar_sub",
 ]
 
 
@@ -174,14 +178,24 @@ def _mk_sql(rng, slot, extra, state_path):
     if extra == "where_alt":
         classes.add("where_alt")
         where = rng.choice(["f.x IS NOT NULL", "f.id > 1 AND f.dk < 6"])
+    elif extra == "scalar_sub":
+        # frozen uncorrelated scalar subquery (freeze-and-verify): dim
+        # churn may move the value, forcing a legitimate full rebuild —
+        # the refresh-mode assertion tolerates "full" for this extra
+        classes.add("scalar_sub")
+        where = "f.x > (SELECT min(d2.dk) FROM d d2)"
 
+    on = "f.dk = d.dk"
+    if slot.get("on_residual"):
+        classes.add("residual_on")
+        on += rng.choice([" AND f.x > 2", " AND d.dk < 90"])
     sel = f"SELECT {', '.join(f'{e} AS {a}' for e, a in keys)}, {', '.join(aggs)} FROM f"
     if self_join:
         sel += " JOIN f g ON f.dk = g.dk"
     elif join == "INNER":
-        sel += " JOIN d ON f.dk = d.dk"
+        sel += f" JOIN d ON {on}"
     elif join is not None:
-        sel += f" {join} JOIN d ON f.dk = d.dk"
+        sel += f" {join} JOIN d ON {on}"
     sel += f" WHERE {where} GROUP BY {', '.join(e for e, _ in keys)}"
     if extra == "having":
         classes.add("having")
@@ -311,7 +325,11 @@ def test_matview_shape_fuzz(spark, tmp_path, seed):
                 dim_churned = True
             rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
             if slot["eligible"]:
-                assert rep["mode"] in ("incremental", "noop"), (q, round_, rep["mode"])
+                ok_modes = ("incremental", "noop")
+                if extra == "scalar_sub":
+                    # a moved frozen value forces one legitimate rebuild
+                    ok_modes = ("incremental", "noop", "full")
+                assert rep["mode"] in ok_modes, (q, round_, rep["mode"])
             else:
                 assert rep["mode"] == "full", (q, round_, rep["mode"])
             got, want = _rows(eng, "SELECT * FROM mv"), _rows(eng, q)

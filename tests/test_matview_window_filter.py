@@ -116,7 +116,7 @@ class TestFilterClauseMatViews:
         assert _parse_agg(sel.columns[0].expr) is None
         # while a row-local FILTER parses into a guarded argument
         sel2 = parse_sql("SELECT count(*) FILTER (WHERE x > 1) AS nf FROM t")
-        kind, arg, _p = _parse_agg(sel2.columns[0].expr)
+        kind, arg, _p, _arg2 = _parse_agg(sel2.columns[0].expr)
         assert kind == "count" and arg is not None
 
 
