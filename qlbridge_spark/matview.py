@@ -55,12 +55,13 @@ match-count/flip terms count over residual-filtered snapshots and
 treat failing rows as unconditionally unmatched. Named WINDOW specs
 resolve inline at analyze time. The two-argument moment family
 (corr/covar_samp/covar_pop) maintains over centered CO-moments — the
-bivariate variance state (see _COVAR_AGGS). Anything beyond the
-algebra (set-context/correlated subqueries, two-sided non-equi ON
-conjuncts, OR-tree ONs under the flip terms, ordered-set aggregates —
-variance(DISTINCT) DOES maintain, via the substate's values)
-still works as a materialized view — it just refreshes by full
-recompute, and the refresh report says so.
+bivariate variance state (see _COVAR_AGGS). Ordered-set collects
+(array_agg/string_agg(x ORDER BY x)) and variance(DISTINCT) ride the
+substate multiset too. Anything beyond the algebra
+(set-context/correlated subqueries, two-sided non-equi ON conjuncts,
+OR-tree ONs under the flip terms, collects ordered by a DIFFERENT key
+than the argument) still works as a materialized view — it just
+refreshes by full recompute, and the refresh report says so.
 
 Superset: the reference has no materialized views (its closest notion
 is the continuously-evaluated view, which the engine maps to Structured
@@ -113,6 +114,7 @@ from .nodes import (
     Node,
     NullNode,
     NumberNode,
+    StringNode,
     UnaryNode,
     WindowNode,
 )
@@ -185,9 +187,26 @@ _SET_EXTREMA = {"min_set", "max_set"}
 #: exposed value is just the plain variance over the substate's values
 #: (occurrence counts ignored — DISTINCT collapses them to 1).
 _VARIANCE_DISTINCT = {f"{k}_distinct" for k in _VARIANCE_AGGS}
+#: ordered-set collects (array_agg/string_agg(x ORDER BY x)) ride the
+#: multiset when the single ORDER key IS the data argument: the sorted
+#: support with per-value repeats is exactly the collected sequence.
+#: Exposure mirrors the engine's sort_array comparator (same NULL
+#: placement); _desc kinds sort descending. AggSpec.arg2 carries the
+#: separator literal for the string form. ORDER BY a DIFFERENT key
+#: stays full-recompute — the multiset doesn't retain per-row pairing.
+_ORDERED_BASE = {"array_agg", "string_agg", "listagg"}
+_ORDERED_AGGS = {
+    "array_agg_sorted", "array_agg_sorted_desc",
+    "string_agg_sorted", "string_agg_sorted_desc",
+}
 #: every agg kind maintained through a substate (AggSpec.d_idx)
 _SUBSTATE_AGGS = (
-    _DISTINCT_AGGS | _SORT_AGGS | _HOLISTIC_AGGS | _SET_EXTREMA | _VARIANCE_DISTINCT
+    _DISTINCT_AGGS
+    | _SORT_AGGS
+    | _HOLISTIC_AGGS
+    | _SET_EXTREMA
+    | _VARIANCE_DISTINCT
+    | _ORDERED_AGGS
 )
 #: extrema fold under inserts (min of mins) but not deletes — a delete
 #: may remove the reigning extremum. The change feed names exactly which
@@ -362,9 +381,37 @@ def _parse_agg(e: Node):
         | _SORT_AGGS
         | _HOLISTIC_AGGS
         | _COVAR_AGGS
+        | _ORDERED_BASE
     ):
         return None
-    if e.agg_order or e.ignore_nulls:
+    if e.ignore_nulls:
+        return None
+    if e.name in _ORDERED_BASE:
+        # ordered-set collect: maintainable when the single ORDER key
+        # IS the data argument (the multiset's sorted support with
+        # repeats is exactly the collected sequence). Unordered forms
+        # are NONDETERMINISTIC (engine contract) — never maintained.
+        # FILTER stays out: the guard would desync key and argument.
+        if not e.agg_order or len(e.agg_order) != 1 or e.filter_where is not None:
+            return None
+        okey, odir = e.agg_order[0]
+        arg = e.args[0]
+        if okey != arg or _contains_distinct(arg) or not _row_local(arg):
+            return None
+        sep = None
+        if e.name in ("string_agg", "listagg"):
+            if len(e.args) > 1:
+                if not isinstance(e.args[1], StringNode):
+                    return None
+                sep = e.args[1]
+            base = "string_agg_sorted"
+        else:
+            if len(e.args) != 1:
+                return None
+            base = "array_agg_sorted"
+        desc = str(odir).upper().startswith("DESC")
+        return (base + ("_desc" if desc else ""), arg, None, sep)
+    if e.agg_order:
         return None
     p = None
     if e.name in _COVAR_AGGS:
@@ -1831,6 +1878,62 @@ def exposed_frame(mv: MatView) -> DataFrame:
         # NULL values don't count/sum (ANSI DISTINCT-agg semantics);
         # NULL group keys join null-safely (a NULL key IS a group).
         sub = mv.substates[a.d_idx].filter(F.col("__mv_dv").isNotNull())
+        if a.kind in _ORDERED_AGGS:
+            # ordered-set collect: the multiset's sorted support with
+            # per-value repeats IS the collected sequence. NULL values
+            # are kept (array_agg collects them; string_agg's
+            # array_join drops them — both exactly the engine's
+            # behavior) and the sort uses the SAME sort_array
+            # comparator as the engine's ordered collect.
+            desc = a.kind.endswith("_desc")
+            structs = F.sort_array(
+                F.collect_list(
+                    F.struct(F.col("__mv_dv").alias("v"), F.col("__mv_dn").alias("n"))
+                ),
+                asc=not desc,
+            )
+            arr = F.flatten(
+                F.transform(
+                    structs, lambda s_: F.array_repeat(s_["v"], s_["n"].cast("int"))
+                )
+            )
+            if a.kind.startswith("string_agg"):
+                sep = a.arg2.value if a.arg2 is not None else ","
+                agg_c = F.array_join(
+                    F.transform(arr, lambda v: v.cast("string")), sep
+                )
+            else:
+                agg_c = arr
+            cf = (
+                mv.substates[a.d_idx]
+                .groupBy(*[F.col(k) for k in mv.key_cols])
+                .agg(agg_c.alias(a.out))
+            )
+            if mv.key_cols:
+                cfa = cf.select(
+                    *[F.col(k).alias(f"__mvd_{k}") for k in mv.key_cols], F.col(a.out)
+                )
+                cond = None
+                for k in mv.key_cols:
+                    c = df[k].eqNullSafe(cfa[f"__mvd_{k}"])
+                    cond = c if cond is None else (cond & c)
+                df = df.join(cfa, cond, "left").drop(*[f"__mvd_{k}" for k in mv.key_cols])
+            else:
+                df = df.crossJoin(cf) if cf.columns else df
+            # collect_list/array_join are never NULL, but the graft join
+            # made the column nullable — coalesce with a typed empty
+            # default so the exposed schema matches the recompute
+            # exactly (the default never fires: every live group has
+            # substate rows)
+            et = (mv.exposed_types or {}).get(a.out)
+            if et is not None:
+                default = (
+                    F.lit("")
+                    if a.kind.startswith("string_agg")
+                    else F.array().cast(et)
+                )
+                df = df.withColumn(a.out, F.coalesce(F.col(a.out), default))
+            continue
         if a.kind in _SORT_AGGS:
             # exact weighted percentile over the (value, count) multiset
             # with Spark/DuckDB linear interpolation: target index

@@ -189,9 +189,10 @@ class TestEligibility:
     @pytest.mark.parametrize(
         "q",
         [
-            # ordered-set aggregates have no signed-delta or substate
-            # algebra (mode/median/corr/covar DO since r13)
-            "SELECT g, array_agg(x ORDER BY x) AS m FROM t GROUP BY g",
+            # an ordered-set collect whose ORDER key differs from the
+            # argument: the multiset doesn't retain per-row pairing
+            # (ORDER BY the argument itself maintains since r13)
+            "SELECT g, array_agg(x ORDER BY id) AS m FROM t GROUP BY g",
             # FILTER (WHERE …) is incremental since r13 (guarded-arg
             # fold) — but not on an agg outside the vocabulary
             "SELECT g, bool_and(x > 0) FILTER (WHERE id > 2) AS d FROM t GROUP BY g",
@@ -2498,3 +2499,66 @@ class TestVarianceDistinctMatViews:
         r = eng.sql("SELECT * FROM mv").collect()[0]
         assert r["vs"] == 2.0 and r["vp"] == 1.0  # {4, 6}
         assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
+
+
+class TestOrderedAggMatViews:
+    """array_agg / string_agg(x ORDER BY x) ride the multiset: the
+    sorted support with per-value repeats IS the collected sequence,
+    exposed through the SAME sort_array comparator the engine's
+    ordered collect uses (identical NULL placement). ORDER BY a
+    different key stays full-recompute — the multiset doesn't retain
+    per-row pairing."""
+
+    BASE_OA = [
+        (i, "g" + str(i % 3), float(i % 5) if i % 7 else None) for i in range(30)
+    ]
+
+    def test_ordered_collects_maintain(self, spark, tmp_path):
+        eng, _ = _mk(spark, tmp_path, "oa1", self.BASE_OA)
+        qs = [
+            "SELECT g, array_agg(x ORDER BY x) AS aa, count(*) AS n FROM t GROUP BY g",
+            "SELECT g, string_agg(tostring(x), '|' ORDER BY tostring(x)) AS sa FROM t GROUP BY g",
+            "SELECT g, array_agg(x ORDER BY x DESC) AS ad FROM t GROUP BY g",
+        ]
+        for i, q in enumerate(qs):
+            eng.execute(f"CREATE MATERIALIZED VIEW mv{i} AS {q}")
+            assert eng.mat_views[f"mv{i}"].incremental, q
+            assert _rows(eng, f"SELECT * FROM mv{i}") == _rows(eng, q), q
+        # churn incl. NULL values and duplicate values
+        eng.execute(
+            "INSERT INTO t (id, g, x) VALUES (100, 'g1', 2.0), (101, 'g0', NULL), (102, 'g9', 0.5)"
+        )
+        eng.execute("UPDATE t SET x = 4.0 WHERE id % 4 = 1")
+        eng.execute("DELETE FROM t WHERE id % 8 = 2")
+        reps = {r["view"]: r["mode"] for r in eng.sql("REFRESH ALL MATERIALIZED VIEWS").collect()}
+        assert all(m == "incremental" for m in reps.values()), reps
+        for i, q in enumerate(qs):
+            assert _rows(eng, f"SELECT * FROM mv{i}") == _rows(eng, q), q
+            assert eng.sql(f"SELECT * FROM mv{i}").schema == eng.sql(q).schema, q
+
+    def test_duplicate_values_repeat_in_sequence(self, spark, tmp_path):
+        # the multiset's counts materialize as repeats: {1,1,3} → [1,1,3]
+        eng, _ = _mk(
+            spark, tmp_path, "oa2", [(1, "a", 1.0), (2, "a", 1.0), (3, "a", 3.0)]
+        )
+        q = "SELECT g, string_agg(tostring(x), ',' ORDER BY tostring(x)) AS sa FROM t GROUP BY g"
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
+        assert eng.sql("SELECT * FROM mv").collect()[0]["sa"] == "1.0,1.0,3.0"
+        eng.execute("DELETE FROM t WHERE id = 1")  # one of the dups
+        eng.sql("REFRESH MATERIALIZED VIEW mv").collect()
+        assert eng.sql("SELECT * FROM mv").collect()[0]["sa"] == "1.0,3.0"
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
+
+    @pytest.mark.parametrize(
+        "q",
+        [
+            # different ORDER key: per-row pairing not in the multiset
+            "SELECT g, array_agg(x ORDER BY id) AS aa FROM t GROUP BY g",
+            # unordered collect: NONDETERMINISTIC order (engine contract)
+            "SELECT g, array_agg(x) AS aa FROM t GROUP BY g",
+        ],
+    )
+    def test_unmaintainable_collect_shapes_stay_full(self, spark, tmp_path, q):
+        eng, _ = _mk(spark, tmp_path, f"oa3{abs(hash(q)) % 999}", self.BASE_OA)
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
+        assert not eng.mat_views["mv"].incremental

@@ -16,9 +16,9 @@ seed), while the concrete aggs/extras/mutations stay seed-random:
   MULTISET substate since r13 — asserted to analyze as min_set/max_set
   AND fold correctly under churn incl. extremum deletes
 - expected-FULL fallbacks, asserted to (a) analyze as non-incremental
-  AND (b) still compute correctly: ordered-set aggregates (outside the
-  vocabulary) — eligibility regressions in EITHER direction are the
-  failure mode
+  AND (b) still compute correctly: ordered-set collects whose ORDER
+  key differs from the argument — eligibility regressions in EITHER
+  direction are the failure mode
 - extras rotated across slots per seed: HAVING, top-k, durable
   `WITH {"path"}` state, alternate WHERE predicates, DISTINCT aggs,
   variance aggs, FILTER, windows, QUALIFY, median, mode, corr/covar
@@ -132,8 +132,11 @@ def _mk_sql(rng, slot, extra, state_path):
             pool.append("min(d.dname) AS dlo")
         aggs.append(rng.choice(pool))
     if slot.get("agg") == "ordered":
+        # ORDER BY a DIFFERENT key than the argument: the multiset
+        # doesn't retain per-row pairing (ORDER BY the argument itself
+        # maintains since r13)
         classes.add("fallback_ordered_agg")
-        aggs.append("array_agg(f.x ORDER BY f.x) AS aa")
+        aggs.append("array_agg(f.x ORDER BY f.id) AS aa")
     if extra == "distinct":
         classes.add("agg_distinct")
         aggs.append(
