@@ -23,6 +23,38 @@ def main() -> int:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
+    # ------------------------------------------------------------------
+    # self-adjudication (r13 judge directive #2): the record carries its
+    # own noise evidence. Sample the 1-min load BEFORE starting Spark —
+    # at that point it measures OTHER activity on the box, the thing
+    # that whipsawed six lines ~1.35× in the r13 official record — and
+    # spin-wait (bounded) for the box to settle when it's busy. The
+    # stamp plus per-query min/median spreads land in the compact
+    # headline so the scoreboard can adjudicate a noisy run without a
+    # re-run.
+    # ------------------------------------------------------------------
+    load_wait = 0.0
+    try:
+        load1 = os.getloadavg()[0]
+        wait_budget = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT", "180"))
+        while load1 > 1.0 and load_wait < wait_budget:
+            print(
+                f"bench: 1-min load {load1:.2f} > 1.0 — waiting for the box to settle"
+                f" ({load_wait:.0f}/{wait_budget:.0f}s)",
+                file=sys.stderr,
+                flush=True,
+            )
+            time.sleep(10)
+            load_wait += 10
+            load1 = os.getloadavg()[0]
+    except OSError:
+        load1 = None
+    try:
+        with open("/proc/uptime") as f:
+            uptime = float(f.read().split()[0])
+    except OSError:
+        uptime = None
+
     from pyspark.sql import SparkSession
 
     spark = (
@@ -122,6 +154,9 @@ def main() -> int:
     # overflowed the capture window mid-line). The full record, with
     # spreads and study sections, is printed at the end AND written to
     # BENCH.json beside this script.
+    import statistics
+
+    medians = {n: round(statistics.median(r), 3) for n, r in spread.items()}
     headline = {
         "metric": "headline_queries_total_sec",
         "value": round(sum(times.values()), 3),
@@ -129,6 +164,13 @@ def main() -> int:
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "reps": reps,
+        # noise self-adjudication: queries is MIN-of-reps; a median far
+        # above its min on many lines = a busy box, not a regression
+        "queries_median": medians,
+        "total_median": round(sum(medians.values()), 3),
+        "load1_start": None if load1 is None else round(load1, 2),
+        "load_wait_sec": load_wait,
+        "uptime_sec": uptime,
     }
     print(json.dumps(headline), flush=True)
 
@@ -604,8 +646,13 @@ def main() -> int:
     except Exception as e:
         cdc_info["error"] = f"{type(e).__name__}: {e}"
 
+    try:
+        load1_end = round(os.getloadavg()[0], 2)  # includes our own work
+    except OSError:
+        load1_end = None
     full = dict(
         headline,
+        load1_end=load1_end,
         spread=spread,
         # noise note (r11 judge directive #6): each query gets one
         # untimed warmup rep, then min-of-reps; sub-300 ms lines still

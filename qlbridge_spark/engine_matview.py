@@ -48,6 +48,22 @@ from .rel import (
 from .translate import Scope, TranslateError, to_column
 
 
+def _scalar_vals_eq(fresh, old):
+    """NaN-aware list equality for frozen scalar-subquery values: a
+    NaN-valued scalar (e.g. avg over all-NaN data) compares equal to
+    itself so an unchanged value never forces a full state rebuild."""
+    if len(fresh) != len(old):
+        return False
+    for a, b in zip(fresh, old):
+        if a is None and b is None:
+            continue
+        if isinstance(a, float) and isinstance(b, float) and a != a and b != b:
+            continue  # NaN == NaN for freeze-and-verify purposes
+        if a != b:
+            return False
+    return True
+
+
 class MatViewMixin:
     def _create_matview(self, c: SqlCreate):
         """CREATE MATERIALIZED VIEW — materialize the query and, when it
@@ -274,9 +290,10 @@ class MatViewMixin:
             from .matview import eval_scalar_subs
 
             fresh_sv = eval_scalar_subs(self, mv)
-            subs_moved = [v for v, _ in fresh_sv] != [
-                v for v, _ in (mv.scalar_vals or [])
-            ]
+            subs_moved = not _scalar_vals_eq(
+                [v for v, _ in fresh_sv],
+                [v for v, _ in (mv.scalar_vals or [])],
+            )
         if mv.incremental and not full and dim_incrementable and not subs_moved:
             if self.sinks.get(mv.base) is None:
                 raise ExecError(

@@ -287,13 +287,22 @@ def _distinct_variance(d, s, samp: bool, std: bool):
     squaring, the same conditioning argument as the matview variance
     state (raw power sums cancel catastrophically at epoch-millis
     magnitudes). State is O(distinct values per group) in one row — the
-    inherent cost of the DISTINCT qualifier on a non-distributive agg."""
-    v = to_column(d, s).cast("double")
-    arr = F.collect_set(v)
+    inherent cost of the DISTINCT qualifier on a non-distributive agg.
+    Distinctness is computed at the SOURCE type (collect_set the raw
+    column, cast to double only inside the fold) so bigints distinct
+    beyond 2^53 don't collapse — matching count(DISTINCT) semantics and
+    the matview substate exposure. (Documented edge divergence: DuckDB
+    casts the argument to double BEFORE its DISTINCT for the variance
+    family, so beyond 2^53 its n differs; within 2^53 both agree.)"""
+    arr = F.collect_set(to_column(d, s))
     nn = F.size(arr).cast("double")
-    z = F.array_min(arr)
-    s_ = F.aggregate(arr, F.lit(0.0), lambda a, x: a + (x - z))
-    q_ = F.aggregate(arr, F.lit(0.0), lambda a, x: a + (x - z) * (x - z))
+    z = F.array_min(arr).cast("double")
+    s_ = F.aggregate(arr, F.lit(0.0), lambda a, x: a + (x.cast("double") - z))
+    q_ = F.aggregate(
+        arr,
+        F.lit(0.0),
+        lambda a, x: a + (x.cast("double") - z) * (x.cast("double") - z),
+    )
     m2 = F.greatest(q_ - s_ * s_ / nn, F.lit(0.0))
     out = F.when(nn > 1, m2 / (nn - 1)) if samp else F.when(nn > 0, m2 / nn)
     return F.sqrt(out) if std else out

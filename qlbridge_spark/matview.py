@@ -1202,12 +1202,15 @@ def join_on_parts(mv: MatView, fact_cols: set, dim_cols: set):
         return None
     src, d = mv.select.from_[0], mv.select.from_[1]
     if mv.dim == mv.base:
-        # self-join: the bare table name refers to the occurrence NOT
-        # aliased away (both unaliased would be ambiguous — engine
-        # rejects); list it on the fact side first, mirroring how the
-        # engine resolves the name
-        fact_refs = {mv.base, (src.alias or "").lower()} - {""}
-        dim_refs = {(d.alias or "").lower()} - {""}
+        # self-join: each occurrence is referenced by its own alias (or
+        # by the bare table name for the at-most-one occurrence NOT
+        # aliased away; both unaliased would be ambiguous — engine
+        # rejects). Mirrors the analyze-time extrema-side resolution so
+        # FROM t AS a JOIN t ON a.k = t.k classifies t.k as dim-side.
+        f_ref = (src.alias or mv.base).lower()
+        d_ref = (d.alias or mv.base).lower()
+        fact_refs = {f_ref} if f_ref != d_ref else set()
+        dim_refs = {d_ref} if f_ref != d_ref else set()
     else:
         fact_refs = {mv.base, (src.alias or "").lower()} - {""}
         dim_refs = {mv.dim, (d.alias or "").lower()} - {""}
