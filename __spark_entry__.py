@@ -264,6 +264,9 @@ _Q = {
                median(c_nationkey) AS med_nk,
                percentile_cont(c_nationkey, 0.25) AS p25_nk,
                mode(c_nationkey) AS mode_nk,
+               round(median(DISTINCT c_acctbal), 2) AS med_d,
+               percentile_cont(DISTINCT c_nationkey, 0.25) AS p25_d,
+               mode(DISTINCT c_nationkey) AS mode_d,
                round(corr(c_acctbal, c_custkey), 4) AS cr,
                corr(c_acctbal * 0, c_custkey) AS cr0
         FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
@@ -953,7 +956,8 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY c DESC, c_nationkey) = 1
             )
             SELECT g.c_mktsegment, g.lo, g.hi, g.sd, g.sdp, g.vp, g.vs,
-                   g.med_nk, g.p25_nk, modes.mode_nk, g.cr, g.cr0
+                   g.med_nk, g.p25_nk, modes.mode_nk,
+                   g.med_d, g.p25_d, g.mode_d, g.cr, g.cr0
             FROM (
               SELECT c_mktsegment, round(min(c_acctbal), 2) AS lo,
                      round(max(c_acctbal), 2) AS hi,
@@ -963,6 +967,11 @@ def oracle_sql() -> dict[str, str]:
                      round(var_samp(c_acctbal), 2) AS vs,
                      median(c_nationkey) AS med_nk,
                      quantile_cont(c_nationkey, 0.25) AS p25_nk,
+                     round(median(DISTINCT c_acctbal), 2) AS med_d,
+                     quantile_cont(DISTINCT c_nationkey, 0.25) AS p25_d,
+                     -- mode(DISTINCT) ≡ min: every distinct value occurs
+                     -- once, ties resolve to the smallest (engine contract)
+                     min(c_nationkey) AS mode_d,
                      round(corr(c_acctbal, c_custkey), 4) AS cr,
                      corr(c_acctbal * 0, c_custkey) AS cr0
               FROM customer GROUP BY c_mktsegment) g

@@ -137,13 +137,17 @@ def main() -> int:
             # Shuffle files and broadcast blocks are only reclaimed when the
             # driver JVM GCs the owning RDD objects (ContextCleaner); with a
             # quiet 8g heap that can take many reps, and the accumulating
-            # backlog measurably degrades later reps (observed: 6.5→7.5→13s
-            # for the same query). Collecting between reps — outside the
-            # timed region — is the JMH/go-bench steady-state convention.
-            try:
-                spark.sparkContext._jvm.System.gc()
-            except Exception:
-                pass
+            # backlog measurably degraded later reps on r11-era code
+            # (observed then: 6.5→7.5→13s). Re-audited round 14 with
+            # scripts/dp07_repro.py: 12 gc-free sf1 reps of the heaviest
+            # query oscillate 6.5–9.0 s with NO upward trend (heap and
+            # blockmgr flat), so the collect between reps — outside the
+            # timed region — is kept only behind an env switch for A/B.
+            if os.environ.get("SPARK_GRAFT_BENCH_GC", "0") == "1":
+                try:
+                    spark.sparkContext._jvm.System.gc()
+                except Exception:
+                    pass
         times[name] = min(runs)
         spread[name] = runs
 

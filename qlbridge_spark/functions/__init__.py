@@ -341,11 +341,29 @@ def _var_pop(n, s):
     return F.var_pop(_c(n, s))
 
 
+def _distinct_percentile(d, s, p: float):
+    """``median/percentile_cont(DISTINCT x)`` — exact interpolated
+    percentile over the DISTINCT non-null values. Spark's Column API has
+    no isDistinct flag, so sort the collect_set (dedup at the SOURCE
+    type, matching the matview substate) and interpolate positionally:
+    target index t = (n−1)·p, answer = v⌊t⌋ + (v⌈t⌉ − v⌊t⌋)·frac(t)."""
+    arr = F.array_sort(F.collect_set(to_column(d, s)))
+    n_ = F.size(arr)
+    idx = (n_ - 1).cast("double") * F.lit(float(p))
+    lo = F.floor(idx).cast("int")
+    vlo = F.element_at(arr, lo + 1).cast("double")
+    vhi = F.element_at(arr, F.ceil(idx).cast("int") + 1).cast("double")
+    return F.when(n_ > 0, vlo + (vhi - vlo) * (idx - lo.cast("double")))
+
+
 @_reg("median", is_agg=True, return_type=T.DoubleType())
 def _median(n, s):
     # EXACT median (Spark's Median expression — sort-based, not the
     # approx_percentile sketch); linear interpolation between the middle
     # two like ANSI percentile_cont(0.5)
+    d = _distinct_arg(n)
+    if d is not None:
+        return _distinct_percentile(d, s, 0.5)
     return F.median(_c(n, s).cast("double"))
 
 
@@ -400,6 +418,9 @@ def _percentile_cont(n, s):
     p = float(n.args[1].value)
     if not 0.0 <= p <= 1.0:
         raise TranslateError("percentile_cont: p must be in [0, 1]")
+    d = _distinct_arg(n)
+    if d is not None:
+        return _distinct_percentile(d, s, p)
     return F.percentile(_c(n, s).cast("double"), F.lit(p))
 
 
@@ -1502,6 +1523,11 @@ def _mode(n, s):
     exposure reproduces (matview.exposed_frame)."""
     if len(n.args) != 1:
         raise TranslateError("mode(x) takes exactly one argument")
+    d = _distinct_arg(n)
+    if d is not None:
+        # mode(DISTINCT x): every distinct value occurs once, so the
+        # deterministic tie-to-smallest argmax IS the minimum
+        return F.min(to_column(d, s))
     return F.mode(to_column(n.args[0], s), True)
 
 

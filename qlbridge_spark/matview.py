@@ -171,6 +171,10 @@ _DISTINCT_AGGS = {"count_distinct", "sum_distinct", "avg_distinct"}
 #: index (N−1)/2 over the sorted multiset). State is O(distinct values
 #: per group) — the inherent cost of an exact holistic aggregate.
 _SORT_AGGS = {"median", "percentile_cont"}
+#: median/percentile_cont(DISTINCT x): same substate, but the exposure's
+#: weighted interpolation counts each distinct value ONCE (occurrence
+#: counts collapse to 1 — the DISTINCT qualifier).
+_SORT_DISTINCT = {f"{k}_distinct" for k in _SORT_AGGS}
 #: mode() rides the SAME multiset: the exposed value is the argmax of
 #: the signed occurrence counts, ties to the smallest value — exactly
 #: Spark's deterministic mode, which the engine's mode() maps to.
@@ -203,6 +207,7 @@ _ORDERED_AGGS = {
 _SUBSTATE_AGGS = (
     _DISTINCT_AGGS
     | _SORT_AGGS
+    | _SORT_DISTINCT
     | _HOLISTIC_AGGS
     | _SET_EXTREMA
     | _VARIANCE_DISTINCT
@@ -464,16 +469,21 @@ def _parse_agg(e: Node):
     if isinstance(arg, FuncNode) and arg.name == "distinct":
         # count/sum/avg(DISTINCT x); min/max(DISTINCT x) ≡ min/max(x);
         # the variance family rides the substate too (exposure = plain
-        # variance over the multiset's values). median/mode(DISTINCT)
-        # stay out — the engine has no execution for them either.
-        if len(arg.args) != 1 or e.name in _SORT_AGGS | _HOLISTIC_AGGS:
+        # variance over the multiset's values), as do the sort aggs
+        # (exposure interpolates over the support counting each distinct
+        # value ONCE). mode(DISTINCT x) ≡ min(x): every distinct value
+        # occurs once, so the deterministic tie-to-smallest argmax IS
+        # the minimum — it rides the plain extremum machinery.
+        if len(arg.args) != 1:
             return None
         inner = arg.args[0]
         if _contains_distinct(inner) or not _row_local(inner):
             return None
+        if e.name == "mode":
+            return ("min", guard(inner), None, None)
         if e.name in _EXTREMUM_AGGS:
             return (e.name, guard(inner), None, None)
-        return (f"{e.name}_distinct", guard(inner), None, None)
+        return (f"{e.name}_distinct", guard(inner), p, None)
     if _contains_distinct(arg) or not _row_local(arg):
         return None
     return (e.name, guard(arg), p, None)
@@ -1937,13 +1947,15 @@ def exposed_frame(mv: MatView) -> DataFrame:
                 )
                 df = df.withColumn(a.out, F.coalesce(F.col(a.out), default))
             continue
-        if a.kind in _SORT_AGGS:
+        if a.kind in _SORT_AGGS or a.kind in _SORT_DISTINCT:
             # exact weighted percentile over the (value, count) multiset
             # with Spark/DuckDB linear interpolation: target index
             # t = (N−1)·p over the sorted occurrences; value v_i with
             # count c_i covers indices [cum_{i−1}, cum_i); the answer
             # interpolates between the values covering ⌊t⌋ and ⌈t⌉.
             # One window + one hash agg on the same keys (one shuffle).
+            # DISTINCT variants count each distinct value ONCE (the
+            # occurrence weight collapses to 1).
             from pyspark.sql.window import Window
 
             keys = [F.col(k) for k in mv.key_cols]
@@ -1952,9 +1964,10 @@ def exposed_frame(mv: MatView) -> DataFrame:
                 Window.unboundedPreceding, Window.currentRow
             )
             p = a.p if a.p is not None else 0.5
-            s2 = sub.withColumn("__mv_cum", F.sum("__mv_dn").over(w_ord)).withColumn(
+            occ = F.lit(1) if a.kind in _SORT_DISTINCT else F.col("__mv_dn")
+            s2 = sub.withColumn("__mv_cum", F.sum(occ).over(w_ord)).withColumn(
                 "__mv_t",
-                (F.sum("__mv_dn").over(w_part) - F.lit(1)).cast("double") * F.lit(p),
+                (F.sum(occ).over(w_part) - F.lit(1)).cast("double") * F.lit(p),
             )
             grouped = s2.groupBy(*keys) if mv.key_cols else s2.groupBy()
             cf = grouped.agg(
