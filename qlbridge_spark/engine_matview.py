@@ -91,6 +91,16 @@ class MatViewMixin:
                 apply_scalar_subs(mv, eval_scalar_subs(self, mv))
             except (ExecError, TranslateError):
                 mv = None
+        if mv is not None and mv.expose_subs:
+            # expose-time scalars (SELECT-list / HAVING / QUALIFY): pin
+            # the values; a later refresh that finds them moved only
+            # RE-EXPOSES (O(|view|)) — never a state rebuild.
+            from .matview import eval_scalar_subs
+
+            try:
+                mv.expose_vals = eval_scalar_subs(self, mv, mv.expose_subs)
+            except (ExecError, TranslateError):
+                mv = None
         if mv is None:
             mv = MatView(name=lname, select=c.select)
         mv.name = lname
@@ -294,6 +304,19 @@ class MatViewMixin:
                 [v for v, _ in fresh_sv],
                 [v for v, _ in (mv.scalar_vals or [])],
             )
+        es_moved = False
+        if mv.incremental and mv.expose_subs:
+            # expose-time scalars: re-evaluate (bounded single-row jobs);
+            # a moved value only forces a RE-EXPOSE below — the state
+            # algebra is untouched, so incremental folding proceeds
+            from .matview import eval_scalar_subs as _ess
+
+            es_fresh = _ess(self, mv, mv.expose_subs)
+            es_moved = not _scalar_vals_eq(
+                [v for v, _ in es_fresh],
+                [v for v, _ in (mv.expose_vals or [])],
+            )
+            mv.expose_vals = es_fresh
         if mv.incremental and not full and dim_incrementable and not subs_moved:
             if self.sinks.get(mv.base) is None:
                 raise ExecError(
@@ -317,7 +340,9 @@ class MatViewMixin:
                 changes = None  # vacuumed gap / stale checkpoint → full recompute
             if changes is not None:
                 if cur == mv.base_version and not dim_moved:
-                    mode = "noop"
+                    # a moved expose-time scalar still needs a re-expose
+                    # (and reports incremental — the view DID update)
+                    mode = "incremental" if es_moved else "noop"
                 else:
                     mode = "incremental"
                     w = F.when(

@@ -118,7 +118,7 @@ from .nodes import (
     UnaryNode,
     WindowNode,
 )
-from .rel import Column, FromSource, SqlSelect
+from .rel import Column, FromSource, SqlSelect, SubqueryNode
 
 _INCREMENTAL_AGGS = {"sum", "count", "avg"}
 #: the variance family is ALGEBRAIC — but raw power sums (Σwx, Σwx²)
@@ -310,6 +310,12 @@ class MatView:
     scalar_subs: list = field(default_factory=list)
     scalar_vals: list | None = None  # last-evaluated (value, dtype) pairs
     where_subst: Node | None = None  # WHERE with the values folded in
+    #: EXPOSE-TIME uncorrelated scalar subqueries (SELECT-list / HAVING /
+    #: QUALIFY): placeholder identifiers ``__mv_es<i>`` in the stored
+    #: nodes substitute the frozen values as typed literals at expose
+    #: time — a moved value re-exposes (O(|view|)), never rebuilds state.
+    expose_subs: list = field(default_factory=list)
+    expose_vals: list | None = None  # last-evaluated (value, dtype) pairs
 
     @property
     def incremental(self) -> bool:
@@ -621,8 +627,6 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
         # row-local once the subqueries are replaced by literals.
         # Correlation is checked at CREATE: evaluation raises on an
         # unbound outer reference and the view falls back to full MV.
-        from .rel import SubqueryNode
-
         nonscalar: set = set()
         for n in select.where.walk():
             if isinstance(n, BinaryNode) and isinstance(n.right, SubqueryNode):
@@ -661,10 +665,12 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
         if col.is_star or col.guard is not None or col.exclude or col.replace:
             return None
         e = col.expr
-        if any(isinstance(n, WindowNode) for n in e.walk()):
-            # projection window column: evaluated at EXPOSE time over the
-            # aggregated state (its group-agg subtrees rewrite to
-            # exposed/hidden agg columns below, once all aggs are known)
+        if any(isinstance(n, (WindowNode, SubqueryNode)) for n in e.walk()):
+            # projection window column — or one carrying an uncorrelated
+            # scalar SUBQUERY: both evaluate at EXPOSE time over the
+            # aggregated state (group-agg subtrees rewrite to
+            # exposed/hidden agg columns below, once all aggs are known;
+            # subqueries substitute their frozen values as literals)
             if filter_only or col.alias is None:
                 return None
             raw_win_cols.append((col.alias, e))
@@ -704,6 +710,39 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
         return None
 
     hidden_n = [0]
+
+    # EXPOSE-TIME scalar subqueries (SELECT-list / HAVING / QUALIFY):
+    # unlike the WHERE's state-context freeze-and-verify, these only
+    # affect the exposed projection/filters, so a moved value needs a
+    # RE-EXPOSE, never a state rebuild. Each subquery is replaced by a
+    # placeholder identifier here; exposed_frame substitutes the frozen
+    # value as a typed literal.
+    expose_subs: list = []
+    es_names: list[str] = []
+
+    def _extract_es(node: Node):
+        """``node`` with every scalar SubqueryNode replaced by its
+        placeholder (registering new ones); None when a subquery sits in
+        a set context (IN/EXISTS/ANY/ALL — not literal-substitutable)."""
+        subs = [n for n in node.walk() if isinstance(n, SubqueryNode)]
+        if not subs:
+            return node
+        for n in node.walk():
+            if isinstance(n, BinaryNode) and isinstance(n.right, SubqueryNode):
+                if n.op in ("IN", "NOT IN") or n.op.endswith(" ANY") or n.op.endswith(" ALL"):
+                    return None
+            if isinstance(n, UnaryNode) and isinstance(n.child, SubqueryNode):
+                if "EXISTS" in n.op.upper():
+                    return None
+        pairs = []
+        for s in subs:
+            idx = next((i for i, x in enumerate(expose_subs) if x == s), None)
+            if idx is None:
+                expose_subs.append(s)
+                es_names.append(f"__mv_es{len(expose_subs) - 1}")
+                idx = len(expose_subs) - 1
+            pairs.append((s, IdentityNode((es_names[idx],))))
+        return _subst(node, pairs)
 
     def _post_agg(node: Node, extra=()):
         """Rewrite a POST-aggregation expression (HAVING predicate, ORDER
@@ -837,7 +876,10 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
     if raw_win_cols:
         win_names: list = []
         for alias, raw in raw_win_cols:
-            rewritten = _post_any(raw, tuple(win_names))
+            raw = _extract_es(raw)
+            if raw is None:
+                return None
+            rewritten = _post_any(raw, tuple(win_names) + tuple(es_names))
             if rewritten is None:
                 return None
             win_cols.append((alias, rewritten))
@@ -849,8 +891,11 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
         # over exposed + hidden aggs + window column aliases
         if filter_only:
             return None
+        q_raw = _extract_es(select.qualify)
+        if q_raw is None:
+            return None
         qualify_expr = _post_any(
-            select.qualify, tuple(n for n, _ in win_cols)
+            q_raw, tuple(n for n, _ in win_cols) + tuple(es_names)
         )
         if qualify_expr is None:
             return None
@@ -862,7 +907,10 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
         # satisfy the predicate after the next delta).
         if filter_only:
             return None  # HAVING without aggregation: engine edge, stay full
-        having_expr = _post_agg(select.having)
+        h_raw = _extract_es(select.having)
+        if h_raw is None:
+            return None
+        having_expr = _post_agg(h_raw, tuple(es_names))
         if having_expr is None:
             return None
 
@@ -1019,6 +1067,7 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
         win_cols=win_cols,
         qualify=qualify_expr,
         scalar_subs=scalar_subs,
+        expose_subs=expose_subs,
     )
 
 
@@ -1032,16 +1081,18 @@ def effective_where(mv: MatView):
     return mv.where_subst if mv.scalar_subs else mv.select.where
 
 
-def eval_scalar_subs(engine, mv: MatView) -> list:
-    """Evaluate the view's frozen scalar subqueries — one bounded
-    single-row job each, the same contract as the engine's plan-time
-    scalar fold — returning (value, dtype) pairs. Raises through on a
-    correlated subquery (unbound outer identifier) or an ANSI violation;
-    CREATE demotes the view to a full-recompute MV on that."""
+def eval_scalar_subs(engine, mv: MatView, subs: list | None = None) -> list:
+    """Evaluate the view's frozen scalar subqueries (``mv.scalar_subs``
+    by default; pass ``mv.expose_subs`` for the expose-time set) — one
+    bounded single-row job each, the same contract as the engine's
+    plan-time scalar fold — returning (value, dtype) pairs. Raises
+    through on a correlated subquery (unbound outer identifier) or an
+    ANSI violation; CREATE demotes the view to a full-recompute MV on
+    that."""
     from .errors import ExecError
 
     vals = []
-    for s in mv.scalar_subs:
+    for s in subs if subs is not None else mv.scalar_subs:
         sub_df = engine._select_any(s.select)
         if len(sub_df.columns) != 1:
             raise ExecError(
@@ -2045,22 +2096,42 @@ def exposed_frame(mv: MatView) -> DataFrame:
     if mv.having is not None or mv.order_exprs or mv.win_cols or mv.qualify is not None:
         from .translate import Scope, to_column
 
+        having_n, win_n, qualify_n = mv.having, mv.win_cols, mv.qualify
+        if mv.expose_subs:
+            # substitute the frozen expose-time scalar-subquery values as
+            # typed literals (placeholders ``__mv_es<i>`` were planted at
+            # analyze time); values refresh per REFRESH — re-expose only,
+            # never a state rebuild
+            from .nodes import SparkColNode
+
+            es_pairs = [
+                (
+                    IdentityNode((f"__mv_es{i}",)),
+                    SparkColNode(col=F.lit(v).cast(dt), dtype=dt, text="(SELECT ...)"),
+                )
+                for i, (v, dt) in enumerate(mv.expose_vals or [])
+            ]
+            if having_n is not None:
+                having_n = _subst(having_n, es_pairs)
+            win_n = [(n, _subst(e, es_pairs)) for n, e in win_n]
+            if qualify_n is not None:
+                qualify_n = _subst(qualify_n, es_pairs)
         scope = Scope({"__mv_view": df})
-        if mv.having is not None:
+        if having_n is not None:
             # post-aggregation filter over exposed + hidden agg columns
-            df = df.filter(to_column(mv.having, scope))
+            df = df.filter(to_column(having_n, scope))
             scope = Scope({"__mv_view": df})
-        for wname, wnode in mv.win_cols:
+        for wname, wnode in win_n:
             # ANSI order: projection windows run AFTER HAVING, over the
             # surviving groups; in SELECT order so a later window can
             # reference an earlier one's alias
             df = df.withColumn(wname, to_column(wnode, scope))
             scope = Scope({"__mv_view": df})
-        if mv.qualify is not None:
+        if qualify_n is not None:
             # QUALIFY filters after the windows; window exprs can't sit
             # in a Filter directly — project the predicate, then filter
             df = (
-                df.withColumn("__mv_qual", to_column(mv.qualify, scope).cast("boolean"))
+                df.withColumn("__mv_qual", to_column(qualify_n, scope).cast("boolean"))
                 .filter(F.col("__mv_qual"))
                 .drop("__mv_qual")
             )

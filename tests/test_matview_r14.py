@@ -122,3 +122,135 @@ class TestDistinctSortAggMatViews:
         rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
         assert rep["mode"] == "incremental"
         assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
+
+
+class TestExposeTimeScalarSubqueries:
+    """Scalar subqueries in SELECT-list / HAVING / QUALIFY matviews:
+    values freeze at CREATE, re-evaluate per REFRESH, and a MOVED value
+    only re-exposes (mode stays incremental) — contrast with the WHERE
+    freeze-and-verify pin, where a moved value forces one full rebuild."""
+
+    def _mk(self, spark, tmp_path, name):
+        eng = Engine(spark, f"mvr14es-{name}")
+        t = ParquetMergeSink(spark, str(tmp_path / f"{name}_t"), key="id")
+        t.ensure(
+            spark.createDataFrame(
+                [(i, "g" + str(i % 3), float(i % 7)) for i in range(30)],
+                "id long, g string, x double",
+            )
+        )
+        r = ParquetMergeSink(spark, str(tmp_path / f"{name}_r"), key="k")
+        r.ensure(spark.createDataFrame([(1, 3.0), (2, 8.0)], "k long, thr double"))
+        eng.register_sink("t", t)
+        eng.register_sink("r", r)
+        return eng
+
+    def test_select_list_scalar(self, spark, tmp_path):
+        eng = self._mk(spark, tmp_path, "sel")
+        q = "SELECT g, count(*) AS n, (SELECT min(thr) FROM r) AS t0 FROM t GROUP BY g"
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
+        mv = eng.mat_views["mv"]
+        assert mv.incremental and len(mv.expose_subs) == 1
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
+        # base churn: folds, value unchanged
+        eng.execute("INSERT INTO t (id, g, x) VALUES (100, 'g1', 6.0)")
+        rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+        assert rep["mode"] == "incremental"
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
+        # value moves with NO base change: re-expose, NEVER full
+        eng.execute("UPDATE r SET thr = 1.5 WHERE k = 1")
+        rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+        assert rep["mode"] == "incremental"
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
+
+    def test_having_scalar_moved_no_rebuild(self, spark, tmp_path):
+        eng = self._mk(spark, tmp_path, "hav")
+        q = (
+            "SELECT g, sum(x) AS s FROM t GROUP BY g "
+            "HAVING sum(x) > (SELECT min(thr) FROM r) * 9"
+        )
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
+        mv = eng.mat_views["mv"]
+        assert mv.incremental and len(mv.expose_subs) == 1
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
+        # the threshold moves so far that group membership flips —
+        # still no state rebuild, just a re-expose over the kept state
+        eng.execute("UPDATE r SET thr = 0.1 WHERE k = 1")
+        rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+        assert rep["mode"] == "incremental"
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
+        eng.execute("UPDATE r SET thr = 99.0 WHERE k = 1")
+        rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+        assert rep["mode"] == "incremental"
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
+        assert eng.sql("SELECT * FROM mv").count() == 0  # all filtered
+
+    def test_qualify_scalar(self, spark, tmp_path):
+        eng = self._mk(spark, tmp_path, "qua")
+        q = (
+            "SELECT g, sum(x) AS s, rank() OVER (ORDER BY sum(x)) AS rk "
+            "FROM t GROUP BY g QUALIFY rk <= (SELECT min(k) + 1 FROM r)"
+        )
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
+        assert eng.mat_views["mv"].incremental
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
+        eng.execute("UPDATE r SET k = 0 WHERE k = 1")  # top-2 -> top-1
+        rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+        assert rep["mode"] == "incremental"
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
+        assert eng.sql("SELECT * FROM mv").count() == 1
+
+    def test_where_vs_expose_contrast(self, spark, tmp_path):
+        # the SAME subquery in WHERE (state context) forces a full
+        # rebuild when it moves; in HAVING it does not — pin both so the
+        # distinction can't silently erode
+        eng = self._mk(spark, tmp_path, "con")
+        qw = "SELECT g, count(*) AS n FROM t WHERE x > (SELECT min(thr) FROM r) GROUP BY g"
+        qh = "SELECT g, count(*) AS n FROM t GROUP BY g HAVING count(*) > (SELECT min(thr) FROM r)"
+        eng.execute(f"CREATE MATERIALIZED VIEW mvw AS {qw}")
+        eng.execute(f"CREATE MATERIALIZED VIEW mvh AS {qh}")
+        assert eng.mat_views["mvw"].scalar_subs and not eng.mat_views["mvw"].expose_subs
+        assert eng.mat_views["mvh"].expose_subs and not eng.mat_views["mvh"].scalar_subs
+        eng.execute("UPDATE r SET thr = 5.0 WHERE k = 1")
+        assert eng.sql("REFRESH MATERIALIZED VIEW mvw").collect()[0]["mode"] == "full"
+        assert eng.sql("REFRESH MATERIALIZED VIEW mvh").collect()[0]["mode"] == "incremental"
+        assert _rows(eng, "SELECT * FROM mvw") == _rows(eng, qw)
+        assert _rows(eng, "SELECT * FROM mvh") == _rows(eng, qh)
+
+    def test_both_contexts_in_one_view(self, spark, tmp_path):
+        eng = self._mk(spark, tmp_path, "bot")
+        q = (
+            "SELECT g, count(*) AS n, (SELECT max(k) FROM r) AS mk FROM t "
+            "WHERE x > (SELECT min(thr) FROM r) GROUP BY g "
+            "HAVING count(*) >= (SELECT min(k) FROM r)"
+        )
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
+        mv = eng.mat_views["mv"]
+        assert mv.incremental and len(mv.scalar_subs) == 1 and len(mv.expose_subs) == 2
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
+        # base churn folds while every value holds
+        eng.execute("DELETE FROM t WHERE id % 9 = 4")
+        rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+        assert rep["mode"] == "incremental"
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
+        # only the EXPOSE values move (k): no rebuild
+        eng.execute("UPDATE r SET k = k + 10 WHERE k = 2")
+        rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+        assert rep["mode"] == "incremental"
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
+        # the WHERE value moves: one full rebuild, and both expose
+        # values stay current through it
+        eng.execute("UPDATE r SET thr = 4.5 WHERE k = 1")
+        rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+        assert rep["mode"] == "full"
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
+
+    def test_set_context_in_having_stays_full(self, spark, tmp_path):
+        eng = self._mk(spark, tmp_path, "set")
+        q = (
+            "SELECT g, count(*) AS n FROM t GROUP BY g "
+            "HAVING count(*) IN (SELECT k FROM r)"
+        )
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
+        assert not eng.mat_views["mv"].incremental  # pinned: set context
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
