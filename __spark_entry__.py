@@ -124,7 +124,8 @@ _Q = {
         FROM customer""",
     # §2.4 HAVING (post-agg filter, exec/where.go:24)
     "q09_having": """
-        SELECT o_custkey, count(*) AS n
+        SELECT o_custkey, count(*) AS n,
+               round(count(*) / (SELECT avg(c_acctbal) FROM customer), 6) AS per_bal
         FROM orders
         GROUP BY o_custkey
         HAVING count(*) > 12
@@ -874,7 +875,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(avg(DISTINCT c_nationkey) AS DOUBLE) AS avg_nations
             FROM customer""",
         "q09_having": """
-            SELECT o_custkey, count(*) AS n FROM orders
+            SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
+                   round(count(*) / (SELECT avg(c_acctbal) FROM customer), 6) AS per_bal
+            FROM orders
             GROUP BY o_custkey HAVING count(*) > 12
             ORDER BY n DESC, o_custkey""",
         "q11_left_join": """

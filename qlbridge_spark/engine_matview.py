@@ -101,6 +101,15 @@ class MatViewMixin:
                 mv.expose_vals = eval_scalar_subs(self, mv, mv.expose_subs)
             except (ExecError, TranslateError):
                 mv = None
+        if mv is not None and mv.in_table:
+            # correlation probe (analysis only, no job): a subquery
+            # referencing the OUTER table's columns raises here and the
+            # view falls back to the engine's correlated-IN execution
+            # as a full-recompute MV
+            try:
+                self._select_any(mv.in_select).schema
+            except (ExecError, TranslateError):
+                mv = None
         if mv is None:
             mv = MatView(name=lname, select=c.select)
         mv.name = lname
@@ -131,6 +140,8 @@ class MatViewMixin:
             mv.base_version = max(sink.versions())
             if mv.dim:
                 mv.dim_version = max(self.sinks[mv.dim].versions())
+            if mv.in_table:
+                mv.in_version = max(self.sinks[mv.in_table].versions())
             # exposed dtypes from the ORIGINAL query's analyzed schema
             # (analysis only — no job): incremental refreshes cast back to
             # these, so the view stays schema-identical to a recompute
@@ -138,6 +149,10 @@ class MatViewMixin:
                 f.name: f.dataType for f in self._select_any(c.select).schema.fields
             }
             base_df = sink.scan(self.spark, version=mv.base_version)
+            if mv.in_table:
+                from .matview import in_membership_filter
+
+                base_df = in_membership_filter(self, mv, base_df)
             # the delete-repair flag is delta-only state; never persisted
             mv.internal = persist_state(
                 mv, state_frame(self, mv, base_df, F.lit(1), weight_mode="one").drop("__mv_neg")
@@ -218,7 +233,9 @@ class MatViewMixin:
             return
         t = table.lower()
         names = [
-            n for n, mv in self.mat_views.items() if t in (mv.base, mv.dim)
+            n
+            for n, mv in self.mat_views.items()
+            if t in (mv.base, mv.dim, mv.in_table)
         ]
         if not names:
             return
@@ -227,6 +244,110 @@ class MatViewMixin:
             self._refresh_views(names)
         finally:
             self._auto_refreshing = False
+
+    def _in_sub_terms(self, mv, changes, w, in_changes, i_cur) -> list:
+        """Signed delta inputs for an IN-subquery view (``k IN (SELECT v
+        FROM s ...)``), with the subquery's table PINNED at ``i_cur``:
+
+          T_a = ΔF ⋉ M_new            (fact delta, membership-filtered)
+          T_b = F_old ⋉ flip_in  (+1) (keys whose match count rose 0→>0)
+          T_c = F_old ⋉ flip_out (−1) (keys whose match count fell >0→0)
+
+        Identity: state = Σ_{f∈F}[k(f) ∈ M(s)], so
+        Δstate = Σ_{ΔF}[k ∈ M_new] + Σ_{F_old}([k ∈ M_new] − [k ∈ M_old]).
+        The flip set is computed from s's change feed alone: Δm per value
+        from the signed feed, m_new by scanning s's NEW snapshot
+        restricted to the Δ-affected values (semi-join), m_old = m_new −
+        Δm — O(|s changes| + |affected slice|), never a full s diff. The
+        F_old scan is IN-list-pruned to the flip values (≤1000: literal
+        pushdown → file/row-group skipping at 100 TB; larger: broadcast
+        join on the tiny flip frame). Returns (frame, weight) specs for
+        state_frame/sub_state_frames."""
+        from .matview import _UNSET, in_membership_filter
+        from .translate import Scope, to_column
+
+        isink = self.sinks[mv.in_table]
+        s_new = isink.scan(self.spark, version=i_cur)
+        saved = self.tables.get(mv.in_table, _UNSET)
+        self.tables[mv.in_table] = s_new
+        try:
+            specs = [(in_membership_filter(self, mv, changes), w)]
+            if in_changes is None:
+                return specs
+            sub = mv.in_select
+            sref = sub.from_[0].alias or sub.from_[0].name
+
+            def _sub_vals(df, *extra):
+                scope = Scope({sref: df}, includes=self.includes)
+                out = df
+                if sub.where is not None:
+                    out = out.filter(
+                        to_column(sub.where, scope).cast("boolean")
+                    )
+                v = to_column(sub.columns[0].expr, scope)
+                return out.select(v.alias("__mv_inv"), *extra).filter(
+                    F.col("__mv_inv").isNotNull()
+                )
+
+            dw = F.when(
+                F.col("_change_type").isin("insert", "update_postimage"),
+                F.lit(1),
+            ).otherwise(F.lit(-1))
+            delta_m = (
+                _sub_vals(in_changes.withColumn("__mv_dw", dw), F.col("__mv_dw"))
+                .groupBy("__mv_inv")
+                .agg(F.sum("__mv_dw").alias("__mv_dm"))
+                .filter(F.col("__mv_dm") != 0)
+            )
+            m_new = (
+                _sub_vals(s_new)
+                .join(F.broadcast(delta_m.select("__mv_inv")), "__mv_inv", "left_semi")
+                .groupBy("__mv_inv")
+                .agg(F.count(F.lit(1)).alias("__mv_mn"))
+            )
+            flips = (
+                delta_m.join(m_new, "__mv_inv", "left")
+                .select(
+                    "__mv_inv",
+                    F.coalesce("__mv_mn", F.lit(0)).alias("__mv_mn"),
+                    F.col("__mv_dm"),
+                )
+                .filter(
+                    (F.col("__mv_mn") == 0)
+                    != ((F.col("__mv_mn") - F.col("__mv_dm")) == 0)
+                )
+                .withColumn(
+                    "__mv_fw",
+                    F.when(F.col("__mv_mn") > 0, F.lit(1)).otherwise(F.lit(-1)),
+                )
+                .select("__mv_inv", "__mv_fw")
+            )
+            f_old = self.sinks[mv.base].scan(self.spark, version=mv.base_version)
+            src = mv.select.from_[0]
+            fref = src.alias or mv.base
+
+            def _key(df):
+                return to_column(
+                    mv.in_key, Scope({fref: df}, includes=self.includes)
+                )
+
+            fvals = [r[0] for r in flips.limit(1001).collect()]
+            if len(fvals) <= 1000:
+                # bounded plan-time collect → literal IN pushdown on the
+                # fact scan (stats/row-group skipping); empty → no rows
+                f_old = f_old.filter(
+                    _key(f_old).isin(fvals) if fvals else F.lit(False)
+                )
+            f_flip = f_old.join(
+                F.broadcast(flips), _key(f_old) == F.col("__mv_inv"), "inner"
+            ).drop("__mv_inv")
+            specs.append((f_flip, F.col("__mv_fw")))
+            return specs
+        finally:
+            if saved is _UNSET:
+                self.tables.pop(mv.in_table, None)
+            else:
+                self.tables[mv.in_table] = saved
 
     def _refresh_one(self, view: str, full: bool, cache) -> tuple:
         """One view's refresh — incremental when possible: fold the
@@ -258,6 +379,15 @@ class MatViewMixin:
             raise ExecError(f"REFRESH MATERIALIZED VIEW: unknown materialized view {view!r}")
         mode = "full"
         v_from = mv.base_version
+        in_moved = False
+        isink = None
+        if mv.in_table:
+            isink = self.sinks.get(mv.in_table)
+            if isink is None:
+                raise ExecError(
+                    f"materialized view {view!r}: IN-subquery table {mv.in_table!r} is no longer a registered sink"
+                )
+            in_moved = max(isink.versions()) != mv.in_version
         dim_moved = False
         dsink = None
         if mv.dim:
@@ -324,6 +454,17 @@ class MatViewMixin:
                 )
             try:
                 changes, cur = self._changes_since_cached(cache, mv.base, mv.base_version)
+                in_changes = i_cur = None
+                if mv.in_table:
+                    i_cur = mv.in_version
+                    if in_moved:
+                        in_changes, i_cur = self._changes_since_cached(
+                            cache, mv.in_table, mv.in_version
+                        )
+                        if mv.base_version not in self.sinks[mv.base].versions():
+                            # the F_old × flip terms need the fact's OLD
+                            # snapshot; vacuumed → full recompute
+                            changes = None
                 dim_changes = d_cur = None
                 if dim_moved or (right_like and cur != mv.base_version):
                     dim_changes, d_cur = self._changes_since_cached(cache, mv.dim, mv.dim_version)
@@ -339,7 +480,7 @@ class MatViewMixin:
             except ExecError:
                 changes = None  # vacuumed gap / stale checkpoint → full recompute
             if changes is not None:
-                if cur == mv.base_version and not dim_moved:
+                if cur == mv.base_version and not dim_moved and not in_moved:
                     # a moved expose-time scalar still needs a re-expose
                     # (and reports incremental — the view DID update)
                     mode = "incremental" if es_moved else "noop"
@@ -348,7 +489,33 @@ class MatViewMixin:
                     w = F.when(
                         F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
                     ).otherwise(F.lit(-1))
-                    if not dim_moved and not right_like:
+                    if mv.in_table:
+                        # semi-join delta algebra for the IN-subquery:
+                        #   Δstate = ΔF ⋉ M_new + F_old ⋉ flip_in − F_old ⋉ flip_out
+                        specs = self._in_sub_terms(mv, changes, w, in_changes, i_cur)
+                        terms = [
+                            state_frame(self, mv, df, wt) for df, wt in specs
+                        ]
+                        delta = terms[0]
+                        for t in terms[1:]:
+                            delta = delta.unionByName(t)
+                        mv.internal = persist_state(
+                            mv, merge_state(mv, mv.internal, delta)
+                        )
+                        if mv.has_distinct:
+                            sub_terms = [
+                                sub_state_frames(self, mv, df, wt)
+                                for df, wt in specs
+                            ]
+                            deltas = []
+                            for i in range(len(sub_terms[0])):
+                                u = sub_terms[0][i]
+                                for t in sub_terms[1:]:
+                                    u = u.unionByName(t[i])
+                                deltas.append(u)
+                            _fold_substates(mv, deltas)
+                        mv.in_version = i_cur
+                    elif not dim_moved and not right_like:
                         delta = state_frame(self, mv, changes, w)
                         merged = merge_state(mv, mv.internal, delta)
                         if mv.has_extrema:
@@ -412,8 +579,10 @@ class MatViewMixin:
                             mv,
                             {c.lower() for c in f_old.columns},
                             {c.lower() for c in d_new.columns},
+                            allow_cross=True,
                         )
                         pj = parts[0] if parts is not None else None
+                        cross_preds = parts[3] if parts is not None else []
                         # single-side row-local residual conjuncts of the
                         # ON (f.k = d.k AND d.x > 5): a row failing its
                         # OWN side's residual never matches, so the
@@ -449,7 +618,15 @@ class MatViewMixin:
                         f_old_m = f_old_full.filter(fpred(f_old_full)) if fpred else f_old_full
                         d_new_m = d_new.filter(dpred(d_new)) if dpred else d_new
                         if (left_like or right_like) and pj is None:
-                            mode = "full"  # non-equi outer ON: flips unknowable
+                            mode = "full"  # no equality pairs: flips unknowable
+                        elif right_like and cross_preds:
+                            # two-sided non-equi conjuncts couple the
+                            # dim-side null extensions per (dim row ×
+                            # fact row) — the symmetric per-row recount
+                            # (T5'/T6') isn't built; LEFT's fact-side
+                            # terms are (T4' below). Recorded design
+                            # note: COVERAGE.md round 14.
+                            mode = "full"
                         else:
                             # (possibly compound) join-key accessors: the
                             # flip/match-count terms key on the FULL tuple.
@@ -576,7 +753,77 @@ class MatViewMixin:
                                         wmode="product", jo="INNER",
                                     )
                                 # T4 — fact-side null-extension flips (ΔD)
-                                if left_like and dkeys_df is not None:
+                                if left_like and dkeys_df is not None and cross_preds:
+                                    # T4' (two-sided non-equi conjuncts):
+                                    # match counts are per FACT ROW, not
+                                    # per key — recount the ΔD-affected
+                                    # fact slice against BOTH dim
+                                    # snapshots through the view's real
+                                    # ON (residuals + cross conjuncts
+                                    # included). Identical fact rows
+                                    # group with a multiplicity, so the
+                                    # flip weight is ±mult. Cost:
+                                    # O(affected slice × matched dims).
+                                    d_old_snap = dsink.scan(
+                                        self.spark, version=mv.dim_version
+                                    )
+                                    on_node = mv.select.from_[1].join_expr
+
+                                    def _mcount(fdf, ddf, out):
+                                        # multi-frame Scope resolves
+                                        # qualified idents as alias.col
+                                        # strings — alias both frames
+                                        fa = fdf.alias(_f_ref)
+                                        dm = ddf.select(
+                                            F.lit(1).alias("__mv_one"), "*"
+                                        ).alias(_d_ref)
+                                        cond = to_column(
+                                            on_node,
+                                            Scope(
+                                                {_f_ref: fa, _d_ref: dm},
+                                                includes=self.includes,
+                                            ),
+                                        ).cast("boolean")
+                                        j = fa.join(dm, cond, "left")
+                                        return j.groupBy(
+                                            *[fa[c] for c in fdf.columns]
+                                        ).agg(F.count(dm["__mv_one"]).alias(out))
+
+                                    f_aff = f_old_m.join(
+                                        F.broadcast(dkeys_df),
+                                        fact_key(f_old_m) == dkeys_df["__mv_dk"],
+                                        "left_semi",
+                                    )
+                                    f_grp = f_aff.groupBy(
+                                        *[f_aff[c] for c in f_aff.columns]
+                                    ).agg(F.count(F.lit(1)).alias("__mv_mult"))
+                                    g2 = _mcount(
+                                        _mcount(f_grp, d_old_snap, "__mv_mo"),
+                                        d_new,
+                                        "__mv_mn",
+                                    )
+                                    f_flip4 = (
+                                        g2.filter(
+                                            (F.col("__mv_mo") == 0)
+                                            != (F.col("__mv_mn") == 0)
+                                        )
+                                        # key gained matches → null-extended
+                                        # rows RETRACT (−mult); lost all → +mult
+                                        .withColumn(
+                                            "__mv_fw",
+                                            F.when(
+                                                F.col("__mv_mn") == 0,
+                                                F.col("__mv_mult"),
+                                            ).otherwise(-F.col("__mv_mult"))
+                                            .cast("int"),
+                                        )
+                                        .drop("__mv_mo", "__mv_mn", "__mv_mult")
+                                    )
+                                    _add(
+                                        f_flip4, F.col("__mv_fw"),
+                                        dd=d_new.limit(0),
+                                    )
+                                elif left_like and dkeys_df is not None:
                                     d_old_snap = dsink.scan(
                                         self.spark, version=mv.dim_version
                                     )
@@ -771,6 +1018,13 @@ class MatViewMixin:
                     # a dim commit forced this full recompute; re-pin it
                     mv.dim_version = max(self.sinks[mv.dim].versions())
                 base_df = sink.scan(self.spark, version=mv.base_version)
+                if mv.in_table:
+                    # re-pin the IN-subquery table and membership-filter
+                    # the rebuild input (state selects carry where_rest)
+                    from .matview import in_membership_filter
+
+                    mv.in_version = max(self.sinks[mv.in_table].versions())
+                    base_df = in_membership_filter(self, mv, base_df)
                 mv.internal = persist_state(
                     mv, state_frame(self, mv, base_df, F.lit(1), weight_mode="one").drop("__mv_neg")
                 )

@@ -316,7 +316,9 @@ class SubqueryMixin:
         ``include_qualify``: non-aggregated QUALIFY predicates lower here
         too (the joined columns ride to the post-window filter);
         aggregated QUALIFY lowers in _aggregate instead."""
-        fields = ("columns", "where") + (("qualify",) if include_qualify else ())
+        fields = ("columns", "where", "order_by") + (
+            ("qualify",) if include_qualify else ()
+        )
         if not self._has_scalar_subquery(sel, fields, include_in=True):
             return df, sel
 
@@ -386,9 +388,18 @@ class SubqueryMixin:
 
             return fn
 
-        # select list: LAZY (saves a job, nothing pushable at stake);
-        # WHERE: EAGER literal fold (keeps scan pushdown)
-        walk_cols = lambda n: self._walk_subqueries(n, wrap_scalar(True), make_quant_fn(True), in_fn, exists_fn)  # noqa: E731
+        # select list: LAZY (saves a job, nothing pushable at stake) —
+        # EXCEPT in aggregated selects, where the injected 1-row
+        # cross-join column would sit outside the GROUP BY (Spark's
+        # MISSING_AGGREGATION); the eager literal fold is
+        # aggregation-transparent. WHERE: EAGER (keeps scan pushdown).
+        from . import functions as funcs
+
+        is_agged = bool(sel.group_by) or any(
+            (not c.is_star) and c.expr is not None and funcs.is_agg_tree(c.expr)
+            for c in sel.columns
+        )
+        walk_cols = lambda n: self._walk_subqueries(n, wrap_scalar(not is_agged), make_quant_fn(not is_agged), in_fn, exists_fn)  # noqa: E731
         walk_where = lambda n: self._walk_subqueries(n, wrap_scalar(False), make_quant_fn(False), in_fn, exists_fn)  # noqa: E731
         repl = dict(
             columns=[dataclasses.replace(c, expr=walk_cols(c.expr), guard=walk_cols(c.guard)) for c in sel.columns],
@@ -396,6 +407,18 @@ class SubqueryMixin:
         )
         if include_qualify and sel.qualify is not None:
             repl["qualify"] = walk_cols(sel.qualify)
+        if sel.order_by and self._has_scalar_subquery(sel, ("order_by",)):
+            # ORDER BY position: eager literal fold only (the sort runs
+            # over the PROJECTED frame, so a joined column can't ride);
+            # correlated/set forms raise through, as before
+            def _order_scalar(sub):
+                return self._materialize_scalar(sub.select)
+
+            def _order_no(*_a, **_k):
+                raise TranslateError("subquery form not supported in ORDER BY")
+
+            walk_order = lambda n: self._walk_subqueries(n, _order_scalar, _order_no, _order_no, _order_no)  # noqa: E731
+            repl["order_by"] = [(walk_order(e), d_) for e, d_ in sel.order_by]
         sel = dataclasses.replace(sel, **repl)
         return holder["df"], sel
 
@@ -1664,4 +1687,6 @@ class SubqueryMixin:
             hit = hit or scan(sel.having)
         if "qualify" in fields:
             hit = hit or scan(sel.qualify)
+        if "order_by" in fields:
+            hit = hit or any(scan(e) for e, _ in (sel.order_by or []))
         return hit

@@ -191,18 +191,27 @@ _SET_EXTREMA = {"min_set", "max_set"}
 #: exposed value is just the plain variance over the substate's values
 #: (occurrence counts ignored — DISTINCT collapses them to 1).
 _VARIANCE_DISTINCT = {f"{k}_distinct" for k in _VARIANCE_AGGS}
-#: ordered-set collects (array_agg/string_agg(x ORDER BY x)) ride the
-#: multiset when the single ORDER key IS the data argument: the sorted
-#: support with per-value repeats is exactly the collected sequence.
+#: ordered-set collects (array_agg/string_agg(x ORDER BY k)) ride the
+#: multiset: when the single ORDER key IS the data argument the sorted
+#: support with per-value repeats is exactly the collected sequence
+#: (*_sorted kinds); when it DIFFERS, the substate grains by
+#: (keys, order-key, value) so the pairing is retained (*_pair kinds).
 #: Exposure mirrors the engine's sort_array comparator (same NULL
-#: placement); _desc kinds sort descending. AggSpec.arg2 carries the
-#: separator literal for the string form. ORDER BY a DIFFERENT key
-#: stays full-recompute — the multiset doesn't retain per-row pairing.
+#: placement, ties fall through to the value); _desc kinds sort
+#: descending. AggSpec.arg2 carries the separator literal for the
+#: string form. Multiple ORDER keys stay full-recompute.
 _ORDERED_BASE = {"array_agg", "string_agg", "listagg"}
+#: ORDER BY a DIFFERENT key (r14): the PAIR substate grains by
+#: (keys, order-key, value) — the pairing is retained, state is
+#: O(distinct (okey, value) pairs per group), the inherent cost.
+_PAIR_AGGS = {
+    "array_agg_pair", "array_agg_pair_desc",
+    "string_agg_pair", "string_agg_pair_desc",
+}
 _ORDERED_AGGS = {
     "array_agg_sorted", "array_agg_sorted_desc",
     "string_agg_sorted", "string_agg_sorted_desc",
-}
+} | _PAIR_AGGS
 #: every agg kind maintained through a substate (AggSpec.d_idx)
 _SUBSTATE_AGGS = (
     _DISTINCT_AGGS
@@ -243,6 +252,10 @@ class AggSpec:
     p: float | None = None
     #: second argument (two-argument moment family: corr/covar)
     arg2: Node | None = None
+    #: ORDER BY key of a pair-substate ordered collect (ORDER BY a
+    #: DIFFERENT key than the argument): the substate grains by
+    #: (keys, order-key, value) so the per-row pairing is retained
+    okey: Node | None = None
     #: bivariate state columns (corr/covar): Σw(y−zy), Σw(y−zy)²
     #: (corr only), the co-moment Σw(x−zx)(y−zy), and the y shift
     s2_col: str | None = None
@@ -316,6 +329,20 @@ class MatView:
     #: time — a moved value re-exposes (O(|view|)), never rebuilds state.
     expose_subs: list = field(default_factory=list)
     expose_vals: list | None = None  # last-evaluated (value, dtype) pairs
+    #: SET-CONTEXT subquery in the WHERE (``k IN (SELECT v FROM s)``):
+    #: the IN-list is a 1-COLUMN DIM. State folds rows filtered by the
+    #: membership set M; when s commits, per-value match counts that
+    #: cross 0↔1 flip the base rows carrying that key in/out of the
+    #: state (semi-join delta algebra — see engine._refresh_one):
+    #:   Δstate = ΔF ⋉ M_new  +  F_old ⋉ flip_in  −  F_old ⋉ flip_out
+    in_key: Node | None = None  # row-local fact-side key expression
+    in_select: SqlSelect | None = None  # the subquery (single column)
+    in_table: str | None = None  # the subquery's versioned-sink table
+    in_version: int | None = None
+    #: the WHERE minus the IN conjunct (row-local; None when empty) —
+    #: what the state selects actually evaluate; membership is applied
+    #: to their INPUT frames instead
+    where_rest: Node | None = None
 
     @property
     def incremental(self) -> bool:
@@ -335,6 +362,84 @@ class MatView:
     @property
     def has_variance(self) -> bool:
         return bool(self.aggs) and any(a.kind in _VARIANCE_AGGS for a in self.aggs)
+
+
+def _conjuncts(node: Node) -> list:
+    """Flatten a predicate's top-level AND tree into its conjuncts
+    (binary AND and FilterQL's n-ary un-negated AND forms)."""
+    if isinstance(node, BinaryNode) and node.op == "AND" and not getattr(node, "negated", False):
+        return _conjuncts(node.left) + _conjuncts(node.right)
+    if isinstance(node, BooleanNode) and node.op == "AND" and not node.negated:
+        out = []
+        for a in node.args:
+            out.extend(_conjuncts(a))
+        return out
+    return [node]
+
+
+def _and_tree(conjs: list) -> Node | None:
+    """Rebuild a conjunct list into a left-assoc AND tree (None when
+    empty)."""
+    node = None
+    for c in conjs:
+        node = c if node is None else BinaryNode(op="AND", left=node, right=c)
+    return node
+
+
+def _analyze_in_sub(engine, sub) -> str | None:
+    """The IN-subquery's base-table name when the semi-join delta
+    algebra can maintain membership: ``SELECT <row-local expr> FROM <one
+    versioned sink> [WHERE row-local]``, optionally DISTINCT (membership
+    is a >0 test, so multiplicity never matters). Grouping, aggregation,
+    windows, nested subqueries, limits and set ops stay full-recompute —
+    their deltas aren't row-local in the subquery's base."""
+    from . import functions as funcs
+
+    if not isinstance(sub, SqlSelect) or len(sub.from_) != 1:
+        return None
+    s = sub.from_[0]
+    if (
+        s.name is None
+        or s.subquery is not None
+        or s.pivot is not None
+        or s.unpivot is not None
+        or s.sample is not None
+        or s.unnest is not None
+        or s.values_rows is not None
+        or s.table_changes is not None
+        or s.version is not None
+        or s.as_of_ts is not None
+    ):
+        return None
+    sname = s.name.lower()
+    snk = engine.sinks.get(sname)
+    if snk is None or not hasattr(snk, "versions") or sname in engine.tables:
+        return None
+    if (
+        sub.group_by
+        or sub.having is not None
+        or getattr(sub, "qualify", None) is not None
+        or getattr(sub, "windows", None)
+        or sub.limit is not None
+        or getattr(sub, "offset", None)
+        or getattr(sub, "grouping_sets", None)
+        or getattr(sub, "group_mode", None)
+        or getattr(sub, "group_all", None)
+        or getattr(sub, "distinct_on", None)
+        or getattr(sub, "into", None)
+        or len(sub.columns) != 1
+    ):
+        return None
+    col = sub.columns[0]
+    if col.is_star or col.guard is not None or col.exclude or col.replace:
+        return None
+    if funcs.is_agg_tree(col.expr) or not _row_local(col.expr):
+        return None
+    if any(isinstance(n, (WindowNode, SubqueryNode)) for n in col.expr.walk()):
+        return None
+    if sub.where is not None and not _row_local(sub.where):
+        return None
+    return sname
 
 
 def _row_local(node: Node) -> bool:
@@ -398,16 +503,25 @@ def _parse_agg(e: Node):
     if e.ignore_nulls:
         return None
     if e.name in _ORDERED_BASE:
-        # ordered-set collect: maintainable when the single ORDER key
-        # IS the data argument (the multiset's sorted support with
-        # repeats is exactly the collected sequence). Unordered forms
-        # are NONDETERMINISTIC (engine contract) — never maintained.
+        # ordered-set collect: maintainable when there is ONE ORDER key.
+        # Key == argument: the multiset's sorted support with repeats IS
+        # the collected sequence (kinds *_sorted). Key ≠ argument: the
+        # substate grains by (keys, order-key, value) so the pairing is
+        # retained — state is O(distinct (okey, value) pairs per group),
+        # the inherent cost (kinds *_pair); ties sort by value, exactly
+        # the engine's struct comparator. Unordered forms are
+        # NONDETERMINISTIC (engine contract) — never maintained.
         # FILTER stays out: the guard would desync key and argument.
         if not e.agg_order or len(e.agg_order) != 1 or e.filter_where is not None:
             return None
         okey, odir = e.agg_order[0]
         arg = e.args[0]
-        if okey != arg or _contains_distinct(arg) or not _row_local(arg):
+        if (
+            _contains_distinct(arg)
+            or not _row_local(arg)
+            or _contains_distinct(okey)
+            or not _row_local(okey)
+        ):
             return None
         sep = None
         if e.name in ("string_agg", "listagg"):
@@ -415,13 +529,17 @@ def _parse_agg(e: Node):
                 if not isinstance(e.args[1], StringNode):
                     return None
                 sep = e.args[1]
-            base = "string_agg_sorted"
+            base = "string_agg"
         else:
             if len(e.args) != 1:
                 return None
-            base = "array_agg_sorted"
+            base = "array_agg"
+        base += "_sorted" if okey == arg else "_pair"
         desc = str(odir).upper().startswith("DESC")
-        return (base + ("_desc" if desc else ""), arg, None, sep)
+        kind = base + ("_desc" if desc else "")
+        if okey == arg:
+            return (kind, arg, None, sep)
+        return (kind, arg, None, sep, okey)
     if e.agg_order:
         return None
     p = None
@@ -618,7 +736,38 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
         # incremental maintenance
         return None
     scalar_subs: list = []
+    in_sub: tuple | None = None  # (key expr, subquery select, table)
+    where_rest = select.where
     if select.where is not None and not _row_local(select.where):
+        # set-context decomposition first: ONE top-level conjunct
+        # ``<row-local> IN (SELECT v FROM s ...)`` over a single-table
+        # view — the IN-list maintains as a 1-column dim with match-
+        # count flip terms (engine._refresh_one). NOT IN stays full
+        # (ANSI NULL semantics: one NULL in the list empties the view —
+        # not a per-key flip).
+        conjs = _conjuncts(select.where)
+        in_idx = None
+        for i, cj in enumerate(conjs):
+            if (
+                isinstance(cj, BinaryNode)
+                and cj.op == "IN"
+                and not getattr(cj, "negated", False)
+                and isinstance(cj.right, SubqueryNode)
+            ):
+                in_idx = None if in_idx is not None else i
+                if in_idx is None:
+                    break  # two IN-subqueries: stay full
+        if (
+            in_idx is not None
+            and len(select.from_) == 1
+            and _row_local(conjs[in_idx].left)
+        ):
+            rest = [c for i, c in enumerate(conjs) if i != in_idx]
+            sub_tbl = _analyze_in_sub(engine, conjs[in_idx].right.select)
+            if sub_tbl is not None and all(_row_local(c) for c in rest):
+                in_sub = (conjs[in_idx].left, conjs[in_idx].right.select, sub_tbl)
+                where_rest = _and_tree(rest)
+    if select.where is not None and not _row_local(select.where) and in_sub is None:
         # the ONE tolerated non-row-local WHERE shape: uncorrelated
         # SCALAR subqueries (x > (SELECT avg(x) FROM other)) — frozen
         # per refresh. Every SubqueryNode must sit in a scalar position
@@ -699,7 +848,10 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
         if parsed is None:
             return None
         aggs.append(
-            AggSpec(parsed[0], parsed[1], col.alias, p=parsed[2], arg2=parsed[3])
+            AggSpec(
+                parsed[0], parsed[1], col.alias, p=parsed[2], arg2=parsed[3],
+                okey=parsed[4] if len(parsed) > 4 else None,
+            )
         )
         out_order.append(col.alias)
     if keys_remaining:
@@ -763,17 +915,21 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
             parsed = _parse_agg(r)
             if parsed is None:
                 return None  # e.g. stddev(x) — not maintainable
-            kind, arg, pfrac, arg2 = parsed
+            kind, arg, pfrac, arg2 = parsed[:4]
+            okey = parsed[4] if len(parsed) > 4 else None
             match = next(
                 (
                     a
                     for a in aggs
-                    if a.kind == kind and a.arg == arg and a.p == pfrac and a.arg2 == arg2
+                    if a.kind == kind and a.arg == arg and a.p == pfrac
+                    and a.arg2 == arg2 and a.okey == okey
                 ),
                 None,
             )
             if match is None:
-                match = AggSpec(kind, arg, f"__mv_h{hidden_n[0]}", p=pfrac, arg2=arg2)
+                match = AggSpec(
+                    kind, arg, f"__mv_h{hidden_n[0]}", p=pfrac, arg2=arg2, okey=okey
+                )
                 hidden_n[0] += 1
                 aggs.append(match)
             pairs.append((r, IdentityNode((match.out,))))
@@ -1025,6 +1181,16 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
         ):
             return None
 
+    if in_sub is not None and any(a.kind in _EXTREMUM_AGGS for a in aggs):
+        # membership flips act as inserts/deletes of base rows, and the
+        # extrema repair probe would re-run the state select WITHOUT the
+        # IN conjunct — so probe-backed extrema ride the substate
+        # MULTISET instead (fold-only, no repair; same cost note as
+        # FULL joins)
+        for a in aggs:
+            if a.kind in _EXTREMUM_AGGS:
+                a.kind = f"{a.kind}_set"
+
     i = 0
     di = 0
     for a in aggs:
@@ -1068,6 +1234,10 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
         qualify=qualify_expr,
         scalar_subs=scalar_subs,
         expose_subs=expose_subs,
+        in_key=in_sub[0] if in_sub else None,
+        in_select=in_sub[1] if in_sub else None,
+        in_table=in_sub[2] if in_sub else None,
+        where_rest=where_rest if in_sub else None,
     )
 
 
@@ -1075,10 +1245,36 @@ _W = IdentityNode(("__w",))
 
 
 def effective_where(mv: MatView):
-    """The view's WHERE with any frozen scalar-subquery values folded in
-    as literals (see ``MatView.scalar_subs``); the original WHERE
-    otherwise."""
+    """The view's WHERE as the state selects evaluate it: the frozen
+    scalar-subquery substitution (``MatView.scalar_subs``), or the WHERE
+    minus the IN-subquery conjunct (``MatView.in_table`` — membership is
+    applied to the state selects' INPUT frames), or the original."""
+    if mv.in_table is not None:
+        return mv.where_rest
     return mv.where_subst if mv.scalar_subs else mv.select.where
+
+
+def in_membership_filter(engine, mv: MatView, df: DataFrame) -> DataFrame:
+    """Semi-join ``df`` (a base snapshot or signed delta) to the
+    IN-subquery's value set, evaluated at whatever version of the
+    subquery's table is CURRENTLY REGISTERED (refresh pins it via an
+    ``engine.tables`` override, exactly like the dim machinery). NULL
+    keys never match — SQL IN semantics. At 100 TB this is the
+    broadcast/shuffle semi-join you'd write by hand; AQE picks the
+    strategy from the runtime size of the value set."""
+    from .translate import Scope, to_column
+
+    sub_df = engine._select_any(mv.in_select)
+    vals = (
+        sub_df.select(F.col(sub_df.columns[0]).alias("__mv_inv"))
+        .filter(F.col("__mv_inv").isNotNull())
+        .distinct()
+    )
+    src = mv.select.from_[0]
+    key = to_column(
+        mv.in_key, Scope({src.alias or src.name: df}, includes=engine.includes)
+    )
+    return df.join(vals, key == F.col("__mv_inv"), "left_semi")
 
 
 def eval_scalar_subs(engine, mv: MatView, subs: list | None = None) -> list:
@@ -1238,12 +1434,17 @@ def _state_select(
 _UNSET = object()
 
 
-def join_on_parts(mv: MatView, fact_cols: set, dim_cols: set):
+def join_on_parts(mv: MatView, fact_cols: set, dim_cols: set, allow_cross: bool = False):
     """Decompose the view's join ON into ``(pairs, fact_preds,
-    dim_preds)``: the plain fact-column = dim-column equality pairs plus
-    the row-local SINGLE-SIDE residual conjuncts (Node lists, possibly
-    empty). None when any conjunct is neither (a two-sided or non-equi
-    comparison, or not row-local), or when no equality pair exists.
+    dim_preds[, cross_preds])``: the plain fact-column = dim-column
+    equality pairs plus the row-local SINGLE-SIDE residual conjuncts
+    (Node lists, possibly empty). With ``allow_cross``, row-local
+    conjuncts referencing BOTH sides (two-sided non-equi: f.a < d.b)
+    land in a fourth list instead of rejecting — the LEFT-join flip
+    terms handle them by per-ROW match recounting over the ΔD-affected
+    fact slice (engine._refresh_one). None when any conjunct is not
+    row-local (or, without ``allow_cross``, two-sided non-equi), or
+    when no equality pair exists.
 
     Why residuals are fine for the outer-join flip terms: a row failing
     its OWN side's residual can never match anything, so (a) match
@@ -1295,15 +1496,21 @@ def join_on_parts(mv: MatView, fact_cols: set, dim_cols: set):
 
     def _expr_side(node):
         """'f' / 'd' when every identifier in ``node`` resolves to ONE
-        side, else None. NULL semantics carry over: the residual joins
-        as a conjunct, so only TRUE means match-able."""
+        side, else "x" when every identifier RESOLVES but they span both
+        sides (a two-sided conjunct — translatable by the per-row
+        recount terms), else None (an unresolvable/ambiguous name).
+        NULL semantics carry over: the residual joins as a conjunct, so
+        only TRUE means match-able."""
         side = None
         for n in node.walk():
             if isinstance(n, IdentityNode):
                 s = _side(n)
-                if s is None or (side is not None and s[0] != side):
+                if s is None:
                     return None
-                side = s[0]
+                if side is not None and s[0] != side:
+                    side = "x"
+                elif side != "x":
+                    side = s[0]
         return side
 
     def _conj(node):
@@ -1319,6 +1526,7 @@ def join_on_parts(mv: MatView, fact_cols: set, dim_cols: set):
     pairs = []
     fact_preds: list = []
     dim_preds: list = []
+    cross_preds: list = []
     for eq in _conj(d.join_expr):
         if (
             isinstance(eq, BinaryNode)
@@ -1329,8 +1537,8 @@ def join_on_parts(mv: MatView, fact_cols: set, dim_cols: set):
             if lhs and rhs and lhs[0] != rhs[0]:
                 pairs.append((lhs[1], rhs[1]) if lhs[0] == "f" else (rhs[1], lhs[1]))
                 continue
-        # not a clean cross-side equality: acceptable only as a
-        # row-local single-side residual
+        # not a clean cross-side equality: acceptable as a row-local
+        # single-side residual, or (allow_cross) a two-sided conjunct
         if not _row_local(eq):
             return None
         side = _expr_side(eq)
@@ -1338,10 +1546,14 @@ def join_on_parts(mv: MatView, fact_cols: set, dim_cols: set):
             fact_preds.append(eq)
         elif side == "d":
             dim_preds.append(eq)
+        elif side == "x" and allow_cross:
+            cross_preds.append(eq)
         else:
             return None
     if not pairs:
         return None
+    if allow_cross:
+        return pairs, fact_preds, dim_preds, cross_preds
     return pairs, fact_preds, dim_preds
 
 
@@ -1579,6 +1791,9 @@ def _sub_select(
     # the exposed key column.
     if a.arg not in mv.key_nodes:
         cols.append(Column(expr=a.arg, alias="__mv_dv"))
+    if a.okey is not None and a.okey not in mv.key_nodes and a.okey != a.arg:
+        # pair substate: the ORDER key is part of the grain
+        cols.append(Column(expr=a.okey, alias="__mv_do"))
     cols.append(Column(expr=FuncNode(name="sum", args=[weight]), alias="__mv_dn"))
     from_list = [FromSource(name=tmp_table, alias=src_ref)]
     if len(mv.select.from_) > 1:
@@ -1589,6 +1804,8 @@ def _sub_select(
     group_by = list(mv.key_nodes)
     if a.arg not in group_by:
         group_by.append(a.arg)
+    if a.okey is not None and a.okey not in group_by:
+        group_by.append(a.okey)
     return SqlSelect(
         columns=cols,
         from_=from_list,
@@ -1635,6 +1852,15 @@ def sub_state_frames(
                 f = f.withColumn(
                     "__mv_dv", F.col(mv.key_cols[mv.key_nodes.index(a.arg)])
                 )
+            if a.okey is not None and "__mv_do" not in f.columns:
+                # order key == a group key (constant per group) or == the
+                # value: re-add the grain column as a copy
+                f = f.withColumn(
+                    "__mv_do",
+                    F.col(mv.key_cols[mv.key_nodes.index(a.okey)])
+                    if a.okey in mv.key_nodes
+                    else F.col("__mv_dv"),
+                )
             out.append(f)
         return out
     finally:
@@ -1653,10 +1879,15 @@ def merge_substates(
     agg, grained by (keys, value); values whose occurrence count reaches
     zero drop out — O(|substate| + |delta|), never the base."""
     out = []
-    for old, delta in zip(substates, deltas):
+    subs = [a for a in mv.aggs if a.d_idx is not None]
+    for a, old, delta in zip(subs, substates, deltas):
+        grain = list(mv.key_cols)
+        if a.kind in _PAIR_AGGS:
+            grain.append("__mv_do")  # pair substate keeps the pairing
+        grain.append("__mv_dv")
         merged = (
             old.unionByName(delta)
-            .groupBy(*mv.key_cols, "__mv_dv")
+            .groupBy(*grain)
             .agg(F.sum("__mv_dn").alias("__mv_dn"))
             .filter(F.col("__mv_dn") > 0)
         )
@@ -1950,12 +2181,13 @@ def exposed_frame(mv: MatView) -> DataFrame:
             # behavior) and the sort uses the SAME sort_array
             # comparator as the engine's ordered collect.
             desc = a.kind.endswith("_desc")
-            structs = F.sort_array(
-                F.collect_list(
-                    F.struct(F.col("__mv_dv").alias("v"), F.col("__mv_dn").alias("n"))
-                ),
-                asc=not desc,
-            )
+            fields = [F.col("__mv_dv").alias("v"), F.col("__mv_dn").alias("n")]
+            if a.kind in _PAIR_AGGS:
+                # pair substate: the ORDER key leads the comparator; ties
+                # fall through to the value — exactly the engine's
+                # struct(key…, value) sort_array comparator
+                fields.insert(0, F.col("__mv_do").alias("o"))
+            structs = F.sort_array(F.collect_list(F.struct(*fields)), asc=not desc)
             arr = F.flatten(
                 F.transform(
                     structs, lambda s_: F.array_repeat(s_["v"], s_["n"].cast("int"))

@@ -189,10 +189,10 @@ class TestEligibility:
     @pytest.mark.parametrize(
         "q",
         [
-            # an ordered-set collect whose ORDER key differs from the
-            # argument: the multiset doesn't retain per-row pairing
-            # (ORDER BY the argument itself maintains since r13)
-            "SELECT g, array_agg(x ORDER BY id) AS m FROM t GROUP BY g",
+            # an ordered-set collect with MULTIPLE ORDER keys: outside
+            # the pair-substate vocabulary (one key maintains since r14,
+            # ORDER BY the argument itself since r13)
+            "SELECT g, array_agg(x ORDER BY id, g) AS m FROM t GROUP BY g",
             # FILTER (WHERE …) is incremental since r13 (guarded-arg
             # fold) — but not on an agg outside the vocabulary
             "SELECT g, bool_and(x > 0) FILTER (WHERE id > 2) AS d FROM t GROUP BY g",
@@ -453,15 +453,18 @@ class TestVarianceMatViews:
 
     def test_distinct_variance_rides_the_substate(self):
         # stddev(DISTINCT x) maintains since r13 — the substate's values
-        # ARE the distinct support; median/mode(DISTINCT) stay out (no
-        # engine execution path for them either)
+        # ARE the distinct support; median/mode(DISTINCT) maintain since
+        # r14 (distinct-weighted sort exposure / min lowering;
+        # differentials in tests/test_matview_r14.py)
         from qlbridge_spark.matview import _parse_agg
         from qlbridge_spark.rel import parse_sql
 
         sel = parse_sql("SELECT stddev(DISTINCT x) AS sd FROM t")
         assert _parse_agg(sel.columns[0].expr)[0] == "stddev_distinct"
         sel2 = parse_sql("SELECT median(DISTINCT x) AS md FROM t")
-        assert _parse_agg(sel2.columns[0].expr) is None
+        assert _parse_agg(sel2.columns[0].expr)[0] == "median_distinct"
+        sel3 = parse_sql("SELECT mode(DISTINCT x) AS mo FROM t")
+        assert _parse_agg(sel3.columns[0].expr)[0] == "min"
 
 
 class TestHavingMatViews:
@@ -961,11 +964,10 @@ class TestJoinMatViews:
         assert rep["mode"] == "incremental"
         assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
 
-    def test_dim_commit_on_left_join_nonequi_on_forces_full(self, spark, tmp_path):
-        # a TWO-SIDED non-equi conjunct: the flip set isn't computable
-        # from per-side key bookkeeping — full recompute, then re-pin.
-        # (A single-side residual like f.x > 5 maintains since r13 —
-        # TestResidualOnJoinMatViews.)
+    def test_dim_commit_on_left_join_nonequi_on_maintains(self, spark, tmp_path):
+        # a TWO-SIDED non-equi conjunct under ΔD maintains since r14 via
+        # the T4' per-row match recount (tests/test_matview_r14.py has
+        # the full lifecycle); RIGHT/FULL with such conjuncts stay full.
         eng, fact, dim = self._mk(spark, tmp_path, "ljc")
         q = (
             "SELECT f.dk AS k, count(*) AS n "
@@ -975,11 +977,11 @@ class TestJoinMatViews:
         assert eng.mat_views["mv"].incremental
         eng.execute("DELETE FROM d WHERE dk = 2")
         rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
-        assert rep["mode"] == "full"
+        assert rep["mode"] == "incremental"
         assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
         eng.execute("DELETE FROM f WHERE id = 10")
         rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
-        assert rep["mode"] == "incremental"  # re-pinned after the full
+        assert rep["mode"] == "incremental"
         assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
 
     def test_extrema_with_fact_side_keys_repairs_incrementally(self, spark, tmp_path):
@@ -1415,9 +1417,10 @@ class TestCompoundOnJoinMatViews:
         assert rep["mode"] == "incremental"
         assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
 
-    def test_two_sided_nonequi_conjunct_still_full(self, spark, tmp_path):
-        # f.x > d.a mixes sides in one conjunct: the flip set isn't
-        # computable from per-side key bookkeeping → full under ΔD
+    def test_two_sided_nonequi_conjunct_maintains(self, spark, tmp_path):
+        # f.x > d.a mixes sides in one conjunct beside the compound
+        # equality: maintains under ΔD since r14 via the T4' per-row
+        # recount (the equality pairs still drive the affected-key prune)
         eng, fact, dim = self._mk(spark, tmp_path, "nec")
         q = (
             "SELECT f.a AS k, count(*) AS n "
@@ -1426,7 +1429,7 @@ class TestCompoundOnJoinMatViews:
         eng.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
         eng.execute("DELETE FROM d WHERE a = 1")
         rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
-        assert rep["mode"] == "full"
+        assert rep["mode"] == "incremental"
         assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
 
     def test_compound_on_randomized_parity(self, spark, tmp_path):
@@ -1556,12 +1559,14 @@ class TestMedianMatViews:
         assert rep["mode"] == "incremental"
         assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
 
-    def test_median_distinct_rejected(self):
+    def test_median_distinct_maintains(self):
+        # eligible since r14 — the substate exposure counts each
+        # distinct value ONCE (differentials in tests/test_matview_r14.py)
         from qlbridge_spark.matview import _parse_agg
         from qlbridge_spark.rel import parse_sql
 
         sel = parse_sql("SELECT median(DISTINCT x) AS m FROM t")
-        assert _parse_agg(sel.columns[0].expr) is None
+        assert _parse_agg(sel.columns[0].expr)[0] == "median_distinct"
 
     def test_median_randomized_parity(self, spark, tmp_path):
         rng = random.Random(20260901)
@@ -2166,8 +2171,13 @@ class TestScalarSubqueryMatViews:
             # correlated scalar: evaluation raises at CREATE → full MV
             "SELECT g, count(*) AS n FROM t "
             "WHERE x > (SELECT avg(x) FROM t u WHERE u.g = t.g) GROUP BY g",
-            # set contexts: a literal substitution would be wrong
-            "SELECT g, count(*) AS n FROM t WHERE id IN (SELECT k FROM ref) GROUP BY g",
+            # set contexts a literal substitution can't express and the
+            # r14 semi-join delta algebra doesn't cover: NOT IN (ANSI
+            # NULL semantics aren't per-key flips) and EXISTS. Plain
+            # `IN (SELECT ...)` maintains since r14 —
+            # tests/test_matview_r14.py::TestInSubqueryMatViews pins it
+            # in the ELIGIBLE direction.
+            "SELECT g, count(*) AS n FROM t WHERE id NOT IN (SELECT k FROM ref) GROUP BY g",
             "SELECT g, count(*) AS n FROM t "
             "WHERE EXISTS (SELECT 1 FROM ref WHERE thr > 100) GROUP BY g",
         ],
@@ -2506,8 +2516,8 @@ class TestOrderedAggMatViews:
     sorted support with per-value repeats IS the collected sequence,
     exposed through the SAME sort_array comparator the engine's
     ordered collect uses (identical NULL placement). ORDER BY a
-    different key stays full-recompute — the multiset doesn't retain
-    per-row pairing."""
+    different key maintains since r14 via the PAIR substate
+    (tests/test_matview_r14.py); multiple ORDER keys stay full."""
 
     BASE_OA = [
         (i, "g" + str(i % 3), float(i % 5) if i % 7 else None) for i in range(30)
@@ -2552,8 +2562,8 @@ class TestOrderedAggMatViews:
     @pytest.mark.parametrize(
         "q",
         [
-            # different ORDER key: per-row pairing not in the multiset
-            "SELECT g, array_agg(x ORDER BY id) AS aa FROM t GROUP BY g",
+            # multiple ORDER keys: not in the pair-substate vocabulary
+            "SELECT g, array_agg(x ORDER BY id, g) AS aa FROM t GROUP BY g",
             # unordered collect: NONDETERMINISTIC order (engine contract)
             "SELECT g, array_agg(x) AS aa FROM t GROUP BY g",
         ],

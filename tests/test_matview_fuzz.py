@@ -64,10 +64,11 @@ REQUIRED = {
     "extrema_fact_probe", "extrema_dim_probe", "extrema_self_probe",
     "set_extrema_full", "set_extrema_left_dimkey",
     "set_extrema_right_factkey", "set_extrema_compoundkey",
-    "fallback_ordered_agg",
+    "fallback_ordered_agg", "pair_ordered_agg",
     "having", "topk", "durable_state", "where_alt",
     "agg_filter", "window_col", "qualify", "agg_median", "agg_mode",
     "agg_covar", "residual_on", "scalar_sub",
+    "in_sub", "in_sub_not", "expose_sub", "cross_on", "cross_on_full",
     "dim_churn", "dim_churn_right_full",
 }
 
@@ -88,16 +89,29 @@ SLOTS = [
     dict(join="RIGHT", key="fact", extrema=True, eligible=True, rounds=2),
     dict(join="INNER", key="compound", extrema=True, eligible=True, rounds=2),
     dict(join="SELF", key="fact", extrema=True, eligible=True, rounds=2),
-    dict(join="INNER", key="fact", extrema=False, agg="ordered", eligible=False, rounds=1),
+    dict(join="INNER", key="fact", extrema=False, agg="ordered", eligible=True, rounds=2),
+    dict(join=None, key="fact", extrema=False, agg="ordered_multi", eligible=False, rounds=1),
     # residual ON conjunct (f.k = d.k AND <single-side residual>):
     # match counting over residual-filtered snapshots (r13)
     dict(join="RIGHT", key="dim", extrema=False, eligible=True, rounds=2, on_residual=True),
+    # r14: `k IN (SELECT ...)` WHERE — the IN-list maintains as a
+    # 1-column dim (semi-join delta algebra; d churn drives flips)
+    dict(join=None, key="fact", extrema=False, eligible=True, rounds=2, in_sub=True),
+    # NOT IN stays full (ANSI NULL semantics aren't per-key flips) —
+    # pinned in BOTH directions like every fallback
+    dict(join=None, key="fact", extrema=False, eligible=False, rounds=1, in_sub="not"),
+    # r14: two-sided non-equi ON conjuncts — INNER/LEFT maintain (LEFT
+    # via the T4' per-row recount); RIGHT stays full (symmetric recount
+    # not built — design note)
+    dict(join="LEFT", key="fact", extrema=False, eligible=True, rounds=2, on_cross=True),
+    dict(join="INNER", key="fact", extrema=False, eligible=True, rounds=2, on_cross=True),
+    dict(join="RIGHT", key="dim", extrema=False, eligible=False, rounds=1, on_cross=True),
 ]
 
 EXTRAS = [
     "having", "topk", "durable", "where_alt", "distinct", "variance",
     "filter_agg", "window", "qualify", "median", "mode", "covar",
-    "scalar_sub",
+    "scalar_sub", "es_having",
 ]
 
 
@@ -132,11 +146,14 @@ def _mk_sql(rng, slot, extra, state_path):
             pool.append("min(d.dname) AS dlo")
         aggs.append(rng.choice(pool))
     if slot.get("agg") == "ordered":
-        # ORDER BY a DIFFERENT key than the argument: the multiset
-        # doesn't retain per-row pairing (ORDER BY the argument itself
-        # maintains since r13)
-        classes.add("fallback_ordered_agg")
+        # ORDER BY a DIFFERENT key: the PAIR substate retains the
+        # (order-key, value) pairing — eligible since r14
+        classes.add("pair_ordered_agg")
         aggs.append("array_agg(f.x ORDER BY f.id) AS aa")
+    elif slot.get("agg") == "ordered_multi":
+        # MULTIPLE ORDER keys: outside the pair-substate vocabulary
+        classes.add("fallback_ordered_agg")
+        aggs.append("array_agg(f.x ORDER BY f.id, f.dk) AS aa")
     if extra == "distinct":
         classes.add("agg_distinct")
         aggs.append(
@@ -188,10 +205,21 @@ def _mk_sql(rng, slot, extra, state_path):
         classes.add("scalar_sub")
         where = "f.x > (SELECT min(d2.dk) FROM d d2)"
 
+    if slot.get("in_sub"):
+        # placed AFTER the extras' WHERE choice so row-local rests
+        # compose; the swap in the test loop keeps WHERE-rewriting
+        # extras (where_alt/scalar_sub) off these slots
+        neg = "NOT " if slot["in_sub"] == "not" else ""
+        classes.add("in_sub_not" if neg else "in_sub")
+        where = f"f.dk {neg}IN (SELECT d2.dk FROM d d2 WHERE d2.dk < 5) AND {where}"
+
     on = "f.dk = d.dk"
     if slot.get("on_residual"):
         classes.add("residual_on")
         on += rng.choice([" AND f.x > 2", " AND d.dk < 90"])
+    elif slot.get("on_cross"):
+        classes.add("cross_on" if slot["eligible"] else "cross_on_full")
+        on += rng.choice([" AND f.x > d.dk", " AND f.x + d.dk < 9"])
     sel = f"SELECT {', '.join(f'{e} AS {a}' for e, a in keys)}, {', '.join(aggs)} FROM f"
     if self_join:
         sel += " JOIN f g ON f.dk = g.dk"
@@ -203,6 +231,11 @@ def _mk_sql(rng, slot, extra, state_path):
     if extra == "having":
         classes.add("having")
         sel += " HAVING n > 1"
+    elif extra == "es_having":
+        # expose-time scalar subquery in HAVING (r14): a moved value
+        # re-exposes — mode stays incremental, never full
+        classes.add("expose_sub")
+        sel += " HAVING n > (SELECT min(d9.dk) FROM d d9) + 1"
     elif extra == "topk":
         classes.add("topk")
         sel += f" ORDER BY n DESC, {keys[0][1]} NULLS LAST LIMIT 4"
@@ -255,10 +288,19 @@ def test_matview_shape_fuzz(spark, tmp_path, seed):
     rng.shuffle(extras)
     slots = list(SLOTS)
     rng.shuffle(slots)
+    pairs = list(zip(slots, extras))
+    # in_sub slots can't carry WHERE-REWRITING extras (the IN conjunct
+    # composes with row-local rests only); swap those onto a safe slot
+    for i, (sl, ex) in enumerate(pairs):
+        if sl.get("in_sub") and ex in ("where_alt", "scalar_sub"):
+            for j, (sl2, ex2) in enumerate(pairs):
+                if not sl2.get("in_sub") and ex2 not in ("where_alt", "scalar_sub"):
+                    pairs[i], pairs[j] = (sl, ex2), (sl2, ex)
+                    break
 
     census = {}
     next_id, next_dk = 60, 6
-    for slot_i, (slot, extra) in enumerate(zip(slots, extras)):
+    for slot_i, (slot, extra) in enumerate(pairs):
         q, join, classes = _mk_sql(rng, slot, extra, tmp_path / f"state{slot_i}")
         eng.execute(f"CREATE OR REPLACE MATERIALIZED VIEW mv AS {q}")
         mv = eng.mat_views["mv"]
@@ -282,7 +324,7 @@ def test_matview_shape_fuzz(spark, tmp_path, seed):
         dim_churned = False
         for round_ in range(slot["rounds"]):
             ops = ["ins", "upd", "del"]
-            if join is not None and join != "SELF":
+            if (join is not None and join != "SELF") or slot.get("in_sub"):
                 ops += ["dins", "dupd", "ddel"]
             for _ in range(rng.randint(1, 2)):
                 op = rng.choice(ops)
