@@ -619,14 +619,6 @@ class MatViewMixin:
                         d_new_m = d_new.filter(dpred(d_new)) if dpred else d_new
                         if (left_like or right_like) and pj is None:
                             mode = "full"  # no equality pairs: flips unknowable
-                        elif right_like and cross_preds:
-                            # two-sided non-equi conjuncts couple the
-                            # dim-side null extensions per (dim row ×
-                            # fact row) — the symmetric per-row recount
-                            # (T5'/T6') isn't built; LEFT's fact-side
-                            # terms are (T4' below). Recorded design
-                            # note: COVERAGE.md round 14.
-                            mode = "full"
                         else:
                             # (possibly compound) join-key accessors: the
                             # flip/match-count terms key on the FULL tuple.
@@ -710,9 +702,48 @@ class MatViewMixin:
                                     )
                                     sub_specs.append((df, wt, dd, wmode, jo))
 
+                                # semi/anti joins through the view's REAL
+                                # ON (all conjuncts — equality pairs,
+                                # single-side residuals, AND two-sided
+                                # non-equi): the cross-pred null-extension
+                                # terms below detect per-ROW match state
+                                # with these, so residual-failing rows
+                                # come out unmatched with no special-casing
+                                on_node = mv.select.from_[1].join_expr
+
+                                def _on_join_f(fdf, ddf, how):
+                                    fa = fdf.alias(_f_ref)
+                                    da = ddf.alias(_d_ref)
+                                    cond = to_column(
+                                        on_node,
+                                        Scope(
+                                            {_f_ref: fa, _d_ref: da},
+                                            includes=self.includes,
+                                        ),
+                                    ).cast("boolean")
+                                    return fa.join(da, cond, how)
+
+                                def _on_join_d(ddf, fdf, how):
+                                    da = ddf.alias(_d_ref)
+                                    fa = fdf.alias(_f_ref)
+                                    cond = to_column(
+                                        on_node,
+                                        Scope(
+                                            {_f_ref: fa, _d_ref: da},
+                                            includes=self.includes,
+                                        ),
+                                    ).cast("boolean")
+                                    return da.join(fa, cond, how)
+
                                 # T1 (+ T3 folded in for LEFT; explicit for FULL)
                                 _add(changes, w, jo="INNER" if right_like else None)
-                                if full_join:
+                                if full_join and cross_preds:
+                                    # T3' — per-row: a ΔF row is
+                                    # null-extended iff NOTHING in D_new
+                                    # matches it through the real ON
+                                    f3 = _on_join_f(changes, d_new, "left_anti")
+                                    _add(f3, w, dd=d_new.limit(0))
+                                elif full_join:
                                     fkeys1 = (
                                         changes.filter(fact_nn(changes))
                                         .select(fact_key(changes).alias("__mv_fk"))
@@ -755,74 +786,37 @@ class MatViewMixin:
                                 # T4 — fact-side null-extension flips (ΔD)
                                 if left_like and dkeys_df is not None and cross_preds:
                                     # T4' (two-sided non-equi conjuncts):
-                                    # match counts are per FACT ROW, not
-                                    # per key — recount the ΔD-affected
-                                    # fact slice against BOTH dim
-                                    # snapshots through the view's real
-                                    # ON (residuals + cross conjuncts
-                                    # included). Identical fact rows
-                                    # group with a multiplicity, so the
-                                    # flip weight is ±mult. Cost:
+                                    # match state is per FACT ROW, not per
+                                    # key — test the ΔD-affected fact
+                                    # slice against BOTH dim snapshots
+                                    # with semi/anti joins through the
+                                    # real ON (residuals + cross
+                                    # conjuncts included, so a
+                                    # residual-failing row is unmatched
+                                    # in both → never flips). Row
+                                    # multiplicity is preserved by the
+                                    # joins — no grouping needed. Cost:
                                     # O(affected slice × matched dims).
                                     d_old_snap = dsink.scan(
                                         self.spark, version=mv.dim_version
                                     )
-                                    on_node = mv.select.from_[1].join_expr
-
-                                    def _mcount(fdf, ddf, out):
-                                        # multi-frame Scope resolves
-                                        # qualified idents as alias.col
-                                        # strings — alias both frames
-                                        fa = fdf.alias(_f_ref)
-                                        dm = ddf.select(
-                                            F.lit(1).alias("__mv_one"), "*"
-                                        ).alias(_d_ref)
-                                        cond = to_column(
-                                            on_node,
-                                            Scope(
-                                                {_f_ref: fa, _d_ref: dm},
-                                                includes=self.includes,
-                                            ),
-                                        ).cast("boolean")
-                                        j = fa.join(dm, cond, "left")
-                                        return j.groupBy(
-                                            *[fa[c] for c in fdf.columns]
-                                        ).agg(F.count(dm["__mv_one"]).alias(out))
-
-                                    f_aff = f_old_m.join(
+                                    f_aff = f_old_full.join(
                                         F.broadcast(dkeys_df),
-                                        fact_key(f_old_m) == dkeys_df["__mv_dk"],
+                                        fact_key(f_old_full) == dkeys_df["__mv_dk"],
                                         "left_semi",
                                     )
-                                    f_grp = f_aff.groupBy(
-                                        *[f_aff[c] for c in f_aff.columns]
-                                    ).agg(F.count(F.lit(1)).alias("__mv_mult"))
-                                    g2 = _mcount(
-                                        _mcount(f_grp, d_old_snap, "__mv_mo"),
-                                        d_new,
-                                        "__mv_mn",
+                                    # lost ALL matches → null-extended row APPEARS (+1)
+                                    f_app = _on_join_f(
+                                        _on_join_f(f_aff, d_old_snap, "left_semi"),
+                                        d_new, "left_anti",
                                     )
-                                    f_flip4 = (
-                                        g2.filter(
-                                            (F.col("__mv_mo") == 0)
-                                            != (F.col("__mv_mn") == 0)
-                                        )
-                                        # key gained matches → null-extended
-                                        # rows RETRACT (−mult); lost all → +mult
-                                        .withColumn(
-                                            "__mv_fw",
-                                            F.when(
-                                                F.col("__mv_mn") == 0,
-                                                F.col("__mv_mult"),
-                                            ).otherwise(-F.col("__mv_mult"))
-                                            .cast("int"),
-                                        )
-                                        .drop("__mv_mo", "__mv_mn", "__mv_mult")
+                                    # gained matches → it RETRACTS (−1)
+                                    f_ret = _on_join_f(
+                                        _on_join_f(f_aff, d_old_snap, "left_anti"),
+                                        d_new, "left_semi",
                                     )
-                                    _add(
-                                        f_flip4, F.col("__mv_fw"),
-                                        dd=d_new.limit(0),
-                                    )
+                                    _add(f_app, F.lit(1), dd=d_new.limit(0))
+                                    _add(f_ret, F.lit(-1), dd=d_new.limit(0))
                                 elif left_like and dkeys_df is not None:
                                     d_old_snap = dsink.scan(
                                         self.spark, version=mv.dim_version
@@ -880,7 +874,16 @@ class MatViewMixin:
                                         dd=d_new.limit(0),
                                     )
                                 # T5 — dim-side null extensions of ΔD at F_old
-                                if right_like and d_delta is not None:
+                                if right_like and d_delta is not None and cross_preds:
+                                    # T5' — per-row: a ΔD row is
+                                    # null-extended iff NOTHING in F_old
+                                    # matches it through the real ON
+                                    d5 = _on_join_d(d_delta, f_old_full, "left_anti")
+                                    _add(
+                                        f_old_full.limit(0), F.lit(1),
+                                        dd=d5, wmode="dim",
+                                    )
+                                elif right_like and d_delta is not None:
                                     mo5 = (
                                         f_old_m.join(
                                             F.broadcast(dkeys_df),
@@ -914,7 +917,44 @@ class MatViewMixin:
                                     )
                                 # T6 — dim rows whose fact match count
                                 # crossed 0↔1 via ΔF
-                                if right_like and cur != mv.base_version:
+                                if right_like and cur != mv.base_version and cross_preds:
+                                    # T6' — per-DIM-row: test the
+                                    # ΔF-affected dim slice against BOTH
+                                    # fact snapshots through the real ON
+                                    # (the symmetric twin of T4')
+                                    fkeys6 = (
+                                        changes.filter(fact_nn(changes))
+                                        .select(fact_key(changes).alias("__mv_fk"))
+                                        .distinct()
+                                    )
+                                    f_new_full = self.sinks[mv.base].scan(
+                                        self.spark, version=cur
+                                    )
+                                    d_aff = d_new.join(
+                                        F.broadcast(fkeys6),
+                                        dim_key(d_new) == fkeys6["__mv_fk"],
+                                        "left_semi",
+                                    )
+                                    # lost ALL fact matches → its
+                                    # null-extended row APPEARS (+1)
+                                    d_app = _on_join_d(
+                                        _on_join_d(d_aff, f_old_full, "left_semi"),
+                                        f_new_full, "left_anti",
+                                    ).withColumn("__dw", F.lit(1))
+                                    # gained matches → it RETRACTS (−1)
+                                    d_ret = _on_join_d(
+                                        _on_join_d(d_aff, f_old_full, "left_anti"),
+                                        f_new_full, "left_semi",
+                                    ).withColumn("__dw", F.lit(-1))
+                                    _add(
+                                        f_old_full.limit(0), F.lit(1),
+                                        dd=d_app, wmode="dim",
+                                    )
+                                    _add(
+                                        f_old_full.limit(0), F.lit(1),
+                                        dd=d_ret, wmode="dim",
+                                    )
+                                elif right_like and cur != mv.base_version:
                                     fkeys6 = (
                                         changes.filter(fact_nn(changes))
                                         .select(fact_key(changes).alias("__mv_fk"))

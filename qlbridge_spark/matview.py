@@ -120,271 +120,57 @@ from .nodes import (
 )
 from .rel import Column, FromSource, SqlSelect, SubqueryNode
 
-_INCREMENTAL_AGGS = {"sum", "count", "avg"}
-#: the variance family is ALGEBRAIC — but raw power sums (Σwx, Σwx²)
-#: suffer catastrophic cancellation for large-magnitude low-variance
-#: columns (epoch-millis: x² ≈ 3e24, ulp ≈ 3e8, so q − s²/n can lose
-#: EVERY significant digit and the ≥0 clamp would silently report 0).
-#: The state therefore stores CENTERED moments around a per-group shift
-#: z (the group's min, captured when the group is first built):
-#: s = Σw(x−z), q = Σw(x−z)². Deltas center around their own shift and
-#: merge_state re-centers to the common min before folding
-#: (Σw(x−Z) = s + (z−Z)·c; Σw(x−Z)² = q + 2(z−Z)s + (z−Z)²c) — exact
-#: algebra, and |x−z| is bounded by the group's data RANGE, so the
-#: exposed var = (q − s²/n)/denominator is well-conditioned whenever
-#: the range is within ~8 orders of magnitude of σ. A NULL shift means
-#: raw sums (shift 0) — the legacy state encoding folds unchanged.
-#: Residual drift vs Spark's central-moments accumulation stays in the
-#: last ulps (different summation order), same class as any
-#: re-aggregation.
-_VARIANCE_AGGS = {
-    "stddev",
-    "stddev_samp",
-    "stddev_pop",
-    "variance",
-    "var_samp",
-    "var_pop",
-}
-#: two-argument moment family — algebraic over CENTERED co-moments,
-#: the bivariate generalization of the variance state: per group
-#: c = Σw over PAIRWISE-non-null rows (ANSI: a NULL in either argument
-#: drops the pair), sx = Σw(x−zx), sy = Σw(y−zy), qxy = Σw(x−zx)(y−zy),
-#: and for corr additionally qxx/qyy. Shifts zx/zy are the group's
-#: observed minima (same conditioning argument as the variance note
-#: above — raw power sums cancel catastrophically at epoch-millis
-#: magnitudes). Exposure: covar = (qxy − sx·sy/c)/denominator;
-#: corr = m_xy / sqrt(m_xx · m_yy), NULL when either variance is zero —
-#: exactly the engine's corr() (try_divide convention).
-_COVAR_AGGS = {"corr", "covar_samp", "covar_pop"}
-#: DISTINCT aggregates maintain through a TWO-LEVEL state: a per-view
-#: substate frame grained by (group keys, value) holding a signed
-#: occurrence count — deltas fold into it exactly like the main state,
-#: and the exposed count/sum/avg re-aggregates the O(|distinct values|)
-#: substate (never the base). This is the classic DBSP/Materialize
-#: answer to the "COUNT(DISTINCT) isn't distributive" problem.
-_DISTINCT_AGGS = {"count_distinct", "sum_distinct", "avg_distinct"}
-#: sort-based aggregates ride the SAME two-level substate — the
-#: (keys, value) → signed-occurrence-count multiset IS the sorted-agg
-#: input, so deltas fold in O(|delta|) and the exposed value is a
-#: weighted interpolated percentile over the O(|distinct values|)
-#: substate (Spark/DuckDB median semantics: linear interpolation at
-#: index (N−1)/2 over the sorted multiset). State is O(distinct values
-#: per group) — the inherent cost of an exact holistic aggregate.
-_SORT_AGGS = {"median", "percentile_cont"}
-#: median/percentile_cont(DISTINCT x): same substate, but the exposure's
-#: weighted interpolation counts each distinct value ONCE (occurrence
-#: counts collapse to 1 — the DISTINCT qualifier).
-_SORT_DISTINCT = {f"{k}_distinct" for k in _SORT_AGGS}
-#: mode() rides the SAME multiset: the exposed value is the argmax of
-#: the signed occurrence counts, ties to the smallest value — exactly
-#: Spark's deterministic mode, which the engine's mode() maps to.
-_HOLISTIC_AGGS = {"mode"}
-#: extrema SHAPES with no single-side repair probe (FULL joins,
-#: self-joins with mixed-side group keys) ride the multiset too:
-#: min/max over a signed (keys, value) multiset fold under deletes with
-#: no repair at all — the eligible value is just the multiset's edge.
-#: State is O(distinct values per group) instead of O(1), so the probe
-#: stays the default wherever a probe side exists.
-_SET_EXTREMA = {"min_set", "max_set"}
-#: variance-family(DISTINCT x) rides the substate too: the distinct
-#: non-null values ARE the (keys, value) multiset's support, so the
-#: exposed value is just the plain variance over the substate's values
-#: (occurrence counts ignored — DISTINCT collapses them to 1).
-_VARIANCE_DISTINCT = {f"{k}_distinct" for k in _VARIANCE_AGGS}
-#: ordered-set collects (array_agg/string_agg(x ORDER BY k)) ride the
-#: multiset: when the single ORDER key IS the data argument the sorted
-#: support with per-value repeats is exactly the collected sequence
-#: (*_sorted kinds); when it DIFFERS, the substate grains by
-#: (keys, order-key, value) so the pairing is retained (*_pair kinds).
-#: Exposure mirrors the engine's sort_array comparator (same NULL
-#: placement, ties fall through to the value); _desc kinds sort
-#: descending. AggSpec.arg2 carries the separator literal for the
-#: string form. Multiple ORDER keys stay full-recompute.
-_ORDERED_BASE = {"array_agg", "string_agg", "listagg"}
-#: ORDER BY a DIFFERENT key (r14): the PAIR substate grains by
-#: (keys, order-key, value) — the pairing is retained, state is
-#: O(distinct (okey, value) pairs per group), the inherent cost.
-_PAIR_AGGS = {
-    "array_agg_pair", "array_agg_pair_desc",
-    "string_agg_pair", "string_agg_pair_desc",
-}
-_ORDERED_AGGS = {
-    "array_agg_sorted", "array_agg_sorted_desc",
-    "string_agg_sorted", "string_agg_sorted_desc",
-} | _PAIR_AGGS
-#: every agg kind maintained through a substate (AggSpec.d_idx)
-_SUBSTATE_AGGS = (
-    _DISTINCT_AGGS
-    | _SORT_AGGS
-    | _SORT_DISTINCT
-    | _HOLISTIC_AGGS
-    | _SET_EXTREMA
-    | _VARIANCE_DISTINCT
-    | _ORDERED_AGGS
+
+# foundations / state / exposure planes (round-14 split — same pattern
+# as the engine.py split; everything re-exports from here so importers
+# are unchanged)
+from .matview_core import (  # noqa: F401
+    _COVAR_AGGS,
+    _DISTINCT_AGGS,
+    _EXTREMUM_AGGS,
+    _HOLISTIC_AGGS,
+    _INCREMENTAL_AGGS,
+    _ORDERED_AGGS,
+    _ORDERED_BASE,
+    _PAIR_AGGS,
+    _SET_EXTREMA,
+    _SORT_AGGS,
+    _SORT_DISTINCT,
+    _SUBSTATE_AGGS,
+    _UNSET,
+    _VARIANCE_AGGS,
+    _VARIANCE_DISTINCT,
+    _W,
+    AggSpec,
+    MatView,
+    NEG_FLAG,
+    _and_tree,
+    _conjuncts,
+    _contains_distinct,
+    _row_local,
+    _snapshot_cols,
+    _subst,
+    effective_where,
+    equi_join_pairs,
+    equi_join_prune_cols,
+    join_on_parts,
 )
-#: extrema fold under inserts (min of mins) but not deletes — a delete
-#: may remove the reigning extremum. The change feed names exactly which
-#: groups a delete touched, so REFRESH re-aggregates ONLY those groups'
-#: base rows (repair_extrema) instead of the whole table.
-_EXTREMUM_AGGS = {"min", "max"}
-#: per-group "a negative-weight row hit this group" flag (delta only;
-#: never persisted in the stored state)
-NEG_FLAG = "__mv_neg"
-
-
-@dataclass
-class AggSpec:
-    kind: str  # 'count_star' | 'count' | 'sum' | 'avg' | 'min' | 'max'
-    #      | 'count_distinct' | 'sum_distinct' | 'avg_distinct'
-    arg: Node | None  # None for count(*); the INNER arg for DISTINCT aggs
-    out: str  # exposed column name
-    s_col: str | None = None  # internal sum-state column (sum/avg/variance)
-    c_col: str | None = None  # internal non-null-count state (count/sum/avg)
-    m_col: str | None = None  # internal extremum state column (min/max)
-    d_idx: int | None = None  # index into MatView.substates (DISTINCT aggs)
-    q_col: str | None = None  # internal sum-of-squares state (variance family)
-    #: per-group centering shift (variance family): the group's observed
-    #: min, captured when the group's state is first built. s/q store
-    #: CENTERED moments Σw(x−z) / Σw(x−z)² — see _VARIANCE_AGGS note.
-    #: NULL shift ⇒ raw (shift 0), which is also the legacy encoding.
-    z_col: str | None = None
-    #: percentile fraction (sort-agg family): median ≡ 0.5
-    p: float | None = None
-    #: second argument (two-argument moment family: corr/covar)
-    arg2: Node | None = None
-    #: ORDER BY key of a pair-substate ordered collect (ORDER BY a
-    #: DIFFERENT key than the argument): the substate grains by
-    #: (keys, order-key, value) so the per-row pairing is retained
-    okey: Node | None = None
-    #: bivariate state columns (corr/covar): Σw(y−zy), Σw(y−zy)²
-    #: (corr only), the co-moment Σw(x−zx)(y−zy), and the y shift
-    s2_col: str | None = None
-    q2_col: str | None = None
-    qc_col: str | None = None
-    z2_col: str | None = None
-
-
-@dataclass
-class MatView:
-    name: str
-    select: SqlSelect
-    #: versioned-sink base table when incrementally maintainable
-    base: str | None = None
-    base_version: int | None = None
-    #: incremental JOIN views: the dimension table (itself a versioned
-    #: sink so its commits are DETECTABLE). Fact deltas join the dim
-    #: row-locally: Δ(F ⋈ D) = ΔF ⋈ D when D is unchanged (INNER/LEFT).
-    #: When the dim ALSO moved, INNER joins maintain via the bilinear
-    #: higher-order identity Δ(F ⋈ D) = ΔF ⋈ D_new ∪ F_old ⋈ ΔD (the
-    #: engine's refresh computes both terms); LEFT joins fall back to
-    #: full recompute there — the NULL-extension term isn't bilinear.
-    dim: str | None = None
-    dim_version: int | None = None
-    key_nodes: list = field(default_factory=list)  # group-key expr Nodes
-    key_cols: list[str] = field(default_factory=list)  # exposed key names
-    aggs: list[AggSpec] | None = None  # None → full-recompute-only
-    #: filter-only views: state is a multiset (whole projected row →
-    #: signed count); exposing it re-expands each row count times
-    expand: bool = False
-    internal: DataFrame | None = None  # state frame (or the full result)
-    #: one (keys, __mv_dv, __mv_dn) frame per DISTINCT agg (AggSpec.d_idx)
-    substates: list = field(default_factory=list)
-    #: exposed column names in the ORIGINAL select order
-    out_order: list = field(default_factory=list)
-    #: HAVING predicate REWRITTEN over exposed/hidden agg columns —
-    #: applied at expose time (state keeps every group: a group filtered
-    #: out today may satisfy the predicate after the next delta)
-    having: Node | None = None
-    #: top-k views: ORDER BY keys (rewritten like `having`) + LIMIT /
-    #: OFFSET, applied at expose time over the full state
-    order_exprs: list = field(default_factory=list)
-    limit: int | None = None
-    offset: int | None = None
-    exposed_types: dict | None = None  # exposed name → Spark DataType
-    state_sink: object | None = None  # durable state store (WITH {"path"})
-    #: durable substate stores, parallel to the DISTINCT aggs (d_idx
-    #: order); sibling sinks at "<path>__d<i>" when WITH {"path"} is set
-    sub_sinks: list = field(default_factory=list)
-    #: which relation the extrema delete-repair probes by group key:
-    #: 'fact' (default) or 'dim' (INNER/RIGHT views with dim-side keys)
-    extrema_side: str = "fact"
-    #: projection window columns, evaluated at EXPOSE time over the
-    #: aggregated state (ANSI: windows run after grouping/HAVING) —
-    #: (output name, expr rewritten over exposed/hidden agg columns)
-    win_cols: list = field(default_factory=list)
-    #: QUALIFY predicate (rewritten like `having`), applied at expose
-    #: time AFTER the window columns — the state keeps every group
-    qualify: Node | None = None
-    #: FROZEN uncorrelated scalar subqueries in the WHERE: evaluated
-    #: once per refresh (a bounded driver job each); while the values
-    #: are unchanged the WHERE is a row-local predicate with the values
-    #: folded as literals (`where_subst`) and deltas fold incrementally;
-    #: a moved value forces a full state rebuild under the new values.
-    scalar_subs: list = field(default_factory=list)
-    scalar_vals: list | None = None  # last-evaluated (value, dtype) pairs
-    where_subst: Node | None = None  # WHERE with the values folded in
-    #: EXPOSE-TIME uncorrelated scalar subqueries (SELECT-list / HAVING /
-    #: QUALIFY): placeholder identifiers ``__mv_es<i>`` in the stored
-    #: nodes substitute the frozen values as typed literals at expose
-    #: time — a moved value re-exposes (O(|view|)), never rebuilds state.
-    expose_subs: list = field(default_factory=list)
-    expose_vals: list | None = None  # last-evaluated (value, dtype) pairs
-    #: SET-CONTEXT subquery in the WHERE (``k IN (SELECT v FROM s)``):
-    #: the IN-list is a 1-COLUMN DIM. State folds rows filtered by the
-    #: membership set M; when s commits, per-value match counts that
-    #: cross 0↔1 flip the base rows carrying that key in/out of the
-    #: state (semi-join delta algebra — see engine._refresh_one):
-    #:   Δstate = ΔF ⋉ M_new  +  F_old ⋉ flip_in  −  F_old ⋉ flip_out
-    in_key: Node | None = None  # row-local fact-side key expression
-    in_select: SqlSelect | None = None  # the subquery (single column)
-    in_table: str | None = None  # the subquery's versioned-sink table
-    in_version: int | None = None
-    #: the WHERE minus the IN conjunct (row-local; None when empty) —
-    #: what the state selects actually evaluate; membership is applied
-    #: to their INPUT frames instead
-    where_rest: Node | None = None
-
-    @property
-    def incremental(self) -> bool:
-        return self.aggs is not None
-
-    @property
-    def has_extrema(self) -> bool:
-        return bool(self.aggs) and any(a.kind in _EXTREMUM_AGGS for a in self.aggs)
-
-    @property
-    def has_distinct(self) -> bool:
-        """True when the view maintains any two-level SUBSTATE agg —
-        DISTINCT family or sort-based (median); the name predates the
-        sort aggs and gates the shared substate machinery."""
-        return bool(self.aggs) and any(a.kind in _SUBSTATE_AGGS for a in self.aggs)
-
-    @property
-    def has_variance(self) -> bool:
-        return bool(self.aggs) and any(a.kind in _VARIANCE_AGGS for a in self.aggs)
-
-
-def _conjuncts(node: Node) -> list:
-    """Flatten a predicate's top-level AND tree into its conjuncts
-    (binary AND and FilterQL's n-ary un-negated AND forms)."""
-    if isinstance(node, BinaryNode) and node.op == "AND" and not getattr(node, "negated", False):
-        return _conjuncts(node.left) + _conjuncts(node.right)
-    if isinstance(node, BooleanNode) and node.op == "AND" and not node.negated:
-        out = []
-        for a in node.args:
-            out.extend(_conjuncts(a))
-        return out
-    return [node]
-
-
-def _and_tree(conjs: list) -> Node | None:
-    """Rebuild a conjunct list into a left-assoc AND tree (None when
-    empty)."""
-    node = None
-    for c in conjs:
-        node = c if node is None else BinaryNode(op="AND", left=node, right=c)
-    return node
-
+from .matview_expose import exposed_frame  # noqa: F401
+from .matview_state import (  # noqa: F401
+    _apply_variance_overlay,
+    _semi_by_keys,
+    _state_select,
+    _sub_select,
+    _variance_row_select,
+    _weight_node,
+    merge_state,
+    merge_substates,
+    persist_state,
+    persist_substates,
+    repair_extrema,
+    state_frame,
+    sub_state_frames,
+)
 
 def _analyze_in_sub(engine, sub) -> str | None:
     """The IN-subquery's base-table name when the semi-join delta
@@ -441,38 +227,6 @@ def _analyze_in_sub(engine, sub) -> str | None:
         return None
     return sname
 
-
-def _row_local(node: Node) -> bool:
-    """True when evaluating ``node`` on a single row needs nothing beyond
-    that row — the precondition for running it over delta rows."""
-    from .rel import SubqueryNode
-
-    from .nodes import IncludeNode, SparkColNode, WindowNode
-
-    for n in node.walk():
-        if isinstance(n, (SubqueryNode, WindowNode, SparkColNode, IncludeNode)):
-            return False
-        if isinstance(n, FuncNode) and n.name in ("rand", "random", "uuid", "now", "utcnow"):
-            return False  # non-deterministic / wall-clock: delta re-eval diverges
-    return True
-
-
-def _contains_distinct(node: Node) -> bool:
-    return any(isinstance(n, FuncNode) and n.name == "distinct" for n in node.walk())
-
-
-def _snapshot_cols(engine, s) -> set[str]:
-    """Lower-cased column names of a sink's current snapshot (driver-side
-    sidecar when available, else a schema-only scan)."""
-    cols = None
-    if hasattr(s, "snapshot_columns") and hasattr(s, "versions"):
-        try:
-            cols = s.snapshot_columns(max(s.versions()))
-        except Exception:
-            cols = None
-    if cols is None:
-        cols = s.scan(engine.spark).columns
-    return {c.lower() for c in cols}
 
 
 def _parse_agg(e: Node):
@@ -612,39 +366,6 @@ def _parse_agg(e: Node):
         return None
     return (e.name, guard(arg), p, None)
 
-
-def _subst(node: Node, pairs: list) -> Node:
-    """Structural find-replace over a Node tree: every subtree equal to a
-    ``pairs`` key is replaced by its value (dataclass rebuild; CASE
-    whens-tuples handled)."""
-    import dataclasses
-
-    for k, v in pairs:
-        if node == k:
-            return v
-    if not dataclasses.is_dataclass(node):
-        return node
-    kwargs = {}
-    for f in dataclasses.fields(node):
-        val = getattr(node, f.name)
-        if isinstance(val, Node):
-            kwargs[f.name] = _subst(val, pairs)
-        elif isinstance(val, (list, tuple)):
-            items = []
-            for it in val:
-                if isinstance(it, Node):
-                    items.append(_subst(it, pairs))
-                elif isinstance(it, tuple):
-                    items.append(
-                        tuple(
-                            _subst(x, pairs) if isinstance(x, Node) else x
-                            for x in it
-                        )
-                    )
-                else:
-                    items.append(it)
-            kwargs[f.name] = type(val)(items)
-    return dataclasses.replace(node, **kwargs) if kwargs else node
 
 
 def analyze(engine, select: SqlSelect) -> MatView | None:
@@ -1172,10 +893,11 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
         # multiset, deduced above.)
         probe = MatView(name="", select=select, base=nm, dim=dim_name)
         if (
-            equi_join_pairs(
+            join_on_parts(
                 probe,
                 _snapshot_cols(engine, sink),
                 _snapshot_cols(engine, engine.sinks[dim_name]),
+                allow_cross=True,
             )
             is None
         ):
@@ -1241,18 +963,6 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
     )
 
 
-_W = IdentityNode(("__w",))
-
-
-def effective_where(mv: MatView):
-    """The view's WHERE as the state selects evaluate it: the frozen
-    scalar-subquery substitution (``MatView.scalar_subs``), or the WHERE
-    minus the IN-subquery conjunct (``MatView.in_table`` — membership is
-    applied to the state selects' INPUT frames), or the original."""
-    if mv.in_table is not None:
-        return mv.where_rest
-    return mv.where_subst if mv.scalar_subs else mv.select.where
-
 
 def in_membership_filter(engine, mv: MatView, df: DataFrame) -> DataFrame:
     """Semi-join ``df`` (a base snapshot or signed delta) to the
@@ -1316,1115 +1026,3 @@ def apply_scalar_subs(mv: MatView, vals: list) -> None:
         ],
     )
 
-
-def _state_select(
-    mv: MatView,
-    tmp_table: str,
-    src_ref: str | None,
-    weight: Node = _W,
-    join_override: str | None = None,
-) -> SqlSelect:
-    """The state-form SELECT over ``tmp_table`` (which must carry the base
-    columns plus a signed ``__w`` weight). Reuses the original parsed
-    subtrees; aliased back to the original source ref so qualified
-    identifiers in keys/args/WHERE keep resolving. ``weight`` is the
-    effective per-joined-row weight expression — ``__w`` normally,
-    ``__w * __dw`` when the DIM side of a join view carries its own
-    signed weight (the F ⋈ ΔD term of higher-order join maintenance),
-    or bare ``__dw`` for dim-side-only terms (RIGHT/FULL null
-    extensions, where the fact side is empty). ``join_override``
-    replaces the view's join type for this one select — the matched-part
-    terms of an outer-join view evaluate under INNER semantics."""
-
-    def nn_count(arg: Node) -> Node:
-        # CASE WHEN arg IS NULL THEN 0 ELSE <weight> END
-        return CaseNode(
-            operand=None,
-            whens=[(BinaryNode(op="IS", left=arg, right=NullNode()), NumberNode("0"))],
-            default=weight,
-        )
-
-    def pos_only(arg: Node) -> Node:
-        # CASE WHEN <weight> > 0 THEN arg END — extrema fold over the
-        # INSERT-side rows only; delete-side rows set the group's repair
-        # flag instead (a removed row can't lower a min by folding)
-        return CaseNode(
-            operand=None,
-            whens=[(BinaryNode(op=">", left=weight, right=NumberNode("0")), arg)],
-            default=None,
-        )
-
-    cols = [
-        Column(expr=k, alias=name) for k, name in zip(mv.key_nodes, mv.key_cols)
-    ]
-    cols.append(Column(expr=FuncNode(name="sum", args=[weight]), alias="__mv_n"))
-    for a in mv.aggs:
-        if a.s_col and not a.z_col:
-            cols.append(
-                Column(
-                    expr=FuncNode(name="sum", args=[BinaryNode(op="*", left=weight, right=a.arg)]),
-                    alias=a.s_col,
-                )
-            )
-        # variance/covar families (z_col set): s/q are NOT computed here
-        # — raw power sums cancel catastrophically at large magnitudes.
-        # The centered (s, q, z) columns are grafted on by the second
-        # row-level pass in state_frame (see _variance_overlay).
-        if a.c_col:
-            if a.arg2 is not None:
-                # pairwise count (ANSI two-arg moments: a NULL in either
-                # argument drops the pair)
-                probe = CaseNode(
-                    operand=None,
-                    whens=[
-                        (BinaryNode(op="IS", left=a.arg, right=NullNode()), NullNode()),
-                        (BinaryNode(op="IS", left=a.arg2, right=NullNode()), NullNode()),
-                    ],
-                    default=NumberNode("1"),
-                )
-            else:
-                probe = a.arg
-            cols.append(Column(expr=FuncNode(name="sum", args=[nn_count(probe)]), alias=a.c_col))
-        if a.m_col:
-            cols.append(
-                Column(expr=FuncNode(name=a.kind, args=[pos_only(a.arg)]), alias=a.m_col)
-            )
-    if mv.has_extrema:
-        # per-group delete marker: max(CASE WHEN <weight> < 0 THEN 1 ELSE 0 END)
-        cols.append(
-            Column(
-                expr=FuncNode(
-                    name="max",
-                    args=[
-                        CaseNode(
-                            operand=None,
-                            whens=[
-                                (
-                                    BinaryNode(op="<", left=weight, right=NumberNode("0")),
-                                    NumberNode("1"),
-                                )
-                            ],
-                            default=NumberNode("0"),
-                        )
-                    ],
-                ),
-                alias=NEG_FLAG,
-            )
-        )
-    import dataclasses
-
-    from_list = [FromSource(name=tmp_table, alias=src_ref)]
-    if len(mv.select.from_) > 1:
-        # incremental JOIN view: the dim FromSource (name, join type, ON
-        # expr) is reused VERBATIM — the fact's temp frame is aliased
-        # back to the original ref so the ON keeps resolving. A
-        # join_override swaps the join type for this one select.
-        d = mv.select.from_[1]
-        if join_override is not None and d.join_type != join_override:
-            d = dataclasses.replace(d, join_type=join_override)
-        from_list.append(d)
-    return SqlSelect(
-        columns=cols,
-        from_=from_list,
-        where=effective_where(mv),
-        group_by=list(mv.key_nodes),
-    )
-
-
-_UNSET = object()
-
-
-def join_on_parts(mv: MatView, fact_cols: set, dim_cols: set, allow_cross: bool = False):
-    """Decompose the view's join ON into ``(pairs, fact_preds,
-    dim_preds[, cross_preds])``: the plain fact-column = dim-column
-    equality pairs plus the row-local SINGLE-SIDE residual conjuncts
-    (Node lists, possibly empty). With ``allow_cross``, row-local
-    conjuncts referencing BOTH sides (two-sided non-equi: f.a < d.b)
-    land in a fourth list instead of rejecting — the LEFT-join flip
-    terms handle them by per-ROW match recounting over the ΔD-affected
-    fact slice (engine._refresh_one). None when any conjunct is not
-    row-local (or, without ``allow_cross``, two-sided non-equi), or
-    when no equality pair exists.
-
-    Why residuals are fine for the outer-join flip terms: a row failing
-    its OWN side's residual can never match anything, so (a) match
-    counting runs over residual-filtered snapshots, and (b) a
-    residual-failing row is unconditionally unmatched (null-extended in
-    its side's outer shapes). The equality pairs alone drive the key
-    bookkeeping — exactly the terms the refresh already runs.
-
-    Used by the F_old ⋈ ΔD maintenance term to pre-filter the fact scan
-    to rows whose join key appears in the dim delta — at 100 TB that
-    turns a full fact pass into a stats/row-group-skipped read (single
-    key: IN-list pushed to the parquet scan; compound key: broadcast
-    semi-join on the delta's distinct key tuples) — and by the
-    outer-join null-flip terms, whose match counting groups by the
-    (possibly compound) join key."""
-    if len(mv.select.from_) < 2:
-        return None
-    src, d = mv.select.from_[0], mv.select.from_[1]
-    if mv.dim == mv.base:
-        # self-join: each occurrence is referenced by its own alias (or
-        # by the bare table name for the at-most-one occurrence NOT
-        # aliased away; both unaliased would be ambiguous — engine
-        # rejects). Mirrors the analyze-time extrema-side resolution so
-        # FROM t AS a JOIN t ON a.k = t.k classifies t.k as dim-side.
-        f_ref = (src.alias or mv.base).lower()
-        d_ref = (d.alias or mv.base).lower()
-        fact_refs = {f_ref} if f_ref != d_ref else set()
-        dim_refs = {d_ref} if f_ref != d_ref else set()
-    else:
-        fact_refs = {mv.base, (src.alias or "").lower()} - {""}
-        dim_refs = {mv.dim, (d.alias or "").lower()} - {""}
-
-    def _side(n):
-        if not isinstance(n, IdentityNode) or getattr(n, "is_star", False):
-            return None
-        parts = [p.lower() for p in n.parts]
-        col = parts[-1]
-        if len(parts) > 1:
-            if parts[0] in fact_refs and col in fact_cols:
-                return ("f", n.parts[-1])
-            if parts[0] in dim_refs and col in dim_cols:
-                return ("d", n.parts[-1])
-            return None
-        if col in fact_cols and col not in dim_cols:
-            return ("f", n.parts[-1])
-        if col in dim_cols and col not in fact_cols:
-            return ("d", n.parts[-1])
-        return None
-
-    def _expr_side(node):
-        """'f' / 'd' when every identifier in ``node`` resolves to ONE
-        side, else "x" when every identifier RESOLVES but they span both
-        sides (a two-sided conjunct — translatable by the per-row
-        recount terms), else None (an unresolvable/ambiguous name).
-        NULL semantics carry over: the residual joins as a conjunct, so
-        only TRUE means match-able."""
-        side = None
-        for n in node.walk():
-            if isinstance(n, IdentityNode):
-                s = _side(n)
-                if s is None:
-                    return None
-                if side is not None and s[0] != side:
-                    side = "x"
-                elif side != "x":
-                    side = s[0]
-        return side
-
-    def _conj(node):
-        if isinstance(node, BinaryNode) and node.op == "AND":
-            return _conj(node.left) + _conj(node.right)
-        if isinstance(node, BooleanNode) and node.op == "AND" and not node.negated:
-            out = []
-            for a in node.args:
-                out.extend(_conj(a))
-            return out
-        return [node]
-
-    pairs = []
-    fact_preds: list = []
-    dim_preds: list = []
-    cross_preds: list = []
-    for eq in _conj(d.join_expr):
-        if (
-            isinstance(eq, BinaryNode)
-            and eq.op in ("=", "==")
-            and not getattr(eq, "negated", False)
-        ):
-            lhs, rhs = _side(eq.left), _side(eq.right)
-            if lhs and rhs and lhs[0] != rhs[0]:
-                pairs.append((lhs[1], rhs[1]) if lhs[0] == "f" else (rhs[1], lhs[1]))
-                continue
-        # not a clean cross-side equality: acceptable as a row-local
-        # single-side residual, or (allow_cross) a two-sided conjunct
-        if not _row_local(eq):
-            return None
-        side = _expr_side(eq)
-        if side == "f":
-            fact_preds.append(eq)
-        elif side == "d":
-            dim_preds.append(eq)
-        elif side == "x" and allow_cross:
-            cross_preds.append(eq)
-        else:
-            return None
-    if not pairs:
-        return None
-    if allow_cross:
-        return pairs, fact_preds, dim_preds, cross_preds
-    return pairs, fact_preds, dim_preds
-
-
-def equi_join_pairs(mv: MatView, fact_cols: set, dim_cols: set):
-    """The equality pairs of :func:`join_on_parts` (None when the ON
-    doesn't decompose). Single-side residual conjuncts are tolerated —
-    every caller either enforces them through the real join (the
-    maintenance terms re-run the view's ON verbatim) or only uses the
-    pairs as a conservative prune."""
-    parts = join_on_parts(mv, fact_cols, dim_cols)
-    return parts[0] if parts is not None else None
-
-
-def equi_join_prune_cols(mv: MatView, fact_cols: set, dim_cols: set):
-    """``(fact_col, dim_col)`` when the view's join ON has a SINGLE
-    equality pair — the shape whose prune can push down as an IN-list.
-    See :func:`join_on_parts` for the compound generalization."""
-    pairs = equi_join_pairs(mv, fact_cols, dim_cols)
-    return pairs[0] if pairs is not None and len(pairs) == 1 else None
-
-
-def _weight_node(dim_weighted: bool, weight_mode: str | None) -> Node:
-    mode = weight_mode or ("product" if dim_weighted else None)
-    if mode == "product":
-        return BinaryNode(op="*", left=_W, right=IdentityNode(("__dw",)))
-    if mode == "dim":
-        return IdentityNode(("__dw",))
-    if mode == "one":
-        # full-side evaluation (initial build / full rebuild / extrema
-        # repair): every OUTPUT row weighs 1 — a fact-side __w column
-        # would be NULL on a dim-preserved join's null-extended rows
-        return NumberNode("1")
-    return _W
-
-
-def _variance_row_select(
-    mv: MatView,
-    tmp_table: str,
-    src_ref: str | None,
-    weight: Node,
-    join_override: str | None,
-) -> SqlSelect:
-    """Row-level (no GROUP BY) companion to :func:`_state_select` for
-    the variance family: projects the group keys, the effective weight,
-    and each variance agg's argument through the SAME FROM/WHERE/join,
-    so the centered second pass sees exactly the rows the aggregated
-    pass aggregates."""
-    import dataclasses
-
-    cols = [
-        Column(expr=k, alias=name) for k, name in zip(mv.key_nodes, mv.key_cols)
-    ]
-    cols.append(Column(expr=weight, alias="__mv_vw"))
-    for a in mv.aggs:
-        if a.z_col and a.arg2 is not None:
-            # two-arg moments: PAIRWISE-guarded projections (a NULL in
-            # either argument drops the pair from every sum)
-            xp = CaseNode(
-                operand=None,
-                whens=[(BinaryNode(op="IS", left=a.arg2, right=NullNode()), NullNode())],
-                default=a.arg,
-            )
-            yp = CaseNode(
-                operand=None,
-                whens=[(BinaryNode(op="IS", left=a.arg, right=NullNode()), NullNode())],
-                default=a.arg2,
-            )
-            cols.append(Column(expr=xp, alias=f"__mv_vx_{a.z_col}"))
-            cols.append(Column(expr=yp, alias=f"__mv_vy_{a.z_col}"))
-        elif a.z_col:
-            cols.append(Column(expr=a.arg, alias=f"__mv_vx_{a.z_col}"))
-    from_list = [FromSource(name=tmp_table, alias=src_ref)]
-    if len(mv.select.from_) > 1:
-        d = mv.select.from_[1]
-        if join_override is not None and d.join_type != join_override:
-            d = dataclasses.replace(d, join_type=join_override)
-        from_list.append(d)
-    return SqlSelect(columns=cols, from_=from_list, where=effective_where(mv))
-
-
-def _apply_variance_overlay(engine, mv: MatView, out: DataFrame, rowsel: SqlSelect) -> DataFrame:
-    """Graft centered variance state (s = Σw(x−z), q = Σw(x−z)², z =
-    the group's min x) onto the aggregated state frame ``out``. The
-    shift is subtracted BEFORE squaring — the whole point: x² at
-    epoch-millis magnitude has ulp ≈ 3e8, so raw power sums cannot be
-    repaired after the fact. One window + one hash agg over the same
-    keys (Catalyst reuses the partitioning), only paid by variance
-    views, only over the delta."""
-    from functools import reduce
-
-    from pyspark.sql.window import Window
-
-    rows = engine._select_any(rowsel)
-    vaggs = [a for a in mv.aggs if a.z_col]
-    keys = [F.col(k) for k in mv.key_cols]
-    win = Window.partitionBy(*keys) if mv.key_cols else Window.partitionBy(F.lit(1))
-    aggexprs = []
-    for a in vaggs:
-        x = F.col(f"__mv_vx_{a.z_col}")
-        z = F.min(x).over(win)
-        d = (x - z).cast("double")
-        w_ = F.col("__mv_vw").cast("double")
-        rows = rows.withColumn(f"__mv_ts_{a.z_col}", w_ * d)
-        if a.arg2 is not None:
-            # bivariate centered sums: both args already pairwise-guarded
-            # in the row select, so every term is NULL (excluded from
-            # the sums) unless BOTH are present
-            y = F.col(f"__mv_vy_{a.z_col}")
-            zy = F.min(y).over(win)
-            dy = (y - zy).cast("double")
-            rows = rows.withColumn(f"__mv_ts2_{a.z_col}", w_ * dy).withColumn(
-                f"__mv_tqc_{a.z_col}", w_ * d * dy
-            )
-            aggexprs += [
-                F.sum(f"__mv_ts_{a.z_col}").alias(a.s_col),
-                F.sum(f"__mv_ts2_{a.z_col}").alias(a.s2_col),
-                F.sum(f"__mv_tqc_{a.z_col}").alias(a.qc_col),
-                F.min(x).cast("double").alias(a.z_col),
-                F.min(y).cast("double").alias(a.z2_col),
-            ]
-            if a.q_col:  # corr: per-side second moments too
-                rows = rows.withColumn(f"__mv_tq_{a.z_col}", w_ * d * d).withColumn(
-                    f"__mv_tq2_{a.z_col}", w_ * dy * dy
-                )
-                aggexprs += [
-                    F.sum(f"__mv_tq_{a.z_col}").alias(a.q_col),
-                    F.sum(f"__mv_tq2_{a.z_col}").alias(a.q2_col),
-                ]
-            continue
-        rows = rows.withColumn(f"__mv_tq_{a.z_col}", w_ * d * d)
-        aggexprs += [
-            F.sum(f"__mv_ts_{a.z_col}").alias(a.s_col),
-            F.sum(f"__mv_tq_{a.z_col}").alias(a.q_col),
-            F.min(x).cast("double").alias(a.z_col),
-        ]
-    vf = rows.groupBy(*keys).agg(*aggexprs) if mv.key_cols else rows.groupBy().agg(*aggexprs)
-    if not mv.key_cols:
-        return out.crossJoin(vf)
-    renamed = vf.select(
-        *[F.col(k).alias(f"__mvv_{k}") for k in mv.key_cols],
-        *[
-            F.col(c)
-            for a in vaggs
-            for c in (a.s_col, a.q_col, a.z_col, a.s2_col, a.q2_col, a.qc_col, a.z2_col)
-            if c
-        ],
-    )
-    cond = reduce(
-        lambda acc, k: acc & F.col(k).eqNullSafe(F.col(f"__mvv_{k}")),
-        mv.key_cols[1:],
-        F.col(mv.key_cols[0]).eqNullSafe(F.col(f"__mvv_{mv.key_cols[0]}")),
-    )
-    return out.join(renamed, cond, "left").drop(*[f"__mvv_{k}" for k in mv.key_cols])
-
-
-def state_frame(
-    engine,
-    mv: MatView,
-    base_df: DataFrame,
-    weight,
-    dim_df: DataFrame | None = None,
-    dim_weighted: bool = False,
-    weight_mode: str | None = None,
-    join_override: str | None = None,
-) -> DataFrame:
-    """Run the state select over ``base_df`` (+ a ``__w`` column). The
-    frame registers under a reserved temp name for the duration of the
-    engine select — same pipeline, same semantics as the original query.
-
-    Join views: ``dim_df`` temporarily overrides what the dim table name
-    resolves to (``engine.tables`` wins over sinks) — used to PIN the dim
-    snapshot during a refresh, and to substitute the dim DELTA for the
-    F ⋈ ΔD term of higher-order maintenance. With ``dim_weighted`` (or
-    ``weight_mode='product'``) the dim frame must carry a signed
-    ``__dw`` column and the effective row weight becomes ``__w * __dw``
-    (a dim delete joined to a +1 fact row nets −1, exactly the
-    signed-multiset algebra); ``weight_mode='dim'`` uses bare ``__dw``
-    for dim-side-only terms where the fact side is empty (RIGHT/FULL
-    null extensions). ``join_override`` evaluates this one select under
-    a different join type (the matched-part terms of outer-join views
-    run INNER)."""
-    src = mv.select.from_[0]
-    tmp = f"__mv_src_{id(mv) & 0xFFFFFF:x}"
-    w_node = _weight_node(dim_weighted, weight_mode)
-    stmt = _state_select(
-        mv, tmp, src.alias or src.name, weight=w_node, join_override=join_override
-    )
-    engine.tables[tmp] = base_df.withColumn("__w", weight)
-    saved = _UNSET
-    if dim_df is not None:
-        saved = engine.tables.get(mv.dim, _UNSET)
-        engine.tables[mv.dim] = dim_df
-    try:
-        out = engine._select_any(stmt)
-        if any(a.z_col for a in (mv.aggs or [])):
-            out = _apply_variance_overlay(
-                engine,
-                mv,
-                out,
-                _variance_row_select(
-                    mv, tmp, src.alias or src.name, w_node, join_override
-                ),
-            )
-        return out
-    finally:
-        engine.tables.pop(tmp, None)
-        if dim_df is not None:
-            if saved is _UNSET:
-                engine.tables.pop(mv.dim, None)
-            else:
-                engine.tables[mv.dim] = saved
-
-
-def _sub_select(
-    mv: MatView,
-    a: AggSpec,
-    tmp_table: str,
-    src_ref: str | None,
-    weight: Node = _W,
-    join_override: str | None = None,
-) -> SqlSelect:
-    """The substate SELECT for one DISTINCT agg: (group keys, value) →
-    signed occurrence count. Shares the view's FROM/WHERE (and join)
-    verbatim, so it runs through the same pipeline as the main state."""
-    import dataclasses
-
-    cols = [
-        Column(expr=k, alias=name) for k, name in zip(mv.key_nodes, mv.key_cols)
-    ]
-    # the value may BE a group key (min_set(d.dname) grouped by d.dname;
-    # count(DISTINCT g) grouped by g): grouping by the keys alone is
-    # then equivalent, and projecting the same expr under two aliases
-    # would collide (the engine names both after the key) — skip the
-    # value column here; sub_state_frames re-adds __mv_dv as a copy of
-    # the exposed key column.
-    if a.arg not in mv.key_nodes:
-        cols.append(Column(expr=a.arg, alias="__mv_dv"))
-    if a.okey is not None and a.okey not in mv.key_nodes and a.okey != a.arg:
-        # pair substate: the ORDER key is part of the grain
-        cols.append(Column(expr=a.okey, alias="__mv_do"))
-    cols.append(Column(expr=FuncNode(name="sum", args=[weight]), alias="__mv_dn"))
-    from_list = [FromSource(name=tmp_table, alias=src_ref)]
-    if len(mv.select.from_) > 1:
-        d = mv.select.from_[1]
-        if join_override is not None and d.join_type != join_override:
-            d = dataclasses.replace(d, join_type=join_override)
-        from_list.append(d)
-    group_by = list(mv.key_nodes)
-    if a.arg not in group_by:
-        group_by.append(a.arg)
-    if a.okey is not None and a.okey not in group_by:
-        group_by.append(a.okey)
-    return SqlSelect(
-        columns=cols,
-        from_=from_list,
-        where=effective_where(mv),
-        group_by=group_by,
-    )
-
-
-def sub_state_frames(
-    engine,
-    mv: MatView,
-    base_df: DataFrame,
-    weight,
-    dim_df: DataFrame | None = None,
-    dim_weighted: bool = False,
-    weight_mode: str | None = None,
-    join_override: str | None = None,
-) -> list[DataFrame]:
-    """One substate frame per DISTINCT agg over ``base_df`` (+ ``__w``),
-    in ``AggSpec.d_idx`` order. Same source/dim/weight/join plumbing as
-    :func:`state_frame`."""
-    src = mv.select.from_[0]
-    tmp = f"__mv_src_{id(mv) & 0xFFFFFF:x}"
-    w_node = _weight_node(dim_weighted, weight_mode)
-    engine.tables[tmp] = base_df.withColumn("__w", weight)
-    saved = _UNSET
-    if dim_df is not None:
-        saved = engine.tables.get(mv.dim, _UNSET)
-        engine.tables[mv.dim] = dim_df
-    try:
-        out = []
-        for a in mv.aggs:
-            if a.kind not in _SUBSTATE_AGGS:
-                continue
-            f = engine._select_any(
-                _sub_select(
-                    mv, a, tmp, src.alias or src.name,
-                    weight=w_node, join_override=join_override,
-                )
-            )
-            if a.arg in mv.key_nodes:
-                # value == group key: _sub_select skipped the duplicate
-                # projection; re-add __mv_dv as a copy of the key column
-                f = f.withColumn(
-                    "__mv_dv", F.col(mv.key_cols[mv.key_nodes.index(a.arg)])
-                )
-            if a.okey is not None and "__mv_do" not in f.columns:
-                # order key == a group key (constant per group) or == the
-                # value: re-add the grain column as a copy
-                f = f.withColumn(
-                    "__mv_do",
-                    F.col(mv.key_cols[mv.key_nodes.index(a.okey)])
-                    if a.okey in mv.key_nodes
-                    else F.col("__mv_dv"),
-                )
-            out.append(f)
-        return out
-    finally:
-        engine.tables.pop(tmp, None)
-        if dim_df is not None:
-            if saved is _UNSET:
-                engine.tables.pop(mv.dim, None)
-            else:
-                engine.tables[mv.dim] = saved
-
-
-def merge_substates(
-    mv: MatView, substates: list[DataFrame], deltas: list[DataFrame]
-) -> list[DataFrame]:
-    """Fold signed substate deltas: one union + hash agg per DISTINCT
-    agg, grained by (keys, value); values whose occurrence count reaches
-    zero drop out — O(|substate| + |delta|), never the base."""
-    out = []
-    subs = [a for a in mv.aggs if a.d_idx is not None]
-    for a, old, delta in zip(subs, substates, deltas):
-        grain = list(mv.key_cols)
-        if a.kind in _PAIR_AGGS:
-            grain.append("__mv_do")  # pair substate keeps the pairing
-        grain.append("__mv_dv")
-        merged = (
-            old.unionByName(delta)
-            .groupBy(*grain)
-            .agg(F.sum("__mv_dn").alias("__mv_dn"))
-            .filter(F.col("__mv_dn") > 0)
-        )
-        out.append(merged)
-    return out
-
-
-_STATE_COLS = lambda mv: ["__mv_n"] + [  # noqa: E731
-    c
-    for a in mv.aggs
-    for c in (a.s_col, a.q_col, a.c_col, a.s2_col, a.q2_col, a.qc_col)
-    if c
-]
-
-
-def merge_state(mv: MatView, internal: DataFrame, delta: DataFrame) -> DataFrame:
-    """Fold a signed delta into the stored state: union + ONE hash
-    aggregation on the keys. Vanished groups (row count 0) drop out —
-    unless the view is a global aggregate, whose single row is kept
-    (ANSI: a global agg over an empty relation still returns one row).
-    Sum-shaped state folds with sum; extremum state folds with min/max
-    over the insert-side candidates, carrying the delta's per-group
-    delete flag forward so repair_extrema can re-aggregate exactly the
-    groups whose stored extremum may have been removed."""
-    states = _STATE_COLS(mv)
-    folds = [F.sum(c).alias(c) for c in states]
-    for a in mv.aggs:
-        if a.m_col:
-            folds.append((F.min if a.kind == "min" else F.max)(a.m_col).alias(a.m_col))
-    if mv.has_extrema:
-        internal = internal.withColumn(NEG_FLAG, F.lit(0))
-        folds.append(F.max(NEG_FLAG).alias(NEG_FLAG))
-    vaggs = [a for a in mv.aggs if a.z_col]
-    for a in vaggs:
-        # a state persisted before the centered encoding lacks z — a
-        # NULL shift reads as raw sums (shift 0), which is exact
-        if a.z_col not in internal.columns:
-            internal = internal.withColumn(a.z_col, F.lit(None).cast("double"))
-        if a.z_col not in delta.columns:
-            delta = delta.withColumn(a.z_col, F.lit(None).cast("double"))
-        folds.append(F.min(a.z_col).alias(a.z_col))
-        if a.z2_col:
-            folds.append(F.min(a.z2_col).alias(a.z2_col))
-    u = internal.unionByName(delta)
-    if vaggs:
-        # re-center every contribution to the group's common shift
-        # Z = min over contributing shifts BEFORE the additive fold:
-        # Σw(x−Z) = s + (z−Z)·c, Σw(x−Z)² = q + 2(z−Z)·s + (z−Z)²·c —
-        # exact algebra (c is the signed non-null count, so net-zero
-        # groups re-center correctly too). Window + groupBy share the
-        # key partitioning: one shuffle. A row "has data" iff s is
-        # non-null (all-NULL-arg groups contribute nothing).
-        from pyspark.sql.window import Window
-
-        win = (
-            Window.partitionBy(*[F.col(k) for k in mv.key_cols])
-            if mv.key_cols
-            else Window.partitionBy(F.lit(1))
-        )
-        for a in vaggs:
-            data = F.col(a.s_col).isNotNull()
-            zeff = F.coalesce(F.col(a.z_col), F.lit(0.0))
-            big_z = F.min(F.when(data, zeff)).over(win)
-            d = zeff - big_z
-            c_ = F.coalesce(F.col(a.c_col), F.lit(0)).cast("double")
-            s_ = F.col(a.s_col)
-            if a.arg2 is not None:
-                # bivariate re-centering to the common shifts (Zx, Zy):
-                # Σw(x−Zx)(y−Zy) = qxy + dx·sy + dy·sx + dx·dy·c, with
-                # the per-side second moments re-centering exactly like
-                # the univariate case — all formulas use the ORIGINAL
-                # sx/sy, staged via temp columns before the overwrite
-                zeff2 = F.coalesce(F.col(a.z2_col), F.lit(0.0))
-                big_z2 = F.min(F.when(data, zeff2)).over(win)
-                d2 = zeff2 - big_z2
-                s2_ = F.col(a.s2_col)
-                u = u.withColumn(
-                    "__mv_tqc",
-                    F.col(a.qc_col) + d * s2_ + d2 * s_ + d * d2 * c_,
-                ).withColumn("__mv_ts", s_ + d * c_).withColumn(
-                    "__mv_ts2", s2_ + d2 * c_
-                )
-                if a.q_col:
-                    u = u.withColumn(
-                        "__mv_tq", F.col(a.q_col) + 2.0 * d * s_ + d * d * c_
-                    ).withColumn(
-                        "__mv_tq2", F.col(a.q2_col) + 2.0 * d2 * s2_ + d2 * d2 * c_
-                    ).withColumn(
-                        a.q_col, F.when(data, F.col("__mv_tq"))
-                    ).withColumn(a.q2_col, F.when(data, F.col("__mv_tq2")))
-                u = (
-                    u.withColumn(a.qc_col, F.when(data, F.col("__mv_tqc")))
-                    .withColumn(a.s_col, F.when(data, F.col("__mv_ts")))
-                    .withColumn(a.s2_col, F.when(data, F.col("__mv_ts2")))
-                    .withColumn(a.z_col, F.when(data, big_z))
-                    .withColumn(a.z2_col, F.when(data, big_z2))
-                    .drop("__mv_ts", "__mv_ts2", "__mv_tq", "__mv_tq2", "__mv_tqc")
-                )
-                continue
-            q_ = F.col(a.q_col)
-            u = (
-                u.withColumn("__mv_tq", q_ + 2.0 * d * s_ + d * d * c_)
-                .withColumn("__mv_ts", s_ + d * c_)
-                .withColumn(a.s_col, F.when(data, F.col("__mv_ts")))
-                .withColumn(a.q_col, F.when(data, F.col("__mv_tq")))
-                .withColumn(a.z_col, F.when(data, big_z))
-                .drop("__mv_ts", "__mv_tq")
-            )
-    merged = u.groupBy(*[F.col(k) for k in mv.key_cols]).agg(*folds)
-    if mv.key_cols:
-        merged = merged.filter(F.col("__mv_n") > 0)
-    else:
-        # global agg: sum over zero input rows is NULL; re-zero the count
-        merged = merged.withColumn("__mv_n", F.coalesce(F.col("__mv_n"), F.lit(0)))
-    return merged
-
-
-def _semi_by_keys(engine, frame: DataFrame, ref: str, mv: MatView, stale_keys):
-    """Rows of ``frame`` (aliased ``ref``) whose group-key exprs match a
-    stale key (null-safe — a NULL key IS a group)."""
-    from functools import reduce
-
-    from .translate import Scope, to_column
-
-    scope = Scope({ref: frame}, includes=engine.includes)
-    probe = frame
-    conds = []
-    for k, name in zip(mv.key_nodes, mv.key_cols):
-        probe = probe.withColumn(f"__mv_k_{name}", to_column(k, scope))
-        conds.append(F.col(f"__mv_k_{name}").eqNullSafe(F.col(f"__sk.{name}")))
-    return probe.join(
-        F.broadcast(stale_keys.alias("__sk")),
-        on=reduce(lambda a, b: a & b, conds),
-        how="left_semi",
-    ).drop(*[f"__mv_k_{n}" for n in mv.key_cols])
-
-
-def repair_extrema(
-    engine,
-    mv: MatView,
-    merged: DataFrame,
-    base_version: int,
-    dim_version: int | None = None,
-) -> DataFrame:
-    """Re-aggregate the groups a delete touched (their stored min/max is
-    non-foldable: the reigning extremum may be the removed row) from the
-    base snapshot, and graft the fresh state over the folded one. The
-    change feed names EXACTLY which groups — the base read is a
-    key-semi-joined scan, O(affected groups' rows), never O(base) unless
-    the view is a global aggregate (one group = the whole table; that
-    recompute cost is inherent, and only paid when a delete occurred).
-
-    ``extrema_side`` picks the probe relation: ``'fact'`` (default)
-    semi-joins stale group keys against the fact snapshot and re-runs
-    the view's join over the pruned facts; ``'dim'`` (INNER/RIGHT views
-    whose group keys live on the dim side) prunes the DIM rows instead
-    and re-runs the join with the dim SUBSTITUTED — correct because on
-    a dim-preserved or inner join, the pruned dim's output is exactly
-    the stale groups' rows. With a plain equi key the fact scan is
-    additionally semi-pruned to the stale dim rows' join keys."""
-    clean = merged.filter(F.col(NEG_FLAG) == 0).drop(NEG_FLAG)
-    stale_keys = merged.filter(F.col(NEG_FLAG) > 0).select(*mv.key_cols)
-    if not stale_keys.limit(1).count():
-        return clean  # no delete touched any surviving group
-    base = engine.sinks[mv.base].scan(engine.spark, version=base_version)
-    dim_df = None
-    if mv.key_cols and mv.extrema_side == "dim":
-        dsink = engine.sinks[mv.dim]
-        dim_frame = dsink.scan(
-            engine.spark,
-            version=dim_version if dim_version is not None else max(dsink.versions()),
-        )
-        d = mv.select.from_[1]
-        dim_df = _semi_by_keys(engine, dim_frame, d.alias or d.name, mv, stale_keys)
-        pj = equi_join_prune_cols(
-            mv,
-            {c.lower() for c in base.columns},
-            {c.lower() for c in dim_frame.columns},
-        )
-        if pj is not None:
-            fact_col, dim_col = pj
-            jk = dim_df.select(F.col(dim_col).alias("__mv_jk")).distinct()
-            base = base.join(
-                F.broadcast(jk), base[fact_col] == jk["__mv_jk"], "left_semi"
-            )
-    elif mv.key_cols:
-        src = mv.select.from_[0]
-        base = _semi_by_keys(engine, base, src.alias or src.name, mv, stale_keys)
-    fresh = state_frame(
-        engine, mv, base, F.lit(1), dim_df=dim_df, weight_mode="one"
-    ).drop(NEG_FLAG)
-    if not mv.key_cols:
-        return fresh  # global aggregate: the one group IS the recompute
-    return clean.unionByName(fresh)
-
-
-def exposed_frame(mv: MatView) -> DataFrame:
-    """Project the internal state to the view's declared columns, cast to
-    the exact dtypes of the original query."""
-    if not mv.incremental:
-        return mv.internal
-    if mv.expand:
-        # multiset state → rows: each distinct projected tuple repeats
-        # its signed-count times (O(|view|) generate, no shuffle)
-        n = F.greatest(F.col("__mv_n"), F.lit(0)).cast("int")
-        df = (
-            mv.internal.select(
-                F.explode(
-                    F.array_repeat(F.struct(*[F.col(k) for k in mv.key_cols]), n)
-                ).alias("__mv_r")
-            ).select("__mv_r.*")
-        )
-        if mv.exposed_types:
-            df = df.select(
-                *[
-                    F.col(c).cast(mv.exposed_types[c]).alias(c)
-                    if c in mv.exposed_types
-                    else F.col(c)
-                    for c in df.columns
-                ]
-            )
-        return df
-    out = []
-    for k in mv.key_cols:
-        out.append(F.col(k).alias(k))
-    distinct_aggs = []
-    for a in mv.aggs:
-        if a.kind == "count_star":
-            c = F.coalesce(F.col("__mv_n"), F.lit(0))
-        elif a.kind == "count":
-            c = F.coalesce(F.col(a.c_col), F.lit(0))
-        elif a.kind == "sum":
-            c = F.when(F.col(a.c_col) > 0, F.col(a.s_col))
-        elif a.kind in _EXTREMUM_AGGS:
-            c = F.col(a.m_col)
-        elif a.kind in _SUBSTATE_AGGS:
-            distinct_aggs.append(a)
-            continue  # joined in from the substate below
-        elif a.kind in _VARIANCE_AGGS:
-            # algebraic over CENTERED moments (shift-invariant):
-            # m2 = Σ(x−z)² − (Σ(x−z))²/n, clamped ≥ 0 against ulp
-            # drift; sample variants need n ≥ 2, population n ≥ 1
-            n_ = F.col(a.c_col).cast("double")
-            s_ = F.col(a.s_col).cast("double")
-            q_ = F.col(a.q_col).cast("double")
-            m2 = F.greatest(q_ - (s_ * s_) / n_, F.lit(0.0))
-            if a.kind in ("var_pop", "stddev_pop"):
-                c = F.when(n_ > 0, m2 / n_)
-            else:
-                c = F.when(n_ > 1, m2 / (n_ - 1))
-            if a.kind.startswith("stddev"):
-                c = F.sqrt(c)
-        elif a.kind in _COVAR_AGGS:
-            # bivariate centered moments: m_xy = qxy − sx·sy/n over the
-            # pairwise-non-null count; corr = m_xy / sqrt(m_xx·m_yy),
-            # NULL when either variance is zero — the engine's corr()
-            # convention (try_divide), so exposure == recompute exactly
-            n_ = F.col(a.c_col).cast("double")
-            sx = F.col(a.s_col).cast("double")
-            sy = F.col(a.s2_col).cast("double")
-            mxy = F.col(a.qc_col).cast("double") - (sx * sy) / n_
-            if a.kind == "covar_samp":
-                c = F.when(n_ > 1, mxy / (n_ - 1))
-            elif a.kind == "covar_pop":
-                c = F.when(n_ > 0, mxy / n_)
-            else:  # corr
-                mxx = F.greatest(
-                    F.col(a.q_col).cast("double") - (sx * sx) / n_, F.lit(0.0)
-                )
-                myy = F.greatest(
-                    F.col(a.q2_col).cast("double") - (sy * sy) / n_, F.lit(0.0)
-                )
-                c = F.when(
-                    (n_ > 0) & (mxx > 0) & (myy > 0), mxy / F.sqrt(mxx * myy)
-                )
-        else:  # avg
-            c = F.when(F.col(a.c_col) > 0, F.col(a.s_col) / F.col(a.c_col))
-        out.append(c.alias(a.out))
-    df = mv.internal.select(*out)
-    for a in distinct_aggs:
-        # re-aggregate the O(|distinct values|) substate and graft the
-        # column in: per-group |view|-sized join, never a base read.
-        # NULL values don't count/sum (ANSI DISTINCT-agg semantics);
-        # NULL group keys join null-safely (a NULL key IS a group).
-        sub = mv.substates[a.d_idx].filter(F.col("__mv_dv").isNotNull())
-        if a.kind in _ORDERED_AGGS:
-            # ordered-set collect: the multiset's sorted support with
-            # per-value repeats IS the collected sequence. NULL values
-            # are kept (array_agg collects them; string_agg's
-            # array_join drops them — both exactly the engine's
-            # behavior) and the sort uses the SAME sort_array
-            # comparator as the engine's ordered collect.
-            desc = a.kind.endswith("_desc")
-            fields = [F.col("__mv_dv").alias("v"), F.col("__mv_dn").alias("n")]
-            if a.kind in _PAIR_AGGS:
-                # pair substate: the ORDER key leads the comparator; ties
-                # fall through to the value — exactly the engine's
-                # struct(key…, value) sort_array comparator
-                fields.insert(0, F.col("__mv_do").alias("o"))
-            structs = F.sort_array(F.collect_list(F.struct(*fields)), asc=not desc)
-            arr = F.flatten(
-                F.transform(
-                    structs, lambda s_: F.array_repeat(s_["v"], s_["n"].cast("int"))
-                )
-            )
-            if a.kind.startswith("string_agg"):
-                sep = a.arg2.value if a.arg2 is not None else ","
-                agg_c = F.array_join(
-                    F.transform(arr, lambda v: v.cast("string")), sep
-                )
-            else:
-                agg_c = arr
-            cf = (
-                mv.substates[a.d_idx]
-                .groupBy(*[F.col(k) for k in mv.key_cols])
-                .agg(agg_c.alias(a.out))
-            )
-            if mv.key_cols:
-                cfa = cf.select(
-                    *[F.col(k).alias(f"__mvd_{k}") for k in mv.key_cols], F.col(a.out)
-                )
-                cond = None
-                for k in mv.key_cols:
-                    c = df[k].eqNullSafe(cfa[f"__mvd_{k}"])
-                    cond = c if cond is None else (cond & c)
-                df = df.join(cfa, cond, "left").drop(*[f"__mvd_{k}" for k in mv.key_cols])
-            else:
-                df = df.crossJoin(cf) if cf.columns else df
-            # collect_list/array_join are never NULL, but the graft join
-            # made the column nullable — coalesce with a typed empty
-            # default so the exposed schema matches the recompute
-            # exactly (the default never fires: every live group has
-            # substate rows)
-            et = (mv.exposed_types or {}).get(a.out)
-            if et is not None:
-                default = (
-                    F.lit("")
-                    if a.kind.startswith("string_agg")
-                    else F.array().cast(et)
-                )
-                df = df.withColumn(a.out, F.coalesce(F.col(a.out), default))
-            continue
-        if a.kind in _SORT_AGGS or a.kind in _SORT_DISTINCT:
-            # exact weighted percentile over the (value, count) multiset
-            # with Spark/DuckDB linear interpolation: target index
-            # t = (N−1)·p over the sorted occurrences; value v_i with
-            # count c_i covers indices [cum_{i−1}, cum_i); the answer
-            # interpolates between the values covering ⌊t⌋ and ⌈t⌉.
-            # One window + one hash agg on the same keys (one shuffle).
-            # DISTINCT variants count each distinct value ONCE (the
-            # occurrence weight collapses to 1).
-            from pyspark.sql.window import Window
-
-            keys = [F.col(k) for k in mv.key_cols]
-            w_part = Window.partitionBy(*keys) if mv.key_cols else Window.partitionBy(F.lit(1))
-            w_ord = w_part.orderBy(F.col("__mv_dv")).rowsBetween(
-                Window.unboundedPreceding, Window.currentRow
-            )
-            p = a.p if a.p is not None else 0.5
-            occ = F.lit(1) if a.kind in _SORT_DISTINCT else F.col("__mv_dn")
-            s2 = sub.withColumn("__mv_cum", F.sum(occ).over(w_ord)).withColumn(
-                "__mv_t",
-                (F.sum(occ).over(w_part) - F.lit(1)).cast("double") * F.lit(p),
-            )
-            grouped = s2.groupBy(*keys) if mv.key_cols else s2.groupBy()
-            cf = grouped.agg(
-                F.min(
-                    F.when(
-                        F.col("__mv_cum").cast("double") > F.floor(F.col("__mv_t")),
-                        F.col("__mv_dv").cast("double"),
-                    )
-                ).alias("__mv_vlo"),
-                F.min(
-                    F.when(
-                        F.col("__mv_cum").cast("double") > F.ceil(F.col("__mv_t")),
-                        F.col("__mv_dv").cast("double"),
-                    )
-                ).alias("__mv_vhi"),
-                F.first("__mv_t").alias("__mv_t"),
-            )
-            frac = F.col("__mv_t") - F.floor(F.col("__mv_t"))
-            cf = cf.select(
-                *[F.col(k) for k in mv.key_cols],
-                (
-                    F.col("__mv_vlo")
-                    + (F.coalesce(F.col("__mv_vhi"), F.col("__mv_vlo")) - F.col("__mv_vlo")) * frac
-                ).alias(a.out),
-            )
-        else:
-            if a.kind == "count_distinct":
-                agg_c = F.count(F.lit(1))
-            elif a.kind == "sum_distinct":
-                agg_c = F.sum("__mv_dv")
-            elif a.kind in _SET_EXTREMA:
-                # multiset-backed extrema (FULL/self-join shapes): the
-                # exposed value is just the multiset's edge — deletes
-                # already folded out of the substate, no repair probe
-                agg_c = (F.min if a.kind == "min_set" else F.max)("__mv_dv")
-            elif a.kind == "mode":
-                # argmax of the occurrence counts, ties to the SMALLEST
-                # value — exactly Spark's deterministic mode (which the
-                # engine's mode() maps to): min over (−count, value)
-                agg_c = F.min_by(
-                    "__mv_dv",
-                    F.struct(
-                        (-F.col("__mv_dn")).alias("nc"), F.col("__mv_dv").alias("v")
-                    ),
-                )
-            elif a.kind in _VARIANCE_DISTINCT:
-                # plain variance over the substate's VALUES (the
-                # distinct non-null support; occurrence counts ignored)
-                base = a.kind[: -len("_distinct")]
-                agg_c = {
-                    "variance": F.var_samp,
-                    "var_samp": F.var_samp,
-                    "var_pop": F.var_pop,
-                    "stddev": F.stddev_samp,
-                    "stddev_samp": F.stddev_samp,
-                    "stddev_pop": F.stddev_pop,
-                }[base](F.col("__mv_dv").cast("double"))
-            else:  # avg_distinct
-                agg_c = F.avg("__mv_dv")
-            cf = sub.groupBy(*[F.col(k) for k in mv.key_cols]).agg(agg_c.alias(a.out))
-        if mv.key_cols:
-            cfa = cf.select(
-                *[F.col(k).alias(f"__mvd_{k}") for k in mv.key_cols], F.col(a.out)
-            )
-            cond = None
-            for k in mv.key_cols:
-                c = df[k].eqNullSafe(cfa[f"__mvd_{k}"])
-                cond = c if cond is None else (cond & c)
-            df = df.join(cfa, cond, "left").drop(*[f"__mvd_{k}" for k in mv.key_cols])
-        else:
-            # global aggregate: both sides are single-row
-            df = df.crossJoin(cf) if cf.columns else df
-        if a.kind == "count_distinct":
-            df = df.withColumn(a.out, F.coalesce(F.col(a.out), F.lit(0)))
-    if mv.having is not None or mv.order_exprs or mv.win_cols or mv.qualify is not None:
-        from .translate import Scope, to_column
-
-        having_n, win_n, qualify_n = mv.having, mv.win_cols, mv.qualify
-        if mv.expose_subs:
-            # substitute the frozen expose-time scalar-subquery values as
-            # typed literals (placeholders ``__mv_es<i>`` were planted at
-            # analyze time); values refresh per REFRESH — re-expose only,
-            # never a state rebuild
-            from .nodes import SparkColNode
-
-            es_pairs = [
-                (
-                    IdentityNode((f"__mv_es{i}",)),
-                    SparkColNode(col=F.lit(v).cast(dt), dtype=dt, text="(SELECT ...)"),
-                )
-                for i, (v, dt) in enumerate(mv.expose_vals or [])
-            ]
-            if having_n is not None:
-                having_n = _subst(having_n, es_pairs)
-            win_n = [(n, _subst(e, es_pairs)) for n, e in win_n]
-            if qualify_n is not None:
-                qualify_n = _subst(qualify_n, es_pairs)
-        scope = Scope({"__mv_view": df})
-        if having_n is not None:
-            # post-aggregation filter over exposed + hidden agg columns
-            df = df.filter(to_column(having_n, scope))
-            scope = Scope({"__mv_view": df})
-        for wname, wnode in win_n:
-            # ANSI order: projection windows run AFTER HAVING, over the
-            # surviving groups; in SELECT order so a later window can
-            # reference an earlier one's alias
-            df = df.withColumn(wname, to_column(wnode, scope))
-            scope = Scope({"__mv_view": df})
-        if qualify_n is not None:
-            # QUALIFY filters after the windows; window exprs can't sit
-            # in a Filter directly — project the predicate, then filter
-            df = (
-                df.withColumn("__mv_qual", to_column(qualify_n, scope).cast("boolean"))
-                .filter(F.col("__mv_qual"))
-                .drop("__mv_qual")
-            )
-            scope = Scope({"__mv_view": df})
-        if mv.order_exprs:
-            # top-k exposure: sort (and LIMIT/OFFSET) over the FULL
-            # state — groups enter/leave the k without extra maintenance.
-            # Ties resolve arbitrarily, exactly like running the query.
-            from .engine import Engine
-
-            df = df.orderBy(
-                *[
-                    d
-                    for e, direction in mv.order_exprs
-                    for d in Engine._directional(to_column(e, scope), direction)
-                ]
-            )
-            if mv.offset:
-                df = df.offset(int(mv.offset))
-            if mv.limit is not None:
-                df = df.limit(int(mv.limit))
-    if mv.out_order and set(mv.out_order) <= set(df.columns):
-        # original SELECT column order; also drops HIDDEN (HAVING-only)
-        # agg columns from the exposed projection
-        df = df.select(*mv.out_order)
-    if mv.exposed_types:
-        df = df.select(
-            *[
-                F.col(c).cast(mv.exposed_types[c]).alias(c) if c in mv.exposed_types else F.col(c)
-                for c in df.columns
-            ]
-        )
-    return df
-
-
-def persist_state(mv: MatView, state: DataFrame) -> DataFrame:
-    """Durably store the new state and return the frame to read it back
-    from: the state sink when configured (a new committed version per
-    refresh — the view itself is time-travelable), else a
-    localCheckpoint (cuts lineage so chained refreshes stay O(1) deep)."""
-    if mv.state_sink is not None:
-        if getattr(mv.state_sink, "_version", lambda: -1)() < 0:
-            mv.state_sink.ensure(state)
-        else:
-            mv.state_sink.overwrite(state)
-        return mv.state_sink.scan(mv.state_sink.spark)
-    return state.localCheckpoint(eager=True)
-
-
-def persist_substates(mv: MatView, frames: list[DataFrame]) -> list[DataFrame]:
-    """Durably store the DISTINCT-agg substates (sibling sinks when the
-    view was created WITH {"path"}, else localCheckpoints) and return
-    the frames to read them back from — mirror of :func:`persist_state`
-    for the two-level state."""
-    if not mv.sub_sinks:
-        return [f.localCheckpoint(eager=True) for f in frames]
-    out = []
-    for sink, f in zip(mv.sub_sinks, frames):
-        if getattr(sink, "_version", lambda: -1)() < 0:
-            sink.ensure(f)
-        else:
-            sink.overwrite(f)
-        out.append(sink.scan(sink.spark))
-    return out

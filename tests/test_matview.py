@@ -1161,11 +1161,9 @@ class TestJoinMatViews:
         for q in (
             # OUTER self-joins: the null terms entangle both sides
             "SELECT f.dk AS k, count(*) AS n FROM f LEFT JOIN f g ON f.id = g.id GROUP BY f.dk",
-            # RIGHT join with a TWO-SIDED non-equi conjunct: the match
-            # counts aren't computable from per-side key bookkeeping
-            # (probe-less extrema, dim-key LEFT extrema, and single-side
-            # residual ONs all maintain since r13)
-            "SELECT d.dname AS g, count(*) AS n FROM f RIGHT JOIN d ON f.dk = d.dk AND f.x > d.dk GROUP BY d.dname",
+            # (RIGHT with a two-sided non-equi conjunct maintains since
+            # r14 — the per-row match-state terms; see
+            # tests/test_matview_r14.py::TestTwoSidedNonEquiOnMatViews)
             # OR-tree ON under a dim-preserved join: no decomposition
             "SELECT d.dname AS g, count(*) AS n FROM f RIGHT JOIN d ON f.dk = d.dk OR f.dk = d.dk GROUP BY d.dname",
         ):

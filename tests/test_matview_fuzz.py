@@ -68,7 +68,8 @@ REQUIRED = {
     "having", "topk", "durable_state", "where_alt",
     "agg_filter", "window_col", "qualify", "agg_median", "agg_mode",
     "agg_covar", "residual_on", "scalar_sub",
-    "in_sub", "in_sub_not", "expose_sub", "cross_on", "cross_on_full",
+    "in_sub", "in_sub_not", "expose_sub",
+    "cross_on_left", "cross_on_inner", "cross_on_right", "cross_on_full",
     "dim_churn", "dim_churn_right_full",
 }
 
@@ -100,12 +101,13 @@ SLOTS = [
     # NOT IN stays full (ANSI NULL semantics aren't per-key flips) —
     # pinned in BOTH directions like every fallback
     dict(join=None, key="fact", extrema=False, eligible=False, rounds=1, in_sub="not"),
-    # r14: two-sided non-equi ON conjuncts — INNER/LEFT maintain (LEFT
-    # via the T4' per-row recount); RIGHT stays full (symmetric recount
-    # not built — design note)
+    # r14: two-sided non-equi ON conjuncts — EVERY join shape maintains
+    # (INNER via the bilinear terms; outer shapes via the per-row
+    # match-state semi/anti terms T4'/T5'/T6')
     dict(join="LEFT", key="fact", extrema=False, eligible=True, rounds=2, on_cross=True),
     dict(join="INNER", key="fact", extrema=False, eligible=True, rounds=2, on_cross=True),
-    dict(join="RIGHT", key="dim", extrema=False, eligible=False, rounds=1, on_cross=True),
+    dict(join="RIGHT", key="dim", extrema=False, eligible=True, rounds=2, on_cross=True),
+    dict(join="FULL OUTER", key="fact", extrema=False, eligible=True, rounds=2, on_cross=True),
 ]
 
 EXTRAS = [
@@ -218,7 +220,7 @@ def _mk_sql(rng, slot, extra, state_path):
         classes.add("residual_on")
         on += rng.choice([" AND f.x > 2", " AND d.dk < 90"])
     elif slot.get("on_cross"):
-        classes.add("cross_on" if slot["eligible"] else "cross_on_full")
+        classes.add(f"cross_on_{(join or 'x').split()[0].lower()}")
         on += rng.choice([" AND f.x > d.dk", " AND f.x + d.dk < 9"])
     sel = f"SELECT {', '.join(f'{e} AS {a}' for e, a in keys)}, {', '.join(aggs)} FROM f"
     if self_join:

@@ -548,11 +548,13 @@ class TestPairOrderedCollectMatViews:
 
 
 class TestTwoSidedNonEquiOnMatViews:
-    """Two-sided non-equi ON conjuncts (f.x > d.w) under dim deltas:
-    INNER maintains through the bilinear terms (the state selects re-run
-    the REAL ON); LEFT maintains via the T4' per-ROW match recount over
-    the ΔD-affected fact slice; RIGHT/FULL stay full-recompute (the
-    symmetric dim-side recount isn't built — recorded design note)."""
+    """Two-sided non-equi ON conjuncts (f.x > d.w): INNER maintains
+    through the bilinear terms (the state selects re-run the REAL ON);
+    the outer shapes maintain via per-ROW match-state terms — semi/anti
+    joins of the affected slice against BOTH snapshots through the full
+    ON (T4' fact-side for LEFT/FULL, T5'/T6' dim-side for RIGHT/FULL;
+    residual-failing rows are unmatched in both snapshots, so they never
+    flip, with no special-casing)."""
 
     def _mk(self, spark, tmp_path, name):
         eng = Engine(spark, f"mvr14ne-{name}")
@@ -609,26 +611,60 @@ class TestTwoSidedNonEquiOnMatViews:
         assert rep["mode"] == "incremental"
         assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
 
-    def test_right_full_stay_full(self, spark, tmp_path):
+    def test_right_full_lifecycle(self, spark, tmp_path):
         eng = self._mk(spark, tmp_path, "rf")
-        for vn, q in {
-            "mvr": "SELECT d.dname AS g, count(*) AS n FROM f RIGHT JOIN d ON f.dk = d.dk AND f.x > d.w GROUP BY d.dname",
-            "mvf": "SELECT f.dk AS k, count(*) AS n FROM f FULL OUTER JOIN d ON f.dk = d.dk AND f.x > d.w GROUP BY f.dk",
-        }.items():
+        qs = {
+            "mvr": "SELECT d.dname AS g, count(*) AS n, count(f.x) AS nf FROM f RIGHT JOIN d ON f.dk = d.dk AND f.x > d.w GROUP BY d.dname",
+            "mvf": "SELECT f.dk AS k, count(*) AS n, sum(f.x) AS s FROM f FULL OUTER JOIN d ON f.dk = d.dk AND f.x > d.w GROUP BY f.dk",
+        }
+        for vn, q in qs.items():
             eng.execute(f"CREATE MATERIALIZED VIEW {vn} AS {q}")
-            assert not eng.mat_views[vn].incremental, vn
-            eng.execute("UPDATE d SET w = 1.0 WHERE dk = 1")
-            rep = eng.sql(f"REFRESH MATERIALIZED VIEW {vn}").collect()[0]
-            assert rep["mode"] == "full", vn
+            assert eng.mat_views[vn].incremental, vn
             assert _rows(eng, f"SELECT * FROM {vn}") == _rows(eng, q), vn
+        for st in (
+            "INSERT INTO f (id, dk, x) VALUES (100, 1, 8.0)",  # dim rows gain a first match
+            "DELETE FROM f WHERE dk = 1 AND x > 2.0",  # ... and lose them all
+            "UPDATE d SET w = 5.0 WHERE dk = 1",  # a dim UPDATE flips its own match set
+            "INSERT INTO d (dk, dname, w) VALUES (9, 'n9', 0.0)",  # unmatched new dim row
+            "DELETE FROM d WHERE dk = 2",
+            "UPDATE d SET w = 100.0 WHERE dk = 0",  # every dk=0 match vanishes
+            "UPDATE f SET x = 3.0 WHERE id % 10 = 3",
+        ):
+            eng.execute(st)
+            for vn, q in qs.items():
+                rep = eng.sql(f"REFRESH MATERIALIZED VIEW {vn}").collect()[0]
+                assert rep["mode"] == "incremental", (vn, st)
+                assert _rows(eng, f"SELECT * FROM {vn}") == _rows(eng, q), (vn, st)
 
-    def test_randomized_left_differential(self, spark, tmp_path):
+    def test_pure_nonequi_on_dim_delta_falls_back(self, spark, tmp_path):
+        # NO equality pair at all: fact deltas still fold (T1 runs the
+        # real LEFT join), but a dim delta has no affected-slice prune —
+        # the flip recount would be O(|F|) — so it degrades to ONE full
+        # recompute and re-pins
+        eng = self._mk(spark, tmp_path, "pne")
+        q = "SELECT f.dk AS k, count(*) AS n FROM f LEFT JOIN d ON f.x > d.w GROUP BY f.dk"
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
+        assert eng.mat_views["mv"].incremental
+        eng.execute("INSERT INTO f (id, dk, x) VALUES (300, 2, 4.5)")
+        rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+        assert rep["mode"] == "incremental"
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
+        eng.execute("UPDATE d SET w = 3.0 WHERE dk = 1")
+        rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+        assert rep["mode"] == "full"
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
+
+    @pytest.mark.parametrize(
+        "jt",
+        ["LEFT", "RIGHT", "FULL OUTER"],
+    )
+    def test_randomized_outer_differential(self, spark, tmp_path, jt):
         rng = random.Random(777)
-        eng = self._mk(spark, tmp_path, "rz")
+        eng = self._mk(spark, tmp_path, f"rz{jt.split()[0].lower()}")
         q = (
             "SELECT f.dk AS k, count(*) AS n, count(d.dname) AS nd, "
             "sum(f.x) AS s, count(DISTINCT f.x) AS dx "
-            "FROM f LEFT JOIN d ON f.dk = d.dk AND f.x > d.w AND d.w >= 0 "
+            f"FROM f {jt} JOIN d ON f.dk = d.dk AND f.x > d.w AND d.w >= 0 "
             "GROUP BY f.dk"
         )
         eng.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
