@@ -305,6 +305,9 @@ class MatViewMixin:
                 .groupBy("__mv_inv")
                 .agg(F.count(F.lit(1)).alias("__mv_mn"))
             )
+            # membership gained → rows enter (+1) for IN/EXISTS; for
+            # NOT EXISTS the signs invert (gaining a match EVICTS rows)
+            sign = -1 if mv.in_negated else 1
             flips = (
                 delta_m.join(m_new, "__mv_inv", "left")
                 .select(
@@ -318,7 +321,7 @@ class MatViewMixin:
                 )
                 .withColumn(
                     "__mv_fw",
-                    F.when(F.col("__mv_mn") > 0, F.lit(1)).otherwise(F.lit(-1)),
+                    F.when(F.col("__mv_mn") > 0, F.lit(sign)).otherwise(F.lit(-sign)),
                 )
                 .select("__mv_inv", "__mv_fw")
             )

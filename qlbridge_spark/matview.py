@@ -172,6 +172,123 @@ from .matview_state import (  # noqa: F401
     sub_state_frames,
 )
 
+def _analyze_exists_sub(engine, base_name: str, base_src, sub):
+    """``(outer key expr, membership select, table)`` for a CORRELATED
+    ``[NOT] EXISTS (SELECT … FROM s WHERE s.col = <outer expr> AND
+    <s-local rest>)`` the semi-join delta algebra maintains. The
+    subquery's select list is irrelevant — membership only needs the
+    correlation column — so this rewrites to the same 1-column-dim
+    shape as ``IN (SELECT …)``: exactly one cross-side correlation
+    equality, everything else s-local and row-local."""
+    from . import functions as funcs
+
+    if not isinstance(sub, SqlSelect) or len(sub.from_) != 1:
+        return None
+    s = sub.from_[0]
+    if (
+        s.name is None
+        or s.subquery is not None
+        or s.pivot is not None
+        or s.unpivot is not None
+        or s.sample is not None
+        or s.unnest is not None
+        or s.values_rows is not None
+        or s.table_changes is not None
+        or s.version is not None
+        or s.as_of_ts is not None
+    ):
+        return None
+    sname = s.name.lower()
+    if sname == base_name:
+        return None  # self-referential EXISTS: correlation ambiguity
+    snk = engine.sinks.get(sname)
+    if snk is None or not hasattr(snk, "versions") or sname in engine.tables:
+        return None
+    if (
+        sub.group_by
+        or sub.having is not None
+        or getattr(sub, "qualify", None) is not None
+        or getattr(sub, "windows", None)
+        or sub.limit is not None
+        or getattr(sub, "offset", None)
+        or getattr(sub, "grouping_sets", None)
+    ):
+        return None
+    if sub.where is None:
+        return None  # uncorrelated EXISTS: a constant truth — stay full
+    if any(isinstance(n, (SubqueryNode, WindowNode)) for n in sub.where.walk()):
+        return None
+    if any(
+        (not c.is_star) and c.expr is not None and funcs.is_agg_tree(c.expr)
+        for c in sub.columns
+    ):
+        return None
+    s_cols = _snapshot_cols(engine, snk)
+    base_cols = _snapshot_cols(engine, engine.sinks[base_name])
+    s_refs = {sname, (s.alias or "").lower()} - {""}
+    b_refs = {base_name, (base_src.alias or "").lower()} - {""}
+
+    def _side(node):
+        """('ok', side) — side 's' / 'b' / None (no identifiers); None
+        when any identifier is unresolvable or the sides mix."""
+        side = None
+        for n in node.walk():
+            if isinstance(n, IdentityNode):
+                parts = [p.lower() for p in n.parts]
+                col = parts[-1]
+                if len(parts) > 1:
+                    if parts[0] in s_refs and col in s_cols:
+                        cur = "s"
+                    elif parts[0] in b_refs and col in base_cols:
+                        cur = "b"
+                    else:
+                        return None
+                elif col in s_cols and col not in base_cols:
+                    cur = "s"
+                elif col in base_cols and col not in s_cols:
+                    cur = "b"
+                else:
+                    return None
+                if side is not None and cur != side:
+                    return None
+                side = cur
+        return ("ok", side)
+
+    corr = None
+    rest = []
+    for cj in _conjuncts(sub.where):
+        if (
+            isinstance(cj, BinaryNode)
+            and cj.op in ("=", "==")
+            and not getattr(cj, "negated", False)
+        ):
+            ls, rs = _side(cj.left), _side(cj.right)
+            if (
+                ls is not None
+                and rs is not None
+                and {ls[1], rs[1]} == {"s", "b"}
+            ):
+                if corr is not None:
+                    return None  # one correlation key only
+                corr = (cj.left, cj.right) if ls[1] == "s" else (cj.right, cj.left)
+                continue
+        sd = _side(cj)
+        if sd is None or sd[1] == "b" or not _row_local(cj):
+            return None
+        rest.append(cj)
+    if corr is None:
+        return None
+    s_expr, outer_expr = corr
+    if not _row_local(outer_expr) or not _row_local(s_expr):
+        return None
+    mem = SqlSelect(
+        columns=[Column(expr=s_expr, alias="__mv_inv0")],
+        from_=[s],
+        where=_and_tree(rest),
+    )
+    return outer_expr, mem, sname
+
+
 def _analyze_in_sub(engine, sub) -> str | None:
     """The IN-subquery's base-table name when the semi-join delta
     algebra can maintain membership: ``SELECT <row-local expr> FROM <one
@@ -460,14 +577,30 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
     in_sub: tuple | None = None  # (key expr, subquery select, table)
     where_rest = select.where
     if select.where is not None and not _row_local(select.where):
-        # set-context decomposition first: ONE top-level conjunct
-        # ``<row-local> IN (SELECT v FROM s ...)`` over a single-table
-        # view — the IN-list maintains as a 1-column dim with match-
-        # count flip terms (engine._refresh_one). NOT IN stays full
-        # (ANSI NULL semantics: one NULL in the list empties the view —
-        # not a per-key flip).
+        # set-context decomposition first: ONE top-level conjunct that
+        # is either ``<row-local> IN (SELECT v FROM s ...)`` or a
+        # correlated ``[NOT] EXISTS (SELECT ... FROM s WHERE s.col =
+        # <outer expr> ...)`` over a single-table view — both maintain
+        # as a 1-column dim with match-state flip terms
+        # (engine._refresh_one); NOT EXISTS is the anti-membership twin
+        # (inverted signs, anti-join filter). NOT IN stays full (ANSI
+        # NULL semantics: one NULL in the list empties the view — not a
+        # per-key flip).
+        def _exists_of(cj):
+            neg = False
+            if isinstance(cj, UnaryNode) and cj.op.upper() == "NOT":
+                cj, neg = cj.child, True
+            if (
+                isinstance(cj, UnaryNode)
+                and cj.op.upper() == "EXISTS"
+                and isinstance(cj.child, SubqueryNode)
+            ):
+                return cj.child, neg
+            return None
+
         conjs = _conjuncts(select.where)
-        in_idx = None
+        in_idx = ex_idx = None
+        two = False
         for i, cj in enumerate(conjs):
             if (
                 isinstance(cj, BinaryNode)
@@ -475,9 +608,13 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
                 and not getattr(cj, "negated", False)
                 and isinstance(cj.right, SubqueryNode)
             ):
-                in_idx = None if in_idx is not None else i
-                if in_idx is None:
-                    break  # two IN-subqueries: stay full
+                two = two or in_idx is not None or ex_idx is not None
+                in_idx = i
+            elif _exists_of(cj) is not None:
+                two = two or in_idx is not None or ex_idx is not None
+                ex_idx = i
+        if two:
+            in_idx = ex_idx = None  # two set contexts: stay full
         if (
             in_idx is not None
             and len(select.from_) == 1
@@ -486,7 +623,19 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
             rest = [c for i, c in enumerate(conjs) if i != in_idx]
             sub_tbl = _analyze_in_sub(engine, conjs[in_idx].right.select)
             if sub_tbl is not None and all(_row_local(c) for c in rest):
-                in_sub = (conjs[in_idx].left, conjs[in_idx].right.select, sub_tbl)
+                in_sub = (
+                    conjs[in_idx].left,
+                    conjs[in_idx].right.select,
+                    sub_tbl,
+                    False,
+                )
+                where_rest = _and_tree(rest)
+        elif ex_idx is not None and len(select.from_) == 1:
+            sub_node, neg = _exists_of(conjs[ex_idx])
+            rest = [c for i, c in enumerate(conjs) if i != ex_idx]
+            ex = _analyze_exists_sub(engine, nm, src, sub_node.select)
+            if ex is not None and all(_row_local(c) for c in rest):
+                in_sub = (ex[0], ex[1], ex[2], neg)
                 where_rest = _and_tree(rest)
     if select.where is not None and not _row_local(select.where) and in_sub is None:
         # the ONE tolerated non-row-local WHERE shape: uncorrelated
@@ -959,6 +1108,7 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
         in_key=in_sub[0] if in_sub else None,
         in_select=in_sub[1] if in_sub else None,
         in_table=in_sub[2] if in_sub else None,
+        in_negated=bool(in_sub[3]) if in_sub else False,
         where_rest=where_rest if in_sub else None,
     )
 
@@ -984,7 +1134,10 @@ def in_membership_filter(engine, mv: MatView, df: DataFrame) -> DataFrame:
     key = to_column(
         mv.in_key, Scope({src.alias or src.name: df}, includes=engine.includes)
     )
-    return df.join(vals, key == F.col("__mv_inv"), "left_semi")
+    # NOT EXISTS: anti-membership — rows whose key has NO match qualify
+    # (NULL keys never match, so they qualify; exactly ANSI NOT EXISTS)
+    how = "left_anti" if mv.in_negated else "left_semi"
+    return df.join(vals, key == F.col("__mv_inv"), how)
 
 
 def eval_scalar_subs(engine, mv: MatView, subs: list | None = None) -> list:

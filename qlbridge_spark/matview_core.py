@@ -248,6 +248,11 @@ class MatView:
     in_select: SqlSelect | None = None  # the subquery (single column)
     in_table: str | None = None  # the subquery's versioned-sink table
     in_version: int | None = None
+    #: NOT-membership (correlated ``NOT EXISTS``): rows qualify when the
+    #: key has NO match — the same flip algebra with inverted signs and
+    #: an anti-join membership filter. (NOT IN stays full-recompute:
+    #: one NULL in its list empties the result — not a per-key flip.)
+    in_negated: bool = False
     #: the WHERE minus the IN conjunct (row-local; None when empty) —
     #: what the state selects actually evaluate; membership is applied
     #: to their INPUT frames instead

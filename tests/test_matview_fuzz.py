@@ -68,7 +68,7 @@ REQUIRED = {
     "having", "topk", "durable_state", "where_alt",
     "agg_filter", "window_col", "qualify", "agg_median", "agg_mode",
     "agg_covar", "residual_on", "scalar_sub",
-    "in_sub", "in_sub_not", "expose_sub",
+    "in_sub", "in_sub_not", "exists_sub", "exists_sub_not", "expose_sub",
     "cross_on_left", "cross_on_inner", "cross_on_right", "cross_on_full",
     "dim_churn", "dim_churn_right_full",
 }
@@ -101,6 +101,10 @@ SLOTS = [
     # NOT IN stays full (ANSI NULL semantics aren't per-key flips) —
     # pinned in BOTH directions like every fallback
     dict(join=None, key="fact", extrema=False, eligible=False, rounds=1, in_sub="not"),
+    # r14: correlated [NOT] EXISTS — the anti-membership twin of IN
+    # (NOT EXISTS has no NULL trap, so BOTH directions maintain)
+    dict(join=None, key="fact", extrema=False, eligible=True, rounds=2, exists_sub=True),
+    dict(join=None, key="fact", extrema=False, eligible=True, rounds=2, exists_sub="not"),
     # r14: two-sided non-equi ON conjuncts — EVERY join shape maintains
     # (INNER via the bilinear terms; outer shapes via the per-row
     # match-state semi/anti terms T4'/T5'/T6')
@@ -214,6 +218,13 @@ def _mk_sql(rng, slot, extra, state_path):
         neg = "NOT " if slot["in_sub"] == "not" else ""
         classes.add("in_sub_not" if neg else "in_sub")
         where = f"f.dk {neg}IN (SELECT d2.dk FROM d d2 WHERE d2.dk < 5) AND {where}"
+    elif slot.get("exists_sub"):
+        neg = "NOT " if slot["exists_sub"] == "not" else ""
+        classes.add("exists_sub_not" if neg else "exists_sub")
+        where = (
+            f"{neg}EXISTS (SELECT 1 FROM d d3 WHERE d3.dk = f.dk AND d3.dk < 6)"
+            f" AND {where}"
+        )
 
     on = "f.dk = d.dk"
     if slot.get("on_residual"):
@@ -294,9 +305,13 @@ def test_matview_shape_fuzz(spark, tmp_path, seed):
     # in_sub slots can't carry WHERE-REWRITING extras (the IN conjunct
     # composes with row-local rests only); swap those onto a safe slot
     for i, (sl, ex) in enumerate(pairs):
-        if sl.get("in_sub") and ex in ("where_alt", "scalar_sub"):
+        if (sl.get("in_sub") or sl.get("exists_sub")) and ex in ("where_alt", "scalar_sub"):
             for j, (sl2, ex2) in enumerate(pairs):
-                if not sl2.get("in_sub") and ex2 not in ("where_alt", "scalar_sub"):
+                if (
+                    not sl2.get("in_sub")
+                    and not sl2.get("exists_sub")
+                    and ex2 not in ("where_alt", "scalar_sub")
+                ):
                     pairs[i], pairs[j] = (sl, ex2), (sl2, ex)
                     break
 
@@ -326,7 +341,11 @@ def test_matview_shape_fuzz(spark, tmp_path, seed):
         dim_churned = False
         for round_ in range(slot["rounds"]):
             ops = ["ins", "upd", "del"]
-            if (join is not None and join != "SELF") or slot.get("in_sub"):
+            if (
+                (join is not None and join != "SELF")
+                or slot.get("in_sub")
+                or slot.get("exists_sub")
+            ):
                 ops += ["dins", "dupd", "ddel"]
             for _ in range(rng.randint(1, 2)):
                 op = rng.choice(ops)

@@ -698,3 +698,130 @@ class TestTwoSidedNonEquiOnMatViews:
             rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
             assert rep["mode"] in ("incremental", "noop"), (round_, rep)
             assert _approx_eq(_rows(eng, "SELECT * FROM mv"), _rows(eng, q)), round_
+
+
+class TestExistsSubqueryMatViews:
+    """Correlated [NOT] EXISTS matviews: the subquery rewrites to the
+    same 1-column-dim shape as IN (SELECT ...) — membership on the
+    correlation key. NOT EXISTS is the anti-membership twin (anti-join
+    filter, inverted flip signs) and — unlike NOT IN — has NO NULL trap:
+    a NULL outer key never matches, so it always qualifies."""
+
+    def _mk(self, spark, tmp_path, name):
+        eng = Engine(spark, f"mvr14ex-{name}")
+        t = ParquetMergeSink(spark, str(tmp_path / f"{name}_t"), key="id")
+        t.ensure(
+            spark.createDataFrame(
+                [(i, i % 10 if i % 13 else None, "g" + str(i % 3), float(i % 7)) for i in range(60)],
+                "id long, k long, g string, x double",
+            )
+        )
+        s = ParquetMergeSink(spark, str(tmp_path / f"{name}_s"), key="sid")
+        s.ensure(
+            spark.createDataFrame(
+                [(i, i % 12, i % 2 == 0) for i in range(24)],
+                "sid long, v long, ok boolean",
+            )
+        )
+        eng.register_sink("t", t)
+        eng.register_sink("s", s)
+        return eng
+
+    def test_lifecycle_both_directions(self, spark, tmp_path):
+        eng = self._mk(spark, tmp_path, "lc")
+        qs = {
+            "mve": ("SELECT g, count(*) AS n, sum(x) AS sx FROM t "
+                    "WHERE EXISTS (SELECT 1 FROM s WHERE s.v = t.k AND s.ok) AND x < 6.5 GROUP BY g"),
+            "mvn": ("SELECT g, count(*) AS n FROM t "
+                    "WHERE NOT EXISTS (SELECT 1 FROM s WHERE s.v = t.k AND s.ok) GROUP BY g"),
+        }
+        for vn, q in qs.items():
+            eng.execute(f"CREATE MATERIALIZED VIEW {vn} AS {q}")
+            mv = eng.mat_views[vn]
+            assert mv.incremental and mv.in_table == "s", vn
+            assert mv.in_negated == (vn == "mvn")
+            assert _rows(eng, f"SELECT * FROM {vn}") == _rows(eng, q), vn
+        for st in (
+            # NULL-key inserts qualify for NOT EXISTS, never for EXISTS
+            "INSERT INTO t (id, k, g, x) VALUES (100, 2, 'g1', 3.0), (101, NULL, 'g0', 1.0)",
+            "INSERT INTO s (sid, v, ok) VALUES (100, 3, true)",  # flip in/out
+            "UPDATE s SET ok = false WHERE v = 2",
+            "DELETE FROM t WHERE id % 7 = 3",
+            "UPDATE t SET k = 11 WHERE id = 10",  # row crosses membership
+            "DELETE FROM s WHERE v = 4 AND ok",
+        ):
+            eng.execute(st)
+            for vn, q in qs.items():
+                rep = eng.sql(f"REFRESH MATERIALIZED VIEW {vn}").collect()[0]
+                assert rep["mode"] == "incremental", (vn, st)
+                assert _rows(eng, f"SELECT * FROM {vn}") == _rows(eng, q), (vn, st)
+
+    def test_expression_correlation_key(self, spark, tmp_path):
+        eng = self._mk(spark, tmp_path, "expr")
+        q = ("SELECT g, count(*) AS n FROM t "
+             "WHERE EXISTS (SELECT 1 FROM s WHERE s.v % 5 = t.k % 5 AND s.sid < 20) GROUP BY g")
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
+        assert eng.mat_views["mv"].incremental
+        eng.execute("DELETE FROM s WHERE sid >= 10")
+        rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+        assert rep["mode"] == "incremental"
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
+
+    def test_ineligible_exists_shapes_stay_full(self, spark, tmp_path):
+        eng = self._mk(spark, tmp_path, "inel")
+        full_shapes = {
+            # uncorrelated EXISTS: a constant truth
+            "f1": "SELECT g, count(*) AS n FROM t WHERE EXISTS (SELECT 1 FROM s WHERE ok) GROUP BY g",
+            # two correlation equalities
+            "f2": ("SELECT g, count(*) AS n FROM t WHERE EXISTS "
+                   "(SELECT 1 FROM s WHERE s.v = t.k AND s.sid = t.id) GROUP BY g"),
+            # non-equi correlation
+            "f3": ("SELECT g, count(*) AS n FROM t WHERE EXISTS "
+                   "(SELECT 1 FROM s WHERE s.v > t.k) GROUP BY g"),
+            # EXISTS + IN together: two set contexts
+            "f4": ("SELECT g, count(*) AS n FROM t WHERE EXISTS "
+                   "(SELECT 1 FROM s WHERE s.v = t.k) AND k IN (SELECT sid FROM s) GROUP BY g"),
+        }
+        for vn, q in full_shapes.items():
+            eng.execute(f"CREATE MATERIALIZED VIEW {vn} AS {q}")
+            assert not eng.mat_views[vn].incremental, vn
+            assert _rows(eng, f"SELECT * FROM {vn}") == _rows(eng, q), vn
+
+    def test_randomized_differential(self, spark, tmp_path):
+        rng = random.Random(888)
+        eng = self._mk(spark, tmp_path, "rnd")
+        qe = ("SELECT g, count(*) AS n, sum(x) AS sx FROM t "
+              "WHERE EXISTS (SELECT 1 FROM s WHERE s.v = t.k AND s.ok) GROUP BY g")
+        qn = ("SELECT g, count(*) AS n FROM t "
+              "WHERE NOT EXISTS (SELECT 1 FROM s WHERE s.v = t.k AND s.ok) GROUP BY g")
+        eng.execute(f"CREATE MATERIALIZED VIEW mve AS {qe}")
+        eng.execute(f"CREATE MATERIALIZED VIEW mvn AS {qn}")
+        nid, nsid = [1000], [1000]
+        for round_ in range(8):
+            for _ in range(rng.randint(1, 3)):
+                op = rng.random()
+                if op < 0.25:
+                    nid[0] += 1
+                    k = rng.choice(["NULL", str(rng.randint(0, 14))])
+                    eng.execute(
+                        f"INSERT INTO t (id, k, g, x) VALUES ({nid[0]}, {k}, 'g{rng.randint(0, 3)}', {rng.uniform(0, 9):.2f})"
+                    )
+                elif op < 0.45:
+                    eng.execute(f"DELETE FROM t WHERE id % 13 = {rng.randint(0, 12)}")
+                elif op < 0.6:
+                    eng.execute(
+                        f"UPDATE t SET k = {rng.randint(0, 14)} WHERE id % 11 = {rng.randint(0, 10)}"
+                    )
+                elif op < 0.75:
+                    nsid[0] += 1
+                    eng.execute(
+                        f"INSERT INTO s (sid, v, ok) VALUES ({nsid[0]}, {rng.randint(0, 14)}, {str(rng.random() < 0.7).lower()})"
+                    )
+                elif op < 0.9:
+                    eng.execute(f"UPDATE s SET ok = NOT ok WHERE v = {rng.randint(0, 14)}")
+                else:
+                    eng.execute(f"DELETE FROM s WHERE sid % 7 = {rng.randint(0, 6)}")
+            for vn, q in (("mve", qe), ("mvn", qn)):
+                rep = eng.sql(f"REFRESH MATERIALIZED VIEW {vn}").collect()[0]
+                assert rep["mode"] in ("incremental", "noop"), (round_, vn, rep)
+                assert _approx_eq(_rows(eng, f"SELECT * FROM {vn}"), _rows(eng, q)), (round_, vn)
