@@ -374,24 +374,28 @@ def _parse_agg(e: Node):
     if e.ignore_nulls:
         return None
     if e.name in _ORDERED_BASE:
-        # ordered-set collect: maintainable when there is ONE ORDER key.
-        # Key == argument: the multiset's sorted support with repeats IS
-        # the collected sequence (kinds *_sorted). Key ≠ argument: the
-        # substate grains by (keys, order-key, value) so the pairing is
-        # retained — state is O(distinct (okey, value) pairs per group),
-        # the inherent cost (kinds *_pair); ties sort by value, exactly
-        # the engine's struct comparator. Unordered forms are
+        # ordered-set collect. ONE key == argument: the multiset's
+        # sorted support with repeats IS the collected sequence (kinds
+        # *_sorted). Any other single-direction key list: the substate
+        # grains by (keys, order-keys…, value) so the pairing is
+        # retained — state is O(distinct (okeys, value) tuples per
+        # group), the inherent cost (kinds *_pair); ties fall through
+        # key by key to the value, exactly the engine's struct
+        # comparator. Mixed directions are out (the engine's sort_array
+        # contract is single-direction); unordered forms are
         # NONDETERMINISTIC (engine contract) — never maintained.
-        # FILTER stays out: the guard would desync key and argument.
-        if not e.agg_order or len(e.agg_order) != 1 or e.filter_where is not None:
+        # FILTER stays out: the guard would desync keys and argument.
+        if not e.agg_order or e.filter_where is not None:
             return None
-        okey, odir = e.agg_order[0]
+        dirs = {str(d_).upper().startswith("DESC") for _, d_ in e.agg_order}
+        if len(dirs) != 1:
+            return None
+        okeys = [k for k, _ in e.agg_order]
         arg = e.args[0]
         if (
             _contains_distinct(arg)
             or not _row_local(arg)
-            or _contains_distinct(okey)
-            or not _row_local(okey)
+            or any(_contains_distinct(k) or not _row_local(k) for k in okeys)
         ):
             return None
         sep = None
@@ -405,12 +409,12 @@ def _parse_agg(e: Node):
             if len(e.args) != 1:
                 return None
             base = "array_agg"
-        base += "_sorted" if okey == arg else "_pair"
-        desc = str(odir).upper().startswith("DESC")
-        kind = base + ("_desc" if desc else "")
-        if okey == arg:
+        sorted_form = len(okeys) == 1 and okeys[0] == arg
+        base += "_sorted" if sorted_form else "_pair"
+        kind = base + ("_desc" if dirs.pop() else "")
+        if sorted_form:
             return (kind, arg, None, sep)
-        return (kind, arg, None, sep, okey)
+        return (kind, arg, None, sep, tuple(okeys))
     if e.agg_order:
         return None
     p = None

@@ -161,10 +161,11 @@ class AggSpec:
     p: float | None = None
     #: second argument (two-argument moment family: corr/covar)
     arg2: Node | None = None
-    #: ORDER BY key of a pair-substate ordered collect (ORDER BY a
-    #: DIFFERENT key than the argument): the substate grains by
-    #: (keys, order-key, value) so the per-row pairing is retained
-    okey: Node | None = None
+    #: ORDER BY keys of a pair-substate ordered collect (ORDER BY
+    #: anything other than the argument alone): a TUPLE of Nodes; the
+    #: substate grains by (keys, order-keys…, value) so the per-row
+    #: pairing is retained
+    okey: tuple | None = None
     #: bivariate state columns (corr/covar): Σw(y−zy), Σw(y−zy)²
     #: (corr only), the co-moment Σw(x−zx)(y−zy), and the y shift
     s2_col: str | None = None

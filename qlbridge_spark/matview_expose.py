@@ -144,10 +144,12 @@ def exposed_frame(mv: MatView) -> DataFrame:
             desc = a.kind.endswith("_desc")
             fields = [F.col("__mv_dv").alias("v"), F.col("__mv_dn").alias("n")]
             if a.kind in _PAIR_AGGS:
-                # pair substate: the ORDER key leads the comparator; ties
-                # fall through to the value — exactly the engine's
-                # struct(key…, value) sort_array comparator
-                fields.insert(0, F.col("__mv_do").alias("o"))
+                # pair substate: the ORDER keys lead the comparator in
+                # order; ties fall through key by key to the value —
+                # exactly the engine's struct(key…, value) sort_array
+                # comparator
+                for i in reversed(range(len(a.okey or ()))):
+                    fields.insert(0, F.col(f"__mv_do{i}").alias(f"o{i}"))
             structs = F.sort_array(F.collect_list(F.struct(*fields)), asc=not desc)
             arr = F.flatten(
                 F.transform(

@@ -381,9 +381,10 @@ def _sub_select(
     # the exposed key column.
     if a.arg not in mv.key_nodes:
         cols.append(Column(expr=a.arg, alias="__mv_dv"))
-    if a.okey is not None and a.okey not in mv.key_nodes and a.okey != a.arg:
-        # pair substate: the ORDER key is part of the grain
-        cols.append(Column(expr=a.okey, alias="__mv_do"))
+    for i, ok in enumerate(a.okey or ()):
+        # pair substate: every ORDER key is part of the grain
+        if ok not in mv.key_nodes and ok != a.arg:
+            cols.append(Column(expr=ok, alias=f"__mv_do{i}"))
     cols.append(Column(expr=FuncNode(name="sum", args=[weight]), alias="__mv_dn"))
     from_list = [FromSource(name=tmp_table, alias=src_ref)]
     if len(mv.select.from_) > 1:
@@ -394,8 +395,9 @@ def _sub_select(
     group_by = list(mv.key_nodes)
     if a.arg not in group_by:
         group_by.append(a.arg)
-    if a.okey is not None and a.okey not in group_by:
-        group_by.append(a.okey)
+    for ok in a.okey or ():
+        if ok not in group_by:
+            group_by.append(ok)
     return SqlSelect(
         columns=cols,
         from_=from_list,
@@ -442,15 +444,16 @@ def sub_state_frames(
                 f = f.withColumn(
                     "__mv_dv", F.col(mv.key_cols[mv.key_nodes.index(a.arg)])
                 )
-            if a.okey is not None and "__mv_do" not in f.columns:
-                # order key == a group key (constant per group) or == the
-                # value: re-add the grain column as a copy
-                f = f.withColumn(
-                    "__mv_do",
-                    F.col(mv.key_cols[mv.key_nodes.index(a.okey)])
-                    if a.okey in mv.key_nodes
-                    else F.col("__mv_dv"),
-                )
+            for i, ok in enumerate(a.okey or ()):
+                if f"__mv_do{i}" not in f.columns:
+                    # order key == a group key (constant per group) or
+                    # == the value: re-add the grain column as a copy
+                    f = f.withColumn(
+                        f"__mv_do{i}",
+                        F.col(mv.key_cols[mv.key_nodes.index(ok)])
+                        if ok in mv.key_nodes
+                        else F.col("__mv_dv"),
+                    )
             out.append(f)
         return out
     finally:
@@ -473,7 +476,8 @@ def merge_substates(
     for a, old, delta in zip(subs, substates, deltas):
         grain = list(mv.key_cols)
         if a.kind in _PAIR_AGGS:
-            grain.append("__mv_do")  # pair substate keeps the pairing
+            # pair substate keeps the (order-keys…, value) pairing
+            grain.extend(f"__mv_do{i}" for i in range(len(a.okey or ())))
         grain.append("__mv_dv")
         merged = (
             old.unionByName(delta)

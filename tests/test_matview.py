@@ -189,10 +189,10 @@ class TestEligibility:
     @pytest.mark.parametrize(
         "q",
         [
-            # an ordered-set collect with MULTIPLE ORDER keys: outside
-            # the pair-substate vocabulary (one key maintains since r14,
-            # ORDER BY the argument itself since r13)
-            "SELECT g, array_agg(x ORDER BY id, g) AS m FROM t GROUP BY g",
+            # an UNORDERED collect: nondeterministic order (engine
+            # contract) — ordered forms maintain since r13/r14 (sorted /
+            # pair substates, any single-direction key list)
+            "SELECT g, array_agg(x) AS m FROM t GROUP BY g",
             # FILTER (WHERE …) is incremental since r13 (guarded-arg
             # fold) — but not on an agg outside the vocabulary
             "SELECT g, bool_and(x > 0) FILTER (WHERE id > 2) AS d FROM t GROUP BY g",
@@ -2560,8 +2560,8 @@ class TestOrderedAggMatViews:
     @pytest.mark.parametrize(
         "q",
         [
-            # multiple ORDER keys: not in the pair-substate vocabulary
-            "SELECT g, array_agg(x ORDER BY id, g) AS aa FROM t GROUP BY g",
+            # FILTER would desync the keys from the argument
+            "SELECT g, array_agg(x ORDER BY x) FILTER (WHERE id > 3) AS aa FROM t GROUP BY g",
             # unordered collect: NONDETERMINISTIC order (engine contract)
             "SELECT g, array_agg(x) AS aa FROM t GROUP BY g",
         ],

@@ -64,7 +64,7 @@ REQUIRED = {
     "extrema_fact_probe", "extrema_dim_probe", "extrema_self_probe",
     "set_extrema_full", "set_extrema_left_dimkey",
     "set_extrema_right_factkey", "set_extrema_compoundkey",
-    "fallback_ordered_agg", "pair_ordered_agg",
+    "fallback_ordered_agg", "pair_ordered_agg", "pair_ordered_multi",
     "having", "topk", "durable_state", "where_alt",
     "agg_filter", "window_col", "qualify", "agg_median", "agg_mode",
     "agg_covar", "residual_on", "scalar_sub",
@@ -91,7 +91,8 @@ SLOTS = [
     dict(join="INNER", key="compound", extrema=True, eligible=True, rounds=2),
     dict(join="SELF", key="fact", extrema=True, eligible=True, rounds=2),
     dict(join="INNER", key="fact", extrema=False, agg="ordered", eligible=True, rounds=2),
-    dict(join=None, key="fact", extrema=False, agg="ordered_multi", eligible=False, rounds=1),
+    dict(join=None, key="fact", extrema=False, agg="ordered_multi", eligible=True, rounds=2),
+    dict(join=None, key="fact", extrema=False, agg="ordered_filter", eligible=False, rounds=1),
     # residual ON conjunct (f.k = d.k AND <single-side residual>):
     # match counting over residual-filtered snapshots (r13)
     dict(join="RIGHT", key="dim", extrema=False, eligible=True, rounds=2, on_residual=True),
@@ -157,9 +158,14 @@ def _mk_sql(rng, slot, extra, state_path):
         classes.add("pair_ordered_agg")
         aggs.append("array_agg(f.x ORDER BY f.id) AS aa")
     elif slot.get("agg") == "ordered_multi":
-        # MULTIPLE ORDER keys: outside the pair-substate vocabulary
+        # MULTIPLE ORDER keys: the pair substate grains by every key
+        classes.add("pair_ordered_multi")
+        aggs.append("array_agg(f.x ORDER BY f.dk, f.id) AS aa")
+    elif slot.get("agg") == "ordered_filter":
+        # FILTER on an ordered collect: the guard would desync keys
+        # from the argument — stays full
         classes.add("fallback_ordered_agg")
-        aggs.append("array_agg(f.x ORDER BY f.id, f.dk) AS aa")
+        aggs.append("array_agg(f.x ORDER BY f.x) FILTER (WHERE f.id > 3) AS aa")
     if extra == "distinct":
         classes.add("agg_distinct")
         aggs.append(

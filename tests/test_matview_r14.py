@@ -539,12 +539,37 @@ class TestPairOrderedCollectMatViews:
         assert rep["mode"] == "incremental"
         assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
 
-    def test_multi_key_stays_full(self, spark, tmp_path):
+    def test_multi_key_maintains(self, spark, tmp_path):
+        # N order keys grain the substate by (keys, o0, o1, …, value);
+        # ties fall through key by key to the value
         eng = self._mk(spark, tmp_path, "mk")
-        q = "SELECT g, array_agg(x ORDER BY id, g) AS aa FROM t GROUP BY g"
+        q = "SELECT g, array_agg(x ORDER BY id % 4, id) AS aa FROM t GROUP BY g"
         eng.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
-        assert not eng.mat_views["mv"].incremental
+        assert eng.mat_views["mv"].incremental
         assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
+        for st in (
+            "INSERT INTO t (id, g, x) VALUES (300, 'g1', 2.5), (301, 'g0', NULL)",
+            "DELETE FROM t WHERE id % 6 = 1",
+            "UPDATE t SET x = 1.25 WHERE id % 5 = 0",
+        ):
+            eng.execute(st)
+            rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+            assert rep["mode"] == "incremental", st
+            assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q), st
+
+    def test_mixed_direction_not_executable(self, spark, tmp_path):
+        # mixed ASC/DESC keys: outside both the engine's sort_array
+        # contract and the pair substate — CREATE raises cleanly
+        eng = self._mk(spark, tmp_path, "mx")
+        import pytest as _pt
+
+        from qlbridge_spark.translate import TranslateError
+
+        with _pt.raises(TranslateError):
+            eng.execute(
+                "CREATE MATERIALIZED VIEW mv AS "
+                "SELECT g, array_agg(x ORDER BY id ASC, x DESC) AS aa FROM t GROUP BY g"
+            )
 
 
 class TestTwoSidedNonEquiOnMatViews:
