@@ -129,7 +129,7 @@ _Q = {
         FROM orders
         GROUP BY o_custkey
         HAVING count(*) > 12
-        ORDER BY n DESC, o_custkey""",
+        ORDER BY count(*) DESC, o_custkey""",
     # §2.3 LEFT + RIGHT OUTER joins in one chain (grammar-accepted
     # superset; exec ignores join type in ref) — count(c_custkey) counts
     # only matched customers, so unmatched nations show 0
@@ -879,7 +879,7 @@ def oracle_sql() -> dict[str, str]:
                    round(count(*) / (SELECT avg(c_acctbal) FROM customer), 6) AS per_bal
             FROM orders
             GROUP BY o_custkey HAVING count(*) > 12
-            ORDER BY n DESC, o_custkey""",
+            ORDER BY count(*) DESC, o_custkey""",
         "q11_left_join": """
             SELECT r_name, n_name, CAST(count(c_custkey) AS BIGINT) AS n_cust
             FROM customer RIGHT JOIN nation ON c_nationkey = n_nationkey

@@ -698,6 +698,8 @@ class Engine(SubqueryMixin, DmlMixin, MatViewMixin):
             df = df.offset(sel.offset)
         if sel.limit is not None:
             df = df.limit(sel.limit)
+        if hidden_order:
+            df = df.drop(*[n for n in df.columns if n.startswith("__hav_")])
         if sel.into:
             self.register_df(sel.into, df)
         return df
@@ -2049,6 +2051,36 @@ class Engine(SubqueryMixin, DmlMixin, MatViewMixin):
         if qualify_node is not None:
             qualify_node, qextra = self._rewrite_having(qualify_node, scope)
             hidden.extend(qextra)
+        # ORDER BY may reference aggregates too (ANSI: ORDER BY count(*)
+        # after GROUP BY, incl. composites like count(*) + 1): rewrite
+        # their agg subtrees to hidden agg columns now, carry those
+        # columns through the final projection under their __hav_ names,
+        # and hand the rewritten keys to _order_limit (which drops the
+        # hidden columns after sorting)
+        agg_order_pairs = None
+        order_hidden_names: list[str] = []
+        if sel.order_by and any(
+            (not isinstance(e, NumberNode))
+            and any(
+                isinstance(n, FuncNode) and funcs.is_agg_func(n.name) and n.name != "distinct"
+                for n in e.walk()
+            )
+            for e, _ in sel.order_by
+        ):
+            agg_order_pairs = []
+            for e, direction in sel.order_by:
+                if (not isinstance(e, NumberNode)) and any(
+                    isinstance(n, FuncNode) and funcs.is_agg_func(n.name) and n.name != "distinct"
+                    for n in e.walk()
+                ):
+                    ne, oextra = self._rewrite_having(e, scope)
+                    hidden.extend(oextra)
+                    for nd in ne.walk():
+                        if isinstance(nd, IdentityNode) and nd.parts[0].startswith("__hav_"):
+                            order_hidden_names.append(nd.parts[0])
+                    agg_order_pairs.append((ne, direction))
+                else:
+                    agg_order_pairs.append((e, direction))
 
         gset_renames: list[tuple[str, str]] = []
         if group_cols and sel.group_mode in ("ROLLUP", "CUBE", "GROUPING SETS"):
@@ -2133,17 +2165,27 @@ class Engine(SubqueryMixin, DmlMixin, MatViewMixin):
                 .filter(F.col("__qualify"))
                 .drop("__qualify")
             )  # joined __csub/__inq columns fall away at the final select
-        # drop hidden having columns by name
-        drop_hidden = [n for n in agged.columns if n.startswith("__hav_")]
+        # drop hidden having columns by name — EXCEPT the ones the
+        # rewritten ORDER BY keys still need (dropped post-sort)
+        keep_hidden = set(order_hidden_names)
+        drop_hidden = [
+            n for n in agged.columns if n.startswith("__hav_") and n not in keep_hidden
+        ]
         if drop_hidden:
             agged = agged.drop(*drop_hidden)
+
+        # hand the rewritten keys to the immediately-following
+        # _order_limit call (single-threaded statement pipeline; set
+        # LAST so nested subquery lowering above can't consume it)
+        self._agg_order_pairs = agg_order_pairs
 
         # order output columns as selected. Backtick-quoted: an
         # UNALIASED aggregate over a qualified column is named after its
         # text ("min(d2.dk)"), and a bare name reference would parse the
         # dot as a path separator.
         return agged.select(
-            *[F.col("`" + n.replace("`", "``") + "`") for n in out_names]
+            *[F.col("`" + n.replace("`", "``") + "`") for n in out_names],
+            *[F.col(n) for n in dict.fromkeys(order_hidden_names)],
         )
 
     @staticmethod
@@ -2301,6 +2343,14 @@ class Engine(SubqueryMixin, DmlMixin, MatViewMixin):
         if sel.distinct:
             df = df.distinct()
         order_pairs = sel.order_by
+        hidden_order = False
+        if post_agg:
+            # _aggregate rewrote ORDER BY aggregate subtrees over hidden
+            # __hav_ columns it carried through its projection
+            rewritten = self.__dict__.pop("_agg_order_pairs", None)
+            if rewritten is not None:
+                order_pairs = rewritten
+                hidden_order = any(n.startswith("__hav_") for n in df.columns)
         if getattr(sel, "order_all", None) and not order_pairs:
             order_pairs = [(IdentityNode((n,)), sel.order_all) for n in df.columns]
         if order_pairs:
@@ -2325,6 +2375,8 @@ class Engine(SubqueryMixin, DmlMixin, MatViewMixin):
             df = df.offset(sel.offset)
         if sel.limit is not None:
             df = df.limit(sel.limit)
+        if hidden_order:
+            df = df.drop(*[n for n in df.columns if n.startswith("__hav_")])
         if sel.into:
             self.register_df(sel.into, df)
         return df

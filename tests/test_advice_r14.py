@@ -228,3 +228,65 @@ class TestNaNFrozenScalarSubquery:
         rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
         assert rep["mode"] == "incremental"
         assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
+
+
+class TestOrderByAggregates:
+    """ANSI ORDER BY over aggregate expressions in grouped selects
+    (r14): agg subtrees rewrite to hidden agg columns carried through
+    the projection and dropped after the sort — incl. aggregates NOT in
+    the select list and composites mixing scalar subqueries."""
+
+    def _eng(self, spark):
+        e = Engine(spark)
+        e.register_df(
+            "t",
+            spark.createDataFrame(
+                [(i, "g" + str(i % 3), float(i % 7)) for i in range(30)],
+                "id int, g string, x double",
+            ),
+        )
+        e.register_df("r", spark.createDataFrame([(1, 3.0)], "k int, thr double"))
+        return e
+
+    def test_order_by_agg_shapes(self, spark):
+        e = self._eng(spark)
+        # agg not in the select list: hidden column drives the sort
+        r = e.sql("SELECT g FROM t GROUP BY g ORDER BY sum(x) DESC").collect()
+        assert [x.g for x in r] == ["g0", "g2", "g1"]
+        assert [f.name for f in r[0].__fields__] if hasattr(r[0], "__fields__") else True
+        df = e.sql("SELECT g FROM t GROUP BY g ORDER BY sum(x) DESC")
+        assert df.columns == ["g"]  # hidden sort column dropped
+        # composite agg expr + LIMIT
+        r2 = e.sql(
+            "SELECT g, count(*) AS n FROM t GROUP BY g "
+            "ORDER BY count(*) * -1, g LIMIT 2"
+        ).collect()
+        assert [x.g for x in r2] == ["g0", "g1"]
+        # agg + scalar subquery in ONE order key
+        r3 = e.sql(
+            "SELECT g, count(*) AS n FROM t GROUP BY g "
+            "ORDER BY count(*) + (SELECT min(thr) FROM r) DESC, g"
+        ).collect()
+        assert [x.g for x in r3] == ["g0", "g1", "g2"]
+        # HAVING + ORDER BY agg together (both hidden-column paths)
+        r4 = e.sql(
+            "SELECT g FROM t GROUP BY g HAVING sum(x) > 27 ORDER BY sum(x)"
+        ).collect()
+        assert [x.g for x in r4] == ["g2", "g0"]
+
+    def test_matches_duckdb(self, spark):
+        import duckdb
+
+        e = self._eng(spark)
+        got = [tuple(r) for r in e.sql(
+            "SELECT g, sum(x) AS s FROM t GROUP BY g ORDER BY sum(x) DESC, g"
+        ).collect()]
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t (id int, g varchar, x double)")
+        con.executemany("INSERT INTO t VALUES (?, ?, ?)",
+                        [(i, "g%d" % (i % 3), float(i % 7)) for i in range(30)])
+        want = con.execute(
+            "SELECT g, sum(x) AS s FROM t GROUP BY g ORDER BY sum(x) DESC, g"
+        ).fetchall()
+        con.close()
+        assert got == want
