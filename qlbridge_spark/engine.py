@@ -631,9 +631,9 @@ class Engine(SubqueryMixin, DmlMixin, MatViewMixin):
             df = df.withColumn("__don_rn", F.row_number().over(w)).where(F.col("__don_rn") == 1).drop("__don_rn")
 
         if is_agg:
-            df = self._aggregate(df, scope, sel)
+            df, agg_order_pairs = self._aggregate(df, scope, sel)
             out_scope = Scope({"_": df}, includes=self.includes, params=self._scope_params())
-            df = self._order_limit(df, out_scope, sel, post_agg=True)
+            df = self._order_limit(df, out_scope, sel, post_agg=True, agg_order_pairs=agg_order_pairs)
             return df
 
         # projection with hidden sort columns so ORDER BY can reference
@@ -698,8 +698,6 @@ class Engine(SubqueryMixin, DmlMixin, MatViewMixin):
             df = df.offset(sel.offset)
         if sel.limit is not None:
             df = df.limit(sel.limit)
-        if hidden_order:
-            df = df.drop(*[n for n in df.columns if n.startswith("__hav_")])
         if sel.into:
             self.register_df(sel.into, df)
         return df
@@ -1957,7 +1955,7 @@ class Engine(SubqueryMixin, DmlMixin, MatViewMixin):
         return df, scope
 
     # -- aggregation -------------------------------------------------------
-    def _aggregate(self, df: DataFrame, scope: Scope, sel: SqlSelect) -> DataFrame:
+    def _aggregate(self, df: DataFrame, scope: Scope, sel: SqlSelect):
         group_cols: list[SparkColumn] = []
         group_aliased: list[tuple[SparkColumn, bool]] = []  # (pre-alias col, was aliased)
         group_names: list[str] = []
@@ -2174,19 +2172,17 @@ class Engine(SubqueryMixin, DmlMixin, MatViewMixin):
         if drop_hidden:
             agged = agged.drop(*drop_hidden)
 
-        # hand the rewritten keys to the immediately-following
-        # _order_limit call (single-threaded statement pipeline; set
-        # LAST so nested subquery lowering above can't consume it)
-        self._agg_order_pairs = agg_order_pairs
-
         # order output columns as selected. Backtick-quoted: an
         # UNALIASED aggregate over a qualified column is named after its
         # text ("min(d2.dk)"), and a bare name reference would parse the
         # dot as a path separator.
-        return agged.select(
+        agged = agged.select(
             *[F.col("`" + n.replace("`", "``") + "`") for n in out_names],
             *[F.col(n) for n in dict.fromkeys(order_hidden_names)],
         )
+        # agg_order_pairs: ORDER BY keys rewritten over hidden __hav_
+        # columns, threaded explicitly to the caller's _order_limit
+        return agged, agg_order_pairs
 
     @staticmethod
     def _resolve_named_windows(sel: SqlSelect) -> SqlSelect:
@@ -2339,18 +2335,19 @@ class Engine(SubqueryMixin, DmlMixin, MatViewMixin):
             return [col.desc_nulls_last() if desc else col.asc_nulls_last()]
         return [col.desc() if desc else col.asc()]
 
-    def _order_limit(self, df: DataFrame, scope: Scope, sel: SqlSelect, post_agg: bool) -> DataFrame:
+    def _order_limit(
+        self, df: DataFrame, scope: Scope, sel: SqlSelect, post_agg: bool,
+        agg_order_pairs=None,
+    ) -> DataFrame:
         if sel.distinct:
             df = df.distinct()
         order_pairs = sel.order_by
         hidden_order = False
-        if post_agg:
+        if post_agg and agg_order_pairs is not None:
             # _aggregate rewrote ORDER BY aggregate subtrees over hidden
             # __hav_ columns it carried through its projection
-            rewritten = self.__dict__.pop("_agg_order_pairs", None)
-            if rewritten is not None:
-                order_pairs = rewritten
-                hidden_order = any(n.startswith("__hav_") for n in df.columns)
+            order_pairs = agg_order_pairs
+            hidden_order = any(n.startswith("__hav_") for n in df.columns)
         if getattr(sel, "order_all", None) and not order_pairs:
             order_pairs = [(IdentityNode((n,)), sel.order_all) for n in df.columns]
         if order_pairs:

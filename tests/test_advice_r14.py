@@ -253,7 +253,7 @@ class TestOrderByAggregates:
         # agg not in the select list: hidden column drives the sort
         r = e.sql("SELECT g FROM t GROUP BY g ORDER BY sum(x) DESC").collect()
         assert [x.g for x in r] == ["g0", "g2", "g1"]
-        assert [f.name for f in r[0].__fields__] if hasattr(r[0], "__fields__") else True
+        assert list(r[0].__fields__) == ["g"]
         df = e.sql("SELECT g FROM t GROUP BY g ORDER BY sum(x) DESC")
         assert df.columns == ["g"]  # hidden sort column dropped
         # composite agg expr + LIMIT
