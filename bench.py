@@ -177,8 +177,35 @@ def main() -> int:
         "load1_start": None if load1 is None else round(load1, 2),
         "load_wait_sec": load_wait,
         "uptime_sec": uptime,
+        # q09 carries an uncorrelated scalar subquery folded at plan time:
+        # one bounded EXTRA aggregate job per execution, constant in SF —
+        # so its 10x-data wall ratio overstates the query body's scaling
+        # (the fixed fold job dominates at small SF and amortizes at scale)
+        "q09_note": "includes a fixed plan-time scalar-fold job, constant per execution",
     }
     print(json.dumps(headline), flush=True)
+
+    # ------------------------------------------------------------------
+    # dp07 cost attribution (untimed): LSH-candidate and verified-pair
+    # counts at this SF, so a cross-SF wall ratio is adjudicable against
+    # the workload it actually paid for — the candidate count lower-
+    # bounds the verify phase's join input (r14 directive: "pairs grew
+    # X× vs wall Y×" must be in the record, not the ledger).
+    # ------------------------------------------------------------------
+    dp07_stats: dict = {}
+    try:
+        from qlbridge_spark.datapipe import lsh_jaccard_stats
+
+        from __spark_entry__ import _docs  # same input the timed entry reads
+
+        release_caches()
+        dp07_stats = lsh_jaccard_stats(
+            _docs(spark, sf_dir), "doc_id", "text",
+            threshold=0.5, num_hashes=32, bands=16,
+        )
+        release_caches()
+    except Exception as e:
+        dp07_stats = {"error": f"{type(e).__name__}: {e}"}
 
     # ------------------------------------------------------------------
     # bucketed-layout section: the 100 TB physical design. lineitem+orders
@@ -669,6 +696,7 @@ def main() -> int:
             "min-of-reps after one untimed warmup per query; sub-300ms "
             "lines jitter up to ~2x from OS/GC noise at the job-launch floor"
         ),
+        dp07_pair_stats=dp07_stats,
         bucketed_layout=bucketed_info,
         decorrelation=decorrelation_info,
         range_correlation=range_corr_info,

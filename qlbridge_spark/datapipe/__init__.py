@@ -20,6 +20,7 @@ from .dedup import (
     lsh_candidate_pairs,
     dedup_keep_best,
     lsh_jaccard_pairs,
+    lsh_jaccard_stats,
     minhash_dedup,
     minhash_pairs,
     minhash_signature,
@@ -55,6 +56,7 @@ __all__ = [
     "lsh_candidate_pairs",
     "dedup_keep_best",
     "lsh_jaccard_pairs",
+    "lsh_jaccard_stats",
     "minhash_pairs",
     "minhash_dedup",
     "simhash",

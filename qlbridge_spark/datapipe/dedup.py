@@ -302,6 +302,26 @@ def lsh_jaccard_pairs(
 
     Returns (id_a, id_b, jaccard) with jaccard >= threshold.
     """
+    grams, cands = _lsh_jaccard_parts(
+        df, id_col, text_col, num_hashes, shingle_size, bands, bucket_cap
+    )
+    return _verify_jaccard(cands, grams, threshold)
+
+
+def _lsh_jaccard_parts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    shingle_size: int,
+    bands: int,
+    bucket_cap: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """The shared first two phases of the two-phase near-dup pipeline:
+    the persisted gram table and the LSH candidate-pair frame. Split out
+    so ``lsh_jaccard_stats`` can count the candidate set the verify
+    phase will pay for — the cost driver a wall-clock number alone
+    can't attribute."""
     # tokenize/shingle ONCE: the gram table feeds both the signature
     # aggregation (explode + min-aggs) and the exact verify — at 100 TB
     # this is the table you'd materialize; locally persist() is the cut
@@ -321,7 +341,32 @@ def lsh_jaccard_pairs(
         .select("__id", F.array(*[f"__mh{i}" for i in range(num_hashes)]).alias("minhash"))
     )
     cands = lsh_candidate_pairs(sigs, "__id", "minhash", bands, bucket_cap, sig_len=num_hashes)
-    return _verify_jaccard(cands, grams, threshold)
+    return grams, cands
+
+
+def lsh_jaccard_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    shingle_size: int = 3,
+    bands: int = 64,
+    bucket_cap: int | None = None,
+) -> dict:
+    """Cost attribution for ``lsh_jaccard_pairs``: doc / LSH-candidate /
+    verified-pair counts for the same configuration. Candidate count is
+    the verify phase's work lower bound (each candidate is joined against
+    both gram sides), so a run whose wall grows slower than its candidate
+    count is scaling BETTER than its workload — the number that makes a
+    10×-data wall ratio adjudicable instead of anecdotal."""
+    grams, cands = _lsh_jaccard_parts(
+        df, id_col, text_col, num_hashes, shingle_size, bands, bucket_cap
+    )
+    cands = _track(cands.persist())
+    n_cands = cands.count()
+    n_pairs = _verify_jaccard(cands, grams, threshold).count()
+    return {"docs": df.count(), "candidates": n_cands, "pairs": n_pairs}
 
 
 def _verify_jaccard(cands: DataFrame, grams: DataFrame, threshold: float) -> DataFrame:
