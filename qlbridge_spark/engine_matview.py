@@ -105,9 +105,14 @@ class MatViewMixin:
             # correlation probe (analysis only, no job): a subquery
             # referencing the OUTER table's columns raises here and the
             # view falls back to the engine's correlated-IN execution
-            # as a full-recompute MV
+            # as a full-recompute MV. The correlated-scalar shape probes
+            # its DECORRELATED grouped query (the correlation was split
+            # out at analysis, so a clean probe means the rewrite bound
+            # every identifier).
             try:
-                self._select_any(mv.in_select).schema
+                self._select_any(mv.in_select or mv.csc_select).schema
+                if mv.csc_empty is not None:
+                    self._select_any(mv.csc_empty).schema
             except (ExecError, TranslateError):
                 mv = None
         if mv is None:
@@ -150,9 +155,12 @@ class MatViewMixin:
             }
             base_df = sink.scan(self.spark, version=mv.base_version)
             if mv.in_table:
-                from .matview import in_membership_filter
+                from .matview import csc_filter, in_membership_filter
 
-                base_df = in_membership_filter(self, mv, base_df)
+                if mv.csc_pred is not None:
+                    base_df = csc_filter(self, mv, base_df)
+                else:
+                    base_df = in_membership_filter(self, mv, base_df)
             # the delete-repair flag is delta-only state; never persisted
             mv.internal = persist_state(
                 mv, state_frame(self, mv, base_df, F.lit(1), weight_mode="one").drop("__mv_neg")
@@ -352,6 +360,83 @@ class MatViewMixin:
             else:
                 self.tables[mv.in_table] = saved
 
+    def _csc_terms(self, mv, changes, w, in_changes, i_cur) -> list:
+        """Signed delta inputs for a correlated-scalar view (``... WHERE
+        P(f, (SELECT agg FROM s WHERE s.k = f.ck))``), with s PINNED at
+        ``i_cur``:
+
+          T_a = ΔF rows passing P under the NEW scalars
+          T_f = F_old rows whose predicate truth CHANGED, weighted
+                [P(f, v_new(k))] − [P(f, v_old(k))] ∈ {−1, +1}
+
+        Identity: state = Σ_{f∈F}[P(f, v(k(f)))], so
+        Δstate = Σ_{ΔF}[P_new] + Σ_{F_old}([P_new] − [P_old]).
+        The scalar dim is recomputed only for the Δ-AFFECTED keys (every
+        key in s's change feed, pre- and postimages — a conservative
+        superset), from the new snapshot and the OLD snapshot each
+        restricted to that slice: O(|s changes| + 2·affected slice).
+        Keys whose scalar did not move are dropped BEFORE touching the
+        fact (null-safe compare), and the F_old scan is pruned to the
+        moved keys (≤1000 → literal IN pushdown → file/row-group
+        skipping at 100 TB; larger → broadcast join on the tiny changed
+        frame). Unlike the IN machinery's per-KEY flips, the flip here
+        is per fact ROW — the predicate couples the row's own columns
+        with the scalar — so the changed frame carries BOTH values and
+        one join evaluates both truths."""
+        from .matview import csc_default, csc_filter, csc_pred_col, csc_scalars
+        from .translate import Scope, to_column
+
+        isink = self.sinks[mv.in_table]
+        s_new = isink.scan(self.spark, version=i_cur)
+        specs = [(csc_filter(self, mv, changes, s_new), w)]
+        if in_changes is None:
+            return specs
+        sub_src = mv.csc_select.from_[0]
+        sref = sub_src.alias or sub_src.name
+        skey_node = mv.csc_select.group_by[0]
+        k = to_column(skey_node, Scope({sref: in_changes}, includes=self.includes))
+        kframe = (
+            in_changes.select(k.alias("__mv_cfk"))
+            .filter(F.col("__mv_cfk").isNotNull())
+            .distinct()
+        )
+        v_new = csc_scalars(self, mv, s_new, kframe).withColumnRenamed("__mv_csc", "__mv_vn")
+        s_old = isink.scan(self.spark, version=mv.in_version)
+        v_old = csc_scalars(self, mv, s_old, kframe).withColumnRenamed("__mv_csc", "__mv_vo")
+        v0, dt = csc_default(self, mv)
+        changed = (
+            v_new.join(v_old, "__mv_cck", "full")
+            .select(
+                "__mv_cck",
+                F.coalesce("__mv_vn", F.lit(v0).cast(dt)).alias("__mv_vn"),
+                F.coalesce("__mv_vo", F.lit(v0).cast(dt)).alias("__mv_vo"),
+            )
+            .filter(~F.col("__mv_vn").eqNullSafe(F.col("__mv_vo")))
+        )
+        f_old = self.sinks[mv.base].scan(self.spark, version=mv.base_version)
+        src = mv.select.from_[0]
+        fref = src.alias or mv.base
+
+        def _fkey(df):
+            return to_column(mv.in_key, Scope({fref: df}, includes=self.includes))
+
+        fvals = [r[0] for r in changed.select("__mv_cck").limit(1001).collect()]
+        if len(fvals) <= 1000:
+            # bounded plan-time collect → literal IN pushdown on the
+            # fact scan (stats/row-group skipping); empty → no rows
+            f_old = f_old.filter(_fkey(f_old).isin(fvals) if fvals else F.lit(False))
+        j = f_old.join(F.broadcast(changed), _fkey(f_old) == F.col("__mv_cck"), "inner")
+        p_new = csc_pred_col(self, mv, j, F.col("__mv_vn"), dt)
+        p_old = csc_pred_col(self, mv, j, F.col("__mv_vo"), dt)
+        fw = F.coalesce(p_new.cast("int"), F.lit(0)) - F.coalesce(p_old.cast("int"), F.lit(0))
+        j = (
+            j.withColumn("__mv_fw", fw)
+            .filter(F.col("__mv_fw") != 0)
+            .drop("__mv_cck", "__mv_vn", "__mv_vo")
+        )
+        specs.append((j, F.col("__mv_fw")))
+        return specs
+
     def _refresh_one(self, view: str, full: bool, cache) -> tuple:
         """One view's refresh — incremental when possible: fold the
         base sink's commits since the last refresh (changes_since CDF)
@@ -468,6 +553,14 @@ class MatViewMixin:
                             # the F_old × flip terms need the fact's OLD
                             # snapshot; vacuumed → full recompute
                             changes = None
+                        elif (
+                            mv.csc_pred is not None
+                            and mv.in_version not in isink.versions()
+                        ):
+                            # the correlated-scalar flip terms also scan
+                            # s's OLD snapshot (v_old over the affected
+                            # slice); vacuumed → full recompute
+                            changes = None
                 dim_changes = d_cur = None
                 if dim_moved or (right_like and cur != mv.base_version):
                     dim_changes, d_cur = self._changes_since_cached(cache, mv.dim, mv.dim_version)
@@ -495,7 +588,11 @@ class MatViewMixin:
                     if mv.in_table:
                         # semi-join delta algebra for the IN-subquery:
                         #   Δstate = ΔF ⋉ M_new + F_old ⋉ flip_in − F_old ⋉ flip_out
-                        specs = self._in_sub_terms(mv, changes, w, in_changes, i_cur)
+                        # (correlated scalars: the per-row twin, _csc_terms)
+                        if mv.csc_pred is not None:
+                            specs = self._csc_terms(mv, changes, w, in_changes, i_cur)
+                        else:
+                            specs = self._in_sub_terms(mv, changes, w, in_changes, i_cur)
                         terms = [
                             state_frame(self, mv, df, wt) for df, wt in specs
                         ]
@@ -1064,10 +1161,13 @@ class MatViewMixin:
                 if mv.in_table:
                     # re-pin the IN-subquery table and membership-filter
                     # the rebuild input (state selects carry where_rest)
-                    from .matview import in_membership_filter
+                    from .matview import csc_filter, in_membership_filter
 
                     mv.in_version = max(self.sinks[mv.in_table].versions())
-                    base_df = in_membership_filter(self, mv, base_df)
+                    if mv.csc_pred is not None:
+                        base_df = csc_filter(self, mv, base_df)
+                    else:
+                        base_df = in_membership_filter(self, mv, base_df)
                 mv.internal = persist_state(
                     mv, state_frame(self, mv, base_df, F.lit(1), weight_mode="one").drop("__mv_neg")
                 )

@@ -172,16 +172,14 @@ from .matview_state import (  # noqa: F401
     sub_state_frames,
 )
 
-def _analyze_exists_sub(engine, base_name: str, base_src, sub):
-    """``(outer key expr, membership select, table)`` for a CORRELATED
-    ``[NOT] EXISTS (SELECT … FROM s WHERE s.col = <outer expr> AND
-    <s-local rest>)`` the semi-join delta algebra maintains. The
-    subquery's select list is irrelevant — membership only needs the
-    correlation column — so this rewrites to the same 1-column-dim
-    shape as ``IN (SELECT …)``: exactly one cross-side correlation
-    equality, everything else s-local and row-local."""
-    from . import functions as funcs
-
+def _corr_split(engine, base_name: str, base_src, sub):
+    """The shared correlation decomposition for WHERE-context subqueries
+    (EXISTS / correlated scalar): ``(s_src, sname, s_expr, outer_expr,
+    rest)`` when ``sub`` is a single-table select over a versioned sink
+    (not the base itself) whose WHERE splits into exactly ONE cross-side
+    correlation equality plus s-local row-local conjuncts; None
+    otherwise. Column-list constraints are the callers' — membership
+    ignores the list, a scalar requires one aggregate."""
     if not isinstance(sub, SqlSelect) or len(sub.from_) != 1:
         return None
     s = sub.from_[0]
@@ -200,7 +198,7 @@ def _analyze_exists_sub(engine, base_name: str, base_src, sub):
         return None
     sname = s.name.lower()
     if sname == base_name:
-        return None  # self-referential EXISTS: correlation ambiguity
+        return None  # self-referential subquery: correlation ambiguity
     snk = engine.sinks.get(sname)
     if snk is None or not hasattr(snk, "versions") or sname in engine.tables:
         return None
@@ -215,13 +213,8 @@ def _analyze_exists_sub(engine, base_name: str, base_src, sub):
     ):
         return None
     if sub.where is None:
-        return None  # uncorrelated EXISTS: a constant truth — stay full
+        return None  # uncorrelated: the callers' constant-truth/frozen paths
     if any(isinstance(n, (SubqueryNode, WindowNode)) for n in sub.where.walk()):
-        return None
-    if any(
-        (not c.is_star) and c.expr is not None and funcs.is_agg_tree(c.expr)
-        for c in sub.columns
-    ):
         return None
     s_cols = _snapshot_cols(engine, snk)
     base_cols = _snapshot_cols(engine, engine.sinks[base_name])
@@ -281,12 +274,156 @@ def _analyze_exists_sub(engine, base_name: str, base_src, sub):
     s_expr, outer_expr = corr
     if not _row_local(outer_expr) or not _row_local(s_expr):
         return None
+    return s, sname, s_expr, outer_expr, rest, _side
+
+
+def _analyze_exists_sub(engine, base_name: str, base_src, sub):
+    """``(outer key expr, membership select, table)`` for a CORRELATED
+    ``[NOT] EXISTS (SELECT … FROM s WHERE s.col = <outer expr> AND
+    <s-local rest>)`` the semi-join delta algebra maintains. The
+    subquery's select list is irrelevant — membership only needs the
+    correlation column — so this rewrites to the same 1-column-dim
+    shape as ``IN (SELECT …)``: exactly one cross-side correlation
+    equality, everything else s-local and row-local."""
+    from . import functions as funcs
+
+    if isinstance(sub, SqlSelect) and any(
+        (not c.is_star) and c.expr is not None and funcs.is_agg_tree(c.expr)
+        for c in sub.columns
+    ):
+        return None
+    split = _corr_split(engine, base_name, base_src, sub)
+    if split is None:
+        return None
+    s, sname, s_expr, outer_expr, rest, _ = split
     mem = SqlSelect(
         columns=[Column(expr=s_expr, alias="__mv_inv0")],
         from_=[s],
         where=_and_tree(rest),
     )
     return outer_expr, mem, sname
+
+
+def _analyze_csc_sub(engine, base_name: str, base_src, sub):
+    """``(outer key expr, grouped select, empty select, table)`` for a
+    CORRELATED SCALAR subquery ``(SELECT <agg over s> FROM s WHERE
+    s.col = <outer expr> AND <s-local rest>)`` the per-row flip algebra
+    maintains (MatView.csc_pred). The per-key scalar is a 1-column dim:
+    the grouped select computes (correlation key → scalar) over any
+    slice of s, and the empty select computes ANSI's agg-over-no-rows
+    value (the scalar for keys with no matching s rows). The aggregate
+    expression can be ANY engine-executable aggregation tree — both
+    refresh-time evaluations run it through the engine itself, so no
+    agg-specific delta algebra is assumed (min/median/DISTINCT all
+    work); the reference executes these via the same per-key
+    decorrelation (exec/join.go's subquery path), one key at a time."""
+    from . import functions as funcs
+
+    if not isinstance(sub, SqlSelect) or len(sub.columns) != 1 or sub.order_by:
+        return None
+    col = sub.columns[0]
+    if col.is_star or col.expr is None or col.guard is not None or col.exclude or col.replace:
+        return None
+    if not funcs.is_agg_tree(col.expr):
+        return None  # non-aggregate scalar: >1-row errors aren't provable static
+    if any(isinstance(n, (SubqueryNode, WindowNode)) for n in col.expr.walk()):
+        return None
+    split = _corr_split(engine, base_name, base_src, sub)
+    if split is None:
+        return None
+    s, sname, s_expr, outer_expr, rest, side_of = split
+    # the aggregate must be s-local once the correlation is split out
+    # (_corr_split side-checks only the WHERE; the select list could
+    # still smuggle an outer reference). count(*)'s star identity is
+    # side-neutral — skip it, side-check every other identifier.
+    if not _row_local(col.expr):
+        return None
+    for n in col.expr.walk():
+        if isinstance(n, IdentityNode) and n.parts != ("*",):
+            sd = side_of(n)
+            if sd is None or sd[1] == "b":
+                return None
+    grouped = SqlSelect(
+        columns=[
+            Column(expr=s_expr, alias="__mv_cck"),
+            Column(expr=col.expr, alias="__mv_csc"),
+        ],
+        from_=[s],
+        where=_and_tree(rest),
+        group_by=[s_expr],
+    )
+    empty = SqlSelect(
+        columns=[Column(expr=col.expr, alias="__mv_csc")],
+        from_=[s],
+        where=_and_tree(
+            rest + [BinaryNode(op="=", left=NumberNode("1"), right=NumberNode("0"))]
+        ),
+    )
+    return outer_expr, grouped, empty, sname
+
+
+def _null_rejecting(conjs: list, expr) -> bool:
+    """True when one of ``conjs`` proves ``expr`` non-NULL on qualifying
+    rows: the exact ``expr IS NOT NULL``, or an un-negated SQL comparison
+    with expr as one whole side — comparisons propagate NULL, so a NULL
+    expr can never satisfy them."""
+    for c in conjs:
+        if not isinstance(c, BinaryNode):
+            continue
+        if (
+            c.op == "IS"
+            and getattr(c, "negated", False)
+            and isinstance(c.right, NullNode)
+            and c.left == expr
+        ):
+            return True
+        if (
+            c.op in ("=", "==", "!=", "<", ">", "<=", ">=")
+            and not getattr(c, "negated", False)
+            and (c.left == expr or c.right == expr)
+        ):
+            return True
+    return False
+
+
+def _not_in_provable(engine, base_name: str, base_src, cj, rest: list) -> bool:
+    """NOT IN (and ``<> ALL``) ride the anti-membership machinery ONLY
+    when ANSI's two NULL traps are statically closed:
+
+    - one NULL in the inner set empties the whole result (``k NOT IN
+      {…, NULL}`` is never TRUE) — the inner value must be provably
+      non-NULL;
+    - a NULL outer key qualifies under NOT IN iff the set is EMPTY, but
+      always under an anti-join — the outer key must be provably
+      non-NULL on qualifying rows.
+
+    Proof, per side: a null-rejecting sibling conjunct
+    (``_null_rejecting``), else Catalyst's analyzed ``nullable=False``
+    (schema-only, no job). Unprovable → the view stays full-recompute,
+    the pre-r15 behavior."""
+    sub = cj.right.select
+    inner = sub.columns[0].expr
+    sub_conjs = _conjuncts(sub.where) if sub.where is not None else []
+    if not _null_rejecting(sub_conjs, inner):
+        try:
+            if engine._select_any(sub).schema.fields[0].nullable:
+                return False
+        except Exception:
+            return False
+    if not _null_rejecting(rest, cj.left):
+        from .translate import Scope, to_column
+
+        try:
+            df = engine.sinks[base_name].scan(engine.spark)
+            col = to_column(
+                cj.left,
+                Scope({base_src.alias or base_name: df}, includes=engine.includes),
+            )
+            if df.select(col).schema.fields[0].nullable:
+                return False
+        except Exception:
+            return False
+    return True
 
 
 def _analyze_in_sub(engine, sub) -> str | None:
@@ -604,16 +741,19 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
 
         conjs = _conjuncts(select.where)
         in_idx = ex_idx = None
+        in_neg = False
         two = False
         for i, cj in enumerate(conjs):
-            if (
-                isinstance(cj, BinaryNode)
-                and cj.op == "IN"
-                and not getattr(cj, "negated", False)
-                and isinstance(cj.right, SubqueryNode)
+            if isinstance(cj, BinaryNode) and isinstance(cj.right, SubqueryNode) and (
+                cj.op == "IN"  # either negation: NOT IN handled below
+                # quantified-equality forms: `= ANY` IS membership and
+                # `<> ALL` IS anti-membership, NULL semantics included
+                or (cj.op == "= ANY" and not getattr(cj, "negated", False))
+                or (cj.op == "!= ALL" and not getattr(cj, "negated", False))
             ):
                 two = two or in_idx is not None or ex_idx is not None
                 in_idx = i
+                in_neg = getattr(cj, "negated", False) or cj.op == "!= ALL"
             elif _exists_of(cj) is not None:
                 two = two or in_idx is not None or ex_idx is not None
                 ex_idx = i
@@ -626,12 +766,18 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
         ):
             rest = [c for i, c in enumerate(conjs) if i != in_idx]
             sub_tbl = _analyze_in_sub(engine, conjs[in_idx].right.select)
-            if sub_tbl is not None and all(_row_local(c) for c in rest):
+            ok = sub_tbl is not None and all(_row_local(c) for c in rest)
+            if ok and in_neg:
+                # NOT IN / <> ALL: only with both NULL traps statically
+                # closed (inner value and outer key provably non-NULL) —
+                # then it IS anti-membership, the NOT EXISTS machinery
+                ok = _not_in_provable(engine, nm, src, conjs[in_idx], rest)
+            if ok:
                 in_sub = (
                     conjs[in_idx].left,
                     conjs[in_idx].right.select,
                     sub_tbl,
-                    False,
+                    in_neg,
                 )
                 where_rest = _and_tree(rest)
         elif ex_idx is not None and len(select.from_) == 1:
@@ -641,7 +787,46 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
             if ex is not None and all(_row_local(c) for c in rest):
                 in_sub = (ex[0], ex[1], ex[2], neg)
                 where_rest = _and_tree(rest)
-    if select.where is not None and not _row_local(select.where) and in_sub is None:
+    csc: tuple | None = None
+    if (
+        select.where is not None
+        and not _row_local(select.where)
+        and in_sub is None
+        and len(select.from_) == 1
+    ):
+        # CORRELATED SCALAR subquery conjunct (x > (SELECT agg(s.y) FROM
+        # s WHERE s.k = f.ck)): exactly ONE conjunct carries exactly ONE
+        # subquery in a scalar position; with the subquery replaced by
+        # the ``__mv_csc`` placeholder the conjunct must be row-local —
+        # any row-local shape around the scalar (NOT, OR, arithmetic)
+        # maintains, because the flip algebra re-evaluates the WHOLE
+        # conjunct per fact row under the old and new scalar values.
+        conjs = _conjuncts(select.where)
+        sub_idx = [
+            i
+            for i, cj in enumerate(conjs)
+            if any(isinstance(n, SubqueryNode) for n in cj.walk())
+        ]
+        if len(sub_idx) == 1:
+            cj = conjs[sub_idx[0]]
+            subs = [n for n in cj.walk() if isinstance(n, SubqueryNode)]
+            setctx = False
+            for n in cj.walk():
+                if isinstance(n, BinaryNode) and isinstance(n.right, SubqueryNode):
+                    if n.op in ("IN", "NOT IN") or n.op.endswith(" ANY") or n.op.endswith(" ALL"):
+                        setctx = True
+                if isinstance(n, UnaryNode) and isinstance(n.child, SubqueryNode):
+                    if "EXISTS" in n.op.upper():
+                        setctx = True
+            rest = [c for i, c in enumerate(conjs) if i != sub_idx[0]]
+            if not setctx and len(subs) == 1 and all(_row_local(c) for c in rest):
+                got = _analyze_csc_sub(engine, nm, src, subs[0].select)
+                if got is not None:
+                    pred = _subst(cj, [(subs[0], IdentityNode(("__mv_csc",)))])
+                    if _row_local(pred):
+                        csc = (got[0], got[1], got[2], got[3], pred)
+                        where_rest = _and_tree(rest)
+    if select.where is not None and not _row_local(select.where) and in_sub is None and csc is None:
         # the ONE tolerated non-row-local WHERE shape: uncorrelated
         # SCALAR subqueries (x > (SELECT avg(x) FROM other)) — frozen
         # per refresh. Every SubqueryNode must sit in a scalar position
@@ -1056,12 +1241,14 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
         ):
             return None
 
-    if in_sub is not None and any(a.kind in _EXTREMUM_AGGS for a in aggs):
-        # membership flips act as inserts/deletes of base rows, and the
-        # extrema repair probe would re-run the state select WITHOUT the
-        # IN conjunct — so probe-backed extrema ride the substate
-        # MULTISET instead (fold-only, no repair; same cost note as
-        # FULL joins)
+    if (in_sub is not None or csc is not None) and any(
+        a.kind in _EXTREMUM_AGGS for a in aggs
+    ):
+        # membership/predicate flips act as inserts/deletes of base
+        # rows, and the extrema repair probe would re-run the state
+        # select WITHOUT the IN / correlated-scalar conjunct — so
+        # probe-backed extrema ride the substate MULTISET instead
+        # (fold-only, no repair; same cost note as FULL joins)
         for a in aggs:
             if a.kind in _EXTREMUM_AGGS:
                 a.kind = f"{a.kind}_set"
@@ -1109,11 +1296,14 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
         qualify=qualify_expr,
         scalar_subs=scalar_subs,
         expose_subs=expose_subs,
-        in_key=in_sub[0] if in_sub else None,
+        in_key=in_sub[0] if in_sub else (csc[0] if csc else None),
         in_select=in_sub[1] if in_sub else None,
-        in_table=in_sub[2] if in_sub else None,
+        in_table=in_sub[2] if in_sub else (csc[3] if csc else None),
         in_negated=bool(in_sub[3]) if in_sub else False,
-        where_rest=where_rest if in_sub else None,
+        where_rest=where_rest if (in_sub or csc) else None,
+        csc_select=csc[1] if csc else None,
+        csc_empty=csc[2] if csc else None,
+        csc_pred=csc[4] if csc else None,
     )
 
 
@@ -1142,6 +1332,89 @@ def in_membership_filter(engine, mv: MatView, df: DataFrame) -> DataFrame:
     # (NULL keys never match, so they qualify; exactly ANSI NOT EXISTS)
     how = "left_anti" if mv.in_negated else "left_semi"
     return df.join(vals, key == F.col("__mv_inv"), how)
+
+
+def csc_default(engine, mv: MatView) -> tuple:
+    """ANSI's scalar for correlation keys with NO matching s rows: the
+    aggregate over an empty input (count → 0, sum/avg/min/max → NULL),
+    as ``(value, dtype)``. Evaluated through the engine itself — one
+    bounded 1-row job whose FALSE filter Catalyst folds to an empty
+    scan — so every agg the engine executes gets the right default."""
+    sub_df = engine._select_any(mv.csc_empty)
+    rows = sub_df.limit(1).collect()
+    return (rows[0][0] if rows else None, sub_df.schema.fields[0].dataType)
+
+
+def csc_scalars(engine, mv: MatView, s_df: DataFrame, keys_df: DataFrame) -> DataFrame:
+    """``(__mv_cck, __mv_csc)`` — the correlated scalar per correlation
+    key, computed by the ENGINE (so any engine-executable aggregate
+    works) over ``s_df`` RESTRICTED to ``keys_df`` (one ``__mv_cfk``
+    column) — O(affected slice), never a full s aggregation. The s
+    table is pinned to the slice for the execution, the in-sub/dim
+    pinning pattern."""
+    from .translate import Scope, to_column
+
+    sub_src = mv.csc_select.from_[0]
+    sref = sub_src.alias or sub_src.name
+    skey = to_column(
+        mv.csc_select.group_by[0], Scope({sref: s_df}, includes=engine.includes)
+    )
+    sliced = s_df.join(keys_df, skey == F.col("__mv_cfk"), "left_semi")
+    sname = sub_src.name.lower()
+    saved = engine.tables.get(sname, _UNSET)
+    engine.tables[sname] = sliced
+    try:
+        return engine._select_any(mv.csc_select)
+    finally:
+        if saved is _UNSET:
+            engine.tables.pop(sname, None)
+        else:
+            engine.tables[sname] = saved
+
+
+def csc_pred_col(engine, mv: MatView, df: DataFrame, value_col, dtype):
+    """The WHERE conjunct's boolean Column over ``df`` with the scalar
+    placeholder bound to ``value_col`` (NULL → not true → filtered,
+    exactly ANSI WHERE)."""
+    from .nodes import SparkColNode
+    from .translate import Scope, to_column
+
+    node = _subst(
+        mv.csc_pred,
+        [(IdentityNode(("__mv_csc",)), SparkColNode(col=value_col, dtype=dtype, text="__mv_csc"))],
+    )
+    src = mv.select.from_[0]
+    scope = Scope({src.alias or src.name: df}, includes=engine.includes)
+    return to_column(node, scope).cast("boolean")
+
+
+def csc_filter(engine, mv: MatView, df: DataFrame, s_df: DataFrame | None = None) -> DataFrame:
+    """Filter ``df`` (a base snapshot or signed delta) by the correlated-
+    scalar predicate, with s at the currently pinned/registered version
+    (the ``in_membership_filter`` contract). The scalar dim is computed
+    only for ``df``'s OWN keys (semi-join restriction), left-joined back
+    (NULL keys get the empty-agg default — they match no s row), and the
+    predicate evaluated per row."""
+    if s_df is None:
+        s_df = engine.tables.get(mv.in_table)
+        if s_df is None:
+            s_df = engine.sinks[mv.in_table].scan(
+                engine.spark, version=mv.in_version
+            )
+    from .translate import Scope, to_column
+
+    src = mv.select.from_[0]
+    key = to_column(
+        mv.in_key, Scope({src.alias or src.name: df}, includes=engine.includes)
+    )
+    dfk = df.withColumn("__mv_cfk", key)
+    keys = dfk.select("__mv_cfk").filter(F.col("__mv_cfk").isNotNull()).distinct()
+    scal = csc_scalars(engine, mv, s_df, keys)
+    v0, dt = csc_default(engine, mv)
+    joined = dfk.join(scal, F.col("__mv_cfk") == F.col("__mv_cck"), "left")
+    val = F.coalesce(F.col("__mv_csc"), F.lit(v0).cast(dt))
+    pred = csc_pred_col(engine, mv, joined, val, dt)
+    return joined.filter(pred).drop("__mv_cfk", "__mv_cck", "__mv_csc")
 
 
 def eval_scalar_subs(engine, mv: MatView, subs: list | None = None) -> list:

@@ -249,15 +249,37 @@ class MatView:
     in_select: SqlSelect | None = None  # the subquery (single column)
     in_table: str | None = None  # the subquery's versioned-sink table
     in_version: int | None = None
-    #: NOT-membership (correlated ``NOT EXISTS``): rows qualify when the
-    #: key has NO match — the same flip algebra with inverted signs and
-    #: an anti-join membership filter. (NOT IN stays full-recompute:
-    #: one NULL in its list empties the result — not a per-key flip.)
+    #: NOT-membership (correlated ``NOT EXISTS``, or NOT IN / ``<> ALL``
+    #: whose two ANSI NULL traps are statically closed — inner value and
+    #: outer key provably non-NULL, see ``_not_in_provable``): rows
+    #: qualify when the key has NO match — the same flip algebra with
+    #: inverted signs and an anti-join membership filter. Unprovable
+    #: NOT IN stays full-recompute (one inner NULL empties the result —
+    #: not a per-key flip).
     in_negated: bool = False
     #: the WHERE minus the IN conjunct (row-local; None when empty) —
     #: what the state selects actually evaluate; membership is applied
     #: to their INPUT frames instead
     where_rest: Node | None = None
+    #: CORRELATED SCALAR subquery in the WHERE (``x > (SELECT agg(s.y)
+    #: FROM s WHERE s.k = f.ck AND <s-local>)``): the per-key scalar is
+    #: a 1-column dim KEYED BY THE CORRELATION KEY with the aggregate as
+    #: payload — the same shape as the IN machinery (it shares
+    #: ``in_table``/``in_version`` and every pinning/vacuum site), but
+    #: the flip set is PER FACT ROW, not per key: when s commits, keys
+    #: whose scalar moved re-evaluate the predicate against both the old
+    #: and new value for each base row carrying that key, and rows whose
+    #: truth changed enter (+1) / leave (−1) the state:
+    #:   Δstate = ΔF·[P_new] + F_old·([P(f,v_new(k))] − [P(f,v_old(k))])
+    #: ``csc_pred`` is the WHERE conjunct with the subquery replaced by
+    #: the placeholder identifier ``__mv_csc`` (row-local after the
+    #: substitution); ``csc_select`` the grouped (key → scalar) query
+    #: executed over restricted slices of s; ``csc_empty`` the agg over
+    #: an empty input — ANSI's scalar for keys with no matching s rows
+    #: (count → 0, sum/avg/min/max → NULL).
+    csc_pred: Node | None = None
+    csc_select: SqlSelect | None = None
+    csc_empty: SqlSelect | None = None
 
     @property
     def incremental(self) -> bool:

@@ -1,0 +1,389 @@
+"""Round-15 additions.
+
+Correlated SCALAR subqueries in matview WHEREs maintain incrementally
+(r14 verdict directive #5): the per-key scalar is a 1-column dim keyed
+by the correlation key with the aggregate as payload; s-side commits
+flip base rows whose predicate truth changed under (old scalar → new
+scalar), per FACT ROW (the predicate couples row columns with the
+scalar). Both directions differential-tested; ineligible shapes pinned
+full in BOTH directions; vacuum-gap fallback + re-pin.
+"""
+
+import random
+
+import pytest
+
+from qlbridge_spark.engine import Engine
+from qlbridge_spark.sinks import ParquetMergeSink
+
+
+def _rows(eng, sql):
+    return sorted(
+        (tuple(r) for r in eng.sql(sql).collect()),
+        key=lambda t: tuple((v is None, str(type(v)), str(v)) for v in t),
+    )
+
+
+def _approx_eq(got, want):
+    if len(got) != len(want):
+        return False
+    for gr, wr in zip(got, want):
+        for gv, wv in zip(gr, wr):
+            if isinstance(gv, float) and isinstance(wv, float):
+                if abs(gv - wv) > 1e-9 * max(1.0, abs(wv)):
+                    return False
+            elif gv != wv:
+                return False
+    return True
+
+
+def _mk(spark, tmp_path, name):
+    eng = Engine(spark, f"csc15-{name}")
+    f = ParquetMergeSink(spark, str(tmp_path / f"{name}_f"), key="id")
+    f.ensure(
+        spark.createDataFrame(
+            # k = None rows: the correlation key is NULL — matches no s
+            # row, so the scalar is the empty-agg default for them
+            [
+                (i, "g%d" % (i % 3), float(i % 7), (i % 5) if i % 13 else None)
+                for i in range(40)
+            ],
+            "id long, g string, x double, k long",
+        )
+    )
+    eng.register_sink("f", f)
+    s = ParquetMergeSink(spark, str(tmp_path / f"{name}_s"), key="sid")
+    s.ensure(
+        spark.createDataFrame(
+            [(i, i % 5, float(i % 11)) for i in range(30)],
+            "sid long, sk long, y double",
+        )
+    )
+    eng.register_sink("s", s)
+    return eng
+
+
+class TestCorrScalarMatViews:
+    Q = (
+        "SELECT g, sum(x) AS sx, count(*) AS n FROM f "
+        "WHERE x > (SELECT avg(s.y) FROM s WHERE s.sk = f.k) GROUP BY g"
+    )
+
+    def test_lifecycle_differential_both_directions(self, spark, tmp_path):
+        eng = _mk(spark, tmp_path, "life")
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {self.Q}")
+        mv = eng.mat_views["mv"]
+        assert mv.incremental and mv.csc_pred is not None and mv.in_table == "s"
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, self.Q)
+        for stmt in (
+            # base-only deltas (scalar dim untouched)
+            "INSERT INTO f (id, g, x, k) VALUES (100, 'g1', 6.5, 2), (101, 'g0', 0.5, 3)",
+            "DELETE FROM f WHERE id % 5 = 1",
+            # s-only deltas (scalars move → per-row flips)
+            "UPDATE s SET y = y + 3 WHERE sk = 2",
+            "INSERT INTO s (sid, sk, y) VALUES (200, 0, 50.0)",
+            # both in one refresh window
+            "UPDATE f SET x = x + 1 WHERE id % 4 = 0",
+            # a key loses ALL s rows → scalar becomes the empty default
+            "DELETE FROM s WHERE sk = 3",
+        ):
+            eng.execute(stmt)
+            rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+            assert rep["mode"] == "incremental", stmt
+            assert _approx_eq(
+                _rows(eng, "SELECT * FROM mv"), _rows(eng, self.Q)
+            ), stmt
+
+    def test_count_default_and_composed_predicates(self, spark, tmp_path):
+        eng = _mk(spark, tmp_path, "cnt")
+        # count(*) has a NON-NULL empty default (0) — keys with no s
+        # rows compare against 0, not NULL; NOT/OR composition around
+        # the scalar maintains (the flip re-evaluates the conjunct)
+        q = (
+            "SELECT g, count(*) AS n FROM f WHERE "
+            "NOT (x <= (SELECT count(*) FROM s WHERE s.sk = f.k AND s.y > 1)) "
+            "OR x > 5.5 GROUP BY g"
+        )
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
+        mv = eng.mat_views["mv"]
+        assert mv.incremental and mv.csc_pred is not None
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
+        for stmt in (
+            "INSERT INTO s (sid, sk, y) VALUES (201, 1, 2.0), (202, 1, 3.0), (203, 0, 0.5)",
+            "DELETE FROM s WHERE sk = 4",
+            "UPDATE s SET y = 0.0 WHERE sk = 1",
+        ):
+            eng.execute(stmt)
+            rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+            assert rep["mode"] == "incremental", stmt
+            assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q), stmt
+
+    def test_distinct_payload_where_rest_and_filter_only(self, spark, tmp_path):
+        eng = _mk(spark, tmp_path, "dst")
+        # DISTINCT inside the payload agg: the scalar dim re-executes
+        # through the ENGINE, so no agg-specific algebra is assumed;
+        # where_rest composes; filter-only (no GROUP BY) multiset views
+        # ride the same specs
+        q = (
+            "SELECT id, g FROM f WHERE "
+            "x >= (SELECT avg(DISTINCT s.y) FROM s WHERE s.sk = f.k) AND id > 2"
+        )
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
+        mv = eng.mat_views["mv"]
+        assert mv.incremental and mv.csc_pred is not None and mv.expand
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
+        for stmt in (
+            "INSERT INTO s (sid, sk, y) VALUES (210, 2, 9.0)",
+            "DELETE FROM f WHERE id % 7 = 3",
+            "UPDATE s SET y = 1.5 WHERE sid % 3 = 0",
+        ):
+            eng.execute(stmt)
+            rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+            assert rep["mode"] == "incremental", stmt
+            assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q), stmt
+
+    def test_extrema_ride_multiset_under_flips(self, spark, tmp_path):
+        eng = _mk(spark, tmp_path, "ext")
+        q = (
+            "SELECT g, min(x) AS lo, max(x) AS hi FROM f "
+            "WHERE x < (SELECT max(s.y) FROM s WHERE s.sk = f.k) GROUP BY g"
+        )
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
+        mv = eng.mat_views["mv"]
+        assert mv.incremental
+        # predicate flips delete rows — probe-backed extrema would
+        # repair against the WRONG select (no csc conjunct); they must
+        # ride the multiset substate
+        assert {a.kind for a in mv.aggs} == {"min_set", "max_set"}
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
+        for stmt in (
+            # evict the reigning max via a scalar move
+            "UPDATE s SET y = 0.5 WHERE y > 8",
+            "DELETE FROM f WHERE x = 6.0",
+        ):
+            eng.execute(stmt)
+            rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+            assert rep["mode"] == "incremental", stmt
+            assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q), stmt
+
+    def test_ineligible_shapes_pinned_full_both_directions(self, spark, tmp_path):
+        eng = _mk(spark, tmp_path, "full")
+        eng.register_rows(
+            "s2", [{"sid": i, "sk": i % 5, "y": float(i % 11)} for i in range(20)]
+        )
+        full_shapes = {
+            # non-aggregate correlated scalar: >1-row runtime errors
+            # aren't statically provable — stays full
+            "f1": (
+                "SELECT g, count(*) AS n FROM f WHERE "
+                "x > (SELECT s.y FROM s WHERE s.sk = f.k AND s.sid = 0) GROUP BY g"
+            ),
+            # two correlation equalities: not the 1-column-dim shape
+            "f2": (
+                "SELECT g, count(*) AS n FROM f WHERE x > "
+                "(SELECT avg(s.y) FROM s WHERE s.sk = f.k AND s.sid = f.id) GROUP BY g"
+            ),
+            # subquery over a NON-VERSIONED table: no change feed to
+            # derive flips from — stays full
+            "f3": (
+                "SELECT g, count(*) AS n FROM f WHERE x > "
+                "(SELECT avg(s2.y) FROM s2 WHERE s2.sk = f.k) GROUP BY g"
+            ),
+            # subquery over the BASE itself: correlation ambiguity
+            "f4": (
+                "SELECT g, count(*) AS n FROM f WHERE x > "
+                "(SELECT avg(f2.x) FROM f f2 WHERE f2.k = f.k) GROUP BY g"
+            ),
+            # TWO scalar-carrying conjuncts: stays full
+            "f5": (
+                "SELECT g, count(*) AS n FROM f WHERE "
+                "x > (SELECT avg(s.y) FROM s WHERE s.sk = f.k) AND "
+                "x < (SELECT max(s.y) FROM s WHERE s.sk = f.k) GROUP BY g"
+            ),
+        }
+        for vn, q in full_shapes.items():
+            eng.execute(f"CREATE MATERIALIZED VIEW {vn} AS {q}")
+            assert not eng.mat_views[vn].incremental, vn
+            assert _rows(eng, f"SELECT * FROM {vn}") == _rows(eng, q), vn
+        # correctness holds for the fallbacks after churn too
+        eng.execute("UPDATE s SET y = y + 1 WHERE sk = 1")
+        eng.execute("INSERT INTO f (id, g, x, k) VALUES (300, 'g2', 3.5, 1)")
+        for vn, q in full_shapes.items():
+            rep = eng.sql(f"REFRESH MATERIALIZED VIEW {vn}").collect()[0]
+            assert rep["mode"] == "full", vn
+            assert _rows(eng, f"SELECT * FROM {vn}") == _rows(eng, q), vn
+
+    def test_vacuum_gap_falls_back_and_repins(self, spark, tmp_path):
+        eng = _mk(spark, tmp_path, "vac")
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {self.Q}")
+        ssink = eng.sinks["s"]
+        eng.execute("INSERT INTO s (sid, sk, y) VALUES (220, 3, 7.0)")
+        eng.execute("DELETE FROM s WHERE sk = 0")
+        ssink.vacuum(keep=1)  # drops the OLD snapshot the flip terms scan
+        rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+        assert rep["mode"] == "full"
+        assert _approx_eq(_rows(eng, "SELECT * FROM mv"), _rows(eng, self.Q))
+        # re-pinned: the next churn folds incrementally again
+        eng.execute("INSERT INTO s (sid, sk, y) VALUES (221, 2, 1.0)")
+        eng.execute("DELETE FROM f WHERE id = 30")
+        rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+        assert rep["mode"] == "incremental"
+        assert _approx_eq(_rows(eng, "SELECT * FROM mv"), _rows(eng, self.Q))
+
+    def test_randomized_differential_unchanged_scalar_noop(self, spark, tmp_path):
+        # an s commit that does NOT move any scalar (insert outside
+        # every fact key's slice) must produce zero flip rows — the
+        # null-safe changed-frame filter, exercised explicitly
+        eng = _mk(spark, tmp_path, "noflip")
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {self.Q}")
+        eng.execute("INSERT INTO s (sid, sk, y) VALUES (230, 99, 5.0)")
+        rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+        assert rep["mode"] == "incremental"
+        assert _approx_eq(_rows(eng, "SELECT * FROM mv"), _rows(eng, self.Q))
+
+    def test_randomized_differential(self, spark, tmp_path):
+        rng = random.Random(1515)
+        eng = _mk(spark, tmp_path, "rnd")
+        q = (
+            "SELECT g, count(*) AS n, sum(x) AS sx, median(x) AS mx FROM f "
+            "WHERE x > (SELECT avg(s.y) FROM s WHERE s.sk = f.k AND s.y < 10) "
+            "GROUP BY g HAVING count(*) >= 1"
+        )
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
+        assert eng.mat_views["mv"].incremental
+        nid, nsid = 1000, 1000
+        for round_ in range(8):
+            for _ in range(rng.randint(1, 3)):
+                op = rng.random()
+                if op < 0.2:
+                    nid += 1
+                    k = rng.choice(["NULL", str(rng.randint(0, 5))])
+                    eng.execute(
+                        f"INSERT INTO f (id, g, x, k) VALUES "
+                        f"({nid}, 'g{rng.randint(0, 2)}', {float(rng.randint(0, 8))}, {k})"
+                    )
+                elif op < 0.4:
+                    eng.execute(
+                        f"UPDATE f SET x = {float(rng.randint(0, 9))} "
+                        f"WHERE id % {rng.randint(2, 7)} = 0"
+                    )
+                elif op < 0.55:
+                    eng.execute(f"DELETE FROM f WHERE id % {rng.randint(5, 11)} = 1")
+                elif op < 0.75:
+                    nsid += 1
+                    eng.execute(
+                        f"INSERT INTO s (sid, sk, y) VALUES "
+                        f"({nsid}, {rng.randint(0, 5)}, {float(rng.randint(0, 12))})"
+                    )
+                elif op < 0.9:
+                    eng.execute(
+                        f"UPDATE s SET y = {float(rng.randint(0, 12))} "
+                        f"WHERE sid % {rng.randint(2, 5)} = 0"
+                    )
+                else:
+                    eng.execute(f"DELETE FROM s WHERE sid % {rng.randint(6, 11)} = 2")
+            rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+            assert rep["mode"] in ("incremental", "noop"), round_
+            got, want = _rows(eng, "SELECT * FROM mv"), _rows(eng, q)
+            assert _approx_eq(got, want), (round_, got, want)
+
+
+class TestNotInQuantifiedMatViews:
+    """NOT IN / = ANY / <> ALL matview WHEREs (r14 verdict directive
+    #7): `= ANY` IS membership and rides the IN machinery directly;
+    NOT IN and `<> ALL` ride the anti-membership (NOT EXISTS) machinery
+    ONLY when both ANSI NULL traps are statically closed — the inner
+    value and the outer key each proven non-NULL by a null-rejecting
+    sibling conjunct or analyzed non-nullability. Unprovable forms stay
+    pinned full in both directions."""
+
+    def _mk(self, spark, tmp_path, name):
+        eng = Engine(spark, f"nin15-{name}")
+        f = ParquetMergeSink(spark, str(tmp_path / f"{name}_f"), key="id")
+        f.ensure(
+            spark.createDataFrame(
+                [
+                    (i, "g%d" % (i % 3), float(i % 7), (i % 5) if i % 13 else None)
+                    for i in range(40)
+                ],
+                "id long, g string, x double, k long",
+            )
+        )
+        eng.register_sink("f", f)
+        s = ParquetMergeSink(spark, str(tmp_path / f"{name}_s"), key="sid")
+        s.ensure(
+            spark.createDataFrame(
+                [(i, i % 7, float(i)) for i in range(10)], "sid long, v long, y double"
+            )
+        )
+        eng.register_sink("s", s)
+        return eng
+
+    ELIGIBLE = {
+        # outer proof: IS NOT NULL conjunct; inner proof: v < 5 comparison
+        "nin": (
+            "SELECT g, count(*) AS n, sum(x) AS sx FROM f WHERE k IS NOT NULL "
+            "AND k NOT IN (SELECT v FROM s WHERE v < 5) GROUP BY g"
+        ),
+        # <> ALL is NOT IN; outer proof via comparison (k > -1)
+        "nall": (
+            "SELECT g, count(*) AS n FROM f WHERE k > -1 "
+            "AND k <> ALL (SELECT v FROM s WHERE v < 5) GROUP BY g"
+        ),
+        # = ANY is plain membership — no proof needed
+        "anyq": (
+            "SELECT g, count(*) AS n FROM f WHERE "
+            "k = ANY (SELECT v FROM s WHERE v < 5) GROUP BY g"
+        ),
+    }
+    FULL = {
+        # outer key nullable with no rejecting conjunct
+        "nin_f1": (
+            "SELECT g, count(*) AS n FROM f WHERE "
+            "k NOT IN (SELECT v FROM s WHERE v < 5) GROUP BY g"
+        ),
+        # inner value nullable and unfiltered
+        "nin_f2": (
+            "SELECT g, count(*) AS n FROM f WHERE k IS NOT NULL "
+            "AND k NOT IN (SELECT v FROM s) GROUP BY g"
+        ),
+    }
+
+    def test_eligibility_and_differentials(self, spark, tmp_path):
+        eng = self._mk(spark, tmp_path, "el")
+        for vn, q in {**self.ELIGIBLE, **self.FULL}.items():
+            eng.execute(f"CREATE MATERIALIZED VIEW {vn} AS {q}")
+            assert eng.mat_views[vn].incremental == (vn in self.ELIGIBLE), vn
+            assert _rows(eng, f"SELECT * FROM {vn}") == _rows(eng, q), vn
+        for stmt in (
+            "INSERT INTO f (id, g, x, k) VALUES (100, 'g0', 1.0, 6), (101, 'g1', 2.0, NULL)",
+            # membership flips: 3 enters the <5 set again; 9 is outside it
+            "INSERT INTO s (sid, v, y) VALUES (20, 3, 1.0), (21, 9, 2.0)",
+            "DELETE FROM s WHERE v = 4",
+            "UPDATE s SET v = 2 WHERE sid = 6",
+            "DELETE FROM f WHERE id % 9 = 2",
+        ):
+            eng.execute(stmt)
+            for vn, q in {**self.ELIGIBLE, **self.FULL}.items():
+                rep = eng.sql(f"REFRESH MATERIALIZED VIEW {vn}").collect()[0]
+                want = ("incremental", "noop") if vn in self.ELIGIBLE else ("full",)
+                assert rep["mode"] in want, (vn, stmt, rep["mode"])
+                assert _rows(eng, f"SELECT * FROM {vn}") == _rows(eng, q), (vn, stmt)
+
+    def test_not_in_empty_set_with_null_keys(self, spark, tmp_path):
+        # the precise trap the proofs close: when the inner set is EMPTY
+        # NOT IN keeps even NULL keys, but the eligible rewrite filters
+        # them via where_rest — identical results BECAUSE the proof
+        # conjunct (IS NOT NULL) is part of the view
+        eng = self._mk(spark, tmp_path, "emp")
+        q = (
+            "SELECT g, count(*) AS n FROM f WHERE k IS NOT NULL "
+            "AND k NOT IN (SELECT v FROM s WHERE v < 0) GROUP BY g"
+        )
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
+        assert eng.mat_views["mv"].incremental
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
+        eng.execute("INSERT INTO s (sid, v, y) VALUES (30, -3, 0.0)")  # set non-empty
+        rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+        assert rep["mode"] == "incremental"
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)

@@ -69,6 +69,7 @@ REQUIRED = {
     "agg_filter", "window_col", "qualify", "agg_median", "agg_mode",
     "agg_covar", "residual_on", "scalar_sub",
     "in_sub", "in_sub_not", "exists_sub", "exists_sub_not", "expose_sub",
+    "corr_scalar", "in_sub_not_nn", "quant_any", "quant_all",
     "cross_on_left", "cross_on_inner", "cross_on_right", "cross_on_full",
     "dim_churn", "dim_churn_right_full",
 }
@@ -99,13 +100,23 @@ SLOTS = [
     # r14: `k IN (SELECT ...)` WHERE — the IN-list maintains as a
     # 1-column dim (semi-join delta algebra; d churn drives flips)
     dict(join=None, key="fact", extrema=False, eligible=True, rounds=2, in_sub=True),
-    # NOT IN stays full (ANSI NULL semantics aren't per-key flips) —
-    # pinned in BOTH directions like every fallback
+    # UNPROVABLE NOT IN stays full (ANSI NULL semantics aren't per-key
+    # flips) — pinned in BOTH directions like every fallback
     dict(join=None, key="fact", extrema=False, eligible=False, rounds=1, in_sub="not"),
+    # r15: NOT IN with both NULL traps statically closed (null-rejecting
+    # conjuncts on the outer key and inner value) → anti-membership;
+    # `= ANY` is membership; `<> ALL` is the provable NOT IN twin
+    dict(join=None, key="fact", extrema=False, eligible=True, rounds=2, in_sub="not_nn"),
+    dict(join=None, key="fact", extrema=False, eligible=True, rounds=2, in_sub="quant_any"),
+    dict(join=None, key="fact", extrema=False, eligible=True, rounds=2, in_sub="quant_all"),
     # r14: correlated [NOT] EXISTS — the anti-membership twin of IN
     # (NOT EXISTS has no NULL trap, so BOTH directions maintain)
     dict(join=None, key="fact", extrema=False, eligible=True, rounds=2, exists_sub=True),
     dict(join=None, key="fact", extrema=False, eligible=True, rounds=2, exists_sub="not"),
+    # r15: correlated SCALAR subquery WHERE — the per-key scalar is a
+    # 1-column dim; s churn flips base rows per ROW (predicate couples
+    # row columns with the scalar)
+    dict(join=None, key="fact", extrema=False, eligible=True, rounds=2, csc=True),
     # r14: two-sided non-equi ON conjuncts — EVERY join shape maintains
     # (INNER via the bilinear terms; outer shapes via the per-row
     # match-state semi/anti terms T4'/T5'/T6')
@@ -221,15 +232,40 @@ def _mk_sql(rng, slot, extra, state_path):
         # placed AFTER the extras' WHERE choice so row-local rests
         # compose; the swap in the test loop keeps WHERE-rewriting
         # extras (where_alt/scalar_sub) off these slots
-        neg = "NOT " if slot["in_sub"] == "not" else ""
-        classes.add("in_sub_not" if neg else "in_sub")
-        where = f"f.dk {neg}IN (SELECT d2.dk FROM d d2 WHERE d2.dk < 5) AND {where}"
+        kind = slot["in_sub"]
+        if kind == "not_nn":
+            classes.add("in_sub_not_nn")
+            where = (
+                "f.dk IS NOT NULL AND f.dk NOT IN "
+                f"(SELECT d2.dk FROM d d2 WHERE d2.dk < 5) AND {where}"
+            )
+        elif kind == "quant_any":
+            classes.add("quant_any")
+            where = f"f.dk = ANY (SELECT d2.dk FROM d d2 WHERE d2.dk < 5) AND {where}"
+        elif kind == "quant_all":
+            classes.add("quant_all")
+            where = (
+                "f.dk IS NOT NULL AND f.dk <> ALL "
+                f"(SELECT d2.dk FROM d d2 WHERE d2.dk < 5) AND {where}"
+            )
+        else:
+            neg = "NOT " if kind == "not" else ""
+            classes.add("in_sub_not" if neg else "in_sub")
+            where = f"f.dk {neg}IN (SELECT d2.dk FROM d d2 WHERE d2.dk < 5) AND {where}"
     elif slot.get("exists_sub"):
         neg = "NOT " if slot["exists_sub"] == "not" else ""
         classes.add("exists_sub_not" if neg else "exists_sub")
         where = (
             f"{neg}EXISTS (SELECT 1 FROM d d3 WHERE d3.dk = f.dk AND d3.dk < 6)"
             f" AND {where}"
+        )
+    elif slot.get("csc"):
+        # the s-local rest (dname >= 'n') makes forced dname updates
+        # ('forced…', 'r…') move scalars in BOTH directions
+        classes.add("corr_scalar")
+        where = (
+            "f.x > (SELECT avg(d4.dk) FROM d d4 WHERE d4.dk = f.dk "
+            f"AND d4.dname >= 'n') AND {where}"
         )
 
     on = "f.dk = d.dk"
@@ -311,11 +347,14 @@ def test_matview_shape_fuzz(spark, tmp_path, seed):
     # in_sub slots can't carry WHERE-REWRITING extras (the IN conjunct
     # composes with row-local rests only); swap those onto a safe slot
     for i, (sl, ex) in enumerate(pairs):
-        if (sl.get("in_sub") or sl.get("exists_sub")) and ex in ("where_alt", "scalar_sub"):
+        if (
+            sl.get("in_sub") or sl.get("exists_sub") or sl.get("csc")
+        ) and ex in ("where_alt", "scalar_sub"):
             for j, (sl2, ex2) in enumerate(pairs):
                 if (
                     not sl2.get("in_sub")
                     and not sl2.get("exists_sub")
+                    and not sl2.get("csc")
                     and ex2 not in ("where_alt", "scalar_sub")
                 ):
                     pairs[i], pairs[j] = (sl, ex2), (sl2, ex)
@@ -351,6 +390,7 @@ def test_matview_shape_fuzz(spark, tmp_path, seed):
                 (join is not None and join != "SELF")
                 or slot.get("in_sub")
                 or slot.get("exists_sub")
+                or slot.get("csc")
             ):
                 ops += ["dins", "dupd", "ddel"]
             for _ in range(rng.randint(1, 2)):
