@@ -1604,7 +1604,7 @@ class SubqueryMixin:
         (select-list / disjunctive positions)."""
         import dataclasses
 
-        from .nodes import ArrayNode, SparkColNode, TriNode
+        from .nodes import ArrayNode, CaseNode, SparkColNode, TriNode
 
         def walk(node: Node | None) -> Node | None:
             return self._walk_subqueries(node, scalar_fn, quant_fn, in_fn, exists_fn)
@@ -1657,6 +1657,15 @@ class SubqueryMixin:
             return dataclasses.replace(n, args=[walk(a) for a in n.args])
         if isinstance(n, ArrayNode):
             return dataclasses.replace(n, items=[walk(i) for i in n.items])
+        if isinstance(n, CaseNode):
+            # subqueries hide inside CASE arms (ANSI: CASE WHEN x >
+            # (SELECT …) THEN … END in any expression position)
+            return dataclasses.replace(
+                n,
+                operand=None if n.operand is None else walk(n.operand),
+                whens=[(walk(c), walk(r)) for c, r in n.whens],
+                default=None if n.default is None else walk(n.default),
+            )
         return n
 
     @staticmethod

@@ -387,3 +387,69 @@ class TestNotInQuantifiedMatViews:
         rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
         assert rep["mode"] == "incremental"
         assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
+
+
+class TestCaseAggSubqueryComposition:
+    """Aggregates and scalar subqueries hiding inside CASE arms compose
+    in HAVING / QUALIFY / ORDER BY (r15: both expression walkers —
+    _rewrite_having's agg extraction and _walk_subqueries' lowering —
+    now recurse into CaseNode)."""
+
+    @pytest.fixture()
+    def eng(self, spark):
+        e = Engine(spark, "case15")
+        e.register_rows(
+            "t",
+            [
+                {"g": "a", "x": 1.0},
+                {"g": "a", "x": 2.0},
+                {"g": "b", "x": 9.0},
+                {"g": "c", "x": 4.0},
+            ],
+        )
+        e.register_rows("u", [{"v": 2.0}, {"v": 5.0}])
+        return e
+
+    def test_case_agg_in_having_order_qualify(self, eng):
+        r = eng.sql(
+            "SELECT g FROM t GROUP BY g "
+            "HAVING CASE WHEN sum(x) > 3 THEN 1 ELSE 0 END = 1 ORDER BY g"
+        ).collect()
+        assert [x.g for x in r] == ["b", "c"]
+        r = eng.sql(
+            "SELECT g FROM t GROUP BY g "
+            "ORDER BY CASE WHEN sum(x) > 3 THEN sum(x) ELSE 0 END DESC, g"
+        ).collect()
+        assert [x.g for x in r] == ["b", "c", "a"]
+        r = eng.sql(
+            "SELECT g FROM t GROUP BY g QUALIFY "
+            "rank() OVER (ORDER BY CASE WHEN sum(x) > 3 THEN 1 ELSE 0 END DESC, g) <= 2 "
+            "ORDER BY g"
+        ).collect()
+        assert [x.g for x in r] == ["b", "c"]
+
+    def test_case_subquery_folds_everywhere(self, eng):
+        # WHERE / select list / HAVING / ORDER BY, incl. MIXED with aggs
+        r = eng.sql(
+            "SELECT g, CASE WHEN x > (SELECT avg(v) FROM u) THEN 'hi' ELSE 'lo' END AS c "
+            "FROM t ORDER BY g, x"
+        ).collect()
+        assert [(x.g, x.c) for x in r] == [
+            ("a", "lo"), ("a", "lo"), ("b", "hi"), ("c", "hi")
+        ]
+        r = eng.sql(
+            "SELECT g FROM t WHERE CASE WHEN x > (SELECT avg(v) FROM u) "
+            "THEN 1 ELSE 0 END = 1 ORDER BY g"
+        ).collect()
+        assert [x.g for x in r] == ["b", "c"]
+        r = eng.sql(
+            "SELECT g FROM t GROUP BY g HAVING CASE WHEN sum(x) > "
+            "(SELECT min(v) FROM u) THEN 1 ELSE 0 END = 1 ORDER BY g"
+        ).collect()
+        # sum(a)=3 > min(v)=2 — all three groups qualify (DuckDB-matched)
+        assert [x.g for x in r] == ["a", "b", "c"]
+        r = eng.sql(
+            "SELECT g FROM t GROUP BY g ORDER BY CASE WHEN sum(x) > "
+            "(SELECT max(v) FROM u) THEN 1 ELSE 0 END DESC, g"
+        ).collect()
+        assert [x.g for x in r] == ["b", "a", "c"]
