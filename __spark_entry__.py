@@ -455,6 +455,20 @@ _Q = {
         SELECT c_custkey, c_mktsegment, n_big, total
         FROM customer JOIN per_cust ON per_cust.o_custkey = c_custkey
                       JOIN tiers ON per_cust.n_big = tiers.tier""",
+    # round 15: aggregates AND scalar subqueries inside CASE arms, in the
+    # select list / HAVING / ORDER BY of one aggregated query — both
+    # expression walkers (agg extraction + subquery lowering) recurse
+    # into CASE (qlbridge_spark/engine_select.py, engine_subquery.py)
+    "q42_case_composition": """
+        SELECT o_orderpriority, count(*) AS n,
+               CASE WHEN sum(o_totalprice) > (SELECT avg(o_totalprice) * 120 FROM orders)
+                    THEN 'heavy' ELSE 'light' END AS band
+        FROM orders
+        GROUP BY o_orderpriority
+        HAVING CASE WHEN count(*) > (SELECT count(*) / 10 FROM orders)
+                    THEN 1 ELSE 0 END = 1
+        ORDER BY CASE WHEN sum(o_totalprice) > (SELECT avg(o_totalprice) * 120 FROM orders)
+                      THEN 0 ELSE 1 END, o_orderpriority""",
 }
 
 # FilterQL statement (run through the engine's FilterQL path)
@@ -1411,6 +1425,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, c_mktsegment, n_big, total
             FROM customer JOIN per_cust ON per_cust.o_custkey = c_custkey
                           JOIN tiers ON per_cust.n_big = tiers.tier""",
+        "q42_case_composition": """
+            SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+                   CASE WHEN sum(o_totalprice) > (SELECT avg(o_totalprice) * 120 FROM orders)
+                        THEN 'heavy' ELSE 'light' END AS band
+            FROM orders
+            GROUP BY o_orderpriority
+            HAVING CASE WHEN count(*) > (SELECT count(*) / 10 FROM orders)
+                        THEN 1 ELSE 0 END = 1
+            ORDER BY CASE WHEN sum(o_totalprice) > (SELECT avg(o_totalprice) * 120 FROM orders)
+                          THEN 0 ELSE 1 END, o_orderpriority""",
         # dp19: prefix filtering is recall-lossless, so its output equals
         # the exhaustive exact-Jaccard pair set at the threshold
         "dp19_prefix_jaccard": """
