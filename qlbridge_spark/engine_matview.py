@@ -593,8 +593,69 @@ class MatViewMixin:
                             specs = self._csc_terms(mv, changes, w, in_changes, i_cur)
                         else:
                             specs = self._in_sub_terms(mv, changes, w, in_changes, i_cur)
+                        # INNER-join views (fact-side key): trilinear
+                        # identity — the fact-delta term folds against
+                        # D_NEW, the flip term against D_OLD, and a moved
+                        # dim adds T2' = (F_old ⋉ M_new) ⋈ ΔD. specs order
+                        # is [T_a, flip?] (the _*_terms contract).
+                        spec4 = [(df, wt, None, None, None) for df, wt in specs]
+                        d_cur2 = None
+                        if mv.dim:
+                            d_cur2 = d_cur if d_cur is not None else mv.dim_version
+                            d_new_df = dsink.scan(self.spark, version=d_cur2)
+                            d_old_df = dsink.scan(self.spark, version=mv.dim_version)
+                            spec4 = [
+                                (df, wt, dd, None, None)
+                                for (df, wt), dd in zip(specs, [d_new_df, d_old_df])
+                            ]
+                            if dim_changes is not None:
+                                dw2 = F.when(
+                                    F.col("_change_type").isin(
+                                        "insert", "update_postimage"
+                                    ),
+                                    F.lit(1),
+                                ).otherwise(F.lit(-1))
+                                keep = [
+                                    c
+                                    for c in dim_changes.columns
+                                    if c in set(d_new_df.columns)
+                                ]
+                                d_delta = dim_changes.select(*keep, dw2.alias("__dw"))
+                                f_old_all = self.sinks[mv.base].scan(
+                                    self.spark, version=mv.base_version
+                                )
+                                from .matview import (
+                                    _UNSET,
+                                    csc_filter,
+                                    in_membership_filter,
+                                )
+
+                                s_cur_df = self.sinks[mv.in_table].scan(
+                                    self.spark, version=i_cur
+                                )
+                                if mv.csc_pred is not None:
+                                    f_old_m = csc_filter(self, mv, f_old_all, s_cur_df)
+                                else:
+                                    saved_s = self.tables.get(mv.in_table, _UNSET)
+                                    self.tables[mv.in_table] = s_cur_df
+                                    try:
+                                        f_old_m = in_membership_filter(
+                                            self, mv, f_old_all
+                                        )
+                                    finally:
+                                        if saved_s is _UNSET:
+                                            self.tables.pop(mv.in_table, None)
+                                        else:
+                                            self.tables[mv.in_table] = saved_s
+                                spec4.append(
+                                    (f_old_m, F.lit(1), d_delta, "product", "INNER")
+                                )
                         terms = [
-                            state_frame(self, mv, df, wt) for df, wt in specs
+                            state_frame(
+                                self, mv, df, wt, dim_df=dd,
+                                weight_mode=wm, join_override=jo,
+                            )
+                            for df, wt, dd, wm, jo in spec4
                         ]
                         delta = terms[0]
                         for t in terms[1:]:
@@ -604,8 +665,11 @@ class MatViewMixin:
                         )
                         if mv.has_distinct:
                             sub_terms = [
-                                sub_state_frames(self, mv, df, wt)
-                                for df, wt in specs
+                                sub_state_frames(
+                                    self, mv, df, wt, dim_df=dd,
+                                    weight_mode=wm, join_override=jo,
+                                )
+                                for df, wt, dd, wm, jo in spec4
                             ]
                             deltas = []
                             for i in range(len(sub_terms[0])):
@@ -615,6 +679,8 @@ class MatViewMixin:
                                 deltas.append(u)
                             _fold_substates(mv, deltas)
                         mv.in_version = i_cur
+                        if mv.dim and d_cur2 is not None:
+                            mv.dim_version = d_cur2
                     elif not dim_moved and not right_like:
                         delta = state_frame(self, mv, changes, w)
                         merged = merge_state(mv, mv.internal, delta)

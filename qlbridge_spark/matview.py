@@ -739,6 +739,41 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
                 return cj.child, neg
             return None
 
+        # r15: set contexts also maintain on INNER-join views when the
+        # outer key is FACT-side — the trilinear identity adds one term:
+        #   Δ = (ΔF⋉M_new) ⋈ D_new  +  (F_old⋉M_new) ⋈ ΔD
+        #       +  (F_old·flip) ⋈ D_old
+        # (membership/scalar filters apply to fact INPUT frames; the
+        # per-term dim pinning is engine._refresh_one's). Outer joins
+        # stay single-table (flips entangle the null-extension terms);
+        # s must differ from the dim (shared feed → cross-terms).
+        _set_ctx_join = dim_name is not None and dim_name != nm and (
+            select.from_[1].join_type == "INNER"
+        )
+        _set_ctx_ok = len(select.from_) == 1 or _set_ctx_join
+
+        def _fact_side(expr) -> bool:
+            """Every identifier in ``expr`` resolves on the FACT side
+            (trivially true for single-table views)."""
+            if len(select.from_) == 1:
+                return True
+            f_cols = _snapshot_cols(engine, sink)
+            d_cols = _snapshot_cols(engine, engine.sinks[dim_name])
+            f_refs = {nm, (src.alias or "").lower()} - {""}
+            for n in expr.walk():
+                if isinstance(n, IdentityNode):
+                    parts = [p.lower() for p in n.parts]
+                    col = parts[-1]
+                    if len(parts) > 1:
+                        if parts[0] in f_refs and col in f_cols:
+                            continue
+                        return False
+                    elif col in f_cols and col not in d_cols:
+                        continue
+                    else:
+                        return False
+            return True
+
         conjs = _conjuncts(select.where)
         in_idx = ex_idx = None
         in_neg = False
@@ -761,12 +796,17 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
             in_idx = ex_idx = None  # two set contexts: stay full
         if (
             in_idx is not None
-            and len(select.from_) == 1
+            and _set_ctx_ok
             and _row_local(conjs[in_idx].left)
+            and _fact_side(conjs[in_idx].left)
         ):
             rest = [c for i, c in enumerate(conjs) if i != in_idx]
             sub_tbl = _analyze_in_sub(engine, conjs[in_idx].right.select)
-            ok = sub_tbl is not None and all(_row_local(c) for c in rest)
+            ok = (
+                sub_tbl is not None
+                and sub_tbl != dim_name
+                and all(_row_local(c) for c in rest)
+            )
             if ok and in_neg:
                 # NOT IN / <> ALL: only with both NULL traps statically
                 # closed (inner value and outer key provably non-NULL) —
@@ -780,11 +820,16 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
                     in_neg,
                 )
                 where_rest = _and_tree(rest)
-        elif ex_idx is not None and len(select.from_) == 1:
+        elif ex_idx is not None and _set_ctx_ok:
             sub_node, neg = _exists_of(conjs[ex_idx])
             rest = [c for i, c in enumerate(conjs) if i != ex_idx]
             ex = _analyze_exists_sub(engine, nm, src, sub_node.select)
-            if ex is not None and all(_row_local(c) for c in rest):
+            if (
+                ex is not None
+                and ex[2] != dim_name
+                and _fact_side(ex[0])
+                and all(_row_local(c) for c in rest)
+            ):
                 in_sub = (ex[0], ex[1], ex[2], neg)
                 where_rest = _and_tree(rest)
     csc: tuple | None = None
@@ -792,7 +837,11 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
         select.where is not None
         and not _row_local(select.where)
         and in_sub is None
-        and len(select.from_) == 1
+        and (
+            len(select.from_) == 1
+            or (dim_name is not None and dim_name != nm
+                and select.from_[1].join_type == "INNER")
+        )
     ):
         # CORRELATED SCALAR subquery conjunct (x > (SELECT agg(s.y) FROM
         # s WHERE s.k = f.ck)): exactly ONE conjunct carries exactly ONE
@@ -821,9 +870,27 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
             rest = [c for i, c in enumerate(conjs) if i != sub_idx[0]]
             if not setctx and len(subs) == 1 and all(_row_local(c) for c in rest):
                 got = _analyze_csc_sub(engine, nm, src, subs[0].select)
-                if got is not None:
+                if got is not None and got[3] != dim_name:
                     pred = _subst(cj, [(subs[0], IdentityNode(("__mv_csc",)))])
-                    if _row_local(pred):
+                    # join views: the correlation key AND the predicate's
+                    # fact references must be fact-side (the flip term
+                    # re-evaluates the conjunct over fact-only frames)
+                    fact_ok = True
+                    if dim_name is not None:
+                        f_cols = _snapshot_cols(engine, sink)
+                        d_cols = _snapshot_cols(engine, engine.sinks[dim_name])
+                        f_refs = {nm, (src.alias or "").lower()} - {""}
+                        for n in list(got[0].walk()) + list(pred.walk()):
+                            if isinstance(n, IdentityNode) and n.parts != ("__mv_csc",):
+                                parts = [p.lower() for p in n.parts]
+                                col = parts[-1]
+                                if len(parts) > 1:
+                                    if parts[0] in f_refs and col in f_cols:
+                                        continue
+                                    fact_ok = False
+                                elif not (col in f_cols and col not in d_cols):
+                                    fact_ok = False
+                    if _row_local(pred) and fact_ok:
                         csc = (got[0], got[1], got[2], got[3], pred)
                         where_rest = _and_tree(rest)
     if select.where is not None and not _row_local(select.where) and in_sub is None and csc is None:

@@ -453,3 +453,155 @@ class TestCaseAggSubqueryComposition:
             "(SELECT max(v) FROM u) THEN 1 ELSE 0 END DESC, g"
         ).collect()
         assert [x.g for x in r] == ["b", "a", "c"]
+
+
+class TestJoinSetContextMatViews:
+    """Set contexts (IN / EXISTS / correlated scalar) on INNER-JOIN views
+    with a FACT-side key (r15): trilinear identity — the fact-delta term
+    folds against D_new, the flip term against D_old, and a moved dim
+    adds T2' = (F_old ⋉ M_new) ⋈ ΔD. Dim-side keys, outer joins, and a
+    subquery over the dim itself stay pinned full."""
+
+    def _mk(self, spark, tmp_path, name):
+        eng = Engine(spark, f"js15-{name}")
+        f = ParquetMergeSink(spark, str(tmp_path / f"{name}_f"), key="id")
+        f.ensure(
+            spark.createDataFrame(
+                [(i, i % 6, float(i % 7), i % 4) for i in range(48)],
+                "id long, dk long, x double, k long",
+            )
+        )
+        eng.register_sink("f", f)
+        d = ParquetMergeSink(spark, str(tmp_path / f"{name}_d"), key="dk")
+        d.ensure(
+            spark.createDataFrame(
+                [(k, "n%d" % k, k * 10) for k in range(6)],
+                "dk long, dname string, dv long",
+            )
+        )
+        eng.register_sink("d", d)
+        s = ParquetMergeSink(spark, str(tmp_path / f"{name}_s"), key="sid")
+        s.ensure(
+            spark.createDataFrame(
+                [(i, i % 5, float(i)) for i in range(10)],
+                "sid long, v long, y double",
+            )
+        )
+        eng.register_sink("s", s)
+        return eng
+
+    ELIGIBLE = {
+        "jin": (
+            "SELECT dname, count(*) AS n, sum(x) AS sx FROM f JOIN d ON f.dk = d.dk "
+            "WHERE f.k IN (SELECT v FROM s WHERE v < 4) GROUP BY dname"
+        ),
+        "jex": (
+            "SELECT dname, count(*) AS n FROM f JOIN d ON f.dk = d.dk "
+            "WHERE EXISTS (SELECT 1 FROM s WHERE s.v = f.k AND s.y < 8) GROUP BY dname"
+        ),
+        "jcs": (
+            "SELECT dname, count(*) AS n FROM f JOIN d ON f.dk = d.dk "
+            "WHERE f.x > (SELECT avg(s.y) FROM s WHERE s.v = f.k) GROUP BY dname"
+        ),
+        "jdst": (
+            "SELECT dname, count(DISTINCT f.x) AS dx FROM f JOIN d ON f.dk = d.dk "
+            "WHERE f.k IN (SELECT v FROM s WHERE v < 4) GROUP BY dname"
+        ),
+    }
+    FULL = {
+        # DIM-side key: the membership filter can't apply to fact frames
+        "jdim": (
+            "SELECT dname, count(*) AS n FROM f JOIN d ON f.dk = d.dk "
+            "WHERE d.dv IN (SELECT v FROM s) GROUP BY dname"
+        ),
+        # outer join: flips entangle the null-extension terms
+        "jleft": (
+            "SELECT dname, count(*) AS n FROM f LEFT JOIN d ON f.dk = d.dk "
+            "WHERE f.k IN (SELECT v FROM s) GROUP BY dname"
+        ),
+        # subquery over the DIM itself: shared feed → cross-terms
+        "jself": (
+            "SELECT dname, count(*) AS n FROM f JOIN d ON f.dk = d.dk "
+            "WHERE f.k IN (SELECT dk - 2 FROM d) GROUP BY dname"
+        ),
+    }
+
+    def test_eligibility_and_three_source_differentials(self, spark, tmp_path):
+        eng = self._mk(spark, tmp_path, "tri")
+        for vn, q in {**self.ELIGIBLE, **self.FULL}.items():
+            eng.execute(f"CREATE MATERIALIZED VIEW {vn} AS {q}")
+            assert eng.mat_views[vn].incremental == (vn in self.ELIGIBLE), vn
+            assert _rows(eng, f"SELECT * FROM {vn}") == _rows(eng, q), vn
+        steps = [
+            "INSERT INTO f (id, dk, x, k) VALUES (100, 2, 3.5, 1), (101, 5, 6.5, 0)",
+            "INSERT INTO s (sid, v, y) VALUES (20, 3, 9.0), (21, 1, 0.5)",
+            "DELETE FROM s WHERE v = 2",
+            "INSERT INTO d (dk, dname, dv) VALUES (6, 'n6', 60)",
+            "UPDATE d SET dname = 'renamed' WHERE dk = 1",
+            "DELETE FROM d WHERE dk = 0",
+            "UPDATE f SET x = x + 2 WHERE id % 5 = 0",
+        ]
+        for i, stmt in enumerate(steps):
+            eng.execute(stmt)
+            if i == len(steps) - 1:
+                # all THREE tables move in one refresh window
+                eng.execute("UPDATE s SET y = y + 4 WHERE v = 3")
+                eng.execute("INSERT INTO d (dk, dname, dv) VALUES (7, 'n7', 70)")
+            for vn, q in {**self.ELIGIBLE, **self.FULL}.items():
+                rep = eng.sql(f"REFRESH MATERIALIZED VIEW {vn}").collect()[0]
+                want = (
+                    ("incremental", "noop")
+                    if vn in self.ELIGIBLE
+                    else ("full",)
+                )
+                assert rep["mode"] in want, (vn, stmt, rep["mode"])
+                assert _approx_eq(
+                    _rows(eng, f"SELECT * FROM {vn}"), _rows(eng, q)
+                ), (vn, stmt)
+
+    def test_randomized_three_source(self, spark, tmp_path):
+        rng = random.Random(7215)
+        eng = self._mk(spark, tmp_path, "rnd")
+        q = (
+            "SELECT dname, count(*) AS n, sum(x) AS sx, median(x) AS mx "
+            "FROM f JOIN d ON f.dk = d.dk "
+            "WHERE f.k IN (SELECT v FROM s WHERE y < 9) GROUP BY dname"
+        )
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
+        assert eng.mat_views["mv"].incremental
+        nid, nsid, ndk = 1000, 1000, 10
+        for round_ in range(8):
+            for _ in range(rng.randint(1, 3)):
+                op = rng.random()
+                if op < 0.2:
+                    nid += 1
+                    eng.execute(
+                        f"INSERT INTO f (id, dk, x, k) VALUES ({nid}, "
+                        f"{rng.randint(0, ndk)}, {float(rng.randint(0, 8))}, {rng.randint(0, 5)})"
+                    )
+                elif op < 0.35:
+                    eng.execute(f"DELETE FROM f WHERE id % {rng.randint(5, 11)} = 1")
+                elif op < 0.5:
+                    nsid += 1
+                    eng.execute(
+                        f"INSERT INTO s (sid, v, y) VALUES ({nsid}, "
+                        f"{rng.randint(0, 5)}, {float(rng.randint(0, 12))})"
+                    )
+                elif op < 0.62:
+                    eng.execute(f"DELETE FROM s WHERE sid % {rng.randint(4, 9)} = 2")
+                elif op < 0.74:
+                    eng.execute(
+                        f"UPDATE s SET y = {float(rng.randint(0, 12))} "
+                        f"WHERE sid % {rng.randint(2, 5)} = 0"
+                    )
+                elif op < 0.86:
+                    ndk += 1
+                    eng.execute(
+                        f"INSERT INTO d (dk, dname, dv) VALUES ({ndk}, 'n{ndk}', {ndk * 10})"
+                    )
+                else:
+                    eng.execute(f"DELETE FROM d WHERE dk = {rng.randint(0, ndk)}")
+            rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+            assert rep["mode"] in ("incremental", "noop"), round_
+            got, want = _rows(eng, "SELECT * FROM mv"), _rows(eng, q)
+            assert _approx_eq(got, want), (round_, got, want)

@@ -70,6 +70,7 @@ REQUIRED = {
     "agg_covar", "residual_on", "scalar_sub",
     "in_sub", "in_sub_not", "exists_sub", "exists_sub_not", "expose_sub",
     "corr_scalar", "in_sub_not_nn", "quant_any", "quant_all",
+    "in_sub_join", "corr_scalar_join",
     "cross_on_left", "cross_on_inner", "cross_on_right", "cross_on_full",
     "dim_churn", "dim_churn_right_full",
 }
@@ -117,6 +118,12 @@ SLOTS = [
     # 1-column dim; s churn flips base rows per ROW (predicate couples
     # row columns with the scalar)
     dict(join=None, key="fact", extrema=False, eligible=True, rounds=2, csc=True),
+    # r15: set contexts on INNER-JOIN views (fact-side key): trilinear
+    # identity — T_a vs D_new, flips vs D_old, T2' = (F_old⋉M_new) ⋈ ΔD.
+    # The subquery table is the FACT table itself (self-membership) so
+    # the fuzzer's two-table setup exercises all three feeds.
+    dict(join="INNER", key="fact", extrema=False, eligible=True, rounds=2, in_sub="join"),
+    dict(join="INNER", key="compound", extrema=False, eligible=True, rounds=2, csc="join"),
     # r14: two-sided non-equi ON conjuncts — EVERY join shape maintains
     # (INNER via the bilinear terms; outer shapes via the per-row
     # match-state semi/anti terms T4'/T5'/T6')
@@ -248,6 +255,11 @@ def _mk_sql(rng, slot, extra, state_path):
                 "f.dk IS NOT NULL AND f.dk <> ALL "
                 f"(SELECT d2.dk FROM d d2 WHERE d2.dk < 5) AND {where}"
             )
+        elif kind == "join":
+            # IN on an INNER-join view, fact-side key; the subquery is
+            # SELF-membership (over the fact) so every feed interacts
+            classes.add("in_sub_join")
+            where = f"f.dk IN (SELECT f2.dk FROM f f2 WHERE f2.x > 3) AND {where}"
         else:
             neg = "NOT " if kind == "not" else ""
             classes.add("in_sub_not" if neg else "in_sub")
@@ -259,6 +271,11 @@ def _mk_sql(rng, slot, extra, state_path):
             f"{neg}EXISTS (SELECT 1 FROM d d3 WHERE d3.dk = f.dk AND d3.dk < 6)"
             f" AND {where}"
         )
+    elif slot.get("csc") == "join":
+        # correlated scalar on an INNER-join view: the scalar dim is the
+        # THIRD table e (csc excludes the base and the view's dim)
+        classes.add("corr_scalar_join")
+        where = f"f.x > (SELECT avg(e1.y) FROM e e1 WHERE e1.v = f.dk) AND {where}"
     elif slot.get("csc"):
         # the s-local rest (dname >= 'n') makes forced dname updates
         # ('forced…', 'r…') move scalars in BOTH directions
@@ -338,6 +355,16 @@ def test_matview_shape_fuzz(spark, tmp_path, seed):
     )
     eng.register_sink("f", fact)
     eng.register_sink("d", dim)
+    # third table for the corr_scalar_join slot (csc excludes the base
+    # and the view's own dim as the scalar's source)
+    esink = ParquetMergeSink(spark, str(tmp_path / "fz_e"), key="eid")
+    esink.ensure(
+        spark.createDataFrame(
+            [(i, i % 6, float(i % 9)) for i in range(24)],
+            "eid long, v int, y double",
+        )
+    )
+    eng.register_sink("e", esink)
 
     extras = EXTRAS + [None] * (len(SLOTS) - len(EXTRAS))
     rng.shuffle(extras)
@@ -393,6 +420,8 @@ def test_matview_shape_fuzz(spark, tmp_path, seed):
                 or slot.get("csc")
             ):
                 ops += ["dins", "dupd", "ddel"]
+            if slot.get("csc") == "join":
+                ops += ["eupd", "edel"]
             for _ in range(rng.randint(1, 2)):
                 op = rng.choice(ops)
                 if op == "ins":
@@ -424,6 +453,13 @@ def test_matview_shape_fuzz(spark, tmp_path, seed):
                 elif op == "ddel":
                     eng.execute(f"DELETE FROM d WHERE dk = {rng.randint(0, next_dk)}")
                     dim_churned = True
+                elif op == "eupd":
+                    eng.execute(
+                        f"UPDATE e SET y = {float(rng.randint(0, 9))} "
+                        f"WHERE eid % {rng.randint(2, 5)} = 0"
+                    )
+                elif op == "edel":
+                    eng.execute(f"DELETE FROM e WHERE eid % {rng.randint(6, 11)} = 3")
             if (
                 join is not None
                 and join != "SELF"
