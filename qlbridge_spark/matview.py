@@ -714,6 +714,78 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
         # CTEs — those parse as CteQuery), so it does not block
         # incremental maintenance
         return None
+    if select.where is not None and not _row_local(select.where):
+        # RANGE-QUANTIFIED conjuncts rewrite to scalar extrema so the
+        # frozen-scalar machinery below can take them (r15):
+        #   x > ANY(S) ⟺ x > min(S)   x > ALL(S) ⟺ x > max(S)
+        #   x < ANY(S) ⟺ x < max(S)   x < ALL(S) ⟺ x < min(S)
+        # ANY is unconditionally sound in WHERE context: empty set →
+        # extremum NULL → comparison not-TRUE = ANY's FALSE, and inner
+        # NULLs are ignored by the extremum exactly as ANY's three-
+        # valued result never turns TRUE on them. ALL diverges on BOTH
+        # (empty set → TRUE; one inner NULL → never TRUE), so it needs
+        # the inner value provably non-NULL and an OR'd empty-set guard.
+        import dataclasses as _dc
+
+        def _quant_rewrite(cj):
+            if not (
+                isinstance(cj, BinaryNode)
+                and isinstance(cj.right, SubqueryNode)
+                and not getattr(cj, "negated", False)
+                and (cj.op.endswith(" ANY") or cj.op.endswith(" ALL"))
+            ):
+                return cj
+            base, _, quant = cj.op.partition(" ")
+            if base not in (">", ">=", "<", "<="):
+                return cj  # =/!= forms are membership (the IN machinery's)
+            sub = cj.right.select
+            if (
+                not isinstance(sub, SqlSelect)
+                or len(sub.columns) != 1
+                or sub.columns[0].is_star
+                or sub.columns[0].expr is None
+            ):
+                return cj
+            col = sub.columns[0].expr
+            from . import functions as funcs
+
+            if funcs.is_agg_tree(col) or sub.group_by:
+                return cj
+            agg = "min" if (base in (">", ">=")) == (quant == "ANY") else "max"
+            cmp_node = BinaryNode(
+                base,
+                cj.left,
+                SubqueryNode(
+                    select=_dc.replace(
+                        sub, columns=[Column(expr=FuncNode(agg, [col]))]
+                    )
+                ),
+            )
+            if quant == "ANY":
+                return cmp_node
+            sub_conjs = _conjuncts(sub.where) if sub.where is not None else []
+            if not _null_rejecting(sub_conjs, col):
+                try:
+                    if engine._select_any(sub).schema.fields[0].nullable:
+                        return cj
+                except Exception:
+                    return cj
+            empty = BinaryNode(
+                "=",
+                SubqueryNode(
+                    select=_dc.replace(
+                        sub,
+                        columns=[Column(expr=FuncNode("count", [IdentityNode(("*",))]))],
+                    )
+                ),
+                NumberNode("0"),
+            )
+            return BinaryNode("OR", cmp_node, empty)
+
+        qconjs = [_quant_rewrite(c) for c in _conjuncts(select.where)]
+        new_where = _and_tree(qconjs)
+        if new_where != select.where:
+            select = _dc.replace(select, where=new_where)
     scalar_subs: list = []
     in_sub: tuple | None = None  # (key expr, subquery select, table)
     where_rest = select.where

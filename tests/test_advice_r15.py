@@ -605,3 +605,100 @@ class TestJoinSetContextMatViews:
             assert rep["mode"] in ("incremental", "noop"), round_
             got, want = _rows(eng, "SELECT * FROM mv"), _rows(eng, q)
             assert _approx_eq(got, want), (round_, got, want)
+
+
+class TestRangeQuantifiedMatViews:
+    """Range-quantified WHERE conjuncts rewrite to scalar extrema before
+    matview analysis (r15): x > ANY(S) ⟺ x > min(S) etc. ANY is
+    unconditionally sound (empty set / inner NULLs land on the same
+    not-TRUE); ALL needs a provably non-NULL inner value and an OR'd
+    empty-set guard (ALL over empty is TRUE, the extremum NULL is not).
+    Uncorrelated forms ride the frozen-scalar machinery; CORRELATED
+    > ANY becomes a correlated scalar and maintains with csc flips."""
+
+    def _mk(self, spark, tmp_path, name):
+        eng = Engine(spark, f"qr15-{name}")
+        f = ParquetMergeSink(spark, str(tmp_path / f"{name}_f"), key="id")
+        f.ensure(
+            spark.createDataFrame(
+                [(i, "g%d" % (i % 3), float(i % 7), i % 5) for i in range(40)],
+                "id long, g string, x double, k long",
+            )
+        )
+        eng.register_sink("f", f)
+        s = ParquetMergeSink(spark, str(tmp_path / f"{name}_s"), key="sid")
+        s.ensure(
+            spark.createDataFrame(
+                [(i, i % 5, float(i % 9)) for i in range(12)],
+                "sid long, v long, y double",
+            )
+        )
+        eng.register_sink("s", s)
+        return eng
+
+    def test_eligibility_and_differentials(self, spark, tmp_path):
+        eng = self._mk(spark, tmp_path, "el")
+        cases = {
+            # (query, eligible, csc-backed)
+            "uany": (
+                "SELECT g, count(*) AS n FROM f WHERE "
+                "x > ANY (SELECT y FROM s WHERE v < 3) GROUP BY g",
+                True, False,
+            ),
+            "uall": (
+                "SELECT g, count(*) AS n FROM f WHERE "
+                "x < ALL (SELECT y FROM s WHERE y > 3) GROUP BY g",
+                True, False,
+            ),
+            "cany": (
+                "SELECT g, count(*) AS n FROM f WHERE "
+                "x > ANY (SELECT s.y FROM s WHERE s.v = f.k) GROUP BY g",
+                True, True,
+            ),
+            # unprovable ALL inner (nullable, unfiltered) → pinned full
+            "uall_f": (
+                "SELECT g, count(*) AS n FROM f WHERE "
+                "x > ALL (SELECT y FROM s) GROUP BY g",
+                False, False,
+            ),
+        }
+        for vn, (q, inc, is_csc) in cases.items():
+            eng.execute(f"CREATE MATERIALIZED VIEW {vn} AS {q}")
+            mv = eng.mat_views[vn]
+            assert mv.incremental == inc, vn
+            assert (mv.csc_pred is not None) == is_csc, vn
+            assert _rows(eng, f"SELECT * FROM {vn}") == _rows(eng, q), vn
+        for stmt in (
+            "INSERT INTO f (id, g, x, k) VALUES (100, 'g0', 5.5, 2)",
+            "UPDATE s SET y = y + 2 WHERE v = 2",
+            "DELETE FROM s WHERE y > 3 AND v = 1",
+            # empties uall's inner set entirely: ALL-over-empty must
+            # expose TRUE for every row (the OR'd count()=0 guard)
+            "DELETE FROM s WHERE y > 3",
+        ):
+            eng.execute(stmt)
+            for vn, (q, inc, is_csc) in cases.items():
+                rep = eng.sql(f"REFRESH MATERIALIZED VIEW {vn}").collect()[0]
+                if is_csc:
+                    assert rep["mode"] in ("incremental", "noop"), (vn, stmt)
+                elif inc:
+                    # frozen scalar: a moved value legitimately rebuilds
+                    assert rep["mode"] in ("incremental", "noop", "full"), (vn, stmt)
+                else:
+                    assert rep["mode"] == "full", (vn, stmt)
+                assert _rows(eng, f"SELECT * FROM {vn}") == _rows(eng, q), (vn, stmt)
+
+    def test_all_with_inner_nulls_stays_ansi(self, spark, tmp_path):
+        # a NULL in the inner set makes op ALL never-TRUE; the rewrite
+        # must therefore REFUSE unprovable inners — differential over an
+        # actual NULL-bearing set, executed as a full-recompute MV
+        eng = self._mk(spark, tmp_path, "nul")
+        eng.execute("INSERT INTO s (sid, v, y) VALUES (100, 0, NULL)")
+        q = (
+            "SELECT g, count(*) AS n FROM f WHERE "
+            "x > ALL (SELECT y FROM s WHERE v = 0) GROUP BY g"
+        )
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
+        assert not eng.mat_views["mv"].incremental  # unprovable → full
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
+        assert _rows(eng, "SELECT * FROM mv") == []  # NULL poisons ALL
