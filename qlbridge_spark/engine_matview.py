@@ -561,6 +561,12 @@ class MatViewMixin:
                             # s's OLD snapshot (v_old over the affected
                             # slice); vacuumed → full recompute
                             changes = None
+                if mv.in_table and mv.dim and dim_moved and jt != "INNER":
+                    # LEFT-join set-context views: a dim commit needs the
+                    # null-extension flips (T4) COMPOSED with membership —
+                    # not implemented; one full recompute instead (base/s
+                    # deltas keep folding incrementally between dim commits)
+                    changes = None
                 dim_changes = d_cur = None
                 if dim_moved or (right_like and cur != mv.base_version):
                     dim_changes, d_cur = self._changes_since_cached(cache, mv.dim, mv.dim_version)

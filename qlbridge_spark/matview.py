@@ -816,11 +816,17 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
         #   Δ = (ΔF⋉M_new) ⋈ D_new  +  (F_old⋉M_new) ⋈ ΔD
         #       +  (F_old·flip) ⋈ D_old
         # (membership/scalar filters apply to fact INPUT frames; the
-        # per-term dim pinning is engine._refresh_one's). Outer joins
-        # stay single-table (flips entangle the null-extension terms);
-        # s must differ from the dim (shared feed → cross-terms).
+        # per-term dim pinning is engine._refresh_one's). LEFT joins
+        # compose too — only the FACT side null-extends, and membership
+        # is a fact-side filter, so T_a/flip rows carry their own LEFT
+        # images — but a DIM commit would need the T4 null-extension
+        # flips composed with membership, so that one case falls back to
+        # a full recompute (engine._refresh_one's guard). RIGHT/FULL
+        # stay single-table (the dim-preserved side needs fact match
+        # counts on EVERY refresh, which membership perturbs); s must
+        # differ from the dim (shared feed → cross-terms).
         _set_ctx_join = dim_name is not None and dim_name != nm and (
-            select.from_[1].join_type == "INNER"
+            select.from_[1].join_type in ("INNER", "LEFT", "LEFT OUTER")
         )
         _set_ctx_ok = len(select.from_) == 1 or _set_ctx_join
 
@@ -912,7 +918,7 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
         and (
             len(select.from_) == 1
             or (dim_name is not None and dim_name != nm
-                and select.from_[1].join_type == "INNER")
+                and select.from_[1].join_type in ("INNER", "LEFT", "LEFT OUTER"))
         )
     ):
         # CORRELATED SCALAR subquery conjunct (x > (SELECT agg(s.y) FROM

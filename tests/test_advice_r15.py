@@ -514,9 +514,12 @@ class TestJoinSetContextMatViews:
             "SELECT dname, count(*) AS n FROM f JOIN d ON f.dk = d.dk "
             "WHERE d.dv IN (SELECT v FROM s) GROUP BY dname"
         ),
-        # outer join: flips entangle the null-extension terms
-        "jleft": (
-            "SELECT dname, count(*) AS n FROM f LEFT JOIN d ON f.dk = d.dk "
+        # LEFT joins are ELIGIBLE as of later in r15 (fact-side-only
+        # null extension) — covered by TestLeftJoinSetContextMatViews;
+        # RIGHT joins stay full (dim-preserved side needs fact match
+        # counts every refresh, which membership perturbs)
+        "jright": (
+            "SELECT dname, count(*) AS n FROM f RIGHT JOIN d ON f.dk = d.dk "
             "WHERE f.k IN (SELECT v FROM s) GROUP BY dname"
         ),
         # subquery over the DIM itself: shared feed → cross-terms
@@ -702,3 +705,99 @@ class TestRangeQuantifiedMatViews:
         assert not eng.mat_views["mv"].incremental  # unprovable → full
         assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
         assert _rows(eng, "SELECT * FROM mv") == []  # NULL poisons ALL
+
+
+class TestLeftJoinSetContextMatViews:
+    """Set contexts on LEFT-join views with fact-side keys (r15): LEFT
+    only null-extends the FACT side and membership is a fact-side
+    filter, so base and s deltas fold with the same T_a/flip terms (each
+    row carries its own LEFT image); a DIM commit would need the
+    null-extension flips composed with membership — not implemented, so
+    that one case takes a full recompute and re-pins. RIGHT/FULL stay
+    pinned full always (the dim-preserved side needs fact match counts
+    on every refresh, which membership perturbs)."""
+
+    def _mk(self, spark, tmp_path, name):
+        eng = Engine(spark, f"ls15-{name}")
+        f = ParquetMergeSink(spark, str(tmp_path / f"{name}_f"), key="id")
+        f.ensure(
+            spark.createDataFrame(
+                # dk reaches 7 while the dim holds 0..5 → real null
+                # extensions flow through every term
+                [(i, i % 8, float(i % 7), i % 4) for i in range(48)],
+                "id long, dk long, x double, k long",
+            )
+        )
+        eng.register_sink("f", f)
+        d = ParquetMergeSink(spark, str(tmp_path / f"{name}_d"), key="dk")
+        d.ensure(
+            spark.createDataFrame(
+                [(k, "n%d" % k) for k in range(6)], "dk long, dname string"
+            )
+        )
+        eng.register_sink("d", d)
+        s = ParquetMergeSink(spark, str(tmp_path / f"{name}_s"), key="sid")
+        s.ensure(
+            spark.createDataFrame(
+                [(i, i % 5, float(i)) for i in range(10)],
+                "sid long, v long, y double",
+            )
+        )
+        eng.register_sink("s", s)
+        return eng
+
+    CASES = {
+        "lin": (
+            "SELECT dname, count(*) AS n, sum(x) AS sx FROM f LEFT JOIN d ON f.dk = d.dk "
+            "WHERE f.k IN (SELECT v FROM s WHERE v < 4) GROUP BY dname",
+            True,
+        ),
+        "lcs": (
+            "SELECT dname, count(*) AS n FROM f LEFT JOIN d ON f.dk = d.dk "
+            "WHERE f.x > (SELECT avg(s.y) FROM s WHERE s.v = f.k) GROUP BY dname",
+            True,
+        ),
+        "rin": (
+            "SELECT dname, count(*) AS n FROM f RIGHT JOIN d ON f.dk = d.dk "
+            "WHERE f.k IN (SELECT v FROM s) GROUP BY dname",
+            False,
+        ),
+    }
+
+    def test_lifecycle(self, spark, tmp_path):
+        eng = self._mk(spark, tmp_path, "lc")
+        for vn, (q, want) in self.CASES.items():
+            eng.execute(f"CREATE MATERIALIZED VIEW {vn} AS {q}")
+            assert eng.mat_views[vn].incremental == want, vn
+            assert _rows(eng, f"SELECT * FROM {vn}") == _rows(eng, q), vn
+        # base/s churn: incremental, incl. rows that null-extend
+        for stmt in (
+            "INSERT INTO f (id, dk, x, k) VALUES (100, 7, 3.5, 1), (101, 2, 6.5, 0)",
+            "INSERT INTO s (sid, v, y) VALUES (20, 3, 9.0)",
+            "DELETE FROM s WHERE v = 2",
+            "DELETE FROM f WHERE id % 9 = 4",
+        ):
+            eng.execute(stmt)
+            for vn, (q, want) in self.CASES.items():
+                rep = eng.sql(f"REFRESH MATERIALIZED VIEW {vn}").collect()[0]
+                wm = ("incremental", "noop") if want else ("full",)
+                assert rep["mode"] in wm, (vn, stmt, rep["mode"])
+                assert _approx_eq(
+                    _rows(eng, f"SELECT * FROM {vn}"), _rows(eng, q)
+                ), (vn, stmt)
+        # dim churn: LEFT set-context views take ONE full recompute
+        eng.execute("DELETE FROM d WHERE dk = 1")
+        for vn, (q, want) in self.CASES.items():
+            rep = eng.sql(f"REFRESH MATERIALIZED VIEW {vn}").collect()[0]
+            if vn in ("lin", "lcs"):
+                assert rep["mode"] == "full", (vn, rep["mode"])
+            assert _approx_eq(_rows(eng, f"SELECT * FROM {vn}"), _rows(eng, q)), vn
+        # …then re-pin: base/s deltas fold incrementally again
+        eng.execute("INSERT INTO f (id, dk, x, k) VALUES (102, 1, 2.0, 3)")
+        eng.execute("UPDATE s SET y = y + 1 WHERE v = 0")
+        for vn in ("lin", "lcs"):
+            rep = eng.sql(f"REFRESH MATERIALIZED VIEW {vn}").collect()[0]
+            assert rep["mode"] == "incremental", (vn, rep["mode"])
+            assert _approx_eq(
+                _rows(eng, f"SELECT * FROM {vn}"), _rows(eng, self.CASES[vn][0])
+            ), vn
