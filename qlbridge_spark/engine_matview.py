@@ -111,6 +111,8 @@ class MatViewMixin:
             # every identifier).
             try:
                 self._select_any(mv.in_select or mv.csc_select).schema
+                if mv.in2_select is not None:
+                    self._select_any(mv.in2_select).schema
                 if mv.csc_empty is not None:
                     self._select_any(mv.csc_empty).schema
             except (ExecError, TranslateError):
@@ -147,6 +149,8 @@ class MatViewMixin:
                 mv.dim_version = max(self.sinks[mv.dim].versions())
             if mv.in_table:
                 mv.in_version = max(self.sinks[mv.in_table].versions())
+            if mv.in2_table:
+                mv.in2_version = max(self.sinks[mv.in2_table].versions())
             # exposed dtypes from the ORIGINAL query's analyzed schema
             # (analysis only — no job): incremental refreshes cast back to
             # these, so the view stays schema-identical to a recompute
@@ -161,6 +165,8 @@ class MatViewMixin:
                     base_df = csc_filter(self, mv, base_df)
                 else:
                     base_df = in_membership_filter(self, mv, base_df)
+                    if mv.in2_table:
+                        base_df = in_membership_filter(self, mv, base_df, ctx=2)
             # the delete-repair flag is delta-only state; never persisted
             mv.internal = persist_state(
                 mv, state_frame(self, mv, base_df, F.lit(1), weight_mode="one").drop("__mv_neg")
@@ -243,7 +249,7 @@ class MatViewMixin:
         names = [
             n
             for n, mv in self.mat_views.items()
-            if t in (mv.base, mv.dim, mv.in_table)
+            if t in (mv.base, mv.dim, mv.in_table, mv.in2_table)
         ]
         if not names:
             return
@@ -271,94 +277,137 @@ class MatViewMixin:
         pushdown → file/row-group skipping at 100 TB; larger: broadcast
         join on the tiny flip frame). Returns (frame, weight) specs for
         state_frame/sub_state_frames."""
-        from .matview import _UNSET, in_membership_filter
+        from .matview import in_membership_filter
+
+        s_new = self.sinks[mv.in_table].scan(self.spark, version=i_cur)
+        specs = [(in_membership_filter(self, mv, changes, s_df=s_new), w)]
+        if in_changes is None:
+            return specs
+        specs.append(
+            (self._flip_rows(mv, 1, in_changes, s_new), F.col("__mv_fw"))
+        )
+        return specs
+
+    def _flip_rows(self, mv, ctx, in_changes, s_new) -> DataFrame:
+        """F_old rows whose context-``ctx`` membership flipped across the
+        subquery table's delta, weighted ``__mv_fw`` ∈ {−1, +1}: Δm per
+        value from the signed feed, m_new from s's NEW snapshot
+        restricted to the Δ-affected values (semi-join), m_old = m_new −
+        Δm — O(|s changes| + |affected slice|), never a full s diff.
+        The F_old scan is IN-list-pruned to the flip values (≤1000:
+        literal pushdown → file/row-group skipping at 100 TB; larger:
+        broadcast join on the tiny flip frame)."""
         from .translate import Scope, to_column
 
-        isink = self.sinks[mv.in_table]
-        s_new = isink.scan(self.spark, version=i_cur)
-        saved = self.tables.get(mv.in_table, _UNSET)
-        self.tables[mv.in_table] = s_new
-        try:
-            specs = [(in_membership_filter(self, mv, changes), w)]
-            if in_changes is None:
-                return specs
-            sub = mv.in_select
-            sref = sub.from_[0].alias or sub.from_[0].name
+        sub, keyn, neg = (
+            (mv.in_select, mv.in_key, mv.in_negated)
+            if ctx == 1
+            else (mv.in2_select, mv.in2_key, mv.in2_negated)
+        )
+        sref = sub.from_[0].alias or sub.from_[0].name
 
-            def _sub_vals(df, *extra):
-                scope = Scope({sref: df}, includes=self.includes)
-                out = df
-                if sub.where is not None:
-                    out = out.filter(
-                        to_column(sub.where, scope).cast("boolean")
-                    )
-                v = to_column(sub.columns[0].expr, scope)
-                return out.select(v.alias("__mv_inv"), *extra).filter(
-                    F.col("__mv_inv").isNotNull()
+        def _sub_vals(df, *extra):
+            scope = Scope({sref: df}, includes=self.includes)
+            out = df
+            if sub.where is not None:
+                out = out.filter(
+                    to_column(sub.where, scope).cast("boolean")
                 )
-
-            dw = F.when(
-                F.col("_change_type").isin("insert", "update_postimage"),
-                F.lit(1),
-            ).otherwise(F.lit(-1))
-            delta_m = (
-                _sub_vals(in_changes.withColumn("__mv_dw", dw), F.col("__mv_dw"))
-                .groupBy("__mv_inv")
-                .agg(F.sum("__mv_dw").alias("__mv_dm"))
-                .filter(F.col("__mv_dm") != 0)
+            v = to_column(sub.columns[0].expr, scope)
+            return out.select(v.alias("__mv_inv"), *extra).filter(
+                F.col("__mv_inv").isNotNull()
             )
-            m_new = (
-                _sub_vals(s_new)
-                .join(F.broadcast(delta_m.select("__mv_inv")), "__mv_inv", "left_semi")
-                .groupBy("__mv_inv")
-                .agg(F.count(F.lit(1)).alias("__mv_mn"))
-            )
-            # membership gained → rows enter (+1) for IN/EXISTS; for
-            # NOT EXISTS the signs invert (gaining a match EVICTS rows)
-            sign = -1 if mv.in_negated else 1
-            flips = (
-                delta_m.join(m_new, "__mv_inv", "left")
-                .select(
-                    "__mv_inv",
-                    F.coalesce("__mv_mn", F.lit(0)).alias("__mv_mn"),
-                    F.col("__mv_dm"),
-                )
-                .filter(
-                    (F.col("__mv_mn") == 0)
-                    != ((F.col("__mv_mn") - F.col("__mv_dm")) == 0)
-                )
-                .withColumn(
-                    "__mv_fw",
-                    F.when(F.col("__mv_mn") > 0, F.lit(sign)).otherwise(F.lit(-sign)),
-                )
-                .select("__mv_inv", "__mv_fw")
-            )
-            f_old = self.sinks[mv.base].scan(self.spark, version=mv.base_version)
-            src = mv.select.from_[0]
-            fref = src.alias or mv.base
 
-            def _key(df):
-                return to_column(
-                    mv.in_key, Scope({fref: df}, includes=self.includes)
-                )
+        dw = F.when(
+            F.col("_change_type").isin("insert", "update_postimage"),
+            F.lit(1),
+        ).otherwise(F.lit(-1))
+        delta_m = (
+            _sub_vals(in_changes.withColumn("__mv_dw", dw), F.col("__mv_dw"))
+            .groupBy("__mv_inv")
+            .agg(F.sum("__mv_dw").alias("__mv_dm"))
+            .filter(F.col("__mv_dm") != 0)
+        )
+        m_new = (
+            _sub_vals(s_new)
+            .join(F.broadcast(delta_m.select("__mv_inv")), "__mv_inv", "left_semi")
+            .groupBy("__mv_inv")
+            .agg(F.count(F.lit(1)).alias("__mv_mn"))
+        )
+        # membership gained → rows enter (+1) for IN/EXISTS; for
+        # NOT EXISTS the signs invert (gaining a match EVICTS rows)
+        sign = -1 if neg else 1
+        flips = (
+            delta_m.join(m_new, "__mv_inv", "left")
+            .select(
+                "__mv_inv",
+                F.coalesce("__mv_mn", F.lit(0)).alias("__mv_mn"),
+                F.col("__mv_dm"),
+            )
+            .filter(
+                (F.col("__mv_mn") == 0)
+                != ((F.col("__mv_mn") - F.col("__mv_dm")) == 0)
+            )
+            .withColumn(
+                "__mv_fw",
+                F.when(F.col("__mv_mn") > 0, F.lit(sign)).otherwise(F.lit(-sign)),
+            )
+            .select("__mv_inv", "__mv_fw")
+        )
+        f_old = self.sinks[mv.base].scan(self.spark, version=mv.base_version)
+        src = mv.select.from_[0]
+        fref = src.alias or mv.base
 
-            fvals = [r[0] for r in flips.limit(1001).collect()]
-            if len(fvals) <= 1000:
-                # bounded plan-time collect → literal IN pushdown on the
-                # fact scan (stats/row-group skipping); empty → no rows
-                f_old = f_old.filter(
-                    _key(f_old).isin(fvals) if fvals else F.lit(False)
-                )
-            f_flip = f_old.join(
-                F.broadcast(flips), _key(f_old) == F.col("__mv_inv"), "inner"
-            ).drop("__mv_inv")
-            specs.append((f_flip, F.col("__mv_fw")))
-            return specs
-        finally:
-            if saved is _UNSET:
-                self.tables.pop(mv.in_table, None)
-            else:
-                self.tables[mv.in_table] = saved
+        def _key(df):
+            return to_column(keyn, Scope({fref: df}, includes=self.includes))
+
+        fvals = [r[0] for r in flips.limit(1001).collect()]
+        if len(fvals) <= 1000:
+            # bounded plan-time collect → literal IN pushdown on the
+            # fact scan (stats/row-group skipping); empty → no rows
+            f_old = f_old.filter(
+                _key(f_old).isin(fvals) if fvals else F.lit(False)
+            )
+        return f_old.join(
+            F.broadcast(flips), _key(f_old) == F.col("__mv_inv"), "inner"
+        ).drop("__mv_inv")
+
+    def _in_sub_terms2(
+        self, mv, changes, w, in_changes, i_cur, in2_changes, i2_cur
+    ) -> list:
+        """Signed delta inputs for a TWO-membership view (``k1 IN
+        (SELECT … FROM s1) AND k2 IN (SELECT … FROM s2)`` over a
+        single-table base, s1 ≠ s2 ≠ base), each table PINNED:
+
+          T_a  = ΔF ⋉ M1_new ⋉ M2_new
+          T_f1 = (F_old · flip1) ⋉ M2_new   (weight ±1)
+          T_f2 = (F_old · flip2) ⋉ M1_old   (weight ±1)
+
+        Identity: [M1n][M2n] − [M1o][M2o] = ([M1n]−[M1o])·[M2n] +
+        [M1o]·([M2n]−[M2o]) — exact telescoping, so distinct-table
+        contexts never need a cross term. T_f2's [M1_old] filter scans
+        s1's OLD snapshot (vacuum-guarded by the caller); negated
+        contexts anti-join and invert flip signs exactly as the
+        single-context machinery."""
+        from .matview import in_membership_filter
+
+        s1_new = self.sinks[mv.in_table].scan(self.spark, version=i_cur)
+        s2_new = self.sinks[mv.in2_table].scan(self.spark, version=i2_cur)
+        t_a = in_membership_filter(self, mv, changes, s_df=s1_new)
+        t_a = in_membership_filter(self, mv, t_a, s_df=s2_new, ctx=2)
+        specs = [(t_a, w)]
+        if in_changes is not None:
+            f1 = self._flip_rows(mv, 1, in_changes, s1_new)
+            f1 = in_membership_filter(self, mv, f1, s_df=s2_new, ctx=2)
+            specs.append((f1, F.col("__mv_fw")))
+        if in2_changes is not None:
+            s1_old = self.sinks[mv.in_table].scan(
+                self.spark, version=mv.in_version
+            )
+            f2 = self._flip_rows(mv, 2, in2_changes, s2_new)
+            f2 = in_membership_filter(self, mv, f2, s_df=s1_old, ctx=1)
+            specs.append((f2, F.col("__mv_fw")))
+        return specs
 
     def _csc_terms(self, mv, changes, w, in_changes, i_cur) -> list:
         """Signed delta inputs for a correlated-scalar view (``... WHERE
@@ -476,6 +525,15 @@ class MatViewMixin:
                     f"materialized view {view!r}: IN-subquery table {mv.in_table!r} is no longer a registered sink"
                 )
             in_moved = max(isink.versions()) != mv.in_version
+        in2_moved = False
+        i2sink = None
+        if mv.in2_table:
+            i2sink = self.sinks.get(mv.in2_table)
+            if i2sink is None:
+                raise ExecError(
+                    f"materialized view {view!r}: IN-subquery table {mv.in2_table!r} is no longer a registered sink"
+                )
+            in2_moved = max(i2sink.versions()) != mv.in2_version
         dim_moved = False
         dsink = None
         if mv.dim:
@@ -561,12 +619,47 @@ class MatViewMixin:
                             # s's OLD snapshot (v_old over the affected
                             # slice); vacuumed → full recompute
                             changes = None
+                in2_changes = i2_cur = None
+                if mv.in2_table:
+                    i2_cur = mv.in2_version
+                    if in2_moved:
+                        in2_changes, i2_cur = self._changes_since_cached(
+                            cache, mv.in2_table, mv.in2_version
+                        )
+                        if mv.base_version not in self.sinks[mv.base].versions():
+                            # the F_old × flip2 term needs the fact's OLD
+                            # snapshot; vacuumed → full recompute
+                            changes = None
+                        elif mv.in_version not in isink.versions():
+                            # T_f2's [M1_old] filter scans s1's OLD
+                            # snapshot; vacuumed → full recompute
+                            changes = None
                 if mv.in_table and mv.dim and dim_moved and jt != "INNER":
-                    # LEFT-join set-context views: a dim commit needs the
-                    # null-extension flips (T4) COMPOSED with membership —
-                    # not implemented; one full recompute instead (base/s
-                    # deltas keep folding incrementally between dim commits)
-                    changes = None
+                    # LEFT-join set-context views under a dim commit (r16):
+                    # the T4 null-extension flips COMPOSE with membership
+                    # over the trilinear midpoint G_mid = F_old ⋉ M_new —
+                    # maintained below when the ON decomposes with at
+                    # least one equality pair (the ΔD-affected-slice
+                    # prune keys on it). A pairless ON has no prune (a
+                    # delta would force an O(|F_old|) recount) → one
+                    # full recompute, re-pinned.
+                    from .matview import join_on_parts
+
+                    _p = None
+                    if jt in ("LEFT", "LEFT OUTER"):
+                        _p = join_on_parts(
+                            mv,
+                            {
+                                c.lower()
+                                for c in self.sinks[mv.base]
+                                .scan(self.spark, version=mv.base_version)
+                                .columns
+                            },
+                            {c.lower() for c in dsink.scan(self.spark).columns},
+                            allow_cross=True,
+                        )
+                    if _p is None:
+                        changes = None
                 dim_changes = d_cur = None
                 if dim_moved or (right_like and cur != mv.base_version):
                     dim_changes, d_cur = self._changes_since_cached(cache, mv.dim, mv.dim_version)
@@ -582,7 +675,12 @@ class MatViewMixin:
             except ExecError:
                 changes = None  # vacuumed gap / stale checkpoint → full recompute
             if changes is not None:
-                if cur == mv.base_version and not dim_moved and not in_moved:
+                if (
+                    cur == mv.base_version
+                    and not dim_moved
+                    and not in_moved
+                    and not in2_moved
+                ):
                     # a moved expose-time scalar still needs a re-expose
                     # (and reports incremental — the view DID update)
                     mode = "incremental" if es_moved else "noop"
@@ -597,6 +695,11 @@ class MatViewMixin:
                         # (correlated scalars: the per-row twin, _csc_terms)
                         if mv.csc_pred is not None:
                             specs = self._csc_terms(mv, changes, w, in_changes, i_cur)
+                        elif mv.in2_table:
+                            specs = self._in_sub_terms2(
+                                mv, changes, w, in_changes, i_cur,
+                                in2_changes, i2_cur,
+                            )
                         else:
                             specs = self._in_sub_terms(mv, changes, w, in_changes, i_cur)
                         # INNER-join views (fact-side key): trilinear
@@ -656,6 +759,206 @@ class MatViewMixin:
                                 spec4.append(
                                     (f_old_m, F.lit(1), d_delta, "product", "INNER")
                                 )
+                                if jt in ("LEFT", "LEFT OUTER"):
+                                    # T4 (r16) — fact-side null-extension
+                                    # flips composed with membership: a
+                                    # G_mid = F_old⋉M_new row's
+                                    # null-extended image appears (+1)
+                                    # when its dim match count fell to 0
+                                    # across ΔD, retracts (−1) when it
+                                    # rose from 0. Only the ΔD-affected
+                                    # slice (equality-pair keys) is
+                                    # touched; two-sided non-equi ONs use
+                                    # the per-ROW T4' variant (semi/anti
+                                    # joins through the real ON against
+                                    # both dim snapshots).
+                                    from functools import reduce
+
+                                    from .matview import join_on_parts
+
+                                    pj, fact_preds, dim_preds, cross_preds = join_on_parts(
+                                        mv,
+                                        {c.lower() for c in f_old_all.columns},
+                                        {c.lower() for c in d_new_df.columns},
+                                        allow_cross=True,
+                                    )
+                                    _f_ref = mv.select.from_[0].alias or mv.base
+                                    _d_ref = mv.select.from_[1].alias or mv.dim
+
+                                    def _pred4(df, preds, ref):
+                                        scope = Scope(
+                                            {ref: df}, includes=self.includes
+                                        )
+                                        return reduce(
+                                            lambda a, b: a & b,
+                                            [
+                                                to_column(p, scope).cast("boolean")
+                                                for p in preds
+                                            ],
+                                        )
+
+                                    fcols4 = [f for f, _ in pj]
+                                    dcols4 = [d_ for _, d_ in pj]
+
+                                    def _key4(df, cols):
+                                        if len(cols) == 1:
+                                            return df[cols[0]]
+                                        return F.struct(
+                                            *[
+                                                df[c].alias(f"k{i}")
+                                                for i, c in enumerate(cols)
+                                            ]
+                                        )
+
+                                    def _nn4(df, cols):
+                                        return reduce(
+                                            lambda a, b: a & b,
+                                            [df[c].isNotNull() for c in cols],
+                                        )
+
+                                    # residual-failing ΔD rows can't change
+                                    # any key's match count — excluded
+                                    dflt4 = _nn4(d_delta, dcols4)
+                                    if dim_preds:
+                                        dflt4 = dflt4 & _pred4(
+                                            d_delta, dim_preds, _d_ref
+                                        )
+                                    dkeys4 = (
+                                        d_delta.filter(dflt4)
+                                        .select(
+                                            _key4(d_delta, dcols4).alias("__mv_dk")
+                                        )
+                                        .distinct()
+                                    )
+                                    f_mid = f_old_m
+                                    if len(pj) == 1:
+                                        dvals4 = [
+                                            r[0]
+                                            for r in dkeys4.limit(1001).collect()
+                                        ]
+                                        if len(dvals4) <= 1000:
+                                            # bounded plan-time collect →
+                                            # literal IN pushdown through
+                                            # the membership join to the
+                                            # fact scan (row-group
+                                            # skipping at 100 TB)
+                                            f_mid = f_mid.filter(
+                                                F.col(fcols4[0]).isin(dvals4)
+                                                if dvals4
+                                                else F.lit(False)
+                                            )
+                                    if cross_preds:
+                                        on_node4 = mv.select.from_[1].join_expr
+
+                                        def _on4(fdf, ddf, how):
+                                            fa = fdf.alias(_f_ref)
+                                            da = ddf.alias(_d_ref)
+                                            cond = to_column(
+                                                on_node4,
+                                                Scope(
+                                                    {_f_ref: fa, _d_ref: da},
+                                                    includes=self.includes,
+                                                ),
+                                            ).cast("boolean")
+                                            return fa.join(da, cond, how)
+
+                                        f_aff4 = f_mid.join(
+                                            F.broadcast(dkeys4),
+                                            _key4(f_mid, fcols4)
+                                            == dkeys4["__mv_dk"],
+                                            "left_semi",
+                                        )
+                                        f_app4 = _on4(
+                                            _on4(f_aff4, d_old_df, "left_semi"),
+                                            d_new_df, "left_anti",
+                                        )
+                                        f_ret4 = _on4(
+                                            _on4(f_aff4, d_old_df, "left_anti"),
+                                            d_new_df, "left_semi",
+                                        )
+                                        spec4.append(
+                                            (f_app4, F.lit(1),
+                                             d_new_df.limit(0), None, None)
+                                        )
+                                        spec4.append(
+                                            (f_ret4, F.lit(-1),
+                                             d_new_df.limit(0), None, None)
+                                        )
+                                    else:
+
+                                        def _dkc4(ddf, out):
+                                            if dim_preds:
+                                                ddf = ddf.filter(
+                                                    _pred4(ddf, dim_preds, _d_ref)
+                                                )
+                                            return (
+                                                ddf.join(
+                                                    F.broadcast(dkeys4),
+                                                    _key4(ddf, dcols4)
+                                                    == dkeys4["__mv_dk"],
+                                                    "left_semi",
+                                                )
+                                                .groupBy(
+                                                    _key4(ddf, dcols4).alias(
+                                                        "__mv_dk"
+                                                    )
+                                                )
+                                                .agg(
+                                                    F.count(F.lit(1)).alias(out)
+                                                )
+                                            )
+
+                                        flips4 = (
+                                            dkeys4.join(
+                                                _dkc4(d_old_df, "__mv_mo"),
+                                                "__mv_dk", "left",
+                                            )
+                                            .join(
+                                                _dkc4(d_new_df, "__mv_mn"),
+                                                "__mv_dk", "left",
+                                            )
+                                            .select(
+                                                "__mv_dk",
+                                                F.coalesce(
+                                                    "__mv_mo", F.lit(0)
+                                                ).alias("__mv_mo"),
+                                                F.coalesce(
+                                                    "__mv_mn", F.lit(0)
+                                                ).alias("__mv_mn"),
+                                            )
+                                            .filter(
+                                                (F.col("__mv_mo") == 0)
+                                                != (F.col("__mv_mn") == 0)
+                                            )
+                                            # key gained matches → the
+                                            # null-extended rows RETRACT
+                                            # (−1); lost all → appear (+1)
+                                            .withColumn(
+                                                "__mv_fw",
+                                                F.when(
+                                                    F.col("__mv_mn") == 0,
+                                                    F.lit(1),
+                                                ).otherwise(F.lit(-1)),
+                                            )
+                                            .select("__mv_dk", "__mv_fw")
+                                        )
+                                        # only match-ABLE rows flip; a
+                                        # residual-failing fact row stays
+                                        # permanently null-extended
+                                        if fact_preds:
+                                            f_mid = f_mid.filter(
+                                                _pred4(f_mid, fact_preds, _f_ref)
+                                            )
+                                        f_flip4 = f_mid.join(
+                                            F.broadcast(flips4),
+                                            _key4(f_mid, fcols4)
+                                            == flips4["__mv_dk"],
+                                            "inner",
+                                        ).drop("__mv_dk")
+                                        spec4.append(
+                                            (f_flip4, F.col("__mv_fw"),
+                                             d_new_df.limit(0), None, None)
+                                        )
                         terms = [
                             state_frame(
                                 self, mv, df, wt, dim_df=dd,
@@ -685,6 +988,8 @@ class MatViewMixin:
                                 deltas.append(u)
                             _fold_substates(mv, deltas)
                         mv.in_version = i_cur
+                        if mv.in2_table:
+                            mv.in2_version = i2_cur
                         if mv.dim and d_cur2 is not None:
                             mv.dim_version = d_cur2
                     elif not dim_moved and not right_like:
@@ -752,8 +1057,9 @@ class MatViewMixin:
                             {c.lower() for c in f_old.columns},
                             {c.lower() for c in d_new.columns},
                             allow_cross=True,
+                            allow_pairless=True,
                         )
-                        pj = parts[0] if parts is not None else None
+                        pj = parts[0] if parts is not None and parts[0] else None
                         cross_preds = parts[3] if parts is not None else []
                         # single-side row-local residual conjuncts of the
                         # ON (f.k = d.k AND d.x > 5): a row failing its
@@ -789,8 +1095,10 @@ class MatViewMixin:
                         # only rows whose key bookkeeping matters
                         f_old_m = f_old_full.filter(fpred(f_old_full)) if fpred else f_old_full
                         d_new_m = d_new.filter(dpred(d_new)) if dpred else d_new
-                        if (left_like or right_like) and pj is None:
-                            mode = "full"  # no equality pairs: flips unknowable
+                        if (left_like or right_like) and pj is None and not cross_preds:
+                            # neither keyed nor per-row recountable
+                            # (unclassifiable ON): flips unknowable
+                            mode = "full"
                         else:
                             # (possibly compound) join-key accessors: the
                             # flip/match-count terms key on the FULL tuple.
@@ -956,7 +1264,7 @@ class MatViewMixin:
                                         wmode="product", jo="INNER",
                                     )
                                 # T4 — fact-side null-extension flips (ΔD)
-                                if left_like and dkeys_df is not None and cross_preds:
+                                if left_like and d_delta is not None and cross_preds:
                                     # T4' (two-sided non-equi conjuncts):
                                     # match state is per FACT ROW, not per
                                     # key — test the ΔD-affected fact
@@ -972,11 +1280,26 @@ class MatViewMixin:
                                     d_old_snap = dsink.scan(
                                         self.spark, version=mv.dim_version
                                     )
-                                    f_aff = f_old_full.join(
-                                        F.broadcast(dkeys_df),
-                                        fact_key(f_old_full) == dkeys_df["__mv_dk"],
-                                        "left_semi",
-                                    )
+                                    if dkeys_df is not None:
+                                        f_aff = f_old_full.join(
+                                            F.broadcast(dkeys_df),
+                                            fact_key(f_old_full)
+                                            == dkeys_df["__mv_dk"],
+                                            "left_semi",
+                                        )
+                                    else:
+                                        # PAIRLESS ON (r16): the affected
+                                        # slice is every fact row matching
+                                        # ANY ΔD image through the real ON
+                                        # — a broadcast semi-join against
+                                        # the tiny delta replaces the key
+                                        # lookup; rows matching no image
+                                        # have identical match sets in
+                                        # both snapshots, so they never
+                                        # flip
+                                        f_aff = _on_join_f(
+                                            f_old_full, d_delta, "left_semi"
+                                        )
                                     # lost ALL matches → null-extended row APPEARS (+1)
                                     f_app = _on_join_f(
                                         _on_join_f(f_aff, d_old_snap, "left_semi"),
@@ -1094,19 +1417,30 @@ class MatViewMixin:
                                     # ΔF-affected dim slice against BOTH
                                     # fact snapshots through the real ON
                                     # (the symmetric twin of T4')
-                                    fkeys6 = (
-                                        changes.filter(fact_nn(changes))
-                                        .select(fact_key(changes).alias("__mv_fk"))
-                                        .distinct()
-                                    )
                                     f_new_full = self.sinks[mv.base].scan(
                                         self.spark, version=cur
                                     )
-                                    d_aff = d_new.join(
-                                        F.broadcast(fkeys6),
-                                        dim_key(d_new) == fkeys6["__mv_fk"],
-                                        "left_semi",
-                                    )
+                                    if pj is not None:
+                                        fkeys6 = (
+                                            changes.filter(fact_nn(changes))
+                                            .select(
+                                                fact_key(changes).alias("__mv_fk")
+                                            )
+                                            .distinct()
+                                        )
+                                        d_aff = d_new.join(
+                                            F.broadcast(fkeys6),
+                                            dim_key(d_new) == fkeys6["__mv_fk"],
+                                            "left_semi",
+                                        )
+                                    else:
+                                        # PAIRLESS ON (r16): dim rows
+                                        # matching ANY ΔF image through
+                                        # the real ON — the only rows
+                                        # whose match count can cross
+                                        d_aff = _on_join_d(
+                                            d_new, changes, "left_semi"
+                                        )
                                     # lost ALL fact matches → its
                                     # null-extended row APPEARS (+1)
                                     d_app = _on_join_d(
@@ -1240,6 +1574,13 @@ class MatViewMixin:
                         base_df = csc_filter(self, mv, base_df)
                     else:
                         base_df = in_membership_filter(self, mv, base_df)
+                        if mv.in2_table:
+                            mv.in2_version = max(
+                                self.sinks[mv.in2_table].versions()
+                            )
+                            base_df = in_membership_filter(
+                                self, mv, base_df, ctx=2
+                            )
                 mv.internal = persist_state(
                     mv, state_frame(self, mv, base_df, F.lit(1), weight_mode="one").drop("__mv_neg")
                 )

@@ -1064,8 +1064,9 @@ def _url_matchqs(n, s):
 # (url_email.go:694-856, parts bot/mobile/mozilla/platform/os/engine/
 # engine_version/browser/browser_version). Ours evaluates a vendored
 # uap-core regex subset (functions/uaparse.py) as pure when/rlike Column
-# chains — whole-stage codegen, no UDF. Documented divergence: "os"
-# returns the uap-core OS FAMILY, not the Go lib's raw token.
+# chains — whole-stage codegen, no UDF. "os" matches the Go lib's raw
+# token (marketing-name Windows, dot-normalized Apple versions — r16
+# parity); the uap-core OS FAMILY stays available as "os_family".
 
 
 @_reg("useragent", return_type=T.StringType())

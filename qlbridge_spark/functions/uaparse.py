@@ -106,12 +106,12 @@ PARTS = (
     "engine_version",
 )
 
-# "os_raw": the raw OS token of the UA comment, in the style of the Go
-# lib the reference wraps (mssola user_agent ua.OS(), url_email.go:766):
-# Windows NT versions map to marketing names, underscore version
-# separators normalize to dots, other platforms return their comment
-# token. "os"/"os_family" keep the uap-core FAMILY (documented
-# divergence); os_raw is the parity escape hatch.
+# "os" (r16 default, reference parity) and its alias "os_raw": the raw
+# OS token of the UA comment, in the style of the Go lib the reference
+# wraps (mssola user_agent ua.OS(), url_email.go:766): Windows NT
+# versions map to marketing names, underscore version separators
+# normalize to dots, other platforms return their comment token.
+# "os_family" keeps the uap-core FAMILY (the superset part).
 WIN_NT_RE = r"Windows NT (\d+\.\d+)"
 WIN_NT_NAMES = {
     "10.0": "Windows 10",
@@ -155,13 +155,13 @@ def parse_part(s: str, part: str) -> str:
     part = part.lower()
     if part in ("ua_family", "browser"):
         return _pick(s, UA_FAMILIES)
-    if part in ("os", "os_family"):
+    if part == "os_family":
         return _pick(s, OS_FAMILIES)
     if part == "browser_version":
         fam = _pick(s, UA_FAMILIES)
         vpat = next((v for f, _, v in UA_FAMILIES if f == fam), None)
         return _extract(s, vpat) if vpat else ""
-    if part == "os_raw":
+    if part in ("os", "os_raw"):
         m = re.search(WIN_NT_RE, s)
         if m:
             return WIN_NT_NAMES.get(m.group(1), f"Windows NT {m.group(1)}")
@@ -195,7 +195,7 @@ def part_col(c, part: str):
     part = part.lower()
     if part in ("ua_family", "browser"):
         return _pick_col(c, [(f, p) for f, p, _ in UA_FAMILIES])
-    if part in ("os", "os_family"):
+    if part == "os_family":
         return _pick_col(c, OS_FAMILIES)
     if part == "browser_version":
         out = F.lit("")
@@ -203,7 +203,7 @@ def part_col(c, part: str):
             if vpat is not None:
                 out = F.when(c.rlike(det), F.regexp_extract(c, vpat, 1)).otherwise(out)
         return out
-    if part == "os_raw":
+    if part in ("os", "os_raw"):
         out = F.lit("")
         for pat, norm in reversed(OS_RAW_RES):
             ext = F.regexp_extract(c, pat, 1)

@@ -736,8 +736,9 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
             ):
                 return cj
             base, _, quant = cj.op.partition(" ")
-            if base not in (">", ">=", "<", "<="):
-                return cj  # =/!= forms are membership (the IN machinery's)
+            eq_form = (base, quant) in (("=", "ALL"), ("!=", "ANY"))
+            if base not in (">", ">=", "<", "<=") and not eq_form:
+                return cj  # = ANY / != ALL are membership (the IN machinery's)
             sub = cj.right.select
             if (
                 not isinstance(sub, SqlSelect)
@@ -751,6 +752,57 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
 
             if funcs.is_agg_tree(col) or sub.group_by:
                 return cj
+            if eq_form:
+                # r16: the equality-quantified twins pair BOTH extrema:
+                #   x  = ALL(S) ⟺ count(S)=0 OR (x = min(S) AND x = max(S))
+                #   x != ANY(S) ⟺ count(S)>0 AND (x != min(S) OR x != max(S))
+                # `!= ANY` is unconditionally sound in WHERE context: an
+                # inner NULL makes the quantifier NULL only when every
+                # non-NULL element equals x — then min=max=x and the
+                # rewrite reads FALSE, the same not-TRUE; empty set →
+                # both are not-TRUE via the count guard. `= ALL` shares
+                # `op ALL`'s traps (empty set → TRUE is the count guard;
+                # an inner NULL blocks TRUE but min/max silently drop
+                # NULLs) → inner value must be provably non-NULL.
+                def _ext(agg):
+                    return SubqueryNode(
+                        select=_dc.replace(
+                            sub, columns=[Column(expr=FuncNode(agg, [col]))]
+                        )
+                    )
+
+                count_sub = SubqueryNode(
+                    select=_dc.replace(
+                        sub,
+                        columns=[Column(expr=FuncNode("count", [IdentityNode(("*",))]))],
+                    )
+                )
+                if quant == "ALL":
+                    sub_conjs = _conjuncts(sub.where) if sub.where is not None else []
+                    if not _null_rejecting(sub_conjs, col):
+                        try:
+                            if engine._select_any(sub).schema.fields[0].nullable:
+                                return cj
+                        except Exception:
+                            return cj
+                    return BinaryNode(
+                        "OR",
+                        BinaryNode(
+                            "AND",
+                            BinaryNode("=", cj.left, _ext("min")),
+                            BinaryNode("=", cj.left, _ext("max")),
+                        ),
+                        BinaryNode("=", count_sub, NumberNode("0")),
+                    )
+                return BinaryNode(
+                    "AND",
+                    BinaryNode(
+                        "OR",
+                        BinaryNode("!=", cj.left, _ext("min")),
+                        BinaryNode("!=", cj.left, _ext("max")),
+                    ),
+                    BinaryNode(">", count_sub, NumberNode("0")),
+                )
             agg = "min" if (base in (">", ">=")) == (quant == "ANY") else "max"
             cmp_node = BinaryNode(
                 base,
@@ -788,6 +840,7 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
             select = _dc.replace(select, where=new_where)
     scalar_subs: list = []
     in_sub: tuple | None = None  # (key expr, subquery select, table)
+    in_sub2: tuple | None = None  # second membership conjunct (r16)
     where_rest = select.where
     if select.where is not None and not _row_local(select.where):
         # set-context decomposition first: ONE top-level conjunct that
@@ -819,9 +872,11 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
         # per-term dim pinning is engine._refresh_one's). LEFT joins
         # compose too — only the FACT side null-extends, and membership
         # is a fact-side filter, so T_a/flip rows carry their own LEFT
-        # images — but a DIM commit would need the T4 null-extension
-        # flips composed with membership, so that one case falls back to
-        # a full recompute (engine._refresh_one's guard). RIGHT/FULL
+        # images; a DIM commit folds as well (r16): the T4
+        # null-extension flips compose with membership over the
+        # trilinear midpoint G_mid = F_old ⋉ M_new, keyed on the ON's
+        # equality pairs (pairless ONs take one full recompute —
+        # engine._refresh_one's guard). RIGHT/FULL
         # stay single-table (the dim-preserved side needs fact match
         # counts on EVERY refresh, which membership perturbs); s must
         # differ from the dim (shared feed → cross-terms).
@@ -853,9 +908,7 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
             return True
 
         conjs = _conjuncts(select.where)
-        in_idx = ex_idx = None
-        in_neg = False
-        two = False
+        ctx_idx: list = []  # [(kind, conjunct index)], kind ∈ {"in", "ex"}
         for i, cj in enumerate(conjs):
             if isinstance(cj, BinaryNode) and isinstance(cj.right, SubqueryNode) and (
                 cj.op == "IN"  # either negation: NOT IN handled below
@@ -864,52 +917,63 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
                 or (cj.op == "= ANY" and not getattr(cj, "negated", False))
                 or (cj.op == "!= ALL" and not getattr(cj, "negated", False))
             ):
-                two = two or in_idx is not None or ex_idx is not None
-                in_idx = i
-                in_neg = getattr(cj, "negated", False) or cj.op == "!= ALL"
+                ctx_idx.append(("in", i))
             elif _exists_of(cj) is not None:
-                two = two or in_idx is not None or ex_idx is not None
-                ex_idx = i
-        if two:
-            in_idx = ex_idx = None  # two set contexts: stay full
-        if (
-            in_idx is not None
-            and _set_ctx_ok
-            and _row_local(conjs[in_idx].left)
-            and _fact_side(conjs[in_idx].left)
-        ):
-            rest = [c for i, c in enumerate(conjs) if i != in_idx]
-            sub_tbl = _analyze_in_sub(engine, conjs[in_idx].right.select)
-            ok = (
-                sub_tbl is not None
-                and sub_tbl != dim_name
-                and all(_row_local(c) for c in rest)
-            )
-            if ok and in_neg:
-                # NOT IN / <> ALL: only with both NULL traps statically
-                # closed (inner value and outer key provably non-NULL) —
-                # then it IS anti-membership, the NOT EXISTS machinery
-                ok = _not_in_provable(engine, nm, src, conjs[in_idx], rest)
-            if ok:
-                in_sub = (
-                    conjs[in_idx].left,
-                    conjs[in_idx].right.select,
-                    sub_tbl,
-                    in_neg,
-                )
-                where_rest = _and_tree(rest)
-        elif ex_idx is not None and _set_ctx_ok:
-            sub_node, neg = _exists_of(conjs[ex_idx])
-            rest = [c for i, c in enumerate(conjs) if i != ex_idx]
+                ctx_idx.append(("ex", i))
+
+        def _ctx_of(kind, i, rest):
+            """``(key, select, table, negated)`` when conjunct ``i`` is
+            an eligible membership context given the row-local ``rest``
+            (NULL-trap provability for the negated forms), else None."""
+            cj = conjs[i]
+            if kind == "in":
+                if not (_row_local(cj.left) and _fact_side(cj.left)):
+                    return None
+                sub_tbl = _analyze_in_sub(engine, cj.right.select)
+                neg = getattr(cj, "negated", False) or cj.op == "!= ALL"
+                if sub_tbl is None or sub_tbl == dim_name:
+                    return None
+                if neg and not _not_in_provable(engine, nm, src, cj, rest):
+                    # NOT IN / <> ALL: only with both NULL traps
+                    # statically closed (inner value and outer key
+                    # provably non-NULL) — then it IS anti-membership
+                    return None
+                return (cj.left, cj.right.select, sub_tbl, neg)
+            sub_node, neg = _exists_of(cj)
             ex = _analyze_exists_sub(engine, nm, src, sub_node.select)
-            if (
-                ex is not None
-                and ex[2] != dim_name
-                and _fact_side(ex[0])
-                and all(_row_local(c) for c in rest)
-            ):
-                in_sub = (ex[0], ex[1], ex[2], neg)
-                where_rest = _and_tree(rest)
+            if ex is None or ex[2] == dim_name or not _fact_side(ex[0]):
+                return None
+            return (ex[0], ex[1], ex[2], neg)
+
+        if len(ctx_idx) == 1 and _set_ctx_ok:
+            kind, i = ctx_idx[0]
+            rest = [c for j, c in enumerate(conjs) if j != i]
+            if all(_row_local(c) for c in rest):
+                got = _ctx_of(kind, i, rest)
+                if got is not None:
+                    in_sub = got
+                    where_rest = _and_tree(rest)
+        elif len(ctx_idx) == 2 and len(select.from_) == 1:
+            # r16: TWO independent membership conjuncts compose when the
+            # subquery tables are DISTINCT sinks, both different from
+            # the base: the product of memberships telescopes exactly
+            # (Δ([M1][M2]) = flip1·[M2_new] + [M1_old]·flip2 — see
+            # engine._in_sub_terms2). Same-table pairs (one commit moves
+            # both memberships at once — a cross term) and
+            # self-membership stay full, pinned.
+            idxs = {i for _, i in ctx_idx}
+            rest = [c for j, c in enumerate(conjs) if j not in idxs]
+            if all(_row_local(c) for c in rest):
+                c1 = _ctx_of(*ctx_idx[0], rest)
+                c2 = _ctx_of(*ctx_idx[1], rest)
+                if (
+                    c1 is not None
+                    and c2 is not None
+                    and c1[2] != c2[2]
+                    and nm not in (c1[2], c2[2])
+                ):
+                    in_sub, in_sub2 = c1, c2
+                    where_rest = _and_tree(rest)
     csc: tuple | None = None
     if (
         select.where is not None
@@ -1370,10 +1434,13 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
         # extensions, so the ON must decompose into fact-col = dim-col
         # equality pairs plus (optionally) row-local SINGLE-SIDE
         # residual conjuncts — the flip terms key on the (possibly
-        # compound) tuple and count over residual-filtered snapshots.
-        # (DISTINCT is fine: substates are pure signed counting and fold
-        # through the same six terms; extrema ride the probe or the
-        # multiset, deduced above.)
+        # compound) tuple and count over residual-filtered snapshots —
+        # or (r16) be PAIRLESS with two-sided non-equi conjuncts, where
+        # the per-row T5'/T6' terms prune the affected slice with an
+        # ON-semi-join against the delta's images instead of a key
+        # lookup. (DISTINCT is fine: substates are pure signed counting
+        # and fold through the same six terms; extrema ride the probe or
+        # the multiset, deduced above.)
         probe = MatView(name="", select=select, base=nm, dim=dim_name)
         if (
             join_on_parts(
@@ -1381,6 +1448,7 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
                 _snapshot_cols(engine, sink),
                 _snapshot_cols(engine, engine.sinks[dim_name]),
                 allow_cross=True,
+                allow_pairless=True,
             )
             is None
         ):
@@ -1445,6 +1513,10 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
         in_select=in_sub[1] if in_sub else None,
         in_table=in_sub[2] if in_sub else (csc[3] if csc else None),
         in_negated=bool(in_sub[3]) if in_sub else False,
+        in2_key=in_sub2[0] if in_sub2 else None,
+        in2_select=in_sub2[1] if in_sub2 else None,
+        in2_table=in_sub2[2] if in_sub2 else None,
+        in2_negated=bool(in_sub2[3]) if in_sub2 else False,
         where_rest=where_rest if (in_sub or csc) else None,
         csc_select=csc[1] if csc else None,
         csc_empty=csc[2] if csc else None,
@@ -1453,17 +1525,38 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
 
 
 
-def in_membership_filter(engine, mv: MatView, df: DataFrame) -> DataFrame:
+def in_membership_filter(
+    engine, mv: MatView, df: DataFrame, s_df: DataFrame | None = None, ctx: int = 1
+) -> DataFrame:
     """Semi-join ``df`` (a base snapshot or signed delta) to the
     IN-subquery's value set, evaluated at whatever version of the
     subquery's table is CURRENTLY REGISTERED (refresh pins it via an
-    ``engine.tables`` override, exactly like the dim machinery). NULL
-    keys never match — SQL IN semantics. At 100 TB this is the
-    broadcast/shuffle semi-join you'd write by hand; AQE picks the
-    strategy from the runtime size of the value set."""
+    ``engine.tables`` override, exactly like the dim machinery) — or,
+    with ``s_df``, at that explicit snapshot (registered for the
+    evaluation's duration). ``ctx=2`` filters through the SECOND
+    membership conjunct (r16). NULL keys never match — SQL IN
+    semantics. At 100 TB this is the broadcast/shuffle semi-join you'd
+    write by hand; AQE picks the strategy from the runtime size of the
+    value set."""
     from .translate import Scope, to_column
 
-    sub_df = engine._select_any(mv.in_select)
+    sel, keyn, neg, tbl = (
+        (mv.in_select, mv.in_key, mv.in_negated, mv.in_table)
+        if ctx == 1
+        else (mv.in2_select, mv.in2_key, mv.in2_negated, mv.in2_table)
+    )
+    saved = _UNSET
+    if s_df is not None:
+        saved = engine.tables.get(tbl, _UNSET)
+        engine.tables[tbl] = s_df
+    try:
+        sub_df = engine._select_any(sel)
+    finally:
+        if s_df is not None:
+            if saved is _UNSET:
+                engine.tables.pop(tbl, None)
+            else:
+                engine.tables[tbl] = saved
     vals = (
         sub_df.select(F.col(sub_df.columns[0]).alias("__mv_inv"))
         .filter(F.col("__mv_inv").isNotNull())
@@ -1471,11 +1564,11 @@ def in_membership_filter(engine, mv: MatView, df: DataFrame) -> DataFrame:
     )
     src = mv.select.from_[0]
     key = to_column(
-        mv.in_key, Scope({src.alias or src.name: df}, includes=engine.includes)
+        keyn, Scope({src.alias or src.name: df}, includes=engine.includes)
     )
     # NOT EXISTS: anti-membership — rows whose key has NO match qualify
     # (NULL keys never match, so they qualify; exactly ANSI NOT EXISTS)
-    how = "left_anti" if mv.in_negated else "left_semi"
+    how = "left_anti" if neg else "left_semi"
     return df.join(vals, key == F.col("__mv_inv"), how)
 
 

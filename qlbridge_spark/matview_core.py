@@ -257,7 +257,20 @@ class MatView:
     #: NOT IN stays full-recompute (one inner NULL empties the result —
     #: not a per-key flip).
     in_negated: bool = False
-    #: the WHERE minus the IN conjunct (row-local; None when empty) —
+    #: SECOND independent membership conjunct (r16): ``k1 IN (SELECT …
+    #: FROM s1) AND k2 IN (SELECT … FROM s2)`` over a SINGLE-TABLE base
+    #: with s1 ≠ s2 ≠ base. The product of memberships telescopes
+    #: exactly — [M1n][M2n] − [M1o][M2o] = flip1·[M2n] + [M1o]·flip2 —
+    #: so each context's flip rows filter through the OTHER membership
+    #: (ctx1's flips at s2's NEW version, ctx2's at s1's OLD) and no
+    #: cross term exists. Same-table pairs and self-membership stay
+    #: full (analysis gate).
+    in2_key: Node | None = None
+    in2_select: SqlSelect | None = None
+    in2_table: str | None = None
+    in2_version: int | None = None
+    in2_negated: bool = False
+    #: the WHERE minus the IN conjunct(s) (row-local; None when empty) —
     #: what the state selects actually evaluate; membership is applied
     #: to their INPUT frames instead
     where_rest: Node | None = None
@@ -413,7 +426,13 @@ def effective_where(mv: MatView):
 _UNSET = object()
 
 
-def join_on_parts(mv: MatView, fact_cols: set, dim_cols: set, allow_cross: bool = False):
+def join_on_parts(
+    mv: MatView,
+    fact_cols: set,
+    dim_cols: set,
+    allow_cross: bool = False,
+    allow_pairless: bool = False,
+):
     """Decompose the view's join ON into ``(pairs, fact_preds,
     dim_preds[, cross_preds])``: the plain fact-column = dim-column
     equality pairs plus the row-local SINGLE-SIDE residual conjuncts
@@ -529,7 +548,11 @@ def join_on_parts(mv: MatView, fact_cols: set, dim_cols: set, allow_cross: bool 
             cross_preds.append(eq)
         else:
             return None
-    if not pairs:
+    if not pairs and not (allow_pairless and cross_preds):
+        # r16: ``allow_pairless`` accepts a PAIRLESS ON (no equality
+        # conjunct, ≥1 two-sided non-equi) — the outer-join flip terms
+        # then prune the affected slice with an ON-semi-join against the
+        # delta's images instead of a key lookup (engine._refresh_one)
         return None
     if allow_cross:
         return pairs, fact_preds, dim_preds, cross_preds

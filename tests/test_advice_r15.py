@@ -711,11 +711,13 @@ class TestLeftJoinSetContextMatViews:
     """Set contexts on LEFT-join views with fact-side keys (r15): LEFT
     only null-extends the FACT side and membership is a fact-side
     filter, so base and s deltas fold with the same T_a/flip terms (each
-    row carries its own LEFT image); a DIM commit would need the
-    null-extension flips composed with membership — not implemented, so
-    that one case takes a full recompute and re-pins. RIGHT/FULL stay
-    pinned full always (the dim-preserved side needs fact match counts
-    on every refresh, which membership perturbs)."""
+    row carries its own LEFT image). Since r16 a DIM commit folds too —
+    the T4 null-extension flips compose with membership over the
+    trilinear midpoint G_mid = F_old ⋉ M_new (tests/test_advice_r16.py)
+    — so the dim-churn step below asserts "incremental" now (it pinned
+    "full" when written). RIGHT/FULL stay pinned full always (the
+    dim-preserved side needs fact match counts on every refresh, which
+    membership perturbs)."""
 
     def _mk(self, spark, tmp_path, name):
         eng = Engine(spark, f"ls15-{name}")
@@ -785,14 +787,16 @@ class TestLeftJoinSetContextMatViews:
                 assert _approx_eq(
                     _rows(eng, f"SELECT * FROM {vn}"), _rows(eng, q)
                 ), (vn, stmt)
-        # dim churn: LEFT set-context views take ONE full recompute
+        # dim churn: LEFT set-context views FOLD since r16 (T4 composed
+        # with membership — note lin/lcs group by the DIM-side dname, so
+        # the null-extension flips land in the NULL-dname group)
         eng.execute("DELETE FROM d WHERE dk = 1")
         for vn, (q, want) in self.CASES.items():
             rep = eng.sql(f"REFRESH MATERIALIZED VIEW {vn}").collect()[0]
             if vn in ("lin", "lcs"):
-                assert rep["mode"] == "full", (vn, rep["mode"])
+                assert rep["mode"] == "incremental", (vn, rep["mode"])
             assert _approx_eq(_rows(eng, f"SELECT * FROM {vn}"), _rows(eng, q)), vn
-        # …then re-pin: base/s deltas fold incrementally again
+        # …and base/s deltas keep folding incrementally
         eng.execute("INSERT INTO f (id, dk, x, k) VALUES (102, 1, 2.0, 3)")
         eng.execute("UPDATE s SET y = y + 1 WHERE v = 0")
         for vn in ("lin", "lcs"):

@@ -231,9 +231,10 @@ class TestBuiltins:
             [
                 'useragent("Mozilla/5.0 (Windows NT 10.0) Chrome/91.0", "ua_family")',
                 'useragent("Mozilla/5.0 (Windows NT 10.0) Chrome/91.0", "os")',
+                'useragent("Mozilla/5.0 (Windows NT 10.0) Chrome/91.0", "os_family")',
             ]
         )
-        assert got == ["Chrome", "Windows"]
+        assert got == ["Chrome", "Windows 10", "Windows"]
 
     def test_custom_function_registration(self, spark, evals):
         # expr.FuncAdd parity (README.md:105-123)

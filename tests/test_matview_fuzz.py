@@ -70,8 +70,11 @@ REQUIRED = {
     "agg_covar", "residual_on", "scalar_sub",
     "in_sub", "in_sub_not", "exists_sub", "exists_sub_not", "expose_sub",
     "corr_scalar", "in_sub_not_nn", "quant_any", "quant_all",
+    "quant_eq_all", "quant_ne_any",
     "in_sub_join", "corr_scalar_join",
+    "in_sub_left_join", "corr_scalar_left_join", "in_sub_two",
     "cross_on_left", "cross_on_inner", "cross_on_right", "cross_on_full",
+    "pairless_on_left", "pairless_on_right", "pairless_on_full",
     "dim_churn", "dim_churn_right_full",
 }
 
@@ -110,6 +113,12 @@ SLOTS = [
     dict(join=None, key="fact", extrema=False, eligible=True, rounds=2, in_sub="not_nn"),
     dict(join=None, key="fact", extrema=False, eligible=True, rounds=2, in_sub="quant_any"),
     dict(join=None, key="fact", extrema=False, eligible=True, rounds=2, in_sub="quant_all"),
+    # r16: equality-quantified twins rewrite to extremum PAIRS
+    # (= ALL ⟺ empty OR (= min AND = max); != ANY is the negation twin)
+    # and ride the frozen-scalar machinery — d churn may legitimately
+    # move the frozen values (mode assertion tolerates "full")
+    dict(join=None, key="fact", extrema=False, eligible=True, rounds=2, in_sub="quant_eq_all"),
+    dict(join=None, key="fact", extrema=False, eligible=True, rounds=2, in_sub="quant_ne_any"),
     # r14: correlated [NOT] EXISTS — the anti-membership twin of IN
     # (NOT EXISTS has no NULL trap, so BOTH directions maintain)
     dict(join=None, key="fact", extrema=False, eligible=True, rounds=2, exists_sub=True),
@@ -124,6 +133,15 @@ SLOTS = [
     # the fuzzer's two-table setup exercises all three feeds.
     dict(join="INNER", key="fact", extrema=False, eligible=True, rounds=2, in_sub="join"),
     dict(join="INNER", key="compound", extrema=False, eligible=True, rounds=2, csc="join"),
+    # r16: set contexts on LEFT-JOIN views — dim commits fold via the T4
+    # null-extension flips composed with membership over the trilinear
+    # midpoint G_mid = F_old ⋉ M_new (self-membership again, so fact
+    # commits drive membership flips AND null-extension bookkeeping)
+    dict(join="LEFT", key="fact", extrema=False, eligible=True, rounds=2, in_sub="join"),
+    dict(join="LEFT", key="fact", extrema=False, eligible=True, rounds=2, csc="join"),
+    # r16: TWO independent membership conjuncts over distinct tables
+    # (d and e) — the membership product telescopes, no cross term
+    dict(join=None, key="fact", extrema=False, eligible=True, rounds=2, in_sub="two"),
     # r14: two-sided non-equi ON conjuncts — EVERY join shape maintains
     # (INNER via the bilinear terms; outer shapes via the per-row
     # match-state semi/anti terms T4'/T5'/T6')
@@ -131,6 +149,12 @@ SLOTS = [
     dict(join="INNER", key="fact", extrema=False, eligible=True, rounds=2, on_cross=True),
     dict(join="RIGHT", key="dim", extrema=False, eligible=True, rounds=2, on_cross=True),
     dict(join="FULL OUTER", key="fact", extrema=False, eligible=True, rounds=2, on_cross=True),
+    # r16: PAIRLESS ONs (no equality conjunct at all) — the per-row
+    # match-state terms prune the affected slice with an ON-semi-join
+    # against the delta's images instead of a key lookup
+    dict(join="LEFT", key="fact", extrema=False, eligible=True, rounds=2, on_pairless=True),
+    dict(join="RIGHT", key="dim", extrema=False, eligible=True, rounds=2, on_pairless=True),
+    dict(join="FULL OUTER", key="fact", extrema=False, eligible=True, rounds=2, on_pairless=True),
 ]
 
 EXTRAS = [
@@ -255,11 +279,25 @@ def _mk_sql(rng, slot, extra, state_path):
                 "f.dk IS NOT NULL AND f.dk <> ALL "
                 f"(SELECT d2.dk FROM d d2 WHERE d2.dk < 5) AND {where}"
             )
+        elif kind == "quant_eq_all":
+            classes.add("quant_eq_all")
+            where = f"f.dk = ALL (SELECT d2.dk FROM d d2 WHERE d2.dk = 3) AND {where}"
+        elif kind == "quant_ne_any":
+            classes.add("quant_ne_any")
+            where = f"f.dk != ANY (SELECT d2.dk FROM d d2 WHERE d2.dk = 1) AND {where}"
         elif kind == "join":
-            # IN on an INNER-join view, fact-side key; the subquery is
-            # SELF-membership (over the fact) so every feed interacts
-            classes.add("in_sub_join")
+            # IN on an INNER/LEFT-join view, fact-side key; the subquery
+            # is SELF-membership (over the fact) so every feed interacts
+            classes.add("in_sub_left_join" if join == "LEFT" else "in_sub_join")
             where = f"f.dk IN (SELECT f2.dk FROM f f2 WHERE f2.x > 3) AND {where}"
+        elif kind == "two":
+            # two memberships over DISTINCT tables (d and e): flips
+            # compose through the other membership, both feeds churn
+            classes.add("in_sub_two")
+            where = (
+                "f.dk IN (SELECT d2.dk FROM d d2 WHERE d2.dk < 5) AND "
+                f"f.dk IN (SELECT e1.v FROM e e1 WHERE e1.y < 6) AND {where}"
+            )
         else:
             neg = "NOT " if kind == "not" else ""
             classes.add("in_sub_not" if neg else "in_sub")
@@ -272,9 +310,9 @@ def _mk_sql(rng, slot, extra, state_path):
             f" AND {where}"
         )
     elif slot.get("csc") == "join":
-        # correlated scalar on an INNER-join view: the scalar dim is the
-        # THIRD table e (csc excludes the base and the view's dim)
-        classes.add("corr_scalar_join")
+        # correlated scalar on an INNER/LEFT-join view: the scalar dim is
+        # the THIRD table e (csc excludes the base and the view's dim)
+        classes.add("corr_scalar_left_join" if join == "LEFT" else "corr_scalar_join")
         where = f"f.x > (SELECT avg(e1.y) FROM e e1 WHERE e1.v = f.dk) AND {where}"
     elif slot.get("csc"):
         # the s-local rest (dname >= 'n') makes forced dname updates
@@ -292,6 +330,9 @@ def _mk_sql(rng, slot, extra, state_path):
     elif slot.get("on_cross"):
         classes.add(f"cross_on_{(join or 'x').split()[0].lower()}")
         on += rng.choice([" AND f.x > d.dk", " AND f.x + d.dk < 9"])
+    elif slot.get("on_pairless"):
+        classes.add(f"pairless_on_{(join or 'x').split()[0].lower()}")
+        on = rng.choice(["f.x > d.dk", "f.x + d.dk < 7", "f.x > d.dk AND d.dk < 90"])
     sel = f"SELECT {', '.join(f'{e} AS {a}' for e, a in keys)}, {', '.join(aggs)} FROM f"
     if self_join:
         sel += " JOIN f g ON f.dk = g.dk"
@@ -420,7 +461,7 @@ def test_matview_shape_fuzz(spark, tmp_path, seed):
                 or slot.get("csc")
             ):
                 ops += ["dins", "dupd", "ddel"]
-            if slot.get("csc") == "join":
+            if slot.get("csc") == "join" or slot.get("in_sub") == "two":
                 ops += ["eupd", "edel"]
             for _ in range(rng.randint(1, 2)):
                 op = rng.choice(ops)
@@ -474,7 +515,9 @@ def test_matview_shape_fuzz(spark, tmp_path, seed):
             rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
             if slot["eligible"]:
                 ok_modes = ("incremental", "noop")
-                if extra == "scalar_sub":
+                if extra == "scalar_sub" or slot.get("in_sub") in (
+                    "quant_eq_all", "quant_ne_any"
+                ):
                     # a moved frozen value forces one legitimate rebuild
                     ok_modes = ("incremental", "noop", "full")
                 assert rep["mode"] in ok_modes, (q, round_, rep["mode"])

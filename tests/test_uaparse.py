@@ -117,10 +117,11 @@ class TestUaCoreSubsetPython:
         assert uaparse.parse_part(ff, "engine") == "Gecko"
 
     def test_os_raw_go_lib_style(self):
-        """os_raw: the raw comment token in the style of the Go lib the
-        reference wraps (ua.OS(), url_email.go:766) — Windows NT →
-        marketing name, underscores → dots. 'os' keeps the uap family
-        (documented divergence); os_raw is the parity part."""
+        """os (and its alias os_raw): the raw comment token in the style
+        of the Go lib the reference wraps (ua.OS(), url_email.go:766) —
+        Windows NT → marketing name, underscores → dots. The uap-core
+        family moved to 'os_family' (r16 default-parity flip)."""
+        assert uaparse.parse_part(FIXTURE[0][0], "os") == "Windows 10"
         assert uaparse.parse_part(FIXTURE[0][0], "os_raw") == "Windows 10"
         mac = "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15"
         assert uaparse.parse_part(mac, "os_raw") == "Intel Mac OS X 10.15.7"
@@ -130,6 +131,8 @@ class TestUaCoreSubsetPython:
         assert uaparse.parse_part(android, "os_raw") == "Android 14"
         linux = "Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36"
         assert uaparse.parse_part(linux, "os_raw") == "Linux x86_64"
+        # the documented Go-lib example output (url_email.go:729)
+        assert uaparse.parse_part(linux, "os") == "Linux x86_64"
         win7 = "Mozilla/5.0 (Windows NT 6.1; WOW64) AppleWebKit/537.36"
         assert uaparse.parse_part(win7, "os_raw") == "Windows 7"
         assert uaparse.parse_part("curl/8.4.0", "os_raw") == ""
