@@ -834,7 +834,168 @@ def analyze(engine, select: SqlSelect) -> MatView | None:
             )
             return BinaryNode("OR", cmp_node, empty)
 
-        qconjs = [_quant_rewrite(c) for c in _conjuncts(select.where)]
+        def _exists_rewrite(cj):
+            """UNCORRELATED and NON-EQUI-CORRELATED ``[NOT] EXISTS``
+            conjuncts rewrite to uncorrelated scalar subqueries (r16) so
+            the frozen-scalar machinery below can take them:
+
+              EXISTS(SELECT … FROM s WHERE <s-local>)
+                ⟺ (SELECT count(*) FROM s WHERE <s-local>) > 0
+              EXISTS(… WHERE s_expr > X AND <s-local>)      [X outer]
+                ⟺ X < (SELECT max(s_expr) FROM s WHERE <s-local>)
+              NOT EXISTS(… WHERE s_expr > X AND <s-local>)
+                ⟺ X >= (SELECT max …) OR X IS NULL
+                  OR (SELECT count(s_expr) …) = 0
+
+            The count forms are EXACT (EXISTS/count are never NULL);
+            the extremum forms are WHERE-context sound: a NULL outer X
+            or an all-NULL witness column makes both sides not-TRUE
+            (positive form) or lands on the explicit guards (negated
+            form, which counts NON-NULL witnesses). Equality-correlated
+            EXISTS is deliberately left alone — the membership
+            machinery maintains it with per-key flips, which beats a
+            frozen scalar's full-rebuild-on-move."""
+            neg = False
+            node = cj
+            if isinstance(node, UnaryNode) and node.op.upper() == "NOT":
+                node, neg = node.child, True
+            if not (
+                isinstance(node, UnaryNode)
+                and node.op.upper() == "EXISTS"
+                and isinstance(node.child, SubqueryNode)
+            ):
+                return cj
+            sub = node.child.select
+            if not isinstance(sub, SqlSelect) or len(sub.from_) != 1:
+                return cj
+            s = sub.from_[0]
+            if not _plain_table(s):
+                return cj
+            if (
+                sub.group_by
+                or sub.having is not None
+                or getattr(sub, "qualify", None) is not None
+                or sub.limit is not None
+                or getattr(sub, "offset", None)
+                or getattr(sub, "grouping_sets", None)
+            ):
+                return cj
+            from . import functions as funcs
+
+            if any(
+                (not c.is_star) and c.expr is not None and funcs.is_agg_tree(c.expr)
+                for c in sub.columns
+            ):
+                # an aggregate select list yields exactly one row even
+                # over zero inputs — EXISTS is then unconditionally
+                # TRUE, which the count rewrite would get wrong
+                return cj
+            sname = s.name.lower()
+            try:
+                if sname in engine.tables:
+                    s_cols = {c.lower() for c in engine.tables[sname].columns}
+                else:
+                    s_cols = _snapshot_cols(engine, engine.sinks[sname])
+                base_cols = _snapshot_cols(engine, sink)
+            except Exception:
+                return cj
+            s_refs = {sname, (s.alias or "").lower()} - {""}
+            b_refs = {nm, (src.alias or "").lower()} - {""}
+
+            def _sd(node_):
+                """'s' / 'b' / None(no idents) for every identifier in
+                ``node_``; 'x' on a mix; False on an unresolvable name.
+                Bare names prefer the INNER scope (SQL shadowing)."""
+                side = None
+                for n in node_.walk():
+                    if isinstance(n, IdentityNode):
+                        parts = [p.lower() for p in n.parts]
+                        col = parts[-1]
+                        if len(parts) > 1:
+                            if parts[0] in s_refs and col in s_cols:
+                                cur = "s"
+                            elif parts[0] in b_refs and col in base_cols:
+                                cur = "b"
+                            else:
+                                return False
+                        elif col in s_cols:
+                            cur = "s"  # inner scope shadows the outer
+                        elif col in base_cols:
+                            cur = "b"
+                        else:
+                            return False
+                        if side is not None and cur != side:
+                            side = "x"
+                        elif side != "x":
+                            side = cur
+                return side
+
+            wconjs = _conjuncts(sub.where) if sub.where is not None else []
+            if any(
+                isinstance(n, (SubqueryNode, WindowNode))
+                for c in wconjs
+                for n in c.walk()
+            ):
+                return cj
+            rest = []
+            corr = None  # (s_expr, outer_expr, base_op) normalized s-side-first
+            _FLIP = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}
+            for c in wconjs:
+                sd = _sd(c)
+                if sd in ("s", None):
+                    if not _row_local(c):
+                        return cj
+                    rest.append(c)
+                    continue
+                if (
+                    isinstance(c, BinaryNode)
+                    and c.op in _FLIP
+                    and not getattr(c, "negated", False)
+                ):
+                    ls, rs = _sd(c.left), _sd(c.right)
+                    if {ls, rs} == {"s", "b"} and _row_local(c.left) and _row_local(c.right):
+                        if corr is not None:
+                            return cj  # one comparison correlation only
+                        corr = (
+                            (c.left, c.right, c.op)
+                            if ls == "s"
+                            else (c.right, c.left, _FLIP[c.op])
+                        )
+                        continue
+                return cj  # equality correlation (membership's) or unclassifiable
+
+            def _sub_of(cols):
+                return SubqueryNode(
+                    select=SqlSelect(
+                        columns=cols, from_=[s], where=_and_tree(rest)
+                    )
+                )
+
+            if corr is None:
+                # uncorrelated: an exact count guard
+                cnt = _sub_of([Column(expr=FuncNode("count", [IdentityNode(("*",))]))])
+                return BinaryNode("=" if neg else ">", cnt, NumberNode("0"))
+            s_expr, outer_expr, base_op = corr
+            # EXISTS(s_expr <op> X): the witness extremum is max for
+            # >/>= (any witness below the max works), min for </<=
+            agg = "max" if base_op in (">", ">=") else "min"
+            ext = _sub_of([Column(expr=FuncNode(agg, [s_expr]))])
+            if not neg:
+                # X <flipped-op> extremum
+                return BinaryNode(_FLIP[base_op], outer_expr, ext)
+            # NOT EXISTS: negate the comparison on the NON-NULL witness
+            # set, with the NULL-outer and empty-set traps as OR guards
+            _NEG = {">": "<=", ">=": "<", "<": ">=", "<=": ">"}
+            cmpn = BinaryNode(_NEG[_FLIP[base_op]], outer_expr, ext)
+            isnull = BinaryNode("IS", outer_expr, NullNode())
+            cnt_nn = _sub_of([Column(expr=FuncNode("count", [s_expr]))])
+            return BinaryNode(
+                "OR",
+                BinaryNode("OR", cmpn, isnull),
+                BinaryNode("=", cnt_nn, NumberNode("0")),
+            )
+
+        qconjs = [_exists_rewrite(_quant_rewrite(c)) for c in _conjuncts(select.where)]
         new_where = _and_tree(qconjs)
         if new_where != select.where:
             select = _dc.replace(select, where=new_where)

@@ -3,7 +3,7 @@
 # timeouts when invoked per-chunk). Usage: run_tests_chunked.sh <chunk#>
 cd "$(dirname "$0")/.." || exit 1
 case "$1" in
-  1) FILES="tests/test_advice_r11.py tests/test_advice_r12.py tests/test_advice_r13.py tests/test_advice_r14.py tests/test_copy.py tests/test_corr_range.py tests/test_cow.py";;
+  1) FILES="tests/test_advice_r11.py tests/test_advice_r12.py tests/test_advice_r13.py tests/test_advice_r14.py tests/test_advice_r15.py tests/test_advice_r16.py tests/test_copy.py tests/test_corr_range.py tests/test_cow.py";;
   2) FILES="tests/test_datapipe.py tests/test_datemath_boundary.py tests/test_dialect.py tests/test_differential.py tests/test_esgen.py tests/test_explain_analyze.py";;
   3) FILES="tests/test_engine.py tests/test_engine_more.py tests/test_expressions.py tests/test_join_reorder.py tests/test_lateral_subquery.py tests/test_lateral_values.py tests/test_layout_cdf.py tests/test_lsh_budget.py";;
   4) FILES="tests/test_matview.py";;

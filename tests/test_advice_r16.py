@@ -205,6 +205,119 @@ class TestTwoSetContexts:
         assert _rows(eng4, "SELECT * FROM mv") == _rows(eng4, q)
 
 
+class TestExistsRewrite:
+    """Uncorrelated and non-equi-correlated [NOT] EXISTS conjuncts
+    rewrite to uncorrelated scalar subqueries pre-analysis (r16) and
+    ride the frozen-scalar machinery: EXISTS(s-local) ⟺ count(*)>0
+    (exact); EXISTS(s_expr > X) ⟺ X < max(s_expr) (WHERE-sound — NULL
+    outer / all-NULL witnesses land on not-TRUE); NOT EXISTS adds the
+    explicit NULL-outer and empty-witness guards over count(s_expr).
+    Equality-correlated EXISTS stays on the membership machinery."""
+
+    FACT = [(i, i % 5, float(i % 9) if i % 11 else None) for i in range(40)]
+    SROWS = [(i, i % 7, float(i) if i % 6 else None) for i in range(20)]
+
+    @pytest.fixture()
+    def engx(self, spark, tmp_path):
+        eng = Engine(spark, f"r16x-{tmp_path.name}")
+        fact = ParquetMergeSink(spark, str(tmp_path / "f"), key="id")
+        fact.ensure(spark.createDataFrame(self.FACT, "id long, dk int, x double"))
+        s = ParquetMergeSink(spark, str(tmp_path / "s"), key="sid")
+        s.ensure(spark.createDataFrame(self.SROWS, "sid long, v int, y double"))
+        eng.register_sink("f", fact)
+        eng.register_sink("s", s)
+        return eng
+
+    @pytest.fixture()
+    def duck(self):
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute("CREATE TABLE f (id BIGINT, dk INT, x DOUBLE)")
+        con.executemany("INSERT INTO f VALUES (?,?,?)", self.FACT)
+        con.execute("CREATE TABLE s (sid BIGINT, v INT, y DOUBLE)")
+        con.executemany("INSERT INTO s VALUES (?,?,?)", self.SROWS)
+        return con
+
+    def _drive(self, eng, con, q):
+        def drows(sql):
+            return sorted(
+                (tuple(r) for r in con.execute(sql).fetchall()),
+                key=lambda t: tuple((v is None, str(type(v)), str(v)) for v in t),
+            )
+
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
+        assert eng.mat_views["mv"].incremental, q
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q) == drows(q)
+        for m in [
+            "INSERT INTO f (id, dk, x) VALUES (100, 2, 5.5)",
+            "UPDATE s SET y = 2.0 WHERE v = 3",
+            "DELETE FROM s WHERE v < 2",
+            "DELETE FROM f WHERE id % 9 = 5",
+        ]:
+            eng.execute(m)
+            con.execute(m.replace("(id, dk, x) ", ""))
+            eng.sql("REFRESH MATERIALIZED VIEW mv").collect()
+            assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q) == drows(q), (q, m)
+
+    def test_uncorrelated_exists_count_guard(self, engx, duck):
+        self._drive(
+            engx, duck,
+            "SELECT f.dk AS k, count(*) AS n FROM f "
+            "WHERE EXISTS (SELECT 1 FROM s WHERE s.y > 15) GROUP BY f.dk",
+        )
+
+    def test_not_exists_uncorrelated(self, engx, duck):
+        self._drive(
+            engx, duck,
+            "SELECT f.dk AS k, count(*) AS n FROM f "
+            "WHERE NOT EXISTS (SELECT 1 FROM s WHERE s.y > 100) GROUP BY f.dk",
+        )
+
+    def test_comparison_correlated_exists(self, engx, duck):
+        # witness column y carries real NULLs; outer x carries real NULLs
+        self._drive(
+            engx, duck,
+            "SELECT f.dk AS k, count(*) AS n FROM f "
+            "WHERE EXISTS (SELECT 1 FROM s WHERE s.y > f.x AND s.v < 5) GROUP BY f.dk",
+        )
+
+    def test_comparison_flipped_orientation(self, engx, duck):
+        self._drive(
+            engx, duck,
+            "SELECT f.dk AS k, count(*) AS n FROM f "
+            "WHERE EXISTS (SELECT 1 FROM s WHERE f.x <= s.y AND s.v != 2) GROUP BY f.dk",
+        )
+
+    def test_not_exists_comparison_with_guards(self, engx, duck):
+        self._drive(
+            engx, duck,
+            "SELECT f.dk AS k, count(*) AS n FROM f "
+            "WHERE NOT EXISTS (SELECT 1 FROM s WHERE s.y <= f.x) GROUP BY f.dk",
+        )
+
+    def test_not_exists_empty_witness_set(self, engx, duck):
+        self._drive(
+            engx, duck,
+            "SELECT f.dk AS k, count(*) AS n FROM f "
+            "WHERE NOT EXISTS (SELECT 1 FROM s WHERE s.y > f.x AND s.v > 99) GROUP BY f.dk",
+        )
+
+    def test_equality_exists_stays_on_membership(self, engx):
+        q = (
+            "SELECT f.dk AS k, count(*) AS n FROM f "
+            "WHERE EXISTS (SELECT 1 FROM s WHERE s.v = f.dk AND s.y > 3) GROUP BY f.dk"
+        )
+        engx.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
+        mv = engx.mat_views["mv"]
+        assert mv.incremental and mv.in_table == "s"
+        engx.execute("UPDATE s SET y = 1.0 WHERE v = 2")
+        rep = engx.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+        # membership flips fold — no frozen-scalar full rebuild
+        assert rep["mode"] == "incremental"
+        assert _rows(engx, "SELECT * FROM mv") == _rows(engx, q)
+
+
 class TestPairlessOn:
     """Pairless (pure non-equi) ONs maintain on every join shape (r16):
     INNER stays bilinear (T1/T2 need no key); the outer shapes' per-row
@@ -291,6 +404,34 @@ class TestPairlessOn:
             "SELECT f.dk AS k, count(*) AS n, count(d.dname) AS cd "
             "FROM f LEFT JOIN d ON f.x > d.dv AND d.dv < 8 GROUP BY f.dk",
         )
+
+    def test_or_tree_on_all_shapes(self, engp, spark, tmp_path):
+        # OR-tree ONs ride the same machinery: the whole OR is ONE
+        # row-local two-sided conjunct (join_on_parts classifies it as a
+        # cross pred, extracting no pairs from inside the OR), so the
+        # bilinear terms run the real ON and the outer shapes recount
+        # per row over the ON-semi-pruned slice
+        for q in [
+            "SELECT f.dk AS k, count(*) AS n FROM f JOIN d "
+            "ON f.dk = d.dk OR f.x > d.dv GROUP BY f.dk",
+            "SELECT f.dk AS k, count(*) AS n, count(d.dname) AS cd "
+            "FROM f LEFT JOIN d ON f.dk = d.dk OR f.x > d.dv GROUP BY f.dk",
+            "SELECT d.dname AS g, count(f.id) AS n FROM f RIGHT JOIN d "
+            "ON f.dk = d.dk OR f.x > d.dv GROUP BY d.dname",
+            "SELECT f.dk AS k, count(*) AS n FROM f FULL OUTER JOIN d "
+            "ON f.dk = d.dk OR f.x + d.dv < 6 GROUP BY f.dk",
+        ]:
+            eng = Engine(spark, f"r16or-{abs(hash(q)) % 10**8}")
+            eng.register_sink("f", engp.sinks["f"])
+            eng.register_sink("d", engp.sinks["d"])
+            eng.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
+            assert eng.mat_views["mv"].incremental, q
+            assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
+            for m in self.MUTS[:4]:
+                eng.execute(m)
+                rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+                assert rep["mode"] in ("incremental", "noop"), (q, m, rep["mode"])
+                assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q), (q, m)
 
     def test_single_side_only_on_dim_commit_full(self, engp):
         # no pairs AND no two-sided conjunct: a dim commit has no

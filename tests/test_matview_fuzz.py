@@ -70,7 +70,7 @@ REQUIRED = {
     "agg_covar", "residual_on", "scalar_sub",
     "in_sub", "in_sub_not", "exists_sub", "exists_sub_not", "expose_sub",
     "corr_scalar", "in_sub_not_nn", "quant_any", "quant_all",
-    "quant_eq_all", "quant_ne_any",
+    "quant_eq_all", "quant_ne_any", "exists_cmp",
     "in_sub_join", "corr_scalar_join",
     "in_sub_left_join", "corr_scalar_left_join", "in_sub_two",
     "cross_on_left", "cross_on_inner", "cross_on_right", "cross_on_full",
@@ -119,6 +119,9 @@ SLOTS = [
     # move the frozen values (mode assertion tolerates "full")
     dict(join=None, key="fact", extrema=False, eligible=True, rounds=2, in_sub="quant_eq_all"),
     dict(join=None, key="fact", extrema=False, eligible=True, rounds=2, in_sub="quant_ne_any"),
+    # r16: non-equi-correlated EXISTS rewrites to an uncorrelated
+    # extremum scalar (frozen — d churn may move it, "full" tolerated)
+    dict(join=None, key="fact", extrema=False, eligible=True, rounds=2, in_sub="exists_cmp"),
     # r14: correlated [NOT] EXISTS — the anti-membership twin of IN
     # (NOT EXISTS has no NULL trap, so BOTH directions maintain)
     dict(join=None, key="fact", extrema=False, eligible=True, rounds=2, exists_sub=True),
@@ -285,6 +288,13 @@ def _mk_sql(rng, slot, extra, state_path):
         elif kind == "quant_ne_any":
             classes.add("quant_ne_any")
             where = f"f.dk != ANY (SELECT d2.dk FROM d d2 WHERE d2.dk = 1) AND {where}"
+        elif kind == "exists_cmp":
+            classes.add("exists_cmp")
+            neg = rng.choice(["", "NOT "])
+            where = (
+                f"{neg}EXISTS (SELECT 1 FROM d d6 WHERE d6.dk > f.x AND d6.dk < 90)"
+                f" AND {where}"
+            )
         elif kind == "join":
             # IN on an INNER/LEFT-join view, fact-side key; the subquery
             # is SELF-membership (over the fact) so every feed interacts
@@ -331,8 +341,13 @@ def _mk_sql(rng, slot, extra, state_path):
         classes.add(f"cross_on_{(join or 'x').split()[0].lower()}")
         on += rng.choice([" AND f.x > d.dk", " AND f.x + d.dk < 9"])
     elif slot.get("on_pairless"):
+        # incl. OR trees: the whole OR is one two-sided conjunct, so it
+        # rides the same per-row recount terms
         classes.add(f"pairless_on_{(join or 'x').split()[0].lower()}")
-        on = rng.choice(["f.x > d.dk", "f.x + d.dk < 7", "f.x > d.dk AND d.dk < 90"])
+        on = rng.choice([
+            "f.x > d.dk", "f.x + d.dk < 7", "f.x > d.dk AND d.dk < 90",
+            "f.dk = d.dk OR f.x > d.dk",
+        ])
     sel = f"SELECT {', '.join(f'{e} AS {a}' for e, a in keys)}, {', '.join(aggs)} FROM f"
     if self_join:
         sel += " JOIN f g ON f.dk = g.dk"
@@ -516,7 +531,7 @@ def test_matview_shape_fuzz(spark, tmp_path, seed):
             if slot["eligible"]:
                 ok_modes = ("incremental", "noop")
                 if extra == "scalar_sub" or slot.get("in_sub") in (
-                    "quant_eq_all", "quant_ne_any"
+                    "quant_eq_all", "quant_ne_any", "exists_cmp"
                 ):
                     # a moved frozen value forces one legitimate rebuild
                     ok_modes = ("incremental", "noop", "full")
