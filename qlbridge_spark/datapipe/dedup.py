@@ -72,6 +72,24 @@ def _word_shingles(text_col, n: int):
     ).otherwise(F.array(F.array_join(toks, " ")))
 
 
+def _word_shingle_hashes(text_col, n: int):
+    """Distinct word n-gram shingles as 64-bit hashes: ``xxhash64`` over
+    the token slice. Same gram identity as ``_word_shingles``' joined
+    strings — tokens are whitespace-free, so join-with-space is injective
+    and two slices collide iff they are the same token sequence (modulo a
+    ~2^-64 hash collision, the same risk the signature path already
+    carries). Skips materializing one string per shingle and makes every
+    downstream explode/join/aggregate carry ONE LONG instead of a text
+    gram — fewer bytes through every exchange and in the persisted gram
+    table."""
+    toks = _tokens(text_col)
+    k = F.size(toks) - (n - 1)
+    return F.when(
+        k > 0,
+        F.array_distinct(F.transform(F.sequence(F.lit(1), k), lambda i: F.xxhash64(F.slice(toks, i, n)))),
+    ).otherwise(F.array(F.xxhash64(toks)))
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -229,6 +247,12 @@ def lsh_candidate_pairs(
                 )
             ).alias("__band", "__bucket"),
         )
+    return _pairs_from_banded(banded, bucket_cap)
+
+
+def _pairs_from_banded(banded: DataFrame, bucket_cap: int | None) -> DataFrame:
+    """(band, bucket) rows → distinct candidate pairs (id_a < id_b), with
+    the optional bucket-size skew guard."""
     if bucket_cap is not None:
         # skew guard: drop buckets larger than bucket_cap
         counts = banded.groupBy("__band", "__bucket").agg(F.count(F.lit(1)).alias("__n"))
@@ -325,22 +349,39 @@ def _lsh_jaccard_parts(
     # tokenize/shingle ONCE: the gram table feeds both the signature
     # aggregation (explode + min-aggs) and the exact verify — at 100 TB
     # this is the table you'd materialize; locally persist() is the cut
-    # (released via release_caches()).
+    # (released via release_caches()). Grams are stored HASHED
+    # (array<long>, see _word_shingle_hashes): no per-shingle string
+    # materialization, and the verify phase's explode/joins move longs.
     grams = _track(
         _spread(df, id_col)
-        .select(F.col(id_col).alias("__gid"), _word_shingles(F.col(text_col), shingle_size).alias("__grams"))
+        .select(F.col(id_col).alias("__gid"), _word_shingle_hashes(F.col(text_col), shingle_size).alias("__grams"))
         .persist()
     )
-    exploded = grams.select(F.col("__gid").alias("__id"), F.explode("__grams").alias("__shingle")).select(
-        "__id", F.xxhash64("__shingle").alias("__h")
-    )
+    exploded = grams.select(F.col("__gid").alias("__id"), F.explode("__grams").alias("__h"))
     aggs = [F.min(_mh_col(F.col("__h"), 42, i)).alias(f"__mh{i}") for i in range(num_hashes)]
-    sigs = (
-        exploded.groupBy("__id")
-        .agg(*aggs)
-        .select("__id", F.array(*[f"__mh{i}" for i in range(num_hashes)]).alias("minhash"))
-    )
-    cands = lsh_candidate_pairs(sigs, "__id", "minhash", bands, bucket_cap, sig_len=num_hashes)
+    sigs = exploded.groupBy("__id").agg(*aggs)
+    if num_hashes % bands == 0:
+        # band keys straight from the __mh columns — one codegen'd
+        # xxhash64(r-tuple, band) per band instead of the interpreted
+        # transform/slice/hash chain over a signature array. Bucket
+        # identity is unchanged: two docs share a (band, bucket) iff they
+        # agree on that band's full r-tuple of signature values, exactly
+        # as when hashing the array slice.
+        r = num_hashes // bands
+        if r == 1:
+            band_cols = [F.col(f"__mh{b}") for b in range(bands)]
+        else:
+            band_cols = [
+                F.xxhash64(*[F.col(f"__mh{b * r + j}") for j in range(r)], F.lit(b))
+                for b in range(bands)
+            ]
+        banded = sigs.select(
+            F.col("__id"), F.posexplode(F.array(*band_cols)).alias("__band", "__bucket")
+        )
+        cands = _pairs_from_banded(banded, bucket_cap)
+    else:
+        sig_arr = sigs.select("__id", F.array(*[f"__mh{i}" for i in range(num_hashes)]).alias("minhash"))
+        cands = lsh_candidate_pairs(sig_arr, "__id", "minhash", bands, bucket_cap, sig_len=num_hashes)
     return grams, cands
 
 
@@ -375,7 +416,8 @@ def _verify_jaccard(cands: DataFrame, grams: DataFrame, threshold: float) -> Dat
     candidates ⋈ exploded grams of side a ⋈ exploded grams of side b on
     (id_b, gram), then groupBy(pair).count() = |A∩B|.
 
-    Every row in this pipeline is a few longs + one gram string and every
+    Every row in this pipeline is a few longs (grams ride as 64-bit
+    hashes on the lsh_jaccard path) and every
     operator is whole-stage-codegen'd with map-side partial aggregation —
     unlike the naive formulation (join both FULL gram arrays onto every
     candidate row, interpreted array_intersect per pair), which ships
@@ -400,9 +442,19 @@ def _verify_jaccard(cands: DataFrame, grams: DataFrame, threshold: float) -> Dat
     inv = grams.select("__gid", F.explode("__grams").alias("__gram"))
     ia = inv.select(F.col("__gid").alias("id_a"), "__gram")
     ib = inv.select(F.col("__gid").alias("id_b"), "__gram")
+    # Join orientation matters: the pair table is the SMALL side (LSH-
+    # bounded candidates), the exploded gram table the BIG one (|docs| ×
+    # grams-per-doc rows). Left to size estimates Spark broadcast-built
+    # the exploded gram table for BOTH joins — two single-threaded multi-
+    # million-row hashed-relation builds per run, and an impossible plan
+    # at scale. Instead: broadcast the candidate pairs over the streamed
+    # id_a gram index (no exchange — the gram cache is already
+    # partitioned by doc id), then SHUFFLE-HASH the (id_b, gram) probe —
+    # both sides exchange skinny long rows and build/probe fully in
+    # parallel; no broadcast of anything unbounded.
     inter = (
-        cands.join(ia, "id_a")
-        .join(ib, ["id_b", "__gram"])
+        ia.join(F.broadcast(cands), "id_a")
+        .join(ib.hint("shuffle_hash"), ["id_b", "__gram"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("__inter"), F.first("__na").alias("__na"), F.first("__nb").alias("__nb"))
     )
@@ -636,7 +688,9 @@ def ngram_jaccard_pairs(
 
     Returns (id_a, id_b, jaccard >= threshold).
     """
-    grams_df = _spread(df, id_col).select(F.col(id_col).alias("__id"), _word_shingles(F.col(text_col), n).alias("__grams")).withColumn(
+    # hashed grams: identical gram identity (see _word_shingle_hashes),
+    # every inverted-index row/join key is one long instead of a string
+    grams_df = _spread(df, id_col).select(F.col(id_col).alias("__id"), _word_shingle_hashes(F.col(text_col), n).alias("__grams")).withColumn(
         "__n_grams", F.size("__grams")
     )
     inv = grams_df.select("__id", "__n_grams", F.explode("__grams").alias("__gram"))
@@ -677,9 +731,14 @@ def prefix_jaccard_pairs(
     inverted-index self-join on prefix grams → exact verify on the full
     gram arrays. Returns (id_a, id_b, jaccard).
     """
+    # hashed grams: identical gram identity (see _word_shingle_hashes).
+    # The global prefix order becomes (df asc, gram HASH asc) — prefix
+    # filtering is recall-lossless under ANY consistent total order of
+    # grams, so the output (the exhaustive J >= t pair set) is unchanged;
+    # only which grams land in each prefix shifts.
     grams = _track(
         _spread(df, id_col)
-        .select(F.col(id_col).alias("__gid"), _word_shingles(F.col(text_col), n).alias("__grams"))
+        .select(F.col(id_col).alias("__gid"), _word_shingle_hashes(F.col(text_col), n).alias("__grams"))
         .withColumn("__sz", F.size("__grams"))
         .persist()
     )
@@ -737,29 +796,49 @@ def embedding_dup_pairs(
         )
 
     half = planes // 2
-    sk = _track(_spread(df, id_col).select(F.col(id_col).alias("__id"), v.alias("__v"), sketch_bits(v).alias("__sk")).persist())
+    # vector norm precomputed once per doc in the persisted sketch table
+    # (identical float order: dot / (norm_a * norm_b)); cosine evaluated
+    # AFTER the pair dedup so each distinct candidate pays it once, not
+    # once per shared band
+    sk = _track(
+        _spread(df, id_col)
+        .select(F.col(id_col).alias("__id"), v.alias("__v"), _norm(v).alias("__n"), sketch_bits(v).alias("__sk"))
+        .persist()
+    )
     sk = sk.select(
         "__id",
         "__v",
+        "__n",
         F.concat_ws("", F.transform(F.slice("__sk", 1, half), lambda b: b.cast("string"))).alias("__b0"),
         F.concat_ws("", F.transform(F.slice("__sk", half + 1, half), lambda b: b.cast("string"))).alias("__b1"),
     )
-    banded = sk.select("__id", "__v", F.explode(F.array(F.concat(F.lit("0:"), "__b0"), F.concat(F.lit("1:"), "__b1"))).alias("__bucket"))
+    banded = sk.select("__id", "__v", "__n", F.explode(F.array(F.concat(F.lit("0:"), "__b0"), F.concat(F.lit("1:"), "__b1"))).alias("__bucket"))
     l, r = banded.alias("l"), banded.alias("r")
-    cos = _cosine(F.col("l.__v"), F.col("r.__v"))
+    dot = F.aggregate(F.zip_with("__va", "__vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
     return (
         l.join(r, on=[F.col("l.__bucket") == F.col("r.__bucket"), F.col("l.__id") < F.col("r.__id")])
-        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"), cos.alias("cosine"))
+        .select(
+            F.col("l.__id").alias("id_a"),
+            F.col("r.__id").alias("id_b"),
+            F.col("l.__v").alias("__va"),
+            F.col("r.__v").alias("__vb"),
+            F.col("l.__n").alias("__na"),
+            F.col("r.__n").alias("__nb"),
+        )
         .dropDuplicates(["id_a", "id_b"])
+        .withColumn("cosine", dot / (F.col("__na") * F.col("__nb")))
         .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
     )
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
 
 
 def _cosine(a, b):
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
-    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
-    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
-    return dot / (na * nb)
+    return dot / (_norm(a) * _norm(b))
 
 
 def decontaminate(
@@ -781,21 +860,27 @@ def decontaminate(
     the only shuffle is the final LEFT ANTI join on ids (AQE-broadcast
     when the contaminated set is small, the usual case)."""
     bench_text = bench_text_col or text_col
+    # hashed grams both sides: same gram identity (see
+    # _word_shingle_hashes), and the broadcast/join carries longs instead
+    # of full 13-word shingle strings. The empty-text sentinel gram
+    # (formerly "") is xxhash64 of the empty token array — excluded the
+    # same way so an empty benchmark row can't contaminate everything.
+    empty_gram = F.xxhash64(F.array().cast("array<string>"))
     bench_grams = (
-        bench_df.select(F.explode(_word_shingles(F.col(bench_text), n)).alias("__g"))
-        .where(F.col("__g") != "")
+        bench_df.select(F.explode(_word_shingle_hashes(F.col(bench_text), n)).alias("__g"))
+        .where(F.col("__g") != empty_gram)
         .distinct()
     )
     if df.isStreaming:
         # Spark can't anti-join a stream on the right; fold the (tiny,
         # static) benchmark gram set into a per-row hash-set membership
-        # filter instead — stateless, works in any output mode. Hash the
-        # grams so the literal carries longs, not full shingle strings.
-        hashes = sorted(r[0] for r in bench_grams.select(F.xxhash64("__g")).collect())
+        # filter instead — stateless, works in any output mode. Grams
+        # are already longs, so the literal carries longs.
+        hashes = sorted(r[0] for r in bench_grams.collect())
         hset = F.lit(hashes).cast("array<bigint>")
-        doc_grams = _word_shingles(F.col(text_col), n)
-        hit = F.exists(doc_grams, lambda g: F.array_contains(hset, F.xxhash64(g)))
+        doc_grams = _word_shingle_hashes(F.col(text_col), n)
+        hit = F.exists(doc_grams, lambda g: F.array_contains(hset, g))
         return df.where(~F.coalesce(hit, F.lit(False)))
-    corpus_grams = df.select(F.col(id_col).alias("__cid"), F.explode(_word_shingles(F.col(text_col), n)).alias("__g"))
+    corpus_grams = df.select(F.col(id_col).alias("__cid"), F.explode(_word_shingle_hashes(F.col(text_col), n)).alias("__g"))
     contaminated = corpus_grams.join(F.broadcast(bench_grams), "__g").select("__cid").distinct()
     return df.join(contaminated, on=df[id_col] == contaminated["__cid"], how="left_anti")

@@ -51,12 +51,19 @@ def cosine_topk(
     """
     qid = query_id_col or id_col
     qvec = query_vec_col or vec_col
+    # norms are precomputed ONCE per vector (same expression, identical
+    # floats) instead of inside the scored cross product, where each
+    # corpus norm would be re-evaluated per query and each query norm per
+    # corpus row — the interpreted higher-order-function passes are the
+    # dominant per-row cost, and this drops two of the three.
     q = queries.select(F.col(qid).alias("query_id"), F.col(qvec).cast("array<double>").alias("__qv"))
+    q = q.withColumn("__qn", _norm(F.col("__qv")))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("__cv"))
+    c = c.withColumn("__cn", _norm(F.col("__cv")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", cosine(F.col("__cv"), F.col("__qv")))
+        .withColumn("cosine", _dot(F.col("__cv"), F.col("__qv")) / (F.col("__cn") * F.col("__qn")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
@@ -106,9 +113,13 @@ def ivf_build(
     )
 
     def assign(cents_df: DataFrame) -> DataFrame:
+        # norms once per vector / per centroid (identical float order:
+        # dot / (norm_row * norm_centroid)), not per (row × cell) pair
+        cn = cents_df.withColumn("__kn", _norm(F.col("centroid")))
         return (
-            c.crossJoin(F.broadcast(cents_df))
-            .withColumn("__sim", cosine(F.col("__cv"), F.col("centroid")))
+            c.withColumn("__cn", _norm(F.col("__cv")))
+            .crossJoin(F.broadcast(cn))
+            .withColumn("__sim", _dot(F.col("__cv"), F.col("centroid")) / (F.col("__cn") * F.col("__kn")))
             .withColumn("__rk", F.row_number().over(Window.partitionBy("__cid").orderBy(F.col("__sim").desc(), F.col("cell_id"))))
             .filter(F.col("__rk") == 1)
             .select(F.col("__cid").alias(id_col), F.col("__cv").alias(vec_col), "cell_id")
@@ -165,10 +176,16 @@ def ivf_topk(
         .filter(F.col("__rk") <= nprobe)
         .select("query_id", "__qv", "cell_id")
     )
+    # corpus norms once per assigned row, query norms once per probe row
+    # (identical float order: dot / (norm_corpus * norm_query)) — not per
+    # scored (row × probe) pair
+    probes = probes.withColumn("__qn", _norm(F.col("__qv")))
     scored = (
-        assigned.join(F.broadcast(probes), "cell_id")
+        assigned.withColumn("__cv2", F.col(vec_col).cast("array<double>"))
+        .withColumn("__cn", _norm(F.col("__cv2")))
+        .join(F.broadcast(probes), "cell_id")
         .filter(F.col(id_col) != F.col("query_id"))
-        .withColumn("cosine", cosine(F.col(vec_col).cast("array<double>"), F.col("__qv")))
+        .withColumn("cosine", _dot(F.col("__cv2"), F.col("__qv")) / (F.col("__cn") * F.col("__qn")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col))
     return (
