@@ -359,7 +359,12 @@ def _lsh_jaccard_parts(
     )
     exploded = grams.select(F.col("__gid").alias("__id"), F.explode("__grams").alias("__h"))
     aggs = [F.min(_mh_col(F.col("__h"), 42, i)).alias(f"__mh{i}") for i in range(num_hashes)]
-    sigs = exploded.groupBy("__id").agg(*aggs)
+    # persist the (tiny: one row of num_hashes longs per doc) signature
+    # table: the band self-join consumes it twice, and Spark's exchange
+    # reuse does NOT kick in for the two sides (verified executedPlan:
+    # ReusedExchange=0) — without the cut the full explode+min-agg pass
+    # over every gram row ran twice per execution
+    sigs = _track(exploded.groupBy("__id").agg(*aggs).persist())
     if num_hashes % bands == 0:
         # band keys straight from the __mh columns — one codegen'd
         # xxhash64(r-tuple, band) per band instead of the interpreted
@@ -695,7 +700,10 @@ def ngram_jaccard_pairs(
     )
     inv = grams_df.select("__id", "__n_grams", F.explode("__grams").alias("__gram"))
     rare = inv.groupBy("__gram").agg(F.count(F.lit(1)).alias("__df")).filter(F.col("__df") <= df_cap)
-    inv = inv.join(rare.select("__gram"), "__gram")
+    # persist the stop-gram-filtered index: the pair self-join consumes it
+    # twice and exchange reuse does not fire across the two aliased sides
+    # — without the cut the explode + df-filter join ran twice
+    inv = _track(inv.join(rare.select("__gram"), "__gram").persist())
     l, r = inv.alias("l"), inv.alias("r")
     inter = (
         l.join(r, on=[F.col("l.__gram") == F.col("r.__gram"), F.col("l.__id") < F.col("r.__id")])
@@ -755,6 +763,10 @@ def prefix_jaccard_pairs(
         .filter(F.col("__rk") <= plen)
         .select("__gid", "__gram")
     )
+    # persist the prefix index: the candidate self-join consumes it twice
+    # (no exchange reuse across aliased sides), so without the cut the
+    # frequency join + per-doc ranking window ran twice
+    ranked = _track(ranked.persist())
     l, r = ranked.alias("l"), ranked.alias("r")
     cands = (
         l.join(r, on=[F.col("l.__gram") == F.col("r.__gram"), F.col("l.__gid") < F.col("r.__gid")])

@@ -1164,12 +1164,30 @@ class TestJoinMatViews:
             # (RIGHT with a two-sided non-equi conjunct maintains since
             # r14 — the per-row match-state terms; see
             # tests/test_matview_r14.py::TestTwoSidedNonEquiOnMatViews)
-            # OR-tree ON under a dim-preserved join: no decomposition
-            "SELECT d.dname AS g, count(*) AS n FROM f RIGHT JOIN d ON f.dk = d.dk OR f.dk = d.dk GROUP BY d.dname",
         ):
             eng.execute(f"CREATE OR REPLACE MATERIALIZED VIEW mvx AS {q}")
             assert not eng.mat_views["mvx"].incremental, q
             assert _rows(eng, "SELECT * FROM mvx") == _rows(eng, q)
+
+    def test_or_tree_on_maintains(self, spark, tmp_path):
+        # OR-tree ON under a dim-preserved join maintains since r16: the
+        # whole OR is one row-local two-sided conjunct, absorbed by the
+        # per-row match-state recount terms (COVERAGE.md §5 item 10;
+        # differential class in tests/test_matview_fuzz.py)
+        eng, fact, dim = self._mk(spark, tmp_path, "ot")
+        q = (
+            "SELECT d.dname AS g, count(*) AS n FROM f RIGHT JOIN d "
+            "ON f.dk = d.dk OR f.dk = d.dk GROUP BY d.dname"
+        )
+        eng.execute(f"CREATE MATERIALIZED VIEW mvot AS {q}")
+        assert eng.mat_views["mvot"].incremental
+        assert _rows(eng, "SELECT * FROM mvot") == _rows(eng, q)
+        eng.execute("INSERT INTO f (id, dk, x) VALUES (700, 2, 3.0), (701, 9, 1.0)")
+        eng.execute("DELETE FROM f WHERE id % 6 = 1")
+        eng.execute("UPDATE d SET dname = 'zz' WHERE dk = 0")
+        rep = eng.sql("REFRESH MATERIALIZED VIEW mvot").collect()[0]
+        assert rep["mode"] == "incremental"
+        assert _rows(eng, "SELECT * FROM mvot") == _rows(eng, q)
 
     def test_randomized_fact_mutations(self, spark, tmp_path):
         import random
@@ -2171,13 +2189,13 @@ class TestScalarSubqueryMatViews:
             "WHERE x > (SELECT avg(x) FROM t u WHERE u.g = t.g) GROUP BY g",
             # set contexts a literal substitution can't express and the
             # r14 semi-join delta algebra doesn't cover: NOT IN (ANSI
-            # NULL semantics aren't per-key flips) and EXISTS. Plain
+            # NULL semantics aren't per-key flips). Plain
             # `IN (SELECT ...)` maintains since r14 —
             # tests/test_matview_r14.py::TestInSubqueryMatViews pins it
-            # in the ELIGIBLE direction.
+            # in the ELIGIBLE direction; uncorrelated EXISTS rewrites to
+            # a count guard since r16 (test_uncorrelated_exists_freezes
+            # below + test_advice_r16.py::TestExistsRewrite).
             "SELECT g, count(*) AS n FROM t WHERE id NOT IN (SELECT k FROM ref) GROUP BY g",
-            "SELECT g, count(*) AS n FROM t "
-            "WHERE EXISTS (SELECT 1 FROM ref WHERE thr > 100) GROUP BY g",
         ],
     )
     def test_non_freezable_shapes_stay_full(self, spark, tmp_path, q):
@@ -2186,6 +2204,28 @@ class TestScalarSubqueryMatViews:
         assert not eng.mat_views["mv"].incremental
         assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
         eng.execute("DELETE FROM t WHERE id = 4")
+        rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+        assert rep["mode"] == "full"
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
+
+    def test_uncorrelated_exists_freezes(self, spark, tmp_path):
+        # uncorrelated EXISTS rewrites to an exact count(*) > 0 guard
+        # (r16, COVERAGE.md §5 item 11) and rides the frozen-scalar
+        # machinery: base churn folds; a ref commit that flips the
+        # predicate forces one full rebuild under the new value
+        eng, t, ref = self._mk(spark, tmp_path, "ue")
+        q = (
+            "SELECT g, count(*) AS n FROM t "
+            "WHERE EXISTS (SELECT 1 FROM ref WHERE thr > 100) GROUP BY g"
+        )
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
+        assert eng.mat_views["mv"].incremental
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
+        eng.execute("INSERT INTO t (id, g, x) VALUES (400, 'g1', 2.0)")
+        rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+        assert rep["mode"] in ("incremental", "noop")
+        assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
+        eng.execute("UPDATE ref SET thr = 500.0 WHERE k = 1")  # flips EXISTS
         rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
         assert rep["mode"] == "full"
         assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)

@@ -661,11 +661,12 @@ class TestTwoSidedNonEquiOnMatViews:
                 assert rep["mode"] == "incremental", (vn, st)
                 assert _rows(eng, f"SELECT * FROM {vn}") == _rows(eng, q), (vn, st)
 
-    def test_pure_nonequi_on_dim_delta_falls_back(self, spark, tmp_path):
-        # NO equality pair at all: fact deltas still fold (T1 runs the
-        # real LEFT join), but a dim delta has no affected-slice prune —
-        # the flip recount would be O(|F|) — so it degrades to ONE full
-        # recompute and re-pins
+    def test_pure_nonequi_on_dim_delta_folds(self, spark, tmp_path):
+        # NO equality pair at all: fact deltas fold (T1 runs the real
+        # LEFT join), and since r16 dim deltas fold too — the outer-join
+        # flip terms prune the affected slice with an ON-semi-join
+        # against the delta's images instead of a key lookup
+        # (COVERAGE.md §5 item 10)
         eng = self._mk(spark, tmp_path, "pne")
         q = "SELECT f.dk AS k, count(*) AS n FROM f LEFT JOIN d ON f.x > d.w GROUP BY f.dk"
         eng.execute(f"CREATE MATERIALIZED VIEW mv AS {q}")
@@ -676,7 +677,7 @@ class TestTwoSidedNonEquiOnMatViews:
         assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
         eng.execute("UPDATE d SET w = 3.0 WHERE dk = 1")
         rep = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
-        assert rep["mode"] == "full"
+        assert rep["mode"] == "incremental"
         assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
 
     @pytest.mark.parametrize(
@@ -793,23 +794,48 @@ class TestExistsSubqueryMatViews:
         assert _rows(eng, "SELECT * FROM mv") == _rows(eng, q)
 
     def test_ineligible_exists_shapes_stay_full(self, spark, tmp_path):
+        # (uncorrelated and non-equi-correlated EXISTS rewrite to frozen
+        # scalars since r16 — pinned ELIGIBLE in
+        # test_rewritten_exists_shapes_maintain below and
+        # test_advice_r16.py::TestExistsRewrite)
         eng = self._mk(spark, tmp_path, "inel")
         full_shapes = {
-            # uncorrelated EXISTS: a constant truth
-            "f1": "SELECT g, count(*) AS n FROM t WHERE EXISTS (SELECT 1 FROM s WHERE ok) GROUP BY g",
             # two correlation equalities
             "f2": ("SELECT g, count(*) AS n FROM t WHERE EXISTS "
                    "(SELECT 1 FROM s WHERE s.v = t.k AND s.sid = t.id) GROUP BY g"),
-            # non-equi correlation
-            "f3": ("SELECT g, count(*) AS n FROM t WHERE EXISTS "
-                   "(SELECT 1 FROM s WHERE s.v > t.k) GROUP BY g"),
-            # EXISTS + IN together: two set contexts
+            # EXISTS + IN together: two set contexts on the SAME table
             "f4": ("SELECT g, count(*) AS n FROM t WHERE EXISTS "
                    "(SELECT 1 FROM s WHERE s.v = t.k) AND k IN (SELECT sid FROM s) GROUP BY g"),
         }
         for vn, q in full_shapes.items():
             eng.execute(f"CREATE MATERIALIZED VIEW {vn} AS {q}")
             assert not eng.mat_views[vn].incremental, vn
+            assert _rows(eng, f"SELECT * FROM {vn}") == _rows(eng, q), vn
+
+    def test_rewritten_exists_shapes_maintain(self, spark, tmp_path):
+        # r16: uncorrelated EXISTS → exact count guard; non-equi-
+        # correlated EXISTS → uncorrelated extremum scalar. Both ride the
+        # frozen-scalar machinery: base churn folds; an s commit that
+        # moves the frozen value forces one full rebuild, still correct.
+        eng = self._mk(spark, tmp_path, "rwex")
+        shapes = {
+            "r1": "SELECT g, count(*) AS n FROM t WHERE EXISTS (SELECT 1 FROM s WHERE ok) GROUP BY g",
+            "r3": ("SELECT g, count(*) AS n FROM t WHERE EXISTS "
+                   "(SELECT 1 FROM s WHERE s.v > t.k) GROUP BY g"),
+        }
+        for vn, q in shapes.items():
+            eng.execute(f"CREATE MATERIALIZED VIEW {vn} AS {q}")
+            assert eng.mat_views[vn].incremental, vn
+            assert _rows(eng, f"SELECT * FROM {vn}") == _rows(eng, q), vn
+        eng.execute("INSERT INTO t (id, k, g, x) VALUES (200, 3, 'g1', 2.0), (201, NULL, 'g0', 1.0)")
+        for vn, q in shapes.items():
+            rep = eng.sql(f"REFRESH MATERIALIZED VIEW {vn}").collect()[0]
+            assert rep["mode"] in ("incremental", "noop"), vn
+            assert _rows(eng, f"SELECT * FROM {vn}") == _rows(eng, q), vn
+        eng.execute("DELETE FROM s WHERE v > 8")  # moves max(v) / may flip EXISTS
+        for vn, q in shapes.items():
+            rep = eng.sql(f"REFRESH MATERIALIZED VIEW {vn}").collect()[0]
+            assert rep["mode"] in ("incremental", "noop", "full"), vn
             assert _rows(eng, f"SELECT * FROM {vn}") == _rows(eng, q), vn
 
     def test_randomized_differential(self, spark, tmp_path):
