@@ -450,16 +450,18 @@ def _verify_jaccard(cands: DataFrame, grams: DataFrame, threshold: float) -> Dat
     # Join orientation matters: the pair table is the SMALL side (LSH-
     # bounded candidates), the exploded gram table the BIG one (|docs| ×
     # grams-per-doc rows). Left to size estimates Spark broadcast-built
-    # the exploded gram table for BOTH joins — two single-threaded multi-
-    # million-row hashed-relation builds per run, and an impossible plan
-    # at scale. Instead: broadcast the candidate pairs over the streamed
-    # id_a gram index (no exchange — the gram cache is already
-    # partitioned by doc id), then SHUFFLE-HASH the (id_b, gram) probe —
-    # both sides exchange skinny long rows and build/probe fully in
-    # parallel; no broadcast of anything unbounded.
+    # the exploded gram table for BOTH joins — at scale that build side
+    # is unbounded. Broadcasting the candidate pairs pins the FIRST join
+    # the scale-safe way round (the gram index streams). The second join
+    # (id_b, gram) is left to the planner: its probe side is the gram
+    # index again, whose estimate grows with the corpus, so it broadcasts
+    # only while it genuinely fits and falls back to a shuffle join at
+    # scale (forcing SHUFFLE_HASH here was measured ~20% SLOWER at sf0.1
+    # than the broadcast the planner picks — two inverted-index exchanges
+    # against one in-memory build of a table that fits).
     inter = (
         ia.join(F.broadcast(cands), "id_a")
-        .join(ib.hint("shuffle_hash"), ["id_b", "__gram"])
+        .join(ib, ["id_b", "__gram"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("__inter"), F.first("__na").alias("__na"), F.first("__nb").alias("__nb"))
     )

@@ -1694,6 +1694,26 @@ class Engine(SubqueryMixin, DmlMixin, MatViewMixin, SelectMixin):
         frames[first.ref] = df
         joined = df
         resolved: dict[int, DataFrame] = {id(first): df}
+        # chain-broadcast hint state: cumulative ON-DISK bytes of every
+        # source joined so far (None = a side with unknown size joined).
+        # When an over-threshold FACT joins a chain whose sources total
+        # under the broadcast threshold, Spark's column-pruned estimates
+        # can pick the FACT as the broadcast build side (measured on q05:
+        # the pruned 600k-row lineitem scan estimate sits under 10MB while
+        # the dim-filtered chain does not) — backwards at any scale.
+        # Hinting broadcast on the chain pins the build side the right way
+        # round; the hint key is on-disk bytes, the same size signal
+        # Spark's own leaf estimates use, so at 10× data the chain stops
+        # qualifying and the planner (plus AQE runtime broadcast) takes
+        # over. Disable with ``SET planner.chain_broadcast = false``.
+        cb_flag = self.session_vars.get("planner.chain_broadcast", True)
+        if isinstance(cb_flag, str):
+            cb_flag = cb_flag.strip().lower() not in ("false", "0", "off", "no")
+        try:
+            cb_thresh = int(self.spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760"))
+        except (TypeError, ValueError):
+            cb_thresh = 10 << 20
+        chain_bytes = self._source_bytes(df) if cb_flag and cb_thresh > 0 else None
         for src in self._reorder_inner_joins(first, list(sel.from_[1:]), sel, resolved):
             if src.unnest is not None:
                 joined = self._apply_unnest(joined, src, frames, physical)
@@ -1718,11 +1738,23 @@ class Engine(SubqueryMixin, DmlMixin, MatViewMixin, SelectMixin):
                 "FULL OUTER": "full",
                 "CROSS": "cross",
             }.get(src.join_type, "inner")
+            other_bytes = self._source_bytes(other)
             if src.join_expr is not None:
                 cond = to_column(src.join_expr, scope)
-                joined = joined.join(other, on=cond, how=how)
+                left = joined
+                if (
+                    how == "inner"
+                    and chain_bytes is not None
+                    and chain_bytes <= cb_thresh
+                    and (other_bytes is None or other_bytes > cb_thresh)
+                ):
+                    left = F.broadcast(joined)
+                joined = left.join(other, on=cond, how=how)
             else:
                 joined = joined.crossJoin(other)
+            chain_bytes = (
+                None if (chain_bytes is None or other_bytes is None) else chain_bytes + other_bytes
+            )
         scope = Scope(frames, includes=self.includes, params=self._scope_params(), physical=physical)
         return joined, scope
 
