@@ -526,7 +526,6 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
         if changed == 0:
             converged = True
             break
-    edges.unpersist()
     if not converged:
         import warnings
 
@@ -537,7 +536,18 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
             RuntimeWarning,
             stacklevel=2,
         )
-    return labels
+    # Truncate the result's lineage BEFORE releasing the loop caches:
+    # once edges/labels are unpersisted, any consumer plan would inline
+    # the full edge-building DAG (e.g. the LSH pipeline) into every
+    # un-checkpointed iteration — measured ~3,350 BroadcastExchange nodes
+    # in dedup_keep_best's pre-fix plan, pure planning/codegen overhead
+    # re-paid per execution. The checkpoint is one cheap job over the
+    # already-materialized (node, comp) rows and makes the consumer plan
+    # a flat scan.
+    final = labels.localCheckpoint(eager=True)
+    labels.unpersist()
+    edges.unpersist()
+    return final
 
 
 def minhash_dedup(df: DataFrame, id_col: str, text_col: str, threshold: float = 0.7, exact: bool = True, **kw) -> DataFrame:
