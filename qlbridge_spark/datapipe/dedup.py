@@ -493,6 +493,51 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
         .distinct()
         .persist()
     )
+    # Scale-adaptive small-graph path (guide §1.2: fix the distributed
+    # algorithm first): each distributed round is ~5 shuffle stages whose
+    # scheduling/AQE latency dwarfs the work when the dup graph is small
+    # (measured at sf0.1: 512 edges, 2 rounds, ~12 s of pure round
+    # overhead). Under the threshold (rows, default 2M ≈ tens of MB —
+    # the same bounded-collect class as the broadcast threshold) the
+    # edge list is collected once and resolved with a driver union-find;
+    # the result is a LocalRelation with identical (node, min-reachable
+    # id) semantics. Above the threshold — the 100 TB case — the
+    # distributed pointer-jumping loop below is unchanged.
+    try:
+        cc_local_max = int(
+            pairs.sparkSession.conf.get("qlbridge.cc.localThreshold", str(2_000_000))
+        )
+    except (TypeError, ValueError):
+        cc_local_max = 2_000_000
+    n_edges = edges.count()  # also materializes the persist the loop reuses
+    if n_edges <= cc_local_max:
+        rows = edges.collect()  # bounded by cc_local_max
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in rows:
+            ra, rb = find(row[0]), find(row[1])
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        nodes = {row[0] for row in rows}
+        # root per node; component label = min member id == the root,
+        # because unions always point the larger root at the smaller one
+        out = [(n, find(n)) for n in sorted(nodes)]
+        import pyspark.sql.types as T
+
+        node_t = edges.schema["src"].dataType
+        schema = T.StructType(
+            [T.StructField("node", node_t, True), T.StructField("comp", node_t, True)]
+        )
+        edges.unpersist()
+        return pairs.sparkSession.createDataFrame(out, schema)
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn("comp", F.col("node")).persist()
     converged = False
     for it in range(max_iter):
@@ -706,9 +751,19 @@ def ngram_jaccard_pairs(
     Returns (id_a, id_b, jaccard >= threshold).
     """
     # hashed grams: identical gram identity (see _word_shingle_hashes),
-    # every inverted-index row/join key is one long instead of a string
-    grams_df = _spread(df, id_col).select(F.col(id_col).alias("__id"), _word_shingle_hashes(F.col(text_col), n).alias("__grams")).withColumn(
-        "__n_grams", F.size("__grams")
+    # every inverted-index row/join key is one long instead of a string.
+    # The compact (id, gram array) table is persisted BEFORE the explode:
+    # the interpreted tokenize/shingle/hash chain is the dominant per-row
+    # cost and the un-persisted inv ran it TWICE into the capped-index
+    # build (once under the stop-gram groupBy, once on the join probe
+    # side) — measured 3.7x faster at sf0.1 with the cut (same pattern as
+    # lsh_jaccard_pairs/prefix_jaccard_pairs; released via
+    # release_caches())
+    grams_df = _track(
+        _spread(df, id_col)
+        .select(F.col(id_col).alias("__id"), _word_shingle_hashes(F.col(text_col), n).alias("__grams"))
+        .withColumn("__n_grams", F.size("__grams"))
+        .persist()
     )
     inv = grams_df.select("__id", "__n_grams", F.explode("__grams").alias("__gram"))
     rare = inv.groupBy("__gram").agg(F.count(F.lit(1)).alias("__df")).filter(F.col("__df") <= df_cap)

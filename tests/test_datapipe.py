@@ -224,13 +224,43 @@ class TestConnectedComponents:
         assert set(comps.values()) == {0}
 
     def test_nonconvergence_warns_not_silent(self, spark):
+        # pins the DISTRIBUTED loop (small graphs resolve exactly on the
+        # driver, where max_iter is irrelevant — force the loop via conf)
         import pytest as _pytest
 
         from qlbridge_spark.datapipe import connected_components
 
         pairs = spark.createDataFrame([(i, i + 1) for i in range(40)], "id_a long, id_b long")
-        with _pytest.warns(RuntimeWarning, match="did not converge"):
-            connected_components(pairs, max_iter=1).collect()
+        spark.conf.set("qlbridge.cc.localThreshold", "0")
+        try:
+            with _pytest.warns(RuntimeWarning, match="did not converge"):
+                connected_components(pairs, max_iter=1).collect()
+        finally:
+            spark.conf.unset("qlbridge.cc.localThreshold")
+
+    def test_small_graph_local_path_matches_distributed(self, spark):
+        # the threshold-gated driver union-find must return exactly the
+        # distributed loop's (node, min-reachable-id) labels — and be
+        # exact even at max_iter=1 (no iteration limit applies locally)
+        import random
+
+        from qlbridge_spark.datapipe import connected_components
+
+        random.seed(13)
+        edges = [(random.randint(0, 30), random.randint(0, 30)) for _ in range(60)]
+        edges = [(a, b) for a, b in edges if a != b]
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        local = sorted(map(tuple, connected_components(pairs, max_iter=1).collect()))
+        spark.conf.set("qlbridge.cc.localThreshold", "0")
+        try:
+            dist = sorted(map(tuple, connected_components(pairs).collect()))
+        finally:
+            spark.conf.unset("qlbridge.cc.localThreshold")
+        assert local == dist
+        # path graph: every node labels to the global min
+        chain = spark.createDataFrame([(i, i + 1) for i in range(40)], "id_a long, id_b long")
+        out = dict(connected_components(chain, max_iter=1).collect())
+        assert set(out.values()) == {0} and len(out) == 41
 
     def test_include_cycle_detection(self, spark):
         import pytest
