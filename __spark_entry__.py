@@ -680,16 +680,33 @@ def _dp_curation_report(spark, sf_dir):
     # training-data QA rollup: derive row features → group → aggregate).
     # round 7: + per-language average top-BIGRAM coverage (the Gopher /
     # RefinedWeb repetition-filter family, datapipe.ngram_repetition)
-    from qlbridge_spark.datapipe import ngram_repetition, quality_score, token_count
+    from qlbridge_spark.datapipe import quality_score, token_count
+    from qlbridge_spark.datapipe.text import _ngram_rep_stats
 
+    # r17: top_frac is computed INLINE on the same scan (the per-doc top
+    # bigram is row-local — see _ngram_rep_stats), replacing the r16
+    # shape's ngram_repetition + left self-join on doc_id: 10 exchanges
+    # (two string-keyed aggs + SMJ) collapse to the single groupBy(lang)
+    # exchange below. Output identical: doc_id is unique in documents, so
+    # the old 1:1 left join added exactly the top_frac column.
     d = _docs(spark, sf_dir)
-    rep = ngram_repetition(d, "doc_id", "text", n=2).select("doc_id", "top_frac")
-    derived = d.join(rep, "doc_id", "left").select(
+    stats = _ngram_rep_stats(
+        d,
+        [
+            F.col("lang"),
+            token_count(F.col("text")).cast("long").alias("toks"),
+            quality_score(F.col("text"), F.col("n_chars")).alias("q"),
+            F.col("n_chars"),
+        ],
+        F.col("text"),
+        2,
+    )
+    derived = stats.select(
         "lang",
-        token_count(F.col("text")).cast("long").alias("toks"),
-        quality_score(F.col("text"), F.col("n_chars")).alias("q"),
-        F.col("n_chars"),
-        F.col("top_frac"),
+        "toks",
+        "q",
+        "n_chars",
+        F.when(F.col("__tot") > 0, F.col("__st.best") / F.col("__tot")).alias("top_frac"),
     )
     return (
         derived.groupBy("lang")

@@ -55,6 +55,35 @@ def main() -> int:
     except OSError:
         uptime = None
 
+    def _cpu_jiffies():
+        """Aggregate /proc/stat cpu counters. ``steal`` is the signal
+        load averages cannot see: jiffies the hypervisor ran OTHER
+        guests while this box had runnable work (the documented failure
+        mode of these bench hosts — r16 verdict item 1). A timed region
+        whose steal fraction is material is a polluted measurement, and
+        the record should say so itself."""
+        try:
+            with open("/proc/stat") as f:
+                parts = f.readline().split()
+            v = [int(x) for x in parts[1:9]]
+            # user+nice, system+irq+softirq, idle+iowait, steal
+            return {
+                "user": v[0] + v[1],
+                "system": v[2] + v[5] + v[6],
+                "idle": v[3] + v[4],
+                "steal": v[7],
+            }
+        except (OSError, ValueError, IndexError):
+            return None
+
+    def _cpu_delta(before, after):
+        if before is None or after is None:
+            return None
+        d = {k: after[k] - before[k] for k in before}
+        total = sum(d.values())
+        d["steal_frac"] = round(d["steal"] / total, 4) if total > 0 else None
+        return d
+
     from pyspark.sql import SparkSession
 
     spark = (
@@ -120,6 +149,8 @@ def main() -> int:
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
     times: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
+    steal_per_query: dict[str, float] = {}
+    jiffies_loop_start = _cpu_jiffies()
     for name in bench_names:
         # one UNTIMED warmup rep per query (r11 judge directive #6): the
         # first execution pays one-time plan analysis + codegen + class-
@@ -127,6 +158,7 @@ def main() -> int:
         # it keeps the recorded spread about the work, not the JVM
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         release_caches()
+        jiffies_q_start = _cpu_jiffies()
         runs: list[float] = []
         for _ in range(reps):
             t0 = time.time()
@@ -152,6 +184,10 @@ def main() -> int:
                     pass
         times[name] = min(runs)
         spread[name] = runs
+        dq = _cpu_delta(jiffies_q_start, _cpu_jiffies())
+        if dq is not None and dq.get("steal_frac") is not None:
+            steal_per_query[name] = dq["steal_frac"]
+    cpu_timed_region = _cpu_delta(jiffies_loop_start, _cpu_jiffies())
 
     # Emit the headline record IMMEDIATELY — before any additive study
     # section runs or prints — so a truncated stdout capture can never
@@ -177,6 +213,13 @@ def main() -> int:
         "load1_start": None if load1 is None else round(load1, 2),
         "load_wait_sec": load_wait,
         "uptime_sec": uptime,
+        # hypervisor-steal self-adjudication (r16 verdict item 1):
+        # /proc/stat jiffy deltas across the timed loop. steal_frac is
+        # the fraction of ALL cpu jiffies in the region the hypervisor
+        # gave to other guests — load1 cannot see it. A clean window is
+        # steal_frac ≲ 0.01; per-query fractions name the polluted lines.
+        "cpu_timed_region": cpu_timed_region,
+        "queries_steal_frac": steal_per_query,
         # q09 carries an uncorrelated scalar subquery folded at plan time.
         # r16 adjudication (PERF_AB_r16.md): the fold runs ONCE per engine
         # and is then served from the version-keyed fold cache (EXPLAIN

@@ -294,6 +294,64 @@ def pack_sequences(
     return df
 
 
+def _ngram_rep_stats(df, carry: list, text_col: Column, n: int):
+    """Zero-shuffle core of :func:`ngram_repetition`: append ``__st``
+    (the run-scan fold state ``(prev, run, best, best_g)``) and ``__tot``
+    (total n-gram occurrences) to ``carry``, entirely within the row.
+
+    The per-doc top n-gram is a MODE over the doc's own grams, so it
+    never needs to leave the row: sort the gram array (equal grams become
+    adjacent) and fold once, tracking the longest run. Updating on
+    ``run >= best`` makes the winner the LAST maximal run in ascending
+    order — i.e. the lexicographically largest gram among count ties,
+    exactly ``max_by(g, struct(count, g))``, both orders being Spark's
+    binary UTF8 comparison. This replaces the explode + two string-keyed
+    aggregations of the r16 shape (guide §2.3/§2.4: the shuffles carried
+    (doc, bigram-string) rows; the mode decision needs none of them).
+
+    ``__toks`` is materialized in its own projection: the token array is
+    referenced from inside HOF lambdas, where an inlined expression
+    re-evaluates per element (see the dedup ``_minhash_sigs`` note);
+    multi-referenced non-cheap aliases survive CollapseProject.
+    """
+    toks = F.filter(F.split(F.lower(F.trim(text_col)), r"\s+"), lambda t: t != F.lit(""))
+    base = df.select(*carry, toks.alias("__toks"))
+    k = F.size(F.col("__toks")) - (n - 1)
+    grams = F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.array_join(F.slice(F.col("__toks"), i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+        F.lit(None).cast("string").alias("best_g"),
+    )
+
+    def step(acc, g):
+        run = F.when(g.eqNullSafe(acc["prev"]), acc["run"] + F.lit(1)).otherwise(
+            F.lit(1).cast("long")
+        )
+        better = run >= acc["best"]
+        return F.struct(
+            g.alias("prev"),
+            run.alias("run"),
+            F.when(better, run).otherwise(acc["best"]).alias("best"),
+            F.when(better, g).otherwise(acc["best_g"]).alias("best_g"),
+        )
+
+    st = F.aggregate(F.array_sort(grams), zero, step)
+    total = F.when(k > 0, k).otherwise(F.lit(0)).cast("long")
+    # __st is referenced several times by every consumer, so it must land
+    # in its own projection (one fold per row); carry columns ride through
+    # by the names their aliases gave them in ``base``
+    carried = [F.col(f.name) for f in base.schema.fields[:-1]]
+    return base.select(*carried, st.alias("__st"), total.alias("__tot"))
+
+
 def ngram_repetition(df, id_col: str, text_col: str, n: int = 2):
     """Per-document n-gram REPETITION: the fraction of all n-gram
     occurrences taken by the single most frequent n-gram — the
@@ -302,33 +360,20 @@ def ngram_repetition(df, id_col: str, text_col: str, n: int = 2):
     above a coverage threshold).
 
     Counted n-grams include repeats (occurrence counting, not the
-    distinct-shingle sets dedup uses). Explode + two-level aggregate —
-    map-side partial aggregation both times, one shuffle on the doc id.
+    distinct-shingle sets dedup uses). Computed WITHIN the row (sorted
+    gram array + one run-scan fold, see ``_ngram_rep_stats``): zero
+    exchanges, where the r16 shape exploded every occurrence and
+    shuffled (doc, bigram-string) rows through two aggregations.
     Documents with fewer than n tokens report 0 occurrences and a NULL
     fraction. Returns (id, top_ngram, top_n, total_n, top_frac)."""
-    toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != F.lit(""))
-    k = F.size(toks) - (n - 1)
-    grams = F.when(
-        k > 0,
-        F.transform(F.sequence(F.lit(1), k), lambda i: F.array_join(F.slice(toks, i, n), " ")),
-    ).otherwise(F.array().cast("array<string>"))
-    exploded = df.select(F.col(id_col).alias("__id"), F.explode_outer(grams).alias("__g"))
-    per_gram = exploded.groupBy("__id", "__g").agg(F.count(F.col("__g")).alias("__c"))
-    return (
-        per_gram.groupBy("__id")
-        .agg(
-            F.max_by("__g", F.struct(F.col("__c"), F.col("__g"))).alias("top_ngram"),
-            F.max("__c").alias("top_n"),
-            F.sum("__c").alias("total_n"),
-        )
-        .select(
-            F.col("__id").alias(id_col),
-            F.when(F.col("top_n").isNotNull(), F.col("top_ngram")).otherwise(F.lit(None)).alias("top_ngram"),
-            F.coalesce(F.col("top_n"), F.lit(0)).alias("top_n"),
-            F.coalesce(F.col("total_n"), F.lit(0)).alias("total_n"),
-            # ANSI-safe: guard the 0-occurrence case instead of 0/0
-            F.when(F.col("total_n") > 0, F.col("top_n") / F.col("total_n")).alias("top_frac"),
-        )
+    stats = _ngram_rep_stats(df, [F.col(id_col).alias("__id")], F.col(text_col), n)
+    return stats.select(
+        F.col("__id").alias(id_col),
+        F.when(F.col("__st.best") > 0, F.col("__st.best_g")).alias("top_ngram"),
+        F.col("__st.best").alias("top_n"),
+        F.col("__tot").alias("total_n"),
+        # ANSI-safe: guard the 0-occurrence case instead of 0/0
+        F.when(F.col("__tot") > 0, F.col("__st.best") / F.col("__tot")).alias("top_frac"),
     )
 
 

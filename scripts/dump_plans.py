@@ -1,5 +1,6 @@
 """Dump .explain('formatted') for every benched query (plus any extras
-named on the command line) into plans/r16/<name>_<tag>.txt.
+named on the command line) into plans/$SPARK_GRAFT_PLAN_ROUND/<name>_<tag>.txt
+(default r17).
 
 Usage: python scripts/dump_plans.py <tag> [name ...]
 (plan-only: no jobs run except engine registration + plan-time folds)
@@ -50,7 +51,7 @@ def main() -> int:
 
     qs = entrymod.queries()
     names = ONLY or BENCH
-    outdir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r16")
+    outdir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r17"))
     os.makedirs(outdir, exist_ok=True)
     for name in names:
         df = qs[name](spark, sf_dir)

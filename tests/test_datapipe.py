@@ -931,6 +931,25 @@ class TestNgramRepetition:
         plan = ngram_repetition(df, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan
 
+    def test_zero_exchange_plan_and_tiebreak(self, spark):
+        # r17: the top n-gram is a row-local mode (sorted-run fold) — the
+        # plan must carry NO shuffle, and count ties must break to the
+        # lexicographically LARGEST gram, matching the r16 shape's
+        # max_by(g, struct(count, g)) exactly.
+        from qlbridge_spark.datapipe import ngram_repetition
+
+        df = spark.createDataFrame(
+            [(1, "a b c a b c"), (2, "z z q q")], "doc_id long, text string"
+        )
+        q = ngram_repetition(df, "doc_id", "text", n=2)
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        out = {r["doc_id"]: r for r in q.collect()}
+        # doc 1: "a b"×2 and "b c"×2 tie — max_by picks the larger string
+        assert out[1]["top_ngram"] == "b c" and out[1]["top_n"] == 2 and out[1]["total_n"] == 5
+        # doc 2: all three bigrams count 1 — "z z" is the largest
+        assert out[2]["top_ngram"] == "z z" and out[2]["top_n"] == 1 and out[2]["total_n"] == 3
+
 
 class TestMixCorpora:
     """epoch_sample / mix_corpora — deterministic training-mixture
