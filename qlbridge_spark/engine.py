@@ -1543,13 +1543,44 @@ class Engine(SubqueryMixin, DmlMixin, MatViewMixin, SelectMixin):
         frames[ref] = joined.select(*[F.col(p).alias(nm) for nm, p in out_phys]).alias(ref)
         return joined
 
-    @staticmethod
-    def _source_bytes(df: DataFrame):
+    def _broadcast_threshold_bytes(self) -> int:
+        """``spark.sql.autoBroadcastJoinThreshold`` in bytes. The conf
+        accepts byte-suffixed strings ('10m', '100MB', '512k', '-1');
+        plain ``int()`` raised on those and silently fell back to 10MB,
+        so a user-lowered threshold was ignored by the planner hints.
+        Parse exactly as Spark does (JavaUtils) with a pure-Python
+        fallback."""
+        raw = self.spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        try:
+            return int(raw)
+        except (TypeError, ValueError):
+            pass
+        try:
+            return int(self.spark._jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw))
+        except Exception:
+            pass
+        try:
+            s = str(raw).strip().lower()
+            for suf, mult in (("tb", 1 << 40), ("gb", 1 << 30), ("mb", 1 << 20), ("kb", 1 << 10),
+                              ("t", 1 << 40), ("g", 1 << 30), ("m", 1 << 20), ("k", 1 << 10), ("b", 1)):
+                if s.endswith(suf):
+                    return int(float(s[: -len(suf)]) * mult)
+        except (TypeError, ValueError):
+            pass
+        return 10 << 20
+
+    def _source_bytes(self, df: DataFrame):
         """On-disk bytes of a file-backed frame (None when unknown) — the
         plan-time size signal the join reorderer ranks by. Driver-side
-        metadata only; no job runs."""
+        metadata only; no job runs. Per-path sizes are cached for the
+        engine's lifetime (the same dims are re-stat'ed by every
+        statement; at real scale a table is 10^5-10^6 files and the
+        listing/stat cost is planning-path driver time)."""
         import os
 
+        cache = getattr(self, "_file_size_cache", None)
+        if cache is None:
+            cache = self._file_size_cache = {}
         try:
             files = df.inputFiles()
         except Exception:
@@ -1558,15 +1589,19 @@ class Engine(SubqueryMixin, DmlMixin, MatViewMixin, SelectMixin):
             return None
         total = 0
         for f in files:
-            p = f
-            if p.startswith("file://"):
-                p = p[7:]
-            elif p.startswith("file:"):
-                p = p[5:]
-            try:
-                total += os.path.getsize(p)
-            except OSError:
-                return None
+            sz = cache.get(f)
+            if sz is None:
+                p = f
+                if p.startswith("file://"):
+                    p = p[7:]
+                elif p.startswith("file:"):
+                    p = p[5:]
+                try:
+                    sz = os.path.getsize(p)
+                except OSError:
+                    return None
+                cache[f] = sz
+            total += sz
         return total
 
     def _reorder_inner_joins(self, first, joins, sel, resolved):
@@ -1657,10 +1692,7 @@ class Engine(SubqueryMixin, DmlMixin, MatViewMixin, SelectMixin):
         # their written position: promoting them (e.g. a 12 MB orders in
         # front of lineitem) makes AQE broadcast-build a fact, trading a
         # cheap stream for an expensive broadcast.
-        try:
-            thresh = int(self.spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760"))
-        except (TypeError, ValueError):
-            thresh = 10 << 20
+        thresh = self._broadcast_threshold_bytes()
         if thresh <= 0:
             return joins
 
@@ -1709,17 +1741,24 @@ class Engine(SubqueryMixin, DmlMixin, MatViewMixin, SelectMixin):
         cb_flag = self.session_vars.get("planner.chain_broadcast", True)
         if isinstance(cb_flag, str):
             cb_flag = cb_flag.strip().lower() not in ("false", "0", "off", "no")
-        try:
-            cb_thresh = int(self.spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760"))
-        except (TypeError, ValueError):
-            cb_thresh = 10 << 20
+        cb_thresh = self._broadcast_threshold_bytes()
         chain_bytes = self._source_bytes(df) if cb_flag and cb_thresh > 0 else None
+        if chain_bytes is not None and chain_bytes > cb_thresh:
+            # over threshold already — the hint can never fire (bytes only
+            # grow), so stop tracking; this also short-circuits every later
+            # per-source _source_bytes listing on the planning path
+            chain_bytes = None
         for src in self._reorder_inner_joins(first, list(sel.from_[1:]), sel, resolved):
             if src.unnest is not None:
                 joined = self._apply_unnest(joined, src, frames, physical)
+                # a lateral explode multiplies rows: on-disk bytes of the
+                # chain's sources no longer bound its in-memory size, so
+                # the broadcast hint must not fire downstream of it
+                chain_bytes = None
                 continue
             if getattr(src, "lateral", False) and src.subquery is not None:
                 joined = self._apply_lateral(joined, src, frames, physical)
+                chain_bytes = None  # row-multiplying, as above
                 continue
             other = resolved.get(id(src))
             if other is None:
@@ -1738,7 +1777,9 @@ class Engine(SubqueryMixin, DmlMixin, MatViewMixin, SelectMixin):
                 "FULL OUTER": "full",
                 "CROSS": "cross",
             }.get(src.join_type, "inner")
-            other_bytes = self._source_bytes(other)
+            # once the chain is untracked (None: unknown size, over
+            # threshold, or row-multiplied), no later source needs sizing
+            other_bytes = self._source_bytes(other) if chain_bytes is not None else None
             if src.join_expr is not None:
                 cond = to_column(src.join_expr, scope)
                 left = joined
@@ -1750,11 +1791,16 @@ class Engine(SubqueryMixin, DmlMixin, MatViewMixin, SelectMixin):
                 ):
                     left = F.broadcast(joined)
                 joined = left.join(other, on=cond, how=how)
+                chain_bytes = (
+                    None if (chain_bytes is None or other_bytes is None) else chain_bytes + other_bytes
+                )
             else:
                 joined = joined.crossJoin(other)
-            chain_bytes = (
-                None if (chain_bytes is None or other_bytes is None) else chain_bytes + other_bytes
-            )
+                # a cross join multiplies rows — summing source bytes
+                # under-counts arbitrarily, so stop tracking (ADVICE r16)
+                chain_bytes = None
+            if chain_bytes is not None and chain_bytes > cb_thresh:
+                chain_bytes = None  # can never re-qualify; skip later stats
         scope = Scope(frames, includes=self.includes, params=self._scope_params(), physical=physical)
         return joined, scope
 

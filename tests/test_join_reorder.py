@@ -142,3 +142,70 @@ class TestJoinReorder:
         got = sorted(tuple(r) for r in eng.sql(q).collect())
         off = _mk(spark, "false")
         assert got == sorted(tuple(r) for r in off.sql(q).collect())
+
+
+class TestChainBroadcastHint:
+    """r17 hardening of the chain-broadcast hint (engine._build_from):
+    suffix-aware threshold parsing, no hint once the chain is over the
+    threshold (the scale-adaptivity contract), and no hint downstream of
+    a row-multiplying step (cross join / unnest / lateral), whose output
+    size the summed on-disk bytes no longer bound."""
+
+    def _hints(self, df) -> int:
+        return df._jdf.queryExecution().analyzed().toString().count("ResolvedHint")
+
+    def test_threshold_suffix_parsing(self, spark):
+        key = "spark.sql.autoBroadcastJoinThreshold"
+        old = spark.conf.get(key)
+        eng = _mk(spark)
+        try:
+            for raw, want in (("512k", 512 << 10), ("10m", 10 << 20), ("100MB", 100 << 20), ("-1", -1), ("10485760", 10 << 20)):
+                spark.conf.set(key, raw)
+                assert eng._broadcast_threshold_bytes() == want, raw
+        finally:
+            spark.conf.set(key, old)
+
+    def test_hint_fires_on_small_chain_vs_fact(self, spark, small_threshold):
+        # customer (6.9k) ≤ 20k chain joins orders (36k > 20k): pin the
+        # build side the scale-safe way round
+        eng = _mk(spark)
+        df = eng.sql(
+            "SELECT count(*) AS n FROM customer JOIN orders ON o_custkey = c_custkey"
+        )
+        assert self._hints(df) >= 1
+        off = _mk(spark, None)
+        off.execute("SET planner.chain_broadcast = false")
+        dfo = off.sql("SELECT count(*) AS n FROM customer JOIN orders ON o_custkey = c_custkey")
+        assert self._hints(dfo) == 0
+        assert [tuple(r) for r in df.collect()] == [tuple(r) for r in dfo.collect()]
+
+    def test_hint_silent_when_chain_over_threshold(self, spark):
+        # threshold below every source ('1k', exercising the suffix path
+        # end-to-end): the chain never qualifies, the hint must not fire —
+        # the same condition a 10x-data run hits with the default 10MB
+        key = "spark.sql.autoBroadcastJoinThreshold"
+        old = spark.conf.get(key)
+        spark.conf.set(key, "1k")
+        try:
+            eng = _mk(spark)
+            df = eng.sql(
+                "SELECT count(*) AS n FROM customer JOIN orders ON o_custkey = c_custkey"
+            )
+            assert self._hints(df) == 0
+        finally:
+            spark.conf.set(key, old)
+
+    def test_cross_join_stops_byte_tracking(self, spark, small_threshold):
+        # region × nation cross-multiplies rows; the later inner join with
+        # over-threshold orders must NOT be hinted off pre-explosion bytes
+        eng = _mk(spark)
+        q = """
+            SELECT count(*) AS n FROM region
+              CROSS JOIN nation
+              JOIN customer ON c_nationkey = n_nationkey
+              JOIN orders ON o_custkey = c_custkey"""
+        df = eng.sql(q)
+        assert self._hints(df) == 0
+        off = _mk(spark, None)
+        off.execute("SET planner.chain_broadcast = false")
+        assert [tuple(r) for r in df.collect()] == [tuple(r) for r in off.sql(q).collect()]
