@@ -724,6 +724,118 @@ def main() -> int:
     except Exception as e:
         cdc_info["error"] = f"{type(e).__name__}: {e}"
 
+    # ------------------------------------------------------------------
+    # streaming-operator micro-bench (r17 additive, verdict item 6): the
+    # CONTINUOUSVIEW lowering, the stateful near-dup operator, and the
+    # streaming-upsert (MERGE) path had never been timed. Each line is
+    # rows through ONE measured micro-batch — a rows/sec baseline for
+    # later rounds, NOT part of the headline total.
+    # ------------------------------------------------------------------
+    stream_ops_info: dict = {}
+    try:
+        import json as _json
+        import shutil
+        import tempfile
+
+        from qlbridge_spark import Engine as _EngSt
+        from qlbridge_spark.engine import read_parquet as _rps
+
+        sdir = tempfile.mkdtemp(prefix="bench_stream_")
+        try:
+            ev = _rps(spark, os.path.join(sf_dir, "events.parquet"))
+            n_ev = ev.count()
+            # 1) CONTINUOUSVIEW lowering: grouped agg over a file stream,
+            # complete mode into the in-memory sink
+            _est = _EngSt(spark, "bench_stream")
+            ev_dir = os.path.join(sdir, "ev_stream")
+            ev.write.parquet(ev_dir)
+            _est.register_df("ev", ev)
+            cfg = {"path": ev_dir, "output_mode": "complete"}
+            q = _est.execute(
+                "CREATE CONTINUOUSVIEW bench_cv AS SELECT event_type, count(*) AS n, "
+                f"sum(value) AS total FROM ev GROUP BY event_type WITH {_json.dumps(cfg)}"
+            )
+            try:
+                t0 = time.time()
+                q.processAllAvailable()
+                dt = time.time() - t0
+                stream_ops_info["continuousview_agg"] = {
+                    "rows": n_ev,
+                    "sec": round(dt, 3),
+                    "rows_per_sec": int(n_ev / dt) if dt > 0 else None,
+                }
+            finally:
+                q.stop()
+            # 2) stateful near-dup (applyInPandasWithState LSH buckets)
+            from qlbridge_spark.streaming import near_dup_pairs_stream
+
+            docs = _rps(spark, os.path.join(sf_dir, "documents.parquet")).select("doc_id", "text")
+            n_docs = docs.count()
+            nd_dir = os.path.join(sdir, "nd_stream")
+            docs.write.parquet(nd_dir)
+            src = spark.readStream.schema(docs.schema).parquet(nd_dir)
+            pairs = near_dup_pairs_stream(src, "doc_id", "text", threshold=0.5, bands=16)
+            q2 = (
+                pairs.writeStream.outputMode("append")
+                .format("memory")
+                .queryName("bench_nd_out")
+                .option("checkpointLocation", os.path.join(sdir, "ck_nd"))
+                .start()
+            )
+            try:
+                t0 = time.time()
+                q2.processAllAvailable()
+                dt = time.time() - t0
+                n_pairs = spark.sql("SELECT count(*) AS c FROM bench_nd_out").collect()[0][0]
+                stream_ops_info["stateful_near_dup"] = {
+                    "docs": n_docs,
+                    "pairs_emitted": n_pairs,
+                    "sec": round(dt, 3),
+                    "docs_per_sec": int(n_docs / dt) if dt > 0 else None,
+                }
+            finally:
+                q2.stop()
+            # 3) streaming upsert: initial-load micro-batch, then a ~1%
+            # mutation file through the MERGE path
+            up_dir = os.path.join(sdir, "up_stream")
+            base = ev.select("event_id", "event_type", "value")
+            base.write.parquet(up_dir)
+            _est.register_df("upsrc", base)
+            q3 = _est.execute(
+                "CREATE CONTINUOUSVIEW bench_up AS SELECT event_id, event_type, value FROM upsrc "
+                f'WITH {{"path": "{up_dir}", "format": "upsert", "target": "bench_up_state", "key": "event_id"}}'
+            )
+            try:
+                t0 = time.time()
+                q3.processAllAvailable()
+                dt = time.time() - t0
+                stream_ops_info["stream_upsert_initial"] = {
+                    "rows": n_ev,
+                    "sec": round(dt, 3),
+                    "rows_per_sec": int(n_ev / dt) if dt > 0 else None,
+                }
+                from pyspark.sql import functions as _F
+
+                delta = base.filter(_F.col("event_id") % 100 == 0).withColumn(
+                    "value", _F.col("value") + _F.lit(1.0)
+                )
+                n_delta = delta.count()
+                delta.write.mode("append").parquet(up_dir)
+                t0 = time.time()
+                q3.processAllAvailable()
+                dt = time.time() - t0
+                stream_ops_info["stream_upsert_incremental"] = {
+                    "rows": n_delta,
+                    "sec": round(dt, 3),
+                    "rows_per_sec": int(n_delta / dt) if dt > 0 else None,
+                }
+            finally:
+                q3.stop()
+        finally:
+            shutil.rmtree(sdir, ignore_errors=True)
+    except Exception as e:
+        stream_ops_info["error"] = f"{type(e).__name__}: {e}"
+
     try:
         load1_end = round(os.getloadavg()[0], 2)  # includes our own work
     except OSError:
@@ -750,6 +862,7 @@ def main() -> int:
         data_skipping=skip_info,
         matview_refresh=mv_info,
         cdc_stream=cdc_info,
+        streaming_ops=stream_ops_info,
     )
     # durable copy: the scoreboard can always recover the full record
     # from disk even if stdout capture truncates
